@@ -1,0 +1,334 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Core relational operator surface (SURVEY.md §2.1–2.6): scans, projections,
+  * filters, joins (inner/outer/semi/anti/broadcast), aggregations, rollup,
+  * window functions, set ops, top-k.
+  *
+  * Cross-engine determinism rules (Spark result must hash-match the DuckDB
+  * oracle):
+  *  - SUM/AVG over doubles is order-dependent → cast to DECIMAL(18,2) before
+  *    aggregating in BOTH engines, cast the final value back to double (the
+  *    decimal→double conversion is exact IEEE nearest in both).
+  *  - Spark sorts NULLS FIRST by default for ASC, DuckDB NULLS LAST → always
+  *    spell out null ordering when sort keys are nullable.
+  *  - DuckDB casts double→BIGINT by rounding, Spark by truncation → always
+  *    floor() first.
+  *  - events.ts is parquet timestamp[ns]: DuckDB keeps ns, Spark truncates to
+  *    micros → never emit raw ts; emit epoch seconds of a truncated value.
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  val queries: Map[String, Q] = Map(
+    // -- scans / projections / filters ------------------------------------
+    "q_scan_project" -> ((s, d) =>
+      t(s, d, "region").select(col("r_regionkey"), col("r_name")).orderBy("r_regionkey")),
+
+    "q_filter_pushdown" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .where(col("l_shipdate") < lit("1995-09-01").cast("timestamp")
+          && col("l_discount").between(0.05, 0.07)
+          && col("l_quantity") < 24)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "q_scalar_funcs" -> ((s, d) =>
+      t(s, d, "part").select(
+        col("p_partkey"),
+        upper(substring(col("p_name"), 1, 10)).as("up_name"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+        floor(col("p_retailprice")).as("floor_price"),
+        abs(col("p_size") - lit(25)).cast("long").as("size_dist"))
+        .orderBy("p_partkey")),
+
+    "q_case_when" -> ((s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 200000, "big")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("small").as("bucket"),
+        floor(col("o_totalprice")).as("floor_price"))
+        .orderBy("o_orderkey")),
+
+    "q_date_funcs" -> ((s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        month(col("o_orderdate")).cast("long").as("o_month"),
+        dayofmonth(col("o_orderdate")).cast("long").as("o_day"))
+        .orderBy("o_orderkey")),
+
+    // -- aggregations -----------------------------------------------------
+    "q1_agg" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount"))).cast("double").as("sum_disc_price"),
+          (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q_count_distinct" -> ((s, d) =>
+      t(s, d, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey"), col("l_partkey")).as("n_supp_part"))),
+
+    "q_rollup" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    "q_having" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_items"), sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+        .where(col("n_items") > 50)
+        .orderBy("l_suppkey")),
+
+    // -- joins ------------------------------------------------------------
+    "q_join_broadcast" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "inner")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "q_join_multi" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      val l = t(s, d, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"), "inner")
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"), "inner")
+        .groupBy(col("o_orderkey"), col("c_mktsegment"))
+        .agg(sum(dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount"))).as("revenue_dec"))
+        .orderBy(col("revenue_dec").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("c_mktsegment"), col("revenue_dec").cast("double").as("revenue"))
+    }),
+
+    "q_join_left" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          coalesce(sum(dec2(col("o_totalprice"))).cast("double"), lit(0.0)).as("total"))
+        .orderBy("c_custkey")
+    }),
+
+    "q_join_semi" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+
+    "q_join_anti" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+
+    // -- set ops ----------------------------------------------------------
+    "q_set_ops" -> ((s, d) => {
+      val a = t(s, d, "supplier").select(col("s_nationkey").as("nationkey"))
+      val b = t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      a.intersect(b).withColumn("op", lit("intersect"))
+        .union(a.except(b).withColumn("op", lit("except")))
+        .union(a.union(b).distinct().withColumn("op", lit("union")))
+        .orderBy("op", "nationkey")
+    }),
+
+    // -- sort / top-k -----------------------------------------------------
+    "q_topk" -> ((s, d) =>
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .limit(10)),
+
+    // -- window functions -------------------------------------------------
+    "q_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      t(s, d, "customer")
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"), col("rnk").cast("long").as("rnk"))
+        .orderBy("c_mktsegment", "rnk")
+    }),
+
+    "q_window_running" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .withColumn("running_value", sum(dec2(col("value"))).over(w).cast("double"))
+        .select(col("event_id"), col("user_id"), col("running_value"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // -- time bucketing over the event stream -----------------------------
+    "q_events_hourly" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(col("event_type"),
+          unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"))
+        .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).cast("double").as("sum_value"))
+        .orderBy("event_type", "hour_epoch")),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_scan_project" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+
+    "q_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1995-09-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_scalar_funcs" ->
+      """SELECT p_partkey,
+        |  upper(substring(p_name, 1, 10)) AS up_name,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  p_brand || '#' || p_type AS brand_type,
+        |  CAST(floor(p_retailprice) AS BIGINT) AS floor_price,
+        |  CAST(abs(p_size - 25) AS BIGINT) AS size_dist
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_case_when" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 200000 THEN 'big'
+        |       WHEN o_totalprice > 100000 THEN 'mid'
+        |       ELSE 'small' END AS bucket,
+        |  CAST(floor(o_totalprice) AS BIGINT) AS floor_price
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(month(o_orderdate) AS BIGINT) AS o_month,
+        |  CAST(day(o_orderdate) AS BIGINT) AS o_day
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_count_distinct" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT (l_suppkey, l_partkey)) AS n_supp_part
+        |FROM lineitem""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_having" ->
+      """SELECT l_suppkey, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_suppkey HAVING COUNT(*) > 50
+        |ORDER BY l_suppkey""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_join_multi" ->
+      """SELECT o_orderkey, c_mktsegment,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY o_orderkey, c_mktsegment
+        |ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) DESC, o_orderkey ASC
+        |LIMIT 10""".stripMargin,
+
+    "q_join_left" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_set_ops" ->
+      """SELECT nationkey, 'intersect' AS op FROM
+        |  (SELECT s_nationkey AS nationkey FROM supplier INTERSECT SELECT c_nationkey FROM customer)
+        |UNION ALL
+        |SELECT nationkey, 'except' AS op FROM
+        |  (SELECT s_nationkey AS nationkey FROM supplier EXCEPT SELECT c_nationkey FROM customer)
+        |UNION ALL
+        |SELECT nationkey, 'union' AS op FROM
+        |  (SELECT s_nationkey AS nationkey FROM supplier UNION SELECT c_nationkey FROM customer)
+        |ORDER BY op, nationkey""".stripMargin,
+
+    "q_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal, rnk FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS BIGINT) AS rnk
+        |  FROM customer) sub
+        |WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY event_id ASC
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "q_events_hourly" ->
+      """SELECT event_type,
+        |  CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS hour_epoch,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  )
+}
