@@ -16,10 +16,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.operators.RelationalQueries.queries
+    graft.operators.RelationalQueries.queries ++
+      graft.operators.DiffQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.operators.RelationalQueries.oracleSql
+    graft.operators.RelationalQueries.oracleSql ++
+      graft.operators.DiffQueries.oracleSql
 }

@@ -1,0 +1,32 @@
+package graft.diff
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's segment checksum: the low 48 bits (12 hex digits) of the
+  * MD5 of the '|'-joined normalized row, read as an integer and shifted by
+  * −(2^48−1)/2 so sums of many rows center around zero
+  * (reference: data_diff/databases/base.py:411-421,1271-1286).
+  *
+  * Summed as DECIMAL(38,0): at 48 bits per row even 10^12 rows cannot
+  * overflow 38 digits, so the aggregate is exact at any scale. All parts are
+  * Spark built-ins (md5/conv/substring/concat_ws) → whole-stage codegen.
+  */
+object Checksum {
+  val Md5HexDigits = 32
+  val ChecksumHexDigits = 12
+  /** (2^48 − 1) / 2 — reference CHECKSUM_OFFSET. */
+  val Offset: Long = ((1L << (ChecksumHexDigits * 4)) - 1) / 2
+
+  /** Per-row 48-bit signed checksum over already-normalized string columns. */
+  def rowChecksum(normCols: Seq[Column]): Column = {
+    val joined = concat_ws("|", normCols.map(c => coalesce(c, lit(Normalize.NullSentinel))): _*)
+    conv(substring(md5(joined), Md5HexDigits - ChecksumHexDigits + 1, ChecksumHexDigits),
+      16, 10).cast(LongType) - Offset
+  }
+
+  /** Exact aggregate of rowChecksum. */
+  def checksumAgg(normCols: Seq[Column]): Column =
+    sum(rowChecksum(normCols).cast(DecimalType(38, 0)))
+}

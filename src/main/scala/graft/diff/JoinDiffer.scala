@@ -1,0 +1,85 @@
+package graft.diff
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Same-engine diff via one FULL OUTER JOIN on the primary key
+  * (reference: data_diff/joindiff_tables.py:74-95,307-334).
+  *
+  * Spark-first shape: a single shuffle on the key, then a codegen'd
+  * projection. Both the '-' (a-side) and '+' (b-side) rows are produced in
+  * the same pass with one explode, so the join executes exactly once — no
+  * self-union that would re-run the join. At cluster scale the only exchange
+  * is the key shuffle; AQE handles skewed keys and picks broadcast sides.
+  */
+object JoinDiffer {
+
+  /** The flagged joined frame: per-key a/b column pairs plus
+    * `is_exclusive_a` / `is_exclusive_b` / `is_diff` flags — the direct
+    * analogue of the reference's `_create_outer_join` select list. */
+  def flagged(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    val cols = keyCols ++ compareCols
+    val aa = a.select(cols.map(c => col(c).as(s"a_$c")): _*)
+    val bb = b.select(cols.map(c => col(c).as(s"b_$c")): _*)
+    val cond = keyCols.map(k => aa(s"a_$k") === bb(s"b_$k")).reduce(_ && _)
+    val j = aa.join(bb, cond, "full_outer")
+    // exclusive_a: the row only exists in a (all b-side keys null), and vice
+    // versa — PKs are non-null by validation, so null means "no match".
+    val exclA = keyCols.map(k => col(s"b_$k").isNull).reduce(_ && _)
+    val exclB = keyCols.map(k => col(s"a_$k").isNull).reduce(_ && _)
+    val diffFlags = compareCols.map(c =>
+      (!(col(s"a_$c") <=> col(s"b_$c"))).cast("int").as(s"is_diff_$c"))
+    j.select(
+      (exclA.as("is_exclusive_a") +: exclB.as("is_exclusive_b") +:
+        diffFlags ++: cols.map(c => col(s"a_$c")) ++: cols.map(c => col(s"b_$c"))): _*)
+  }
+
+  /** Diff rows: ('-', a-side values) for rows missing/stale in b,
+    * ('+', b-side values) for rows new/changed in b. An updated key yields
+    * both signs (reference: joindiff_tables.py:168-226 `_diff_segments`). */
+  def diff(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+      compareColsIn: Seq[String] = Nil): DataFrame = {
+    val compareCols =
+      if (compareColsIn.nonEmpty) compareColsIn
+      else a.columns.toSeq.filterNot(keyCols.contains)
+    val cols = keyCols ++ compareCols
+    val f = flagged(a, b, keyCols, compareCols)
+    val anyDiff = compareCols.map(c => col(s"is_diff_$c") === 1).reduce(_ || _)
+    val aRow = struct(lit("-").as("sign") +: cols.map(c => col(s"a_$c").as(c)): _*)
+    val bRow = struct(lit("+").as("sign") +: cols.map(c => col(s"b_$c").as(c)): _*)
+    f.where(col("is_exclusive_a") || col("is_exclusive_b") || anyDiff)
+      .select(explode(array(
+        when(!col("is_exclusive_b"), aRow),
+        when(!col("is_exclusive_a"), bRow))).as("r"))
+      .where(col("r").isNotNull)
+      .select("r.*")
+  }
+
+  /** One-row diff statistics (reference: diff_tables.py:76-186 DiffStats). */
+  def stats(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+      compareColsIn: Seq[String] = Nil): DataFrame = {
+    val compareCols =
+      if (compareColsIn.nonEmpty) compareColsIn
+      else a.columns.toSeq.filterNot(keyCols.contains)
+    val f = flagged(a, b, keyCols, compareCols)
+    val anyDiff = compareCols.map(c => col(s"is_diff_$c") === 1).reduce(_ || _)
+    val both = !col("is_exclusive_a") && !col("is_exclusive_b")
+    f.agg(
+      sum(when(col("is_exclusive_a"), 1L).otherwise(0L)).as("removed"),
+      sum(when(col("is_exclusive_b"), 1L).otherwise(0L)).as("added"),
+      sum(when(both && anyDiff, 1L).otherwise(0L)).as("updated"),
+      sum(when(both && !anyDiff, 1L).otherwise(0L)).as("unchanged"))
+  }
+
+  /** Per-column changed-row counts over matched keys
+    * (reference: joindiff_tables.py:336-354). */
+  def diffCountsPerColumn(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    val f = flagged(a, b, keyCols, compareCols)
+    val both = !col("is_exclusive_a") && !col("is_exclusive_b")
+    f.where(both).agg(
+      sum(col(s"is_diff_${compareCols.head}")).as(s"n_diff_${compareCols.head}"),
+      compareCols.tail.map(c => sum(col(s"is_diff_$c")).as(s"n_diff_$c")): _*)
+  }
+}

@@ -1,0 +1,49 @@
+package graft.diff
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Canonical string rendering of a column, so that checksums computed by
+  * different engines over the same logical values agree byte-for-byte.
+  *
+  * Mirrors the reference's `normalize_value_by_type` contract
+  * (reference: data_diff/databases/base.py:808-896):
+  *  - temporal   → "YYYY-MM-DD HH:MM:SS.ffffff" truncated to the negotiated
+  *                 fractional precision, zero-padded to 26 chars
+  *  - fractional → decimal string with exactly `fracPrecision` digits after
+  *                 the dot (DECIMAL(38,p) cast renders identically in Spark
+  *                 and DuckDB)
+  *  - integer    → plain decimal string
+  *  - boolean    → "0"/"1"
+  *  - string     → as-is
+  *  - nested     → JSON serialization (reference: databases/base.py:858-864)
+  */
+object Normalize {
+  /** NULL replacement used inside checksum concat
+    * (reference: data_diff/databases/base.py:432). */
+  val NullSentinel = "<null>"
+
+  def normalize(c: Column, dt: DataType, fracPrecision: Int = 2, tsPrecision: Int = 6): Column =
+    dt match {
+      case TimestampType | TimestampNTZType =>
+        rpad(substring(date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS"), 1, 20 + tsPrecision),
+          26, "0")
+      case DateType =>
+        date_format(c, "yyyy-MM-dd")
+      case DoubleType | FloatType | (_: DecimalType) =>
+        c.cast(DecimalType(38, fracPrecision)).cast(StringType)
+      case ByteType | ShortType | IntegerType | LongType =>
+        c.cast(StringType)
+      case BooleanType =>
+        c.cast(IntegerType).cast(StringType)
+      case StringType => c
+      case _: ArrayType | _: StructType | _: MapType => to_json(c)
+      case _ => c.cast(StringType)
+    }
+
+  /** Normalized columns for a whole schema (compare columns of a segment). */
+  def normalizedCols(schema: StructType, names: Seq[String],
+      fracPrecision: Int = 2, tsPrecision: Int = 6): Seq[Column] =
+    names.map { n => normalize(col(n), schema(n).dataType, fracPrecision, tsPrecision) }
+}

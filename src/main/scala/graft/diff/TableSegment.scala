@@ -1,0 +1,97 @@
+package graft.diff
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** A table with diff scope: key columns, compared columns, optional key-range
+  * bounds and extra filters — the engine's central abstraction
+  * (reference: data_diff/table_segment.py:88-286).
+  *
+  * All scoping is expressed as DataFrame filters so Catalyst pushes key-range
+  * and update-range predicates into the source scan (parquet min/max pruning,
+  * JDBC pushdown) — the Spark-native equivalent of the reference's
+  * `make_select` building WHERE clauses for the remote engine.
+  */
+final case class TableSegment(
+    df: DataFrame,
+    keyCols: Seq[String],
+    extraCols: Seq[String] = Nil,
+    updateCol: Option[String] = None,
+    minKey: Option[Seq[Any]] = None,
+    maxKey: Option[Seq[Any]] = None,
+    minUpdate: Option[Any] = None,
+    maxUpdate: Option[Any] = None,
+    whereExpr: Option[Column] = None,
+    fracPrecision: Int = 2,
+    tsPrecision: Int = 6) {
+
+  require(keyCols.nonEmpty, "a segment needs at least one key column")
+
+  /** Columns that participate in compares/checksums, in stable order. */
+  def relevantCols: Seq[String] =
+    keyCols ++ (if (extraCols.nonEmpty) extraCols
+                else df.columns.toSeq.filterNot(keyCols.contains))
+
+  /** Product-order key bound: all components ≥ min, all < max
+    * (reference: data_diff/table_segment.py:158-179 via utils.Vector). */
+  private def boundFilter: Option[Column] = {
+    val lo = minKey.map(vs => keyCols.zip(vs).map { case (k, v) => col(k) >= lit(v) }.reduce(_ && _))
+    val hi = maxKey.map(vs => keyCols.zip(vs).map { case (k, v) => col(k) < lit(v) }.reduce(_ && _))
+    (lo ++ hi).reduceOption(_ && _)
+  }
+
+  private def updateFilter: Option[Column] = updateCol.flatMap { u =>
+    val lo = minUpdate.map(v => col(u) >= lit(v))
+    val hi = maxUpdate.map(v => col(u) < lit(v))
+    (lo ++ hi).reduceOption(_ && _)
+  }
+
+  /** The scoped relation: filters applied, relevant columns only
+    * (reference: table_segment.py:141-179 `make_select`). */
+  def scoped: DataFrame = {
+    val filtered = (boundFilter ++ updateFilter ++ whereExpr)
+      .foldLeft(df)((d, f) => d.where(f))
+    filtered.select(relevantCols.map(col): _*)
+  }
+
+  def normCols: Seq[Column] =
+    Normalize.normalizedCols(df.select(relevantCols.map(col): _*).schema,
+      relevantCols, fracPrecision, tsPrecision)
+
+  /** One-pass count + checksum (reference: table_segment.py:239-258). */
+  def countAndChecksum(): (Long, Option[BigDecimal]) = {
+    val row = scoped.agg(
+      count(lit(1)).as("cnt"),
+      Checksum.checksumAgg(normCols).as("checksum")).head()
+    val cs = if (row.isNullAt(1)) None
+             else Some(BigDecimal(row.getDecimal(1)))
+    (row.getLong(0), cs)
+  }
+
+  /** Per-bucket count + checksum in a single shuffle — the distributed
+    * analogue of the reference's per-segment checksum queries. */
+  def bucketChecksums(bucketCol: Column): DataFrame =
+    scoped.groupBy(bucketCol.as("bucket"))
+      .agg(count(lit(1)).as("cnt"), Checksum.checksumAgg(normCols).as("checksum"))
+
+  /** Min/max over the key columns (reference: table_segment.py:260-275). */
+  def keyRange(): DataFrame = {
+    val aggs = keyCols.flatMap(k => Seq(min(col(k)).as(s"min_$k"), max(col(k)).as(s"max_$k")))
+    scoped.agg(aggs.head, aggs.tail: _*)
+  }
+
+  def withScope(minK: Seq[Any], maxK: Seq[Any]): TableSegment =
+    copy(minKey = Some(minK), maxKey = Some(maxK))
+
+  /** count(*) vs count(distinct keys) — duplicate-PK validation
+    * (reference: joindiff_tables.py:228-248). */
+  def validateKeys(): (Long, Long, Long) = {
+    val row = scoped.agg(
+      count(lit(1)).as("total"),
+      countDistinct(col(keyCols.head), keyCols.tail.map(col): _*).as("distinct"),
+      sum(when(keyCols.map(col(_).isNull).reduce(_ || _), 1L).otherwise(0L)).as("nulls"))
+      .head()
+    (row.getLong(0), row.getLong(1), if (row.isNullAt(2)) 0L else row.getLong(2))
+  }
+}

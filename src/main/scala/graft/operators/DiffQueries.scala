@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.diff.{Checksum, HashDiffer, JoinDiffer, Normalize, TableSegment}
+
+/** The flagship diff operators (SURVEY.md §2.8) wired into the correctness
+  * gate. The second table of each diff is a deterministic in-plan mutation of
+  * `orders` (≈1% deletes, updates on two columns, ≈1% inserts), so the DuckDB
+  * oracle can rebuild the exact same pair of tables and diff them with plain
+  * SQL.
+  */
+object DiffQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def orders(s: SparkSession, d: String) = Tables.load(s, d, "orders")
+
+  /** b-side: delete keys %97==0, bump price %31==0, flip status %53==0,
+    * insert copies of %101==0 under shifted keys. */
+  def mutatedOrders(o: DataFrame): DataFrame = {
+    val kept = o.where(col("o_orderkey") % 97 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 31 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 53 === 0, lit("X")).otherwise(col("o_orderstatus")))
+    val inserted = o.where(col("o_orderkey") % 101 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+    kept.unionByName(inserted)
+  }
+
+  private val orderCols =
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+  private val orderCompareCols = orderCols.tail
+
+  val queries: Map[String, Q] = Map(
+    "q_joindiff" -> ((s, d) => {
+      val a = orders(s, d)
+      JoinDiffer.diff(a, mutatedOrders(a), Seq("o_orderkey"), orderCompareCols)
+        .orderBy("o_orderkey", "sign")
+    }),
+
+    "q_hashdiff" -> ((s, d) => {
+      val a = orders(s, d)
+      val segA = TableSegment(a, Seq("o_orderkey"), orderCompareCols)
+      val segB = TableSegment(mutatedOrders(a), Seq("o_orderkey"), orderCompareCols)
+      HashDiffer.diff(segA, segB, buckets = 256).orderBy("o_orderkey", "sign")
+    }),
+
+    "q_diff_stats" -> ((s, d) => {
+      val a = orders(s, d)
+      JoinDiffer.stats(a, mutatedOrders(a), Seq("o_orderkey"), orderCompareCols)
+    }),
+
+    "q_diff_col_counts" -> ((s, d) => {
+      val a = orders(s, d)
+      JoinDiffer.diffCountsPerColumn(a, mutatedOrders(a), Seq("o_orderkey"), orderCompareCols)
+    }),
+
+    "q_checksum" -> ((s, d) => {
+      val seg = TableSegment(Tables.load(s, d, "lineitem"), Seq("l_orderkey", "l_linenumber"))
+      seg.scoped.agg(
+        count(lit(1)).as("cnt"),
+        Checksum.checksumAgg(seg.normCols).as("checksum"))
+    }),
+
+    "q_segment_checksums" -> ((s, d) => {
+      val seg = TableSegment(Tables.load(s, d, "lineitem"), Seq("l_orderkey", "l_linenumber"))
+      seg.bucketChecksums(pmod(col("l_orderkey"), lit(32)))
+        .orderBy("bucket")
+    }),
+
+    "q_keyrange" -> ((s, d) =>
+      TableSegment(Tables.load(s, d, "lineitem"), Seq("l_orderkey", "l_linenumber")).keyRange()),
+
+    "q_validate_keys" -> ((s, d) =>
+      orders(s, d).agg(
+        count(lit(1)).as("total"),
+        countDistinct(col("o_orderkey")).as("distinct_keys"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("null_keys"))),
+  )
+
+  // ---- oracle SQL ------------------------------------------------------
+
+  private val mutatedCte =
+    """WITH b AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CASE WHEN o_orderkey % 53 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+      |    CASE WHEN o_orderkey % 31 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+      |    o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 97 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 101 = 0
+      |)""".stripMargin
+
+  private val anyColDiff = orderCompareCols
+    .map(c => s"a.$c IS DISTINCT FROM b.$c").mkString(" OR ")
+
+  private val diffRowsSql =
+    s"""$mutatedCte
+       |SELECT sign, o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM (
+       |  SELECT '-' AS sign, ${orderCols.map(c => s"a.$c").mkString(", ")}
+       |  FROM orders a LEFT JOIN b ON a.o_orderkey = b.o_orderkey
+       |  WHERE b.o_orderkey IS NULL OR $anyColDiff
+       |  UNION ALL
+       |  SELECT '+' AS sign, ${orderCols.map(c => s"b.$c").mkString(", ")}
+       |  FROM b LEFT JOIN orders a ON a.o_orderkey = b.o_orderkey
+       |  WHERE a.o_orderkey IS NULL OR $anyColDiff
+       |) ORDER BY o_orderkey, sign""".stripMargin
+
+  /** DuckDB rendering of the reference checksum formula
+    * (reference: data_diff/databases/duckdb.py:99-116). */
+  private def duckNorm(c: String, kind: String): String = kind match {
+    case "int" => s"COALESCE($c::VARCHAR, '<null>')"
+    case "frac" => s"COALESCE(CAST($c AS DECIMAL(38,2))::VARCHAR, '<null>')"
+    case "ts" => s"COALESCE(rpad(substring(strftime($c, '%Y-%m-%d %H:%M:%S.%f'), 1, 26), 26, '0'), '<null>')"
+    case "str" => s"COALESCE($c, '<null>')"
+  }
+
+  private val lineitemNorm = Seq(
+    "l_orderkey" -> "int", "l_linenumber" -> "int", "l_partkey" -> "int",
+    "l_suppkey" -> "int", "l_quantity" -> "frac", "l_extendedprice" -> "frac",
+    "l_discount" -> "frac", "l_tax" -> "frac", "l_returnflag" -> "str",
+    "l_linestatus" -> "str", "l_shipdate" -> "ts")
+    .map { case (c, k) => duckNorm(c, k) }.mkString(",\n    ")
+
+  private val duckChecksum =
+    s"""CAST(SUM(('0x' || SUBSTRING(md5(concat_ws('|',
+       |    $lineitemNorm)), 21, 12))::BIGINT - ${Checksum.Offset}) AS DECIMAL(38,0))""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_joindiff" -> diffRowsSql,
+    "q_hashdiff" -> diffRowsSql,
+
+    "q_diff_stats" ->
+      s"""$mutatedCte,
+         |j AS (
+         |  SELECT a.o_orderkey AS ak, b.o_orderkey AS bk,
+         |    CASE WHEN $anyColDiff THEN 1 ELSE 0 END AS d
+         |  FROM orders a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+         |SELECT
+         |  CAST(SUM(CASE WHEN bk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS removed,
+         |  CAST(SUM(CASE WHEN ak IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS added,
+         |  CAST(SUM(CASE WHEN ak IS NOT NULL AND bk IS NOT NULL AND d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS updated,
+         |  CAST(SUM(CASE WHEN ak IS NOT NULL AND bk IS NOT NULL AND d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS unchanged
+         |FROM j""".stripMargin,
+
+    "q_diff_col_counts" ->
+      s"""$mutatedCte
+         |SELECT
+         |  ${orderCompareCols.map(c =>
+             s"CAST(SUM(CASE WHEN a.$c IS DISTINCT FROM b.$c THEN 1 ELSE 0 END) AS BIGINT) AS n_diff_$c")
+             .mkString(",\n  ")}
+         |FROM orders a JOIN b ON a.o_orderkey = b.o_orderkey""".stripMargin,
+
+    "q_checksum" ->
+      s"""SELECT COUNT(*) AS cnt,
+         |  $duckChecksum AS checksum
+         |FROM lineitem""".stripMargin,
+
+    "q_segment_checksums" ->
+      s"""SELECT (l_orderkey % 32) AS bucket, COUNT(*) AS cnt,
+         |  $duckChecksum AS checksum
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_keyrange" ->
+      """SELECT min(l_orderkey) AS min_l_orderkey, max(l_orderkey) AS max_l_orderkey,
+        |  min(l_linenumber) AS min_l_linenumber, max(l_linenumber) AS max_l_linenumber
+        |FROM lineitem""".stripMargin,
+
+    "q_validate_keys" ->
+      """SELECT COUNT(*) AS total, COUNT(DISTINCT o_orderkey) AS distinct_keys,
+        |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_keys
+        |FROM orders""".stripMargin,
+  )
+}

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.diff._
+
+object SparkTest {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+class ChecksumSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  test("golden: md5('hello world') 12-hex suffix minus offset (reference tests/common.py:117-127)") {
+    // md5("hello world") = 5eb63bbbe01eeed093cb22bb8f5acdc3; last 12 hex
+    // digits "22bb8f5acdc3" = 38188959321539. (The reference comment's
+    // 273350391345368515 constant predates CHECKSUM_HEXDIGITS=12 — the
+    // str_to_checksum code computes md5[20:] as below.)
+    val got = Seq("hello world").toDF("s")
+      .select(Checksum.rowChecksum(Seq(col("s"))).as("c")).head().getLong(0)
+    assert(got == 38188959321539L - Checksum.Offset)
+  }
+
+  test("null column hashes as the '<null>' sentinel") {
+    val withNull = Seq((1, Option.empty[String])).toDF("k", "v")
+      .select(Checksum.rowChecksum(Seq(col("k").cast("string"), col("v")))).head().getLong(0)
+    val sentinel = Seq((1, "<null>")).toDF("k", "v")
+      .select(Checksum.rowChecksum(Seq(col("k").cast("string"), col("v")))).head().getLong(0)
+    assert(withNull == sentinel)
+  }
+}
+
+class NormalizeSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  test("canonical forms: timestamp, fraction, boolean, integer") {
+    val df = Seq((java.sql.Timestamp.valueOf("2022-06-03 12:24:35"), 1.5, true, 42L))
+      .toDF("ts", "d", "b", "i")
+    val row = df.select(
+      Normalize.normalize(col("ts"), org.apache.spark.sql.types.TimestampType),
+      Normalize.normalize(col("d"), org.apache.spark.sql.types.DoubleType),
+      Normalize.normalize(col("b"), org.apache.spark.sql.types.BooleanType),
+      Normalize.normalize(col("i"), org.apache.spark.sql.types.LongType)).head()
+    assert(row.getString(0) == "2022-06-03 12:24:35.000000")
+    assert(row.getString(1) == "1.50")
+    assert(row.getString(2) == "1")
+    assert(row.getString(3) == "42")
+  }
+}
+
+class JoinDifferSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  private def sides = {
+    val a = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)).toDF("k", "s", "v")
+    val b = Seq((2L, "b", 2.0), (3L, "x", 3.0), (4L, "d", 4.0)).toDF("k", "s", "v")
+    (a, b)
+  }
+
+  test("emits -/+ for removed, updated (both signs), added; skips unchanged") {
+    val (a, b) = sides
+    val got = JoinDiffer.diff(a, b, Seq("k"))
+      .select("sign", "k", "s").as[(String, Long, String)].collect().toSet
+    assert(got == Set(("-", 1L, "a"), ("-", 3L, "c"), ("+", 3L, "x"), ("+", 4L, "d")))
+  }
+
+  test("stats: removed/added/updated/unchanged") {
+    val (a, b) = sides
+    val r = JoinDiffer.stats(a, b, Seq("k")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((1L, 1L, 1L, 1L)))
+  }
+
+  test("null-safe compare: null vs null is not a diff") {
+    val a = Seq((1L, Option.empty[String])).toDF("k", "s")
+    val b = Seq((1L, Option.empty[String])).toDF("k", "s")
+    assert(JoinDiffer.diff(a, b, Seq("k")).count() == 0)
+    val b2 = Seq((1L, Option("x"))).toDF("k", "s")
+    assert(JoinDiffer.diff(a, b2, Seq("k")).count() == 2)
+  }
+
+  test("compound keys") {
+    val a = Seq((1L, 1, "a"), (1L, 2, "b")).toDF("k1", "k2", "s")
+    val b = Seq((1L, 1, "a"), (1L, 2, "B")).toDF("k1", "k2", "s")
+    val got = JoinDiffer.diff(a, b, Seq("k1", "k2"))
+      .select("sign", "k2").as[(String, Int)].collect().toSet
+    assert(got == Set(("-", 2), ("+", 2)))
+  }
+}
+
+class HashDifferSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  test("identical sides prune every bucket: zero dirty buckets, empty diff") {
+    val a = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")
+    val segA = TableSegment(a, Seq("k"))
+    val segB = TableSegment(a, Seq("k"))
+    assert(HashDiffer.dirtyBuckets(segA, segB, 16).isEmpty)
+    assert(HashDiffer.diff(segA, segB, 16).count() == 0)
+  }
+
+  test("matches JoinDiffer on a mutated side") {
+    val a = (1L to 200L).map(i => (i, s"v$i")).toDF("k", "s")
+    val b = (1L to 200L).filter(_ % 50 != 0).map(i => (i, if (i % 30 == 0) "X" else s"v$i")).toDF("k", "s")
+    val viaHash = HashDiffer.diff(TableSegment(a, Seq("k")), TableSegment(b, Seq("k")), 16)
+      .select("sign", "k", "s").as[(String, Long, String)].collect().toSet
+    val viaJoin = JoinDiffer.diff(a, b, Seq("k"))
+      .select("sign", "k", "s").as[(String, Long, String)].collect().toSet
+    assert(viaHash == viaJoin && viaHash.nonEmpty)
+  }
+
+  test("segment scoping: key bounds filter rows (product order)") {
+    val a = (1L to 100L).map(i => (i, s"v$i")).toDF("k", "s")
+    val seg = TableSegment(a, Seq("k")).withScope(Seq(10L), Seq(20L))
+    assert(seg.scoped.count() == 10) // [10, 20)
+    val (cnt, cs) = seg.countAndChecksum()
+    assert(cnt == 10 && cs.isDefined)
+  }
+
+  test("validateKeys flags duplicates and nulls") {
+    val a = Seq(Some(1L), Some(1L), Some(2L), None).toDF("k")
+    val (total, distinct, nulls) = TableSegment(a, Seq("k")).validateKeys()
+    assert(total == 4 && distinct == 2 && nulls == 1)
+  }
+}
