@@ -17,11 +17,17 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.operators.RelationalQueries.queries ++
-      graft.operators.DiffQueries.queries
+      graft.operators.DiffQueries.queries ++
+      graft.operators.TextQueries.queries ++
+      graft.operators.EmbeddingQueries.queries ++
+      graft.operators.MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.operators.RelationalQueries.oracleSql ++
-      graft.operators.DiffQueries.oracleSql
+      graft.operators.DiffQueries.oracleSql ++
+      graft.operators.TextQueries.oracleSql ++
+      graft.operators.EmbeddingQueries.oracleSql ++
+      graft.operators.MultimodalQueries.oracleSql
 }

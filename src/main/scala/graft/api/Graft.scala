@@ -1,0 +1,66 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.diff.{HashDiffer, JoinDiffer, TableSegment}
+
+/** Public API mirroring the reference's `connect_to_table` / `diff_tables`
+  * surface (reference: data_diff/__init__.py:14-180), Spark-style: a source
+  * is anything Spark can read, the result is a DataFrame of signed rows.
+  */
+object Graft {
+
+  sealed trait Algorithm
+  object Algorithm {
+    /** joindiff when both sides share storage locality, hashdiff when diffs
+      * are expected to be rare (reference AUTO: joindiff iff same database). */
+    case object Auto extends Algorithm
+    case object JoinDiff extends Algorithm
+    case object HashDiff extends Algorithm
+  }
+
+  final case class DiffOptions(
+      algorithm: Algorithm = Algorithm.Auto,
+      buckets: Int = 1024,
+      extraCols: Seq[String] = Nil,
+      validateKeys: Boolean = true)
+
+  /** Build a diff-scoped segment from any Spark-readable source:
+    * "format:path" (parquet/csv/json/orc), a bare path (parquet), or a
+    * catalog table name. */
+  def connectToTable(spark: SparkSession, source: String, keyCols: Seq[String],
+      extraCols: Seq[String] = Nil): TableSegment = {
+    val df = source.split(":", 2) match {
+      case Array(fmt, path) if Seq("parquet", "csv", "json", "orc").contains(fmt) =>
+        spark.read.format(fmt).load(path)
+      case _ if source.contains("/") => spark.read.parquet(source)
+      case _ => spark.table(source)
+    }
+    TableSegment(df, keyCols, extraCols)
+  }
+
+  /** Diff two segments → DataFrame of ('-'/'+', key..., cols...) rows. */
+  def diffTables(a: TableSegment, b: TableSegment,
+      opts: DiffOptions = DiffOptions()): DataFrame = {
+    require(a.keyCols == b.keyCols, "both sides must use the same key columns")
+    if (opts.validateKeys) {
+      val (total, distinct, nulls) = a.validateKeys()
+      require(nulls == 0, s"null primary keys on side a: $nulls")
+      require(total == distinct, s"duplicate primary keys on side a: ${total - distinct}")
+    }
+    val compare = a.relevantCols.filterNot(a.keyCols.contains)
+    opts.algorithm match {
+      case Algorithm.JoinDiff => JoinDiffer.diff(a.scoped, b.scoped, a.keyCols, compare)
+      case Algorithm.HashDiff => HashDiffer.diff(a, b, opts.buckets)
+      case Algorithm.Auto =>
+        // Spark reads both sides itself — storage is always "the same
+        // engine"; hashdiff only pays off when the caller expects few
+        // diffs, which Auto cannot know. Default to the single-pass join.
+        JoinDiffer.diff(a.scoped, b.scoped, a.keyCols, compare)
+    }
+  }
+
+  def diffStats(a: TableSegment, b: TableSegment): DataFrame =
+    JoinDiffer.stats(a.scoped, b.scoped, a.keyCols,
+      a.relevantCols.filterNot(a.keyCols.contains))
+}

@@ -1,0 +1,63 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media as opaque `binary` payloads with typed
+  * metadata, processed in partition-sized batches.
+  *
+  * The container has no image/audio codecs, so `decodeStub` is a clearly
+  * marked deterministic fake — but everything around it (schema, encoders,
+  * partition-batched iteration, feature schema) is the real shape a decode /
+  * resize / frame-sample stage has at scale: binary in, fixed-width feature
+  * row out, no driver involvement, one task per input split.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, kind: String, payload: Array[Byte])
+  case class MediaFeatures(doc_id: Long, kind: String, n_bytes: Long,
+      byte_sum: Long, head_byte: Int, checksum8: Long)
+
+  /** Attach a binary payload + metadata to a text table (stand-in for real
+    * media bytes; the payload column is genuinely BinaryType). */
+  def attachPayload(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("doc_id"),
+      lit("text/utf-8").as("kind"),
+      encode(col(textCol), "UTF-8").as("payload"))
+
+  /** STUB decoder: in production this is the codec call (JPEG decode, audio
+    * resample, video frame-sample). Here: deterministic byte statistics so
+    * the pipeline is testable end-to-end. */
+  private def decodeStub(payload: Array[Byte]): (Long, Int, Long) = {
+    var sum = 0L
+    var cs = 0L
+    var i = 0
+    while (i < payload.length) {
+      val b = payload(i) & 0xff
+      sum += b
+      cs = (cs * 131 + b) % 1000000007L
+      i += 1
+    }
+    (sum, if (payload.nonEmpty) payload(0) & 0xff else -1, cs)
+  }
+
+  /** Partition-batched feature extraction — the mapPartitions shape keeps
+    * per-batch codec state (decoder instances, buffers) off the row path. */
+  def extractFeatures(rows: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      // per-partition "codec" init would go here
+      it.map { r =>
+        val (sum, head, cs) = decodeStub(r.payload)
+        MediaFeatures(r.doc_id, r.kind, r.payload.length.toLong, sum, head, cs)
+      }
+    }
+  }
+
+  def featurePipeline(spark: SparkSession, df: DataFrame,
+      idCol: String, textCol: String): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    extractFeatures(attachPayload(df, idCol, textCol).as[MediaRow])
+  }
+}

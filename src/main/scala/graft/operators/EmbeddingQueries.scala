@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.sim.Similarity
+
+/** Similarity search over the `embeddings` table (64-dim float vectors). */
+object EmbeddingQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def emb(s: SparkSession, d: String) = Tables.load(s, d, "embeddings")
+
+  val queries: Map[String, Q] = Map(
+    "q_ann_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      Similarity.bruteForceTopK(q, c, 10).orderBy("query_id", "rank")
+    }),
+
+    "q_embedding_neardup" -> ((s, d) =>
+      Similarity.similarPairs(emb(s, d), "vec_id", "embedding", 0.45)
+        .orderBy("id_a", "id_b")),
+
+    "q_embedding_label_centroid_dist" -> ((s, d) => {
+      // Per-label centroid, then each vector's dot with its label centroid —
+      // the IVF coarse-quantizer building block. Components are quantized
+      // with floor(x*1e6) so every aggregate is exact integer math (a
+      // double→decimal cast would tie-break differently across engines).
+      // Result is the dot scaled by 1e12·n(label).
+      val e = emb(s, d)
+      val dims = e.select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .withColumn("xi", floor(col("x").cast("double") * 1000000).cast("long"))
+      val cent = dims.groupBy("label", "pos")
+        .agg(sum(col("xi")).as("sxi"), count(lit(1)).as("n"))
+      dims.join(cent, Seq("label", "pos"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(sum(col("xi") * col("sxi")).as("dot_q"), min(col("n")).as("n"))
+        .orderBy("vec_id")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        |sims AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_reduce(list_prepend(0.0, list_transform(list_zip(qv, cv),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (a, x) -> a + x)
+        |    / (sqrt(list_reduce(list_prepend(0.0, list_transform(qv,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, x) -> a + x))
+        |     * sqrt(list_reduce(list_prepend(0.0, list_transform(cv,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, x) -> a + x))) AS sim
+        |  FROM q, c WHERE query_id <> neighbor_id)
+        |SELECT query_id, neighbor_id, rank, sim FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM sims) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q_embedding_neardup" ->
+      """WITH s AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_reduce(list_prepend(0.0, list_transform(list_zip(a.embedding, b.embedding),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (ac, x) -> ac + x)
+        |    / (sqrt(list_reduce(list_prepend(0.0, list_transform(a.embedding,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (ac, x) -> ac + x))
+        |     * sqrt(list_reduce(list_prepend(0.0, list_transform(b.embedding,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (ac, x) -> ac + x))) AS sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, sim FROM s WHERE sim >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_embedding_label_centroid_dist" ->
+      """WITH dims AS (
+        |  SELECT vec_id, label, i - 1 AS pos,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xi
+        |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS r(i)),
+        |cent AS (
+        |  SELECT label, pos, CAST(SUM(xi) AS BIGINT) AS sxi, COUNT(*) AS n
+        |  FROM dims GROUP BY label, pos)
+        |SELECT d.vec_id, d.label,
+        |  CAST(SUM(d.xi * c.sxi) AS BIGINT) AS dot_q, min(c.n) AS n
+        |FROM dims d JOIN cent c ON d.label = c.label AND d.pos = c.pos
+        |GROUP BY d.vec_id, d.label ORDER BY d.vec_id""".stripMargin,
+  )
+}

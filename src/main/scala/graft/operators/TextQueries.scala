@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.text.TextFunctions._
+
+/** Text-analysis + dedup operators over the `documents` table. */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+
+  val queries: Map[String, Q] = Map(
+    "q_token_count" -> ((s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+        regexTokenCount(col("text")).as("n_lex_tokens"))
+        .orderBy("doc_id")),
+
+    "q_text_quality" -> ((s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("text_len"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        stopwordCount(col("text")).as("n_stopwords"),
+        qualityScore(col("text")).as("score"))
+        .orderBy("doc_id")),
+
+    "q_lang_id" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), col("lang"), predictLang(col("text")).as("predicted_lang"))
+        .orderBy("doc_id")),
+
+    "q_fingerprint" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exactGroups(docs(s, d), "doc_id", "text").orderBy("text_hash")),
+
+    "q_ngram_jaccard" -> ((s, d) =>
+      Dedup.jaccardPairs(docs(s, d), "doc_id", "text", threshold = 0.5, dfCap = 50)
+        .orderBy("doc_a", "doc_b")),
+
+    "q_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashCandidates(docs(s, d), "doc_id", "text")
+        .orderBy("doc_a", "doc_b")),
+
+    "q_simhash" -> ((s, d) =>
+      Dedup.simhash(docs(s, d), "doc_id", "text").orderBy("doc_id")),
+  )
+
+  // ---- oracle SQL ------------------------------------------------------
+
+  private val toks = "string_split(trim(text), ' ')"
+  private val shingles =
+    s"list_distinct([t.toks[i] || ' ' || t.toks[i+1] || ' ' || t.toks[i+2] for i in range(1, len(t.toks)-1)])"
+  private val stopList = "('the','a','of','and','to','in','is')"
+
+  val oracleSql: Map[String, String] = Map(
+    "q_token_count" ->
+      s"""SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_lex_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len,
+         |  CAST(len($toks) AS BIGINT) AS n_tokens,
+         |  CAST(len([t for t in $toks if t IN $stopList]) AS BIGINT) AS n_stopwords,
+         |  CAST((CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 40 ELSE 10 END)
+         |     + (CASE WHEN len($toks) >= 20 THEN 30 ELSE 10 END)
+         |     + (CASE WHEN len([t for t in $toks if t IN $stopList]) > 0 THEN 30 ELSE 0 END) AS BIGINT) AS score
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
+         |       WHEN len([t for t in $toks if t IN ('el','la','de','los','que')]) >
+         |            greatest(len([t for t in $toks if t IN ('the','a','of','and','to')]),
+         |                     len([t for t in $toks if t IN ('le','et','les','une','dans')]),
+         |                     len([t for t in $toks if t IN ('der','die','das','und','ist')])) THEN 'es'
+         |       WHEN len([t for t in $toks if t IN ('le','et','les','une','dans')]) >
+         |            greatest(len([t for t in $toks if t IN ('the','a','of','and','to')]),
+         |                     len([t for t in $toks if t IN ('der','die','das','und','ist')])) THEN 'fr'
+         |       WHEN len([t for t in $toks if t IN ('der','die','das','und','ist')]) >
+         |            len([t for t in $toks if t IN ('the','a','of','and','to')]) THEN 'de'
+         |       ELSE 'en' END AS predicted_lang
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  CAST(list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest($shingles) AS s
+         |  FROM (SELECT doc_id, $toks AS toks FROM documents) t),
+         |freq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+         |kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN freq ON sh.s = freq.s WHERE freq.df <= 50),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+         |  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_common, n_common / (sa.sz + sb.sz - n_common) AS jaccard
+         |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_minhash_lsh" ->
+      s"""WITH ds AS (
+         |  SELECT doc_id, unnest($shingles) AS s
+         |  FROM (SELECT doc_id, $toks AS toks FROM documents) t),
+         |sig AS (
+         |  SELECT doc_id, i, min(('0x' || substring(md5(i::VARCHAR || ':' || s), 1, 12))::BIGINT) AS mh
+         |  FROM ds, range(64) r(i) GROUP BY doc_id, i),
+         |bands AS (
+         |  SELECT doc_id, i // 4 AS band, md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS bh
+         |  FROM sig GROUP BY doc_id, i // 4)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_simhash" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest(list_distinct($toks)) AS tok FROM documents),
+         |bits AS (
+         |  SELECT doc_id, i,
+         |    SUM(CASE WHEN ((('0x' || substring(md5(tok), 1, 12))::BIGINT >> i) & 1) = 1
+         |        THEN 1 ELSE -1 END) AS s
+         |  FROM tk, range(48) r(i) GROUP BY doc_id, i)
+         |SELECT doc_id,
+         |  CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,81 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for training-data pipelines: tokenization, word
+  * shingles, rolling-hash fingerprints, quality signals, and a stopword-based
+  * language-ID heuristic.
+  *
+  * Everything is built from codegen'd Spark SQL functions (no UDFs), with
+  * semantics chosen to be reproducible in any ANSI engine (the DuckDB oracle
+  * re-runs the same logic): integer scoring instead of float thresholds,
+  * left-fold hashes with explicit zero, regex classes that mean the same
+  * thing in Java regex and RE2.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of the trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), " ")
+
+  /** BPE-ish lexical token count: letter runs, digit runs, single symbols. */
+  def regexTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")).cast("long")
+
+  /** Distinct word n-gram shingles (default 3). Empty array when the text is
+    * shorter than n tokens (sequence() would run backwards otherwise). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Polynomial rolling-hash fingerprint over characters:
+    * fold(acc*31 + code(char)) mod 1e9+7, zero-initialized. */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, x) => (acc * 31 + x) % 1000000007L)
+
+  private val StopwordsEn = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t => t.isin(StopwordsEn: _*))).cast("long")
+
+  /** Integer quality score from length / token-count / stopword signals. */
+  def qualityScore(text: Column): Column = {
+    val len = length(text)
+    val nTok = size(tokens(text))
+    (when(len.between(100, 2000), 40).otherwise(10) +
+      when(nTok >= 20, 30).otherwise(10) +
+      when(stopwordCount(text) > 0, 30).otherwise(0)).cast("long")
+  }
+
+  private val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "los", "que"),
+    "fr" -> Seq("le", "et", "les", "une", "dans"),
+    "de" -> Seq("der", "die", "das", "und", "ist"))
+
+  def markerCount(text: Column, lang: String): Column =
+    size(filter(tokens(text), t => t.isin(Markers.toMap.apply(lang): _*))).cast("long")
+
+  /** CJK codepoint count — any hit classifies as zh. */
+  def cjkCount(text: Column): Column =
+    regexp_count(text, lit("[一-鿿]")).cast("long")
+
+  /** Stopword-profile language ID: zh by CJK presence, otherwise the marker
+    * set with the strictly highest hit count, defaulting to en. */
+  def predictLang(text: Column): Column = {
+    val en = markerCount(text, "en"); val es = markerCount(text, "es")
+    val fr = markerCount(text, "fr"); val de = markerCount(text, "de")
+    when(cjkCount(text) > 0, "zh")
+      .when(es > greatest(en, fr, de), "es")
+      .when(fr > greatest(en, de), "fr")
+      .when(de > en, "de")
+      .otherwise("en")
+  }
+}

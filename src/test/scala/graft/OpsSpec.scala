@@ -1,0 +1,129 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.api.Graft
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.sim.Similarity
+import graft.streaming.StreamingDiff
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+    (2L, "completely different text with other words entirely"),
+    (3L, "the quick brown fox jumps over the lazy dog")   // exact dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups duplicates under min id") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+      .where(col("n_copies") > 1).collect()
+    assert(g.length == 1 && g(0).getLong(1) == 0L && g(0).getLong(2) == 2L)
+  }
+
+  test("jaccard pairs find near-dups and exact dups") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L)))  // identical → jaccard 1.0
+    assert(pairs.contains((0L, 1L)))  // one word differs → high overlap
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("minhash LSH surfaces the exact dup with all bands shared") {
+    val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(cand((0L, 3L)) == 16L) // identical docs share all 16 bands
+    assert(!cand.contains((0L, 2L)))
+  }
+
+  test("simhash: identical docs equal, near-dups close in Hamming distance") {
+    val h = Dedup.simhash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(h(0L) == h(3L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(0L), h(1L)) < ham(h(0L), h(2L)))
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  test("brute-force top-k ranks by cosine with deterministic tie-break") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(1.0f, 0.01f))).toDF("vec_id", "embedding")
+    val q = vecs.where(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = vecs.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val top = Similarity.bruteForceTopK(q, c, 2)
+      .select("neighbor_id", "rank").as[(Long, Long)].collect().toMap
+    assert(top(3L) == 1L && top(1L) == 2L)
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+
+  test("binary payload pipeline: schema + deterministic stub features") {
+    import spark.implicits._
+    val docs = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text")
+    val feats = Multimodal.featurePipeline(spark, docs, "doc_id", "text")
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(feats(1L).n_bytes == 3 && feats(1L).byte_sum == 97 + 98 + 99)
+    assert(feats(1L).head_byte == 97)
+    assert(feats(2L).n_bytes == 0 && feats(2L).head_byte == -1)
+    val bin = Multimodal.attachPayload(docs, "doc_id", "text")
+    assert(bin.schema("payload").dataType == org.apache.spark.sql.types.BinaryType)
+  }
+}
+
+class GraftApiSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  test("diffTables end-to-end over the public API") {
+    val a = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    val b = Seq((1L, "x"), (2L, "z")).toDF("k", "v")
+    val segA = graft.diff.TableSegment(a, Seq("k"))
+    val segB = graft.diff.TableSegment(b, Seq("k"))
+    val d = Graft.diffTables(segA, segB).select("sign", "k").as[(String, Long)].collect().toSet
+    assert(d == Set(("-", 2L), ("+", 2L)))
+  }
+
+  test("diffTables rejects duplicate keys when validation is on") {
+    val a = Seq((1L, "x"), (1L, "y")).toDF("k", "v")
+    val seg = graft.diff.TableSegment(a, Seq("k"))
+    assertThrows[IllegalArgumentException] {
+      Graft.diffTables(seg, seg)
+    }
+  }
+}
+
+class StreamingDiffSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+
+  test("continuous diff emits -old/+new on change, nothing on replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingDiff.KeyedRow]
+    val q = StreamingDiff.continuousDiff(input.toDS())
+      .writeStream.format("memory").queryName("cdiff").outputMode("append").start()
+    def row(k: Long, p: String, t: Long) = StreamingDiff.KeyedRow(k, p, new java.sql.Timestamp(t))
+    input.addData(row(1, "a", 1), row(2, "b", 2))
+    q.processAllAvailable()
+    input.addData(row(1, "a", 3))  // replay, no-op
+    input.addData(row(2, "c", 4))  // change
+    q.processAllAvailable()
+    val got = spark.table("cdiff").as[StreamingDiff.DiffEvent].collect().toSet
+    q.stop()
+    assert(got == Set(
+      StreamingDiff.DiffEvent("+", 1, "a"), StreamingDiff.DiffEvent("+", 2, "b"),
+      StreamingDiff.DiffEvent("-", 2, "b"), StreamingDiff.DiffEvent("+", 2, "c")))
+  }
+}
