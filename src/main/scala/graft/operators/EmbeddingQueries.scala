@@ -45,31 +45,31 @@ object EmbeddingQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_ann_topk" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
-        |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      """WITH n AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+        |      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))), (a, c) -> a + c))) AS nv
+        |  FROM embeddings),
         |sims AS (
-        |  SELECT query_id, neighbor_id,
-        |    list_reduce(list_prepend(0.0, list_transform(list_zip(qv, cv),
-        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (a, x) -> a + x)
-        |    / (sqrt(list_reduce(list_prepend(0.0, list_transform(qv,
-        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, x) -> a + x))
-        |     * sqrt(list_reduce(list_prepend(0.0, list_transform(cv,
-        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, x) -> a + x))) AS sim
-        |  FROM q, c WHERE query_id <> neighbor_id)
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_prepend(0.0, list_transform(list_zip(q.nv, c.nv),
+        |        x -> x[1] * x[2])), (a, x) -> a + x) AS sim
+        |  FROM n q, n c WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id)
         |SELECT query_id, neighbor_id, rank, sim FROM (
         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
         |  FROM sims) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "q_embedding_neardup" ->
-      """WITH s AS (
+      """WITH n AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+        |      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))), (a, c) -> a + c))) AS nv
+        |  FROM embeddings),
+        |s AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |    list_reduce(list_prepend(0.0, list_transform(list_zip(a.embedding, b.embedding),
-        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (ac, x) -> ac + x)
-        |    / (sqrt(list_reduce(list_prepend(0.0, list_transform(a.embedding,
-        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (ac, x) -> ac + x))
-        |     * sqrt(list_reduce(list_prepend(0.0, list_transform(b.embedding,
-        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (ac, x) -> ac + x))) AS sim
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |    list_reduce(list_prepend(0.0, list_transform(list_zip(a.nv, b.nv),
+        |        x -> x[1] * x[2])), (ac, x) -> ac + x) AS sim
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, sim FROM s WHERE sim >= 0.45 ORDER BY id_a, id_b""".stripMargin,
 
     "q_embedding_label_centroid_dist" ->

@@ -103,7 +103,7 @@ object TextQueries {
 
     "q_ngram_jaccard" ->
       s"""WITH sh AS (
-         |  SELECT doc_id, unnest($shingles) AS s
+         |  SELECT doc_id, ('0x' || substring(md5(unnest($shingles)), 1, 12))::BIGINT AS s
          |  FROM (SELECT doc_id, $toks AS toks FROM documents) t),
          |freq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
          |kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN freq ON sh.s = freq.s WHERE freq.df <= 50),
@@ -117,17 +117,19 @@ object TextQueries {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_minhash_lsh" ->
-      s"""WITH ds AS (
-         |  SELECT doc_id, unnest($shingles) AS s
+      s"""WITH hs AS (
+         |  SELECT doc_id, [('0x' || substring(md5(s), 1, 12))::BIGINT for s in $shingles] AS hl
          |  FROM (SELECT doc_id, $toks AS toks FROM documents) t),
          |sig AS (
-         |  SELECT doc_id, i, min(('0x' || substring(md5(i::VARCHAR || ':' || s), 1, 12))::BIGINT) AS mh
-         |  FROM ds, range(64) r(i) GROUP BY doc_id, i),
+         |  SELECT doc_id,
+         |    [list_min([((2*i+1)*h + 7919*i) % ${graft.dedup.Dedup.MinhashMod} for h in hl]) for i in range(0, 64)] AS sg
+         |  FROM hs WHERE len(hl) > 0),
          |bands AS (
-         |  SELECT doc_id, i // 4 AS band, md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS bh
-         |  FROM sig GROUP BY doc_id, i // 4)
+         |  SELECT doc_id, b,
+         |    md5(array_to_string(list_transform(sg[b*4+1:b*4+4], v -> v::VARCHAR), ',')) AS bh
+         |  FROM sig, range(16) r(b))
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
-         |FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_simhash" ->
