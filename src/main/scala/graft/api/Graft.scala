@@ -63,4 +63,10 @@ object Graft {
   def diffStats(a: TableSegment, b: TableSegment): DataFrame =
     JoinDiffer.stats(a.scoped, b.scoped, a.keyCols,
       a.relevantCols.filterNot(a.keyCols.contains))
+
+  /** Append diff rows to a result table, capped like the reference's
+    * materializer (reference: joindiff_tables.py:38,396-399
+    * TABLE_WRITE_LIMIT). */
+  def materializeDiff(diff: DataFrame, path: String, limit: Int = 1000): Unit =
+    diff.limit(limit).write.mode("append").parquet(path)
 }

@@ -1,0 +1,149 @@
+package graft.diff
+
+/** Driver-side key-space arithmetic for segmentation planning.
+  *
+  * Re-expresses the reference's key math (reference: data_diff/utils.py:
+  * 120-326 ArithUUID/ArithAlphanumeric/split_space, data_diff/
+  * table_segment.py:23-86 split_key_space/create_mesh_from_points,
+  * data_diff/utils.py:417-456 product-order Vector): integer, 128-bit UUID
+  * and base-66 alphanumeric keys all support "evenly split this range into
+  * N segments", which is what lets a differ push key-range predicates for
+  * any key type. Pure Scala — planning happens on the driver, the resulting
+  * bounds become pushed-down DataFrame filters.
+  */
+object KeySpace {
+
+  /** The base-66 alphabet, ASCII-sorted (reference: utils.py:123). */
+  val Alphanums: String =
+    " -" + ('0' to '9').mkString + ('A' to 'Z').mkString + "_" + ('a' to 'z').mkString
+
+  // ---- keys ------------------------------------------------------------
+
+  sealed trait Key {
+    def toBigInt: BigInt
+    def next: Key = this + 1
+    def +(n: BigInt): Key
+    def -(other: Key): BigInt = toBigInt - other.toBigInt
+    def rangeTo(other: Key, count: Int): Seq[Key]
+  }
+
+  final case class IntKey(value: BigInt) extends Key {
+    def toBigInt: BigInt = value
+    def +(n: BigInt): Key = IntKey(value + n)
+    def rangeTo(other: Key, count: Int): Seq[Key] =
+      splitSpace(value, other.toBigInt, count).map(IntKey(_))
+    override def toString: String = value.toString
+  }
+
+  /** UUID as a 128-bit integer with preserved casing
+    * (reference: utils.py:150-206). */
+  final case class UuidKey(value: BigInt, uppercase: Boolean = false) extends Key {
+    require(value >= 0 && value < (BigInt(1) << 128), "uuid out of 128-bit range")
+    def toBigInt: BigInt = value
+    def +(n: BigInt): Key = copy(value = value + n)
+    def rangeTo(other: Key, count: Int): Seq[Key] =
+      splitSpace(value, other.toBigInt, count).map(i => copy(value = i))
+    /** Canonical 8-4-4-4-12 rendering. */
+    override def toString: String = {
+      val hex = value.toString(16).reverse.padTo(32, '0').reverse
+      val s = Seq(hex.substring(0, 8), hex.substring(8, 12), hex.substring(12, 16),
+        hex.substring(16, 20), hex.substring(20, 32)).mkString("-")
+      if (uppercase) s.toUpperCase else s.toLowerCase
+    }
+  }
+
+  object UuidKey {
+    def parse(s: String): UuidKey = {
+      val hex = s.replace("-", "")
+      require(hex.length == 32, s"not a uuid: $s")
+      UuidKey(BigInt(hex, 16), uppercase = hex.exists(_.isUpper))
+    }
+  }
+
+  /** Alphanumeric strings as big-base numbers; comparison right-pads the
+    * shorter side with the lowest symbol (' ') so ordering matches SQL
+    * string ordering over the alphabet (reference: utils.py:209-307). */
+  final case class AlphanumKey(value: String, maxLen: Option[Int] = None) extends Key {
+    value.foreach(c => require(Alphanums.contains(c), s"unexpected character '$c'"))
+    def toBigInt: BigInt = alphanumToNumber(value)
+    def +(n: BigInt): Key = AlphanumKey(numberToAlphanum(toBigInt + n), maxLen)
+    override def -(other: Key): BigInt = other match {
+      case AlphanumKey(o, _) =>
+        val (a, b) = justify(value, o)
+        alphanumToNumber(a) - alphanumToNumber(b)
+      case _ => super.-(other)
+    }
+    def rangeTo(other: Key, count: Int): Seq[Key] = other match {
+      case AlphanumKey(o, _) =>
+        val (a, b) = justify(value, o)
+        splitSpace(alphanumToNumber(a), alphanumToNumber(b), count)
+          .map(n => AlphanumKey(numberToAlphanum(n), maxLen))
+      case _ => throw new IllegalArgumentException("mixed key types")
+    }
+    override def toString: String =
+      maxLen.fold(value)(n => value.reverse.padTo(n, Alphanums.head).reverse)
+  }
+
+  def alphanumToNumber(s: String): BigInt =
+    s.foldLeft(BigInt(0))((acc, c) => acc * Alphanums.length + Alphanums.indexOf(c))
+
+  def numberToAlphanum(n: BigInt): String = {
+    val base = Alphanums.length
+    if (n <= 0) "" else {
+      val sb = new StringBuilder
+      var x = n
+      while (x > 0) { sb.append(Alphanums((x % base).toInt)); x /= base }
+      sb.reverseContents().toString
+    }
+  }
+
+  private def justify(s1: String, s2: String): (String, String) = {
+    val n = math.max(s1.length, s2.length)
+    (s1.padTo(n, Alphanums.head), s2.padTo(n, Alphanums.head))
+  }
+
+  // ---- range splitting -------------------------------------------------
+
+  /** Evenly spaced interior checkpoints of [start, end)
+    * (reference: utils.py:321-324). */
+  def splitSpace(start: BigInt, end: BigInt, count: Int): Seq[BigInt] = {
+    val size = end - start
+    require(count <= size, s"cannot cut a space of $size into $count")
+    val step = (size + 1) / (count + 1)
+    Iterator.iterate(start)(_ + step).takeWhile(_ < end).slice(1, count + 1).toSeq
+  }
+
+  /** Checkpoints including both endpoints; a range smaller than `count`
+    * collapses to a single cut (reference: table_segment.py:23-37). */
+  def splitKeySpace(min: Key, max: Key, count: Int): Seq[Key] = {
+    require(min.toBigInt < max.toBigInt, "empty key range")
+    val c = if (max - min <= count) 1 else count
+    val checkpoints = min.rangeTo(max, c)
+    min +: checkpoints :+ max
+  }
+
+  /** Per-dimension grids for a compound key
+    * (reference: table_segment.py:46-48). */
+  def splitCompoundKeySpace(mn: Seq[Key], mx: Seq[Key], count: Int): Seq[Seq[Key]] =
+    mn.zip(mx).map { case (a, b) => splitKeySpace(a, b, count) }
+
+  // ---- product-order vectors + mesh ------------------------------------
+
+  /** Compound key with product order: v1 < v2 iff every component is <
+    * (reference: utils.py:417-456). */
+  final case class KeyVector(values: Seq[Key]) {
+    def <(o: KeyVector): Boolean = values.zip(o.values).forall { case (a, b) => a.toBigInt < b.toBigInt }
+    def <=(o: KeyVector): Boolean = values.zip(o.values).forall { case (a, b) => a.toBigInt <= b.toBigInt }
+  }
+
+  /** N-dimensional mesh of aligned boxes covering the grid; box count is
+    * ∏(len_i − 1) (reference: table_segment.py:52-86). */
+  def createMeshFromPoints(valuesPerDim: Seq[Seq[Key]]): Seq[(KeyVector, KeyVector)] = {
+    require(valuesPerDim.forall(_.length >= 2), "each dimension needs >= 2 points")
+    val ranges = valuesPerDim.map(vs => vs.init.zip(vs.tail))
+    val product = ranges.foldLeft(Seq(Seq.empty[(Key, Key)])) { (acc, dim) =>
+      for (prefix <- acc; r <- dim) yield prefix :+ r
+    }
+    product.map(box => (KeyVector(box.map(_._1)), KeyVector(box.map(_._2))))
+  }
+}

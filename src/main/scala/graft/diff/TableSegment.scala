@@ -84,6 +84,23 @@ final case class TableSegment(
   def withScope(minK: Seq[Any], maxK: Seq[Any]): TableSegment =
     copy(minKey = Some(minK), maxKey = Some(maxK))
 
+  /** Split into key-range segments: query min/max per key column, cut each
+    * dimension with KeySpace, cover the space with the mesh of boxes. Each
+    * segment's bounds land in the parquet/JDBC scan as pushed-down
+    * predicates (reference: diff_tables.py:289-352 + table_segment.py:
+    * 189-202; integer keys — UUID/alphanum keys plan via KeySpace.Key). */
+  def splitByKeyRange(count: Int): Seq[TableSegment] = {
+    val row = keyRange().head()
+    val grids = keyCols.zipWithIndex.map { case (_, i) =>
+      val mn = BigInt(row.getAs[Number](i * 2).longValue)
+      val mx = BigInt(row.getAs[Number](i * 2 + 1).longValue) + 1
+      KeySpace.splitKeySpace(KeySpace.IntKey(mn), KeySpace.IntKey(mx), count)
+    }
+    KeySpace.createMeshFromPoints(grids).map { case (lo, hi) =>
+      withScope(lo.values.map(_.toBigInt.toLong), hi.values.map(_.toBigInt.toLong))
+    }
+  }
+
   /** count(*) vs count(distinct keys) — duplicate-PK validation
     * (reference: joindiff_tables.py:228-248). */
   def validateKeys(): (Long, Long, Long) = {

@@ -89,6 +89,13 @@ object RelationalQueries {
         countDistinct(col("l_partkey")).as("n_parts"),
         countDistinct(col("l_suppkey"), col("l_partkey")).as("n_supp_part"))),
 
+    // HLL sketch — algorithm-specific estimates can't share a DuckDB
+    // oracle, so this entry is rows-only checked.
+    "q_approx_distinct" -> ((s, d) =>
+      t(s, d, "lineitem").agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"))),
+
     "q_rollup" -> ((s, d) =>
       t(s, d, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -187,6 +194,42 @@ object RelationalQueries {
         .withColumn("running_value", sum(dec2(col("value"))).over(w).cast("double"))
         .select(col("event_id"), col("user_id"), col("running_value"))
         .orderBy("user_id", "event_id")
+    }),
+
+    "q_join_right" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"), "right")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    }),
+
+    "q_in_list" -> ((s, d) =>
+      t(s, d, "part")
+        .where(col("p_size").isin(1, 5, 9, 15, 25) && !col("p_brand").isin("Brand#1", "Brand#2"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("p_type")).as("n_types"))
+        .orderBy("p_brand")),
+
+    "q5_region_revenue" -> ((s, d) => {
+      // TPC-H Q5 shape: 6-table join tree; dims broadcast, facts shuffle once.
+      val r = broadcast(t(s, d, "region"))
+      val n = broadcast(t(s, d, "nation"))
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      val l = t(s, d, "lineitem")
+      val su = t(s, d, "supplier")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey") && su("s_nationkey") === c("c_nationkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount")))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
     }),
 
     // -- time bucketing over the event stream -----------------------------
@@ -323,6 +366,29 @@ object RelationalQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY event_id ASC
         |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "q_join_right" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q_in_list" ->
+      """SELECT p_brand, COUNT(*) AS n, COUNT(DISTINCT p_type) AS n_types
+        |FROM part
+        |WHERE p_size IN (1, 5, 9, 15, 25) AND p_brand NOT IN ('Brand#1', 'Brand#2')
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "q_events_hourly" ->
       """SELECT event_type,

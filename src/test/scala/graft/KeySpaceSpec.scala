@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.diff.KeySpace
+import graft.diff.KeySpace._
+
+class KeySpaceSpec extends AnyFunSuite {
+
+  test("splitSpace: evenly spaced interior checkpoints") {
+    // size=100, step=(100+1)/5=20 → 20,40,60,80
+    assert(splitSpace(0, 100, 4) == Seq(BigInt(20), BigInt(40), BigInt(60), BigInt(80)))
+    assert(splitSpace(10, 14, 2) == Seq(BigInt(11), BigInt(12)))
+  }
+
+  test("splitKeySpace: endpoints included, tiny ranges collapse to one cut") {
+    val cps = splitKeySpace(IntKey(0), IntKey(100), 4)
+    assert(cps.head == IntKey(0) && cps.last == IntKey(100) && cps.length == 6)
+    // range of 3 with count 10 → single checkpoint
+    assert(splitKeySpace(IntKey(0), IntKey(3), 10).length == 3)
+  }
+
+  test("uuid keys: parse, arithmetic, canonical rendering") {
+    val u = UuidKey.parse("5eb63bbb-e01e-eed0-93cb-22bb8f5acdc3")
+    assert(u.toString == "5eb63bbb-e01e-eed0-93cb-22bb8f5acdc3")
+    assert((u + 1).toBigInt == u.toBigInt + 1)
+    val zeroPad = UuidKey(BigInt(255))
+    assert(zeroPad.toString == "00000000-0000-0000-0000-0000000000ff")
+    val cps = splitKeySpace(UuidKey(BigInt(0)), UuidKey(BigInt(1) << 64), 3)
+    assert(cps.length == 5 && cps.forall(_.isInstanceOf[UuidKey]))
+  }
+
+  test("alphanum keys: base-66 round trip, justified comparison and ranges") {
+    assert(numberToAlphanum(alphanumToNumber("ab12")) == "ab12")
+    assert((AlphanumKey("az") - AlphanumKey("aa")) == BigInt(25))
+    // shorter string right-padded with ' ' (lowest symbol) before compare
+    assert((AlphanumKey("b") - AlphanumKey("ab")).signum > 0)
+    val cps = AlphanumKey("aa").rangeTo(AlphanumKey("az"), 3)
+    assert(cps.length == 3)
+    cps.foreach { c =>
+      assert(c.toBigInt > AlphanumKey("aa").toBigInt && c.toBigInt < AlphanumKey("az").toBigInt)
+    }
+  }
+
+  test("mesh: reference doctest shape (table_segment.py:60-71)") {
+    val d1 = Seq("a", "b", "c").map(AlphanumKey(_))
+    val d2 = Seq(1, 2, 3).map(i => IntKey(BigInt(i)))
+    val d3 = Seq("X", "Y").map(AlphanumKey(_))
+    val mesh = createMeshFromPoints(Seq(d1, d2, d3))
+    assert(mesh.length == 4) // (3-1)*(3-1)*(2-1)
+    val first = mesh.head
+    assert(first._1.values.map(_.toString) == Seq("a", "1", "X"))
+    assert(first._2.values.map(_.toString) == Seq("b", "2", "Y"))
+  }
+
+  test("product order: < iff all components <") {
+    val a = KeyVector(Seq(IntKey(1), IntKey(1)))
+    val b = KeyVector(Seq(IntKey(2), IntKey(2)))
+    val c = KeyVector(Seq(IntKey(2), IntKey(0)))
+    assert(a < b && !(a < c) && !(c < a))
+  }
+
+  test("splitByKeyRange partitions a real table exactly") {
+    val spark = SparkTest.spark
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val seg = graft.diff.TableSegment(orders, Seq("o_orderkey"))
+    val parts = seg.splitByKeyRange(7)
+    val counts = parts.map(_.scoped.count())
+    assert(counts.sum == orders.count())
+    assert(counts.forall(_ > 0))
+  }
+}

@@ -96,6 +96,17 @@ class GraftApiSpec extends AnyFunSuite {
     assert(d == Set(("-", 2L), ("+", 2L)))
   }
 
+  test("materializeDiff appends capped diff rows") {
+    val a = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "v")
+    val b = Seq((1L, "X"), (2L, "Y"), (3L, "Z")).toDF("k", "v")
+    val out = java.nio.file.Files.createTempDirectory("mdiff").toString + "/diff"
+    val d = Graft.diffTables(graft.diff.TableSegment(a, Seq("k")),
+      graft.diff.TableSegment(b, Seq("k")))
+    Graft.materializeDiff(d, out, limit = 4)
+    Graft.materializeDiff(d, out, limit = 4)  // append mode
+    assert(spark.read.parquet(out).count() == 8)
+  }
+
   test("diffTables rejects duplicate keys when validation is on") {
     val a = Seq((1L, "x"), (1L, "y")).toDF("k", "v")
     val seg = graft.diff.TableSegment(a, Seq("k"))
