@@ -10,9 +10,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * correctness gate.
   */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The engine's raison d'être: a full table diff (orders vs a mutated
+    * copy) streaming '-'/'+' rows from one full-outer join. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    queries("q_joindiff")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

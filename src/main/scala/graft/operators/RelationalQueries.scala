@@ -232,6 +232,15 @@ object RelationalQueries {
         .orderBy("n_name")
     }),
 
+    // -- JSON column handling ---------------------------------------------
+    "q_json_extract" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+          count(when(get_json_object(col("props"), "$.k").isNotNull, 1)).as("n_with_k"))
+        .orderBy("event_type")),
+
     // -- time bucketing over the event stream -----------------------------
     "q_events_hourly" -> ((s, d) =>
       t(s, d, "events")
@@ -389,6 +398,12 @@ object RelationalQueries {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  COUNT(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL THEN 1 END) AS n_with_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_events_hourly" ->
       """SELECT event_type,

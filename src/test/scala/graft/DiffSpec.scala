@@ -62,6 +62,23 @@ class NormalizeSpec extends AnyFunSuite {
   }
 }
 
+class JsonCompareSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  test("key order and whitespace do not make JSONs differ; values do") {
+    val df = Seq(
+      ("""{"b": 1, "a": 2}""", """{"a":2,"b":1}""", true),
+      ("""{"k": 1}""", """{ "k" : 1 }""", true),
+      ("""{"k": 1}""", """{"k": 2}""", false),
+      (null.asInstanceOf[String], null.asInstanceOf[String], true)
+    ).toDF("a", "b", "want")
+    val got = df.select(JsonCompare.jsonEquivalent(col("a"), col("b")).as("eq"), col("want"))
+      .collect()
+    got.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1), r.toString))
+  }
+}
+
 class JoinDifferSpec extends AnyFunSuite {
   lazy val spark = SparkTest.spark
   import spark.implicits._
