@@ -23,6 +23,9 @@ object Graft {
       algorithm: Algorithm = Algorithm.Auto,
       buckets: Int = 1024,
       extraCols: Seq[String] = Nil,
+      /** Columns excluded from comparison mid-flight — the reference's
+        * `ignore_column` re-plan (reference: diff_tables.py:196-199). */
+      ignoreColumns: Seq[String] = Nil,
       validateKeys: Boolean = true)
 
   /** Build a diff-scoped segment from any Spark-readable source:
@@ -31,7 +34,9 @@ object Graft {
   def connectToTable(spark: SparkSession, source: String, keyCols: Seq[String],
       extraCols: Seq[String] = Nil): TableSegment = {
     val df = source.split(":", 2) match {
-      case Array(fmt, path) if Seq("parquet", "csv", "json", "orc").contains(fmt) =>
+      case Array("csv", path) =>
+        spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+      case Array(fmt, path) if Seq("parquet", "json", "orc").contains(fmt) =>
         spark.read.format(fmt).load(path)
       case _ if source.contains("/") => spark.read.parquet(source)
       case _ => spark.table(source)
@@ -48,10 +53,12 @@ object Graft {
       require(nulls == 0, s"null primary keys on side a: $nulls")
       require(total == distinct, s"duplicate primary keys on side a: ${total - distinct}")
     }
-    val compare = a.relevantCols.filterNot(a.keyCols.contains)
+    val compare = a.relevantCols
+      .filterNot(a.keyCols.contains).filterNot(opts.ignoreColumns.contains)
     opts.algorithm match {
       case Algorithm.JoinDiff => JoinDiffer.diff(a.scoped, b.scoped, a.keyCols, compare)
-      case Algorithm.HashDiff => HashDiffer.diff(a, b, opts.buckets)
+      case Algorithm.HashDiff =>
+        HashDiffer.diff(a.copy(extraCols = compare), b.copy(extraCols = compare), opts.buckets)
       case Algorithm.Auto =>
         // Spark reads both sides itself — storage is always "the same
         // engine"; hashdiff only pays off when the caller expects few

@@ -25,6 +25,10 @@ object EmbeddingQueries {
       Similarity.similarPairs(emb(s, d), "vec_id", "embedding", 0.45)
         .orderBy("id_a", "id_b")),
 
+    "q_ann_ivf" -> ((s, d) =>
+      Similarity.ivfTopK(emb(s, d), "vec_id", "embedding", "label",
+        col("vec_id") < 5, k = 8).orderBy("query_id", "rank")),
+
     "q_embedding_label_centroid_dist" -> ((s, d) => {
       // Per-label centroid, then each vector's dot with its label centroid —
       // the IVF coarse-quantizer building block. Components are quantized
@@ -71,6 +75,35 @@ object EmbeddingQueries {
         |        x -> x[1] * x[2])), (ac, x) -> ac + x) AS sim
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, sim FROM s WHERE sim >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_ann_ivf" ->
+      """WITH dims AS (
+        |  SELECT vec_id AS vid, label AS cell, i - 1 AS pos,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xi
+        |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS r(i)),
+        |cent AS (SELECT cell, pos, CAST(SUM(xi) AS BIGINT) AS sxi FROM dims GROUP BY cell, pos),
+        |scores AS (
+        |  SELECT d.vid, c.cell AS ccell, CAST(SUM(d.xi * c.sxi) AS BIGINT) AS score
+        |  FROM dims d JOIN cent c ON d.pos = c.pos GROUP BY d.vid, c.cell),
+        |assigned AS (
+        |  SELECT vid, ccell AS acell FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY score DESC, ccell ASC) AS rn
+        |    FROM scores) WHERE rn = 1),
+        |unitv AS (
+        |  SELECT vec_id AS uid, list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+        |      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))), (a, c) -> a + c))) AS nv
+        |  FROM embeddings),
+        |members AS (SELECT u.uid, a.acell, u.nv FROM unitv u JOIN assigned a ON u.uid = a.vid),
+        |sims AS (
+        |  SELECT q.uid AS query_id, c.uid AS neighbor_id,
+        |    list_reduce(list_prepend(0.0, list_transform(list_zip(q.nv, c.nv),
+        |        x -> x[1] * x[2])), (a, x) -> a + x) AS sim
+        |  FROM members q JOIN members c ON q.acell = c.acell AND q.uid <> c.uid
+        |  WHERE q.uid < 5)
+        |SELECT query_id, neighbor_id, rank, sim FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+        |  FROM sims) WHERE rank <= 8 ORDER BY query_id, rank""".stripMargin,
 
     "q_embedding_label_centroid_dist" ->
       """WITH dims AS (

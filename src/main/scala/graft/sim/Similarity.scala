@@ -49,6 +49,45 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
+  /** IVF-style ANN: vectors are assigned to the coarse cell whose centroid
+    * maximizes the (scaled, exact-integer) dot product; a query only scans
+    * candidates in its own cell — at n vectors and k cells the pair count
+    * drops from n² to ~n²/k. Centroid math is integer-quantized
+    * (floor(x·1e6)) so assignment is reproducible on any engine: argmax over
+    * exact ints with id tiebreak, no float tie risk.
+    *
+    * `cells` here is any coarse-partition column (a k-means label, a
+    * locality hash). The within-cell ranking uses the same deterministic
+    * unit-vector dot as the brute-force path. */
+  def ivfTopK(vecs: DataFrame, idCol: String, vecCol: String, cellCol: String,
+      queryFilter: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dims = vecs.select(col(idCol).as("vid"), col(cellCol).as("cell"),
+      posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .withColumn("xi", floor(col("x").cast("double") * 1000000).cast("long"))
+    val cent = dims.groupBy("cell", "pos").agg(sum(col("xi")).as("sxi"))
+    // score every vector against every cell centroid — exact integer math
+    val scores = dims.select(col("vid"), col("pos"), col("xi"))
+      .join(cent.select(col("cell").as("ccell"), col("pos"), col("sxi")), Seq("pos"))
+      .groupBy("vid", "ccell").agg(sum(col("xi") * col("sxi")).as("score"))
+    val wAssign = Window.partitionBy(col("vid")).orderBy(col("score").desc, col("ccell").asc)
+    val assigned = scores.withColumn("rn", row_number().over(wAssign)).where(col("rn") === 1)
+      .select(col("vid"), col("ccell").as("acell"))
+    val unit = withUnitVector(vecs.select(col(idCol).as("uid"), col(vecCol).as("v")), "v", "nv")
+      .join(assigned, col("uid") === col("vid")).select(col("uid"), col("acell"), col("nv"))
+    val queries = unit
+      .join(vecs.where(queryFilter).select(col(idCol).as("qid")), col("uid") === col("qid"))
+      .select(col("uid").as("query_id"), col("acell").as("qcell"), col("nv").as("qn"))
+    val cands = unit.select(col("uid").as("neighbor_id"), col("acell").as("ncell"), col("nv").as("cn"))
+    val sims = cands.join(broadcast(queries),
+        col("qcell") === col("ncell") && col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", dot(col("qn"), col("cn")))
+    val wRank = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
+    sims.withColumn("rank", row_number().over(wRank).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
   /** All pairs with cosine ≥ threshold (exact, O(n²) — use LSH buckets or
     * an IVF coarse quantizer to restrict candidates at scale).
     *

@@ -107,6 +107,41 @@ class GraftApiSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 8)
   }
 
+  test("ignoreColumns drops a hot column from the compare") {
+    val a = Seq((1L, "x", "same")).toDF("k", "noisy", "stable")
+    val b = Seq((1L, "y", "same")).toDF("k", "noisy", "stable")
+    val segA = graft.diff.TableSegment(a, Seq("k"))
+    val segB = graft.diff.TableSegment(b, Seq("k"))
+    assert(Graft.diffTables(segA, segB).count() == 2)
+    assert(Graft.diffTables(segA, segB,
+      Graft.DiffOptions(ignoreColumns = Seq("noisy"))).count() == 0)
+    assert(Graft.diffTables(segA, segB, Graft.DiffOptions(
+      algorithm = Graft.Algorithm.HashDiff, ignoreColumns = Seq("noisy"))).count() == 0)
+  }
+
+  test("connectToTable reads csv sources and diffs them against parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("csvsrc").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    df.write.option("header", "true").mode("overwrite").csv(s"$dir/t_csv")
+    df.write.mode("overwrite").parquet(s"$dir/t_parquet")
+    val segCsv = Graft.connectToTable(spark, s"csv:$dir/t_csv", Seq("k"))
+    val segPq = Graft.connectToTable(spark, s"$dir/t_parquet", Seq("k"))
+    assert(Graft.diffTables(segCsv, segPq).count() == 0)
+  }
+
+  test("diff formats: jsonl rows and the stats summary line") {
+    val a = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    val b = Seq((1L, "x"), (2L, "z")).toDF("k", "v")
+    val d = Graft.diffTables(graft.diff.TableSegment(a, Seq("k")),
+      graft.diff.TableSegment(b, Seq("k")))
+    val jsonl = graft.diff.DiffFormat.toJsonl(d).collect()
+    assert(jsonl.length == 2 && jsonl.forall(_.contains("\"sign\"")))
+    val stats = graft.diff.DiffFormat.collectStats(
+      Graft.diffStats(graft.diff.TableSegment(a, Seq("k")), graft.diff.TableSegment(b, Seq("k"))))
+    assert(stats == graft.diff.DiffFormat.DiffStatsResult(0, 0, 1, 1))
+    assert(graft.diff.DiffFormat.statsString(stats).contains("50.00% difference"))
+  }
+
   test("diffTables rejects duplicate keys when validation is on") {
     val a = Seq((1L, "x"), (1L, "y")).toDF("k", "v")
     val seg = graft.diff.TableSegment(a, Seq("k"))
