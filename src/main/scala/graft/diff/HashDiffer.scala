@@ -38,21 +38,33 @@ object HashDiffer {
       .select("bucket").collect().map(_.getLong(0))
   }
 
-  /** Diff rows, same output contract as JoinDiffer.diff. */
-  def diff(a: TableSegment, b: TableSegment, buckets: Int = 1024): DataFrame = {
+  /** Diff rows, same output contract as JoinDiffer.diff.
+    *
+    * `refineFactor > 1` adds a second, finer checksum level over the rows of
+    * dirty coarse buckets (buckets × refineFactor cells) before the join —
+    * the reference's recursive bisection flattened to two levels. Worth it
+    * when diffs are rare AND coarse buckets are huge: the extra pass scans
+    * only the dirty fraction and shrinks the final exchange by up to the
+    * refine factor. */
+  def diff(a: TableSegment, b: TableSegment, buckets: Int = 1024,
+      refineFactor: Int = 1): DataFrame = {
+    val compare = a.relevantCols.filterNot(a.keyCols.contains)
+    def emptyDiff = JoinDiffer.diff(a.scoped, b.scoped, a.keyCols, compare).where(lit(false))
+
     val dirty = dirtyBuckets(a, b, buckets)
-    val aScoped = a.scoped
-    val bScoped = b.scoped
-    val cols = a.relevantCols
-    if (dirty.isEmpty) {
-      // No differences anywhere: empty frame with the diff schema.
-      val empty = JoinDiffer.diff(aScoped, bScoped, a.keyCols, cols.filterNot(a.keyCols.contains))
-      empty.where(lit(false))
-    } else {
-      val keep = (d: DataFrame, keys: Seq[String]) =>
-        d.where(bucketOf(keys, buckets).isin(dirty.toSeq: _*))
-      JoinDiffer.diff(keep(aScoped, a.keyCols), keep(bScoped, b.keyCols),
-        a.keyCols, cols.filterNot(a.keyCols.contains))
-    }
+    if (dirty.isEmpty) return emptyDiff
+    val fA = a.withExtraFilter(bucketOf(a.keyCols, buckets).isin(dirty.toSeq: _*))
+    val fB = b.withExtraFilter(bucketOf(b.keyCols, buckets).isin(dirty.toSeq: _*))
+
+    val (finalA, finalB) =
+      if (refineFactor <= 1) (fA, fB)
+      else {
+        val fine = buckets * refineFactor
+        val dirtyFine = dirtyBuckets(fA, fB, fine)
+        if (dirtyFine.isEmpty) return emptyDiff
+        (fA.withExtraFilter(bucketOf(a.keyCols, fine).isin(dirtyFine.toSeq: _*)),
+          fB.withExtraFilter(bucketOf(b.keyCols, fine).isin(dirtyFine.toSeq: _*)))
+      }
+    JoinDiffer.diff(finalA.scoped, finalB.scoped, a.keyCols, compare)
   }
 }

@@ -84,6 +84,9 @@ final case class TableSegment(
   def withScope(minK: Seq[Any], maxK: Seq[Any]): TableSegment =
     copy(minKey = Some(minK), maxKey = Some(maxK))
 
+  def withExtraFilter(c: Column): TableSegment =
+    copy(whereExpr = Some(whereExpr.fold(c)(_ && c)))
+
   /** Split into key-range segments: query min/max per key column, cut each
     * dimension with KeySpace, cover the space with the mesh of boxes. Each
     * segment's bounds land in the parquet/JDBC scan as pushed-down

@@ -232,6 +232,36 @@ object RelationalQueries {
         .orderBy("n_name")
     }),
 
+    // -- sessionization over the event stream -----------------------------
+    "q_sessionize" -> ((s, d) => {
+      // Gap-based sessions (30 min): epoch-micros arithmetic is exact in
+      // both engines; the windowed flag sum is integer → segment-tree safe.
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("us").asc, col("event_id").asc)
+      val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("new_session",
+          when(lag(col("us"), 1).over(byUser).isNull
+            || col("us") - lag(col("us"), 1).over(byUser) > 1800000000L, 1L).otherwise(0L))
+        .withColumn("session_idx", sum(col("new_session")).over(running))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"), min(col("us")).as("start_us"),
+          max(col("us")).as("end_us"),
+          sum(dec2(col("value"))).cast("double").as("sum_value"))
+        .orderBy("user_id", "session_idx")
+    }),
+
+    // -- exact quantiles --------------------------------------------------
+    "q_quantiles" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+          expr("percentile(l_extendedprice, 0.5)").as("p50_price"))
+        .orderBy("l_returnflag")),
+
     // -- JSON column handling ---------------------------------------------
     "q_json_extract" -> ((s, d) =>
       t(s, d, "events")
@@ -398,6 +428,30 @@ object RelationalQueries {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us, value FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN lag(us, 1) OVER w IS NULL
+        |                   OR us - lag(us, 1) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)),
+        |sessions AS (
+        |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, session_idx, COUNT(*) AS n_events,
+        |  min(us) AS start_us, max(us) AS end_us,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sessions GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+
+    "q_quantiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_type,

@@ -141,6 +141,21 @@ class HashDifferSpec extends AnyFunSuite {
     assert(viaHash == viaJoin && viaHash.nonEmpty)
   }
 
+  test("two-level refinement matches single-level and JoinDiffer") {
+    import spark.implicits._
+    val a = (1L to 400L).map(i => (i, s"v$i")).toDF("k", "s")
+    val b = (1L to 400L).map(i => (i, if (i == 123L) "CHANGED" else s"v$i")).toDF("k", "s")
+    val segA = TableSegment(a, Seq("k"))
+    val segB = TableSegment(b, Seq("k"))
+    val coarse = HashDiffer.dirtyBuckets(segA, segB, 8)
+    assert(coarse.length == 1) // one mutated row → one dirty coarse bucket
+    val refined = HashDiffer.diff(segA, segB, buckets = 8, refineFactor = 16)
+      .select("sign", "k").as[(String, Long)].collect().toSet
+    assert(refined == Set(("-", 123L), ("+", 123L)))
+    assert(refined == HashDiffer.diff(segA, segB, buckets = 8)
+      .select("sign", "k").as[(String, Long)].collect().toSet)
+  }
+
   test("segment scoping: key bounds filter rows (product order)") {
     val a = (1L to 100L).map(i => (i, s"v$i")).toDF("k", "s")
     val seg = TableSegment(a, Seq("k")).withScope(Seq(10L), Seq(20L))
