@@ -1,0 +1,78 @@
+package graft.sources
+
+import graft.diff.{Checksum, Normalize}
+
+/** Per-source SQL profiles for pushdown mode.
+  *
+  * When one side of a diff lives in an external engine reachable over JDBC,
+  * the per-segment `count + sum(md5_int48(normalized_row))` query is pushed
+  * to that engine as SQL; only bucket summaries and leaf rows ever cross the
+  * wire (SURVEY.md §7.1 "pushdown mode"). Unlike the reference's full
+  * dialect/compiler stack (~2300 LoC), only the checksum-relevant surface is
+  * profiled — everything else the external engine does is its own business,
+  * and Spark-side reads go through normal JDBC pushdown.
+  *
+  * The formulas must produce byte-identical strings and bit-identical 48-bit
+  * checksums to `graft.diff.Normalize`/`Checksum`; the DuckDB profile is the
+  * same SQL the correctness gate's `q_checksum` oracle runs, so its parity
+  * with the Spark expressions is continuously verified.
+  */
+trait SourceProfile {
+  def name: String
+  def quote(ident: String): String = "\"" + ident + "\""
+
+  /** Render an expression to text. */
+  def toStringSql(expr: String): String
+
+  /** 48-bit md5-suffix integer minus the centering offset
+    * (reference contract: data_diff/databases/base.py:411-421). */
+  def md5AsIntSql(expr: String): String
+
+  /** Canonical "YYYY-MM-DD HH:MM:SS.ffffff" truncated to precision. */
+  def normalizeTimestampSql(expr: String, precision: Int = 6): String
+
+  /** Decimal string with exactly `precision` fractional digits. */
+  def normalizeNumberSql(expr: String, precision: Int = 2): String
+
+  def normalizeBooleanSql(expr: String): String
+
+  /** '|'-joined, '<null>'-defaulted concatenation of already-normalized
+    * (string-typed) expressions. */
+  def concatSql(normalized: Seq[String]): String =
+    "concat_ws('|', " + normalized.map(e => s"COALESCE($e, '${Normalize.NullSentinel}')").mkString(", ") + ")"
+
+  /** The one query pushdown mode ships per segment. */
+  def checksumQuerySql(table: String, normalizedCols: Seq[String],
+      where: Option[String] = None): String = {
+    val w = where.fold("")(p => s" WHERE $p")
+    s"SELECT COUNT(*) AS cnt, SUM(${md5AsIntSql(concatSql(normalizedCols))}) AS checksum FROM $table$w"
+  }
+}
+
+/** DuckDB: hex-literal cast (reference behavior: data_diff/databases/
+  * duckdb.py:99-116; validated against Spark by the q_checksum oracle). */
+object DuckDbProfile extends SourceProfile {
+  val name = "duckdb"
+  def toStringSql(expr: String): String = s"($expr)::VARCHAR"
+  def md5AsIntSql(expr: String): String =
+    s"('0x' || SUBSTRING(md5($expr), ${Checksum.Md5HexDigits - Checksum.ChecksumHexDigits + 1}, ${Checksum.ChecksumHexDigits}))::BIGINT - ${Checksum.Offset}"
+  def normalizeTimestampSql(expr: String, precision: Int): String =
+    s"rpad(substring(strftime(($expr)::TIMESTAMP, '%Y-%m-%d %H:%M:%S.%f'), 1, ${20 + precision}), 26, '0')"
+  def normalizeNumberSql(expr: String, precision: Int): String =
+    s"(($expr)::DECIMAL(38, $precision))::VARCHAR"
+  def normalizeBooleanSql(expr: String): String = s"(($expr)::INTEGER)::VARCHAR"
+}
+
+/** PostgreSQL: bit-cast of the hex suffix (reference behavior:
+  * data_diff/databases/postgresql.py:107-175). */
+object PostgresProfile extends SourceProfile {
+  val name = "postgresql"
+  def toStringSql(expr: String): String = s"($expr)::varchar"
+  def md5AsIntSql(expr: String): String =
+    s"('x' || substring(md5($expr), ${Checksum.Md5HexDigits - Checksum.ChecksumHexDigits + 1}))::bit(${Checksum.ChecksumHexDigits * 4})::bigint - ${Checksum.Offset}"
+  def normalizeTimestampSql(expr: String, precision: Int): String =
+    s"RPAD(LEFT(to_char(($expr)::timestamp(6), 'YYYY-mm-dd HH24:MI:SS.US'), ${20 + precision}), 26, '0')"
+  def normalizeNumberSql(expr: String, precision: Int): String =
+    s"(($expr)::decimal(38, $precision))::varchar"
+  def normalizeBooleanSql(expr: String): String = s"(($expr)::int)::varchar"
+}
