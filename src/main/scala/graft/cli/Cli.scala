@@ -1,0 +1,134 @@
+package graft.cli
+
+import java.time.Duration
+
+import org.apache.spark.sql.SparkSession
+
+import graft.api.Graft
+import graft.diff.DiffFormat
+
+/** Compact time-delta grammar: "1d5h30min" → Duration
+  * (reference: data_diff/parse_time.py:10-74; months/years extrapolate to
+  * 30/365 days). */
+object ParseTime {
+  private val Units: Map[String, (Long, String)] = Map(
+    "s" -> (1L, "seconds"), "seconds" -> (1L, "seconds"),
+    "min" -> (60L, "minutes"), "minutes" -> (60L, "minutes"),
+    "h" -> (3600L, "hours"), "hours" -> (3600L, "hours"),
+    "d" -> (86400L, "days"), "days" -> (86400L, "days"),
+    "w" -> (7L * 86400, "weeks"), "weeks" -> (7L * 86400, "weeks"),
+    "mon" -> (30L * 86400, "months"), "months" -> (30L * 86400, "months"),
+    "y" -> (365L * 86400, "years"), "years" -> (365L * 86400, "years"))
+
+  private val Atom = "(\\d+)([a-z]+)".r
+
+  def parseTimeDelta(t: String): Duration = {
+    var rest = t
+    var seconds = 0L
+    val seen = scala.collection.mutable.Set.empty[String]
+    if (rest.isEmpty) throw new IllegalArgumentException("No time difference specified")
+    while (rest.nonEmpty) {
+      Atom.findPrefixMatchOf(rest) match {
+        case Some(m) =>
+          val (mul, canonical) = Units.getOrElse(m.group(2),
+            throw new IllegalArgumentException(
+              s"'${m.group(2)}' is not a recognized time unit. Supported: ${Units.keys.toSeq.sorted.mkString(", ")}"))
+          if (!seen.add(canonical))
+            throw new IllegalArgumentException(s"Time unit $canonical specified more than once")
+          seconds += m.group(1).toLong * mul
+          rest = rest.substring(m.end)
+        case None =>
+          throw new IllegalArgumentException(s"Cannot parse '$rest': Not a recognized time delta")
+      }
+    }
+    Duration.ofSeconds(seconds)
+  }
+}
+
+/** CLI mirroring the reference's surface (reference: data_diff/__main__.py):
+  *
+  *   graft.cli.Cli SOURCE_A SOURCE_B -k key[,key2] [-c col1,col2]
+  *     [--algorithm auto|joindiff|hashdiff] [--stats] [--json] [--limit N]
+  *     [--ignore col1,col2] [--update-column col --min-age 1d --max-age 1h]
+  *     [--materialize path]
+  *
+  * Sources are anything `Graft.connectToTable` accepts (paths, fmt:path,
+  * catalog tables).
+  */
+object Cli {
+  case class Args(
+      sourceA: String = "", sourceB: String = "",
+      keys: Seq[String] = Nil, cols: Seq[String] = Nil,
+      ignore: Seq[String] = Nil, algorithm: String = "auto",
+      stats: Boolean = false, json: Boolean = false, limit: Option[Int] = None,
+      updateColumn: Option[String] = None,
+      minAge: Option[String] = None, maxAge: Option[String] = None,
+      materialize: Option[String] = None)
+
+  def parseArgs(argv: Array[String]): Args = {
+    def split(s: String) = s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    @annotation.tailrec
+    def go(rest: List[String], a: Args, positional: Int): Args = rest match {
+      case Nil => a
+      case "-k" :: v :: t => go(t, a.copy(keys = split(v)), positional)
+      case "-c" :: v :: t => go(t, a.copy(cols = split(v)), positional)
+      case "--ignore" :: v :: t => go(t, a.copy(ignore = split(v)), positional)
+      case "--algorithm" :: v :: t => go(t, a.copy(algorithm = v), positional)
+      case "--stats" :: t => go(t, a.copy(stats = true), positional)
+      case "--json" :: t => go(t, a.copy(json = true), positional)
+      case "--limit" :: v :: t => go(t, a.copy(limit = Some(v.toInt)), positional)
+      case "--update-column" :: v :: t => go(t, a.copy(updateColumn = Some(v)), positional)
+      case "--min-age" :: v :: t => go(t, a.copy(minAge = Some(v)), positional)
+      case "--max-age" :: v :: t => go(t, a.copy(maxAge = Some(v)), positional)
+      case "--materialize" :: v :: t => go(t, a.copy(materialize = Some(v)), positional)
+      case v :: t if positional == 0 => go(t, a.copy(sourceA = v), 1)
+      case v :: t if positional == 1 => go(t, a.copy(sourceB = v), 2)
+      case v :: _ => throw new IllegalArgumentException(s"Unexpected argument: $v")
+    }
+    val a = go(argv.toList, Args(), 0)
+    require(a.sourceA.nonEmpty && a.sourceB.nonEmpty, "two sources required")
+    require(a.keys.nonEmpty, "-k key column(s) required")
+    a
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val a = parseArgs(argv)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val now = java.time.Instant.now()
+      def ageBound(age: Option[String]) =
+        age.map(s => java.sql.Timestamp.from(now.minus(ParseTime.parseTimeDelta(s))))
+      def segment(src: String) = {
+        val seg = Graft.connectToTable(spark, src, a.keys, a.cols)
+        seg.copy(updateCol = a.updateColumn,
+          // --min-age: only rows OLDER than the delta → upper bound on update ts
+          maxUpdate = ageBound(a.minAge), minUpdate = ageBound(a.maxAge))
+      }
+      val segA = segment(a.sourceA)
+      val segB = segment(a.sourceB)
+      val algo = a.algorithm match {
+        case "joindiff" => Graft.Algorithm.JoinDiff
+        case "hashdiff" => Graft.Algorithm.HashDiff
+        case _ => Graft.Algorithm.Auto
+      }
+      val diff = Graft.diffTables(segA, segB,
+        Graft.DiffOptions(algorithm = algo, ignoreColumns = a.ignore))
+      val limited = a.limit.fold(diff)(diff.limit)
+      a.materialize.foreach(Graft.materializeDiff(limited, _))
+      if (a.json) DiffFormat.toJsonl(limited).collect().foreach(println)
+      else limited.collect().foreach(r => println(r.mkString(" ")))
+      if (a.stats) {
+        val s = DiffFormat.collectStats(Graft.diffStats(segA, segB))
+        println(DiffFormat.statsString(s))
+      }
+    } finally spark.stop()
+  }
+}
