@@ -16,6 +16,9 @@ object Bench {
     // Optional filter for local iteration: SPARK_GRAFT_ONLY=q_a,q_b
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(kv => f(kv._1)))
+    // Warm the JVM/codegen/parquet-reader paths outside the timed loop —
+    // otherwise whichever query happens to run first absorbs ~5s of warmup.
+    try Tables.load(spark, sfDir, "region").count() catch { case _: Throwable => () }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
