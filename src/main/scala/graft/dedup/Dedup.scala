@@ -29,6 +29,18 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
+  /** Canonical text for normalization-insensitive dedup: lowercase,
+    * non-alphanumerics collapsed to single spaces, trimmed. The regex class
+    * means the same thing in Java regex and RE2, so external engines agree. */
+  def canonicalText(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Exact dedup after canonicalization — catches case/punctuation/spacing
+    * variants of the same content. */
+  def normalizedExactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(canonicalText(col(textCol))).as("text_hash"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+
   /** (id, shingle) inverted-index rows, distinct shingles per doc.
     *
     * Built with posexplode + window `lead` instead of exploding the

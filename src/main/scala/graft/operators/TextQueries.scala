@@ -41,6 +41,9 @@ object TextQueries {
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exactGroups(docs(s, d), "doc_id", "text").orderBy("text_hash")),
 
+    "q_dedup_normalized" -> ((s, d) =>
+      Dedup.normalizedExactGroups(docs(s, d), "doc_id", "text").orderBy("text_hash")),
+
     "q_ngram_jaccard" -> ((s, d) =>
       Dedup.jaccardPairs(docs(s, d), "doc_id", "text", threshold = 0.5, dfCap = 50)
         .orderBy("doc_a", "doc_b")),
@@ -99,6 +102,11 @@ object TextQueries {
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_dedup_normalized" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS text_hash,
+        |  min(doc_id) AS canonical_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_ngram_jaccard" ->

@@ -26,6 +26,15 @@ class DedupSpec extends AnyFunSuite {
     assert(g.length == 1 && g(0).getLong(1) == 0L && g(0).getLong(2) == 2L)
   }
 
+  test("normalized dedup groups case/punctuation variants together") {
+    val v = Seq(
+      (0L, "Hello, World!"), (1L, "hello  world"), (2L, "HELLO WORLD."),
+      (3L, "different")).toDF("doc_id", "text")
+    val g = Dedup.normalizedExactGroups(v, "doc_id", "text")
+      .where(col("n_copies") > 1).collect()
+    assert(g.length == 1 && g(0).getLong(1) == 0L && g(0).getLong(2) == 3L)
+  }
+
   test("jaccard pairs find near-dups and exact dups") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.5)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
