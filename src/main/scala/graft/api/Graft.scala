@@ -48,6 +48,9 @@ object Graft {
   def diffTables(a: TableSegment, b: TableSegment,
       opts: DiffOptions = DiffOptions()): DataFrame = {
     require(a.keyCols == b.keyCols, "both sides must use the same key columns")
+    val missing = a.relevantCols.filterNot(b.df.columns.contains)
+    require(missing.isEmpty,
+      s"columns missing on side b: ${missing.mkString(", ")} (use extraCols/ignoreColumns to restrict the compare)")
     if (opts.validateKeys) {
       val (total, distinct, nulls) = a.validateKeys()
       require(nulls == 0, s"null primary keys on side a: $nulls")

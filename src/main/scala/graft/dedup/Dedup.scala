@@ -66,7 +66,10 @@ object Dedup {
     * candidate self-join move 8-byte keys instead of ~20-byte strings. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, dfCap: Int = 50): DataFrame = {
+    // The hashed index feeds both the df-count aggregation and the join
+    // below; persisting avoids tokenizing + hashing the corpus twice.
     val sh = shingleIndex(df, idCol, textCol).select(col("doc_id"), md5Int48(col("s")).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freq = sh.groupBy("s").agg(count(lit(1)).as("df"))
     // The pruned index feeds three consumers (sizes + both join sides);
     // persisting it evaluates the tokenize/shingle/df pipeline once. At
