@@ -52,9 +52,13 @@ object Graft {
     require(missing.isEmpty,
       s"columns missing on side b: ${missing.mkString(", ")} (use extraCols/ignoreColumns to restrict the compare)")
     if (opts.validateKeys) {
-      val (total, distinct, nulls) = a.validateKeys()
-      require(nulls == 0, s"null primary keys on side a: $nulls")
-      require(total == distinct, s"duplicate primary keys on side a: ${total - distinct}")
+      // Both sides, like the reference's joindiff (_test_duplicate_keys(table1,
+      // table2)): a duplicate PK on either side multiplies full-outer-join rows.
+      Seq("a" -> a, "b" -> b).foreach { case (side, seg) =>
+        val (total, distinct, nulls) = seg.validateKeys()
+        require(nulls == 0, s"null primary keys on side $side: $nulls")
+        require(total == distinct, s"duplicate primary keys on side $side: ${total - distinct}")
+      }
     }
     val compare = a.relevantCols
       .filterNot(a.keyCols.contains).filterNot(opts.ignoreColumns.contains)

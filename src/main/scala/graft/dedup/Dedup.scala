@@ -83,12 +83,19 @@ object Dedup {
       .join(kept.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
       .where(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
-    pairs
+    val out = pairs
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb")), Seq("doc_b"))
       .withColumn("jaccard", col("n_common") / (col("sa") + col("sb") - col("n_common")))
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "n_common", "jaccard")
+      // Materialize the (tiny) pair set eagerly and cut its lineage so the
+      // two cached index DataFrames can be released here — repeated calls in
+      // a long-lived session must not accumulate cached partitions.
+      .localCheckpoint(true)
+    sh.unpersist()
+    kept.unpersist()
+    out
   }
 
   /** Modulus for the linear min-hash family (largest value under 2^48 that

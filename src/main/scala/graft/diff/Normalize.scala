@@ -30,7 +30,11 @@ object Normalize {
         rpad(substring(date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS"), 1, 20 + tsPrecision),
           26, "0")
       case DateType =>
-        date_format(c, "yyyy-MM-dd")
+        // Date is a TemporalType in the reference and normalizes through the
+        // timestamp path — midnight, zero-padded to the 26-char canonical form
+        // (reference: data_diff/databases/base.py:808-822) — so a DATE on one
+        // side checksums equal to a midnight TIMESTAMP on the other.
+        concat(date_format(c, "yyyy-MM-dd"), lit(" 00:00:00.000000"))
       case DoubleType | FloatType | (_: DecimalType) =>
         c.cast(DecimalType(38, fracPrecision)).cast(StringType)
       case ByteType | ShortType | IntegerType | LongType =>

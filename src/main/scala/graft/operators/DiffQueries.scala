@@ -59,16 +59,21 @@ object DiffQueries {
       JoinDiffer.diffCountsPerColumn(a, mutatedOrders(a), Seq("o_orderkey"), orderCompareCols)
     }),
 
+    // The checksum is emitted as its decimal STRING (not DECIMAL(38,0)): the
+    // gate hashes result values after a float64 round-trip, which corrupts
+    // 48-bit-plus sums; the string renders identically in Spark and DuckDB
+    // and survives the gate exactly.
     "q_checksum" -> ((s, d) => {
       val seg = TableSegment(Tables.load(s, d, "lineitem"), Seq("l_orderkey", "l_linenumber"))
       seg.scoped.agg(
         count(lit(1)).as("cnt"),
-        Checksum.checksumAgg(seg.normCols).as("checksum"))
+        Checksum.checksumAgg(seg.normCols).cast("string").as("checksum"))
     }),
 
     "q_segment_checksums" -> ((s, d) => {
       val seg = TableSegment(Tables.load(s, d, "lineitem"), Seq("l_orderkey", "l_linenumber"))
       seg.bucketChecksums(pmod(col("l_orderkey"), lit(32)))
+        .withColumn("checksum", col("checksum").cast("string"))
         .orderBy("bucket")
     }),
 
@@ -128,8 +133,8 @@ object DiffQueries {
     .map { case (c, k) => duckNorm(c, k) }.mkString(",\n    ")
 
   private val duckChecksum =
-    s"""CAST(SUM(('0x' || SUBSTRING(md5(concat_ws('|',
-       |    $lineitemNorm)), 21, 12))::BIGINT - ${Checksum.Offset}) AS DECIMAL(38,0))""".stripMargin
+    s"""CAST(CAST(SUM(('0x' || SUBSTRING(md5(concat_ws('|',
+       |    $lineitemNorm)), 21, 12))::BIGINT - ${Checksum.Offset}) AS DECIMAL(38,0)) AS VARCHAR)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q_joindiff" -> diffRowsSql,

@@ -81,9 +81,11 @@ object EmbeddingQueries {
         |  SELECT vec_id AS vid, label AS cell, i - 1 AS pos,
         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xi
         |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS r(i)),
-        |cent AS (SELECT cell, pos, CAST(SUM(xi) AS BIGINT) AS sxi FROM dims GROUP BY cell, pos),
+        |cent AS (SELECT cell, pos, CAST(SUM(xi) AS BIGINT) AS sxi, COUNT(*) AS n
+        |  FROM dims GROUP BY cell, pos),
         |scores AS (
-        |  SELECT d.vid, c.cell AS ccell, CAST(SUM(d.xi * c.sxi) AS BIGINT) AS score
+        |  SELECT d.vid, c.cell AS ccell,
+        |    CAST(CAST(SUM(d.xi * c.sxi) AS BIGINT) AS DOUBLE) / MAX(c.n) AS score
         |  FROM dims d JOIN cent c ON d.pos = c.pos GROUP BY d.vid, c.cell),
         |assigned AS (
         |  SELECT vid, ccell AS acell FROM (

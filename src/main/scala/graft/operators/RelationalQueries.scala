@@ -29,6 +29,27 @@ object RelationalQueries {
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
 
+  /** One-row (col_name, n_hll, n_exact) deterministic-HLL estimate of
+    * COUNT(DISTINCT c). See q_approx_distinct for the determinism argument;
+    * every intermediate is an exact integer, the estimate is a single
+    * exactly-rounded double division, so any engine reproduces it bitwise. */
+  private def hllEstimate(df: DataFrame, c: String): DataFrame = {
+    val h = conv(substring(md5(col(c).cast("string")), 1, 12), 16, 10).cast("long")
+    val hashed = df.where(col(c).isNotNull)
+      .select(pmod(h, lit(256)).as("bucket"), shiftright(h, 8).as("h2"))
+    val regs = hashed
+      .withColumn("rho", when(col("h2") === 0, lit(41)).otherwise(lit(41) - length(bin(col("h2")))))
+      .groupBy("bucket").agg(max(col("rho")).as("r"))
+    val est = regs.agg(
+        count(lit(1)).as("m_used"),
+        sum(expr("shiftleft(cast(1 as bigint), 41 - r)")).as("z_used"))
+      .select(((lit(256L) - col("m_used")) * lit(2199023255552L) + col("z_used")).as("zint"))
+      .select((lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) * lit(65536.0)
+        * lit(2199023255552.0) / col("zint").cast("double")).as("n_hll"))
+    est.crossJoin(df.agg(countDistinct(col(c)).as("n_exact")))
+      .select(lit(c).as("col_name"), col("n_hll"), col("n_exact"))
+  }
+
   val queries: Map[String, Q] = Map(
     // -- scans / projections / filters ------------------------------------
     "q_scan_project" -> ((s, d) =>
@@ -89,12 +110,18 @@ object RelationalQueries {
         countDistinct(col("l_partkey")).as("n_parts"),
         countDistinct(col("l_suppkey"), col("l_partkey")).as("n_supp_part"))),
 
-    // HLL sketch — algorithm-specific estimates can't share a DuckDB
-    // oracle, so this entry is rows-only checked.
-    "q_approx_distinct" -> ((s, d) =>
-      t(s, d, "lineitem").agg(
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"))),
+    // Deterministic HyperLogLog (m=256 registers): built-in HLL sketches are
+    // engine-specific, so this builds the sketch from first principles with
+    // cross-engine-reproducible pieces — md5-derived 48-bit hashes, low 8
+    // bits pick the register, rank = leading-zero count of the top 40 bits,
+    // Z accumulated as an EXACT integer (Σ 2^(41-ρ) over registers), and one
+    // final exactly-rounded IEEE division for the estimate. Same single
+    // shuffle shape as a real HLL: map-side partial MAX per register.
+    "q_approx_distinct" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      hllEstimate(li, "l_orderkey").union(hllEstimate(li, "l_partkey"))
+        .orderBy("col_name")
+    }),
 
     "q_rollup" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -280,6 +307,22 @@ object RelationalQueries {
         .orderBy("event_type", "hour_epoch")),
   )
 
+  /** DuckDB rendering of the deterministic HLL in `hllEstimate` — identical
+    * hash, register, and estimate arithmetic (format('{:b}', x) ≡ bin(x)). */
+  private def hllOracleSql(c: String): String =
+    s"""SELECT '$c' AS col_name,
+       |  0.7213 / (1.0 + 1.079/256.0) * 65536.0 * 2199023255552.0 /
+       |    CAST((256 - m_used) * 2199023255552 + z_used AS DOUBLE) AS n_hll,
+       |  (SELECT COUNT(DISTINCT $c) FROM lineitem) AS n_exact
+       |FROM (
+       |  SELECT COUNT(*) AS m_used,
+       |    CAST(SUM(CAST(1 AS BIGINT) << (41 - r)) AS BIGINT) AS z_used
+       |  FROM (
+       |    SELECT h % 256 AS bucket,
+       |      MAX(CASE WHEN h // 256 = 0 THEN 41 ELSE 41 - length(format('{:b}', h // 256)) END) AS r
+       |    FROM (SELECT ('0x' || substring(md5($c::VARCHAR), 1, 12))::BIGINT AS h
+       |          FROM lineitem WHERE $c IS NOT NULL) GROUP BY 1))""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_scan_project" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
@@ -332,6 +375,9 @@ object RelationalQueries {
         |  COUNT(DISTINCT l_partkey) AS n_parts,
         |  COUNT(DISTINCT (l_suppkey, l_partkey)) AS n_supp_part
         |FROM lineitem""".stripMargin,
+
+    "q_approx_distinct" ->
+      s"${hllOracleSql("l_orderkey")}\nUNION ALL\n${hllOracleSql("l_partkey")}\nORDER BY col_name",
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,

@@ -49,12 +49,13 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
-  /** IVF-style ANN: vectors are assigned to the coarse cell whose centroid
-    * maximizes the (scaled, exact-integer) dot product; a query only scans
-    * candidates in its own cell — at n vectors and k cells the pair count
-    * drops from n² to ~n²/k. Centroid math is integer-quantized
-    * (floor(x·1e6)) so assignment is reproducible on any engine: argmax over
-    * exact ints with id tiebreak, no float tie risk.
+  /** IVF-style ANN: vectors are assigned to the coarse cell whose MEAN
+    * centroid maximizes the dot product (standard IVF coarse quantization);
+    * a query only scans candidates in its own cell — at n vectors and k
+    * cells the pair count drops from n² to ~n²/k. Centroid math is
+    * integer-quantized (floor(x·1e6)): the dot with the component SUM is
+    * exact integer, and the only float step is one exactly-rounded division
+    * by the member count, so assignment is reproducible on any engine.
     *
     * `cells` here is any coarse-partition column (a k-means label, a
     * locality hash). The within-cell ranking uses the same deterministic
@@ -65,11 +66,17 @@ object Similarity {
     val dims = vecs.select(col(idCol).as("vid"), col(cellCol).as("cell"),
       posexplode(col(vecCol)).as(Seq("pos", "x")))
       .withColumn("xi", floor(col("x").cast("double") * 1000000).cast("long"))
-    val cent = dims.groupBy("cell", "pos").agg(sum(col("xi")).as("sxi"))
-    // score every vector against every cell centroid — exact integer math
+    val cent = dims.groupBy("cell", "pos")
+      .agg(sum(col("xi")).as("sxi"), count(lit(1)).as("n"))
+    // score every vector against every cell centroid — exact integer dot with
+    // the component SUM, then divide by the member count so ranking uses the
+    // MEAN centroid (raw sums would bias assignment toward larger cells).
+    // long→double and one division are exactly-rounded IEEE ops, so the sort
+    // key is bit-identical on any engine; ccell breaks exact ties.
     val scores = dims.select(col("vid"), col("pos"), col("xi"))
-      .join(cent.select(col("cell").as("ccell"), col("pos"), col("sxi")), Seq("pos"))
-      .groupBy("vid", "ccell").agg(sum(col("xi") * col("sxi")).as("score"))
+      .join(cent.select(col("cell").as("ccell"), col("pos"), col("sxi"), col("n")), Seq("pos"))
+      .groupBy("vid", "ccell")
+      .agg((sum(col("xi") * col("sxi")).cast("double") / max(col("n"))).as("score"))
     val wAssign = Window.partitionBy(col("vid")).orderBy(col("score").desc, col("ccell").asc)
     val assigned = scores.withColumn("rn", row_number().over(wAssign)).where(col("rn") === 1)
       .select(col("vid"), col("ccell").as("acell"))

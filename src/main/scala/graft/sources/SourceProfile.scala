@@ -31,6 +31,11 @@ trait SourceProfile {
   /** Canonical "YYYY-MM-DD HH:MM:SS.ffffff" truncated to precision. */
   def normalizeTimestampSql(expr: String, precision: Int = 6): String
 
+  /** DATE → the same 26-char canonical form at midnight, mirroring
+    * `graft.diff.Normalize` (Date is a TemporalType in the reference). */
+  def normalizeDateSql(expr: String): String =
+    normalizeTimestampSql(s"CAST($expr AS TIMESTAMP)", 6)
+
   /** Decimal string with exactly `precision` fractional digits. */
   def normalizeNumberSql(expr: String, precision: Int = 2): String
 
