@@ -47,7 +47,13 @@ object Dedup {
     * `TextFunctions.shingles` array: array lambdas run on the interpreted
     * CodegenFallback path (~1ms/doc measured), while tokenize → lead →
     * concat is whole-stage codegen end to end. */
-  def shingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+  def shingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    shingleIndexRaw(df, idCol, textCol, n).distinct()
+
+  /** As `shingleIndex` but WITHOUT per-doc dedup of shingles. Consumers
+    * whose aggregation is idempotent (minhash: MIN over hash transforms)
+    * skip the distinct's extra shuffle — duplicates can't change a min. */
+  def shingleIndexRaw(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(idCol).as("doc_id"),
       posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "tok")))
@@ -58,7 +64,6 @@ object Dedup {
       .withColumn("last", leads.last)
       .where(col("last").isNotNull)
       .select(col("doc_id"), col("s"))
-      .distinct()
   }
 
   /** Near-duplicate pairs by exact n-gram Jaccard ≥ threshold. Shingles are
@@ -124,7 +129,7 @@ object Dedup {
   def lshBands(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, rowsPerBand: Int = 4): DataFrame = {
     val numBands = numHashes / rowsPerBand
-    val sh = shingleIndex(df, idCol, textCol)
+    val sh = shingleIndexRaw(df, idCol, textCol)
       .select(col("doc_id"), md5Int48(col("s")).as("h"))
     val minAggs = (0 until numHashes).map(i =>
       min((lit(2L * i + 1) * col("h") + lit(7919L * i)) % MinhashMod).as(s"mh_$i"))

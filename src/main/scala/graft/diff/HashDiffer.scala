@@ -26,12 +26,15 @@ object HashDiffer {
   def bucketOf(keyCols: Seq[String], buckets: Int): Column =
     pmod(xxhash64(keyCols.map(col): _*), lit(buckets))
 
-  /** Bucket summaries that differ between the two sides. */
+  /** Bucket summaries that differ between the two sides. Uses the fast
+    * raw-column xxhash64 checksum: both sides are hashed by this engine in
+    * one job, so the md5 string-parity form (kept for pushdown mode) is not
+    * needed here. */
   def dirtyBuckets(a: TableSegment, b: TableSegment, buckets: Int): Array[Long] = {
     require(a.keyCols == b.keyCols, "key columns must match")
-    val ac = a.bucketChecksums(bucketOf(a.keyCols, buckets)).withColumnRenamed("cnt", "a_cnt")
+    val ac = a.fastBucketChecksums(bucketOf(a.keyCols, buckets)).withColumnRenamed("cnt", "a_cnt")
       .withColumnRenamed("checksum", "a_checksum")
-    val bc = b.bucketChecksums(bucketOf(b.keyCols, buckets)).withColumnRenamed("cnt", "b_cnt")
+    val bc = b.fastBucketChecksums(bucketOf(b.keyCols, buckets)).withColumnRenamed("cnt", "b_cnt")
       .withColumnRenamed("checksum", "b_checksum")
     ac.join(bc, Seq("bucket"), "full_outer")
       .where(!(col("a_cnt") <=> col("b_cnt")) || !(col("a_checksum") <=> col("b_checksum")))
@@ -53,6 +56,11 @@ object HashDiffer {
 
     val dirty = dirtyBuckets(a, b, buckets)
     if (dirty.isEmpty) return emptyDiff
+    // Every bucket differs → diffs are dense and the bucket filters would
+    // only add per-row hashing to the full join; go straight to joindiff
+    // (the reference likewise stops bisecting segments that all differ).
+    if (dirty.length == buckets)
+      return JoinDiffer.diff(a.scoped, b.scoped, a.keyCols, compare)
     val fA = a.withExtraFilter(bucketOf(a.keyCols, buckets).isin(dirty.toSeq: _*))
     val fB = b.withExtraFilter(bucketOf(b.keyCols, buckets).isin(dirty.toSeq: _*))
 

@@ -75,6 +75,17 @@ final case class TableSegment(
     scoped.groupBy(bucketCol.as("bucket"))
       .agg(count(lit(1)).as("cnt"), Checksum.checksumAgg(normCols).as("checksum"))
 
+  /** Same shape, but hashing the RAW columns with xxhash64 instead of the
+    * md5-parity normalized form. For Spark-internal diffs both sides are
+    * hashed by this engine, so cross-engine string parity buys nothing;
+    * raw-column hashing also matches JoinDiffer's raw `<=>` compare exactly
+    * and skips normalization + md5 (several× cheaper per row). The exact
+    * DECIMAL(38,0) sum cannot overflow at any row count. */
+  def fastBucketChecksums(bucketCol: Column): DataFrame =
+    scoped.groupBy(bucketCol.as("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(xxhash64(relevantCols.map(col): _*).cast(DecimalType(38, 0))).as("checksum"))
+
   /** Min/max over the key columns (reference: table_segment.py:260-275). */
   def keyRange(): DataFrame = {
     val aggs = keyCols.flatMap(k => Seq(min(col(k)).as(s"min_$k"), max(col(k)).as(s"max_$k")))

@@ -40,7 +40,7 @@ object EmbeddingQueries {
         .withColumn("xi", floor(col("x").cast("double") * 1000000).cast("long"))
       val cent = dims.groupBy("label", "pos")
         .agg(sum(col("xi")).as("sxi"), count(lit(1)).as("n"))
-      dims.join(cent, Seq("label", "pos"))
+      dims.join(broadcast(cent), Seq("label", "pos"))
         .groupBy(col("vec_id"), col("label"))
         .agg(sum(col("xi") * col("sxi")).as("dot_q"), min(col("n")).as("n"))
         .orderBy("vec_id")

