@@ -22,7 +22,8 @@ object SparkEntry {
       graft.operators.DiffQueries.queries ++
       graft.operators.TextQueries.queries ++
       graft.operators.EmbeddingQueries.queries ++
-      graft.operators.MultimodalQueries.queries
+      graft.operators.MultimodalQueries.queries ++
+      graft.operators.ExtendedQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
       graft.operators.DiffQueries.oracleSql ++
       graft.operators.TextQueries.oracleSql ++
       graft.operators.EmbeddingQueries.oracleSql ++
-      graft.operators.MultimodalQueries.oracleSql
+      graft.operators.MultimodalQueries.oracleSql ++
+      graft.operators.ExtendedQueries.oracleSql
 }

@@ -153,6 +153,46 @@ object Dedup {
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** Connected components over an undirected pair list — the step after
+    * candidate generation (LSH/Jaccard) that turns near-dup PAIRS into
+    * dedup GROUPS: each doc gets the minimum doc id reachable from it, the
+    * group's canonical representative.
+    *
+    * Iterative min-label propagation: each round joins labels to the
+    * (symmetrized) edge list and takes the per-vertex min over self +
+    * neighbors, converging in ≤ graph-diameter rounds. Near-dup graphs are
+    * shallow (dup clusters are cliques or short chains), so a handful of
+    * rounds suffices; every round is one equi-join + one aggregation, all
+    * shuffle-partitionable. `localCheckpoint` bounds lineage so the plan
+    * does not grow with iterations. (For adversarially deep graphs swap in
+    * the large-star/small-star variant; the round structure is identical.)
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 50): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val neighborMin = edges.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
+      val next = labels.join(neighborMin, col("id") === col("src"), "left")
+        .select(col("id"), col("comp").as("old"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      converged = next.where(col("comp") =!= col("old")).limit(1).count() == 0
+      labels = next.select("id", "comp")
+      round += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** 48-bit SimHash per document over distinct whitespace tokens. */
   def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 48): DataFrame = {
     val toks = df.select(col(idCol).as("doc_id"),

@@ -1,0 +1,79 @@
+package graft.joins
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of and range joins — temporal operators the reference lacks (SURVEY.md
+  * §2.3 "semi/anti, range, as-of, interval joins: absent — optional
+  * extensions"), built so neither ever materializes a per-key cross product.
+  *
+  * Both take the event time as a NUMERIC column (epoch seconds/micros): the
+  * caller picks the granularity once, which also sidesteps cross-engine
+  * timestamp-precision traps (nanos vs micros).
+  */
+object TemporalJoins {
+
+  /** Backward as-of join: each left row picks up `payloadCols` from the
+    * single right row with the greatest `rightTs` ≤ `leftTs` for the same
+    * key (nulls when no such row).
+    *
+    * Implemented as union → one window pass, the scalable plan shape: both
+    * sides shuffle ONCE on the key, a single sort orders each key's
+    * timeline, and `last(_, ignoreNulls)` carries the most recent right
+    * payload forward onto left rows. No range condition ever reaches a
+    * join, so there is no per-key n×m blowup — cost is one shuffle+sort of
+    * |L|+|R|, regardless of match density.
+    *
+    * Right rows must be unique per (key, rightTs) — pre-aggregate ties
+    * (e.g. `max_by`) so "the" matched row is well-defined.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val rightSchema = right.select(payloadCols.map(col): _*).schema
+    val l2 = left
+      .select(Seq(col(keyCol).as("_k"), col(leftTs).as("_t"), lit(1).as("_side"))
+        ++ leftCols.map(col)
+        ++ payloadCols.map(c => lit(null).cast(rightSchema(c).dataType).as(c)): _*)
+    val leftSchema = left.schema
+    val r2 = right
+      .select(Seq(col(keyCol).as("_k"), col(rightTs).as("_t"), lit(0).as("_side"))
+        ++ leftCols.map(c => lit(null).cast(leftSchema(c).dataType).as(c))
+        ++ payloadCols.map(col): _*)
+    // at equal timestamps the right row sorts first (side 0 < 1) → "≤" semantics
+    val w = Window.partitionBy("_k").orderBy(col("_t").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payloadCols.foldLeft(l2.unionByName(r2)) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.where(col("_side") === 1)
+      .select((leftCols ++ payloadCols).map(col): _*)
+  }
+
+  /** Inner range join: pairs (l, r) with equal keys and
+    * `l.loCol ≤ r.rightTs < l.hiCol`, for intervals no wider than
+    * `binWidth`.
+    *
+    * The inequality is turned into an equi-join on a time bin: every left
+    * interval spans at most two bins of width ≥ its length, so the left
+    * side is exploded ×2, hash-joined on (key, bin) — shuffle-partitionable
+    * like any equi-join, AQE-skew-splittable — and the exact range filter
+    * runs post-join on the candidates only. A raw theta join would fall
+    * back to a nested-loop join over every key group; this is the standard
+    * binning rewrite that keeps range joins O(matches) at cluster scale.
+    * Column names of `left` and `right` must be disjoint.
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      loCol: String, hiCol: String, rightTs: String, binWidth: Long): DataFrame = {
+    val r2 = right.withColumn("_bin", floor(col(rightTs) / binWidth))
+    val l2 = left
+      .withColumn("_bin0", floor(col(loCol) / binWidth))
+      .withColumn("_bin", explode(array(col("_bin0"), col("_bin0") + 1)))
+      .drop("_bin0")
+    l2.join(r2, l2(leftKey) === r2(rightKey) && l2("_bin") === r2("_bin"))
+      .where(col(rightTs) >= col(loCol) && col(rightTs) < col(hiCol))
+      .drop("_bin")
+  }
+}

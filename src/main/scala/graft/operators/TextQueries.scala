@@ -54,6 +54,13 @@ object TextQueries {
 
     "q_simhash" -> ((s, d) =>
       Dedup.simhash(docs(s, d), "doc_id", "text").orderBy("doc_id")),
+
+    // LSH candidate pairs → dedup GROUPS: min-reachable-id connected
+    // components (the canonical-representative step after near-dup search).
+    "q_dedup_components" -> ((s, d) =>
+      Dedup.connectedComponents(
+        Dedup.minhashCandidates(docs(s, d), "doc_id", "text"), "doc_a", "doc_b")
+        .orderBy("id")),
   )
 
   // ---- oracle SQL ------------------------------------------------------
@@ -123,6 +130,30 @@ object TextQueries {
          |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_components" ->
+      s"""WITH RECURSIVE hs AS (
+         |  SELECT doc_id, [('0x' || substring(md5(s), 1, 12))::BIGINT for s in $shingles] AS hl
+         |  FROM (SELECT doc_id, $toks AS toks FROM documents) t),
+         |sig AS (
+         |  SELECT doc_id,
+         |    [list_min([((2*i+1)*h + 7919*i) % ${graft.dedup.Dedup.MinhashMod} for h in hl]) for i in range(0, 64)] AS sg
+         |  FROM hs WHERE len(hl) > 0),
+         |bands AS (
+         |  SELECT doc_id, b,
+         |    md5(array_to_string(list_transform(sg[b*4+1:b*4+4], v -> v::VARCHAR), ',')) AS bh
+         |  FROM sig, range(16) r(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM cand
+         |  UNION ALL SELECT doc_b, doc_a FROM cand),
+         |walk(id, comp) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.id)
+         |SELECT id, min(comp) AS comp FROM walk GROUP BY id ORDER BY id""".stripMargin,
 
     "q_minhash_lsh" ->
       s"""WITH hs AS (

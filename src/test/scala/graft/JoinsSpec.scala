@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.joins.TemporalJoins
+
+class TemporalJoinsSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  private val left = Seq(
+    (100L, 1L, 10L), (101L, 1L, 20L), (102L, 2L, 5L), (103L, 3L, 50L)
+  ).toDF("lid", "k", "lt")
+  private val right = Seq(
+    (1L, 5L, "a"), (1L, 10L, "b"), (1L, 15L, "c"), (2L, 7L, "d")
+  ).toDF("k", "rt", "v")
+
+  test("asof: greatest right ts <= left ts per key, null when none") {
+    val out = TemporalJoins.asofJoin(left, right, "k", "lt", "rt", Seq("rt", "v"))
+      .collect().map(r => r.getLong(0) -> (Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(out(100L) == (Some(10L), Some("b"))) // equal ts matches (<=)
+    assert(out(101L) == (Some(15L), Some("c"))) // latest of several
+    assert(out(102L) == (None, None))           // only future right rows
+    assert(out(103L) == (None, None))           // key absent on the right
+  }
+
+  test("range join: matches strictly inside [lo, hi), across bin boundaries") {
+    val l = left.withColumn("lo", col("lt") - 10).withColumn("hi", col("lt"))
+    val r = right.toDF("rk", "rt", "v")
+    val out = TemporalJoins.rangeJoin(l, r, "k", "rk", "lo", "hi", "rt", 10L)
+      .select("lid", "rt").as[(Long, Long)].collect().toSet
+    // lid=100: [0,10) → rt=5 only (10 excluded); lid=101: [10,20) → 10,15
+    assert(out == Set((100L, 5L), (101L, 10L), (101L, 15L)))
+  }
+}
+
+class ConnectedComponentsSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  test("min-label propagation over a chain and an isolated pair") {
+    // chain 1-2-3-4 (diameter > 1 forces multiple rounds), pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val comps = Dedup.connectedComponents(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+}
