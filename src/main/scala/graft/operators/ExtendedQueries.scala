@@ -96,6 +96,49 @@ object ExtendedQueries {
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // The reference's update-column recency scoping (table_segment.py:
+    // 115,166-170 + --min-age/--max-age): bounds land in the parquet scan as
+    // pushed-down predicates via TableSegment. Whole-second bounds are safe
+    // against the nanos-vs-micros precision gap (truncation cannot cross an
+    // exact-second boundary).
+    "q_update_range" -> ((s, d) => {
+      val seg = graft.diff.TableSegment(
+        t(s, d, "events"), Seq("event_id"),
+        extraCols = Seq("event_type", "value"),
+        updateCol = Some("ts"),
+        minUpdate = Some(java.sql.Timestamp.valueOf("2024-01-10 00:00:00")),
+        maxUpdate = Some(java.sql.Timestamp.valueOf("2024-01-20 00:00:00")))
+      seg.scoped.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    }),
+
+    // Salted skew join: result is exactly the plain join (the oracle IS the
+    // plain join), but hot keys spread over `salt` reducers — see SkewJoin.
+    "q_join_salted" -> ((s, d) => {
+      val l = t(s, d, "lineitem").select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      val su = t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      graft.joins.SkewJoin.saltedJoin(l, su, "l_suppkey", "s_suppkey", 16)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount")))
+            .cast("double").as("revenue"))
+        .orderBy("s_nationkey")
+    }),
+
+    // Nested types serialize to canonical JSON (the reference compares
+    // arrays/structs as JSON strings: databases/base.py:858-864). Spark's
+    // to_json and DuckDB's render identically for null-free int/string
+    // members (Spark OMITS null fields; keep them coalesced).
+    "q_nested_json" -> ((s, d) =>
+      t(s, d, "orders")
+        .where(col("o_orderkey") % 1000 === 0)
+        .select(col("o_orderkey"),
+          to_json(struct(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+            array(col("o_custkey"), floor(col("o_totalprice")).cast("long")).as("a")))
+            .as("payload"))
+        .orderBy("o_orderkey")),
+
     // Column profiling in ONE scan (the reference collects per-column stats
     // as background queries during joindiff: joindiff_tables.py:268-305).
     "q_profile" -> ((s, d) =>
@@ -163,6 +206,25 @@ object ExtendedQueries {
         |FROM lineitem
         |WHERE ('0x' || substring(md5(l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR), 1, 6))::BIGINT % 20 = 0
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_update_range" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_join_salted" ->
+      """SELECT s_nationkey, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    "q_nested_json" ->
+      """SELECT o_orderkey,
+        |  to_json(struct_pack(k := o_orderkey, st := o_orderstatus,
+        |    a := [o_custkey, CAST(floor(o_totalprice) AS BIGINT)]))::VARCHAR AS payload
+        |FROM orders WHERE o_orderkey % 1000 = 0 ORDER BY o_orderkey""".stripMargin,
 
     "q_profile" ->
       """SELECT COUNT(*) AS n_rows,

@@ -55,6 +55,28 @@ object TextQueries {
     "q_simhash" -> ((s, d) =>
       Dedup.simhash(docs(s, d), "doc_id", "text").orderBy("doc_id")),
 
+    // TF-IDF term ranking with an INTEGER idf — floor(log2(N/df))+1 via
+    // binary-string length — so scores are exact integers and reproducible
+    // on any engine (float log() differs in the last ulp across libms).
+    // One shuffle for tf, one (tiny) for df, broadcast N; top-3 terms per
+    // doc by windowed rank.
+    "q_tfidf_rank" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dd = docs(s, d)
+      val toks = dd.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val n = dd.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, Seq("tok"))
+        .crossJoin(broadcast(n))
+        .withColumn("score", col("tf") * length(bin(floor(col("n_docs") / col("df")).cast("long"))).cast("long"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok").asc)
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 3 && col("doc_id") < 50)
+        .select("doc_id", "tok", "tf", "df", "score", "rnk")
+        .orderBy("doc_id", "rnk")
+    }),
+
     // LSH candidate pairs → dedup GROUPS: min-reachable-id connected
     // components (the canonical-representative step after near-dup search).
     "q_dedup_components" -> ((s, d) =>
@@ -130,6 +152,20 @@ object TextQueries {
          |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_tfidf_rank" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+         |dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+         |SELECT doc_id, tok, tf, df, score, rnk FROM (
+         |  SELECT t.doc_id, t.tok, t.tf, dfq.df,
+         |    t.tf * length(format('{:b}', n.n_docs // dfq.df)) AS score,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY t.doc_id
+         |      ORDER BY t.tf * length(format('{:b}', n.n_docs // dfq.df)) DESC, t.tok ASC) AS BIGINT) AS rnk
+         |  FROM tf t JOIN dfq ON t.tok = dfq.tok, n)
+         |WHERE rnk <= 3 AND doc_id < 50
+         |ORDER BY doc_id, rnk""".stripMargin,
 
     "q_dedup_components" ->
       s"""WITH RECURSIVE hs AS (

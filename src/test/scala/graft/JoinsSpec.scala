@@ -36,6 +36,21 @@ class TemporalJoinsSpec extends AnyFunSuite {
   }
 }
 
+class SkewJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  test("salted join equals the plain join, including multi-match keys") {
+    val l = Seq((1L, "x"), (1L, "y"), (2L, "z"), (3L, "w")).toDF("k", "lv")
+    val r = Seq((1L, 10L), (2L, 20L), (2L, 21L)).toDF("rk", "rv")
+    val salted = graft.joins.SkewJoin.saltedJoin(l, r, "k", "rk", 4)
+      .select("k", "lv", "rv").as[(Long, String, Long)].collect().sorted.toSeq
+    val plain = l.join(r, l("k") === r("rk"))
+      .select("k", "lv", "rv").as[(Long, String, Long)].collect().sorted.toSeq
+    assert(salted == plain && plain.nonEmpty)
+  }
+}
+
 class ConnectedComponentsSpec extends AnyFunSuite {
   lazy val spark = SparkTest.spark
   import spark.implicits._
