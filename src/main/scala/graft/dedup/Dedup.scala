@@ -168,9 +168,15 @@ object Dedup {
     * the large-star/small-star variant; the round structure is identical.)
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxRounds: Int = 50): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      maxRounds: Int = 50, localThreshold: Long = 4000000L): DataFrame = {
+    // Materialize the pair list ONCE up front: it is the (small) output of
+    // an expensive candidate-generation pipeline, and everything below
+    // would otherwise re-evaluate that lineage per round.
+    val p = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .localCheckpoint(true)
+    if (p.count() <= localThreshold) return localComponents(p)
+    val edges = p
+      .union(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
@@ -191,6 +197,33 @@ object Dedup {
     }
     edges.unpersist()
     labels
+  }
+
+  /** Driver-side union-find for pair lists under the locality threshold.
+    * LSH/Jaccard candidate pairs are the PRUNED output of near-dup search —
+    * tiny relative to the corpus — so below a few million edges an
+    * O(E·α(E)) union-find beats scheduling O(diameter) distributed rounds.
+    * The same cutoff idea as the reference's bisection_threshold: small
+    * enough → download and finish locally (hashdiff_tables.py:19,236). */
+  private def localComponents(p: DataFrame): DataFrame = {
+    val spark = p.sparkSession
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    p.as[(Long, Long)].collect().foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val out = parent.keys.toSeq.map(v => (v, find(v))).sortBy(_._1)
+    out.toDF("id", "comp")
   }
 
   /** 48-bit SimHash per document over distinct whitespace tokens. */

@@ -55,11 +55,20 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   lazy val spark = SparkTest.spark
   import spark.implicits._
 
-  test("min-label propagation over a chain and an isolated pair") {
-    // chain 1-2-3-4 (diameter > 1 forces multiple rounds), pair 10-11
-    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+  // chain 1-2-3-4 (diameter > 1 forces multiple rounds), pair 10-11
+  private val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+  private val expected =
+    Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L)
+
+  test("driver union-find path (below locality threshold)") {
     val comps = Dedup.connectedComponents(pairs, "a", "b")
       .as[(Long, Long)].collect().toMap
-    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    assert(comps == expected)
+  }
+
+  test("distributed min-label propagation path (threshold forced to 0)") {
+    val comps = Dedup.connectedComponents(pairs, "a", "b", localThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(comps == expected)
   }
 }
