@@ -81,3 +81,43 @@ object PostgresProfile extends SourceProfile {
     s"(($expr)::decimal(38, $precision))::varchar"
   def normalizeBooleanSql(expr: String): String = s"(($expr)::int)::varchar"
 }
+
+/** MySQL: conv() hex→int, DATE_FORMAT microseconds (reference behavior:
+  * data_diff/databases/mysql.py:102-119). */
+object MySqlProfile extends SourceProfile {
+  val name = "mysql"
+  override def quote(ident: String): String = "`" + ident + "`"
+  def toStringSql(expr: String): String = s"cast($expr as char)"
+  def md5AsIntSql(expr: String): String =
+    s"cast(conv(substring(md5($expr), ${Checksum.Md5HexDigits - Checksum.ChecksumHexDigits + 1}, ${Checksum.ChecksumHexDigits}), 16, 10) as signed) - ${Checksum.Offset}"
+  def normalizeTimestampSql(expr: String, precision: Int): String =
+    s"rpad(left(date_format($expr, '%Y-%m-%d %H:%i:%S.%f'), ${20 + precision}), 26, '0')"
+  /** MySQL has no CAST(... AS TIMESTAMP) — DATETIME is the cast target. */
+  override def normalizeDateSql(expr: String): String =
+    normalizeTimestampSql(s"CAST($expr AS DATETIME)", 6)
+  def normalizeNumberSql(expr: String, precision: Int): String =
+    s"cast(cast($expr as decimal(38, $precision)) as char)"
+  def normalizeBooleanSql(expr: String): String = s"cast(cast($expr as signed) as char)"
+}
+
+/** Trino/Presto: md5 over varbinary, from_base for the hex suffix
+  * (reference behavior: data_diff/databases/presto.py:121-122; timestamps
+  * render 'YYYY-MM-DD HH:MM:SS.ffffff' when cast to varchar at p=6). */
+object TrinoProfile extends SourceProfile {
+  val name = "trino"
+  def toStringSql(expr: String): String = s"cast($expr as varchar)"
+  def md5AsIntSql(expr: String): String =
+    s"from_base(substr(to_hex(md5(to_utf8($expr))), ${Checksum.Md5HexDigits - Checksum.ChecksumHexDigits + 1}, ${Checksum.ChecksumHexDigits}), 16) - ${Checksum.Offset}"
+  def normalizeTimestampSql(expr: String, precision: Int): String =
+    s"rpad(substr(cast(cast($expr as timestamp(6)) as varchar), 1, ${20 + precision}), 26, '0')"
+  def normalizeNumberSql(expr: String, precision: Int): String =
+    s"cast(cast($expr as decimal(38, $precision)) as varchar)"
+  def normalizeBooleanSql(expr: String): String = s"cast(cast($expr as integer) as varchar)"
+}
+
+object SourceProfile {
+  /** Registry keyed by engine name (the reference's _connect.py scheme map). */
+  val registry: Map[String, SourceProfile] =
+    Seq(DuckDbProfile, PostgresProfile, MySqlProfile, TrinoProfile)
+      .map(p => p.name -> p).toMap
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.{DuckDbProfile, PostgresProfile}
+import graft.sources.{DuckDbProfile, MySqlProfile, PostgresProfile, SourceProfile, TrinoProfile}
 
 class SourceProfileSpec extends AnyFunSuite {
 
@@ -26,5 +26,35 @@ class SourceProfileSpec extends AnyFunSuite {
   test("where clause lands in the pushed query") {
     val sql = DuckDbProfile.checksumQuerySql("t", Seq("c"), Some("id >= 10 AND id < 20"))
     assert(sql.endsWith("FROM t WHERE id >= 10 AND id < 20"))
+  }
+
+  test("mysql profile: conv() hex suffix, %f microsecond timestamp, backtick quoting") {
+    assert(MySqlProfile.md5AsIntSql("x") ==
+      "cast(conv(substring(md5(x), 21, 12), 16, 10) as signed) - 140737488355327")
+    assert(MySqlProfile.normalizeTimestampSql("t", 6) ==
+      "rpad(left(date_format(t, '%Y-%m-%d %H:%i:%S.%f'), 26), 26, '0')")
+    assert(MySqlProfile.normalizeTimestampSql("t", 3) ==
+      "rpad(left(date_format(t, '%Y-%m-%d %H:%i:%S.%f'), 23), 26, '0')")
+    assert(MySqlProfile.quote("a") == "`a`")
+  }
+
+  test("trino profile: from_base hex suffix, timestamp(6) varchar rendering") {
+    assert(TrinoProfile.md5AsIntSql("x") ==
+      "from_base(substr(to_hex(md5(to_utf8(x))), 21, 12), 16) - 140737488355327")
+    assert(TrinoProfile.normalizeTimestampSql("t", 6) ==
+      "rpad(substr(cast(cast(t as timestamp(6)) as varchar), 1, 26), 26, '0')")
+    assert(TrinoProfile.normalizeNumberSql("n", 2) ==
+      "cast(cast(n as decimal(38, 2)) as varchar)")
+  }
+
+  test("registry resolves every profile by engine name") {
+    assert(SourceProfile.registry.keySet ==
+      Set("duckdb", "postgresql", "mysql", "trino"))
+    assert(SourceProfile.registry("mysql") eq MySqlProfile)
+  }
+
+  test("date normalization routes through the timestamp canonical form") {
+    assert(DuckDbProfile.normalizeDateSql("d") ==
+      DuckDbProfile.normalizeTimestampSql("CAST(d AS TIMESTAMP)", 6))
   }
 }
