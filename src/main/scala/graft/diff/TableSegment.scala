@@ -102,16 +102,33 @@ final case class TableSegment(
     * dimension with KeySpace, cover the space with the mesh of boxes. Each
     * segment's bounds land in the parquet/JDBC scan as pushed-down
     * predicates (reference: diff_tables.py:289-352 + table_segment.py:
-    * 189-202; integer keys — UUID/alphanum keys plan via KeySpace.Key). */
+    * 189-202).
+    *
+    * Key types: integral columns split as integers; string columns are
+    * parsed as UUIDs and split over the 128-bit integer space (reference
+    * ArithUUID, utils.py:150-206) — canonical same-case hex renders make
+    * numeric order equal SQL string order, so the mesh bounds are valid
+    * scan predicates. Varying-length alphanumeric keys plan via
+    * KeySpace.AlphanumKey but are not offered here: their base-66 order
+    * disagrees with SQL string order on length ties. */
   def splitByKeyRange(count: Int): Seq[TableSegment] = {
     val row = keyRange().head()
+    def toKey(v: Any): KeySpace.Key = v match {
+      case n: Number => KeySpace.IntKey(BigInt(n.longValue))
+      case s: String => KeySpace.UuidKey.parse(s)
+      case other => throw new IllegalArgumentException(s"unsupported key value: $other")
+    }
+    def fromKey(k: KeySpace.Key): Any = k match {
+      case KeySpace.IntKey(v) => v.toLong
+      case u => u.toString
+    }
     val grids = keyCols.zipWithIndex.map { case (_, i) =>
-      val mn = BigInt(row.getAs[Number](i * 2).longValue)
-      val mx = BigInt(row.getAs[Number](i * 2 + 1).longValue) + 1
-      KeySpace.splitKeySpace(KeySpace.IntKey(mn), KeySpace.IntKey(mx), count)
+      val mn = toKey(row.get(i * 2))
+      val mx = toKey(row.get(i * 2 + 1)).next // exclusive upper bound
+      KeySpace.splitKeySpace(mn, mx, count)
     }
     KeySpace.createMeshFromPoints(grids).map { case (lo, hi) =>
-      withScope(lo.values.map(_.toBigInt.toLong), hi.values.map(_.toBigInt.toLong))
+      withScope(lo.values.map(fromKey), hi.values.map(fromKey))
     }
   }
 

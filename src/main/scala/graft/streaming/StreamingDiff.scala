@@ -48,4 +48,32 @@ object StreamingDiff {
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  case class Doc(doc_id: Long, text: String, ts: Timestamp)
+
+  /** Streaming exact dedup for a document feed: state per content hash
+    * remembers whether the content was ever emitted; replays and late
+    * copies are dropped. The batch analogue is `Dedup.exactGroups` — this
+    * is the ingest-time variant a training pipeline runs in front of its
+    * corpus store. State is one boolean per distinct content hash with an
+    * event-time timeout, so it grows with DISTINCT content seen within the
+    * retention window, not with stream length. */
+  def streamingDedup(docs: Dataset[Doc]): Dataset[Doc] = {
+    import docs.sparkSession.implicits._
+    docs
+      .withWatermark("ts", "1 hour")
+      .groupByKey(d => org.apache.commons.codec.digest.DigestUtils.md5Hex(d.text))
+      .flatMapGroupsWithState[Boolean, Doc](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, it: Iterator[Doc], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val first = if (state.exists) None
+                        else it.toSeq.sortBy(d => (d.ts.getTime, d.doc_id)).headOption
+            state.update(true)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 3600000L)
+            first.iterator
+          }
+      }
+  }
 }

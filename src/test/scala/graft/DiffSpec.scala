@@ -41,6 +41,21 @@ class ChecksumSpec extends AnyFunSuite {
       .select(Checksum.rowChecksum(Seq(col("k").cast("string"), col("v")))).head().getLong(0)
     assert(withNull == sentinel)
   }
+
+  test("100-column wide row checksums (reference tests/test_postgresql.py wide table)") {
+    // Guards the concat_ws/md5 pipeline against codegen width limits: a
+    // 100-column normalized concat must neither fail nor silently fall
+    // back to wrong results. Golden value = md5 of the joined string.
+    val wide = spark.range(1).select(
+      (0 until 100).map(i => lit(s"v$i").as(s"c$i")): _*)
+    val cols = (0 until 100).map(i => col(s"c$i"))
+    val got = wide.select(Checksum.rowChecksum(cols).as("c")).head().getLong(0)
+    val joined = (0 until 100).map(i => s"v$i").mkString("|")
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(joined.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = java.lang.Long.parseLong(md5hex.substring(20), 16) - Checksum.Offset
+    assert(got == expected)
+  }
 }
 
 class NormalizeSpec extends AnyFunSuite {

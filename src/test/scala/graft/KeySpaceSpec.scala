@@ -69,4 +69,24 @@ class KeySpaceSpec extends AnyFunSuite {
     assert(counts.sum == orders.count())
     assert(counts.forall(_ > 0))
   }
+
+  test("splitByKeyRange partitions a uuid-keyed table exactly") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // deterministic uuid-shaped keys from md5 — canonical lowercase hex, so
+    // SQL string order equals the 128-bit numeric order the split plans in
+    val df = (1 to 500).toDF("n").select(
+      concat_ws("-",
+        substring(md5(col("n").cast("string")), 1, 8),
+        substring(md5(col("n").cast("string")), 9, 4),
+        substring(md5(col("n").cast("string")), 13, 4),
+        substring(md5(col("n").cast("string")), 17, 4),
+        substring(md5(col("n").cast("string")), 21, 12)).as("uid"),
+      col("n"))
+    val parts = graft.diff.TableSegment(df, Seq("uid")).splitByKeyRange(5)
+    val counts = parts.map(_.scoped.count())
+    assert(counts.sum == 500L)
+    assert(counts.count(_ > 0) >= 4) // md5 keys spread across the 128-bit space
+  }
 }

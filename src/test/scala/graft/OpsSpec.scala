@@ -181,4 +181,20 @@ class StreamingDiffSpec extends AnyFunSuite {
       StreamingDiff.DiffEvent("+", 1, "a"), StreamingDiff.DiffEvent("+", 2, "b"),
       StreamingDiff.DiffEvent("-", 2, "b"), StreamingDiff.DiffEvent("+", 2, "c")))
   }
+
+  test("streaming dedup emits each distinct content once, drops replays") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingDiff.Doc]
+    val q = StreamingDiff.streamingDedup(input.toDS())
+      .writeStream.format("memory").queryName("sdedup").outputMode("append").start()
+    def doc(id: Long, t: String, ts: Long) = StreamingDiff.Doc(id, t, new java.sql.Timestamp(ts))
+    input.addData(doc(1, "alpha", 1000), doc(2, "beta", 2000), doc(3, "alpha", 3000))
+    q.processAllAvailable()
+    input.addData(doc(4, "alpha", 4000), doc(5, "gamma", 5000)) // later replay + new
+    q.processAllAvailable()
+    val got = spark.table("sdedup").as[StreamingDiff.Doc].collect().map(_.doc_id).toSet
+    q.stop()
+    assert(got == Set(1L, 2L, 5L)) // 3 and 4 are duplicate content
+  }
 }
