@@ -15,7 +15,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Optional filter for local iteration: SPARK_GRAFT_ONLY=q_a,q_b
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // name-sorted so warmup attribution and per-query numbers are
+    // comparable across runs and rounds (Map iteration order is arbitrary)
     val selected = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(kv => f(kv._1)))
+      .toSeq.sortBy(_._1)
     // Warm the JVM/codegen/parquet-reader paths outside the timed loop —
     // otherwise whichever query happens to run first absorbs ~5s of warmup.
     try Tables.load(spark, sfDir, "region").count() catch { case _: Throwable => () }
@@ -26,7 +29,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

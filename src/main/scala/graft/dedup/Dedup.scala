@@ -52,35 +52,45 @@ object Dedup {
 
   /** As `shingleIndex` but WITHOUT per-doc dedup of shingles. Consumers
     * whose aggregation is idempotent (minhash: MIN over hash transforms)
-    * skip the distinct's extra shuffle — duplicates can't change a min. */
-  def shingleIndexRaw(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = df.select(col(idCol).as("doc_id"),
-      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "tok")))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val leads = (1 until n).map(k => lead(col("tok"), k).over(w))
-    toks
-      .withColumn("s", concat_ws(" ", col("tok") +: leads: _*))
-      .withColumn("last", leads.last)
-      .where(col("last").isNotNull)
-      .select(col("doc_id"), col("s"))
-  }
+    * skip the distinct's extra shuffle — duplicates can't change a min.
+    *
+    * Shingles are assembled by indexing back into the kept token array
+    * (posexplode + element_at) — a NARROW, fully codegen'd pipeline. The
+    * two rejected shapes: array lambdas (interpreted CodegenFallback,
+    * ~1ms/doc), and window `lead` over exploded tokens (costs a full
+    * shuffle+sort of the token stream just to see the next token). */
+  def shingleIndexRaw(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    df.select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("t"))
+      .select(col("doc_id"), col("t"), posexplode(col("t")).as(Seq("pos", "tok")))
+      .where(col("pos") <= size(col("t")) - n)
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok") +:
+          (1 until n).map(k => element_at(col("t"), col("pos") + k + 1)): _*).as("s"))
 
   /** Near-duplicate pairs by exact n-gram Jaccard ≥ threshold. Shingles are
     * hashed to 48-bit ints up front: the inverted-index shuffle and the
     * candidate self-join move 8-byte keys instead of ~20-byte strings. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, dfCap: Int = 50): DataFrame = {
-    // The hashed index feeds both the df-count aggregation and the join
-    // below; persisting avoids tokenizing + hashing the corpus twice.
-    val sh = shingleIndex(df, idCol, textCol).select(col("doc_id"), md5Int48(col("s")).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val freq = sh.groupBy("s").agg(count(lit(1)).as("df"))
-    // The pruned index feeds three consumers (sizes + both join sides);
-    // persisting it evaluates the tokenize/shingle/df pipeline once. At
-    // corpus scale this is the standard "materialize the inverted index"
-    // step — it is orders of magnitude smaller than the corpus itself.
-    val kept = sh.join(freq.where(col("df") <= dfCap), Seq("s"))
+    // Plan shape is tuned to minimize EXCHANGES, the dominant cost at both
+    // ends of the scale spectrum (stage overhead locally, shuffled bytes on
+    // a cluster):
+    //  - hash BEFORE the per-doc distinct: the dedup shuffle moves 8-byte
+    //    ints instead of ~20-byte shingle strings (the oracle dedups over
+    //    the same hashes, so 48-bit collisions stay aligned);
+    //  - the document-frequency cap is a window count over the SAME s-hash
+    //    partitioning (one exchange replaces groupBy + join-back);
+    //  - the self-join keys on s, which `kept` is already partitioned by —
+    //    no further exchange before the pair aggregation.
+    val wS = org.apache.spark.sql.expressions.Window.partitionBy("s")
+    // kept feeds three consumers (sizes + both join sides); persisting the
+    // pruned inverted index — orders of magnitude smaller than the corpus —
+    // evaluates the tokenize/shingle/df pipeline once.
+    val kept = shingleIndexRaw(df, idCol, textCol)
+      .select(col("doc_id"), md5Int48(col("s")).as("s"))
+      .distinct()
+      .withColumn("df", count(lit(1)).over(wS))
+      .where(col("df") <= dfCap)
       .select("doc_id", "s")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
@@ -95,10 +105,9 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "n_common", "jaccard")
       // Materialize the (tiny) pair set eagerly and cut its lineage so the
-      // two cached index DataFrames can be released here — repeated calls in
-      // a long-lived session must not accumulate cached partitions.
+      // cached index can be released here — repeated calls in a long-lived
+      // session must not accumulate cached partitions.
       .localCheckpoint(true)
-    sh.unpersist()
     kept.unpersist()
     out
   }

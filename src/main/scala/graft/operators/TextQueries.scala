@@ -140,7 +140,7 @@ object TextQueries {
 
     "q_ngram_jaccard" ->
       s"""WITH sh AS (
-         |  SELECT doc_id, ('0x' || substring(md5(unnest($shingles)), 1, 12))::BIGINT AS s
+         |  SELECT DISTINCT doc_id, ('0x' || substring(md5(unnest($shingles)), 1, 12))::BIGINT AS s
          |  FROM (SELECT doc_id, $toks AS toks FROM documents) t),
          |freq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
          |kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN freq ON sh.s = freq.s WHERE freq.df <= 50),
