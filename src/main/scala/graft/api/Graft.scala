@@ -78,9 +78,15 @@ object Graft {
     JoinDiffer.stats(a.scoped, b.scoped, a.keyCols,
       a.relevantCols.filterNot(a.keyCols.contains))
 
+  /** '%t' in a materialize target expands to a UTC run timestamp
+    * (reference: utils.py:396-400 eval_name_template). */
+  def evalNameTemplate(name: String): String =
+    name.replace("%t", java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss")
+      .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now()))
+
   /** Append diff rows to a result table, capped like the reference's
     * materializer (reference: joindiff_tables.py:38,396-399
     * TABLE_WRITE_LIMIT). */
   def materializeDiff(diff: DataFrame, path: String, limit: Int = 1000): Unit =
-    diff.limit(limit).write.mode("append").parquet(path)
+    diff.limit(limit).write.mode("append").parquet(evalNameTemplate(path))
 }

@@ -63,7 +63,8 @@ object Cli {
       stats: Boolean = false, json: Boolean = false, limit: Option[Int] = None,
       updateColumn: Option[String] = None,
       minAge: Option[String] = None, maxAge: Option[String] = None,
-      materialize: Option[String] = None)
+      materialize: Option[String] = None,
+      conf: Option[String] = None, run: Option[String] = None)
 
   def parseArgs(argv: Array[String]): Args = {
     def split(s: String) = s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -81,11 +82,22 @@ object Cli {
       case "--min-age" :: v :: t => go(t, a.copy(minAge = Some(v)), positional)
       case "--max-age" :: v :: t => go(t, a.copy(maxAge = Some(v)), positional)
       case "--materialize" :: v :: t => go(t, a.copy(materialize = Some(v)), positional)
+      case "--conf" :: v :: t => go(t, a.copy(conf = Some(v)), positional)
+      case "--run" :: v :: t => go(t, a.copy(run = Some(v)), positional)
       case v :: t if positional == 0 => go(t, a.copy(sourceA = v), 1)
       case v :: t if positional == 1 => go(t, a.copy(sourceB = v), 2)
       case v :: _ => throw new IllegalArgumentException(s"Unexpected argument: $v")
     }
-    val a = go(argv.toList, Args(), 0)
+    val cli = go(argv.toList, Args(), 0)
+    // config-file keys fill anything the command line left unset; CLI wins
+    // (reference: config.py apply_config_from_file)
+    val a = (cli.conf, cli.run) match {
+      case (Some(path), Some(run)) =>
+        val text = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+        Config.applyRun(Config.parse(text), run, cli)
+      case (None, None) => cli
+      case _ => throw new IllegalArgumentException("--conf and --run must be used together")
+    }
     require(a.sourceA.nonEmpty && a.sourceB.nonEmpty, "two sources required")
     require(a.keys.nonEmpty, "-k key column(s) required")
     a

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.cli.{Cli, ParseTime}
+import graft.cli.{Cli, Config, ParseTime}
 
 class ParseTimeSpec extends AnyFunSuite {
   test("compound deltas parse like the reference grammar") {
@@ -35,5 +35,44 @@ class CliArgsSpec extends AnyFunSuite {
   test("missing keys or sources rejected") {
     assertThrows[IllegalArgumentException](Cli.parseArgs(Array("/a", "/b")))
     assertThrows[IllegalArgumentException](Cli.parseArgs(Array("/a", "-k", "id")))
+  }
+}
+
+class ConfigSpec extends AnyFunSuite {
+  private val toml =
+    """# run configurations
+      |[run.nightly]
+      |source_a = "/data/a"   # prod
+      |source_b = "csv:/data/b"
+      |key_columns = ["id", "sub"]
+      |algorithm = "hashdiff"
+      |min_age = "1d"
+      |limitish = 50
+      |verbose = true
+      |""".stripMargin
+
+  test("subset-TOML parses sections, strings, arrays, ints, booleans, comments") {
+    val c = Config.parse(toml)
+    assert(c("run.nightly.source_a") == Seq("/data/a"))
+    assert(c("run.nightly.key_columns") == Seq("id", "sub"))
+    assert(c("run.nightly.limitish") == Seq("50"))
+    assert(c("run.nightly.verbose") == Seq("true"))
+    assertThrows[IllegalArgumentException](Config.parse("key = unquoted words"))
+  }
+
+  test("config fills unset args; explicit CLI flags win (reference config.py)") {
+    val fromConf = Config.applyRun(Config.parse(toml), "nightly", Cli.Args())
+    assert(fromConf.sourceA == "/data/a" && fromConf.sourceB == "csv:/data/b")
+    assert(fromConf.keys == Seq("id", "sub") && fromConf.algorithm == "hashdiff")
+    assert(fromConf.minAge.contains("1d"))
+    val cliWins = Config.applyRun(Config.parse(toml), "nightly",
+      Cli.Args(sourceA = "/override", algorithm = "joindiff"))
+    assert(cliWins.sourceA == "/override" && cliWins.algorithm == "joindiff")
+    assert(cliWins.sourceB == "csv:/data/b") // still filled from config
+  }
+
+  test("%t materialize template expands to a timestamp") {
+    val n = graft.api.Graft.evalNameTemplate("diff_%t")
+    assert(n.matches("diff_\\d{8}_\\d{6}"))
   }
 }
