@@ -1,0 +1,84 @@
+package graft.diff
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Schema-level preflight for a diff: column comparison, string-type
+  * refinement by sampling, and precision negotiation — the checks the
+  * reference runs before any data moves.
+  */
+object SchemaTools {
+
+  final case class ColDiff(name: String, aType: Option[String], bType: Option[String],
+      status: String)
+
+  /** Column-by-column comparison of the two sides' schemas (reference:
+    * __main__.py:78-100 diff_schemas — same-DB diffs warn on mismatches
+    * before diffing values). Case-insensitive name matching like the
+    * reference's default schema dictionaries. */
+  def diffSchemas(a: DataFrame, b: DataFrame): Seq[ColDiff] = {
+    val at = a.schema.fields.map(f => f.name.toLowerCase -> f.dataType.simpleString).toMap
+    val bt = b.schema.fields.map(f => f.name.toLowerCase -> f.dataType.simpleString).toMap
+    val names = (a.schema.fields.map(_.name.toLowerCase) ++
+      b.schema.fields.map(_.name.toLowerCase)).distinct.toSeq
+    names.map { n =>
+      (at.get(n), bt.get(n)) match {
+        case (Some(x), Some(y)) if x == y => ColDiff(n, Some(x), Some(y), "match")
+        case (Some(x), Some(y)) => ColDiff(n, Some(x), Some(y), "type_mismatch")
+        case (Some(x), None) => ColDiff(n, Some(x), None, "a_only")
+        case (None, Some(y)) => ColDiff(n, None, Some(y), "b_only")
+        case _ => throw new IllegalStateException("unreachable")
+      }
+    }
+  }
+
+  sealed trait StringClass
+  /** Consistently-cased UUIDs — usable as a segmentation key via the
+    * 128-bit integer space. */
+  final case class UuidStrings(uppercase: Boolean) extends StringClass
+  /** All characters in the base-66 alphabet — splittable as big-base
+    * numbers for key-range planning. */
+  case object AlphanumStrings extends StringClass
+  /** Anything else: not reliably checksummable as a key (reference marks
+    * plain Text `supported = False` until refined). */
+  case object PlainText extends StringClass
+
+  private val UuidRe =
+    "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$".r
+
+  /** Dynamic type refinement: sample up to `sample` non-null values per
+    * string column and upgrade the column's class when every sampled value
+    * conforms (reference: databases/base.py:1113-1160 _refine_coltypes —
+    * 64-row sample upgrading Text to String_UUID / String_VaryingAlphanum).
+    * Mixed-case UUIDs stay PlainText: casing must be consistent for string
+    * order to match the numeric key order. */
+  def refineStringColumns(df: DataFrame, cols: Seq[String],
+      sample: Int = 64): Map[String, StringClass] =
+    cols.map { c =>
+      val values = df.select(col(c)).where(col(c).isNotNull)
+        .limit(sample).collect().map(_.getString(0))
+      val cls =
+        if (values.nonEmpty && values.forall(v => UuidRe.matches(v))) {
+          val anyUpper = values.exists(_.exists(_.isUpper))
+          val anyLower = values.exists(_.exists(_.isLower))
+          if (anyUpper && anyLower) PlainText
+          else UuidStrings(uppercase = anyUpper)
+        } else if (values.nonEmpty &&
+            values.forall(_.forall(KeySpace.Alphanums.contains(_)))) {
+          AlphanumStrings
+        } else PlainText
+      c -> cls
+    }.toMap
+
+  /** Mutual precision negotiation: both sides compare at the minimum of
+    * their declared timestamp/fraction precisions, so a microsecond source
+    * never checksum-mismatches a millisecond one (reference:
+    * hashdiff_tables.py:118-158). Matters for the md5-parity/pushdown
+    * path; Spark-internal hashdiff hashes raw columns and is unaffected. */
+  def negotiatePrecision(a: TableSegment, b: TableSegment): (TableSegment, TableSegment) = {
+    val fp = math.min(a.fracPrecision, b.fracPrecision)
+    val tp = math.min(a.tsPrecision, b.tsPrecision)
+    (a.copy(fracPrecision = fp, tsPrecision = tp),
+      b.copy(fracPrecision = fp, tsPrecision = tp))
+  }
+}

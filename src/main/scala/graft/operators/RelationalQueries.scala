@@ -202,6 +202,16 @@ object RelationalQueries {
         .orderBy("op", "nationkey")
     }),
 
+    // Multiset (ALL) variants — bag semantics with duplicate counts.
+    "q_set_ops_all" -> ((s, d) => {
+      val a = t(s, d, "supplier").select(col("s_nationkey").as("nationkey"))
+      val b = t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      a.intersectAll(b).withColumn("op", lit("intersect_all"))
+        .union(a.exceptAll(b).withColumn("op", lit("except_all")))
+        .groupBy(col("op"), col("nationkey")).agg(count(lit(1)).as("n"))
+        .orderBy("op", "nationkey")
+    }),
+
     // -- sort / top-k -----------------------------------------------------
     "q_topk" -> ((s, d) =>
       t(s, d, "orders")
@@ -440,6 +450,15 @@ object RelationalQueries {
         |SELECT nationkey, 'union' AS op FROM
         |  (SELECT s_nationkey AS nationkey FROM supplier UNION SELECT c_nationkey FROM customer)
         |ORDER BY op, nationkey""".stripMargin,
+
+    "q_set_ops_all" ->
+      """SELECT op, nationkey, COUNT(*) AS n FROM (
+        |  SELECT nationkey, 'intersect_all' AS op FROM
+        |    (SELECT s_nationkey AS nationkey FROM supplier INTERSECT ALL SELECT c_nationkey FROM customer)
+        |  UNION ALL
+        |  SELECT nationkey, 'except_all' AS op FROM
+        |    (SELECT s_nationkey AS nationkey FROM supplier EXCEPT ALL SELECT c_nationkey FROM customer)
+        |) GROUP BY op, nationkey ORDER BY op, nationkey""".stripMargin,
 
     "q_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
