@@ -26,6 +26,9 @@ object Graft {
       /** Columns excluded from comparison mid-flight — the reference's
         * `ignore_column` re-plan (reference: diff_tables.py:196-199). */
       ignoreColumns: Seq[String] = Nil,
+      /** Columns compared under JSON equivalence: key order and whitespace
+        * differences are not diffs (reference: utils.py:515-536). */
+      jsonColumns: Seq[String] = Nil,
       validateKeys: Boolean = true)
 
   /** Build a diff-scoped segment from any Spark-readable source:
@@ -62,15 +65,16 @@ object Graft {
     }
     val compare = a.relevantCols
       .filterNot(a.keyCols.contains).filterNot(opts.ignoreColumns.contains)
+    val jsonCols = opts.jsonColumns.toSet
     opts.algorithm match {
-      case Algorithm.JoinDiff => JoinDiffer.diff(a.scoped, b.scoped, a.keyCols, compare)
+      case Algorithm.JoinDiff => JoinDiffer.diff(a.scoped, b.scoped, a.keyCols, compare, jsonCols)
       case Algorithm.HashDiff =>
         HashDiffer.diff(a.copy(extraCols = compare), b.copy(extraCols = compare), opts.buckets)
       case Algorithm.Auto =>
         // Spark reads both sides itself — storage is always "the same
         // engine"; hashdiff only pays off when the caller expects few
         // diffs, which Auto cannot know. Default to the single-pass join.
-        JoinDiffer.diff(a.scoped, b.scoped, a.keyCols, compare)
+        JoinDiffer.diff(a.scoped, b.scoped, a.keyCols, compare, jsonCols)
     }
   }
 

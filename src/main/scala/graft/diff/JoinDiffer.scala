@@ -16,9 +16,14 @@ object JoinDiffer {
 
   /** The flagged joined frame: per-key a/b column pairs plus
     * `is_exclusive_a` / `is_exclusive_b` / `is_diff` flags — the direct
-    * analogue of the reference's `_create_outer_join` select list. */
+    * analogue of the reference's `_create_outer_join` select list.
+    *
+    * Columns named in `jsonCols` compare under JSON equivalence — key
+    * order and whitespace do not make a diff (the reference suppresses
+    * equivalent-JSON diffs in hashdiff_tables.py:72-84; here the semantics
+    * sit directly in the join's diff flag, still codegen'd built-ins). */
   def flagged(a: DataFrame, b: DataFrame, keyCols: Seq[String],
-      compareCols: Seq[String]): DataFrame = {
+      compareCols: Seq[String], jsonCols: Set[String] = Set.empty): DataFrame = {
     val cols = keyCols ++ compareCols
     val aa = a.select(cols.map(c => col(c).as(s"a_$c")): _*)
     val bb = b.select(cols.map(c => col(c).as(s"b_$c")): _*)
@@ -28,8 +33,12 @@ object JoinDiffer {
     // versa — PKs are non-null by validation, so null means "no match".
     val exclA = keyCols.map(k => col(s"b_$k").isNull).reduce(_ && _)
     val exclB = keyCols.map(k => col(s"a_$k").isNull).reduce(_ && _)
-    val diffFlags = compareCols.map(c =>
-      (!(col(s"a_$c") <=> col(s"b_$c"))).cast("int").as(s"is_diff_$c"))
+    val diffFlags = compareCols.map { c =>
+      val neq =
+        if (jsonCols.contains(c)) !JsonCompare.jsonEquivalent(col(s"a_$c"), col(s"b_$c"))
+        else !(col(s"a_$c") <=> col(s"b_$c"))
+      neq.cast("int").as(s"is_diff_$c")
+    }
     j.select(
       (exclA.as("is_exclusive_a") +: exclB.as("is_exclusive_b") +:
         diffFlags ++: cols.map(c => col(s"a_$c")) ++: cols.map(c => col(s"b_$c"))): _*)
@@ -39,12 +48,12 @@ object JoinDiffer {
     * ('+', b-side values) for rows new/changed in b. An updated key yields
     * both signs (reference: joindiff_tables.py:168-226 `_diff_segments`). */
   def diff(a: DataFrame, b: DataFrame, keyCols: Seq[String],
-      compareColsIn: Seq[String] = Nil): DataFrame = {
+      compareColsIn: Seq[String] = Nil, jsonCols: Set[String] = Set.empty): DataFrame = {
     val compareCols =
       if (compareColsIn.nonEmpty) compareColsIn
       else a.columns.toSeq.filterNot(keyCols.contains)
     val cols = keyCols ++ compareCols
-    val f = flagged(a, b, keyCols, compareCols)
+    val f = flagged(a, b, keyCols, compareCols, jsonCols)
     val anyDiff = compareCols.map(c => col(s"is_diff_$c") === 1).reduce(_ || _)
     val aRow = struct(lit("-").as("sign") +: cols.map(c => col(s"a_$c").as(c)): _*)
     val bRow = struct(lit("+").as("sign") +: cols.map(c => col(s"b_$c").as(c)): _*)

@@ -136,6 +136,51 @@ object KeySpace {
     def <=(o: KeyVector): Boolean = values.zip(o.values).forall { case (a, b) => a.toBigInt <= b.toBigInt }
   }
 
+  /** Lexicographic-order arithmetic over a bounded compound-key space
+    * (reference: data_diff/lexicographic_space.py:63-165 — written for
+    * hashdiff as an alternative to the product-order mesh, and like there
+    * not wired into the default algorithm).
+    *
+    * Points are vectors with per-dimension bounds [lo_i, hi_i); treating a
+    * point as a mixed-radix number maps the space order-isomorphically onto
+    * [0, ∏ size_i), so add/subtract carry across dimensions and `range`
+    * yields evenly spaced checkpoints in LEXICOGRAPHIC order — the order
+    * compound keys actually sort in, unlike the product-order mesh's
+    * aligned boxes. */
+  final case class BoundedLexicographicSpace(lo: Seq[BigInt], hi: Seq[BigInt]) {
+    require(lo.length == hi.length && lo.nonEmpty, "dimension mismatch")
+    val sizes: Seq[BigInt] = lo.zip(hi).map { case (a, b) => b - a }
+    require(sizes.forall(_ > 0), "empty dimension")
+    val total: BigInt = sizes.product
+
+    def toIndex(p: Seq[BigInt]): BigInt = {
+      require(p.length == lo.length, "dimension mismatch")
+      p.zip(lo).zip(sizes).foldLeft(BigInt(0)) { case (acc, ((v, l), sz)) =>
+        val off = v - l
+        require(off >= 0 && off < sz, s"point component $v out of bounds")
+        acc * sz + off
+      }
+    }
+
+    def fromIndex(i: BigInt): Seq[BigInt] = {
+      require(i >= 0 && i < total, s"index $i out of space")
+      val rev = sizes.reverse.scanLeft((i, BigInt(0))) { case ((rest, _), sz) =>
+        (rest / sz, rest % sz)
+      }.tail.map(_._2)
+      rev.reverse.zip(lo).map { case (off, l) => l + off }
+    }
+
+    /** p + n with carry across dimensions. */
+    def add(p: Seq[BigInt], n: BigInt): Seq[BigInt] = fromIndex(toIndex(p) + n)
+
+    /** Number of points from q to p in lexicographic order. */
+    def subtract(p: Seq[BigInt], q: Seq[BigInt]): BigInt = toIndex(p) - toIndex(q)
+
+    /** `count` evenly spaced interior checkpoints of [from, until). */
+    def range(from: Seq[BigInt], until: Seq[BigInt], count: Int): Seq[Seq[BigInt]] =
+      splitSpace(toIndex(from), toIndex(until), count).map(fromIndex)
+  }
+
   /** N-dimensional mesh of aligned boxes covering the grid; box count is
     * ∏(len_i − 1) (reference: table_segment.py:52-86). */
   def createMeshFromPoints(valuesPerDim: Seq[Seq[Key]]): Seq[(KeyVector, KeyVector)] = {

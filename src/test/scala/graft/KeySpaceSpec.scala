@@ -70,6 +70,20 @@ class KeySpaceSpec extends AnyFunSuite {
     assert(counts.forall(_ > 0))
   }
 
+  test("lexicographic space: mixed-radix carry, order isomorphism, even range") {
+    val sp = graft.diff.KeySpace.BoundedLexicographicSpace(
+      Seq(BigInt(0), BigInt(10)), Seq(BigInt(3), BigInt(14))) // sizes 3 × 4
+    assert(sp.total == 12)
+    // carry: (0,13) + 1 rolls the second dimension over into the first
+    assert(sp.add(Seq(BigInt(0), BigInt(13)), 1) == Seq(BigInt(1), BigInt(10)))
+    assert(sp.subtract(Seq(BigInt(2), BigInt(10)), Seq(BigInt(0), BigInt(10))) == 8)
+    // round trip preserves lexicographic order
+    val pts = (0 until 12).map(i => sp.fromIndex(BigInt(i)))
+    assert(pts == pts.sortBy(p => (p(0), p(1))))
+    val cuts = sp.range(Seq(BigInt(0), BigInt(10)), Seq(BigInt(2), BigInt(10)), 3)
+    assert(cuts.length == 3 && cuts.forall(c => sp.toIndex(c) > 0 && sp.toIndex(c) < 8))
+  }
+
   test("splitByKeyRange partitions a uuid-keyed table exactly") {
     val spark = SparkTest.spark
     import spark.implicits._

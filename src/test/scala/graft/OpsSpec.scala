@@ -128,6 +128,19 @@ class GraftApiSpec extends AnyFunSuite {
       algorithm = Graft.Algorithm.HashDiff, ignoreColumns = Seq("noisy"))).count() == 0)
   }
 
+  test("jsonColumns: reordered keys are not a diff, value changes are") {
+    val a = Seq((1L, """{"x": "1", "y": "2"}"""), (2L, """{"x": "1"}"""))
+      .toDF("k", "props")
+    val b = Seq((1L, """{"y":"2","x":"1"}"""), (2L, """{"x": "9"}"""))
+      .toDF("k", "props")
+    val segA = graft.diff.TableSegment(a, Seq("k"))
+    val segB = graft.diff.TableSegment(b, Seq("k"))
+    assert(Graft.diffTables(segA, segB).count() == 4) // raw strings: both keys differ
+    val equiv = Graft.diffTables(segA, segB, Graft.DiffOptions(jsonColumns = Seq("props")))
+    val keys = equiv.select("k").as[Long].collect().toSet
+    assert(keys == Set(2L)) // key 1 is JSON-equivalent, key 2 genuinely changed
+  }
+
   test("connectToTable reads csv sources and diffs them against parquet") {
     val dir = java.nio.file.Files.createTempDirectory("csvsrc").toString
     val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
