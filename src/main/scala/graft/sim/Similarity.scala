@@ -63,24 +63,51 @@ object Similarity {
   def ivfTopK(vecs: DataFrame, idCol: String, vecCol: String, cellCol: String,
       queryFilter: Column, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dims = vecs.select(col(idCol).as("vid"), col(cellCol).as("cell"),
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val dims = vecs.select(col(idCol).as("vid"), col(cellCol).cast("long").as("cell"),
       posexplode(col(vecCol)).as(Seq("pos", "x")))
       .withColumn("xi", floor(col("x").cast("double") * 1000000).cast("long"))
     val cent = dims.groupBy("cell", "pos")
       .agg(sum(col("xi")).as("sxi"), count(lit(1)).as("n"))
-    // score every vector against every cell centroid — exact integer dot with
-    // the component SUM, then divide by the member count so ranking uses the
-    // MEAN centroid (raw sums would bias assignment toward larger cells).
-    // long→double and one division are exactly-rounded IEEE ops, so the sort
-    // key is bit-identical on any engine; ccell breaks exact ties.
-    val scores = dims.select(col("vid"), col("pos"), col("xi"))
-      .join(broadcast(cent.select(col("cell").as("ccell"), col("pos"), col("sxi"), col("n"))),
-        Seq("pos"))
-      .groupBy("vid", "ccell")
-      .agg((sum(col("xi") * col("sxi")).cast("double") / max(col("n"))).as("score"))
-    val wAssign = Window.partitionBy(col("vid")).orderBy(col("score").desc, col("ccell").asc)
-    val assigned = scores.withColumn("rn", row_number().over(wAssign)).where(col("rn") === 1)
-      .select(col("vid"), col("ccell").as("acell"))
+    // Coarse assignment scores every vector against the MEAN centroid (raw
+    // sums would bias toward larger cells). Centroids are cells×dims longs —
+    // always tiny — so they are collected and broadcast, and assignment is
+    // one NARROW kernel pass (the classic IVF shape) instead of a dims×cells
+    // join + aggregation + window. Arithmetic stays bit-reproducible: exact
+    // integer dot with the component SUM, one exactly-rounded long→double
+    // division by the member count, ascending-cell iteration keeping the
+    // first maximum (ties break to the smallest cell id, like a
+    // (score DESC, cell ASC) rank).
+    val centRows = cent.as[(Long, Int, Long, Long)].collect()
+    val dim = centRows.iterator.map(_._2).max + 1
+    val cells: Array[(Long, Array[Long], Long)] =
+      centRows.groupBy(_._1).toSeq.sortBy(_._1).map { case (cellId, rows) =>
+        val sxi = new Array[Long](dim)
+        rows.foreach(r => sxi(r._2) = r._3)
+        (cellId, sxi, rows.head._4)
+      }.toArray
+    val bcCells = spark.sparkContext.broadcast(cells)
+    val assigned = vecs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { iter =>
+        val cs = bcCells.value
+        iter.map { case (id, v) =>
+          val xi = new Array[Long](v.length)
+          var i = 0
+          while (i < v.length) { xi(i) = math.floor(v(i).toDouble * 1000000).toLong; i += 1 }
+          var bestCell = 0L
+          var bestScore = Double.NegativeInfinity
+          for ((cellId, sxi, n) <- cs) {
+            var s = 0L
+            var p = 0
+            while (p < xi.length) { s += xi(p) * sxi(p); p += 1 }
+            val sc = s.toDouble / n
+            if (sc > bestScore) { bestScore = sc; bestCell = cellId }
+          }
+          (id, bestCell)
+        }
+      }.toDF("vid", "acell")
     // assigned is one row per vector id (small); broadcast keeps the unit
     // vectors from shuffling just to pick up their cell label.
     val unit = withUnitVector(vecs.select(col(idCol).as("uid"), col(vecCol).as("v")), "v", "nv")
