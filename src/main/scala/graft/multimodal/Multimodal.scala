@@ -60,4 +60,51 @@ object Multimodal {
     import spark.implicits._
     extractFeatures(attachPayload(df, idCol, textCol).as[MediaRow])
   }
+
+  case class FrameRow(doc_id: Long, frame_idx: Long, frame: Array[Byte])
+
+  /** Frame sampling: one media payload fans out to every `stride`-th fixed
+    * -width frame — the 1→N generator shape of video frame extraction. The
+    * "frames" here are byte slices (STUB — a real codec yields decoded
+    * images), but the dataflow is the production one: a flatMap generator
+    * per payload, fixed frame schema, output row count decoupled from input
+    * row count, no driver involvement. At scale the output is typically
+    * orders of magnitude larger than the input — repartition AFTER this
+    * stage, not before. */
+  def sampleFrames(rows: Dataset[MediaRow], frameBytes: Int = 64,
+      stride: Int = 2): Dataset[FrameRow] = {
+    import rows.sparkSession.implicits._
+    require(frameBytes > 0 && stride > 0, "frameBytes and stride must be positive")
+    rows.flatMap { r =>
+      val nFrames = r.payload.length / frameBytes
+      (0 until nFrames by stride).iterator.map { f =>
+        FrameRow(r.doc_id, f.toLong,
+          java.util.Arrays.copyOfRange(r.payload, f * frameBytes, (f + 1) * frameBytes))
+      }
+    }
+  }
+
+  /** Resize/re-encode stage: fixed-size output per frame (STUB — averages
+    * byte blocks in place of pixel resampling; deterministic). Real shape:
+    * binary in, smaller fixed-width binary out, pure per-row map. */
+  def resizeFrames(frames: Dataset[FrameRow], outBytes: Int = 16): Dataset[FrameRow] = {
+    import frames.sparkSession.implicits._
+    frames.map { fr =>
+      val in = fr.frame
+      val out = new Array[Byte](outBytes)
+      if (in.nonEmpty) {
+        val block = math.max(1, in.length / outBytes)
+        var o = 0
+        while (o < outBytes) {
+          var s = 0L
+          var i = o * block
+          val end = math.min(in.length, (o + 1) * block)
+          while (i < end) { s += in(i) & 0xff; i += 1 }
+          out(o) = (if (end > o * block) s / (end - o * block) else 0L).toByte
+          o += 1
+        }
+      }
+      FrameRow(fr.doc_id, fr.frame_idx, out)
+    }
+  }
 }

@@ -27,6 +27,21 @@ object MultimodalQueries {
     "q_multimodal_features" -> ((s, d) =>
       Multimodal.featurePipeline(s, Tables.load(s, d, "documents"), "doc_id", "text")
         .toDF().orderBy("doc_id")),
+
+    // Frame sampling: 1→N generator fan-out per payload (every 2nd 64-byte
+    // frame), each frame summarized by an exact byte sum. Documents are
+    // ASCII, so the oracle reproduces byte slices with substring + ascii().
+    "q_multimodal_frames" -> ((s, d) => {
+      import s.implicits._
+      val media = Multimodal
+        .attachPayload(Tables.load(s, d, "documents"), "doc_id", "text")
+        .as[Multimodal.MediaRow]
+      Multimodal.sampleFrames(media, frameBytes = 64, stride = 2)
+        .map(fr => (fr.doc_id, fr.frame_idx, fr.frame.length.toLong,
+          fr.frame.foldLeft(0L)((acc, b) => acc + (b & 0xff))))
+        .toDF("doc_id", "frame_idx", "n_bytes", "byte_sum")
+        .orderBy("doc_id", "frame_idx")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -50,5 +65,16 @@ object MultimodalQueries {
         |      list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
         |      (acc, x) -> (acc * 131 + x) % 1000000007) AS BIGINT) AS checksum8
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id, i AS frame_idx,
+        |    substring(text, CAST(i * 64 + 1 AS INT), 64) AS fr
+        |  FROM documents, unnest(range(0, length(text) // 64)) r(i)
+        |  WHERE i % 2 = 0)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(length(fr) AS BIGINT) AS n_bytes,
+        |  CAST(list_sum([ascii(c) for c in string_split(fr, '')]) AS BIGINT) AS byte_sum
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }

@@ -90,6 +90,22 @@ class MultimodalSpec extends AnyFunSuite {
     val bin = Multimodal.attachPayload(docs, "doc_id", "text")
     assert(bin.schema("payload").dataType == org.apache.spark.sql.types.BinaryType)
   }
+
+  test("frame sampling fans out strided fixed-width frames; resize shrinks them") {
+    import spark.implicits._
+    val media = Seq(Multimodal.MediaRow(1L, "x", Array.tabulate[Byte](20)(_.toByte)))
+      .toDS()
+    val frames = Multimodal.sampleFrames(media, frameBytes = 4, stride = 2).collect()
+    // 5 full frames of 4 bytes, stride 2 → indices 0, 2, 4
+    assert(frames.map(_.frame_idx).toSeq == Seq(0L, 2L, 4L))
+    assert(frames.forall(_.frame.length == 4))
+    assert(frames.find(_.frame_idx == 2L).get.frame.toSeq == Seq[Byte](8, 9, 10, 11))
+    val resized = Multimodal.resizeFrames(Multimodal.sampleFrames(media, 4, 2), outBytes = 2)
+      .collect()
+    assert(resized.forall(_.frame.length == 2))
+    // frame 0 = bytes 0..3 → block averages (0+1)/2=0, (2+3)/2=2
+    assert(resized.find(_.frame_idx == 0L).get.frame.toSeq == Seq[Byte](0, 2))
+  }
 }
 
 class GraftApiSpec extends AnyFunSuite {
