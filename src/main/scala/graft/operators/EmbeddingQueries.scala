@@ -29,6 +29,15 @@ object EmbeddingQueries {
       Similarity.ivfTopK(emb(s, d), "vec_id", "embedding", "label",
         col("vec_id") < 5, k = 8).orderBy("query_id", "rank")),
 
+    // int8 quantization summarized per vector: the dequantization scale and
+    // an md5 signature of the quantized components (proves bit parity of
+    // all 64 rounded values without exploding the output).
+    "q_embedding_quantize" -> ((s, d) =>
+      Similarity.quantizeInt8(emb(s, d), "embedding")
+        .select(col("vec_id"), col("maxabs"),
+          md5(array_join(transform(col("q"), _.cast("string")), ",")).as("qsig"))
+        .orderBy("vec_id")),
+
     "q_embedding_label_centroid_dist" -> ((s, d) => {
       // Per-label centroid, then each vector's dot with its label centroid —
       // the IVF coarse-quantizer building block. Components are quantized
@@ -106,6 +115,18 @@ object EmbeddingQueries {
         |SELECT query_id, neighbor_id, rank, sim FROM (
         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank
         |  FROM sims) WHERE rank <= 8 ORDER BY query_id, rank""".stripMargin,
+
+    "q_embedding_quantize" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |    list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) AS maxabs
+        |  FROM embeddings)
+        |SELECT vec_id, maxabs,
+        |  md5(array_to_string(
+        |    [CASE WHEN maxabs = 0.0 THEN 0
+        |          ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs + 0.5) AS BIGINT) END
+        |     for x in embedding], ',')) AS qsig
+        |FROM m ORDER BY vec_id""".stripMargin,
 
     "q_embedding_label_centroid_dist" ->
       """WITH dims AS (

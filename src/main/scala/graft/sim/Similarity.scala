@@ -125,6 +125,23 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
+  /** Symmetric int8 quantization of an embedding column: each vector is
+    * scaled by its max-abs component onto [-127, 127] and rounded half-up —
+    * the standard memory-reduction step before ANN serving (4× smaller than
+    * float32, 8× than float64). Adds `maxabs` (the dequantization scale)
+    * and `q` (array<long> of quantized components). Every step is an
+    * exactly-rounded IEEE op (multiply, divide, +0.5, floor), so the
+    * quantized values are bit-reproducible on any engine; zero vectors
+    * quantize to zeros. */
+  def quantizeInt8(vecs: DataFrame, vecCol: String): DataFrame = {
+    val absd = transform(col(vecCol), x => abs(x.cast("double")))
+    vecs
+      .withColumn("maxabs", array_max(absd))
+      .withColumn("q", transform(col(vecCol), x =>
+        when(col("maxabs") === 0.0, lit(0L)).otherwise(
+          floor(x.cast("double") * lit(127.0) / col("maxabs") + lit(0.5)).cast("long"))))
+  }
+
   /** All pairs with cosine ≥ threshold (exact, O(n²) — use LSH buckets or
     * an IVF coarse quantizer to restrict candidates at scale).
     *
