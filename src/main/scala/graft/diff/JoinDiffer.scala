@@ -81,6 +81,23 @@ object JoinDiffer {
       sum(when(both && !anyDiff, 1L).otherwise(0L)).as("unchanged"))
   }
 
+  /** Random sample of rows that exist on only one side — the quick "what
+    * got added/removed" peek the reference materializes during joindiff
+    * (reference: joindiff_tables.py:53-54,356-394 `sample`: ORDER BY
+    * random() LIMIT n over exclusive rows). `side` is "a" (removed) or
+    * "b" (added). */
+  def sampleExclusive(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+      side: String, n: Int = 10): DataFrame = {
+    require(side == "a" || side == "b", "side must be 'a' or 'b'")
+    val compareCols = a.columns.toSeq.filterNot(keyCols.contains)
+    val cols = keyCols ++ compareCols
+    flagged(a, b, keyCols, compareCols)
+      .where(col(s"is_exclusive_$side"))
+      .orderBy(rand())
+      .limit(n)
+      .select(cols.map(c => col(s"${side}_$c").as(c)): _*)
+  }
+
   /** Per-column changed-row counts over matched keys
     * (reference: joindiff_tables.py:336-354). */
   def diffCountsPerColumn(a: DataFrame, b: DataFrame, keyCols: Seq[String],

@@ -117,6 +117,16 @@ class JoinDifferSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((1L, 1L, 1L, 1L)))
   }
 
+  test("sampleExclusive returns only one-sided rows with original columns") {
+    val (a, b) = sides
+    val removed = JoinDiffer.sampleExclusive(a, b, Seq("k"), "a", n = 10)
+      .select("k", "s").as[(Long, String)].collect().toSet
+    val added = JoinDiffer.sampleExclusive(a, b, Seq("k"), "b", n = 10)
+      .select("k", "s").as[(Long, String)].collect().toSet
+    assert(removed == Set((1L, "a"))) // only in a
+    assert(added == Set((4L, "d")))   // only in b
+  }
+
   test("null-safe compare: null vs null is not a diff") {
     val a = Seq((1L, Option.empty[String])).toDF("k", "s")
     val b = Seq((1L, Option.empty[String])).toDF("k", "s")
