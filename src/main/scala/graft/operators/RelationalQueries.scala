@@ -239,6 +239,43 @@ object RelationalQueries {
         .orderBy("user_id", "event_id")
     }),
 
+    // Navigation functions over each user's event timeline.
+    "q_window_nav" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").asc)
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          lag(col("event_id"), 1).over(w).as("prev_id"),
+          lead(col("event_id"), 1).over(w).as("next_id"),
+          first(col("event_id")).over(w).as("first_id"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // ntile — the window-based segmenter (SURVEY §2.5: the idiomatic
+    // single-source alternative to key-range arithmetic). Total order via
+    // the unique key tiebreak makes tile assignment deterministic.
+    "q_window_ntile" -> ((s, d) => {
+      val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      t(s, d, "orders")
+        .select(col("o_orderkey"), ntile(8).over(w).cast("long").as("tile"))
+        .groupBy(col("tile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+        .orderBy("tile")
+    }),
+
+    // RANGE frame: value-based window over epoch seconds — each event sums
+    // the user's values in the preceding hour (inclusive), exact decimals.
+    "q_window_range" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("es").asc)
+        .rangeBetween(-3600L, Window.currentRow)
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("es"),
+          dec2(col("value")).as("v"))
+        .withColumn("hour_sum", sum(col("v")).over(w).cast("double"))
+        .select("user_id", "event_id", "es", "hour_sum")
+        .orderBy("user_id", "event_id")
+    }),
+
     "q_join_right" -> ((s, d) => {
       val o = t(s, d, "orders")
       val c = t(s, d, "customer")
@@ -476,6 +513,33 @@ object RelationalQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY event_id ASC
         |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "q_window_nav" ->
+      """SELECT user_id, event_id,
+        |  lag(event_id, 1) OVER w AS prev_id,
+        |  lead(event_id, 1) OVER w AS next_id,
+        |  first_value(event_id) OVER w AS first_id
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id ASC)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_window_ntile" ->
+      """SELECT tile, COUNT(*) AS n,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM (
+        |  SELECT o_orderkey,
+        |    CAST(ntile(8) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS BIGINT) AS tile
+        |  FROM orders)
+        |GROUP BY tile ORDER BY tile""".stripMargin,
+
+    "q_window_range" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS es,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events)
+        |SELECT user_id, event_id, es,
+        |  CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY es ASC
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_sum
+        |FROM e ORDER BY user_id, event_id""".stripMargin,
 
     "q_join_right" ->
       """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
