@@ -162,6 +162,22 @@ object Dedup {
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** Benchmark decontamination: ids of corpus documents sharing at least
+    * one word n-gram with ANY benchmark document — training-data hygiene,
+    * dropping pretraining docs that leak evaluation content. The benchmark
+    * index (distinct 48-bit shingle hashes of a small eval set) is
+    * broadcast; the corpus side left-semi-joins against it, so corpus text
+    * never shuffles and the corpus-side cost is one narrow hash pass. */
+  def contaminatedIds(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    val bench = shingleIndexRaw(benchmark, idCol, textCol, n)
+      .select(md5Int48(col("s")).as("h")).distinct()
+    shingleIndexRaw(corpus, idCol, textCol, n)
+      .select(col("doc_id"), md5Int48(col("s")).as("h"))
+      .join(broadcast(bench), Seq("h"), "left_semi")
+      .select("doc_id").distinct()
+  }
+
   /** Connected components over an undirected pair list — the step after
     * candidate generation (LSH/Jaccard) that turns near-dup PAIRS into
     * dedup GROUPS: each doc gets the minimum doc id reachable from it, the

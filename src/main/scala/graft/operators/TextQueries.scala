@@ -83,6 +83,29 @@ object TextQueries {
       Dedup.connectedComponents(
         Dedup.minhashCandidates(docs(s, d), "doc_id", "text"), "doc_a", "doc_b")
         .orderBy("id")),
+
+    // Benchmark decontamination: docs 0-9 play the eval set; any other doc
+    // sharing a 5-gram with them is flagged for exclusion.
+    "q_decontaminate" -> ((s, d) => {
+      val dd = docs(s, d)
+      Dedup.contaminatedIds(
+        dd.where(col("doc_id") >= 10), dd.where(col("doc_id") < 10),
+        "doc_id", "text", n = 5)
+        .orderBy("doc_id")
+    }),
+
+    // The curation composite: one pipeline keeping canonical (non-dup),
+    // quality-passing, language-consistent documents — the operators above
+    // composed the way a pretraining corpus build actually chains them.
+    "q_corpus_curation" -> ((s, d) => {
+      val dd = docs(s, d)
+      val canon = Dedup.exactGroups(dd, "doc_id", "text")
+        .select(col("canonical_id").as("cid"))
+      dd.join(canon, col("doc_id") === col("cid"), "left_semi")
+        .where(qualityScore(col("text")) >= 70 && predictLang(col("text")) === col("lang"))
+        .select(col("doc_id"), col("lang"), qualityScore(col("text")).as("score"))
+        .orderBy("doc_id")
+    }),
   )
 
   // ---- oracle SQL ------------------------------------------------------
@@ -91,6 +114,24 @@ object TextQueries {
   private val shingles =
     s"list_distinct([t.toks[i] || ' ' || t.toks[i+1] || ' ' || t.toks[i+2] for i in range(1, len(t.toks)-1)])"
   private val stopList = "('the','a','of','and','to','in','is')"
+
+  private val scoreSql =
+    s"""(CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 40 ELSE 10 END)
+       |     + (CASE WHEN len($toks) >= 20 THEN 30 ELSE 10 END)
+       |     + (CASE WHEN len([t for t in $toks if t IN $stopList]) > 0 THEN 30 ELSE 0 END)""".stripMargin
+
+  private val predictedLangSql =
+    s"""CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
+       |     WHEN len([t for t in $toks if t IN ('el','la','de','los','que')]) >
+       |          greatest(len([t for t in $toks if t IN ('the','a','of','and','to')]),
+       |                   len([t for t in $toks if t IN ('le','et','les','une','dans')]),
+       |                   len([t for t in $toks if t IN ('der','die','das','und','ist')])) THEN 'es'
+       |     WHEN len([t for t in $toks if t IN ('le','et','les','une','dans')]) >
+       |          greatest(len([t for t in $toks if t IN ('the','a','of','and','to')]),
+       |                   len([t for t in $toks if t IN ('der','die','das','und','ist')])) THEN 'fr'
+       |     WHEN len([t for t in $toks if t IN ('der','die','das','und','ist')]) >
+       |          len([t for t in $toks if t IN ('the','a','of','and','to')]) THEN 'de'
+       |     ELSE 'en' END""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q_token_count" ->
@@ -109,18 +150,27 @@ object TextQueries {
 
     "q_lang_id" ->
       s"""SELECT doc_id, lang,
-         |  CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
-         |       WHEN len([t for t in $toks if t IN ('el','la','de','los','que')]) >
-         |            greatest(len([t for t in $toks if t IN ('the','a','of','and','to')]),
-         |                     len([t for t in $toks if t IN ('le','et','les','une','dans')]),
-         |                     len([t for t in $toks if t IN ('der','die','das','und','ist')])) THEN 'es'
-         |       WHEN len([t for t in $toks if t IN ('le','et','les','une','dans')]) >
-         |            greatest(len([t for t in $toks if t IN ('the','a','of','and','to')]),
-         |                     len([t for t in $toks if t IN ('der','die','das','und','ist')])) THEN 'fr'
-         |       WHEN len([t for t in $toks if t IN ('der','die','das','und','ist')]) >
-         |            len([t for t in $toks if t IN ('the','a','of','and','to')]) THEN 'de'
-         |       ELSE 'en' END AS predicted_lang
+         |  $predictedLangSql AS predicted_lang
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH b AS (
+        |  SELECT DISTINCT ('0x' || substring(md5(s), 1, 12))::BIGINT AS h FROM (
+        |    SELECT unnest([array_to_string(t.toks[i:i+4], ' ') for i in range(1, len(t.toks)-3)]) AS s
+        |    FROM (SELECT string_split(trim(text), ' ') AS toks FROM documents WHERE doc_id < 10) t)),
+        |c AS (
+        |  SELECT doc_id, ('0x' || substring(md5(s), 1, 12))::BIGINT AS h FROM (
+        |    SELECT doc_id, unnest([array_to_string(t.toks[i:i+4], ' ') for i in range(1, len(t.toks)-3)]) AS s
+        |    FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents WHERE doc_id >= 10) t))
+        |SELECT DISTINCT doc_id FROM c WHERE h IN (SELECT h FROM b) ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_curation" ->
+      s"""SELECT doc_id, lang, CAST($scoreSql AS BIGINT) AS score
+         |FROM documents
+         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+         |  AND $scoreSql >= 70
+         |  AND ($predictedLangSql) = lang
+         |ORDER BY doc_id""".stripMargin,
 
     "q_fingerprint" ->
       """SELECT doc_id,
