@@ -69,7 +69,8 @@ object Graft {
     opts.algorithm match {
       case Algorithm.JoinDiff => JoinDiffer.diff(a.scoped, b.scoped, a.keyCols, compare, jsonCols)
       case Algorithm.HashDiff =>
-        HashDiffer.diff(a.copy(extraCols = compare), b.copy(extraCols = compare), opts.buckets)
+        HashDiffer.diff(a.copy(extraCols = compare), b.copy(extraCols = compare), opts.buckets,
+          jsonCols = jsonCols)
       case Algorithm.Auto =>
         // Spark reads both sides itself — storage is always "the same
         // engine"; hashdiff only pays off when the caller expects few

@@ -59,7 +59,9 @@ object Cli {
   case class Args(
       sourceA: String = "", sourceB: String = "",
       keys: Seq[String] = Nil, cols: Seq[String] = Nil,
-      ignore: Seq[String] = Nil, algorithm: String = "auto",
+      // empty = not set on the command line ("auto" must remain an EXPLICIT
+      // choice so a config file cannot override it)
+      ignore: Seq[String] = Nil, algorithm: String = "",
       stats: Boolean = false, json: Boolean = false, limit: Option[Int] = None,
       updateColumn: Option[String] = None,
       minAge: Option[String] = None, maxAge: Option[String] = None,
@@ -129,7 +131,8 @@ object Cli {
       val algo = a.algorithm match {
         case "joindiff" => Graft.Algorithm.JoinDiff
         case "hashdiff" => Graft.Algorithm.HashDiff
-        case _ => Graft.Algorithm.Auto
+        case "" | "auto" => Graft.Algorithm.Auto
+        case other => throw new IllegalArgumentException(s"unknown algorithm: $other")
       }
       val diff = Graft.diffTables(segA, segB,
         Graft.DiffOptions(algorithm = algo, ignoreColumns = a.ignore))

@@ -65,7 +65,7 @@ object Config {
       keys = if (a.keys.nonEmpty) a.keys else get("key_columns").getOrElse(Nil),
       cols = if (a.cols.nonEmpty) a.cols else get("columns").getOrElse(Nil),
       ignore = if (a.ignore.nonEmpty) a.ignore else get("ignore").getOrElse(Nil),
-      algorithm = if (a.algorithm != "auto") a.algorithm else one("algorithm").getOrElse("auto"),
+      algorithm = if (a.algorithm.nonEmpty) a.algorithm else one("algorithm").getOrElse(""),
       updateColumn = a.updateColumn.orElse(one("update_column")),
       minAge = a.minAge.orElse(one("min_age")),
       maxAge = a.maxAge.orElse(one("max_age")),

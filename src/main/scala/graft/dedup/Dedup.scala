@@ -221,6 +221,10 @@ object Dedup {
       round += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds " +
+          "(graph diameter exceeds maxRounds — raise it, or pre-contract with large-star/small-star)")
     labels
   }
 

@@ -50,17 +50,22 @@ object HashDiffer {
     * only the dirty fraction and shrinks the final exchange by up to the
     * refine factor. */
   def diff(a: TableSegment, b: TableSegment, buckets: Int = 1024,
-      refineFactor: Int = 1): DataFrame = {
+      refineFactor: Int = 1, jsonCols: Set[String] = Set.empty): DataFrame = {
     val compare = a.relevantCols.filterNot(a.keyCols.contains)
-    def emptyDiff = JoinDiffer.diff(a.scoped, b.scoped, a.keyCols, compare).where(lit(false))
+    def emptyDiff =
+      JoinDiffer.diff(a.scoped, b.scoped, a.keyCols, compare, jsonCols).where(lit(false))
 
+    // jsonCols note: the bucket checksums hash raw strings, so a JSON-
+    // equivalent-but-reordered payload makes its bucket dirty — that only
+    // costs the bucket a trip through the final join, where the JSON-
+    // equivalence flag correctly suppresses the row.
     val dirty = dirtyBuckets(a, b, buckets)
     if (dirty.isEmpty) return emptyDiff
     // Every bucket differs → diffs are dense and the bucket filters would
     // only add per-row hashing to the full join; go straight to joindiff
     // (the reference likewise stops bisecting segments that all differ).
     if (dirty.length == buckets)
-      return JoinDiffer.diff(a.scoped, b.scoped, a.keyCols, compare)
+      return JoinDiffer.diff(a.scoped, b.scoped, a.keyCols, compare, jsonCols)
     val fA = a.withExtraFilter(bucketOf(a.keyCols, buckets).isin(dirty.toSeq: _*))
     val fB = b.withExtraFilter(bucketOf(b.keyCols, buckets).isin(dirty.toSeq: _*))
 
@@ -73,6 +78,6 @@ object HashDiffer {
         (fA.withExtraFilter(bucketOf(a.keyCols, fine).isin(dirtyFine.toSeq: _*)),
           fB.withExtraFilter(bucketOf(b.keyCols, fine).isin(dirtyFine.toSeq: _*)))
       }
-    JoinDiffer.diff(finalA.scoped, finalB.scoped, a.keyCols, compare)
+    JoinDiffer.diff(finalA.scoped, finalB.scoped, a.keyCols, compare, jsonCols)
   }
 }

@@ -24,7 +24,14 @@ object JsonCompare {
         org.apache.spark.sql.types.StringType,
         org.apache.spark.sql.types.StringType))))))
 
-  /** Null-safe equivalence of two JSON columns under canonicalization. */
-  def jsonEquivalent(a: Column, b: Column): Column =
-    canonicalize(a) <=> canonicalize(b)
+  /** Null-safe equivalence of two JSON columns under canonicalization.
+    * Canonicalization maps NULL, malformed, and non-flat payloads all to
+    * NULL — those must NOT compare equal to each other, so equivalence
+    * requires EITHER matching non-null canonical forms OR raw equality
+    * (which also keeps byte-identical nested payloads equivalent). */
+  def jsonEquivalent(a: Column, b: Column): Column = {
+    val ca = canonicalize(a)
+    val cb = canonicalize(b)
+    ((ca <=> cb) && ca.isNotNull) || (a <=> b)
+  }
 }

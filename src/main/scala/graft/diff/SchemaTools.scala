@@ -53,22 +53,27 @@ object SchemaTools {
     * Mixed-case UUIDs stay PlainText: casing must be consistent for string
     * order to match the numeric key order. */
   def refineStringColumns(df: DataFrame, cols: Seq[String],
-      sample: Int = 64): Map[String, StringClass] =
-    cols.map { c =>
-      val values = df.select(col(c)).where(col(c).isNotNull)
-        .limit(sample).collect().map(_.getString(0))
+      sample: Int = 64): Map[String, StringClass] = {
+    // ONE sampling job for all columns (the reference samples the table
+    // once, not once per column); non-string values classify as PlainText
+    // instead of failing mid-scan.
+    val rows = df.select(cols.map(col): _*).limit(sample).collect()
+    cols.zipWithIndex.map { case (c, i) =>
+      val values = rows.flatMap(r => Option(r.get(i))).collect { case s: String => s }
+      val nonNullCount = rows.count(!_.isNullAt(i))
       val cls =
-        if (values.nonEmpty && values.forall(v => UuidRe.matches(v))) {
+        if (values.length != nonNullCount || values.isEmpty) PlainText
+        else if (values.forall(v => UuidRe.matches(v))) {
           val anyUpper = values.exists(_.exists(_.isUpper))
           val anyLower = values.exists(_.exists(_.isLower))
           if (anyUpper && anyLower) PlainText
           else UuidStrings(uppercase = anyUpper)
-        } else if (values.nonEmpty &&
-            values.forall(_.forall(KeySpace.Alphanums.contains(_)))) {
+        } else if (values.forall(_.forall(KeySpace.Alphanums.contains(_)))) {
           AlphanumStrings
         } else PlainText
       c -> cls
     }.toMap
+  }
 
   /** Mutual precision negotiation: both sides compare at the minimum of
     * their declared timestamp/fraction precisions, so a microsecond source

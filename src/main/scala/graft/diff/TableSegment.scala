@@ -80,11 +80,18 @@ final case class TableSegment(
     * hashed by this engine, so cross-engine string parity buys nothing;
     * raw-column hashing also matches JoinDiffer's raw `<=>` compare exactly
     * and skips normalization + md5 (several× cheaper per row). The exact
-    * DECIMAL(38,0) sum cannot overflow at any row count. */
-  def fastBucketChecksums(bucketCol: Column): DataFrame =
+    * DECIMAL(38,0) sum cannot overflow at any row count.
+    *
+    * xxhash64 SKIPS null inputs (the running hash passes through), so each
+    * column is paired with its null flag — otherwise a value migrating
+    * between adjacent columns via nulls, e.g. ('x', null) vs (null, 'x'),
+    * would collide and the diff would be silently pruned. */
+  def fastBucketChecksums(bucketCol: Column): DataFrame = {
+    val hashed = xxhash64(relevantCols.flatMap(c => Seq(col(c), col(c).isNull)): _*)
     scoped.groupBy(bucketCol.as("bucket"))
       .agg(count(lit(1)).as("cnt"),
-        sum(xxhash64(relevantCols.map(col): _*).cast(DecimalType(38, 0))).as("checksum"))
+        sum(hashed.cast(DecimalType(38, 0))).as("checksum"))
+  }
 
   /** Min/max over the key columns (reference: table_segment.py:260-275). */
   def keyRange(): DataFrame = {

@@ -31,24 +31,28 @@ object TemporalJoins {
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
       leftTs: String, rightTs: String, payloadCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    val rightSchema = right.select(payloadCols.map(col): _*).schema
+    val payloadType = org.apache.spark.sql.types.StructType(
+      right.select(payloadCols.map(col): _*).schema.fields)
+    // the payload travels as ONE struct: the struct itself is non-null for
+    // every right row even when members are null, so the window fill cannot
+    // splice member values from DIFFERENT right rows (a per-column
+    // last(ignoreNulls) would skip a legitimately-null member and reach
+    // back to an older row's value).
     val l2 = left
       .select(Seq(col(keyCol).as("_k"), col(leftTs).as("_t"), lit(1).as("_side"))
-        ++ leftCols.map(col)
-        ++ payloadCols.map(c => lit(null).cast(rightSchema(c).dataType).as(c)): _*)
+        ++ leftCols.map(col) :+ lit(null).cast(payloadType).as("_p"): _*)
     val leftSchema = left.schema
     val r2 = right
       .select(Seq(col(keyCol).as("_k"), col(rightTs).as("_t"), lit(0).as("_side"))
         ++ leftCols.map(c => lit(null).cast(leftSchema(c).dataType).as(c))
-        ++ payloadCols.map(col): _*)
+        :+ struct(payloadCols.map(col): _*).as("_p"): _*)
     // at equal timestamps the right row sorts first (side 0 < 1) → "≤" semantics
     val w = Window.partitionBy("_k").orderBy(col("_t").asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payloadCols.foldLeft(l2.unionByName(r2)) { (d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.where(col("_side") === 1)
-      .select((leftCols ++ payloadCols).map(col): _*)
+    l2.unionByName(r2)
+      .withColumn("_p", last(col("_p"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
+      .select(leftCols.map(col) ++ payloadCols.map(c => col("_p").getField(c).as(c)): _*)
   }
 
   /** Inner range join: pairs (l, r) with equal keys and
@@ -69,6 +73,12 @@ object TemporalJoins {
       loCol: String, hiCol: String, rightTs: String, binWidth: Long): DataFrame = {
     val r2 = right.withColumn("_bin", floor(col(rightTs) / binWidth))
     val l2 = left
+      // interval wider than the bin would span >2 bins and silently DROP
+      // matches — fail loudly per row instead (data-dependent, so it can't
+      // be a static require)
+      .where(when(col(hiCol) - col(loCol) <= binWidth, lit(true))
+        .otherwise(raise_error(concat(
+          lit(s"rangeJoin: interval wider than binWidth=$binWidth at $loCol="), col(loCol).cast("string")))))
       .withColumn("_bin0", floor(col(loCol) / binWidth))
       .withColumn("_bin", explode(array(col("_bin0"), col("_bin0") + 1)))
       .drop("_bin0")

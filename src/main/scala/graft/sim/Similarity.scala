@@ -80,6 +80,9 @@ object Similarity {
     // first maximum (ties break to the smallest cell id, like a
     // (score DESC, cell ASC) rank).
     val centRows = cent.as[(Long, Int, Long, Long)].collect()
+    if (centRows.isEmpty)
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("query_id", "neighbor_id", "rank", "sim")
     val dim = centRows.iterator.map(_._2).max + 1
     val cells: Array[(Long, Array[Long], Long)] =
       centRows.groupBy(_._1).toSeq.sortBy(_._1).map { case (cellId, rows) =>
@@ -88,14 +91,15 @@ object Similarity {
         (cellId, sxi, rows.head._4)
       }.toArray
     val bcCells = spark.sparkContext.broadcast(cells)
-    val assigned = vecs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .as[(Long, Array[Float])]
+    val assigned = vecs
+      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
       .mapPartitions { iter =>
         val cs = bcCells.value
         iter.map { case (id, v) =>
           val xi = new Array[Long](v.length)
           var i = 0
-          while (i < v.length) { xi(i) = math.floor(v(i).toDouble * 1000000).toLong; i += 1 }
+          while (i < v.length) { xi(i) = math.floor(v(i) * 1000000).toLong; i += 1 }
           var bestCell = 0L
           var bestScore = Double.NegativeInfinity
           for ((cellId, sxi, n) <- cs) {
@@ -167,7 +171,11 @@ object Similarity {
       .as[(Long, Array[Double])]
     val bc = spark.sparkContext.broadcast(
       unit.collect().sortBy(_._1))
-    val pairs = unit.mapPartitions { iter =>
+    // stream the already-collected vectors back out instead of re-evaluating
+    // the normalization pipeline a second time for the probe side
+    val probes = spark.createDataset(spark.sparkContext.parallelize(
+      bc.value.toIndexedSeq, spark.sparkContext.defaultParallelism))
+    val pairs = probes.mapPartitions { iter =>
       val cands = bc.value
       val ids = cands.map(_._1)
       iter.flatMap { case (ida, va) =>

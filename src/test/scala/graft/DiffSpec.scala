@@ -127,6 +127,28 @@ class JoinDifferSpec extends AnyFunSuite {
     assert(added == Set((4L, "d")))   // only in b
   }
 
+  test("hashdiff catches a value migrating between columns via nulls") {
+    // xxhash64 skips nulls — without per-column null flags these rows
+    // would collide and the diff would be silently pruned
+    val a = Seq((1L, Option("x"), Option.empty[String])).toDF("k", "c1", "c2")
+    val b = Seq((1L, Option.empty[String], Option("x"))).toDF("k", "c1", "c2")
+    val d = graft.diff.HashDiffer.diff(
+      graft.diff.TableSegment(a, Seq("k")), graft.diff.TableSegment(b, Seq("k")), buckets = 4)
+    assert(d.count() == 2) // '-' old + '+' new
+  }
+
+  test("json equivalence: null vs malformed vs nested payloads are not conflated") {
+    import org.apache.spark.sql.functions.col
+    val eq = (x: Option[String], y: Option[String]) =>
+      Seq((x, y)).toDF("a", "b")
+        .select(graft.diff.JsonCompare.jsonEquivalent(col("a"), col("b"))).head().getBoolean(0)
+    assert(!eq(None, Some("not-json")))                      // null vs garbage
+    assert(!eq(Some("""{"a":{"x":1}}"""), Some("""{"a":{"x":2}}"""))) // different nested
+    assert(eq(Some("""{"a":{"x":1}}"""), Some("""{"a":{"x":1}}"""))) // identical nested (raw)
+    assert(eq(None, None))                                   // both absent
+    assert(eq(Some("""{"x":"1","y":"2"}"""), Some("""{"y":"2","x":"1"}"""))) // reordered flat
+  }
+
   test("null-safe compare: null vs null is not a diff") {
     val a = Seq((1L, Option.empty[String])).toDF("k", "s")
     val b = Seq((1L, Option.empty[String])).toDF("k", "s")

@@ -17,6 +17,24 @@ class TemporalJoinsSpec extends AnyFunSuite {
     (1L, 5L, "a"), (1L, 10L, "b"), (1L, 15L, "c"), (2L, 7L, "d")
   ).toDF("k", "rt", "v")
 
+  test("asof: a legitimately-null payload member does not pull older rows' values") {
+    val l = Seq((100L, 1L, 30L)).toDF("lid", "k", "lt")
+    val r = Seq((1L, 10L, Option("old")), (1L, 20L, Option.empty[String]))
+      .toDF("k", "rt", "note")
+    val row = TemporalJoins.asofJoin(l, r, "k", "lt", "rt", Seq("rt", "note")).head()
+    // the match is the rt=20 row WITH its null note — not a splice of rt=20 + note="old"
+    assert(row.getLong(3) == 20L && row.isNullAt(4))
+  }
+
+  test("range join rejects intervals wider than the bin") {
+    val l = Seq((1L, 1L)).toDF("lid", "k")
+      .withColumn("lo", org.apache.spark.sql.functions.lit(0L))
+      .withColumn("hi", org.apache.spark.sql.functions.lit(25L))
+    val r = Seq((1L, 22L)).toDF("rk", "rt")
+    assertThrows[Exception](
+      TemporalJoins.rangeJoin(l, r, "k", "rk", "lo", "hi", "rt", 10L).collect())
+  }
+
   test("asof: greatest right ts <= left ts per key, null when none") {
     val out = TemporalJoins.asofJoin(left, right, "k", "lt", "rt", Seq("rt", "v"))
       .collect().map(r => r.getLong(0) -> (Option(r.get(3)), Option(r.get(4)))).toMap
