@@ -123,6 +123,26 @@ object RelationalQueries {
         .orderBy("col_name")
     }),
 
+    // KMV (k-minimum-values) sketch — the other classic distinct-count
+    // sketch: keep the k smallest distinct 48-bit hashes; the k-th smallest
+    // estimates density, est = (k−1)·2^48 / h_k. Hash order makes the
+    // bottom-k fully deterministic; the global top-k runs as
+    // TakeOrderedAndProject (map-side partial top-k, no full sort). The
+    // same bottom-k set doubles as a deterministic uniform sample.
+    "q_kmv_distinct" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val h = conv(substring(md5(col("l_orderkey").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+      val bottomK = li.where(col("l_orderkey").isNotNull)
+        .select(h.as("h")).distinct()
+        .orderBy(col("h").asc).limit(256)
+      bottomK.agg(count(lit(1)).as("k_used"), max(col("h")).as("hk"))
+        .select(col("k_used"), col("hk"),
+          ((col("k_used") - 1).cast("double") * lit(281474976710656.0)
+            / col("hk").cast("double")).as("n_kmv"))
+        .crossJoin(li.agg(countDistinct(col("l_orderkey")).as("n_exact")))
+    }),
+
     "q_rollup" -> ((s, d) =>
       t(s, d, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -431,6 +451,17 @@ object RelationalQueries {
 
     "q_approx_distinct" ->
       s"${hllOracleSql("l_orderkey")}\nUNION ALL\n${hllOracleSql("l_partkey")}\nORDER BY col_name",
+
+    "q_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT ('0x' || substring(md5(l_orderkey::VARCHAR), 1, 12))::BIGINT AS h
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL),
+        |k AS (SELECT h FROM h ORDER BY h ASC LIMIT 256),
+        |s AS (SELECT COUNT(*) AS k_used, max(h) AS hk FROM k)
+        |SELECT k_used, hk,
+        |  (k_used - 1)::DOUBLE * 281474976710656.0 / CAST(hk AS DOUBLE) AS n_kmv,
+        |  (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS n_exact
+        |FROM s""".stripMargin,
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
