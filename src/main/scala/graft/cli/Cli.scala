@@ -116,7 +116,12 @@ object Cli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try {
+    try run(a, spark) finally spark.stop()
+  }
+
+  /** The CLI body, separated from session lifecycle so tests (or an
+    * embedding application) can drive it on their own session. */
+  def run(a: Args, spark: SparkSession): Unit = {
       val now = java.time.Instant.now()
       def ageBound(age: Option[String]) =
         age.map(s => java.sql.Timestamp.from(now.minus(ParseTime.parseTimeDelta(s))))
@@ -144,6 +149,5 @@ object Cli {
         val s = DiffFormat.collectStats(Graft.diffStats(segA, segB))
         println(DiffFormat.statsString(s))
       }
-    } finally spark.stop()
   }
 }

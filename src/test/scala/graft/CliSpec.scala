@@ -38,6 +38,34 @@ class CliArgsSpec extends AnyFunSuite {
   }
 }
 
+class CliEndToEndSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  test("full CLI path: config file + flags → diff lines on stdout") {
+    val dir = java.nio.file.Files.createTempDirectory("clie2e").toString
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").write.parquet(s"$dir/ta")
+    Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("k", "v").write.parquet(s"$dir/tb")
+    val conf = s"$dir/conf.toml"
+    java.nio.file.Files.write(java.nio.file.Paths.get(conf),
+      s"""[run.t]
+         |source_a = "$dir/ta"
+         |source_b = "$dir/tb"
+         |key_columns = ["k"]
+         |""".stripMargin.getBytes("UTF-8"))
+    val out = new java.io.ByteArrayOutputStream
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      Cli.run(Cli.parseArgs(Array("--conf", conf, "--run", "t", "--json", "--stats")), spark)
+    }
+    val text = out.toString("UTF-8")
+    val lines = text.linesIterator.filter(_.startsWith("{")).toSeq
+    // k=2 updated (both signs), k=3 removed, k=4 added → 4 jsonl rows
+    assert(lines.size == 4)
+    assert(lines.count(_.contains("\"-\"")) == 2 && lines.count(_.contains("\"+\"")) == 2)
+    assert(text.contains("1 rows removed") || text.toLowerCase.contains("removed"))
+  }
+}
+
 class ConfigSpec extends AnyFunSuite {
   private val toml =
     """# run configurations
