@@ -84,6 +84,22 @@ object TextQueries {
         Dedup.minhashCandidates(docs(s, d), "doc_id", "text"), "doc_a", "doc_b")
         .orderBy("id")),
 
+    // Survivor selection: near-dup groups keep their highest-quality member
+    // (score, then min id) — curation prefers the best copy, not the
+    // smallest id.
+    "q_dedup_survivors" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dd = docs(s, d)
+      val comps = Dedup.connectedComponents(
+        Dedup.minhashCandidates(dd, "doc_id", "text"), "doc_a", "doc_b")
+      val scored = comps.join(
+        dd.select(col("doc_id").as("id"), qualityScore(col("text")).as("score")), Seq("id"))
+      val w = Window.partitionBy(col("comp")).orderBy(col("score").desc, col("id").asc)
+      scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("comp"), col("id").as("survivor_id"), col("score"))
+        .orderBy("comp")
+    }),
+
     // Benchmark decontamination: docs 0-9 play the eval set; any other doc
     // sharing a 5-gram with them is flagged for exclusion.
     "q_decontaminate" -> ((s, d) => {
@@ -119,6 +135,32 @@ object TextQueries {
     s"""(CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 40 ELSE 10 END)
        |     + (CASE WHEN len($toks) >= 20 THEN 30 ELSE 10 END)
        |     + (CASE WHEN len([t for t in $toks if t IN $stopList]) > 0 THEN 30 ELSE 0 END)""".stripMargin
+
+  /** Shared CTE chain: minhash LSH candidates → symmetric edges → recursive
+    * min-label walk (components read via `SELECT id, min(comp) FROM walk
+    * GROUP BY id`). */
+  private val componentsWith =
+    s"""WITH RECURSIVE hs AS (
+       |  SELECT doc_id, [('0x' || substring(md5(s), 1, 12))::BIGINT for s in $shingles] AS hl
+       |  FROM (SELECT doc_id, $toks AS toks FROM documents) t),
+       |sig AS (
+       |  SELECT doc_id,
+       |    [list_min([((2*i+1)*h + 7919*i) % ${graft.dedup.Dedup.MinhashMod} for h in hl]) for i in range(0, 64)] AS sg
+       |  FROM hs WHERE len(hl) > 0),
+       |bands AS (
+       |  SELECT doc_id, b,
+       |    md5(array_to_string(list_transform(sg[b*4+1:b*4+4], v -> v::VARCHAR), ',')) AS bh
+       |  FROM sig, range(16) r(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM cand
+       |  UNION ALL SELECT doc_b, doc_a FROM cand),
+       |walk(id, comp) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.id)""".stripMargin
 
   private val predictedLangSql =
     s"""CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
@@ -218,28 +260,18 @@ object TextQueries {
          |ORDER BY doc_id, rnk""".stripMargin,
 
     "q_dedup_components" ->
-      s"""WITH RECURSIVE hs AS (
-         |  SELECT doc_id, [('0x' || substring(md5(s), 1, 12))::BIGINT for s in $shingles] AS hl
-         |  FROM (SELECT doc_id, $toks AS toks FROM documents) t),
-         |sig AS (
-         |  SELECT doc_id,
-         |    [list_min([((2*i+1)*h + 7919*i) % ${graft.dedup.Dedup.MinhashMod} for h in hl]) for i in range(0, 64)] AS sg
-         |  FROM hs WHERE len(hl) > 0),
-         |bands AS (
-         |  SELECT doc_id, b,
-         |    md5(array_to_string(list_transform(sg[b*4+1:b*4+4], v -> v::VARCHAR), ',')) AS bh
-         |  FROM sig, range(16) r(b)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
-         |edges AS (
-         |  SELECT doc_a AS a, doc_b AS b FROM cand
-         |  UNION ALL SELECT doc_b, doc_a FROM cand),
-         |walk(id, comp) AS (
-         |  SELECT a, a FROM edges
-         |  UNION
-         |  SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.id)
+      s"""$componentsWith
          |SELECT id, min(comp) AS comp FROM walk GROUP BY id ORDER BY id""".stripMargin,
+
+    "q_dedup_survivors" ->
+      s"""$componentsWith,
+         |comps AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+         |scored AS (
+         |  SELECT c.comp, c.id, CAST($scoreSql AS BIGINT) AS score
+         |  FROM comps c JOIN documents ON c.id = doc_id)
+         |SELECT comp, id AS survivor_id, score FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY comp ORDER BY score DESC, id ASC) AS rn
+         |  FROM scored) WHERE rn = 1 ORDER BY comp""".stripMargin,
 
     "q_minhash_lsh" ->
       s"""WITH hs AS (
