@@ -23,7 +23,8 @@ object SparkEntry {
       graft.operators.TextQueries.queries ++
       graft.operators.EmbeddingQueries.queries ++
       graft.operators.MultimodalQueries.queries ++
-      graft.operators.ExtendedQueries.queries
+      graft.operators.ExtendedQueries.queries ++
+      graft.operators.PushdownQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.operators.TextQueries.oracleSql ++
       graft.operators.EmbeddingQueries.oracleSql ++
       graft.operators.MultimodalQueries.oracleSql ++
-      graft.operators.ExtendedQueries.oracleSql
+      graft.operators.ExtendedQueries.oracleSql ++
+      graft.operators.PushdownQueries.oracleSql
 }

@@ -29,4 +29,19 @@ object Checksum {
   /** Exact aggregate of rowChecksum. */
   def checksumAgg(normCols: Seq[Column]): Column =
     sum(rowChecksum(normCols).cast(DecimalType(38, 0)))
+
+  /** Overflow-safe variant: each normalized item is md5-hex-hashed before
+    * concatenation, bounding every item to 32 chars, for engines whose
+    * string concatenation overflows (MSSQL). Mirrors the reference's
+    * `render_concat` overflow path exactly — including its lack of a
+    * per-item COALESCE (reference: data_diff/databases/base.py:423-436) —
+    * so the Spark side stays bit-compatible when the remote side declares
+    * `preventOverflowWhenConcat`. A NULL item renders as the empty string
+    * (MSSQL CONCAT semantics), not skipped — concat_ws would drop the
+    * separator too and desynchronize from the remote rendering. */
+  def rowChecksumOverflowSafe(normCols: Seq[Column]): Column = {
+    val joined = concat_ws("|", normCols.map(c => coalesce(md5(c), lit(""))): _*)
+    conv(substring(md5(joined), Md5HexDigits - ChecksumHexDigits + 1, ChecksumHexDigits),
+      16, 10).cast(LongType) - Offset
+  }
 }

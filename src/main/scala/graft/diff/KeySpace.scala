@@ -60,6 +60,26 @@ object KeySpace {
     }
   }
 
+  private val HexChars = ('0' to '9').toSet ++ ('a' to 'f') ++ ('A' to 'F')
+
+  /** Is this string shaped like a UUID (canonical 8-4-4-4-12 or bare 32
+    * hex)? Stricter than UuidKey.parse so that 32-char alphanumeric
+    * business keys don't get misread as UUIDs. */
+  def looksLikeUuid(s: String): Boolean = {
+    val canonical = s.length == 36 &&
+      Seq(8, 13, 18, 23).forall(s(_) == '-') &&
+      s.zipWithIndex.forall { case (c, i) => c == '-' || HexChars(c) }
+    val bare = s.length == 32 && s.forall(HexChars)
+    canonical || bare
+  }
+
+  /** String key → arithmetic key: UUIDs split over the 128-bit integer
+    * space, everything else over the base-66 alphanumeric space
+    * (reference: utils.py:150-307 picks ArithUUID vs ArithAlphanumeric the
+    * same way in table_segment._make_key_range). */
+  def parseStringKey(s: String): Key =
+    if (looksLikeUuid(s)) UuidKey.parse(s) else AlphanumKey(s)
+
   /** Alphanumeric strings as big-base numbers; comparison right-pads the
     * shorter side with the lowest symbol (' ') so ordering matches SQL
     * string ordering over the alphabet (reference: utils.py:209-307). */

@@ -112,30 +112,25 @@ final case class TableSegment(
     * 189-202).
     *
     * Key types: integral columns split as integers; string columns are
-    * parsed as UUIDs and split over the 128-bit integer space (reference
-    * ArithUUID, utils.py:150-206) — canonical same-case hex renders make
-    * numeric order equal SQL string order, so the mesh bounds are valid
-    * scan predicates. Varying-length alphanumeric keys plan via
-    * KeySpace.AlphanumKey but are not offered here: their base-66 order
-    * disagrees with SQL string order on length ties. */
+    * parsed as UUIDs (128-bit integer space, reference ArithUUID,
+    * utils.py:150-206) or as base-66 alphanumerics (reference
+    * ArithAlphanumeric, utils.py:209-307). Both are safe as SQL scan
+    * predicates: UUID hex renders preserve numeric order directly, and the
+    * alphanumeric mapping justifies length ties by right-padding with the
+    * lowest symbol (' '), which makes the numeric order a refinement of SQL
+    * string order — distinct checkpoints are therefore strictly increasing
+    * under SQL comparison, so the mesh bounds partition the key space with
+    * no row lost or double-counted (only segment *balance* is approximate
+    * on all-lowest-suffix ties). */
   def splitByKeyRange(count: Int): Seq[TableSegment] = {
     val row = keyRange().head()
-    def toKey(v: Any): KeySpace.Key = v match {
-      case n: Number => KeySpace.IntKey(BigInt(n.longValue))
-      case s: String => KeySpace.UuidKey.parse(s)
-      case other => throw new IllegalArgumentException(s"unsupported key value: $other")
-    }
-    def fromKey(k: KeySpace.Key): Any = k match {
-      case KeySpace.IntKey(v) => v.toLong
-      case u => u.toString
-    }
     val grids = keyCols.zipWithIndex.map { case (_, i) =>
-      val mn = toKey(row.get(i * 2))
-      val mx = toKey(row.get(i * 2 + 1)).next // exclusive upper bound
+      val mn = TableSegment.toKey(row.get(i * 2))
+      val mx = TableSegment.toKey(row.get(i * 2 + 1)).next // exclusive upper bound
       KeySpace.splitKeySpace(mn, mx, count)
     }
     KeySpace.createMeshFromPoints(grids).map { case (lo, hi) =>
-      withScope(lo.values.map(fromKey), hi.values.map(fromKey))
+      withScope(lo.values.map(TableSegment.fromKey), hi.values.map(TableSegment.fromKey))
     }
   }
 
@@ -148,5 +143,21 @@ final case class TableSegment(
       sum(when(keyCols.map(col(_).isNull).reduce(_ || _), 1L).otherwise(0L)).as("nulls"))
       .head()
     (row.getLong(0), row.getLong(1), if (row.isNullAt(2)) 0L else row.getLong(2))
+  }
+}
+
+object TableSegment {
+  /** Key value → driver-side arithmetic key (shared by splitByKeyRange and
+    * the pushdown differ's bisection). */
+  def toKey(v: Any): KeySpace.Key = v match {
+    case n: Number => KeySpace.IntKey(BigInt(n.longValue))
+    case s: String => KeySpace.parseStringKey(s)
+    case other => throw new IllegalArgumentException(s"unsupported key value: $other")
+  }
+
+  /** Arithmetic key → the literal used in scan predicates. */
+  def fromKey(k: KeySpace.Key): Any = k match {
+    case KeySpace.IntKey(v) => v.toLong
+    case u => u.toString
   }
 }

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.diff.TableSegment
+import graft.sources.{PushdownDiffer, RemoteTable, SparkViewEngine}
+
+/** Gate queries for pushdown mode (SURVEY.md §7.1) and alphanumeric-key
+  * segmentation. The pushdown gate drives the full control loop — segment,
+  * push grouped checksum SQL through a real SQL round-trip, prune, bisect,
+  * leaf-fetch — against a SparkViewEngine "remote"; the DuckDB
+  * cross-process path is exercised by PushdownDifferSpec.
+  */
+object PushdownQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val orderCols =
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+  private val compareCols = orderCols.tail
+
+  /** b-side with mutations CLUSTERED in key range [1000, 3000): deletes
+    * (%13), price bumps (%7), status flips (%11). Clustered — unlike
+    * DiffQueries.mutatedOrders' uniform spread — so checksum pruning has
+    * something to prune: segments outside the range verify equal remotely
+    * and never ship rows, which is the hashdiff value proposition. */
+  def clusterMutatedOrders(o: DataFrame): DataFrame = {
+    val hot = col("o_orderkey") >= 1000 && col("o_orderkey") < 3000
+    o.where(!(hot && col("o_orderkey") % 13 === 0))
+      .withColumn("o_totalprice",
+        when(hot && col("o_orderkey") % 7 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+      .withColumn("o_orderstatus",
+        when(hot && col("o_orderkey") % 11 === 0, lit("X")).otherwise(col("o_orderstatus")))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_pushdown_diff" -> ((s, d) => {
+      val a = Tables.load(s, d, "orders").select(orderCols.map(col): _*)
+      clusterMutatedOrders(a).createOrReplaceTempView("graft_pushdown_b")
+      val remote = RemoteTable(new SparkViewEngine(s), "graft_pushdown_b",
+        Seq("o_orderkey"), compareCols, a.schema)
+      PushdownDiffer.diff(TableSegment(a, Seq("o_orderkey"), compareCols), remote,
+        bisectionFactor = 8, bisectionThreshold = 1024)
+        .orderBy("o_orderkey", "sign")
+    }),
+
+    // Coverage invariant for base-66 alphanumeric keys (the reference's
+    // tests/test_diff_tables.py alphanum cases): splitting a varying-length
+    // string-keyed table into N key-range segments must account for every
+    // row exactly once. 'K' || o_orderkey gives keys like K1/K15/K1500 whose
+    // SQL order differs from their numeric order — the length-tie case the
+    // justified mapping has to survive.
+    "q_alphanum_segments" -> ((s, d) => {
+      val o = Tables.load(s, d, "orders")
+        .select(concat(lit("K"), col("o_orderkey").cast("string")).as("k"),
+          col("o_custkey").as("v"))
+      val parts = TableSegment(o, Seq("k")).splitByKeyRange(7)
+      parts.map(_.scoped.agg(count(lit(1)).as("cnt")))
+        .reduce(_ unionAll _)
+        .agg(sum("cnt").as("total_rows"))
+    }),
+  )
+
+  // ---- oracle SQL --------------------------------------------------------
+
+  /** DuckDB rendering of the normalized string forms — same formulas the
+    * q_checksum oracle already validates byte-for-byte against
+    * graft.diff.Normalize. */
+  private def norm(c: String, kind: String): String = kind match {
+    case "int" => s"($c)::VARCHAR"
+    case "frac" => s"(($c)::DECIMAL(38,2))::VARCHAR"
+    case "ts" => s"rpad(substring(strftime(($c)::TIMESTAMP, '%Y-%m-%d %H:%M:%S.%f'), 1, 26), 26, '0')"
+    case "str" => c
+  }
+
+  private val orderKinds = Seq("o_orderkey" -> "int", "o_custkey" -> "int",
+    "o_orderstatus" -> "str", "o_totalprice" -> "frac",
+    "o_orderdate" -> "ts", "o_orderpriority" -> "str")
+
+  private val normSelect =
+    orderKinds.map { case (c, k) => s"${norm(c, k)} AS $c" }.mkString(", ")
+
+  private val anyNormDiff = compareCols
+    .map(c => s"an.$c IS DISTINCT FROM bn.$c").mkString(" OR ")
+
+  val oracleSql: Map[String, String] = Map(
+    "q_pushdown_diff" ->
+      s"""WITH bsrc AS (
+         |  SELECT o_orderkey, o_custkey,
+         |    CASE WHEN o_orderkey >= 1000 AND o_orderkey < 3000 AND o_orderkey % 11 = 0
+         |         THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         |    CASE WHEN o_orderkey >= 1000 AND o_orderkey < 3000 AND o_orderkey % 7 = 0
+         |         THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+         |    o_orderdate, o_orderpriority
+         |  FROM orders
+         |  WHERE NOT (o_orderkey >= 1000 AND o_orderkey < 3000 AND o_orderkey % 13 = 0)
+         |),
+         |an AS (SELECT $normSelect FROM orders),
+         |bn AS (SELECT $normSelect FROM bsrc)
+         |SELECT sign, o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM (
+         |  SELECT '-' AS sign, ${orderCols.map(c => s"an.$c").mkString(", ")}
+         |  FROM an LEFT JOIN bn ON an.o_orderkey = bn.o_orderkey
+         |  WHERE bn.o_orderkey IS NULL OR $anyNormDiff
+         |  UNION ALL
+         |  SELECT '+' AS sign, ${orderCols.map(c => s"bn.$c").mkString(", ")}
+         |  FROM bn LEFT JOIN an ON an.o_orderkey = bn.o_orderkey
+         |  WHERE an.o_orderkey IS NULL OR $anyNormDiff
+         |) ORDER BY o_orderkey, sign""".stripMargin,
+
+    "q_alphanum_segments" ->
+      "SELECT COUNT(*) AS total_rows FROM orders",
+  )
+}

@@ -1,0 +1,179 @@
+package graft.sources
+
+import graft.diff.Checksum
+
+/** The remaining engine profiles from the reference's connector set
+  * (SURVEY.md §2.1 lists 13 connectors). Each is ~10 lines: the md5→int48
+  * checksum formula plus the canonical string renderings, golden-tested
+  * against the reference's rendered SQL in `ProfilesSpec`.
+  */
+
+/** Snowflake (reference: data_diff/databases/snowflake.py:65-112).
+  * Uses the native md5_number_lower64 and masks to 48 bits. */
+object SnowflakeProfile extends SourceProfile {
+  val name = "snowflake"
+  /** 2^48 − 1, the reference's CHECKSUM_MASK (databases/base.py:1275). */
+  val ChecksumMask: Long = (1L << (Checksum.ChecksumHexDigits * 4)) - 1
+  def toStringSql(expr: String): String = s"cast($expr as string)"
+  def md5AsIntSql(expr: String): String =
+    s"BITAND(md5_number_lower64($expr), $ChecksumMask) - ${Checksum.Offset}"
+  def normalizeTimestampSql(expr: String, precision: Int): String =
+    s"to_char(cast(convert_timezone('UTC', $expr) as timestamp($precision)), 'YYYY-MM-DD HH24:MI:SS.FF6')"
+  def normalizeNumberSql(expr: String, precision: Int): String =
+    toStringSql(s"cast($expr as decimal(38, $precision))")
+  def normalizeBooleanSql(expr: String): String = toStringSql(s"($expr)::int")
+}
+
+/** BigQuery (reference: data_diff/databases/bigquery.py:95-201). */
+object BigQueryProfile extends SourceProfile {
+  val name = "bigquery"
+  override def quote(ident: String): String = "`" + ident + "`"
+  def toStringSql(expr: String): String = s"cast($expr as string)"
+  def md5AsIntSql(expr: String): String =
+    s"cast(cast( ('0x' || substr(TO_HEX(md5($expr)), ${1 + Checksum.Md5HexDigits - Checksum.ChecksumHexDigits})) as int64) as numeric) - ${Checksum.Offset}"
+  def normalizeTimestampSql(expr: String, precision: Int): String =
+    if (precision == 6) s"FORMAT_TIMESTAMP('%F %H:%M:%E6S', $expr)"
+    else if (precision == 0) s"FORMAT_TIMESTAMP('%F %H:%M:%S.000000', $expr)"
+    else {
+      val ts6 = s"FORMAT_TIMESTAMP('%F %H:%M:%E6S', $expr)"
+      s"RPAD(LEFT($ts6, ${20 + precision}), 26, '0')"
+    }
+  def normalizeNumberSql(expr: String, precision: Int): String =
+    s"format('%.${precision}f', $expr)"
+  def normalizeBooleanSql(expr: String): String = toStringSql(s"cast($expr as int)")
+}
+
+/** ClickHouse (reference: data_diff/databases/clickhouse.py:72-170).
+  * The number normalization preserves trailing zeros that toString(Decimal)
+  * drops: cast at precision+1, add 10^-(p+1), then slice the extra digit —
+  * ported verbatim from the reference's documented algorithm. */
+object ClickHouseProfile extends SourceProfile {
+  val name = "clickhouse"
+  def toStringSql(expr: String): String = s"toString($expr)"
+  def md5AsIntSql(expr: String): String =
+    s"reinterpretAsUInt128(reverse(unhex(lowerUTF8(substr(hex(MD5($expr)), ${1 + Checksum.Md5HexDigits - Checksum.ChecksumHexDigits}))))) - ${Checksum.Offset}"
+  def normalizeTimestampSql(expr: String, precision: Int): String = {
+    val fractional = s"toUnixTimestamp64Micro(toDateTime64($expr, $precision)) % 1000000"
+    val padded = s"lpad(${toStringSql(fractional)}, 6, '0')"
+    s"rpad(formatDateTime($expr, '%Y-%m-%d %H:%M:%S') || '.' || $padded, 26, '0')"
+  }
+  def normalizeNumberSql(expr: String, precision: Int): String =
+    if (precision == 0) toStringSql(s"round($expr)")
+    else
+      s"if($expr >= 0, '', '-') || left(toString(toDecimal128(round(abs($expr), $precision), ${precision + 1}) + toDecimal128(exp10(-${precision + 1}), ${precision + 1})), toUInt8(greatest(floor(log10(abs($expr))) + 1, 1)) + 1 + $precision)"
+  def normalizeBooleanSql(expr: String): String = toStringSql(s"cast($expr as int)")
+}
+
+/** MSSQL (reference: data_diff/databases/mssql.py:99-161). The only
+  * profile that declares overflow-prone concat: VARCHAR concatenation can
+  * overflow the type, so each normalized item is md5-hashed before joining
+  * (reference: databases/base.py:218-230). */
+object MsSqlProfile extends SourceProfile {
+  val name = "mssql"
+  override def preventOverflowWhenConcat: Boolean = true
+  def toStringSql(expr: String): String = s"CONVERT(VARCHAR(MAX), $expr)"
+  def md5AsIntSql(expr: String): String =
+    s"convert(bigint, convert(varbinary, '0x' + RIGHT(CONVERT(NVARCHAR(32), HashBytes('MD5', $expr), 2), ${Checksum.ChecksumHexDigits}), 1)) - ${Checksum.Offset}"
+  override def md5AsHexSql(expr: String): String = s"HashBytes('MD5', $expr)"
+  def normalizeTimestampSql(expr: String, precision: Int): String =
+    if (precision > 0)
+      s"FORMAT($expr, 'yyyy-MM-dd HH:mm:ss') + '.' + SUBSTRING(FORMAT($expr, 'fffffff'), 1, $precision)"
+    else s"FORMAT($expr, 'yyyy-MM-dd HH:mm:ss')"
+  def normalizeNumberSql(expr: String, precision: Int): String =
+    if (precision == 0) s"CAST(FLOOR($expr) AS VARCHAR)"
+    else s"FORMAT($expr, 'N$precision')"
+  def normalizeBooleanSql(expr: String): String = s"CONVERT(VARCHAR(MAX), CAST($expr AS INT))"
+}
+
+/** Oracle (reference: data_diff/databases/oracle.py:65-156). */
+object OracleProfile extends SourceProfile {
+  val name = "oracle"
+  def toStringSql(expr: String): String = s"cast($expr as varchar(1024))"
+  def md5AsIntSql(expr: String): String =
+    s"to_number(substr(standard_hash($expr, 'MD5'), ${1 + Checksum.Md5HexDigits - Checksum.ChecksumHexDigits}), 'xxxxxxxxxxxxxxx') - ${Checksum.Offset}"
+  override def md5AsHexSql(expr: String): String = s"standard_hash($expr, 'MD5')"
+  def normalizeTimestampSql(expr: String, precision: Int): String = {
+    val truncated =
+      if (precision > 0) s"to_char($expr, 'YYYY-MM-DD HH24:MI:SS.FF$precision')"
+      else s"to_char($expr, 'YYYY-MM-DD HH24:MI:SS.')"
+    s"RPAD($truncated, 26, '0')"
+  }
+  def normalizeNumberSql(expr: String, precision: Int): String = {
+    val formatStr = "FM" + "9" * (38 - precision) +
+      (if (precision > 0) "0." + "9" * (precision - 1) + "0" else "")
+    s"to_char($expr, '$formatStr')"
+  }
+  def normalizeBooleanSql(expr: String): String = toStringSql(s"CAST($expr AS NUMBER(1))")
+}
+
+/** Redshift: Postgres dialect with strtol for the checksum and a native
+  * decimal(38) sum domain (reference: data_diff/databases/redshift.py:40-63). */
+object RedshiftProfile extends SourceProfile {
+  val name = "redshift"
+  def toStringSql(expr: String): String = s"($expr)::varchar"
+  def md5AsIntSql(expr: String): String =
+    s"strtol(substring(md5($expr), ${1 + Checksum.Md5HexDigits - Checksum.ChecksumHexDigits}), 16)::decimal(38) - ${Checksum.Offset}"
+  def normalizeTimestampSql(expr: String, precision: Int): String =
+    PostgresProfile.normalizeTimestampSql(expr, precision)
+  def normalizeNumberSql(expr: String, precision: Int): String =
+    s"(($expr)::decimal(38,$precision))::varchar"
+  def normalizeBooleanSql(expr: String): String = s"(($expr)::int)::varchar"
+}
+
+/** Vertica (reference: data_diff/databases/vertica.py:69-131). */
+object VerticaProfile extends SourceProfile {
+  val name = "vertica"
+  def toStringSql(expr: String): String = s"CAST($expr AS VARCHAR)"
+  def md5AsIntSql(expr: String): String =
+    s"CAST(HEX_TO_INTEGER(SUBSTRING(MD5($expr), ${1 + Checksum.Md5HexDigits - Checksum.ChecksumHexDigits})) AS NUMERIC(38, 0)) - ${Checksum.Offset}"
+  def normalizeTimestampSql(expr: String, precision: Int): String = {
+    val ts6 = s"TO_CHAR(($expr)::TIMESTAMP(6), 'YYYY-MM-DD HH24:MI:SS.US')"
+    s"RPAD(LEFT($ts6, ${20 + precision}), 26, '0')"
+  }
+  def normalizeNumberSql(expr: String, precision: Int): String =
+    toStringSql(s"CAST($expr AS NUMERIC(38, $precision))")
+  def normalizeBooleanSql(expr: String): String = toStringSql(s"cast ($expr as int)")
+}
+
+/** Databricks SQL (reference: data_diff/databases/databricks.py:73-116). */
+object DatabricksProfile extends SourceProfile {
+  val name = "databricks"
+  override def quote(ident: String): String = "`" + ident + "`"
+  def toStringSql(expr: String): String = s"cast($expr as string)"
+  def md5AsIntSql(expr: String): String =
+    s"cast(conv(substr(md5($expr), ${1 + Checksum.Md5HexDigits - Checksum.ChecksumHexDigits}), 16, 10) as decimal(38, 0)) - ${Checksum.Offset}"
+  def normalizeTimestampSql(expr: String, precision: Int): String = {
+    val fmt = "S" * precision + "0" * (6 - precision)
+    s"date_format($expr, 'yyyy-MM-dd HH:mm:ss.$fmt')"
+  }
+  def normalizeNumberSql(expr: String, precision: Int): String = {
+    val dec = s"cast($expr as decimal(38, $precision))"
+    if (precision > 0) s"replace(${toStringSql(s"format_number($dec, $precision)")}, ',', '')"
+    else toStringSql(dec)
+  }
+  def normalizeBooleanSql(expr: String): String = toStringSql(s"cast ($expr as int)")
+}
+
+/** Spark SQL rendered as text — this engine's own dialect, used when the
+  * "remote" side is another Spark/Databricks warehouse and by the in-process
+  * pushdown tests. Every formula is the SQL spelling of the corresponding
+  * `graft.diff.Normalize`/`Checksum` Column expression, so remote checksums
+  * are bit-identical to local ones by construction. */
+object SparkProfile extends SourceProfile {
+  val name = "spark"
+  override def quote(ident: String): String = "`" + ident + "`"
+  def toStringSql(expr: String): String = s"cast($expr as string)"
+  /** decimal(38,0), not bigint: Spark's SUM(bigint) stays bigint and
+    * overflows past ~65k rows × 2^47 per segment — first-level segments
+    * at scale hold millions. Engines whose SUM auto-promotes (DuckDB →
+    * HUGEINT, Postgres → numeric, MySQL → decimal) keep native ints. */
+  def md5AsIntSql(expr: String): String =
+    s"cast(conv(substring(md5($expr), ${1 + Checksum.Md5HexDigits - Checksum.ChecksumHexDigits}, ${Checksum.ChecksumHexDigits}), 16, 10) as decimal(38, 0)) - ${Checksum.Offset}"
+  def normalizeTimestampSql(expr: String, precision: Int): String =
+    s"rpad(substring(date_format($expr, 'yyyy-MM-dd HH:mm:ss.SSSSSS'), 1, ${20 + precision}), 26, '0')"
+  override def normalizeDateSql(expr: String): String =
+    s"concat(date_format($expr, 'yyyy-MM-dd'), ' 00:00:00.000000')"
+  def normalizeNumberSql(expr: String, precision: Int): String =
+    s"cast(cast($expr as decimal(38, $precision)) as string)"
+  def normalizeBooleanSql(expr: String): String = s"cast(cast($expr as int) as string)"
+}

@@ -1,0 +1,236 @@
+package graft.sources
+
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.diff.{Checksum, JoinDiffer, KeySpace, TableSegment}
+
+/** The table on the far side of a pushdown diff: reachable only through
+  * `engine.query(sql)`, described by the mutual (Spark-side) logical schema
+  * so both sides normalize identically — the analogue of the reference's
+  * `_validate_and_adjust_columns` negotiating mutual precision
+  * (reference: data_diff/hashdiff_tables.py:119-168). */
+final case class RemoteTable(
+    engine: RemoteEngine,
+    table: String,
+    keyCols: Seq[String],
+    compareCols: Seq[String],
+    schema: StructType,
+    fracPrecision: Int = 2,
+    tsPrecision: Int = 6) {
+  def relevantCols: Seq[String] = keyCols ++ compareCols
+}
+
+/** Per-run pushdown statistics — the InfoTree analogue
+  * (reference: data_diff/info_tree.py:9-62). */
+final case class PushdownStats(
+    levels: Int,
+    segmentsProbed: Int,
+    segmentsPruned: Int,
+    leafSegments: Int,
+    remoteQueries: Int,
+    rowsFetched: Long)
+
+/** Cross-engine hashdiff: segment the key space, push per-segment
+  * `count + sum(md5_int48(normalized_row))` SQL to the remote engine, prune
+  * checksum-equal segments, bisect the rest, and leaf-fetch only differing
+  * rows for a local compare (reference control loop:
+  * data_diff/hashdiff_tables.py:169-264 + diff_tables.py:289-352).
+  *
+  * Spark-first deviations from the reference, both round-trip economics:
+  *  - the local side computes ALL segments of a bisection level in ONE
+  *    scan+shuffle (a CASE bucket feeding a grouped checksum aggregate)
+  *    instead of one query per segment;
+  *  - the remote side receives ONE grouped query per level
+  *    (`SourceProfile.segmentedChecksumSql`) instead of per-segment queries
+  *    on a thread pool — level latency is one round-trip regardless of
+  *    fan-out, which is what dominates remote bisection at scale.
+  * Leaf rows from every differing segment are fetched in one final query and
+  * compared with one JoinDiffer pass, so the whole diff costs
+  * O(levels) Spark jobs + O(levels + 1) remote queries.
+  */
+object PushdownDiffer {
+
+  /** Default control knobs (reference: hashdiff_tables.py:19-20). */
+  val DefaultBisectionFactor = 32
+  val DefaultBisectionThreshold = 16 * 1024
+  private val MaxLevels = 64
+
+  def diff(local: TableSegment, remote: RemoteTable,
+      bisectionFactor: Int = DefaultBisectionFactor,
+      bisectionThreshold: Int = DefaultBisectionThreshold): DataFrame =
+    diffWithStats(local, remote, bisectionFactor, bisectionThreshold)._1
+
+  def diffWithStats(local: TableSegment, remote: RemoteTable,
+      bisectionFactor: Int = DefaultBisectionFactor,
+      bisectionThreshold: Int = DefaultBisectionThreshold): (DataFrame, PushdownStats) = {
+    require(bisectionFactor >= 2, "bisection factor must be >= 2")
+    require(bisectionFactor < bisectionThreshold,
+      "bisection factor must be lower than the threshold")
+    require(local.keyCols == remote.keyCols,
+      s"key columns must match: ${local.keyCols} vs ${remote.keyCols}")
+
+    val spark = local.df.sparkSession
+    val profile = remote.engine.profile
+    val keyCols = local.keyCols
+    val relevant = local.relevantCols
+    val compare = relevant.filterNot(keyCols.contains)
+    require(remote.relevantCols == relevant,
+      s"compared columns must match: $relevant vs ${remote.relevantCols}")
+    require(local.fracPrecision == remote.fracPrecision && local.tsPrecision == remote.tsPrecision,
+      "both sides must normalize at the same mutual precision")
+
+    // Overflow-safe concat is contagious: if either side's dialect needs it,
+    // both sides hash items before concatenation (reference:
+    // diff_tables.py:228-231).
+    val overflowSafe = profile.preventOverflowWhenConcat
+    def localChecksum(seg: TableSegment): Column = {
+      val rowCk = if (overflowSafe) Checksum.rowChecksumOverflowSafe(seg.normCols)
+                  else Checksum.rowChecksum(seg.normCols)
+      sum(rowCk.cast(DecimalType(38, 0)))
+    }
+
+    val normSqlByCol: Map[String, String] = relevant.map { c =>
+      c -> profile.normalizedColumnSql(c, remote.schema(c).dataType,
+        remote.fracPrecision, remote.tsPrecision)
+    }.toMap
+
+    val outSchema = StructType(relevant.map(StructField(_, StringType, nullable = true)))
+    def emptyResult(stats: PushdownStats) = {
+      val empty = spark.createDataFrame(Seq.empty[Row].asJava,
+        StructType(StructField("sign", StringType, nullable = false) +: outSchema.fields.toSeq))
+      (empty, stats)
+    }
+
+    // ---- combined key range over both sides ----------------------------
+    // (reference: diff_tables.py:289-321 queries both ranges and takes the
+    // widest box, so rows present on only one side are always covered)
+    val localRange = local.keyRange().head()
+    val remoteRange = remote.engine.query(profile.keyRangeSql(remote.table, keyCols)).head
+    var remoteQueries = 1
+
+    def parseRemoteKey(dim: Int, s: String): KeySpace.Key =
+      remote.schema(keyCols(dim)).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => KeySpace.IntKey(BigInt(s.trim))
+        case StringType => KeySpace.parseStringKey(s)
+        case other => throw new IllegalArgumentException(
+          s"unsupported pushdown key type for ${keyCols(dim)}: $other")
+      }
+
+    val dims = keyCols.indices.map { i =>
+      val lMin = Option(localRange.get(i * 2)).map(TableSegment.toKey)
+      val lMax = Option(localRange.get(i * 2 + 1)).map(TableSegment.toKey)
+      val rMin = remoteRange(i * 2).map(parseRemoteKey(i, _))
+      val rMax = remoteRange(i * 2 + 1).map(parseRemoteKey(i, _))
+      val mins = (lMin ++ rMin).toSeq
+      val maxs = (lMax ++ rMax).toSeq
+      if (mins.isEmpty) None
+      else Some((mins.reduce((a, b) => if ((a - b) <= 0) a else b),
+        maxs.reduce((a, b) => if ((a - b) >= 0) a else b).next)) // exclusive hi
+    }
+    if (dims.exists(_.isEmpty))
+      return emptyResult(PushdownStats(0, 0, 0, 0, remoteQueries, 0)) // both sides empty
+
+    type Box = (Seq[KeySpace.Key], Seq[KeySpace.Key])
+    val rootBox: Box = (dims.map(_.get._1), dims.map(_.get._2))
+
+    def splitBox(box: Box): Seq[Box] = {
+      val grids = box._1.zip(box._2).map { case (lo, hi) =>
+        if (hi - lo < 2) Seq(lo, hi) else KeySpace.splitKeySpace(lo, hi, bisectionFactor)
+      }
+      KeySpace.createMeshFromPoints(grids)
+        .map { case (lo, hi) => (lo.values, hi.values) }
+    }
+
+    def boundVals(ks: Seq[KeySpace.Key]): Seq[Any] = ks.map(TableSegment.fromKey)
+    def localCond(box: Box): Column =
+      keyCols.zip(boundVals(box._1)).zip(boundVals(box._2)).map {
+        case ((k, lo), hi) => col(k) >= lit(lo) && col(k) < lit(hi)
+      }.reduce(_ && _)
+    def remotePred(box: Box): String =
+      keyCols.zip(boundVals(box._1)).zip(boundVals(box._2)).map {
+        case ((k, lo), hi) =>
+          s"${profile.quote(k)} >= ${profile.literal(lo)} AND ${profile.quote(k)} < ${profile.literal(hi)}"
+      }.mkString(" AND ")
+
+    // ---- level-at-a-time bisection --------------------------------------
+    type Summary = (Long, Option[BigDecimal])
+    val leaves = ArrayBuffer.empty[Box]
+    var frontier: Seq[Box] = splitBox(rootBox)
+    var level = 0
+    var probed = 0
+    var pruned = 0
+
+    while (frontier.nonEmpty) {
+      require(level < MaxLevels, s"bisection did not converge after $MaxLevels levels")
+      probed += frontier.size
+
+      // one Spark job for every segment summary of this level
+      val segCol = frontier.zipWithIndex
+        .foldRight(lit(null).cast(IntegerType)) { case ((box, i), acc) =>
+          when(localCond(box), lit(i)).otherwise(acc)
+        }
+      val cover = frontier.map(localCond).reduce(_ || _)
+      val scopedLevel = local.withExtraFilter(cover)
+      val localRows = scopedLevel.scoped
+        .groupBy(segCol.as("seg"))
+        .agg(count(lit(1)).as("cnt"), localChecksum(scopedLevel).as("checksum"))
+        .collect()
+      val localMap: Map[Int, Summary] = localRows.map { r =>
+        r.getInt(0) -> (r.getLong(1),
+          if (r.isNullAt(2)) None else Some(BigDecimal(r.getDecimal(2))))
+      }.toMap
+
+      // one remote round-trip for the same level
+      val sql = profile.segmentedChecksumSql(remote.table,
+        relevant.map(normSqlByCol), frontier.map(remotePred))
+      val remoteMap: Map[Int, Summary] = remote.engine.query(sql).map { r =>
+        r(0).get.trim.toInt -> ((r(1).get.trim.toLong: Long),
+          r(2).map(s => BigDecimal(s.trim)))
+      }.toMap
+      remoteQueries += 1
+
+      val next = ArrayBuffer.empty[Box]
+      frontier.zipWithIndex.foreach { case (box, i) =>
+        val l = localMap.getOrElse(i, (0L, None: Option[BigDecimal]))
+        val r = remoteMap.getOrElse(i, (0L, None: Option[BigDecimal]))
+        if (l == r) pruned += 1
+        else if (math.max(l._1, r._1) < bisectionThreshold) leaves += box
+        else {
+          val children = splitBox(box)
+          if (children.size <= 1) leaves += box // key space too small to cut
+          else next ++= children
+        }
+      }
+      frontier = next.toSeq
+      level += 1
+    }
+
+    if (leaves.isEmpty)
+      return emptyResult(PushdownStats(level, probed, pruned, 0, remoteQueries, 0))
+
+    // ---- leaf compare ----------------------------------------------------
+    // All leaf rows cross the wire once, normalized (reference:
+    // table_segment.py:214-237 get_values), and a single join produces the
+    // -/+ rows (diff_sets, hashdiff_tables.py:30-88, expressed relationally).
+    val localLeafCond = leaves.map(localCond).reduce(_ || _)
+    val localLeaf = local.withExtraFilter(localLeafCond)
+    val localNorm = localLeaf.scoped.select(
+      relevant.zip(localLeaf.normCols).map { case (n, c) => c.as(n) }: _*)
+
+    val fetchSql = profile.selectNormalizedSql(remote.table,
+      relevant.map(c => (normSqlByCol(c), c)),
+      Some(leaves.map(b => s"(${remotePred(b)})").mkString(" OR ")))
+    val fetched = remote.engine.query(fetchSql)
+    remoteQueries += 1
+    val remoteDf = spark.createDataFrame(
+      fetched.map(r => Row(r.map(_.orNull): _*)).asJava, outSchema)
+
+    val out = JoinDiffer.diff(localNorm, remoteDf, keyCols, compare)
+    (out, PushdownStats(level, probed, pruned, leaves.size, remoteQueries, fetched.size))
+  }
+}

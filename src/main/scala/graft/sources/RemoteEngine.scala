@@ -1,0 +1,79 @@
+package graft.sources
+
+import java.io.{BufferedReader, BufferedWriter, InputStreamReader, OutputStreamWriter}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.SparkSession
+
+/** A handle to an external SQL engine that pushdown mode ships checksum /
+  * leaf-fetch queries to. The reference reaches engines through per-DB
+  * driver modules (data_diff/databases/&#42;.py `_query` / `query_table_schema`);
+  * here the contract is one method — results come back as text because every
+  * pushed query selects text-rendered (normalized) values by construction.
+  */
+trait RemoteEngine extends AutoCloseable {
+  def profile: SourceProfile
+
+  /** Execute SQL remotely; each row is a sequence of nullable strings. */
+  def query(sql: String): Seq[Seq[Option[String]]]
+
+  override def close(): Unit = ()
+}
+
+/** "Remote" engine backed by the local SparkSession's SQL catalog — the
+  * shape used when the other side of a diff is a Spark/Databricks warehouse,
+  * and the in-process target for pushdown end-to-end tests (queries run
+  * through a real SQL round-trip: text in, text out, no shared plans). */
+final class SparkViewEngine(spark: SparkSession,
+    val profile: SourceProfile = SparkProfile) extends RemoteEngine {
+  def query(sql: String): Seq[Seq[Option[String]]] =
+    spark.sql(sql).collect().toSeq.map { r =>
+      (0 until r.length).map(i => Option(r.get(i)).map(_.toString))
+    }
+}
+
+/** Engine bridged over a child process speaking a line protocol:
+  * one base64(SQL) line in; per result row one line of tab-separated
+  * base64(value) fields (`\N` = NULL) out, terminated by `__END__`, or
+  * `__ERR__ base64(message)` on failure. Base64 framing keeps arbitrary
+  * value bytes (tabs, newlines, quotes) unambiguous with zero parsing
+  * dependencies on either side.
+  *
+  * This is how the test suite drives a live DuckDB (via its Python API fed
+  * from stdin); any CLI-reachable engine can be wired the same way without
+  * new library code — the JDBC path would implement RemoteEngine directly.
+  */
+final class ProcessEngine(command: Seq[String],
+    val profile: SourceProfile) extends RemoteEngine {
+  private val proc = new ProcessBuilder(command: _*)
+    .redirectErrorStream(false)
+    .start()
+  private val toProc = new BufferedWriter(new OutputStreamWriter(proc.getOutputStream, UTF_8))
+  private val fromProc = new BufferedReader(new InputStreamReader(proc.getInputStream, UTF_8))
+
+  def query(sql: String): Seq[Seq[Option[String]]] = synchronized {
+    toProc.write(java.util.Base64.getEncoder.encodeToString(sql.getBytes(UTF_8)))
+    toProc.newLine()
+    toProc.flush()
+    val dec = java.util.Base64.getDecoder
+    val rows = Seq.newBuilder[Seq[Option[String]]]
+    var line = fromProc.readLine()
+    while (line != null && line != "__END__") {
+      if (line.startsWith("__ERR__ ")) {
+        val msg = new String(dec.decode(line.stripPrefix("__ERR__ ")), UTF_8)
+        throw new RuntimeException(s"remote engine error: $msg\nSQL: $sql")
+      }
+      rows += line.split("\t", -1).toSeq
+        .map(f => if (f == "\\N") None else Some(new String(dec.decode(f), UTF_8)))
+      line = fromProc.readLine()
+    }
+    if (line == null)
+      throw new RuntimeException(s"remote engine process exited unexpectedly\nSQL: $sql")
+    rows.result()
+  }
+
+  override def close(): Unit = {
+    try toProc.close() catch { case _: Exception => }
+    proc.destroy()
+  }
+}

@@ -1,5 +1,7 @@
 package graft.sources
 
+import org.apache.spark.sql.types._
+
 import graft.diff.{Checksum, Normalize}
 
 /** Per-source SQL profiles for pushdown mode.
@@ -28,11 +30,26 @@ trait SourceProfile {
     * (reference contract: data_diff/databases/base.py:411-421). */
   def md5AsIntSql(expr: String): String
 
+  /** Full md5 as hex text — used by the overflow-safe concat mode
+    * (reference: data_diff/databases/base.py:804-806). */
+  def md5AsHexSql(expr: String): String = s"md5($expr)"
+
+  /** Some engines (MSSQL) overflow on long string concatenation; in that
+    * mode each normalized item is md5-hex-hashed before concatenation so
+    * every item is a fixed 32 chars (reference: databases/base.py:218-230,
+    * render_concat at base.py:423-436 — note the reference drops the
+    * per-item COALESCE on this path; mirrored for parity). */
+  def preventOverflowWhenConcat: Boolean = false
+
   /** Canonical "YYYY-MM-DD HH:MM:SS.ffffff" truncated to precision. */
   def normalizeTimestampSql(expr: String, precision: Int = 6): String
 
   /** DATE → the same 26-char canonical form at midnight, mirroring
-    * `graft.diff.Normalize` (Date is a TemporalType in the reference). */
+    * `graft.diff.Normalize` (Date is a TemporalType in the reference).
+    * Note: the reference's own dialects disagree on dates (bigquery/
+    * databricks render '%F' date-only, duckdb/postgres go through the
+    * timestamp path); this engine pins the 26-char form on every profile so
+    * a DATE checksums equal to the Spark side's normalization. */
   def normalizeDateSql(expr: String): String =
     normalizeTimestampSql(s"CAST($expr AS TIMESTAMP)", 6)
 
@@ -41,16 +58,82 @@ trait SourceProfile {
 
   def normalizeBooleanSql(expr: String): String
 
+  /** SQL literal rendering for segment bounds (keys are ints or strings). */
+  def literal(v: Any): String = v match {
+    case null => "NULL"
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case other => other.toString
+  }
+
+  /** Normalization SQL for a column of the given SPARK-side logical type —
+    * the pushdown analogue of `graft.diff.Normalize.normalize`, negotiated
+    * from the mutual schema like the reference's
+    * `_validate_and_adjust_columns` (hashdiff_tables.py:119-168). */
+  def normalizedColumnSql(colName: String, dt: DataType,
+      fracPrecision: Int = 2, tsPrecision: Int = 6): String = {
+    val q = quote(colName)
+    dt match {
+      case TimestampType | TimestampNTZType => normalizeTimestampSql(q, tsPrecision)
+      case DateType => normalizeDateSql(q)
+      case DoubleType | FloatType | (_: DecimalType) => normalizeNumberSql(q, fracPrecision)
+      case ByteType | ShortType | IntegerType | LongType => toStringSql(q)
+      case BooleanType => normalizeBooleanSql(q)
+      case StringType => q
+      case _ => toStringSql(q)
+    }
+  }
+
   /** '|'-joined, '<null>'-defaulted concatenation of already-normalized
-    * (string-typed) expressions. */
+    * (string-typed) expressions; overflow-safe engines hash each item first
+    * (reference: databases/base.py:423-436). */
   def concatSql(normalized: Seq[String]): String =
-    "concat_ws('|', " + normalized.map(e => s"COALESCE($e, '${Normalize.NullSentinel}')").mkString(", ") + ")"
+    if (preventOverflowWhenConcat)
+      // concat() with explicit separators (not concat_ws): CONCAT renders a
+      // NULL item as '' but keeps the separator, matching the reference's
+      // render_concat/concat pair and Checksum.rowChecksumOverflowSafe.
+      "concat(" + normalized.map(md5AsHexSql).mkString(", '|', ") + ")"
+    else
+      "concat_ws('|', " + normalized.map(e => s"COALESCE($e, '${Normalize.NullSentinel}')").mkString(", ") + ")"
 
   /** The one query pushdown mode ships per segment. */
   def checksumQuerySql(table: String, normalizedCols: Seq[String],
       where: Option[String] = None): String = {
     val w = where.fold("")(p => s" WHERE $p")
     s"SELECT COUNT(*) AS cnt, SUM(${md5AsIntSql(concatSql(normalizedCols))}) AS checksum FROM $table$w"
+  }
+
+  /** All segments of one bisection level in a single round-trip: a CASE
+    * bucket over the segment predicates, GROUP BY bucket. The reference
+    * ships one checksum query per segment (hashdiff_tables.py:193 via
+    * table_segment.py:239-258, one thread each); grouping cuts a level's
+    * network round-trips to one, which is what dominates remote bisection
+    * latency at scale. Standard ANSI shape — every profiled engine
+    * supports it. */
+  def segmentedChecksumSql(table: String, normalizedCols: Seq[String],
+      segmentPreds: Seq[String]): String = {
+    require(segmentPreds.nonEmpty, "no segments")
+    val bucket = segmentPreds.zipWithIndex
+      .map { case (p, i) => s"WHEN $p THEN $i" }.mkString("CASE ", " ", " END")
+    val cover = segmentPreds.map(p => s"($p)").mkString(" OR ")
+    s"SELECT $bucket AS seg, COUNT(*) AS cnt, " +
+      s"SUM(${md5AsIntSql(concatSql(normalizedCols))}) AS checksum " +
+      s"FROM $table WHERE $cover GROUP BY 1"
+  }
+
+  /** Leaf-segment row fetch in normalized string form — what crosses the
+    * wire for the final compare (reference: table_segment.py:214-237
+    * `get_values` selects NormalizeAsString projections). */
+  def selectNormalizedSql(table: String, exprWithAlias: Seq[(String, String)],
+      where: Option[String] = None): String = {
+    val sel = exprWithAlias.map { case (e, a) => s"$e AS ${quote(a)}" }.mkString(", ")
+    val w = where.fold("")(p => s" WHERE $p")
+    s"SELECT $sel FROM $table$w"
+  }
+
+  /** Min/max of the key columns (reference: table_segment.py:260-275). */
+  def keyRangeSql(table: String, keyCols: Seq[String]): String = {
+    val sel = keyCols.map(k => s"MIN(${quote(k)}), MAX(${quote(k)})").mkString(", ")
+    s"SELECT $sel FROM $table"
   }
 }
 
@@ -118,6 +201,8 @@ object TrinoProfile extends SourceProfile {
 object SourceProfile {
   /** Registry keyed by engine name (the reference's _connect.py scheme map). */
   val registry: Map[String, SourceProfile] =
-    Seq(DuckDbProfile, PostgresProfile, MySqlProfile, TrinoProfile)
-      .map(p => p.name -> p).toMap
+    (Seq(DuckDbProfile, PostgresProfile, MySqlProfile, TrinoProfile,
+      SnowflakeProfile, BigQueryProfile, ClickHouseProfile, MsSqlProfile,
+      OracleProfile, RedshiftProfile, VerticaProfile, DatabricksProfile,
+      SparkProfile).map(p => p.name -> p) :+ ("presto" -> TrinoProfile)).toMap
 }

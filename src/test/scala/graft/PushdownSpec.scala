@@ -1,0 +1,221 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.diff.{JoinDiffer, KeySpace, Normalize, TableSegment}
+import graft.operators.PushdownQueries
+import graft.sources._
+
+/** Golden renderings for the dialect profiles added in round 3 — each
+  * md5→int48 formula is byte-identical to the reference's rendered SQL
+  * (file:line cited on each profile object). */
+class ProfilesSpec extends AnyFunSuite {
+  private val Off = "140737488355327" // 2^47 - 1
+
+  test("snowflake: md5_number_lower64 masked to 48 bits") {
+    assert(SnowflakeProfile.md5AsIntSql("x") ==
+      s"BITAND(md5_number_lower64(x), 281474976710655) - $Off")
+  }
+
+  test("bigquery: TO_HEX suffix through int64 to numeric") {
+    assert(BigQueryProfile.md5AsIntSql("x") ==
+      s"cast(cast( ('0x' || substr(TO_HEX(md5(x)), 21)) as int64) as numeric) - $Off")
+    assert(BigQueryProfile.normalizeTimestampSql("t", 6) ==
+      "FORMAT_TIMESTAMP('%F %H:%M:%E6S', t)")
+    assert(BigQueryProfile.quote("a") == "`a`")
+  }
+
+  test("clickhouse: reinterpret of reversed unhexed suffix") {
+    assert(ClickHouseProfile.md5AsIntSql("x") ==
+      s"reinterpretAsUInt128(reverse(unhex(lowerUTF8(substr(hex(MD5(x)), 21))))) - $Off")
+  }
+
+  test("mssql: HashBytes varbinary cast, overflow-safe concat declared") {
+    assert(MsSqlProfile.md5AsIntSql("x") ==
+      s"convert(bigint, convert(varbinary, '0x' + RIGHT(CONVERT(NVARCHAR(32), HashBytes('MD5', x), 2), 12), 1)) - $Off")
+    assert(MsSqlProfile.preventOverflowWhenConcat)
+    // each item md5-hashed before joining; separators survive NULL items
+    assert(MsSqlProfile.concatSql(Seq("a", "b")) ==
+      "concat(HashBytes('MD5', a), '|', HashBytes('MD5', b))")
+  }
+
+  test("oracle: standard_hash with to_number hex mask") {
+    assert(OracleProfile.md5AsIntSql("x") ==
+      s"to_number(substr(standard_hash(x, 'MD5'), 21), 'xxxxxxxxxxxxxxx') - $Off")
+  }
+
+  test("redshift: strtol into a decimal(38) sum domain") {
+    assert(RedshiftProfile.md5AsIntSql("x") ==
+      s"strtol(substring(md5(x), 21), 16)::decimal(38) - $Off")
+  }
+
+  test("vertica: HEX_TO_INTEGER as NUMERIC(38, 0)") {
+    assert(VerticaProfile.md5AsIntSql("x") ==
+      s"CAST(HEX_TO_INTEGER(SUBSTRING(MD5(x), 21)) AS NUMERIC(38, 0)) - $Off")
+  }
+
+  test("databricks: conv hex suffix as decimal(38, 0)") {
+    assert(DatabricksProfile.md5AsIntSql("x") ==
+      s"cast(conv(substr(md5(x), 21), 16, 10) as decimal(38, 0)) - $Off")
+  }
+
+  test("spark: conv hex suffix sums in decimal, not overflow-prone bigint") {
+    assert(SparkProfile.md5AsIntSql("x") ==
+      s"cast(conv(substring(md5(x), 21, 12), 16, 10) as decimal(38, 0)) - $Off")
+  }
+
+  test("uuid vs alphanumeric string-key detection") {
+    assert(KeySpace.looksLikeUuid("123e4567-e89b-12d3-a456-426614174000"))
+    assert(KeySpace.looksLikeUuid("123e4567e89b12d3a456426614174000"))
+    assert(!KeySpace.looksLikeUuid("K1500"))
+    assert(!KeySpace.looksLikeUuid("g23e4567e89b12d3a456426614174000")) // 'g' not hex
+    assert(KeySpace.parseStringKey("K15").isInstanceOf[KeySpace.AlphanumKey])
+    assert(KeySpace.parseStringKey("123e4567-e89b-12d3-a456-426614174000")
+      .isInstanceOf[KeySpace.UuidKey])
+  }
+}
+
+/** End-to-end pushdown diffs: the full control loop (segment → push grouped
+  * checksum SQL → prune → bisect → leaf-fetch → local compare) against a
+  * Spark-SQL "remote" and against a live DuckDB process — the cross-engine
+  * parity the reference's hashdiff exists for. */
+class PushdownDifferSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private val keys = Seq("o_orderkey")
+  private val compareCols =
+    Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+  private val relevant = keys ++ compareCols
+
+  private def orders: DataFrame =
+    Tables.load(spark, dir, "orders").select(relevant.map(col): _*)
+
+  /** Spark-side normalized string projection — what PushdownDiffer emits. */
+  private def norm(df: DataFrame): DataFrame = {
+    val cols = Normalize.normalizedCols(df.schema, relevant)
+    df.select(relevant.zip(cols).map { case (n, c) => c.as(n) }: _*)
+  }
+
+  private def expectedDiff: Set[String] =
+    JoinDiffer.diff(norm(orders), norm(PushdownQueries.clusterMutatedOrders(orders)),
+      keys, compareCols)
+      .collect().map(_.mkString("|")).toSet
+
+  test("spark-view pushdown reproduces the joindiff rows and prunes clean segments") {
+    val a = orders
+    PushdownQueries.clusterMutatedOrders(a).createOrReplaceTempView("pd_spec_b")
+    val remote = RemoteTable(new SparkViewEngine(spark), "pd_spec_b", keys, compareCols, a.schema)
+    // factor 4 / threshold 128 forces at least two bisection levels at 1500 rows
+    val (out, stats) = PushdownDiffer.diffWithStats(
+      TableSegment(a, keys, compareCols), remote,
+      bisectionFactor = 4, bisectionThreshold = 128)
+    assert(out.collect().map(_.mkString("|")).toSet == expectedDiff)
+    assert(stats.levels >= 2, s"expected recursion, got $stats")
+    assert(stats.segmentsPruned > 0, s"expected clean segments pruned, got $stats")
+    assert(stats.rowsFetched < a.count(), s"leaf fetch must not ship the whole table: $stats")
+  }
+
+  test("identical sides prune every segment with zero rows fetched") {
+    val a = orders
+    a.createOrReplaceTempView("pd_spec_same")
+    val remote = RemoteTable(new SparkViewEngine(spark), "pd_spec_same", keys, compareCols, a.schema)
+    val (out, stats) = PushdownDiffer.diffWithStats(
+      TableSegment(a, keys, compareCols), remote,
+      bisectionFactor = 8, bisectionThreshold = 256)
+    assert(out.isEmpty)
+    assert(stats.leafSegments == 0 && stats.rowsFetched == 0)
+    assert(stats.remoteQueries == 2, s"one key-range + one level-0 round-trip: $stats")
+  }
+
+  // ---- live DuckDB over the process bridge -------------------------------
+
+  private val bridgeScript =
+    """import sys, base64, duckdb
+      |con = duckdb.connect()
+      |for line in sys.stdin:
+      |    line = line.strip()
+      |    if not line:
+      |        continue
+      |    sql = base64.b64decode(line).decode('utf-8')
+      |    try:
+      |        rows = con.execute(sql).fetchall()
+      |        for r in rows:
+      |            print('\t'.join('\\N' if v is None else base64.b64encode(str(v).encode('utf-8')).decode('ascii') for v in r))
+      |        print('__END__', flush=True)
+      |    except Exception as e:
+      |        print('__ERR__ ' + base64.b64encode(str(e).encode('utf-8')).decode('ascii'), flush=True)
+      |""".stripMargin
+
+  /** The mutated b-side as DuckDB SQL — same transform as
+    * PushdownQueries.clusterMutatedOrders. */
+  private val duckMutatedView =
+    s"""CREATE OR REPLACE VIEW pd_duck_b AS
+       |SELECT o_orderkey, o_custkey,
+       |  CASE WHEN o_orderkey >= 1000 AND o_orderkey < 3000 AND o_orderkey % 11 = 0
+       |       THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+       |  CASE WHEN o_orderkey >= 1000 AND o_orderkey < 3000 AND o_orderkey % 7 = 0
+       |       THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+       |  o_orderdate, o_orderpriority
+       |FROM read_parquet('$dir/orders.parquet')
+       |WHERE NOT (o_orderkey >= 1000 AND o_orderkey < 3000 AND o_orderkey % 13 = 0)""".stripMargin
+
+  private def withDuck[T](profile: SourceProfile)(f: RemoteEngine => T): T = {
+    val eng = new ProcessEngine(Seq("python3", "-c", bridgeScript), profile)
+    try { eng.query(duckMutatedView); f(eng) } finally eng.close()
+  }
+
+  test("live DuckDB pushdown: cross-engine checksums drive the same diff") {
+    withDuck(DuckDbProfile) { eng =>
+      val a = orders
+      val remote = RemoteTable(eng, "pd_duck_b", keys, compareCols, a.schema)
+      val (out, stats) = PushdownDiffer.diffWithStats(
+        TableSegment(a, keys, compareCols), remote,
+        bisectionFactor = 4, bisectionThreshold = 128)
+      assert(out.collect().map(_.mkString("|")).toSet == expectedDiff)
+      assert(stats.segmentsPruned > 0, s"cross-engine checksums failed to prune: $stats")
+    }
+  }
+
+  test("overflow-safe concat mode stays bit-compatible cross-engine") {
+    // DuckDB with the MSSQL-style overflow-safe concat: every segment of an
+    // unchanged table must still checksum-equal the Spark side, proving
+    // Checksum.rowChecksumOverflowSafe mirrors the remote rendering.
+    val overflowDuck = new SourceProfile {
+      val name = "duckdb-overflow"
+      override def preventOverflowWhenConcat: Boolean = true
+      def toStringSql(e: String) = DuckDbProfile.toStringSql(e)
+      def md5AsIntSql(e: String) = DuckDbProfile.md5AsIntSql(e)
+      def normalizeTimestampSql(e: String, p: Int) = DuckDbProfile.normalizeTimestampSql(e, p)
+      def normalizeNumberSql(e: String, p: Int) = DuckDbProfile.normalizeNumberSql(e, p)
+      def normalizeBooleanSql(e: String) = DuckDbProfile.normalizeBooleanSql(e)
+    }
+    withDuck(overflowDuck) { eng =>
+      val a = orders
+      val remote = RemoteTable(eng, "pd_duck_b", keys, compareCols, a.schema)
+      val (out, _) = PushdownDiffer.diffWithStats(
+        TableSegment(a, keys, compareCols), remote,
+        bisectionFactor = 8, bisectionThreshold = 256)
+      val expected = JoinDiffer.diff(norm(orders),
+        norm(PushdownQueries.clusterMutatedOrders(orders)), keys, compareCols)
+        .collect().map(_.mkString("|")).toSet
+      assert(out.collect().map(_.mkString("|")).toSet == expected)
+    }
+  }
+
+  test("alphanumeric keys segment the table with every row in exactly one segment") {
+    val o = Tables.load(spark, dir, "orders")
+      .select(concat(lit("K"), col("o_orderkey").cast("string")).as("k"))
+    val parts = TableSegment(o, Seq("k")).splitByKeyRange(7)
+    assert(parts.size > 1)
+    val union = parts.zipWithIndex
+      .map { case (p, i) => p.scoped.withColumn("seg", lit(i)) }
+      .reduce(_ unionAll _)
+    val total = o.count()
+    // sum == total and distinct keys == total ⇒ no row lost, none double-counted
+    assert(union.count() == total)
+    assert(union.select("k").distinct().count() == total)
+  }
+}

@@ -49,8 +49,11 @@ class SourceProfileSpec extends AnyFunSuite {
 
   test("registry resolves every profile by engine name") {
     assert(SourceProfile.registry.keySet ==
-      Set("duckdb", "postgresql", "mysql", "trino"))
+      Set("duckdb", "postgresql", "mysql", "trino", "presto", "snowflake",
+        "bigquery", "clickhouse", "mssql", "oracle", "redshift", "vertica",
+        "databricks", "spark"))
     assert(SourceProfile.registry("mysql") eq MySqlProfile)
+    assert(SourceProfile.registry("presto") eq TrinoProfile)
   }
 
   test("date normalization routes through the timestamp canonical form") {
