@@ -69,38 +69,59 @@ object Dedup {
 
   /** Near-duplicate pairs by exact n-gram Jaccard ≥ threshold. Shingles are
     * hashed to 48-bit ints up front: the inverted-index shuffle and the
-    * candidate self-join move 8-byte keys instead of ~20-byte strings. */
+    * candidate join move 8-byte keys instead of ~20-byte strings.
+    *
+    * Two-stage EXACT plan (prefix filtering, the PPJoin family — not an
+    * LSH prefilter, which is probabilistic and could miss qualifying
+    * pairs):
+    *  1. candidates: each doc's shingles sort in a global canonical order
+    *     (document frequency ASC, hash ASC — rarest first); if
+    *     J(A,B) ≥ t then |A∩B| ≥ ceil(t·max(|A|,|B|)), so A and B must
+    *     share a shingle inside their first sz − ceil(t·sz) + 1 entries.
+    *     Only PREFIX entries enter the self-join, and because prefixes
+    *     hold the RAREST shingles, per-shingle fan-out collapses — the
+    *     full-index join this replaces was ~20% of the whole bench.
+    *  2. verify: exact |A∩B| via array_intersect of the full (capped)
+    *     per-doc shingle arrays, joined only to candidate pairs.
+    * The df cap bounds any surviving shingle's fan-out at df² pairs, as
+    * before; capped sets feed both stages so results are unchanged. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, dfCap: Int = 50): DataFrame = {
-    // Plan shape is tuned to minimize EXCHANGES, the dominant cost at both
-    // ends of the scale spectrum (stage overhead locally, shuffled bytes on
-    // a cluster):
-    //  - hash BEFORE the per-doc distinct: the dedup shuffle moves 8-byte
-    //    ints instead of ~20-byte shingle strings (the oracle dedups over
-    //    the same hashes, so 48-bit collisions stay aligned);
-    //  - the document-frequency cap is a window count over the SAME s-hash
-    //    partitioning (one exchange replaces groupBy + join-back);
-    //  - the self-join keys on s, which `kept` is already partitioned by —
-    //    no further exchange before the pair aggregation.
-    val wS = org.apache.spark.sql.expressions.Window.partitionBy("s")
-    // kept feeds three consumers (sizes + both join sides); persisting the
-    // pruned inverted index — orders of magnitude smaller than the corpus —
-    // evaluates the tokenize/shingle/df pipeline once.
+    import org.apache.spark.sql.expressions.Window
+    // hash BEFORE the per-doc distinct: the dedup shuffle moves 8-byte
+    // ints instead of ~20-byte shingle strings (the oracle dedups over
+    // the same hashes, so 48-bit collisions stay aligned); the df cap is
+    // a window count over the SAME s-hash partitioning.
+    val wS = Window.partitionBy("s")
     val kept = shingleIndexRaw(df, idCol, textCol)
       .select(col("doc_id"), md5Int48(col("s")).as("s"))
       .distinct()
       .withColumn("df", count(lit(1)).over(wS))
       .where(col("df") <= dfCap)
-      .select("doc_id", "s")
+    // ONE doc_id exchange builds everything per-doc in a single row:
+    // sort_array over (df, s) structs gives the canonical order without a
+    // row_number window; slice takes the prefix; getField (codegen'd, not
+    // a lambda) projects the plain hash arrays for the verify stage.
+    // plen = sz − ceil(t·sz) + 1, with ceil computed conservatively
+    // DOWNWARD (floor(x−ε)+1): a double rounding error may only LENGTHEN
+    // the prefix, never drop a qualifying candidate.
+    val docs = kept.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("arr"))
+      .withColumn("sz", size(col("arr")).cast("long"))
+      .withColumn("plen", (col("sz") - floor(col("sz") * lit(threshold) - lit(1e-9))).cast("int"))
+      .withColumn("set", col("arr").getField("s"))
+      .select("doc_id", "set", "sz", "plen")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val pairs = kept.select(col("doc_id").as("doc_a"), col("s"))
-      .join(kept.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
+    val prefix = docs.select(col("doc_id"),
+      explode(slice(col("set"), lit(1), col("plen"))).as("s"))
+    val cands = prefix.select(col("doc_id").as("doc_a"), col("s"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
       .where(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
-    val out = pairs
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb")), Seq("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val out = cands
+      .join(docs.select(col("doc_id").as("doc_a"), col("set").as("set_a"), col("sz").as("sa")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("set").as("set_b"), col("sz").as("sb")), Seq("doc_b"))
+      .withColumn("n_common", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
       .withColumn("jaccard", col("n_common") / (col("sa") + col("sb") - col("n_common")))
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "n_common", "jaccard")
@@ -108,7 +129,7 @@ object Dedup {
       // cached index can be released here — repeated calls in a long-lived
       // session must not accumulate cached partitions.
       .localCheckpoint(true)
-    kept.unpersist()
+    docs.unpersist()
     out
   }
 

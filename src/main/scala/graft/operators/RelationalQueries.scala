@@ -273,13 +273,54 @@ object RelationalQueries {
     // ntile — the window-based segmenter (SURVEY §2.5: the idiomatic
     // single-source alternative to key-range arithmetic). Total order via
     // the unique key tiebreak makes tile assignment deterministic.
+    //
+    // NOT `ntile(8).over(Window.orderBy(...))`: a global unpartitioned
+    // window funnels every row through ONE task — as the designated
+    // segmenter it would die exactly when segmentation matters. Two-level
+    // instead: (1) range-exchange on the sort key, so partitions are
+    // globally ordered but each sorts in parallel; (2) per-partition local
+    // ranks from one streaming mapPartitions pass (no further shuffle);
+    // (3) the ≤32 per-partition counts prefix-sum on the driver into
+    // global-rank offsets (a literal map — no join); (4) ntile's
+    // first-(n%8)-tiles-get-the-extra-row split is pure rank arithmetic.
+    // Bit-identical to the window form at any partition count.
     "q_window_ntile" -> ((s, d) => {
-      val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
-      t(s, d, "orders")
-        .select(col("o_orderkey"), ntile(8).over(w).cast("long").as("tile"))
+      import s.implicits._
+      val tiles = 8L
+      val sorted = t(s, d, "orders")
+        .select(col("o_totalprice").cast("double").as("p"), col("o_orderkey").cast("long").as("k"))
+        .repartitionByRange(32, col("p"), col("k"))
+        .sortWithinPartitions("p", "k")
+        .as[(Double, Long)]
+      // localCheckpoint pins ONE materialization of the ranked rows: the
+      // range partitioner samples with an RDD-id-derived seed, so separate
+      // jobs (the counts collect below, then the final aggregate) would
+      // otherwise re-plan DIFFERENT range bounds and the offsets would lie.
+      val local = sorted.mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var i = 0L
+        it.map { case (_, k) => i += 1; (pid, i, k) }
+      }.toDF("pid", "lr", "k").localCheckpoint(true)
+      val cnts = local.groupBy("pid").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      val n = cnts.map(_._2).sum
+      val offsets: Map[Int, Long] =
+        cnts.map(_._1).zip(cnts.scanLeft(0L)(_ + _._2)).toMap
+      val q = n / tiles
+      val rem = n % tiles
+      val r = element_at(typedLit(offsets), col("pid")) + col("lr")
+      // exact long division: subtract the remainder first so the double
+      // division is of an exact multiple (floor(a/b) on raw doubles can
+      // round up when b exceeds ~2^21)
+      def idiv(a: Column, b: Long): Column = ((a - (a % lit(b))) / lit(b)).cast("long")
+      val tile =
+        if (q == 0) r // fewer rows than tiles: ntile gives each row its own
+        else when(r <= lit(rem * (q + 1)), idiv(r + lit(q), q + 1))
+          .otherwise(lit(rem) + idiv(r - lit(rem * (q + 1)) + lit(q - 1), q))
+      local.select(col("k"), tile.cast("long").as("tile"))
         .groupBy(col("tile"))
         .agg(count(lit(1)).as("n"),
-          min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+          min(col("k")).as("min_key"), max(col("k")).as("max_key"))
         .orderBy("tile")
     }),
 

@@ -160,15 +160,28 @@ object Similarity {
     * the same zero-initialized left fold as the SQL form, so results are
     * bit-identical to the fold-based oracle. For corpora whose unit-vector
     * matrix outgrows a broadcast, restrict candidates first (ivfTopK /
-    * lshBands) — exact all-pairs at that scale is the wrong query. */
+    * lshBands) — exact all-pairs at that scale is the wrong query, and the
+    * `maxBroadcastBytes` guard fails loudly before the driver collect
+    * rather than OOMing mid-job. */
   def similarPairs(vecs: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, dim: Int = 64): DataFrame = {
+      threshold: Double, dim: Int = 64,
+      maxBroadcastBytes: Long = 256L << 20): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
     val unit = withUnitVector(
       vecs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")), "v", "nv")
       .select(col("id"), col("nv"))
       .as[(Long, Array[Double])]
+    // The guard must run BEFORE the collect: counting is one cheap
+    // aggregate job, while an oversized collect kills the driver with no
+    // recourse. ~(8·dim + 32) bytes per (id, Array[Double]) entry.
+    val n = unit.count()
+    val estBytes = n * (8L * dim + 32L)
+    require(estBytes <= maxBroadcastBytes,
+      s"similarPairs would broadcast ~$estBytes bytes of unit vectors ($n rows × dim=$dim), " +
+        s"over the $maxBroadcastBytes budget. Exact all-pairs is the wrong query at this " +
+        "scale: restrict candidates first (Similarity.ivfTopK or Dedup.lshBands), or raise " +
+        "maxBroadcastBytes if the driver really has the memory.")
     val bc = spark.sparkContext.broadcast(
       unit.collect().sortBy(_._1))
     // stream the already-collected vectors back out instead of re-evaluating

@@ -74,6 +74,21 @@ class SimilaritySpec extends AnyFunSuite {
       .select("neighbor_id", "rank").as[(Long, Long)].collect().toMap
     assert(top(3L) == 1L && top(1L) == 2L)
   }
+
+  test("similarPairs refuses an over-budget broadcast before collecting") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.similarPairs(vecs, "vec_id", "embedding", 0.5, dim = 2,
+        maxBroadcastBytes = 16) // 3 rows × (16 + 32) bytes > 16
+    }
+    assert(e.getMessage.contains("ivfTopK"))
+    // within budget, the guard stays out of the way
+    val ok = Similarity.similarPairs(vecs, "vec_id", "embedding", 0.5, dim = 2)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(ok == Set((0L, 1L))) // only (1,0,0)·(0.9,0.1) clears cosine 0.5
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
