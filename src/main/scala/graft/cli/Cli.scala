@@ -143,8 +143,11 @@ object Cli {
         Graft.DiffOptions(algorithm = algo, ignoreColumns = a.ignore))
       val limited = a.limit.fold(diff)(diff.limit)
       a.materialize.foreach(Graft.materializeDiff(limited, _))
-      if (a.json) DiffFormat.toJsonl(limited).collect().foreach(println)
-      else limited.collect().foreach(r => println(r.mkString(" ")))
+      // stream partitions through the driver instead of collecting: without
+      // --limit an unexpectedly large diff must not OOM the CLI (the
+      // reference likewise streams its diff iterator)
+      if (a.json) DiffFormat.toJsonl(limited).toLocalIterator().forEachRemaining(println(_))
+      else limited.toLocalIterator().forEachRemaining(r => println(r.mkString(" ")))
       if (a.stats) {
         val s = DiffFormat.collectStats(Graft.diffStats(segA, segB))
         println(DiffFormat.statsString(s))

@@ -1,0 +1,207 @@
+package graft.dbt
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.diff.JoinDiffer
+
+/** dbt-mode structured JSON diff output — the reference's `JsonDiff`
+  * document, version 1.1.0 (reference: data_diff/format.py:38-359, golden
+  * shape in tests/test_format.py).
+  *
+  * Everything is computed from ONE flagged full-outer join
+  * (`JoinDiffer.flagged`): the summary (total/exclusive/updated/unchanged
+  * row counts) and the per-extra-column change counts (the reference
+  * accumulates `extra_column_diffs` while draining its diff iterator,
+  * diff_tables.py:100-137) come from a single aggregate over the flagged
+  * frame, and the row payload is the flag-filtered rows capped at
+  * `maxRows` — the one deviation from the reference, which collects the
+  * entire diff into driver memory; a cap is the difference between a big
+  * diff and a dead driver at scale.
+  */
+object DbtFormat {
+  private val mapper = new ObjectMapper()
+
+  /** Spark type → the reference's ColumnKind (format.py:152-177). */
+  def kindOf(dt: DataType): String = dt match {
+    case BooleanType => "boolean"
+    case DateType => "date"
+    case TimestampType | TimestampNTZType => "datetime"
+    case DoubleType | FloatType | _: DecimalType => "float"
+    case ByteType | ShortType | IntegerType | LongType => "integer"
+    case StringType => "string"
+    case _: ArrayType | _: StructType | _: MapType => "string"
+    case _ => "unsupported"
+  }
+
+  /** The failed-diff document (reference: format.py:23-35, version 1.0.0). */
+  def jsonifyError(dataset1: Seq[String], dataset2: Seq[String],
+      model: String, error: String): String = {
+    val root = mapper.createObjectNode()
+    root.put("status", "failed")
+    root.put("model", model)
+    putStrings(root, "dataset1", dataset1)
+    putStrings(root, "dataset2", dataset2)
+    root.put("error", error)
+    root.put("version", "1.0.0")
+    mapper.writeValueAsString(root)
+  }
+
+  /** The success document. `dataset1`/`dataset2` are table paths (the
+    * reference's db/schema/table triples); compare columns default to the
+    * columns both sides share. */
+  def jsonify(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+      model: String, dataset1: Seq[String], dataset2: Seq[String],
+      compareColsIn: Seq[String] = Nil,
+      withSummary: Boolean = false, statsOnly: Boolean = false,
+      maxRows: Int = 1 << 20): String = {
+    val aCols = a.columns.toSeq
+    val bCols = b.columns.toSeq
+    val shared = aCols.filter(bCols.contains)
+    val compareCols =
+      if (compareColsIn.nonEmpty) compareColsIn
+      else shared.filterNot(keyCols.contains)
+
+    // schema diff (reference columns_diff: added/removed/typeChanged)
+    val added = bCols.filterNot(aCols.contains)
+    val removed = aCols.filterNot(bCols.contains)
+    val typeChanged = shared.filter(c => a.schema(c).dataType != b.schema(c).dataType)
+
+    val f = JoinDiffer.flagged(a, b, keyCols, compareCols)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val anyDiff = compareCols.map(c => col(s"is_diff_$c") === 1).reduce(_ || _)
+      val both = !col("is_exclusive_a") && !col("is_exclusive_b")
+      // one aggregate: row summary + per-column changed counts over matched keys
+      val baseAggs = Seq(
+        sum(when(col("is_exclusive_a"), 1L).otherwise(0L)).as("excl_a"),
+        sum(when(col("is_exclusive_b"), 1L).otherwise(0L)).as("excl_b"),
+        sum(when(both && anyDiff, 1L).otherwise(0L)).as("updated"),
+        sum(when(both && !anyDiff, 1L).otherwise(0L)).as("unchanged"))
+      val colAggs = compareCols.map(c =>
+        sum(when(both, col(s"is_diff_$c").cast("long")).otherwise(0L)).as(s"v_$c"))
+      val s = f.agg((baseAggs ++ colAggs).head, (baseAggs ++ colAggs).tail: _*).head()
+      val (exclA, exclB, updated, unchanged) =
+        (nz(s, 0), nz(s, 1), nz(s, 2), nz(s, 3))
+      val diffCounts = compareCols.zipWithIndex.map { case (c, i) => c -> nz(s, 4 + i) }
+
+      val isDifferent = exclA + exclB + updated > 0 ||
+        added.nonEmpty || removed.nonEmpty || typeChanged.nonEmpty
+
+      val root = mapper.createObjectNode()
+      root.put("status", "success")
+      root.put("result", if (isDifferent) "different" else "identical")
+      root.put("model", model)
+      putStrings(root, "dataset1", dataset1)
+      putStrings(root, "dataset2", dataset2)
+
+      if (statsOnly) root.putNull("rows")
+      else {
+        val collected = f.where(col("is_exclusive_a") || col("is_exclusive_b") || anyDiff)
+          .limit(maxRows).collect()
+        val rows = root.putObject("rows")
+        val exclusive = rows.putObject("exclusive")
+        val ex1 = exclusive.putArray("dataset1")
+        val ex2 = exclusive.putArray("dataset2")
+        val diffArr = rows.putArray("diff")
+        collected.foreach { r =>
+          if (r.getAs[Boolean]("is_exclusive_a"))
+            ex1.add(exclusiveRow(r, "a", keyCols, compareCols))
+          else if (r.getAs[Boolean]("is_exclusive_b"))
+            ex2.add(exclusiveRow(r, "b", keyCols, compareCols))
+          else diffArr.add(diffRow(r, keyCols, compareCols))
+        }
+      }
+
+      if (withSummary) {
+        val summary = root.putObject("summary")
+        val rowsNode = summary.putObject("rows")
+        val total = rowsNode.putObject("total")
+        total.put("dataset1", exclA + updated + unchanged)
+        total.put("dataset2", exclB + updated + unchanged)
+        val exclusive = rowsNode.putObject("exclusive")
+        exclusive.put("dataset1", exclA)
+        exclusive.put("dataset2", exclB)
+        rowsNode.put("updated", updated)
+        rowsNode.put("unchanged", unchanged)
+        val statsNode = summary.putObject("stats")
+        val counts = statsNode.putObject("diffCounts")
+        diffCounts.foreach { case (c, n) => counts.put(c, n) }
+      } else root.putNull("summary")
+
+      val columns = root.putObject("columns")
+      columnList(columns.putArray("dataset1"), a, keyCols ++ compareCols)
+      columnList(columns.putArray("dataset2"), b, keyCols ++ compareCols)
+      putStrings(columns, "primaryKey", keyCols)
+      val exclusiveCols = columns.putObject("exclusive")
+      putStrings(exclusiveCols, "dataset1", removed)
+      putStrings(exclusiveCols, "dataset2", added)
+      putStrings(columns, "typeChanged", typeChanged)
+
+      root.put("version", "1.1.0")
+      mapper.writeValueAsString(root)
+    } finally f.unpersist()
+  }
+
+  // ---- helpers -----------------------------------------------------------
+
+  private def nz(r: Row, i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+
+  private def putStrings(node: ObjectNode, field: String, vs: Seq[String]): Unit = {
+    val arr = node.putArray(field)
+    vs.foreach(arr.add)
+  }
+
+  private def columnList(arr: ArrayNode, df: DataFrame, names: Seq[String]): Unit =
+    // reference emits the dataset's own column order/typing
+    df.schema.fields.filter(fd => names.contains(fd.name)).foreach { fd =>
+      val c = arr.addObject()
+      c.put("name", fd.name)
+      c.put("type", fd.dataType.simpleString)
+      c.put("kind", kindOf(fd.dataType))
+    }
+
+  /** {col: {isPK, value}} for a one-sided row (format.py:303-318). */
+  private def exclusiveRow(r: Row, side: String,
+      keyCols: Seq[String], compareCols: Seq[String]): ObjectNode = {
+    val node = mapper.createObjectNode()
+    (keyCols ++ compareCols).foreach { c =>
+      val v = node.putObject(c)
+      v.put("isPK", keyCols.contains(c))
+      putValue(v, "value", r.getAs[Any](s"${side}_$c"))
+    }
+    node
+  }
+
+  /** {col: {dataset1, dataset2, isDiff, isPK}} for a changed matched row
+    * (format.py:280-300). */
+  private def diffRow(r: Row, keyCols: Seq[String], compareCols: Seq[String]): ObjectNode = {
+    val node = mapper.createObjectNode()
+    (keyCols ++ compareCols).foreach { c =>
+      val v = node.putObject(c)
+      putValue(v, "dataset1", r.getAs[Any](s"a_$c"))
+      putValue(v, "dataset2", r.getAs[Any](s"b_$c"))
+      // key columns carry no is_diff flag: equal by the join condition
+      v.put("isDiff", compareCols.contains(c) && r.getAs[Int](s"is_diff_$c") == 1)
+      v.put("isPK", keyCols.contains(c))
+    }
+    node
+  }
+
+  private def putValue(node: ObjectNode, field: String, v: Any): Unit = v match {
+    case null => node.putNull(field)
+    case s: String => node.put(field, s)
+    case b: Boolean => node.put(field, b)
+    case i: Byte => node.put(field, i.toInt)
+    case i: Short => node.put(field, i.toInt)
+    case i: Int => node.put(field, i)
+    case i: Long => node.put(field, i)
+    case d: Float => node.put(field, d.toDouble)
+    case d: Double => node.put(field, d)
+    case d: java.math.BigDecimal => node.put(field, d)
+    case other => node.put(field, other.toString)
+  }
+}

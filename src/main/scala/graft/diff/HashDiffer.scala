@@ -26,20 +26,38 @@ object HashDiffer {
   def bucketOf(keyCols: Seq[String], buckets: Int): Column =
     pmod(xxhash64(keyCols.map(col): _*), lit(buckets))
 
-  /** Bucket summaries that differ between the two sides. Uses the fast
-    * raw-column xxhash64 checksum: both sides are hashed by this engine in
-    * one job, so the md5 string-parity form (kept for pushdown mode) is not
-    * needed here. */
-  def dirtyBuckets(a: TableSegment, b: TableSegment, buckets: Int): Array[Long] = {
+  /** Per-segment summary surface — the InfoTree analogue (reference:
+    * data_diff/info_tree.py:9-62): both sides' (count, checksum) per bucket
+    * plus the dirty flag, BEFORE pruning, so a user can see which key-space
+    * regions differ and how much without paying for the row join.
+    *
+    * `parity = false` (default) uses the fast raw-column xxhash64 checksum —
+    * both sides are hashed by this engine in one job, so md5 string parity
+    * buys nothing. `parity = true` uses the cross-engine md5 form, whose
+    * values any profiled engine (and the DuckDB oracle) reproduces
+    * bit-for-bit. `bucketColFor` defaults to the hash partition used by
+    * `diff`; pass e.g. `pmod(col(key), lit(n))` for oracle-checkable
+    * buckets. */
+  def bucketSummaries(a: TableSegment, b: TableSegment, buckets: Int,
+      parity: Boolean = false,
+      bucketColFor: TableSegment => Column = null): DataFrame = {
     require(a.keyCols == b.keyCols, "key columns must match")
-    val ac = a.fastBucketChecksums(bucketOf(a.keyCols, buckets)).withColumnRenamed("cnt", "a_cnt")
-      .withColumnRenamed("checksum", "a_checksum")
-    val bc = b.fastBucketChecksums(bucketOf(b.keyCols, buckets)).withColumnRenamed("cnt", "b_cnt")
-      .withColumnRenamed("checksum", "b_checksum")
+    def bcol(t: TableSegment): Column =
+      if (bucketColFor == null) bucketOf(t.keyCols, buckets) else bucketColFor(t)
+    def side(t: TableSegment): DataFrame =
+      if (parity) t.bucketChecksums(bcol(t)) else t.fastBucketChecksums(bcol(t))
+    val ac = side(a).withColumnRenamed("cnt", "a_cnt").withColumnRenamed("checksum", "a_checksum")
+    val bc = side(b).withColumnRenamed("cnt", "b_cnt").withColumnRenamed("checksum", "b_checksum")
     ac.join(bc, Seq("bucket"), "full_outer")
-      .where(!(col("a_cnt") <=> col("b_cnt")) || !(col("a_checksum") <=> col("b_checksum")))
-      .select("bucket").collect().map(_.getLong(0))
+      .withColumn("is_dirty",
+        !(col("a_cnt") <=> col("b_cnt")) || !(col("a_checksum") <=> col("b_checksum")))
   }
+
+  /** Buckets whose summaries differ between the two sides. */
+  def dirtyBuckets(a: TableSegment, b: TableSegment, buckets: Int): Array[Long] =
+    bucketSummaries(a, b, buckets)
+      .where(col("is_dirty"))
+      .select("bucket").collect().map(_.getLong(0))
 
   /** Diff rows, same output contract as JoinDiffer.diff.
     *

@@ -14,13 +14,17 @@ object SchemaTools {
 
   /** Column-by-column comparison of the two sides' schemas (reference:
     * __main__.py:78-100 diff_schemas — same-DB diffs warn on mismatches
-    * before diffing values). Case-insensitive name matching like the
-    * reference's default schema dictionaries. */
-  def diffSchemas(a: DataFrame, b: DataFrame): Seq[ColDiff] = {
-    val at = a.schema.fields.map(f => f.name.toLowerCase -> f.dataType.simpleString).toMap
-    val bt = b.schema.fields.map(f => f.name.toLowerCase -> f.dataType.simpleString).toMap
-    val names = (a.schema.fields.map(_.name.toLowerCase) ++
-      b.schema.fields.map(_.name.toLowerCase)).distinct.toSeq
+    * before diffing values). `caseSensitive = false` (the default) matches
+    * names case-insensitively like the reference's default
+    * CaseInsensitiveDict schemas; `true` mirrors its `--case-sensitive`
+    * flag (reference: utils.py:73-117 CaseAwareMapping pair). */
+  def diffSchemas(a: DataFrame, b: DataFrame,
+      caseSensitive: Boolean = false): Seq[ColDiff] = {
+    def canon(n: String): String = if (caseSensitive) n else n.toLowerCase
+    val at = a.schema.fields.map(f => canon(f.name) -> f.dataType.simpleString).toMap
+    val bt = b.schema.fields.map(f => canon(f.name) -> f.dataType.simpleString).toMap
+    val names = (a.schema.fields.map(f => canon(f.name)) ++
+      b.schema.fields.map(f => canon(f.name))).distinct.toSeq
     names.map { n =>
       (at.get(n), bt.get(n)) match {
         case (Some(x), Some(y)) if x == y => ColDiff(n, Some(x), Some(y), "match")

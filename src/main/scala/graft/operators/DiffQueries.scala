@@ -77,6 +77,20 @@ object DiffQueries {
         .orderBy("bucket")
     }),
 
+    // The InfoTree surface: which segments differ and by how much, without
+    // the row join. Cross-engine md5 checksums + a modulo bucket so the
+    // DuckDB oracle reproduces every value including the dirty flag.
+    "q_hashdiff_segments" -> ((s, d) => {
+      val a = orders(s, d)
+      val segA = TableSegment(a, Seq("o_orderkey"), orderCompareCols)
+      val segB = TableSegment(mutatedOrders(a), Seq("o_orderkey"), orderCompareCols)
+      HashDiffer.bucketSummaries(segA, segB, 32, parity = true,
+          bucketColFor = _ => pmod(col("o_orderkey"), lit(32)))
+        .select(col("bucket"), col("a_cnt"), col("a_checksum").cast("string").as("a_checksum"),
+          col("b_cnt"), col("b_checksum").cast("string").as("b_checksum"), col("is_dirty"))
+        .orderBy("bucket")
+    }),
+
     "q_keyrange" -> ((s, d) =>
       TableSegment(Tables.load(s, d, "lineitem"), Seq("l_orderkey", "l_linenumber")).keyRange()),
 
@@ -136,9 +150,28 @@ object DiffQueries {
     s"""CAST(CAST(SUM(('0x' || SUBSTRING(md5(concat_ws('|',
        |    $lineitemNorm)), 21, 12))::BIGINT - ${Checksum.Offset}) AS DECIMAL(38,0)) AS VARCHAR)""".stripMargin
 
+  private val ordersNorm = Seq(
+    "o_orderkey" -> "int", "o_custkey" -> "int", "o_orderstatus" -> "str",
+    "o_totalprice" -> "frac", "o_orderdate" -> "ts", "o_orderpriority" -> "str")
+    .map { case (c, k) => duckNorm(c, k) }.mkString(",\n    ")
+
+  private val duckOrdersChecksum =
+    s"""CAST(CAST(SUM(('0x' || SUBSTRING(md5(concat_ws('|',
+       |    $ordersNorm)), 21, 12))::BIGINT - ${Checksum.Offset}) AS DECIMAL(38,0)) AS VARCHAR)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_joindiff" -> diffRowsSql,
     "q_hashdiff" -> diffRowsSql,
+
+    "q_hashdiff_segments" ->
+      s"""$mutatedCte,
+         |sa AS (SELECT (o_orderkey % 32) AS bucket, COUNT(*) AS a_cnt,
+         |  $duckOrdersChecksum AS a_checksum FROM orders GROUP BY 1),
+         |sb AS (SELECT (o_orderkey % 32) AS bucket, COUNT(*) AS b_cnt,
+         |  $duckOrdersChecksum AS b_checksum FROM b GROUP BY 1)
+         |SELECT COALESCE(sa.bucket, sb.bucket) AS bucket, a_cnt, a_checksum, b_cnt, b_checksum,
+         |  (a_cnt IS DISTINCT FROM b_cnt OR a_checksum IS DISTINCT FROM b_checksum) AS is_dirty
+         |FROM sa FULL OUTER JOIN sb ON sa.bucket = sb.bucket ORDER BY 1""".stripMargin,
 
     "q_diff_stats" ->
       s"""$mutatedCte,

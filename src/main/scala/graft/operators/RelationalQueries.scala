@@ -29,25 +29,32 @@ object RelationalQueries {
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
 
-  /** One-row (col_name, n_hll, n_exact) deterministic-HLL estimate of
-    * COUNT(DISTINCT c). See q_approx_distinct for the determinism argument;
+  /** Deterministic-HLL estimates of COUNT(DISTINCT c) for several columns
+    * in ONE scan: the columns unpivot to (col_name, v) pairs, and the
+    * DISTINCT pair set serves both the exact count and the HLL registers
+    * (a MAX over registers is duplicate-insensitive, so distinct-first
+    * changes nothing). See q_approx_distinct for the determinism argument;
     * every intermediate is an exact integer, the estimate is a single
     * exactly-rounded double division, so any engine reproduces it bitwise. */
-  private def hllEstimate(df: DataFrame, c: String): DataFrame = {
-    val h = conv(substring(md5(col(c).cast("string")), 1, 12), 16, 10).cast("long")
-    val hashed = df.where(col(c).isNotNull)
-      .select(pmod(h, lit(256)).as("bucket"), shiftright(h, 8).as("h2"))
-    val regs = hashed
+  private def hllEstimates(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val pairs = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*)).as("p"))
+      .select("p.*").where(col("v").isNotNull).distinct()
+    val h = conv(substring(md5(col("v")), 1, 12), 16, 10).cast("long")
+    val regs = pairs
+      .select(col("col_name"), pmod(h, lit(256)).as("bucket"), shiftright(h, 8).as("h2"))
       .withColumn("rho", when(col("h2") === 0, lit(41)).otherwise(lit(41) - length(bin(col("h2")))))
-      .groupBy("bucket").agg(max(col("rho")).as("r"))
-    val est = regs.agg(
+      .groupBy("col_name", "bucket").agg(max(col("rho")).as("r"))
+    val est = regs.groupBy("col_name").agg(
         count(lit(1)).as("m_used"),
         sum(expr("shiftleft(cast(1 as bigint), 41 - r)")).as("z_used"))
-      .select(((lit(256L) - col("m_used")) * lit(2199023255552L) + col("z_used")).as("zint"))
-      .select((lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) * lit(65536.0)
-        * lit(2199023255552.0) / col("zint").cast("double")).as("n_hll"))
-    est.crossJoin(df.agg(countDistinct(col(c)).as("n_exact")))
-      .select(lit(c).as("col_name"), col("n_hll"), col("n_exact"))
+      .select(col("col_name"),
+        (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) * lit(65536.0)
+          * lit(2199023255552.0) /
+          (((lit(256L) - col("m_used")) * lit(2199023255552L) + col("z_used")).cast("double")))
+          .as("n_hll"))
+    val exact = pairs.groupBy("col_name").agg(count(lit(1)).as("n_exact"))
+    est.join(exact, Seq("col_name")).select("col_name", "n_hll", "n_exact")
   }
 
   val queries: Map[String, Q] = Map(
@@ -117,11 +124,9 @@ object RelationalQueries {
     // Z accumulated as an EXACT integer (Σ 2^(41-ρ) over registers), and one
     // final exactly-rounded IEEE division for the estimate. Same single
     // shuffle shape as a real HLL: map-side partial MAX per register.
-    "q_approx_distinct" -> ((s, d) => {
-      val li = t(s, d, "lineitem")
-      hllEstimate(li, "l_orderkey").union(hllEstimate(li, "l_partkey"))
-        .orderBy("col_name")
-    }),
+    "q_approx_distinct" -> ((s, d) =>
+      hllEstimates(t(s, d, "lineitem"), Seq("l_orderkey", "l_partkey"))
+        .orderBy("col_name")),
 
     // KMV (k-minimum-values) sketch — the other classic distinct-count
     // sketch: keep the k smallest distinct 48-bit hashes; the k-th smallest

@@ -45,4 +45,71 @@ class DbtSpec extends AnyFunSuite {
     // id 2 updated (-/+), id 3 only in prod (-), id 4 only in dev (+)
     assert(signs == Set(("-", 2L), ("+", 2L), ("-", 3L), ("+", 4L)))
   }
+
+  // Golden structured-JSON document, mirroring the reference's
+  // tests/test_format.py::test_jsonify_diff input and expected dict.
+  test("dbt structured JSON matches the reference's golden shape") {
+    val a = Seq(("1", "3"), ("2", "4")).toDF("id", "value")
+    val b = Seq(("1", "201"), ("3", "202")).toDF("id", "value")
+    val got = graft.dbt.DbtFormat.jsonify(a, b, Seq("id"), "my_model",
+      Seq("db", "schema", "table1"), Seq("db", "schema", "table2"))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val expected = mapper.readTree(
+      """{
+        |  "status": "success", "result": "different", "model": "my_model",
+        |  "dataset1": ["db", "schema", "table1"],
+        |  "dataset2": ["db", "schema", "table2"],
+        |  "rows": {
+        |    "exclusive": {
+        |      "dataset1": [{"id": {"isPK": true, "value": "2"}, "value": {"isPK": false, "value": "4"}}],
+        |      "dataset2": [{"id": {"isPK": true, "value": "3"}, "value": {"isPK": false, "value": "202"}}]
+        |    },
+        |    "diff": [{
+        |      "id": {"isPK": true, "dataset1": "1", "dataset2": "1", "isDiff": false},
+        |      "value": {"isPK": false, "dataset1": "3", "dataset2": "201", "isDiff": true}
+        |    }]
+        |  },
+        |  "summary": null,
+        |  "columns": {
+        |    "dataset1": [
+        |      {"name": "id", "type": "string", "kind": "string"},
+        |      {"name": "value", "type": "string", "kind": "string"}],
+        |    "dataset2": [
+        |      {"name": "id", "type": "string", "kind": "string"},
+        |      {"name": "value", "type": "string", "kind": "string"}],
+        |    "primaryKey": ["id"],
+        |    "exclusive": {"dataset1": [], "dataset2": []},
+        |    "typeChanged": []
+        |  },
+        |  "version": "1.1.0"
+        |}""".stripMargin)
+    assert(mapper.readTree(got) == expected)
+  }
+
+  test("dbt summary carries row totals and per-column change counts") {
+    val a = Seq((1L, "x", 1.0), (2L, "y", 2.0), (3L, "z", 3.0)).toDF("id", "s", "v")
+    val b = Seq((1L, "x", 9.0), (2L, "y", 2.0), (4L, "w", 4.0)).toDF("id", "s", "v")
+    val got = graft.dbt.DbtFormat.jsonify(a, b, Seq("id"), "m",
+      Seq("t1"), Seq("t2"), withSummary = true, statsOnly = true)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(got)
+    assert(node.path("rows").isNull)
+    val rows = node.path("summary").path("rows")
+    assert(rows.path("total").path("dataset1").asLong == 3
+      && rows.path("total").path("dataset2").asLong == 3)
+    assert(rows.path("exclusive").path("dataset1").asLong == 1
+      && rows.path("exclusive").path("dataset2").asLong == 1)
+    assert(rows.path("updated").asLong == 1 && rows.path("unchanged").asLong == 1)
+    val counts = node.path("summary").path("stats").path("diffCounts")
+    assert(counts.path("s").asLong == 0 && counts.path("v").asLong == 1)
+    assert(node.path("result").asText == "different")
+  }
+
+  test("failed diff document matches the reference's FailedDiff shape") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(graft.dbt.DbtFormat.jsonifyError(
+      Seq("db", "t1"), Seq("db", "t2"), "m", "boom"))
+    assert(node.path("status").asText == "failed" && node.path("error").asText == "boom"
+      && node.path("version").asText == "1.0.0")
+  }
 }

@@ -37,4 +37,14 @@ class SchemaToolsSpec extends AnyFunSuite {
     assert(a2.fracPrecision == 2 && b2.fracPrecision == 2)
     assert(a2.tsPrecision == 3 && b2.tsPrecision == 3)
   }
+
+  test("diffSchemas case-sensitive mode treats differently-cased names as distinct") {
+    val a = Seq((1L, "x")).toDF("ID", "v")
+    val b = Seq((1L, "x")).toDF("id", "v")
+    val insens = SchemaTools.diffSchemas(a, b).map(c => c.name -> c.status).toMap
+    assert(insens("id") == "match")
+    val sens = SchemaTools.diffSchemas(a, b, caseSensitive = true)
+      .map(c => c.name -> c.status).toMap
+    assert(sens("ID") == "a_only" && sens("id") == "b_only" && sens("v") == "match")
+  }
 }
