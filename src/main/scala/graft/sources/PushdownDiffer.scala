@@ -194,6 +194,10 @@ object PushdownDiffer {
       }.toMap
       remoteQueries += 1
 
+      if (sys.env.contains("GRAFT_PD_DEBUG")) {
+        println(s"DBG level $level local=$localMap")
+        println(s"DBG level $level remote=$remoteMap")
+      }
       val next = ArrayBuffer.empty[Box]
       frontier.zipWithIndex.foreach { case (box, i) =>
         val l = localMap.getOrElse(i, (0L, None: Option[BigDecimal]))

@@ -205,6 +205,79 @@ class PushdownDifferSpec extends AnyFunSuite {
     }
   }
 
+  test("compound keys (with a negative component) bisect as a 2-D mesh") {
+    // (k1, k2) with k1 ∈ [-3, 3]: the reference's compound-key scenarios
+    // include negative ints (tests/test_diff_tables.py). k1 is derived from
+    // the unique key, so the pair is unique.
+    val base = orders.select(
+      (col("o_orderkey") % 7 - 3).cast("long").as("k1"),
+      col("o_orderkey").cast("long").as("k2"),
+      col("o_totalprice"))
+    // clustered in k2 < 300 (sf0.001 keys are DENSE 0..1499) so the boxes
+    // covering higher k2 ranges verify clean and prune
+    val mutated = base.withColumn("o_totalprice",
+      when(col("k2") % 5 === 0 && col("k2") < 300, col("o_totalprice") + 2.0)
+        .otherwise(col("o_totalprice")))
+    mutated.createOrReplaceTempView("pd_spec_compound")
+    val remote = RemoteTable(new SparkViewEngine(spark), "pd_spec_compound",
+      Seq("k1", "k2"), Seq("o_totalprice"), base.schema)
+    val (out, stats) = PushdownDiffer.diffWithStats(
+      TableSegment(base, Seq("k1", "k2"), Seq("o_totalprice")), remote,
+      bisectionFactor = 3, bisectionThreshold = 128)
+    val cols = Seq("k1", "k2", "o_totalprice")
+    def norm2(df: DataFrame) = {
+      val nc = Normalize.normalizedCols(df.schema, cols)
+      df.select(cols.zip(nc).map { case (n, c) => c.as(n) }: _*)
+    }
+    val expected = JoinDiffer.diff(norm2(base), norm2(mutated), Seq("k1", "k2"), Seq("o_totalprice"))
+      .collect().map(_.mkString("|")).toSet
+    assert(out.collect().map(_.mkString("|")).toSet == expected)
+    assert(stats.segmentsPruned > 0)
+  }
+
+  test("alphanumeric string keys drive a live-DuckDB pushdown end to end") {
+    // 'K' || o_orderkey: varying-length base-66 keys whose SQL order differs
+    // from numeric order — segment bounds must still be valid predicates on
+    // BOTH engines (the reference's varying-alphanum scenarios).
+    val eng = new ProcessEngine(Seq("python3", "-c", bridgeScript), DuckDbProfile)
+    try {
+      eng.query(
+        s"""CREATE OR REPLACE VIEW pd_duck_alpha AS
+           |SELECT 'K' || o_orderkey::VARCHAR AS k,
+           |  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 2.0 ELSE o_totalprice END AS o_totalprice
+           |FROM read_parquet('$dir/orders.parquet')""".stripMargin)
+      val base = orders.select(
+        concat(lit("K"), col("o_orderkey").cast("string")).as("k"), col("o_totalprice"))
+      val remote = RemoteTable(eng, "pd_duck_alpha", Seq("k"), Seq("o_totalprice"), base.schema)
+      val (out, stats) = PushdownDiffer.diffWithStats(
+        TableSegment(base, Seq("k"), Seq("o_totalprice")), remote,
+        bisectionFactor = 4, bisectionThreshold = 256)
+      val mutated = base.withColumn("o_totalprice",
+        when(substring(col("k"), 2, 100).cast("long") % 5 === 0, col("o_totalprice") + 2.0)
+          .otherwise(col("o_totalprice")))
+      val cols = Seq("k", "o_totalprice")
+      def norm2(df: DataFrame) = {
+        val nc = Normalize.normalizedCols(df.schema, cols)
+        df.select(cols.zip(nc).map { case (n, c) => c.as(n) }: _*)
+      }
+      val expected = JoinDiffer.diff(norm2(base), norm2(mutated), Seq("k"), Seq("o_totalprice"))
+        .collect().map(_.mkString("|")).toSet
+      assert(out.collect().map(_.mkString("|")).toSet == expected)
+      assert(stats.segmentsPruned > 0, s"string-key checksums failed to prune: $stats")
+    } finally eng.close()
+  }
+
+  test("empty remote side yields every local row as removed") {
+    val a = orders.where(col("o_orderkey") <= 200)
+    a.where(lit(false)).createOrReplaceTempView("pd_spec_empty")
+    val remote = RemoteTable(new SparkViewEngine(spark), "pd_spec_empty", keys, compareCols, a.schema)
+    val (out, _) = PushdownDiffer.diffWithStats(
+      TableSegment(a, keys, compareCols), remote,
+      bisectionFactor = 4, bisectionThreshold = 64)
+    val got = out.collect()
+    assert(got.length == a.count() && got.forall(_.getString(0) == "-"))
+  }
+
   test("alphanumeric keys segment the table with every row in exactly one segment") {
     val o = Tables.load(spark, dir, "orders")
       .select(concat(lit("K"), col("o_orderkey").cast("string")).as("k"))
