@@ -83,6 +83,22 @@ object Graft {
     JoinDiffer.stats(a.scoped, b.scoped, a.keyCols,
       a.relevantCols.filterNot(a.keyCols.contains))
 
+  /** Cross-engine diff: the b-side lives in an external engine reachable
+    * only through `engine`; per-segment checksum SQL is pushed there and
+    * only bucket summaries plus leaf rows cross the wire (the reference's
+    * core use case; control loop in graft.sources.PushdownDiffer). The
+    * remote normalizes under the LOCAL side's Spark schema — the mutual
+    * schema, as negotiated by the reference's _validate_and_adjust_columns. */
+  def diffPushdown(local: TableSegment, engine: graft.sources.RemoteEngine,
+      remoteTable: String): DataFrame = {
+    val compare = local.relevantCols.filterNot(local.keyCols.contains)
+    val schema = local.df.select(local.relevantCols.map(
+      org.apache.spark.sql.functions.col): _*).schema
+    graft.sources.PushdownDiffer.diff(local,
+      graft.sources.RemoteTable(engine, remoteTable, local.keyCols, compare, schema,
+        local.fracPrecision, local.tsPrecision))
+  }
+
   /** '%t' in a materialize target expands to a UTC run timestamp
     * (reference: utils.py:396-400 eval_name_template). */
   def evalNameTemplate(name: String): String =

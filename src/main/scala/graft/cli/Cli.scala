@@ -66,7 +66,8 @@ object Cli {
       updateColumn: Option[String] = None,
       minAge: Option[String] = None, maxAge: Option[String] = None,
       materialize: Option[String] = None,
-      conf: Option[String] = None, run: Option[String] = None)
+      conf: Option[String] = None, run: Option[String] = None,
+      interactive: Boolean = false)
 
   def parseArgs(argv: Array[String]): Args = {
     def split(s: String) = s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -78,6 +79,7 @@ object Cli {
       case "--ignore" :: v :: t => go(t, a.copy(ignore = split(v)), positional)
       case "--algorithm" :: v :: t => go(t, a.copy(algorithm = v), positional)
       case "--stats" :: t => go(t, a.copy(stats = true), positional)
+      case "--interactive" :: t => go(t, a.copy(interactive = true), positional)
       case "--json" :: t => go(t, a.copy(json = true), positional)
       case "--limit" :: v :: t => go(t, a.copy(limit = Some(v.toInt)), positional)
       case "--update-column" :: v :: t => go(t, a.copy(updateColumn = Some(v)), positional)
@@ -132,15 +134,34 @@ object Cli {
           maxUpdate = ageBound(a.minAge), minUpdate = ageBound(a.maxAge))
       }
       val segA = segment(a.sourceA)
-      val segB = segment(a.sourceB)
-      val algo = a.algorithm match {
-        case "joindiff" => Graft.Algorithm.JoinDiff
-        case "hashdiff" => Graft.Algorithm.HashDiff
-        case "" | "auto" => Graft.Algorithm.Auto
-        case other => throw new IllegalArgumentException(s"unknown algorithm: $other")
+      // "duckdb:<db>:<table>" routes the b-side through pushdown mode:
+      // checksum SQL runs inside DuckDB, only summaries and leaf rows
+      // cross; --interactive EXPLAINs every remote query first
+      // (reference: cross-DB diffs default to hashdiff with remote
+      // execution; --interactive databases/base.py:984-994).
+      val remoteB: Option[(String, String)] = a.sourceB.split(":", 3) match {
+        case Array("duckdb", db, table) => Some((db, table))
+        case _ => None
       }
-      val diff = Graft.diffTables(segA, segB,
-        Graft.DiffOptions(algorithm = algo, ignoreColumns = a.ignore))
+      val diff = remoteB match {
+        case Some((db, table)) =>
+          val raw = graft.sources.DuckDbProcess.engine(db)
+          val eng = if (a.interactive) new graft.sources.InteractiveEngine(raw) else raw
+          val compare = (if (a.cols.nonEmpty) a.cols
+                         else segA.relevantCols.filterNot(a.keys.contains))
+            .filterNot(a.ignore.contains)
+          Graft.diffPushdown(segA.copy(extraCols = compare), eng, table)
+        case None =>
+          val segB = segment(a.sourceB)
+          val algo = a.algorithm match {
+            case "joindiff" => Graft.Algorithm.JoinDiff
+            case "hashdiff" => Graft.Algorithm.HashDiff
+            case "" | "auto" => Graft.Algorithm.Auto
+            case other => throw new IllegalArgumentException(s"unknown algorithm: $other")
+          }
+          Graft.diffTables(segA, segB,
+            Graft.DiffOptions(algorithm = algo, ignoreColumns = a.ignore))
+      }
       val limited = a.limit.fold(diff)(diff.limit)
       a.materialize.foreach(Graft.materializeDiff(limited, _))
       // stream partitions through the driver instead of collecting: without
@@ -149,7 +170,23 @@ object Cli {
       if (a.json) DiffFormat.toJsonl(limited).toLocalIterator().forEachRemaining(println(_))
       else limited.toLocalIterator().forEachRemaining(r => println(r.mkString(" ")))
       if (a.stats) {
-        val s = DiffFormat.collectStats(Graft.diffStats(segA, segB))
+        val s = remoteB match {
+          case None => DiffFormat.collectStats(Graft.diffStats(segA, segment(a.sourceB)))
+          case Some(_) =>
+            // remote side: derive the summary from the diff rows plus the
+            // local row count — no extra remote traffic (leaf rows were
+            // already materialized locally, so this re-runs no remote SQL)
+            import org.apache.spark.sql.functions.{col, countDistinct, min => fmin}
+            val perKey = diff.groupBy(a.keys.map(col): _*)
+              .agg(countDistinct(col("sign")).as("ns"), fmin(col("sign")).as("s1"))
+              .groupBy("ns", "s1").count().collect()
+              .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+            val removed = perKey.getOrElse((1L, "-"), 0L)
+            val added = perKey.getOrElse((1L, "+"), 0L)
+            val updated = perKey.collect { case ((2L, _), n) => n }.sum
+            val unchanged = segA.scoped.count() - removed - updated
+            DiffFormat.DiffStatsResult(removed, added, updated, unchanged)
+        }
         println(DiffFormat.statsString(s))
       }
   }

@@ -32,6 +32,86 @@ final class SparkViewEngine(spark: SparkSession,
     }
 }
 
+/** The reference's `--interactive` mode: EXPLAIN every query on the remote
+  * engine and ask before running it (reference: data_diff/databases/
+  * base.py:984-994 — EXPLAIN, print, `input("Continue? [y/n]")`, exit on
+  * no). A decorator so any engine gains the gate; `gate` is injectable for
+  * tests and embedders, defaulting to the reference's stdin prompt. */
+final class InteractiveEngine(inner: RemoteEngine,
+    gate: (String, Seq[String]) => Boolean = InteractiveEngine.stdinGate)
+  extends RemoteEngine {
+  def profile: SourceProfile = inner.profile
+  def query(sql: String): Seq[Seq[Option[String]]] = {
+    val plan = inner.query(s"EXPLAIN $sql").map(_.flatten.mkString(" "))
+    if (!gate(sql, plan))
+      throw new IllegalStateException("interactive gate declined query")
+    inner.query(sql)
+  }
+  override def close(): Unit = inner.close()
+}
+
+object InteractiveEngine {
+  def stdinGate(sql: String, plan: Seq[String]): Boolean = {
+    plan.foreach(l => Console.err.println(s"EXPLAIN: $l"))
+    Console.err.println(sql)
+    val answer = scala.io.StdIn.readLine("Continue? [y/n] ")
+    answer != null && Seq("y", "yes").contains(answer.toLowerCase)
+  }
+}
+
+/** Production bridge for any JDBC-reachable engine — the path a real
+  * deployment uses where the test suite uses ProcessEngine (this sandbox
+  * ships no JDBC drivers). Values come back text-rendered by the driver,
+  * which is exact because every pushed query selects text-rendered
+  * (normalized) values by construction. */
+final class JdbcEngine(url: String, props: java.util.Properties,
+    val profile: SourceProfile) extends RemoteEngine {
+  private lazy val conn = java.sql.DriverManager.getConnection(url, props)
+
+  def query(sql: String): Seq[Seq[Option[String]]] = {
+    val st = conn.createStatement()
+    try {
+      val rs = st.executeQuery(sql)
+      try {
+        val n = rs.getMetaData.getColumnCount
+        val rows = Seq.newBuilder[Seq[Option[String]]]
+        while (rs.next())
+          rows += (1 to n).map(i => Option(rs.getString(i)))
+        rows.result()
+      } finally rs.close()
+    } finally st.close()
+  }
+
+  override def close(): Unit = conn.close()
+}
+
+/** Live DuckDB over the process bridge (the sandbox's demonstration
+  * engine — a real deployment would use JdbcEngine with the DuckDB JDBC
+  * driver). The child process is DuckDB's Python API fed from stdin via
+  * the ProcessEngine line protocol. */
+object DuckDbProcess {
+  /** argv[1] = database path (":memory:" for ephemeral). */
+  val BridgeScript: String =
+    """import sys, base64, duckdb
+      |con = duckdb.connect(sys.argv[1] if len(sys.argv) > 1 else ':memory:')
+      |for line in sys.stdin:
+      |    line = line.strip()
+      |    if not line:
+      |        continue
+      |    sql = base64.b64decode(line).decode('utf-8')
+      |    try:
+      |        rows = con.execute(sql).fetchall()
+      |        for r in rows:
+      |            print('\t'.join('\\N' if v is None else base64.b64encode(str(v).encode('utf-8')).decode('ascii') for v in r))
+      |        print('__END__', flush=True)
+      |    except Exception as e:
+      |        print('__ERR__ ' + base64.b64encode(str(e).encode('utf-8')).decode('ascii'), flush=True)
+      |""".stripMargin
+
+  def engine(dbPath: String = ":memory:"): ProcessEngine =
+    new ProcessEngine(Seq("python3", "-c", BridgeScript, dbPath), DuckDbProfile)
+}
+
 /** Engine bridged over a child process speaking a line protocol:
   * one base64(SQL) line in; per result row one line of tab-separated
   * base64(value) fields (`\N` = NULL) out, terminated by `__END__`, or

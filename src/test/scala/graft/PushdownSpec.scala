@@ -132,22 +132,7 @@ class PushdownDifferSpec extends AnyFunSuite {
 
   // ---- live DuckDB over the process bridge -------------------------------
 
-  private val bridgeScript =
-    """import sys, base64, duckdb
-      |con = duckdb.connect()
-      |for line in sys.stdin:
-      |    line = line.strip()
-      |    if not line:
-      |        continue
-      |    sql = base64.b64decode(line).decode('utf-8')
-      |    try:
-      |        rows = con.execute(sql).fetchall()
-      |        for r in rows:
-      |            print('\t'.join('\\N' if v is None else base64.b64encode(str(v).encode('utf-8')).decode('ascii') for v in r))
-      |        print('__END__', flush=True)
-      |    except Exception as e:
-      |        print('__ERR__ ' + base64.b64encode(str(e).encode('utf-8')).decode('ascii'), flush=True)
-      |""".stripMargin
+  private val bridgeScript = DuckDbProcess.BridgeScript
 
   /** The mutated b-side as DuckDB SQL — same transform as
     * PushdownQueries.clusterMutatedOrders. */
@@ -276,6 +261,47 @@ class PushdownDifferSpec extends AnyFunSuite {
       bisectionFactor = 4, bisectionThreshold = 64)
     val got = out.collect()
     assert(got.length == a.count() && got.forall(_.getString(0) == "-"))
+  }
+
+  test("interactive gate explains each query and can decline it") {
+    orders.limit(5).createOrReplaceTempView("pd_spec_inter")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[String])]
+    val yes = new InteractiveEngine(new SparkViewEngine(spark),
+      (sql, plan) => { seen += ((sql, plan)); true })
+    val rows = yes.query("SELECT COUNT(*) FROM pd_spec_inter")
+    assert(rows.head.head.contains("5"))
+    assert(seen.size == 1 && seen.head._2.nonEmpty, "EXPLAIN output must reach the gate")
+    val no = new InteractiveEngine(new SparkViewEngine(spark), (_, _) => false)
+    assertThrows[IllegalStateException](no.query("SELECT COUNT(*) FROM pd_spec_inter"))
+  }
+
+  test("CLI diffs a parquet table against a DuckDB database via pushdown") {
+    import scala.sys.process._
+    val tmp = java.nio.file.Files.createTempDirectory("clipd").toString
+    val db = s"$tmp/orders.duckdb"
+    // b-side table inside a real DuckDB database file: price bumped on %50
+    val mkDb =
+      s"""import duckdb
+         |con = duckdb.connect('$db')
+         |con.execute(\"\"\"CREATE TABLE orders_b AS
+         |  SELECT o_orderkey,
+         |    CASE WHEN o_orderkey % 50 = 0 THEN o_totalprice + 5.0 ELSE o_totalprice END AS o_totalprice
+         |  FROM read_parquet('$dir/orders.parquet')\"\"\")
+         |con.close()
+         |""".stripMargin
+    assert(Seq("python3", "-c", mkDb).! == 0, "failed to create duckdb database")
+    val out = new java.io.ByteArrayOutputStream
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      graft.cli.Cli.run(graft.cli.Cli.parseArgs(Array(
+        s"$dir/orders.parquet", s"duckdb:$db:orders_b",
+        "-k", "o_orderkey", "-c", "o_totalprice", "--json", "--stats")), spark)
+    }
+    val text = out.toString("UTF-8")
+    val lines = text.linesIterator.filter(_.startsWith("{")).toSeq
+    // keys 0, 50, 100, ..., 1450 differ → 30 keys x 2 signs
+    assert(lines.size == 60)
+    assert(lines.count(_.contains("\"-\"")) == 30 && lines.count(_.contains("\"+\"")) == 30)
+    assert(text.contains("30 rows updated") && text.contains("1470 rows unchanged"))
   }
 
   test("alphanumeric keys segment the table with every row in exactly one segment") {
