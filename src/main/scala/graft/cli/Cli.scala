@@ -147,10 +147,21 @@ object Cli {
         case Some((db, table)) =>
           val raw = graft.sources.DuckDbProcess.engine(db)
           val eng = if (a.interactive) new graft.sources.InteractiveEngine(raw) else raw
-          val compare = (if (a.cols.nonEmpty) a.cols
-                         else segA.relevantCols.filterNot(a.keys.contains))
-            .filterNot(a.ignore.contains)
-          Graft.diffPushdown(segA.copy(extraCols = compare), eng, table)
+          try {
+            val compare = (if (a.cols.nonEmpty) a.cols
+                           else segA.relevantCols.filterNot(a.keys.contains))
+              .filterNot(a.ignore.contains)
+            // the update-column scope must restrict BOTH sides — rendered
+            // as a remote WHERE so out-of-window remote rows don't read as
+            // spurious adds
+            val updateWhere = a.updateColumn.map { u =>
+              val q = raw.profile.quote(u)
+              (ageBound(a.minAge).map(ts => s"$q < ${raw.profile.timestampLiteral(ts)}") ++
+                ageBound(a.maxAge).map(ts => s"$q >= ${raw.profile.timestampLiteral(ts)}"))
+                .mkString(" AND ")
+            }.filter(_.nonEmpty)
+            Graft.diffPushdown(segA.copy(extraCols = compare), eng, table, updateWhere)
+          } finally eng.close() // leaf rows are materialized locally by now
         case None =>
           val segB = segment(a.sourceB)
           val algo = a.algorithm match {

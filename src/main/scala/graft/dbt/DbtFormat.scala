@@ -73,7 +73,10 @@ object DbtFormat {
     val f = JoinDiffer.flagged(a, b, keyCols, compareCols)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val anyDiff = compareCols.map(c => col(s"is_diff_$c") === 1).reduce(_ || _)
+      // key-only tables: no compare columns, every non-matched row is
+      // exclusive and no matched row can differ
+      val anyDiff = compareCols.map(c => col(s"is_diff_$c") === 1)
+        .reduceOption(_ || _).getOrElse(lit(false))
       val both = !col("is_exclusive_a") && !col("is_exclusive_b")
       // one aggregate: row summary + per-column changed counts over matched keys
       val baseAggs = Seq(

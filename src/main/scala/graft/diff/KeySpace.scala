@@ -35,19 +35,25 @@ object KeySpace {
     override def toString: String = value.toString
   }
 
-  /** UUID as a 128-bit integer with preserved casing
+  /** UUID as a 128-bit integer with preserved casing and form — a key
+    * parsed from a bare 32-hex string renders back bare, so segment-bound
+    * predicates compare against the same textual form the table stores
+    * (a dashed bound against bare-hex data would mis-sort: '-' < [0-9a-f])
     * (reference: utils.py:150-206). */
-  final case class UuidKey(value: BigInt, uppercase: Boolean = false) extends Key {
+  final case class UuidKey(value: BigInt, uppercase: Boolean = false,
+      dashed: Boolean = true) extends Key {
     require(value >= 0 && value < (BigInt(1) << 128), "uuid out of 128-bit range")
     def toBigInt: BigInt = value
     def +(n: BigInt): Key = copy(value = value + n)
     def rangeTo(other: Key, count: Int): Seq[Key] =
       splitSpace(value, other.toBigInt, count).map(i => copy(value = i))
-    /** Canonical 8-4-4-4-12 rendering. */
+    /** Canonical 8-4-4-4-12 (or bare 32-hex) rendering. */
     override def toString: String = {
       val hex = value.toString(16).reverse.padTo(32, '0').reverse
-      val s = Seq(hex.substring(0, 8), hex.substring(8, 12), hex.substring(12, 16),
-        hex.substring(16, 20), hex.substring(20, 32)).mkString("-")
+      val s = if (dashed)
+        Seq(hex.substring(0, 8), hex.substring(8, 12), hex.substring(12, 16),
+          hex.substring(16, 20), hex.substring(20, 32)).mkString("-")
+      else hex
       if (uppercase) s.toUpperCase else s.toLowerCase
     }
   }
@@ -56,19 +62,23 @@ object KeySpace {
     def parse(s: String): UuidKey = {
       val hex = s.replace("-", "")
       require(hex.length == 32, s"not a uuid: $s")
-      UuidKey(BigInt(hex, 16), uppercase = hex.exists(_.isUpper))
+      UuidKey(BigInt(hex, 16), uppercase = hex.exists(_.isUpper),
+        dashed = s.contains("-"))
     }
   }
 
   private val HexChars = ('0' to '9').toSet ++ ('a' to 'f') ++ ('A' to 'F')
 
-  /** Is this string shaped like a UUID (canonical 8-4-4-4-12 or bare 32
-    * hex)? Stricter than UuidKey.parse so that 32-char alphanumeric
-    * business keys don't get misread as UUIDs. */
+  /** Is this string shaped like a UUID (canonical 8-4-4-4-12 — dashes at
+    * exactly positions 8/13/18/23 — or bare 32 hex)? Stricter than
+    * UuidKey.parse so that 32-char alphanumeric business keys don't get
+    * misread as UUIDs. */
   def looksLikeUuid(s: String): Boolean = {
+    val dashAt = Set(8, 13, 18, 23)
     val canonical = s.length == 36 &&
-      Seq(8, 13, 18, 23).forall(s(_) == '-') &&
-      s.zipWithIndex.forall { case (c, i) => c == '-' || HexChars(c) }
+      s.zipWithIndex.forall { case (c, i) =>
+        if (dashAt(i)) c == '-' else HexChars(c)
+      }
     val bare = s.length == 32 && s.forall(HexChars)
     canonical || bare
   }
@@ -79,6 +89,18 @@ object KeySpace {
     * same way in table_segment._make_key_range). */
   def parseStringKey(s: String): Key =
     if (looksLikeUuid(s)) UuidKey.parse(s) else AlphanumKey(s)
+
+  /** Parse a SET of boundary strings from ONE key column consistently:
+    * every value must be a same-form UUID (all dashed or all bare) for the
+    * column to use 128-bit arithmetic — otherwise base-66. A per-value
+    * choice could mix key types across min/max (splitKeySpace would see a
+    * 128-bit 'min' above a base-66 'max' and fail — or worse, silently
+    * build one unsplittable box). */
+  def parseStringKeysUniform(vs: Seq[String]): Seq[Key] = {
+    val allUuid = vs.nonEmpty && vs.forall(looksLikeUuid) &&
+      vs.map(_.contains("-")).distinct.size == 1
+    if (allUuid) vs.map(UuidKey.parse) else vs.map(AlphanumKey(_))
+  }
 
   /** Alphanumeric strings as big-base numbers; comparison right-pads the
     * shorter side with the lowest symbol (' ') so ordering matches SQL

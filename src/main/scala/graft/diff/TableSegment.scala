@@ -125,9 +125,10 @@ final case class TableSegment(
   def splitByKeyRange(count: Int): Seq[TableSegment] = {
     val row = keyRange().head()
     val grids = keyCols.zipWithIndex.map { case (_, i) =>
-      val mn = TableSegment.toKey(row.get(i * 2))
-      val mx = TableSegment.toKey(row.get(i * 2 + 1)).next // exclusive upper bound
-      KeySpace.splitKeySpace(mn, mx, count)
+      // min and max parse UNIFORMLY (a column whose min happens to look
+      // like a UUID but whose max doesn't must use one arithmetic, not two)
+      val Seq(mn, mx0) = TableSegment.toKeys(Seq(row.get(i * 2), row.get(i * 2 + 1)))
+      KeySpace.splitKeySpace(mn, mx0.next, count) // exclusive upper bound
     }
     KeySpace.createMeshFromPoints(grids).map { case (lo, hi) =>
       withScope(lo.values.map(TableSegment.fromKey), hi.values.map(TableSegment.fromKey))
@@ -154,6 +155,14 @@ object TableSegment {
     case s: String => KeySpace.parseStringKey(s)
     case other => throw new IllegalArgumentException(s"unsupported key value: $other")
   }
+
+  /** Several boundary values of ONE key column → keys of one uniform type
+    * (string columns pick UUID vs base-66 arithmetic from ALL values, not
+    * per value — see KeySpace.parseStringKeysUniform). */
+  def toKeys(vs: Seq[Any]): Seq[KeySpace.Key] =
+    if (vs.forall(_.isInstanceOf[String]))
+      KeySpace.parseStringKeysUniform(vs.map(_.asInstanceOf[String]))
+    else vs.map(toKey)
 
   /** Arithmetic key → the literal used in scan predicates. */
   def fromKey(k: KeySpace.Key): Any = k match {

@@ -67,21 +67,34 @@ object ClickHouseProfile extends SourceProfile {
 /** MSSQL (reference: data_diff/databases/mssql.py:99-161). The only
   * profile that declares overflow-prone concat: VARCHAR concatenation can
   * overflow the type, so each normalized item is md5-hashed before joining
-  * (reference: databases/base.py:218-230). */
+  * (reference: databases/base.py:218-230).
+  *
+  * Deliberate deviations from the reference's (experimental) MSSQL
+  * renderings, which break its own canonical-form contract:
+  *  - md5AsHexSql hex-encodes lowercase (style-2 CONVERT) — the reference
+  *    emits raw VARBINARY, which can never equal the md5() hex strings the
+  *    other side concatenates;
+  *  - timestamps zero-pad to the 26-char canonical form (the reference
+  *    stops at the requested precision);
+  *  - numbers render via a DECIMAL(38,p) cast — the reference's
+  *    FORMAT(...,'N2') inserts thousands separators ('1,234.50') and its
+  *    precision-0 FLOOR truncates where every other profile rounds. */
 object MsSqlProfile extends SourceProfile {
   val name = "mssql"
   override def preventOverflowWhenConcat: Boolean = true
   def toStringSql(expr: String): String = s"CONVERT(VARCHAR(MAX), $expr)"
   def md5AsIntSql(expr: String): String =
     s"convert(bigint, convert(varbinary, '0x' + RIGHT(CONVERT(NVARCHAR(32), HashBytes('MD5', $expr), 2), ${Checksum.ChecksumHexDigits}), 1)) - ${Checksum.Offset}"
-  override def md5AsHexSql(expr: String): String = s"HashBytes('MD5', $expr)"
-  def normalizeTimestampSql(expr: String, precision: Int): String =
+  override def md5AsHexSql(expr: String): String =
+    s"LOWER(CONVERT(VARCHAR(32), HashBytes('MD5', $expr), 2))"
+  def normalizeTimestampSql(expr: String, precision: Int): String = {
+    val base = s"FORMAT($expr, 'yyyy-MM-dd HH:mm:ss')"
     if (precision > 0)
-      s"FORMAT($expr, 'yyyy-MM-dd HH:mm:ss') + '.' + SUBSTRING(FORMAT($expr, 'fffffff'), 1, $precision)"
-    else s"FORMAT($expr, 'yyyy-MM-dd HH:mm:ss')"
+      s"$base + '.' + SUBSTRING(FORMAT($expr, 'ffffff'), 1, $precision) + REPLICATE('0', ${6 - precision})"
+    else s"$base + '.000000'"
+  }
   def normalizeNumberSql(expr: String, precision: Int): String =
-    if (precision == 0) s"CAST(FLOOR($expr) AS VARCHAR)"
-    else s"FORMAT($expr, 'N$precision')"
+    s"CONVERT(VARCHAR(50), CAST($expr AS DECIMAL(38, $precision)))"
   def normalizeBooleanSql(expr: String): String = s"CONVERT(VARCHAR(MAX), CAST($expr AS INT))"
 }
 

@@ -21,7 +21,13 @@ final case class RemoteTable(
     compareCols: Seq[String],
     schema: StructType,
     fracPrecision: Int = 2,
-    tsPrecision: Int = 6) {
+    tsPrecision: Int = 6,
+    /** Extra SQL predicate ANDed into every remote query — the remote
+      * analogue of TableSegment's update-column scope: both sides MUST
+      * restrict to the same rows or out-of-scope remote rows read as
+      * spurious adds (reference: table_segment.py min_update/max_update
+      * land in every remote WHERE). */
+    extraWhereSql: Option[String] = None) {
   def relevantCols: Seq[String] = keyCols ++ compareCols
 }
 
@@ -110,27 +116,33 @@ object PushdownDiffer {
     // (reference: diff_tables.py:289-321 queries both ranges and takes the
     // widest box, so rows present on only one side are always covered)
     val localRange = local.keyRange().head()
-    val remoteRange = remote.engine.query(profile.keyRangeSql(remote.table, keyCols)).head
+    val remoteRange = remote.engine
+      .query(profile.keyRangeSql(remote.table, keyCols, remote.extraWhereSql)).head
     var remoteQueries = 1
 
-    def parseRemoteKey(dim: Int, s: String): KeySpace.Key =
-      remote.schema(keyCols(dim)).dataType match {
-        case ByteType | ShortType | IntegerType | LongType => KeySpace.IntKey(BigInt(s.trim))
-        case StringType => KeySpace.parseStringKey(s)
-        case other => throw new IllegalArgumentException(
-          s"unsupported pushdown key type for ${keyCols(dim)}: $other")
-      }
-
     val dims = keyCols.indices.map { i =>
-      val lMin = Option(localRange.get(i * 2)).map(TableSegment.toKey)
-      val lMax = Option(localRange.get(i * 2 + 1)).map(TableSegment.toKey)
-      val rMin = remoteRange(i * 2).map(parseRemoteKey(i, _))
-      val rMax = remoteRange(i * 2 + 1).map(parseRemoteKey(i, _))
-      val mins = (lMin ++ rMin).toSeq
-      val maxs = (lMax ++ rMax).toSeq
-      if (mins.isEmpty) None
-      else Some((mins.reduce((a, b) => if ((a - b) <= 0) a else b),
-        maxs.reduce((a, b) => if ((a - b) >= 0) a else b).next)) // exclusive hi
+      // all four boundary values of a dim parse UNIFORMLY: a string column
+      // must pick UUID vs base-66 arithmetic ONCE across local and remote
+      // boundaries (a per-value choice could put a 128-bit "min" above a
+      // base-66 "max" and degenerate the bisection)
+      val raws: Seq[Any] = (Seq(Option(localRange.get(i * 2)), Option(localRange.get(i * 2 + 1))) ++
+        Seq(remoteRange(i * 2), remoteRange(i * 2 + 1))
+          .map(_.map[Any](s => remote.schema(keyCols(i)).dataType match {
+            case ByteType | ShortType | IntegerType | LongType => java.lang.Long.valueOf(s.trim.toLong)
+            case StringType => s
+            case other => throw new IllegalArgumentException(
+              s"unsupported pushdown key type for ${keyCols(i)}: $other")
+          }))).flatten
+      if (raws.isEmpty) None
+      else {
+        // raws = whole (min, max) pairs — a side is either fully present or
+        // fully absent — so even positions are mins, odd are maxs
+        val keys = TableSegment.toKeys(raws)
+        val mins = keys.zipWithIndex.collect { case (k, j) if j % 2 == 0 => k }
+        val maxs = keys.zipWithIndex.collect { case (k, j) if j % 2 == 1 => k }
+        Some((mins.reduce((a, b) => if ((a - b) <= 0) a else b),
+          maxs.reduce((a, b) => if ((a - b) >= 0) a else b).next)) // exclusive hi
+      }
     }
     if (dims.exists(_.isEmpty))
       return emptyResult(PushdownStats(0, 0, 0, 0, remoteQueries, 0)) // both sides empty
@@ -187,7 +199,7 @@ object PushdownDiffer {
 
       // one remote round-trip for the same level
       val sql = profile.segmentedChecksumSql(remote.table,
-        relevant.map(normSqlByCol), frontier.map(remotePred))
+        relevant.map(normSqlByCol), frontier.map(remotePred), remote.extraWhereSql)
       val remoteMap: Map[Int, Summary] = remote.engine.query(sql).map { r =>
         r(0).get.trim.toInt -> ((r(1).get.trim.toLong: Long),
           r(2).map(s => BigDecimal(s.trim)))
@@ -226,9 +238,10 @@ object PushdownDiffer {
     val localNorm = localLeaf.scoped.select(
       relevant.zip(localLeaf.normCols).map { case (n, c) => c.as(n) }: _*)
 
+    val leafOr = leaves.map(b => s"(${remotePred(b)})").mkString(" OR ")
     val fetchSql = profile.selectNormalizedSql(remote.table,
       relevant.map(c => (normSqlByCol(c), c)),
-      Some(leaves.map(b => s"(${remotePred(b)})").mkString(" OR ")))
+      Some(remote.extraWhereSql.fold(s"($leafOr)")(e => s"($leafOr) AND ($e)")))
     val fetched = remote.engine.query(fetchSql)
     remoteQueries += 1
     val remoteDf = spark.createDataFrame(

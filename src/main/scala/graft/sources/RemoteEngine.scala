@@ -125,8 +125,11 @@ object DuckDbProcess {
   */
 final class ProcessEngine(command: Seq[String],
     val profile: SourceProfile) extends RemoteEngine {
+  // stderr INHERITS the JVM's stderr: never read by this class, so leaving
+  // it piped would deadlock query() once a chatty child fills the ~64 KB
+  // pipe buffer (child blocks on stderr, JVM blocks on stdout)
   private val proc = new ProcessBuilder(command: _*)
-    .redirectErrorStream(false)
+    .redirectError(ProcessBuilder.Redirect.INHERIT)
     .start()
   private val toProc = new BufferedWriter(new OutputStreamWriter(proc.getOutputStream, UTF_8))
   private val fromProc = new BufferedReader(new InputStreamReader(proc.getInputStream, UTF_8))

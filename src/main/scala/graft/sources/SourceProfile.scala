@@ -65,6 +65,13 @@ trait SourceProfile {
     case other => other.toString
   }
 
+  /** ANSI timestamp literal — update-range bounds in remote WHEREs. */
+  def timestampLiteral(ts: java.sql.Timestamp): String = {
+    val s = ts.toInstant.atZone(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    s"TIMESTAMP '$s'"
+  }
+
   /** Normalization SQL for a column of the given SPARK-side logical type —
     * the pushdown analogue of `graft.diff.Normalize.normalize`, negotiated
     * from the mutual schema like the reference's
@@ -91,7 +98,13 @@ trait SourceProfile {
       // concat() with explicit separators (not concat_ws): CONCAT renders a
       // NULL item as '' but keeps the separator, matching the reference's
       // render_concat/concat pair and Checksum.rowChecksumOverflowSafe.
-      "concat(" + normalized.map(md5AsHexSql).mkString(", '|', ") + ")"
+      // Single column: no concat call (MSSQL CONCAT requires >= 2 args) —
+      // matching concat_ws('|', one-item) = the item on the Spark side,
+      // with NULL rendered as '' like CONCAT would.
+      normalized.map(md5AsHexSql) match {
+        case Seq(one) => s"COALESCE($one, '')"
+        case items => "concat(" + items.mkString(", '|', ") + ")"
+      }
     else
       "concat_ws('|', " + normalized.map(e => s"COALESCE($e, '${Normalize.NullSentinel}')").mkString(", ") + ")"
 
@@ -110,14 +123,15 @@ trait SourceProfile {
     * latency at scale. Standard ANSI shape — every profiled engine
     * supports it. */
   def segmentedChecksumSql(table: String, normalizedCols: Seq[String],
-      segmentPreds: Seq[String]): String = {
+      segmentPreds: Seq[String], extraWhere: Option[String] = None): String = {
     require(segmentPreds.nonEmpty, "no segments")
     val bucket = segmentPreds.zipWithIndex
       .map { case (p, i) => s"WHEN $p THEN $i" }.mkString("CASE ", " ", " END")
     val cover = segmentPreds.map(p => s"($p)").mkString(" OR ")
+    val w = extraWhere.fold(s"($cover)")(e => s"($cover) AND ($e)")
     s"SELECT $bucket AS seg, COUNT(*) AS cnt, " +
       s"SUM(${md5AsIntSql(concatSql(normalizedCols))}) AS checksum " +
-      s"FROM $table WHERE $cover GROUP BY 1"
+      s"FROM $table WHERE $w GROUP BY 1"
   }
 
   /** Leaf-segment row fetch in normalized string form — what crosses the
@@ -131,9 +145,10 @@ trait SourceProfile {
   }
 
   /** Min/max of the key columns (reference: table_segment.py:260-275). */
-  def keyRangeSql(table: String, keyCols: Seq[String]): String = {
+  def keyRangeSql(table: String, keyCols: Seq[String],
+      where: Option[String] = None): String = {
     val sel = keyCols.map(k => s"MIN(${quote(k)}), MAX(${quote(k)})").mkString(", ")
-    s"SELECT $sel FROM $table"
+    s"SELECT $sel FROM $table${where.fold("")(p => s" WHERE $p")}"
   }
 }
 

@@ -105,6 +105,18 @@ class DbtSpec extends AnyFunSuite {
     assert(node.path("result").asText == "different")
   }
 
+  test("key-only tables produce an exclusive-rows-only document") {
+    val a = Seq(Tuple1(1L), Tuple1(2L)).toDF("id")
+    val b = Seq(Tuple1(1L), Tuple1(3L)).toDF("id")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(graft.dbt.DbtFormat.jsonify(
+      a, b, Seq("id"), "m", Seq("t1"), Seq("t2")))
+    assert(node.path("result").asText == "different")
+    assert(node.path("rows").path("exclusive").path("dataset1").size == 1)
+    assert(node.path("rows").path("exclusive").path("dataset2").size == 1)
+    assert(node.path("rows").path("diff").size == 0)
+  }
+
   test("failed diff document matches the reference's FailedDiff shape") {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.readTree(graft.dbt.DbtFormat.jsonifyError(

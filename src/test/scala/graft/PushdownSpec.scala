@@ -36,9 +36,18 @@ class ProfilesSpec extends AnyFunSuite {
     assert(MsSqlProfile.md5AsIntSql("x") ==
       s"convert(bigint, convert(varbinary, '0x' + RIGHT(CONVERT(NVARCHAR(32), HashBytes('MD5', x), 2), 12), 1)) - $Off")
     assert(MsSqlProfile.preventOverflowWhenConcat)
-    // each item md5-hashed before joining; separators survive NULL items
+    // each item md5-HEX-hashed (style-2 lowercase — raw VARBINARY could
+    // never equal the other side's md5() hex); separators survive NULLs
     assert(MsSqlProfile.concatSql(Seq("a", "b")) ==
-      "concat(HashBytes('MD5', a), '|', HashBytes('MD5', b))")
+      "concat(LOWER(CONVERT(VARCHAR(32), HashBytes('MD5', a), 2)), '|', LOWER(CONVERT(VARCHAR(32), HashBytes('MD5', b), 2)))")
+    // single compare column: CONCAT needs >= 2 args — rendered bare
+    assert(MsSqlProfile.concatSql(Seq("a")) ==
+      "COALESCE(LOWER(CONVERT(VARCHAR(32), HashBytes('MD5', a), 2)), '')")
+    // canonical 26-char timestamp and separator-free decimal rendering
+    assert(MsSqlProfile.normalizeTimestampSql("t", 3) ==
+      "FORMAT(t, 'yyyy-MM-dd HH:mm:ss') + '.' + SUBSTRING(FORMAT(t, 'ffffff'), 1, 3) + REPLICATE('0', 3)")
+    assert(MsSqlProfile.normalizeNumberSql("n", 2) ==
+      "CONVERT(VARCHAR(50), CAST(n AS DECIMAL(38, 2)))")
   }
 
   test("oracle: standard_hash with to_number hex mask") {
@@ -71,9 +80,28 @@ class ProfilesSpec extends AnyFunSuite {
     assert(KeySpace.looksLikeUuid("123e4567e89b12d3a456426614174000"))
     assert(!KeySpace.looksLikeUuid("K1500"))
     assert(!KeySpace.looksLikeUuid("g23e4567e89b12d3a456426614174000")) // 'g' not hex
+    // 36 chars, required dashes present but an EXTRA dash elsewhere
+    assert(!KeySpace.looksLikeUuid("12345678-1234-1234-1234-12-345678901"))
     assert(KeySpace.parseStringKey("K15").isInstanceOf[KeySpace.AlphanumKey])
     assert(KeySpace.parseStringKey("123e4567-e89b-12d3-a456-426614174000")
       .isInstanceOf[KeySpace.UuidKey])
+  }
+
+  test("bare-hex uuid keys render bounds bare; mixed columns fall back to base-66") {
+    // bare 32-hex parses to UuidKey and renders back WITHOUT dashes, so
+    // scan predicates compare against the stored textual form
+    val bare = KeySpace.parseStringKey("00ab45cdef0123456789abcdef012345")
+    assert(bare.isInstanceOf[KeySpace.UuidKey])
+    assert(bare.next.toString == "00ab45cdef0123456789abcdef012346")
+    // one value uuid-shaped, the other not → BOTH parse as base-66 (a
+    // per-value choice would put a 128-bit min above a base-66 max)
+    val mixed = KeySpace.parseStringKeysUniform(
+      Seq("00ab45cdef0123456789abcdef012345", "K999"))
+    assert(mixed.forall(_.isInstanceOf[KeySpace.AlphanumKey]))
+    // dashed + bare uuid forms also mix → base-66 (forms sort differently)
+    val forms = KeySpace.parseStringKeysUniform(
+      Seq("123e4567-e89b-12d3-a456-426614174000", "123e4567e89b12d3a456426614174000"))
+    assert(forms.forall(_.isInstanceOf[KeySpace.AlphanumKey]))
   }
 }
 
@@ -261,6 +289,24 @@ class PushdownDifferSpec extends AnyFunSuite {
       bisectionFactor = 4, bisectionThreshold = 64)
     val got = out.collect()
     assert(got.length == a.count() && got.forall(_.getString(0) == "-"))
+  }
+
+  test("update-range scope restricts BOTH sides: out-of-window remote rows are not adds") {
+    import java.sql.Timestamp
+    val full = orders.withColumn("updated_at", col("o_orderdate"))
+    full.createOrReplaceTempView("pd_spec_upd")
+    val bound = Timestamp.valueOf("1995-01-01 00:00:00")
+    val localSeg = TableSegment(full, keys, compareCols,
+      updateCol = Some("updated_at"), minUpdate = Some(bound))
+    val remoteWhere = s"${SparkProfile.quote("updated_at")} >= ${SparkProfile.timestampLiteral(bound)}"
+    val remote = RemoteTable(new SparkViewEngine(spark), "pd_spec_upd",
+      keys, compareCols, full.select(relevant.map(col): _*).schema,
+      extraWhereSql = Some(remoteWhere))
+    val (out, _) = PushdownDiffer.diffWithStats(localSeg, remote,
+      bisectionFactor = 4, bisectionThreshold = 256)
+    // identical data, identical window on both sides → empty diff; without
+    // the remote WHERE every out-of-window remote row would read as '+'
+    assert(out.isEmpty)
   }
 
   test("interactive gate explains each query and can decline it") {
