@@ -27,7 +27,12 @@ final case class RemoteTable(
       * restrict to the same rows or out-of-scope remote rows read as
       * spurious adds (reference: table_segment.py min_update/max_update
       * land in every remote WHERE). */
-    extraWhereSql: Option[String] = None) {
+    extraWhereSql: Option[String] = None,
+    /** How the remote engine orders the text key columns. Defaults to
+      * ordinal (byte order) — most engines' binary default; a locale
+      * collation here makes string key-range bounds unsafe and the diff
+      * refuses to run (reference: abcs/database_types.py:18-100). */
+    keyCollation: Collation = Collation.SparkBinary) {
   def relevantCols: Seq[String] = keyCols ++ compareCols
 }
 
@@ -89,6 +94,18 @@ object PushdownDiffer {
       s"compared columns must match: $relevant vs ${remote.relevantCols}")
     require(local.fracPrecision == remote.fracPrecision && local.tsPrecision == remote.tsPrecision,
       "both sides must normalize at the same mutual precision")
+    // text keys: segment bounds are STRING comparisons evaluated by both
+    // engines — the orderings must agree or segments select different row
+    // sets on each side (silent row loss). Spark compares UTF8-binary;
+    // the remote must too (or the caller casts the key in the pushed SQL).
+    if (remote.keyCols.exists(k => remote.schema(k).dataType == StringType))
+      Collation.negotiate(Collation.SparkBinary, remote.keyCollation) match {
+        case Right(None) => // equivalent ordinal orderings — safe
+        case Right(Some(_)) | Left(_) => throw new IllegalArgumentException(
+          "remote text-key collation is not ordinal: key-range predicates would " +
+            "select different rows on each engine. Cast the key to a binary " +
+            "collation in the remote table/view, or diff on a derived ordinal key.")
+      }
 
     // Overflow-safe concat is contagious: if either side's dialect needs it,
     // both sides hash items before concatenation (reference:

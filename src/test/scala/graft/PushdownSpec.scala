@@ -87,6 +87,24 @@ class ProfilesSpec extends AnyFunSuite {
       .isInstanceOf[KeySpace.UuidKey])
   }
 
+  test("collation negotiation mirrors the reference's ordering rules") {
+    val ordinal = Collation(ordinal = Some(true))
+    val snowflakeLike = Collation(absorbsDamage = true,
+      language = Some("en"), caseSensitive = Some(true))
+    val localeCI = Collation(language = Some("en"), caseSensitive = Some(false))
+    // two ordinal collations are equivalent regardless of other fields
+    assert(Collation.negotiate(ordinal, Collation(ordinal = Some(true),
+      language = Some("de"))) == Right(None))
+    // a damage-absorbing engine converts: the NON-absorbing side is target
+    assert(Collation.negotiate(localeCI, snowflakeLike) == Right(Some(localeCI)))
+    // ordinal beats locale when neither absorbs damage
+    assert(Collation.negotiate(ordinal, localeCI) == Right(Some(ordinal)))
+    // incomparable locale pair → explicit error
+    assert(Collation.negotiate(
+      Collation(language = Some("en"), caseSensitive = Some(true)),
+      Collation(language = Some("tr"), caseSensitive = Some(false))).isLeft)
+  }
+
   test("bare-hex uuid keys render bounds bare; mixed columns fall back to base-66") {
     // bare 32-hex parses to UuidKey and renders back WITHOUT dashes, so
     // scan predicates compare against the stored textual form
@@ -307,6 +325,19 @@ class PushdownDifferSpec extends AnyFunSuite {
     // identical data, identical window on both sides → empty diff; without
     // the remote WHERE every out-of-window remote row would read as '+'
     assert(out.isEmpty)
+  }
+
+  test("non-ordinal remote collation refuses string-key pushdown loudly") {
+    val base = orders.select(
+      concat(lit("K"), col("o_orderkey").cast("string")).as("k"), col("o_totalprice"))
+    base.createOrReplaceTempView("pd_spec_coll")
+    val remote = RemoteTable(new SparkViewEngine(spark), "pd_spec_coll",
+      Seq("k"), Seq("o_totalprice"), base.schema,
+      keyCollation = Collation(language = Some("en"), caseSensitive = Some(false)))
+    val e = intercept[IllegalArgumentException] {
+      PushdownDiffer.diff(TableSegment(base, Seq("k"), Seq("o_totalprice")), remote)
+    }
+    assert(e.getMessage.contains("collation"))
   }
 
   test("interactive gate explains each query and can decline it") {
