@@ -41,8 +41,13 @@ object PushdownQueries {
       clusterMutatedOrders(a).createOrReplaceTempView("graft_pushdown_b")
       val remote = RemoteTable(new SparkViewEngine(s), "graft_pushdown_b",
         Seq("o_orderkey"), compareCols, a.schema)
+      // threshold 4096: at gate scale (sf0.01, 15k rows) level 0 decides
+      // everything in one round-trip; at bench scale (sf0.1) one recursion
+      // level runs. The deep-recursion path is exercised by
+      // PushdownDifferSpec at threshold 128 — the gate checks parity, not
+      // depth, and each extra level is a full remote round-trip.
       PushdownDiffer.diff(TableSegment(a, Seq("o_orderkey"), compareCols), remote,
-        bisectionFactor = 8, bisectionThreshold = 1024)
+        bisectionFactor = 8, bisectionThreshold = 4096)
         .orderBy("o_orderkey", "sign")
     }),
 
@@ -57,8 +62,18 @@ object PushdownQueries {
         .select(concat(lit("K"), col("o_orderkey").cast("string")).as("k"),
           col("o_custkey").as("v"))
       val parts = TableSegment(o, Seq("k")).splitByKeyRange(7)
-      parts.map(_.scoped.agg(count(lit(1)).as("cnt")))
-        .reduce(_ unionAll _)
+      // ONE scan for all segment counts (a per-segment count + union would
+      // run one job per segment): assign each row its segment via the
+      // bounds, aggregate, sum. Rows outside every segment (the invariant
+      // violation this gate exists to catch) land in seg NULL and are
+      // counted too — the total only matches COUNT(*) if coverage is exact.
+      val segCol = parts.zipWithIndex
+        .foldRight(lit(null).cast("int")) { case ((p, i), acc) =>
+          when(col("k") >= lit(p.minKey.get.head) && col("k") < lit(p.maxKey.get.head),
+            lit(i)).otherwise(acc)
+        }
+      o.groupBy(segCol.as("seg")).agg(count(lit(1)).as("cnt"))
+        .where(col("seg").isNotNull)
         .agg(sum("cnt").as("total_rows"))
     }),
   )
