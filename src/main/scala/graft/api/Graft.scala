@@ -90,13 +90,16 @@ object Graft {
     * remote normalizes under the LOCAL side's Spark schema — the mutual
     * schema, as negotiated by the reference's _validate_and_adjust_columns. */
   def diffPushdown(local: TableSegment, engine: graft.sources.RemoteEngine,
-      remoteTable: String, remoteWhereSql: Option[String] = None): DataFrame = {
+      remoteTable: String, remoteWhereSql: Option[String] = None,
+      bisectionFactor: Int = graft.sources.PushdownDiffer.DefaultBisectionFactor,
+      bisectionThreshold: Int = graft.sources.PushdownDiffer.DefaultBisectionThreshold): DataFrame = {
     val compare = local.relevantCols.filterNot(local.keyCols.contains)
     val schema = local.df.select(local.relevantCols.map(
       org.apache.spark.sql.functions.col): _*).schema
     graft.sources.PushdownDiffer.diff(local,
       graft.sources.RemoteTable(engine, remoteTable, local.keyCols, compare, schema,
-        local.fracPrecision, local.tsPrecision, remoteWhereSql))
+        local.fracPrecision, local.tsPrecision, remoteWhereSql),
+      bisectionFactor, bisectionThreshold)
   }
 
   /** '%t' in a materialize target expands to a UTC run timestamp

@@ -67,7 +67,10 @@ object Cli {
       minAge: Option[String] = None, maxAge: Option[String] = None,
       materialize: Option[String] = None,
       conf: Option[String] = None, run: Option[String] = None,
-      interactive: Boolean = false)
+      interactive: Boolean = false,
+      // hashdiff/pushdown knobs (reference: __main__.py --bisection-factor
+      // / --bisection-threshold, defaults hashdiff_tables.py:19-20)
+      bisectionFactor: Int = 32, bisectionThreshold: Int = 16 * 1024)
 
   def parseArgs(argv: Array[String]): Args = {
     def split(s: String) = s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -80,6 +83,8 @@ object Cli {
       case "--algorithm" :: v :: t => go(t, a.copy(algorithm = v), positional)
       case "--stats" :: t => go(t, a.copy(stats = true), positional)
       case "--interactive" :: t => go(t, a.copy(interactive = true), positional)
+      case "--bisection-factor" :: v :: t => go(t, a.copy(bisectionFactor = v.toInt), positional)
+      case "--bisection-threshold" :: v :: t => go(t, a.copy(bisectionThreshold = v.toInt), positional)
       case "--json" :: t => go(t, a.copy(json = true), positional)
       case "--limit" :: v :: t => go(t, a.copy(limit = Some(v.toInt)), positional)
       case "--update-column" :: v :: t => go(t, a.copy(updateColumn = Some(v)), positional)
@@ -160,7 +165,8 @@ object Cli {
                 ageBound(a.maxAge).map(ts => s"$q >= ${raw.profile.timestampLiteral(ts)}"))
                 .mkString(" AND ")
             }.filter(_.nonEmpty)
-            Graft.diffPushdown(segA.copy(extraCols = compare), eng, table, updateWhere)
+            Graft.diffPushdown(segA.copy(extraCols = compare), eng, table, updateWhere,
+              a.bisectionFactor, a.bisectionThreshold)
           } finally eng.close() // leaf rows are materialized locally by now
         case None =>
           val segB = segment(a.sourceB)

@@ -32,6 +32,14 @@ class CliArgsSpec extends AnyFunSuite {
     assert(a.ignore == Seq("noisy") && a.updateColumn.contains("ts") && a.minAge.contains("1d"))
   }
 
+  test("bisection knobs parse with the reference defaults") {
+    val d = Cli.parseArgs(Array("/a", "/b", "-k", "id"))
+    assert(d.bisectionFactor == 32 && d.bisectionThreshold == 16384)
+    val a = Cli.parseArgs(Array("/a", "/b", "-k", "id",
+      "--bisection-factor", "8", "--bisection-threshold", "1024"))
+    assert(a.bisectionFactor == 8 && a.bisectionThreshold == 1024)
+  }
+
   test("missing keys or sources rejected") {
     assertThrows[IllegalArgumentException](Cli.parseArgs(Array("/a", "/b")))
     assertThrows[IllegalArgumentException](Cli.parseArgs(Array("/a", "-k", "id")))
