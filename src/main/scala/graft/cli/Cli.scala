@@ -150,6 +150,17 @@ object Cli {
       }
       val diff = remoteB match {
         case Some((db, table)) =>
+          // pushdown IS hashdiff, so an explicit hashdiff/auto choice is
+          // honored; joindiff needs both sides in one engine and must not be
+          // silently dropped (reference: joindiff_tables.py requires same-DB
+          // sides and errors on cross-database use)
+          a.algorithm match {
+            case "" | "auto" | "hashdiff" => ()
+            case "joindiff" => throw new IllegalArgumentException(
+              "--algorithm joindiff requires both tables in the same engine; " +
+                "a duckdb: remote source always uses pushdown hashdiff")
+            case other => throw new IllegalArgumentException(s"unknown algorithm: $other")
+          }
           val raw = graft.sources.DuckDbProcess.engine(db)
           val eng = if (a.interactive) new graft.sources.InteractiveEngine(raw) else raw
           try {

@@ -91,14 +91,19 @@ object KeySpace {
     if (looksLikeUuid(s)) UuidKey.parse(s) else AlphanumKey(s)
 
   /** Parse a SET of boundary strings from ONE key column consistently:
-    * every value must be a same-form UUID (all dashed or all bare) for the
-    * column to use 128-bit arithmetic — otherwise base-66. A per-value
-    * choice could mix key types across min/max (splitKeySpace would see a
-    * 128-bit 'min' above a base-66 'max' and fail — or worse, silently
-    * build one unsplittable box). */
+    * every value must be a same-form UUID (all dashed or all bare, all same
+    * case) for the column to use 128-bit arithmetic — otherwise base-66. A
+    * per-value choice could mix key types across min/max (splitKeySpace
+    * would see a 128-bit 'min' above a base-66 'max' and fail — or worse,
+    * silently build one unsplittable box). Case must be uniform too: mixed
+    * upper/lower hex bounds sort by bytes ('F0' < 'a0') but by value
+    * 0xF0 > 0xA0, so a mixed-case mesh disagrees with string comparison and
+    * segments silently lose or double-count rows; both cases are in the
+    * base-66 alphabet, so the fallback stays order-correct. */
   def parseStringKeysUniform(vs: Seq[String]): Seq[Key] = {
     val allUuid = vs.nonEmpty && vs.forall(looksLikeUuid) &&
-      vs.map(_.contains("-")).distinct.size == 1
+      vs.map(_.contains("-")).distinct.size == 1 &&
+      vs.map(_.exists(_.isUpper)).distinct.size == 1
     if (allUuid) vs.map(UuidKey.parse) else vs.map(AlphanumKey(_))
   }
 
@@ -158,7 +163,10 @@ object KeySpace {
   /** Checkpoints including both endpoints; a range smaller than `count`
     * collapses to a single cut (reference: table_segment.py:23-37). */
   def splitKeySpace(min: Key, max: Key, count: Int): Seq[Key] = {
-    require(min.toBigInt < max.toBigInt, "empty key range")
+    // compare via `-`, not raw toBigInt: AlphanumKey's base-66 value is only
+    // order-isomorphic with SQL string order after right-pad justification,
+    // which its `-` override applies ({"AA","Z"}: raw 792 vs 38, but "AA"<"Z")
+    require(max - min > 0, "empty key range")
     val c = if (max - min <= count) 1 else count
     val checkpoints = min.rangeTo(max, c)
     min +: checkpoints :+ max

@@ -120,8 +120,10 @@ trait SourceProfile {
     * ships one checksum query per segment (hashdiff_tables.py:193 via
     * table_segment.py:239-258, one thread each); grouping cuts a level's
     * network round-trips to one, which is what dominates remote bisection
-    * latency at scale. Standard ANSI shape — every profiled engine
-    * supports it. */
+    * latency at scale. The GROUP BY repeats the CASE expression rather than
+    * using positional `GROUP BY 1` — T-SQL rejects positional grouping
+    * outright and Oracle reads the 1 as a constant (ORA-00979), while the
+    * repeated-expression form is valid on all 13 profiled dialects. */
   def segmentedChecksumSql(table: String, normalizedCols: Seq[String],
       segmentPreds: Seq[String], extraWhere: Option[String] = None): String = {
     require(segmentPreds.nonEmpty, "no segments")
@@ -131,7 +133,7 @@ trait SourceProfile {
     val w = extraWhere.fold(s"($cover)")(e => s"($cover) AND ($e)")
     s"SELECT $bucket AS seg, COUNT(*) AS cnt, " +
       s"SUM(${md5AsIntSql(concatSql(normalizedCols))}) AS checksum " +
-      s"FROM $table WHERE $w GROUP BY 1"
+      s"FROM $table WHERE $w GROUP BY $bucket"
   }
 
   /** Leaf-segment row fetch in normalized string form — what crosses the

@@ -72,6 +72,20 @@ class CliEndToEndSpec extends AnyFunSuite {
     assert(lines.count(_.contains("\"-\"")) == 2 && lines.count(_.contains("\"+\"")) == 2)
     assert(text.contains("1 rows removed") || text.toLowerCase.contains("removed"))
   }
+
+  test("explicit --algorithm joindiff with a duckdb: remote source fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("clialgo").toString
+    Seq((1L, "a")).toDF("k", "v").write.parquet(s"$dir/ta")
+    // pushdown always runs hashdiff; silently dropping an explicit joindiff
+    // choice would mislead (reference: joindiff requires same-DB sides)
+    val e = intercept[IllegalArgumentException] {
+      Cli.run(Cli.parseArgs(Array(s"$dir/ta", s"duckdb:$dir/b.db:t",
+        "-k", "k", "--algorithm", "joindiff")), spark)
+    }
+    assert(e.getMessage.contains("joindiff"))
+    // hashdiff and auto are honored (pushdown IS hashdiff) — parse-level only
+    Cli.parseArgs(Array(s"$dir/ta", s"duckdb:$dir/b.db:t", "-k", "k", "--algorithm", "hashdiff"))
+  }
 }
 
 class ConfigSpec extends AnyFunSuite {

@@ -42,6 +42,30 @@ class KeySpaceSpec extends AnyFunSuite {
     }
   }
 
+  test("splitKeySpace: varying-length alphanum range where raw base-66 inverts") {
+    // "AA" < "Z" in SQL string order, but raw (unjustified) base-66 values
+    // invert (792 vs 38) — the range must still split, not throw "empty"
+    val cps = splitKeySpace(AlphanumKey("AA"), AlphanumKey("Z"), 4)
+    assert(cps.head == AlphanumKey("AA") && cps.last == AlphanumKey("Z"))
+    assert(cps.length >= 3)
+    // and the checkpoints sort correctly under justified comparison
+    cps.sliding(2).foreach { case Seq(a, b) => assert(b - a > 0) }
+    // a genuinely empty range still throws
+    intercept[IllegalArgumentException](splitKeySpace(AlphanumKey("Z"), AlphanumKey("AA"), 4))
+  }
+
+  test("parseStringKeysUniform: mixed-case uuid bounds fall back to base-66") {
+    val mixedCase = Seq("5EB63BBB-E01E-EED0-93CB-22BB8F5ACDC3",
+      "5eb63bbb-e01e-eed0-93cb-22bb8f5acdc3")
+    assert(KeySpace.parseStringKeysUniform(mixedCase).forall(_.isInstanceOf[AlphanumKey]))
+    val sameCase = Seq("5eb63bbb-e01e-eed0-93cb-22bb8f5acdc3",
+      "aaaaaaaa-0000-0000-0000-000000000000")
+    assert(KeySpace.parseStringKeysUniform(sameCase).forall(_.isInstanceOf[UuidKey]))
+    val upperOnly = Seq("5EB63BBB-E01E-EED0-93CB-22BB8F5ACDC3",
+      "AAAAAAAA-0000-0000-0000-000000000000")
+    assert(KeySpace.parseStringKeysUniform(upperOnly).forall(_.isInstanceOf[UuidKey]))
+  }
+
   test("mesh: reference doctest shape (table_segment.py:60-71)") {
     val d1 = Seq("a", "b", "c").map(AlphanumKey(_))
     val d2 = Seq(1, 2, 3).map(i => IntKey(BigInt(i)))

@@ -56,6 +56,17 @@ class SourceProfileSpec extends AnyFunSuite {
     assert(SourceProfile.registry("presto") eq TrinoProfile)
   }
 
+  test("segmented checksum groups by the repeated CASE expression, not position") {
+    // Oracle treats GROUP BY 1 as a constant (ORA-00979) and T-SQL rejects
+    // positional grouping — the repeated expression is valid on all dialects
+    val sql = DuckDbProfile.segmentedChecksumSql("t", Seq("c"),
+      Seq("id >= 0 AND id < 10", "id >= 10 AND id < 20"))
+    val bucket = "CASE WHEN id >= 0 AND id < 10 THEN 0 WHEN id >= 10 AND id < 20 THEN 1 END"
+    assert(sql.contains(s"SELECT $bucket AS seg"))
+    assert(sql.endsWith(s"GROUP BY $bucket"))
+    assert(!sql.contains("GROUP BY 1"))
+  }
+
   test("date normalization routes through the timestamp canonical form") {
     assert(DuckDbProfile.normalizeDateSql("d") ==
       DuckDbProfile.normalizeTimestampSql("CAST(d AS TIMESTAMP)", 6))
