@@ -53,22 +53,35 @@ final case class PushdownStats(
   * data_diff/hashdiff_tables.py:169-264 + diff_tables.py:289-352).
   *
   * Spark-first deviations from the reference, both round-trip economics:
-  *  - the local side computes ALL segments of a bisection level in ONE
-  *    scan+shuffle (a CASE bucket feeding a grouped checksum aggregate)
-  *    instead of one query per segment;
-  *  - the remote side receives ONE grouped query per level
+  *  - the local side computes a whole batch of segment summaries in ONE
+  *    scan+shuffle (a broadcast range-join against a segment-bounds table
+  *    feeding a grouped checksum aggregate) instead of one query per segment;
+  *  - the remote side receives ONE grouped query per batch
   *    (`SourceProfile.segmentedChecksumSql`) instead of per-segment queries
-  *    on a thread pool — level latency is one round-trip regardless of
+  *    on a thread pool — batch latency is one round-trip regardless of
   *    fan-out, which is what dominates remote bisection at scale.
-  * Leaf rows from every differing segment are fetched in one final query and
-  * compared with one JoinDiffer pass, so the whole diff costs
-  * O(levels) Spark jobs + O(levels + 1) remote queries.
+  *
+  * Batches are capped at `maxSegmentsPerQuery` segments (default 256): a
+  * level's frontier grows as dirty-segments × factor, so under a high diff
+  * rate (e.g. a schema-wide change) an uncapped level would render a
+  * nested CASE past Janino's 64 KB method limit locally and a statement
+  * past engine length limits remotely. The cap bounds every generated
+  * artifact — bucket-bounds broadcast, remote CASE, leaf OR-chain — at
+  * O(cap) while keeping the loop O(levels × ceil(frontier/cap)) round-trips.
+  * The range-join itself (not a CASE expression) assigns bucket ids, so the
+  * local plan never grows with the frontier at all.
+  *
+  * Leaf rows from every differing segment are fetched in capped batches and
+  * compared with one JoinDiffer pass.
   */
 object PushdownDiffer {
 
-  /** Default control knobs (reference: hashdiff_tables.py:19-20). */
+  /** Default control knobs (reference: hashdiff_tables.py:19-20;
+    * maxSegmentsPerQuery is this engine's own batching knob — the reference
+    * never batches because it issues per-segment queries). */
   val DefaultBisectionFactor = 32
   val DefaultBisectionThreshold = 16 * 1024
+  val DefaultMaxSegmentsPerQuery = 256
   private val MaxLevels = 64
 
   def diff(local: TableSegment, remote: RemoteTable,
@@ -78,10 +91,13 @@ object PushdownDiffer {
 
   def diffWithStats(local: TableSegment, remote: RemoteTable,
       bisectionFactor: Int = DefaultBisectionFactor,
-      bisectionThreshold: Int = DefaultBisectionThreshold): (DataFrame, PushdownStats) = {
+      bisectionThreshold: Int = DefaultBisectionThreshold,
+      maxSegmentsPerQuery: Int = DefaultMaxSegmentsPerQuery): (DataFrame, PushdownStats) = {
     require(bisectionFactor >= 2, "bisection factor must be >= 2")
     require(bisectionFactor < bisectionThreshold,
       "bisection factor must be lower than the threshold")
+    require(maxSegmentsPerQuery >= bisectionFactor,
+      "segment batch cap must fit at least one split fan-out")
     require(local.keyCols == remote.keyCols,
       s"key columns must match: ${local.keyCols} vs ${remote.keyCols}")
 
@@ -176,17 +192,51 @@ object PushdownDiffer {
     }
 
     def boundVals(ks: Seq[KeySpace.Key]): Seq[Any] = ks.map(TableSegment.fromKey)
-    def localCond(box: Box): Column =
-      keyCols.zip(boundVals(box._1)).zip(boundVals(box._2)).map {
-        case ((k, lo), hi) => col(k) >= lit(lo) && col(k) < lit(hi)
-      }.reduce(_ && _)
     def remotePred(box: Box): String =
       keyCols.zip(boundVals(box._1)).zip(boundVals(box._2)).map {
         case ((k, lo), hi) =>
           s"${profile.quote(k)} >= ${profile.literal(lo)} AND ${profile.quote(k)} < ${profile.literal(hi)}"
       }.mkString(" AND ")
 
-    // ---- level-at-a-time bisection --------------------------------------
+    // ---- segment-bounds table + range-join bucket assignment ------------
+    // Bucket ids come from an inner range-join against a broadcast bounds
+    // table, not a nested CASE: a CASE grows one codegen branch per segment
+    // (past Janino's 64 KB method limit around a few thousand) while the
+    // join keeps the local plan constant-size at any batch width. Boxes are
+    // disjoint, so each row matches at most one bounds row.
+    val segField = "__graft_seg"
+    val dimSparkTypes: Seq[DataType] = rootBox._1.map {
+      case KeySpace.IntKey(_) => LongType
+      case _ => StringType // uuid / alphanum keys render to string bounds
+    }
+    def boundsDf(chunk: Seq[Box]) = {
+      val fields = StructField(segField, IntegerType, nullable = false) +:
+        keyCols.indices.flatMap(d => Seq(
+          StructField(s"__graft_lo_$d", dimSparkTypes(d), nullable = false),
+          StructField(s"__graft_hi_$d", dimSparkTypes(d), nullable = false)))
+      val rows = chunk.zipWithIndex.map { case (box, i) =>
+        Row.fromSeq(i +: keyCols.indices.flatMap(d =>
+          Seq(TableSegment.fromKey(box._1(d)), TableSegment.fromKey(box._2(d)))))
+      }
+      spark.createDataFrame(rows.asJava, StructType(fields.toArray))
+    }
+    val rangeJoinCond: Column = keyCols.zipWithIndex.map { case (k, d) =>
+      col(k) >= col(s"__graft_lo_$d") && col(k) < col(s"__graft_hi_$d")
+    }.reduce(_ && _)
+    // coarse per-batch cover: the batch's bounding box is an O(dims)
+    // sargable predicate that reaches the scan (parquet min/max pruning);
+    // precise membership comes from the range join
+    def boundingBoxCond(chunk: Seq[Box]): Column = {
+      val lows = keyCols.indices.map(d =>
+        chunk.map(_._1(d)).reduce((a, b) => if ((a - b) <= 0) a else b))
+      val highs = keyCols.indices.map(d =>
+        chunk.map(_._2(d)).reduce((a, b) => if ((a - b) >= 0) a else b))
+      keyCols.zip(boundVals(lows)).zip(boundVals(highs)).map {
+        case ((k, lo), hi) => col(k) >= lit(lo) && col(k) < lit(hi)
+      }.reduce(_ && _)
+    }
+
+    // ---- level-at-a-time bisection, batched at maxSegmentsPerQuery -------
     type Summary = (Long, Option[BigDecimal])
     val leaves = ArrayBuffer.empty[Box]
     var frontier: Seq[Box] = splitBox(rootBox)
@@ -198,45 +248,43 @@ object PushdownDiffer {
       require(level < MaxLevels, s"bisection did not converge after $MaxLevels levels")
       probed += frontier.size
 
-      // one Spark job for every segment summary of this level
-      val segCol = frontier.zipWithIndex
-        .foldRight(lit(null).cast(IntegerType)) { case ((box, i), acc) =>
-          when(localCond(box), lit(i)).otherwise(acc)
-        }
-      val cover = frontier.map(localCond).reduce(_ || _)
-      val scopedLevel = local.withExtraFilter(cover)
-      val localRows = scopedLevel.scoped
-        .groupBy(segCol.as("seg"))
-        .agg(count(lit(1)).as("cnt"), localChecksum(scopedLevel).as("checksum"))
-        .collect()
-      val localMap: Map[Int, Summary] = localRows.map { r =>
-        r.getInt(0) -> (r.getLong(1),
-          if (r.isNullAt(2)) None else Some(BigDecimal(r.getDecimal(2))))
-      }.toMap
-
-      // one remote round-trip for the same level
-      val sql = profile.segmentedChecksumSql(remote.table,
-        relevant.map(normSqlByCol), frontier.map(remotePred), remote.extraWhereSql)
-      val remoteMap: Map[Int, Summary] = remote.engine.query(sql).map { r =>
-        r(0).get.trim.toInt -> ((r(1).get.trim.toLong: Long),
-          r(2).map(s => BigDecimal(s.trim)))
-      }.toMap
-      remoteQueries += 1
-
-      if (sys.env.contains("GRAFT_PD_DEBUG")) {
-        println(s"DBG level $level local=$localMap")
-        println(s"DBG level $level remote=$remoteMap")
-      }
       val next = ArrayBuffer.empty[Box]
-      frontier.zipWithIndex.foreach { case (box, i) =>
-        val l = localMap.getOrElse(i, (0L, None: Option[BigDecimal]))
-        val r = remoteMap.getOrElse(i, (0L, None: Option[BigDecimal]))
-        if (l == r) pruned += 1
-        else if (math.max(l._1, r._1) < bisectionThreshold) leaves += box
-        else {
-          val children = splitBox(box)
-          if (children.size <= 1) leaves += box // key space too small to cut
-          else next ++= children
+      frontier.grouped(maxSegmentsPerQuery).foreach { chunk =>
+        // one Spark job for this batch of segment summaries
+        val scopedChunk = local.withExtraFilter(boundingBoxCond(chunk))
+        val localRows = scopedChunk.scoped
+          .join(broadcast(boundsDf(chunk)), rangeJoinCond)
+          .groupBy(col(segField).as("seg"))
+          .agg(count(lit(1)).as("cnt"), localChecksum(scopedChunk).as("checksum"))
+          .collect()
+        val localMap: Map[Int, Summary] = localRows.map { r =>
+          r.getInt(0) -> (r.getLong(1),
+            if (r.isNullAt(2)) None else Some(BigDecimal(r.getDecimal(2))))
+        }.toMap
+
+        // one remote round-trip for the same batch
+        val sql = profile.segmentedChecksumSql(remote.table,
+          relevant.map(normSqlByCol), chunk.map(remotePred), remote.extraWhereSql)
+        val remoteMap: Map[Int, Summary] = remote.engine.query(sql).map { r =>
+          r(0).get.trim.toInt -> ((r(1).get.trim.toLong: Long),
+            r(2).map(s => BigDecimal(s.trim)))
+        }.toMap
+        remoteQueries += 1
+
+        if (sys.env.contains("GRAFT_PD_DEBUG")) {
+          println(s"DBG level $level local=$localMap")
+          println(s"DBG level $level remote=$remoteMap")
+        }
+        chunk.zipWithIndex.foreach { case (box, i) =>
+          val l = localMap.getOrElse(i, (0L, None: Option[BigDecimal]))
+          val r = remoteMap.getOrElse(i, (0L, None: Option[BigDecimal]))
+          if (l == r) pruned += 1
+          else if (math.max(l._1, r._1) < bisectionThreshold) leaves += box
+          else {
+            val children = splitBox(box)
+            if (children.size <= 1) leaves += box // key space too small to cut
+            else next ++= children
+          }
         }
       }
       frontier = next.toSeq
@@ -250,21 +298,27 @@ object PushdownDiffer {
     // All leaf rows cross the wire once, normalized (reference:
     // table_segment.py:214-237 get_values), and a single join produces the
     // -/+ rows (diff_sets, hashdiff_tables.py:30-88, expressed relationally).
-    val localLeafCond = leaves.map(localCond).reduce(_ || _)
-    val localLeaf = local.withExtraFilter(localLeafCond)
-    val localNorm = localLeaf.scoped.select(
-      relevant.zip(localLeaf.normCols).map { case (n, c) => c.as(n) }: _*)
+    // Local membership is the same broadcast range-join (constant-size plan
+    // at any leaf count); the remote fetch is batched so no statement
+    // enumerates more than maxSegmentsPerQuery leaf predicates.
+    val leafSeq = leaves.toSeq
+    val localLeaf = local.withExtraFilter(boundingBoxCond(leafSeq))
+    val localNorm = localLeaf.scoped
+      .join(broadcast(boundsDf(leafSeq)), rangeJoinCond)
+      .select(relevant.zip(localLeaf.normCols).map { case (n, c) => c.as(n) }: _*)
 
-    val leafOr = leaves.map(b => s"(${remotePred(b)})").mkString(" OR ")
-    val fetchSql = profile.selectNormalizedSql(remote.table,
-      relevant.map(c => (normSqlByCol(c), c)),
-      Some(remote.extraWhereSql.fold(s"($leafOr)")(e => s"($leafOr) AND ($e)")))
-    val fetched = remote.engine.query(fetchSql)
-    remoteQueries += 1
+    val fetched = leafSeq.grouped(maxSegmentsPerQuery).toSeq.flatMap { lchunk =>
+      val leafOr = lchunk.map(b => s"(${remotePred(b)})").mkString(" OR ")
+      val fetchSql = profile.selectNormalizedSql(remote.table,
+        relevant.map(c => (normSqlByCol(c), c)),
+        Some(remote.extraWhereSql.fold(s"($leafOr)")(e => s"($leafOr) AND ($e)")))
+      remoteQueries += 1
+      remote.engine.query(fetchSql)
+    }
     val remoteDf = spark.createDataFrame(
       fetched.map(r => Row(r.map(_.orNull): _*)).asJava, outSchema)
 
     val out = JoinDiffer.diff(localNorm, remoteDf, keyCols, compare)
-    (out, PushdownStats(level, probed, pruned, leaves.size, remoteQueries, fetched.size))
+    (out, PushdownStats(level, probed, pruned, leafSeq.size, remoteQueries, fetched.size))
   }
 }

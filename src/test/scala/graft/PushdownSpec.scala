@@ -298,6 +298,41 @@ class PushdownDifferSpec extends AnyFunSuite {
     } finally eng.close()
   }
 
+  test("everything-differs at factor 32: every statement stays under the batch cap") {
+    // The adversarial frontier case: every segment is dirty, so the frontier
+    // grows factor× per level (32 → 1024 here). Uncapped, that renders a
+    // 1024-branch CASE locally and a 1024-predicate statement remotely; the
+    // batched loop must keep every artifact at O(maxSegmentsPerQuery).
+    import spark.implicits._
+    val n = 10240
+    val a = (1 to n).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    (1 to n).map(i => (i.toLong, s"w$i")).toDF("k", "v")
+      .createOrReplaceTempView("pd_spec_alldiff")
+    class RecordingEngine(inner: RemoteEngine) extends RemoteEngine {
+      val sqls = scala.collection.mutable.ArrayBuffer.empty[String]
+      def profile = inner.profile
+      def query(sql: String) = { sqls += sql; inner.query(sql) }
+    }
+    val rec = new RecordingEngine(new SparkViewEngine(spark))
+    val remote = RemoteTable(rec, "pd_spec_alldiff", Seq("k"), Seq("v"), a.schema)
+    val (out, stats) = PushdownDiffer.diffWithStats(
+      TableSegment(a, Seq("k"), Seq("v")), remote,
+      bisectionFactor = 32, bisectionThreshold = 128)
+    assert(out.count() == 2L * n) // every key differs: one '-' and one '+' each
+    val cap = PushdownDiffer.DefaultMaxSegmentsPerQuery
+    assert(stats.leafSegments > cap, s"chunking not exercised: $stats")
+    rec.sqls.foreach { sql =>
+      // the CASE bucket appears twice (SELECT + dialect-portable GROUP BY)
+      assert("WHEN ".r.findAllIn(sql).size <= 2 * cap, s"CASE branches exceed cap: ${sql.take(200)}")
+      assert(" OR ".r.findAllIn(sql).size <= cap, s"OR chain exceeds cap: ${sql.take(200)}")
+    }
+    assert(stats.remoteQueries == rec.sqls.size)
+    // 1 key-range + 1 level-0 batch + ceil(leaves/cap) level-1 batches
+    // + ceil(leaves/cap) leaf fetches (every level-1 child goes leaf here)
+    val batches = (stats.leafSegments + cap - 1) / cap
+    assert(stats.remoteQueries == 2 + 2 * batches, s"unexpected round-trip count: $stats")
+  }
+
   test("empty remote side yields every local row as removed") {
     val a = orders.where(col("o_orderkey") <= 200)
     a.where(lit(false)).createOrReplaceTempView("pd_spec_empty")
