@@ -68,69 +68,45 @@ object Dedup {
           (1 until n).map(k => element_at(col("t"), col("pos") + k + 1)): _*).as("s"))
 
   /** Near-duplicate pairs by exact n-gram Jaccard ≥ threshold. Shingles are
-    * hashed to 48-bit ints up front: the inverted-index shuffle and the
-    * candidate join move 8-byte keys instead of ~20-byte strings.
+    * hashed to 48-bit ints up front: every shuffle below moves 8-byte keys
+    * instead of ~20-byte strings.
     *
-    * Two-stage EXACT plan (prefix filtering, the PPJoin family — not an
-    * LSH prefilter, which is probabilistic and could miss qualifying
-    * pairs):
-    *  1. candidates: each doc's shingles sort in a global canonical order
-    *     (document frequency ASC, hash ASC — rarest first); if
-    *     J(A,B) ≥ t then |A∩B| ≥ ceil(t·max(|A|,|B|)), so A and B must
-    *     share a shingle inside their first sz − ceil(t·sz) + 1 entries.
-    *     Only PREFIX entries enter the self-join, and because prefixes
-    *     hold the RAREST shingles, per-shingle fan-out collapses — the
-    *     full-index join this replaces was ~20% of the whole bench.
-    *  2. verify: exact |A∩B| via array_intersect of the full (capped)
-    *     per-doc shingle arrays, joined only to candidate pairs.
-    * The df cap bounds any surviving shingle's fan-out at df² pairs, as
-    * before; capped sets feed both stages so results are unchanged. */
+    * EXACT two-exchange plan (every alternative measured slower — prefix
+    * filtering à la PPJoin, per-shingle doc-list collect + pair explode,
+    * and array_intersect verification all add exchanges, object-hash
+    * aggregates, or codegen-heavy array stages that dominate at any scale
+    * where the df cap is doing its job):
+    *  1. one hash(s) exchange serves the whole index side: (doc_id, s)
+    *     dedup and the document-frequency window both only need clustering
+    *     by s, so neither adds an exchange, and the self-join's two sides
+    *     reuse the same exchange (or one side broadcasts under AQE);
+    *  2. n_common = COUNT of shared kept shingles straight off the join —
+    *     no per-doc arrays, no verify stage. Per-doc capped set sizes ride
+    *     along as a window over doc_id (the only other exchange); the
+    *     final (doc_a, doc_b) aggregation needs NO shuffle because
+    *     hash(doc_id) clustering already covers its keys.
+    * The df cap is the scale guard: a kept shingle joins with ≤ dfCap
+    * occurrences, so join volume is ≤ dfCap·|index| — linear in the
+    * corpus, never quadratic. Everything is whole-stage codegen. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, dfCap: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // hash BEFORE the per-doc distinct: the dedup shuffle moves 8-byte
-    // ints instead of ~20-byte shingle strings (the oracle dedups over
-    // the same hashes, so 48-bit collisions stay aligned); the df cap is
-    // a window count over the SAME s-hash partitioning.
-    val wS = Window.partitionBy("s")
     val kept = shingleIndexRaw(df, idCol, textCol)
       .select(col("doc_id"), md5Int48(col("s")).as("s"))
+      .repartition(col("s"))
       .distinct()
-      .withColumn("df", count(lit(1)).over(wS))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
       .where(col("df") <= dfCap)
-    // ONE doc_id exchange builds everything per-doc in a single row:
-    // sort_array over (df, s) structs gives the canonical order without a
-    // row_number window; slice takes the prefix; getField (codegen'd, not
-    // a lambda) projects the plain hash arrays for the verify stage.
-    // plen = sz − ceil(t·sz) + 1, with ceil computed conservatively
-    // DOWNWARD (floor(x−ε)+1): a double rounding error may only LENGTHEN
-    // the prefix, never drop a qualifying candidate.
-    val docs = kept.groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("arr"))
-      .withColumn("sz", size(col("arr")).cast("long"))
-      .withColumn("plen", (col("sz") - floor(col("sz") * lit(threshold) - lit(1e-9))).cast("int"))
-      .withColumn("set", col("arr").getField("s"))
-      .select("doc_id", "set", "sz", "plen")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val prefix = docs.select(col("doc_id"),
-      explode(slice(col("set"), lit(1), col("plen"))).as("s"))
-    val cands = prefix.select(col("doc_id").as("doc_a"), col("s"))
-      .join(prefix.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .select("doc_id", "s", "sz")
+    kept.select(col("doc_id").as("doc_a"), col("s"), col("sz").as("sa"))
+      .join(kept.select(col("doc_id").as("doc_b"), col("s"), col("sz").as("sb")), Seq("s"))
       .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    val out = cands
-      .join(docs.select(col("doc_id").as("doc_a"), col("set").as("set_a"), col("sz").as("sa")), Seq("doc_a"))
-      .join(docs.select(col("doc_id").as("doc_b"), col("set").as("set_b"), col("sz").as("sb")), Seq("doc_b"))
-      .withColumn("n_common", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_common"), first(col("sa")).as("sa"), first(col("sb")).as("sb"))
       .withColumn("jaccard", col("n_common") / (col("sa") + col("sb") - col("n_common")))
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "n_common", "jaccard")
-      // Materialize the (tiny) pair set eagerly and cut its lineage so the
-      // cached index can be released here — repeated calls in a long-lived
-      // session must not accumulate cached partitions.
-      .localCheckpoint(true)
-    docs.unpersist()
-    out
   }
 
   /** Modulus for the linear min-hash family (largest value under 2^48 that
