@@ -50,12 +50,27 @@ object SchemaTools {
   private val UuidRe =
     "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$".r
 
+  /** Classify one column's sampled values (reference: databases/
+    * base.py:1113-1160 — every sample must conform for an upgrade; mixed
+    * UUID/non-UUID or mixed-case samples stay PlainText because casing must
+    * be consistent for string order to match the numeric key order).
+    * `nonNullCount` lets callers whose sample included non-string values
+    * force PlainText (values.length < nonNullCount). */
+  def classifyStrings(values: Seq[String], nonNullCount: Int): StringClass =
+    if (values.length != nonNullCount || values.isEmpty) PlainText
+    else if (values.forall(v => UuidRe.matches(v))) {
+      val anyUpper = values.exists(_.exists(_.isUpper))
+      val anyLower = values.exists(_.exists(_.isLower))
+      if (anyUpper && anyLower) PlainText
+      else UuidStrings(uppercase = anyUpper)
+    } else if (values.forall(_.forall(KeySpace.Alphanums.contains(_)))) {
+      AlphanumStrings
+    } else PlainText
+
   /** Dynamic type refinement: sample up to `sample` non-null values per
     * string column and upgrade the column's class when every sampled value
     * conforms (reference: databases/base.py:1113-1160 _refine_coltypes —
-    * 64-row sample upgrading Text to String_UUID / String_VaryingAlphanum).
-    * Mixed-case UUIDs stay PlainText: casing must be consistent for string
-    * order to match the numeric key order. */
+    * 64-row sample upgrading Text to String_UUID / String_VaryingAlphanum). */
   def refineStringColumns(df: DataFrame, cols: Seq[String],
       sample: Int = 64): Map[String, StringClass] = {
     // ONE sampling job for all columns (the reference samples the table
@@ -65,17 +80,7 @@ object SchemaTools {
     cols.zipWithIndex.map { case (c, i) =>
       val values = rows.flatMap(r => Option(r.get(i))).collect { case s: String => s }
       val nonNullCount = rows.count(!_.isNullAt(i))
-      val cls =
-        if (values.length != nonNullCount || values.isEmpty) PlainText
-        else if (values.forall(v => UuidRe.matches(v))) {
-          val anyUpper = values.exists(_.exists(_.isUpper))
-          val anyLower = values.exists(_.exists(_.isLower))
-          if (anyUpper && anyLower) PlainText
-          else UuidStrings(uppercase = anyUpper)
-        } else if (values.forall(_.forall(KeySpace.Alphanums.contains(_)))) {
-          AlphanumStrings
-        } else PlainText
-      c -> cls
+      c -> classifyStrings(values.toSeq, nonNullCount)
     }.toMap
   }
 

@@ -39,8 +39,10 @@ object PushdownQueries {
     "q_pushdown_diff" -> ((s, d) => {
       val a = Tables.load(s, d, "orders").select(orderCols.map(col): _*)
       clusterMutatedOrders(a).createOrReplaceTempView("graft_pushdown_b")
-      val remote = RemoteTable(new SparkViewEngine(s), "graft_pushdown_b",
-        Seq("o_orderkey"), compareCols, a.schema)
+      // schema comes from the remote catalog (DESCRIBE through the SQL
+      // round-trip), not a hand-passed StructType — the real-user path
+      val remote = RemoteTable.introspect(new SparkViewEngine(s), "graft_pushdown_b",
+        Seq("o_orderkey"), compareCols)
       // threshold 4096: at gate scale (sf0.01, 15k rows) level 0 decides
       // everything in one round-trip; at bench scale (sf0.1) one recursion
       // level runs. The deep-recursion path is exercised by

@@ -28,6 +28,17 @@ object SnowflakeProfile extends SourceProfile {
 object BigQueryProfile extends SourceProfile {
   val name = "bigquery"
   override def quote(ident: String): String = "`" + ident + "`"
+  /** BigQuery's catalog lives per-dataset: `dataset.INFORMATION_SCHEMA
+    * .COLUMNS` (reference: databases/bigquery.py select_table_schema); a
+    * bare table name has no dataset to introspect against. */
+  override def tableSchemaSql(table: String): String = {
+    val parts = table.split('.')
+    require(parts.length >= 2, s"bigquery table must be dataset-qualified: $table")
+    val dataset = parts.init.mkString(".")
+    "SELECT column_name, data_type, 6 as datetime_precision, " +
+      "NULL as numeric_precision, NULL as numeric_scale " +
+      s"FROM $dataset.INFORMATION_SCHEMA.COLUMNS WHERE table_name = '${parts.last}'"
+  }
   def toStringSql(expr: String): String = s"cast($expr as string)"
   def md5AsIntSql(expr: String): String =
     s"cast(cast( ('0x' || substr(TO_HEX(md5($expr)), ${1 + Checksum.Md5HexDigits - Checksum.ChecksumHexDigits})) as int64) as numeric) - ${Checksum.Offset}"
@@ -49,6 +60,23 @@ object BigQueryProfile extends SourceProfile {
   * ported verbatim from the reference's documented algorithm. */
 object ClickHouseProfile extends SourceProfile {
   val name = "clickhouse"
+  /** ClickHouse wraps nullable columns as Nullable(T) in the catalog; the
+    * wrapper must unwrap before canonical matching, and the native integer
+    * family has its own names (reference: databases/clickhouse.py
+    * TYPE_CLASSES). */
+  override protected def canonicalTypeName(dataType: String): String = {
+    val unwrapped = "^Nullable\\((.*)\\)$".r
+      .findFirstMatchIn(dataType.trim).map(_.group(1)).getOrElse(dataType)
+    super.canonicalTypeName(unwrapped)
+  }
+  override protected def extraTypeKinds: Map[String, SourceProfile.TypeKind] = {
+    import SourceProfile._
+    Map("int8" -> IntegerKind, "int16" -> IntegerKind, "int32" -> IntegerKind,
+      "int64" -> IntegerKind, "int128" -> IntegerKind, "int256" -> IntegerKind,
+      "uint8" -> IntegerKind, "uint16" -> IntegerKind, "uint32" -> IntegerKind,
+      "uint64" -> IntegerKind, "float32" -> FloatKind, "float64" -> FloatKind,
+      "datetime64" -> TemporalKind, "fixedstring" -> TextKind)
+  }
   def toStringSql(expr: String): String = s"toString($expr)"
   def md5AsIntSql(expr: String): String =
     s"reinterpretAsUInt128(reverse(unhex(lowerUTF8(substr(hex(MD5($expr)), ${1 + Checksum.Md5HexDigits - Checksum.ChecksumHexDigits}))))) - ${Checksum.Offset}"
@@ -82,6 +110,16 @@ object ClickHouseProfile extends SourceProfile {
 object MsSqlProfile extends SourceProfile {
   val name = "mssql"
   override def preventOverflowWhenConcat: Boolean = true
+  /** T-SQL has no LIMIT; the reference renders OFFSET/FETCH
+    * (reference: databases/mssql.py:117-130). */
+  override def sampleSql(table: String, exprs: Seq[String], n: Int,
+      where: Option[String] = None): String =
+    s"SELECT ${exprs.mkString(", ")} FROM $table${where.fold("")(w => s" WHERE $w")} " +
+      s"ORDER BY (SELECT NULL) OFFSET 0 ROWS FETCH NEXT $n ROWS ONLY"
+  /** BIT is T-SQL's boolean (on Postgres the same name is a bitstring,
+    * which is why this lives here and not in the shared table). */
+  override protected def extraTypeKinds: Map[String, SourceProfile.TypeKind] =
+    Map("bit" -> SourceProfile.BooleanKind)
   def toStringSql(expr: String): String = s"CONVERT(VARCHAR(MAX), $expr)"
   def md5AsIntSql(expr: String): String =
     s"convert(bigint, convert(varbinary, '0x' + RIGHT(CONVERT(NVARCHAR(32), HashBytes('MD5', $expr), 2), ${Checksum.ChecksumHexDigits}), 1)) - ${Checksum.Offset}"
@@ -101,6 +139,23 @@ object MsSqlProfile extends SourceProfile {
 /** Oracle (reference: data_diff/databases/oracle.py:65-156). */
 object OracleProfile extends SourceProfile {
   val name = "oracle"
+  /** Oracle has no information_schema; the catalog is ALL_TAB_COLUMNS and
+    * timestamps report a fixed precision 6 (reference:
+    * databases/oracle.py:189-195). */
+  override def tableSchemaSql(table: String): String = {
+    val parts = table.split('.')
+    val owner = if (parts.length >= 2) s" AND owner = '${parts(parts.length - 2)}'" else ""
+    "SELECT column_name, data_type, 6 as datetime_precision, " +
+      "data_precision as numeric_precision, data_scale as numeric_scale " +
+      s"FROM ALL_TAB_COLUMNS WHERE table_name = '${parts.last}'$owner"
+  }
+  /** Oracle has no LIMIT (reference: databases/oracle.py:68-78). */
+  override def sampleSql(table: String, exprs: Seq[String], n: Int,
+      where: Option[String] = None): String =
+    s"SELECT ${exprs.mkString(", ")} FROM $table${where.fold("")(w => s" WHERE $w")} " +
+      s"FETCH NEXT $n ROWS ONLY"
+  /** Oracle renders TIMESTAMP(6) etc.; canonical stripping already handles
+    * the parameter, and NUMBER/VARCHAR2 live in the shared table. */
   def toStringSql(expr: String): String = s"cast($expr as varchar(1024))"
   def md5AsIntSql(expr: String): String =
     s"to_number(substr(standard_hash($expr, 'MD5'), ${1 + Checksum.Md5HexDigits - Checksum.ChecksumHexDigits}), 'xxxxxxxxxxxxxxx') - ${Checksum.Offset}"
@@ -152,6 +207,9 @@ object VerticaProfile extends SourceProfile {
 object DatabricksProfile extends SourceProfile {
   val name = "databricks"
   override def quote(ident: String): String = "`" + ident + "`"
+  override def tableSchemaSql(table: String): String = s"DESCRIBE TABLE $table"
+  override def parseSchemaRow(row: Seq[Option[String]]): Option[RawColumnInfo] =
+    SparkProfile.parseSchemaRow(row)
   def toStringSql(expr: String): String = s"cast($expr as string)"
   def md5AsIntSql(expr: String): String =
     s"cast(conv(substr(md5($expr), ${1 + Checksum.Md5HexDigits - Checksum.ChecksumHexDigits}), 16, 10) as decimal(38, 0)) - ${Checksum.Offset}"
@@ -175,6 +233,16 @@ object DatabricksProfile extends SourceProfile {
 object SparkProfile extends SourceProfile {
   val name = "spark"
   override def quote(ident: String): String = "`" + ident + "`"
+  /** Spark's catalog speaks DESCRIBE, not information_schema (and DESCRIBE
+    * also resolves temp views, which is what in-process pushdown targets).
+    * Rows come back (col_name, data_type, comment); section markers start
+    * with '#'. Precision rides inside the type name ("decimal(38,2)") and
+    * timestamps are always microseconds. */
+  override def tableSchemaSql(table: String): String = s"DESCRIBE TABLE $table"
+  override def parseSchemaRow(row: Seq[Option[String]]): Option[RawColumnInfo] =
+    row.headOption.flatten.map(_.trim)
+      .filter(n => n.nonEmpty && !n.startsWith("#"))
+      .map(n => RawColumnInfo(n, row.lift(1).flatten.getOrElse("")))
   def toStringSql(expr: String): String = s"cast($expr as string)"
   /** decimal(38,0), not bigint: Spark's SUM(bigint) stays bigint and
     * overflows past ~65k rows × 2^47 per segment — first-level segments

@@ -36,6 +36,19 @@ final case class RemoteTable(
   def relevantCols: Seq[String] = keyCols ++ compareCols
 }
 
+object RemoteTable {
+  /** Build a RemoteTable by querying the engine's own schema catalog — the
+    * real-user path, where the far side is a warehouse Spark cannot read
+    * (reference: databases/base.py:1031-1066 + 1113-1160; see
+    * RemoteSchema.introspect for the full contract). */
+  def introspect(engine: RemoteEngine, table: String,
+      keyCols: Seq[String], compareCols: Seq[String],
+      extraWhereSql: Option[String] = None,
+      keyCollation: Collation = Collation.SparkBinary): RemoteTable =
+    RemoteSchema.introspect(engine, table, keyCols, compareCols,
+      extraWhereSql, keyCollation)
+}
+
 /** Per-run pushdown statistics — the InfoTree analogue
   * (reference: data_diff/info_tree.py:9-62). */
 final case class PushdownStats(

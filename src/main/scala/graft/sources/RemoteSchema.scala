@@ -1,0 +1,114 @@
+package graft.sources
+
+import org.apache.spark.sql.types._
+
+import graft.diff.SchemaTools
+
+/** Remote schema introspection: build the Spark-side logical schema of a
+  * table reachable only through a RemoteEngine, so a pushdown diff can run
+  * against a warehouse Spark cannot read directly (reference:
+  * data_diff/databases/base.py:1031-1066 query_table_schema /
+  * _process_table_schema + base.py:1113-1160 _refine_coltypes).
+  *
+  * The flow mirrors the reference exactly:
+  *  1. one catalog query (`profile.tableSchemaSql`) → raw (name, type,
+  *     precisions) rows;
+  *  2. filter to the diff-relevant columns, case-insensitively (the
+  *     reference's CaseInsensitiveDict default);
+  *  3. parse each catalog type to the Spark logical type normalization
+  *     runs under (`profile.sparkType` — the reference's parse_type);
+  *  4. one 64-row sample query refining Text columns to UUID / alphanum /
+  *     plain (`SchemaTools.classifyStrings` — shared with the local side's
+  *     refineStringColumns), recorded as field metadata;
+  *  5. mutual-precision inputs: timestamps take the MINIMUM declared
+  *     precision (normalizing finer than an engine stores would pad zeros
+  *     only on one side), decimals take the MAXIMUM scale (padding zeros is
+  *     consistent on both sides, while rounding away stored digits could
+  *     mask sub-precision diffs) — the reference negotiates per column pair
+  *     in hashdiff_tables.py:119-168; here the table-wide knobs land in the
+  *     returned RemoteTable and the caller aligns the local TableSegment
+  *     (SchemaTools.negotiatePrecision is the local-side counterpart).
+  */
+object RemoteSchema {
+
+  /** Field-metadata key recording a text column's refined class. */
+  val StringClassKey = "graft.stringClass"
+
+  /** Reference sample size (databases/base.py:1114 sample_size=64). */
+  val RefineSampleSize = 64
+
+  def introspect(engine: RemoteEngine, table: String,
+      keyCols: Seq[String], compareCols: Seq[String],
+      extraWhereSql: Option[String] = None,
+      keyCollation: Collation = Collation.SparkBinary,
+      sampleSize: Int = RefineSampleSize): RemoteTable = {
+    val profile = engine.profile
+    val raw = engine.query(profile.tableSchemaSql(table))
+      .flatMap(profile.parseSchemaRow)
+    if (raw.isEmpty)
+      throw new IllegalArgumentException(
+        s"${profile.name}: table '$table' does not exist, or has no columns")
+    // DESCRIBE-style catalogs can repeat columns across sections — first wins
+    val byName: Map[String, RawColumnInfo] =
+      raw.groupBy(_.name.toLowerCase).view.mapValues(_.head).toMap
+
+    val wanted = keyCols ++ compareCols
+    val missing = wanted.filterNot(c => byName.contains(c.toLowerCase))
+    require(missing.isEmpty,
+      s"columns not found in remote table '$table': ${missing.mkString(", ")}")
+    val infos = wanted.map(c => c -> byName(c.toLowerCase))
+
+    val fields = infos.map { case (c, info) =>
+      val dt = profile.sparkType(info).getOrElse(throw new IllegalArgumentException(
+        s"${profile.name}: unsupported remote type for column '$c': ${info.dataType}"))
+      StructField(c, dt, nullable = true)
+    }
+
+    // ---- 64-row text refinement, executed remotely -----------------------
+    val textCols = fields.collect { case f if f.dataType == StringType => f.name }
+    val refined: Map[String, SchemaTools.StringClass] =
+      if (textCols.isEmpty) Map.empty
+      else {
+        val sample = engine.query(profile.sampleSql(
+          table, textCols.map(profile.quote), sampleSize, extraWhereSql))
+        textCols.zipWithIndex.map { case (c, i) =>
+          val values = sample.flatMap(_.lift(i).flatten)
+          c -> SchemaTools.classifyStrings(values, nonNullCount = values.length)
+        }.toMap
+      }
+    val withMeta = fields.map { f =>
+      refined.get(f.name).fold(f) { cls =>
+        val tag = cls match {
+          case SchemaTools.UuidStrings(upper) => if (upper) "uuid-upper" else "uuid-lower"
+          case SchemaTools.AlphanumStrings => "alphanum"
+          case SchemaTools.PlainText => "text"
+        }
+        f.copy(metadata = new MetadataBuilder().putString(StringClassKey, tag).build())
+      }
+    }
+    // a text key that refines to plain text has characters outside the
+    // base-66 alphabet: key-range arithmetic cannot segment it (the
+    // reference logs "cannot be used as a key", base.py:1148-1152 — here
+    // the failure is loud because the caller asked for exactly these keys)
+    keyCols.foreach { k =>
+      if (refined.get(k).contains(SchemaTools.PlainText))
+        throw new IllegalArgumentException(
+          s"key column '$k' sampled values outside the UUID/alphanumeric key " +
+            "space: it cannot drive key-range segmentation")
+    }
+
+    // ---- precision inputs (see scaladoc for the min/max asymmetry) -------
+    val tsPrecision = infos.collect {
+      case (c, info) if Seq(TimestampType, DateType).contains(
+        withMeta(wanted.indexOf(c)).dataType) =>
+        info.datetimePrecision.getOrElse(6)
+    }.minOption.getOrElse(6).min(6).max(0)
+    val fracPrecision = withMeta.collect {
+      case StructField(_, d: DecimalType, _, _) => d.scale
+    }.maxOption.map(_.max(0).min(12)).getOrElse(2)
+
+    RemoteTable(engine, table, keyCols, compareCols, StructType(withMeta.toArray),
+      fracPrecision = fracPrecision, tsPrecision = tsPrecision,
+      extraWhereSql = extraWhereSql, keyCollation = keyCollation)
+  }
+}

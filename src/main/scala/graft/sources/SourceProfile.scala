@@ -4,6 +4,16 @@ import org.apache.spark.sql.types._
 
 import graft.diff.{Checksum, Normalize}
 
+/** One raw row of a remote table's schema catalog (reference:
+  * data_diff/databases/base.py RawColumnInfo — column_name, data_type,
+  * datetime_precision, numeric_precision, numeric_scale). */
+final case class RawColumnInfo(
+    name: String,
+    dataType: String,
+    datetimePrecision: Option[Int] = None,
+    numericPrecision: Option[Int] = None,
+    numericScale: Option[Int] = None)
+
 /** Per-source SQL profiles for pushdown mode.
   *
   * When one side of a diff lives in an external engine reachable over JDBC,
@@ -152,6 +162,71 @@ trait SourceProfile {
     val sel = keyCols.map(k => s"MIN(${quote(k)}), MAX(${quote(k)})").mkString(", ")
     s"SELECT $sel FROM $table${where.fold("")(p => s" WHERE $p")}"
   }
+
+  // ---- schema introspection ----------------------------------------------
+
+  /** SQL selecting `(column_name, data_type, datetime_precision,
+    * numeric_precision, numeric_scale)` for the table from the engine's
+    * catalog (reference: databases/base.py:1031-1041 select_table_schema).
+    * `table` is `name` or `schema.name`; without a schema the filter is by
+    * name only (the engine's search path decides), like the reference's
+    * default_schema fallback. */
+  def tableSchemaSql(table: String): String = {
+    val parts = table.split('.')
+    val name = parts.last
+    val schemaFilter =
+      if (parts.length >= 2) s" AND table_schema = '${parts(parts.length - 2)}'" else ""
+    "SELECT column_name, data_type, datetime_precision, numeric_precision, numeric_scale " +
+      s"FROM information_schema.columns WHERE table_name = '$name'$schemaFilter"
+  }
+
+  /** Parse one row of `tableSchemaSql` output; None skips the row (used by
+    * DESCRIBE-style catalogs that emit section markers). */
+  def parseSchemaRow(row: Seq[Option[String]]): Option[RawColumnInfo] =
+    row.headOption.flatten.filter(_.nonEmpty).map { name =>
+      def intAt(i: Int) = row.lift(i).flatten.flatMap(_.trim.toIntOption)
+      RawColumnInfo(name, row.lift(1).flatten.getOrElse(""),
+        datetimePrecision = intAt(2), numericPrecision = intAt(3), numericScale = intAt(4))
+    }
+
+  /** Canonical form a catalog type name is matched under: lowercase with
+    * parameter lists stripped ("DECIMAL(15,2)" → "decimal",
+    * "timestamp(6) with time zone" → "timestamp with time zone"). */
+  protected def canonicalTypeName(dataType: String): String =
+    dataType.replaceAll("\\([^)]*\\)", "").trim.toLowerCase
+
+  /** Engine-specific additions to the shared type-name table
+    * (the reference's per-dialect TYPE_CLASSES deltas). */
+  protected def extraTypeKinds: Map[String, SourceProfile.TypeKind] = Map.empty
+
+  /** Catalog type → the Spark logical type PushdownDiffer normalizes under
+    * (the reference's parse_type, databases/base.py:732-770: temporal kinds
+    * carry datetime_precision, decimals carry numeric_scale — a NULL scale
+    * is precision 0, the Oracle NUMBER case). None = unknown type. */
+  def sparkType(info: RawColumnInfo): Option[DataType] = {
+    import SourceProfile._
+    val scaleFromName = "\\(\\s*\\d+\\s*,\\s*(\\d+)\\s*\\)".r
+      .findFirstMatchIn(info.dataType).map(_.group(1).toInt)
+    (extraTypeKinds ++ AnsiTypeKinds).get(canonicalTypeName(info.dataType)).map {
+      case TemporalKind => TimestampType
+      case DateKind => DateType
+      case IntegerKind => LongType
+      case DecimalKind =>
+        val scale = info.numericScale.orElse(scaleFromName).getOrElse(0)
+        DecimalType(math.min(info.numericPrecision.filter(_ >= scale).getOrElse(38), 38), scale)
+      case FloatKind => DoubleType
+      case TextKind => StringType
+      case BooleanKind => BooleanType
+      case UuidKind => StringType
+    }
+  }
+
+  /** Bounded row sample in select order — the 64-row text-refinement query
+    * (reference: base.py:1126-1131; LIMIT is the ANSI-ish default, TOP /
+    * FETCH NEXT engines override). */
+  def sampleSql(table: String, exprs: Seq[String], n: Int,
+      where: Option[String] = None): String =
+    s"SELECT ${exprs.mkString(", ")} FROM $table${where.fold("")(w => s" WHERE $w")} LIMIT $n"
 }
 
 /** DuckDB: hex-literal cast (reference behavior: data_diff/databases/
@@ -222,4 +297,53 @@ object SourceProfile {
       SnowflakeProfile, BigQueryProfile, ClickHouseProfile, MsSqlProfile,
       OracleProfile, RedshiftProfile, VerticaProfile, DatabricksProfile,
       SparkProfile).map(p => p.name -> p) :+ ("presto" -> TrinoProfile)).toMap
+
+  /** The type families a remote column can land in for diffing — the
+    * reference's ColType hierarchy collapsed to what normalization needs
+    * (abcs/database_types.py: TemporalType / Integer / Decimal / Float /
+    * Text / Boolean / Native_UUID). */
+  sealed trait TypeKind
+  case object TemporalKind extends TypeKind
+  case object DateKind extends TypeKind
+  case object IntegerKind extends TypeKind
+  case object DecimalKind extends TypeKind
+  case object FloatKind extends TypeKind
+  case object TextKind extends TypeKind
+  case object BooleanKind extends TypeKind
+  case object UuidKind extends TypeKind
+
+  /** Union of the reference's per-dialect TYPE_CLASSES tables, keyed on the
+    * canonical (lowercased, parameter-stripped) catalog name. Names unique
+    * to one engine are harmless for the others; the only genuine conflict —
+    * "bit" (boolean on MSSQL, bitstring on Postgres) — lives in MsSqlProfile
+    * as an engine-local addition. */
+  val AnsiTypeKinds: Map[String, TypeKind] = Map(
+    // integers (postgres/duckdb/mysql/trino/bigquery/clickhouse spellings)
+    "tinyint" -> IntegerKind, "smallint" -> IntegerKind, "mediumint" -> IntegerKind,
+    "int" -> IntegerKind, "integer" -> IntegerKind, "bigint" -> IntegerKind,
+    "int2" -> IntegerKind, "int4" -> IntegerKind, "int8" -> IntegerKind,
+    "int64" -> IntegerKind, "hugeint" -> IntegerKind,
+    // exact numerics
+    "decimal" -> DecimalKind, "numeric" -> DecimalKind, "number" -> DecimalKind,
+    "bignumeric" -> DecimalKind,
+    // approximate numerics
+    "float" -> FloatKind, "real" -> FloatKind, "double" -> FloatKind,
+    "double precision" -> FloatKind, "float4" -> FloatKind, "float8" -> FloatKind,
+    "float64" -> FloatKind, "binary_float" -> FloatKind, "binary_double" -> FloatKind,
+    // text
+    "varchar" -> TextKind, "character varying" -> TextKind, "char" -> TextKind,
+    "character" -> TextKind, "text" -> TextKind, "string" -> TextKind,
+    "nvarchar" -> TextKind, "nchar" -> TextKind, "varchar2" -> TextKind,
+    "nvarchar2" -> TextKind, "bpchar" -> TextKind,
+    // temporal
+    "timestamp" -> TemporalKind, "timestamp without time zone" -> TemporalKind,
+    "timestamp with time zone" -> TemporalKind, "timestamptz" -> TemporalKind,
+    "datetime" -> TemporalKind, "datetime2" -> TemporalKind,
+    "datetimeoffset" -> TemporalKind, "timestamp_ntz" -> TemporalKind,
+    "timestamp_ltz" -> TemporalKind, "timestamp_tz" -> TemporalKind,
+    "date" -> DateKind,
+    // boolean
+    "boolean" -> BooleanKind, "bool" -> BooleanKind,
+    // native uuid columns diff as text (reference Native_UUID)
+    "uuid" -> UuidKind)
 }

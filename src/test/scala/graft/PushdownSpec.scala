@@ -416,6 +416,91 @@ class PushdownDifferSpec extends AnyFunSuite {
     assert(text.contains("30 rows updated") && text.contains("1470 rows unchanged"))
   }
 
+  // ---- remote schema introspection ---------------------------------------
+
+  test("introspects a live DuckDB table: types, precisions, text refinement") {
+    val eng = new ProcessEngine(Seq("python3", "-c", bridgeScript), DuckDbProfile)
+    try {
+      eng.query(
+        """CREATE TABLE intro_t AS SELECT
+          |  i::BIGINT AS id,
+          |  'K' || i::VARCHAR AS name,
+          |  lower(concat(lpad(to_hex(i), 8, '0'), '-0000-0000-0000-000000000000')) AS u,
+          |  (i * 1.5)::DECIMAL(15,3) AS amt,
+          |  i % 2 = 0 AS ok,
+          |  TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (i) SECOND AS ts
+          |FROM range(200) t(i)""".stripMargin)
+      val rt = RemoteTable.introspect(eng, "intro_t",
+        Seq("id"), Seq("name", "u", "amt", "ok", "ts"))
+      import org.apache.spark.sql.types._
+      assert(rt.schema.map(f => f.name -> f.dataType) == Seq(
+        "id" -> LongType, "name" -> StringType, "u" -> StringType,
+        "amt" -> DecimalType(15, 3), "ok" -> BooleanType, "ts" -> TimestampType))
+      // decimal scale drives the fraction precision; timestamps default 6
+      assert(rt.fracPrecision == 3 && rt.tsPrecision == 6)
+      // 64-row refinement classifies the text columns remotely
+      assert(rt.schema("name").metadata.getString(RemoteSchema.StringClassKey) == "alphanum")
+      assert(rt.schema("u").metadata.getString(RemoteSchema.StringClassKey) == "uuid-lower")
+    } finally eng.close()
+  }
+
+  test("introspection fails loudly on missing tables, columns, and text keys") {
+    val eng = new ProcessEngine(Seq("python3", "-c", bridgeScript), DuckDbProfile)
+    try {
+      eng.query("CREATE TABLE intro_bad (id BIGINT, note VARCHAR)")
+      eng.query("INSERT INTO intro_bad VALUES (1, 'has spaces, punctuation!')")
+      assertThrows[IllegalArgumentException](
+        RemoteTable.introspect(eng, "no_such_table", Seq("id"), Seq("note")))
+      assertThrows[IllegalArgumentException](
+        RemoteTable.introspect(eng, "intro_bad", Seq("id"), Seq("nope")))
+      // ',' / '!' are outside the base-66 alphabet → unusable as a key
+      val e = intercept[IllegalArgumentException](
+        RemoteTable.introspect(eng, "intro_bad", Seq("note"), Seq("id")))
+      assert(e.getMessage.contains("key"))
+      // ...but fine as a compared column
+      val ok = RemoteTable.introspect(eng, "intro_bad", Seq("id"), Seq("note"))
+      assert(ok.schema("note").metadata.getString(RemoteSchema.StringClassKey) == "text")
+    } finally eng.close()
+  }
+
+  test("introspected live-DuckDB pushdown reproduces the hand-passed-schema diff") {
+    withDuck(DuckDbProfile) { eng =>
+      val a = orders
+      val remote = RemoteTable.introspect(eng, "pd_duck_b", keys, compareCols)
+      val (out, stats) = PushdownDiffer.diffWithStats(
+        TableSegment(a, keys, compareCols), remote,
+        bisectionFactor = 4, bisectionThreshold = 128)
+      assert(out.collect().map(_.mkString("|")).toSet == expectedDiff)
+      assert(stats.segmentsPruned > 0)
+    }
+  }
+
+  test("type parsing: dialect catalog names land on the right Spark types") {
+    import org.apache.spark.sql.types._
+    // Oracle NUMBER with NULL scale is a precision-0 decimal (reference:
+    // base.py:755-757 "Needed for Oracle")
+    assert(OracleProfile.sparkType(RawColumnInfo("k", "NUMBER",
+      numericPrecision = Some(38))).contains(DecimalType(38, 0)))
+    // scale recovered from the parametrized name when the catalog omits it
+    assert(DuckDbProfile.sparkType(RawColumnInfo("a", "DECIMAL(15,2)"))
+      .contains(DecimalType(15, 2)))
+    assert(MsSqlProfile.sparkType(RawColumnInfo("f", "bit")).contains(BooleanType))
+    assert(ClickHouseProfile.sparkType(RawColumnInfo("n", "Nullable(Int64)"))
+      .contains(LongType))
+    assert(ClickHouseProfile.sparkType(RawColumnInfo("t", "DateTime64(3)"))
+      .contains(TimestampType))
+    assert(TrinoProfile.sparkType(RawColumnInfo("t", "timestamp(6) with time zone"))
+      .contains(TimestampType))
+    assert(PostgresProfile.sparkType(RawColumnInfo("v", "character varying"))
+      .contains(StringType))
+    // unknown types surface as None, not a silent Text fallback
+    assert(SnowflakeProfile.sparkType(RawColumnInfo("g", "GEOGRAPHY")).isEmpty)
+    // Spark DESCRIBE rows: '#' section markers skipped, precision in the name
+    assert(SparkProfile.parseSchemaRow(Seq(Some("# Partitioning"), Some(""), None)).isEmpty)
+    assert(SparkProfile.parseSchemaRow(Seq(Some("amt"), Some("decimal(38,4)"), None))
+      .flatMap(SparkProfile.sparkType).contains(DecimalType(38, 4)))
+  }
+
   test("alphanumeric keys segment the table with every row in exactly one segment") {
     val o = Tables.load(spark, dir, "orders")
       .select(concat(lit("K"), col("o_orderkey").cast("string")).as("k"))
