@@ -35,9 +35,13 @@ object BigQueryProfile extends SourceProfile {
     val parts = table.split('.')
     require(parts.length >= 2, s"bigquery table must be dataset-qualified: $table")
     val dataset = parts.init.mkString(".")
+    // BQ NUMERIC is fixed at (38,9) and the catalog has no precision columns
+    // (reference: databases/bigquery.py:291 hardcodes 38/9); parameterized
+    // NUMERIC(p,s) carries its parameters in data_type and sparkType's
+    // name-parse takes precedence over these defaults.
     "SELECT column_name, data_type, 6 as datetime_precision, " +
-      "NULL as numeric_precision, NULL as numeric_scale " +
-      s"FROM $dataset.INFORMATION_SCHEMA.COLUMNS WHERE table_name = '${parts.last}'"
+      "38 as numeric_precision, 9 as numeric_scale " +
+      s"FROM $dataset.INFORMATION_SCHEMA.COLUMNS WHERE table_name = ${stringLit(parts.last)}"
   }
   def toStringSql(expr: String): String = s"cast($expr as string)"
   def md5AsIntSql(expr: String): String =
@@ -144,11 +148,16 @@ object OracleProfile extends SourceProfile {
     * databases/oracle.py:189-195). */
   override def tableSchemaSql(table: String): String = {
     val parts = table.split('.')
-    val owner = if (parts.length >= 2) s" AND owner = '${parts(parts.length - 2)}'" else ""
+    val owner = if (parts.length >= 2) s" AND owner = ${stringLit(parts(parts.length - 2))}" else ""
     "SELECT column_name, data_type, 6 as datetime_precision, " +
       "data_precision as numeric_precision, data_scale as numeric_scale " +
-      s"FROM ALL_TAB_COLUMNS WHERE table_name = '${parts.last}'$owner"
+      s"FROM ALL_TAB_COLUMNS WHERE table_name = ${stringLit(parts.last)}$owner"
   }
+  /** Oracle DATE stores time-of-day to the second — it must normalize
+    * through the timestamp path, not date-at-midnight (reference:
+    * databases/oracle.py:57 maps 'DATE' -> Timestamp). */
+  override protected def extraTypeKinds: Map[String, SourceProfile.TypeKind] =
+    Map("date" -> SourceProfile.TemporalKind)
   /** Oracle has no LIMIT (reference: databases/oracle.py:68-78). */
   override def sampleSql(table: String, exprs: Seq[String], n: Int,
       where: Option[String] = None): String =

@@ -73,7 +73,11 @@ object RemoteSchema {
           table, textCols.map(profile.quote), sampleSize, extraWhereSql))
         textCols.zipWithIndex.map { case (c, i) =>
           val values = sample.flatMap(_.lift(i).flatten)
-          c -> SchemaTools.classifyStrings(values, nonNullCount = values.length)
+          // nonNullCount = sampled ROWS: a NULL-bearing sample stays PlainText
+          // (the reference keeps Text when the sample has NULLs) — a mostly-
+          // NULL key must not be classified UUID/alphanum from a few values,
+          // and NULL keys defeat key-range segmentation downstream anyway
+          c -> SchemaTools.classifyStrings(values, nonNullCount = sample.length)
         }.toMap
       }
     val withMeta = fields.map { f =>
@@ -98,9 +102,12 @@ object RemoteSchema {
     }
 
     // ---- precision inputs (see scaladoc for the min/max asymmetry) -------
+    // TIMESTAMP columns only: information_schema reports datetime_precision=0
+    // for DATE columns, and date normalization never uses tsPrecision — a
+    // date column in this min would truncate every timestamp in the table to
+    // whole seconds and silently mask sub-second diffs
     val tsPrecision = infos.collect {
-      case (c, info) if Seq(TimestampType, DateType).contains(
-        withMeta(wanted.indexOf(c)).dataType) =>
+      case (c, info) if withMeta(wanted.indexOf(c)).dataType == TimestampType =>
         info.datetimePrecision.getOrElse(6)
     }.minOption.getOrElse(6).min(6).max(0)
     val fracPrecision = withMeta.collect {

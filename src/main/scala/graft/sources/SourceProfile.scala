@@ -175,10 +175,15 @@ trait SourceProfile {
     val parts = table.split('.')
     val name = parts.last
     val schemaFilter =
-      if (parts.length >= 2) s" AND table_schema = '${parts(parts.length - 2)}'" else ""
+      if (parts.length >= 2) s" AND table_schema = ${stringLit(parts(parts.length - 2))}" else ""
     "SELECT column_name, data_type, datetime_precision, numeric_precision, numeric_scale " +
-      s"FROM information_schema.columns WHERE table_name = '$name'$schemaFilter"
+      s"FROM information_schema.columns WHERE table_name = ${stringLit(name)}$schemaFilter"
   }
+
+  /** Single-quoted SQL string literal with embedded quotes doubled — catalog
+    * filters interpolate user-supplied table/schema names, which must not be
+    * able to break out of the literal. */
+  protected def stringLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
   /** Parse one row of `tableSchemaSql` output; None skips the row (used by
     * DESCRIBE-style catalogs that emit section markers). */
@@ -205,15 +210,23 @@ trait SourceProfile {
     * is precision 0, the Oracle NUMBER case). None = unknown type. */
   def sparkType(info: RawColumnInfo): Option[DataType] = {
     import SourceProfile._
-    val scaleFromName = "\\(\\s*\\d+\\s*,\\s*(\\d+)\\s*\\)".r
-      .findFirstMatchIn(info.dataType).map(_.group(1).toInt)
+    // precision AND scale can ride in the type name instead of the catalog
+    // columns ("DECIMAL(15,2)" from DESCRIBE-style catalogs, Trino/ClickHouse
+    // parametrized names); an explicit parameter list is authoritative over
+    // catalog-wide defaults (the BigQuery profile reports the fixed 38/9 for
+    // bare NUMERIC, but NUMERIC(p,s) carries its own parameters).
+    val params = "\\(\\s*(\\d+)\\s*(?:,\\s*(\\d+)\\s*)?\\)".r
+      .findFirstMatchIn(info.dataType)
+    val precFromName = params.map(_.group(1).toInt)
+    val scaleFromName = params.flatMap(m => Option(m.group(2)).map(_.toInt))
     (extraTypeKinds ++ AnsiTypeKinds).get(canonicalTypeName(info.dataType)).map {
       case TemporalKind => TimestampType
       case DateKind => DateType
       case IntegerKind => LongType
       case DecimalKind =>
-        val scale = info.numericScale.orElse(scaleFromName).getOrElse(0)
-        DecimalType(math.min(info.numericPrecision.filter(_ >= scale).getOrElse(38), 38), scale)
+        val scale = scaleFromName.orElse(info.numericScale).getOrElse(0)
+        val prec = precFromName.orElse(info.numericPrecision).filter(_ >= scale).getOrElse(38)
+        DecimalType(math.min(prec, 38), scale)
       case FloatKind => DoubleType
       case TextKind => StringType
       case BooleanKind => BooleanType
