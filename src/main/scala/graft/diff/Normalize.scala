@@ -46,8 +46,27 @@ object Normalize {
       case _ => c.cast(StringType)
     }
 
-  /** Normalized columns for a whole schema (compare columns of a segment). */
+  /** Is this field tagged as consistently-cased UUID text? */
+  private def isUuidClass(f: StructField): Boolean =
+    f.dataType == StringType && f.metadata.contains(SchemaTools.StringClassKey) &&
+      f.metadata.getString(SchemaTools.StringClassKey).startsWith("uuid")
+
+  /** Casing-canonical rendering for UUID-classed text: a lowercase-UUID side
+    * and an uppercase-UUID side must checksum equal (reference:
+    * data_diff/databases/base.py:884-887 normalize_uuid trims String_UUID;
+    * casing metadata abcs/database_types.py:222-234). Lowercase is the
+    * canonical form (RFC 4122); TRIM mirrors the reference's CHAR-padding
+    * tolerance. */
+  def normalizeUuid(c: Column): Column = lower(trim(c))
+
+  /** Normalized columns for a whole schema (compare columns of a segment).
+    * Field metadata (SchemaTools.StringClassKey) upgrades UUID-classed text
+    * to the casing-canonical rendering; plain fields are unaffected. */
   def normalizedCols(schema: StructType, names: Seq[String],
       fracPrecision: Int = 2, tsPrecision: Int = 6): Seq[Column] =
-    names.map { n => normalize(col(n), schema(n).dataType, fracPrecision, tsPrecision) }
+    names.map { n =>
+      val f = schema(n)
+      if (isUuidClass(f)) normalizeUuid(col(n))
+      else normalize(col(n), f.dataType, fracPrecision, tsPrecision)
+    }
 }

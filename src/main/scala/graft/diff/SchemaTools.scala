@@ -36,6 +36,11 @@ object SchemaTools {
     }
   }
 
+  /** Field-metadata key recording a string column's refined class — written
+    * by remote introspection (RemoteSchema) and by attachStringClasses for
+    * local DataFrames; consumed by Normalize (uuid casing alignment). */
+  val StringClassKey = "graft.stringClass"
+
   sealed trait StringClass
   /** Consistently-cased UUIDs — usable as a segmentation key via the
     * 128-bit integer space. */
@@ -46,6 +51,13 @@ object SchemaTools {
   /** Anything else: not reliably checksummable as a key (reference marks
     * plain Text `supported = False` until refined). */
   case object PlainText extends StringClass
+
+  /** Canonical metadata tag for a refined class. */
+  def tagOf(cls: StringClass): String = cls match {
+    case UuidStrings(upper) => if (upper) "uuid-upper" else "uuid-lower"
+    case AlphanumStrings => "alphanum"
+    case PlainText => "text"
+  }
 
   private val UuidRe =
     "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$".r

@@ -31,8 +31,9 @@ import graft.diff.SchemaTools
   */
 object RemoteSchema {
 
-  /** Field-metadata key recording a text column's refined class. */
-  val StringClassKey = "graft.stringClass"
+  /** Field-metadata key recording a text column's refined class (shared
+    * with the local side so Normalize consumes both). */
+  val StringClassKey: String = SchemaTools.StringClassKey
 
   /** Reference sample size (databases/base.py:1114 sample_size=64). */
   val RefineSampleSize = 64
@@ -82,12 +83,8 @@ object RemoteSchema {
       }
     val withMeta = fields.map { f =>
       refined.get(f.name).fold(f) { cls =>
-        val tag = cls match {
-          case SchemaTools.UuidStrings(upper) => if (upper) "uuid-upper" else "uuid-lower"
-          case SchemaTools.AlphanumStrings => "alphanum"
-          case SchemaTools.PlainText => "text"
-        }
-        f.copy(metadata = new MetadataBuilder().putString(StringClassKey, tag).build())
+        f.copy(metadata = new MetadataBuilder()
+          .putString(StringClassKey, SchemaTools.tagOf(cls)).build())
       }
     }
     // a text key that refines to plain text has characters outside the
