@@ -102,6 +102,23 @@ object Graft {
       bisectionFactor, bisectionThreshold)
   }
 
+  /** Negotiate mutual precision between a local segment and an introspected
+    * remote table. PushdownDiffer REQUIRES both sides to normalize at the
+    * same knobs; this helper makes the contract impossible to silently
+    * violate (reference: hashdiff_tables.py:119-168 negotiates per column
+    * pair). Timestamps take the MINIMUM (normalizing finer than an engine
+    * stores would pad zeros on one side only); fractions take the MAXIMUM
+    * (padding zeros is consistent on both sides, while rounding away stored
+    * digits could mask sub-precision diffs) — the same asymmetry
+    * RemoteSchema.introspect applies across the remote's own columns. */
+  def alignPrecision(local: TableSegment, remote: graft.sources.RemoteTable)
+      : (TableSegment, graft.sources.RemoteTable) = {
+    val tp = math.min(local.tsPrecision, remote.tsPrecision)
+    val fp = math.max(local.fracPrecision, remote.fracPrecision)
+    (local.copy(fracPrecision = fp, tsPrecision = tp),
+      remote.copy(fracPrecision = fp, tsPrecision = tp))
+  }
+
   /** '%t' in a materialize target expands to a UTC run timestamp
     * (reference: utils.py:396-400 eval_name_template). */
   def evalNameTemplate(name: String): String =

@@ -151,6 +151,13 @@ object TableSegment {
   /** Key value → driver-side arithmetic key (shared by splitByKeyRange and
     * the pushdown differ's bisection). */
   def toKey(v: Any): KeySpace.Key = v match {
+    // decimal surrogate keys (Oracle/Teradata-migrated schemas) join the
+    // BigInt key space exactly — toBigIntegerExact throws loudly on a
+    // fractional PK rather than silently truncating (reference accepts
+    // Decimal(precision=0) as IKey, abcs/database_types.py:196-201)
+    case d: java.math.BigDecimal => KeySpace.IntKey(BigInt(d.toBigIntegerExact))
+    case d: BigDecimal => KeySpace.IntKey(d.toBigIntExact.getOrElse(
+      throw new IllegalArgumentException(s"fractional decimal key: $d")))
     case n: Number => KeySpace.IntKey(BigInt(n.longValue))
     case s: String => KeySpace.parseStringKey(s)
     case other => throw new IllegalArgumentException(s"unsupported key value: $other")
@@ -164,9 +171,12 @@ object TableSegment {
       KeySpace.parseStringKeysUniform(vs.map(_.asInstanceOf[String]))
     else vs.map(toKey)
 
-  /** Arithmetic key → the literal used in scan predicates. */
+  /** Arithmetic key → the literal used in scan predicates. Integer keys
+    * wider than Long (decimal-keyed tables) render as exact BigDecimal —
+    * `toLong` would silently wrap. */
   def fromKey(k: KeySpace.Key): Any = k match {
-    case KeySpace.IntKey(v) => v.toLong
+    case KeySpace.IntKey(v) =>
+      if (v.isValidLong) v.toLong else new java.math.BigDecimal(v.bigInteger)
     case u => u.toString
   }
 }

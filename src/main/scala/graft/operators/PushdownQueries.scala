@@ -78,6 +78,27 @@ object PushdownQueries {
         .where(col("seg").isNotNull)
         .agg(sum("cnt").as("total_rows"))
     }),
+
+    // Same coverage invariant for Decimal(p,0) surrogate keys (the Oracle/
+    // Teradata NUMBER-PK shape; reference accepts Decimal(precision=0) as a
+    // segmentation key, abcs/database_types.py:196-201). The ×10^10 spread
+    // pushes values past Int range so the BigInt key math, not Long
+    // convenience paths, carries the bounds.
+    "q_decimal_segments" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val o = Tables.load(s, d, "orders")
+        .select((col("o_orderkey").cast(DecimalType(28, 0)) * lit(10000000000L) + lit(3))
+          .cast(DecimalType(28, 0)).as("k"), col("o_custkey").as("v"))
+      val parts = TableSegment(o, Seq("k")).splitByKeyRange(7)
+      val segCol = parts.zipWithIndex
+        .foldRight(lit(null).cast("int")) { case ((p, i), acc) =>
+          when(col("k") >= lit(p.minKey.get.head) && col("k") < lit(p.maxKey.get.head),
+            lit(i)).otherwise(acc)
+        }
+      o.groupBy(segCol.as("seg")).agg(count(lit(1)).as("cnt"))
+        .where(col("seg").isNotNull)
+        .agg(sum("cnt").as("total_rows"))
+    }),
   )
 
   // ---- oracle SQL --------------------------------------------------------
@@ -127,6 +148,9 @@ object PushdownQueries {
          |) ORDER BY o_orderkey, sign""".stripMargin,
 
     "q_alphanum_segments" ->
+      "SELECT COUNT(*) AS total_rows FROM orders",
+
+    "q_decimal_segments" ->
       "SELECT COUNT(*) AS total_rows FROM orders",
   )
 }

@@ -283,49 +283,60 @@ object RelationalQueries {
     // window funnels every row through ONE task — as the designated
     // segmenter it would die exactly when segmentation matters. Two-level
     // instead: (1) range-exchange on the sort key, so partitions are
-    // globally ordered but each sorts in parallel; (2) per-partition local
-    // ranks from one streaming mapPartitions pass (no further shuffle);
-    // (3) the ≤32 per-partition counts prefix-sum on the driver into
-    // global-rank offsets (a literal map — no join); (4) ntile's
-    // first-(n%8)-tiles-get-the-extra-row split is pure rank arithmetic.
-    // Bit-identical to the window form at any partition count.
+    // globally ordered but each sorts in parallel; (2) the ≤32
+    // per-partition counts prefix-sum on the driver into global-rank
+    // offsets; (3) ONE fused streaming pass assigns ranks AND pre-aggregates
+    // per tile-run — tiles are contiguous rank runs inside a sorted
+    // partition, so each partition emits ≤ tiles+1 partial rows and the
+    // final aggregate reduces ~39 rows, not the full table. Only the sort
+    // key's tiebreak column is cached (the sort value dies with the
+    // exchange). persist() pins ONE materialization, so the counts job and
+    // the fused pass see the same range bounds (the partitioner object is
+    // fixed in the cached RDD's lineage — re-running the exchange would
+    // re-sample different bounds). Bit-identical to the window form at any
+    // partition count.
     "q_window_ntile" -> ((s, d) => {
       import s.implicits._
       val tiles = 8L
-      val sorted = t(s, d, "orders")
+      val local = t(s, d, "orders")
         .select(col("o_totalprice").cast("double").as("p"), col("o_orderkey").cast("long").as("k"))
         .repartitionByRange(32, col("p"), col("k"))
         .sortWithinPartitions("p", "k")
-        .as[(Double, Long)]
-      // localCheckpoint pins ONE materialization of the ranked rows: the
-      // range partitioner samples with an RDD-id-derived seed, so separate
-      // jobs (the counts collect below, then the final aggregate) would
-      // otherwise re-plan DIFFERENT range bounds and the offsets would lie.
-      val local = sorted.mapPartitions { it =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        var i = 0L
-        it.map { case (_, k) => i += 1; (pid, i, k) }
-      }.toDF("pid", "lr", "k").localCheckpoint(true)
-      val cnts = local.groupBy("pid").agg(count(lit(1)).as("c"))
+        .select(col("k"))
+        .persist()
+      // one job: materializes the cache AND returns the per-partition counts
+      val cnts = local.groupBy(spark_partition_id().as("pid")).count()
         .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
       val n = cnts.map(_._2).sum
       val offsets: Map[Int, Long] =
         cnts.map(_._1).zip(cnts.scanLeft(0L)(_ + _._2)).toMap
       val q = n / tiles
       val rem = n % tiles
-      val r = element_at(typedLit(offsets), col("pid")) + col("lr")
-      // exact long division: subtract the remainder first so the double
-      // division is of an exact multiple (floor(a/b) on raw doubles can
-      // round up when b exceeds ~2^21)
-      def idiv(a: Column, b: Long): Column = ((a - (a % lit(b))) / lit(b)).cast("long")
-      val tile =
-        if (q == 0) r // fewer rows than tiles: ntile gives each row its own
-        else when(r <= lit(rem * (q + 1)), idiv(r + lit(q), q + 1))
-          .otherwise(lit(rem) + idiv(r - lit(rem * (q + 1)) + lit(q - 1), q))
-      local.select(col("k"), tile.cast("long").as("tile"))
-        .groupBy(col("tile"))
-        .agg(count(lit(1)).as("n"),
-          min(col("k")).as("min_key"), max(col("k")).as("max_key"))
+      val cut = rem * (q + 1) // ranks <= cut land in the (q+1)-sized tiles
+      val partials = local.as[Long].mapPartitions { it =>
+        def tileOf(r: Long): Long =
+          if (q == 0) r // fewer rows than tiles: each row its own tile
+          else if (r <= cut) (r + q) / (q + 1)
+          else rem + (r - cut + q - 1) / q
+        var r = offsets.getOrElse(org.apache.spark.TaskContext.getPartitionId(), 0L)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        var tile = -1L; var cnt = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+        it.foreach { k =>
+          r += 1
+          val tr = tileOf(r)
+          if (tr != tile) {
+            if (tile >= 0) out += ((tile, cnt, mn, mx))
+            tile = tr; cnt = 0L; mn = Long.MaxValue; mx = Long.MinValue
+          }
+          cnt += 1
+          if (k < mn) mn = k
+          if (k > mx) mx = k
+        }
+        if (tile >= 0) out += ((tile, cnt, mn, mx))
+        out.iterator
+      }.toDF("tile", "cnt", "mn", "mx")
+      partials.groupBy("tile")
+        .agg(sum("cnt").as("n"), min("mn").as("min_key"), max("mx").as("max_key"))
         .orderBy("tile")
     }),
 

@@ -57,7 +57,46 @@ final case class PushdownStats(
     segmentsPruned: Int,
     leafSegments: Int,
     remoteQueries: Int,
-    rowsFetched: Long)
+    rowsFetched: Long,
+    /** Wall-clock per bisection level (checksum batches, both sides). */
+    levelMillis: Seq[Long] = Nil,
+    /** Columns dropped mid-flight via PushdownControl.ignoreColumn. */
+    ignoredColumns: Seq[String] = Nil)
+
+/** One finished bisection level, reported to PushdownControl.onLevel. */
+final case class PushdownLevel(level: Int, segments: Int, pruned: Int, millis: Long)
+
+/** Mid-flight control + guardrails for the bisection loop.
+  *
+  *  - `ignoreColumn` drops a column from the compare between levels — the
+  *    reference's `ignore_column` re-plan (diff_tables.py:196-199), used
+  *    when a hot column (e.g. a touched-everywhere updated_at) would force
+  *    every segment to the leaves. The level-at-a-time loop re-plans each
+  *    level, so the drop takes effect at the NEXT level's checksums and in
+  *    the leaf compare.
+  *  - `onLevel` is called after every level; the default warns when a
+  *    level's wall-clock exceeds `checksumWarnSeconds` — the reference's
+  *    checksum-duration guardrail (table_segment.py:20,249-254 logs when a
+  *    segment checksum blows past its expected duration).
+  */
+class PushdownControl(val checksumWarnSeconds: Int = PushdownControl.DefaultChecksumWarnSeconds) {
+  @volatile private[this] var ignoredSet: Set[String] = Set.empty
+  def ignoreColumn(cols: String*): Unit = ignoredSet ++= cols
+  def ignored: Set[String] = ignoredSet
+
+  def onLevel(info: PushdownLevel): Unit =
+    if (info.millis > checksumWarnSeconds * 1000L)
+      Console.err.println(
+        f"[graft] pushdown level ${info.level} (${info.segments} segments) took " +
+          f"${info.millis / 1000.0}%.1f s — over the $checksumWarnSeconds s checksum " +
+          "guardrail; consider a smaller bisection factor, a higher threshold, or " +
+          "ignoring hot columns (PushdownControl.ignoreColumn)")
+}
+
+object PushdownControl {
+  /** Reference: table_segment.py:20 DEFAULT duration guardrail (~20 s). */
+  val DefaultChecksumWarnSeconds = 20
+}
 
 /** Cross-engine hashdiff: segment the key space, push per-segment
   * `count + sum(md5_int48(normalized_row))` SQL to the remote engine, prune
@@ -105,7 +144,8 @@ object PushdownDiffer {
   def diffWithStats(local: TableSegment, remote: RemoteTable,
       bisectionFactor: Int = DefaultBisectionFactor,
       bisectionThreshold: Int = DefaultBisectionThreshold,
-      maxSegmentsPerQuery: Int = DefaultMaxSegmentsPerQuery): (DataFrame, PushdownStats) = {
+      maxSegmentsPerQuery: Int = DefaultMaxSegmentsPerQuery,
+      control: PushdownControl = new PushdownControl()): (DataFrame, PushdownStats) = {
     require(bisectionFactor >= 2, "bisection factor must be >= 2")
     require(bisectionFactor < bisectionThreshold,
       "bisection factor must be lower than the threshold")
@@ -136,6 +176,47 @@ object PushdownDiffer {
             "collation in the remote table/view, or diff on a derived ordinal key.")
       }
 
+    // ---- UUID casing alignment -------------------------------------------
+    // A lowercase-UUID side and an uppercase-UUID side must diff clean: when
+    // BOTH sides classify a text column as consistently-cased UUIDs, both
+    // render it casing-canonical before checksumming (reference:
+    // databases/base.py:884-887 normalize_uuid; casing metadata
+    // abcs/database_types.py:222-234). Remote classes come from
+    // introspection metadata; the local side uses its own field metadata
+    // when present, else the same 64-row sample refinement the remote ran.
+    // One uuid side + one non-uuid side stays raw text compare — the values
+    // genuinely differ in form and must be reported, not masked.
+    import graft.diff.SchemaTools
+    def tagIn(f: StructField): Option[String] =
+      if (f.metadata.contains(SchemaTools.StringClassKey))
+        Some(f.metadata.getString(SchemaTools.StringClassKey))
+      else None
+    val remoteUuidCols = relevant.filter(c =>
+      remote.schema(c).dataType == StringType &&
+        tagIn(remote.schema(c)).exists(_.startsWith("uuid")))
+    val uuidAligned: Set[String] =
+      if (remoteUuidCols.isEmpty) Set.empty
+      else {
+        val localSchema = local.df.schema
+        val explicit = remoteUuidCols.map(c => c -> tagIn(localSchema(c))).toMap
+        val toSample = remoteUuidCols.filter(c => explicit(c).isEmpty)
+        val sampled: Map[String, String] =
+          if (toSample.isEmpty) Map.empty
+          else SchemaTools.refineStringColumns(local.scoped, toSample)
+            .map { case (c, cls) => c -> SchemaTools.tagOf(cls) }
+        remoteUuidCols.filter { c =>
+          explicit(c).orElse(sampled.get(c)).exists(_.startsWith("uuid"))
+        }.toSet
+      }
+    val localAligned =
+      if (uuidAligned.isEmpty) local
+      else local.copy(df = local.df.select(local.df.columns.toSeq.map { c =>
+        if (uuidAligned(c))
+          col(c).as(c, new MetadataBuilder()
+            .putString(SchemaTools.StringClassKey, "uuid-lower").build())
+        else col(c)
+      }: _*))
+
     // Overflow-safe concat is contagious: if either side's dialect needs it,
     // both sides hash items before concatenation (reference:
     // diff_tables.py:228-231).
@@ -148,13 +229,15 @@ object PushdownDiffer {
 
     val normSqlByCol: Map[String, String] = relevant.map { c =>
       c -> profile.normalizedColumnSql(c, remote.schema(c).dataType,
-        remote.fracPrecision, remote.tsPrecision)
+        remote.fracPrecision, remote.tsPrecision,
+        stringClass = if (uuidAligned(c)) Some("uuid-lower") else None)
     }.toMap
 
-    val outSchema = StructType(relevant.map(StructField(_, StringType, nullable = true)))
-    def emptyResult(stats: PushdownStats) = {
+    def outSchemaOf(cols: Seq[String]) =
+      StructType(cols.map(StructField(_, StringType, nullable = true)))
+    def emptyResult(stats: PushdownStats, cols: Seq[String] = relevant) = {
       val empty = spark.createDataFrame(Seq.empty[Row].asJava,
-        StructType(StructField("sign", StringType, nullable = false) +: outSchema.fields.toSeq))
+        StructType(StructField("sign", StringType, nullable = false) +: outSchemaOf(cols).fields.toSeq))
       (empty, stats)
     }
 
@@ -175,9 +258,14 @@ object PushdownDiffer {
         Seq(remoteRange(i * 2), remoteRange(i * 2 + 1))
           .map(_.map[Any](s => remote.schema(keyCols(i)).dataType match {
             case ByteType | ShortType | IntegerType | LongType => java.lang.Long.valueOf(s.trim.toLong)
+            // decimal surrogate keys: scale 0 joins the BigInt key space
+            // (reference: abcs/database_types.py:196-201 Decimal(precision=0)
+            // is an IKey); fractional-scale keys cannot segment exactly
+            case dt: DecimalType if dt.scale == 0 => new java.math.BigDecimal(s.trim)
             case StringType => s
             case other => throw new IllegalArgumentException(
-              s"unsupported pushdown key type for ${keyCols(i)}: $other")
+              s"unsupported pushdown key type for ${keyCols(i)}: $other " +
+                "(decimal keys must have scale 0)")
           }))).flatten
       if (raws.isEmpty) None
       else {
@@ -218,9 +306,21 @@ object PushdownDiffer {
     // join keeps the local plan constant-size at any batch width. Boxes are
     // disjoint, so each row matches at most one bounds row.
     val segField = "__graft_seg"
-    val dimSparkTypes: Seq[DataType] = rootBox._1.map {
-      case KeySpace.IntKey(_) => LongType
-      case _ => StringType // uuid / alphanum keys render to string bounds
+    // bound columns take the LOCAL key column's family so the range-join
+    // compares without lossy casts: integral → LongType, decimal-keyed →
+    // DecimalType(38,0) (a Long bound would wrap past 2^63), text → string
+    val dimSparkTypes: Seq[DataType] = keyCols.zipWithIndex.map { case (k, d) =>
+      rootBox._1(d) match {
+        case KeySpace.IntKey(_) => local.df.schema(k).dataType match {
+          case _: DecimalType => DecimalType(38, 0)
+          case _ => LongType
+        }
+        case _ => StringType // uuid / alphanum keys render to string bounds
+      }
+    }
+    def boundVal(d: Int, k: KeySpace.Key): Any = (k, dimSparkTypes(d)) match {
+      case (KeySpace.IntKey(v), _: DecimalType) => new java.math.BigDecimal(v.bigInteger)
+      case _ => TableSegment.fromKey(k)
     }
     def boundsDf(chunk: Seq[Box]) = {
       val fields = StructField(segField, IntegerType, nullable = false) +:
@@ -229,7 +329,7 @@ object PushdownDiffer {
           StructField(s"__graft_hi_$d", dimSparkTypes(d), nullable = false)))
       val rows = chunk.zipWithIndex.map { case (box, i) =>
         Row.fromSeq(i +: keyCols.indices.flatMap(d =>
-          Seq(TableSegment.fromKey(box._1(d)), TableSegment.fromKey(box._2(d)))))
+          Seq(boundVal(d, box._1(d)), boundVal(d, box._2(d)))))
       }
       spark.createDataFrame(rows.asJava, StructType(fields.toArray))
     }
@@ -256,15 +356,26 @@ object PushdownDiffer {
     var level = 0
     var probed = 0
     var pruned = 0
+    val levelMillis = ArrayBuffer.empty[Long]
 
     while (frontier.nonEmpty) {
       require(level < MaxLevels, s"bisection did not converge after $MaxLevels levels")
-      probed += frontier.size
+      val levelSegments = frontier.size
+      val prunedAtStart = pruned
+      val levelStart = System.nanoTime()
+      probed += levelSegments
+
+      // re-plan per level: columns dropped via control.ignoreColumn since
+      // the previous level leave the checksums NOW (reference re-plans the
+      // same way, diff_tables.py:196-199)
+      val activeCompare = compare.filterNot(control.ignored)
+      val activeRelevant = keyCols ++ activeCompare
+      val levelSeg = localAligned.copy(extraCols = activeCompare)
 
       val next = ArrayBuffer.empty[Box]
       frontier.grouped(maxSegmentsPerQuery).foreach { chunk =>
         // one Spark job for this batch of segment summaries
-        val scopedChunk = local.withExtraFilter(boundingBoxCond(chunk))
+        val scopedChunk = levelSeg.withExtraFilter(boundingBoxCond(chunk))
         val localRows = scopedChunk.scoped
           .join(broadcast(boundsDf(chunk)), rangeJoinCond)
           .groupBy(col(segField).as("seg"))
@@ -277,7 +388,7 @@ object PushdownDiffer {
 
         // one remote round-trip for the same batch
         val sql = profile.segmentedChecksumSql(remote.table,
-          relevant.map(normSqlByCol), chunk.map(remotePred), remote.extraWhereSql)
+          activeRelevant.map(normSqlByCol), chunk.map(remotePred), remote.extraWhereSql)
         val remoteMap: Map[Int, Summary] = remote.engine.query(sql).map { r =>
           r(0).get.trim.toInt -> ((r(1).get.trim.toLong: Long),
             r(2).map(s => BigDecimal(s.trim)))
@@ -301,11 +412,19 @@ object PushdownDiffer {
         }
       }
       frontier = next.toSeq
+      levelMillis += (System.nanoTime() - levelStart) / 1000000
+      control.onLevel(PushdownLevel(level, levelSegments, pruned - prunedAtStart, levelMillis.last))
       level += 1
     }
 
+    // the leaf compare runs on whatever survived mid-flight drops
+    val finalCompare = compare.filterNot(control.ignored)
+    val finalRelevant = keyCols ++ finalCompare
+    val droppedCols = compare.filterNot(finalCompare.contains)
+
     if (leaves.isEmpty)
-      return emptyResult(PushdownStats(level, probed, pruned, 0, remoteQueries, 0))
+      return emptyResult(PushdownStats(level, probed, pruned, 0, remoteQueries, 0,
+        levelMillis.toSeq, droppedCols), finalRelevant)
 
     // ---- leaf compare ----------------------------------------------------
     // All leaf rows cross the wire once, normalized (reference:
@@ -315,23 +434,25 @@ object PushdownDiffer {
     // at any leaf count); the remote fetch is batched so no statement
     // enumerates more than maxSegmentsPerQuery leaf predicates.
     val leafSeq = leaves.toSeq
-    val localLeaf = local.withExtraFilter(boundingBoxCond(leafSeq))
+    val localLeaf = localAligned.copy(extraCols = finalCompare)
+      .withExtraFilter(boundingBoxCond(leafSeq))
     val localNorm = localLeaf.scoped
       .join(broadcast(boundsDf(leafSeq)), rangeJoinCond)
-      .select(relevant.zip(localLeaf.normCols).map { case (n, c) => c.as(n) }: _*)
+      .select(finalRelevant.zip(localLeaf.normCols).map { case (n, c) => c.as(n) }: _*)
 
     val fetched = leafSeq.grouped(maxSegmentsPerQuery).toSeq.flatMap { lchunk =>
       val leafOr = lchunk.map(b => s"(${remotePred(b)})").mkString(" OR ")
       val fetchSql = profile.selectNormalizedSql(remote.table,
-        relevant.map(c => (normSqlByCol(c), c)),
+        finalRelevant.map(c => (normSqlByCol(c), c)),
         Some(remote.extraWhereSql.fold(s"($leafOr)")(e => s"($leafOr) AND ($e)")))
       remoteQueries += 1
       remote.engine.query(fetchSql)
     }
     val remoteDf = spark.createDataFrame(
-      fetched.map(r => Row(r.map(_.orNull): _*)).asJava, outSchema)
+      fetched.map(r => Row(r.map(_.orNull): _*)).asJava, outSchemaOf(finalRelevant))
 
-    val out = JoinDiffer.diff(localNorm, remoteDf, keyCols, compare)
-    (out, PushdownStats(level, probed, pruned, leafSeq.size, remoteQueries, fetched.size))
+    val out = JoinDiffer.diff(localNorm, remoteDf, keyCols, finalCompare)
+    (out, PushdownStats(level, probed, pruned, leafSeq.size, remoteQueries, fetched.size,
+      levelMillis.toSeq, droppedCols))
   }
 }

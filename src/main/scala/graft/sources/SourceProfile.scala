@@ -82,12 +82,21 @@ trait SourceProfile {
     s"TIMESTAMP '$s'"
   }
 
+  /** Casing-canonical UUID text — must render the same string as
+    * `graft.diff.Normalize.normalizeUuid` (lowercase, trimmed); LOWER/TRIM
+    * are ANSI and available on all 13 profiled dialects (reference:
+    * databases/base.py:884-887 normalize_uuid). */
+  def normalizeUuidSql(expr: String): String = s"LOWER(TRIM($expr))"
+
   /** Normalization SQL for a column of the given SPARK-side logical type —
     * the pushdown analogue of `graft.diff.Normalize.normalize`, negotiated
     * from the mutual schema like the reference's
-    * `_validate_and_adjust_columns` (hashdiff_tables.py:119-168). */
+    * `_validate_and_adjust_columns` (hashdiff_tables.py:119-168).
+    * `stringClass` is the refined text class ("uuid-lower"/"uuid-upper"
+    * upgrade text to the casing-canonical UUID rendering). */
   def normalizedColumnSql(colName: String, dt: DataType,
-      fracPrecision: Int = 2, tsPrecision: Int = 6): String = {
+      fracPrecision: Int = 2, tsPrecision: Int = 6,
+      stringClass: Option[String] = None): String = {
     val q = quote(colName)
     dt match {
       case TimestampType | TimestampNTZType => normalizeTimestampSql(q, tsPrecision)
@@ -95,6 +104,7 @@ trait SourceProfile {
       case DoubleType | FloatType | (_: DecimalType) => normalizeNumberSql(q, fracPrecision)
       case ByteType | ShortType | IntegerType | LongType => toStringSql(q)
       case BooleanType => normalizeBooleanSql(q)
+      case StringType if stringClass.exists(_.startsWith("uuid")) => normalizeUuidSql(q)
       case StringType => q
       case _ => toStringSql(q)
     }

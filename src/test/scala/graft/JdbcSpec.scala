@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{JdbcEngine, PostgresProfile}
+
+/** Integration proof for the production JDBC bridge (RemoteEngine's real-
+  * deployment path). Guarded on driver presence: Spark's unmanaged classpath
+  * happens to ship embedded Derby (its Hive-metastore backend), which is a
+  * complete JDBC driver — if a future environment drops it, the suite skips
+  * cleanly instead of failing.
+  */
+class JdbcEngineSpec extends AnyFunSuite {
+
+  private def derbyAvailable: Boolean =
+    scala.util.Try(Class.forName("org.apache.derby.jdbc.EmbeddedDriver")).isSuccess
+
+  test("JdbcEngine round-trips rows, NULLs, decimals, and errors through a real driver") {
+    assume(derbyAvailable, "no JDBC driver on the classpath")
+    val db = s"memory:graftjdbc${System.nanoTime()}"
+    val setup = java.sql.DriverManager.getConnection(s"jdbc:derby:$db;create=true")
+    try {
+      val st = setup.createStatement()
+      st.executeUpdate("CREATE TABLE t1 (id BIGINT, name VARCHAR(20), amt DECIMAL(10,2))")
+      st.executeUpdate("INSERT INTO t1 VALUES (1, 'alice', 10.50), (2, NULL, NULL)")
+      st.close()
+
+      val eng = new JdbcEngine(s"jdbc:derby:$db", new java.util.Properties(), PostgresProfile)
+      try {
+        // the engine contract: every value text-rendered, NULL as None
+        val rows = eng.query("SELECT id, name, amt FROM t1 ORDER BY id")
+        assert(rows == Seq(
+          Seq(Some("1"), Some("alice"), Some("10.50")),
+          Seq(Some("2"), None, None)))
+        // driver errors surface, not silently-empty results
+        intercept[java.sql.SQLException](eng.query("SELECT nope FROM t1"))
+        // statements are closed per query — the connection stays usable
+        assert(eng.query("SELECT COUNT(*) FROM t1") == Seq(Seq(Some("2"))))
+      } finally eng.close()
+    } finally {
+      setup.close()
+      // in-memory Derby drops via a connection attempt that "fails" on success
+      scala.util.Try(java.sql.DriverManager.getConnection(s"jdbc:derby:$db;drop=true"))
+    }
+  }
+}

@@ -75,6 +75,32 @@ class ProfilesSpec extends AnyFunSuite {
       s"cast(conv(substring(md5(x), 21, 12), 16, 10) as decimal(38, 0)) - $Off")
   }
 
+  test("alignPrecision negotiates timestamps to the min, fractions to the max") {
+    import org.apache.spark.sql.types._
+    val df = SparkTest.spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("id", LongType), StructField("v", DoubleType))))
+    val local = graft.diff.TableSegment(df, Seq("id"), Seq("v"),
+      fracPrecision = 2, tsPrecision = 6)
+    val remote = RemoteTable(new SparkViewEngine(SparkTest.spark), "t", Seq("id"),
+      Seq("v"), df.schema, fracPrecision = 4, tsPrecision = 3)
+    val (l2, r2) = graft.api.Graft.alignPrecision(local, remote)
+    assert(l2.fracPrecision == 4 && r2.fracPrecision == 4) // max: pad, don't round
+    assert(l2.tsPrecision == 3 && r2.tsPrecision == 3) // min: don't invent digits
+  }
+
+  test("uuid-classed text renders casing-canonical across profiles") {
+    import org.apache.spark.sql.types.StringType
+    assert(DuckDbProfile.normalizedColumnSql("u", StringType,
+      stringClass = Some("uuid-upper")) == "LOWER(TRIM(\"u\"))")
+    assert(MySqlProfile.normalizedColumnSql("u", StringType,
+      stringClass = Some("uuid-lower")) == "LOWER(TRIM(`u`))")
+    // plain text is untouched
+    assert(SnowflakeProfile.normalizedColumnSql("u", StringType,
+      stringClass = Some("text")) == "\"u\"")
+    assert(OracleProfile.normalizedColumnSql("u", StringType) == "\"u\"")
+  }
+
   test("uuid vs alphanumeric string-key detection") {
     assert(KeySpace.looksLikeUuid("123e4567-e89b-12d3-a456-426614174000"))
     assert(KeySpace.looksLikeUuid("123e4567e89b12d3a456426614174000"))
@@ -513,5 +539,136 @@ class PushdownDifferSpec extends AnyFunSuite {
     // sum == total and distinct keys == total ⇒ no row lost, none double-counted
     assert(union.count() == total)
     assert(union.select("k").distinct().count() == total)
+  }
+
+  test("decimal surrogate keys segment, bisect, and diff exactly (live DuckDB)") {
+    import org.apache.spark.sql.types.DecimalType
+    val eng = new ProcessEngine(Seq("python3", "-c", bridgeScript), DuckDbProfile)
+    try {
+      // id = i * 10^10 + 7 exceeds Int but fits DECIMAL(18,0) — the shape of
+      // an Oracle/Teradata-migrated NUMBER surrogate key
+      eng.query("CREATE TABLE pd_dec (id DECIMAL(18,0), v BIGINT)")
+      val values = (1 to 300).map { i =>
+        val v = if (i % 50 == 0) 999L else i * 3L
+        s"(${i.toLong * 10000000000L + 7}, $v)" // 6 mutated rows
+      }.mkString(", ")
+      eng.query(s"INSERT INTO pd_dec VALUES $values")
+
+      import spark.implicits._
+      val local = (1 to 300).map(i => (BigDecimal(i.toLong * 10000000000L + 7), i * 3L))
+        .toDF("id", "v")
+        .select(col("id").cast(DecimalType(18, 0)).as("id"), col("v"))
+
+      val remote = RemoteTable.introspect(eng, "pd_dec", Seq("id"), Seq("v"))
+      assert(remote.schema("id").dataType == DecimalType(18, 0))
+      // scale-0-only remote negotiates fracPrecision 0 — alignPrecision
+      // transfers the mutual knobs instead of the caller remembering to
+      val (localA, remoteA) = graft.api.Graft.alignPrecision(
+        TableSegment(local, Seq("id"), Seq("v")), remote)
+      val (out, stats) = PushdownDiffer.diffWithStats(localA, remoteA,
+        bisectionFactor = 4, bisectionThreshold = 32)
+      val rows = out.collect()
+      assert(rows.length == 12, rows.mkString("\n")) // 6 mutations × -/+ pair
+      assert(rows.filter(_.getString(0) == "-").map(_.getString(2)).sorted.toSeq ==
+        (1 to 6).map(i => (i * 50 * 3).toString).sorted)
+      assert(stats.levels >= 2 && stats.segmentsPruned > 0, s"$stats")
+    } finally eng.close()
+  }
+
+  test("decimal-keyed local segmentation covers every row exactly once") {
+    import org.apache.spark.sql.types.DecimalType
+    val o = Tables.load(spark, dir, "orders")
+      .select((col("o_orderkey").cast(DecimalType(28, 0)) * lit(10000000000L) + lit(3))
+        .cast(DecimalType(28, 0)).as("k"), col("o_custkey"))
+    val parts = TableSegment(o, Seq("k")).splitByKeyRange(7)
+    assert(parts.size > 1)
+    val union = parts.map(_.scoped).reduce(_ unionAll _)
+    assert(union.count() == o.count())
+    assert(union.select("k").distinct().count() == o.count())
+  }
+
+  test("ignoreColumn mid-flight drops a hot column from checksums and the leaf compare") {
+    val a = orders
+    PushdownQueries.clusterMutatedOrders(a).createOrReplaceTempView("pd_spec_ign")
+    val remote = RemoteTable(new SparkViewEngine(spark), "pd_spec_ign", keys, compareCols, a.schema)
+    val control = new PushdownControl() {
+      override def onLevel(info: PushdownLevel): Unit = {
+        super.onLevel(info)
+        if (info.level == 0) ignoreColumn("o_totalprice")
+      }
+    }
+    val (out, stats) = PushdownDiffer.diffWithStats(
+      TableSegment(a, keys, compareCols), remote,
+      bisectionFactor = 4, bisectionThreshold = 128, control = control)
+    assert(stats.levels >= 2, s"need recursion for a mid-flight drop to matter: $stats")
+    assert(stats.ignoredColumns == Seq("o_totalprice"))
+    assert(stats.levelMillis.length == stats.levels)
+    // the dropped column is gone from the output schema...
+    assert(!out.columns.contains("o_totalprice"))
+    // ...and the diff equals a joindiff that never compared it
+    val keep = relevant.filterNot(_ == "o_totalprice")
+    def normNoPrice(df: DataFrame) = {
+      val d = df.select(keep.map(col): _*)
+      val nc = Normalize.normalizedCols(d.schema, keep)
+      d.select(keep.zip(nc).map { case (n, c) => c.as(n) }: _*)
+    }
+    val expected = JoinDiffer.diff(normNoPrice(orders),
+      normNoPrice(PushdownQueries.clusterMutatedOrders(orders)),
+      keys, keep.filterNot(keys.contains))
+      .collect().map(_.mkString("|")).toSet
+    assert(out.collect().map(_.mkString("|")).toSet == expected)
+  }
+
+  test("checksum-latency guardrail warns when a level blows past the limit") {
+    val a = orders
+    a.createOrReplaceTempView("pd_spec_guard")
+    val remote = RemoteTable(new SparkViewEngine(spark), "pd_spec_guard", keys, compareCols, a.schema)
+    val err = new java.io.ByteArrayOutputStream()
+    Console.withErr(new java.io.PrintStream(err, true, "UTF-8")) {
+      PushdownDiffer.diffWithStats(TableSegment(a, keys, compareCols), remote,
+        bisectionFactor = 8, bisectionThreshold = 256,
+        control = new PushdownControl(checksumWarnSeconds = 0))
+    }
+    assert(err.toString("UTF-8").contains("checksum guardrail"), err.toString("UTF-8"))
+  }
+
+  test("uuid casing: uppercase local vs lowercase remote diffs clean, mutations caught") {
+    import graft.diff.SchemaTools
+    def uuid(i: Int): String = {
+      val hex = BigInt(i * 2654435761L).toString(16).reverse.padTo(32, '0').reverse
+      Seq(hex.substring(0, 8), hex.substring(8, 12), hex.substring(12, 16),
+        hex.substring(16, 20), hex.substring(20, 32)).mkString("-")
+    }
+    val eng = new ProcessEngine(Seq("python3", "-c", bridgeScript), DuckDbProfile)
+    try {
+      eng.query("CREATE TABLE pd_uuid (id BIGINT, u VARCHAR, v BIGINT)")
+      // remote stores LOWERCASE uuids; id 7 has a mutated payload and id 13
+      // a genuinely different uuid VALUE (not just casing)
+      val values = (1 to 60).map { i =>
+        val u = if (i == 13) uuid(1013) else uuid(i)
+        val v = if (i == 7) 999L else i * 10L
+        s"($i, '${u.toLowerCase}', $v)"
+      }.mkString(", ")
+      eng.query(s"INSERT INTO pd_uuid VALUES $values")
+
+      // local stores the unmutated rows with UPPERCASE uuids
+      import spark.implicits._
+      val local = (1 to 60).map(i => (i.toLong, uuid(i).toUpperCase, i * 10L))
+        .toDF("id", "u", "v")
+
+      val remote = RemoteTable.introspect(eng, "pd_uuid", Seq("id"), Seq("u", "v"))
+      assert(remote.schema("u").metadata.getString(SchemaTools.StringClassKey) == "uuid-lower")
+      val (out, stats) = PushdownDiffer.diffWithStats(
+        TableSegment(local, Seq("id"), Seq("u", "v")), remote,
+        bisectionFactor = 4, bisectionThreshold = 16)
+      val rows = out.collect()
+      // only the two real mutations survive; 58 casing-only rows are clean
+      assert(rows.map(_.getString(1)).toSet == Set("7", "13"), rows.mkString("\n"))
+      assert(rows.length == 4) // a -/+ pair each
+      // casing-only segments checksum equal cross-engine and prune
+      assert(stats.segmentsPruned > 0, s"uuid alignment failed to prune: $stats")
+      // output renders the casing-canonical (lowercase) form on both sides
+      assert(rows.forall(r => r.getString(2) == r.getString(2).toLowerCase))
+    } finally eng.close()
   }
 }
