@@ -34,8 +34,16 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val times = (1 to repeats).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        // a failed query must be LOUD, not a suspiciously fast timing: the
+        // error goes to stderr and the recorded time is poisoned to a huge
+        // sentinel (not Infinity — that would break the JSON line) so a
+        // crash can never read as a perf win in cross-round comparisons
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            false
+        }
+        if (ok) (System.nanoTime() - t0) / 1e9 else 999999.0
       }.sorted
       name -> times(times.length / 2)
     }

@@ -20,9 +20,11 @@ import graft.text.TextFunctions
   */
 object Dedup {
 
-  /** 48-bit integer from the first 12 md5 hex digits of `c`. */
-  def md5Int48(c: Column): Column =
-    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+  /** 48-bit integer from the first 12 md5 hex digits of `c` — the custom
+    * codegen'd [[graft.functions.Md5Bits48]], bit-identical to
+    * `conv(substring(md5(c), 1, 12), 16, 10)` minus the per-row hex-string
+    * round-trip (this is the hottest scalar in every shingle pipeline). */
+  def md5Int48(c: Column): Column = graft.functions.Md5Bits48.head(c)
 
   /** Exact dedup groups: content hash → canonical (min) id + copy count. */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =

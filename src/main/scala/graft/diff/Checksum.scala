@@ -19,11 +19,14 @@ object Checksum {
   /** (2^48 − 1) / 2 — reference CHECKSUM_OFFSET. */
   val Offset: Long = ((1L << (ChecksumHexDigits * 4)) - 1) / 2
 
-  /** Per-row 48-bit signed checksum over already-normalized string columns. */
+  /** Per-row 48-bit signed checksum over already-normalized string columns.
+    * The hex-tail-as-int slice runs as the custom codegen'd
+    * [[graft.functions.Md5Bits48]] — bit-identical to
+    * `conv(substring(md5(x), 21, 12), 16, 10)` without the hex-string
+    * materialization and base-16 parse per row. */
   def rowChecksum(normCols: Seq[Column]): Column = {
     val joined = concat_ws("|", normCols.map(c => coalesce(c, lit(Normalize.NullSentinel))): _*)
-    conv(substring(md5(joined), Md5HexDigits - ChecksumHexDigits + 1, ChecksumHexDigits),
-      16, 10).cast(LongType) - Offset
+    graft.functions.Md5Bits48.tail(joined) - Offset
   }
 
   /** Exact aggregate of rowChecksum. */
@@ -40,8 +43,9 @@ object Checksum {
     * (MSSQL CONCAT semantics), not skipped — concat_ws would drop the
     * separator too and desynchronize from the remote rendering. */
   def rowChecksumOverflowSafe(normCols: Seq[Column]): Column = {
+    // per-item hashes stay hex STRINGS (they are concatenated, matching the
+    // remote rendering byte for byte); only the outer slice goes native
     val joined = concat_ws("|", normCols.map(c => coalesce(md5(c), lit(""))): _*)
-    conv(substring(md5(joined), Md5HexDigits - ChecksumHexDigits + 1, ChecksumHexDigits),
-      16, 10).cast(LongType) - Offset
+    graft.functions.Md5Bits48.tail(joined) - Offset
   }
 }

@@ -40,7 +40,7 @@ object RelationalQueries {
     val pairs = df.select(explode(array(cols.map(c =>
         struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*)).as("p"))
       .select("p.*").where(col("v").isNotNull).distinct()
-    val h = conv(substring(md5(col("v")), 1, 12), 16, 10).cast("long")
+    val h = graft.functions.Md5Bits48.head(col("v"))
     val regs = pairs
       .select(col("col_name"), pmod(h, lit(256)).as("bucket"), shiftright(h, 8).as("h2"))
       .withColumn("rho", when(col("h2") === 0, lit(41)).otherwise(lit(41) - length(bin(col("h2")))))
@@ -136,8 +136,7 @@ object RelationalQueries {
     // same bottom-k set doubles as a deterministic uniform sample.
     "q_kmv_distinct" -> ((s, d) => {
       val li = t(s, d, "lineitem")
-      val h = conv(substring(md5(col("l_orderkey").cast("string")), 1, 12), 16, 10)
-        .cast("long")
+      val h = graft.functions.Md5Bits48.head(col("l_orderkey").cast("string"))
       val bottomK = li.where(col("l_orderkey").isNotNull)
         .select(h.as("h")).distinct()
         .orderBy(col("h").asc).limit(256)

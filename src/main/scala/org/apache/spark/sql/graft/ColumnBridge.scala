@@ -1,0 +1,23 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ↔ Catalyst-Expression bridge.
+  *
+  * Spark 4 split `Column` from Catalyst (connect support) and made the
+  * official converters (`classic.ExpressionUtils`) private[sql]; libraries
+  * that ship custom expressions host a one-liner accessor inside the
+  * `org.apache.spark.sql` namespace instead (the same technique Delta Lake
+  * and most expression-bearing Spark libraries use). This object is the
+  * engine's only package-private access point — everything else goes
+  * through public APIs.
+  */
+object ColumnBridge {
+  /** Wrap a Catalyst expression as a DataFrame Column (classic sessions). */
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Unwrap a Column to its Catalyst expression (classic sessions). */
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

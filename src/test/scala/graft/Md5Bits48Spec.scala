@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{HashUtils, Md5Bits48}
+
+/** The custom codegen'd md5-48-bit expression must be bit-identical to the
+  * built-in composition `conv(substring(md5(x), pos, 12), 16, 10)` it
+  * replaces — any drift silently breaks checksum pruning AND every
+  * dedup/minhash pipeline's cross-engine reproducibility. */
+class Md5Bits48Spec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  private val corpus: Seq[Option[String]] = Seq(
+    Some(""), Some("a"), Some("hello world"), Some("<null>"),
+    Some("héllo wörld ünïcode 中文 😀"),
+    Some("line\nbreak\ttab|pipe'quote\"dquote\\backslash"),
+    Some("x" * 10000), None) ++
+    (0 until 256).map(i => Some(s"doc-$i-${i * 31}"))
+
+  test("head48/tail48 match conv(substring(md5(x),...),16,10) on a corpus incl null/unicode/long") {
+    val df = corpus.toDF("s")
+    val rows = df.select(
+      Md5Bits48.head(col("s")).as("h_new"),
+      conv(substring(md5(col("s")), 1, 12), 16, 10).cast("long").as("h_old"),
+      Md5Bits48.tail(col("s")).as("t_new"),
+      conv(substring(md5(col("s")), 21, 12), 16, 10).cast("long").as("t_old")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1) && (r.isNullAt(0) || r.getLong(0) == r.getLong(1)),
+        s"head mismatch: $r")
+      assert(r.isNullAt(2) == r.isNullAt(3) && (r.isNullAt(2) || r.getLong(2) == r.getLong(3)),
+        s"tail mismatch: $r")
+    }
+  }
+
+  test("interpreted eval agrees with codegen (HashUtils static path)") {
+    val bytes = "hello world".getBytes("UTF-8")
+    // md5("hello world") = 5eb63bbbe01eeed093cb22bb8f5acdc3
+    assert(HashUtils.md5Bits48(bytes, fromTail = false) == java.lang.Long.parseLong("5eb63bbbe01e", 16))
+    assert(HashUtils.md5Bits48(bytes, fromTail = true) == java.lang.Long.parseLong("22bb8f5acdc3", 16))
+  }
+
+  test("values stay within [0, 2^48) so the checksum offset subtraction cannot overflow") {
+    val mx = corpus.flatten.toDF("s")
+      .select(greatest(max(Md5Bits48.head(col("s"))), max(Md5Bits48.tail(col("s")))))
+      .head().getLong(0)
+    assert(mx >= 0L && mx < (1L << 48))
+  }
+
+  test("register() exposes both variants to spark.sql") {
+    Md5Bits48.register(spark)
+    val r = spark.sql(
+      s"SELECT ${Md5Bits48.HeadName}(cast('hello world' as binary)) AS h, " +
+        s"${Md5Bits48.TailName}(cast('hello world' as binary)) AS t").head()
+    assert(r.getLong(0) == java.lang.Long.parseLong("5eb63bbbe01e", 16))
+    assert(r.getLong(1) == java.lang.Long.parseLong("22bb8f5acdc3", 16))
+  }
+
+  test("binary input passes through unconverted; non-castable input fails analysis") {
+    // binary column: hashes the raw bytes (same as md5(binary))
+    val b = Seq(Array[Byte](1, 2, 3)).toDF("b")
+      .select(Md5Bits48.tail(col("b")).as("t"),
+        conv(substring(md5(col("b")), 21, 12), 16, 10).cast("long").as("t_old")).head()
+    assert(b.getLong(0) == b.getLong(1))
+    // a map column cannot cast to binary → analysis-time failure, not silent nulls
+    val bad = Seq(1).toDF("x").select(map(col("x"), col("x")).as("m"))
+    intercept[Exception] { bad.select(Md5Bits48.head(col("m"))).head() }
+  }
+}
