@@ -24,7 +24,8 @@ object SparkEntry {
       graft.operators.EmbeddingQueries.queries ++
       graft.operators.MultimodalQueries.queries ++
       graft.operators.ExtendedQueries.queries ++
-      graft.operators.PushdownQueries.queries
+      graft.operators.PushdownQueries.queries ++
+      graft.operators.CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
       graft.operators.EmbeddingQueries.oracleSql ++
       graft.operators.MultimodalQueries.oracleSql ++
       graft.operators.ExtendedQueries.oracleSql ++
-      graft.operators.PushdownQueries.oracleSql
+      graft.operators.PushdownQueries.oracleSql ++
+      graft.operators.CurationQueries.oracleSql
 }

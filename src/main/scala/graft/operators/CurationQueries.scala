@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.text.TextFunctions
+
+/** Corpus-curation operators beyond dedup/quality/language-ID: PII masking,
+  * repetition-based quality filtering (the Gopher-rules shape), and
+  * deterministic stratified sampling for language rebalancing. All are
+  * single-scan / few-shuffle plans over codegen'd built-ins, with integer
+  * arithmetic wherever a float would make cross-engine hashes drift.
+  */
+object CurationQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // PII masking before training. The synthetic corpus carries no real
+    // PII, so the text under test is assembled deterministically from
+    // customer rows (name + a key-derived phone/email) — the operator under
+    // test is the redaction itself: both patterns replaced everywhere,
+    // count audited pre-redaction.
+    "q_pii_scrub" -> ((s, d) => {
+      val c = Tables.load(s, d, "customer")
+      val raw = concat(
+        col("c_name"), lit(" phone 25-989-741-"),
+        lpad(pmod(col("c_custkey"), lit(10000)).cast("string"), 4, "0"),
+        lit(" email user"), col("c_custkey").cast("string"),
+        lit("@example.com segment "), col("c_mktsegment"))
+      c.select(col("c_custkey"),
+        TextFunctions.piiRedact(raw).as("redacted"),
+        TextFunctions.piiCount(raw).as("n_pii"))
+        .orderBy("c_custkey")
+    }),
+
+    // Repetition stats per document — the dominant within-doc quality
+    // signal (boilerplate/spam repeats itself): distinct-token and
+    // distinct-bigram fractions, flagged by integer cross-multiplication
+    // (dup_fraction > 0.2 ⇔ 5·dups > n) so no float threshold exists to
+    // drift between engines. Two narrow explode→agg passes (tokens,
+    // bigrams), each a single partial-aggregating shuffle on doc_id.
+    "q_repetition_stats" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val tok = docs.select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("t"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), countDistinct(col("t")).as("n_distinct_tokens"))
+      val big = Dedup.shingleIndexRaw(docs, "doc_id", "text", n = 2)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), countDistinct(col("s")).as("n_distinct_bigrams"))
+      tok.join(big, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("n_distinct_bigrams"), lit(0L)).as("n_distinct_bigrams"),
+          ((col("n_tokens") - col("n_distinct_tokens")) * 5 > col("n_tokens"))
+            .as("flag_repetitive"))
+        .orderBy("doc_id")
+    }),
+
+    // Language-rebalanced stratified sample: high-resource languages are
+    // downsampled harder (en 20%, rest 50%) — corpus mixing in one pass.
+    // Membership comes from the 48-bit md5 of "<lang>|<doc_id>", so the
+    // sample is reproducible across runs, engines, and repartitioning
+    // (rand() is none of those), and adding a language never reshuffles
+    // another language's picks.
+    "q_stratified_sample" -> ((s, d) => {
+      val h = pmod(Dedup.md5Int48(
+        concat(col("lang"), lit("|"), col("doc_id").cast("string"))), lit(100))
+      Tables.load(s, d, "documents")
+        .where(h < when(col("lang") === "en", 20).otherwise(50))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_pii_scrub" ->
+      s"""WITH raw AS (
+         |  SELECT c_custkey,
+         |    c_name || ' phone 25-989-741-' || lpad((c_custkey % 10000)::VARCHAR, 4, '0')
+         |      || ' email user' || c_custkey::VARCHAR || '@example.com segment ' || c_mktsegment AS t
+         |  FROM customer)
+         |SELECT c_custkey,
+         |  regexp_replace(regexp_replace(t, '${TextFunctions.PhoneRe}', '<PHONE>', 'g'),
+         |    '${TextFunctions.EmailRe}', '<EMAIL>', 'g') AS redacted,
+         |  CAST(len(regexp_extract_all(t, '${TextFunctions.PhoneRe}'))
+         |    + len(regexp_extract_all(t, '${TextFunctions.EmailRe}')) AS BIGINT) AS n_pii
+         |FROM raw ORDER BY c_custkey""".stripMargin,
+
+    "q_repetition_stats" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents),
+        |tok AS (
+        |  SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT t) AS n_distinct_tokens
+        |  FROM tk GROUP BY doc_id),
+        |bg AS (
+        |  SELECT doc_id, unnest([x.toks[i] || ' ' || x.toks[i+1] for i in range(1, len(x.toks))]) AS s
+        |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents) x),
+        |big AS (
+        |  SELECT doc_id, COUNT(*) AS n_bigrams, COUNT(DISTINCT s) AS n_distinct_bigrams
+        |  FROM bg GROUP BY doc_id)
+        |SELECT tok.doc_id, n_tokens, n_distinct_tokens,
+        |  COALESCE(n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(n_distinct_bigrams, 0) AS n_distinct_bigrams,
+        |  ((n_tokens - n_distinct_tokens) * 5 > n_tokens) AS flag_repetitive
+        |FROM tok LEFT JOIN big ON tok.doc_id = big.doc_id
+        |ORDER BY tok.doc_id""".stripMargin,
+
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE ('0x' || substring(md5(lang || '|' || doc_id::VARCHAR), 1, 12))::BIGINT % 100
+        |      < CASE WHEN lang = 'en' THEN 20 ELSE 50 END
+        |ORDER BY doc_id""".stripMargin,
+  )
+}

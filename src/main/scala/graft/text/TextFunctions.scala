@@ -54,6 +54,22 @@ object TextFunctions {
       when(stopwordCount(text) > 0, 30).otherwise(0)).cast("long")
   }
 
+  /** PII patterns chosen to parse identically in Java regex (Spark) and RE2
+    * (DuckDB/Go engines): explicit classes, no backrefs, no lookaround. */
+  val PhoneRe = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Redact phone numbers and email addresses — the masking pass a corpus
+    * runs before training. Pure regexp_replace → codegen'd, and the same
+    * two regexes reproduce the redaction in any RE2/PCRE engine. */
+  def piiRedact(text: Column): Column =
+    regexp_replace(regexp_replace(text, lit(PhoneRe), lit("<PHONE>")),
+      lit(EmailRe), lit("<EMAIL>"))
+
+  /** Count of PII matches before redaction (audit metric). */
+  def piiCount(text: Column): Column =
+    (regexp_count(text, lit(PhoneRe)) + regexp_count(text, lit(EmailRe))).cast("long")
+
   private val Markers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "to"),
     "es" -> Seq("el", "la", "de", "los", "que"),
