@@ -136,6 +136,27 @@ object PushdownDiffer {
   val DefaultMaxSegmentsPerQuery = 256
   private val MaxLevels = 64
 
+  /** One daemon thread carries the remote round-trip while the local Spark
+    * job runs on the caller's thread — the two sides of every level (and
+    * the initial key-range probe) overlap, so a level costs
+    * max(local, remote) instead of their sum. The analogue of the
+    * reference's per-database thread pools running both sides'
+    * count_and_checksum concurrently (databases/base.py:1222-1254,
+    * hashdiff_tables.py:169-215). A cached pool: idle between diffs, and
+    * engines serialize their own access (ProcessEngine.query is
+    * synchronized), so one in-flight remote call per engine is the cap.
+    */
+  private implicit lazy val remoteEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "graft-pushdown-remote")
+        t.setDaemon(true)
+        t
+      }))
+
+  private def await[T](f: scala.concurrent.Future[T]): T =
+    scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
+
   def diff(local: TableSegment, remote: RemoteTable,
       bisectionFactor: Int = DefaultBisectionFactor,
       bisectionThreshold: Int = DefaultBisectionThreshold): DataFrame =
@@ -242,11 +263,13 @@ object PushdownDiffer {
     }
 
     // ---- combined key range over both sides ----------------------------
-    // (reference: diff_tables.py:289-321 queries both ranges and takes the
-    // widest box, so rows present on only one side are always covered)
+    // (reference: diff_tables.py:289-321 queries both ranges concurrently
+    // and takes the widest box, so rows present on only one side are
+    // always covered)
+    val remoteRangeF = scala.concurrent.Future(remote.engine
+      .query(profile.keyRangeSql(remote.table, keyCols, remote.extraWhereSql)).head)
     val localRange = local.keyRange().head()
-    val remoteRange = remote.engine
-      .query(profile.keyRangeSql(remote.table, keyCols, remote.extraWhereSql)).head
+    val remoteRange = await(remoteRangeF)
     var remoteQueries = 1
 
     val dims = keyCols.indices.map { i =>
@@ -374,6 +397,17 @@ object PushdownDiffer {
 
       val next = ArrayBuffer.empty[Box]
       frontier.grouped(maxSegmentsPerQuery).foreach { chunk =>
+        // one remote round-trip for the batch, launched FIRST so it overlaps
+        // the local Spark job below (level cost = max of the sides, not sum)
+        val sql = profile.segmentedChecksumSql(remote.table,
+          activeRelevant.map(normSqlByCol), chunk.map(remotePred), remote.extraWhereSql)
+        val remoteF = scala.concurrent.Future {
+          remote.engine.query(sql).map { r =>
+            r(0).get.trim.toInt -> ((r(1).get.trim.toLong: Long),
+              r(2).map(s => BigDecimal(s.trim)))
+          }.toMap
+        }
+
         // one Spark job for this batch of segment summaries
         val scopedChunk = levelSeg.withExtraFilter(boundingBoxCond(chunk))
         val localRows = scopedChunk.scoped
@@ -386,13 +420,7 @@ object PushdownDiffer {
             if (r.isNullAt(2)) None else Some(BigDecimal(r.getDecimal(2))))
         }.toMap
 
-        // one remote round-trip for the same batch
-        val sql = profile.segmentedChecksumSql(remote.table,
-          activeRelevant.map(normSqlByCol), chunk.map(remotePred), remote.extraWhereSql)
-        val remoteMap: Map[Int, Summary] = remote.engine.query(sql).map { r =>
-          r(0).get.trim.toInt -> ((r(1).get.trim.toLong: Long),
-            r(2).map(s => BigDecimal(s.trim)))
-        }.toMap
+        val remoteMap: Map[Int, Summary] = await(remoteF)
         remoteQueries += 1
 
         if (sys.env.contains("GRAFT_PD_DEBUG")) {
