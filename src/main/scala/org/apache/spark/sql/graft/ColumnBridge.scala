@@ -1,8 +1,9 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
 
 /** Column ↔ Catalyst-Expression bridge.
   *
@@ -20,4 +21,13 @@ object ColumnBridge {
 
   /** Unwrap a Column to its Catalyst expression (classic sessions). */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Apply an extensions object's injected functions to a registry — lets
+    * tests drive the `withExtensions` path end-to-end against an existing
+    * session (builder extensions only apply to sessions not yet created). */
+  def registerInjectedFunctions(ext: SparkSessionExtensions,
+      registry: FunctionRegistry): Unit = {
+    ext.registerFunctions(registry)
+    ()
+  }
 }

@@ -49,6 +49,25 @@ class Md5Bits48Spec extends AnyFunSuite {
     assert(mx >= 0L && mx < (1L << 48))
   }
 
+  test("GraftSparkExtensions injection tuples register and resolve in SQL") {
+    // builder.withExtensions only affects sessions not yet constructed, so
+    // drive the same injection tuples into an isolated child session's
+    // registry (what the builder would do at construction time)
+    val iso = spark.newSession()
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftSparkExtensions().apply(ext)
+    org.apache.spark.sql.graft.ColumnBridge.registerInjectedFunctions(ext,
+      iso.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.functionRegistry)
+    val r = iso.sql(
+      s"SELECT ${Md5Bits48.TailName}(cast('hello world' as binary)) AS t").head()
+    assert(r.getLong(0) == java.lang.Long.parseLong("22bb8f5acdc3", 16))
+    // the parent session's registry is untouched
+    intercept[Exception] {
+      spark.newSession(); spark.sql(s"SELECT ${Md5Bits48.TailName}_nope(NULL)").head()
+    }
+  }
+
   test("register() exposes both variants to spark.sql") {
     Md5Bits48.register(spark)
     val r = spark.sql(
