@@ -50,7 +50,9 @@ object ParseTime {
   *   graft.cli.Cli SOURCE_A SOURCE_B -k key[,key2] [-c col1,col2]
   *     [--algorithm auto|joindiff|hashdiff] [--stats] [--json] [--limit N]
   *     [--ignore col1,col2] [--update-column col --min-age 1d --max-age 1h]
-  *     [--materialize path]
+  *     [--materialize path] [--where EXPR] [--assume-unique-key]
+  *     [--sample-exclusive-rows] [--materialize-all-rows]
+  *     [--table-write-limit N] [--case-sensitive] [-d|-v] [--version]
   *
   * Sources are anything `Graft.connectToTable` accepts (paths, fmt:path,
   * catalog tables).
@@ -70,7 +72,29 @@ object Cli {
       interactive: Boolean = false,
       // hashdiff/pushdown knobs (reference: __main__.py --bisection-factor
       // / --bisection-threshold, defaults hashdiff_tables.py:19-20)
-      bisectionFactor: Int = 32, bisectionThreshold: Int = 16 * 1024)
+      bisectionFactor: Int = 32, bisectionThreshold: Int = 16 * 1024,
+      // extra WHERE restricting both sides (reference: __main__.py --where;
+      // the same "beware of SQL injection" contract — the string is Spark
+      // SQL locally and raw SQL on a pushdown remote)
+      where: Option[String] = None,
+      // skip duplicate/null-PK validation (reference --assume-unique-key:
+      // "skip validating the uniqueness of the key column... which is costly")
+      assumeUniqueKey: Boolean = false,
+      // sample rows that exist on only one side into the stats Extra-Info
+      // block (reference --sample-exclusive-rows, joindiff_tables.py:356-394)
+      sampleExclusiveRows: Boolean = false,
+      // materialize every outer-join row, not just the differing ones
+      // (reference --materialize-all-rows, joindiff_tables.py:198-200)
+      materializeAllRows: Boolean = false,
+      // cap on materialized rows (reference --table-write-limit,
+      // TABLE_WRITE_LIMIT = 1000, joindiff_tables.py:38)
+      tableWriteLimit: Int = 1000,
+      // column-name case sensitivity (reference --case-sensitive; Spark's
+      // resolver honors spark.sql.caseSensitive)
+      caseSensitive: Boolean = false,
+      // -d/--debug/-v raise the log level (reference prints debug info)
+      verbose: Boolean = false,
+      version: Boolean = false)
 
   def parseArgs(argv: Array[String]): Args = {
     def split(s: String) = s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -93,6 +117,19 @@ object Cli {
       case "--materialize" :: v :: t => go(t, a.copy(materialize = Some(v)), positional)
       case "--conf" :: v :: t => go(t, a.copy(conf = Some(v)), positional)
       case "--run" :: v :: t => go(t, a.copy(run = Some(v)), positional)
+      case "--where" :: v :: t => go(t, a.copy(where = Some(v)), positional)
+      case "--assume-unique-key" :: t => go(t, a.copy(assumeUniqueKey = true), positional)
+      case "--sample-exclusive-rows" :: t => go(t, a.copy(sampleExclusiveRows = true), positional)
+      case "--materialize-all-rows" :: t => go(t, a.copy(materializeAllRows = true), positional)
+      case "--table-write-limit" :: v :: t => go(t, a.copy(tableWriteLimit = v.toInt), positional)
+      case "--case-sensitive" :: t => go(t, a.copy(caseSensitive = true), positional)
+      case ("-d" | "--debug" | "-v" | "--verbose") :: t => go(t, a.copy(verbose = true), positional)
+      case "--version" :: t => go(t, a.copy(version = true), positional)
+      // accepted for drop-in compatibility: this engine never phones home,
+      // and parallelism is the cluster scheduler's job, not a CLI knob
+      // (reference: --no-tracking, --threads N)
+      case "--no-tracking" :: t => go(t, a, positional)
+      case "--threads" :: _ :: t => go(t, a, positional)
       case v :: t if positional == 0 => go(t, a.copy(sourceA = v), 1)
       case v :: t if positional == 1 => go(t, a.copy(sourceB = v), 2)
       case v :: _ => throw new IllegalArgumentException(s"Unexpected argument: $v")
@@ -107,10 +144,15 @@ object Cli {
       case (None, None) => cli
       case _ => throw new IllegalArgumentException("--conf and --run must be used together")
     }
-    require(a.sourceA.nonEmpty && a.sourceB.nonEmpty, "two sources required")
-    require(a.keys.nonEmpty, "-k key column(s) required")
+    if (!a.version) {
+      require(a.sourceA.nonEmpty && a.sourceB.nonEmpty, "two sources required")
+      require(a.keys.nonEmpty, "-k key column(s) required")
+    }
     a
   }
+
+  /** Printed by --version (reference: __main__.py --version). */
+  val VersionString = "graft 0.5.0 — Spark-native table diff engine"
 
   def main(argv: Array[String]): Unit = {
     val a = parseArgs(argv)
@@ -129,14 +171,20 @@ object Cli {
   /** The CLI body, separated from session lifecycle so tests (or an
     * embedding application) can drive it on their own session. */
   def run(a: Args, spark: SparkSession): Unit = {
+      if (a.version) { println(VersionString); return }
+      if (a.caseSensitive) spark.conf.set("spark.sql.caseSensitive", "true")
+      if (a.verbose) spark.sparkContext.setLogLevel("INFO")
       val now = java.time.Instant.now()
       def ageBound(age: Option[String]) =
         age.map(s => java.sql.Timestamp.from(now.minus(ParseTime.parseTimeDelta(s))))
       def segment(src: String) = {
         val seg = Graft.connectToTable(spark, src, a.keys, a.cols)
-        seg.copy(updateCol = a.updateColumn,
-          // --min-age: only rows OLDER than the delta → upper bound on update ts
-          maxUpdate = ageBound(a.minAge), minUpdate = ageBound(a.maxAge))
+          .copy(updateCol = a.updateColumn,
+            // --min-age: only rows OLDER than the delta → upper bound on update ts
+            maxUpdate = ageBound(a.minAge), minUpdate = ageBound(a.maxAge))
+        // --where restricts the local scan; the expression lands in the
+        // pushed-down filter chain like every other scope predicate
+        a.where.fold(seg)(w => seg.withExtraFilter(org.apache.spark.sql.functions.expr(w)))
       }
       val segA = segment(a.sourceA)
       // "duckdb:<db>:<table>" routes the b-side through pushdown mode:
@@ -176,7 +224,15 @@ object Cli {
                 ageBound(a.maxAge).map(ts => s"$q >= ${raw.profile.timestampLiteral(ts)}"))
                 .mkString(" AND ")
             }.filter(_.nonEmpty)
-            Graft.diffPushdown(segA.copy(extraCols = compare), eng, table, updateWhere,
+            // --where must scope BOTH sides: the local side already carries
+            // it (segment()); here it joins the remote WHERE verbatim — the
+            // reference ships the same string to both engines unmodified
+            val remoteWhere = (updateWhere.toSeq ++ a.where.map(w => s"($w)"))
+              .reduceOption((x, y) => s"$x AND $y")
+            require(!a.materializeAllRows && !a.sampleExclusiveRows,
+              "--materialize-all-rows / --sample-exclusive-rows are joindiff-only " +
+                "(reference: joindiff_tables.py); a duckdb: remote runs pushdown hashdiff")
+            Graft.diffPushdown(segA.copy(extraCols = compare), eng, table, remoteWhere,
               a.bisectionFactor, a.bisectionThreshold)
           } finally eng.close() // leaf rows are materialized locally by now
         case None =>
@@ -188,10 +244,19 @@ object Cli {
             case other => throw new IllegalArgumentException(s"unknown algorithm: $other")
           }
           Graft.diffTables(segA, segB,
-            Graft.DiffOptions(algorithm = algo, ignoreColumns = a.ignore))
+            Graft.DiffOptions(algorithm = algo, ignoreColumns = a.ignore,
+              validateKeys = !a.assumeUniqueKey))
       }
       val limited = a.limit.fold(diff)(diff.limit)
-      a.materialize.foreach(Graft.materializeDiff(limited, _))
+      // --materialize-all-rows writes the reference's all_rows shape — the
+      // full outer join with is_exclusive/is_diff flags, unchanged rows
+      // included (joindiff_tables.py:198-200) — instead of the signed diff
+      val matSource = if (a.materializeAllRows) {
+        val segB = segment(a.sourceB)
+        val compare = segA.relevantCols.filterNot(a.keys.contains).filterNot(a.ignore.contains)
+        graft.diff.JoinDiffer.flagged(segA.scoped, segB.scoped, a.keys, compare)
+      } else limited
+      a.materialize.foreach(Graft.materializeDiff(matSource, _, a.tableWriteLimit))
       // stream partitions through the driver instead of collecting: without
       // --limit an unexpectedly large diff must not OOM the CLI (the
       // reference likewise streams its diff iterator)
@@ -216,6 +281,19 @@ object Cli {
             DiffFormat.DiffStatsResult(removed, added, updated, unchanged)
         }
         println(DiffFormat.statsString(s))
+      }
+      if (a.sampleExclusiveRows) {
+        // bounded 10-row samples of one-sided rows, surfaced like the
+        // reference's stats["exclusive_sample"] Extra-Info block
+        // (joindiff_tables.py:356-394 + diff_tables.py:166-169)
+        val segB = segment(a.sourceB)
+        println("Extra-Info:")
+        Seq("a", "b").foreach { side =>
+          val rows = graft.diff.JoinDiffer
+            .sampleExclusive(segA.scoped, segB.scoped, a.keys, side, n = 10).collect()
+          println(s"  exclusive_sample_$side = " +
+            rows.map(_.mkString("(", ", ", ")")).mkString("; "))
+        }
       }
   }
 }

@@ -69,6 +69,10 @@ object Config {
       updateColumn = a.updateColumn.orElse(one("update_column")),
       minAge = a.minAge.orElse(one("min_age")),
       maxAge = a.maxAge.orElse(one("max_age")),
-      materialize = a.materialize.orElse(one("materialize")))
+      materialize = a.materialize.orElse(one("materialize")),
+      where = a.where.orElse(one("where")),
+      tableWriteLimit =
+        if (a.tableWriteLimit != 1000) a.tableWriteLimit
+        else one("table_write_limit").map(_.toInt).getOrElse(1000))
   }
 }

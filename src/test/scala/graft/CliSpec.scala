@@ -44,6 +44,20 @@ class CliArgsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Cli.parseArgs(Array("/a", "/b")))
     assertThrows[IllegalArgumentException](Cli.parseArgs(Array("/a", "-k", "id")))
   }
+
+  test("joindiff surface flags parse (where, unique-key, sampling, materialize knobs)") {
+    val a = Cli.parseArgs(Array("/a", "/b", "-k", "id",
+      "--where", "v > 10", "--assume-unique-key", "--sample-exclusive-rows",
+      "--materialize-all-rows", "--table-write-limit", "250",
+      "--case-sensitive", "-d", "--no-tracking", "--threads", "8"))
+    assert(a.where.contains("v > 10") && a.assumeUniqueKey && a.sampleExclusiveRows)
+    assert(a.materializeAllRows && a.tableWriteLimit == 250)
+    assert(a.caseSensitive && a.verbose)
+  }
+
+  test("--version parses without sources") {
+    assert(Cli.parseArgs(Array("--version")).version)
+  }
 }
 
 class CliEndToEndSpec extends AnyFunSuite {
@@ -73,6 +87,63 @@ class CliEndToEndSpec extends AnyFunSuite {
     assert(text.contains("1 rows removed") || text.toLowerCase.contains("removed"))
   }
 
+  test("--where scopes both sides; --assume-unique-key skips PK validation") {
+    val dir = java.nio.file.Files.createTempDirectory("cliwhere").toString
+    // duplicate key k=1 on side a: validation must reject it by default
+    Seq((1L, "a"), (1L, "dup"), (2L, "b"), (9L, "hi")).toDF("k", "v").write.parquet(s"$dir/ta")
+    Seq((1L, "a"), (2L, "X"), (9L, "hi")).toDF("k", "v").write.parquet(s"$dir/tb")
+    assertThrows[IllegalArgumentException] {
+      Cli.run(Cli.parseArgs(Array(s"$dir/ta", s"$dir/tb", "-k", "k")), spark)
+    }
+    // --where excludes the duplicated key and the k=9 row; --assume-unique-key
+    // then skips the (now unnecessary) validation pass entirely
+    val out = new java.io.ByteArrayOutputStream
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      Cli.run(Cli.parseArgs(Array(s"$dir/ta", s"$dir/tb", "-k", "k",
+        "--where", "k = 2", "--assume-unique-key", "--json")), spark)
+    }
+    val lines = out.toString("UTF-8").linesIterator.filter(_.startsWith("{")).toSeq
+    assert(lines.size == 2) // k=2 updated: one '-' and one '+', nothing else
+    assert(lines.forall(_.contains("\"k\":2")))
+  }
+
+  test("--materialize-all-rows + --table-write-limit write the flagged outer join") {
+    val dir = java.nio.file.Files.createTempDirectory("climatall").toString
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").write.parquet(s"$dir/ta")
+    Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("k", "v").write.parquet(s"$dir/tb")
+    Console.withOut(new java.io.PrintStream(new java.io.ByteArrayOutputStream)) {
+      Cli.run(Cli.parseArgs(Array(s"$dir/ta", s"$dir/tb", "-k", "k",
+        "--materialize", s"$dir/all", "--materialize-all-rows", "--table-write-limit", "3")), spark)
+    }
+    val mat = spark.read.parquet(s"$dir/all")
+    // reference all_rows shape: flags + a/b column pairs, unchanged included
+    assert(mat.columns.toSet.contains("is_exclusive_a") && mat.columns.toSet.contains("is_diff_v"))
+    assert(mat.count() == 3) // 4 outer-join rows capped by the write limit
+  }
+
+  test("--sample-exclusive-rows prints one-sided samples as Extra-Info") {
+    val dir = java.nio.file.Files.createTempDirectory("clixcl").toString
+    Seq((1L, "a"), (3L, "only-a")).toDF("k", "v").write.parquet(s"$dir/ta")
+    Seq((1L, "a"), (4L, "only-b")).toDF("k", "v").write.parquet(s"$dir/tb")
+    val out = new java.io.ByteArrayOutputStream
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      Cli.run(Cli.parseArgs(Array(s"$dir/ta", s"$dir/tb", "-k", "k",
+        "--sample-exclusive-rows")), spark)
+    }
+    val text = out.toString("UTF-8")
+    assert(text.contains("Extra-Info:"))
+    assert(text.contains("exclusive_sample_a = (3, only-a)"))
+    assert(text.contains("exclusive_sample_b = (4, only-b)"))
+  }
+
+  test("--version prints and exits before any source is touched") {
+    val out = new java.io.ByteArrayOutputStream
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      Cli.run(Cli.parseArgs(Array("--version")), spark)
+    }
+    assert(out.toString("UTF-8").contains("graft"))
+  }
+
   test("explicit --algorithm joindiff with a duckdb: remote source fails loudly") {
     val dir = java.nio.file.Files.createTempDirectory("clialgo").toString
     Seq((1L, "a")).toDF("k", "v").write.parquet(s"$dir/ta")
@@ -96,6 +167,8 @@ class ConfigSpec extends AnyFunSuite {
       |source_b = "csv:/data/b"
       |key_columns = ["id", "sub"]
       |algorithm = "hashdiff"
+      |where = "x > 0"
+      |table_write_limit = 500
       |min_age = "1d"
       |limitish = 50
       |verbose = true
@@ -115,6 +188,7 @@ class ConfigSpec extends AnyFunSuite {
     assert(fromConf.sourceA == "/data/a" && fromConf.sourceB == "csv:/data/b")
     assert(fromConf.keys == Seq("id", "sub") && fromConf.algorithm == "hashdiff")
     assert(fromConf.minAge.contains("1d"))
+    assert(fromConf.where.contains("x > 0") && fromConf.tableWriteLimit == 500)
     val cliWins = Config.applyRun(Config.parse(toml), "nightly",
       Cli.Args(sourceA = "/override", algorithm = "joindiff"))
     assert(cliWins.sourceA == "/override" && cliWins.algorithm == "joindiff")
