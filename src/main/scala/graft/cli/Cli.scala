@@ -94,7 +94,14 @@ object Cli {
       caseSensitive: Boolean = false,
       // -d/--debug/-v raise the log level (reference prints debug info)
       verbose: Boolean = false,
-      version: Boolean = false)
+      version: Boolean = false,
+      // dbt mode (reference: __main__.py --dbt + --dbt-project-dir; the
+      // reference resolves dev/prod relations from dbt profiles — the
+      // path-world analogue is an explicit base directory per side)
+      dbt: Boolean = false,
+      dbtProjectDir: String = ".",
+      dbtDevBase: Option[String] = None,
+      dbtProdBase: Option[String] = None)
 
   def parseArgs(argv: Array[String]): Args = {
     def split(s: String) = s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -130,6 +137,10 @@ object Cli {
       // (reference: --no-tracking, --threads N)
       case "--no-tracking" :: t => go(t, a, positional)
       case "--threads" :: _ :: t => go(t, a, positional)
+      case "--dbt" :: t => go(t, a.copy(dbt = true), positional)
+      case "--dbt-project-dir" :: v :: t => go(t, a.copy(dbtProjectDir = v), positional)
+      case "--dbt-dev-base" :: v :: t => go(t, a.copy(dbtDevBase = Some(v)), positional)
+      case "--dbt-prod-base" :: v :: t => go(t, a.copy(dbtProdBase = Some(v)), positional)
       case v :: t if positional == 0 => go(t, a.copy(sourceA = v), 1)
       case v :: t if positional == 1 => go(t, a.copy(sourceB = v), 2)
       case v :: _ => throw new IllegalArgumentException(s"Unexpected argument: $v")
@@ -144,7 +155,10 @@ object Cli {
       case (None, None) => cli
       case _ => throw new IllegalArgumentException("--conf and --run must be used together")
     }
-    if (!a.version) {
+    if (a.dbt) {
+      require(a.dbtDevBase.nonEmpty && a.dbtProdBase.nonEmpty,
+        "--dbt requires --dbt-dev-base and --dbt-prod-base directories")
+    } else if (!a.version) {
       require(a.sourceA.nonEmpty && a.sourceB.nonEmpty, "two sources required")
       require(a.keys.nonEmpty, "-k key column(s) required")
     }
@@ -174,6 +188,7 @@ object Cli {
       if (a.version) { println(VersionString); return }
       if (a.caseSensitive) spark.conf.set("spark.sql.caseSensitive", "true")
       if (a.verbose) spark.sparkContext.setLogLevel("INFO")
+      if (a.dbt) { runDbt(a, spark); return }
       val now = java.time.Instant.now()
       def ageBound(age: Option[String]) =
         age.map(s => java.sql.Timestamp.from(now.minus(ParseTime.parseTimeDelta(s))))
@@ -295,5 +310,27 @@ object Cli {
             rows.map(_.mkString("(", ", ", ")")).mkString("; "))
         }
       }
+  }
+
+  /** `--dbt`: diff every model that just built, dev vs prod
+    * (reference: data_diff/dbt.py dbt_diff — artifacts under
+    * `<project-dir>/target/`, one diff per model with declared PKs,
+    * skipped models reported with their reason). */
+  private def runDbt(a: Args, spark: SparkSession): Unit = {
+    def read(p: String) =
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+    val target = s"${a.dbtProjectDir}/target"
+    val (tasks, skipped) = graft.dbt.DbtAdapter.tasks(
+      read(s"$target/run_results.json"), read(s"$target/manifest.json"))
+    skipped.foreach(s => println(s"skipped ${s.model}: ${s.reason}"))
+    tasks.foreach { t =>
+      val dev = Graft.connectToTable(spark, s"${a.dbtDevBase.get}/${t.model}.parquet", t.keys)
+      val prod = Graft.connectToTable(spark, s"${a.dbtProdBase.get}/${t.model}.parquet", t.keys)
+      val s = DiffFormat.collectStats(Graft.diffStats(prod, dev))
+      val summary =
+        if (s.removed == 0 && s.added == 0 && s.updated == 0) "no differences"
+        else DiffFormat.statsString(s).linesIterator.mkString("; ")
+      println(s"${t.model}: $summary")
+    }
   }
 }

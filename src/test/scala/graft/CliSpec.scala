@@ -136,6 +136,34 @@ class CliEndToEndSpec extends AnyFunSuite {
     assert(text.contains("exclusive_sample_b = (4, only-b)"))
   }
 
+  test("--dbt mode diffs each built model dev vs prod and reports skips") {
+    val dir = java.nio.file.Files.createTempDirectory("clidbt").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/target"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/target/run_results.json"),
+      """{"results": [
+        |  {"unique_id": "model.proj.users", "status": "success"},
+        |  {"unique_id": "model.proj.nokeys", "status": "success"}]}""".stripMargin.getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/target/manifest.json"),
+      """{"nodes": {
+        |  "model.proj.users": {"name": "users", "columns": {
+        |    "id": {"meta": {"primary-key": true}, "tags": []},
+        |    "v": {"meta": {}, "tags": []}}},
+        |  "model.proj.nokeys": {"name": "nokeys", "columns": {
+        |    "x": {"meta": {}, "tags": []}}}}}""".stripMargin.getBytes("UTF-8"))
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(s"$dir/prod/users.parquet")
+    Seq((1L, "a"), (2L, "B")).toDF("id", "v").write.parquet(s"$dir/dev/users.parquet")
+    val out = new java.io.ByteArrayOutputStream
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      Cli.run(Cli.parseArgs(Array("--dbt", "--dbt-project-dir", dir,
+        "--dbt-dev-base", s"$dir/dev", "--dbt-prod-base", s"$dir/prod")), spark)
+    }
+    val text = out.toString("UTF-8")
+    assert(text.contains("skipped nokeys: no primary-key columns declared"))
+    assert(text.contains("users:") && text.toLowerCase.contains("updated"))
+    // missing bases fail at parse time, before Spark is touched
+    assertThrows[IllegalArgumentException](Cli.parseArgs(Array("--dbt")))
+  }
+
   test("--version prints and exits before any source is touched") {
     val out = new java.io.ByteArrayOutputStream
     Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
