@@ -58,6 +58,30 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // Cross-document duplicated-n-gram fraction — the corpus-level
+    // complement of q_repetition_stats (which is within-doc): for each
+    // document, how many of its distinct trigrams also appear in at least
+    // one OTHER document (the Gopher/RefinedWeb "dup n-gram" filter
+    // signal). Plan: distinct (doc, shingle) index → per-shingle doc count
+    // as a partition-only window (ONE shuffle on the shingle — no
+    // groupBy+join back, which would shuffle the index twice) → per-doc
+    // aggregation (second shuffle). Counts stay integers and the flag is an
+    // integer cross-multiplication (dup fraction > 0.2 ⇔ 5·dups > n), so
+    // nothing floats. Shingles shuffle as short strings for bit-exactness
+    // against the oracle; at corpus scale the same plan runs on xxhash64
+    // shingle hashes to shrink the exchange.
+    "q_dup_ngram_fraction" -> ((s, d) => {
+      val idx = Dedup.shingleIndex(Tables.load(s, d, "documents"), "doc_id", "text", n = 3)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("s")
+      idx.withColumn("df", count(lit(1)).over(w))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_ngrams"),
+          sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup_ngrams"))
+        .select(col("doc_id"), col("n_ngrams"), col("n_dup_ngrams"),
+          (col("n_dup_ngrams") * 5 > col("n_ngrams")).as("flag_dup"))
+        .orderBy("doc_id")
+    }),
+
     // Language-rebalanced stratified sample: high-resource languages are
     // downsampled harder (en 20%, rest 50%) — corpus mixing in one pass.
     // Membership comes from the 48-bit md5 of "<lang>|<doc_id>", so the
@@ -106,6 +130,18 @@ object CurationQueries {
         |  ((n_tokens - n_distinct_tokens) * 5 > n_tokens) AS flag_repetitive
         |FROM tok LEFT JOIN big ON tok.doc_id = big.doc_id
         |ORDER BY tok.doc_id""".stripMargin,
+
+    "q_dup_ngram_fraction" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest([x.toks[i] || ' ' || x.toks[i+1] || ' ' || x.toks[i+2]
+        |            for i in range(1, len(x.toks) - 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents) x),
+        |df AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY s) AS df FROM sh)
+        |SELECT doc_id, COUNT(*) AS n_ngrams,
+        |  SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS n_dup_ngrams,
+        |  (SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) * 5 > COUNT(*)) AS flag_dup
+        |FROM df GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_stratified_sample" ->
       """SELECT doc_id, lang, source FROM documents
