@@ -29,6 +29,14 @@ object EmbeddingQueries {
       Similarity.ivfTopK(emb(s, d), "vec_id", "embedding", "label",
         col("vec_id") < 5, k = 8).orderBy("query_id", "rank")),
 
+    // LSH-pruned near-dup: the pairs q_embedding_neardup finds, minus any
+    // whose 32 deterministic sign bits never collide in a band — recall vs
+    // the exact query is the spec's concern; the gate pins the bucketing
+    // and the surviving pairs bit-for-bit.
+    "q_ann_lsh" -> ((s, d) =>
+      Similarity.lshNearDup(emb(s, d), "vec_id", "embedding", 0.45)
+        .orderBy("id_a", "id_b")),
+
     // int8 quantization summarized per vector: the dequantization scale and
     // an md5 signature of the quantized components (proves bit parity of
     // all 64 rounded values without exploding the output).
@@ -83,6 +91,35 @@ object EmbeddingQueries {
         |    list_reduce(list_prepend(0.0, list_transform(list_zip(a.nv, b.nv),
         |        x -> x[1] * x[2])), (ac, x) -> ac + x) AS sim
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, sim FROM s WHERE sim >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_ann_lsh" ->
+      """WITH dims AS (
+        |  SELECT vec_id AS id, i - 1 AS j,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xi
+        |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS r(i)),
+        |proj AS (
+        |  SELECT id, h,
+        |    SUM((('0x' || substring(md5(h::VARCHAR || '|' || j::VARCHAR), 1, 12))::BIGINT
+        |         % 2 * 2 - 1) * xi) AS p
+        |  FROM dims, unnest(range(0, 32)) AS hh(h) GROUP BY id, h),
+        |bk AS (
+        |  SELECT id, h // 4 AS band,
+        |    SUM(CASE WHEN p >= 0 THEN (1 << (h % 4)) ELSE 0 END) AS bucket
+        |  FROM proj GROUP BY id, h // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+        |n AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+        |      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))), (a, c) -> a + c))) AS nv
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT id_a, id_b,
+        |    list_reduce(list_prepend(0.0, list_transform(list_zip(a.nv, b.nv),
+        |        x -> x[1] * x[2])), (ac, x) -> ac + x) AS sim
+        |  FROM cand JOIN n a ON cand.id_a = a.vec_id JOIN n b ON cand.id_b = b.vec_id)
         |SELECT id_a, id_b, sim FROM s WHERE sim >= 0.45 ORDER BY id_a, id_b""".stripMargin,
 
     "q_ann_ivf" ->

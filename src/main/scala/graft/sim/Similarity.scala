@@ -129,6 +129,52 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
+  /** LSH-bucketed near-duplicate pairs — the scale path `similarPairs`
+    * points to when exact all-pairs stops being the right query: signed
+    * random projections (random-hyperplane LSH, the cosine-distance family)
+    * bucket each vector into `bands` buckets of `bitsPerBand` sign bits;
+    * only same-(band, bucket) collisions reach the exact cosine check, so
+    * the join volume is Σ bucket² instead of n².
+    *
+    * Everything before the final cosine is exact integer math, reproducible
+    * on any engine: components quantize as floor(x·1e6); each hyperplane is
+    * a Rademacher (±1) vector whose sign at (h, j) derives from the 48-bit
+    * md5 of "h|j" — deterministic, seedless, and renderable in plain SQL —
+    * and each sign bit is (Σ ±xi ≥ 0). A hyperplane never materializes:
+    * the (h, j) cross join is a broadcast of the h-range against the
+    * already-exploded component rows, n·dim·H rows through one partial
+    * aggregation — linear in the corpus, no driver state, no collect. */
+  def lshNearDup(vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bands: Int = 8, bitsPerBand: Int = 4): DataFrame = {
+    val spark = vecs.sparkSession
+    val hCount = bands * bitsPerBand
+    val dims = vecs.select(col(idCol).cast("long").as("id"),
+        posexplode(col(vecCol)).as(Seq("j", "x")))
+      .withColumn("xi", floor(col("x").cast("double") * 1000000).cast("long"))
+    val planes = broadcast(spark.range(hCount).select(col("id").cast("int").as("h")))
+    val buckets = dims.crossJoin(planes)
+      .withColumn("s", pmod(graft.dedup.Dedup.md5Int48(
+          concat(col("h").cast("string"), lit("|"), col("j").cast("string"))),
+        lit(2)) * 2 - 1)
+      .groupBy("id", "h").agg(sum(col("s") * col("xi")).as("p"))
+      .groupBy(col("id"), expr(s"h div $bitsPerBand").as("band"))
+      .agg(sum(when(col("p") >= 0,
+        expr(s"shiftleft(1, h % $bitsPerBand)").cast("long")).otherwise(0L)).as("bucket"))
+    val cand = buckets.select(col("id").as("id_a"), col("band"), col("bucket"))
+      .join(buckets.select(col("id").as("id_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val unit = withUnitVector(
+      vecs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")), "v", "nv")
+    cand
+      .join(unit.select(col("id").as("id_a"), col("nv").as("na")), Seq("id_a"))
+      .join(unit.select(col("id").as("id_b"), col("nv").as("nb")), Seq("id_b"))
+      .withColumn("sim", dot(col("na"), col("nb")))
+      .where(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+
   /** Symmetric int8 quantization of an embedding column: each vector is
     * scaled by its max-abs component onto [-127, 127] and rounded half-up —
     * the standard memory-reduction step before ANN serving (4× smaller than

@@ -89,6 +89,26 @@ class SimilaritySpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
     assert(ok == Set((0L, 1L))) // only (1,0,0)·(0.9,0.1) clears cosine 0.5
   }
+
+  test("lshNearDup finds a subset of the exact pairs, with near-total recall on near-identical vectors") {
+    // 3 tight clusters of near-identical vectors + isolated noise: every
+    // within-cluster pair has cosine ≈ 1 (sign bits can barely disagree →
+    // LSH must keep them); cross-cluster pairs sit far below the threshold.
+    val base = Seq(Array(1.0f, 0.1f, -0.3f, 0.8f), Array(-0.7f, 0.5f, 0.2f, -0.1f),
+      Array(0.2f, -0.9f, 0.4f, 0.6f))
+    val vecs = (for {
+      (b, c) <- base.zipWithIndex; i <- 0 until 3
+    } yield ((c * 3 + i).toLong, b.map(x => x + i * 0.001f))).toDF("vec_id", "embedding")
+    val exact = Similarity.similarPairs(vecs, "vec_id", "embedding", 0.9, dim = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshNearDup(vecs, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), s"LSH emitted non-near-dup pairs: ${lsh -- exact}")
+    assert(exact.size == 9) // 3 pairs per cluster
+    // near-identical vectors agree on every sign bit unless a projection
+    // lands exactly on the boundary — expect (at least) near-total recall
+    assert(lsh.size >= 8, s"LSH recall collapsed: ${lsh.size}/${exact.size}")
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
