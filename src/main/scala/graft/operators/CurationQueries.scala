@@ -63,17 +63,21 @@ object CurationQueries {
     // document, how many of its distinct trigrams also appear in at least
     // one OTHER document (the Gopher/RefinedWeb "dup n-gram" filter
     // signal). Plan: distinct (doc, shingle) index → per-shingle doc count
-    // as a partition-only window (ONE shuffle on the shingle — no
-    // groupBy+join back, which would shuffle the index twice) → per-doc
-    // aggregation (second shuffle). Counts stay integers and the flag is an
-    // integer cross-multiplication (dup fraction > 0.2 ⇔ 5·dups > n), so
-    // nothing floats. Shingles shuffle as short strings for bit-exactness
-    // against the oracle; at corpus scale the same plan runs on xxhash64
-    // shingle hashes to shrink the exchange.
+    // (partial-aggregating shuffle) → join back on the shingle → per-doc
+    // aggregation. NOT a count-over-partition window, although that would
+    // be one exchange fewer: WindowExec buffers each partition group, so a
+    // stop-shingle present in a billion documents becomes one unsplittable
+    // buffered task, while the sort-merge join streams the index against a
+    // one-row-per-shingle build side and AQE can split a skewed join
+    // partition. Counts stay integers and the flag is an integer
+    // cross-multiplication (dup fraction > 0.2 ⇔ 5·dups > n), so nothing
+    // floats. Shingles shuffle as short strings for bit-exactness against
+    // the oracle; at corpus scale the same plan runs on xxhash64 shingle
+    // hashes to shrink the exchanges.
     "q_dup_ngram_fraction" -> ((s, d) => {
       val idx = Dedup.shingleIndex(Tables.load(s, d, "documents"), "doc_id", "text", n = 3)
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("s")
-      idx.withColumn("df", count(lit(1)).over(w))
+      val freq = idx.groupBy("s").agg(count(lit(1)).as("df"))
+      idx.join(freq, Seq("s"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_ngrams"),
           sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup_ngrams"))
