@@ -79,9 +79,15 @@ object Dedup {
     * aggregates, or codegen-heavy array stages that dominate at any scale
     * where the df cap is doing its job):
     *  1. one hash(s) exchange serves the whole index side: (doc_id, s)
-    *     dedup and the document-frequency window both only need clustering
-    *     by s, so neither adds an exchange, and the self-join's two sides
-    *     reuse the same exchange (or one side broadcasts under AQE);
+    *     dedup, the document-frequency aggregation, and its join back all
+    *     only need clustering by s, so none adds an exchange, and the
+    *     self-join's two sides reuse the same exchange (or one side
+    *     broadcasts under AQE). The df comes from groupBy+join rather than
+    *     a count-over-partition window: WindowExec would BUFFER each
+    *     shingle's partition group, so one stop-shingle spanning the corpus
+    *     becomes one unsplittable task — exactly the rows the cap is there
+    *     to kill. Filtering the one-row-per-shingle frequency side before
+    *     the join makes stop-shingle index rows plain join misses instead;
     *  2. n_common = COUNT of shared kept shingles straight off the join —
     *     no per-doc arrays, no verify stage. Per-doc capped set sizes ride
     *     along as a window over doc_id (the only other exchange); the
@@ -93,12 +99,12 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, dfCap: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val kept = shingleIndexRaw(df, idCol, textCol)
+    val base = shingleIndexRaw(df, idCol, textCol)
       .select(col("doc_id"), md5Int48(col("s")).as("s"))
       .repartition(col("s"))
       .distinct()
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
-      .where(col("df") <= dfCap)
+    val freq = base.groupBy("s").agg(count(lit(1)).as("df"))
+    val kept = base.join(freq.where(col("df") <= dfCap), Seq("s"))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
       .select("doc_id", "s", "sz")
     kept.select(col("doc_id").as("doc_a"), col("s"), col("sz").as("sa"))
