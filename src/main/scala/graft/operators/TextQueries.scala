@@ -86,17 +86,19 @@ object TextQueries {
 
     // Survivor selection: near-dup groups keep their highest-quality member
     // (score, then min id) — curation prefers the best copy, not the
-    // smallest id.
+    // smallest id. The argmax is a MIN over a (−score, id) struct (struct
+    // comparison is lexicographic), not a rank-1 window: min is a partial
+    // aggregate, so a viral duplicate cluster spanning millions of copies
+    // combines map-side instead of buffering one window partition.
     "q_dedup_survivors" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val dd = docs(s, d)
       val comps = Dedup.connectedComponents(
         Dedup.minhashCandidates(dd, "doc_id", "text"), "doc_a", "doc_b")
       val scored = comps.join(
         dd.select(col("doc_id").as("id"), qualityScore(col("text")).as("score")), Seq("id"))
-      val w = Window.partitionBy(col("comp")).orderBy(col("score").desc, col("id").asc)
-      scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-        .select(col("comp"), col("id").as("survivor_id"), col("score"))
+      scored.groupBy("comp")
+        .agg(min(struct((-col("score")).as("neg"), col("id").as("id"))).as("m"))
+        .select(col("comp"), col("m.id").as("survivor_id"), (-col("m.neg")).as("score"))
         .orderBy("comp")
     }),
 
