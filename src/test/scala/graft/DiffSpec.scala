@@ -217,3 +217,51 @@ class HashDifferSpec extends AnyFunSuite {
     assert(total == 4 && distinct == 2 && nulls == 1)
   }
 }
+
+class SnapshotChecksumsSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  private def seg(df: org.apache.spark.sql.DataFrame) = TableSegment(df, Seq("k"))
+
+  test("unchanged snapshot compares clean; mutations localize to their buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("snap").toString
+    val v1 = (1L to 500L).map(i => (i, s"v$i")).toDF("k", "v")
+    SnapshotChecksums.save(seg(v1), s"$dir/sums", buckets = 64)
+
+    // identical data → nothing dirty
+    val clean = SnapshotChecksums.compare(seg(v1), spark, s"$dir/sums")
+    assert(clean.where(col("is_dirty")).count() == 0)
+
+    // update k=42, delete k=100, insert k=501
+    val v2 = ((1L to 500L).filter(_ != 100L).map(i =>
+      (i, if (i == 42L) "CHANGED" else s"v$i")) :+ (501L, "v501")).toDF("k", "v")
+    val cmp = SnapshotChecksums.compare(seg(v2), spark, s"$dir/sums")
+    val dirty = cmp.where(col("is_dirty")).select("bucket").as[Long].collect().toSet
+    val expected = Seq(42L, 100L, 501L).map(k =>
+      Seq(Tuple1(k)).toDF("k").select(HashDiffer.bucketOf(Seq("k"), 64)).head().getLong(0)).toSet
+    assert(dirty == expected)
+    // count drift visible where rows appeared/vanished
+    val drift = cmp.where(!(col("old_cnt") <=> col("new_cnt"))).count()
+    assert(drift == Seq(100L, 501L).map(k =>
+      Seq(Tuple1(k)).toDF("k").select(HashDiffer.bucketOf(Seq("k"), 64)).head().getLong(0)).toSet.size)
+
+    // dirtyScope re-reads only changed regions: every mutated key is in
+    // scope, and scope stays a small fraction of the table
+    val scoped = SnapshotChecksums.dirtyScope(seg(v2), spark, s"$dir/sums").scoped
+    val keys = scoped.select("k").as[Long].collect().toSet
+    assert(keys.contains(42L) && keys.contains(501L) && !keys.contains(100L))
+    assert(keys.size < 100) // ~3/64 of the key space, not the whole table
+  }
+
+  test("parity mode stores the cross-engine md5 checksum form") {
+    val dir = java.nio.file.Files.createTempDirectory("snapp").toString
+    val df = (1L to 50L).map(i => (i, s"v$i")).toDF("k", "v")
+    SnapshotChecksums.save(seg(df), s"$dir/sums", buckets = 8, parity = true)
+    val stored = spark.read.parquet(s"$dir/sums")
+    // parity checksums are the md5-based DECIMAL(38,0) sums, not xxhash64 longs
+    assert(stored.schema("checksum").dataType.typeName.startsWith("decimal"))
+    assert(SnapshotChecksums.compare(seg(df), spark, s"$dir/sums")
+      .where(col("is_dirty")).count() == 0)
+  }
+}
