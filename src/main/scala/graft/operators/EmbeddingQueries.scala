@@ -30,7 +30,7 @@ object EmbeddingQueries {
         col("vec_id") < 5, k = 8).orderBy("query_id", "rank")),
 
     // LSH-pruned near-dup: the pairs q_embedding_neardup finds, minus any
-    // whose 32 deterministic sign bits never collide in a band — recall vs
+    // whose 40 deterministic sign bits never collide in a band — recall vs
     // the exact query is the spec's concern; the gate pins the bucketing
     // and the surviving pairs bit-for-bit.
     "q_ann_lsh" -> ((s, d) =>
@@ -102,11 +102,11 @@ object EmbeddingQueries {
         |  SELECT id, h,
         |    SUM((('0x' || substring(md5(h::VARCHAR || '|' || j::VARCHAR), 1, 12))::BIGINT
         |         % 2 * 2 - 1) * xi) AS p
-        |  FROM dims, unnest(range(0, 32)) AS hh(h) GROUP BY id, h),
+        |  FROM dims, unnest(range(0, 40)) AS hh(h) GROUP BY id, h),
         |bk AS (
-        |  SELECT id, h // 4 AS band,
-        |    SUM(CASE WHEN p >= 0 THEN (1 << (h % 4)) ELSE 0 END) AS bucket
-        |  FROM proj GROUP BY id, h // 4),
+        |  SELECT id, h // 5 AS band,
+        |    SUM(CASE WHEN p >= 0 THEN (1 << (h % 5)) ELSE 0 END) AS bucket
+        |  FROM proj GROUP BY id, h // 5),
         |cand AS (
         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
         |  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),

