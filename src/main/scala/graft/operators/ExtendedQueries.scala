@@ -151,6 +151,23 @@ object ExtendedQueries {
         max(col("o_totalprice")).as("max_price"),
         min(col("o_orderstatus")).as("min_status"),
         max(col("o_orderstatus")).as("max_status"))),
+
+    // Top-3 customers per market segment via the bounded TopKStructs
+    // aggregate — same semantics as q_window_rank's rank window, but the
+    // k-bounded buffer partial-aggregates map-side, so a hot group never
+    // funnels through one buffered window partition (the window form is
+    // ≤|groups|-way parallel and unsplittable by AQE; this form shuffles
+    // groups×k rows regardless of skew). DESC dimensions are encoded by
+    // negation in the sort struct, rank recovered from the array position.
+    "q_topk_groups" -> ((s, d) =>
+      t(s, d, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(graft.functions.TopKStructs.topK(
+          struct((-col("c_acctbal")).as("negbal"), col("c_custkey").as("ck")), 3).as("top"))
+        .select(col("c_mktsegment"), posexplode(col("top")).as(Seq("pos", "r")))
+        .select(col("c_mktsegment"), col("r.ck").as("c_custkey"),
+          (-col("r.negbal")).as("c_acctbal"), (col("pos") + 1).cast("long").as("rnk"))
+        .orderBy("c_mktsegment", "rnk")),
   )
 
   private val evCte =
@@ -160,6 +177,13 @@ object ExtendedQueries {
       |  FROM events)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_topk_groups" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal, rnk FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS BIGINT) AS rnk
+        |  FROM customer) sub
+        |WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""".stripMargin,
+
     "q_asof_join" ->
       s"""$evCte,
          |p AS (SELECT event_id, user_id, es FROM e WHERE event_type = 'purchase'),

@@ -88,3 +88,45 @@ class Md5Bits48Spec extends AnyFunSuite {
     intercept[Exception] { bad.select(Md5Bits48.head(col("m"))).head() }
   }
 }
+
+class TopKStructsSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+  import graft.functions.TopKStructs
+
+  test("bounded top-k matches the rank-window answer across shuffled partials") {
+    // 40 partitions force partial buffers + serialize/merge between stages
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 2000L).map(i => (s"g${i % 7}", i, rnd.nextInt(100)))
+    val df = rows.toDF("g", "id", "score").repartition(40)
+    val got = df.groupBy("g")
+      .agg(TopKStructs.topK(struct((-col("score")).as("neg"), col("id").as("id")), 5).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("pos", "r")))
+      .select(col("g"), col("r.id").as("id"), (col("pos") + 1).as("rnk"))
+      .as[(String, Long, Int)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("score").desc, col("id").asc)
+    val want = df.withColumn("rnk", row_number().over(w)).where(col("rnk") <= 5)
+      .select(col("g"), col("id"), col("rnk"))
+      .as[(String, Long, Int)].collect().toSet
+    assert(got == want)
+  }
+
+  test("k larger than the group returns the whole group, ascending") {
+    val df = Seq(("a", 3L), ("a", 1L), ("b", 2L)).toDF("g", "v")
+    val got = df.groupBy("g")
+      .agg(TopKStructs.topK(struct(col("v")), 10).as("top"))
+      .select(col("g"), col("top.v").as("vs"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(got("a") == Seq(1L, 3L) && got("b") == Seq(2L))
+  }
+
+  test("null structs are skipped; duplicate values all kept up to k") {
+    val df = Seq(Some(5L), None, Some(5L), Some(1L), Some(5L))
+      .toDF("v").withColumn("g", lit("x"))
+    val got = df.groupBy("g")
+      .agg(TopKStructs.topK(when(col("v").isNotNull, struct(col("v"))), 3).as("top"))
+      .select(col("top.v").as("vs")).as[Seq[Long]].head()
+    assert(got == Seq(1L, 5L, 5L))
+  }
+}
