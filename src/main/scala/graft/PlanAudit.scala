@@ -15,8 +15,12 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val interesting = Seq("q_filter_pushdown", "q5_region_revenue", "q_joindiff",
-      "q_scan_project", "q_join_broadcast", "q_hashdiff_segments")
+    val interesting =
+      if (args.length > 1) args.drop(1).toSeq
+      else Seq("q_filter_pushdown", "q5_region_revenue", "q_joindiff",
+        "q_scan_project", "q_join_broadcast", "q_hashdiff_segments",
+        "q_ngram_jaccard", "q_dup_ngram_fraction", "q_dedup_survivors",
+        "q_topk_groups", "q_ann_lsh")
     interesting.foreach { q =>
       println(s"===== $q =====")
       SparkEntry.queries(q)(spark, sfDir).explain("formatted")
