@@ -49,6 +49,34 @@ object StreamingDiff {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Continuous bucket-checksum maintenance over a signed CDC feed — the
+    * streaming counterpart of `SnapshotChecksums`: each input row carries
+    * `op` (+1 insert / −1 delete; an update is a delete of the old image
+    * plus an insert of the new), and the running per-bucket summary is
+    * `(cnt = Σop, checksum = Σ op·xxhash64(row))` — pure streaming
+    * aggregation in update mode, state is one row per bucket, no per-key
+    * state. Because the hash sum is signed, replaying a CDC log lands on
+    * EXACTLY the summary `TableSegment.fastBucketChecksums` computes from a
+    * batch scan of the final table state (spec'd) — so a replica fed by the
+    * same CDC stream can be verified continuously: compare this summary
+    * against the replica's batch summary (or a stored
+    * `SnapshotChecksums.save`) and only dirty buckets need a row-level look.
+    *
+    * `cols` is the full compared row in stable order (keys first, like
+    * `TableSegment.relevantCols`); hashing pairs each column with its null
+    * flag for the same null-migration safety as the batch form. */
+  def cdcChecksumMonitor(cdc: DataFrame, keyCols: Seq[String],
+      compareCols: Seq[String], buckets: Int = 4096): DataFrame = {
+    val cols = keyCols ++ compareCols
+    val hashed = xxhash64(cols.flatMap(c => Seq(col(c), col(c).isNull)): _*)
+    cdc
+      .withColumn("_b", graft.diff.HashDiffer.bucketOf(keyCols, buckets))
+      .groupBy(col("_b").as("bucket"))
+      .agg(sum(col("op").cast("long")).as("cnt"),
+        sum(col("op").cast("long") * hashed.cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("checksum"))
+  }
+
   case class Doc(doc_id: Long, text: String, ts: Timestamp)
 
   /** Streaming exact dedup for a document feed: state per content hash

@@ -246,6 +246,34 @@ class StreamingDiffSpec extends AnyFunSuite {
       StreamingDiff.DiffEvent("-", 2, "b"), StreamingDiff.DiffEvent("+", 2, "c")))
   }
 
+  test("CDC checksum monitor replays to the exact batch bucket summary") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // signed CDC ops: (op, k, v) — insert 1..50, update k=7 (−old +new),
+    // delete k=13
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Int, Long, String)]
+    val q = StreamingDiff.cdcChecksumMonitor(
+        input.toDS().toDF("op", "k", "v"), Seq("k"), Seq("v"), buckets = 16)
+      .writeStream.format("memory").queryName("cdcsum").outputMode("complete").start()
+    input.addData((1L to 50L).map(i => (1, i, s"v$i")): _*)
+    q.processAllAvailable()
+    input.addData((-1, 7L, "v7"), (1, 7L, "V7!"), (-1, 13L, "v13"))
+    q.processAllAvailable()
+    val streamed = spark.table("cdcsum")
+      .where(col("cnt") =!= 0 || col("checksum") =!= 0)
+      .select("bucket", "cnt", "checksum")
+      .as[(Long, Long, java.math.BigDecimal)].collect().toSet
+    q.stop()
+    // the final table state, summarized by the batch path
+    val finalState = (1L to 50L).filter(_ != 13L)
+      .map(i => (i, if (i == 7L) "V7!" else s"v$i")).toDF("k", "v")
+    val batch = graft.diff.TableSegment(finalState, Seq("k"))
+      .fastBucketChecksums(graft.diff.HashDiffer.bucketOf(Seq("k"), 16))
+      .select("bucket", "cnt", "checksum")
+      .as[(Long, Long, java.math.BigDecimal)].collect().toSet
+    assert(streamed == batch)
+  }
+
   test("streaming dedup emits each distinct content once, drops replays") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
