@@ -102,6 +102,23 @@ object Graft {
       bisectionFactor, bisectionThreshold)
   }
 
+  /** Cross-engine diff via the real-user path: the remote's schema comes
+    * from its own catalog (`RemoteSchema.introspect` — types, precisions,
+    * 64-row text refinement) and the two sides' timestamp/fraction
+    * precisions are negotiated with `alignPrecision` before any checksum
+    * ships. Prefer this over `diffPushdown` unless the remote schema is
+    * already known out-of-band. */
+  def diffPushdownIntrospected(local: TableSegment, engine: graft.sources.RemoteEngine,
+      remoteTable: String, remoteWhereSql: Option[String] = None,
+      bisectionFactor: Int = graft.sources.PushdownDiffer.DefaultBisectionFactor,
+      bisectionThreshold: Int = graft.sources.PushdownDiffer.DefaultBisectionThreshold): DataFrame = {
+    val compare = local.relevantCols.filterNot(local.keyCols.contains)
+    val remote = graft.sources.RemoteTable.introspect(
+      engine, remoteTable, local.keyCols, compare, remoteWhereSql)
+    val (l, r) = alignPrecision(local, remote)
+    graft.sources.PushdownDiffer.diff(l, r, bisectionFactor, bisectionThreshold)
+  }
+
   /** Negotiate mutual precision between a local segment and an introspected
     * remote table. PushdownDiffer REQUIRES both sides to normalize at the
     * same knobs; this helper makes the contract impossible to silently

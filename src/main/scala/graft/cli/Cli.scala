@@ -247,8 +247,11 @@ object Cli {
             require(!a.materializeAllRows && !a.sampleExclusiveRows,
               "--materialize-all-rows / --sample-exclusive-rows are joindiff-only " +
                 "(reference: joindiff_tables.py); a duckdb: remote runs pushdown hashdiff")
-            Graft.diffPushdown(segA.copy(extraCols = compare), eng, table, remoteWhere,
-              a.bisectionFactor, a.bisectionThreshold)
+            // the real-user path: the remote's schema is introspected from
+            // its own catalog and precisions are negotiated, instead of
+            // trusting the local schema to describe the far side
+            Graft.diffPushdownIntrospected(segA.copy(extraCols = compare), eng, table,
+              remoteWhere, a.bisectionFactor, a.bisectionThreshold)
           } finally eng.close() // leaf rows are materialized locally by now
         case None =>
           val segB = segment(a.sourceB)

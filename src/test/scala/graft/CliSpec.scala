@@ -172,6 +172,33 @@ class CliEndToEndSpec extends AnyFunSuite {
     assert(out.toString("UTF-8").contains("graft"))
   }
 
+  test("full CLI pushdown path against a live DuckDB database file") {
+    val dir = java.nio.file.Files.createTempDirectory("clipd").toString
+    Seq((1L, "a", 10.5), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v").write.parquet(s"$dir/local")
+    // remote side lives in a real DuckDB database file: k=2 mutated, k=3
+    // missing, k=4 added — the CLI must introspect its schema and diff
+    val setup = graft.sources.DuckDbProcess.engine(s"$dir/remote.db")
+    try {
+      setup.query("CREATE TABLE t AS SELECT * FROM (VALUES " +
+        "(1::BIGINT, 'a', 10.5::DOUBLE), (2::BIGINT, 'B', 20.0::DOUBLE), " +
+        "(4::BIGINT, 'd', 40.0::DOUBLE)) AS x(k, s, v)")
+    } finally setup.close()
+    val out = new java.io.ByteArrayOutputStream
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      Cli.run(Cli.parseArgs(Array(s"$dir/local", s"duckdb:$dir/remote.db:t",
+        "-k", "k", "--json")), spark)
+    }
+    val lines = out.toString("UTF-8").linesIterator.filter(_.startsWith("{")).toSeq
+    // k=2 updated (both signs), k=3 removed, k=4 added → 4 jsonl rows
+    assert(lines.size == 4, s"got: ${lines.mkString("\n")}")
+    assert(lines.count(_.contains("\"-\"")) == 2 && lines.count(_.contains("\"+\"")) == 2)
+    // pushdown leaf rows surface in normalized string space (the same
+    // downloaded-row rendering the reference emits)
+    assert(lines.exists(l => l.contains("\"k\":\"4\"") && l.contains("\"+\"")),
+      s"got: ${lines.mkString("\n")}")
+  }
+
   test("explicit --algorithm joindiff with a duckdb: remote source fails loudly") {
     val dir = java.nio.file.Files.createTempDirectory("clialgo").toString
     Seq((1L, "a")).toDF("k", "v").write.parquet(s"$dir/ta")
