@@ -119,6 +119,28 @@ object Graft {
     graft.sources.PushdownDiffer.diff(l, r, bisectionFactor, bisectionThreshold)
   }
 
+  /** Cross-engine diff where NEITHER side is Spark-readable — the
+    * reference's primary scenario (postgres ↔ mysql): both schemas come
+    * from their own catalogs, precisions are negotiated across the two
+    * sides, and Spark only coordinates bisection and compares downloaded
+    * leaf rows (see RemoteRemoteDiffer). */
+  def diffRemotes(spark: SparkSession,
+      engineA: graft.sources.RemoteEngine, tableA: String,
+      engineB: graft.sources.RemoteEngine, tableB: String,
+      keyCols: Seq[String], compareCols: Seq[String],
+      whereA: Option[String] = None, whereB: Option[String] = None,
+      bisectionFactor: Int = graft.sources.PushdownDiffer.DefaultBisectionFactor,
+      bisectionThreshold: Int = graft.sources.PushdownDiffer.DefaultBisectionThreshold): DataFrame = {
+    val a = graft.sources.RemoteTable.introspect(engineA, tableA, keyCols, compareCols, whereA)
+    val b = graft.sources.RemoteTable.introspect(engineB, tableB, keyCols, compareCols, whereB)
+    val tp = math.min(a.tsPrecision, b.tsPrecision)
+    val fp = math.max(a.fracPrecision, b.fracPrecision)
+    graft.sources.RemoteRemoteDiffer.diff(spark,
+      a.copy(fracPrecision = fp, tsPrecision = tp),
+      b.copy(fracPrecision = fp, tsPrecision = tp),
+      bisectionFactor, bisectionThreshold)._1
+  }
+
   /** Negotiate mutual precision between a local segment and an introspected
     * remote table. PushdownDiffer REQUIRES both sides to normalize at the
     * same knobs; this helper makes the contract impossible to silently

@@ -201,59 +201,103 @@ object Cli {
         // pushed-down filter chain like every other scope predicate
         a.where.fold(seg)(w => seg.withExtraFilter(org.apache.spark.sql.functions.expr(w)))
       }
-      val segA = segment(a.sourceA)
-      // "duckdb:<db>:<table>" routes the b-side through pushdown mode:
-      // checksum SQL runs inside DuckDB, only summaries and leaf rows
-      // cross; --interactive EXPLAINs every remote query first
-      // (reference: cross-DB diffs default to hashdiff with remote
-      // execution; --interactive databases/base.py:984-994).
-      val remoteB: Option[(String, String)] = a.sourceB.split(":", 3) match {
+      lazy val segA = segment(a.sourceA)
+      // "duckdb:<db>:<table>" marks a side as remote: checksum SQL runs
+      // inside that engine, only summaries and leaf rows cross;
+      // --interactive EXPLAINs every remote query first (reference:
+      // cross-DB diffs default to hashdiff with remote execution;
+      // --interactive databases/base.py:984-994). Either side — or both —
+      // may be remote; with both remote Spark only coordinates
+      // (RemoteRemoteDiffer, the reference's postgres↔mysql scenario).
+      def parseRemote(src: String): Option[(String, String)] = src.split(":", 3) match {
         case Array("duckdb", db, table) => Some((db, table))
         case _ => None
       }
-      val diff = remoteB match {
-        case Some((db, table)) =>
-          // pushdown IS hashdiff, so an explicit hashdiff/auto choice is
-          // honored; joindiff needs both sides in one engine and must not be
-          // silently dropped (reference: joindiff_tables.py requires same-DB
-          // sides and errors on cross-database use)
-          a.algorithm match {
-            case "" | "auto" | "hashdiff" => ()
-            case "joindiff" => throw new IllegalArgumentException(
-              "--algorithm joindiff requires both tables in the same engine; " +
-                "a duckdb: remote source always uses pushdown hashdiff")
-            case other => throw new IllegalArgumentException(s"unknown algorithm: $other")
-          }
-          val raw = graft.sources.DuckDbProcess.engine(db)
-          val eng = if (a.interactive) new graft.sources.InteractiveEngine(raw) else raw
+      val (remA, remB) = (parseRemote(a.sourceA), parseRemote(a.sourceB))
+      val anyRemote = remA.nonEmpty || remB.nonEmpty
+      if (anyRemote) {
+        // pushdown IS hashdiff, so an explicit hashdiff/auto choice is
+        // honored; joindiff needs both sides in one engine and must not be
+        // silently dropped (reference: joindiff_tables.py requires same-DB
+        // sides and errors on cross-database use)
+        a.algorithm match {
+          case "" | "auto" | "hashdiff" => ()
+          case "joindiff" => throw new IllegalArgumentException(
+            "--algorithm joindiff requires both tables in the same engine; " +
+              "a duckdb: remote source always uses pushdown hashdiff")
+          case other => throw new IllegalArgumentException(s"unknown algorithm: $other")
+        }
+        require(!a.materializeAllRows && !a.sampleExclusiveRows,
+          "--materialize-all-rows / --sample-exclusive-rows are joindiff-only " +
+            "(reference: joindiff_tables.py); a duckdb: remote runs pushdown hashdiff")
+      }
+      def engineFor(db: String): graft.sources.RemoteEngine = {
+        val raw = graft.sources.DuckDbProcess.engine(db)
+        if (a.interactive) new graft.sources.InteractiveEngine(raw) else raw
+      }
+      // the update-column scope and --where must restrict BOTH sides —
+      // rendered as a remote WHERE so out-of-window remote rows don't read
+      // as spurious adds (the reference ships --where verbatim to both)
+      def remoteWhereFor(p: graft.sources.SourceProfile): Option[String] = {
+        val updateWhere = a.updateColumn.map { u =>
+          val q = p.quote(u)
+          (ageBound(a.minAge).map(ts => s"$q < ${p.timestampLiteral(ts)}") ++
+            ageBound(a.maxAge).map(ts => s"$q >= ${p.timestampLiteral(ts)}"))
+            .mkString(" AND ")
+        }.filter(_.nonEmpty)
+        (updateWhere.toSeq ++ a.where.map(w => s"($w)"))
+          .reduceOption((x, y) => s"$x AND $y")
+      }
+      // side-A row total for remote-mode stats (unchanged = totalA − …),
+      // captured while the engine is still open
+      var remoteTotalA: Option[Long] = None
+      def remoteCount(eng: graft.sources.RemoteEngine, table: String): Long = {
+        val w = remoteWhereFor(eng.profile).fold("")(p => s" WHERE $p")
+        eng.query(s"SELECT COUNT(*) FROM $table$w").head.head.get.trim.toLong
+      }
+      val diff = (remA, remB) match {
+        case (Some((dbA, tA)), Some((dbB, tB))) =>
+          val (engA, engB) = (engineFor(dbA), engineFor(dbB))
+          try {
+            // without -c the column list comes from side A's own catalog
+            val compare = (if (a.cols.nonEmpty) a.cols
+              else engA.query(engA.profile.tableSchemaSql(tA))
+                .flatMap(engA.profile.parseSchemaRow).map(_.name)
+                .filterNot(a.keys.contains))
+              .filterNot(a.ignore.contains)
+            remoteTotalA = Some(remoteCount(engA, tA))
+            Graft.diffRemotes(spark, engA, tA, engB, tB, a.keys, compare.toSeq,
+              remoteWhereFor(engA.profile), remoteWhereFor(engB.profile),
+              a.bisectionFactor, a.bisectionThreshold)
+          } finally { engA.close(); engB.close() }
+        case (None, Some((db, table))) =>
+          val eng = engineFor(db)
           try {
             val compare = (if (a.cols.nonEmpty) a.cols
                            else segA.relevantCols.filterNot(a.keys.contains))
               .filterNot(a.ignore.contains)
-            // the update-column scope must restrict BOTH sides — rendered
-            // as a remote WHERE so out-of-window remote rows don't read as
-            // spurious adds
-            val updateWhere = a.updateColumn.map { u =>
-              val q = raw.profile.quote(u)
-              (ageBound(a.minAge).map(ts => s"$q < ${raw.profile.timestampLiteral(ts)}") ++
-                ageBound(a.maxAge).map(ts => s"$q >= ${raw.profile.timestampLiteral(ts)}"))
-                .mkString(" AND ")
-            }.filter(_.nonEmpty)
-            // --where must scope BOTH sides: the local side already carries
-            // it (segment()); here it joins the remote WHERE verbatim — the
-            // reference ships the same string to both engines unmodified
-            val remoteWhere = (updateWhere.toSeq ++ a.where.map(w => s"($w)"))
-              .reduceOption((x, y) => s"$x AND $y")
-            require(!a.materializeAllRows && !a.sampleExclusiveRows,
-              "--materialize-all-rows / --sample-exclusive-rows are joindiff-only " +
-                "(reference: joindiff_tables.py); a duckdb: remote runs pushdown hashdiff")
             // the real-user path: the remote's schema is introspected from
             // its own catalog and precisions are negotiated, instead of
             // trusting the local schema to describe the far side
             Graft.diffPushdownIntrospected(segA.copy(extraCols = compare), eng, table,
-              remoteWhere, a.bisectionFactor, a.bisectionThreshold)
+              remoteWhereFor(eng.profile), a.bisectionFactor, a.bisectionThreshold)
           } finally eng.close() // leaf rows are materialized locally by now
-        case None =>
+        case (Some((db, table)), None) =>
+          // remote side FIRST: run the same pushdown with the local side
+          // playing "b", then flip the signs so '-' still means side A
+          val eng = engineFor(db)
+          try {
+            val segB = segment(a.sourceB)
+            val compare = (if (a.cols.nonEmpty) a.cols
+                           else segB.relevantCols.filterNot(a.keys.contains))
+              .filterNot(a.ignore.contains)
+            remoteTotalA = Some(remoteCount(eng, table))
+            import org.apache.spark.sql.functions.{col, lit, when}
+            Graft.diffPushdownIntrospected(segB.copy(extraCols = compare), eng, table,
+              remoteWhereFor(eng.profile), a.bisectionFactor, a.bisectionThreshold)
+              .withColumn("sign", when(col("sign") === "-", lit("+")).otherwise(lit("-")))
+          } finally eng.close()
+        case (None, None) =>
           val segB = segment(a.sourceB)
           val algo = a.algorithm match {
             case "joindiff" => Graft.Algorithm.JoinDiff
@@ -281,12 +325,12 @@ object Cli {
       if (a.json) DiffFormat.toJsonl(limited).toLocalIterator().forEachRemaining(println(_))
       else limited.toLocalIterator().forEachRemaining(r => println(r.mkString(" ")))
       if (a.stats) {
-        val s = remoteB match {
-          case None => DiffFormat.collectStats(Graft.diffStats(segA, segment(a.sourceB)))
-          case Some(_) =>
-            // remote side: derive the summary from the diff rows plus the
-            // local row count — no extra remote traffic (leaf rows were
-            // already materialized locally, so this re-runs no remote SQL)
+        val s =
+          if (!anyRemote) DiffFormat.collectStats(Graft.diffStats(segA, segment(a.sourceB)))
+          else {
+            // remote mode: derive the summary from the diff rows plus the
+            // side-A row count (captured above; local scan otherwise) — no
+            // extra remote traffic beyond that single COUNT
             import org.apache.spark.sql.functions.{col, countDistinct, min => fmin}
             val perKey = diff.groupBy(a.keys.map(col): _*)
               .agg(countDistinct(col("sign")).as("ns"), fmin(col("sign")).as("s1"))
@@ -295,9 +339,9 @@ object Cli {
             val removed = perKey.getOrElse((1L, "-"), 0L)
             val added = perKey.getOrElse((1L, "+"), 0L)
             val updated = perKey.collect { case ((2L, _), n) => n }.sum
-            val unchanged = segA.scoped.count() - removed - updated
+            val unchanged = remoteTotalA.getOrElse(segA.scoped.count()) - removed - updated
             DiffFormat.DiffStatsResult(removed, added, updated, unchanged)
-        }
+          }
         println(DiffFormat.statsString(s))
       }
       if (a.sampleExclusiveRows) {

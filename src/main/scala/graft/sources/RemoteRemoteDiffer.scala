@@ -1,0 +1,217 @@
+package graft.sources
+
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.diff.{JoinDiffer, KeySpace, TableSegment}
+
+/** Cross-engine hashdiff where NEITHER side is Spark-readable — the
+  * reference's primary scenario (postgres ↔ mysql,
+  * data_diff/hashdiff_tables.py:88-264): both engines receive the same
+  * batched grouped-checksum SQL in their own dialect, checksum-equal
+  * segments are pruned, mismatches bisect, and only leaf rows of differing
+  * segments are downloaded (normalized, from both sides) for the final
+  * local compare. Spark acts purely as the coordinator and the leaf-compare
+  * engine; per level each side's round-trip runs on its own thread, so a
+  * level costs max(a, b), not their sum.
+  *
+  * Leaf volume is bounded by differing-regions × bisectionThreshold — the
+  * same bound the reference's download path has — so the driver never holds
+  * more than the diff neighborhood.
+  *
+  * Both sides MUST normalize at the same negotiated precision
+  * (`Graft.diffRemotes` introspects and aligns; this low-level entry
+  * requires it) and their checksum renderings must be bit-compatible —
+  * which is exactly the `SourceProfile` contract.
+  */
+object RemoteRemoteDiffer {
+
+  private implicit lazy val ec: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "graft-remote-remote")
+        t.setDaemon(true)
+        t
+      }))
+  private def await[T](f: scala.concurrent.Future[T]): T =
+    scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
+
+  def diff(spark: SparkSession, a: RemoteTable, b: RemoteTable,
+      bisectionFactor: Int = PushdownDiffer.DefaultBisectionFactor,
+      bisectionThreshold: Int = PushdownDiffer.DefaultBisectionThreshold,
+      maxSegmentsPerQuery: Int = PushdownDiffer.DefaultMaxSegmentsPerQuery,
+      control: PushdownControl = new PushdownControl()): (DataFrame, PushdownStats) = {
+    require(bisectionFactor >= 2 && bisectionFactor < bisectionThreshold,
+      "need 2 <= bisectionFactor < bisectionThreshold")
+    require(a.keyCols == b.keyCols, s"key columns must match: ${a.keyCols} vs ${b.keyCols}")
+    require(a.relevantCols == b.relevantCols,
+      s"compared columns must match: ${a.relevantCols} vs ${b.relevantCols}")
+    require(a.fracPrecision == b.fracPrecision && a.tsPrecision == b.tsPrecision,
+      "both sides must normalize at the same mutual precision (Graft.diffRemotes aligns)")
+    val keyCols = a.keyCols
+    keyCols.foreach { k =>
+      require(a.schema(k).dataType == b.schema(k).dataType,
+        s"key $k maps to different logical types: ${a.schema(k).dataType} vs ${b.schema(k).dataType}")
+    }
+    // text keys: BOTH engines evaluate the same string range predicates —
+    // orderings must agree with each other (and with the coordinator's
+    // binary order, which generated the bounds)
+    if (keyCols.exists(k => a.schema(k).dataType == StringType)) {
+      Seq(a.keyCollation, b.keyCollation).foreach { c =>
+        Collation.negotiate(Collation.SparkBinary, c) match {
+          case Right(None) => ()
+          case _ => throw new IllegalArgumentException(
+            "non-ordinal text-key collation on a remote side: key-range " +
+              "predicates would select different rows per engine")
+        }
+      }
+    }
+    val compare = a.relevantCols.filterNot(keyCols.contains)
+
+    // UUID casing alignment: only when BOTH sides' introspection classified
+    // the column as consistently-cased UUID text (one-sided stays raw —
+    // the values genuinely differ in form and must be reported)
+    import graft.diff.SchemaTools
+    def uuidTag(t: RemoteTable, c: String): Boolean = {
+      val f = t.schema(c)
+      f.dataType == StringType && f.metadata.contains(SchemaTools.StringClassKey) &&
+        f.metadata.getString(SchemaTools.StringClassKey).startsWith("uuid")
+    }
+    def normSql(t: RemoteTable): Map[String, String] = t.relevantCols.map { c =>
+      c -> t.engine.profile.normalizedColumnSql(c, t.schema(c).dataType,
+        t.fracPrecision, t.tsPrecision,
+        stringClass = if (uuidTag(a, c) && uuidTag(b, c)) Some("uuid-lower") else None)
+    }.toMap
+    val (normA, normB) = (normSql(a), normSql(b))
+    // overflow-safe concat is contagious across engines (reference:
+    // diff_tables.py:228-231): if either dialect needs it, both hash items
+    // before concatenation, so checksums stay comparable
+    require(a.engine.profile.preventOverflowWhenConcat ==
+        b.engine.profile.preventOverflowWhenConcat,
+      "overflow-safe concat must be negotiated to the same mode on both profiles")
+
+    def rangeOf(t: RemoteTable) = scala.concurrent.Future(
+      t.engine.query(t.engine.profile.keyRangeSql(t.table, keyCols, t.extraWhereSql)).head)
+    val (rangeAF, rangeBF) = (rangeOf(a), rangeOf(b))
+    val (rangeA, rangeB) = (await(rangeAF), await(rangeBF))
+    var queries = 2
+
+    def parseKey(k: String, s: String): Any = a.schema(k).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => java.lang.Long.valueOf(s.trim.toLong)
+      case dt: DecimalType if dt.scale == 0 => new java.math.BigDecimal(s.trim)
+      case StringType => s
+      case other => throw new IllegalArgumentException(
+        s"unsupported key type for $k: $other (decimal keys must have scale 0)")
+    }
+    val dims = keyCols.zipWithIndex.map { case (k, i) =>
+      val raws: Seq[Any] =
+        (Seq(rangeA(i * 2), rangeA(i * 2 + 1), rangeB(i * 2), rangeB(i * 2 + 1))
+          .flatten).map(parseKey(k, _))
+      if (raws.isEmpty) None
+      else {
+        val keys = TableSegment.toKeys(raws)
+        val mins = keys.zipWithIndex.collect { case (x, j) if j % 2 == 0 => x }
+        val maxs = keys.zipWithIndex.collect { case (x, j) if j % 2 == 1 => x }
+        Some((mins.reduce((x, y) => if ((x - y) <= 0) x else y),
+          maxs.reduce((x, y) => if ((x - y) >= 0) x else y).next))
+      }
+    }
+    def outSchema(cols: Seq[String]) =
+      StructType(StructField("sign", StringType, nullable = false) +:
+        cols.map(StructField(_, StringType, nullable = true)))
+    if (dims.exists(_.isEmpty))
+      return (spark.createDataFrame(Seq.empty[Row].asJava, outSchema(a.relevantCols)),
+        PushdownStats(0, 0, 0, 0, queries, 0))
+
+    type Box = (Seq[KeySpace.Key], Seq[KeySpace.Key])
+    val rootBox: Box = (dims.map(_.get._1), dims.map(_.get._2))
+    def splitBox(box: Box): Seq[Box] = {
+      val grids = box._1.zip(box._2).map { case (lo, hi) =>
+        if (hi - lo < 2) Seq(lo, hi) else KeySpace.splitKeySpace(lo, hi, bisectionFactor)
+      }
+      KeySpace.createMeshFromPoints(grids).map { case (lo, hi) => (lo.values, hi.values) }
+    }
+    def pred(t: RemoteTable, box: Box): String = {
+      val p = t.engine.profile
+      keyCols.zip(box._1.map(TableSegment.fromKey)).zip(box._2.map(TableSegment.fromKey))
+        .map { case ((k, lo), hi) =>
+          s"${p.quote(k)} >= ${p.literal(lo)} AND ${p.quote(k)} < ${p.literal(hi)}" }
+        .mkString(" AND ")
+    }
+
+    type Summary = (Long, Option[BigDecimal])
+    def levelQuery(t: RemoteTable, norm: Map[String, String],
+        chunk: Seq[Box], cols: Seq[String]) = scala.concurrent.Future {
+      val sql = t.engine.profile.segmentedChecksumSql(t.table,
+        cols.map(norm), chunk.map(pred(t, _)), t.extraWhereSql)
+      t.engine.query(sql).map { r =>
+        r(0).get.trim.toInt -> ((r(1).get.trim.toLong: Long),
+          r(2).map(s => BigDecimal(s.trim)))
+      }.toMap
+    }
+
+    val leaves = ArrayBuffer.empty[Box]
+    var frontier = splitBox(rootBox)
+    var level = 0
+    var probed = 0
+    var pruned = 0
+    val levelMillis = ArrayBuffer.empty[Long]
+    while (frontier.nonEmpty) {
+      require(level < 64, s"bisection did not converge after 64 levels")
+      val levelStart = System.nanoTime()
+      val prunedAtStart = pruned
+      val levelSegments = frontier.size
+      probed += levelSegments
+      val activeRelevant = keyCols ++ compare.filterNot(control.ignored)
+      val next = ArrayBuffer.empty[Box]
+      frontier.grouped(maxSegmentsPerQuery).foreach { chunk =>
+        val (fa, fb) = (levelQuery(a, normA, chunk, activeRelevant),
+          levelQuery(b, normB, chunk, activeRelevant))
+        val (ma, mb) = (await(fa), await(fb))
+        queries += 2
+        chunk.zipWithIndex.foreach { case (box, i) =>
+          val sa = ma.getOrElse(i, (0L, None: Option[BigDecimal]))
+          val sb = mb.getOrElse(i, (0L, None: Option[BigDecimal]))
+          if (sa == sb) pruned += 1
+          else if (math.max(sa._1, sb._1) < bisectionThreshold) leaves += box
+          else {
+            val children = splitBox(box)
+            if (children.size <= 1) leaves += box else next ++= children
+          }
+        }
+      }
+      frontier = next.toSeq
+      levelMillis += (System.nanoTime() - levelStart) / 1000000
+      control.onLevel(PushdownLevel(level, levelSegments, pruned - prunedAtStart, levelMillis.last))
+      level += 1
+    }
+
+    val finalCompare = compare.filterNot(control.ignored)
+    val finalRelevant = keyCols ++ finalCompare
+    val dropped = compare.filterNot(finalCompare.contains)
+    if (leaves.isEmpty)
+      return (spark.createDataFrame(Seq.empty[Row].asJava, outSchema(finalRelevant)),
+        PushdownStats(level, probed, pruned, 0, queries, 0, levelMillis.toSeq, dropped))
+
+    def fetch(t: RemoteTable, norm: Map[String, String]) = scala.concurrent.Future {
+      leaves.toSeq.grouped(maxSegmentsPerQuery).toSeq.flatMap { chunk =>
+        val leafOr = chunk.map(bx => s"(${pred(t, bx)})").mkString(" OR ")
+        t.engine.query(t.engine.profile.selectNormalizedSql(t.table,
+          finalRelevant.map(c => (norm(c), c)),
+          Some(t.extraWhereSql.fold(s"($leafOr)")(e => s"($leafOr) AND ($e)"))))
+      }
+    }
+    val (fa, fb) = (fetch(a, normA), fetch(b, normB))
+    val (rowsA, rowsB) = (await(fa), await(fb))
+    queries += 2 * ((leaves.size + maxSegmentsPerQuery - 1) / maxSegmentsPerQuery)
+    def toDf(rows: Seq[Seq[Option[String]]]): DataFrame =
+      spark.createDataFrame(rows.map(r => Row(r.map(_.orNull): _*)).asJava,
+        StructType(finalRelevant.map(StructField(_, StringType, nullable = true))))
+    val out = JoinDiffer.diff(toDf(rowsA), toDf(rowsB), keyCols, finalCompare)
+    (out, PushdownStats(level, probed, pruned, leaves.size, queries,
+      rowsA.size + rowsB.size, levelMillis.toSeq, dropped))
+  }
+}

@@ -199,6 +199,50 @@ class CliEndToEndSpec extends AnyFunSuite {
       s"got: ${lines.mkString("\n")}")
   }
 
+  test("CLI remote-remote: both sides are duckdb database files, Spark coordinates") {
+    val dir = java.nio.file.Files.createTempDirectory("clirr").toString
+    def mk(db: String, rows: String): Unit = {
+      val e = graft.sources.DuckDbProcess.engine(db)
+      try e.query(s"CREATE TABLE t AS SELECT * FROM (VALUES $rows) AS x(k, s)")
+      finally e.close()
+    }
+    mk(s"$dir/a.db", "(1::BIGINT, 'a'), (2::BIGINT, 'b'), (3::BIGINT, 'c')")
+    mk(s"$dir/b.db", "(1::BIGINT, 'a'), (2::BIGINT, 'B'), (4::BIGINT, 'd')")
+    val out = new java.io.ByteArrayOutputStream
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      Cli.run(Cli.parseArgs(Array(s"duckdb:$dir/a.db:t", s"duckdb:$dir/b.db:t",
+        "-k", "k", "--json", "--stats")), spark)
+    }
+    val text = out.toString("UTF-8")
+    val lines = text.linesIterator.filter(_.startsWith("{")).toSeq
+    assert(lines.size == 4, s"got: ${lines.mkString("\n")}")
+    assert(lines.exists(l => l.contains("\"k\":\"4\"") && l.contains("\"+\"")))
+    assert(lines.exists(l => l.contains("\"k\":\"3\"") && l.contains("\"-\"")))
+    assert(text.toLowerCase.contains("updated")) // stats from diff + remote COUNT
+  }
+
+  test("CLI remote source FIRST: signs still mean '-' = side A") {
+    val dir = java.nio.file.Files.createTempDirectory("clirf").toString
+    val e = graft.sources.DuckDbProcess.engine(s"$dir/a.db")
+    try e.query("CREATE TABLE t AS SELECT * FROM (VALUES " +
+      "(1::BIGINT, 'a'), (2::BIGINT, 'B'), (4::BIGINT, 'd')) AS x(k, s)")
+    finally e.close()
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s").write.parquet(s"$dir/local")
+    val out = new java.io.ByteArrayOutputStream
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      Cli.run(Cli.parseArgs(Array(s"duckdb:$dir/a.db:t", s"$dir/local",
+        "-k", "k", "--json")), spark)
+    }
+    val lines = out.toString("UTF-8").linesIterator.filter(_.startsWith("{")).toSeq
+    assert(lines.size == 4, s"got: ${lines.mkString("\n")}")
+    // k=4 exists only in A (the remote, listed first) → removed; k=3 only in B → added
+    assert(lines.exists(l => l.contains("\"k\":\"4\"") && l.contains("\"-\"")),
+      s"got: ${lines.mkString("\n")}")
+    assert(lines.exists(l => l.contains("\"k\":\"3\"") && l.contains("\"+\"")))
+    // updated key carries A's value under '-' and B's under '+'
+    assert(lines.exists(l => l.contains("\"k\":\"2\"") && l.contains("\"-\"") && l.contains("\"B\"")))
+  }
+
   test("explicit --algorithm joindiff with a duckdb: remote source fails loudly") {
     val dir = java.nio.file.Files.createTempDirectory("clialgo").toString
     Seq((1L, "a")).toDF("k", "v").write.parquet(s"$dir/ta")

@@ -236,6 +236,32 @@ class PushdownDifferSpec extends AnyFunSuite {
     }
   }
 
+  test("remote-remote: two SQL engines in different dialects, Spark only coordinating") {
+    // side A: a Spark-SQL engine (SparkProfile dialect) holding the
+    // original; side B: a live DuckDB process holding the mutated copy —
+    // neither side is read by Spark directly, checksums and leaf rows all
+    // arrive via each engine's own SQL rendering
+    orders.createOrReplaceTempView("pd_rr_a")
+    withDuck(DuckDbProfile) { eng =>
+      val a = RemoteTable.introspect(new SparkViewEngine(spark), "pd_rr_a", keys, compareCols)
+      val b = RemoteTable.introspect(eng, "pd_duck_b", keys, compareCols)
+      val tp = math.min(a.tsPrecision, b.tsPrecision)
+      val fp = math.max(a.fracPrecision, b.fracPrecision)
+      val (out, stats) = RemoteRemoteDiffer.diff(spark,
+        a.copy(fracPrecision = fp, tsPrecision = tp),
+        b.copy(fracPrecision = fp, tsPrecision = tp),
+        bisectionFactor = 4, bisectionThreshold = 128)
+      assert(out.collect().map(_.mkString("|")).toSet == expectedDiff)
+      assert(stats.segmentsPruned > 0, s"cross-engine checksums failed to prune: $stats")
+      assert(stats.rowsFetched < 2 * orders.count(),
+        s"leaf fetch must not download both tables: $stats")
+      // the public API path wires introspection + alignment the same way
+      val api = graft.api.Graft.diffRemotes(spark, new SparkViewEngine(spark), "pd_rr_a",
+        eng, "pd_duck_b", keys, compareCols, bisectionFactor = 4, bisectionThreshold = 128)
+      assert(api.collect().map(_.mkString("|")).toSet == expectedDiff)
+    }
+  }
+
   test("overflow-safe concat mode stays bit-compatible cross-engine") {
     // DuckDB with the MSSQL-style overflow-safe concat: every segment of an
     // unchanged table must still checksum-equal the Spark side, proving
