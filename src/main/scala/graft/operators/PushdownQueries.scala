@@ -53,6 +53,22 @@ object PushdownQueries {
         .orderBy("o_orderkey", "sign")
     }),
 
+    // The remote↔remote control loop (neither side Spark-readable — the
+    // reference's cross-database core scenario) over the same mutated
+    // orders: both "engines" are SQL round-trip views, schemas come from
+    // their catalogs, Spark only coordinates and compares leaf rows. Same
+    // oracle as q_pushdown_diff — the two control loops must agree exactly.
+    "q_remote_remote" -> ((s, d) => {
+      val a = Tables.load(s, d, "orders").select(orderCols.map(col): _*)
+      a.createOrReplaceTempView("graft_rr_a")
+      clusterMutatedOrders(a).createOrReplaceTempView("graft_rr_b")
+      graft.api.Graft.diffRemotes(s,
+        new SparkViewEngine(s), "graft_rr_a", new SparkViewEngine(s), "graft_rr_b",
+        Seq("o_orderkey"), compareCols,
+        bisectionFactor = 8, bisectionThreshold = 4096)
+        .orderBy("o_orderkey", "sign")
+    }),
+
     // Coverage invariant for base-66 alphanumeric keys (the reference's
     // tests/test_diff_tables.py alphanum cases): splitting a varying-length
     // string-keyed table into N key-range segments must account for every
@@ -123,9 +139,8 @@ object PushdownQueries {
   private val anyNormDiff = compareCols
     .map(c => s"an.$c IS DISTINCT FROM bn.$c").mkString(" OR ")
 
-  val oracleSql: Map[String, String] = Map(
-    "q_pushdown_diff" ->
-      s"""WITH bsrc AS (
+  private val pushdownOracle =
+    s"""WITH bsrc AS (
          |  SELECT o_orderkey, o_custkey,
          |    CASE WHEN o_orderkey >= 1000 AND o_orderkey < 3000 AND o_orderkey % 11 = 0
          |         THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
@@ -145,7 +160,14 @@ object PushdownQueries {
          |  SELECT '+' AS sign, ${orderCols.map(c => s"bn.$c").mkString(", ")}
          |  FROM bn LEFT JOIN an ON an.o_orderkey = bn.o_orderkey
          |  WHERE an.o_orderkey IS NULL OR $anyNormDiff
-         |) ORDER BY o_orderkey, sign""".stripMargin,
+         |) ORDER BY o_orderkey, sign""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_pushdown_diff" -> pushdownOracle,
+
+    // identical expected output: the local↔remote and remote↔remote loops
+    // implement the same diff
+    "q_remote_remote" -> pushdownOracle,
 
     "q_alphanum_segments" ->
       "SELECT COUNT(*) AS total_rows FROM orders",
