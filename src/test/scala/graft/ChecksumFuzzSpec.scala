@@ -8,7 +8,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.diff.TableSegment
+import graft.diff.{HashDiffer, JoinDiffer, TableSegment}
 import graft.sources.{DuckDbProfile, DuckDbProcess, ProcessEngine}
 
 /** Seeded randomized cross-engine checksum parity: N rows of mixed types —
@@ -116,5 +116,58 @@ class ChecksumFuzzSpec extends AnyFunSuite {
         DuckDbProfile.checksumQuerySql("fuzz", normalized.toIndexedSeq)).head
       assert(BigDecimal(mutated(1).get) != remoteSum)
     } finally eng.close()
+  }
+}
+
+/** Four implementations, one truth: a seeded random mutation set applied to
+  * a base table must come back EXACTLY — same keys, same signed rows — from
+  * every differ in the engine: the single-pass outer join (JoinDiffer), the
+  * bucket-pruning hashdiff, the local↔remote pushdown loop, and the
+  * remote↔remote loop. Catches any divergence between the four control
+  * flows that the per-differ specs (each with hand-picked mutations) could
+  * miss.
+  */
+class DifferAgreementFuzzSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  test("random mutation set returned identically by all four differs") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.{PushdownDiffer, RemoteTable, SparkViewEngine}
+    val rnd = new scala.util.Random(424242)
+    val base = (1L to 800L).map(i => (i, s"s$i", i * 3 % 101)).toDF("k", "s", "v")
+    // random mutations: ~20 updates, ~10 deletes, ~10 inserts
+    val updates = rnd.shuffle((1L to 800L).toList).take(20).toSet
+    val deletes = rnd.shuffle((1L to 800L).filterNot(updates).toList).take(10).toSet
+    val inserts = (801L to 810L).toSet
+    val mutated = ((1L to 800L).filterNot(deletes)
+      .map(i => (i, if (updates(i)) s"S$i!" else s"s$i", i * 3 % 101)) ++
+      inserts.toSeq.map(i => (i, s"new$i", i % 7))).toDF("k", "s", "v")
+
+    def canon(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select(col("sign"), col("k").cast("string"), col("s"),
+        col("v").cast("string")).collect().map(_.mkString("|")).toSet
+    val expected =
+      updates.flatMap(i => Seq(s"-|$i|s$i|${i * 3 % 101}", s"+|$i|S$i!|${i * 3 % 101}")) ++
+        deletes.map(i => s"-|$i|s$i|${i * 3 % 101}") ++
+        inserts.map(i => s"+|$i|new$i|${i % 7}")
+
+    val joined = canon(JoinDiffer.diff(base, mutated, Seq("k")))
+    assert(joined == expected, "JoinDiffer diverged")
+    val hashed = canon(HashDiffer.diff(
+      TableSegment(base, Seq("k")), TableSegment(mutated, Seq("k")), buckets = 64))
+    assert(hashed == expected, "HashDiffer diverged")
+
+    base.createOrReplaceTempView("fz_a")
+    mutated.createOrReplaceTempView("fz_b")
+    val eng = new SparkViewEngine(spark)
+    val pushed = canon(PushdownDiffer.diff(
+      TableSegment(base, Seq("k")),
+      RemoteTable.introspect(eng, "fz_b", Seq("k"), Seq("s", "v")),
+      bisectionFactor = 4, bisectionThreshold = 64))
+    assert(pushed == expected, "PushdownDiffer diverged")
+    val rr = canon(graft.api.Graft.diffRemotes(spark, eng, "fz_a", eng, "fz_b",
+      Seq("k"), Seq("s", "v"), bisectionFactor = 4, bisectionThreshold = 64))
+    assert(rr == expected, "RemoteRemoteDiffer diverged")
   }
 }
