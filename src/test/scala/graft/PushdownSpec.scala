@@ -598,6 +598,15 @@ class PushdownDifferSpec extends AnyFunSuite {
       assert(rows.filter(_.getString(0) == "-").map(_.getString(2)).sorted.toSeq ==
         (1 to 6).map(i => (i * 50 * 3).toString).sorted)
       assert(stats.levels >= 2 && stats.segmentsPruned > 0, s"$stats")
+
+      // the same decimal key space must carry the remote↔remote loop: a
+      // second engine holds the unmutated side, the DuckDB holds pd_dec
+      val eng2 = new SparkViewEngine(spark)
+      local.createOrReplaceTempView("pd_dec_clean")
+      val rrOut = graft.api.Graft.diffRemotes(spark, eng2, "pd_dec_clean",
+        eng, "pd_dec", Seq("id"), Seq("v"),
+        bisectionFactor = 4, bisectionThreshold = 32).collect()
+      assert(rrOut.length == 12, rrOut.mkString("\n"))
     } finally eng.close()
   }
 
