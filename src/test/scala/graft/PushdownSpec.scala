@@ -704,6 +704,18 @@ class PushdownDifferSpec extends AnyFunSuite {
       assert(stats.segmentsPruned > 0, s"uuid alignment failed to prune: $stats")
       // output renders the casing-canonical (lowercase) form on both sides
       assert(rows.forall(r => r.getString(2) == r.getString(2).toLowerCase))
+
+      // remote↔remote: the UPPERCASE side now lives behind its own SQL
+      // engine too; both introspections classify uuid (upper vs lower) and
+      // the loop must align them the same way
+      local.createOrReplaceTempView("pd_uuid_upper")
+      val rr = graft.api.Graft.diffRemotes(spark,
+        new SparkViewEngine(spark), "pd_uuid_upper", eng, "pd_uuid",
+        Seq("id"), Seq("u", "v"), bisectionFactor = 4, bisectionThreshold = 16)
+        .collect()
+      assert(rr.map(_.getString(1)).toSet == Set("7", "13"), rr.mkString("\n"))
+      assert(rr.length == 4)
+      assert(rr.forall(r => r.getString(2) == r.getString(2).toLowerCase))
     } finally eng.close()
   }
 }
