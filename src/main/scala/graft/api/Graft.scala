@@ -32,18 +32,29 @@ object Graft {
       validateKeys: Boolean = true)
 
   /** Build a diff-scoped segment from any Spark-readable source:
-    * "format:path" (parquet/csv/json/orc), a bare path (parquet), or a
-    * catalog table name. */
+    * "format:path" (parquet/csv/json/orc), "jdbc:<url>#<table>" (Spark's
+    * JDBC reader — filters and projections push down; for heavy remote
+    * tables prefer pushdown mode, which ships checksums instead of rows),
+    * a bare path (parquet), or a catalog table name. */
   def connectToTable(spark: SparkSession, source: String, keyCols: Seq[String],
       extraCols: Seq[String] = Nil): TableSegment = {
-    val df = source.split(":", 2) match {
-      case Array("csv", path) =>
-        spark.read.option("header", "true").option("inferSchema", "true").csv(path)
-      case Array(fmt, path) if Seq("parquet", "json", "orc").contains(fmt) =>
-        spark.read.format(fmt).load(path)
-      case _ if source.contains("/") => spark.read.parquet(source)
-      case _ => spark.table(source)
-    }
+    val df =
+      if (source.startsWith("jdbc:") && source.contains("#")) {
+        // the JDBC url itself contains colons, so the table rides after the
+        // LAST '#' (fragments are not part of JDBC urls)
+        val i = source.lastIndexOf('#')
+        spark.read.format("jdbc")
+          .option("url", source.substring(0, i))
+          .option("dbtable", source.substring(i + 1))
+          .load()
+      } else source.split(":", 2) match {
+        case Array("csv", path) =>
+          spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+        case Array(fmt, path) if Seq("parquet", "json", "orc").contains(fmt) =>
+          spark.read.format(fmt).load(path)
+        case _ if source.contains("/") => spark.read.parquet(source)
+        case _ => spark.table(source)
+      }
     TableSegment(df, keyCols, extraCols)
   }
 
@@ -51,7 +62,18 @@ object Graft {
   def diffTables(a: TableSegment, b: TableSegment,
       opts: DiffOptions = DiffOptions()): DataFrame = {
     require(a.keyCols == b.keyCols, "both sides must use the same key columns")
-    val missing = a.relevantCols.filterNot(b.df.columns.contains)
+    // column-name matching follows the session's resolution rules: Spark
+    // resolves case-insensitively unless spark.sql.caseSensitive=true, and
+    // the reference's schemas are CaseInsensitiveDicts unless
+    // --case-sensitive (data_diff/utils.py:73-117) — a JDBC side whose
+    // engine uppercases unquoted identifiers (Derby/Oracle style) must
+    // still line up against lowercase parquet columns
+    val caseSensitive =
+      a.df.sparkSession.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    def onB(c: String): Boolean =
+      if (caseSensitive) b.df.columns.contains(c)
+      else b.df.columns.exists(_.equalsIgnoreCase(c))
+    val missing = a.relevantCols.filterNot(onB)
     require(missing.isEmpty,
       s"columns missing on side b: ${missing.mkString(", ")} (use extraCols/ignoreColumns to restrict the compare)")
     if (opts.validateKeys) {

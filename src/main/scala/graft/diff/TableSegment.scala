@@ -28,10 +28,19 @@ final case class TableSegment(
 
   require(keyCols.nonEmpty, "a segment needs at least one key column")
 
-  /** Columns that participate in compares/checksums, in stable order. */
+  /** Columns that participate in compares/checksums, in stable order. The
+    * key-exclusion honors the session's resolution rules: engines that
+    * uppercase unquoted identifiers (Derby/Oracle style JDBC reads) must
+    * not re-include the key as a compare column just because its stored
+    * casing differs from the caller's. */
   def relevantCols: Seq[String] =
     keyCols ++ (if (extraCols.nonEmpty) extraCols
-                else df.columns.toSeq.filterNot(keyCols.contains))
+                else {
+                  val cs = df.sparkSession.conf
+                    .get("spark.sql.caseSensitive", "false").toBoolean
+                  df.columns.toSeq.filterNot(c =>
+                    keyCols.exists(k => if (cs) k == c else k.equalsIgnoreCase(c)))
+                })
 
   /** Product-order key bound: all components ≥ min, all < max
     * (reference: data_diff/table_segment.py:158-179 via utils.Vector). */

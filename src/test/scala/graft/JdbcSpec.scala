@@ -15,6 +15,27 @@ class JdbcEngineSpec extends AnyFunSuite {
   private def derbyAvailable: Boolean =
     scala.util.Try(Class.forName("org.apache.derby.jdbc.EmbeddedDriver")).isSuccess
 
+  test("connectToTable reads a jdbc: source and diffs it against parquet") {
+    assume(derbyAvailable, "no JDBC driver on the classpath")
+    val spark = SparkTest.spark
+    import spark.implicits._
+    val db = s"memory:graftread${System.nanoTime()}"
+    val setup = java.sql.DriverManager.getConnection(s"jdbc:derby:$db;create=true")
+    try {
+      val st = setup.createStatement()
+      st.executeUpdate("CREATE TABLE t2 (k BIGINT, v VARCHAR(20))")
+      st.executeUpdate("INSERT INTO t2 VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+      st.close()
+      val dir = java.nio.file.Files.createTempDirectory("jdbcread").toString
+      Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("k", "v").write.parquet(s"$dir/p")
+      val a = graft.api.Graft.connectToTable(spark, s"jdbc:derby:$db#t2", Seq("k"))
+      val b = graft.api.Graft.connectToTable(spark, s"$dir/p", Seq("k"))
+      val signs = graft.api.Graft.diffTables(a, b)
+        .select("sign", "k").as[(String, Long)].collect().toSet
+      assert(signs == Set(("-", 2L), ("+", 2L), ("-", 3L), ("+", 4L)))
+    } finally setup.close()
+  }
+
   test("JdbcEngine round-trips rows, NULLs, decimals, and errors through a real driver") {
     assume(derbyAvailable, "no JDBC driver on the classpath")
     val db = s"memory:graftjdbc${System.nanoTime()}"
