@@ -77,6 +77,30 @@ object TextQueries {
         .orderBy("doc_id", "rnk")
     }),
 
+    // CCNet-style LM quality signal approximated by a corpus unigram model,
+    // integer-exact on any engine: per-token surprisal = bit-length of
+    // (total_tokens div token_count) ≈ -log2 p(token)+1, summed and
+    // averaged (in millibits, integer division) per document. High average
+    // surprisal = improbable-token text (noise, mojibake); low = generic
+    // boilerplate. Plan: one token-count aggregation (vocab-bounded), a
+    // broadcast scalar total, one join back, one per-doc aggregation — the
+    // same two-exchange shape as the tf-idf ranking, AQE-splittable on hot
+    // tokens.
+    "q_lm_surprisal" -> ((s, d) => {
+      val dd = docs(s, d)
+      val tk = dd.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val cnt = tk.groupBy("tok").agg(count(lit(1)).as("c"))
+      val tot = tk.agg(count(lit(1)).as("t"))
+      tk.join(cnt, Seq("tok"))
+        .crossJoin(broadcast(tot))
+        .withColumn("bits", length(bin(expr("t div c"))).cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("surprisal_bits"))
+        .select(col("doc_id"), col("n_tokens"), col("surprisal_bits"),
+          expr("(surprisal_bits * 1000) div n_tokens").as("avg_millibits"))
+        .orderBy("doc_id")
+    }),
+
     // LSH candidate pairs → dedup GROUPS: min-reachable-id connected
     // components (the canonical-representative step after near-dup search).
     "q_dedup_components" -> ((s, d) =>
@@ -260,6 +284,16 @@ object TextQueries {
          |  FROM tf t JOIN dfq ON t.tok = dfq.tok, n)
          |WHERE rnk <= 3 AND doc_id < 50
          |ORDER BY doc_id, rnk""".stripMargin,
+
+    "q_lm_surprisal" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+         |cnt AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY 1),
+         |tot AS (SELECT COUNT(*) AS t FROM tk)
+         |SELECT doc_id, COUNT(*) AS n_tokens,
+         |  CAST(SUM(length(format('{:b}', tot.t // cnt.c))) AS BIGINT) AS surprisal_bits,
+         |  (CAST(SUM(length(format('{:b}', tot.t // cnt.c))) AS BIGINT) * 1000) // COUNT(*) AS avg_millibits
+         |FROM tk JOIN cnt USING (tok), tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_dedup_components" ->
       s"""$componentsWith
