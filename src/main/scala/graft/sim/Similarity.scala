@@ -188,6 +188,24 @@ object Similarity {
       .select("id_a", "id_b", "sim")
   }
 
+  /** Recall@k of an approximate ANN result against the exact one: for each
+    * query, how many of the exact top-k neighbors the approximate method
+    * returned (both frames in the `(query_id, neighbor_id, rank)` shape
+    * `bruteForceTopK`/`ivfTopK` emit). Integer hit counts — the caller
+    * divides — so the metric aggregates exactly at any scale. One join on
+    * (query, neighbor) + one aggregation; queries missing entirely from
+    * the approximate result count as zero hits. */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val e = exact.where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = approx.where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    e.join(hits, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+  }
+
   /** Symmetric int8 quantization of an embedding column: each vector is
     * scaled by its max-abs component onto [-127, 127] and rounded half-up —
     * the standard memory-reduction step before ANN serving (4× smaller than

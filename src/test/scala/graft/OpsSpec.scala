@@ -90,6 +90,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ok == Set((0L, 1L))) // only (1,0,0)·(0.9,0.1) clears cosine 0.5
   }
 
+  test("recallAtK counts approximate hits against the exact top-k per query") {
+    val exact = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (2L, 20L, 1L), (2L, 21L, 2L), (2L, 22L, 3L)).toDF("query_id", "neighbor_id", "rank")
+    // query 1: approx found 2 of 3; query 2: none (missing entirely)
+    val approx = Seq((1L, 10L, 1L), (1L, 12L, 2L), (1L, 99L, 3L))
+      .toDF("query_id", "neighbor_id", "rank")
+    val got = Similarity.recallAtK(exact, approx, 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L, 2L), (2L, 3L, 0L)))
+  }
+
   test("lshNearDup finds a subset of the exact pairs, with near-total recall on near-identical vectors") {
     // 3 tight clusters of near-identical vectors + isolated noise: every
     // within-cluster pair has cosine ≈ 1 (sign bits can barely disagree →
