@@ -133,11 +133,17 @@ final case class TableSegment(
     * on all-lowest-suffix ties). */
   def splitByKeyRange(count: Int): Seq[TableSegment] = {
     val row = keyRange().head()
+    // `count` budgets the TOTAL segment count: compound keys take the Nth
+    // root per dimension (reference: table_segment.py:189-197 "Take Nth
+    // root of count"), floored at 2 so splitting always makes progress
+    val perDim =
+      if (keyCols.size == 1) count
+      else math.max(2, math.pow(count.toDouble, 1.0 / keyCols.size).toInt)
     val grids = keyCols.zipWithIndex.map { case (_, i) =>
       // min and max parse UNIFORMLY (a column whose min happens to look
       // like a UUID but whose max doesn't must use one arithmetic, not two)
       val Seq(mn, mx0) = TableSegment.toKeys(Seq(row.get(i * 2), row.get(i * 2 + 1)))
-      KeySpace.splitKeySpace(mn, mx0.next, count) // exclusive upper bound
+      KeySpace.splitKeySpace(mn, mx0.next, perDim) // exclusive upper bound
     }
     KeySpace.createMeshFromPoints(grids).map { case (lo, hi) =>
       withScope(lo.values.map(TableSegment.fromKey), hi.values.map(TableSegment.fromKey))

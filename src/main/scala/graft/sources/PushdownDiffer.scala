@@ -308,8 +308,15 @@ object PushdownDiffer {
     val rootBox: Box = (dims.map(_.get._1), dims.map(_.get._2))
 
     def splitBox(box: Box): Seq[Box] = {
+      // the factor budgets the TOTAL child count: compound keys take the
+      // Nth root per dimension (reference: table_segment.py:189-197),
+      // floored at 2 so a split always narrows — factor-per-dimension
+      // would fan out factor^k children per level
+      val perDim =
+        if (box._1.size == 1) bisectionFactor
+        else math.max(2, math.pow(bisectionFactor.toDouble, 1.0 / box._1.size).toInt)
       val grids = box._1.zip(box._2).map { case (lo, hi) =>
-        if (hi - lo < 2) Seq(lo, hi) else KeySpace.splitKeySpace(lo, hi, bisectionFactor)
+        if (hi - lo < 2) Seq(lo, hi) else KeySpace.splitKeySpace(lo, hi, perDim)
       }
       KeySpace.createMeshFromPoints(grids)
         .map { case (lo, hi) => (lo.values, hi.values) }

@@ -129,8 +129,13 @@ object RemoteRemoteDiffer {
     type Box = (Seq[KeySpace.Key], Seq[KeySpace.Key])
     val rootBox: Box = (dims.map(_.get._1), dims.map(_.get._2))
     def splitBox(box: Box): Seq[Box] = {
+      // Nth-root-per-dimension like PushdownDiffer.splitBox (reference:
+      // table_segment.py:189-197), floored at 2 for progress
+      val perDim =
+        if (box._1.size == 1) bisectionFactor
+        else math.max(2, math.pow(bisectionFactor.toDouble, 1.0 / box._1.size).toInt)
       val grids = box._1.zip(box._2).map { case (lo, hi) =>
-        if (hi - lo < 2) Seq(lo, hi) else KeySpace.splitKeySpace(lo, hi, bisectionFactor)
+        if (hi - lo < 2) Seq(lo, hi) else KeySpace.splitKeySpace(lo, hi, perDim)
       }
       KeySpace.createMeshFromPoints(grids).map { case (lo, hi) => (lo.values, hi.values) }
     }
