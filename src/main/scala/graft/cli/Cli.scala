@@ -53,9 +53,14 @@ object ParseTime {
   *     [--materialize path] [--where EXPR] [--assume-unique-key]
   *     [--sample-exclusive-rows] [--materialize-all-rows]
   *     [--table-write-limit N] [--case-sensitive] [-d|-v] [--version]
+  *   graft.cli.Cli --dbt --dbt-project-dir DIR
+  *     --dbt-dev-base PATH --dbt-prod-base PATH
   *
   * Sources are anything `Graft.connectToTable` accepts (paths, fmt:path,
-  * catalog tables).
+  * jdbc:<url>#<table>, catalog tables), or `duckdb:<db>:<table>` to mark a
+  * side as remote — checksum SQL then runs inside that engine and only
+  * summaries plus leaf rows cross. Either side (or both — Spark then only
+  * coordinates) may be remote.
   */
 object Cli {
   case class Args(

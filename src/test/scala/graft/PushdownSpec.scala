@@ -262,6 +262,18 @@ class PushdownDifferSpec extends AnyFunSuite {
     }
   }
 
+  test("remote-remote: an empty side emits every row one-signed; two empty sides emit nothing") {
+    orders.limit(50).createOrReplaceTempView("rr_small")
+    orders.where(lit(false)).createOrReplaceTempView("rr_empty")
+    val eng = new SparkViewEngine(spark)
+    val out = graft.api.Graft.diffRemotes(spark, eng, "rr_small", eng, "rr_empty",
+      keys, compareCols, bisectionFactor = 4, bisectionThreshold = 32).collect()
+    assert(out.length == 50 && out.forall(_.getString(0) == "-"))
+    val none = graft.api.Graft.diffRemotes(spark, eng, "rr_empty", eng, "rr_empty",
+      keys, compareCols, bisectionFactor = 4, bisectionThreshold = 32).collect()
+    assert(none.isEmpty)
+  }
+
   test("overflow-safe concat mode stays bit-compatible cross-engine") {
     // DuckDB with the MSSQL-style overflow-safe concat: every segment of an
     // unchanged table must still checksum-equal the Spark side, proving
