@@ -170,4 +170,37 @@ class DifferAgreementFuzzSpec extends AnyFunSuite {
       Seq("k"), Seq("s", "v"), bisectionFactor = 4, bisectionThreshold = 64))
     assert(rr == expected, "RemoteRemoteDiffer diverged")
   }
+
+  test("compound-key mutation set agrees across all four differs") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.{PushdownDiffer, RemoteTable, SparkViewEngine}
+    val rnd = new scala.util.Random(31337)
+    // (k1, k2) compound key with a negative dimension; k2 makes it unique
+    val base = (1L to 600L).map(i => (i % 11 - 5, i, s"p$i")).toDF("k1", "k2", "p")
+    val updates = rnd.shuffle((1L to 600L).toList).take(15).toSet
+    val deletes = rnd.shuffle((1L to 600L).filterNot(updates).toList).take(8).toSet
+    val mutated = (1L to 600L).filterNot(deletes)
+      .map(i => (i % 11 - 5, i, if (updates(i)) s"P$i!" else s"p$i")).toDF("k1", "k2", "p")
+    val expected =
+      updates.flatMap(i => Seq(s"-|${i % 11 - 5}|$i|p$i", s"+|${i % 11 - 5}|$i|P$i!")) ++
+        deletes.map(i => s"-|${i % 11 - 5}|$i|p$i")
+    def canon(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select(col("sign"), col("k1").cast("string"), col("k2").cast("string"), col("p"))
+        .collect().map(_.mkString("|")).toSet
+    val keys = Seq("k1", "k2")
+    assert(canon(JoinDiffer.diff(base, mutated, keys)) == expected, "JoinDiffer diverged")
+    assert(canon(HashDiffer.diff(
+      TableSegment(base, keys), TableSegment(mutated, keys), buckets = 32)) == expected,
+      "HashDiffer diverged")
+    base.createOrReplaceTempView("fzc_a")
+    mutated.createOrReplaceTempView("fzc_b")
+    val eng = new SparkViewEngine(spark)
+    assert(canon(PushdownDiffer.diff(
+      TableSegment(base, keys),
+      RemoteTable.introspect(eng, "fzc_b", keys, Seq("p")),
+      bisectionFactor = 9, bisectionThreshold = 48)) == expected, "PushdownDiffer diverged")
+    assert(canon(graft.api.Graft.diffRemotes(spark, eng, "fzc_a", eng, "fzc_b",
+      keys, Seq("p"), bisectionFactor = 9, bisectionThreshold = 48)) == expected,
+      "RemoteRemoteDiffer diverged")
+  }
 }
