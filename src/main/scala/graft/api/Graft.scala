@@ -180,6 +180,33 @@ object Graft {
       remote.copy(fracPrecision = fp, tsPrecision = tp))
   }
 
+  /** Apply a signed diff to the b-side so it matches the a-side it was
+    * diffed against: every key present in the diff is rewritten — its
+    * b-rows are dropped and replaced by the a-side ('-') image (an add to
+    * b has no '-' row, so the key is simply removed; a removal has no
+    * b-rows to drop). One anti-join plus a union; the patch is idempotent
+    * and `diffTables(a, patchTable(b, diff, keys))` is empty (spec'd).
+    * The diff-only-touches-changed-keys property means the rewrite volume
+    * is the diff size, not the table size. */
+  def patchTable(b: DataFrame, diff: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val aImage = diff
+      .where(org.apache.spark.sql.functions.col("sign") === "-")
+      .drop("sign")
+    // the diff must carry ORIGINAL-typed rows over b's full column set
+    // (i.e. a joindiff over the original columns) — pushdown/hashdiff leaf
+    // output is normalized STRINGS, and a silent union-coercion would
+    // stringify the whole patched table
+    b.columns.foreach { c =>
+      require(aImage.columns.contains(c), s"diff is missing column $c — patch needs the full row")
+      require(aImage.schema(c).dataType == b.schema(c).dataType,
+        s"column $c: diff carries ${aImage.schema(c).dataType.simpleString} but the table is " +
+          s"${b.schema(c).dataType.simpleString} — patch needs original-typed (joindiff) rows")
+    }
+    val touched = diff.select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct()
+    b.join(touched, keyCols, "left_anti")
+      .unionByName(aImage.select(b.columns.map(org.apache.spark.sql.functions.col).toSeq: _*))
+  }
+
   /** '%t' in a materialize target expands to a UTC run timestamp
     * (reference: utils.py:396-400 eval_name_template). */
   def evalNameTemplate(name: String): String =

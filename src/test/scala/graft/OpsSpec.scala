@@ -158,6 +158,26 @@ class GraftApiSpec extends AnyFunSuite {
   lazy val spark = SparkTest.spark
   import spark.implicits._
 
+  test("patchTable applies a diff so the patched side diffs clean, idempotently") {
+    val a = Seq((1L, "x", 10L), (2L, "y2", 20L), (4L, "w", 40L)).toDF("k", "v", "n")
+    val b = Seq((1L, "x", 10L), (2L, "y", 20L), (3L, "z", 30L)).toDF("k", "v", "n")
+    val diff = Graft.diffTables(
+      graft.diff.TableSegment(a, Seq("k")), graft.diff.TableSegment(b, Seq("k")))
+    val patched = Graft.patchTable(b, diff, Seq("k"))
+    assert(patched.collect().map(_.mkString("|")).toSet ==
+      a.collect().map(_.mkString("|")).toSet)
+    // clean after patch, and patching again changes nothing
+    val rediff = Graft.diffTables(
+      graft.diff.TableSegment(a, Seq("k")), graft.diff.TableSegment(patched, Seq("k")))
+    assert(rediff.isEmpty)
+    assert(Graft.patchTable(patched, rediff, Seq("k")).count() == a.count())
+    // normalized-string diffs (pushdown leaf shape) are refused loudly
+    val stringDiff = diff.select(col("sign"), col("k").cast("string"),
+      col("v"), col("n").cast("string"))
+    val e = intercept[IllegalArgumentException](Graft.patchTable(b, stringDiff, Seq("k")))
+    assert(e.getMessage.contains("original-typed"))
+  }
+
   test("diffTables end-to-end over the public API") {
     val a = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
     val b = Seq((1L, "x"), (2L, "z")).toDF("k", "v")
