@@ -143,7 +143,7 @@ object CurationQueries {
         |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents) x),
         |df AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY s) AS df FROM sh)
         |SELECT doc_id, COUNT(*) AS n_ngrams,
-        |  SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS n_dup_ngrams,
+        |  CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_ngrams,
         |  (SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) * 5 > COUNT(*)) AS flag_dup
         |FROM df GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
