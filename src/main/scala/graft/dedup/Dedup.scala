@@ -183,6 +183,55 @@ object Dedup {
       .select("doc_id").distinct()
   }
 
+  /** As [[contaminatedIds]], but with a Bloom-sketch prefilter — the shape
+    * for when the benchmark n-gram index outgrows a broadcast. The exact
+    * variant broadcasts the full distinct-hash index (8 bytes/n-gram: a
+    * 1B-n-gram eval suite is an 8 GB broadcast — dead on arrival); here the
+    * index is folded into a fixed-size Bloom filter by one partial
+    * aggregating pass (only the sketch ever reaches the driver), the corpus
+    * probes it with Spark's codegen'd `might_contain` (a narrow scan-side
+    * filter, no shuffle), and only the surviving ~fpp fraction of corpus
+    * shingles flows into an exact shuffle semi-join that removes the false
+    * positives. Results are therefore IDENTICAL to `contaminatedIds` — the
+    * sketch only prunes work, never decides membership — which is what the
+    * gate query verifies against the exact DuckDB oracle.
+    *
+    * The probe reuses Catalyst's runtime-filter expressions
+    * (`BloomFilterAggregate` / `BloomFilterMightContain` — the machinery
+    * behind `spark.sql.optimizer.runtime.bloomFilter`), so the probe stays
+    * inside whole-stage codegen; they are constructed directly because
+    * Spark registers neither as a public SQL function.
+    *
+    * `bloomBits` sizes the sketch (default 2^23 bits = 1 MiB ≈ 1% fp at a
+    * million items); `expectedItems` only seeds the hash-count heuristic. */
+  def contaminatedIdsBloom(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 5,
+      expectedItems: Long = 1L << 20, bloomBits: Long = 1L << 23): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    val bench = shingleIndexRaw(benchmark, idCol, textCol, n)
+      .select(md5Int48(col("s")).as("h")).distinct()
+    val bloomAgg = ColumnBridge.column(new BloomFilterAggregate(
+      ColumnBridge.expression(col("h")),
+      Literal(expectedItems), Literal(bloomBits)).toAggregateExpression())
+    val bytes = bench.agg(bloomAgg.as("bf")).head.getAs[Array[Byte]]("bf")
+    val corpusH = shingleIndexRaw(corpus, idCol, textCol, n)
+      .select(col("doc_id"), md5Int48(col("s")).as("h"))
+    if (bytes == null)  // empty benchmark → empty bloom → nothing contaminated
+      return corpusH.select("doc_id").where(lit(false))
+    val mightContain = ColumnBridge.column(BloomFilterMightContain(
+      Literal(bytes, BinaryType), ColumnBridge.expression(col("h"))))
+    // The confirm join is deliberately NOT broadcast: at the scale this
+    // variant exists for, `bench` doesn't fit an executor; the join is a
+    // plain shuffle semi-join whose probe side the bloom already cut to
+    // ~fpp·|corpus shingles| (AQE will still broadcast small cases).
+    corpusH.where(mightContain)
+      .join(bench, Seq("h"), "left_semi")
+      .select("doc_id").distinct()
+  }
+
   /** Connected components over an undirected pair list — the step after
     * candidate generation (LSH/Jaccard) that turns near-dup PAIRS into
     * dedup GROUPS: each doc gets the minimum doc id reachable from it, the

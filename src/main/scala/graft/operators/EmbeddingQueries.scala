@@ -46,6 +46,14 @@ object EmbeddingQueries {
           md5(array_join(transform(col("q"), _.cast("string")), ",")).as("qsig"))
         .orderBy("vec_id")),
 
+    // SemDeDup: near-dup flags computed within coarse clusters only (the
+    // label column plays the k-means cell) — pair volume n²/k, corpus never
+    // broadcast, survivors deterministic (lowest id per similar group).
+    "q_semantic_dedup" -> ((s, d) =>
+      Similarity.semanticDupFlags(emb(s, d), "vec_id", "embedding", "label", 0.45)
+        .select(col("id").as("vec_id"), col("cell").as("label"), col("is_dup"))
+        .orderBy("vec_id")),
+
     "q_embedding_label_centroid_dist" -> ((s, d) => {
       // Per-label centroid, then each vector's dot with its label centroid —
       // the IVF coarse-quantizer building block. Components are quantized
@@ -164,6 +172,21 @@ object EmbeddingQueries {
         |          ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs + 0.5) AS BIGINT) END
         |     for x in embedding], ',')) AS qsig
         |FROM m ORDER BY vec_id""".stripMargin,
+
+    "q_semantic_dedup" ->
+      """WITH n AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+        |      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))), (a, c) -> a + c))) AS nv
+        |  FROM embeddings),
+        |dups AS (
+        |  SELECT DISTINCT b.vec_id AS id
+        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE list_reduce(list_prepend(0.0, list_transform(list_zip(a.nv, b.nv),
+        |      x -> x[1] * x[2])), (ac, x) -> ac + x) >= 0.45)
+        |SELECT e.vec_id, e.label, (dups.id IS NOT NULL) AS is_dup
+        |FROM embeddings e LEFT JOIN dups ON e.vec_id = dups.id
+        |ORDER BY e.vec_id""".stripMargin,
 
     "q_embedding_label_centroid_dist" ->
       """WITH dims AS (

@@ -136,6 +136,52 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Bloom-prefiltered decontamination — result ≡ the exact operator (the
+    // sketch only prunes, the semi-join confirms), so it hash-checks
+    // against a plain exact oracle. Different split/n than q_decontaminate
+    // so the two gates don't collapse into one query.
+    "q_bloom_decontaminate" -> ((s, d) => {
+      val dd = docs(s, d)
+      Dedup.contaminatedIdsBloom(
+        dd.where(col("doc_id") >= 25), dd.where(col("doc_id") < 25),
+        "doc_id", "text", n = 4)
+        .orderBy("doc_id")
+    }),
+
+    // BM25 term ranking (k1=1.2, b=0.75) in EXACT integer arithmetic: with
+    // integer idf (bit-length of N div df, as q_tfidf_rank), T = total
+    // corpus tokens and N = docs, the BM25 fraction
+    //   idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))      with avgdl = T/N
+    // multiplies out to   idf·22·tf·T / (10·tf·T + 3·T + 9·dl·N)
+    // — numerator and denominator both integers, so score_milli (×1000,
+    // integer division) is bit-identical on any engine; int64 holds it to
+    // ~10^13 corpus tokens, past which the same plan runs in doubles. Same
+    // two-exchange shape as q_tfidf_rank: tf shuffle, tiny df shuffle,
+    // broadcast scalars, one window for top-3 per doc.
+    "q_bm25_rank" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dd = docs(s, d)
+      val tk = dd.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val tf = tk.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dl = tk.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val tot = tk.agg(count(lit(1)).as("t_tokens"))
+        .crossJoin(dd.agg(count(lit(1)).as("n_docs")))
+      val scored = tf.join(dl, Seq("doc_id")).join(dfreq, Seq("tok"))
+        .crossJoin(broadcast(tot))
+        // stays in int64 end to end: `div`, not `/` (which would detour
+        // through a double and lose exactness past 2^53)
+        .withColumn("idf", length(bin(expr("n_docs div df"))).cast("long"))
+        .withColumn("score_milli",
+          expr("(idf * 22 * tf * t_tokens * 1000) div " +
+            "(tf * t_tokens * 10 + t_tokens * 3 + dl * n_docs * 9)"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score_milli").desc, col("tok").asc)
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 3 && col("doc_id") < 50)
+        .select("doc_id", "tok", "tf", "dl", "df", "score_milli", "rnk")
+        .orderBy("doc_id", "rnk")
+    }),
+
     // The curation composite: one pipeline keeping canonical (non-dup),
     // quality-passing, language-consistent documents — the operators above
     // composed the way a pretraining corpus build actually chains them.
@@ -231,6 +277,37 @@ object TextQueries {
         |    SELECT doc_id, unnest([array_to_string(t.toks[i:i+4], ' ') for i in range(1, len(t.toks)-3)]) AS s
         |    FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents WHERE doc_id >= 10) t))
         |SELECT DISTINCT doc_id FROM c WHERE h IN (SELECT h FROM b) ORDER BY doc_id""".stripMargin,
+
+    // exact oracle: the bloom is a pruning device, not a semantics change
+    "q_bloom_decontaminate" ->
+      """WITH b AS (
+        |  SELECT DISTINCT ('0x' || substring(md5(s), 1, 12))::BIGINT AS h FROM (
+        |    SELECT unnest([array_to_string(t.toks[i:i+3], ' ') for i in range(1, len(t.toks)-2)]) AS s
+        |    FROM (SELECT string_split(trim(text), ' ') AS toks FROM documents WHERE doc_id < 25) t)),
+        |c AS (
+        |  SELECT doc_id, ('0x' || substring(md5(s), 1, 12))::BIGINT AS h FROM (
+        |    SELECT doc_id, unnest([array_to_string(t.toks[i:i+3], ' ') for i in range(1, len(t.toks)-2)]) AS s
+        |    FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents WHERE doc_id >= 25) t))
+        |SELECT DISTINCT doc_id FROM c WHERE h IN (SELECT h FROM b) ORDER BY doc_id""".stripMargin,
+
+    "q_bm25_rank" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY 1),
+         |dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+         |tot AS (SELECT (SELECT COUNT(*) FROM tk) AS t_tokens,
+         |               (SELECT COUNT(*) FROM documents) AS n_docs),
+         |scored AS (
+         |  SELECT t.doc_id, t.tok, t.tf, dl.dl, dfq.df,
+         |    (length(format('{:b}', tot.n_docs // dfq.df)) * 22 * t.tf * tot.t_tokens * 1000) //
+         |      (t.tf * tot.t_tokens * 10 + tot.t_tokens * 3 + dl.dl * tot.n_docs * 9) AS score_milli
+         |  FROM tf t JOIN dl USING (doc_id) JOIN dfq ON t.tok = dfq.tok, tot)
+         |SELECT doc_id, tok, tf, dl, df, score_milli, rnk FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+         |    ORDER BY score_milli DESC, tok ASC) AS BIGINT) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 3 AND doc_id < 50
+         |ORDER BY doc_id, rnk""".stripMargin,
 
     "q_corpus_curation" ->
       s"""SELECT doc_id, lang, CAST($scoreSql AS BIGINT) AS score

@@ -188,6 +188,36 @@ object Similarity {
       .select("id_a", "id_b", "sim")
   }
 
+  /** SemDeDup-style semantic deduplication: near-duplicate detection
+    * restricted to a coarse cluster column, then greedy survivor selection.
+    * A vector is a duplicate iff some LOWER-id vector in the SAME cluster
+    * has cosine ≥ `threshold` with it — the deterministic equivalent of
+    * SemDeDup's keep-one-per-similar-group sweep (ids replace its random
+    * visit order, so any engine picks the same survivors).
+    *
+    * The cluster column is what makes this the 100 TB shape: candidate
+    * pairs come from a self-join ON the cluster key, so the pair count is
+    * Σ|cell|² ≈ n²/k instead of n², the shuffle moves each unit vector
+    * once (hash-partitioned by cell), and nothing broadcasts the corpus.
+    * `cellCol` is any coarse partitioner — a k-means/IVF label (here the
+    * embeddings' label), an LSH band, a language. Output: one row per
+    * input vector with its cell and an `is_dup` flag. */
+  def semanticDupFlags(vecs: DataFrame, idCol: String, vecCol: String,
+      cellCol: String, threshold: Double): DataFrame = {
+    val unit = withUnitVector(
+      vecs.select(col(idCol).as("id"), col(cellCol).as("cell"), col(vecCol).as("v")),
+      "v", "nv")
+    val dups = unit.select(col("id").as("id_a"), col("cell"), col("nv").as("na"))
+      .join(unit.select(col("id").as("id_b"), col("cell"), col("nv").as("nb")), Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .where(dot(col("na"), col("nb")) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+      .withColumn("dup", lit(true))
+    vecs.select(col(idCol).as("id"), col(cellCol).as("cell"))
+      .join(dups, Seq("id"), "left")
+      .select(col("id"), col("cell"), coalesce(col("dup"), lit(false)).as("is_dup"))
+  }
+
   /** Recall@k of an approximate ANN result against the exact one: for each
     * query, how many of the exact top-k neighbors the approximate method
     * returned (both frames in the `(query_id, neighbor_id, rank)` shape

@@ -57,6 +57,25 @@ class DedupSpec extends AnyFunSuite {
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(h(0L), h(1L)) < ham(h(0L), h(2L)))
   }
+
+  test("bloom decontamination matches the exact operator on real data") {
+    val dd = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = dd.where(col("doc_id") >= 10)
+    val bench = dd.where(col("doc_id") < 10)
+    val exact = Dedup.contaminatedIds(corpus, bench, "doc_id", "text", n = 4)
+      .as[Long].collect().toSet
+    val bloom = Dedup.contaminatedIdsBloom(corpus, bench, "doc_id", "text", n = 4)
+      .as[Long].collect().toSet
+    assert(exact.nonEmpty, "fixture produced no contamination — test is vacuous")
+    assert(bloom == exact)
+  }
+
+  test("bloom decontamination with an empty benchmark flags nothing") {
+    val dd = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val out = Dedup.contaminatedIdsBloom(
+      dd, dd.where(lit(false)), "doc_id", "text", n = 4)
+    assert(out.count() == 0L)
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
@@ -99,6 +118,19 @@ class SimilaritySpec extends AnyFunSuite {
     val got = Similarity.recallAtK(exact, approx, 3)
       .as[(Long, Long, Long)].collect().toSet
     assert(got == Set((1L, 3L, 2L), (2L, 3L, 0L)))
+  }
+
+  test("semanticDupFlags dedups within a cell only, keeping the lowest id") {
+    // 0 and 1 are identical in cell A → 1 is the dup; 2 is identical to
+    // them but in cell B → NOT a dup (cluster restriction is the point);
+    // 3 is orthogonal in cell A → clean.
+    val vecs = Seq(
+      (0L, 0, Array(1.0f, 0.0f)), (1L, 0, Array(1.0f, 0.0f)),
+      (2L, 1, Array(1.0f, 0.0f)), (3L, 0, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.semanticDupFlags(vecs, "vec_id", "embedding", "label", 0.9)
+      .select("id", "is_dup").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(0L -> false, 1L -> true, 2L -> false, 3L -> false))
   }
 
   test("lshNearDup finds a subset of the exact pairs, with near-total recall on near-identical vectors") {
