@@ -61,13 +61,17 @@ object Dedup {
     * two rejected shapes: array lambdas (interpreted CodegenFallback,
     * ~1ms/doc), and window `lead` over exploded tokens (costs a full
     * shuffle+sort of the token stream just to see the next token). */
-  def shingleIndexRaw(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
-    df.select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("t"))
-      .select(col("doc_id"), col("t"), posexplode(col("t")).as(Seq("pos", "tok")))
+  def shingleIndexRaw(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
+      carry: Seq[String] = Nil): DataFrame = {
+    val kept = carry.map(col)
+    df.select((col(idCol).as("doc_id") +: TextFunctions.tokens(col(textCol)).as("t") +: kept): _*)
+      .select((col("doc_id") +: col("t") +: kept) :+ posexplode(col("t")).as(Seq("pos", "tok")): _*)
       .where(col("pos") <= size(col("t")) - n)
-      .select(col("doc_id"),
+      .select((col("doc_id") +:
         concat_ws(" ", col("tok") +:
-          (1 until n).map(k => element_at(col("t"), col("pos") + k + 1)): _*).as("s"))
+          (1 until n).map(k => element_at(col("t"), col("pos") + k + 1)): _*).as("s") +:
+        kept): _*)
+  }
 
   /** Near-duplicate pairs by exact n-gram Jaccard ≥ threshold. Shingles are
     * hashed to 48-bit ints up front: every shuffle below moves 8-byte keys
@@ -207,29 +211,53 @@ object Dedup {
   def contaminatedIdsBloom(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int = 5,
       expectedItems: Long = 1L << 20, bloomBits: Long = 1L << 23): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    val bench = benchmarkIndex(benchmark, idCol, textCol, n)
+    val corpusH = shingleIndexRaw(corpus, idCol, textCol, n)
+      .select(col("doc_id"), md5Int48(col("s")).as("h"))
+    indexBloom(bench, expectedItems, bloomBits) match {
+      case None =>  // empty benchmark → empty bloom → nothing contaminated
+        corpusH.select("doc_id").where(lit(false))
+      case Some(bytes) =>
+        // The confirm join is deliberately NOT broadcast: at the scale this
+        // variant exists for, `bench` doesn't fit an executor; the join is a
+        // plain shuffle semi-join whose probe side the bloom already cut to
+        // ~fpp·|corpus shingles| (AQE will still broadcast small cases).
+        corpusH.where(bloomProbe(bytes, col("h")))
+          .join(bench, Seq("h"), "left_semi")
+          .select("doc_id").distinct()
+    }
+  }
+
+  /** Distinct 48-bit shingle hashes of a benchmark/eval set — the exact
+    * membership index both decontamination variants confirm against. */
+  def benchmarkIndex(benchmark: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame =
+    shingleIndexRaw(benchmark, idCol, textCol, n)
+      .select(md5Int48(col("s")).as("h")).distinct()
+
+  /** Fold a Long-hash index into a serialized Bloom sketch via one partial
+    * aggregating pass — only the fixed-size sketch reaches the driver.
+    * None when the index is empty (the aggregate yields no filter). */
+  def indexBloom(index: DataFrame, expectedItems: Long = 1L << 20,
+      bloomBits: Long = 1L << 23): Option[Array[Byte]] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graft.ColumnBridge
-    import org.apache.spark.sql.types.BinaryType
-    val bench = shingleIndexRaw(benchmark, idCol, textCol, n)
-      .select(md5Int48(col("s")).as("h")).distinct()
     val bloomAgg = ColumnBridge.column(new BloomFilterAggregate(
       ColumnBridge.expression(col("h")),
       Literal(expectedItems), Literal(bloomBits)).toAggregateExpression())
-    val bytes = bench.agg(bloomAgg.as("bf")).head.getAs[Array[Byte]]("bf")
-    val corpusH = shingleIndexRaw(corpus, idCol, textCol, n)
-      .select(col("doc_id"), md5Int48(col("s")).as("h"))
-    if (bytes == null)  // empty benchmark → empty bloom → nothing contaminated
-      return corpusH.select("doc_id").where(lit(false))
-    val mightContain = ColumnBridge.column(BloomFilterMightContain(
-      Literal(bytes, BinaryType), ColumnBridge.expression(col("h"))))
-    // The confirm join is deliberately NOT broadcast: at the scale this
-    // variant exists for, `bench` doesn't fit an executor; the join is a
-    // plain shuffle semi-join whose probe side the bloom already cut to
-    // ~fpp·|corpus shingles| (AQE will still broadcast small cases).
-    corpusH.where(mightContain)
-      .join(bench, Seq("h"), "left_semi")
-      .select("doc_id").distinct()
+    Option(index.agg(bloomAgg.as("bf")).head.getAs[Array[Byte]]("bf"))
+  }
+
+  /** Codegen'd membership probe of a serialized Bloom sketch (Catalyst's
+    * `might_contain`, constructed directly — Spark registers it for its
+    * runtime-filter rule, not as a public function). `h` must be a Long. */
+  def bloomProbe(bloomBytes: Array[Byte], h: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    ColumnBridge.column(BloomFilterMightContain(
+      Literal(bloomBytes, BinaryType), ColumnBridge.expression(h)))
   }
 
   /** Connected components over an undirected pair list — the step after

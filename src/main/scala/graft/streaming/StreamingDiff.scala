@@ -79,6 +79,38 @@ object StreamingDiff {
 
   case class Doc(doc_id: Long, text: String, ts: Timestamp)
 
+  /** Streaming ingest-time decontamination: flag documents leaking
+    * benchmark content the moment they arrive, with the SAME membership
+    * semantics as the batch operators (`Dedup.contaminatedIds[Bloom]`).
+    *
+    * Shape: per-row shingling (stateless narrow ops), a codegen'd Bloom
+    * probe of the eval-set sketch (kills ~all clean shingles with zero
+    * state and zero shuffle), then a stream-static LEFT SEMI join against
+    * the exact benchmark index to remove the sketch's false positives —
+    * stream-static equi-joins are fully supported by Structured Streaming
+    * and the static side is planned per micro-batch. The only stateful op
+    * is the final per-doc dedup, bounded by the event-time watermark.
+    * Emits one `(doc_id, ts)` row per contaminated document. */
+  def streamingContaminated(docs: Dataset[Doc], benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 5,
+      watermark: String = "1 hour"): DataFrame = {
+    import graft.dedup.Dedup
+    val bench = Dedup.benchmarkIndex(benchmark, idCol, textCol, n)
+    val hits = Dedup.indexBloom(bench) match {
+      case None => docs.toDF().select(col("doc_id"), col("ts")).where(lit(false))
+      case Some(bytes) =>
+        // ts rides along through the shingling — joining back to `docs`
+        // for it would make this a stream-stream join
+        Dedup.shingleIndexRaw(docs.toDF(), "doc_id", "text", n, carry = Seq("ts"))
+          .select(col("doc_id"), col("ts"), Dedup.md5Int48(col("s")).as("h"))
+          .where(Dedup.bloomProbe(bytes, col("h")))
+          .join(bench, Seq("h"), "left_semi")
+          .select("doc_id", "ts")
+    }
+    hits.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("doc_id")
+  }
+
   /** Streaming exact dedup for a document feed: state per content hash
     * remembers whether the content was ever emitted; replays and late
     * copies are dropped. The batch analogue is `Dedup.exactGroups` — this

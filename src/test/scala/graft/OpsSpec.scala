@@ -337,6 +337,38 @@ class StreamingDiffSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming decontamination flags benchmark leaks as they arrive, exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((100L, "secret eval question about spark internals here"))
+      .toDF("doc_id", "text")
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingDiff.Doc]
+    val q = StreamingDiff.streamingContaminated(input.toDS(), bench, "doc_id", "text", n = 5)
+      .writeStream.format("memory").queryName("scontam").outputMode("append").start()
+    def doc(id: Long, t: String, ts: Long) = StreamingDiff.Doc(id, t, new java.sql.Timestamp(ts))
+    input.addData(
+      doc(1, "clean document with entirely unrelated words in it", 1000),
+      doc(2, "prefix text secret eval question about spark internals here suffix", 2000))
+    q.processAllAvailable()
+    input.addData(
+      doc(2, "prefix text secret eval question about spark internals here suffix", 3000), // replay → deduped
+      doc(3, "another leak: secret eval question about spark internals here", 4000),
+      doc(4, "clean again nothing shared with the benchmark at all", 5000))
+    q.processAllAvailable()
+    val got = spark.table("scontam").select("doc_id").as[Long].collect().toSeq
+    q.stop()
+    assert(got.sorted == Seq(2L, 3L))
+    // agreement with the batch operator over the same final corpus
+    val corpus = Seq(
+      (1L, "clean document with entirely unrelated words in it"),
+      (2L, "prefix text secret eval question about spark internals here suffix"),
+      (3L, "another leak: secret eval question about spark internals here"),
+      (4L, "clean again nothing shared with the benchmark at all")).toDF("doc_id", "text")
+    val batch = graft.dedup.Dedup.contaminatedIds(corpus, bench, "doc_id", "text", n = 5)
+      .as[Long].collect().toSet
+    assert(batch == Set(2L, 3L))
+  }
+
   test("streaming dedup emits each distinct content once, drops replays") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
