@@ -86,6 +86,31 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // Context-window chunking — the step that turns curated documents into
+    // training sequences: token windows of 32 with stride 24 (8-token
+    // overlap so no span is ever split across a boundary without context).
+    // Chunk count is exact integer math (1 + ceil((len-W)/S) via `div`);
+    // the plan is one narrow generate per row — sequence → posexplode →
+    // slice — no shuffle at all until the gate's ORDER BY, so it scales as
+    // a pure map over any corpus. Chunk content is pinned by an md5
+    // signature (emitting the text would just re-ship the corpus).
+    "q_chunk_windows" -> ((s, d) => {
+      val w = 32
+      val st = 24
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+        .withColumn("n_chunks",
+          expr(s"case when size(t) <= $w then 1 else 1 + (size(t) - $w + ${st - 1}) div $st end"))
+        .select(col("doc_id"), col("t"),
+          posexplode(sequence(lit(0L), col("n_chunks") - 1)).as(Seq("pos", "chunk_idx")))
+        .select(col("doc_id"), col("chunk_idx"),
+          slice(col("t"), (col("chunk_idx") * st + 1).cast("int"), lit(w)).as("c"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("c")).cast("long").as("n_tokens"),
+          md5(array_join(col("c"), " ")).as("chunk_sig"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // Language-rebalanced stratified sample: high-resource languages are
     // downsampled harder (en 20%, rest 50%) — corpus mixing in one pass.
     // Membership comes from the 48-bit md5 of "<lang>|<doc_id>", so the
@@ -146,6 +171,17 @@ object CurationQueries {
         |  CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_ngrams,
         |  (SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) * 5 > COUNT(*)) AS flag_dup
         |FROM df GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_chunk_windows" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |n AS (SELECT doc_id, toks,
+        |  CASE WHEN len(toks) <= 32 THEN 1
+        |       ELSE 1 + (len(toks) - 32 + 23) // 24 END AS n_chunks FROM t),
+        |c AS (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_idx FROM n)
+        |SELECT doc_id, chunk_idx,
+        |  CAST(len(toks[chunk_idx*24 + 1 : chunk_idx*24 + 32]) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(toks[chunk_idx*24 + 1 : chunk_idx*24 + 32], ' ')) AS chunk_sig
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_stratified_sample" ->
       """SELECT doc_id, lang, source FROM documents

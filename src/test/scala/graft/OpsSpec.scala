@@ -70,6 +70,27 @@ class DedupSpec extends AnyFunSuite {
     assert(bloom == exact)
   }
 
+  test("fuzz: bloom decontamination agrees with exact on random corpora") {
+    // small vocab forces heavy shingle collisions; tiny bloom (2^12 bits)
+    // forces real false positives so the confirm join actually earns its
+    // keep — with it, agreement must still be exact
+    val rnd = new scala.util.Random(20260813L)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    for (round <- 1 to 3) {
+      val all = (0L until 120L).map(i =>
+        (i, Seq.fill(6 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+        .toDF("doc_id", "text")
+      val bench = all.where(col("doc_id") < 15)
+      val corpus = all.where(col("doc_id") >= 15)
+      val exact = Dedup.contaminatedIds(corpus, bench, "doc_id", "text", n = 3)
+        .as[Long].collect().toSet
+      val bloom = Dedup.contaminatedIdsBloom(corpus, bench, "doc_id", "text", n = 3,
+        expectedItems = 64, bloomBits = 1L << 12)
+        .as[Long].collect().toSet
+      assert(bloom == exact, s"round $round: bloom=$bloom exact=$exact")
+    }
+  }
+
   test("bloom decontamination with an empty benchmark flags nothing") {
     val dd = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val out = Dedup.contaminatedIdsBloom(
