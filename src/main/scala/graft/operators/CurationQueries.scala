@@ -16,6 +16,25 @@ import graft.text.TextFunctions
 object CurationQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Context-window chunking: `w`-token windows at `stride` (overlap
+    * w−stride), the document→training-sequence step. Chunk count is exact
+    * integer math; the plan is one narrow generate per row (sequence →
+    * posexplode → slice) — zero shuffles, a pure map over any corpus.
+    * Output: (doc_id, chunk_idx, n_tokens, chunk_sig) with content pinned
+    * by md5 (emitting text would just re-ship the corpus). */
+  def chunkWindows(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 32, stride: Int = 24): DataFrame =
+    df.select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("t"))
+      .withColumn("n_chunks",
+        expr(s"case when size(t) <= $w then 1 else 1 + (size(t) - $w + ${stride - 1}) div $stride end"))
+      .select(col("doc_id"), col("t"),
+        posexplode(sequence(lit(0L), col("n_chunks") - 1)).as(Seq("pos", "chunk_idx")))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("t"), (col("chunk_idx") * stride + 1).cast("int"), lit(w)).as("c"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("c")).cast("long").as("n_tokens"),
+        md5(array_join(col("c"), " ")).as("chunk_sig"))
+
   val queries: Map[String, Q] = Map(
     // PII masking before training. The synthetic corpus carries no real
     // PII, so the text under test is assembled deterministically from
@@ -86,30 +105,9 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
-    // Context-window chunking — the step that turns curated documents into
-    // training sequences: token windows of 32 with stride 24 (8-token
-    // overlap so no span is ever split across a boundary without context).
-    // Chunk count is exact integer math (1 + ceil((len-W)/S) via `div`);
-    // the plan is one narrow generate per row — sequence → posexplode →
-    // slice — no shuffle at all until the gate's ORDER BY, so it scales as
-    // a pure map over any corpus. Chunk content is pinned by an md5
-    // signature (emitting the text would just re-ship the corpus).
-    "q_chunk_windows" -> ((s, d) => {
-      val w = 32
-      val st = 24
-      Tables.load(s, d, "documents")
-        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
-        .withColumn("n_chunks",
-          expr(s"case when size(t) <= $w then 1 else 1 + (size(t) - $w + ${st - 1}) div $st end"))
-        .select(col("doc_id"), col("t"),
-          posexplode(sequence(lit(0L), col("n_chunks") - 1)).as(Seq("pos", "chunk_idx")))
-        .select(col("doc_id"), col("chunk_idx"),
-          slice(col("t"), (col("chunk_idx") * st + 1).cast("int"), lit(w)).as("c"))
-        .select(col("doc_id"), col("chunk_idx"),
-          size(col("c")).cast("long").as("n_tokens"),
-          md5(array_join(col("c"), " ")).as("chunk_sig"))
-        .orderBy("doc_id", "chunk_idx")
-    }),
+    "q_chunk_windows" -> ((s, d) =>
+      chunkWindows(Tables.load(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id", "chunk_idx")),
 
     // Language-rebalanced stratified sample: high-resource languages are
     // downsampled harder (en 20%, rest 50%) — corpus mixing in one pass.

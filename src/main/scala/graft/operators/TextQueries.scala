@@ -182,6 +182,27 @@ object TextQueries {
         .orderBy("doc_id", "rnk")
     }),
 
+    // The FULL pretraining-data pipeline as one plan: exact dedup →
+    // quality + language filter → benchmark decontamination → context-
+    // window chunking. What a corpus build actually ships to the trainer,
+    // end to end: each stage is the operator gated above, composed — and
+    // Catalyst fuses the narrow stages (filters, shingling, chunking) so
+    // the curated corpus is scanned once. Output = training sequences.
+    "q_pipeline_e2e" -> ((s, d) => {
+      val dd = docs(s, d)
+      val corpus = dd.where(col("doc_id") >= 10)
+      val bench = dd.where(col("doc_id") < 10)
+      val canon = Dedup.exactGroups(corpus, "doc_id", "text")
+        .select(col("canonical_id").as("cid"))
+      val curated = corpus.join(canon, col("doc_id") === col("cid"), "left_semi")
+        .where(qualityScore(col("text")) >= 70 && predictLang(col("text")) === col("lang"))
+      val clean = curated.join(
+        Dedup.contaminatedIds(corpus, bench, "doc_id", "text", n = 5),
+        Seq("doc_id"), "left_anti")
+      CurationQueries.chunkWindows(clean, "doc_id", "text")
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // The curation composite: one pipeline keeping canonical (non-dup),
     // quality-passing, language-consistent documents — the operators above
     // composed the way a pretraining corpus build actually chains them.
@@ -308,6 +329,33 @@ object TextQueries {
          |  FROM scored)
          |WHERE rnk <= 3 AND doc_id < 50
          |ORDER BY doc_id, rnk""".stripMargin,
+
+    "q_pipeline_e2e" ->
+      s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id >= 10),
+         |b AS (
+         |  SELECT DISTINCT ('0x' || substring(md5(s), 1, 12))::BIGINT AS h FROM (
+         |    SELECT unnest([array_to_string(t.toks[i:i+4], ' ') for i in range(1, len(t.toks)-3)]) AS s
+         |    FROM (SELECT string_split(trim(text), ' ') AS toks FROM documents WHERE doc_id < 10) t)),
+         |c AS (
+         |  SELECT doc_id, ('0x' || substring(md5(s), 1, 12))::BIGINT AS h FROM (
+         |    SELECT doc_id, unnest([array_to_string(t.toks[i:i+4], ' ') for i in range(1, len(t.toks)-3)]) AS s
+         |    FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM corpus) t)),
+         |contam AS (SELECT DISTINCT doc_id FROM c WHERE h IN (SELECT h FROM b)),
+         |curated AS (
+         |  SELECT doc_id, text FROM corpus
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM corpus GROUP BY text)
+         |    AND $scoreSql >= 70
+         |    AND ($predictedLangSql) = lang
+         |    AND doc_id NOT IN (SELECT doc_id FROM contam)),
+         |tt AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM curated),
+         |nn AS (SELECT doc_id, toks,
+         |  CASE WHEN len(toks) <= 32 THEN 1
+         |       ELSE 1 + (len(toks) - 32 + 23) // 24 END AS n_chunks FROM tt),
+         |ch AS (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_idx FROM nn)
+         |SELECT doc_id, chunk_idx,
+         |  CAST(len(toks[chunk_idx*24 + 1 : chunk_idx*24 + 32]) AS BIGINT) AS n_tokens,
+         |  md5(array_to_string(toks[chunk_idx*24 + 1 : chunk_idx*24 + 32], ' ')) AS chunk_sig
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_corpus_curation" ->
       s"""SELECT doc_id, lang, CAST($scoreSql AS BIGINT) AS score
