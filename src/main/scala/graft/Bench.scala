@@ -41,8 +41,18 @@ object Bench {
         // a failed query must be LOUD, not a suspiciously fast timing: the
         // error goes to stderr and the recorded time is poisoned to a huge
         // sentinel (not Infinity — that would break the JSON line) so a
-        // crash can never read as a perf win in cross-round comparisons
-        val ok = try { fn(spark, sfDir).count(); true } catch {
+        // crash can never read as a perf win in cross-round comparisons.
+        // the noop sink, NOT df.count(): a count() on top lets Catalyst
+        // prune every column the count doesn't need, so map-shaped queries
+        // whose cost lives in projected columns (quantization signatures,
+        // chunk hashes, dup flags fed by a left join) would time a plan
+        // with the actual work optimized away — observed: q_semantic_dedup
+        // "ran" a 20M-pair similarity in 0.17 s because pruning is_dup
+        // eliminated the whole similarity join. The noop write materializes
+        // every output column as written, with no driver transfer.
+        val ok = try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+        } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
             false

@@ -20,7 +20,8 @@ object PlanAudit {
       else Seq("q_filter_pushdown", "q5_region_revenue", "q_joindiff",
         "q_scan_project", "q_join_broadcast", "q_hashdiff_segments",
         "q_ngram_jaccard", "q_dup_ngram_fraction", "q_dedup_survivors",
-        "q_topk_groups", "q_ann_lsh")
+        "q_topk_groups", "q_ann_lsh", "q_bloom_decontaminate",
+        "q_semantic_dedup", "q_bm25_rank", "q_pipeline_e2e")
     interesting.foreach { q =>
       println(s"===== $q =====")
       SparkEntry.queries(q)(spark, sfDir).explain("formatted")

@@ -195,26 +195,60 @@ object Similarity {
     * SemDeDup's keep-one-per-similar-group sweep (ids replace its random
     * visit order, so any engine picks the same survivors).
     *
-    * The cluster column is what makes this the 100 TB shape: candidate
-    * pairs come from a self-join ON the cluster key, so the pair count is
-    * Σ|cell|² ≈ n²/k instead of n², the shuffle moves each unit vector
-    * once (hash-partitioned by cell), and nothing broadcasts the corpus.
-    * `cellCol` is any coarse partitioner — a k-means/IVF label (here the
-    * embeddings' label), an LSH band, a language. Output: one row per
-    * input vector with its cell and an `is_dup` flag. */
+    * The cluster column is what makes this the 100 TB shape: pairs exist
+    * only WITHIN a cell, so the pair count is Σ|cell|² ≈ n²/k instead of
+    * n², one shuffle moves each unit vector to its cell, and nothing
+    * broadcasts the corpus. `cellCol` is any coarse partitioner — a
+    * k-means/IVF label (here the embeddings' label), an LSH band, a
+    * language. Output: one row per input vector with its cell and an
+    * `is_dup` flag. */
   def semanticDupFlags(vecs: DataFrame, idCol: String, vecCol: String,
-      cellCol: String, threshold: Double): DataFrame = {
+      cellCol: String, threshold: Double,
+      maxCellRows: Int = 1 << 22): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    // Unit vectors come from the same codegen'd projection as every other
+    // similarity path; the kernel below only does ascending-index dots, so
+    // sims are bit-identical to the fold-based SQL form the oracle uses.
     val unit = withUnitVector(
-      vecs.select(col(idCol).as("id"), col(cellCol).as("cell"), col(vecCol).as("v")),
+      vecs.select(col(idCol).cast("long").as("id"),
+        col(cellCol).cast("string").as("cellk"), col(vecCol).as("v")),
       "v", "nv")
-    val dups = unit.select(col("id").as("id_a"), col("cell"), col("nv").as("na"))
-      .join(unit.select(col("id").as("id_b"), col("cell"), col("nv").as("nb")), Seq("cell"))
-      .where(col("id_a") < col("id_b"))
-      .where(dot(col("na"), col("nb")) >= threshold)
-      .select(col("id_b").as("id")).distinct()
-      .withColumn("dup", lit(true))
+      .select(col("cellk"), col("id"), col("nv"))
+      .as[(String, Long, Array[Double])]
+    // One shuffle on the cell key, then an O(m²/2) primitive kernel per
+    // cell. A cell-keyed JOIN would express the same pairs declaratively,
+    // but its dot runs on the interpreted CodegenFallback path (array HOFs)
+    // — measured minutes at 20M pairs where this kernel takes seconds. The
+    // materialized cell is the SemDeDup contract (k is chosen so a cluster
+    // fits a worker); the cap fails loudly instead of OOMing mid-task.
+    val dups = unit.groupByKey(_._1).flatMapGroups { (cellk, it) =>
+      val members = it.map(t => (t._2, t._3)).toArray
+      require(members.length <= maxCellRows,
+        s"semanticDupFlags cell '$cellk' has ${members.length} vectors (> $maxCellRows). " +
+          "Re-cluster with more cells so each fits a worker, or raise maxCellRows.")
+      java.util.Arrays.sort(members, Ordering.by((m: (Long, Array[Double])) => m._1))
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var j = 1
+      while (j < members.length) {
+        val vj = members(j)._2
+        var found = false
+        var i = 0
+        while (i < j && !found) {
+          val vi = members(i)._2
+          var s = 0.0
+          var k = 0
+          while (k < vj.length) { s += vi(k) * vj(k); k += 1 }
+          found = s >= threshold
+          i += 1
+        }
+        if (found) out += members(j)._1
+        j += 1
+      }
+      out.iterator
+    }.toDF("did").withColumn("dup", lit(true))
     vecs.select(col(idCol).as("id"), col(cellCol).as("cell"))
-      .join(dups, Seq("id"), "left")
+      .join(dups, col("id").cast("long") === col("did"), "left")
       .select(col("id"), col("cell"), coalesce(col("dup"), lit(false)).as("is_dup"))
   }
 

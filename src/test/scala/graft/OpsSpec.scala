@@ -154,6 +154,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == Map(0L -> false, 1L -> true, 2L -> false, 3L -> false))
   }
 
+  test("semanticDupFlags refuses an over-sized cell loudly") {
+    val vecs = Seq(
+      (0L, 0, Array(1.0f, 0.0f)), (1L, 0, Array(1.0f, 0.0f)),
+      (2L, 0, Array(0.0f, 1.0f))).toDF("vec_id", "label", "embedding")
+    val e = intercept[org.apache.spark.SparkException] {
+      Similarity.semanticDupFlags(vecs, "vec_id", "embedding", "label", 0.9,
+        maxCellRows = 2).collect()
+    }
+    assert(e.getMessage.contains("Re-cluster with more cells"))
+  }
+
   test("lshNearDup finds a subset of the exact pairs, with near-total recall on near-identical vectors") {
     // 3 tight clusters of near-identical vectors + isolated noise: every
     // within-cluster pair has cosine ≈ 1 (sign bits can barely disagree →
