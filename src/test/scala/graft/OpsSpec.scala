@@ -154,6 +154,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == Map(0L -> false, 1L -> true, 2L -> false, 3L -> false))
   }
 
+  test("fuzz: semanticDupFlags kernel agrees with the declarative join form") {
+    // the kernel replaced a cell-keyed join whose HOF dot was interpreted;
+    // this pins the replacement to the declarative semantics on random data
+    val rnd = new scala.util.Random(6L)
+    val vecs = (0L until 80L).map { i =>
+      (i, (i % 4).toInt, Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat))
+    }.toDF("vec_id", "label", "embedding")
+    val got = Similarity.semanticDupFlags(vecs, "vec_id", "embedding", "label", 0.5)
+      .select("id", "is_dup").as[(Long, Boolean)].collect().toMap
+    // declarative reference: any lower-id same-cell neighbor with sim >= t
+    val nrm = vecs.select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double") /
+        sqrt(aggregate(transform(col("embedding"), y => y.cast("double") * y.cast("double")),
+          lit(0.0), (a, c) => a + c))).as("nv"))
+    val dupIds = nrm.select(col("vec_id").as("ia"), col("label"), col("nv").as("na"))
+      .join(nrm.select(col("vec_id").as("ib"), col("label"), col("nv").as("nb")), Seq("label"))
+      .where(col("ia") < col("ib"))
+      .where(aggregate(zip_with(col("na"), col("nb"), (x, y) => x * y),
+        lit(0.0), (a, c) => a + c) >= 0.5)
+      .select(col("ib")).as[Long].collect().toSet
+    assert(dupIds.nonEmpty && dupIds.size < 80, s"vacuous fuzz: ${dupIds.size} dups")
+    got.foreach { case (id, flag) => assert(flag == dupIds.contains(id), s"id $id") }
+  }
+
   test("semanticDupFlags refuses an over-sized cell loudly") {
     val vecs = Seq(
       (0L, 0, Array(1.0f, 0.0f)), (1L, 0, Array(1.0f, 0.0f)),
