@@ -109,6 +109,36 @@ object CurationQueries {
       chunkWindows(Tables.load(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id", "chunk_idx")),
 
+    // Corpus mixing to a token budget — the "data mixture" step: given
+    // target language shares of an output budget (half the corpus tokens
+    // here; en 40% / zh 30% / de 30%, unlisted languages dropped), compute
+    // per-language deterministic sampling rates and emit the mix. All
+    // integer: rate_pct = min(100, (total·w) div (2·lang_tokens)), and
+    // membership is the same md5-48 hash-mod discipline as
+    // q_stratified_sample — reproducible across engines, runs, and
+    // repartitioning, and adding a language never reshuffles another's
+    // picks. Plan: one token-count scan, a 5-row per-language aggregate
+    // joined back as a broadcast, one narrow filter — two exchanges total,
+    // corpus text never shuffles.
+    "q_corpus_mix" -> ((s, d) => {
+      val w = s.createDataFrame(Seq(("en", 40L), ("zh", 30L), ("de", 30L)))
+        .toDF("lang", "w_pct")
+      val dd = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+      val langTok = dd.groupBy("lang").agg(sum("n_tokens").as("lang_tokens"))
+      val total = dd.agg(sum("n_tokens").as("total_tokens"))
+      val rates = langTok.join(w, Seq("lang"))
+        .crossJoin(total)
+        .withColumn("rate_pct",
+          least(lit(100L), expr("(total_tokens * w_pct) div (2 * lang_tokens)")))
+      dd.join(broadcast(rates.select("lang", "rate_pct")), Seq("lang"))
+        .where(pmod(Dedup.md5Int48(concat(lit("mix|"), col("doc_id").cast("string"))),
+          lit(100)) < col("rate_pct"))
+        .select("doc_id", "lang", "n_tokens")
+        .orderBy("doc_id")
+    }),
+
     // Language-rebalanced stratified sample: high-resource languages are
     // downsampled harder (en 20%, rest 50%) — corpus mixing in one pass.
     // Membership comes from the 48-bit md5 of "<lang>|<doc_id>", so the
@@ -180,6 +210,23 @@ object CurationQueries {
         |  CAST(len(toks[chunk_idx*24 + 1 : chunk_idx*24 + 32]) AS BIGINT) AS n_tokens,
         |  md5(array_to_string(toks[chunk_idx*24 + 1 : chunk_idx*24 + 32], ' ')) AS chunk_sig
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_corpus_mix" ->
+      """WITH w(lang, w_pct) AS (VALUES ('en', 40), ('zh', 30), ('de', 30)),
+        |d AS (SELECT doc_id, lang,
+        |        CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+        |      FROM documents),
+        |lt AS (SELECT lang, SUM(n_tokens) AS lang_tokens FROM d GROUP BY lang),
+        |tot AS (SELECT SUM(n_tokens) AS total_tokens FROM d),
+        |r AS (SELECT lt.lang,
+        |        least(100, (CAST(tot.total_tokens AS BIGINT) * w.w_pct)
+        |                   // (2 * CAST(lt.lang_tokens AS BIGINT))) AS rate_pct
+        |      FROM lt JOIN w ON lt.lang = w.lang, tot)
+        |SELECT doc_id, d.lang, n_tokens
+        |FROM d JOIN r ON d.lang = r.lang
+        |WHERE ('0x' || substring(md5('mix|' || doc_id::VARCHAR), 1, 12))::BIGINT % 100
+        |      < rate_pct
+        |ORDER BY doc_id""".stripMargin,
 
     "q_stratified_sample" ->
       """SELECT doc_id, lang, source FROM documents
