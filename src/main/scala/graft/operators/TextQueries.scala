@@ -185,9 +185,13 @@ object TextQueries {
     // The FULL pretraining-data pipeline as one plan: exact dedup →
     // quality + language filter → benchmark decontamination → context-
     // window chunking. What a corpus build actually ships to the trainer,
-    // end to end: each stage is the operator gated above, composed — and
-    // Catalyst fuses the narrow stages (filters, shingling, chunking) so
-    // the curated corpus is scanned once. Output = training sequences.
+    // end to end: each stage is the operator gated above, composed. The
+    // narrow work (filters, shingling, chunking) fuses into its enclosing
+    // codegen stages; the corpus IS read once per logical use (dedup
+    // groups, curated base, contamination index — 8 columnar scans in the
+    // audited plan), which is the right trade at gate scale. A production
+    // build would persist the curated intermediate between stages —
+    // exactly where `localCheckpoint`/write-to-parquet slots in.
     "q_pipeline_e2e" -> ((s, d) => {
       val dd = docs(s, d)
       val corpus = dd.where(col("doc_id") >= 10)

@@ -99,6 +99,38 @@ class DedupSpec extends AnyFunSuite {
   }
 }
 
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+  import graft.operators.CurationQueries
+
+  test("chunkWindows covers every token exactly at stride boundaries") {
+    // lengths around the window/stride edges: < w (1 chunk), == w (1),
+    // w+1 (2: second starts at stride), exactly 2 strides + w (3)
+    val docs = Seq(
+      (1L, (1 to 5).map(i => s"t$i").mkString(" ")),    // 5 tokens
+      (2L, (1 to 32).map(i => s"t$i").mkString(" ")),   // == w
+      (3L, (1 to 33).map(i => s"t$i").mkString(" ")),   // w+1
+      (4L, (1 to 80).map(i => s"t$i").mkString(" ")))   // 1+ceil(48/24)=3 chunks
+      .toDF("doc_id", "text")
+    val got = CurationQueries.chunkWindows(docs, "doc_id", "text")
+      .select("doc_id", "chunk_idx", "n_tokens")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 0L, 5L),
+      (2L, 0L, 32L),
+      (3L, 0L, 32L), (3L, 1L, 9L),               // second window: tokens 25..33
+      (4L, 0L, 32L), (4L, 1L, 32L), (4L, 2L, 32L))) // 48+stride*2 = tokens 49..80
+  }
+
+  test("chunkWindows emits one chunk for degenerate single-token text") {
+    val got = CurationQueries.chunkWindows(
+      Seq((1L, "solo")).toDF("doc_id", "text"), "doc_id", "text")
+      .select("chunk_idx", "n_tokens").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 1L)))
+  }
+}
+
 class SimilaritySpec extends AnyFunSuite {
   lazy val spark = SparkTest.spark
   import spark.implicits._
