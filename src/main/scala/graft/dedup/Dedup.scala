@@ -211,7 +211,10 @@ object Dedup {
   def contaminatedIdsBloom(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int = 5,
       expectedItems: Long = 1L << 20, bloomBits: Long = 1L << 23): DataFrame = {
-    val bench = benchmarkIndex(benchmark, idCol, textCol, n)
+    // materialize the index once: the bloom build is its own action and the
+    // confirm join is another — without this the index's distinct shuffle
+    // runs twice (the index is big by premise; it stays on the executors)
+    val bench = benchmarkIndex(benchmark, idCol, textCol, n).localCheckpoint()
     val corpusH = shingleIndexRaw(corpus, idCol, textCol, n)
       .select(col("doc_id"), md5Int48(col("s")).as("h"))
     indexBloom(bench, expectedItems, bloomBits) match {

@@ -95,7 +95,10 @@ object StreamingDiff {
       idCol: String, textCol: String, n: Int = 5,
       watermark: String = "1 hour"): DataFrame = {
     import graft.dedup.Dedup
-    val bench = Dedup.benchmarkIndex(benchmark, idCol, textCol, n)
+    // materialized once up front: the static side of the confirm join is
+    // re-planned every micro-batch — without this the benchmark would be
+    // re-shingled and re-shuffled per batch, on top of the bloom build
+    val bench = Dedup.benchmarkIndex(benchmark, idCol, textCol, n).localCheckpoint()
     val hits = Dedup.indexBloom(bench) match {
       case None => docs.toDF().select(col("doc_id"), col("ts")).where(lit(false))
       case Some(bytes) =>
