@@ -231,6 +231,40 @@ object Dedup {
     }
   }
 
+  /** The clean corpus: `corpus` minus every document sharing an n-gram
+    * with the benchmark — the call a pipeline actually makes (the
+    * `contaminatedIds*` operators return the flagged side). `bloom = true`
+    * switches to the sketch-prefiltered variant for benchmarks whose
+    * n-gram index outgrows a broadcast; results are identical either way. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 5,
+      bloom: Boolean = false): DataFrame = {
+    val flagged =
+      if (bloom) contaminatedIdsBloom(corpus, benchmark, idCol, textCol, n)
+      else contaminatedIds(corpus, benchmark, idCol, textCol, n)
+    corpus.join(flagged.withColumnRenamed("doc_id", "_contaminated_id"),
+      col(idCol) === col("_contaminated_id"), "left_anti")
+  }
+
+  /** Contamination REPORT per affected document — the decontamination
+    * counterpart of diff statistics: how many of the document's distinct
+    * n-grams appear in the benchmark, plus an integer severity flag
+    * (>5 % overlap ⇔ 20·shared > total — cross-multiplied so no float
+    * exists to drift between engines). Same broadcast-index plan shape as
+    * `contaminatedIds`; only flagged docs are emitted. */
+  def contaminationScores(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    val bench = benchmarkIndex(benchmark, idCol, textCol, n)
+    shingleIndex(corpus, idCol, textCol, n)
+      .select(col("doc_id"), md5Int48(col("s")).as("h"))
+      .join(broadcast(bench.withColumn("hit", lit(1L))), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
+      .where(col("n_shared") > 0)
+      .withColumn("flag_heavy", col("n_shared") * 20 > col("n_ngrams"))
+  }
+
   /** Distinct 48-bit shingle hashes of a benchmark/eval set — the exact
     * membership index both decontamination variants confirm against. */
   def benchmarkIndex(benchmark: DataFrame, idCol: String, textCol: String,

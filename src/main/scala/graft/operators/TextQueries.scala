@@ -136,6 +136,16 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // The contamination REPORT (decontamination's diff-stats): per flagged
+    // doc, distinct-n-gram overlap counts + integer severity flag.
+    "q_contamination_score" -> ((s, d) => {
+      val dd = docs(s, d)
+      Dedup.contaminationScores(
+        dd.where(col("doc_id") >= 10), dd.where(col("doc_id") < 10),
+        "doc_id", "text", n = 5)
+        .orderBy("doc_id")
+    }),
+
     // Bloom-prefiltered decontamination — result ≡ the exact operator (the
     // sketch only prunes, the semi-join confirms), so it hash-checks
     // against a plain exact oracle. Different split/n than q_decontaminate
@@ -200,9 +210,7 @@ object TextQueries {
         .select(col("canonical_id").as("cid"))
       val curated = corpus.join(canon, col("doc_id") === col("cid"), "left_semi")
         .where(qualityScore(col("text")) >= 70 && predictLang(col("text")) === col("lang"))
-      val clean = curated.join(
-        Dedup.contaminatedIds(corpus, bench, "doc_id", "text", n = 5),
-        Seq("doc_id"), "left_anti")
+      val clean = Dedup.decontaminate(curated, bench, "doc_id", "text", n = 5)
       CurationQueries.chunkWindows(clean, "doc_id", "text")
         .orderBy("doc_id", "chunk_idx")
     }),
@@ -302,6 +310,23 @@ object TextQueries {
         |    SELECT doc_id, unnest([array_to_string(t.toks[i:i+4], ' ') for i in range(1, len(t.toks)-3)]) AS s
         |    FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents WHERE doc_id >= 10) t))
         |SELECT DISTINCT doc_id FROM c WHERE h IN (SELECT h FROM b) ORDER BY doc_id""".stripMargin,
+
+    "q_contamination_score" ->
+      """WITH b AS (
+        |  SELECT DISTINCT ('0x' || substring(md5(s), 1, 12))::BIGINT AS h FROM (
+        |    SELECT unnest([array_to_string(t.toks[i:i+4], ' ') for i in range(1, len(t.toks)-3)]) AS s
+        |    FROM (SELECT string_split(trim(text), ' ') AS toks FROM documents WHERE doc_id < 10) t)),
+        |c AS (
+        |  SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id, unnest([array_to_string(t.toks[i:i+4], ' ') for i in range(1, len(t.toks)-3)]) AS s
+        |    FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents WHERE doc_id >= 10) t)),
+        |scored AS (
+        |  SELECT doc_id, COUNT(*) AS n_ngrams,
+        |    CAST(SUM(CASE WHEN ('0x' || substring(md5(s), 1, 12))::BIGINT IN (SELECT h FROM b)
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+        |  FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_ngrams, n_shared, (n_shared * 20 > n_ngrams) AS flag_heavy
+        |FROM scored WHERE n_shared > 0 ORDER BY doc_id""".stripMargin,
 
     // exact oracle: the bloom is a pruning device, not a semantics change
     "q_bloom_decontaminate" ->
