@@ -457,6 +457,33 @@ class StreamingDiffSpec extends AnyFunSuite {
     assert(batch == Set(2L, 3L))
   }
 
+  test("fuzz: streaming contamination agrees with the batch operator on random corpora") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(99L)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    def text() = Seq.fill(5 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val docsData = (0L until 60L).map(i => (i, text()))
+    val bench = docsData.filter(_._1 < 8).toDF("doc_id", "text")
+    val corpusData = docsData.filter(_._1 >= 8)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingDiff.Doc]
+    val q = StreamingDiff.streamingContaminated(input.toDS(), bench, "doc_id", "text", n = 3)
+      .writeStream.format("memory").queryName("scontamfuzz").outputMode("append").start()
+    // feed in two arbitrary batches
+    val (b1, b2) = corpusData.splitAt(30)
+    input.addData(b1.map { case (i, t) => StreamingDiff.Doc(i, t, new java.sql.Timestamp(i * 1000)) }: _*)
+    q.processAllAvailable()
+    input.addData(b2.map { case (i, t) => StreamingDiff.Doc(i, t, new java.sql.Timestamp(i * 1000)) }: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("scontamfuzz").select("doc_id").as[Long].collect().toSet
+    q.stop()
+    val batch = graft.dedup.Dedup.contaminatedIds(
+      corpusData.toDF("doc_id", "text"), bench, "doc_id", "text", n = 3)
+      .as[Long].collect().toSet
+    assert(batch.nonEmpty && batch.size < 52, s"vacuous fuzz: ${batch.size}")
+    assert(streamed == batch)
+  }
+
   test("streaming dedup emits each distinct content once, drops replays") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
