@@ -46,6 +46,13 @@ object EmbeddingQueries {
           md5(array_join(transform(col("q"), _.cast("string")), ",")).as("qsig"))
         .orderBy("vec_id")),
 
+    // Deterministic k-means: the cluster column for SemDeDup/IVF when no
+    // label exists — lowest-id seeds, integer centroids, broadcast-kernel
+    // assignment, 2 Lloyd rounds; bit-identical in any engine.
+    "q_kmeans_cells" -> ((s, d) =>
+      Similarity.kmeansCells(emb(s, d), "vec_id", "embedding", k = 8, iterations = 2)
+        .orderBy("vec_id")),
+
     // SemDeDup: near-dup flags computed within coarse clusters only (the
     // label column plays the k-means cell) — pair volume n²/k, corpus never
     // broadcast, survivors deterministic (lowest id per similar group).
@@ -172,6 +179,29 @@ object EmbeddingQueries {
         |          ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs + 0.5) AS BIGINT) END
         |     for x in embedding], ',')) AS qsig
         |FROM m ORDER BY vec_id""".stripMargin,
+
+    "q_kmeans_cells" ->
+      """WITH dims AS (
+        |  SELECT vec_id AS vid, i - 1 AS pos,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xi
+        |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS r(i)),
+        |c0 AS (SELECT vid AS cell, pos, xi AS sxi, 1::BIGINT AS n FROM dims
+        |       WHERE vid IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+        |s1 AS (SELECT d.vid, c.cell,
+        |         CAST(CAST(SUM(d.xi * c.sxi) AS BIGINT) AS DOUBLE) / MAX(c.n) AS score
+        |       FROM dims d JOIN c0 c ON d.pos = c.pos GROUP BY d.vid, c.cell),
+        |a1 AS (SELECT vid, cell FROM (
+        |         SELECT *, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY score DESC, cell ASC) AS rn
+        |         FROM s1) WHERE rn = 1),
+        |c1 AS (SELECT a1.cell, d.pos, CAST(SUM(d.xi) AS BIGINT) AS sxi, COUNT(*) AS n
+        |       FROM dims d JOIN a1 ON d.vid = a1.vid GROUP BY a1.cell, d.pos),
+        |s2 AS (SELECT d.vid, c.cell,
+        |         CAST(CAST(SUM(d.xi * c.sxi) AS BIGINT) AS DOUBLE) / MAX(c.n) AS score
+        |       FROM dims d JOIN c1 c ON d.pos = c.pos GROUP BY d.vid, c.cell),
+        |a2 AS (SELECT vid, cell FROM (
+        |         SELECT *, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY score DESC, cell ASC) AS rn
+        |         FROM s2) WHERE rn = 1)
+        |SELECT vid AS vec_id, cell FROM a2 ORDER BY vec_id""".stripMargin,
 
     "q_semantic_dedup" ->
       """WITH n AS (

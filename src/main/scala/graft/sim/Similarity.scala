@@ -80,19 +80,56 @@ object Similarity {
     // division by the member count, ascending-cell iteration keeping the
     // first maximum (ties break to the smallest cell id, like a
     // (score DESC, cell ASC) rank).
-    val centRows = cent.as[(Long, Int, Long, Long)].collect()
-    if (centRows.isEmpty)
+    val cells = collectCentroids(cent)
+    if (cells.isEmpty)
       return Seq.empty[(Long, Long, Long, Double)]
         .toDF("query_id", "neighbor_id", "rank", "sim")
+    val assigned = assignCells(vecs, idCol, vecCol, cells)
+    // assigned is one row per vector id (small); broadcast keeps the unit
+    // vectors from shuffling just to pick up their cell label.
+    val unit = withUnitVector(vecs.select(col(idCol).as("uid"), col(vecCol).as("v")), "v", "nv")
+      .join(broadcast(assigned), col("uid") === col("vid")).select(col("uid"), col("acell"), col("nv"))
+    val queries = unit
+      .join(vecs.where(queryFilter).select(col(idCol).as("qid")), col("uid") === col("qid"))
+      .select(col("uid").as("query_id"), col("acell").as("qcell"), col("nv").as("qn"))
+    val cands = unit.select(col("uid").as("neighbor_id"), col("acell").as("ncell"), col("nv").as("cn"))
+    val sims = cands.join(broadcast(queries),
+        col("qcell") === col("ncell") && col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", dot(col("qn"), col("cn")))
+    val wRank = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
+    sims.withColumn("rank", row_number().over(wRank).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
+  /** Collect a (cell, pos) → (Σxi, n) centroid frame as dense driver-side
+    * arrays: one row per cell of (cellId, component sums, member count),
+    * ascending cell id. Always cells×dims longs — tiny by construction. */
+  private def collectCentroids(cent: DataFrame): Array[(Long, Array[Long], Long)] = {
+    val spark = cent.sparkSession
+    import spark.implicits._
+    val centRows = cent.as[(Long, Int, Long, Long)].collect()
+    if (centRows.isEmpty) return Array.empty
     val dim = centRows.iterator.map(_._2).max + 1
-    val cells: Array[(Long, Array[Long], Long)] =
-      centRows.groupBy(_._1).toSeq.sortBy(_._1).map { case (cellId, rows) =>
-        val sxi = new Array[Long](dim)
-        rows.foreach(r => sxi(r._2) = r._3)
-        (cellId, sxi, rows.head._4)
-      }.toArray
+    centRows.groupBy(_._1).toSeq.sortBy(_._1).map { case (cellId, rows) =>
+      val sxi = new Array[Long](dim)
+      rows.foreach(r => sxi(r._2) = r._3)
+      (cellId, sxi, rows.head._4)
+    }.toArray
+  }
+
+  /** Assign every vector to the broadcast MEAN centroid maximizing the dot
+    * product — one narrow kernel pass, no shuffle. Bit-reproducible: exact
+    * integer dot with the component SUM, one exactly-rounded long→double
+    * division by the member count, ascending-cell iteration keeping the
+    * first maximum (ties → smallest cell id, like (score DESC, cell ASC)).
+    * Returns (vid, acell). */
+  private def assignCells(vecs: DataFrame, idCol: String, vecCol: String,
+      cells: Array[(Long, Array[Long], Long)]): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
     val bcCells = spark.sparkContext.broadcast(cells)
-    val assigned = vecs
+    vecs
       .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
       .as[(Long, Array[Double])]
       .mapPartitions { iter =>
@@ -113,21 +150,43 @@ object Similarity {
           (id, bestCell)
         }
       }.toDF("vid", "acell")
-    // assigned is one row per vector id (small); broadcast keeps the unit
-    // vectors from shuffling just to pick up their cell label.
-    val unit = withUnitVector(vecs.select(col(idCol).as("uid"), col(vecCol).as("v")), "v", "nv")
-      .join(broadcast(assigned), col("uid") === col("vid")).select(col("uid"), col("acell"), col("nv"))
-    val queries = unit
-      .join(vecs.where(queryFilter).select(col(idCol).as("qid")), col("uid") === col("qid"))
-      .select(col("uid").as("query_id"), col("acell").as("qcell"), col("nv").as("qn"))
-    val cands = unit.select(col("uid").as("neighbor_id"), col("acell").as("ncell"), col("nv").as("cn"))
-    val sims = cands.join(broadcast(queries),
-        col("qcell") === col("ncell") && col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", dot(col("qn"), col("cn")))
-    val wRank = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
-    sims.withColumn("rank", row_number().over(wRank).cast("long"))
-      .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
+  /** Deterministic distributed k-means (Lloyd's) — produces the cluster
+    * column `semanticDupFlags`/`ivfTopK` consume when no label exists.
+    * Engine-reproducible end to end: seeds are the k lowest-id vectors
+    * (no RNG), components quantize as floor(x·1e6), centroids are exact
+    * integer component sums with member counts, and assignment is the
+    * shared broadcast kernel (integer dot, exactly-rounded mean division,
+    * ties to the smallest cell) — so any engine replaying the same rounds
+    * lands on the same cells, which is what the DuckDB oracle checks.
+    *
+    * Per iteration: one broadcast-kernel pass (no shuffle) + one
+    * (vid→cell) join and partial-aggregating shuffle of the n·dim
+    * component rows to re-sum centroids; driver state is k×dim longs.
+    * int64 bounds the dot at ~1e5 members/cell at dim 64 (sums ≈
+    * members·1e6·1e6·dim) — drop the quantization scale for bigger cells.
+    * Empty cells simply vanish (fewer centroids next round), identically
+    * in any engine. Returns (vec_id, cell) after `iterations` rounds. */
+  def kmeansCells(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int, iterations: Int = 2): DataFrame = {
+    val dims = vecs.select(col(idCol).cast("long").as("vid"),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .withColumn("xi", floor(col("x").cast("double") * 1000000).cast("long"))
+    // seeds: the k lowest vector ids (a TakeOrdered, not a full sort), each
+    // a singleton cell keyed by its id
+    val seedIds = vecs.select(col(idCol).cast("long").as("vid"))
+      .orderBy("vid").limit(k)
+    var cent = dims.join(broadcast(seedIds), Seq("vid"), "left_semi")
+      .select(col("vid").as("cell"), col("pos"), col("xi").as("sxi"), lit(1L).as("n"))
+    var assigned: DataFrame = null
+    for (_ <- 1 to iterations) {
+      assigned = assignCells(vecs, idCol, vecCol, collectCentroids(cent))
+      cent = dims.join(assigned, Seq("vid"))
+        .groupBy(col("acell").as("cell"), col("pos"))
+        .agg(sum(col("xi")).as("sxi"), count(lit(1)).as("n"))
+    }
+    assigned.select(col("vid").as("vec_id"), col("acell").as("cell"))
   }
 
   /** LSH-bucketed near-duplicate pairs — the scale path `similarPairs`

@@ -210,6 +210,21 @@ class SimilaritySpec extends AnyFunSuite {
     got.foreach { case (id, flag) => assert(flag == dupIds.contains(id), s"id $id") }
   }
 
+  test("kmeansCells groups near-identical vectors with their seed, ids interleaved") {
+    // 3 tight clusters interleaved across ids; seeds (3 lowest ids: 0,1,2)
+    // are one per cluster, so Lloyd rounds must pull each copy to its base
+    val base = Seq(Array(1.0f, 0.1f, -0.3f, 0.8f), Array(-0.7f, 0.5f, 0.2f, -0.1f),
+      Array(0.2f, -0.9f, 0.4f, 0.6f))
+    val vecs = (0L until 9L).map(i =>
+      (i, base((i % 3).toInt).map(x => x + (i / 3) * 0.001f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kmeansCells(vecs, "vec_id", "embedding", k = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == (0L until 9L).toSet)
+    for (i <- 0L until 9L) assert(got(i) == got(i % 3), s"vector $i strayed from its base")
+    assert(got.values.toSet.size == 3)
+  }
+
   test("semanticDupFlags refuses an over-sized cell loudly") {
     val vecs = Seq(
       (0L, 0, Array(1.0f, 0.0f)), (1L, 0, Array(1.0f, 0.0f)),
