@@ -61,6 +61,19 @@ object EmbeddingQueries {
         .select(col("id").as("vec_id"), col("cell").as("label"), col("is_dup"))
         .orderBy("vec_id")),
 
+    // Label-free SemDeDup: the full composition — k-means produces the
+    // cells, within-cell near-dup flags follow. What a corpus without
+    // curated labels actually runs.
+    "q_semantic_dedup_auto" -> ((s, d) => {
+      val e = emb(s, d)
+      val cells = Similarity.kmeansCells(e, "vec_id", "embedding", k = 8, iterations = 2)
+      val withCell = e.join(cells, Seq("vec_id"))
+        .select(col("vec_id"), col("cell"), col("embedding"))
+      Similarity.semanticDupFlags(withCell, "vec_id", "embedding", "cell", 0.45)
+        .select(col("id").as("vec_id"), col("cell"), col("is_dup"))
+        .orderBy("vec_id")
+    }),
+
     "q_embedding_label_centroid_dist" -> ((s, d) => {
       // Per-label centroid, then each vector's dot with its label centroid —
       // the IVF coarse-quantizer building block. Components are quantized
@@ -78,6 +91,31 @@ object EmbeddingQueries {
         .orderBy("vec_id")
     }),
   )
+
+  /** Two Lloyd rounds of the deterministic k-means as reusable CTEs
+    * (through `a2` = the final (vid, cell) assignment) — shared by the
+    * k-means gate and the label-free SemDeDup composition. */
+  private val kmeansCtes =
+    """dims AS (
+      |  SELECT vec_id AS vid, i - 1 AS pos,
+      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xi
+      |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS r(i)),
+      |c0 AS (SELECT vid AS cell, pos, xi AS sxi, 1::BIGINT AS n FROM dims
+      |       WHERE vid IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+      |s1 AS (SELECT d.vid, c.cell,
+      |         CAST(CAST(SUM(d.xi * c.sxi) AS BIGINT) AS DOUBLE) / MAX(c.n) AS score
+      |       FROM dims d JOIN c0 c ON d.pos = c.pos GROUP BY d.vid, c.cell),
+      |a1 AS (SELECT vid, cell FROM (
+      |         SELECT *, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY score DESC, cell ASC) AS rn
+      |         FROM s1) WHERE rn = 1),
+      |c1 AS (SELECT a1.cell, d.pos, CAST(SUM(d.xi) AS BIGINT) AS sxi, COUNT(*) AS n
+      |       FROM dims d JOIN a1 ON d.vid = a1.vid GROUP BY a1.cell, d.pos),
+      |s2 AS (SELECT d.vid, c.cell,
+      |         CAST(CAST(SUM(d.xi * c.sxi) AS BIGINT) AS DOUBLE) / MAX(c.n) AS score
+      |       FROM dims d JOIN c1 c ON d.pos = c.pos GROUP BY d.vid, c.cell),
+      |a2 AS (SELECT vid, cell FROM (
+      |         SELECT *, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY score DESC, cell ASC) AS rn
+      |         FROM s2) WHERE rn = 1)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q_ann_topk" ->
@@ -181,27 +219,25 @@ object EmbeddingQueries {
         |FROM m ORDER BY vec_id""".stripMargin,
 
     "q_kmeans_cells" ->
-      """WITH dims AS (
-        |  SELECT vec_id AS vid, i - 1 AS pos,
-        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xi
-        |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS r(i)),
-        |c0 AS (SELECT vid AS cell, pos, xi AS sxi, 1::BIGINT AS n FROM dims
-        |       WHERE vid IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
-        |s1 AS (SELECT d.vid, c.cell,
-        |         CAST(CAST(SUM(d.xi * c.sxi) AS BIGINT) AS DOUBLE) / MAX(c.n) AS score
-        |       FROM dims d JOIN c0 c ON d.pos = c.pos GROUP BY d.vid, c.cell),
-        |a1 AS (SELECT vid, cell FROM (
-        |         SELECT *, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY score DESC, cell ASC) AS rn
-        |         FROM s1) WHERE rn = 1),
-        |c1 AS (SELECT a1.cell, d.pos, CAST(SUM(d.xi) AS BIGINT) AS sxi, COUNT(*) AS n
-        |       FROM dims d JOIN a1 ON d.vid = a1.vid GROUP BY a1.cell, d.pos),
-        |s2 AS (SELECT d.vid, c.cell,
-        |         CAST(CAST(SUM(d.xi * c.sxi) AS BIGINT) AS DOUBLE) / MAX(c.n) AS score
-        |       FROM dims d JOIN c1 c ON d.pos = c.pos GROUP BY d.vid, c.cell),
-        |a2 AS (SELECT vid, cell FROM (
-        |         SELECT *, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY score DESC, cell ASC) AS rn
-        |         FROM s2) WHERE rn = 1)
-        |SELECT vid AS vec_id, cell FROM a2 ORDER BY vec_id""".stripMargin,
+      s"""WITH $kmeansCtes
+         |SELECT vid AS vec_id, cell FROM a2 ORDER BY vec_id""".stripMargin,
+
+    "q_semantic_dedup_auto" ->
+      s"""WITH $kmeansCtes,
+         |n AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) /
+         |    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+         |      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))), (a, c) -> a + c))) AS nv
+         |  FROM embeddings),
+         |m AS (SELECT n.vec_id, a2.cell, n.nv FROM n JOIN a2 ON n.vec_id = a2.vid),
+         |dups AS (
+         |  SELECT DISTINCT b.vec_id AS id
+         |  FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE list_reduce(list_prepend(0.0, list_transform(list_zip(a.nv, b.nv),
+         |      x -> x[1] * x[2])), (ac, x) -> ac + x) >= 0.45)
+         |SELECT m.vec_id, m.cell, (dups.id IS NOT NULL) AS is_dup
+         |FROM m LEFT JOIN dups ON m.vec_id = dups.id
+         |ORDER BY m.vec_id""".stripMargin,
 
     "q_semantic_dedup" ->
       """WITH n AS (
