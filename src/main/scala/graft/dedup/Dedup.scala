@@ -280,6 +280,22 @@ object Dedup {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graft.ColumnBridge
+    // BloomFilterAggregate Math.min-clamps its sizing against the session's
+    // runtime-bloom-filter maxima (4M items / 2^26 bits by default) — an
+    // oversized request would SILENTLY saturate the sketch and the prefilter
+    // would prune ~nothing (results stay correct via the confirm join, but
+    // the perf contract vanishes). Fail loudly instead, naming the confs.
+    val conf = index.sparkSession.conf
+    val maxItems = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    require(expectedItems <= maxItems && bloomBits <= maxBits,
+      s"indexBloom sized past the session's bloom-filter maxima " +
+        s"(expectedItems=$expectedItems vs max $maxItems, bloomBits=$bloomBits vs " +
+        s"max $maxBits): BloomFilterAggregate would silently clamp and the sketch " +
+        "would saturate. Raise spark.sql.optimizer.runtime.bloomFilter.maxNumItems / " +
+        ".maxNumBits to the requested size first.")
     val bloomAgg = ColumnBridge.column(new BloomFilterAggregate(
       ColumnBridge.expression(col("h")),
       Literal(expectedItems), Literal(bloomBits)).toAggregateExpression())

@@ -23,7 +23,14 @@ object CurationQueries {
     * Output: (doc_id, chunk_idx, n_tokens, chunk_sig) with content pinned
     * by md5 (emitting text would just re-ship the corpus). */
   def chunkWindows(df: DataFrame, idCol: String, textCol: String,
-      w: Int = 32, stride: Int = 24): DataFrame =
+      w: Int = 32, stride: Int = 24): DataFrame = {
+    // stride > w would silently DROP tokens between windows (and can emit a
+    // trailing empty chunk: n_tokens=0, chunk_sig=md5("")); stride ≤ 0 makes
+    // the chunk-count arithmetic nonsense. Corrupting the training-sequence
+    // stream must be loud, not a default-argument typo away.
+    require(w > 0 && stride > 0 && stride <= w,
+      s"chunkWindows needs 0 < stride <= w, got w=$w stride=$stride — " +
+        "stride > w skips tokens between windows; stride <= 0 is meaningless.")
     df.select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("t"))
       .withColumn("n_chunks",
         expr(s"case when size(t) <= $w then 1 else 1 + (size(t) - $w + ${stride - 1}) div $stride end"))
@@ -34,6 +41,7 @@ object CurationQueries {
       .select(col("doc_id"), col("chunk_idx"),
         size(col("c")).cast("long").as("n_tokens"),
         md5(array_join(col("c"), " ")).as("chunk_sig"))
+  }
 
   val queries: Map[String, Q] = Map(
     // PII masking before training. The synthetic corpus carries no real

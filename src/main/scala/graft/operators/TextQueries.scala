@@ -162,12 +162,18 @@ object TextQueries {
     // integer idf (bit-length of N div df, as q_tfidf_rank), T = total
     // corpus tokens and N = docs, the BM25 fraction
     //   idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))      with avgdl = T/N
-    // multiplies out to   idf·22·tf·T / (10·tf·T + 3·T + 9·dl·N)
-    // — numerator and denominator both integers, so score_milli (×1000,
-    // integer division) is bit-identical on any engine; int64 holds it to
-    // ~10^13 corpus tokens, past which the same plan runs in doubles. Same
-    // two-exchange shape as q_tfidf_rank: tf shuffle, tiny df shuffle,
-    // broadcast scalars, one window for top-3 per doc.
+    // multiplies out to   idf·22·tf·T / (10·tf·T + 3·T + 9·dl·N).
+    // Multiplying that out directly puts tf·T in the numerator — int64 dies
+    // at tf·T ≈ 2·10^13 (a 10^10-token corpus with tf in the hundreds), NOT
+    // "10^13 corpus tokens". So the common T is divided out FIRST as a
+    // per-doc length-penalty milli-term  bb = (9000·dl·N) div T  (one extra
+    // exactly-defined integer rounding of ≤1 part in thousands), leaving
+    //   score_milli = (idf·22·tf·1000000) div (10000·tf + 3000 + bb)
+    // — every factor integer, bit-identical on any engine, and the binding
+    // bound is now dl·N < 10^15 (a ~10^12-doc corpus at typical dl≈10^3),
+    // with the numerator safe to tf ≈ 10^10. Same two-exchange shape as
+    // q_tfidf_rank: tf shuffle, tiny df shuffle, broadcast scalars, one
+    // window for top-3 per doc.
     "q_bm25_rank" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val dd = docs(s, d)
@@ -182,9 +188,9 @@ object TextQueries {
         // stays in int64 end to end: `div`, not `/` (which would detour
         // through a double and lose exactness past 2^53)
         .withColumn("idf", length(bin(expr("n_docs div df"))).cast("long"))
+        .withColumn("bb_milli", expr("(dl * n_docs * 9000) div t_tokens"))
         .withColumn("score_milli",
-          expr("(idf * 22 * tf * t_tokens * 1000) div " +
-            "(tf * t_tokens * 10 + t_tokens * 3 + dl * n_docs * 9)"))
+          expr("(idf * 22 * tf * 1000000) div (tf * 10000 + 3000 + bb_milli)"))
       val w = Window.partitionBy("doc_id").orderBy(col("score_milli").desc, col("tok").asc)
       scored.withColumn("rnk", row_number().over(w).cast("long"))
         .where(col("rnk") <= 3 && col("doc_id") < 50)
@@ -349,8 +355,8 @@ object TextQueries {
          |               (SELECT COUNT(*) FROM documents) AS n_docs),
          |scored AS (
          |  SELECT t.doc_id, t.tok, t.tf, dl.dl, dfq.df,
-         |    (length(format('{:b}', tot.n_docs // dfq.df)) * 22 * t.tf * tot.t_tokens * 1000) //
-         |      (t.tf * tot.t_tokens * 10 + tot.t_tokens * 3 + dl.dl * tot.n_docs * 9) AS score_milli
+         |    (length(format('{:b}', tot.n_docs // dfq.df)) * 22 * t.tf * 1000000) //
+         |      (t.tf * 10000 + 3000 + (dl.dl * tot.n_docs * 9000) // tot.t_tokens) AS score_milli
          |  FROM tf t JOIN dl USING (doc_id) JOIN dfq ON t.tok = dfq.tok, tot)
          |SELECT doc_id, tok, tf, dl, df, score_milli, rnk FROM (
          |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id

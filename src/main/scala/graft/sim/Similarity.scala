@@ -84,7 +84,7 @@ object Similarity {
     if (cells.isEmpty)
       return Seq.empty[(Long, Long, Long, Double)]
         .toDF("query_id", "neighbor_id", "rank", "sim")
-    val assigned = assignCells(vecs, idCol, vecCol, cells)
+    val assigned = assignCells(vecs, idCol, vecCol, cells, maxAbsXi(dims), 1000000L)
     // assigned is one row per vector id (small); broadcast keeps the unit
     // vectors from shuffling just to pick up their cell label.
     val unit = withUnitVector(vecs.select(col(idCol).as("uid"), col(vecCol).as("v")), "v", "nv")
@@ -118,16 +118,44 @@ object Similarity {
     }.toArray
   }
 
+  /** Largest |xi| over the exploded (pos, xi) component frame — ONE cheap
+    * aggregate job (long max, partial-aggregated map-side) whose result
+    * makes the overflow guard in `assignCells` exact instead of assumed.
+    * 0 for an empty frame. */
+  private def maxAbsXi(dims: DataFrame): Long = {
+    val r = dims.agg(max(abs(col("xi")))).head
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
   /** Assign every vector to the broadcast MEAN centroid maximizing the dot
     * product — one narrow kernel pass, no shuffle. Bit-reproducible: exact
     * integer dot with the component SUM, one exactly-rounded long→double
     * division by the member count, ascending-cell iteration keeping the
     * first maximum (ties → smallest cell id, like (score DESC, cell ASC)).
+    *
+    * Guarded against silent int64 wrap: the kernel's dot is bounded by
+    * dim · max|xi| · max|sxi|, and both maxima are exactly known here
+    * (max|xi| from one aggregate over the component frame, max|sxi| from
+    * the collected centroids), so the worst case is checked in BigInt
+    * BEFORE any task runs. Past ~1e5 members/cell at dim 64 and scale 1e6
+    * the bound trips — the error names the two fixes (smaller quantScale,
+    * more cells) rather than letting assignments silently go wrong at
+    * exactly the corpus sizes this operator targets.
     * Returns (vid, acell). */
   private def assignCells(vecs: DataFrame, idCol: String, vecCol: String,
-      cells: Array[(Long, Array[Long], Long)]): DataFrame = {
+      cells: Array[(Long, Array[Long], Long)], maxXi: Long,
+      quantScale: Long): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
+    val dim = if (cells.isEmpty) 0 else cells.iterator.map(_._2.length).max
+    val maxSxi = cells.iterator.flatMap(_._2.iterator)
+      .foldLeft(0L)((m, x) => math.max(m, math.abs(x)))
+    val worstDot = BigInt(dim) * BigInt(maxXi) * BigInt(maxSxi)
+    require(worstDot < BigInt(Long.MaxValue),
+      s"integer centroid dot would overflow int64: dim=$dim * max|xi|=$maxXi * " +
+        s"max|sxi|=$maxSxi = $worstDot >= 2^63. Cells hold too many members for " +
+        s"quantization scale $quantScale — lower quantScale (e.g. ${quantScale / 1000}) " +
+        "or raise k so cells shrink; both keep assignment deterministic.")
     val bcCells = spark.sparkContext.broadcast(cells)
     vecs
       .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
@@ -137,7 +165,7 @@ object Similarity {
         iter.map { case (id, v) =>
           val xi = new Array[Long](v.length)
           var i = 0
-          while (i < v.length) { xi(i) = math.floor(v(i) * 1000000).toLong; i += 1 }
+          while (i < v.length) { xi(i) = math.floor(v(i) * quantScale).toLong; i += 1 }
           var bestCell = 0L
           var bestScore = Double.NegativeInfinity
           for ((cellId, sxi, n) <- cs) {
@@ -164,15 +192,22 @@ object Similarity {
     * Per iteration: one broadcast-kernel pass (no shuffle) + one
     * (vid→cell) join and partial-aggregating shuffle of the n·dim
     * component rows to re-sum centroids; driver state is k×dim longs.
-    * int64 bounds the dot at ~1e5 members/cell at dim 64 (sums ≈
-    * members·1e6·1e6·dim) — drop the quantization scale for bigger cells.
-    * Empty cells simply vanish (fewer centroids next round), identically
-    * in any engine. Returns (vec_id, cell) after `iterations` rounds. */
+    * int64 bounds the dot at ~1e5 members/cell at dim 64 and the default
+    * `quantScale` 1e6 (sums ≈ members·scale²·dim) — the bound is ENFORCED
+    * (exact BigInt check in `assignCells` from the collected centroid
+    * sums, before any task runs), and the fix the error names is real:
+    * pass a smaller `quantScale` (precision trades linearly) or a larger
+    * k. Empty cells simply vanish (fewer centroids next round),
+    * identically in any engine. Returns (vec_id, cell) after
+    * `iterations` rounds. */
   def kmeansCells(vecs: DataFrame, idCol: String, vecCol: String,
-      k: Int, iterations: Int = 2): DataFrame = {
+      k: Int, iterations: Int = 2, quantScale: Long = 1000000L): DataFrame = {
     val dims = vecs.select(col(idCol).cast("long").as("vid"),
         posexplode(col(vecCol)).as(Seq("pos", "x")))
-      .withColumn("xi", floor(col("x").cast("double") * 1000000).cast("long"))
+      .withColumn("xi", floor(col("x").cast("double") * quantScale).cast("long"))
+    // component-magnitude bound for the overflow guard: computed ONCE (the
+    // component frame does not change across iterations)
+    val mXi = maxAbsXi(dims)
     // seeds: the k lowest vector ids (a TakeOrdered, not a full sort), each
     // a singleton cell keyed by its id
     val seedIds = vecs.select(col(idCol).cast("long").as("vid"))
@@ -181,7 +216,7 @@ object Similarity {
       .select(col("vid").as("cell"), col("pos"), col("xi").as("sxi"), lit(1L).as("n"))
     var assigned: DataFrame = null
     for (_ <- 1 to iterations) {
-      assigned = assignCells(vecs, idCol, vecCol, collectCentroids(cent))
+      assigned = assignCells(vecs, idCol, vecCol, collectCentroids(cent), mXi, quantScale)
       cent = dims.join(assigned, Seq("vid"))
         .groupBy(col("acell").as("cell"), col("pos"))
         .agg(sum(col("xi")).as("sxi"), count(lit(1)).as("n"))
@@ -263,7 +298,8 @@ object Similarity {
     * `is_dup` flag. */
   def semanticDupFlags(vecs: DataFrame, idCol: String, vecCol: String,
       cellCol: String, threshold: Double,
-      maxCellRows: Int = 1 << 22): DataFrame = {
+      maxCellRows: Int = 1 << 22,
+      maxPairsPerCell: Long = 1000000000L): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
     // Unit vectors come from the same codegen'd projection as every other
@@ -286,6 +322,15 @@ object Similarity {
       require(members.length <= maxCellRows,
         s"semanticDupFlags cell '$cellk' has ${members.length} vectors (> $maxCellRows). " +
           "Re-cluster with more cells so each fits a worker, or raise maxCellRows.")
+      // Compute bound, not just memory: an at-cap cell that FITS can still
+      // be an O(m²/2) hours-long single task. The pair budget (default 1e9
+      // dots ≈ tens of seconds of kernel) trips long before that, with the
+      // same remedy.
+      val cellPairs = members.length.toLong * (members.length - 1L) / 2L
+      require(cellPairs <= maxPairsPerCell,
+        s"semanticDupFlags cell '$cellk' implies $cellPairs candidate pairs " +
+          s"(> $maxPairsPerCell) — an unsplittable O(m²/2) task. Re-cluster with " +
+          "more cells (smaller m), or raise maxPairsPerCell if the runtime is acceptable.")
       java.util.Arrays.sort(members, Ordering.by((m: (Long, Array[Double])) => m._1))
       val out = scala.collection.mutable.ArrayBuffer.empty[Long]
       var j = 1

@@ -97,6 +97,19 @@ class DedupSpec extends AnyFunSuite {
       dd, dd.where(lit(false)), "doc_id", "text", n = 4)
     assert(out.count() == 0L)
   }
+
+  test("indexBloom refuses sizes past the session bloom-filter maxima instead of silently clamping") {
+    // BloomFilterAggregate Math.min-clamps to the session maxima (2^26 bits
+    // by default) — a 2^30-bit request would build a saturated sketch that
+    // prunes nothing. The guard must name the conf to raise.
+    val idx = Seq(1L, 2L, 3L).toDF("h")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.indexBloom(idx, expectedItems = 1L << 20, bloomBits = 1L << 30)
+    }
+    assert(e.getMessage.contains("bloomFilter.maxNumItems"))
+    // at the documented defaults the build still works
+    assert(Dedup.indexBloom(idx).nonEmpty)
+  }
 }
 
 class CurationSpec extends AnyFunSuite {
@@ -128,6 +141,16 @@ class CurationSpec extends AnyFunSuite {
       Seq((1L, "solo")).toDF("doc_id", "text"), "doc_id", "text")
       .select("chunk_idx", "n_tokens").as[(Long, Long)].collect().toSeq
     assert(got == Seq((0L, 1L)))
+  }
+
+  test("chunkWindows refuses a stride that would skip or loop") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    for ((w, stride) <- Seq((32, 33), (32, 0), (32, -1), (0, 1))) {
+      val e = intercept[IllegalArgumentException] {
+        CurationQueries.chunkWindows(docs, "doc_id", "text", w = w, stride = stride)
+      }
+      assert(e.getMessage.contains("stride"), s"w=$w stride=$stride")
+    }
   }
 }
 
@@ -223,6 +246,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.keySet == (0L until 9L).toSet)
     for (i <- 0L until 9L) assert(got(i) == got(i % 3), s"vector $i strayed from its base")
     assert(got.values.toSet.size == 3)
+  }
+
+  test("kmeansCells refuses a centroid dot that would wrap int64, and a smaller quantScale fixes it") {
+    // components ~±2000 quantize to |xi| ≈ 2e9 at the default 1e6 scale, so
+    // even a SINGLETON seed centroid puts dim·max|xi|·max|sxi| ≈ 4·(2e9)² ≈
+    // 1.6e19 past 2^63 — the guard must trip before any task runs, naming
+    // the quantScale remedy. The same corpus at scale 1e3 is three orders
+    // of magnitude inside the bound and must cluster correctly.
+    val base = Seq(Array(2000.0f, 1900.0f, -2100.0f, 2050.0f),
+      Array(-2000.0f, -1950.0f, 2080.0f, -1990.0f))
+    val vecs = (0L until 6L).map(i =>
+      (i, base((i % 2).toInt).map(x => x + (i / 2) * 0.5f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.kmeansCells(vecs, "vec_id", "embedding", k = 2)
+    }
+    assert(e.getMessage.contains("overflow int64") && e.getMessage.contains("quantScale"))
+    val got = Similarity.kmeansCells(vecs, "vec_id", "embedding", k = 2,
+      quantScale = 1000L).as[(Long, Long)].collect().toMap
+    assert(got.keySet == (0L until 6L).toSet)
+    for (i <- 0L until 6L) assert(got(i) == got(i % 2), s"vector $i strayed from its base")
+    assert(got.values.toSet.size == 2)
+  }
+
+  test("semanticDupFlags refuses a cell whose pair count exceeds the compute budget") {
+    // 4 members in one cell → 6 pairs; a budget of 5 must trip with the
+    // re-cluster message even though the cell easily fits in memory
+    val vecs = Seq(
+      (0L, 0, Array(1.0f, 0.0f)), (1L, 0, Array(1.0f, 0.0f)),
+      (2L, 0, Array(0.0f, 1.0f)), (3L, 0, Array(0.5f, 0.5f)))
+      .toDF("vec_id", "label", "embedding")
+    val e = intercept[org.apache.spark.SparkException] {
+      Similarity.semanticDupFlags(vecs, "vec_id", "embedding", "label", 0.9,
+        maxPairsPerCell = 5L).collect()
+    }
+    assert(e.getMessage.contains("candidate pairs") &&
+      e.getMessage.contains("Re-cluster with more cells"))
   }
 
   test("semanticDupFlags refuses an over-sized cell loudly") {
