@@ -57,6 +57,48 @@ object RelationalQueries {
     est.join(exact, Seq("col_name")).select("col_name", "n_hll", "n_exact")
   }
 
+  /** Bounded-state quantile sketch — the scale path next to `q_quantiles`'
+    * exact `percentile` (whose ObjectHashAggregate buffers a value→count
+    * map per group: O(distinct values) of heap-merged state, a memory
+    * hazard on a 500B-row high-cardinality double column). Here the state
+    * is O(bins) per group, period: values land in fixed integer-cent bins
+    * (`bin = clamp((floor(v·100) − loCents) div widthCents, 0, bins−1)`,
+    * clamping out-of-range values to the edge bins), one partial-aggregated
+    * groupBy counts them, and each requested quantile is the lower edge of
+    * the first bin whose cumulative count reaches ceil(p·n/1000) — found by
+    * integer cross-multiplication (`1000·cum ≥ p·n`), so no float exists
+    * anywhere and any engine reproduces the result bitwise. The per-group
+    * cumulative window ranges over ≤ `bins` rows by construction, so the
+    * plan has exactly one data-sized exchange (the bin groupBy) and
+    * no skew surface. Error is bounded by the bin width, stated, and
+    * chosen by the caller — the deterministic counterpart of
+    * approx_percentile's opaque sketch. */
+  def histogramQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      probsMilli: Seq[Int], loCents: Long, widthCents: Long,
+      bins: Int): DataFrame = {
+    require(bins > 0 && widthCents > 0 && probsMilli.nonEmpty &&
+      probsMilli.forall(p => p >= 0 && p <= 1000),
+      s"histogramQuantiles needs bins>0, widthCents>0 and probsMilli in [0,1000]; " +
+        s"got bins=$bins widthCents=$widthCents probsMilli=$probsMilli")
+    val binned = df.select(col(groupCol).as("grp"),
+      least(lit((bins - 1).toLong), greatest(lit(0L),
+        expr(s"(cast(floor($valueCol * 100) as bigint) - ${loCents}L) div ${widthCents}L")))
+        .as("bin"))
+    val counts = binned.groupBy("grp", "bin").agg(count(lit(1)).as("cnt"))
+    val cum = counts
+      .withColumn("cum", sum(col("cnt")).over(Window.partitionBy("grp").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("grp")))
+    cum
+      .select(col("grp"), col("cum"), col("n"), col("bin"),
+        explode(array(probsMilli.map(p => lit(p.toLong)): _*)).as("p_milli"))
+      .groupBy("grp", "p_milli")
+      .agg(max(col("n")).as("n"),
+        min(when(col("cum") * 1000 >= col("p_milli") * col("n"), col("bin"))).as("qbin"))
+      .select(col("grp").as(groupCol), col("p_milli"), col("n"), col("qbin"),
+        ((lit(loCents) + col("qbin") * lit(widthCents)).cast("double") / lit(100.0)).as("est"))
+  }
+
   val queries: Map[String, Q] = Map(
     // -- scans / projections / filters ------------------------------------
     "q_scan_project" -> ((s, d) =>
@@ -418,6 +460,15 @@ object RelationalQueries {
           expr("percentile(l_extendedprice, 0.5)").as("p50_price"))
         .orderBy("l_returnflag")),
 
+    // Same quantiles through the bounded-state sketch: 128 bins of 1000.00
+    // over l_extendedprice (range ~[900, 105k]) — the answer is exact to
+    // the bin width, the state is O(bins) per group at ANY corpus size.
+    "q_quantiles_sketch" -> ((s, d) =>
+      histogramQuantiles(t(s, d, "lineitem"), "l_returnflag", "l_extendedprice",
+        probsMilli = Seq(500, 900, 990), loCents = 0L, widthCents = 100000L,
+        bins = 128)
+        .orderBy("l_returnflag", "p_milli")),
+
     // -- JSON column handling ---------------------------------------------
     "q_json_extract" -> ((s, d) =>
       t(s, d, "events")
@@ -674,6 +725,26 @@ object RelationalQueries {
         |  quantile_cont(l_quantity, 0.9) AS p90_qty,
         |  quantile_cont(l_extendedprice, 0.5) AS p50_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_quantiles_sketch" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    least(127, greatest(0, (CAST(floor(l_extendedprice * 100) AS BIGINT) - 0) // 100000)) AS bin
+        |  FROM lineitem),
+        |c AS (SELECT l_returnflag, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+        |cc AS (SELECT l_returnflag, bin, cnt,
+        |    CAST(SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS BIGINT) AS cum,
+        |    CAST(SUM(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        |  FROM c),
+        |x AS (SELECT cc.*, p.p_milli FROM cc,
+        |  (SELECT CAST(unnest([500, 900, 990]) AS BIGINT) AS p_milli) p)
+        |SELECT l_returnflag, p_milli, n, qbin,
+        |  CAST(0 + qbin * 100000 AS DOUBLE) / 100.0 AS est
+        |FROM (
+        |  SELECT l_returnflag, p_milli, CAST(MAX(n) AS BIGINT) AS n,
+        |    CAST(MIN(CASE WHEN cum * 1000 >= p_milli * n THEN bin END) AS BIGINT) AS qbin
+        |  FROM x GROUP BY 1, 2)
+        |ORDER BY l_returnflag, p_milli""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_type,

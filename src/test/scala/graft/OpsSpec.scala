@@ -154,6 +154,39 @@ class CurationSpec extends AnyFunSuite {
   }
 }
 
+class HistogramQuantileSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+  import graft.operators.RelationalQueries
+
+  test("histogramQuantiles picks the first bin reaching the target rank, clamping the range") {
+    // group A: 10.0 .. 100.0 in steps of 10 → bins 1..10 at width 10.00;
+    // group B: one value far below lo (clamps to bin 0) and one far above
+    // (clamps to the last bin)
+    val df = ((1 to 10).map(i => ("A", i * 10.0)) ++
+      Seq(("B", -5.0), ("B", 500.0))).toDF("g", "v")
+    val got = RelationalQueries.histogramQuantiles(df, "g", "v",
+      probsMilli = Seq(500, 1000), loCents = 0L, widthCents = 1000L, bins = 12)
+      .select("g", "p_milli", "n", "qbin", "est")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(got(("A", 500L)) == ((10L, 5L, 50.0)))   // cum 5 of 10 at bin 5
+    assert(got(("A", 1000L)) == ((10L, 10L, 100.0)))
+    assert(got(("B", 500L)) == ((2L, 0L, 0.0)))     // clamped low value
+    assert(got(("B", 1000L)) == ((2L, 11L, 110.0))) // clamped high value
+  }
+
+  test("histogramQuantiles validates bins, width and probabilities") {
+    val df = Seq(("A", 1.0)).toDF("g", "v")
+    for ((probs, w, b) <- Seq((Seq(500), 0L, 10), (Seq(500), 100L, 0),
+        (Seq(1001), 100L, 10), (Seq.empty[Int], 100L, 10))) {
+      intercept[IllegalArgumentException] {
+        RelationalQueries.histogramQuantiles(df, "g", "v", probs, 0L, w, b)
+      }
+    }
+  }
+}
+
 class SimilaritySpec extends AnyFunSuite {
   lazy val spark = SparkTest.spark
   import spark.implicits._
