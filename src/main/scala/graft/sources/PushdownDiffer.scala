@@ -186,16 +186,40 @@ object PushdownDiffer {
       "both sides must normalize at the same mutual precision")
     // text keys: segment bounds are STRING comparisons evaluated by both
     // engines — the orderings must agree or segments select different row
-    // sets on each side (silent row loss). Spark compares UTF8-binary;
-    // the remote must too (or the caller casts the key in the pushed SQL).
-    if (remote.keyCols.exists(k => remote.schema(k).dataType == StringType))
-      Collation.negotiate(Collation.SparkBinary, remote.keyCollation) match {
-        case Right(None) => // equivalent ordinal orderings — safe
+    // sets on each side (silent row loss). Spark compares UTF8-binary.
+    // When the remote collation is merely CASE-INSENSITIVE (the common
+    // warehouse misconfiguration — CI SQL Server collations, Derby
+    // TERRITORY_BASED:SECONDARY, DuckDB NOCASE), the diff still runs: both
+    // sides case-fold every SEGMENTATION artifact (range probes, segment
+    // bound predicates, the local range-join) so each key lands in the same
+    // segment on both engines — the reference's damage-absorbed conversion
+    // (abcs/database_types.py:52-100), emitted as UPPER() in the pushed SQL
+    // rather than a refusal. Checksums and the leaf compare stay on RAW
+    // values, so rows differing only in key case are still reported as the
+    // -/+ pair they genuinely are. Sound because segmentable text keys are
+    // UUID/base-66 alphanumerics by construction (KeySpace.parseStringKey):
+    // on single-case ASCII alphanumerics a locale's order and binary order
+    // agree (digits < letters, letters alphabetical). Anything beyond case
+    // damage (accent-insensitive, unknown locale tricks) still refuses
+    // loudly — no fold can repair an ordering we cannot reproduce.
+    val foldKeyCols: Set[String] =
+      if (!remote.keyCols.exists(k => remote.schema(k).dataType == StringType)) Set.empty
+      else Collation.negotiate(Collation.SparkBinary, remote.keyCollation) match {
+        case Right(None) => Set.empty // equivalent ordinal orderings — safe
+        case Right(Some(_))
+            if remote.keyCollation.caseSensitive.contains(false) &&
+              !remote.keyCollation.accentSensitive.contains(false) =>
+          remote.keyCols.filter(k => remote.schema(k).dataType == StringType).toSet
         case Right(Some(_)) | Left(_) => throw new IllegalArgumentException(
-          "remote text-key collation is not ordinal: key-range predicates would " +
-            "select different rows on each engine. Cast the key to a binary " +
-            "collation in the remote table/view, or diff on a derived ordinal key.")
+          "remote text-key collation is neither ordinal nor case-insensitive-only: " +
+            "key-range predicates would select different rows on each engine and no " +
+            "case fold repairs that ordering. Cast the key to a binary collation in " +
+            "the remote table/view, or diff on a derived ordinal key.")
       }
+    def localKeyCol(k: String): Column =
+      if (foldKeyCols(k)) upper(col(k)) else col(k)
+    def remoteKeySql(k: String): String =
+      if (foldKeyCols(k)) s"UPPER(${profile.quote(k)})" else profile.quote(k)
 
     // ---- UUID casing alignment -------------------------------------------
     // A lowercase-UUID side and an uppercase-UUID side must diff clean: when
@@ -268,7 +292,14 @@ object PushdownDiffer {
     // always covered)
     val remoteRangeF = scala.concurrent.Future(remote.engine
       .query(profile.keyRangeSql(remote.table, keyCols, remote.extraWhereSql)).head)
-    val localRange = local.keyRange().head()
+    // collation-folded keys probe their range in FOLDED space on both sides
+    // (locally a projection; remotely the raw min/max is folded client-side
+    // below — on single-case ASCII alphanumerics fold∘min ≡ min∘fold)
+    val localForRange =
+      if (foldKeyCols.isEmpty) local
+      else local.copy(df = local.df.select(local.df.columns.toSeq.map(c =>
+        if (foldKeyCols(c)) upper(col(c)).as(c) else col(c)): _*))
+    val localRange = localForRange.keyRange().head()
     val remoteRange = await(remoteRangeF)
     var remoteQueries = 1
 
@@ -285,7 +316,8 @@ object PushdownDiffer {
             // (reference: abcs/database_types.py:196-201 Decimal(precision=0)
             // is an IKey); fractional-scale keys cannot segment exactly
             case dt: DecimalType if dt.scale == 0 => new java.math.BigDecimal(s.trim)
-            case StringType => s
+            case StringType =>
+              if (foldKeyCols(keyCols(i))) s.toUpperCase(java.util.Locale.ROOT) else s
             case other => throw new IllegalArgumentException(
               s"unsupported pushdown key type for ${keyCols(i)}: $other " +
                 "(decimal keys must have scale 0)")
@@ -326,7 +358,7 @@ object PushdownDiffer {
     def remotePred(box: Box): String =
       keyCols.zip(boundVals(box._1)).zip(boundVals(box._2)).map {
         case ((k, lo), hi) =>
-          s"${profile.quote(k)} >= ${profile.literal(lo)} AND ${profile.quote(k)} < ${profile.literal(hi)}"
+          s"${remoteKeySql(k)} >= ${profile.literal(lo)} AND ${remoteKeySql(k)} < ${profile.literal(hi)}"
       }.mkString(" AND ")
 
     // ---- segment-bounds table + range-join bucket assignment ------------
@@ -364,7 +396,7 @@ object PushdownDiffer {
       spark.createDataFrame(rows.asJava, StructType(fields.toArray))
     }
     val rangeJoinCond: Column = keyCols.zipWithIndex.map { case (k, d) =>
-      col(k) >= col(s"__graft_lo_$d") && col(k) < col(s"__graft_hi_$d")
+      localKeyCol(k) >= col(s"__graft_lo_$d") && localKeyCol(k) < col(s"__graft_hi_$d")
     }.reduce(_ && _)
     // coarse per-batch cover: the batch's bounding box is an O(dims)
     // sargable predicate that reaches the scan (parquet min/max pruning);
@@ -375,7 +407,7 @@ object PushdownDiffer {
       val highs = keyCols.indices.map(d =>
         chunk.map(_._2(d)).reduce((a, b) => if ((a - b) >= 0) a else b))
       keyCols.zip(boundVals(lows)).zip(boundVals(highs)).map {
-        case ((k, lo), hi) => col(k) >= lit(lo) && col(k) < lit(hi)
+        case ((k, lo), hi) => localKeyCol(k) >= lit(lo) && localKeyCol(k) < lit(hi)
       }.reduce(_ && _)
     }
 

@@ -64,4 +64,47 @@ class JdbcEngineSpec extends AnyFunSuite {
       scala.util.Try(java.sql.DriverManager.getConnection(s"jdbc:derby:$db;drop=true"))
     }
   }
+
+  test("case-insensitive Derby collation: folded key bounds select the same rows as Spark's fold") {
+    // A live TERRITORY_BASED:SECONDARY database — Derby's real
+    // case-insensitive collation, the class PushdownDiffer now absorbs by
+    // case-folding segmentation on both sides. Two things must hold on real
+    // collated comparisons: (1) the RAW bound predicate genuinely disagrees
+    // with Spark's binary ordering (the hazard is real, not hypothetical),
+    // and (2) the folded predicate the differ emits (UPPER(k) between
+    // folded bounds) selects exactly the rows Spark's folded bounds select.
+    assume(derbyAvailable, "no JDBC driver on the classpath")
+    val spark = SparkTest.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, upper}
+    val db = s"memory:graftci${System.nanoTime()}"
+    val setup = java.sql.DriverManager.getConnection(
+      s"jdbc:derby:$db;create=true;territory=en_US;collation=TERRITORY_BASED:SECONDARY")
+    try {
+      val st = setup.createStatement()
+      st.executeUpdate("CREATE TABLE ci (k VARCHAR(10))")
+      st.executeUpdate("INSERT INTO ci VALUES ('a1'),('A2'),('a3'),('B4'),('b5'),('c6')")
+      // sanity: the database really is case-insensitive
+      val eqRs = st.executeQuery("SELECT COUNT(*) FROM ci WHERE k = 'A1'")
+      eqRs.next(); assert(eqRs.getInt(1) == 1, "SECONDARY collation not active")
+      def derbyCount(where: String): Int = {
+        val rs = st.executeQuery(s"SELECT COUNT(*) FROM ci WHERE $where")
+        rs.next(); rs.getInt(1)
+      }
+      val local = Seq("a1", "A2", "a3", "B4", "b5", "c6").toDF("k")
+      val rawDerby = derbyCount("k >= 'A2' AND k < 'B5'")
+      val rawSpark = local.where(col("k") >= "A2" && col("k") < "B5").count()
+      assert(rawDerby == 3 && rawSpark == 2,
+        s"expected raw orderings to disagree (derby=$rawDerby spark=$rawSpark) — " +
+          "if they agree the fold has nothing to prove")
+      val foldedDerby = derbyCount("UPPER(k) >= 'A2' AND UPPER(k) < 'B5'")
+      val foldedSpark = local.where(upper(col("k")) >= "A2" && upper(col("k")) < "B5").count()
+      assert(foldedDerby == 3 && foldedSpark == 3,
+        s"folded bounds must agree: derby=$foldedDerby spark=$foldedSpark")
+      st.close()
+    } finally {
+      setup.close()
+      scala.util.Try(java.sql.DriverManager.getConnection(s"jdbc:derby:$db;drop=true"))
+    }
+  }
 }

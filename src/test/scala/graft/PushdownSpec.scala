@@ -274,6 +274,66 @@ class PushdownDifferSpec extends AnyFunSuite {
     assert(none.isEmpty)
   }
 
+  test("case-insensitive remote collation: segmentation folds, diff still exact, clean segments prune") {
+    // The common warehouse hazard: the remote's text PK is under a
+    // case-insensitive collation (here a real DuckDB NOCASE column), so raw
+    // string bounds select DIFFERENT row sets on each engine. The differ
+    // must case-fold segmentation on both sides and still produce the exact
+    // raw-value diff — including a case-only key difference reported as a
+    // genuine -/+ pair, never masked.
+    import spark.implicits._
+    val n = 600
+    def keyOf(i: Int): String = f"${if (i % 3 == 0) "k" else "K"}${i}%03d"
+    val aRows = (1 to n).map(i => (keyOf(i), s"v$i"))
+    val bRows = (1 to n).flatMap { i =>
+      if (i == 77) None                                  // deleted remotely
+      else if (i == 99) Some((keyOf(i).toUpperCase, s"v$i")) // case-flipped key (k099 → K099)
+      else if (i % 7 == 0 && i >= 200 && i <= 300) Some((keyOf(i), s"v${i}X"))
+      else Some((keyOf(i), s"v$i"))
+    }
+    val a = aRows.toDF("k", "v")
+    val eng = new ProcessEngine(Seq("python3", "-c", bridgeScript), DuckDbProfile)
+    try {
+      eng.query("CREATE TABLE ci_b (k VARCHAR COLLATE NOCASE, v VARCHAR)")
+      eng.query("INSERT INTO ci_b VALUES " +
+        bRows.map { case (k, v) => s"('$k', '$v')" }.mkString(", "))
+      val ciCollation = Collation(ordinal = Some(false),
+        caseSensitive = Some(false), accentSensitive = Some(true))
+      val remote = RemoteTable(eng, "ci_b", Seq("k"), Seq("v"), a.schema,
+        keyCollation = ciCollation)
+      val (out, stats) = PushdownDiffer.diffWithStats(
+        TableSegment(a, Seq("k"), Seq("v")), remote,
+        bisectionFactor = 4, bisectionThreshold = 32)
+      def normKV(df: DataFrame): DataFrame = {
+        val cols = Normalize.normalizedCols(df.schema, Seq("k", "v"))
+        df.select(Seq("k", "v").zip(cols).map { case (nm, c) => c.as(nm) }: _*)
+      }
+      val want = JoinDiffer.diff(normKV(a), normKV(bRows.toDF("k", "v")), Seq("k"), Seq("v"))
+        .collect().map(_.mkString("|")).toSet
+      val got = out.collect().map(_.mkString("|")).toSet
+      assert(got == want)
+      // the case-flipped key surfaces as both raw sides, not silently equal
+      assert(got.exists(_.startsWith("-|k099")) && got.exists(_.startsWith("+|K099")),
+        s"case flip must be reported raw, got $got")
+      assert(stats.segmentsPruned > 0,
+        s"folded cross-engine checksums failed to prune clean segments: $stats")
+    } finally eng.close()
+  }
+
+  test("collation beyond case damage still refuses loudly") {
+    val a = orders.limit(10).withColumn("o_orderpriority", col("o_orderpriority"))
+    val txt = a.select(col("o_orderkey").cast("string").as("k"), col("o_orderpriority").as("v"))
+    txt.createOrReplaceTempView("pd_ai_b")
+    val accentInsensitive = Collation(ordinal = Some(false),
+      caseSensitive = Some(false), accentSensitive = Some(false))
+    val remote = RemoteTable(new SparkViewEngine(spark), "pd_ai_b",
+      Seq("k"), Seq("v"), txt.schema, keyCollation = accentInsensitive)
+    val e = intercept[IllegalArgumentException] {
+      PushdownDiffer.diff(TableSegment(txt, Seq("k"), Seq("v")), remote)
+    }
+    assert(e.getMessage.contains("neither ordinal nor case-insensitive"))
+  }
+
   test("overflow-safe concat mode stays bit-compatible cross-engine") {
     // DuckDB with the MSSQL-style overflow-safe concat: every segment of an
     // unchanged table must still checksum-equal the Spark side, proving
@@ -426,17 +486,23 @@ class PushdownDifferSpec extends AnyFunSuite {
     assert(out.isEmpty)
   }
 
-  test("non-ordinal remote collation refuses string-key pushdown loudly") {
+  test("declared case-insensitive collation runs folded instead of refusing; identical sides prune clean") {
+    // Used to refuse; now the fold handles the case-only damage class. A
+    // remote whose ordering is actually ordinal but DECLARED case-insensitive
+    // is the safe direction (folding both sides is consistent either way):
+    // identical data must still prune to an empty diff through the folded
+    // predicates.
     val base = orders.select(
       concat(lit("K"), col("o_orderkey").cast("string")).as("k"), col("o_totalprice"))
     base.createOrReplaceTempView("pd_spec_coll")
     val remote = RemoteTable(new SparkViewEngine(spark), "pd_spec_coll",
       Seq("k"), Seq("o_totalprice"), base.schema,
       keyCollation = Collation(language = Some("en"), caseSensitive = Some(false)))
-    val e = intercept[IllegalArgumentException] {
-      PushdownDiffer.diff(TableSegment(base, Seq("k"), Seq("o_totalprice")), remote)
-    }
-    assert(e.getMessage.contains("collation"))
+    val (out, stats) = PushdownDiffer.diffWithStats(
+      TableSegment(base, Seq("k"), Seq("o_totalprice")), remote,
+      bisectionFactor = 4, bisectionThreshold = 128)
+    assert(out.isEmpty)
+    assert(stats.leafSegments == 0 && stats.rowsFetched == 0, s"$stats")
   }
 
   test("interactive gate explains each query and can decline it") {
