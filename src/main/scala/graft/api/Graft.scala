@@ -133,12 +133,14 @@ object Graft {
   def diffPushdownIntrospected(local: TableSegment, engine: graft.sources.RemoteEngine,
       remoteTable: String, remoteWhereSql: Option[String] = None,
       bisectionFactor: Int = graft.sources.PushdownDiffer.DefaultBisectionFactor,
-      bisectionThreshold: Int = graft.sources.PushdownDiffer.DefaultBisectionThreshold): DataFrame = {
+      bisectionThreshold: Int = graft.sources.PushdownDiffer.DefaultBisectionThreshold,
+      control: graft.sources.PushdownControl = new graft.sources.PushdownControl()): DataFrame = {
     val compare = local.relevantCols.filterNot(local.keyCols.contains)
     val remote = graft.sources.RemoteTable.introspect(
       engine, remoteTable, local.keyCols, compare, remoteWhereSql)
     val (l, r) = alignPrecision(local, remote)
-    graft.sources.PushdownDiffer.diff(l, r, bisectionFactor, bisectionThreshold)
+    graft.sources.PushdownDiffer.diffWithStats(l, r, bisectionFactor, bisectionThreshold,
+      control = control)._1
   }
 
   /** Cross-engine diff where NEITHER side is Spark-readable — the

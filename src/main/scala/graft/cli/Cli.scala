@@ -260,6 +260,20 @@ object Cli {
         val w = remoteWhereFor(eng.profile).fold("")(p => s" WHERE $p")
         eng.query(s"SELECT COUNT(*) FROM $table$w").head.head.get.trim.toLong
       }
+      // progressive pushdown: diff rows print per bisection level as each
+      // level's leaves are compared, instead of after the whole loop — a
+      // long remote diff shows its first rows in seconds (the reference's
+      // early-streaming UX). Off under --limit (which wants at most N rows
+      // printed once).
+      var printedProgressively = false
+      def progressiveControl(): graft.sources.PushdownControl =
+        new graft.sources.PushdownControl(progressive = a.limit.isEmpty) {
+          override def onLeafDiff(level: Int, d: org.apache.spark.sql.DataFrame): Unit = {
+            if (a.json) DiffFormat.toJsonl(d).toLocalIterator().forEachRemaining(println(_))
+            else d.toLocalIterator().forEachRemaining(r => println(r.mkString(" ")))
+            printedProgressively = true
+          }
+        }
       val diff = (remA, remB) match {
         case (Some((dbA, tA)), Some((dbB, tB))) =>
           val (engA, engB) = (engineFor(dbA), engineFor(dbB))
@@ -285,7 +299,8 @@ object Cli {
             // its own catalog and precisions are negotiated, instead of
             // trusting the local schema to describe the far side
             Graft.diffPushdownIntrospected(segA.copy(extraCols = compare), eng, table,
-              remoteWhereFor(eng.profile), a.bisectionFactor, a.bisectionThreshold)
+              remoteWhereFor(eng.profile), a.bisectionFactor, a.bisectionThreshold,
+              progressiveControl())
           } finally eng.close() // leaf rows are materialized locally by now
         case (Some((db, table)), None) =>
           // remote side FIRST: run the same pushdown with the local side
@@ -327,7 +342,8 @@ object Cli {
       // stream partitions through the driver instead of collecting: without
       // --limit an unexpectedly large diff must not OOM the CLI (the
       // reference likewise streams its diff iterator)
-      if (a.json) DiffFormat.toJsonl(limited).toLocalIterator().forEachRemaining(println(_))
+      if (printedProgressively) () // rows already streamed per level
+      else if (a.json) DiffFormat.toJsonl(limited).toLocalIterator().forEachRemaining(println(_))
       else limited.toLocalIterator().forEachRemaining(r => println(r.mkString(" ")))
       if (a.stats) {
         val s =

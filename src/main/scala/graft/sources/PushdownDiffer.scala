@@ -79,10 +79,25 @@ final case class PushdownLevel(level: Int, segments: Int, pruned: Int, millis: L
   *    checksum-duration guardrail (table_segment.py:20,249-254 logs when a
   *    segment checksum blows past its expected duration).
   */
-class PushdownControl(val checksumWarnSeconds: Int = PushdownControl.DefaultChecksumWarnSeconds) {
+class PushdownControl(val checksumWarnSeconds: Int = PushdownControl.DefaultChecksumWarnSeconds,
+    /** Progressive mode: each bisection level's leaf segments are compared
+      * AS SOON AS the level completes and the rows handed to `onLeafDiff`,
+      * instead of one compare after the whole loop — first diff rows
+      * surface while deeper levels are still bisecting, the reference's
+      * early-streaming UX (its priority threadpool drains deepest segments
+      * first, thread_utils.py:13-39; level-at-a-time, per-level emission is
+      * the same property: results stream in refinement order). Rows already
+      * emitted reflect the columns active when their leaf was compared — a
+      * later `ignoreColumn` cannot unship them, exactly like the
+      * reference's yielded iterator. */
+    val progressive: Boolean = false) {
   @volatile private[this] var ignoredSet: Set[String] = Set.empty
   def ignoreColumn(cols: String*): Unit = ignoredSet ++= cols
   def ignored: Set[String] = ignoredSet
+
+  /** Progressive mode only: one call per level that produced leaves, with
+    * that level's compared diff rows. Default no-op. */
+  def onLeafDiff(level: Int, diff: DataFrame): Unit = ()
 
   def onLevel(info: PushdownLevel): Unit =
     if (info.millis > checksumWarnSeconds * 1000L)
@@ -411,9 +426,40 @@ object PushdownDiffer {
       }.reduce(_ && _)
     }
 
+    // ---- leaf compare (shared by the end-of-loop path and progressive
+    // per-level emission) --------------------------------------------------
+    // All leaf rows cross the wire once, normalized (reference:
+    // table_segment.py:214-237 get_values), and a single join produces the
+    // -/+ rows (diff_sets, hashdiff_tables.py:30-88, expressed relationally).
+    // Local membership is the same broadcast range-join (constant-size plan
+    // at any leaf count); the remote fetch is batched so no statement
+    // enumerates more than maxSegmentsPerQuery leaf predicates.
+    var fetchedRows = 0L
+    def compareLeaves(leafSeq: Seq[Box], cmpCols: Seq[String]): DataFrame = {
+      val rel = keyCols ++ cmpCols
+      val localLeaf = localAligned.copy(extraCols = cmpCols)
+        .withExtraFilter(boundingBoxCond(leafSeq))
+      val localNorm = localLeaf.scoped
+        .join(broadcast(boundsDf(leafSeq)), rangeJoinCond)
+        .select(rel.zip(localLeaf.normCols).map { case (n, c) => c.as(n) }: _*)
+      val fetched = leafSeq.grouped(maxSegmentsPerQuery).toSeq.flatMap { lchunk =>
+        val leafOr = lchunk.map(b => s"(${remotePred(b)})").mkString(" OR ")
+        val fetchSql = profile.selectNormalizedSql(remote.table,
+          rel.map(c => (normSqlByCol(c), c)),
+          Some(remote.extraWhereSql.fold(s"($leafOr)")(e => s"($leafOr) AND ($e)")))
+        remoteQueries += 1
+        remote.engine.query(fetchSql)
+      }
+      fetchedRows += fetched.size
+      val remoteDf = spark.createDataFrame(
+        fetched.map(r => Row(r.map(_.orNull): _*)).asJava, outSchemaOf(rel))
+      JoinDiffer.diff(localNorm, remoteDf, keyCols, cmpCols)
+    }
+
     // ---- level-at-a-time bisection, batched at maxSegmentsPerQuery -------
     type Summary = (Long, Option[BigDecimal])
     val leaves = ArrayBuffer.empty[Box]
+    val emitted = ArrayBuffer.empty[DataFrame]
     var frontier: Seq[Box] = splitBox(rootBox)
     var level = 0
     var probed = 0
@@ -424,6 +470,7 @@ object PushdownDiffer {
       require(level < MaxLevels, s"bisection did not converge after $MaxLevels levels")
       val levelSegments = frontier.size
       val prunedAtStart = pruned
+      val leavesAtStart = leaves.size
       val levelStart = System.nanoTime()
       probed += levelSegments
 
@@ -481,45 +528,39 @@ object PushdownDiffer {
       frontier = next.toSeq
       levelMillis += (System.nanoTime() - levelStart) / 1000000
       control.onLevel(PushdownLevel(level, levelSegments, pruned - prunedAtStart, levelMillis.last))
+      // progressive: this level's fresh leaves are compared NOW, while the
+      // next level's frontier is still uncooked — rows reach the caller
+      // before the loop finishes
+      if (control.progressive && leaves.size > leavesAtStart) {
+        val levelLeaves = leaves.slice(leavesAtStart, leaves.size).toSeq
+        val df = compareLeaves(levelLeaves, activeCompare)
+        emitted += df
+        control.onLeafDiff(level, df)
+      }
       level += 1
     }
 
-    // the leaf compare runs on whatever survived mid-flight drops
+    // the (final) leaf compare runs on whatever survived mid-flight drops
     val finalCompare = compare.filterNot(control.ignored)
     val finalRelevant = keyCols ++ finalCompare
     val droppedCols = compare.filterNot(finalCompare.contains)
+    val stats = PushdownStats(level, probed, pruned, leaves.size, remoteQueries,
+      fetchedRows, levelMillis.toSeq, droppedCols)
 
-    if (leaves.isEmpty)
-      return emptyResult(PushdownStats(level, probed, pruned, 0, remoteQueries, 0,
-        levelMillis.toSeq, droppedCols), finalRelevant)
-
-    // ---- leaf compare ----------------------------------------------------
-    // All leaf rows cross the wire once, normalized (reference:
-    // table_segment.py:214-237 get_values), and a single join produces the
-    // -/+ rows (diff_sets, hashdiff_tables.py:30-88, expressed relationally).
-    // Local membership is the same broadcast range-join (constant-size plan
-    // at any leaf count); the remote fetch is batched so no statement
-    // enumerates more than maxSegmentsPerQuery leaf predicates.
-    val leafSeq = leaves.toSeq
-    val localLeaf = localAligned.copy(extraCols = finalCompare)
-      .withExtraFilter(boundingBoxCond(leafSeq))
-    val localNorm = localLeaf.scoped
-      .join(broadcast(boundsDf(leafSeq)), rangeJoinCond)
-      .select(finalRelevant.zip(localLeaf.normCols).map { case (n, c) => c.as(n) }: _*)
-
-    val fetched = leafSeq.grouped(maxSegmentsPerQuery).toSeq.flatMap { lchunk =>
-      val leafOr = lchunk.map(b => s"(${remotePred(b)})").mkString(" OR ")
-      val fetchSql = profile.selectNormalizedSql(remote.table,
-        finalRelevant.map(c => (normSqlByCol(c), c)),
-        Some(remote.extraWhereSql.fold(s"($leafOr)")(e => s"($leafOr) AND ($e)")))
-      remoteQueries += 1
-      remote.engine.query(fetchSql)
+    if (control.progressive) {
+      // every leaf was already compared (and emitted) per level; the return
+      // value is their union projected onto the final column set — columns
+      // dropped after a level was emitted are dropped here too, so the
+      // DataFrame unions cleanly
+      if (emitted.isEmpty) return emptyResult(stats, finalRelevant)
+      val out = emitted.map(df =>
+        df.select(("sign" +: finalRelevant).map(col): _*)).reduce(_ union _)
+      return (out, stats)
     }
-    val remoteDf = spark.createDataFrame(
-      fetched.map(r => Row(r.map(_.orNull): _*)).asJava, outSchemaOf(finalRelevant))
 
-    val out = JoinDiffer.diff(localNorm, remoteDf, keyCols, finalCompare)
-    (out, PushdownStats(level, probed, pruned, leafSeq.size, remoteQueries, fetched.size,
-      levelMillis.toSeq, droppedCols))
+    if (leaves.isEmpty) return emptyResult(stats, finalRelevant)
+    val out = compareLeaves(leaves.toSeq, finalCompare)
+    (out, PushdownStats(level, probed, pruned, leaves.size, remoteQueries,
+      fetchedRows, levelMillis.toSeq, droppedCols))
   }
 }

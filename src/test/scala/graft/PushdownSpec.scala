@@ -274,6 +274,48 @@ class PushdownDifferSpec extends AnyFunSuite {
     assert(none.isEmpty)
   }
 
+  test("progressive mode emits leaf diff rows per level, earliest level first, union = batch result") {
+    import spark.implicits._
+    // non-uniform key density: a sparse far cluster leafs at level 0 while
+    // the dense region keeps bisecting — so first diff rows MUST surface
+    // several levels before the loop finishes
+    val aRows = (1 to 512).map(i => (i.toLong, s"v$i")) ++
+      Seq((4000L, "s1"), (4200L, "s2"), (4400L, "s3"), (4600L, "s4"), (4800L, "s5"))
+    val bRows = aRows.map { case (k, v) =>
+      if (k == 4200L) (k, "s2X") else if (k <= 512 && k % 50 == 0) (k, v + "X") else (k, v)
+    }
+    val a = aRows.toDF("k", "v")
+    bRows.toDF("k", "v").createOrReplaceTempView("pd_prog_b")
+    val remote = RemoteTable(new SparkViewEngine(spark), "pd_prog_b",
+      Seq("k"), Seq("v"), a.schema)
+    var seen = Vector.empty[(Int, Set[String])]
+    val ctrl = new PushdownControl(progressive = true) {
+      override def onLeafDiff(level: Int, d: DataFrame): Unit =
+        seen :+= ((level, d.collect().map(_.mkString("|")).toSet))
+    }
+    val (out, stats) = PushdownDiffer.diffWithStats(
+      TableSegment(a, Seq("k"), Seq("v")), remote,
+      bisectionFactor = 4, bisectionThreshold = 64, control = ctrl)
+    def normKV(df: DataFrame): DataFrame = {
+      val cols = Normalize.normalizedCols(df.schema, Seq("k", "v"))
+      df.select(Seq("k", "v").zip(cols).map { case (nm, c) => c.as(nm) }: _*)
+    }
+    val want = JoinDiffer.diff(normKV(a), normKV(bRows.toDF("k", "v")), Seq("k"), Seq("v"))
+      .collect().map(_.mkString("|")).toSet
+    // emission order: strictly ascending levels, first emission well before
+    // the loop's final level, and nothing emitted twice
+    val levels = seen.map(_._1)
+    assert(seen.size >= 2, s"expected multi-level emission, got levels $levels")
+    assert(levels == levels.sorted && levels.distinct == levels, s"levels out of order: $levels")
+    assert(levels.head < stats.levels - 1,
+      s"first emission (level ${levels.head}) should precede the last level (${stats.levels - 1})")
+    assert(seen.map(_._2.size).sum == want.size, "a row emitted in two levels (or lost)")
+    assert(seen.flatMap(_._2).toSet == want)
+    // the returned frame is the same union
+    assert(out.collect().map(_.mkString("|")).toSet == want)
+    assert(stats.segmentsPruned > 0 && stats.leafSegments > 0, s"$stats")
+  }
+
   test("case-insensitive remote collation: segmentation folds, diff still exact, clean segments prune") {
     // The common warehouse hazard: the remote's text PK is under a
     // case-insensitive collation (here a real DuckDB NOCASE column), so raw
