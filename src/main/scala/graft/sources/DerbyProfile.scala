@@ -1,0 +1,126 @@
+package graft.sources
+
+import org.apache.spark.sql.types._
+
+import graft.diff.{Checksum, Normalize}
+
+/** JVM statics backing [[DerbyProfile]]'s checksum SQL. Derby ships no
+  * md5/strftime/rpad, but it runs embedded in a JVM and supports Java-backed
+  * `CREATE FUNCTION` — so the three renderings its SQL cannot express are
+  * installed as functions whose Java bodies MIRROR the Spark-side
+  * normalization exactly (`graft.diff.Normalize` / `Checksum`):
+  *
+  *  - `md5Int48`: low 48 bits of the md5 of the UTF-8 string, minus the
+  *    centering offset — the same contract every other profile renders
+  *    natively (reference: data_diff/databases/base.py:411-421).
+  *  - `normTimestamp`: "YYYY-MM-DD HH:MM:SS.ffffff" truncated to precision
+  *    then zero-padded to 26 chars (Derby's own VARCHAR cast drops trailing
+  *    zeros: '…05.0').
+  *  - `normNumber`/`normDouble`: exact decimal string at the mutual
+  *    precision with HALF_UP — Derby's native double→decimal cast
+  *    TRUNCATES (0.005 → 0.00 at scale 2), which would silently break
+  *    checksum parity with Spark/DuckDB, so the rounding happens in Java
+  *    on `BigDecimal` like Spark's `Cast` does.
+  *
+  * Methods are plain object members; Scala emits static forwarders, which
+  * is what Derby's `EXTERNAL NAME` resolution needs.
+  */
+object DerbyFunctions {
+  def md5Int48(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // low 48 bits = last 6 bytes of the 16-byte digest, big-endian
+    var v = 0L
+    var i = 10
+    while (i < 16) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v - Checksum.Offset
+  }
+
+  def md5Hex(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  def normTimestamp(ts: java.sql.Timestamp, precision: Int): String = {
+    val s = ts.toLocalDateTime.format(
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    s.substring(0, 20 + precision).padTo(26, '0')
+  }
+
+  def normNumber(s: String, precision: Int): String =
+    new java.math.BigDecimal(s.trim)
+      .setScale(precision, java.math.RoundingMode.HALF_UP).toPlainString
+
+  def normDouble(v: Double, precision: Int): String =
+    // BigDecimal.valueOf = shortest-repr Double.toString parse — the same
+    // double→decimal route Spark's Cast takes before HALF_UP rescaling
+    java.math.BigDecimal.valueOf(v)
+      .setScale(precision, java.math.RoundingMode.HALF_UP).toPlainString
+}
+
+/** Apache Derby (embedded or client JDBC). The only profiled engine with no
+  * native md5: `bootstrapSql` must run once per database to install the
+  * Java-backed helpers above (the library jar is on the classpath by
+  * construction for embedded Derby; a network server needs it in
+  * `derby.system.home/lib`). Everything else renders in Derby's own SQL:
+  * CHAR-cast+TRIM for exact integer/decimal text (Derby refuses
+  * numeric→VARCHAR casts), `||` concatenation (no concat_ws), CASE for
+  * booleans. Checksums SUM in DECIMAL(31,0) — Derby's widest exact type —
+  * so segment sums cannot wrap int64.
+  */
+object DerbyProfile extends SourceProfile {
+  val name = "derby"
+  def toStringSql(expr: String): String =
+    s"TRIM(CAST(CAST($expr AS CHAR(40)) AS VARCHAR(40)))"
+  def md5AsIntSql(expr: String): String =
+    s"CAST(GRAFT_MD5INT48($expr) AS DECIMAL(31,0))"
+  override def md5AsHexSql(expr: String): String = s"GRAFT_MD5HEX($expr)"
+  def normalizeTimestampSql(expr: String, precision: Int): String =
+    s"GRAFT_NORM_TS($expr, $precision)"
+  /** Exact numerics: render Derby's own exact decimal text, rescale in
+    * Java (HALF_UP, like Spark's Cast — Derby's own cast truncates). */
+  def normalizeNumberSql(expr: String, precision: Int): String =
+    s"GRAFT_NORM_NUM(TRIM(CAST(CAST($expr AS CHAR(60)) AS VARCHAR(60))), $precision)"
+  def normalizeBooleanSql(expr: String): String =
+    // CAST to VARCHAR matters: a bare CASE types as CHAR(1), and Derby's
+    // COALESCE with the CHAR(6) '<null>' literal would unify to CHAR(6)
+    // and PAD the '0'/'1' with five spaces inside the checksum concat
+    s"CAST(CASE WHEN $expr THEN '1' WHEN NOT $expr THEN '0' END AS VARCHAR(1))"
+
+  /** Approximate numerics cannot CHAR-cast in Derby at all — they go to the
+    * double-typed Java helper directly (also the rounding-parity path). */
+  override def normalizedColumnSql(colName: String, dt: DataType,
+      fracPrecision: Int = 2, tsPrecision: Int = 6,
+      stringClass: Option[String] = None): String = dt match {
+    case DoubleType | FloatType =>
+      s"GRAFT_NORM_DBL(CAST(${quote(colName)} AS DOUBLE), $fracPrecision)"
+    case _ =>
+      super.normalizedColumnSql(colName, dt, fracPrecision, tsPrecision, stringClass)
+  }
+
+  /** Derby has no concat_ws; `||` with per-item COALESCE is the same
+    * '|'-joined '<null>'-defaulted string byte for byte. */
+  override def concatSql(normalized: Seq[String]): String =
+    if (preventOverflowWhenConcat) super.concatSql(normalized)
+    else normalized
+      .map(e => s"COALESCE($e, '${Normalize.NullSentinel}')")
+      .mkString(" || '|' || ")
+
+  /** One-time per-database install of the Java-backed helpers (idempotent
+    * callers: ignore SQLState X0Y68 "already exists"). */
+  val bootstrapSql: Seq[String] = {
+    val base = "PARAMETER STYLE JAVA NO SQL LANGUAGE JAVA RETURNS NULL ON NULL INPUT"
+    Seq(
+      "CREATE FUNCTION GRAFT_MD5INT48(S VARCHAR(32672)) RETURNS BIGINT " +
+        s"$base EXTERNAL NAME 'graft.sources.DerbyFunctions.md5Int48'",
+      "CREATE FUNCTION GRAFT_MD5HEX(S VARCHAR(32672)) RETURNS VARCHAR(32) " +
+        s"$base EXTERNAL NAME 'graft.sources.DerbyFunctions.md5Hex'",
+      "CREATE FUNCTION GRAFT_NORM_TS(TS TIMESTAMP, P INTEGER) RETURNS VARCHAR(26) " +
+        s"$base EXTERNAL NAME 'graft.sources.DerbyFunctions.normTimestamp'",
+      "CREATE FUNCTION GRAFT_NORM_NUM(S VARCHAR(64), P INTEGER) RETURNS VARCHAR(80) " +
+        s"$base EXTERNAL NAME 'graft.sources.DerbyFunctions.normNumber'",
+      "CREATE FUNCTION GRAFT_NORM_DBL(V DOUBLE, P INTEGER) RETURNS VARCHAR(80) " +
+        s"$base EXTERNAL NAME 'graft.sources.DerbyFunctions.normDouble'")
+  }
+}

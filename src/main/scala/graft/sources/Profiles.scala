@@ -6,6 +6,35 @@ import graft.diff.Checksum
   * (SURVEY.md §2.1 lists 13 connectors). Each is ~10 lines: the md5→int48
   * checksum formula plus the canonical string renderings, golden-tested
   * against the reference's rendered SQL in `ProfilesSpec`.
+  *
+  * == Validation status per dialect — read before trusting a profile ==
+  *
+  * "wire" = the profile's checksum SQL has executed on a LIVE engine of that
+  * family in this repo's test suite and matched Spark bit-for-bit; "golden"
+  * = the rendered SQL is string-pinned against the reference's dialect
+  * output but has never crossed a socket (no such engine exists in the
+  * build sandbox). A golden-only profile's formulas come straight from the
+  * reference's shipped connectors, and the seeded cross-engine fuzz
+  * (`ChecksumFuzzSpec`) exercises the shared rendering contract on two live
+  * families (DuckDB's cast-style SQL, Derby's function-style SQL) — but an
+  * engine's own parser/driver quirks are only ever proven by a wire test.
+  *
+  * | profile     | status |
+  * |-------------|--------|
+  * | duckdb      | wire (live child process: pushdown e2e, checksum fuzz, introspection) |
+  * | derby       | wire (live embedded JDBC: checksum fuzz, collation, engine round-trip) |
+  * | spark       | wire (in-process SQL round-trip via SparkViewEngine) |
+  * | postgresql  | golden (+ plain SELECTs exercised over a real JDBC driver in `JdbcEngineSpec`) |
+  * | mysql       | golden |
+  * | trino       | golden |
+  * | snowflake   | golden |
+  * | bigquery    | golden |
+  * | clickhouse  | golden |
+  * | mssql       | golden (overflow-safe concat mode ALSO wire-tested against live DuckDB) |
+  * | oracle      | golden |
+  * | redshift    | golden |
+  * | vertica     | golden |
+  * | databricks  | golden |
   */
 
 /** Snowflake (reference: data_diff/databases/snowflake.py:65-112).

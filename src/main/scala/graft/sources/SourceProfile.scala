@@ -319,7 +319,7 @@ object SourceProfile {
     (Seq(DuckDbProfile, PostgresProfile, MySqlProfile, TrinoProfile,
       SnowflakeProfile, BigQueryProfile, ClickHouseProfile, MsSqlProfile,
       OracleProfile, RedshiftProfile, VerticaProfile, DatabricksProfile,
-      SparkProfile).map(p => p.name -> p) :+ ("presto" -> TrinoProfile)).toMap
+      SparkProfile, DerbyProfile).map(p => p.name -> p) :+ ("presto" -> TrinoProfile)).toMap
 
   /** The type families a remote column can land in for diffing — the
     * reference's ColType hierarchy collapsed to what normalization needs

@@ -26,8 +26,23 @@ class ChecksumFuzzSpec extends AnyFunSuite {
   private val TsFmt =
     DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS").withZone(ZoneOffset.UTC)
 
-  test("300 random mixed-type rows checksum identically in Spark and live DuckDB") {
-    val rnd = new scala.util.Random(20260812)
+  private val schema = StructType(Seq(
+    StructField("k", LongType, nullable = false),
+    StructField("d", DecimalType(12, 2)),
+    StructField("x", DoubleType),
+    StructField("s", StringType),
+    StructField("ts", TimestampType),
+    StructField("b", BooleanType),
+    StructField("dt", DateType)))
+
+  private type FuzzRow = (Long, Option[java.math.BigDecimal], Option[Double],
+    Option[String], Option[Long], Option[Boolean], Option[Int])
+
+  /** Same SEED → same rows on every engine under test: nulls, unicode,
+    * quotes/pipes, the `<null>` sentinel as data, rounding-tie doubles,
+    * micro-precision timestamps. */
+  private def mixedRows(seed: Long): Seq[FuzzRow] = {
+    val rnd = new scala.util.Random(seed)
     def opt[T](f: => T): Option[T] = if (rnd.nextInt(100) < 12) None else Some(f)
     val stringPool = Seq("", " ", "  padded  ", "<null>", "a|b", "it's", "quote\"d",
       "日本語テキスト", "emoji ❤", "NaN", "null", "0", "-0.00")
@@ -52,43 +67,97 @@ class ChecksumFuzzSpec extends AnyFunSuite {
         case _ => base * 1000000L + rnd.between(0L, 1000000L) // full micros
       }
     }
-
-    val rows = (1L to 300L).map { k =>
+    (1L to 300L).map { k =>
       (k, opt(randDec()), opt(randDouble()), opt(randString()),
         opt(randMicros()), opt(rnd.nextBoolean()), opt(rnd.between(0, 24000))) // dates 1970..~2035
     }
+  }
 
-    val schema = StructType(Seq(
-      StructField("k", LongType, nullable = false),
-      StructField("d", DecimalType(12, 2)),
-      StructField("x", DoubleType),
-      StructField("s", StringType),
-      StructField("ts", TimestampType),
-      StructField("b", BooleanType),
-      StructField("dt", DateType)))
+  private def sparkDf(rows: Seq[FuzzRow]) = {
     val sparkRows = rows.map { case (k, d, x, s, ts, b, dt) =>
       Row(k, d.orNull, x.map(Double.box).orNull, s.orNull,
         ts.map(m => java.sql.Timestamp.from(Instant.ofEpochSecond(m / 1000000L, (m % 1000000L) * 1000L))).orNull,
         b.map(Boolean.box).orNull,
         dt.map(days => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(days.toLong))).orNull)
     }
-    val df = spark.createDataFrame(
-      spark.sparkContext.parallelize(sparkRows, 4), schema)
+    spark.createDataFrame(spark.sparkContext.parallelize(sparkRows, 4), schema)
+  }
 
-    def lit(v: Any): String = v match {
-      case null => "NULL"
-      case s: String => "'" + s.replace("'", "''") + "'"
-      case other => other.toString
+  private def strLit(v: String): String = "'" + v.replace("'", "''") + "'"
+  private def tsText(m: Long): String =
+    TsFmt.format(Instant.ofEpochSecond(m / 1000000L, (m % 1000000L) * 1000L))
+  private def dateText(days: Int): String =
+    java.time.LocalDate.ofEpochDay(days.toLong).toString
+
+  /** Run the profile's own checksum SQL on a live engine holding `rows` and
+    * assert bit-parity with `TableSegment.countAndChecksum`, then mutate one
+    * character remotely and assert the checksum moves (parity not vacuous). */
+  private def assertChecksumParity(rows: Seq[FuzzRow],
+      eng: graft.sources.RemoteEngine, profile: graft.sources.SourceProfile,
+      table: String, mutate: String => Unit): Unit = {
+    val normalized = schema.fields.map(f =>
+      profile.normalizedColumnSql(f.name, f.dataType)).toIndexedSeq
+    val remote = eng.query(profile.checksumQuerySql(table, normalized)).head
+    val (remoteCnt, remoteSum) = (remote(0).get.trim.toLong, BigDecimal(remote(1).get.trim))
+    val (localCnt, localSum) = TableSegment(sparkDf(rows), Seq("k")).countAndChecksum()
+    assert(localCnt == remoteCnt)
+    if (!localSum.contains(remoteSum)) {
+      // localize the divergence: pull the normalized projection from BOTH
+      // sides and report the first differing rows column by column
+      val rel = schema.fields.map(_.name).toSeq
+      val remoteRows = eng.query(profile.selectNormalizedSql(table,
+        rel.map(c => (profile.normalizedColumnSql(c, schema(c).dataType), c))))
+        .map(r => r.head.get.trim -> r).toMap
+      val df = sparkDf(rows)
+      val localRows = df.select(rel.zip(
+          graft.diff.Normalize.normalizedCols(df.schema, rel)).map { case (n, c) => c.as(n) }: _*)
+        .collect().map(r => r.getString(0) ->
+          (0 until r.length).map(i => Option(r.get(i)).map(_.toString)).toSeq).toMap
+      val diffs = localRows.keys.toSeq.sortBy(_.toLong).flatMap { k =>
+        remoteRows.get(k) match {
+          case None => Some(s"k=$k missing remotely")
+          case Some(rr) if rr != localRows(k) =>
+            Some(s"k=$k\n  local : ${localRows(k)}\n  remote: $rr")
+          case _ => None
+        }
+      }
+      // normalized projections can agree while the CONCAT diverges — compare
+      // per-row checksums too
+      val remoteCk = eng.query(profile.selectNormalizedSql(table, Seq(
+          (profile.toStringSql(profile.quote("k")), "k"),
+          (profile.md5AsIntSql(profile.concatSql(normalized)), "ck"))))
+        .map(r => r(0).get.trim -> BigDecimal(r(1).get.trim)).toMap
+      import org.apache.spark.sql.functions.col
+      val localCk = df.select(col("k").cast("string"),
+          graft.diff.Checksum.rowChecksum(
+            graft.diff.Normalize.normalizedCols(df.schema, rel)).cast("decimal(38,0)"))
+        .collect().map(r => r.getString(0) -> BigDecimal(r.getDecimal(1))).toMap
+      val ckDiffs = localCk.keys.toSeq.sortBy(_.toLong)
+        .filter(k => remoteCk.get(k) != Some(localCk(k)))
+        .map(k => s"k=$k localCk=${localCk(k)} remoteCk=${remoteCk.get(k)} " +
+          s"localRow=${localRows(k)}")
+      fail(s"checksum mismatch vs ${profile.name}: spark=$localSum remote=$remoteSum; " +
+        s"differing normalized rows:\n${diffs.take(5).mkString("\n")}\n" +
+        s"differing row checksums:\n${ckDiffs.take(5).mkString("\n")}")
     }
+    // sanity: parity is not vacuous — a one-character mutation moves it
+    mutate(s"UPDATE $table SET ${profile.quote("s")} = 'MUTATED' " +
+      s"WHERE ${profile.quote("k")} = 7")
+    val mutated = eng.query(profile.checksumQuerySql(table, normalized)).head
+    assert(BigDecimal(mutated(1).get.trim) != remoteSum)
+  }
+
+  test("300 random mixed-type rows checksum identically in Spark and live DuckDB") {
+    val rows = mixedRows(20260812)
     val values = rows.map { case (k, d, x, s, ts, b, dt) =>
       Seq(
         k.toString,
         d.map(_.toPlainString).getOrElse("NULL"),
         x.map(_.toString).map(v => s"CAST($v AS DOUBLE)").getOrElse("NULL"),
-        s.map(v => lit(v)).getOrElse("NULL"),
-        ts.map(m => "TIMESTAMP '" + TsFmt.format(Instant.ofEpochSecond(m / 1000000L, (m % 1000000L) * 1000L)) + "'").getOrElse("NULL"),
+        s.map(strLit).getOrElse("NULL"),
+        ts.map(m => s"TIMESTAMP '${tsText(m)}'").getOrElse("NULL"),
         b.map(_.toString.toUpperCase).getOrElse("NULL"),
-        dt.map(days => "DATE '" + java.time.LocalDate.ofEpochDay(days.toLong) + "'").getOrElse("NULL")
+        dt.map(days => s"DATE '${dateText(days)}'").getOrElse("NULL")
       ).mkString("(", ", ", ")")
     }.mkString(", ")
 
@@ -98,24 +167,59 @@ class ChecksumFuzzSpec extends AnyFunSuite {
       eng.query("CREATE TABLE fuzz(k BIGINT, d DECIMAL(12,2), x DOUBLE, " +
         "s VARCHAR, ts TIMESTAMP, b BOOLEAN, dt DATE)")
       eng.query(s"INSERT INTO fuzz VALUES $values")
-      val normalized = schema.fields.map(f =>
-        DuckDbProfile.normalizedColumnSql(f.name, f.dataType))
-      val remote = eng.query(
-        DuckDbProfile.checksumQuerySql("fuzz", normalized.toIndexedSeq)).head
-      val (remoteCnt, remoteSum) =
-        (remote(0).get.toLong, BigDecimal(remote(1).get))
-
-      val (localCnt, localSum) = TableSegment(df, Seq("k")).countAndChecksum()
-      assert(localCnt == remoteCnt)
-      assert(localSum.contains(remoteSum),
-        s"checksum mismatch: spark=$localSum duckdb=$remoteSum")
-
-      // sanity: parity is not vacuous — a one-character mutation moves it
-      eng.query("UPDATE fuzz SET s = 'MUTATED' WHERE k = 7")
-      val mutated = eng.query(
-        DuckDbProfile.checksumQuerySql("fuzz", normalized.toIndexedSeq)).head
-      assert(BigDecimal(mutated(1).get) != remoteSum)
+      assertChecksumParity(rows, eng, DuckDbProfile, "fuzz", sql => eng.query(sql))
     } finally eng.close()
+  }
+
+  test("the same seeded rows checksum identically in Spark and live embedded Derby") {
+    // the SECOND live engine family: Derby's profile renders through
+    // CHAR-casts, || concatenation, and the Java-backed bootstrap functions
+    // — none of the DuckDB SQL surface — so agreement here pins the
+    // normalization CONTRACT, not one engine's rendering quirks
+    assume(scala.util.Try(Class.forName("org.apache.derby.jdbc.EmbeddedDriver")).isSuccess,
+      "no Derby driver on the classpath")
+    import graft.sources.{DerbyProfile, JdbcEngine}
+    val rows = mixedRows(20260812) // SAME seed as the DuckDB run
+    // doubles render in E-notation ("1.0E-9" stays approximate) or get E0
+    // appended — Derby types a bare decimal literal as DECIMAL and its
+    // decimal→double conversion would still be exact, but the explicit
+    // approximate literal keeps the insert unambiguous
+    def dblLit(v: Double): String = {
+      val s = v.toString
+      if (s.contains("E") || s.contains("e")) s else s + "E0"
+    }
+    val values = rows.map { case (k, d, x, s, ts, b, dt) =>
+      Seq(
+        k.toString,
+        d.map(_.toPlainString).getOrElse("NULL"),
+        x.map(dblLit).getOrElse("NULL"),
+        s.map(strLit).getOrElse("NULL"),
+        ts.map(m => s"TIMESTAMP('${tsText(m)}')").getOrElse("NULL"),
+        b.map(_.toString.toUpperCase).getOrElse("NULL"),
+        dt.map(days => s"DATE('${dateText(days)}')").getOrElse("NULL")
+      ).mkString("(", ", ", ")")
+    }.mkString(", ")
+
+    val db = s"memory:graftfuzz${System.nanoTime()}"
+    val setup = java.sql.DriverManager.getConnection(s"jdbc:derby:$db;create=true")
+    val eng = new JdbcEngine(s"jdbc:derby:$db", new java.util.Properties(), DerbyProfile)
+    try {
+      def exec(sql: String): Unit = {
+        val st = setup.createStatement()
+        try st.executeUpdate(sql) finally st.close()
+      }
+      DerbyProfile.bootstrapSql.foreach(exec)
+      // quoted lowercase columns: Derby folds unquoted identifiers to
+      // UPPERCASE while the profile quotes the Spark-side (lowercase) names
+      exec("""CREATE TABLE fuzz("k" BIGINT, "d" DECIMAL(12,2), "x" DOUBLE, """ +
+        """"s" VARCHAR(100), "ts" TIMESTAMP, "b" BOOLEAN, "dt" DATE)""")
+      exec(s"INSERT INTO fuzz VALUES $values")
+      assertChecksumParity(rows, eng, DerbyProfile, "fuzz", exec)
+    } finally {
+      eng.close()
+      setup.close()
+      scala.util.Try(java.sql.DriverManager.getConnection(s"jdbc:derby:$db;drop=true"))
+    }
   }
 }
 

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.{DuckDbProfile, MySqlProfile, PostgresProfile, SourceProfile, TrinoProfile}
+import graft.sources.{DerbyProfile, DuckDbProfile, MySqlProfile, PostgresProfile, SourceProfile, TrinoProfile}
 
 class SourceProfileSpec extends AnyFunSuite {
 
@@ -51,9 +51,22 @@ class SourceProfileSpec extends AnyFunSuite {
     assert(SourceProfile.registry.keySet ==
       Set("duckdb", "postgresql", "mysql", "trino", "presto", "snowflake",
         "bigquery", "clickhouse", "mssql", "oracle", "redshift", "vertica",
-        "databricks", "spark"))
+        "databricks", "spark", "derby"))
     assert(SourceProfile.registry("mysql") eq MySqlProfile)
     assert(SourceProfile.registry("presto") eq TrinoProfile)
+  }
+
+  test("derby: java-backed functions, ||-concat, VARCHAR-typed boolean, decimal sum headroom") {
+    assert(DerbyProfile.md5AsIntSql("x") == "CAST(GRAFT_MD5INT48(x) AS DECIMAL(31,0))")
+    assert(DerbyProfile.concatSql(Seq("a", "b")) ==
+      "COALESCE(a, '<null>') || '|' || COALESCE(b, '<null>')")
+    // CHAR(1) CASE would pad to CHAR(6) against the '<null>' literal in
+    // COALESCE — the VARCHAR cast is load-bearing (caught by the live fuzz)
+    assert(DerbyProfile.normalizeBooleanSql("b") ==
+      "CAST(CASE WHEN b THEN '1' WHEN NOT b THEN '0' END AS VARCHAR(1))")
+    assert(DerbyProfile.normalizedColumnSql("x", org.apache.spark.sql.types.DoubleType) ==
+      "GRAFT_NORM_DBL(CAST(\"x\" AS DOUBLE), 2)")
+    assert(DerbyProfile.bootstrapSql.size == 5)
   }
 
   test("segmented checksum groups by the repeated CASE expression, not position") {
