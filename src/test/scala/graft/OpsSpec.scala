@@ -365,6 +365,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(bin.schema("payload").dataType == org.apache.spark.sql.types.BinaryType)
   }
 
+  test("a custom MediaCodec injects through the pipeline with unchanged shape") {
+    import spark.implicits._
+    // a "real decoder" stand-in: recognizably different values, same schema
+    object FakeJpeg extends Multimodal.MediaCodec {
+      def features(kind: String, payload: Array[Byte]): (Long, Int, Long) =
+        (payload.length * 1000L, 42, 7L)
+      def resize(frame: Array[Byte], outBytes: Int): Array[Byte] =
+        Array.fill[Byte](outBytes)(9)
+    }
+    val docs = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text")
+    val viaStub = Multimodal.featurePipeline(spark, docs, "doc_id", "text")
+    val viaFake = Multimodal.featurePipeline(spark, docs, "doc_id", "text", FakeJpeg)
+    // identical schema — the pipeline is codec-agnostic
+    assert(viaFake.schema == viaStub.schema)
+    val feats = viaFake.collect().map(f => f.doc_id -> f).toMap
+    assert(feats(1L).byte_sum == 3000L && feats(1L).head_byte == 42 && feats(1L).checksum8 == 7L)
+    assert(feats(1L).n_bytes == 3L) // payload plumbing untouched by the codec
+    val media = Seq(Multimodal.MediaRow(1L, "x", Array.tabulate[Byte](8)(_.toByte))).toDS()
+    val resized = Multimodal.resizeFrames(
+      Multimodal.sampleFrames(media, frameBytes = 4, stride = 1), outBytes = 3, FakeJpeg)
+      .collect()
+    assert(resized.forall(_.frame.toSeq == Seq[Byte](9, 9, 9)))
+  }
+
   test("frame sampling fans out strided fixed-width frames; resize shrinks them") {
     import spark.implicits._
     val media = Seq(Multimodal.MediaRow(1L, "x", Array.tabulate[Byte](20)(_.toByte)))
