@@ -58,17 +58,32 @@ object RemoteRemoteDiffer {
     }
     // text keys: BOTH engines evaluate the same string range predicates —
     // orderings must agree with each other (and with the coordinator's
-    // binary order, which generated the bounds)
-    if (keyCols.exists(k => a.schema(k).dataType == StringType)) {
-      Seq(a.keyCollation, b.keyCollation).foreach { c =>
-        Collation.negotiate(Collation.SparkBinary, c) match {
-          case Right(None) => ()
-          case _ => throw new IllegalArgumentException(
-            "non-ordinal text-key collation on a remote side: key-range " +
-              "predicates would select different rows per engine")
+    // binary order, which generated the bounds). A side whose collation is
+    // case-insensitive ONLY is absorbed the same way PushdownDiffer does:
+    // every segmentation artifact folds through UPPER() — and it must fold
+    // on BOTH sides, because bounds generated in folded space would
+    // mis-select raw mixed-case keys on the ordinal side. Checksums and
+    // leaf rows stay raw, so case-only key differences are still reported.
+    // Damage beyond case (accent-insensitive, unknown locales) refuses.
+    val foldKeyCols: Set[String] =
+      if (!keyCols.exists(k => a.schema(k).dataType == StringType)) Set.empty
+      else {
+        val sideFolds = Seq(a.keyCollation, b.keyCollation).map { c =>
+          Collation.negotiate(Collation.SparkBinary, c) match {
+            case Right(None) => false
+            case Right(Some(_))
+                if c.caseSensitive.contains(false) &&
+                  !c.accentSensitive.contains(false) => true
+            case _ => throw new IllegalArgumentException(
+              "text-key collation on a remote side is neither ordinal nor " +
+                "case-insensitive-only: key-range predicates would select different " +
+                "rows per engine and no case fold repairs that ordering")
+          }
         }
+        if (sideFolds.exists(identity))
+          keyCols.filter(k => a.schema(k).dataType == StringType).toSet
+        else Set.empty
       }
-    }
     val compare = a.relevantCols.filterNot(keyCols.contains)
 
     // UUID casing alignment: only when BOTH sides' introspection classified
@@ -102,7 +117,8 @@ object RemoteRemoteDiffer {
     def parseKey(k: String, s: String): Any = a.schema(k).dataType match {
       case ByteType | ShortType | IntegerType | LongType => java.lang.Long.valueOf(s.trim.toLong)
       case dt: DecimalType if dt.scale == 0 => new java.math.BigDecimal(s.trim)
-      case StringType => s
+      case StringType =>
+        if (foldKeyCols(k)) s.toUpperCase(java.util.Locale.ROOT) else s
       case other => throw new IllegalArgumentException(
         s"unsupported key type for $k: $other (decimal keys must have scale 0)")
     }
@@ -141,9 +157,11 @@ object RemoteRemoteDiffer {
     }
     def pred(t: RemoteTable, box: Box): String = {
       val p = t.engine.profile
+      def keySql(k: String): String =
+        if (foldKeyCols(k)) s"UPPER(${p.quote(k)})" else p.quote(k)
       keyCols.zip(box._1.map(TableSegment.fromKey)).zip(box._2.map(TableSegment.fromKey))
         .map { case ((k, lo), hi) =>
-          s"${p.quote(k)} >= ${p.literal(lo)} AND ${p.quote(k)} < ${p.literal(hi)}" }
+          s"${keySql(k)} >= ${p.literal(lo)} AND ${keySql(k)} < ${p.literal(hi)}" }
         .mkString(" AND ")
     }
 

@@ -362,6 +362,46 @@ class PushdownDifferSpec extends AnyFunSuite {
     } finally eng.close()
   }
 
+  test("remote-remote with one case-insensitive side folds BOTH engines' segmentation") {
+    // side A: ordinal Spark SQL; side B: live DuckDB NOCASE. Bounds are
+    // generated in folded space, so the ordinal side must fold too or its
+    // raw mixed-case keys fall outside the folded bounds.
+    import spark.implicits._
+    val n = 400
+    def keyOf(i: Int): String = f"${if (i % 3 == 0) "r" else "R"}$i%03d"
+    val aRows = (1 to n).map(i => (keyOf(i), s"v$i"))
+    val bRows = (1 to n).map { i =>
+      if (i % 11 == 0) (keyOf(i), s"v${i}X") else (keyOf(i), s"v$i")
+    }
+    aRows.toDF("k", "v").createOrReplaceTempView("rr_ci_a")
+    val eng = new ProcessEngine(Seq("python3", "-c", bridgeScript), DuckDbProfile)
+    try {
+      eng.query("CREATE TABLE rr_ci_b (k VARCHAR COLLATE NOCASE, v VARCHAR)")
+      eng.query("INSERT INTO rr_ci_b VALUES " +
+        bRows.map { case (k, v) => s"('$k', '$v')" }.mkString(", "))
+      val ci = Collation(ordinal = Some(false),
+        caseSensitive = Some(false), accentSensitive = Some(true))
+      val ta = RemoteTable.introspect(new SparkViewEngine(spark), "rr_ci_a", Seq("k"), Seq("v"))
+      val tb = RemoteTable.introspect(eng, "rr_ci_b", Seq("k"), Seq("v"))
+        .copy(keyCollation = ci)
+      val tp = math.min(ta.tsPrecision, tb.tsPrecision)
+      val fp = math.max(ta.fracPrecision, tb.fracPrecision)
+      val (out, stats) = RemoteRemoteDiffer.diff(spark,
+        ta.copy(fracPrecision = fp, tsPrecision = tp),
+        tb.copy(fracPrecision = fp, tsPrecision = tp),
+        bisectionFactor = 4, bisectionThreshold = 32)
+      def normKV(df: DataFrame): DataFrame = {
+        val cols = Normalize.normalizedCols(df.schema, Seq("k", "v"))
+        df.select(Seq("k", "v").zip(cols).map { case (nm, c) => c.as(nm) }: _*)
+      }
+      val want = JoinDiffer.diff(normKV(aRows.toDF("k", "v")), normKV(bRows.toDF("k", "v")),
+        Seq("k"), Seq("v")).collect().map(_.mkString("|")).toSet
+      assert(out.collect().map(_.mkString("|")).toSet == want)
+      assert(stats.segmentsPruned > 0,
+        s"folded cross-engine checksums failed to prune: $stats")
+    } finally eng.close()
+  }
+
   test("collation beyond case damage still refuses loudly") {
     val a = orders.limit(10).withColumn("o_orderpriority", col("o_orderpriority"))
     val txt = a.select(col("o_orderkey").cast("string").as("k"), col("o_orderpriority").as("v"))
