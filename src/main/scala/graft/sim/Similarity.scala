@@ -234,33 +234,55 @@ object Similarity {
     * Everything before the final cosine is exact integer math, reproducible
     * on any engine: components quantize as floor(x·1e6); each hyperplane is
     * a Rademacher (±1) vector whose sign at (h, j) derives from the 48-bit
-    * md5 of "h|j" — deterministic, seedless, and renderable in plain SQL —
-    * and each sign bit is (Σ ±xi ≥ 0). A hyperplane never materializes:
-    * the (h, j) cross join is a broadcast of the h-range against the
-    * already-exploded component rows, n·dim·H rows through one partial
-    * aggregation — linear in the corpus, no driver state, no collect. */
+    * md5 HEAD of "h|j" — deterministic, seedless, and renderable in plain
+    * SQL — and each sign bit is (Σ ±xi ≥ 0). The sign table is H×dim ints,
+    * computed ONCE driver-side with the same JVM static the codegen'd md5
+    * expression calls (bit-identical to the SQL form the oracle runs) and
+    * broadcast; all H projections of a vector then run in one NARROW kernel
+    * pass emitting `bands` bucket rows directly. This replaces the previous
+    * n·dim·H projection join + aggregation — a 12.8M-row shuffle at n=5k,
+    * dim=64, H=40 that dominated the operator's cost (measured ~3.2 s at
+    * sf0.1; the kernel pass is the same arithmetic in a JIT'd loop with no
+    * exchange at all). */
   def lshNearDup(vecs: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bands: Int = 8, bitsPerBand: Int = 5,
       dim: Int = 64): DataFrame = {
     val spark = vecs.sparkSession
+    import spark.implicits._
     val hCount = bands * bitsPerBand
-    val dims = vecs.select(col(idCol).cast("long").as("id"),
-        posexplode(col(vecCol)).as(Seq("j", "x")))
-      .withColumn("xi", floor(col("x").cast("double") * 1000000).cast("long"))
-    // the ±1 sign table is H×dim — computed ONCE (an md5 per (h, j), a few
-    // thousand total) and broadcast-joined on the component index, instead
-    // of hashing "h|j" again for every one of the n·dim·H projection rows
-    val planes = broadcast(
-      spark.range(hCount).select(col("id").cast("int").as("h"))
-        .crossJoin(dims.select(col("j")).distinct())
-        .withColumn("s", pmod(graft.dedup.Dedup.md5Int48(
-            concat(col("h").cast("string"), lit("|"), col("j").cast("string"))),
-          lit(2)) * 2 - 1))
-    val buckets = dims.join(planes, Seq("j"))
-      .groupBy("id", "h").agg(sum(col("s") * col("xi")).as("p"))
-      .groupBy(col("id"), expr(s"h div $bitsPerBand").as("band"))
-      .agg(sum(when(col("p") >= 0,
-        expr(s"shiftleft(1, h % $bitsPerBand)").cast("long")).otherwise(0L)).as("bucket"))
+    val signs: Array[Array[Int]] = Array.tabulate(hCount, dim) { (h, j) =>
+      val bits = graft.functions.HashUtils.md5Bits48(
+        s"$h|$j".getBytes(java.nio.charset.StandardCharsets.UTF_8), false)
+      (math.floorMod(bits, 2L) * 2 - 1).toInt // head48 is non-negative; pmod ≡ mod
+    }
+    val bcSigns = spark.sparkContext.broadcast(signs)
+    val (nBands, bpb) = (bands, bitsPerBand)
+    val buckets = vecs
+      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val sg = bcSigns.value
+        it.flatMap { case (id, v) =>
+          require(v.length <= sg(0).length,
+            s"vector dim ${v.length} exceeds the sign table's $dim — pass dim explicitly")
+          val xi = new Array[Long](v.length)
+          var j = 0
+          while (j < v.length) { xi(j) = math.floor(v(j) * 1000000).toLong; j += 1 }
+          (0 until nBands).iterator.map { band =>
+            var bucket = 0L
+            var bit = 0
+            while (bit < bpb) {
+              val row = sg(band * bpb + bit)
+              var p = 0L
+              var k = 0
+              while (k < xi.length) { p += row(k) * xi(k); k += 1 }
+              if (p >= 0) bucket |= 1L << bit
+              bit += 1
+            }
+            (id, band, bucket)
+          }
+        }
+      }.toDF("id", "band", "bucket")
     val cand = buckets.select(col("id").as("id_a"), col("band"), col("bucket"))
       .join(buckets.select(col("id").as("id_b"), col("band"), col("bucket")),
         Seq("band", "bucket"))
@@ -269,17 +291,29 @@ object Similarity {
     val unit = withUnitVector(
       vecs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")), "v", "nv")
     // verification joins stay shuffle-based (no broadcast of the corpus —
-    // this is the path for corpora similarPairs refuses). The dot stays the
-    // fold-based HOF: an element_at unroll was measured 5× SLOWER here (the
-    // 64-term expression blows past codegen method limits and deoptimizes
-    // the whole stage), and candidates are few when band parameters match
-    // the corpus size.
+    // this is the path for corpora similarPairs refuses). The dot itself is
+    // a primitive kernel, NOT the fold-based HOF: candidate volume is
+    // Σ bucket² and on clustered corpora the bands under-prune (measured at
+    // sf0.1: 2k vectors → 464k candidates, 23% of all pairs), so the
+    // interpreted CodegenFallback fold was the operator's dominant cost.
+    // The kernel accumulates in ascending index order — the same
+    // zero-initialized left fold — so sims stay bit-identical to the SQL
+    // form the oracle runs. (An element_at unroll was measured 5× slower
+    // still: the 64-term expression blows past codegen method limits and
+    // deoptimizes the whole stage.)
     cand
       .join(unit.select(col("id").as("id_a"), col("nv").as("na")), Seq("id_a"))
       .join(unit.select(col("id").as("id_b"), col("nv").as("nb")), Seq("id_b"))
-      .withColumn("sim", dot(col("na"), col("nb")))
+      .select(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .as[(Long, Long, Array[Double], Array[Double])]
+      .mapPartitions(_.map { case (a, b, na, nb) =>
+        var s = 0.0
+        var k = 0
+        while (k < na.length) { s += na(k) * nb(k); k += 1 }
+        (a, b, s)
+      })
+      .toDF("id_a", "id_b", "sim")
       .where(col("sim") >= threshold)
-      .select("id_a", "id_b", "sim")
   }
 
   /** SemDeDup-style semantic deduplication: near-duplicate detection
