@@ -37,6 +37,21 @@ object EmbeddingQueries {
       Similarity.lshNearDup(emb(s, d), "vec_id", "embedding", 0.45)
         .orderBy("id_a", "id_b")),
 
+    // ANN EVALUATION as a first-class gate: recall@k of the IVF path against
+    // the exact brute force, integer hit counts per query (the caller
+    // divides) — how a pipeline decides whether its coarse quantizer is
+    // good enough before trusting it at scale.
+    "q_ann_recall" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      val exact = Similarity.bruteForceTopK(q, c, 8)
+      val approx = Similarity.ivfTopK(e, "vec_id", "embedding", "label",
+        col("vec_id") < 5, k = 8)
+      Similarity.recallAtK(exact, approx, 8).orderBy("query_id")
+    }),
+
     // int8 quantization summarized per vector: the dequantization scale and
     // an md5 signature of the quantized components (proves bit parity of
     // all 64 rounded values without exploding the output).
@@ -205,6 +220,51 @@ object EmbeddingQueries {
         |SELECT query_id, neighbor_id, rank, sim FROM (
         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank
         |  FROM sims) WHERE rank <= 8 ORDER BY query_id, rank""".stripMargin,
+
+    "q_ann_recall" ->
+      """WITH n AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+        |      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))), (a, c) -> a + c))) AS nv
+        |  FROM embeddings),
+        |exact_sims AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_prepend(0.0, list_transform(list_zip(q.nv, c.nv),
+        |        x -> x[1] * x[2])), (a, x) -> a + x) AS sim
+        |  FROM n q, n c WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+        |ex AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |    FROM exact_sims) WHERE rank <= 8),
+        |dims AS (
+        |  SELECT vec_id AS vid, label AS cell, i - 1 AS pos,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xi
+        |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS r(i)),
+        |cent AS (SELECT cell, pos, CAST(SUM(xi) AS BIGINT) AS sxi, COUNT(*) AS n
+        |  FROM dims GROUP BY cell, pos),
+        |scores AS (
+        |  SELECT d.vid, c.cell AS ccell,
+        |    CAST(CAST(SUM(d.xi * c.sxi) AS BIGINT) AS DOUBLE) / MAX(c.n) AS score
+        |  FROM dims d JOIN cent c ON d.pos = c.pos GROUP BY d.vid, c.cell),
+        |assigned AS (
+        |  SELECT vid, ccell AS acell FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY score DESC, ccell ASC) AS rn
+        |    FROM scores) WHERE rn = 1),
+        |members AS (SELECT u.vec_id AS uid, a.acell, u.nv FROM n u JOIN assigned a ON u.vec_id = a.vid),
+        |approx_sims AS (
+        |  SELECT q.uid AS query_id, c.uid AS neighbor_id,
+        |    list_reduce(list_prepend(0.0, list_transform(list_zip(q.nv, c.nv),
+        |        x -> x[1] * x[2])), (a, x) -> a + x) AS sim
+        |  FROM members q JOIN members c ON q.acell = c.acell AND q.uid <> c.uid
+        |  WHERE q.uid < 5),
+        |hits AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |    FROM approx_sims) WHERE rank <= 8)
+        |SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS k_exact,
+        |  CAST(SUM(CASE WHEN h.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        |FROM ex e LEFT JOIN hits h ON e.query_id = h.query_id AND e.neighbor_id = h.neighbor_id
+        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
 
     "q_embedding_quantize" ->
       """WITH m AS (
