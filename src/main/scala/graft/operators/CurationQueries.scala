@@ -43,6 +43,50 @@ object CurationQueries {
         md5(array_join(col("c"), " ")).as("chunk_sig"))
   }
 
+  /** Sequence packing — the concat-and-cut step that turns chunked
+    * documents into fixed-`budget` training sequences: rows are laid out in
+    * `orderCols` order, token counts accumulate globally, and each row gets
+    * the pack it starts in (`pack_id = cum_before div budget`) and its
+    * offset inside that pack. Straddling is the contract (the trainer cuts
+    * every `budget` tokens over the concatenated stream), exactly like the
+    * GPT-style packing pipelines this feeds.
+    *
+    * The interesting part at 100 TB is the GLOBAL PREFIX SUM: the naive
+    * spelling is a window over the whole corpus with no partition key — a
+    * single task holding every row, the canonical scale-killer. Here it is
+    * the two-pass partition-offset pattern instead: range-repartition on
+    * the order columns (so partition i holds a contiguous, sorted slice),
+    * aggregate ONE token total per partition (bounded driver collect:
+    * numPartitions longs), prefix-sum those driver-side, broadcast the
+    * offsets back, and run the per-partition cumulative window keyed by
+    * partition id — every window is bounded by its partition, all
+    * partitions run in parallel. The output is invariant to where the
+    * (sampled, nondeterministic) range boundaries fall, because offset +
+    * within-partition prefix is the same global prefix either way — which
+    * is what lets the DuckDB oracle hash-match a plain ORDER BY window. */
+  def packSequences(chunks: DataFrame, orderCols: Seq[String], tokenCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"pack budget must be positive, got $budget")
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    val oc = orderCols.map(col)
+    val parts = chunks.repartitionByRange(oc: _*).sortWithinPartitions(oc: _*)
+      .withColumn("_pid", spark_partition_id())
+    val totals = parts.groupBy("_pid").agg(sum(col(tokenCol)).as("_t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offRows = totals.map { case (pid, t) => val o = acc; acc += t; (pid, o) }
+    val offs = broadcast(offRows.toSeq.toDF("_pid", "_poff"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("_pid").orderBy(oc: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    parts.join(offs, Seq("_pid"))
+      .withColumn("_cum_excl", col("_poff") + sum(col(tokenCol)).over(w) - col(tokenCol))
+      .withColumn("pack_id", expr(s"_cum_excl div $budget"))
+      .withColumn("pack_offset", expr(s"_cum_excl % $budget"))
+      .drop("_pid", "_poff", "_cum_excl")
+  }
+
   val queries: Map[String, Q] = Map(
     // PII masking before training. The synthetic corpus carries no real
     // PII, so the text under test is assembled deterministically from
@@ -115,6 +159,15 @@ object CurationQueries {
 
     "q_chunk_windows" -> ((s, d) =>
       chunkWindows(Tables.load(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id", "chunk_idx")),
+
+    // Chunks → fixed-budget training sequences via the scale-safe global
+    // prefix sum (see packSequences: two-pass partition offsets, never a
+    // partitionless window).
+    "q_pack_sequences" -> ((s, d) =>
+      packSequences(chunkWindows(Tables.load(s, d, "documents"), "doc_id", "text"),
+        Seq("doc_id", "chunk_idx"), "n_tokens", budget = 256L)
+        .select("doc_id", "chunk_idx", "n_tokens", "pack_id", "pack_offset")
         .orderBy("doc_id", "chunk_idx")),
 
     // Corpus mixing to a token budget — the "data mixture" step: given
@@ -218,6 +271,23 @@ object CurationQueries {
         |  CAST(len(toks[chunk_idx*24 + 1 : chunk_idx*24 + 32]) AS BIGINT) AS n_tokens,
         |  md5(array_to_string(toks[chunk_idx*24 + 1 : chunk_idx*24 + 32], ' ')) AS chunk_sig
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |n AS (SELECT doc_id, toks,
+        |  CASE WHEN len(toks) <= 32 THEN 1
+        |       ELSE 1 + (len(toks) - 32 + 23) // 24 END AS n_chunks FROM t),
+        |c AS (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_idx FROM n),
+        |ch AS (SELECT doc_id, chunk_idx,
+        |  CAST(len(toks[chunk_idx*24 + 1 : chunk_idx*24 + 32]) AS BIGINT) AS n_tokens FROM c),
+        |p AS (SELECT doc_id, chunk_idx, n_tokens,
+        |  CAST(SUM(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS cum_excl
+        |  FROM ch)
+        |SELECT doc_id, chunk_idx, n_tokens,
+        |  CAST(cum_excl // 256 AS BIGINT) AS pack_id,
+        |  CAST(cum_excl % 256 AS BIGINT) AS pack_offset
+        |FROM p ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_corpus_mix" ->
       """WITH w(lang, w_pct) AS (VALUES ('en', 40), ('zh', 30), ('de', 30)),

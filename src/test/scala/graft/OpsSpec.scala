@@ -143,6 +143,25 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Seq((0L, 1L)))
   }
 
+  test("packSequences assigns packs by global token prefix, invariant to partitioning") {
+    // budget 10; rows in (doc_id) order with token counts 4,4,4,3,10:
+    // cum_before = 0,4,8,12,15 → packs 0,0,0,1,1 offsets 0,4,8,2,5
+    val chunks = Seq((1L, 0L, 4L), (2L, 0L, 4L), (3L, 0L, 4L), (4L, 0L, 3L), (5L, 0L, 10L))
+      .toDF("doc_id", "chunk_idx", "n_tokens")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      CurationQueries.packSequences(df, Seq("doc_id", "chunk_idx"), "n_tokens", 10L)
+        .select("doc_id", "pack_id", "pack_offset")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val want = Seq((1L, 0L, 0L), (2L, 0L, 4L), (3L, 0L, 8L), (4L, 1L, 2L), (5L, 1L, 5L))
+    assert(run(chunks) == want)
+    // the prefix is GLOBAL: a different physical layout must not change it
+    assert(run(chunks.repartition(7)) == want)
+    assert(run(chunks.orderBy(col("doc_id").desc)) == want)
+    intercept[IllegalArgumentException] {
+      CurationQueries.packSequences(chunks, Seq("doc_id"), "n_tokens", 0L)
+    }
+  }
+
   test("chunkWindows refuses a stride that would skip or loop") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     for ((w, stride) <- Seq((32, 33), (32, 0), (32, -1), (0, 1))) {
