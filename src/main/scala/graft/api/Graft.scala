@@ -154,7 +154,8 @@ object Graft {
       keyCols: Seq[String], compareCols: Seq[String],
       whereA: Option[String] = None, whereB: Option[String] = None,
       bisectionFactor: Int = graft.sources.PushdownDiffer.DefaultBisectionFactor,
-      bisectionThreshold: Int = graft.sources.PushdownDiffer.DefaultBisectionThreshold): DataFrame = {
+      bisectionThreshold: Int = graft.sources.PushdownDiffer.DefaultBisectionThreshold,
+      control: graft.sources.PushdownControl = new graft.sources.PushdownControl()): DataFrame = {
     val a = graft.sources.RemoteTable.introspect(engineA, tableA, keyCols, compareCols, whereA)
     val b = graft.sources.RemoteTable.introspect(engineB, tableB, keyCols, compareCols, whereB)
     val tp = math.min(a.tsPrecision, b.tsPrecision)
@@ -162,7 +163,7 @@ object Graft {
     graft.sources.RemoteRemoteDiffer.diff(spark,
       a.copy(fracPrecision = fp, tsPrecision = tp),
       b.copy(fracPrecision = fp, tsPrecision = tp),
-      bisectionFactor, bisectionThreshold)._1
+      bisectionFactor, bisectionThreshold, control = control)._1
   }
 
   /** Negotiate mutual precision between a local segment and an introspected

@@ -287,7 +287,7 @@ object Cli {
             remoteTotalA = Some(remoteCount(engA, tA))
             Graft.diffRemotes(spark, engA, tA, engB, tB, a.keys, compare.toSeq,
               remoteWhereFor(engA.profile), remoteWhereFor(engB.profile),
-              a.bisectionFactor, a.bisectionThreshold)
+              a.bisectionFactor, a.bisectionThreshold, progressiveControl())
           } finally { engA.close(); engB.close() }
         case (None, Some((db, table))) =>
           val eng = engineFor(db)

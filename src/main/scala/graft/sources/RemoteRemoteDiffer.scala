@@ -176,7 +176,32 @@ object RemoteRemoteDiffer {
       }.toMap
     }
 
+    // leaf compare shared by the end-of-loop path and progressive per-level
+    // emission: both sides' rows download concurrently, one JoinDiffer pass
+    var queries2 = 0
+    var fetchedRows = 0L
+    def toDf(rows: Seq[Seq[Option[String]]], cols: Seq[String]): DataFrame =
+      spark.createDataFrame(rows.map(r => Row(r.map(_.orNull): _*)).asJava,
+        StructType(cols.map(StructField(_, StringType, nullable = true))))
+    def compareLeaves(leafSeq: Seq[Box], cmpCols: Seq[String]): DataFrame = {
+      val rel = keyCols ++ cmpCols
+      def fetchSide(t: RemoteTable, norm: Map[String, String]) = scala.concurrent.Future {
+        leafSeq.grouped(maxSegmentsPerQuery).toSeq.flatMap { chunk =>
+          val leafOr = chunk.map(bx => s"(${pred(t, bx)})").mkString(" OR ")
+          t.engine.query(t.engine.profile.selectNormalizedSql(t.table,
+            rel.map(c => (norm(c), c)),
+            Some(t.extraWhereSql.fold(s"($leafOr)")(e => s"($leafOr) AND ($e)"))))
+        }
+      }
+      val (ffa, ffb) = (fetchSide(a, normA), fetchSide(b, normB))
+      val (rowsA, rowsB) = (await(ffa), await(ffb))
+      queries2 += 2 * ((leafSeq.size + maxSegmentsPerQuery - 1) / maxSegmentsPerQuery)
+      fetchedRows += rowsA.size + rowsB.size
+      JoinDiffer.diff(toDf(rowsA, rel), toDf(rowsB, rel), keyCols, cmpCols)
+    }
+
     val leaves = ArrayBuffer.empty[Box]
+    val emitted = ArrayBuffer.empty[DataFrame]
     var frontier = splitBox(rootBox)
     var level = 0
     var probed = 0
@@ -186,9 +211,11 @@ object RemoteRemoteDiffer {
       require(level < 64, s"bisection did not converge after 64 levels")
       val levelStart = System.nanoTime()
       val prunedAtStart = pruned
+      val leavesAtStart = leaves.size
       val levelSegments = frontier.size
       probed += levelSegments
-      val activeRelevant = keyCols ++ compare.filterNot(control.ignored)
+      val activeCompare = compare.filterNot(control.ignored)
+      val activeRelevant = keyCols ++ activeCompare
       val next = ArrayBuffer.empty[Box]
       frontier.grouped(maxSegmentsPerQuery).foreach { chunk =>
         val (fa, fb) = (levelQuery(a, normA, chunk, activeRelevant),
@@ -209,32 +236,36 @@ object RemoteRemoteDiffer {
       frontier = next.toSeq
       levelMillis += (System.nanoTime() - levelStart) / 1000000
       control.onLevel(PushdownLevel(level, levelSegments, pruned - prunedAtStart, levelMillis.last))
+      // progressive: leaves found this level are downloaded and compared NOW
+      // (both engines concurrently) — first diff rows surface while deeper
+      // levels are still bisecting, same contract as PushdownDiffer
+      if (control.progressive && leaves.size > leavesAtStart) {
+        val df = compareLeaves(leaves.slice(leavesAtStart, leaves.size).toSeq, activeCompare)
+        emitted += df
+        control.onLeafDiff(level, df)
+      }
       level += 1
     }
 
     val finalCompare = compare.filterNot(control.ignored)
     val finalRelevant = keyCols ++ finalCompare
     val dropped = compare.filterNot(finalCompare.contains)
+
+    if (control.progressive) {
+      val stats = PushdownStats(level, probed, pruned, leaves.size, queries + queries2,
+        fetchedRows, levelMillis.toSeq, dropped)
+      if (emitted.isEmpty)
+        return (spark.createDataFrame(Seq.empty[Row].asJava, outSchema(finalRelevant)), stats)
+      val out = emitted.map(df => df.select(
+        ("sign" +: finalRelevant).map(org.apache.spark.sql.functions.col): _*)).reduce(_ union _)
+      return (out, stats)
+    }
+
     if (leaves.isEmpty)
       return (spark.createDataFrame(Seq.empty[Row].asJava, outSchema(finalRelevant)),
         PushdownStats(level, probed, pruned, 0, queries, 0, levelMillis.toSeq, dropped))
-
-    def fetch(t: RemoteTable, norm: Map[String, String]) = scala.concurrent.Future {
-      leaves.toSeq.grouped(maxSegmentsPerQuery).toSeq.flatMap { chunk =>
-        val leafOr = chunk.map(bx => s"(${pred(t, bx)})").mkString(" OR ")
-        t.engine.query(t.engine.profile.selectNormalizedSql(t.table,
-          finalRelevant.map(c => (norm(c), c)),
-          Some(t.extraWhereSql.fold(s"($leafOr)")(e => s"($leafOr) AND ($e)"))))
-      }
-    }
-    val (fa, fb) = (fetch(a, normA), fetch(b, normB))
-    val (rowsA, rowsB) = (await(fa), await(fb))
-    queries += 2 * ((leaves.size + maxSegmentsPerQuery - 1) / maxSegmentsPerQuery)
-    def toDf(rows: Seq[Seq[Option[String]]]): DataFrame =
-      spark.createDataFrame(rows.map(r => Row(r.map(_.orNull): _*)).asJava,
-        StructType(finalRelevant.map(StructField(_, StringType, nullable = true))))
-    val out = JoinDiffer.diff(toDf(rowsA), toDf(rowsB), keyCols, finalCompare)
-    (out, PushdownStats(level, probed, pruned, leaves.size, queries,
-      rowsA.size + rowsB.size, levelMillis.toSeq, dropped))
+    val out = compareLeaves(leaves.toSeq, finalCompare)
+    (out, PushdownStats(level, probed, pruned, leaves.size, queries + queries2,
+      fetchedRows, levelMillis.toSeq, dropped))
   }
 }

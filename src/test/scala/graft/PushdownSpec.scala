@@ -362,6 +362,39 @@ class PushdownDifferSpec extends AnyFunSuite {
     } finally eng.close()
   }
 
+  test("remote-remote progressive mode emits per level and unions to the batch result") {
+    import spark.implicits._
+    // same non-uniform shape as the pushdown progressive spec: the sparse
+    // far cluster leafs at level 0, the dense region keeps bisecting
+    val aRows = (1 to 512).map(i => (i.toLong, s"v$i")) ++
+      Seq((4000L, "s1"), (4200L, "s2"), (4400L, "s3"), (4600L, "s4"), (4800L, "s5"))
+    val bRows = aRows.map { case (k, v) =>
+      if (k == 4200L) (k, "s2X") else if (k <= 512 && k % 50 == 0) (k, v + "X") else (k, v)
+    }
+    aRows.toDF("k", "v").createOrReplaceTempView("rr_prog_a")
+    bRows.toDF("k", "v").createOrReplaceTempView("rr_prog_b")
+    var seen = Vector.empty[(Int, Set[String])]
+    val ctrl = new PushdownControl(progressive = true) {
+      override def onLeafDiff(level: Int, d: DataFrame): Unit =
+        seen :+= ((level, d.collect().map(_.mkString("|")).toSet))
+    }
+    val eng = new SparkViewEngine(spark)
+    val out = graft.api.Graft.diffRemotes(spark, eng, "rr_prog_a", eng, "rr_prog_b",
+      Seq("k"), Seq("v"), bisectionFactor = 4, bisectionThreshold = 64, control = ctrl)
+    def normKV(df: DataFrame): DataFrame = {
+      val cols = Normalize.normalizedCols(df.schema, Seq("k", "v"))
+      df.select(Seq("k", "v").zip(cols).map { case (nm, c) => c.as(nm) }: _*)
+    }
+    val want = JoinDiffer.diff(normKV(aRows.toDF("k", "v")), normKV(bRows.toDF("k", "v")),
+      Seq("k"), Seq("v")).collect().map(_.mkString("|")).toSet
+    val levels = seen.map(_._1)
+    assert(seen.size >= 2 && levels == levels.sorted && levels.distinct == levels,
+      s"emission levels out of order: $levels")
+    assert(seen.flatMap(_._2).toSet == want)
+    assert(seen.map(_._2.size).sum == want.size, "a row emitted twice (or lost)")
+    assert(out.collect().map(_.mkString("|")).toSet == want)
+  }
+
   test("remote-remote with one case-insensitive side folds BOTH engines' segmentation") {
     // side A: ordinal Spark SQL; side B: live DuckDB NOCASE. Bounds are
     // generated in folded space, so the ordinal side must fold too or its
