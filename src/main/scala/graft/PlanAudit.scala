@@ -21,7 +21,8 @@ object PlanAudit {
         "q_scan_project", "q_join_broadcast", "q_hashdiff_segments",
         "q_ngram_jaccard", "q_dup_ngram_fraction", "q_dedup_survivors",
         "q_topk_groups", "q_ann_lsh", "q_bloom_decontaminate",
-        "q_semantic_dedup", "q_bm25_rank", "q_pipeline_e2e")
+        "q_semantic_dedup", "q_bm25_rank", "q_pipeline_e2e",
+        "q_quantiles_sketch", "q_pack_sequences")
     interesting.foreach { q =>
       println(s"===== $q =====")
       SparkEntry.queries(q)(spark, sfDir).explain("formatted")

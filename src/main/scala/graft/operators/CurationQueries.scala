@@ -63,28 +63,51 @@ object CurationQueries {
     * partitions run in parallel. The output is invariant to where the
     * (sampled, nondeterministic) range boundaries fall, because offset +
     * within-partition prefix is the same global prefix either way — which
-    * is what lets the DuckDB oracle hash-match a plain ORDER BY window. */
+    * is what lets the DuckDB oracle hash-match a plain ORDER BY window.
+    *
+    * The within-partition prefix is an order-preserving `mapPartitions`
+    * scan, NOT a window `partitionBy(_pid)`: Catalyst cannot see that the
+    * range repartition already satisfies a pid-keyed distribution and would
+    * insert a second full-data exchange + sort just to run the window
+    * (verified in the audited plan) — the scan runs in place on the
+    * already-sorted partitions, so the operator's only data-sized exchange
+    * is the range repartition itself. */
   def packSequences(chunks: DataFrame, orderCols: Seq[String], tokenCol: String,
       budget: Long): DataFrame = {
     require(budget > 0, s"pack budget must be positive, got $budget")
     val spark = chunks.sparkSession
     import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val oc = orderCols.map(col)
     val parts = chunks.repartitionByRange(oc: _*).sortWithinPartitions(oc: _*)
       .withColumn("_pid", spark_partition_id())
     val totals = parts.groupBy("_pid").agg(sum(col(tokenCol)).as("_t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     var acc = 0L
-    val offRows = totals.map { case (pid, t) => val o = acc; acc += t; (pid, o) }
-    val offs = broadcast(offRows.toSeq.toDF("_pid", "_poff"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("_pid").orderBy(oc: _*)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    parts.join(offs, Seq("_pid"))
-      .withColumn("_cum_excl", col("_poff") + sum(col(tokenCol)).over(w) - col(tokenCol))
+    val offsets: Map[Int, Long] =
+      totals.map { case (pid, t) => val o = acc; acc += t; pid -> o }.toMap
+    val bcOffsets = spark.sparkContext.broadcast(offsets)
+    val inSchema = parts.schema
+    val tokenIdx = inSchema.fieldIndex(tokenCol)
+    val pidIdx = inSchema.fieldIndex("_pid")
+    val outEnc = org.apache.spark.sql.Encoders.row(
+      StructType(inSchema.fields :+ StructField("_cum_excl", LongType, nullable = false)))
+    parts
+      .mapPartitions { it =>
+        // single order-preserving scan: rows arrive in orderCols order
+        // (sortWithinPartitions), the partition's global offset comes from
+        // the broadcast, tokens accumulate locally
+        var run = -1L // initialized from the first row's pid
+        it.map { r =>
+          if (run < 0) run = bcOffsets.value(r.getInt(pidIdx))
+          val out = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ run)
+          run += r.getLong(tokenIdx)
+          out
+        }
+      }(outEnc)
       .withColumn("pack_id", expr(s"_cum_excl div $budget"))
       .withColumn("pack_offset", expr(s"_cum_excl % $budget"))
-      .drop("_pid", "_poff", "_cum_excl")
+      .drop("_pid", "_cum_excl")
   }
 
   val queries: Map[String, Q] = Map(
