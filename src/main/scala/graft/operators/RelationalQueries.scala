@@ -81,10 +81,26 @@ object RelationalQueries {
       s"histogramQuantiles needs bins>0, widthCents>0 and probsMilli in [0,1000]; " +
         s"got bins=$bins widthCents=$widthCents probsMilli=$probsMilli")
     val binned = df.select(col(groupCol).as("grp"),
-      least(lit((bins - 1).toLong), greatest(lit(0L),
-        expr(s"(cast(floor($valueCol * 100) as bigint) - ${loCents}L) div ${widthCents}L")))
-        .as("bin"))
+      histogramBin(valueCol, loCents, widthCents, bins).as("bin"))
     val counts = binned.groupBy("grp", "bin").agg(count(lit(1)).as("cnt"))
+    quantilesFromBinCounts(counts, groupCol, probsMilli, loCents, widthCents)
+  }
+
+  /** The integer-cent bin assignment shared by the batch sketch and the
+    * streaming windowed histogram (StreamingDiff.streamingHistogramCounts):
+    * out-of-range values clamp to the edge bins. `valueSql` is a SQL
+    * expression (integer division has no Column operator). */
+  def histogramBin(valueSql: String, loCents: Long, widthCents: Long, bins: Int): Column =
+    least(lit((bins - 1).toLong), greatest(lit(0L),
+      expr(s"(cast(floor(($valueSql) * 100) as bigint) - ${loCents}L) div ${widthCents}L")))
+
+  /** Quantile selection over pre-aggregated `(grp, bin, cnt)` rows — bin
+    * counts are ADDITIVE, so any merged/unioned count relation feeds this
+    * unchanged: the batch sketch above, a streaming windowed histogram's
+    * sink table, or counts summed across days. Same integer
+    * cross-multiplied rank rule, same per-group ≤bins window bound. */
+  def quantilesFromBinCounts(counts: DataFrame, groupOutCol: String,
+      probsMilli: Seq[Int], loCents: Long, widthCents: Long): DataFrame = {
     val cum = counts
       .withColumn("cum", sum(col("cnt")).over(Window.partitionBy("grp").orderBy("bin")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -95,7 +111,7 @@ object RelationalQueries {
       .groupBy("grp", "p_milli")
       .agg(max(col("n")).as("n"),
         min(when(col("cum") * 1000 >= col("p_milli") * col("n"), col("bin"))).as("qbin"))
-      .select(col("grp").as(groupCol), col("p_milli"), col("n"), col("qbin"),
+      .select(col("grp").as(groupOutCol), col("p_milli"), col("n"), col("qbin"),
         ((lit(loCents) + col("qbin") * lit(widthCents)).cast("double") / lit(100.0)).as("est"))
   }
 

@@ -49,6 +49,26 @@ object StreamingDiff {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Watermarked tumbling-window histogram-bin counts — the streaming half
+    * of the bounded-state quantile sketch (`q_quantiles_sketch`): bin
+    * counts are ADDITIVE, so an update-mode streaming aggregation maintains
+    * them with O(bins) state per window (the property the exact
+    * `percentile`'s O(distinct values) buffer lacks — it cannot stream at
+    * all). Quantile selection is one tiny batch query over the sink via
+    * `RelationalQueries.quantilesFromBinCounts`, and because both halves
+    * share `histogramBin` + the integer rank rule, a streaming window's
+    * quantiles are bit-identical to the batch sketch over the same rows
+    * (spec'd). */
+  def streamingHistogramCounts(events: DataFrame, tsCol: String, valueSql: String,
+      loCents: Long, widthCents: Long, bins: Int,
+      windowDur: String = "1 hour", watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .withColumn("bin",
+        graft.operators.RelationalQueries.histogramBin(valueSql, loCents, widthCents, bins))
+      .groupBy(window(col(tsCol), windowDur), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** Continuous bucket-checksum maintenance over a signed CDC feed — the
     * streaming counterpart of `SnapshotChecksums`: each input row carries
     * `op` (+1 insert / −1 delete; an update is a delete of the old image

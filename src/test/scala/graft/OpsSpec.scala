@@ -576,6 +576,42 @@ class StreamingDiffSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming histogram quantiles are bit-identical to the batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.RelationalQueries
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Double)]
+    val q = StreamingDiff.streamingHistogramCounts(
+        input.toDS().toDF("ts", "v"), "ts", "v",
+        loCents = 0L, widthCents = 1000L, bins = 12, windowDur = "1 hour")
+      .writeStream.format("memory").queryName("histq").outputMode("complete").start()
+    def t(m: Long) = new java.sql.Timestamp(3600000L + m * 60000L)
+    val vals = (1 to 10).map(_ * 10.0)
+    input.addData(vals.take(6).map(v => (t(1), v)): _*)
+    q.processAllAvailable()
+    input.addData(vals.drop(6).map(v => (t(30), v)): _*) // same window, later batch
+    q.processAllAvailable()
+    val counts = spark.table("histq")
+      .select(col("window.start").cast("string").as("grp"), col("bin"), col("cnt"))
+    val streamed = RelationalQuantiles.fromCounts(counts)
+    q.stop()
+    val batch = RelationalQueries.histogramQuantiles(
+        vals.map(v => ("w", v)).toDF("g", "v"), "g", "v",
+        probsMilli = Seq(500, 1000), loCents = 0L, widthCents = 1000L, bins = 12)
+      .select("p_milli", "n", "qbin", "est").as[(Long, Long, Long, Double)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  private object RelationalQuantiles {
+    def fromCounts(counts: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Double)] = {
+      import spark.implicits._
+      graft.operators.RelationalQueries.quantilesFromBinCounts(counts, "grp",
+          probsMilli = Seq(500, 1000), loCents = 0L, widthCents = 1000L)
+        .select("p_milli", "n", "qbin", "est").as[(Long, Long, Long, Double)].collect().toSet
+    }
+  }
+
   test("streaming decontamination flags benchmark leaks as they arrive, exactly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
