@@ -163,6 +163,15 @@ object Similarity {
     val dim = if (cells.isEmpty) 0 else cells.iterator.map(_._2.length).max
     val maxSxi = cells.iterator.flatMap(_._2.iterator)
       .foldLeft(0L)((m, x) => math.max(m, math.abs(x)))
+    // the dot guard below trusts the OBSERVED max|sxi| — which is only
+    // trustworthy if the component sums could not themselves have wrapped
+    // during aggregation (a wrapped sum reads SMALL and would sneak past).
+    // |sxi| ≤ members·max|xi| exactly, so this bound is the precondition.
+    val maxN = cells.iterator.map(_._3).foldLeft(0L)(math.max)
+    require(BigInt(maxN) * BigInt(maxXi) < BigInt(Long.MaxValue),
+      s"centroid component sums could wrap int64: max members/cell $maxN * " +
+        s"max|xi|=$maxXi >= 2^63 — lower quantScale (currently $quantScale) or " +
+        "raise k before centroid aggregation can be trusted.")
     val worstDot = BigInt(dim) * BigInt(maxXi) * BigInt(maxSxi)
     require(worstDot < BigInt(Long.MaxValue),
       s"integer centroid dot would overflow int64: dim=$dim * max|xi|=$maxXi * " +

@@ -195,6 +195,36 @@ class HistogramQuantileSpec extends AnyFunSuite {
     assert(got(("B", 1000L)) == ((2L, 11L, 110.0))) // clamped high value
   }
 
+  test("fuzz: the sketch's bin always contains the exact order statistic") {
+    // the defining property of the lower-edge rank rule: for every group
+    // and probability, qbin == bin(x_(ceil(p·n/1000))) computed from the
+    // fully sorted data — i.e. the estimate is exact to the bin width
+    val rnd = new scala.util.Random(77L)
+    for (round <- 1 to 3) {
+      val groups = Seq("a", "b", "c")
+      val data = groups.flatMap { g =>
+        (1 to 50 + rnd.nextInt(200)).map(_ =>
+          (g, (rnd.nextDouble() - 0.2) * 500.0)) // some negatives → clamp path
+      }
+      val probs = Seq(100, 500, 900, 1000)
+      val (lo, width, bins) = (0L, 2500L, 16)
+      val got = RelationalQueries.histogramQuantiles(
+          data.toDF("g", "v"), "g", "v", probs, lo, width, bins)
+        .select("g", "p_milli", "qbin")
+        .as[(String, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      def binOf(v: Double): Long =
+        math.min(bins - 1L, math.max(0L, (math.floor(v * 100).toLong - lo) / width))
+      for (g <- groups; p <- probs) {
+        val sorted = data.filter(_._1 == g).map(_._2).sorted
+        val rank = math.max(1, math.ceil(p * sorted.size / 1000.0).toInt)
+        assert(got((g, p.toLong)) == binOf(sorted(rank - 1)),
+          s"round $round g=$g p=$p: sketch bin ${got((g, p.toLong))} != " +
+            s"bin of exact statistic ${sorted(rank - 1)}")
+      }
+    }
+  }
+
   test("histogramQuantiles validates bins, width and probabilities") {
     val df = Seq(("A", 1.0)).toDF("g", "v")
     for ((probs, w, b) <- Seq((Seq(500), 0L, 10), (Seq(500), 100L, 0),
