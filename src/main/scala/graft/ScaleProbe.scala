@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc scale measurements on SYNTHESIZED large inputs (the sf fixtures
+  * stop at 0.1) — the source of PERFORMANCE.md's "measured at 100×" numbers,
+  * kept as a main so the measurements are reproducible, not folklore.
+  * Run: `sbt "runMain graft.ScaleProbe [n_vectors] [n_rows]"`. */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val nVec = if (args.nonEmpty) args(0).toInt else 200000
+    val nRows = if (args.length > 1) args(1).toLong else 60000000L
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "16g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // ---- embeddings at ~100× the sf0.1 fixture (2k → nVec vectors) -------
+    val vecs = spark.range(nVec.toLong)
+      .select(col("id").as("vec_id"),
+        // (id+1) keeps every vector nonzero (id=0 would be all sin(0)=0 and
+        // ANSI division would throw in the unit normalization)
+        transform(sequence(lit(0), lit(63)),
+          j => sin((col("id") + 1) * (j + 1) * 0.7)).as("embedding"),
+        pmod(col("id"), lit(64)).cast("int").as("label"))
+      .localCheckpoint() // measure the operators, not the generator
+    println(s"vectors: $nVec, rows: $nRows")
+
+    time("kmeansCells k=64")(
+      noop(graft.sim.Similarity.kmeansCells(vecs, "vec_id", "embedding", k = 64)))
+    time("semanticDupFlags (label)")(
+      noop(graft.sim.Similarity.semanticDupFlags(vecs, "vec_id", "embedding", "label", 0.95)))
+    // band parameters MUST scale with the corpus: the gate-scale default
+    // (8×5 bits = 32 buckets/band) is O(n²/32) candidates at any n — at
+    // 200k vectors that is a 5e9-pair explosion. 16-bit bands give 65k
+    // buckets and keep candidates linear-ish.
+    time("lshNearDup t=0.9 16-bit bands")(
+      noop(graft.sim.Similarity.lshNearDup(vecs, "vec_id", "embedding", 0.9,
+        bands = 8, bitsPerBand = 16)))
+    time("ivfTopK k=8 (5 queries)")(
+      noop(graft.sim.Similarity.ivfTopK(vecs, "vec_id", "embedding", "label",
+        col("vec_id") < 5, k = 8)))
+
+    // ---- wide fact table at nRows ----------------------------------------
+    // no checkpoint: the generator is a narrow codegen'd range (~1 s at 60M
+    // rows), and materializing it starves execution memory for the sorts
+    val fact = spark.range(nRows)
+      .select(col("id"),
+        (rand(42) * 100000).as("price"),
+        concat(lit("g"), pmod(col("id"), lit(6)).cast("string")).as("flag"),
+        (lit(100) + pmod(col("id"), lit(400))).as("n_tokens"))
+
+    time("histogramQuantiles (sketch)")(
+      noop(graft.operators.RelationalQueries.histogramQuantiles(
+        fact, "flag", "price", Seq(500, 900, 990), 0L, 100000L, 128)))
+    time("packSequences budget=4096")(
+      noop(graft.operators.CurationQueries.packSequences(
+        fact.select(col("id").as("doc_id"), lit(0L).as("chunk_idx"), col("n_tokens")),
+        Seq("doc_id", "chunk_idx"), "n_tokens", 4096L)))
+
+    // LAST and opt-in (arg 3 = "hazard"): exact percentile buffers
+    // O(distinct values) per group and dies on heap at this scale after
+    // minutes of churn (measured: 318 s → OOM at 48g over 60M doubles) —
+    // the fact the sketch exists for. Poisons the JVM; nothing runs after.
+    if (args.length > 2 && args(2) == "hazard")
+      time("exact percentile (hazard)")(
+        try noop(fact.groupBy("flag").agg(expr("percentile(price, 0.5)").as("p50")))
+        catch { case e: Throwable =>
+          println(s"  exact percentile FAILED as predicted: ${e.getClass.getSimpleName}") })
+
+    spark.stop()
+  }
+}

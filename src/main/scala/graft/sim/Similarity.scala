@@ -253,6 +253,14 @@ object Similarity {
     * only same-(band, bucket) collisions reach the exact cosine check, so
     * the join volume is Σ bucket² instead of n².
     *
+    * SIZE THE BANDS TO THE CORPUS: the bucket space is 2^bitsPerBand per
+    * band, and expected candidate volume is ~bands·n²/2^bitsPerBand — the
+    * gate-scale default (5 bits = 32 buckets) is O(n²/32) at ANY n, a
+    * 5×10⁹-pair explosion already at 200k vectors (measured; 16-bit bands
+    * keep the same corpus linear-ish at ~27 s). Pick bitsPerBand ≈
+    * log2(n/targetBucketSize); recall for a given threshold then tunes via
+    * `bands` (more bands = more chances to collide).
+    *
     * Everything before the final cosine is exact integer math, reproducible
     * on any engine: components quantize as floor(x·1e6); each hyperplane is
     * a Rademacher (±1) vector whose sign at (h, j) derives from the 48-bit
