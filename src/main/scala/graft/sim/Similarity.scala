@@ -276,10 +276,23 @@ object Similarity {
     * exchange at all). */
   def lshNearDup(vecs: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bands: Int = 8, bitsPerBand: Int = 5,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64, maxEstCandidates: Long = 2000000000L): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
     val hCount = bands * bitsPerBand
+    // mis-sized bands don't fail, they run for hours: expected candidate
+    // volume under UNIFORM buckets is bands·n²/2^bits/2 (clustered corpora
+    // are strictly worse), so an under-provisioned bitsPerBand is checked
+    // against a compute budget BEFORE any pair materializes. One cheap
+    // count() action buys the guard.
+    val n = vecs.count()
+    val estCandidates =
+      BigInt(bands) * BigInt(n) * BigInt(n) / BigInt(2).pow(bitsPerBand) / 2
+    require(estCandidates <= BigInt(maxEstCandidates),
+      s"lshNearDup with bands=$bands, bitsPerBand=$bitsPerBand over $n vectors " +
+        s"expects ~$estCandidates candidate pairs even under uniform buckets " +
+        s"(> $maxEstCandidates). Size bitsPerBand ≈ log2(n/targetBucketSize) " +
+        "— every +1 bit halves the candidate volume — or raise maxEstCandidates.")
     val signs: Array[Array[Int]] = Array.tabulate(hCount, dim) { (h, j) =>
       val bits = graft.functions.HashUtils.md5Bits48(
         s"$h|$j".getBytes(java.nio.charset.StandardCharsets.UTF_8), false)

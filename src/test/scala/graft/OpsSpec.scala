@@ -378,6 +378,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(e.getMessage.contains("Re-cluster with more cells"))
   }
 
+  test("lshNearDup refuses under-provisioned bands before any pair materializes") {
+    val vecs = (0L until 100L).map(i => (i, Array.fill(4)(i.toFloat + 1)))
+      .toDF("vec_id", "embedding")
+    // 8 bands × 1 bit over 100 vectors → ~20k expected candidates; budget 10
+    val e = intercept[IllegalArgumentException] {
+      Similarity.lshNearDup(vecs, "vec_id", "embedding", 0.5,
+        bands = 8, bitsPerBand = 1, dim = 4, maxEstCandidates = 10L)
+    }
+    assert(e.getMessage.contains("bitsPerBand") && e.getMessage.contains("log2"))
+  }
+
   test("lshNearDup finds a subset of the exact pairs, with near-total recall on near-identical vectors") {
     // 3 tight clusters of near-identical vectors + isolated noise: every
     // within-cluster pair has cosine ≈ 1 (sign bits can barely disagree →
