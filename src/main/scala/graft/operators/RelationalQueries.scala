@@ -94,6 +94,31 @@ object RelationalQueries {
     least(lit((bins - 1).toLong), greatest(lit(0L),
       expr(s"(cast(floor(($valueSql) * 100) as bigint) - ${loCents}L) div ${widthCents}L")))
 
+  /** Distribution drift between two tables over the same fixed bins — the
+    * monitoring counterpart of per-column diff stats: has yesterday's corpus
+    * shifted against today's? Each side aggregates to O(bins) counts (one
+    * partial-aggregated scan each), a full-outer join aligns the bins, and
+    * a bin flags when the SHARES differ by more than 5%:
+    * |cntA/totA − cntB/totB| > 1/20, cross-multiplied into exact DECIMAL(38)
+    * products so no float exists to drift between engines and the int64
+    * ceiling (cntA·totB at ~10¹² rows/side) can't wrap. */
+  def histogramDrift(a: DataFrame, b: DataFrame, valueSql: String,
+      loCents: Long, widthCents: Long, bins: Int): DataFrame = {
+    def counts(df: DataFrame, out: String) =
+      df.select(histogramBin(valueSql, loCents, widthCents, bins).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(out))
+    val j = counts(a, "cnt_a").join(counts(b, "cnt_b"), Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+    val tot = j.agg(sum(col("cnt_a")).as("tot_a"), sum(col("cnt_b")).as("tot_b"))
+    j.crossJoin(broadcast(tot))
+      .withColumn("flag_drift",
+        expr("abs(cast(cnt_a as decimal(38,0)) * tot_b - cast(cnt_b as decimal(38,0)) * tot_a) * 20" +
+          " > cast(tot_a as decimal(38,0)) * tot_b"))
+      .select("bin", "cnt_a", "cnt_b", "flag_drift")
+  }
+
   /** Quantile selection over pre-aggregated `(grp, bin, cnt)` rows — bin
     * counts are ADDITIVE, so any merged/unioned count relation feeds this
     * unchanged: the batch sketch above, a streaming windowed histogram's
@@ -485,6 +510,16 @@ object RelationalQueries {
         bins = 128)
         .orderBy("l_returnflag", "p_milli")),
 
+    // Distribution drift: line-item prices vs order totals — genuinely
+    // different distributions (totals run ~5× higher), so low bins flag
+    // B-light and the clamp bin flags B-heavy; non-vacuous by construction.
+    "q_histogram_drift" -> ((s, d) =>
+      histogramDrift(
+        t(s, d, "lineitem").select(col("l_extendedprice").as("v")),
+        t(s, d, "orders").select(col("o_totalprice").as("v")),
+        "v", loCents = 0L, widthCents = 1000000L, bins = 16)
+        .orderBy("bin")),
+
     // -- JSON column handling ---------------------------------------------
     "q_json_extract" -> ((s, d) =>
       t(s, d, "events")
@@ -741,6 +776,25 @@ object RelationalQueries {
         |  quantile_cont(l_quantity, 0.9) AS p90_qty,
         |  quantile_cont(l_extendedprice, 0.5) AS p50_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_histogram_drift" ->
+      """WITH ca AS (
+        |  SELECT least(15, greatest(0, CAST(floor(l_extendedprice * 100) AS BIGINT) // 1000000)) AS bin,
+        |    COUNT(*) AS cnt_a
+        |  FROM lineitem GROUP BY 1),
+        |cb AS (
+        |  SELECT least(15, greatest(0, CAST(floor(o_totalprice * 100) AS BIGINT) // 1000000)) AS bin,
+        |    COUNT(*) AS cnt_b
+        |  FROM orders GROUP BY 1),
+        |j AS (
+        |  SELECT COALESCE(ca.bin, cb.bin) AS bin,
+        |    CAST(COALESCE(cnt_a, 0) AS BIGINT) AS cnt_a,
+        |    CAST(COALESCE(cnt_b, 0) AS BIGINT) AS cnt_b
+        |  FROM ca FULL OUTER JOIN cb ON ca.bin = cb.bin),
+        |tot AS (SELECT SUM(cnt_a) AS tot_a, SUM(cnt_b) AS tot_b FROM j)
+        |SELECT bin, cnt_a, cnt_b,
+        |  abs(cnt_a * tot_b - cnt_b * tot_a) * 20 > tot_a * tot_b AS flag_drift
+        |FROM j, tot ORDER BY bin""".stripMargin,
 
     "q_quantiles_sketch" ->
       """WITH b AS (
