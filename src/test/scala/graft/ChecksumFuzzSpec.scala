@@ -273,6 +273,14 @@ class DifferAgreementFuzzSpec extends AnyFunSuite {
     val rr = canon(graft.api.Graft.diffRemotes(spark, eng, "fz_a", eng, "fz_b",
       Seq("k"), Seq("s", "v"), bisectionFactor = 4, bisectionThreshold = 64))
     assert(rr == expected, "RemoteRemoteDiffer diverged")
+    // fifth control flow: per-level progressive emission must union to the
+    // SAME rows the batch loops return, on the same random mutations
+    val progressive = canon(graft.sources.PushdownDiffer.diffWithStats(
+      TableSegment(base, Seq("k")),
+      RemoteTable.introspect(eng, "fz_b", Seq("k"), Seq("s", "v")),
+      bisectionFactor = 4, bisectionThreshold = 64,
+      control = new graft.sources.PushdownControl(progressive = true))._1)
+    assert(progressive == expected, "progressive PushdownDiffer diverged")
   }
 
   test("compound-key mutation set agrees across all four differs") {
