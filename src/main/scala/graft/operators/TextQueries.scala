@@ -200,14 +200,17 @@ object TextQueries {
 
     // The FULL pretraining-data pipeline as one plan: exact dedup →
     // quality + language filter → benchmark decontamination → context-
-    // window chunking. What a corpus build actually ships to the trainer,
-    // end to end: each stage is the operator gated above, composed. The
-    // narrow work (filters, shingling, chunking) fuses into its enclosing
-    // codegen stages; the corpus IS read once per logical use (dedup
-    // groups, curated base, contamination index — 8 columnar scans in the
-    // audited plan), which is the right trade at gate scale. A production
-    // build would persist the curated intermediate between stages —
-    // exactly where `localCheckpoint`/write-to-parquet slots in.
+    // window chunking → SEQUENCE PACKING. What a corpus build actually
+    // ships to the trainer, end to end: each stage is the operator gated
+    // above, composed. The narrow work (filters, shingling, chunking) fuses
+    // into its enclosing codegen stages; the corpus IS read once per
+    // logical use (dedup groups, curated base, contamination index), and
+    // the pack stage's partition-totals probe re-derives the chunk stream
+    // once more — the right trade at gate scale (a production build
+    // persists the chunk intermediate first, exactly where
+    // `localCheckpoint`/write-to-parquet slots in; the honest scan count is
+    // stated rather than hidden behind a cache that wouldn't exist at
+    // 100 TB).
     "q_pipeline_e2e" -> ((s, d) => {
       val dd = docs(s, d)
       val corpus = dd.where(col("doc_id") >= 10)
@@ -217,7 +220,9 @@ object TextQueries {
       val curated = corpus.join(canon, col("doc_id") === col("cid"), "left_semi")
         .where(qualityScore(col("text")) >= 70 && predictLang(col("text")) === col("lang"))
       val clean = Dedup.decontaminate(curated, bench, "doc_id", "text", n = 5)
-      CurationQueries.chunkWindows(clean, "doc_id", "text")
+      val chunks = CurationQueries.chunkWindows(clean, "doc_id", "text")
+      CurationQueries.packSequences(chunks, Seq("doc_id", "chunk_idx"), "n_tokens", 256L)
+        .select("doc_id", "chunk_idx", "n_tokens", "chunk_sig", "pack_id", "pack_offset")
         .orderBy("doc_id", "chunk_idx")
     }),
 
@@ -386,11 +391,21 @@ object TextQueries {
          |nn AS (SELECT doc_id, toks,
          |  CASE WHEN len(toks) <= 32 THEN 1
          |       ELSE 1 + (len(toks) - 32 + 23) // 24 END AS n_chunks FROM tt),
-         |ch AS (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_idx FROM nn)
-         |SELECT doc_id, chunk_idx,
-         |  CAST(len(toks[chunk_idx*24 + 1 : chunk_idx*24 + 32]) AS BIGINT) AS n_tokens,
-         |  md5(array_to_string(toks[chunk_idx*24 + 1 : chunk_idx*24 + 32], ' ')) AS chunk_sig
-         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+         |ch AS (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_idx FROM nn),
+         |chunks AS (
+         |  SELECT doc_id, chunk_idx,
+         |    CAST(len(toks[chunk_idx*24 + 1 : chunk_idx*24 + 32]) AS BIGINT) AS n_tokens,
+         |    md5(array_to_string(toks[chunk_idx*24 + 1 : chunk_idx*24 + 32], ' ')) AS chunk_sig
+         |  FROM ch),
+         |p AS (
+         |  SELECT doc_id, chunk_idx, n_tokens, chunk_sig,
+         |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS cum_excl
+         |  FROM chunks)
+         |SELECT doc_id, chunk_idx, n_tokens, chunk_sig,
+         |  CAST(cum_excl // 256 AS BIGINT) AS pack_id,
+         |  CAST(cum_excl % 256 AS BIGINT) AS pack_offset
+         |FROM p ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_corpus_curation" ->
       s"""SELECT doc_id, lang, CAST($scoreSql AS BIGINT) AS score
