@@ -62,7 +62,8 @@ object Similarity {
     * locality hash). The within-cell ranking uses the same deterministic
     * unit-vector dot as the brute-force path. */
   def ivfTopK(vecs: DataFrame, idCol: String, vecCol: String, cellCol: String,
-      queryFilter: Column, k: Int): DataFrame = {
+      queryFilter: Column, k: Int,
+      maxEstCandidates: Long = 2000000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = vecs.sparkSession
     import spark.implicits._
@@ -84,6 +85,18 @@ object Similarity {
     if (cells.isEmpty)
       return Seq.empty[(Long, Long, Long, Double)]
         .toDF("query_id", "neighbor_id", "rank", "sim")
+    // compute budget, same philosophy as lshNearDup/semanticDupFlags: a
+    // coarse partition with too few cells doesn't fail, it quietly runs
+    // queries·|biggest cell| exact dots. Cell member counts are already
+    // driver-side; one cheap count of the query side bounds the candidate
+    // volume exactly before any pair materializes.
+    val nQueries = vecs.where(queryFilter).count()
+    val maxCellN = cells.iterator.map(_._3).max
+    val estCandidates = BigInt(nQueries) * BigInt(maxCellN)
+    require(estCandidates <= BigInt(maxEstCandidates),
+      s"ivfTopK with $nQueries queries against cells of up to $maxCellN members " +
+        s"bounds candidates at ~$estCandidates (> $maxEstCandidates). Re-cluster " +
+        "with more cells, or raise maxEstCandidates if the runtime is acceptable.")
     val assigned = assignCells(vecs, idCol, vecCol, cells, maxAbsXi(dims), 1000000L)
     // assigned is one row per vector id (small); broadcast keeps the unit
     // vectors from shuffling just to pick up their cell label.

@@ -378,6 +378,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(e.getMessage.contains("Re-cluster with more cells"))
   }
 
+  test("ivfTopK refuses a query-x-cell volume past the compute budget") {
+    val vecs = (0L until 20L).map(i => (i, 0, Array.fill(4)(i.toFloat + 1)))
+      .toDF("vec_id", "label", "embedding")
+    // 5 queries × one 20-member cell = 100 candidates; budget 10 must trip
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(vecs, "vec_id", "embedding", "label",
+        col("vec_id") < 5, k = 3, maxEstCandidates = 10L)
+    }
+    assert(e.getMessage.contains("Re-cluster with more cells"))
+  }
+
   test("lshNearDup refuses under-provisioned bands before any pair materializes") {
     val vecs = (0L until 100L).map(i => (i, Array.fill(4)(i.toFloat + 1)))
       .toDF("vec_id", "embedding")
