@@ -107,6 +107,51 @@ object DerbyProfile extends SourceProfile {
       .map(e => s"COALESCE($e, '${Normalize.NullSentinel}')")
       .mkString(" || '|' || ")
 
+  /** Derby's catalog is the SYS schema, not information_schema;
+    * COLUMNDATATYPE text-renders as 'DECIMAL(12,2) NOT NULL'-style names
+    * that `sparkType` already parses (the NOT NULL suffix is stripped in
+    * `parseSchemaRow`). Unquoted identifiers fold to uppercase, so the
+    * lookup name is uppercased — quoted-lowercase TABLE names would need
+    * their exact case (column identifiers are unaffected; the profile
+    * quotes them everywhere). */
+  override def tableSchemaSql(table: String): String = {
+    val parts = table.split('.')
+    val name = parts.last.toUpperCase(java.util.Locale.ROOT)
+    val schemaFilter =
+      if (parts.length >= 2)
+        s" AND s.SCHEMANAME = ${stringLit(parts(parts.length - 2).toUpperCase(java.util.Locale.ROOT))}"
+      else ""
+    "SELECT c.COLUMNNAME, CAST(c.COLUMNDATATYPE AS VARCHAR(255)), " +
+      "CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS INTEGER) " +
+      "FROM SYS.SYSCOLUMNS c JOIN SYS.SYSTABLES t ON c.REFERENCEID = t.TABLEID " +
+      "JOIN SYS.SYSSCHEMAS s ON t.SCHEMAID = s.SCHEMAID " +
+      s"WHERE t.TABLENAME = ${stringLit(name)}$schemaFilter ORDER BY c.COLUMNNUMBER"
+  }
+
+  override def parseSchemaRow(row: Seq[Option[String]]): Option[RawColumnInfo] =
+    super.parseSchemaRow(row).map(i => i.copy(dataType = i.dataType.replace(" NOT NULL", "")))
+
+  /** Derby has no LIMIT — FETCH FIRST is its ANSI spelling. */
+  override def sampleSql(table: String, exprs: Seq[String], n: Int,
+      where: Option[String] = None): String =
+    s"SELECT ${exprs.mkString(", ")} FROM $table" +
+      s"${where.fold("")(w => s" WHERE $w")} FETCH FIRST $n ROWS ONLY"
+
+  /** Derby refuses GROUP BY <expression> (columns only), so the bucket CASE
+    * moves into a derived table and the outer query groups by its column —
+    * same statement count, same result shape. */
+  override def segmentedChecksumSql(table: String, normalizedCols: Seq[String],
+      segmentPreds: Seq[String], extraWhere: Option[String] = None): String = {
+    require(segmentPreds.nonEmpty, "no segments")
+    val bucket = segmentPreds.zipWithIndex
+      .map { case (p, i) => s"WHEN $p THEN $i" }.mkString("CASE ", " ", " END")
+    val cover = segmentPreds.map(p => s"($p)").mkString(" OR ")
+    val w = extraWhere.fold(s"($cover)")(e => s"($cover) AND ($e)")
+    s"SELECT seg, COUNT(*) AS cnt, SUM(ck) AS checksum FROM (" +
+      s"SELECT $bucket AS seg, ${md5AsIntSql(concatSql(normalizedCols))} AS ck " +
+      s"FROM $table WHERE $w) x GROUP BY seg"
+  }
+
   /** One-time per-database install of the Java-backed helpers (idempotent
     * callers: ignore SQLState X0Y68 "already exists"). */
   val bootstrapSql: Seq[String] = {

@@ -22,7 +22,7 @@ import graft.diff.Checksum
   * | profile     | status |
   * |-------------|--------|
   * | duckdb      | wire (live child process: pushdown e2e, checksum fuzz, introspection) |
-  * | derby       | wire (live embedded JDBC: checksum fuzz, collation, engine round-trip) |
+  * | derby       | wire (live embedded JDBC: pushdown e2e incl. SYS-catalog introspection, checksum fuzz, collation, engine round-trip) |
   * | spark       | wire (in-process SQL round-trip via SparkViewEngine) |
   * | postgresql  | golden (+ plain SELECTs exercised over a real JDBC driver in `JdbcEngineSpec`) |
   * | mysql       | golden |

@@ -65,6 +65,51 @@ class JdbcEngineSpec extends AnyFunSuite {
     }
   }
 
+  test("live Derby pushdown end to end: introspection, batched checksums, leaf compare") {
+    // the third live pushdown engine family, through the real JDBC bridge:
+    // schema comes from Derby's SYS catalog, per-level checksums run the
+    // Java-backed md5 bootstrap in Derby's own SQL (derived-table GROUP BY
+    // — Derby refuses grouping by expressions), and only leaf rows cross.
+    assume(derbyAvailable, "no JDBC driver on the classpath")
+    val spark = SparkTest.spark
+    import spark.implicits._
+    import graft.sources.DerbyProfile
+    val db = s"memory:graftpd${System.nanoTime()}"
+    val setup = java.sql.DriverManager.getConnection(s"jdbc:derby:$db;create=true")
+    try {
+      def exec(sql: String): Unit = {
+        val st = setup.createStatement()
+        try st.executeUpdate(sql) finally st.close()
+      }
+      DerbyProfile.bootstrapSql.foreach(exec)
+      exec("""CREATE TABLE pd ("k" BIGINT, "s" VARCHAR(30), "d" DOUBLE)""")
+      val bRows = (1L to 600L).filterNot(_ % 83 == 0)
+        .map(i => (i, if (i % 37 == 0) s"S$i!" else s"s$i", i + 0.25))
+      exec("INSERT INTO pd VALUES " +
+        bRows.map { case (k, s, d) => s"($k, '$s', ${d}E0)" }.mkString(", "))
+      val a = (1L to 600L).map(i => (i, s"s$i", i + 0.25)).toDF("k", "s", "d")
+
+      val eng = new JdbcEngine(s"jdbc:derby:$db", new java.util.Properties(), DerbyProfile)
+      try {
+        val out = graft.api.Graft.diffPushdownIntrospected(
+          graft.diff.TableSegment(a, Seq("k")), eng, "pd",
+          bisectionFactor = 4, bisectionThreshold = 64)
+        def norm(df: org.apache.spark.sql.DataFrame) = {
+          val cols = graft.diff.Normalize.normalizedCols(df.schema, Seq("k", "s", "d"))
+          df.select(Seq("k", "s", "d").zip(cols).map { case (n, c) => c.as(n) }: _*)
+        }
+        val want = graft.diff.JoinDiffer.diff(
+          norm(a), norm(bRows.toDF("k", "s", "d")), Seq("k"), Seq("s", "d"))
+          .collect().map(_.mkString("|")).toSet
+        assert(want.nonEmpty, "fixture produced no diff — test is vacuous")
+        assert(out.collect().map(_.mkString("|")).toSet == want)
+      } finally eng.close()
+    } finally {
+      setup.close()
+      scala.util.Try(java.sql.DriverManager.getConnection(s"jdbc:derby:$db;drop=true"))
+    }
+  }
+
   test("case-insensitive Derby collation: folded key bounds select the same rows as Spark's fold") {
     // A live TERRITORY_BASED:SECONDARY database — Derby's real
     // case-insensitive collation, the class PushdownDiffer now absorbs by
