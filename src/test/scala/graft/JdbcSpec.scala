@@ -110,6 +110,49 @@ class JdbcEngineSpec extends AnyFunSuite {
     }
   }
 
+  test("remote-remote across dialect families: Spark SQL side against live Derby JDBC side") {
+    // neither side read by Spark directly: side A answers in Spark SQL,
+    // side B in Derby's dialect over the real JDBC wire — the reference's
+    // postgres-vs-mysql shape with two genuinely different SQL surfaces
+    assume(derbyAvailable, "no JDBC driver on the classpath")
+    val spark = SparkTest.spark
+    import spark.implicits._
+    import graft.sources.{DerbyProfile, SparkViewEngine}
+    val db = s"memory:graftrr${System.nanoTime()}"
+    val setup = java.sql.DriverManager.getConnection(s"jdbc:derby:$db;create=true")
+    try {
+      def exec(sql: String): Unit = {
+        val st = setup.createStatement()
+        try st.executeUpdate(sql) finally st.close()
+      }
+      DerbyProfile.bootstrapSql.foreach(exec)
+      exec("""CREATE TABLE rrb ("k" BIGINT, "v" VARCHAR(30))""")
+      val bRows = (1L to 400L).filterNot(_ % 71 == 0)
+        .map(i => (i, if (i % 29 == 0) s"V$i!" else s"v$i"))
+      exec("INSERT INTO rrb VALUES " +
+        bRows.map { case (k, v) => s"($k, '$v')" }.mkString(", "))
+      val a = (1L to 400L).map(i => (i, s"v$i")).toDF("k", "v")
+      a.createOrReplaceTempView("rr_derby_a")
+      val eng = new JdbcEngine(s"jdbc:derby:$db", new java.util.Properties(), DerbyProfile)
+      try {
+        val out = graft.api.Graft.diffRemotes(spark,
+          new SparkViewEngine(spark), "rr_derby_a", eng, "rrb",
+          Seq("k"), Seq("v"), bisectionFactor = 4, bisectionThreshold = 32)
+        def norm(df: org.apache.spark.sql.DataFrame) = {
+          val cols = graft.diff.Normalize.normalizedCols(df.schema, Seq("k", "v"))
+          df.select(Seq("k", "v").zip(cols).map { case (n, c) => c.as(n) }: _*)
+        }
+        val want = graft.diff.JoinDiffer.diff(
+          norm(a), norm(bRows.toDF("k", "v")), Seq("k"), Seq("v"))
+          .collect().map(_.mkString("|")).toSet
+        assert(want.nonEmpty && out.collect().map(_.mkString("|")).toSet == want)
+      } finally eng.close()
+    } finally {
+      setup.close()
+      scala.util.Try(java.sql.DriverManager.getConnection(s"jdbc:derby:$db;drop=true"))
+    }
+  }
+
   test("case-insensitive Derby collation: folded key bounds select the same rows as Spark's fold") {
     // A live TERRITORY_BASED:SECONDARY database — Derby's real
     // case-insensitive collation, the class PushdownDiffer now absorbs by
