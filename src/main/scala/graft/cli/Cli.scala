@@ -57,10 +57,11 @@ object ParseTime {
   *     --dbt-dev-base PATH --dbt-prod-base PATH
   *
   * Sources are anything `Graft.connectToTable` accepts (paths, fmt:path,
-  * jdbc:<url>#<table>, catalog tables), or `duckdb:<db>:<table>` to mark a
-  * side as remote — checksum SQL then runs inside that engine and only
-  * summaries plus leaf rows cross. Either side (or both — Spark then only
-  * coordinates) may be remote.
+  * jdbc:<url>#<table> read by Spark, catalog tables), or a REMOTE marker —
+  * `duckdb:<db>:<table>` or `remote:jdbc:<url>#<table>` (dialect profile
+  * resolved from the jdbc subprotocol) — and then checksum SQL runs inside
+  * that engine and only summaries plus leaf rows cross. Either side (or
+  * both — Spark then only coordinates) may be remote.
   */
 object Cli {
   case class Args(
@@ -207,17 +208,29 @@ object Cli {
         a.where.fold(seg)(w => seg.withExtraFilter(org.apache.spark.sql.functions.expr(w)))
       }
       lazy val segA = segment(a.sourceA)
-      // "duckdb:<db>:<table>" marks a side as remote: checksum SQL runs
-      // inside that engine, only summaries and leaf rows cross;
-      // --interactive EXPLAINs every remote query first (reference:
-      // cross-DB diffs default to hashdiff with remote execution;
-      // --interactive databases/base.py:984-994). Either side — or both —
-      // may be remote; with both remote Spark only coordinates
+      // "duckdb:<db>:<table>" or "remote:jdbc:<url>#<table>" marks a side
+      // as remote: checksum SQL runs inside that engine, only summaries and
+      // leaf rows cross; --interactive EXPLAINs every remote query first
+      // (reference: cross-DB diffs default to hashdiff with remote
+      // execution; --interactive databases/base.py:984-994). Either side —
+      // or both — may be remote; with both remote Spark only coordinates
       // (RemoteRemoteDiffer, the reference's postgres↔mysql scenario).
-      def parseRemote(src: String): Option[(String, String)] = src.split(":", 3) match {
-        case Array("duckdb", db, table) => Some((db, table))
-        case _ => None
-      }
+      // The jdbc form picks its dialect profile from the subprotocol
+      // (jdbc:derby → derby, jdbc:postgresql → postgresql, …) — the same
+      // registry the reference's _connect.py scheme map plays. A plain
+      // "jdbc:<url>#<table>" (no remote: prefix) stays a Spark-READ side.
+      def parseRemote(src: String): Option[(String, String)] =
+        if (src.startsWith("duckdb:")) src.split(":", 3) match {
+          case Array("duckdb", db, table) => Some((s"duckdb:$db", table))
+          case _ => None
+        }
+        else if (src.startsWith("remote:jdbc:")) {
+          val body = src.stripPrefix("remote:")
+          val i = body.lastIndexOf('#')
+          require(i > 0 && i < body.length - 1,
+            s"remote:jdbc source needs a #table suffix: $src")
+          Some((body.substring(0, i), body.substring(i + 1)))
+        } else None
       val (remA, remB) = (parseRemote(a.sourceA), parseRemote(a.sourceB))
       val anyRemote = remA.nonEmpty || remB.nonEmpty
       if (anyRemote) {
@@ -236,8 +249,16 @@ object Cli {
           "--materialize-all-rows / --sample-exclusive-rows are joindiff-only " +
             "(reference: joindiff_tables.py); a duckdb: remote runs pushdown hashdiff")
       }
-      def engineFor(db: String): graft.sources.RemoteEngine = {
-        val raw = graft.sources.DuckDbProcess.engine(db)
+      def engineFor(spec: String): graft.sources.RemoteEngine = {
+        val raw: graft.sources.RemoteEngine =
+          if (spec.startsWith("jdbc:")) {
+            val sub = spec.split(":", 3)(1)
+            val profile = graft.sources.SourceProfile.registry.getOrElse(sub,
+              throw new IllegalArgumentException(
+                s"no dialect profile for jdbc subprotocol '$sub' " +
+                  s"(known: ${graft.sources.SourceProfile.registry.keys.toSeq.sorted.mkString(", ")})"))
+            new graft.sources.JdbcEngine(spec, new java.util.Properties(), profile)
+          } else graft.sources.DuckDbProcess.engine(spec.stripPrefix("duckdb:"))
         if (a.interactive) new graft.sources.InteractiveEngine(raw) else raw
       }
       // the update-column scope and --where must restrict BOTH sides —

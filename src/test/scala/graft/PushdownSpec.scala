@@ -632,6 +632,42 @@ class PushdownDifferSpec extends AnyFunSuite {
     assertThrows[IllegalStateException](no.query("SELECT COUNT(*) FROM pd_spec_inter"))
   }
 
+  test("CLI diffs a parquet table against a live JDBC warehouse via remote:jdbc") {
+    // the production JDBC route end to end FROM THE CLI: Derby engine,
+    // profile picked from the jdbc subprotocol, progressive printing
+    assume(scala.util.Try(Class.forName("org.apache.derby.jdbc.EmbeddedDriver")).isSuccess,
+      "no Derby driver on the classpath")
+    import spark.implicits._
+    val db = s"memory:clipd${System.nanoTime()}"
+    val setup = java.sql.DriverManager.getConnection(s"jdbc:derby:$db;create=true")
+    try {
+      def exec(sql: String): Unit = {
+        val st = setup.createStatement()
+        try st.executeUpdate(sql) finally st.close()
+      }
+      graft.sources.DerbyProfile.bootstrapSql.foreach(exec)
+      exec("""CREATE TABLE cb ("k" BIGINT, "v" VARCHAR(20))""")
+      val bRows = (1L to 300L).map(i => (i, if (i % 50 == 0) s"V$i" else s"v$i"))
+      exec("INSERT INTO cb VALUES " +
+        bRows.map { case (k, v) => s"($k, '$v')" }.mkString(", "))
+      val tmp = java.nio.file.Files.createTempDirectory("clijdbc").toString
+      (1L to 300L).map(i => (i, s"v$i")).toDF("k", "v").write.parquet(s"$tmp/a")
+      val out = new java.io.ByteArrayOutputStream
+      Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+        graft.cli.Cli.run(graft.cli.Cli.parseArgs(Array(
+          s"$tmp/a", s"remote:jdbc:derby:$db#cb",
+          "-k", "k", "-c", "v", "--json")), spark)
+      }
+      val lines = out.toString("UTF-8").linesIterator.filter(_.startsWith("{")).toSeq
+      // keys 50, 100, ..., 300 differ → 6 keys × 2 signs
+      assert(lines.size == 12, s"got ${lines.size} lines:\n${lines.mkString("\n")}")
+      assert(lines.count(_.contains("\"-\"")) == 6 && lines.count(_.contains("\"+\"")) == 6)
+    } finally {
+      setup.close()
+      scala.util.Try(java.sql.DriverManager.getConnection(s"jdbc:derby:$db;drop=true"))
+    }
+  }
+
   test("CLI diffs a parquet table against a DuckDB database via pushdown") {
     import scala.sys.process._
     val tmp = java.nio.file.Files.createTempDirectory("clipd").toString
