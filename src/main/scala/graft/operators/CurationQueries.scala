@@ -71,7 +71,22 @@ object CurationQueries {
     * insert a second full-data exchange + sort just to run the window
     * (verified in the audited plan) — the scan runs in place on the
     * already-sorted partitions, so the operator's only data-sized exchange
-    * is the range repartition itself. */
+    * is the range repartition itself.
+    *
+    * CORRECTNESS: the totals collect and the final prefix scan are two
+    * separate query executions — Spark does not reuse exchanges across
+    * actions, so without pinning, each would re-run the range exchange with
+    * its own boundary-sampling job. If the input's row order is
+    * nondeterministic across recomputations (any upstream shuffle — exactly
+    * the pipelines this feeds), the two executions could pick different
+    * range boundaries, and the broadcast per-pid offsets would be applied
+    * to a partitioning other than the one they were computed from:
+    * silently wrong pack_id/pack_offset. So `parts` is pinned with an
+    * EAGER localCheckpoint before the totals pass: both executions read
+    * the same materialized blocks, and the truncated lineage turns any
+    * block loss (executor death on a real cluster) into a loud failure
+    * instead of a silent divergent recompute. The blocks are released by
+    * the ContextCleaner when the returned plan is garbage-collected. */
   def packSequences(chunks: DataFrame, orderCols: Seq[String], tokenCol: String,
       budget: Long): DataFrame = {
     require(budget > 0, s"pack budget must be positive, got $budget")
@@ -81,6 +96,7 @@ object CurationQueries {
     val oc = orderCols.map(col)
     val parts = chunks.repartitionByRange(oc: _*).sortWithinPartitions(oc: _*)
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true) // pin ONE partitioning for both passes (see scaladoc)
     val totals = parts.groupBy("_pid").agg(sum(col(tokenCol)).as("_t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     var acc = 0L

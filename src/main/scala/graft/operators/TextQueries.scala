@@ -206,11 +206,12 @@ object TextQueries {
     // into its enclosing codegen stages; the corpus IS read once per
     // logical use (dedup groups, curated base, contamination index). The
     // pack stage is two-pass by design (partition totals, then the prefix
-    // scan), so the chunk intermediate is MATERIALIZED first — measured
-    // 2.3× on this query when the totals probe re-derived the whole chain
-    // instead. `localCheckpoint` is the gate-scale stand-in for the
-    // write-to-parquet a production build does between curation and
-    // packing anyway (the trainer consumes that file).
+    // scan); packSequences pins its range-partitioned input with an eager
+    // localCheckpoint internally — both for the 2.3× measured here when
+    // the totals probe re-derived the whole chain, and for correctness
+    // (one partitioning for both passes; see packSequences scaladoc) —
+    // the gate-scale stand-in for the write-to-parquet a production build
+    // does between curation and packing anyway.
     "q_pipeline_e2e" -> ((s, d) => {
       val dd = docs(s, d)
       val corpus = dd.where(col("doc_id") >= 10)
@@ -220,7 +221,7 @@ object TextQueries {
       val curated = corpus.join(canon, col("doc_id") === col("cid"), "left_semi")
         .where(qualityScore(col("text")) >= 70 && predictLang(col("text")) === col("lang"))
       val clean = Dedup.decontaminate(curated, bench, "doc_id", "text", n = 5)
-      val chunks = CurationQueries.chunkWindows(clean, "doc_id", "text").localCheckpoint()
+      val chunks = CurationQueries.chunkWindows(clean, "doc_id", "text")
       CurationQueries.packSequences(chunks, Seq("doc_id", "chunk_idx"), "n_tokens", 256L)
         .select("doc_id", "chunk_idx", "n_tokens", "chunk_sig", "pack_id", "pack_offset")
         .orderBy("doc_id", "chunk_idx")

@@ -157,6 +157,16 @@ class CurationSpec extends AnyFunSuite {
     // the prefix is GLOBAL: a different physical layout must not change it
     assert(run(chunks.repartition(7)) == want)
     assert(run(chunks.orderBy(col("doc_id").desc)) == want)
+    // The totals collect and the prefix scan are separate executions; with a
+    // live lineage each would re-run the range exchange with its OWN boundary
+    // sampling — divergent partitionings under nondeterministic upstream order
+    // ⇒ silently wrong offsets. packSequences pins ONE partitioning with an
+    // eager localCheckpoint; the returned plan must be rooted at the
+    // checkpointed LogicalRDD, not the live chain.
+    val planStr = CurationQueries
+      .packSequences(chunks.repartition(3), Seq("doc_id", "chunk_idx"), "n_tokens", 10L)
+      .queryExecution.optimizedPlan.toString
+    assert(planStr.contains("LogicalRDD"), planStr)
     intercept[IllegalArgumentException] {
       CurationQueries.packSequences(chunks, Seq("doc_id"), "n_tokens", 0L)
     }
