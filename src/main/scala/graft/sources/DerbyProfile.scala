@@ -57,6 +57,20 @@ object DerbyFunctions {
     // double→decimal route Spark's Cast takes before HALF_UP rescaling
     java.math.BigDecimal.valueOf(v)
       .setScale(precision, java.math.RoundingMode.HALF_UP).toPlainString
+
+  /** 1 when the value contains any character outside strict [A-Za-z0-9] —
+    * Derby has no regex, so the collation-fold probe
+    * (`SourceProfile.nonAlnumPredicateSql`) is Java-backed like the rest. */
+  def nonAlnum(s: String): Int = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (!((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')))
+        return 1
+      i += 1
+    }
+    0
+  }
 }
 
 /** Apache Derby (embedded or client JDBC). The only profiled engine with no
@@ -166,6 +180,11 @@ object DerbyProfile extends SourceProfile {
       "CREATE FUNCTION GRAFT_NORM_NUM(S VARCHAR(64), P INTEGER) RETURNS VARCHAR(80) " +
         s"$base EXTERNAL NAME 'graft.sources.DerbyFunctions.normNumber'",
       "CREATE FUNCTION GRAFT_NORM_DBL(V DOUBLE, P INTEGER) RETURNS VARCHAR(80) " +
-        s"$base EXTERNAL NAME 'graft.sources.DerbyFunctions.normDouble'")
+        s"$base EXTERNAL NAME 'graft.sources.DerbyFunctions.normDouble'",
+      "CREATE FUNCTION GRAFT_NONALNUM(S VARCHAR(32672)) RETURNS INTEGER " +
+        s"$base EXTERNAL NAME 'graft.sources.DerbyFunctions.nonAlnum'")
   }
+
+  override def nonAlnumPredicateSql(expr: String): Option[String] =
+    Some(s"GRAFT_NONALNUM($expr) = 1")
 }

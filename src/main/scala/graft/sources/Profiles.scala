@@ -51,6 +51,8 @@ object SnowflakeProfile extends SourceProfile {
   def normalizeNumberSql(expr: String, precision: Int): String =
     toStringSql(s"cast($expr as decimal(38, $precision))")
   def normalizeBooleanSql(expr: String): String = toStringSql(s"($expr)::int")
+  override def nonAlnumPredicateSql(expr: String): Option[String] =
+    Some(s"REGEXP_INSTR($expr, '[^A-Za-z0-9]') > 0")
 }
 
 /** BigQuery (reference: data_diff/databases/bigquery.py:95-201). */
@@ -85,6 +87,8 @@ object BigQueryProfile extends SourceProfile {
   def normalizeNumberSql(expr: String, precision: Int): String =
     s"format('%.${precision}f', $expr)"
   def normalizeBooleanSql(expr: String): String = toStringSql(s"cast($expr as int)")
+  override def nonAlnumPredicateSql(expr: String): Option[String] =
+    Some(s"REGEXP_CONTAINS($expr, '[^A-Za-z0-9]')")
 }
 
 /** ClickHouse (reference: data_diff/databases/clickhouse.py:72-170).
@@ -123,6 +127,8 @@ object ClickHouseProfile extends SourceProfile {
     else
       s"if($expr >= 0, '', '-') || left(toString(toDecimal128(round(abs($expr), $precision), ${precision + 1}) + toDecimal128(exp10(-${precision + 1}), ${precision + 1})), toUInt8(greatest(floor(log10(abs($expr))) + 1, 1)) + 1 + $precision)"
   def normalizeBooleanSql(expr: String): String = toStringSql(s"cast($expr as int)")
+  override def nonAlnumPredicateSql(expr: String): Option[String] =
+    Some(s"match($expr, '[^A-Za-z0-9]')")
 }
 
 /** MSSQL (reference: data_diff/databases/mssql.py:99-161). The only
@@ -167,6 +173,9 @@ object MsSqlProfile extends SourceProfile {
   def normalizeNumberSql(expr: String, precision: Int): String =
     s"CONVERT(VARCHAR(50), CAST($expr AS DECIMAL(38, $precision)))"
   def normalizeBooleanSql(expr: String): String = s"CONVERT(VARCHAR(MAX), CAST($expr AS INT))"
+  // T-SQL has no regex, but LIKE supports character classes.
+  override def nonAlnumPredicateSql(expr: String): Option[String] =
+    Some(s"$expr LIKE '%[^A-Za-z0-9]%'")
 }
 
 /** Oracle (reference: data_diff/databases/oracle.py:65-156). */
@@ -210,6 +219,8 @@ object OracleProfile extends SourceProfile {
     s"to_char($expr, '$formatStr')"
   }
   def normalizeBooleanSql(expr: String): String = toStringSql(s"CAST($expr AS NUMBER(1))")
+  override def nonAlnumPredicateSql(expr: String): Option[String] =
+    Some(s"REGEXP_LIKE($expr, '[^A-Za-z0-9]')")
 }
 
 /** Redshift: Postgres dialect with strtol for the checksum and a native
@@ -224,6 +235,8 @@ object RedshiftProfile extends SourceProfile {
   def normalizeNumberSql(expr: String, precision: Int): String =
     s"(($expr)::decimal(38,$precision))::varchar"
   def normalizeBooleanSql(expr: String): String = s"(($expr)::int)::varchar"
+  override def nonAlnumPredicateSql(expr: String): Option[String] =
+    Some(s"$expr ~ '[^A-Za-z0-9]'")
 }
 
 /** Vertica (reference: data_diff/databases/vertica.py:69-131). */
@@ -239,6 +252,8 @@ object VerticaProfile extends SourceProfile {
   def normalizeNumberSql(expr: String, precision: Int): String =
     toStringSql(s"CAST($expr AS NUMERIC(38, $precision))")
   def normalizeBooleanSql(expr: String): String = toStringSql(s"cast ($expr as int)")
+  override def nonAlnumPredicateSql(expr: String): Option[String] =
+    Some(s"REGEXP_LIKE($expr, '[^A-Za-z0-9]')")
 }
 
 /** Databricks SQL (reference: data_diff/databases/databricks.py:73-116). */
@@ -261,6 +276,8 @@ object DatabricksProfile extends SourceProfile {
     else toStringSql(dec)
   }
   def normalizeBooleanSql(expr: String): String = toStringSql(s"cast ($expr as int)")
+  override def nonAlnumPredicateSql(expr: String): Option[String] =
+    Some(s"$expr RLIKE '[^A-Za-z0-9]'")
 }
 
 /** Spark SQL rendered as text — this engine's own dialect, used when the
@@ -295,4 +312,6 @@ object SparkProfile extends SourceProfile {
   def normalizeNumberSql(expr: String, precision: Int): String =
     s"cast(cast($expr as decimal(38, $precision)) as string)"
   def normalizeBooleanSql(expr: String): String = s"cast(cast($expr as int) as string)"
+  override def nonAlnumPredicateSql(expr: String): Option[String] =
+    Some(s"$expr RLIKE '[^A-Za-z0-9]'")
 }

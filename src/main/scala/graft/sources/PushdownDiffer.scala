@@ -172,6 +172,49 @@ object PushdownDiffer {
   private def await[T](f: scala.concurrent.Future[T]): T =
     scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
 
+  /** Collation folding is licensed only by verified strictly-[A-Za-z0-9]
+    * key content (see the fold comment in diffWithStats): one COUNT probe
+    * per text key on the remote, through the dialect's non-alnum predicate.
+    * A profile that cannot express the check refuses the fold — never
+    * assumes. Full-table by design: a sample is not a proof, and the probe
+    * is a single aggregate the remote runs at scan speed, paid only on the
+    * already-exceptional CI-collation path. */
+  private[sources] def requireStrictAlnumRemote(t: RemoteTable, keys: Seq[String]): Unit = {
+    val p = t.engine.profile
+    keys.foreach { k =>
+      val pred = p.nonAlnumPredicateSql(p.quote(k)).getOrElse(
+        throw new IllegalArgumentException(
+          s"case-insensitive collation fold refused: the ${p.name} profile cannot " +
+            s"verify key '$k' is strictly [A-Za-z0-9] (no non-alphanumeric probe), " +
+            "and characters like ' ', '-', '_' order differently under locale " +
+            "collations than in binary, so folded bounds could silently select " +
+            "different rows. Cast the key to a binary collation in the remote " +
+            "table/view, or diff on a derived ordinal key."))
+      val where = t.extraWhereSql.fold(pred)(e => s"($pred) AND ($e)")
+      val n = t.engine.query(s"SELECT COUNT(*) FROM ${t.table} WHERE $where")
+        .head.head.map(_.trim.toLong).getOrElse(0L)
+      if (n > 0) throw new IllegalArgumentException(
+        s"case-insensitive collation fold refused: key '$k' has $n remote value(s) " +
+          "outside [A-Za-z0-9] — ' ', '-' and '_' sort after 'Z' in binary order but " +
+          "before letters under locale collations, so no case fold makes the " +
+          "orderings agree. Cast the key to a binary collation in the remote " +
+          "table/view, or diff on a derived ordinal key.")
+    }
+  }
+
+  /** Local-side counterpart of [[requireStrictAlnumRemote]]: one
+    * column-pruned scan with limit-1 early exit over all candidate keys. */
+  private[sources] def requireStrictAlnumLocal(df: DataFrame, keys: Seq[String]): Unit =
+    if (keys.nonEmpty) {
+      val bad = df.select(keys.map(col): _*)
+        .where(keys.map(k => col(k).rlike("[^A-Za-z0-9]")).reduce(_ || _))
+      if (!bad.isEmpty) throw new IllegalArgumentException(
+        s"case-insensitive collation fold refused: local key(s) ${keys.mkString(", ")} " +
+          "contain values outside [A-Za-z0-9]; range bounds generated from them would " +
+          "not order the same way on the collated remote. Cast the key to a binary " +
+          "collation, or diff on a derived ordinal key.")
+    }
+
   def diff(local: TableSegment, remote: RemoteTable,
       bisectionFactor: Int = DefaultBisectionFactor,
       bisectionThreshold: Int = DefaultBisectionThreshold): DataFrame =
@@ -211,25 +254,34 @@ object PushdownDiffer {
     // (abcs/database_types.py:52-100), emitted as UPPER() in the pushed SQL
     // rather than a refusal. Checksums and the leaf compare stay on RAW
     // values, so rows differing only in key case are still reported as the
-    // -/+ pair they genuinely are. Sound because segmentable text keys are
-    // UUID/base-66 alphanumerics by construction (KeySpace.parseStringKey):
-    // on single-case ASCII alphanumerics a locale's order and binary order
-    // agree (digits < letters, letters alphabetical). Anything beyond case
-    // damage (accent-insensitive, unknown locale tricks) still refuses
-    // loudly — no fold can repair an ordering we cannot reproduce.
+    // -/+ pair they genuinely are. The fold is sound ONLY on strictly
+    // [A-Za-z0-9] key values (binary and locale orders agree there: digits
+    // before letters, letters alphabetical) — the segmentable base-66
+    // alphabet also admits ' ', '-' and '_', which sort after 'Z' in binary
+    // order but before letters under UCA-style locale collations, so their
+    // presence is VERIFIED absent before folding: a column-pruned early-exit
+    // scan locally, one COUNT probe per key remotely (both full-data checks;
+    // a 64-row sample is not a proof). Accent sensitivity must be declared
+    // Some(true) — unknown accent behavior can reorder keys in ways no case
+    // fold repairs. Anything unverifiable refuses loudly.
     val foldKeyCols: Set[String] =
       if (!remote.keyCols.exists(k => remote.schema(k).dataType == StringType)) Set.empty
       else Collation.negotiate(Collation.SparkBinary, remote.keyCollation) match {
         case Right(None) => Set.empty // equivalent ordinal orderings — safe
         case Right(Some(_))
             if remote.keyCollation.caseSensitive.contains(false) &&
-              !remote.keyCollation.accentSensitive.contains(false) =>
-          remote.keyCols.filter(k => remote.schema(k).dataType == StringType).toSet
+              remote.keyCollation.accentSensitive.contains(true) =>
+          val cand = remote.keyCols.filter(k => remote.schema(k).dataType == StringType)
+          requireStrictAlnumLocal(local.df, cand)
+          requireStrictAlnumRemote(remote, cand)
+          cand.toSet
         case Right(Some(_)) | Left(_) => throw new IllegalArgumentException(
-          "remote text-key collation is neither ordinal nor case-insensitive-only: " +
-            "key-range predicates would select different rows on each engine and no " +
-            "case fold repairs that ordering. Cast the key to a binary collation in " +
-            "the remote table/view, or diff on a derived ordinal key.")
+          "remote text-key collation is neither ordinal nor case-insensitive-only " +
+            "with declared accent sensitivity (accentSensitive must be Some(true) — " +
+            "unknown accent behavior can reorder keys in ways no case fold repairs): " +
+            "key-range predicates would select different rows on each engine. Cast " +
+            "the key to a binary collation in the remote table/view, or diff on a " +
+            "derived ordinal key.")
       }
     def localKeyCol(k: String): Column =
       if (foldKeyCols(k)) upper(col(k)) else col(k)

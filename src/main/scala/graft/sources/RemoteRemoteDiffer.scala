@@ -64,7 +64,12 @@ object RemoteRemoteDiffer {
     // on BOTH sides, because bounds generated in folded space would
     // mis-select raw mixed-case keys on the ordinal side. Checksums and
     // leaf rows stay raw, so case-only key differences are still reported.
-    // Damage beyond case (accent-insensitive, unknown locales) refuses.
+    // The fold is sound only on strictly [A-Za-z0-9] key values (' ', '-',
+    // '_' from the base-66 key alphabet order differently under locale
+    // collations than in binary), so BOTH sides are probed before folding —
+    // bounds come from both sides' data and both engines evaluate the
+    // folded predicates. Accent sensitivity must be declared Some(true);
+    // damage beyond case (accent-insensitive, unknown locales) refuses.
     val foldKeyCols: Set[String] =
       if (!keyCols.exists(k => a.schema(k).dataType == StringType)) Set.empty
       else {
@@ -73,16 +78,21 @@ object RemoteRemoteDiffer {
             case Right(None) => false
             case Right(Some(_))
                 if c.caseSensitive.contains(false) &&
-                  !c.accentSensitive.contains(false) => true
+                  c.accentSensitive.contains(true) => true
             case _ => throw new IllegalArgumentException(
               "text-key collation on a remote side is neither ordinal nor " +
-                "case-insensitive-only: key-range predicates would select different " +
-                "rows per engine and no case fold repairs that ordering")
+                "case-insensitive-only with declared accent sensitivity " +
+                "(accentSensitive must be Some(true)): key-range predicates would " +
+                "select different rows per engine and no case fold repairs that " +
+                "ordering")
           }
         }
-        if (sideFolds.exists(identity))
-          keyCols.filter(k => a.schema(k).dataType == StringType).toSet
-        else Set.empty
+        if (sideFolds.exists(identity)) {
+          val cand = keyCols.filter(k => a.schema(k).dataType == StringType)
+          PushdownDiffer.requireStrictAlnumRemote(a, cand)
+          PushdownDiffer.requireStrictAlnumRemote(b, cand)
+          cand.toSet
+        } else Set.empty
       }
     val compare = a.relevantCols.filterNot(keyCols.contains)
 

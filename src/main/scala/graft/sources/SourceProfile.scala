@@ -250,6 +250,18 @@ trait SourceProfile {
   def sampleSql(table: String, exprs: Seq[String], n: Int,
       where: Option[String] = None): String =
     s"SELECT ${exprs.mkString(", ")} FROM $table${where.fold("")(w => s" WHERE $w")} LIMIT $n"
+
+  /** Predicate matching values that contain ANY character outside the
+    * strict [A-Za-z0-9] alphabet — the full-table probe that licenses
+    * case-insensitive collation FOLDING (PushdownDiffer): UPPER()-folded
+    * range predicates order consistently between the binary coordinator
+    * and a CI remote ONLY on strictly alphanumeric keys. The segmentable
+    * base-66 alphabet also admits ' ', '-' and '_', which sort after 'Z'
+    * in binary order but before letters under UCA-style locale collations,
+    * so a key containing them breaks the fold's soundness. None = the
+    * dialect cannot express the check; callers must refuse the fold, never
+    * assume. */
+  def nonAlnumPredicateSql(expr: String): Option[String] = None
 }
 
 /** DuckDB: hex-literal cast (reference behavior: data_diff/databases/
@@ -264,6 +276,8 @@ object DuckDbProfile extends SourceProfile {
   def normalizeNumberSql(expr: String, precision: Int): String =
     s"(($expr)::DECIMAL(38, $precision))::VARCHAR"
   def normalizeBooleanSql(expr: String): String = s"(($expr)::INTEGER)::VARCHAR"
+  override def nonAlnumPredicateSql(expr: String): Option[String] =
+    Some(s"regexp_matches($expr, '[^A-Za-z0-9]')")
 }
 
 /** PostgreSQL: bit-cast of the hex suffix (reference behavior:
@@ -278,6 +292,8 @@ object PostgresProfile extends SourceProfile {
   def normalizeNumberSql(expr: String, precision: Int): String =
     s"(($expr)::decimal(38, $precision))::varchar"
   def normalizeBooleanSql(expr: String): String = s"(($expr)::int)::varchar"
+  override def nonAlnumPredicateSql(expr: String): Option[String] =
+    Some(s"$expr ~ '[^A-Za-z0-9]'")
 }
 
 /** MySQL: conv() hex→int, DATE_FORMAT microseconds (reference behavior:
@@ -296,6 +312,8 @@ object MySqlProfile extends SourceProfile {
   def normalizeNumberSql(expr: String, precision: Int): String =
     s"cast(cast($expr as decimal(38, $precision)) as char)"
   def normalizeBooleanSql(expr: String): String = s"cast(cast($expr as signed) as char)"
+  override def nonAlnumPredicateSql(expr: String): Option[String] =
+    Some(s"$expr REGEXP '[^A-Za-z0-9]'")
 }
 
 /** Trino/Presto: md5 over varbinary, from_base for the hex suffix
@@ -311,6 +329,8 @@ object TrinoProfile extends SourceProfile {
   def normalizeNumberSql(expr: String, precision: Int): String =
     s"cast(cast($expr as decimal(38, $precision)) as varchar)"
   def normalizeBooleanSql(expr: String): String = s"cast(cast($expr as integer) as varchar)"
+  override def nonAlnumPredicateSql(expr: String): Option[String] =
+    Some(s"regexp_like($expr, '[^A-Za-z0-9]')")
 }
 
 object SourceProfile {

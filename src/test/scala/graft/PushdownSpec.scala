@@ -606,18 +606,60 @@ class PushdownDifferSpec extends AnyFunSuite {
     // remote whose ordering is actually ordinal but DECLARED case-insensitive
     // is the safe direction (folding both sides is consistent either way):
     // identical data must still prune to an empty diff through the folded
-    // predicates.
+    // predicates. Accent sensitivity must be DECLARED (Some(true)) — an
+    // unknown accent behavior could reorder keys in ways no case fold
+    // repairs, so it refuses (second half).
     val base = orders.select(
       concat(lit("K"), col("o_orderkey").cast("string")).as("k"), col("o_totalprice"))
     base.createOrReplaceTempView("pd_spec_coll")
     val remote = RemoteTable(new SparkViewEngine(spark), "pd_spec_coll",
       Seq("k"), Seq("o_totalprice"), base.schema,
-      keyCollation = Collation(language = Some("en"), caseSensitive = Some(false)))
+      keyCollation = Collation(language = Some("en"), caseSensitive = Some(false),
+        accentSensitive = Some(true)))
     val (out, stats) = PushdownDiffer.diffWithStats(
       TableSegment(base, Seq("k"), Seq("o_totalprice")), remote,
       bisectionFactor = 4, bisectionThreshold = 128)
     assert(out.isEmpty)
     assert(stats.leafSegments == 0 && stats.rowsFetched == 0, s"$stats")
+    // accentSensitive unknown (None) is NOT fold-eligible (ADVICE r7)
+    val accentUnknown = remote.copy(keyCollation =
+      Collation(language = Some("en"), caseSensitive = Some(false)))
+    val e = intercept[IllegalArgumentException] {
+      PushdownDiffer.diff(TableSegment(base, Seq("k"), Seq("o_totalprice")), accentUnknown)
+    }
+    assert(e.getMessage.contains("accent"))
+  }
+
+  test("collation fold refuses keys outside strict [A-Za-z0-9] on either side") {
+    // '_' (0x5F) sorts after 'Z' in binary order but before letters under
+    // UCA-style locale collations — the UPPER() fold cannot repair that, so
+    // the base-66 extras (' ', '-', '_') must be VERIFIED absent before
+    // folding. Both the remote COUNT probe and the local early-exit scan
+    // must catch them.
+    import spark.implicits._
+    val ci = Collation(ordinal = Some(false),
+      caseSensitive = Some(false), accentSensitive = Some(true))
+    val bad = Seq(("k_1", "v1"), ("K2", "v2")).toDF("k", "v")
+    bad.createOrReplaceTempView("pd_alnum_bad")
+    // remote side carries the underscore key → remote probe refuses
+    val remoteBad = RemoteTable(new SparkViewEngine(spark), "pd_alnum_bad",
+      Seq("k"), Seq("v"), bad.schema, keyCollation = ci)
+    val good = Seq(("k1", "v1"), ("K2", "v2")).toDF("k", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      PushdownDiffer.diff(TableSegment(good, Seq("k"), Seq("v")), remoteBad)
+    }
+    assert(e1.getMessage.contains("[A-Za-z0-9]"), e1.getMessage)
+    // local side carries it → local scan refuses (remote is clean)
+    good.createOrReplaceTempView("pd_alnum_good")
+    val remoteGood = RemoteTable(new SparkViewEngine(spark), "pd_alnum_good",
+      Seq("k"), Seq("v"), good.schema, keyCollation = ci)
+    val e2 = intercept[IllegalArgumentException] {
+      PushdownDiffer.diff(TableSegment(bad, Seq("k"), Seq("v")), remoteGood)
+    }
+    assert(e2.getMessage.contains("[A-Za-z0-9]"), e2.getMessage)
+    // clean alphanumerics on both sides still fold and run
+    assert(PushdownDiffer.diff(TableSegment(good, Seq("k"), Seq("v")), remoteGood,
+      bisectionFactor = 2, bisectionThreshold = 16).isEmpty)
   }
 
   test("interactive gate explains each query and can decline it") {

@@ -66,7 +66,8 @@ class SourceProfileSpec extends AnyFunSuite {
       "CAST(CASE WHEN b THEN '1' WHEN NOT b THEN '0' END AS VARCHAR(1))")
     assert(DerbyProfile.normalizedColumnSql("x", org.apache.spark.sql.types.DoubleType) ==
       "GRAFT_NORM_DBL(CAST(\"x\" AS DOUBLE), 2)")
-    assert(DerbyProfile.bootstrapSql.size == 5)
+    assert(DerbyProfile.bootstrapSql.size == 6)
+    assert(DerbyProfile.nonAlnumPredicateSql("\"k\"").contains("GRAFT_NONALNUM(\"k\") = 1"))
   }
 
   test("segmented checksum groups by the repeated CASE expression, not position") {
