@@ -61,7 +61,10 @@ final case class PushdownStats(
     /** Wall-clock per bisection level (checksum batches, both sides). */
     levelMillis: Seq[Long] = Nil,
     /** Columns dropped mid-flight via PushdownControl.ignoreColumn. */
-    ignoredColumns: Seq[String] = Nil)
+    ignoredColumns: Seq[String] = Nil,
+    /** Level at which bisection was abandoned for the dense-diff bulk
+      * fetch + joindiff (None = the loop bisected to completion). */
+    denseCutoverAtLevel: Option[Int] = None)
 
 /** One finished bisection level, reported to PushdownControl.onLevel. */
 final case class PushdownLevel(level: Int, segments: Int, pruned: Int, millis: Long)
@@ -90,7 +93,22 @@ class PushdownControl(val checksumWarnSeconds: Int = PushdownControl.DefaultChec
       * emitted reflect the columns active when their leaf was compared — a
       * later `ignoreColumn` cannot unship them, exactly like the
       * reference's yielded iterator. */
-    val progressive: Boolean = false) {
+    val progressive: Boolean = false,
+    /** Dense-diff cutover: once `denseCutoverAfterLevels` levels have run
+      * with a CUMULATIVE prune rate below `denseCutoverPruneRate`, the
+      * table differs ~everywhere and further bisection is strictly wasted
+      * remote work — every deeper level re-checksums rows that will be
+      * leaf-fetched anyway (at a 50% diff rate the remote would run
+      * O(N/threshold) checksum statements that prune nothing). The loop
+      * then stops bisecting and the remaining frontier is fetched
+      * (batched statements, or ONE partitioned JDBC scan on engines that
+      * expose `jdbcSource`) and joindiffed locally — the same regime call
+      * HashDiffer makes when every bucket is dirty (HashDiffer cutover),
+      * and the reference's own instinct for segmentation-hostile cases
+      * (cloud-DB bypass, joindiff_tables.py:159-163).
+      * `Int.MaxValue` disables. */
+    val denseCutoverAfterLevels: Int = 2,
+    val denseCutoverPruneRate: Double = 0.10) {
   @volatile private[this] var ignoredSet: Set[String] = Set.empty
   def ignoreColumn(cols: String*): Unit = ignoredSet ++= cols
   def ignored: Set[String] = ignoredSet
@@ -494,17 +512,48 @@ object PushdownDiffer {
       val localNorm = localLeaf.scoped
         .join(broadcast(boundsDf(leafSeq)), rangeJoinCond)
         .select(rel.zip(localLeaf.normCols).map { case (n, c) => c.as(n) }: _*)
-      val fetched = leafSeq.grouped(maxSegmentsPerQuery).toSeq.flatMap { lchunk =>
-        val leafOr = lchunk.map(b => s"(${remotePred(b)})").mkString(" OR ")
-        val fetchSql = profile.selectNormalizedSql(remote.table,
-          rel.map(c => (normSqlByCol(c), c)),
-          Some(remote.extraWhereSql.fold(s"($leafOr)")(e => s"($leafOr) AND ($e)")))
-        remoteQueries += 1
-        remote.engine.query(fetchSql)
+      val remoteDf = remote.engine.jdbcSource match {
+        case Some((url, props)) =>
+          // Partitioned fetch: normalization stays in the remote SQL (a
+          // derived table computing the SAME normalized projections the
+          // text protocol selects — parity is identical by construction),
+          // while Spark reads one partition per leaf predicate, so
+          // executors pull ranges in parallel instead of the coordinator
+          // draining one statement at a time. This is the fetch path that
+          // makes the dense-diff cutover scale: there the "leaves" are
+          // most of the table, and a single-threaded text drain would be
+          // the new bottleneck. Raw (folded) keys ride along under
+          // __graft_rk_* aliases purely for the partition predicates; no
+          // AS on the derived-table alias (Oracle rejects it).
+          val rk = keyCols.indices.map(d => s"__graft_rk_$d")
+          val sel = (rel.map(c => s"${normSqlByCol(c)} AS ${profile.quote(c)}") ++
+            keyCols.zip(rk).map { case (k, a) => s"${remoteKeySql(k)} AS ${profile.quote(a)}" })
+            .mkString(", ")
+          val inner = s"SELECT $sel FROM ${remote.table}" +
+            remote.extraWhereSql.fold("")(e => s" WHERE $e")
+          def rkPred(box: Box): String =
+            rk.zip(boundVals(box._1)).zip(boundVals(box._2)).map { case ((a, lo), hi) =>
+              s"${profile.quote(a)} >= ${profile.literal(lo)} AND ${profile.quote(a)} < ${profile.literal(hi)}"
+            }.mkString(" AND ")
+          remoteQueries += 1 // one logical scan (N partition reads)
+          val fetched = spark.read.jdbc(url, s"($inner) g", leafSeq.map(rkPred).toArray, props)
+            .drop(rk: _*)
+            .persist() // pin: a task retry must re-read blocks, not the remote
+          fetchedRows += fetched.count()
+          fetched
+        case None =>
+          val fetched = leafSeq.grouped(maxSegmentsPerQuery).toSeq.flatMap { lchunk =>
+            val leafOr = lchunk.map(b => s"(${remotePred(b)})").mkString(" OR ")
+            val fetchSql = profile.selectNormalizedSql(remote.table,
+              rel.map(c => (normSqlByCol(c), c)),
+              Some(remote.extraWhereSql.fold(s"($leafOr)")(e => s"($leafOr) AND ($e)")))
+            remoteQueries += 1
+            remote.engine.query(fetchSql)
+          }
+          fetchedRows += fetched.size
+          spark.createDataFrame(
+            fetched.map(r => Row(r.map(_.orNull): _*)).asJava, outSchemaOf(rel))
       }
-      fetchedRows += fetched.size
-      val remoteDf = spark.createDataFrame(
-        fetched.map(r => Row(r.map(_.orNull): _*)).asJava, outSchemaOf(rel))
       JoinDiffer.diff(localNorm, remoteDf, keyCols, cmpCols)
     }
 
@@ -516,6 +565,7 @@ object PushdownDiffer {
     var level = 0
     var probed = 0
     var pruned = 0
+    var cutoverAt: Option[Int] = None
     val levelMillis = ArrayBuffer.empty[Long]
 
     while (frontier.nonEmpty) {
@@ -578,6 +628,16 @@ object PushdownDiffer {
         }
       }
       frontier = next.toSeq
+      // dense-diff cutover (see PushdownControl scaladoc): early levels
+      // pruned ~nothing → the table differs everywhere bisection can see,
+      // so stop paying for checksums that cannot prune and bulk-fetch the
+      // remaining frontier as leaves instead
+      if (frontier.nonEmpty && level + 1 >= control.denseCutoverAfterLevels &&
+          pruned.toDouble / probed < control.denseCutoverPruneRate) {
+        cutoverAt = Some(level)
+        leaves ++= frontier
+        frontier = Seq.empty
+      }
       levelMillis += (System.nanoTime() - levelStart) / 1000000
       control.onLevel(PushdownLevel(level, levelSegments, pruned - prunedAtStart, levelMillis.last))
       // progressive: this level's fresh leaves are compared NOW, while the
@@ -597,7 +657,7 @@ object PushdownDiffer {
     val finalRelevant = keyCols ++ finalCompare
     val droppedCols = compare.filterNot(finalCompare.contains)
     val stats = PushdownStats(level, probed, pruned, leaves.size, remoteQueries,
-      fetchedRows, levelMillis.toSeq, droppedCols)
+      fetchedRows, levelMillis.toSeq, droppedCols, cutoverAt)
 
     if (control.progressive) {
       // every leaf was already compared (and emitted) per level; the return
@@ -613,6 +673,6 @@ object PushdownDiffer {
     if (leaves.isEmpty) return emptyResult(stats, finalRelevant)
     val out = compareLeaves(leaves.toSeq, finalCompare)
     (out, PushdownStats(level, probed, pruned, leaves.size, remoteQueries,
-      fetchedRows, levelMillis.toSeq, droppedCols))
+      fetchedRows, levelMillis.toSeq, droppedCols, cutoverAt))
   }
 }

@@ -17,6 +17,13 @@ trait RemoteEngine extends AutoCloseable {
   /** Execute SQL remotely; each row is a sequence of nullable strings. */
   def query(sql: String): Seq[Seq[Option[String]]]
 
+  /** When the engine is plain-JDBC-reachable, its (url, properties) — lets
+    * the differ fetch leaf rows as a PARTITIONED `spark.read.jdbc` scan
+    * (one partition per leaf predicate, executors pulling ranges in
+    * parallel) instead of draining statements through this single-threaded
+    * text bridge. None = text protocol only. */
+  def jdbcSource: Option[(String, java.util.Properties)] = None
+
   override def close(): Unit = ()
 }
 
@@ -67,6 +74,8 @@ object InteractiveEngine {
 final class JdbcEngine(url: String, props: java.util.Properties,
     val profile: SourceProfile) extends RemoteEngine {
   private lazy val conn = java.sql.DriverManager.getConnection(url, props)
+
+  override def jdbcSource: Option[(String, java.util.Properties)] = Some((url, props))
 
   def query(sql: String): Seq[Seq[Option[String]]] = {
     val st = conn.createStatement()

@@ -216,6 +216,7 @@ object RemoteRemoteDiffer {
     var level = 0
     var probed = 0
     var pruned = 0
+    var cutoverAt: Option[Int] = None
     val levelMillis = ArrayBuffer.empty[Long]
     while (frontier.nonEmpty) {
       require(level < 64, s"bisection did not converge after 64 levels")
@@ -244,6 +245,16 @@ object RemoteRemoteDiffer {
         }
       }
       frontier = next.toSeq
+      // dense-diff cutover, same regime call as PushdownDiffer (see
+      // PushdownControl scaladoc): when early levels prune ~nothing, both
+      // remotes are paying checksum statements that cannot prune — stop
+      // bisecting and bulk-fetch the remaining frontier from both sides
+      if (frontier.nonEmpty && level + 1 >= control.denseCutoverAfterLevels &&
+          pruned.toDouble / probed < control.denseCutoverPruneRate) {
+        cutoverAt = Some(level)
+        leaves ++= frontier
+        frontier = Seq.empty
+      }
       levelMillis += (System.nanoTime() - levelStart) / 1000000
       control.onLevel(PushdownLevel(level, levelSegments, pruned - prunedAtStart, levelMillis.last))
       // progressive: leaves found this level are downloaded and compared NOW
@@ -263,7 +274,7 @@ object RemoteRemoteDiffer {
 
     if (control.progressive) {
       val stats = PushdownStats(level, probed, pruned, leaves.size, queries + queries2,
-        fetchedRows, levelMillis.toSeq, dropped)
+        fetchedRows, levelMillis.toSeq, dropped, cutoverAt)
       if (emitted.isEmpty)
         return (spark.createDataFrame(Seq.empty[Row].asJava, outSchema(finalRelevant)), stats)
       val out = emitted.map(df => df.select(
@@ -273,9 +284,9 @@ object RemoteRemoteDiffer {
 
     if (leaves.isEmpty)
       return (spark.createDataFrame(Seq.empty[Row].asJava, outSchema(finalRelevant)),
-        PushdownStats(level, probed, pruned, 0, queries, 0, levelMillis.toSeq, dropped))
+        PushdownStats(level, probed, pruned, 0, queries, 0, levelMillis.toSeq, dropped, cutoverAt))
     val out = compareLeaves(leaves.toSeq, finalCompare)
     (out, PushdownStats(level, probed, pruned, leaves.size, queries + queries2,
-      fetchedRows, levelMillis.toSeq, dropped))
+      fetchedRows, levelMillis.toSeq, dropped, cutoverAt))
   }
 }

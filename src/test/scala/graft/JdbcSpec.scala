@@ -110,6 +110,51 @@ class JdbcEngineSpec extends AnyFunSuite {
     }
   }
 
+  test("dense cutover bulk-fetches through a partitioned JDBC scan on a live Derby") {
+    // the 100 TB fetch path under the dense-diff cutover: JdbcEngine
+    // exposes jdbcSource, so when the loop abandons bisection the leaf
+    // rows arrive via spark.read.jdbc with one partition per leaf
+    // predicate (normalization still computed in Derby's SQL — parity by
+    // construction), not the single-threaded text bridge.
+    assume(derbyAvailable, "no JDBC driver on the classpath")
+    val spark = SparkTest.spark
+    import spark.implicits._
+    import graft.sources.{DerbyProfile, PushdownControl, PushdownDiffer, RemoteTable}
+    val db = s"memory:graftdense${System.nanoTime()}"
+    val setup = java.sql.DriverManager.getConnection(s"jdbc:derby:$db;create=true")
+    try {
+      def exec(sql: String): Unit = {
+        val st = setup.createStatement()
+        try st.executeUpdate(sql) finally st.close()
+      }
+      DerbyProfile.bootstrapSql.foreach(exec)
+      exec("""CREATE TABLE dense ("k" BIGINT, "v" VARCHAR(30))""")
+      val bRows = (1L to 2048L).map(i => (i, if (i % 2 == 0) s"v${i}X" else s"v$i"))
+      bRows.grouped(500).foreach(g => exec("INSERT INTO dense VALUES " +
+        g.map { case (k, v) => s"($k, '$v')" }.mkString(", ")))
+      val a = (1L to 2048L).map(i => (i, s"v$i")).toDF("k", "v")
+      val eng = new JdbcEngine(s"jdbc:derby:$db", new java.util.Properties(), DerbyProfile)
+      try {
+        val remote = RemoteTable.introspect(eng, "dense", Seq("k"), Seq("v"))
+        val (out, stats) = PushdownDiffer.diffWithStats(
+          graft.diff.TableSegment(a, Seq("k"), Seq("v")), remote,
+          bisectionFactor = 4, bisectionThreshold = 64)
+        assert(stats.denseCutoverAtLevel.nonEmpty, s"$stats")
+        def norm(df: org.apache.spark.sql.DataFrame) = {
+          val cols = graft.diff.Normalize.normalizedCols(df.schema, Seq("k", "v"))
+          df.select(Seq("k", "v").zip(cols).map { case (n, c) => c.as(n) }: _*)
+        }
+        val want = graft.diff.JoinDiffer.diff(
+          norm(a), norm(bRows.toDF("k", "v")), Seq("k"), Seq("v"))
+          .collect().map(_.mkString("|")).toSet
+        assert(want.size == 2048 && out.collect().map(_.mkString("|")).toSet == want)
+      } finally eng.close()
+    } finally {
+      setup.close()
+      scala.util.Try(java.sql.DriverManager.getConnection(s"jdbc:derby:$db;drop=true"))
+    }
+  }
+
   test("remote-remote across dialect families: Spark SQL side against live Derby JDBC side") {
     // neither side read by Spark directly: side A answers in Spark SQL,
     // side B in Derby's dialect over the real JDBC wire — the reference's

@@ -190,6 +190,54 @@ class PushdownDifferSpec extends AnyFunSuite {
     assert(stats.rowsFetched < a.count(), s"leaf fetch must not ship the whole table: $stats")
   }
 
+  test("dense diff cuts over to bulk fetch + joindiff when early levels stop pruning") {
+    // ~50% of rows differ, spread uniformly: every segment at every level
+    // is dirty, so bisection can never prune — the remote would run
+    // O(N/threshold) checksum statements for nothing. The cutover must
+    // fire after denseCutoverAfterLevels (2) levels, issue FEWER remote
+    // statements than pure bisection, and produce identical rows.
+    import spark.implicits._
+    val n = 4096
+    val aRows = (1 to n).map(i => (i.toLong, s"v$i"))
+    val a = aRows.toDF("k", "v")
+    aRows.map { case (k, v) => if (k % 2 == 0) (k, v + "X") else (k, v) }
+      .toDF("k", "v").createOrReplaceTempView("pd_dense_b")
+    val remote = RemoteTable(new SparkViewEngine(spark), "pd_dense_b",
+      Seq("k"), Seq("v"), a.schema)
+    def run(ctrl: PushdownControl) = PushdownDiffer.diffWithStats(
+      TableSegment(a, Seq("k"), Seq("v")), remote,
+      bisectionFactor = 4, bisectionThreshold = 64, control = ctrl)
+    val (outCut, statsCut) = run(new PushdownControl())
+    val (outBis, statsBis) = run(new PushdownControl(denseCutoverAfterLevels = Int.MaxValue))
+    assert(statsCut.denseCutoverAtLevel.exists(_ <= 1), s"$statsCut")
+    assert(statsBis.denseCutoverAtLevel.isEmpty && statsBis.levels > 2, s"$statsBis")
+    assert(statsCut.remoteQueries < statsBis.remoteQueries,
+      s"cutover must save remote statements: ${statsCut.remoteQueries} vs ${statsBis.remoteQueries}")
+    val want = outBis.collect().map(_.mkString("|")).toSet
+    assert(want.size == n && outCut.collect().map(_.mkString("|")).toSet == want)
+  }
+
+  test("remote-remote dense diff cuts over the same way") {
+    import spark.implicits._
+    val n = 2048
+    val aRows = (1 to n).map(i => (i.toLong, s"v$i"))
+    aRows.toDF("k", "v").createOrReplaceTempView("rr_dense_a")
+    aRows.map { case (k, v) => if (k % 2 == 0) (k, v + "X") else (k, v) }
+      .toDF("k", "v").createOrReplaceTempView("rr_dense_b")
+    val eng = new SparkViewEngine(spark)
+    def side(t: String) = RemoteTable.introspect(eng, t, Seq("k"), Seq("v"))
+    def run(ctrl: PushdownControl) = RemoteRemoteDiffer.diff(spark,
+      side("rr_dense_a"), side("rr_dense_b"),
+      bisectionFactor = 4, bisectionThreshold = 64, control = ctrl)
+    val (outCut, statsCut) = run(new PushdownControl())
+    val (outBis, statsBis) = run(new PushdownControl(denseCutoverAfterLevels = Int.MaxValue))
+    assert(statsCut.denseCutoverAtLevel.exists(_ <= 1), s"$statsCut")
+    assert(statsBis.denseCutoverAtLevel.isEmpty, s"$statsBis")
+    assert(statsCut.remoteQueries < statsBis.remoteQueries, s"$statsCut vs $statsBis")
+    val want = outBis.collect().map(_.mkString("|")).toSet
+    assert(want.size == n && outCut.collect().map(_.mkString("|")).toSet == want)
+  }
+
   test("identical sides prune every segment with zero rows fetched") {
     val a = orders
     a.createOrReplaceTempView("pd_spec_same")
