@@ -287,9 +287,16 @@ object Cli {
       // early-streaming UX). Off under --limit (which wants at most N rows
       // printed once).
       var printedProgressively = false
-      def progressiveControl(): graft.sources.PushdownControl =
+      // flipSigns: the (remote, local) branch runs the pushdown with the
+      // sides swapped, so leaf rows arrive with '-'/'+' inverted — flip
+      // them HERE, at print time, so progressive output matches the
+      // flipped final DataFrame ('-' always means side A)
+      def progressiveControl(flipSigns: Boolean = false): graft.sources.PushdownControl =
         new graft.sources.PushdownControl(progressive = a.limit.isEmpty) {
-          override def onLeafDiff(level: Int, d: org.apache.spark.sql.DataFrame): Unit = {
+          override def onLeafDiff(level: Int, d0: org.apache.spark.sql.DataFrame): Unit = {
+            import org.apache.spark.sql.functions.{col, lit, when}
+            val d = if (!flipSigns) d0 else d0.withColumn("sign",
+              when(col("sign") === "-", lit("+")).otherwise(lit("-")))
             if (a.json) DiffFormat.toJsonl(d).toLocalIterator().forEachRemaining(println(_))
             else d.toLocalIterator().forEachRemaining(r => println(r.mkString(" ")))
             printedProgressively = true
@@ -335,7 +342,8 @@ object Cli {
             remoteTotalA = Some(remoteCount(eng, table))
             import org.apache.spark.sql.functions.{col, lit, when}
             Graft.diffPushdownIntrospected(segB.copy(extraCols = compare), eng, table,
-              remoteWhereFor(eng.profile), a.bisectionFactor, a.bisectionThreshold)
+              remoteWhereFor(eng.profile), a.bisectionFactor, a.bisectionThreshold,
+              progressiveControl(flipSigns = true))
               .withColumn("sign", when(col("sign") === "-", lit("+")).otherwise(lit("-")))
           } finally eng.close()
         case (None, None) =>

@@ -187,4 +187,9 @@ object DerbyProfile extends SourceProfile {
 
   override def nonAlnumPredicateSql(expr: String): Option[String] =
     Some(s"GRAFT_NONALNUM($expr) = 1")
+
+  /** Installed automatically by JdbcEngine on connect (X0Y68 swallowed),
+    * so the CLI's `remote:jdbc:derby:<db>` route needs no out-of-band
+    * setup. */
+  override def connectBootstrapSql: Seq[String] = bootstrapSql
 }

@@ -73,7 +73,24 @@ object InteractiveEngine {
   * (normalized) values by construction. */
 final class JdbcEngine(url: String, props: java.util.Properties,
     val profile: SourceProfile) extends RemoteEngine {
-  private lazy val conn = java.sql.DriverManager.getConnection(url, props)
+  private lazy val conn = {
+    val c = java.sql.DriverManager.getConnection(url, props)
+    // Profiles that need per-database helper objects (Derby's Java-backed
+    // CREATE FUNCTIONs) install them on connect, so `remote:jdbc:derby:...`
+    // works against a database nobody bootstrapped out-of-band. Idempotent:
+    // SQLState X0Y68 ("object already exists") is expected on every
+    // connection after the first and swallowed; any other failure (e.g. a
+    // network server missing the library jar) propagates loudly before the
+    // first checksum query could fail confusingly.
+    profile.connectBootstrapSql.foreach { ddl =>
+      val st = c.createStatement()
+      try st.executeUpdate(ddl)
+      catch {
+        case e: java.sql.SQLException if e.getSQLState == "X0Y68" => ()
+      } finally st.close()
+    }
+    c
+  }
 
   override def jdbcSource: Option[(String, java.util.Properties)] = Some((url, props))
 

@@ -262,6 +262,14 @@ trait SourceProfile {
     * dialect cannot express the check; callers must refuse the fold, never
     * assume. */
   def nonAlnumPredicateSql(expr: String): Option[String] = None
+
+  /** DDL to run once per connection before any pushed query — for profiles
+    * whose SQL surface needs per-database helper objects (Derby's
+    * Java-backed CREATE FUNCTIONs). Statements must be idempotent-safe for
+    * the runner: JdbcEngine executes each and swallows the dialect's
+    * "object already exists" (Derby SQLState X0Y68). Empty for engines
+    * whose profile renders in pure built-ins. */
+  def connectBootstrapSql: Seq[String] = Nil
 }
 
 /** DuckDB: hex-literal cast (reference behavior: data_diff/databases/

@@ -735,7 +735,9 @@ class PushdownDifferSpec extends AnyFunSuite {
         val st = setup.createStatement()
         try st.executeUpdate(sql) finally st.close()
       }
-      graft.sources.DerbyProfile.bootstrapSql.foreach(exec)
+      // deliberately NO bootstrapSql here: a fresh database nobody set up
+      // out-of-band is the CLI's real-world case — JdbcEngine must install
+      // the profile's helper functions itself on connect
       exec("""CREATE TABLE cb ("k" BIGINT, "v" VARCHAR(20))""")
       val bRows = (1L to 300L).map(i => (i, if (i % 50 == 0) s"V$i" else s"v$i"))
       exec("INSERT INTO cb VALUES " +
