@@ -28,6 +28,19 @@ object MultimodalQueries {
       Multimodal.featurePipeline(s, Tables.load(s, d, "documents"), "doc_id", "text")
         .toDF().orderBy("doc_id")),
 
+    // REAL image decode, end to end: every document gets a genuine PNG
+    // payload (formula-seeded pixels, encoded by javax.imageio's PNG
+    // writer inside tasks), and the features come from DECODING those
+    // bytes back to a raster — width/height/pixel sums are functions of
+    // decoded pixels, not payload bytes. PNG is lossless, so the oracle
+    // reproduces the exact values from the generating formula without
+    // ever seeing a PNG: a match proves the decode round-trips.
+    "q_multimodal_decode" -> ((s, d) => {
+      val media = Multimodal.attachImagePayload(
+        Tables.load(s, d, "documents"), "doc_id", w = 16, h = 16)
+      Multimodal.decodeImages(media).toDF().orderBy("doc_id")
+    }),
+
     // Frame sampling: 1→N generator fan-out per payload (every 2nd 64-byte
     // frame), each frame summarized by an exact byte sum. Documents are
     // ASCII, so the oracle reproduces byte slices with substring + ascii().
@@ -65,6 +78,29 @@ object MultimodalQueries {
         |      list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
         |      (acc, x) -> (acc * 131 + x) % 1000000007) AS BIGINT) AS checksum8
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // The decode oracle never touches a PNG: it recomputes the pixel
+    // channels from the generating formula ch(c) = (doc_id*31 + x*7 +
+    // y*13 + c*101) % 256 and folds them in the same row-major R,G,B
+    // order the decoder walks the raster. Lossless PNG makes the decoded
+    // raster equal the formula exactly — a hash match certifies a real
+    // encode→decode round trip through javax.imageio.
+    "q_multimodal_decode" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |    flatten(flatten(list_transform(range(0, 16), y ->
+        |      list_transform(range(0, 16), x ->
+        |        list_transform(range(0, 3), c ->
+        |          (doc_id*31 + x*7 + y*13 + c*101) % 256))))) AS chans
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+        |  CAST(list_sum(chans) AS BIGINT) AS pixel_sum,
+        |  CAST(((doc_id*31) % 256) * 65536 + ((doc_id*31 + 101) % 256) * 256
+        |    + ((doc_id*31 + 202) % 256) AS INT) AS first_px,
+        |  CAST(list_reduce(list_prepend(0::BIGINT, chans),
+        |    (acc, v) -> (acc * 131 + v) % 1000000007) AS BIGINT) AS pixel_checksum
+        |FROM px ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_frames" ->
       """WITH f AS (

@@ -470,6 +470,57 @@ class MultimodalSpec extends AnyFunSuite {
     assert(resized.forall(_.frame.toSeq == Seq[Byte](9, 9, 9)))
   }
 
+  test("ImageIoCodec decodes real PNG bytes back to the exact generating pixels") {
+    // encode through javax.imageio, decode through javax.imageio: the
+    // features must equal the formula the bytes were generated from
+    // (PNG is lossless) — the same equality the q_multimodal_decode
+    // oracle checks against SQL-recomputed pixels
+    def ch(seed: Long, x: Int, y: Int, c: Int): Int =
+      (((seed * 31 + x * 7 + y * 13 + c * 101) % 256 + 256) % 256).toInt
+    val seed = 12345L
+    val png = Multimodal.synthPng(seed, 16, 16)
+    // a real PNG container: 8-byte signature
+    assert(png.take(4).toSeq == Seq[Byte](0x89.toByte, 'P', 'N', 'G'))
+    val (sum, first, cs) = Multimodal.ImageIoCodec.features("image/png", png)
+    var wantSum = 0L
+    var wantCs = 0L
+    for (y <- 0 until 16; x <- 0 until 16; c <- 0 until 3) {
+      wantSum += ch(seed, x, y, c)
+      wantCs = (wantCs * 131 + ch(seed, x, y, c)) % 1000000007L
+    }
+    assert(sum == wantSum && cs == wantCs)
+    assert(first == ((ch(seed, 0, 0, 0) << 16) | (ch(seed, 0, 0, 1) << 8) | ch(seed, 0, 0, 2)))
+    // distributed end to end: the decode stage reproduces per-row features
+    import spark.implicits._
+    val docs = Seq((7L, "ignored"), (8L, "ignored")).toDF("doc_id", "text")
+    val out = Multimodal.decodeImages(
+      Multimodal.attachImagePayload(docs, "doc_id", 16, 16))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(out(7L).width == 16 && out(7L).height == 16)
+    assert(out(7L).pixel_sum == (for (y <- 0 until 16; x <- 0 until 16; c <- 0 until 3)
+      yield ch(7L, x, y, c).toLong).sum)
+    assert(out(7L).pixel_sum != out(8L).pixel_sum)
+  }
+
+  test("ImageIoCodec resize is a real nearest-neighbor rescale, re-encoded as PNG") {
+    val png = Multimodal.synthPng(99L, 16, 16)
+    val small = Multimodal.ImageIoCodec.resize(png, outBytes = 4 * 4 * 3)
+    val img = Multimodal.ImageIoCodec.decode(small)
+    assert(img.getWidth == 4 && img.getHeight == 4)
+    // nearest neighbor: output pixel (x,y) is a COPY of input (4x, 4y)
+    val orig = Multimodal.ImageIoCodec.decode(png)
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert((img.getRGB(x, y) & 0xffffff) == (orig.getRGB(x * 4, y * 4) & 0xffffff))
+    // deterministic: same input bytes → same output bytes
+    assert(Multimodal.ImageIoCodec.resize(png, 48).toSeq == small.toSeq)
+  }
+
+  test("ImageIoCodec fails loudly on an undecodable payload") {
+    val garbage = Array.tabulate[Byte](32)(i => (i * 17).toByte)
+    assertThrows[IllegalArgumentException](
+      Multimodal.ImageIoCodec.features("image/png", garbage))
+  }
+
   test("frame sampling fans out strided fixed-width frames; resize shrinks them") {
     import spark.implicits._
     val media = Seq(Multimodal.MediaRow(1L, "x", Array.tabulate[Byte](20)(_.toByte)))
