@@ -58,6 +58,24 @@ object DerbyFunctions {
     java.math.BigDecimal.valueOf(v)
       .setScale(precision, java.math.RoundingMode.HALF_UP).toPlainString
 
+  /** Uppercase hex of the first 16 UTF-8 bytes, '0'-right-padded to 32 —
+    * the collation-proof key projection (`SourceProfile
+    * .hexKeyProjectionSql`); Derby has no hex builtin, so it is Java-backed
+    * like the rest, byte-identical to the other dialects' renderings. */
+  def hex16(s: String): String = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new StringBuilder(32)
+    var i = 0
+    while (i < bytes.length && i < 16) {
+      val b = bytes(i) & 0xff
+      sb.append("0123456789ABCDEF".charAt(b >> 4))
+      sb.append("0123456789ABCDEF".charAt(b & 0xf))
+      i += 1
+    }
+    while (sb.length < 32) sb.append('0')
+    sb.toString
+  }
+
   /** 1 when the value contains any character outside strict [A-Za-z0-9] —
     * Derby has no regex, so the collation-fold probe
     * (`SourceProfile.nonAlnumPredicateSql`) is Java-backed like the rest. */
@@ -131,15 +149,22 @@ object DerbyProfile extends SourceProfile {
   override def tableSchemaSql(table: String): String = {
     val parts = table.split('.')
     val name = parts.last.toUpperCase(java.util.Locale.ROOT)
+    // catalog columns are always UCS_BASIC, but in a TERRITORY_BASED
+    // database string literals collate with the current schema and Derby
+    // refuses the mixed comparison outright — casting the CATALOG column
+    // re-collates it to the current schema (Derby's documented remedy:
+    // "CAST(tablename AS VARCHAR(128)) = 'T1'"), making the filter valid
+    // under every database collation
     val schemaFilter =
       if (parts.length >= 2)
-        s" AND s.SCHEMANAME = ${stringLit(parts(parts.length - 2).toUpperCase(java.util.Locale.ROOT))}"
+        s" AND CAST(s.SCHEMANAME AS VARCHAR(128)) = ${stringLit(parts(parts.length - 2).toUpperCase(java.util.Locale.ROOT))}"
       else ""
     "SELECT c.COLUMNNAME, CAST(c.COLUMNDATATYPE AS VARCHAR(255)), " +
       "CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS INTEGER) " +
       "FROM SYS.SYSCOLUMNS c JOIN SYS.SYSTABLES t ON c.REFERENCEID = t.TABLEID " +
       "JOIN SYS.SYSSCHEMAS s ON t.SCHEMAID = s.SCHEMAID " +
-      s"WHERE t.TABLENAME = ${stringLit(name)}$schemaFilter ORDER BY c.COLUMNNUMBER"
+      s"WHERE CAST(t.TABLENAME AS VARCHAR(128)) = ${stringLit(name)}" +
+      s"$schemaFilter ORDER BY c.COLUMNNUMBER"
   }
 
   override def parseSchemaRow(row: Seq[Option[String]]): Option[RawColumnInfo] =
@@ -182,11 +207,16 @@ object DerbyProfile extends SourceProfile {
       "CREATE FUNCTION GRAFT_NORM_DBL(V DOUBLE, P INTEGER) RETURNS VARCHAR(80) " +
         s"$base EXTERNAL NAME 'graft.sources.DerbyFunctions.normDouble'",
       "CREATE FUNCTION GRAFT_NONALNUM(S VARCHAR(32672)) RETURNS INTEGER " +
-        s"$base EXTERNAL NAME 'graft.sources.DerbyFunctions.nonAlnum'")
+        s"$base EXTERNAL NAME 'graft.sources.DerbyFunctions.nonAlnum'",
+      "CREATE FUNCTION GRAFT_HEX16(S VARCHAR(32672)) RETURNS VARCHAR(32) " +
+        s"$base EXTERNAL NAME 'graft.sources.DerbyFunctions.hex16'")
   }
 
   override def nonAlnumPredicateSql(expr: String): Option[String] =
     Some(s"GRAFT_NONALNUM($expr) = 1")
+
+  override def hexKeyProjectionSql(expr: String): Option[String] =
+    Some(s"GRAFT_HEX16($expr)")
 
   /** Installed automatically by JdbcEngine on connect (X0Y68 swallowed),
     * so the CLI's `remote:jdbc:derby:<db>` route needs no out-of-band

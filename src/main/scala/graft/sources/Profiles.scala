@@ -53,6 +53,9 @@ object SnowflakeProfile extends SourceProfile {
   def normalizeBooleanSql(expr: String): String = toStringSql(s"($expr)::int")
   override def nonAlnumPredicateSql(expr: String): Option[String] =
     Some(s"REGEXP_INSTR($expr, '[^A-Za-z0-9]') > 0")
+  /** HEX_ENCODE hexes the UTF-8 bytes, uppercase by default. */
+  override def hexKeyProjectionSql(expr: String): Option[String] =
+    Some(s"rpad(substr(upper(hex_encode($expr)), 1, 32), 32, '0')")
 }
 
 /** BigQuery (reference: data_diff/databases/bigquery.py:95-201). */
@@ -89,6 +92,9 @@ object BigQueryProfile extends SourceProfile {
   def normalizeBooleanSql(expr: String): String = toStringSql(s"cast($expr as int)")
   override def nonAlnumPredicateSql(expr: String): Option[String] =
     Some(s"REGEXP_CONTAINS($expr, '[^A-Za-z0-9]')")
+  /** CAST(string AS BYTES) = UTF-8 by definition in BigQuery. */
+  override def hexKeyProjectionSql(expr: String): Option[String] =
+    Some(s"rpad(substr(upper(to_hex(cast($expr as bytes))), 1, 32), 32, '0')")
 }
 
 /** ClickHouse (reference: data_diff/databases/clickhouse.py:72-170).
@@ -278,6 +284,9 @@ object DatabricksProfile extends SourceProfile {
   def normalizeBooleanSql(expr: String): String = toStringSql(s"cast ($expr as int)")
   override def nonAlnumPredicateSql(expr: String): Option[String] =
     Some(s"$expr RLIKE '[^A-Za-z0-9]'")
+  /** encode(..., 'UTF-8') pins the byte source; hex() renders uppercase. */
+  override def hexKeyProjectionSql(expr: String): Option[String] =
+    Some(s"rpad(substring(upper(hex(encode($expr, 'UTF-8'))), 1, 32), 32, '0')")
 }
 
 /** Spark SQL rendered as text — this engine's own dialect, used when the
@@ -314,4 +323,7 @@ object SparkProfile extends SourceProfile {
   def normalizeBooleanSql(expr: String): String = s"cast(cast($expr as int) as string)"
   override def nonAlnumPredicateSql(expr: String): Option[String] =
     Some(s"$expr RLIKE '[^A-Za-z0-9]'")
+  /** encode(..., 'UTF-8') pins the byte source; hex() renders uppercase. */
+  override def hexKeyProjectionSql(expr: String): Option[String] =
+    Some(s"rpad(substring(upper(hex(encode($expr, 'UTF-8'))), 1, 32), 32, '0')")
 }

@@ -282,29 +282,69 @@ object PushdownDiffer {
     // a 64-row sample is not a proof). Accent sensitivity must be declared
     // Some(true) — unknown accent behavior can reorder keys in ways no case
     // fold repairs. Anything unverifiable refuses loudly.
-    val foldKeyCols: Set[String] =
-      if (!remote.keyCols.exists(k => remote.schema(k).dataType == StringType)) Set.empty
+    // Beyond the CI fold: when the remote ordering is INCOMPARABLE with
+    // binary (locale/territory collations, undeclared accent behavior, CI
+    // keys whose content fails the alnum proof), segmentation switches to
+    // the HEX PROJECTION (SourceProfile.hexKeyProjectionSql): every
+    // segmentation artifact — range probe, mesh bounds, segment predicates,
+    // the local range-join — runs over the uppercase hex of the key's first
+    // 16 UTF-8 bytes, a fixed-width [0-9A-F] space where binary and every
+    // locale ordering agree by construction (and whose 32-hex values ride
+    // the existing 128-bit UUID key arithmetic, so generated bounds are
+    // always 32-hex too — never a base-66 split that could reintroduce
+    // collation-sensitive characters like '_'). Checksums and leaf rows
+    // stay RAW, exactly like the fold path. Keys sharing a 16-byte prefix
+    // tie into one projected value: both engines agree they tie, the box
+    // just can't split below the class and its rows leaf-compare together.
+    // Only a dialect with no UTF-8 hex rendering still refuses (the remedy
+    // the old error message prescribed, now built in — the reference's own
+    // keep-running damage absorption, abcs/database_types.py:52-100).
+    val stringKeys = remote.keyCols.filter(k => remote.schema(k).dataType == StringType)
+    val (foldKeyCols, hexKeyCols): (Set[String], Set[String]) =
+      if (stringKeys.isEmpty) (Set.empty, Set.empty)
       else Collation.negotiate(Collation.SparkBinary, remote.keyCollation) match {
-        case Right(None) => Set.empty // equivalent ordinal orderings — safe
-        case Right(Some(_))
-            if remote.keyCollation.caseSensitive.contains(false) &&
-              remote.keyCollation.accentSensitive.contains(true) =>
-          val cand = remote.keyCols.filter(k => remote.schema(k).dataType == StringType)
-          requireStrictAlnumLocal(local.df, cand)
-          requireStrictAlnumRemote(remote, cand)
-          cand.toSet
-        case Right(Some(_)) | Left(_) => throw new IllegalArgumentException(
-          "remote text-key collation is neither ordinal nor case-insensitive-only " +
-            "with declared accent sensitivity (accentSensitive must be Some(true) — " +
-            "unknown accent behavior can reorder keys in ways no case fold repairs): " +
-            "key-range predicates would select different rows on each engine. Cast " +
-            "the key to a binary collation in the remote table/view, or diff on a " +
-            "derived ordinal key.")
+        case Right(None) => (Set.empty, Set.empty) // equivalent ordinal orderings
+        case verdict =>
+          def refuse(why: String): Nothing = throw new IllegalArgumentException(
+            s"remote text-key collation is not ordinal and cannot be absorbed ($why), " +
+              s"and the ${profile.name} profile has no UTF-8 hex projection to segment " +
+              "on: key-range predicates would select different rows on each engine. " +
+              "Cast the key to a binary collation in the remote table/view, or diff " +
+              "on a derived ordinal key.")
+          val ciFoldEligible = verdict match {
+            case Right(Some(_)) => remote.keyCollation.caseSensitive.contains(false) &&
+              remote.keyCollation.accentSensitive.contains(true)
+            case _ => false // Left (incomparable); Right(None) already matched
+          }
+          val canProject = profile.hexKeyProjectionSql("x").isDefined
+          if (ciFoldEligible) {
+            // the fold is preferred when provable: raw-ish bounds keep the
+            // remote's own key-column statistics/indexes usable
+            try {
+              requireStrictAlnumLocal(local.df, stringKeys)
+              requireStrictAlnumRemote(remote, stringKeys)
+              (stringKeys.toSet, Set.empty[String])
+            } catch {
+              case e: IllegalArgumentException =>
+                if (canProject) (Set.empty[String], stringKeys.toSet)
+                else throw e // the fold refusal already names the remedy
+            }
+          } else if (canProject) (Set.empty[String], stringKeys.toSet)
+          else refuse("not case-insensitive-only with declared accent sensitivity")
       }
+    /** Spark-side spelling of the hex projection — byte-identical to every
+      * profile's rendering: uppercase hex of the first 16 UTF-8 bytes,
+      * right-padded with '0' to 32. */
+    def hexProj(c: Column): Column =
+      rpad(substring(upper(hex(encode(c, "UTF-8"))), 1, 32), 32, "0")
     def localKeyCol(k: String): Column =
-      if (foldKeyCols(k)) upper(col(k)) else col(k)
+      if (foldKeyCols(k)) upper(col(k))
+      else if (hexKeyCols(k)) hexProj(col(k))
+      else col(k)
     def remoteKeySql(k: String): String =
-      if (foldKeyCols(k)) s"UPPER(${profile.quote(k)})" else profile.quote(k)
+      if (foldKeyCols(k)) s"UPPER(${profile.quote(k)})"
+      else if (hexKeyCols(k)) profile.hexKeyProjectionSql(profile.quote(k)).get
+      else profile.quote(k)
 
     // ---- UUID casing alignment -------------------------------------------
     // A lowercase-UUID side and an uppercase-UUID side must diff clean: when
@@ -375,15 +415,21 @@ object PushdownDiffer {
     // (reference: diff_tables.py:289-321 queries both ranges concurrently
     // and takes the widest box, so rows present on only one side are
     // always covered)
+    // hex-projected keys probe MIN/MAX of the PROJECTION in the remote SQL
+    // (a raw min under a locale collation is not the projected space's
+    // min); folded keys keep the raw probe + client-side fold (on verified
+    // single-case alphanumerics fold∘min ≡ min∘fold)
     val remoteRangeF = scala.concurrent.Future(remote.engine
-      .query(profile.keyRangeSql(remote.table, keyCols, remote.extraWhereSql)).head)
-    // collation-folded keys probe their range in FOLDED space on both sides
-    // (locally a projection; remotely the raw min/max is folded client-side
-    // below — on single-case ASCII alphanumerics fold∘min ≡ min∘fold)
+      .query(profile.keyRangeExprsSql(remote.table,
+        keyCols.map(k => if (hexKeyCols(k)) remoteKeySql(k) else profile.quote(k)),
+        remote.extraWhereSql)).head)
+    // collation-converted keys probe their range in CONVERTED space locally
     val localForRange =
-      if (foldKeyCols.isEmpty) local
+      if (foldKeyCols.isEmpty && hexKeyCols.isEmpty) local
       else local.copy(df = local.df.select(local.df.columns.toSeq.map(c =>
-        if (foldKeyCols(c)) upper(col(c)).as(c) else col(c)): _*))
+        if (foldKeyCols(c)) upper(col(c)).as(c)
+        else if (hexKeyCols(c)) hexProj(col(c)).as(c)
+        else col(c)): _*))
     val localRange = localForRange.keyRange().head()
     val remoteRange = await(remoteRangeF)
     var remoteQueries = 1
@@ -411,7 +457,17 @@ object PushdownDiffer {
       else {
         // raws = whole (min, max) pairs — a side is either fully present or
         // fully absent — so even positions are mins, odd are maxs
-        val keys = TableSegment.toKeys(raws)
+        // hex-projected dims parse DIRECTLY as 128-bit keys: values are
+        // 32-hex by construction, and the uniform-UUID heuristic must not
+        // get a vote (an all-digit hex value would read as "lowercase" and
+        // tip the set into base-66 arithmetic, whose splits can emit
+        // collation-sensitive bound characters). Overflow on `.next` is
+        // impossible: valid UTF-8 never contains a 0xFF byte, so a
+        // projected max is always below 2^128 − 1.
+        val keys =
+          if (hexKeyCols(keyCols(i))) raws.map(s => KeySpace.UuidKey(
+            BigInt(s.asInstanceOf[String], 16), uppercase = true, dashed = false))
+          else TableSegment.toKeys(raws)
         val mins = keys.zipWithIndex.collect { case (k, j) if j % 2 == 0 => k }
         val maxs = keys.zipWithIndex.collect { case (k, j) if j % 2 == 1 => k }
         Some((mins.reduce((a, b) => if ((a - b) <= 0) a else b),

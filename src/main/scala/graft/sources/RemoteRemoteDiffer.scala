@@ -70,29 +70,47 @@ object RemoteRemoteDiffer {
     // bounds come from both sides' data and both engines evaluate the
     // folded predicates. Accent sensitivity must be declared Some(true);
     // damage beyond case (accent-insensitive, unknown locales) refuses.
-    val foldKeyCols: Set[String] =
-      if (!keyCols.exists(k => a.schema(k).dataType == StringType)) Set.empty
+    // Incomparable orderings fall back to the HEX PROJECTION exactly like
+    // PushdownDiffer (see the decision comment there): both engines
+    // segment over the uppercase hex of the key's first 16 UTF-8 bytes —
+    // BOTH sides must render the projection (it is the shared key space),
+    // so both profiles need hexKeyProjectionSql. Checksums/leaf rows stay
+    // raw. Refusal remains only when a side's dialect cannot project.
+    val stringKeys = keyCols.filter(k => a.schema(k).dataType == StringType)
+    val (foldKeyCols, hexKeyCols): (Set[String], Set[String]) =
+      if (stringKeys.isEmpty) (Set.empty, Set.empty)
       else {
-        val sideFolds = Seq(a.keyCollation, b.keyCollation).map { c =>
-          Collation.negotiate(Collation.SparkBinary, c) match {
-            case Right(None) => false
-            case Right(Some(_))
-                if c.caseSensitive.contains(false) &&
-                  c.accentSensitive.contains(true) => true
-            case _ => throw new IllegalArgumentException(
-              "text-key collation on a remote side is neither ordinal nor " +
-                "case-insensitive-only with declared accent sensitivity " +
-                "(accentSensitive must be Some(true)): key-range predicates would " +
-                "select different rows per engine and no case fold repairs that " +
-                "ordering")
+        val verdicts = Seq(a, b).map(t =>
+          (t, Collation.negotiate(Collation.SparkBinary, t.keyCollation)))
+        if (verdicts.forall(_._2 == Right(None))) (Set.empty, Set.empty)
+        else {
+          val ciFoldEligible = verdicts.forall {
+            case (_, Right(None)) => true
+            case (t, Right(Some(_))) => t.keyCollation.caseSensitive.contains(false) &&
+              t.keyCollation.accentSensitive.contains(true)
+            case (_, Left(_)) => false
           }
+          val cantProject = Seq(a, b)
+            .filter(_.engine.profile.hexKeyProjectionSql("x").isEmpty)
+          def project(): (Set[String], Set[String]) =
+            if (cantProject.isEmpty) (Set.empty[String], stringKeys.toSet)
+            else throw new IllegalArgumentException(
+              "text-key collations are not mutually ordinal and cannot be absorbed, " +
+                s"and profile(s) ${cantProject.map(_.engine.profile.name).mkString(", ")} " +
+                "have no UTF-8 hex projection to segment on: key-range predicates " +
+                "would select different rows per engine. Cast the key to a binary " +
+                "collation, or diff on a derived ordinal key.")
+          if (ciFoldEligible) {
+            try {
+              PushdownDiffer.requireStrictAlnumRemote(a, stringKeys)
+              PushdownDiffer.requireStrictAlnumRemote(b, stringKeys)
+              (stringKeys.toSet, Set.empty[String])
+            } catch {
+              case e: IllegalArgumentException =>
+                if (cantProject.isEmpty) project() else throw e
+            }
+          } else project()
         }
-        if (sideFolds.exists(identity)) {
-          val cand = keyCols.filter(k => a.schema(k).dataType == StringType)
-          PushdownDiffer.requireStrictAlnumRemote(a, cand)
-          PushdownDiffer.requireStrictAlnumRemote(b, cand)
-          cand.toSet
-        } else Set.empty
       }
     val compare = a.relevantCols.filterNot(keyCols.contains)
 
@@ -118,8 +136,15 @@ object RemoteRemoteDiffer {
         b.engine.profile.preventOverflowWhenConcat,
       "overflow-safe concat must be negotiated to the same mode on both profiles")
 
-    def rangeOf(t: RemoteTable) = scala.concurrent.Future(
-      t.engine.query(t.engine.profile.keyRangeSql(t.table, keyCols, t.extraWhereSql)).head)
+    // hex-projected keys probe MIN/MAX of the projection in each side's own
+    // SQL (a raw min under a locale collation is not the projected min)
+    def rangeOf(t: RemoteTable) = scala.concurrent.Future {
+      val p = t.engine.profile
+      t.engine.query(p.keyRangeExprsSql(t.table,
+        keyCols.map(k =>
+          if (hexKeyCols(k)) p.hexKeyProjectionSql(p.quote(k)).get else p.quote(k)),
+        t.extraWhereSql)).head
+    }
     val (rangeAF, rangeBF) = (rangeOf(a), rangeOf(b))
     val (rangeA, rangeB) = (await(rangeAF), await(rangeBF))
     var queries = 2
@@ -138,7 +163,13 @@ object RemoteRemoteDiffer {
           .flatten).map(parseKey(k, _))
       if (raws.isEmpty) None
       else {
-        val keys = TableSegment.toKeys(raws)
+        // hex-projected dims parse directly as 128-bit keys (see the same
+        // comment in PushdownDiffer — the uniform-UUID heuristic must not
+        // tip all-digit hex values into base-66 arithmetic)
+        val keys =
+          if (hexKeyCols(k)) raws.map(s => KeySpace.UuidKey(
+            BigInt(s.asInstanceOf[String], 16), uppercase = true, dashed = false))
+          else TableSegment.toKeys(raws)
         val mins = keys.zipWithIndex.collect { case (x, j) if j % 2 == 0 => x }
         val maxs = keys.zipWithIndex.collect { case (x, j) if j % 2 == 1 => x }
         Some((mins.reduce((x, y) => if ((x - y) <= 0) x else y),
@@ -168,7 +199,9 @@ object RemoteRemoteDiffer {
     def pred(t: RemoteTable, box: Box): String = {
       val p = t.engine.profile
       def keySql(k: String): String =
-        if (foldKeyCols(k)) s"UPPER(${p.quote(k)})" else p.quote(k)
+        if (foldKeyCols(k)) s"UPPER(${p.quote(k)})"
+        else if (hexKeyCols(k)) p.hexKeyProjectionSql(p.quote(k)).get
+        else p.quote(k)
       keyCols.zip(box._1.map(TableSegment.fromKey)).zip(box._2.map(TableSegment.fromKey))
         .map { case ((k, lo), hi) =>
           s"${keySql(k)} >= ${p.literal(lo)} AND ${keySql(k)} < ${p.literal(hi)}" }

@@ -168,8 +168,15 @@ trait SourceProfile {
 
   /** Min/max of the key columns (reference: table_segment.py:260-275). */
   def keyRangeSql(table: String, keyCols: Seq[String],
+      where: Option[String] = None): String =
+    keyRangeExprsSql(table, keyCols.map(quote), where)
+
+  /** [[keyRangeSql]] over pre-rendered key EXPRESSIONS — the hex-projection
+    * path probes MIN/MAX of the projected key, not the raw column (a raw
+    * min under a locale collation is not the projected space's min). */
+  def keyRangeExprsSql(table: String, keyExprs: Seq[String],
       where: Option[String] = None): String = {
-    val sel = keyCols.map(k => s"MIN(${quote(k)}), MAX(${quote(k)})").mkString(", ")
+    val sel = keyExprs.map(e => s"MIN($e), MAX($e)").mkString(", ")
     s"SELECT $sel FROM $table${where.fold("")(p => s" WHERE $p")}"
   }
 
@@ -263,6 +270,28 @@ trait SourceProfile {
     * assume. */
   def nonAlnumPredicateSql(expr: String): Option[String] = None
 
+  /** Collation-proof key projection: UPPERCASE hex of the first 16 UTF-8
+    * bytes of `expr`, right-padded with '0' to exactly 32 characters.
+    *
+    * This is the segmentation remedy for INCOMPARABLE key collations
+    * (locale/territory orderings no case fold repairs): the projected
+    * alphabet is fixed-width single-case [0-9A-F], on which binary order
+    * and every locale ordering agree (digits before letters, letters
+    * alphabetical, positional compare at equal length) — so range bounds
+    * generated by the coordinator select the same rows under ANY remote
+    * collation, BY CONSTRUCTION rather than by probing the key content.
+    * Keys sharing a 16-byte prefix project to the same value and land in
+    * the same segment (ties can't be split below the prefix class; the
+    * leaf threshold absorbs them). The rendering MUST hex UTF-8 bytes —
+    * a dialect that can only reach its native code-page bytes (MSSQL
+    * varbinary = UTF-16) must return None, because the coordinator and
+    * the other side project UTF-8 and a different byte source would put
+    * the same logical key in different segments per engine.
+    *
+    * None = the dialect cannot express the projection; callers keep the
+    * loud refusal. */
+  def hexKeyProjectionSql(expr: String): Option[String] = None
+
   /** DDL to run once per connection before any pushed query — for profiles
     * whose SQL surface needs per-database helper objects (Derby's
     * Java-backed CREATE FUNCTIONs). Statements must be idempotent-safe for
@@ -286,6 +315,9 @@ object DuckDbProfile extends SourceProfile {
   def normalizeBooleanSql(expr: String): String = s"(($expr)::INTEGER)::VARCHAR"
   override def nonAlnumPredicateSql(expr: String): Option[String] =
     Some(s"regexp_matches($expr, '[^A-Za-z0-9]')")
+  /** encode() = UTF-8 bytes; DuckDB hex(BLOB) renders uppercase. */
+  override def hexKeyProjectionSql(expr: String): Option[String] =
+    Some(s"rpad(substring(upper(hex(encode($expr))), 1, 32), 32, '0')")
 }
 
 /** PostgreSQL: bit-cast of the hex suffix (reference behavior:
@@ -302,6 +334,10 @@ object PostgresProfile extends SourceProfile {
   def normalizeBooleanSql(expr: String): String = s"(($expr)::int)::varchar"
   override def nonAlnumPredicateSql(expr: String): Option[String] =
     Some(s"$expr ~ '[^A-Za-z0-9]'")
+  /** convert_to(..., 'UTF8') pins the byte source regardless of the
+    * database's server_encoding. */
+  override def hexKeyProjectionSql(expr: String): Option[String] =
+    Some(s"rpad(upper(substring(encode(convert_to($expr, 'UTF8'), 'hex') from 1 for 32)), 32, '0')")
 }
 
 /** MySQL: conv() hex→int, DATE_FORMAT microseconds (reference behavior:
@@ -322,6 +358,10 @@ object MySqlProfile extends SourceProfile {
   def normalizeBooleanSql(expr: String): String = s"cast(cast($expr as signed) as char)"
   override def nonAlnumPredicateSql(expr: String): Option[String] =
     Some(s"$expr REGEXP '[^A-Za-z0-9]'")
+  /** CONVERT ... USING utf8mb4 pins UTF-8 bytes whatever the column's
+    * declared charset; HEX of a string value hexes its bytes. */
+  override def hexKeyProjectionSql(expr: String): Option[String] =
+    Some(s"rpad(substring(upper(hex(convert($expr using utf8mb4))), 1, 32), 32, '0')")
 }
 
 /** Trino/Presto: md5 over varbinary, from_base for the hex suffix
@@ -339,6 +379,9 @@ object TrinoProfile extends SourceProfile {
   def normalizeBooleanSql(expr: String): String = s"cast(cast($expr as integer) as varchar)"
   override def nonAlnumPredicateSql(expr: String): Option[String] =
     Some(s"regexp_like($expr, '[^A-Za-z0-9]')")
+  /** to_utf8 = UTF-8 varbinary; to_hex renders uppercase. */
+  override def hexKeyProjectionSql(expr: String): Option[String] =
+    Some(s"rpad(substr(upper(to_hex(to_utf8($expr))), 1, 32), 32, '0')")
 }
 
 object SourceProfile {

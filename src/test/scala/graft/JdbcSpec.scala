@@ -155,6 +155,69 @@ class JdbcEngineSpec extends AnyFunSuite {
     }
   }
 
+  test("TERRITORY_BASED Derby collation: hex projection segments and diffs exactly") {
+    // The round-7 gap: a full locale collation (TERRITORY_BASED, tertiary
+    // strength — case-SENSITIVE but UCA-ordered) is incomparable with
+    // binary and no case fold repairs it; the differ used to refuse. Now it
+    // must run via the hex projection: all segmentation artifacts in
+    // [0-9A-F] space where Derby's collator and Spark's binary order agree
+    // by construction. Keys deliberately carry the poison characters
+    // ('-', '_', mixed case) that sank both the raw and folded orderings.
+    assume(derbyAvailable, "no JDBC driver on the classpath")
+    val spark = SparkTest.spark
+    import spark.implicits._
+    import graft.sources.{Collation, DerbyProfile, PushdownDiffer, RemoteTable}
+    val db = s"memory:graftterr${System.nanoTime()}"
+    val setup = java.sql.DriverManager.getConnection(
+      s"jdbc:derby:$db;create=true;territory=en_US;collation=TERRITORY_BASED")
+    try {
+      def exec(sql: String): Unit = {
+        val st = setup.createStatement()
+        try st.executeUpdate(sql) finally st.close()
+      }
+      exec("""CREATE TABLE terr ("k" VARCHAR(20), "v" VARCHAR(30))""")
+      val n = 400
+      def keyOf(i: Int) = f"k-${i}%03d_${if (i % 2 == 0) "A" else "z"}"
+      // b side: values mutated in the low key range, one extra row, one missing
+      val bRows = (1 to n).filterNot(_ == 77).map(i =>
+        (keyOf(i), if (i <= 40) s"v$i!" else s"v$i")) :+ ("k-999_X", "only-b")
+      bRows.grouped(200).foreach(g => exec("INSERT INTO terr VALUES " +
+        g.map { case (k, v) => s"('$k', '$v')" }.mkString(", ")))
+      // sanity: the collation genuinely disagrees with binary order —
+      // UCA says 'a' < 'B' (primary a before b); binary says 'a' (0x61)
+      // > 'B' (0x42)
+      val st = setup.createStatement()
+      val rs = st.executeQuery(
+        "SELECT COUNT(*) FROM SYSIBM.SYSDUMMY1 WHERE 'a' < 'B'")
+      rs.next()
+      val ucaActive = rs.getInt(1)
+      st.close()
+      assert(ucaActive == 1, "TERRITORY_BASED ordering not active")
+      val a = (1 to n).map(i => (keyOf(i), s"v$i")).toDF("k", "v")
+      val eng = new JdbcEngine(s"jdbc:derby:$db", new java.util.Properties(), DerbyProfile)
+      try {
+        val territory = Collation(ordinal = Some(false), language = Some("en"),
+          country = Some("US"), caseSensitive = Some(true), accentSensitive = Some(true))
+        val remote = RemoteTable.introspect(eng, "terr", Seq("k"), Seq("v"),
+          keyCollation = territory)
+        val (out, stats) = PushdownDiffer.diffWithStats(
+          graft.diff.TableSegment(a, Seq("k"), Seq("v")), remote,
+          bisectionFactor = 4, bisectionThreshold = 32)
+        assert(stats.levels >= 2 && stats.segmentsPruned > 0, s"$stats")
+        val want = graft.diff.JoinDiffer.diff(
+          a, bRows.toDF("k", "v"), Seq("k"), Seq("v"))
+          .collect().map(_.mkString("|")).toSet
+        // 40 mutated pairs + removed k-077 + added k-999_X
+        assert(want.size == 82, s"${want.size}")
+        assert(out.collect().map(_.mkString("|")).toSet == want)
+        assert(stats.rowsFetched < n, s"must not ship the whole table: $stats")
+      } finally eng.close()
+    } finally {
+      setup.close()
+      scala.util.Try(java.sql.DriverManager.getConnection(s"jdbc:derby:$db;drop=true"))
+    }
+  }
+
   test("remote-remote across dialect families: Spark SQL side against live Derby JDBC side") {
     // neither side read by Spark directly: side A answers in Spark SQL,
     // side B in Derby's dialect over the real JDBC wire — the reference's

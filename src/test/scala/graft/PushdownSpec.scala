@@ -483,7 +483,42 @@ class PushdownDifferSpec extends AnyFunSuite {
     } finally eng.close()
   }
 
-  test("collation beyond case damage still refuses loudly") {
+  test("remote-remote with an incomparable-collation side segments via the hex projection") {
+    // side B declares a full locale collation (incomparable with binary; no
+    // case fold repairs it) and its keys carry '-'/'_' — both engines must
+    // segment over the hex projection and the diff must stay exact
+    import spark.implicits._
+    val n = 300
+    def keyOf(i: Int): String = f"${if (i % 3 == 0) "r-" else "R_"}$i%03d"
+    val aRows = (1 to n).map(i => (keyOf(i), s"v$i"))
+    val bRows = (1 to n).map(i =>
+      if (i % 11 == 0) (keyOf(i), s"v${i}X") else (keyOf(i), s"v$i"))
+    aRows.toDF("k", "v").createOrReplaceTempView("rr_hex_a")
+    bRows.toDF("k", "v").createOrReplaceTempView("rr_hex_b")
+    val territory = Collation(ordinal = Some(false), language = Some("en"),
+      country = Some("US"), caseSensitive = Some(true), accentSensitive = Some(true))
+    val eng = new SparkViewEngine(spark)
+    val ta = RemoteTable.introspect(eng, "rr_hex_a", Seq("k"), Seq("v"))
+    val tb = RemoteTable.introspect(eng, "rr_hex_b", Seq("k"), Seq("v"))
+      .copy(keyCollation = territory)
+    val (out, stats) = RemoteRemoteDiffer.diff(spark, ta, tb,
+      bisectionFactor = 4, bisectionThreshold = 32)
+    def normKV(df: DataFrame): DataFrame = {
+      val cols = Normalize.normalizedCols(df.schema, Seq("k", "v"))
+      df.select(Seq("k", "v").zip(cols).map { case (nm, c) => c.as(nm) }: _*)
+    }
+    val want = JoinDiffer.diff(normKV(aRows.toDF("k", "v")), normKV(bRows.toDF("k", "v")),
+      Seq("k"), Seq("v")).collect().map(_.mkString("|")).toSet
+    assert(want.nonEmpty && out.collect().map(_.mkString("|")).toSet == want)
+    assert(stats.segmentsPruned > 0,
+      s"projected cross-engine checksums failed to prune: $stats")
+  }
+
+  test("collation beyond case damage segments via the hex projection") {
+    // accent-insensitive orderings can merge keys no case fold separates —
+    // previously a loud refusal; now the hex projection absorbs the whole
+    // incomparable class (identical sides must still diff empty through
+    // projected segmentation)
     val a = orders.limit(10).withColumn("o_orderpriority", col("o_orderpriority"))
     val txt = a.select(col("o_orderkey").cast("string").as("k"), col("o_orderpriority").as("v"))
     txt.createOrReplaceTempView("pd_ai_b")
@@ -491,10 +526,10 @@ class PushdownDifferSpec extends AnyFunSuite {
       caseSensitive = Some(false), accentSensitive = Some(false))
     val remote = RemoteTable(new SparkViewEngine(spark), "pd_ai_b",
       Seq("k"), Seq("v"), txt.schema, keyCollation = accentInsensitive)
-    val e = intercept[IllegalArgumentException] {
-      PushdownDiffer.diff(TableSegment(txt, Seq("k"), Seq("v")), remote)
-    }
-    assert(e.getMessage.contains("neither ordinal nor case-insensitive"))
+    val (out, stats) = PushdownDiffer.diffWithStats(
+      TableSegment(txt, Seq("k"), Seq("v")), remote,
+      bisectionFactor = 4, bisectionThreshold = 64)
+    assert(out.isEmpty && stats.rowsFetched == 0, s"$stats")
   }
 
   test("overflow-safe concat mode stays bit-compatible cross-engine") {
@@ -669,45 +704,137 @@ class PushdownDifferSpec extends AnyFunSuite {
       bisectionFactor = 4, bisectionThreshold = 128)
     assert(out.isEmpty)
     assert(stats.leafSegments == 0 && stats.rowsFetched == 0, s"$stats")
-    // accentSensitive unknown (None) is NOT fold-eligible (ADVICE r7)
+    // accentSensitive unknown (None) is NOT fold-eligible (ADVICE r7) — it
+    // routes through the hex projection instead, which is accent-agnostic
+    // by construction: identical sides still prune to an empty diff
     val accentUnknown = remote.copy(keyCollation =
       Collation(language = Some("en"), caseSensitive = Some(false)))
-    val e = intercept[IllegalArgumentException] {
-      PushdownDiffer.diff(TableSegment(base, Seq("k"), Seq("o_totalprice")), accentUnknown)
-    }
-    assert(e.getMessage.contains("accent"))
+    val (out2, stats2) = PushdownDiffer.diffWithStats(
+      TableSegment(base, Seq("k"), Seq("o_totalprice")), accentUnknown,
+      bisectionFactor = 4, bisectionThreshold = 128)
+    assert(out2.isEmpty && stats2.rowsFetched == 0, s"$stats2")
   }
 
-  test("collation fold refuses keys outside strict [A-Za-z0-9] on either side") {
+  /** SparkProfile minus the hex projection — exercises the refusal path
+    * that remains when a dialect cannot render the projection. */
+  private object NoProjProfile extends graft.sources.SourceProfile {
+    val name = "spark-noproj"
+    override def quote(i: String): String = SparkProfile.quote(i)
+    def toStringSql(e: String): String = SparkProfile.toStringSql(e)
+    def md5AsIntSql(e: String): String = SparkProfile.md5AsIntSql(e)
+    def normalizeTimestampSql(e: String, p: Int): String =
+      SparkProfile.normalizeTimestampSql(e, p)
+    def normalizeNumberSql(e: String, p: Int): String =
+      SparkProfile.normalizeNumberSql(e, p)
+    def normalizeBooleanSql(e: String): String = SparkProfile.normalizeBooleanSql(e)
+    override def nonAlnumPredicateSql(e: String): Option[String] =
+      SparkProfile.nonAlnumPredicateSql(e)
+    // hexKeyProjectionSql stays None — the point of this profile
+  }
+
+  test("non-alnum keys under a CI collation segment via the hex projection") {
     // '_' (0x5F) sorts after 'Z' in binary order but before letters under
-    // UCA-style locale collations — the UPPER() fold cannot repair that, so
-    // the base-66 extras (' ', '-', '_') must be VERIFIED absent before
-    // folding. Both the remote COUNT probe and the local early-exit scan
-    // must catch them.
+    // UCA-style locale collations — the UPPER() fold cannot repair that.
+    // The fold's alnum proof fails on these keys, and the differ now falls
+    // back to hex-projection segmentation instead of refusing: the diff
+    // runs and its rows are EXACT (checksums and leaves stay raw).
     import spark.implicits._
     val ci = Collation(ordinal = Some(false),
       caseSensitive = Some(false), accentSensitive = Some(true))
-    val bad = Seq(("k_1", "v1"), ("K2", "v2")).toDF("k", "v")
-    bad.createOrReplaceTempView("pd_alnum_bad")
-    // remote side carries the underscore key → remote probe refuses
-    val remoteBad = RemoteTable(new SparkViewEngine(spark), "pd_alnum_bad",
-      Seq("k"), Seq("v"), bad.schema, keyCollation = ci)
+    val n = 500
+    def keyOf(i: Int) = f"k_${i}%03d-${if (i % 3 == 0) "A" else "z"}"
+    val aRows = (1 to n).map(i => (keyOf(i), s"v$i"))
+    val a = aRows.toDF("k", "v")
+    // diffs clustered in the low key range so bisection genuinely prunes
+    val bRows = (1 to n).map(i =>
+      if (i <= 50) (keyOf(i), s"v$i!") else (keyOf(i), s"v$i"))
+    bRows.toDF("k", "v").createOrReplaceTempView("pd_hexproj_b")
+    val remote = RemoteTable(new SparkViewEngine(spark), "pd_hexproj_b",
+      Seq("k"), Seq("v"), a.schema, keyCollation = ci)
+    val (out, stats) = PushdownDiffer.diffWithStats(
+      TableSegment(a, Seq("k"), Seq("v")), remote,
+      bisectionFactor = 4, bisectionThreshold = 32)
+    assert(stats.levels >= 2 && stats.segmentsPruned > 0,
+      s"projection path must still bisect and prune: $stats")
+    val want = graft.diff.JoinDiffer.diff(
+      a.selectExpr("k", "cast(v as string) v"),
+      bRows.toDF("k", "v").selectExpr("k", "cast(v as string) v"),
+      Seq("k"), Seq("v")).collect().map(_.mkString("|")).toSet
+    assert(want.size == 100 && out.collect().map(_.mkString("|")).toSet == want)
+    assert(stats.rowsFetched < n, s"projection must not ship the whole table: $stats")
+  }
+
+  test("a profile without the hex projection still refuses unabsorbable collations") {
+    import spark.implicits._
     val good = Seq(("k1", "v1"), ("K2", "v2")).toDF("k", "v")
+    val bad = Seq(("k_1", "v1"), ("K2", "v2")).toDF("k", "v")
+    bad.createOrReplaceTempView("pd_noproj_bad")
+    // CI collation + non-alnum keys: fold proof fails, no projection → the
+    // fold's own refusal (with the alphabet named) surfaces
+    val ci = Collation(ordinal = Some(false),
+      caseSensitive = Some(false), accentSensitive = Some(true))
+    val remoteBad = RemoteTable(new SparkViewEngine(spark, NoProjProfile),
+      "pd_noproj_bad", Seq("k"), Seq("v"), bad.schema, keyCollation = ci)
     val e1 = intercept[IllegalArgumentException] {
       PushdownDiffer.diff(TableSegment(good, Seq("k"), Seq("v")), remoteBad)
     }
     assert(e1.getMessage.contains("[A-Za-z0-9]"), e1.getMessage)
-    // local side carries it → local scan refuses (remote is clean)
-    good.createOrReplaceTempView("pd_alnum_good")
-    val remoteGood = RemoteTable(new SparkViewEngine(spark), "pd_alnum_good",
-      Seq("k"), Seq("v"), good.schema, keyCollation = ci)
+    // incomparable locale collation, no projection → the projection refusal
+    val territory = Collation(ordinal = Some(false), language = Some("en"),
+      country = Some("US"), caseSensitive = Some(true), accentSensitive = Some(true))
+    val remoteTerr = RemoteTable(new SparkViewEngine(spark, NoProjProfile),
+      "pd_noproj_bad", Seq("k"), Seq("v"), bad.schema, keyCollation = territory)
     val e2 = intercept[IllegalArgumentException] {
-      PushdownDiffer.diff(TableSegment(bad, Seq("k"), Seq("v")), remoteGood)
+      PushdownDiffer.diff(TableSegment(good, Seq("k"), Seq("v")), remoteTerr)
     }
-    assert(e2.getMessage.contains("[A-Za-z0-9]"), e2.getMessage)
-    // clean alphanumerics on both sides still fold and run
+    assert(e2.getMessage.contains("hex projection"), e2.getMessage)
+    // clean alphanumerics on both sides still fold and run, projection-less
+    good.createOrReplaceTempView("pd_noproj_good")
+    val remoteGood = RemoteTable(new SparkViewEngine(spark, NoProjProfile),
+      "pd_noproj_good", Seq("k"), Seq("v"), good.schema, keyCollation = ci)
     assert(PushdownDiffer.diff(TableSegment(good, Seq("k"), Seq("v")), remoteGood,
       bisectionFactor = 2, bisectionThreshold = 16).isEmpty)
+  }
+
+  test("hex projection preserves binary string order up to 16-byte-prefix ties") {
+    // the soundness core: for any two strings, binary comparison of the
+    // projections equals binary comparison of the raw UTF-8 bytes whenever
+    // the first 16 bytes differ; strings sharing a 16-byte prefix tie
+    def proj(s: String): String = {
+      val b = s.getBytes("UTF-8").take(16)
+      b.map(x => f"${x & 0xff}%02X").mkString.padTo(32, '0')
+    }
+    assert(proj("") == "0" * 32)
+    val rnd = new scala.util.Random(42)
+    val alphabet = "AZaz09 _-~éÿĀ"
+    val samples = Seq("", "a", "A", "a ", "a-", "a_", "zz", "é", "Z z") ++
+      (1 to 300).map(_ => (0 until rnd.nextInt(24))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    for (x <- samples; y <- samples) {
+      def byteCmp(p: Array[Byte], q: Array[Byte]): Int = {
+        val n = math.min(p.length, q.length)
+        var i = 0
+        while (i < n) {
+          val d = (p(i) & 0xff) - (q(i) & 0xff)
+          if (d != 0) return d
+          i += 1
+        }
+        p.length - q.length
+      }
+      val raw = byteCmp(x.getBytes("UTF-8"), y.getBytes("UTF-8"))
+      val pj = proj(x).compareTo(proj(y))
+      if (x.getBytes("UTF-8").take(16).toSeq != y.getBytes("UTF-8").take(16).toSeq)
+        assert(math.signum(pj) == math.signum(raw), s"'$x' vs '$y': $pj vs $raw")
+      else
+        assert(pj == 0 || math.signum(pj) == math.signum(raw), s"'$x' vs '$y'")
+    }
+    // and the Spark-side expression spells the same function
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, encode, hex, rpad, substring, upper}
+    val df = samples.distinct.toDF("s")
+      .withColumn("p", rpad(substring(upper(hex(encode(col("s"), "UTF-8"))), 1, 32), 32, "0"))
+    df.collect().foreach(r => assert(r.getString(1) == proj(r.getString(0)),
+      s"spark projection mismatch for '${r.getString(0)}'"))
   }
 
   test("interactive gate explains each query and can decline it") {

@@ -66,8 +66,9 @@ class SourceProfileSpec extends AnyFunSuite {
       "CAST(CASE WHEN b THEN '1' WHEN NOT b THEN '0' END AS VARCHAR(1))")
     assert(DerbyProfile.normalizedColumnSql("x", org.apache.spark.sql.types.DoubleType) ==
       "GRAFT_NORM_DBL(CAST(\"x\" AS DOUBLE), 2)")
-    assert(DerbyProfile.bootstrapSql.size == 6)
+    assert(DerbyProfile.bootstrapSql.size == 7)
     assert(DerbyProfile.nonAlnumPredicateSql("\"k\"").contains("GRAFT_NONALNUM(\"k\") = 1"))
+    assert(DerbyProfile.hexKeyProjectionSql("\"k\"").contains("GRAFT_HEX16(\"k\")"))
   }
 
   test("segmented checksum groups by the repeated CASE expression, not position") {
