@@ -80,10 +80,49 @@ object RelationalQueries {
       probsMilli.forall(p => p >= 0 && p <= 1000),
       s"histogramQuantiles needs bins>0, widthCents>0 and probsMilli in [0,1000]; " +
         s"got bins=$bins widthCents=$widthCents probsMilli=$probsMilli")
+    // clamp ACCOUNTING rides the same single scan: a mis-guessed range
+    // silently degrades every quantile into the edge bins, so the output
+    // always carries the per-group count of values that clamped — 0 means
+    // the range was right; anything else is the caller's loud signal to
+    // widen the range (or use the auto-range mode below)
+    // low-side check is on CENTS, not the raw bin: Spark's `div` truncates
+    // toward zero, so cents in (lo−width, lo) divide to 0 and would hide in
+    // bin 0 undetected (DuckDB's // floors, where raw<0 is equivalent)
+    val cents = expr(s"cast(floor(($valueCol) * 100) as bigint)")
+    val rawBin = expr(s"(cast(floor(($valueCol) * 100) as bigint) - ${loCents}L) div ${widthCents}L")
     val binned = df.select(col(groupCol).as("grp"),
-      histogramBin(valueCol, loCents, widthCents, bins).as("bin"))
-    val counts = binned.groupBy("grp", "bin").agg(count(lit(1)).as("cnt"))
-    quantilesFromBinCounts(counts, groupCol, probsMilli, loCents, widthCents)
+      histogramBin(valueCol, loCents, widthCents, bins).as("bin"),
+      (cents < loCents || rawBin > (bins - 1).toLong).cast("long").as("oob"))
+    val counts = binned.groupBy("grp", "bin")
+      .agg(count(lit(1)).as("cnt"), sum(col("oob")).as("oob"))
+    val clampedPerGroup = counts.groupBy("grp")
+      .agg(sum(col("oob")).as("clamped"))
+      .withColumnRenamed("grp", groupCol)
+    quantilesFromBinCounts(counts.select("grp", "bin", "cnt"), groupCol,
+        probsMilli, loCents, widthCents)
+      // O(groups) rows on the right — broadcast keeps this exchange-free
+      .join(broadcast(clampedPerGroup), Seq(groupCol))
+  }
+
+  /** [[histogramQuantiles]] with the range DERIVED from the data: one
+    * min/max aggregation (the engine's cheapest query shape — two longs to
+    * the driver) picks `loCents` and the smallest `widthCents` covering
+    * [min, max] in `bins` bins, so nothing clamps by construction
+    * (`clamped` is still emitted, provably 0). Costs one extra scan; the
+    * explicit-range overload remains the single-scan path for callers who
+    * know their domain. Deterministic: the derivation is pure integer
+    * arithmetic on floor-cents, so any engine derives the same bins. */
+  def histogramQuantilesAuto(df: DataFrame, groupCol: String, valueCol: String,
+      probsMilli: Seq[Int], bins: Int): DataFrame = {
+    require(bins > 0, s"histogramQuantilesAuto needs bins>0, got $bins")
+    val centsSql = s"cast(floor(($valueCol) * 100) as bigint)"
+    val mm = df.agg(min(expr(centsSql)).as("lo"), max(expr(centsSql)).as("hi")).head()
+    require(!mm.isNullAt(0),
+      s"histogramQuantilesAuto: no non-null values in '$valueCol' to derive a range from")
+    val loCents = mm.getLong(0)
+    val span = mm.getLong(1) - loCents + 1
+    val widthCents = (span + bins - 1) / bins
+    histogramQuantiles(df, groupCol, valueCol, probsMilli, loCents, widthCents, bins)
   }
 
   /** The integer-cent bin assignment shared by the batch sketch and the
@@ -510,6 +549,13 @@ object RelationalQueries {
         bins = 128)
         .orderBy("l_returnflag", "p_milli")),
 
+    // Auto-ranged sketch: lo/width DERIVED from one min/max pre-pass, so
+    // nothing clamps by construction (the clamped column proves it: 0).
+    "q_quantiles_auto" -> ((s, d) =>
+      histogramQuantilesAuto(t(s, d, "orders"), "o_orderpriority", "o_totalprice",
+        probsMilli = Seq(250, 500, 750, 990), bins = 64)
+        .orderBy("o_orderpriority", "p_milli")),
+
     // Distribution drift: line-item prices vs order totals — genuinely
     // different distributions (totals run ~5× higher), so low bins flag
     // B-light and the clamp bin flags B-heavy; non-vacuous by construction.
@@ -799,22 +845,54 @@ object RelationalQueries {
     "q_quantiles_sketch" ->
       """WITH b AS (
         |  SELECT l_returnflag,
-        |    least(127, greatest(0, (CAST(floor(l_extendedprice * 100) AS BIGINT) - 0) // 100000)) AS bin
+        |    least(127, greatest(0, (CAST(floor(l_extendedprice * 100) AS BIGINT) - 0) // 100000)) AS bin,
+        |    CASE WHEN (CAST(floor(l_extendedprice * 100) AS BIGINT) - 0) // 100000 < 0
+        |      OR (CAST(floor(l_extendedprice * 100) AS BIGINT) - 0) // 100000 > 127
+        |      THEN 1 ELSE 0 END AS oob
         |  FROM lineitem),
-        |c AS (SELECT l_returnflag, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, bin, COUNT(*) AS cnt, SUM(oob) AS oob FROM b GROUP BY 1, 2),
+        |cl AS (SELECT l_returnflag, CAST(SUM(oob) AS BIGINT) AS clamped FROM c GROUP BY 1),
         |cc AS (SELECT l_returnflag, bin, cnt,
         |    CAST(SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS BIGINT) AS cum,
         |    CAST(SUM(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
         |  FROM c),
         |x AS (SELECT cc.*, p.p_milli FROM cc,
-        |  (SELECT CAST(unnest([500, 900, 990]) AS BIGINT) AS p_milli) p)
-        |SELECT l_returnflag, p_milli, n, qbin,
-        |  CAST(0 + qbin * 100000 AS DOUBLE) / 100.0 AS est
-        |FROM (
+        |  (SELECT CAST(unnest([500, 900, 990]) AS BIGINT) AS p_milli) p),
+        |q AS (
         |  SELECT l_returnflag, p_milli, CAST(MAX(n) AS BIGINT) AS n,
         |    CAST(MIN(CASE WHEN cum * 1000 >= p_milli * n THEN bin END) AS BIGINT) AS qbin
         |  FROM x GROUP BY 1, 2)
-        |ORDER BY l_returnflag, p_milli""".stripMargin,
+        |SELECT q.l_returnflag, p_milli, n, qbin,
+        |  CAST(0 + qbin * 100000 AS DOUBLE) / 100.0 AS est, clamped
+        |FROM q JOIN cl ON q.l_returnflag = cl.l_returnflag
+        |ORDER BY q.l_returnflag, p_milli""".stripMargin,
+
+    "q_quantiles_auto" ->
+      """WITH mm AS (SELECT MIN(CAST(floor(o_totalprice * 100) AS BIGINT)) AS lo,
+        |    MAX(CAST(floor(o_totalprice * 100) AS BIGINT)) AS hi FROM orders),
+        |p0 AS (SELECT lo, (hi - lo + 64) // 64 AS w FROM mm),
+        |b AS (SELECT o_orderpriority,
+        |    least(63, greatest(0, (CAST(floor(o_totalprice * 100) AS BIGINT) - lo) // w)) AS bin,
+        |    CASE WHEN (CAST(floor(o_totalprice * 100) AS BIGINT) - lo) // w < 0
+        |      OR (CAST(floor(o_totalprice * 100) AS BIGINT) - lo) // w > 63
+        |      THEN 1 ELSE 0 END AS oob
+        |  FROM orders, p0),
+        |c AS (SELECT o_orderpriority, bin, COUNT(*) AS cnt, SUM(oob) AS oob FROM b GROUP BY 1, 2),
+        |cl AS (SELECT o_orderpriority, CAST(SUM(oob) AS BIGINT) AS clamped FROM c GROUP BY 1),
+        |cc AS (SELECT o_orderpriority, bin, cnt,
+        |    CAST(SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bin) AS BIGINT) AS cum,
+        |    CAST(SUM(cnt) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+        |  FROM c),
+        |x AS (SELECT cc.*, p.p_milli FROM cc,
+        |  (SELECT CAST(unnest([250, 500, 750, 990]) AS BIGINT) AS p_milli) p),
+        |q AS (
+        |  SELECT o_orderpriority, p_milli, CAST(MAX(n) AS BIGINT) AS n,
+        |    CAST(MIN(CASE WHEN cum * 1000 >= p_milli * n THEN bin END) AS BIGINT) AS qbin
+        |  FROM x GROUP BY 1, 2)
+        |SELECT q.o_orderpriority, p_milli, n, qbin,
+        |  CAST(lo + qbin * w AS DOUBLE) / 100.0 AS est, clamped
+        |FROM q JOIN cl ON q.o_orderpriority = cl.o_orderpriority CROSS JOIN p0
+        |ORDER BY q.o_orderpriority, p_milli""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_type,

@@ -203,6 +203,42 @@ class HistogramQuantileSpec extends AnyFunSuite {
     assert(got(("A", 1000L)) == ((10L, 10L, 100.0)))
     assert(got(("B", 500L)) == ((2L, 0L, 0.0)))     // clamped low value
     assert(got(("B", 1000L)) == ((2L, 11L, 110.0))) // clamped high value
+    // clamp accounting: silent edge-bin pile-up must be VISIBLE — group B
+    // had both values out of range, group A none
+    val clamped = RelationalQueries.histogramQuantiles(df, "g", "v",
+      probsMilli = Seq(500), loCents = 0L, widthCents = 1000L, bins = 12)
+      .select("g", "clamped").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(clamped == Map("A" -> 0L, "B" -> 2L), s"$clamped")
+  }
+
+  test("histogramQuantilesAuto derives a covering range: nothing clamps, bins stay tight") {
+    val df = ((1 to 10).map(i => ("A", i * 10.0)) ++
+      Seq(("B", -5.0), ("B", 500.0))).toDF("g", "v")
+    // range derived from the data itself: [-5.00, 500.00] over 16 bins —
+    // the clamp column must prove 0 everywhere, including B's extremes
+    val auto = RelationalQueries.histogramQuantilesAuto(df, "g", "v",
+      probsMilli = Seq(500, 1000), bins = 16)
+      .select("g", "p_milli", "qbin", "est", "clamped")
+      .as[(String, Long, Long, Double, Long)].collect()
+    assert(auto.forall(_._5 == 0L), s"auto range must not clamp: ${auto.mkString(", ")}")
+    // derivation is the documented integer arithmetic: lo = -500 cents,
+    // width = ceil((50000 - (-500) + 1)/16) = 3157 cents
+    val (lo, w) = (-500L, (50000L - -500L + 1 + 15) / 16)
+    val explicit = RelationalQueries.histogramQuantiles(df, "g", "v",
+      probsMilli = Seq(500, 1000), loCents = lo, widthCents = w, bins = 16)
+      .select("g", "p_milli", "qbin", "est", "clamped")
+      .as[(String, Long, Long, Double, Long)].collect()
+    assert(auto.toSet == explicit.toSet)
+    // estimates are exact to one bin width: B's max (500.0) lands in the
+    // last occupied bin, whose lower edge is ≤ 500 < edge + width
+    val bMax = auto.find(r => r._1 == "B" && r._2 == 1000L).get._4
+    assert(bMax <= 500.0 && 500.0 < bMax + w / 100.0, s"$bMax")
+    // empty/all-null input refuses loudly instead of deriving nonsense
+    intercept[IllegalArgumentException] {
+      RelationalQueries.histogramQuantilesAuto(
+        Seq.empty[(String, Double)].toDF("g", "v"), "g", "v", Seq(500), 8)
+    }
   }
 
   test("fuzz: the sketch's bin always contains the exact order statistic") {
