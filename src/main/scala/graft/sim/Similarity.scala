@@ -271,8 +271,10 @@ object Similarity {
     * gate-scale default (5 bits = 32 buckets) is O(n²/32) at ANY n, a
     * 5×10⁹-pair explosion already at 200k vectors (measured; 16-bit bands
     * keep the same corpus linear-ish at ~27 s). Pick bitsPerBand ≈
-    * log2(n/targetBucketSize); recall for a given threshold then tunes via
-    * `bands` (more bands = more chances to collide).
+    * log2(n/targetBucketSize), or pass `bitsPerBand = 0` to DERIVE exactly
+    * that from the corpus count (paid for by the budget guard's own
+    * count()); recall for a given threshold then tunes via `bands` (more
+    * bands = more chances to collide).
     *
     * Everything before the final cosine is exact integer math, reproducible
     * on any engine: components quantize as floor(x·1e6); each hyperplane is
@@ -289,30 +291,45 @@ object Similarity {
     * exchange at all). */
   def lshNearDup(vecs: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bands: Int = 8, bitsPerBand: Int = 5,
-      dim: Int = 64, maxEstCandidates: Long = 2000000000L): DataFrame = {
+      dim: Int = 64, maxEstCandidates: Long = 2000000000L,
+      targetBucketSize: Int = 32): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
-    val hCount = bands * bitsPerBand
     // mis-sized bands don't fail, they run for hours: expected candidate
     // volume under UNIFORM buckets is bands·n²/2^bits/2 (clustered corpora
     // are strictly worse), so an under-provisioned bitsPerBand is checked
     // against a compute budget BEFORE any pair materializes. One cheap
     // count() action buys the guard.
+    // bitsPerBand = 0 means DERIVE it from the corpus via the guard's own
+    // sizing rule, bitsPerBand = ceil(log2(n/targetBucketSize)): expected
+    // bucket occupancy ≈ targetBucketSize at any n, candidate volume
+    // ≈ bands·n·targetBucketSize/2 — linear in n instead of quadratic. The
+    // same count() the budget guard pays feeds the derivation, so auto-
+    // sizing costs nothing extra. (More bits = fewer candidates but lower
+    // per-band recall; tune `bands` up if the threshold needs more chances
+    // to collide.)
+    require(bitsPerBand >= 0, s"bitsPerBand must be >= 0 (0 = auto), got $bitsPerBand")
     val n = vecs.count()
+    val bpbEff =
+      if (bitsPerBand > 0) bitsPerBand
+      else math.min(48, math.max(1,
+        math.ceil(math.log(math.max(1.0, n.toDouble / targetBucketSize)) / math.log(2)).toInt))
+    val hCount = bands * bpbEff
     val estCandidates =
-      BigInt(bands) * BigInt(n) * BigInt(n) / BigInt(2).pow(bitsPerBand) / 2
+      BigInt(bands) * BigInt(n) * BigInt(n) / BigInt(2).pow(bpbEff) / 2
     require(estCandidates <= BigInt(maxEstCandidates),
-      s"lshNearDup with bands=$bands, bitsPerBand=$bitsPerBand over $n vectors " +
+      s"lshNearDup with bands=$bands, bitsPerBand=$bpbEff over $n vectors " +
         s"expects ~$estCandidates candidate pairs even under uniform buckets " +
         s"(> $maxEstCandidates). Size bitsPerBand ≈ log2(n/targetBucketSize) " +
-        "— every +1 bit halves the candidate volume — or raise maxEstCandidates.")
+        "— every +1 bit halves the candidate volume — pass bitsPerBand = 0 " +
+        "to derive it from the corpus, or raise maxEstCandidates.")
     val signs: Array[Array[Int]] = Array.tabulate(hCount, dim) { (h, j) =>
       val bits = graft.functions.HashUtils.md5Bits48(
         s"$h|$j".getBytes(java.nio.charset.StandardCharsets.UTF_8), false)
       (math.floorMod(bits, 2L) * 2 - 1).toInt // head48 is non-negative; pmod ≡ mod
     }
     val bcSigns = spark.sparkContext.broadcast(signs)
-    val (nBands, bpb) = (bands, bitsPerBand)
+    val (nBands, bpb) = (bands, bpbEff)
     val buckets = vecs
       .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
       .as[(Long, Array[Double])]

@@ -446,6 +446,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(e.getMessage.contains("bitsPerBand") && e.getMessage.contains("log2"))
   }
 
+  test("lshNearDup bitsPerBand=0 auto-sizes bands from the corpus count") {
+    // a (corpus, budget) combination the gate-scale default refuses —
+    // 8 bands × 5 bits over 1000 vectors expects 8·10⁶/32/2 = 125k
+    // candidates, over a 100k budget — must RUN with auto-sizing, which
+    // derives ceil(log2(1000/32)) = 5... so use a tighter target: the
+    // derivation must pick enough bits to clear the same budget
+    val rnd = new scala.util.Random(7L)
+    val vecs = (0L until 1000L)
+      .map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.lshNearDup(vecs, "vec_id", "embedding", 0.9,
+        bands = 8, bitsPerBand = 5, dim = 8, maxEstCandidates = 100000L)
+    }
+    assert(e.getMessage.contains("bitsPerBand = 0"), e.getMessage)
+    // auto: bitsPerBand = ceil(log2(1000/8)) = 7 → 8·10⁶/128/2 ≈ 31k ≤ 100k
+    val auto = Similarity.lshNearDup(vecs, "vec_id", "embedding", 0.9,
+      bands = 8, bitsPerBand = 0, dim = 8, maxEstCandidates = 100000L,
+      targetBucketSize = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // the derivation is transparent: auto ≡ the explicit derived setting
+    val explicit = Similarity.lshNearDup(vecs, "vec_id", "embedding", 0.9,
+      bands = 8, bitsPerBand = 7, dim = 8, maxEstCandidates = 100000L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(auto == explicit)
+  }
+
   test("lshNearDup finds a subset of the exact pairs, with near-total recall on near-identical vectors") {
     // 3 tight clusters of near-identical vectors + isolated noise: every
     // within-cluster pair has cosine ≈ 1 (sign bits can barely disagree →
