@@ -109,6 +109,25 @@ class PushdownControl(val checksumWarnSeconds: Int = PushdownControl.DefaultChec
       * `Int.MaxValue` disables. */
     val denseCutoverAfterLevels: Int = 2,
     val denseCutoverPruneRate: Double = 0.10) {
+
+  /** The cutover decision, shared by both differs. Two triggers:
+    *  - the configured rule: `denseCutoverAfterLevels` levels done with a
+    *    cumulative prune rate below `denseCutoverPruneRate`;
+    *  - the zero-prune fast path: ANY completed level with nothing pruned
+    *    at all — bisection has produced zero evidence it can prune at this
+    *    granularity, so a further level would re-checksum every dirty row
+    *    on both sides for nothing (HashDiffer makes the same call when
+    *    every bucket is dirty after its first hash round). Uniformly-
+    *    spread diffs at density above 1/threshold hit this at level 0 and
+    *    save every deeper full-data checksum pass (measured: the gate
+    *    fixture's level-1 pass was ~45% of the loop's wall-clock while
+    *    pruning nothing).
+    * `denseCutoverAfterLevels = Int.MaxValue` disables both. */
+  def denseCutover(levelsDone: Int, probed: Int, pruned: Int): Boolean =
+    denseCutoverAfterLevels != Int.MaxValue &&
+      (pruned == 0 || levelsDone >= denseCutoverAfterLevels) &&
+      pruned.toDouble / probed < denseCutoverPruneRate
+
   @volatile private[this] var ignoredSet: Set[String] = Set.empty
   def ignoreColumn(cols: String*): Unit = ignoredSet ++= cols
   def ignored: Set[String] = ignoredSet
@@ -640,6 +659,7 @@ object PushdownDiffer {
       val levelSeg = localAligned.copy(extraCols = activeCompare)
 
       val next = ArrayBuffer.empty[Box]
+      val splitParents = ArrayBuffer.empty[Box]
       frontier.grouped(maxSegmentsPerQuery).foreach { chunk =>
         // one remote round-trip for the batch, launched FIRST so it overlaps
         // the local Spark job below (level cost = max of the sides, not sum)
@@ -679,19 +699,24 @@ object PushdownDiffer {
           else {
             val children = splitBox(box)
             if (children.size <= 1) leaves += box // key space too small to cut
-            else next ++= children
+            else { next ++= children; splitParents += box }
           }
         }
       }
       frontier = next.toSeq
-      // dense-diff cutover (see PushdownControl scaladoc): early levels
+      // dense-diff cutover (see PushdownControl.denseCutover): early levels
       // pruned ~nothing → the table differs everywhere bisection can see,
       // so stop paying for checksums that cannot prune and bulk-fetch the
-      // remaining frontier as leaves instead
-      if (frontier.nonEmpty && level + 1 >= control.denseCutoverAfterLevels &&
-          pruned.toDouble / probed < control.denseCutoverPruneRate) {
+      // remainder as leaves instead. Granularity follows the fetch path:
+      // the text protocol takes the PARENT boxes (same rows, factor× fewer
+      // range predicates in the one bulk statement), while a JDBC-reachable
+      // engine keeps the just-split children — there each predicate becomes
+      // one partition of the parallel spark.read.jdbc scan, and in the
+      // dense regime the fetch is most of the table, so partition count is
+      // the parallelism.
+      if (frontier.nonEmpty && control.denseCutover(level + 1, probed, pruned)) {
         cutoverAt = Some(level)
-        leaves ++= frontier
+        leaves ++= (if (remote.engine.jdbcSource.isDefined) frontier else splitParents)
         frontier = Seq.empty
       }
       levelMillis += (System.nanoTime() - levelStart) / 1000000

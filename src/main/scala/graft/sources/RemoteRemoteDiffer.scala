@@ -261,6 +261,7 @@ object RemoteRemoteDiffer {
       val activeCompare = compare.filterNot(control.ignored)
       val activeRelevant = keyCols ++ activeCompare
       val next = ArrayBuffer.empty[Box]
+      val splitParents = ArrayBuffer.empty[Box]
       frontier.grouped(maxSegmentsPerQuery).foreach { chunk =>
         val (fa, fb) = (levelQuery(a, normA, chunk, activeRelevant),
           levelQuery(b, normB, chunk, activeRelevant))
@@ -273,19 +274,21 @@ object RemoteRemoteDiffer {
           else if (math.max(sa._1, sb._1) < bisectionThreshold) leaves += box
           else {
             val children = splitBox(box)
-            if (children.size <= 1) leaves += box else next ++= children
+            if (children.size <= 1) leaves += box
+            else { next ++= children; splitParents += box }
           }
         }
       }
       frontier = next.toSeq
       // dense-diff cutover, same regime call as PushdownDiffer (see
-      // PushdownControl scaladoc): when early levels prune ~nothing, both
-      // remotes are paying checksum statements that cannot prune — stop
-      // bisecting and bulk-fetch the remaining frontier from both sides
-      if (frontier.nonEmpty && level + 1 >= control.denseCutoverAfterLevels &&
-          pruned.toDouble / probed < control.denseCutoverPruneRate) {
+      // PushdownControl.denseCutover): when early levels prune ~nothing,
+      // both remotes are paying checksum statements that cannot prune —
+      // stop bisecting and bulk-fetch the remainder from both sides. Both
+      // sides here are text-protocol, so the PARENT boxes become the
+      // leaves: same rows, factor× fewer predicates per bulk statement.
+      if (frontier.nonEmpty && control.denseCutover(level + 1, probed, pruned)) {
         cutoverAt = Some(level)
-        leaves ++= frontier
+        leaves ++= splitParents
         frontier = Seq.empty
       }
       levelMillis += (System.nanoTime() - levelStart) / 1000000

@@ -602,9 +602,12 @@ class PushdownDifferSpec extends AnyFunSuite {
       val base = orders.select(
         concat(lit("K"), col("o_orderkey").cast("string")).as("k"), col("o_totalprice"))
       val remote = RemoteTable(eng, "pd_duck_alpha", Seq("k"), Seq("o_totalprice"), base.schema)
+      // uniform %5 mutations would fire the dense cutover at level 0; this
+      // test probes string-key BISECTION mechanics, so disable it
       val (out, stats) = PushdownDiffer.diffWithStats(
         TableSegment(base, Seq("k"), Seq("o_totalprice")), remote,
-        bisectionFactor = 4, bisectionThreshold = 256)
+        bisectionFactor = 4, bisectionThreshold = 256,
+        control = new PushdownControl(denseCutoverAfterLevels = Int.MaxValue))
       val mutated = base.withColumn("o_totalprice",
         when(substring(col("k"), 2, 100).cast("long") % 5 === 0, col("o_totalprice") + 2.0)
           .otherwise(col("o_totalprice")))
@@ -637,9 +640,13 @@ class PushdownDifferSpec extends AnyFunSuite {
     }
     val rec = new RecordingEngine(new SparkViewEngine(spark))
     val remote = RemoteTable(rec, "pd_spec_alldiff", Seq("k"), Seq("v"), a.schema)
+    // everything-differs is exactly the dense-cutover regime — disabled
+    // here because THIS test probes the batch-cap machinery on a frontier
+    // that must actually grow factor× per level
     val (out, stats) = PushdownDiffer.diffWithStats(
       TableSegment(a, Seq("k"), Seq("v")), remote,
-      bisectionFactor = 32, bisectionThreshold = 128)
+      bisectionFactor = 32, bisectionThreshold = 128,
+      control = new PushdownControl(denseCutoverAfterLevels = Int.MaxValue))
     assert(out.count() == 2L * n) // every key differs: one '-' and one '+' each
     val cap = PushdownDiffer.DefaultMaxSegmentsPerQuery
     assert(stats.leafSegments > cap, s"chunking not exercised: $stats")
@@ -1039,8 +1046,12 @@ class PushdownDifferSpec extends AnyFunSuite {
       // transfers the mutual knobs instead of the caller remembering to
       val (localA, remoteA) = graft.api.Graft.alignPrecision(
         TableSegment(local, Seq("id"), Seq("v")), remote)
+      // uniform %50 mutations dirty all 4 top segments → the dense cutover
+      // would fire at level 0; disabled because this test probes decimal
+      // BISECTION depth (levels >= 2)
       val (out, stats) = PushdownDiffer.diffWithStats(localA, remoteA,
-        bisectionFactor = 4, bisectionThreshold = 32)
+        bisectionFactor = 4, bisectionThreshold = 32,
+        control = new PushdownControl(denseCutoverAfterLevels = Int.MaxValue))
       val rows = out.collect()
       assert(rows.length == 12, rows.mkString("\n")) // 6 mutations × -/+ pair
       assert(rows.filter(_.getString(0) == "-").map(_.getString(2)).sorted.toSeq ==
