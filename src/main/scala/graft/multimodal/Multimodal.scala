@@ -6,12 +6,16 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: media as opaque `binary` payloads with typed
   * metadata, processed in partition-sized batches.
   *
-  * The decode is PLUGGABLE ([[MediaCodec]]) with two shipped instances:
-  * [[ImageIoCodec]] is a REAL image decoder over the JDK's `javax.imageio`
-  * (PNG/JPEG/BMP/GIF readers ship in every JRE) — the decode gate runs it
-  * end to end on genuine PNG bytes; [[StubCodec]] is a deterministic
-  * byte-statistics fake for payload kinds the JDK has no decoder for
-  * (audio/video), kept loud by name. Everything around the codec (schema,
+  * The decode is PLUGGABLE ([[MediaCodec]]) with REAL decoders for all
+  * three modalities, each JDK-native and each behind an oracle-checked
+  * decode gate running on genuine container bytes: [[ImageIoCodec]]
+  * (images over `javax.imageio` — PNG/JPEG/BMP/GIF readers ship in every
+  * JRE), [[WavCodec]] (audio over `javax.sound.sampled` — WAV PCM), and
+  * [[GifVideo]] (multi-frame video-shaped extraction over the animated-GIF
+  * reader/writer). [[StubCodec]] remains as a loud-by-name deterministic
+  * fake for container formats the JDK cannot decode (e.g. MP4/H.264) and
+  * as the test seam for codec injection. Everything
+  * around the codec (schema,
   * encoders, partition-batched iteration, feature schema) is the shape a
   * decode / resize / frame-sample stage has at scale: binary in,
   * fixed-width feature row out, no driver involvement, one task per input
@@ -192,6 +196,274 @@ object Multimodal {
         val img = ImageIoCodec.decode(r.payload)
         val (sum, first, cs) = ImageIoCodec.featuresOf(img)
         ImageFeatures(r.doc_id, img.getWidth, img.getHeight, sum, first, cs)
+      }
+    }
+  }
+
+  /** REAL audio codec over the JDK's own `javax.sound.sampled` (the WAV
+    * reader/writer ships in every JRE's java.desktop module — no container
+    * dependency). WAV PCM is uncompressed, so the decoded samples equal the
+    * generating formula exactly, which lets a SQL oracle certify a genuine
+    * decode the same way the PNG gate does: the oracle recomputes sample
+    * values from the formula while Spark gets them by parsing actual RIFF/
+    * WAV bytes back through `AudioSystem`. Feature triple for the generic
+    * [[MediaCodec]] seam: (sum of signed samples, first sample, rolling
+    * checksum over unsigned sample values — same (·131 mod 1e9+7) fold as
+    * the other codecs). */
+  object WavCodec extends MediaCodec {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+
+    /** Parse a WAV container to (format, signed 16-bit samples). Loud on
+      * anything but mono 16-bit signed PCM — the synthetic corpus is always
+      * that shape, and silent format coercion would invalidate the oracle. */
+    def decodeSamples(payload: Array[Byte]): (AudioFormat, Array[Int]) = {
+      val ais: AudioInputStream = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        require(fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+            fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+          s"WavCodec handles mono 16-bit signed PCM, got $fmt")
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        val out = new Array[Int](n)
+        val little = !fmt.isBigEndian
+        var i = 0
+        while (i < n) {
+          val b0 = bytes(2 * i) & 0xff
+          val b1 = bytes(2 * i + 1) & 0xff
+          val u = if (little) (b1 << 8) | b0 else (b0 << 8) | b1
+          out(i) = (u << 16) >> 16 // sign-extend 16-bit
+          i += 1
+        }
+        (fmt, out)
+      } finally ais.close()
+    }
+
+    def features(kind: String, payload: Array[Byte]): (Long, Int, Long) = {
+      val (_, samples) = decodeSamples(payload)
+      featuresOf(samples)
+    }
+
+    /** Sample-domain half of [[features]] — (signed sum, first sample,
+      * checksum folded over UNSIGNED values so the accumulator stays
+      * non-negative). */
+    def featuresOf(samples: Array[Int]): (Long, Int, Long) = {
+      var sum = 0L
+      var cs = 0L
+      var i = 0
+      while (i < samples.length) {
+        sum += samples(i)
+        cs = (cs * 131 + (samples(i) + 32768)) % 1000000007L
+        i += 1
+      }
+      (sum, if (samples.nonEmpty) samples(0) else 0, cs)
+    }
+
+    /** Real audio "resize" = nearest-neighbor resample to the sample count
+      * that fits `outBytes`, re-encoded as WAV at the source rate. Nearest
+      * neighbor (each output sample is a COPY of one input sample, no
+      * interpolation) keeps the result bit-deterministic across JVMs. */
+    def resize(frame: Array[Byte], outBytes: Int): Array[Byte] = {
+      val (fmt, samples) = decodeSamples(frame)
+      val outN = math.max(1, outBytes / 2)
+      val out = new Array[Int](outN)
+      var i = 0
+      while (i < outN) {
+        out(i) = samples(i * samples.length / outN)
+        i += 1
+      }
+      encodeWav(out, fmt.getSampleRate)
+    }
+
+    /** Signed 16-bit samples → WAV bytes through the genuine
+      * `AudioSystem.write` WAVE encoder (little-endian PCM). */
+    def encodeWav(samples: Array[Int], sampleRate: Float): Array[Byte] = {
+      val pcm = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        pcm(2 * i) = (samples(i) & 0xff).toByte
+        pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Deterministic synthetic WAV: `n` mono 16-bit PCM samples following
+    * `s(i) = (seed*31 + i*7919) mod 65536 - 32768`, encoded through the real
+    * `javax.sound.sampled` WAVE writer. The formula is the contract the
+    * audio decode gate's SQL oracle recomputes — encode and decode both run
+    * the genuine codec, only the sample CONTENT is synthetic (the container
+    * ships no audio corpus). */
+  def synthWav(seed: Long, nSamples: Int = 256, sampleRate: Float = 8000f): Array[Byte] = {
+    val samples = new Array[Int](nSamples)
+    var i = 0
+    while (i < nSamples) {
+      samples(i) =
+        ((((seed * 31 + i.toLong * 7919) % 65536 + 65536) % 65536) - 32768).toInt
+      i += 1
+    }
+    WavCodec.encodeWav(samples, sampleRate)
+  }
+
+  /** Attach a REAL WAV payload per row, seeded by the id column — encode
+    * runs inside tasks, same distribution shape as [[attachImagePayload]]. */
+  def attachAudioPayload(df: DataFrame, idCol: String,
+      nSamples: Int = 256): Dataset[MediaRow] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .map(id => MediaRow(id, "audio/wav", synthWav(id, nSamples)))
+  }
+
+  case class AudioFeatures(doc_id: Long, n_samples: Long, sample_rate: Int,
+      sample_sum: Long, first_sample: Int, sample_checksum: Long)
+
+  /** Decode stage over real WAV payloads: the output columns are functions
+    * of the decoded SAMPLES and the parsed container header (rate, count),
+    * not the payload bytes — a correct answer proves a working decode. */
+  def decodeAudio(rows: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.map { r =>
+        val (fmt, samples) = WavCodec.decodeSamples(r.payload)
+        val (sum, first, cs) = WavCodec.featuresOf(samples)
+        AudioFeatures(r.doc_id, samples.length.toLong,
+          fmt.getSampleRate.toInt, sum, first, cs)
+      }
+    }
+  }
+
+  /** REAL video-shaped codec over the JDK's animated-GIF support: GIF is
+    * the one MULTI-FRAME container a stock JRE can both write
+    * (`ImageWriter.writeToSequence` + per-frame `GraphicControlExtension`
+    * metadata) and read (`ImageReader.getNumImages(true)` + `read(i)`), so
+    * the frame-extraction stage of a video pipeline runs genuinely: parse
+    * container → enumerate frames → decode each to a raster. Frames use an
+    * 8-bit grayscale palette, so GIF's LZW (lossless) plus the identity
+    * palette make decoded pixels equal the generating formula exactly —
+    * same oracle trick as the PNG and WAV gates. */
+  object GifVideo {
+    import java.awt.image.{BufferedImage, IndexColorModel}
+
+    private lazy val grayPalette: IndexColorModel = {
+      val g = new Array[Byte](256)
+      var i = 0; while (i < 256) { g(i) = i.toByte; i += 1 }
+      new IndexColorModel(8, 256, g, g, g)
+    }
+
+    /** One full-size frame: pixel (x,y) of frame f holds gray level
+      * `(seed*31 + f*17 + x*7 + y*13) mod 256`. */
+    private def synthFrame(seed: Long, f: Int, w: Int, h: Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0,
+            (((seed * 31 + f * 17 + x * 7 + y * 13) % 256 + 256) % 256).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+
+    /** Deterministic synthetic animated GIF — a real GIF89a container with
+      * `nFrames` full frames (disposal "none", so every frame decodes
+      * independently), written by the genuine javax.imageio GIF encoder. */
+    def synthGif(seed: Long, w: Int = 8, h: Int = 8, nFrames: Int = 4): Array[Byte] = {
+      javax.imageio.ImageIO.setUseCache(false)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nFrames) {
+          val img = synthFrame(seed, f, w, h)
+          val md = writer.getDefaultImageMetadata(
+            new javax.imageio.ImageTypeSpecifier(img), null)
+          val fmt = md.getNativeMetadataFormatName
+          val root = md.getAsTree(fmt).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          val gce = new javax.imageio.metadata.IIOMetadataNode("GraphicControlExtension")
+          gce.setAttribute("disposalMethod", "none")
+          gce.setAttribute("userInputFlag", "FALSE")
+          gce.setAttribute("transparentColorFlag", "FALSE")
+          gce.setAttribute("delayTime", "10")
+          gce.setAttribute("transparentColorIndex", "0")
+          root.appendChild(gce)
+          md.setFromTree(fmt, root)
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, md), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+      } finally { ios.close(); writer.dispose() }
+      bos.toByteArray
+    }
+
+    /** Parse a GIF container and decode every frame — the real 1→N frame
+      * extraction a video pipeline runs. Returns (frame_idx, width, height,
+      * gray-level sum, rolling checksum over row-major gray levels — the
+      * same (·131 mod 1e9+7) fold as the other codecs). */
+    def decodeFrames(payload: Array[Byte]): Seq[(Int, Int, Int, Long, Long)] = {
+      javax.imageio.ImageIO.setUseCache(false)
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        require(n > 0, s"javax.imageio found no GIF frames in a ${payload.length}-byte payload")
+        (0 until n).map { f =>
+          val img = reader.read(f)
+          var sum = 0L
+          var cs = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val v = img.getRGB(x, y) & 0xff // grayscale: R==G==B==index
+              sum += v
+              cs = (cs * 131 + v) % 1000000007L
+              x += 1
+            }
+            y += 1
+          }
+          (f, img.getWidth, img.getHeight, sum, cs)
+        }
+      } finally { iis.close(); reader.dispose() }
+    }
+  }
+
+  /** Attach a REAL animated-GIF payload per row, seeded by the id column —
+    * encode runs inside tasks, same shape as the PNG/WAV attach stages. */
+  def attachVideoPayload(df: DataFrame, idCol: String,
+      w: Int = 8, h: Int = 8, nFrames: Int = 4): Dataset[MediaRow] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .map(id => MediaRow(id, "image/gif", GifVideo.synthGif(id, w, h, nFrames)))
+  }
+
+  case class VideoFrameFeatures(doc_id: Long, frame_idx: Int, width: Int,
+      height: Int, gray_sum: Long, gray_checksum: Long)
+
+  /** Frame-extraction stage over real GIF payloads: a flatMap generator per
+    * payload (1→N, output row count decoupled from input), with the frame
+    * features computed from DECODED rasters. At scale the output dwarfs
+    * the input — repartition AFTER this stage, not before. */
+  def decodeVideoFrames(rows: Dataset[MediaRow]): Dataset[VideoFrameFeatures] = {
+    import rows.sparkSession.implicits._
+    rows.flatMap { r =>
+      GifVideo.decodeFrames(r.payload).map { case (f, w, h, sum, cs) =>
+        VideoFrameFeatures(r.doc_id, f, w, h, sum, cs)
       }
     }
   }

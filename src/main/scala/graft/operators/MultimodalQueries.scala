@@ -41,6 +41,34 @@ object MultimodalQueries {
       Multimodal.decodeImages(media).toDF().orderBy("doc_id")
     }),
 
+    // REAL audio decode, end to end: every document gets a genuine WAV
+    // payload (formula-seeded 16-bit PCM, encoded by javax.sound.sampled's
+    // WAVE writer inside tasks), and the features come from PARSING those
+    // bytes back to samples — counts/rate/sums are functions of decoded
+    // samples and the container header, not payload bytes. WAV PCM is
+    // uncompressed, so the oracle reproduces the exact values from the
+    // generating formula without ever seeing a WAV: a match proves the
+    // decode round-trips.
+    "q_multimodal_audio" -> ((s, d) => {
+      val media = Multimodal.attachAudioPayload(
+        Tables.load(s, d, "documents"), "doc_id", nSamples = 256)
+      Multimodal.decodeAudio(media).toDF().orderBy("doc_id")
+    }),
+
+    // REAL video frame extraction, end to end: every document gets a
+    // genuine animated-GIF payload (4 formula-seeded 8×8 grayscale frames,
+    // written by javax.imageio's GIF encoder inside tasks) and the stage
+    // PARSES the container, enumerates frames, and decodes each raster —
+    // a true 1→N generator whose output values are functions of decoded
+    // pixels. GIF's LZW is lossless and the palette is the identity
+    // grayscale ramp, so the oracle reproduces every frame from the
+    // generating formula without ever seeing a GIF.
+    "q_multimodal_video" -> ((s, d) => {
+      val media = Multimodal.attachVideoPayload(
+        Tables.load(s, d, "documents"), "doc_id", w = 8, h = 8, nFrames = 4)
+      Multimodal.decodeVideoFrames(media).toDF().orderBy("doc_id", "frame_idx")
+    }),
+
     // Frame sampling: 1→N generator fan-out per payload (every 2nd 64-byte
     // frame), each frame summarized by an exact byte sum. Documents are
     // ASCII, so the oracle reproduces byte slices with substring + ascii().
@@ -101,6 +129,44 @@ object MultimodalQueries {
         |  CAST(list_reduce(list_prepend(0::BIGINT, chans),
         |    (acc, v) -> (acc * 131 + v) % 1000000007) AS BIGINT) AS pixel_checksum
         |FROM px ORDER BY doc_id""".stripMargin,
+
+    // The audio oracle never touches a WAV: it recomputes the samples from
+    // the generating formula s(i) = (doc_id*31 + i*7919) % 65536 - 32768
+    // and folds them in the same ascending-index order the decoder walks
+    // the PCM stream. Uncompressed PCM makes the decoded samples equal the
+    // formula exactly — a hash match certifies a real encode→decode round
+    // trip through javax.sound.sampled.
+    "q_multimodal_audio" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 256), i ->
+        |      (doc_id*31 + i*7919) % 65536 - 32768) AS samples
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(256 AS BIGINT) AS n_samples, CAST(8000 AS INT) AS sample_rate,
+        |  CAST(list_sum(samples) AS BIGINT) AS sample_sum,
+        |  CAST((doc_id*31) % 65536 - 32768 AS INT) AS first_sample,
+        |  CAST(list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(samples, v -> v + 32768)),
+        |    (acc, v) -> (acc * 131 + v) % 1000000007) AS BIGINT) AS sample_checksum
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // The video oracle recomputes each frame's gray levels from the
+    // generating formula g = (doc_id*31 + f*17 + x*7 + y*13) % 256 and
+    // folds them in the same row-major order the decoder walks the raster.
+    "q_multimodal_video" ->
+      """WITH fr AS (
+        |  SELECT doc_id, f AS frame_idx,
+        |    flatten(list_transform(range(0, 8), y ->
+        |      list_transform(range(0, 8), x ->
+        |        (doc_id*31 + f*17 + x*7 + y*13) % 256))) AS grays
+        |  FROM documents, unnest(range(0, 4)) r(f))
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+        |  CAST(list_sum(grays) AS BIGINT) AS gray_sum,
+        |  CAST(list_reduce(list_prepend(0::BIGINT, grays),
+        |    (acc, v) -> (acc * 131 + v) % 1000000007) AS BIGINT) AS gray_checksum
+        |FROM fr ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q_multimodal_frames" ->
       """WITH f AS (

@@ -565,6 +565,85 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(7L).pixel_sum != out(8L).pixel_sum)
   }
 
+  test("WavCodec decodes real WAV bytes back to the exact generating samples") {
+    // encode through javax.sound.sampled, decode through javax.sound.sampled:
+    // the features must equal the formula the bytes were generated from
+    // (PCM is uncompressed) — the same equality the q_multimodal_audio
+    // oracle checks against SQL-recomputed samples
+    def s(seed: Long, i: Int): Int =
+      ((((seed * 31 + i.toLong * 7919) % 65536 + 65536) % 65536) - 32768).toInt
+    val seed = 54321L
+    val wav = Multimodal.synthWav(seed, 256, 8000f)
+    // a real RIFF/WAVE container
+    assert(wav.take(4).map(_.toChar).mkString == "RIFF")
+    assert(wav.slice(8, 12).map(_.toChar).mkString == "WAVE")
+    val (fmt, samples) = Multimodal.WavCodec.decodeSamples(wav)
+    assert(fmt.getSampleRate == 8000f && samples.length == 256)
+    assert(samples.toSeq == (0 until 256).map(i => s(seed, i)))
+    val (sum, first, cs) = Multimodal.WavCodec.features("audio/wav", wav)
+    var wantSum = 0L; var wantCs = 0L
+    for (i <- 0 until 256) {
+      wantSum += s(seed, i)
+      wantCs = (wantCs * 131 + (s(seed, i) + 32768)) % 1000000007L
+    }
+    assert(sum == wantSum && first == s(seed, 0) && cs == wantCs)
+    // distributed end to end: the decode stage reproduces per-row features
+    import spark.implicits._
+    val docs = Seq((7L, "ignored"), (8L, "ignored")).toDF("doc_id", "text")
+    val out = Multimodal.decodeAudio(
+      Multimodal.attachAudioPayload(docs, "doc_id", 256))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(out(7L).n_samples == 256L && out(7L).sample_rate == 8000)
+    assert(out(7L).sample_sum == (0 until 256).map(i => s(7L, i).toLong).sum)
+    assert(out(7L).sample_checksum != out(8L).sample_checksum)
+  }
+
+  test("WavCodec resize is a real nearest-neighbor resample, re-encoded as WAV") {
+    val wav = Multimodal.synthWav(99L, 64, 8000f)
+    val small = Multimodal.WavCodec.resize(wav, outBytes = 32) // 16 samples
+    val (fmt, out) = Multimodal.WavCodec.decodeSamples(small)
+    assert(fmt.getSampleRate == 8000f && out.length == 16)
+    // nearest neighbor: output sample i is a COPY of input sample 4i
+    val (_, orig) = Multimodal.WavCodec.decodeSamples(wav)
+    for (i <- 0 until 16) assert(out(i) == orig(i * 4))
+    // deterministic: same input bytes → same output bytes
+    assert(Multimodal.WavCodec.resize(wav, 32).toSeq == small.toSeq)
+  }
+
+  test("WavCodec fails loudly on an undecodable or mis-shaped payload") {
+    val garbage = Array.tabulate[Byte](32)(i => (i * 17).toByte)
+    intercept[Exception](Multimodal.WavCodec.features("audio/wav", garbage))
+  }
+
+  test("GifVideo round-trips multi-frame animated GIFs to the exact generating pixels") {
+    def g(seed: Long, f: Int, x: Int, y: Int): Int =
+      (((seed * 31 + f * 17 + x * 7 + y * 13) % 256 + 256) % 256).toInt
+    val seed = 77L
+    val gif = Multimodal.GifVideo.synthGif(seed, 8, 8, nFrames = 4)
+    // a real GIF89a container
+    assert(gif.take(6).map(_.toChar).mkString == "GIF89a")
+    val frames = Multimodal.GifVideo.decodeFrames(gif)
+    assert(frames.length == 4)
+    frames.foreach { case (f, w, h, sum, cs) =>
+      assert(w == 8 && h == 8)
+      var wantSum = 0L; var wantCs = 0L
+      for (y <- 0 until 8; x <- 0 until 8) {
+        wantSum += g(seed, f, x, y)
+        wantCs = (wantCs * 131 + g(seed, f, x, y)) % 1000000007L
+      }
+      assert(sum == wantSum && cs == wantCs, s"frame $f decoded wrong")
+    }
+    // distributed 1→N: each payload fans out to its decoded frames
+    import spark.implicits._
+    val docs = Seq((3L, "ignored"), (4L, "ignored")).toDF("doc_id", "text")
+    val out = Multimodal.decodeVideoFrames(
+      Multimodal.attachVideoPayload(docs, "doc_id", 8, 8, 4)).collect()
+    assert(out.length == 8) // 2 docs × 4 frames
+    val f2 = out.filter(v => v.doc_id == 3L && v.frame_idx == 2).head
+    assert(f2.gray_sum == (for (y <- 0 until 8; x <- 0 until 8)
+      yield g(3L, 2, x, y).toLong).sum)
+  }
+
   test("ImageIoCodec resize is a real nearest-neighbor rescale, re-encoded as PNG") {
     val png = Multimodal.synthPng(99L, 16, 16)
     val small = Multimodal.ImageIoCodec.resize(png, outBytes = 4 * 4 * 3)
