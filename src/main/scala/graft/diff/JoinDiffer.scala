@@ -98,6 +98,31 @@ object JoinDiffer {
       .select(cols.map(c => col(s"${side}_$c").as(c)): _*)
   }
 
+  /** Apply a diff (the output of [[diff]]) to the b side as a patch,
+    * producing a table equal to a — the repair half of the reference's
+    * find-out-of-sync-rows use case (its README's "then fix them" step;
+    * the reference stops at materializing the diff, this closes the loop).
+    *
+    * Semantics follow the sign convention: every key carrying a '+' row is
+    * b-only or stale, so it is deleted; every '-' row is a's version of a
+    * missing or stale row, so it is inserted. An updated key carries both
+    * signs and is thus replaced.
+    *
+    * Scale shape: the delete is a left_anti join of b against the '+' KEYS
+    * only — diffs are normally a vanishing fraction of the table, so the
+    * key set broadcasts and the patch costs one scan of b plus a union
+    * with the (small) '-' rows; AQE turns the anti join into a broadcast
+    * at runtime when the key set is small (the normal case) and falls back
+    * to a key-partitioned shuffle — never a sort — for dense diffs, which
+    * is why the broadcast is NOT forced here: in the dense regime the '+'
+    * set approaches the size of b itself. */
+  def applyDiff(b: DataFrame, diff: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val plusKeys = diff.where(col("sign") === "+").select(keyCols.map(col): _*)
+    val minusRows = diff.where(col("sign") === "-").drop("sign")
+    b.join(plusKeys, keyCols, "left_anti")
+      .unionByName(minusRows.select(b.columns.map(col).toIndexedSeq: _*))
+  }
+
   /** Per-column changed-row counts over matched keys
     * (reference: joindiff_tables.py:336-354). */
   def diffCountsPerColumn(a: DataFrame, b: DataFrame, keyCols: Seq[String],

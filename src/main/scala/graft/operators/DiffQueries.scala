@@ -42,6 +42,18 @@ object DiffQueries {
         .orderBy("o_orderkey", "sign")
     }),
 
+    // The repair loop closed end to end: diff a against its mutated copy,
+    // apply the diff to the mutated side as a patch, and emit the patched
+    // table — the oracle is simply `orders` itself, so a hash match proves
+    // the patch reconstructs the source exactly (deletes b-only keys,
+    // inserts missing rows, replaces updated ones).
+    "q_diff_apply" -> ((s, d) => {
+      val a = orders(s, d).select(orderCols.map(col): _*)
+      val b = mutatedOrders(a)
+      val diff = JoinDiffer.diff(a, b, Seq("o_orderkey"), orderCompareCols)
+      JoinDiffer.applyDiff(b, diff, Seq("o_orderkey")).orderBy("o_orderkey")
+    }),
+
     "q_hashdiff" -> ((s, d) => {
       val a = orders(s, d)
       val segA = TableSegment(a, Seq("o_orderkey"), orderCompareCols)
@@ -161,6 +173,10 @@ object DiffQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_joindiff" -> diffRowsSql,
+
+    // Patching the mutated copy with the diff must reproduce the source.
+    "q_diff_apply" ->
+      s"""SELECT ${orderCols.mkString(", ")} FROM orders ORDER BY o_orderkey""",
     "q_hashdiff" -> diffRowsSql,
 
     "q_hashdiff_segments" ->

@@ -164,6 +164,34 @@ class JoinDifferSpec extends AnyFunSuite {
       .select("sign", "k2").as[(String, Int)].collect().toSet
     assert(got == Set(("-", 2), ("+", 2)))
   }
+
+  test("applyDiff patches b back into a: deletes added, inserts removed, replaces updated") {
+    val (a, b) = sides
+    val patched = JoinDiffer.applyDiff(b, JoinDiffer.diff(a, b, Seq("k")), Seq("k"))
+    assert(patched.as[(Long, String, Double)].collect().toSet ==
+      a.as[(Long, String, Double)].collect().toSet)
+    // and the fixpoint: a patched with an empty diff is a
+    val noop = JoinDiffer.applyDiff(a, JoinDiffer.diff(a, a, Seq("k")), Seq("k"))
+    assert(noop.as[(Long, String, Double)].collect().toSet ==
+      a.as[(Long, String, Double)].collect().toSet)
+  }
+
+  test("applyDiff reconciles seeded-random mutations (fuzz)") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 5) {
+      val n = 50 + rnd.nextInt(100)
+      val aRows = (1 to n).map(i => (i.toLong, rnd.nextInt(10).toString, rnd.nextDouble()))
+      // mutate: drop ~20%, change ~20%, add ~20% new keys
+      val bRows = aRows.filter(_ => rnd.nextDouble() > 0.2).map {
+        case (k, s, v) if rnd.nextDouble() < 0.2 => (k, s + "!", v + 1.0)
+        case r => r
+      } ++ (1 to n / 5).map(i => ((n + i).toLong, "new", rnd.nextDouble()))
+      val a = aRows.toDF("k", "s", "v")
+      val b = bRows.toDF("k", "s", "v")
+      val patched = JoinDiffer.applyDiff(b, JoinDiffer.diff(a, b, Seq("k")), Seq("k"))
+      assert(patched.as[(Long, String, Double)].collect().toSet == aRows.toSet)
+    }
+  }
 }
 
 class HashDifferSpec extends AnyFunSuite {
