@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -67,6 +69,43 @@ object PushdownQueries {
         Seq("o_orderkey"), compareCols,
         bisectionFactor = 8, bisectionThreshold = 4096)
         .orderBy("o_orderkey", "sign")
+    }),
+
+    // The repair loop against a LIVE remote: a real embedded-Derby database
+    // is seeded with the mutated orders (through the same batched multi-row
+    // INSERT machinery repair uses), the local parquet side is diffed
+    // against it, RemoteRepair turns the diff into DELETE + INSERT
+    // statements executed over JDBC, and the gate emits the remote table
+    // READ BACK over JDBC afterwards — the oracle is plain `orders`, so a
+    // hash match proves the remote was reconciled to the source exactly,
+    // typed values surviving two JDBC round-trips.
+    "q_remote_repair" -> ((s, d) => {
+      import graft.sources.{JdbcEngine, DerbyProfile, RemoteRepair}
+      // key cap: the whole table at gate scale (sf0.01 tops out at 15k),
+      // a bounded seed volume at bench scale — the repair cost is
+      // proportional to the DAMAGE either way (the clustered mutations
+      // live in [1000,3000), inside the cap); what the cap bounds is the
+      // fixture's Derby SEEDING cost, which is test scaffolding, not the
+      // operator (a production remote already has its rows)
+      val a = Tables.load(s, d, "orders").select(orderCols.map(col): _*)
+        .where(col("o_orderkey") < 20000)
+      val b = clusterMutatedOrders(a)
+      val url = "jdbc:derby:memory:graft_repair_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val setup = java.sql.DriverManager.getConnection(s"$url;create=true")
+      setup.close()
+      val eng = new JdbcEngine(url, new java.util.Properties(), DerbyProfile)
+      eng.update(
+        s"""CREATE TABLE orders_r (${orderCols.map(c => "\"" + c + "\"").zip(
+          Seq("BIGINT", "BIGINT", "VARCHAR(8)", "DOUBLE", "TIMESTAMP", "VARCHAR(32)"))
+          .map { case (c, t) => s"$c $t" }.mkString(", ")})""")
+      RemoteRepair.insertStatements(DerbyProfile, "orders_r", orderCols,
+          b.toLocalIterator().asScala, 256)
+        .foreach(eng.update)
+      val diff = graft.diff.JoinDiffer.diff(a, b, Seq("o_orderkey"), compareCols)
+      RemoteRepair.repair(eng, "orders_r", Seq("o_orderkey"), a, diff)
+      s.read.jdbc(url, "orders_r", new java.util.Properties())
+        .orderBy("o_orderkey")
     }),
 
     // Coverage invariant for base-66 alphanumeric keys (the reference's
@@ -168,6 +207,11 @@ object PushdownQueries {
     // identical expected output: the local↔remote and remote↔remote loops
     // implement the same diff
     "q_remote_remote" -> pushdownOracle,
+
+    // Repairing the remote from the diff must reproduce the source table.
+    "q_remote_repair" ->
+      s"""SELECT ${orderCols.mkString(", ")} FROM orders
+         |WHERE o_orderkey < 20000 ORDER BY o_orderkey""".stripMargin,
 
     "q_alphanum_segments" ->
       "SELECT COUNT(*) AS total_rows FROM orders",

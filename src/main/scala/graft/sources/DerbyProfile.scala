@@ -131,6 +131,12 @@ object DerbyProfile extends SourceProfile {
       super.normalizedColumnSql(colName, dt, fracPrecision, tsPrecision, stringClass)
   }
 
+  /** Derby has no ANSI datetime literals (`TIMESTAMP '...'` is a syntax
+    * error); its literal forms are the TIMESTAMP()/DATE() functions. */
+  override def timestampLiteral(ts: java.sql.Timestamp): String =
+    s"TIMESTAMP('${timestampText(ts)}')"
+  override def dateLiteral(d: java.sql.Date): String = s"DATE('$d')"
+
   /** Derby has no concat_ws; `||` with per-item COALESCE is the same
     * '|'-joined '<null>'-defaulted string byte for byte. */
   override def concatSql(normalized: Seq[String]): String =

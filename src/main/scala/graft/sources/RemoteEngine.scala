@@ -17,6 +17,13 @@ trait RemoteEngine extends AutoCloseable {
   /** Execute SQL remotely; each row is a sequence of nullable strings. */
   def query(sql: String): Seq[Seq[Option[String]]]
 
+  /** Execute a DML/DDL statement remotely (the repair path). Engines whose
+    * transport is query-shaped (the text bridges — their child processes
+    * run any SQL) route through [[query]] and ignore the empty result;
+    * plain JDBC overrides this with `executeUpdate`, because
+    * `executeQuery` refuses statements that return no result set. */
+  def update(sql: String): Unit = { query(sql); () }
+
   /** When the engine is plain-JDBC-reachable, its (url, properties) — lets
     * the differ fetch leaf rows as a PARTITIONED `spark.read.jdbc` scan
     * (one partition per leaf predicate, executors pulling ranges in
@@ -106,6 +113,11 @@ final class JdbcEngine(url: String, props: java.util.Properties,
         rows.result()
       } finally rs.close()
     } finally st.close()
+  }
+
+  override def update(sql: String): Unit = {
+    val st = conn.createStatement()
+    try st.executeUpdate(sql) finally st.close()
   }
 
   override def close(): Unit = conn.close()

@@ -1,0 +1,125 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Repair a remote table from a diff — the remote-write half of
+  * [[graft.diff.JoinDiffer.applyDiff]]. The reference stops at
+  * materializing diff rows (reference: data_diff/joindiff_tables.py:38,
+  * 396-399 materialize); this closes its README's "find them, then fix
+  * them" loop by turning the diff into batched DELETE + multi-row INSERT
+  * statements executed through the [[RemoteEngine]] the diff came from.
+  *
+  * Scale shape: this is a control loop, not a data-plane operator — the
+  * local side streams the diff through `toLocalIterator` (one partition in
+  * driver memory at a time, never the whole diff), and the remote side
+  * receives O(diff/batch) statements. Repairs are proportional to the
+  * DAMAGE, not the table: a 100 TB table with 10k drifted rows costs ~80
+  * statements. In the dense regime (most of the table wrong) a truncate +
+  * bulk reload beats row repair and this deliberately does NOT try to be
+  * that path — the statement count makes the mismatch visible.
+  *
+  * Statement order is deletes-first: an updated key carries both signs, so
+  * its stale remote row must vanish before its replacement lands (a
+  * PK-constrained remote would otherwise reject the insert).
+  */
+object RemoteRepair {
+
+  case class RepairStats(deletedKeys: Long, insertedRows: Long, statements: Long)
+
+  /** Typed SQL literal rendering for repair values. Strings/keys reuse the
+    * profile's escaping; temporal values its ANSI literal forms. Loud on
+    * NaN/Infinity (no portable literal) and on types with no rendering
+    * rule — silently wrong literals would corrupt the remote. */
+  def valueLiteral(profile: SourceProfile, v: Any): String = v match {
+    case null => "NULL"
+    case s: String => profile.literal(s)
+    case d: java.sql.Date => profile.dateLiteral(d)
+    case t: java.sql.Timestamp => profile.timestampLiteral(t)
+    case d: java.time.LocalDate => profile.dateLiteral(java.sql.Date.valueOf(d))
+    case i: java.time.Instant => profile.timestampLiteral(java.sql.Timestamp.from(i))
+    case ldt: java.time.LocalDateTime => // TIMESTAMP_NTZ / Java-8-API sessions
+      profile.timestampLiteral(java.sql.Timestamp.valueOf(ldt))
+    case b: Boolean => if (b) "TRUE" else "FALSE"
+    case bd: java.math.BigDecimal => bd.toPlainString
+    case bd: scala.math.BigDecimal => bd.bigDecimal.toPlainString
+    case d: Double =>
+      require(!d.isNaN && !d.isInfinite, s"no portable SQL literal for double $d")
+      d.toString // shortest-repr round-trips to the identical bits
+    case f: Float =>
+      require(!f.isNaN && !f.isInfinite, s"no portable SQL literal for float $f")
+      f.toString
+    case n @ (_: Byte | _: Short | _: Int | _: Long) => n.toString
+    case other => throw new IllegalArgumentException(
+      s"no SQL literal rendering for ${other.getClass.getName} value '$other'")
+  }
+
+  /** Batched key deletes: single-column keys compress to one IN list per
+    * chunk; compound keys become OR'd conjunctions. */
+  def deleteStatements(profile: SourceProfile, table: String, keyCols: Seq[String],
+      keys: Iterator[Row], maxPerStatement: Int): Iterator[String] =
+    keys.grouped(maxPerStatement).map { chunk =>
+      val pred =
+        if (keyCols.size == 1)
+          s"${profile.quote(keyCols.head)} IN (" +
+            chunk.map(r => valueLiteral(profile, r.get(0))).mkString(", ") + ")"
+        else chunk.map { r =>
+          keyCols.indices.map { i =>
+            val v = r.get(i)
+            if (v == null) s"${profile.quote(keyCols(i))} IS NULL"
+            else s"${profile.quote(keyCols(i))} = ${valueLiteral(profile, v)}"
+          }.mkString("(", " AND ", ")")
+        }.mkString(" OR ")
+      s"DELETE FROM $table WHERE $pred"
+    }
+
+  /** Batched multi-row inserts with an explicit quoted column list, so the
+    * statement is immune to remote column order. */
+  def insertStatements(profile: SourceProfile, table: String, columns: Seq[String],
+      rows: Iterator[Row], maxPerStatement: Int): Iterator[String] =
+    rows.grouped(maxPerStatement).map { chunk =>
+      val colList = columns.map(profile.quote).mkString(", ")
+      val vals = chunk.map(r =>
+        columns.indices.map(i => valueLiteral(profile, r.get(i))).mkString("(", ", ", ")"))
+        .mkString(", ")
+      s"INSERT INTO $table ($colList) VALUES $vals"
+    }
+
+  /** Patch `table` on `engine` so it matches the local source of truth.
+    *
+    * `diff` is the -/+ diff of (localSource, remote table) — from
+    * JoinDiffer, HashDiffer, or the pushdown loop, all of which share the
+    * sign convention. Every key the diff mentions (either sign) is deleted
+    * remotely, then every '-' key's row is re-inserted FROM `localSource`
+    * — typed original values, not the diff's text renderings, so the
+    * insert literals carry full fidelity even when the diff came back
+    * through a text bridge. */
+  def repair(engine: RemoteEngine, table: String, keyCols: Seq[String],
+      localSource: DataFrame, diff: DataFrame,
+      maxPerStatement: Int = 256): RepairStats = {
+    val profile = engine.profile
+    // diffs from the pushdown loops carry NORMALIZED TEXT columns (they
+    // came back through a text bridge); cast keys to the local source's
+    // types so the semi join is exact (no implicit string/long coercion)
+    // and delete literals render as the remote column type expects
+    val keyExprs = keyCols.map(k => col(k).cast(localSource.schema(k).dataType).as(k))
+    val allKeys = diff.select(keyExprs: _*).distinct()
+    val minusKeys = diff.where(col("sign") === "-").select(keyExprs: _*).distinct()
+    val insertRows = localSource.join(minusKeys, keyCols, "left_semi")
+
+    // counts ride the streamed iterators — a separate .count() would
+    // re-execute both plans (and could disagree with what was shipped)
+    var deletedKeys = 0L
+    var insertedRows = 0L
+    var statements = 0L
+    val keyIt = allKeys.toLocalIterator().asScala.map { r => deletedKeys += 1; r }
+    deleteStatements(profile, table, keyCols, keyIt, maxPerStatement)
+      .foreach { sql => engine.update(sql); statements += 1 }
+    val rowIt = insertRows.toLocalIterator().asScala.map { r => insertedRows += 1; r }
+    insertStatements(profile, table, localSource.columns.toIndexedSeq, rowIt, maxPerStatement)
+      .foreach { sql => engine.update(sql); statements += 1 }
+    RepairStats(deletedKeys, insertedRows, statements)
+  }
+}

@@ -75,12 +75,18 @@ trait SourceProfile {
     case other => other.toString
   }
 
-  /** ANSI timestamp literal — update-range bounds in remote WHEREs. */
-  def timestampLiteral(ts: java.sql.Timestamp): String = {
-    val s = ts.toInstant.atZone(java.time.ZoneOffset.UTC)
+  /** ANSI timestamp literal — update-range bounds in remote WHEREs and
+    * repair INSERT values. Dialects without ANSI datetime literals
+    * (Derby) override with their function forms. */
+  def timestampLiteral(ts: java.sql.Timestamp): String =
+    s"TIMESTAMP '${timestampText(ts)}'"
+
+  protected def timestampText(ts: java.sql.Timestamp): String =
+    ts.toInstant.atZone(java.time.ZoneOffset.UTC)
       .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
-    s"TIMESTAMP '$s'"
-  }
+
+  /** ANSI date literal (see [[timestampLiteral]] for the dialect seam). */
+  def dateLiteral(d: java.sql.Date): String = s"DATE '$d'"
 
   /** Casing-canonical UUID text — must render the same string as
     * `graft.diff.Normalize.normalizeUuid` (lowercase, trimmed); LOWER/TRIM
