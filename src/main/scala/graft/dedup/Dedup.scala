@@ -390,6 +390,48 @@ object Dedup {
     out.toDF("id", "comp")
   }
 
+  /** Corpus-overlap estimation from KMV (k-minimum-values) sketch set
+    * algebra (Beyer et al., "On Synopses for Distinct-Value Estimation
+    * Under Multiset Operations", SIGMOD'07): keep each corpus's k smallest
+    * distinct 48-bit shingle hashes; the merged bottom-k is a valid sketch
+    * of the UNION, and the fraction ρ/k of its members present in both
+    * input sketches estimates Jaccard — so |A∪B| ≈ (k−1)·2^48/h_k and
+    * |A∩B| ≈ J·|A∪B|, all from two k-row synopses.
+    *
+    * This is the 100 TB shape for "how much do these corpora overlap":
+    * each side costs one linear scan into a map-side partial bottom-k
+    * (TakeOrderedAndProject — no full sort, no shuffle of the element
+    * stream beyond the hash-distinct), the sketches are k rows each, and
+    * every set operation happens on sketches. The exact alternative — a
+    * distinct-shingle join across corpora — shuffles BOTH full shingle
+    * sets; this never moves more than 2k rows after the scans. Hashes are
+    * md5-derived, so the estimates are deterministic and any engine
+    * reproduces them bit for bit. */
+  def kmvOverlap(a: DataFrame, b: DataFrame, idCol: String, textCol: String,
+      k: Int = 256, n: Int = 3): DataFrame = {
+    def sketch(df: DataFrame) =
+      shingleIndexRaw(df, idCol, textCol, n)
+        .select(md5Int48(col("s")).as("h")).distinct()
+        .orderBy(col("h").asc).limit(k)
+    val ska = sketch(a).withColumn("in_a", lit(1))
+    val skb = sketch(b).withColumn("in_b", lit(1))
+    // ≤2k rows from here on: the union sketch is the bottom-k of the merge
+    val merged = ska.join(skb, Seq("h"), "full_outer")
+      .select(col("h"), coalesce(col("in_a"), lit(0)).as("in_a"),
+        coalesce(col("in_b"), lit(0)).as("in_b"))
+      .orderBy(col("h").asc).limit(k)
+    merged.agg(
+        count(lit(1)).as("k_used"), max(col("h")).as("hk"),
+        sum(col("in_a") * col("in_b")).as("rho"))
+      .select(col("k_used"), col("hk"), col("rho"),
+        ((col("k_used") - 1).cast("double") * lit(281474976710656.0)
+          / col("hk").cast("double")).as("union_est"),
+        (col("rho").cast("double") / col("k_used").cast("double")).as("jaccard_est"),
+        (col("rho").cast("double") / col("k_used").cast("double")
+          * ((col("k_used") - 1).cast("double") * lit(281474976710656.0)
+            / col("hk").cast("double"))).as("inter_est"))
+  }
+
   /** 48-bit SimHash per document over distinct whitespace tokens. */
   def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 48): DataFrame = {
     val toks = df.select(col(idCol).as("doc_id"),

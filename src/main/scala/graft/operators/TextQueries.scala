@@ -52,6 +52,17 @@ object TextQueries {
       Dedup.minhashCandidates(docs(s, d), "doc_id", "text")
         .orderBy("doc_a", "doc_b")),
 
+    // Corpus overlap from KMV sketch set algebra: two overlapping document
+    // subsets (doc_id%2 / doc_id%3 — every %6 doc is in both) reduced to
+    // 256-value sketches, union/intersection/Jaccard estimated purely on
+    // the sketches. Deterministic md5 hashing makes the ESTIMATES
+    // themselves oracle-checkable, not just the exact counts.
+    "q_kmv_overlap" -> ((s, d) => {
+      val ds = docs(s, d)
+      Dedup.kmvOverlap(ds.where(col("doc_id") % 2 === 0),
+        ds.where(col("doc_id") % 3 === 0), "doc_id", "text", k = 256)
+    }),
+
     "q_simhash" -> ((s, d) =>
       Dedup.simhash(docs(s, d), "doc_id", "text").orderBy("doc_id")),
 
@@ -446,6 +457,29 @@ object TextQueries {
          |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Recomputes the identical sketches: the estimator is a deterministic
+    // function of the bottom-256 md5-derived hashes, so even the float
+    // estimates hash-match across engines.
+    "q_kmv_overlap" ->
+      s"""WITH sh AS (
+         |  SELECT t.doc_id, ('0x' || substring(md5(unnest($shingles)), 1, 12))::BIGINT AS h
+         |  FROM (SELECT doc_id, $toks AS toks FROM documents) t),
+         |ska AS (SELECT DISTINCT h FROM sh WHERE doc_id % 2 = 0 ORDER BY h LIMIT 256),
+         |skb AS (SELECT DISTINCT h FROM sh WHERE doc_id % 3 = 0 ORDER BY h LIMIT 256),
+         |un AS (
+         |  SELECT h, (h IN (SELECT h FROM ska))::INT AS in_a,
+         |         (h IN (SELECT h FROM skb))::INT AS in_b
+         |  FROM (SELECT DISTINCT h FROM (SELECT h FROM ska UNION ALL SELECT h FROM skb))
+         |  ORDER BY h LIMIT 256),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_used, max(h) AS hk,
+         |        CAST(sum(in_a * in_b) AS BIGINT) AS rho FROM un)
+         |SELECT k_used, hk, rho,
+         |  (k_used - 1)::DOUBLE * 281474976710656.0 / hk::DOUBLE AS union_est,
+         |  rho::DOUBLE / k_used::DOUBLE AS jaccard_est,
+         |  rho::DOUBLE / k_used::DOUBLE
+         |    * ((k_used - 1)::DOUBLE * 281474976710656.0 / hk::DOUBLE) AS inter_est
+         |FROM m""".stripMargin,
 
     "q_tfidf_rank" ->
       s"""WITH tk AS (SELECT doc_id, unnest($toks) AS tok FROM documents),

@@ -50,6 +50,39 @@ class DedupSpec extends AnyFunSuite {
     assert(!cand.contains((0L, 2L)))
   }
 
+  test("kmvOverlap with k >= universe degenerates to exact set counts") {
+    // when both sketches hold their ENTIRE shingle set, k_used is the true
+    // |A ∪ B|, rho the true |A ∩ B|, and jaccard_est the exact Jaccard
+    val a = docs.where(col("doc_id") =!= 2L) // shingles of docs 0/1/3
+    val b = docs.where(col("doc_id") >= 1L)  // shingles of docs 1/2/3
+    val r = Dedup.kmvOverlap(a, b, "doc_id", "text", k = 10000).head()
+    def shingleSet(df: org.apache.spark.sql.DataFrame) =
+      Dedup.shingleIndex(df, "doc_id", "text").select("s").as[String].collect()
+        .toSet
+    val (sa, sb) = (shingleSet(a), shingleSet(b))
+    assert(r.getAs[Long]("k_used") == (sa ++ sb).size.toLong)
+    assert(r.getAs[Long]("rho") == (sa intersect sb).size.toLong)
+    assert(r.getAs[Double]("jaccard_est") ==
+      (sa intersect sb).size.toDouble / (sa ++ sb).size)
+    // inter_est = jaccard * union_est by construction
+    assert(math.abs(r.getAs[Double]("inter_est") -
+      r.getAs[Double]("jaccard_est") * r.getAs[Double]("union_est")) < 1e-9)
+  }
+
+  test("kmvOverlap at small k estimates within sketch error on a real corpus") {
+    val base = (0L until 400L).map(i => (i, s"token$i alpha$i beta$i gamma$i delta$i"))
+    val df = base.toDF("doc_id", "text")
+    val a = df.where(col("doc_id") < 300L)   // 300 docs × 3 shingles, unique
+    val b = df.where(col("doc_id") >= 100L)  // overlap: docs 100..299
+    val r = Dedup.kmvOverlap(a, b, "doc_id", "text", k = 256).head()
+    // true: |A|=900, |B|=900, |∩|=600, |∪|=1200, J=0.5
+    assert(r.getAs[Long]("k_used") == 256L)
+    val j = r.getAs[Double]("jaccard_est")
+    assert(j > 0.35 && j < 0.65, s"jaccard_est $j far from 0.5")
+    val u = r.getAs[Double]("union_est")
+    assert(u > 800 && u < 1800, s"union_est $u far from 1200")
+  }
+
   test("simhash: identical docs equal, near-dups close in Hamming distance") {
     val h = Dedup.simhash(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
