@@ -42,6 +42,53 @@ object StreamingDiff {
       }
   }
 
+  /** Apply one micro-batch of [[DiffEvent]]s to a remote table as repair
+    * statements — the streaming half of [[graft.sources.RemoteRepair]]:
+    * DELETE every key the batch touches, then INSERT each key's NET final
+    * payload (count(+) − count(−) > 0 — a key transitioning several times
+    * inside one batch nets out to exactly its last image, with no
+    * dependence on row order). The apply is IDEMPOTENT per batch, so a
+    * replayed micro-batch (Structured Streaming's at-least-once foreachBatch
+    * contract) converges to the same remote state — effectively-once. */
+  def applyDiffEventsBatch(engine: graft.sources.RemoteEngine, table: String,
+      batch: DataFrame, maxPerStatement: Int = 256): (Long, Long) = {
+    import graft.sources.RemoteRepair
+    val keys = batch.select(col("key")).distinct()
+    val finalRows = batch.groupBy(col("key"), col("payload"))
+      .agg(sum(when(col("sign") === "+", 1L).otherwise(-1L)).as("net"))
+      .where(col("net") > 0)
+      .select(col("key"), col("payload"))
+    var deleted = 0L
+    var inserted = 0L
+    val keyIt = keys.toLocalIterator()
+    val keyCounted = new Iterator[org.apache.spark.sql.Row] {
+      def hasNext = keyIt.hasNext
+      def next() = { deleted += 1; keyIt.next() }
+    }
+    RemoteRepair.deleteStatements(engine.profile, table, Seq("key"),
+      keyCounted, maxPerStatement).foreach(engine.update)
+    val rowIt = finalRows.toLocalIterator()
+    val rowCounted = new Iterator[org.apache.spark.sql.Row] {
+      def hasNext = rowIt.hasNext
+      def next() = { inserted += 1; rowIt.next() }
+    }
+    RemoteRepair.insertStatements(engine.profile, table, Seq("key", "payload"),
+      rowCounted, maxPerStatement).foreach(engine.update)
+    (deleted, inserted)
+  }
+
+  /** Continuous remote reconciliation: [[continuousDiff]]'s event stream
+    * applied to a remote table per micro-batch. The returned query keeps
+    * the remote CONVERGED to the feed's latest per-key state — the
+    * streaming closure of the reference's batch "find and fix" loop. */
+  def repairSink(events: Dataset[DiffEvent], engine: graft.sources.RemoteEngine,
+      table: String): org.apache.spark.sql.streaming.DataStreamWriter[DiffEvent] =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[DiffEvent], _: Long) =>
+        applyDiffEventsBatch(engine, table, batch.toDF()); ()
+      }
+
   /** Watermarked tumbling-window event counts (late data dropped at 10m). */
   def windowedCounts(events: DataFrame): DataFrame =
     events

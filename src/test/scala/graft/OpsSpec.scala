@@ -836,6 +836,30 @@ class StreamingDiffSpec extends AnyFunSuite {
       StreamingDiff.DiffEvent("-", 2, "b"), StreamingDiff.DiffEvent("+", 2, "c")))
   }
 
+  test("streaming repair sink keeps a live remote converged to the feed's final state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val eng = graft.sources.DuckDbProcess.engine()
+    try {
+      eng.update("""CREATE TABLE srep ("key" BIGINT, "payload" VARCHAR)""")
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingDiff.KeyedRow]
+      val q = StreamingDiff.repairSink(
+        StreamingDiff.continuousDiff(input.toDS()), eng, "srep").start()
+      def row(k: Long, p: String, t: Long) =
+        StreamingDiff.KeyedRow(k, p, new java.sql.Timestamp(t))
+      input.addData(row(1, "a", 1), row(2, "b", 2), row(3, "x", 3))
+      q.processAllAvailable()
+      // k=2 transitions TWICE inside one batch (b→c→d): the net-payload
+      // rule must land on 'd' regardless of row order; k=1 replays (no-op)
+      input.addData(row(2, "c", 4), row(2, "d", 5), row(1, "a", 6))
+      q.processAllAvailable()
+      q.stop()
+      val got = eng.query("""SELECT "key", "payload" FROM srep ORDER BY "key"""")
+        .map(r => (r(0).get, r(1).get))
+      assert(got == Seq(("1", "a"), ("2", "d"), ("3", "x")))
+    } finally eng.close()
+  }
+
   test("CDC checksum monitor replays to the exact batch bucket summary") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
