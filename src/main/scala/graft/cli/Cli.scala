@@ -52,7 +52,7 @@ object ParseTime {
   *     [--ignore col1,col2] [--update-column col --min-age 1d --max-age 1h]
   *     [--materialize path] [--where EXPR] [--assume-unique-key]
   *     [--sample-exclusive-rows] [--materialize-all-rows]
-  *     [--table-write-limit N] [--case-sensitive] [-d|-v] [--version]
+  *     [--table-write-limit N] [--case-sensitive] [--repair] [-d|-v] [--version]
   *   graft.cli.Cli --dbt --dbt-project-dir DIR
   *     --dbt-dev-base PATH --dbt-prod-base PATH
   *
@@ -98,6 +98,12 @@ object Cli {
       // column-name case sensitivity (reference --case-sensitive; Spark's
       // resolver honors spark.sql.caseSensitive)
       caseSensitive: Boolean = false,
+      // apply the diff to side B after reporting it (greenfield: the
+      // reference stops at finding out-of-sync rows; this fixes them).
+      // Requires a LOCAL side A (typed source of truth) and a remote:
+      // side B target — see the --repair branch for why other
+      // orientations refuse.
+      repair: Boolean = false,
       // -d/--debug/-v raise the log level (reference prints debug info)
       verbose: Boolean = false,
       version: Boolean = false,
@@ -136,6 +142,7 @@ object Cli {
       case "--materialize-all-rows" :: t => go(t, a.copy(materializeAllRows = true), positional)
       case "--table-write-limit" :: v :: t => go(t, a.copy(tableWriteLimit = v.toInt), positional)
       case "--case-sensitive" :: t => go(t, a.copy(caseSensitive = true), positional)
+      case "--repair" :: t => go(t, a.copy(repair = true), positional)
       case ("-d" | "--debug" | "-v" | "--verbose") :: t => go(t, a.copy(verbose = true), positional)
       case "--version" :: t => go(t, a.copy(version = true), positional)
       // accepted for drop-in compatibility: this engine never phones home,
@@ -368,6 +375,34 @@ object Cli {
         graft.diff.JoinDiffer.flagged(segA.scoped, segB.scoped, a.keys, compare)
       } else limited
       a.materialize.foreach(Graft.materializeDiff(matSource, _, a.tableWriteLimit))
+      // --repair: patch side B so it matches side A. Supported exactly
+      // where it is EXACT: side A local (typed rows re-read from the scan,
+      // not the diff's normalized text — fraction normalization rounds
+      // doubles, so inserting diff text would corrupt the remote) and
+      // side B a remote: engine (a local side B is a parquet path Spark
+      // cannot update in place — applyDiff + a rewrite is the API path).
+      if (a.repair) (remA, remB) match {
+        case (None, Some((db, table))) =>
+          val eng = engineFor(db)
+          try {
+            val compare = (if (a.cols.nonEmpty) a.cols
+                           else segA.relevantCols.filterNot(a.keys.contains))
+              .filterNot(a.ignore.contains)
+            val truth = segA.scoped.select(
+              (a.keys ++ compare).map(org.apache.spark.sql.functions.col): _*)
+            val rs = graft.sources.RemoteRepair.repair(eng, table, a.keys, truth, diff)
+            Console.err.println(
+              s"[repair] $table: ${rs.deletedKeys} keys deleted, " +
+                s"${rs.insertedRows} rows inserted, ${rs.statements} statements")
+          } finally eng.close()
+        case (None, None) => throw new IllegalArgumentException(
+          "--repair target must be a remote: source; for a local side B apply " +
+            "the diff with JoinDiffer.applyDiff and rewrite the output path")
+        case _ => throw new IllegalArgumentException(
+          "--repair needs a LOCAL side A as the typed source of truth " +
+            "(the diff's normalized text rounds doubles; inserting it would " +
+            "corrupt the remote) — run with sides (local, remote:...)")
+      }
       // stream partitions through the driver instead of collecting: without
       // --limit an unexpectedly large diff must not OOM the CLI (the
       // reference likewise streams its diff iterator)

@@ -199,6 +199,50 @@ class CliEndToEndSpec extends AnyFunSuite {
       s"got: ${lines.mkString("\n")}")
   }
 
+  test("--repair patches the live remote to match the local side; re-diff is empty") {
+    val dir = java.nio.file.Files.createTempDirectory("clirep").toString
+    Seq((1L, "a", 10.5), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v").write.parquet(s"$dir/local")
+    val setup = graft.sources.DuckDbProcess.engine(s"$dir/remote.db")
+    try {
+      setup.query("CREATE TABLE t AS SELECT * FROM (VALUES " +
+        "(1::BIGINT, 'a', 10.5::DOUBLE), (2::BIGINT, 'B', 20.0::DOUBLE), " +
+        "(4::BIGINT, 'd', 40.0::DOUBLE)) AS x(k, s, v)")
+    } finally setup.close()
+    Console.withOut(new java.io.PrintStream(new java.io.ByteArrayOutputStream)) {
+      Cli.run(Cli.parseArgs(Array(s"$dir/local", s"duckdb:$dir/remote.db:t",
+        "-k", "k", "--repair")), spark)
+    }
+    // the remote database FILE now holds exactly the local rows
+    val check = graft.sources.DuckDbProcess.engine(s"$dir/remote.db")
+    try {
+      val got = check.query("""SELECT k, s, v FROM t ORDER BY k""")
+        .map(_.map(_.get))
+      assert(got == Seq(Seq("1", "a", "10.5"), Seq("2", "b", "20.0"),
+        Seq("3", "c", "30.0")), s"remote after repair: $got")
+    } finally check.close()
+    // and a re-diff prints no rows
+    val out2 = new java.io.ByteArrayOutputStream
+    Console.withOut(new java.io.PrintStream(out2, true, "UTF-8")) {
+      Cli.run(Cli.parseArgs(Array(s"$dir/local", s"duckdb:$dir/remote.db:t",
+        "-k", "k", "--json")), spark)
+    }
+    assert(!out2.toString("UTF-8").linesIterator.exists(_.startsWith("{")),
+      s"re-diff not empty: ${out2.toString("UTF-8")}")
+  }
+
+  test("--repair refuses a local side B (no in-place parquet update)") {
+    val dir = java.nio.file.Files.createTempDirectory("cliref").toString
+    Seq((1L, "a")).toDF("k", "s").write.parquet(s"$dir/a")
+    Seq((1L, "b")).toDF("k", "s").write.parquet(s"$dir/b")
+    val e = intercept[IllegalArgumentException] {
+      Console.withOut(new java.io.PrintStream(new java.io.ByteArrayOutputStream)) {
+        Cli.run(Cli.parseArgs(Array(s"$dir/a", s"$dir/b", "-k", "k", "--repair")), spark)
+      }
+    }
+    assert(e.getMessage.contains("applyDiff"))
+  }
+
   test("CLI remote-remote: both sides are duckdb database files, Spark coordinates") {
     val dir = java.nio.file.Files.createTempDirectory("clirr").toString
     def mk(db: String, rows: String): Unit = {
