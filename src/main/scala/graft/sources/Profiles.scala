@@ -23,7 +23,7 @@ import graft.diff.Checksum
   * |-------------|--------|
   * | duckdb      | wire (live child process: pushdown e2e, checksum fuzz, introspection) |
   * | derby       | wire (live embedded JDBC: pushdown e2e incl. SYS-catalog introspection, checksum fuzz, collation, engine round-trip) |
-  * | spark       | wire (in-process SQL round-trip via SparkViewEngine) |
+  * | spark       | wire (in-process SQL round-trip via SparkViewEngine; ALSO over a real TCP socket — HiveThriftSpec boots Spark's own HiveServer2 Thrift endpoint and runs the pushdown loop through the Hive JDBC driver, incl. the partitioned spark.read.jdbc leaf fetch via HiveJdbcDialect) |
   * | postgresql  | golden (+ plain SELECTs exercised over a real JDBC driver in `JdbcEngineSpec`) |
   * | mysql       | golden |
   * | trino       | golden |

@@ -73,6 +73,22 @@ object InteractiveEngine {
   }
 }
 
+/** Spark's JDBC datasource has no built-in dialect for HiveServer2-protocol
+  * urls, so it falls back to double-quoted identifiers — which Spark SQL /
+  * HiveQL parse as STRING LITERALS, silently replacing every fetched column
+  * with its own name (observed live: a partitioned `spark.read.jdbc` leaf
+  * fetch returned the constant row `('k','s','d')`). Backtick quoting is
+  * the dialect fix; registered once, idempotently, by any [[JdbcEngine]]
+  * pointed at a hive2 url. */
+object HiveJdbcDialect extends org.apache.spark.sql.jdbc.JdbcDialect {
+  override def canHandle(url: String): Boolean = url.startsWith("jdbc:hive2")
+  override def quoteIdentifier(colName: String): String = s"`$colName`"
+  private val registered = new java.util.concurrent.atomic.AtomicBoolean(false)
+  def register(): Unit =
+    if (registered.compareAndSet(false, true))
+      org.apache.spark.sql.jdbc.JdbcDialects.registerDialect(this)
+}
+
 /** Production bridge for any JDBC-reachable engine — the path a real
   * deployment uses where the test suite uses ProcessEngine (this sandbox
   * ships no JDBC drivers). Values come back text-rendered by the driver,
@@ -80,6 +96,7 @@ object InteractiveEngine {
   * (normalized) values by construction. */
 final class JdbcEngine(url: String, props: java.util.Properties,
     val profile: SourceProfile) extends RemoteEngine {
+  if (url.startsWith("jdbc:hive2")) HiveJdbcDialect.register()
   private lazy val conn = {
     val c = java.sql.DriverManager.getConnection(url, props)
     // Profiles that need per-database helper objects (Derby's Java-backed
