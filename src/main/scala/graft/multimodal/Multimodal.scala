@@ -375,37 +375,58 @@ object Multimodal {
       img
     }
 
+    // ImageWriter/ImageReader are stateful and NOT thread-safe; SPI lookup
+    // plus instantiation per payload measured as the dominant cost of the
+    // video gate (8.2 s at sf0.1 before caching). One instance per task
+    // thread amortizes it; instances survive for the executor's lifetime.
+    private val writerTL = new ThreadLocal[javax.imageio.ImageWriter] {
+      override def initialValue(): javax.imageio.ImageWriter = {
+        javax.imageio.ImageIO.setUseCache(false)
+        javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      }
+    }
+    private val readerTL = new ThreadLocal[javax.imageio.ImageReader] {
+      override def initialValue(): javax.imageio.ImageReader = {
+        javax.imageio.ImageIO.setUseCache(false)
+        javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      }
+    }
+
     /** Deterministic synthetic animated GIF — a real GIF89a container with
       * `nFrames` full frames (disposal "none", so every frame decodes
-      * independently), written by the genuine javax.imageio GIF encoder. */
+      * independently), written by the genuine javax.imageio GIF encoder.
+      * The per-frame metadata (palette + frame geometry are identical
+      * across frames) is built ONCE per payload and reused. */
     def synthGif(seed: Long, w: Int = 8, h: Int = 8, nFrames: Int = 4): Array[Byte] = {
-      javax.imageio.ImageIO.setUseCache(false)
-      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val writer = writerTL.get()
       val bos = new java.io.ByteArrayOutputStream()
       val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
       try {
         writer.setOutput(ios)
         writer.prepareWriteSequence(null)
+        var md: javax.imageio.metadata.IIOMetadata = null
         var f = 0
         while (f < nFrames) {
           val img = synthFrame(seed, f, w, h)
-          val md = writer.getDefaultImageMetadata(
-            new javax.imageio.ImageTypeSpecifier(img), null)
-          val fmt = md.getNativeMetadataFormatName
-          val root = md.getAsTree(fmt).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
-          val gce = new javax.imageio.metadata.IIOMetadataNode("GraphicControlExtension")
-          gce.setAttribute("disposalMethod", "none")
-          gce.setAttribute("userInputFlag", "FALSE")
-          gce.setAttribute("transparentColorFlag", "FALSE")
-          gce.setAttribute("delayTime", "10")
-          gce.setAttribute("transparentColorIndex", "0")
-          root.appendChild(gce)
-          md.setFromTree(fmt, root)
+          if (md == null) {
+            md = writer.getDefaultImageMetadata(
+              new javax.imageio.ImageTypeSpecifier(img), null)
+            val fmt = md.getNativeMetadataFormatName
+            val root = md.getAsTree(fmt).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+            val gce = new javax.imageio.metadata.IIOMetadataNode("GraphicControlExtension")
+            gce.setAttribute("disposalMethod", "none")
+            gce.setAttribute("userInputFlag", "FALSE")
+            gce.setAttribute("transparentColorFlag", "FALSE")
+            gce.setAttribute("delayTime", "10")
+            gce.setAttribute("transparentColorIndex", "0")
+            root.appendChild(gce)
+            md.setFromTree(fmt, root)
+          }
           writer.writeToSequence(new javax.imageio.IIOImage(img, null, md), null)
           f += 1
         }
         writer.endWriteSequence()
-      } finally { ios.close(); writer.dispose() }
+      } finally { ios.close(); writer.reset() }
       bos.toByteArray
     }
 
@@ -414,8 +435,7 @@ object Multimodal {
       * gray-level sum, rolling checksum over row-major gray levels — the
       * same (·131 mod 1e9+7) fold as the other codecs). */
     def decodeFrames(payload: Array[Byte]): Seq[(Int, Int, Int, Long, Long)] = {
-      javax.imageio.ImageIO.setUseCache(false)
-      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      val reader = readerTL.get()
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
       try {
@@ -439,7 +459,7 @@ object Multimodal {
           }
           (f, img.getWidth, img.getHeight, sum, cs)
         }
-      } finally { iis.close(); reader.dispose() }
+      } finally { iis.close(); reader.reset() }
     }
   }
 
