@@ -36,6 +36,12 @@ object Normalize {
         // side checksums equal to a midnight TIMESTAMP on the other.
         concat(date_format(c, "yyyy-MM-dd"), lit(" 00:00:00.000000"))
       case DoubleType | FloatType | (_: DecimalType) =>
+        // Domain contract: |value| must fit DECIMAL(38, fracPrecision) —
+        // the same bound every pushdown profile's normalizeNumberSql
+        // enforces remotely. Outside it (|x| ≳ 1e36 at precision 2) the
+        // diff fails LOUDLY with an ANSI overflow on either side rather
+        // than silently disagreeing across engines; doubles that extreme
+        // have no portable fixed-point rendering to checksum against.
         c.cast(DecimalType(38, fracPrecision)).cast(StringType)
       case ByteType | ShortType | IntegerType | LongType =>
         c.cast(StringType)

@@ -86,6 +86,56 @@ class RepairSpec extends AnyFunSuite {
     }
   }
 
+  test("repair round-trips hostile values through a live Derby exactly") {
+    // every value class the literal renderer claims to handle, in its
+    // nastiest form: quote/backslash/newline/tab strings, non-BMP unicode,
+    // empty string, NULL, denormal-adjacent doubles, negative zero,
+    // shortest-repr artifacts, fractional timestamps — inserted via repair
+    // statements, then PROVEN equal by the production pushdown re-diff
+    // (normalization-aware, checksum-exact) coming back empty
+    assume(derbyAvailable, "no JDBC driver on the classpath")
+    import spark.implicits._
+    val db = s"memory:graftfz${System.nanoTime()}"
+    val setup = java.sql.DriverManager.getConnection(s"jdbc:derby:$db;create=true")
+    try {
+      def exec(sql: String): Unit = {
+        val st = setup.createStatement()
+        try st.executeUpdate(sql) finally st.close()
+      }
+      exec("""CREATE TABLE fz ("k" BIGINT, "s" VARCHAR(100), "d" DOUBLE, "t" TIMESTAMP)""")
+      val ts = java.sql.Timestamp.valueOf("2026-02-28 23:59:59.999")
+      val hostile: Seq[(Long, Option[String], Double, java.sql.Timestamp)] = Seq(
+        (1L, Some("o'brien ''double'' '"), 0.1 + 0.2, ts),
+        // magnitudes stay inside DECIMAL(38,2) — the diff's fraction
+        // normalization domain on EVERY engine (local and pushdown SQL both
+        // cast to DECIMAL(38,2); beyond it the diff fails LOUDLY with an
+        // ANSI overflow, which is the documented contract, not a repair
+        // concern)
+        (2L, Some("back\\slash and \"quotes\""), 1e30, ts),
+        (3L, Some("line\nbreak\ttab"), 1e-30, ts),
+        (4L, Some("héllo wörld 日本語 🚀"), -0.0, ts),
+        (5L, Some(""), -9.87654321e35, ts),
+        (6L, None, 4.9e-324, java.sql.Timestamp.valueOf("1970-01-01 00:00:00.001")),
+        (7L, Some("plain"), 12345.678901234567, ts))
+      val a = hostile.toDF("k", "s", "d", "t")
+      val eng = new JdbcEngine(s"jdbc:derby:$db", new java.util.Properties(), DerbyProfile)
+      try {
+        // remote starts EMPTY: the diff is all '-', repair must insert
+        // every hostile row through rendered SQL literals
+        def liveDiff() = graft.api.Graft.diffPushdownIntrospected(
+          graft.diff.TableSegment(a, Seq("k")), eng, "fz",
+          bisectionFactor = 4, bisectionThreshold = 64)
+        val stats = RemoteRepair.repair(eng, "fz", Seq("k"), a, liveDiff())
+        assert(stats.insertedRows == 7L)
+        assert(liveDiff().collect().isEmpty,
+          "hostile values did not round-trip through repair literals")
+      } finally eng.close()
+    } finally {
+      setup.close()
+      scala.util.Try(java.sql.DriverManager.getConnection(s"jdbc:derby:$db;drop=true"))
+    }
+  }
+
   test("repair reconciles a live DuckDB remote through the text bridge") {
     import spark.implicits._
     val eng = DuckDbProcess.engine()
