@@ -158,6 +158,54 @@ object RelationalQueries {
       .select("bin", "cnt_a", "cnt_b", "flag_drift")
   }
 
+  /** Population-stability drift score over the shared fixed bins — the
+    * monitoring statistic layered on [[histogramDrift]]'s per-bin flags:
+    * one number that trends as two distributions diverge (the classic PSI
+    * Σ(pa−pb)·ln(pa/pb), re-expressed integer-exact).
+    *
+    * Engine-reproducibility forces the formulation (same reason TF-IDF
+    * here uses bit-length idf): libm `ln` differs in the last ulp across
+    * engines, so the classic float PSI cannot hash-match an oracle.
+    * Instead probabilities quantize to milli-units (·1000 integer div)
+    * and log2 is the bit-length difference of the smoothed milli-probs:
+    *
+    *   psi_millibits = Σ_bins (pa_milli − pb_milli)
+    *                          · (bitlen(pa_milli+1) − bitlen(pb_milli+1))
+    *
+    * Every factor is a small integer (≤1000 regardless of row count — the
+    * milli quantization happens AFTER the per-side totals, so nothing here
+    * can overflow at any scale), bitlen is monotone so each term is ≥ 0
+    * like true PSI terms, and the +1 smoothing absorbs empty bins (which
+    * are also reported separately — a bin newly appearing on one side is
+    * its own drift signal). Resolution is 0.1% per bin: exactly the
+    * granularity drift MONITORING needs, traded for bit-exact determinism
+    * on any engine. Plan shape = histogramDrift's: two map-side bin
+    * aggregations, a ≤bins-row join, one broadcast of two totals. */
+  def psiDrift(a: DataFrame, b: DataFrame, valueSql: String,
+      loCents: Long, widthCents: Long, bins: Int): DataFrame = {
+    def counts(df: DataFrame, out: String) =
+      df.select(histogramBin(valueSql, loCents, widthCents, bins).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(out))
+    val j = counts(a, "cnt_a").join(counts(b, "cnt_b"), Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+    val tot = j.agg(sum(col("cnt_a")).as("tot_a"), sum(col("cnt_b")).as("tot_b"))
+    j.crossJoin(broadcast(tot))
+      .withColumn("pa_milli", expr("(cnt_a * 1000) div tot_a"))
+      .withColumn("pb_milli", expr("(cnt_b * 1000) div tot_b"))
+      .agg(
+        sum(expr("(pa_milli - pb_milli) * " +
+          "(length(bin(pa_milli + 1)) - length(bin(pb_milli + 1)))"))
+          .cast("long").as("psi_millibits"),
+        sum(when(col("cnt_a") > 0 && col("cnt_b") === 0, 1L).otherwise(0L))
+          .as("n_bins_a_only"),
+        sum(when(col("cnt_b") > 0 && col("cnt_a") === 0, 1L).otherwise(0L))
+          .as("n_bins_b_only"),
+        sum(when(col("cnt_a") > 0 && col("cnt_b") > 0, 1L).otherwise(0L))
+          .as("n_bins_shared"))
+  }
+
   /** Quantile selection over pre-aggregated `(grp, bin, cnt)` rows — bin
     * counts are ADDITIVE, so any merged/unioned count relation feeds this
     * unchanged: the batch sketch above, a streaming windowed histogram's
@@ -566,6 +614,14 @@ object RelationalQueries {
         "v", loCents = 0L, widthCents = 1000000L, bins = 16)
         .orderBy("bin")),
 
+    // One-number drift score over the same two distributions: integer
+    // milli-bits PSI (see psiDrift scaladoc for why not float ln).
+    "q_psi_drift" -> ((s, d) =>
+      psiDrift(
+        t(s, d, "lineitem").select(col("l_extendedprice").as("v")),
+        t(s, d, "orders").select(col("o_totalprice").as("v")),
+        "v", loCents = 0L, widthCents = 1000000L, bins = 16)),
+
     // -- JSON column handling ---------------------------------------------
     "q_json_extract" -> ((s, d) =>
       t(s, d, "events")
@@ -841,6 +897,37 @@ object RelationalQueries {
         |SELECT bin, cnt_a, cnt_b,
         |  abs(cnt_a * tot_b - cnt_b * tot_a) * 20 > tot_a * tot_b AS flag_drift
         |FROM j, tot ORDER BY bin""".stripMargin,
+
+    "q_psi_drift" ->
+      """WITH ca AS (
+        |  SELECT least(15, greatest(0, CAST(floor(l_extendedprice * 100) AS BIGINT) // 1000000)) AS bin,
+        |    COUNT(*) AS cnt_a
+        |  FROM lineitem GROUP BY 1),
+        |cb AS (
+        |  SELECT least(15, greatest(0, CAST(floor(o_totalprice * 100) AS BIGINT) // 1000000)) AS bin,
+        |    COUNT(*) AS cnt_b
+        |  FROM orders GROUP BY 1),
+        |j AS (
+        |  SELECT COALESCE(ca.bin, cb.bin) AS bin,
+        |    CAST(COALESCE(cnt_a, 0) AS BIGINT) AS cnt_a,
+        |    CAST(COALESCE(cnt_b, 0) AS BIGINT) AS cnt_b
+        |  FROM ca FULL OUTER JOIN cb ON ca.bin = cb.bin),
+        |tot AS (SELECT SUM(cnt_a) AS tot_a, SUM(cnt_b) AS tot_b FROM j),
+        |p AS (
+        |  -- CAST: SUM(BIGINT) is HUGEINT in DuckDB and format('{:b}')
+        |  -- refuses hugeints
+        |  SELECT CAST((cnt_a * 1000) // tot_a AS BIGINT) AS pa_milli,
+        |         CAST((cnt_b * 1000) // tot_b AS BIGINT) AS pb_milli,
+        |         cnt_a, cnt_b
+        |  FROM j, tot)
+        |SELECT
+        |  CAST(SUM((pa_milli - pb_milli) *
+        |    (length(format('{:b}', pa_milli + 1)) - length(format('{:b}', pb_milli + 1)))) AS BIGINT)
+        |    AS psi_millibits,
+        |  CAST(SUM(CASE WHEN cnt_a > 0 AND cnt_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bins_a_only,
+        |  CAST(SUM(CASE WHEN cnt_b > 0 AND cnt_a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bins_b_only,
+        |  CAST(SUM(CASE WHEN cnt_a > 0 AND cnt_b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bins_shared
+        |FROM p""".stripMargin,
 
     "q_quantiles_sketch" ->
       """WITH b AS (

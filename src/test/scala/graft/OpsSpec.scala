@@ -221,6 +221,30 @@ class HistogramQuantileSpec extends AnyFunSuite {
   import spark.implicits._
   import graft.operators.RelationalQueries
 
+  test("psiDrift: zero for identical distributions, grows with shift, counts one-sided bins") {
+    def mk(shift: Double) =
+      (1 to 1000).map(i => (i % 100) * 10.0 + shift).toDF("v")
+    def psi(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      RelationalQueries.psiDrift(a, b, "v", loCents = 0L, widthCents = 20000L, bins = 16)
+        .select("psi_millibits", "n_bins_a_only", "n_bins_b_only", "n_bins_shared")
+        .as[(Long, Long, Long, Long)].head()
+    val base = mk(0.0)
+    assert(psi(base, mk(0.0)) == ((0L, 0L, 0L, 5L))) // identical → zero drift
+    val small = psi(base, mk(200.0))._1
+    val large = psi(base, mk(600.0))._1
+    assert(small > 0L, "shifted distribution must score positive")
+    assert(large > small, s"PSI must grow with shift: $small vs $large")
+    // every term is non-negative (bitlen is monotone): an adversarial
+    // mixed-direction shift still cannot drive the score negative
+    val mixed = psi(base, (1 to 1000).map(i =>
+      if (i % 2 == 0) 0.0 else 1990.0).toDF("v"))
+    assert(mixed._1 >= 0L)
+    // disjoint supports: all bins one-sided, none shared
+    val disjoint = psi((1 to 100).map(_ => 10.0).toDF("v"),
+      (1 to 100).map(_ => 3000.0).toDF("v"))
+    assert(disjoint._2 == 1L && disjoint._3 == 1L && disjoint._4 == 0L)
+  }
+
   test("histogramQuantiles picks the first bin reaching the target rank, clamping the range") {
     // group A: 10.0 .. 100.0 in steps of 10 → bins 1..10 at width 10.00;
     // group B: one value far below lo (clamps to bin 0) and one far above
