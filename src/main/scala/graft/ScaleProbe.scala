@@ -67,6 +67,27 @@ object ScaleProbe {
     time("histogramQuantiles (sketch)")(
       noop(graft.operators.RelationalQueries.histogramQuantiles(
         fact, "flag", "price", Seq(500, 900, 990), 0L, 100000L, 128)))
+    time("psiDrift 128 bins")(
+      noop(graft.operators.RelationalQueries.psiDrift(
+        fact.select(col("price").as("v")),
+        fact.select((col("price") + 20000).as("v")), "v", 0L, 100000L, 128)))
+
+    // ---- KMV corpus overlap at ~100× the documents fixture ----------------
+    // nRows/100 "documents" of 40 synthetic tokens each → tens of millions
+    // of shingles per side; the probe measures the two bottom-k scans
+    // (TakeOrderedAndProject) that replace a cross-corpus shingle join.
+    // Overlap by construction: side B reuses half of side A's id space.
+    val nDocs = (nRows / 100).toInt
+    val synthDoc = (idCol: org.apache.spark.sql.Column) =>
+      concat_ws(" ", transform(sequence(lit(0), lit(39)),
+        j => concat(lit("tok"), pmod(idCol * 41 + j * 7, lit(1000000)))))
+    val corpusA = spark.range(nDocs.toLong)
+      .select(col("id").as("doc_id"), synthDoc(col("id")).as("text"))
+    val corpusB = spark.range(nDocs.toLong)
+      .select((col("id") + nDocs / 2).as("doc_id"),
+        synthDoc(col("id") + nDocs / 2).as("text"))
+    time(s"kmvOverlap k=256 ($nDocs docs/side)")(
+      noop(graft.dedup.Dedup.kmvOverlap(corpusA, corpusB, "doc_id", "text", k = 256)))
     time("packSequences budget=4096")(
       noop(graft.operators.CurationQueries.packSequences(
         fact.select(col("id").as("doc_id"), lit(0L).as("chunk_idx"), col("n_tokens")),
