@@ -281,6 +281,17 @@ class DifferAgreementFuzzSpec extends AnyFunSuite {
       bisectionFactor = 4, bisectionThreshold = 64,
       control = new graft.sources.PushdownControl(progressive = true))._1)
     assert(progressive == expected, "progressive PushdownDiffer diverged")
+    // sixth control flow: the default run above takes the DENSE-CUTOVER
+    // path (uniform random mutations dirty every top segment → zero-prune
+    // fires); force pure bisection on the same mutations so both regimes
+    // are pinned to the same answer
+    val bisected = canon(graft.sources.PushdownDiffer.diffWithStats(
+      TableSegment(base, Seq("k")),
+      RemoteTable.introspect(eng, "fz_b", Seq("k"), Seq("s", "v")),
+      bisectionFactor = 4, bisectionThreshold = 64,
+      control = new graft.sources.PushdownControl(
+        denseCutoverAfterLevels = Int.MaxValue))._1)
+    assert(bisected == expected, "pure-bisection PushdownDiffer diverged")
   }
 
   test("compound-key mutation set agrees across all four differs") {
