@@ -396,7 +396,12 @@ object SourceProfile {
     (Seq(DuckDbProfile, PostgresProfile, MySqlProfile, TrinoProfile,
       SnowflakeProfile, BigQueryProfile, ClickHouseProfile, MsSqlProfile,
       OracleProfile, RedshiftProfile, VerticaProfile, DatabricksProfile,
-      SparkProfile, DerbyProfile).map(p => p.name -> p) :+ ("presto" -> TrinoProfile)).toMap
+      SparkProfile, DerbyProfile).map(p => p.name -> p)
+      :+ ("presto" -> TrinoProfile)
+      // the jdbc subprotocol of Spark Thrift / HiveServer2 endpoints —
+      // the dialect spoken over that socket is Spark SQL (HiveThriftSpec
+      // wire-tests the full loop over it)
+      :+ ("hive2" -> SparkProfile)).toMap
 
   /** The type families a remote column can land in for diffing — the
     * reference's ColType hierarchy collapsed to what normalization needs

@@ -71,6 +71,19 @@ class HiveThriftSpec extends AnyFunSuite {
           .collect().map(_.mkString("|")).toSet
         assert(want.nonEmpty, "fixture produced no diff — test is vacuous")
         assert(out.collect().map(_.mkString("|")).toSet == want)
+
+        // the CLI's remote:jdbc route must resolve the hive2 subprotocol
+        // to the Spark dialect and produce the same diff over the socket
+        val dir = java.nio.file.Files.createTempDirectory("clihive").toString
+        a.write.parquet(s"$dir/local")
+        val cliOut = new java.io.ByteArrayOutputStream
+        Console.withOut(new java.io.PrintStream(cliOut, true, "UTF-8")) {
+          graft.cli.Cli.run(graft.cli.Cli.parseArgs(Array(s"$dir/local",
+            s"remote:jdbc:hive2://localhost:$port/default#global_temp.pd_hive_b",
+            "-k", "k", "--json")), spark)
+        }
+        val lines = cliOut.toString("UTF-8").linesIterator.filter(_.startsWith("{")).size
+        assert(lines == want.size, s"CLI over hive2 socket printed $lines of ${want.size}")
       } finally eng.close()
     } finally {
       server.stop()
