@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.{DerbyProfile, DuckDbProfile, MySqlProfile, PostgresProfile, SourceProfile, TrinoProfile}
+import graft.sources.{DerbyProfile, DuckDbProfile, MySqlProfile, PostgresProfile, SourceProfile, SparkProfile, TrinoProfile}
 
 class SourceProfileSpec extends AnyFunSuite {
 
@@ -51,9 +51,10 @@ class SourceProfileSpec extends AnyFunSuite {
     assert(SourceProfile.registry.keySet ==
       Set("duckdb", "postgresql", "mysql", "trino", "presto", "snowflake",
         "bigquery", "clickhouse", "mssql", "oracle", "redshift", "vertica",
-        "databricks", "spark", "derby"))
+        "databricks", "spark", "derby", "hive2"))
     assert(SourceProfile.registry("mysql") eq MySqlProfile)
     assert(SourceProfile.registry("presto") eq TrinoProfile)
+    assert(SourceProfile.registry("hive2") eq SparkProfile)
   }
 
   test("derby: java-backed functions, ||-concat, VARCHAR-typed boolean, decimal sum headroom") {
