@@ -374,7 +374,22 @@ object Cli {
         val compare = segA.relevantCols.filterNot(a.keys.contains).filterNot(a.ignore.contains)
         graft.diff.JoinDiffer.flagged(segA.scoped, segB.scoped, a.keys, compare)
       } else limited
-      a.materialize.foreach(Graft.materializeDiff(matSource, _, a.tableWriteLimit))
+      // --materialize remote:<table> writes the diff INTO the remote engine
+      // (the reference's semantics — it materializes a table in the
+      // database being diffed); any other target is a parquet path. '%t'
+      // expands to the run timestamp either way.
+      a.materialize.foreach { target =>
+        if (target.startsWith("remote:")) {
+          val spec = (remB orElse remA).map(_._1).getOrElse(
+            throw new IllegalArgumentException(
+              "--materialize remote:<table> needs a remote: side to write into"))
+          val eng = engineFor(spec)
+          try graft.sources.RemoteRepair.materializeDiffRemote(eng,
+            Graft.evalNameTemplate(target.stripPrefix("remote:")),
+            matSource, a.tableWriteLimit)
+          finally eng.close()
+        } else Graft.materializeDiff(matSource, target, a.tableWriteLimit)
+      }
       // --repair: patch side B so it matches side A. Supported exactly
       // where it is EXACT: side A local (typed rows re-read from the scan,
       // not the diff's normalized text — fraction normalization rounds

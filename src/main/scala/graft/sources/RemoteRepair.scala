@@ -87,6 +87,29 @@ object RemoteRepair {
       s"INSERT INTO $table ($colList) VALUES $vals"
     }
 
+  /** Materialize diff rows INTO a table on the remote engine — the
+    * reference's `--materialize` semantics (it writes a table in the
+    * database being diffed, `joindiff_tables.py:38,396-399`; the
+    * path-based `Graft.materializeDiff` is the parquet analogue). Columns
+    * are all VARCHAR: diff rows arriving from the pushdown loops are
+    * normalized TEXT by construction, and the artifact is a report to
+    * query, not a typed copy. Capped like the reference's
+    * TABLE_WRITE_LIMIT, and streamed in batched multi-row INSERTs. */
+  def materializeDiffRemote(engine: RemoteEngine, table: String, diff: DataFrame,
+      limit: Int = 1000, maxPerStatement: Int = 256): Long = {
+    val profile = engine.profile
+    val cols = diff.columns.toIndexedSeq
+    engine.update(s"CREATE TABLE $table (" +
+      cols.map(c => s"${profile.quote(c)} VARCHAR(4000)").mkString(", ") + ")")
+    val asText = diff.limit(limit)
+      .select(cols.map(c => org.apache.spark.sql.functions.col(c).cast("string").as(c)): _*)
+    var written = 0L
+    val it = asText.toLocalIterator().asScala.map { r => written += 1; r }
+    insertStatements(profile, table, cols, it, maxPerStatement)
+      .foreach(engine.update)
+    written
+  }
+
   /** Patch `table` on `engine` so it matches the local source of truth.
     *
     * `diff` is the -/+ diff of (localSource, remote table) — from

@@ -231,6 +231,26 @@ class CliEndToEndSpec extends AnyFunSuite {
       s"re-diff not empty: ${out2.toString("UTF-8")}")
   }
 
+  test("--materialize remote:<table> writes the diff into the live remote database") {
+    val dir = java.nio.file.Files.createTempDirectory("climat").toString
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s").write.parquet(s"$dir/local")
+    val setup = graft.sources.DuckDbProcess.engine(s"$dir/remote.db")
+    try setup.query("CREATE TABLE t AS SELECT * FROM (VALUES " +
+      "(1::BIGINT, 'a'), (2::BIGINT, 'B')) AS x(k, s)")
+    finally setup.close()
+    Console.withOut(new java.io.PrintStream(new java.io.ByteArrayOutputStream)) {
+      Cli.run(Cli.parseArgs(Array(s"$dir/local", s"duckdb:$dir/remote.db:t",
+        "-k", "k", "--materialize", "remote:diff_report")), spark)
+    }
+    val check = graft.sources.DuckDbProcess.engine(s"$dir/remote.db")
+    try {
+      // k=2 updated (both signs) + k=3 removed → 3 materialized rows
+      val got = check.query("""SELECT sign, k FROM diff_report ORDER BY k, sign""")
+        .map(_.map(_.get))
+      assert(got == Seq(Seq("+", "2"), Seq("-", "2"), Seq("-", "3")), s"got $got")
+    } finally check.close()
+  }
+
   test("--repair refuses a local side B (no in-place parquet update)") {
     val dir = java.nio.file.Files.createTempDirectory("cliref").toString
     Seq((1L, "a")).toDF("k", "s").write.parquet(s"$dir/a")
