@@ -25,6 +25,19 @@ object EmbeddingQueries {
       Similarity.similarPairs(emb(s, d), "vec_id", "embedding", 0.45)
         .orderBy("id_a", "id_b")),
 
+    // Embedding-space decontamination across corpora: label-0 vectors play
+    // the benchmark, the rest the training side; every training vector
+    // reports its nearest benchmark neighbor and a leak flag. Broadcast-
+    // exact (eval sets are small by nature), so the oracle is plain
+    // brute force over the same folds.
+    "q_semantic_decontaminate" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.semanticDecontaminate(
+        e.where(col("label") =!= 0), e.where(col("label") === 0),
+        "vec_id", "embedding", threshold = 0.4)
+        .orderBy("doc_id")
+    }),
+
     "q_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(emb(s, d), "vec_id", "embedding", "label",
         col("vec_id") < 5, k = 8).orderBy("query_id", "rank")),
@@ -160,6 +173,25 @@ object EmbeddingQueries {
         |        x -> x[1] * x[2])), (ac, x) -> ac + x) AS sim
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, sim FROM s WHERE sim >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_semantic_decontaminate" ->
+      """WITH n AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+        |      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))), (a, c) -> a + c))) AS nv
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT t.vec_id AS doc_id, b.vec_id AS bench_id,
+        |    list_reduce(list_prepend(0.0, list_transform(list_zip(t.nv, b.nv),
+        |        x -> x[1] * x[2])), (ac, x) -> ac + x) AS sim
+        |  FROM n t JOIN n b ON t.label <> 0 AND b.label = 0),
+        |r AS (
+        |  SELECT doc_id, bench_id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sim DESC, bench_id ASC) AS rn
+        |  FROM s)
+        |SELECT doc_id, bench_id AS nearest_bench_id, sim AS max_sim,
+        |  sim >= 0.4 AS flag_contaminated
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "q_ann_lsh" ->
       """WITH dims AS (

@@ -515,6 +515,61 @@ object Similarity {
     * lshBands) — exact all-pairs at that scale is the wrong query, and the
     * `maxBroadcastBytes` guard fails loudly before the driver collect
     * rather than OOMing mid-job. */
+  /** Cross-corpus semantic decontamination: for every training vector, the
+    * nearest BENCHMARK vector by cosine and a flag when it clears the
+    * contamination threshold — the embedding-space sibling of the n-gram
+    * decontamination operators (`Dedup.contaminatedIds`), catching
+    * paraphrased leakage that exact n-grams miss.
+    *
+    * Broadcast-exact by design: benchmark/eval sets are small BY NATURE
+    * (thousands of items) while the training side is the 100 TB one, so
+    * the right plan is the asymmetric one — normalize and broadcast the
+    * bench side (size-guarded like [[similarPairs]]), stream the training
+    * side through one map-only pass, zero shuffles, no candidate
+    * generation to tune and no recall risk. Ties go to the smallest bench
+    * id (strict `>` over the id-sorted broadcast), which is what the SQL
+    * oracle's `ORDER BY sim DESC, id ASC` reproduces; dots accumulate in
+    * ascending index order from zero, so similarity values are bit-equal
+    * to the oracle's fold. */
+  def semanticDecontaminate(train: DataFrame, bench: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, dim: Int = 64,
+      maxBroadcastBytes: Long = 256L << 20): DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    val benchUnit = withUnitVector(
+      bench.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")), "v", "nv")
+      .select(col("id"), col("nv")).as[(Long, Array[Double])]
+    val n = benchUnit.count()
+    require(n > 0, "semanticDecontaminate: empty benchmark side")
+    val estBytes = n * (8L * dim + 32L)
+    require(estBytes <= maxBroadcastBytes,
+      s"semanticDecontaminate would broadcast ~$estBytes bytes of benchmark vectors " +
+        s"($n rows × dim=$dim), over the $maxBroadcastBytes budget. A benchmark side " +
+        "this large should be reduced first (IVF cells or LSH buckets), or raise " +
+        "maxBroadcastBytes if the executors really have the memory.")
+    val bc = spark.sparkContext.broadcast(benchUnit.collect().sortBy(_._1))
+    val trainUnit = withUnitVector(
+      train.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")), "v", "nv")
+      .select(col("id"), col("nv")).as[(Long, Array[Double])]
+    trainUnit.mapPartitions { it =>
+      val cands = bc.value
+      it.map { case (id, v) =>
+        var bestId = -1L
+        var best = Double.NegativeInfinity
+        var j = 0
+        while (j < cands.length) {
+          val (bid, bv) = cands(j)
+          var s = 0.0
+          var k = 0
+          while (k < dim) { s += v(k) * bv(k); k += 1 }
+          if (s > best) { best = s; bestId = bid }
+          j += 1
+        }
+        (id, bestId, best, best >= threshold)
+      }
+    }.toDF("doc_id", "nearest_bench_id", "max_sim", "flag_contaminated")
+  }
+
   def similarPairs(vecs: DataFrame, idCol: String, vecCol: String,
       threshold: Double, dim: Int = 64,
       maxBroadcastBytes: Long = 256L << 20): DataFrame = {

@@ -343,6 +343,28 @@ class SimilaritySpec extends AnyFunSuite {
   lazy val spark = SparkTest.spark
   import spark.implicits._
 
+  test("semanticDecontaminate flags training vectors near a benchmark vector") {
+    val bench = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f)), (101L, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val train = Seq(
+      (1L, Array(0.99f, 0.1f, 0.0f)),  // ~parallel to bench 100 → flagged
+      (2L, Array(0.0f, 0.0f, 1.0f)),   // orthogonal to both → clean
+      (3L, Array(0.1f, 0.95f, 0.1f)))  // near bench 101 → flagged
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticDecontaminate(train, bench, "vec_id", "embedding",
+        threshold = 0.9, dim = 3)
+      .select("doc_id", "nearest_bench_id", "flag_contaminated")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == ((100L, true)))
+    assert(got(2L)._2 == false)
+    assert(got(3L) == ((101L, true)))
+    // empty benchmark refuses loudly rather than flagging nothing
+    intercept[IllegalArgumentException](
+      Similarity.semanticDecontaminate(train, bench.where(col("vec_id") < 0),
+        "vec_id", "embedding", 0.9, dim = 3).collect())
+  }
+
   test("brute-force top-k ranks by cosine with deterministic tie-break") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
