@@ -108,24 +108,40 @@ class PushdownControl(val checksumWarnSeconds: Int = PushdownControl.DefaultChec
       * (cloud-DB bypass, joindiff_tables.py:159-163).
       * `Int.MaxValue` disables. */
     val denseCutoverAfterLevels: Int = 2,
-    val denseCutoverPruneRate: Double = 0.10) {
+    val denseCutoverPruneRate: Double = 0.10,
+    /** Small-frontier fast path bound, in units of `bisectionThreshold`
+      * rows (see denseCutover). */
+    val denseCutoverFrontierFactor: Int = 4) {
 
-  /** The cutover decision, shared by both differs. Two triggers:
+  /** The cutover CANDIDACY decision, shared by both differs. Two triggers:
     *  - the configured rule: `denseCutoverAfterLevels` levels done with a
-    *    cumulative prune rate below `denseCutoverPruneRate`;
-    *  - the zero-prune fast path: ANY completed level with nothing pruned
-    *    at all — bisection has produced zero evidence it can prune at this
-    *    granularity, so a further level would re-checksum every dirty row
-    *    on both sides for nothing (HashDiffer makes the same call when
-    *    every bucket is dirty after its first hash round). Uniformly-
-    *    spread diffs at density above 1/threshold hit this at level 0 and
-    *    save every deeper full-data checksum pass (measured: the gate
-    *    fixture's level-1 pass was ~45% of the loop's wall-clock while
-    *    pruning nothing).
-    * `denseCutoverAfterLevels = Int.MaxValue` disables both. */
-  def denseCutover(levelsDone: Int, probed: Int, pruned: Int): Boolean =
+    *    cumulative prune rate below `denseCutoverPruneRate` — multi-level
+    *    evidence that bisection is not pruning (HashDiffer makes the same
+    *    call when every bucket is dirty after a hash round);
+    *  - the small-frontier fast path: the un-pruned frontier holds at most
+    *    `denseCutoverFrontierFactor × bisectionThreshold` rows (by the
+    *    level's own counts, max of the two sides per segment), so bulk-
+    *    fetching it NOW costs no more than a few leaf fetches and every
+    *    further checksum level is pure overhead.
+    * A zero-prune level alone is NOT evidence of density and never
+    * triggers: with diffs merely scattered (≥1 per top-level segment —
+    * 32 rows suffice at the default factor), level 0 prunes nothing while
+    * the frontier still spans essentially the whole table, and cutting
+    * over would bulk-fetch O(N) rows for an O(diff) job — at warehouse
+    * scale, an outage rather than a diff. For the same reason a candidate
+    * cutover whose frontier is NOT small is only a candidate: the differ
+    * confirms density first by checksumming one level deeper on a strided
+    * sample of split parents (one extra batch round-trip). Truly dense
+    * tables keep their sampled children dirty and cut over; scattered
+    * diffs prune most sampled children clean, the cutover is vetoed, and
+    * the loop keeps bisecting — the cumulative prune rate then rises and
+    * candidacy stops firing. `denseCutoverAfterLevels = Int.MaxValue`
+    * disables everything. */
+  def denseCutover(levelsDone: Int, probed: Int, pruned: Int,
+      frontierRows: Long, bisectionThreshold: Int): Boolean =
     denseCutoverAfterLevels != Int.MaxValue &&
-      (pruned == 0 || levelsDone >= denseCutoverAfterLevels) &&
+      (levelsDone >= denseCutoverAfterLevels ||
+        frontierRows <= denseCutoverFrontierFactor.toLong * bisectionThreshold) &&
       pruned.toDouble / probed < denseCutoverPruneRate
 
   @volatile private[this] var ignoredSet: Set[String] = Set.empty
@@ -660,6 +676,9 @@ object PushdownDiffer {
 
       val next = ArrayBuffer.empty[Box]
       val splitParents = ArrayBuffer.empty[Box]
+      // upper bound on rows in the next frontier: each split parent's
+      // larger side count (its children hold exactly its rows)
+      var nextFrontierRows = 0L
       frontier.grouped(maxSegmentsPerQuery).foreach { chunk =>
         // one remote round-trip for the batch, launched FIRST so it overlaps
         // the local Spark job below (level cost = max of the sides, not sum)
@@ -699,25 +718,72 @@ object PushdownDiffer {
           else {
             val children = splitBox(box)
             if (children.size <= 1) leaves += box // key space too small to cut
-            else { next ++= children; splitParents += box }
+            else {
+              next ++= children; splitParents += box
+              nextFrontierRows += math.max(l._1, r._1)
+            }
           }
         }
       }
       frontier = next.toSeq
-      // dense-diff cutover (see PushdownControl.denseCutover): early levels
-      // pruned ~nothing → the table differs everywhere bisection can see,
-      // so stop paying for checksums that cannot prune and bulk-fetch the
-      // remainder as leaves instead. Granularity follows the fetch path:
+      // dense-diff cutover (see PushdownControl.denseCutover): sustained
+      // non-pruning levels (or a provably tiny frontier) → the table
+      // differs everywhere bisection can see, so stop paying for checksums
+      // that cannot prune and bulk-fetch the remainder as leaves instead.
+      // Granularity follows the fetch path:
       // the text protocol takes the PARENT boxes (same rows, factor× fewer
       // range predicates in the one bulk statement), while a JDBC-reachable
       // engine keeps the just-split children — there each predicate becomes
       // one partition of the parallel spark.read.jdbc scan, and in the
       // dense regime the fetch is most of the table, so partition count is
       // the parallelism.
-      if (frontier.nonEmpty && control.denseCutover(level + 1, probed, pruned)) {
-        cutoverAt = Some(level)
-        leaves ++= (if (remote.engine.jdbcSource.isDefined) frontier else splitParents)
-        frontier = Seq.empty
+      if (frontier.nonEmpty && control.denseCutover(level + 1, probed, pruned,
+          nextFrontierRows, bisectionThreshold)) {
+        // Candidate cutover. A small frontier is safe to fetch outright;
+        // otherwise confirm density by checksumming the children of a
+        // strided sample of split parents (one batch): dense tables keep
+        // every child dirty, scattered diffs prune most children clean and
+        // the veto keeps the loop bisecting (see PushdownControl
+        // .denseCutover).
+        val smallFrontier = nextFrontierRows <=
+          control.denseCutoverFrontierFactor.toLong * bisectionThreshold
+        val confirmed = smallFrontier || {
+          val maxParents = math.max(1, maxSegmentsPerQuery / bisectionFactor)
+          val stride = math.max(1, splitParents.size / maxParents)
+          val sample = splitParents.indices
+            .collect { case i if i % stride == 0 => splitParents(i) }
+            .take(maxParents)
+          val children = sample.flatMap(splitBox)
+          val sql = profile.segmentedChecksumSql(remote.table,
+            activeRelevant.map(normSqlByCol), children.map(remotePred),
+            remote.extraWhereSql)
+          val remoteF = scala.concurrent.Future {
+            remote.engine.query(sql).map { r =>
+              r(0).get.trim.toInt -> ((r(1).get.trim.toLong: Long),
+                r(2).map(s => BigDecimal(s.trim)))
+            }.toMap
+          }
+          val probeSeg = levelSeg.withExtraFilter(boundingBoxCond(children))
+          val localMap: Map[Int, Summary] = probeSeg.scoped
+            .join(broadcast(boundsDf(children)), rangeJoinCond)
+            .groupBy(col(segField).as("seg"))
+            .agg(count(lit(1)).as("cnt"), localChecksum(probeSeg).as("checksum"))
+            .collect().map { r =>
+              r.getInt(0) -> ((r.getLong(1): Long),
+                if (r.isNullAt(2)) None else Some(BigDecimal(r.getDecimal(2))))
+            }.toMap
+          val remoteMap: Map[Int, Summary] = await(remoteF)
+          remoteQueries += 1
+          val clean = children.indices.count(i =>
+            localMap.getOrElse(i, (0L, None: Option[BigDecimal])) ==
+              remoteMap.getOrElse(i, (0L, None: Option[BigDecimal])))
+          clean.toDouble / children.size < control.denseCutoverPruneRate
+        }
+        if (confirmed) {
+          cutoverAt = Some(level)
+          leaves ++= (if (remote.engine.jdbcSource.isDefined) frontier else splitParents)
+          frontier = Seq.empty
+        }
       }
       levelMillis += (System.nanoTime() - levelStart) / 1000000
       control.onLevel(PushdownLevel(level, levelSegments, pruned - prunedAtStart, levelMillis.last))

@@ -262,6 +262,8 @@ object RemoteRemoteDiffer {
       val activeRelevant = keyCols ++ activeCompare
       val next = ArrayBuffer.empty[Box]
       val splitParents = ArrayBuffer.empty[Box]
+      // upper bound on rows in the next frontier (see PushdownDiffer)
+      var nextFrontierRows = 0L
       frontier.grouped(maxSegmentsPerQuery).foreach { chunk =>
         val (fa, fb) = (levelQuery(a, normA, chunk, activeRelevant),
           levelQuery(b, normB, chunk, activeRelevant))
@@ -275,21 +277,51 @@ object RemoteRemoteDiffer {
           else {
             val children = splitBox(box)
             if (children.size <= 1) leaves += box
-            else { next ++= children; splitParents += box }
+            else {
+              next ++= children; splitParents += box
+              nextFrontierRows += math.max(sa._1, sb._1)
+            }
           }
         }
       }
       frontier = next.toSeq
       // dense-diff cutover, same regime call as PushdownDiffer (see
-      // PushdownControl.denseCutover): when early levels prune ~nothing,
-      // both remotes are paying checksum statements that cannot prune —
-      // stop bisecting and bulk-fetch the remainder from both sides. Both
-      // sides here are text-protocol, so the PARENT boxes become the
-      // leaves: same rows, factor× fewer predicates per bulk statement.
-      if (frontier.nonEmpty && control.denseCutover(level + 1, probed, pruned)) {
-        cutoverAt = Some(level)
-        leaves ++= splitParents
-        frontier = Seq.empty
+      // PushdownControl.denseCutover): when sustained levels prune ~nothing
+      // (or the frontier is provably tiny), both remotes are paying
+      // checksum statements that cannot prune — stop bisecting and
+      // bulk-fetch the remainder from both sides. Both sides here are
+      // text-protocol, so the PARENT boxes become the leaves: same rows,
+      // factor× fewer predicates per bulk statement.
+      if (frontier.nonEmpty && control.denseCutover(level + 1, probed, pruned,
+          nextFrontierRows, bisectionThreshold)) {
+        // Candidate cutover — confirm density first unless the frontier is
+        // already small enough to fetch outright: checksum the children of
+        // a strided sample of split parents on BOTH engines (one batch
+        // each, concurrent). Scattered diffs prune most sampled children
+        // clean and veto the cutover (see PushdownControl.denseCutover).
+        val smallFrontier = nextFrontierRows <=
+          control.denseCutoverFrontierFactor.toLong * bisectionThreshold
+        val confirmed = smallFrontier || {
+          val maxParents = math.max(1, maxSegmentsPerQuery / bisectionFactor)
+          val stride = math.max(1, splitParents.size / maxParents)
+          val sample = splitParents.indices
+            .collect { case i if i % stride == 0 => splitParents(i) }
+            .take(maxParents)
+          val children = sample.flatMap(splitBox)
+          val (fa, fb) = (levelQuery(a, normA, children, activeRelevant),
+            levelQuery(b, normB, children, activeRelevant))
+          val (ma, mb) = (await(fa), await(fb))
+          queries += 2
+          val clean = children.indices.count(i =>
+            ma.getOrElse(i, (0L, None: Option[BigDecimal])) ==
+              mb.getOrElse(i, (0L, None: Option[BigDecimal])))
+          clean.toDouble / children.size < control.denseCutoverPruneRate
+        }
+        if (confirmed) {
+          cutoverAt = Some(level)
+          leaves ++= splitParents
+          frontier = Seq.empty
+        }
       }
       levelMillis += (System.nanoTime() - levelStart) / 1000000
       control.onLevel(PushdownLevel(level, levelSegments, pruned - prunedAtStart, levelMillis.last))

@@ -197,7 +197,7 @@ class PushdownDifferSpec extends AnyFunSuite {
     // fire after denseCutoverAfterLevels (2) levels, issue FEWER remote
     // statements than pure bisection, and produce identical rows.
     import spark.implicits._
-    val n = 4096
+    val n = 32768
     val aRows = (1 to n).map(i => (i.toLong, s"v$i"))
     val a = aRows.toDF("k", "v")
     aRows.map { case (k, v) => if (k % 2 == 0) (k, v + "X") else (k, v) }
@@ -219,7 +219,7 @@ class PushdownDifferSpec extends AnyFunSuite {
 
   test("remote-remote dense diff cuts over the same way") {
     import spark.implicits._
-    val n = 2048
+    val n = 16384
     val aRows = (1 to n).map(i => (i.toLong, s"v$i"))
     aRows.toDF("k", "v").createOrReplaceTempView("rr_dense_a")
     aRows.map { case (k, v) => if (k % 2 == 0) (k, v + "X") else (k, v) }
@@ -236,6 +236,57 @@ class PushdownDifferSpec extends AnyFunSuite {
     assert(statsCut.remoteQueries < statsBis.remoteQueries, s"$statsCut vs $statsBis")
     val want = outBis.collect().map(_.mkString("|")).toSet
     assert(want.size == n && outCut.collect().map(_.mkString("|")).toSet == want)
+  }
+
+  test("scattered diffs bisect to leaves — dense cutover must NOT bulk-fetch the table") {
+    // 32 single-row diffs spread one per 2048-key stripe: every segment at
+    // the first two levels is dirty (prune rate 0 — exactly the profile the
+    // dense-cutover candidacy sees), yet the table is 99.95% identical.
+    // Cutting over here would bulk-fetch ~65k rows for a 32-diff job — the
+    // O(N)-transfer-for-O(diff)-work failure mode that becomes a driver
+    // outage at warehouse scale. The density probe must veto: sampled
+    // children prune mostly clean, the loop keeps bisecting, and the leaf
+    // fetch stays O(diff × threshold).
+    import spark.implicits._
+    val n = 65536
+    val aRows = (1 to n).map(i => (i.toLong, s"v$i"))
+    val a = aRows.toDF("k", "v")
+    aRows.map { case (k, v) => if (k % 2048 == 1) (k, v + "X") else (k, v) }
+      .toDF("k", "v").createOrReplaceTempView("pd_scatter_b")
+    val remote = RemoteTable(new SparkViewEngine(spark), "pd_scatter_b",
+      Seq("k"), Seq("v"), a.schema)
+    val (out, stats) = PushdownDiffer.diffWithStats(
+      TableSegment(a, Seq("k"), Seq("v")), remote,
+      bisectionFactor = 4, bisectionThreshold = 100,
+      control = new PushdownControl())
+    assert(stats.denseCutoverAtLevel.isEmpty,
+      s"scattered diffs must never trigger the dense cutover: $stats")
+    assert(stats.rowsFetched <= 4096,
+      s"leaf fetch must be O(diff), not the whole table: $stats")
+    assert(stats.segmentsPruned > stats.leafSegments, s"expected pruning: $stats")
+    val rows = out.collect().map(_.mkString("|")).toSet
+    assert(rows.size == 64, s"32 mutated keys → 64 signed rows, got ${rows.size}")
+    assert(rows.exists(_.startsWith("-|1|v1")) && rows.exists(_.startsWith("+|1|v1X")))
+  }
+
+  test("remote-remote scattered diffs bisect to leaves the same way") {
+    import spark.implicits._
+    val n = 16384
+    val aRows = (1 to n).map(i => (i.toLong, s"v$i"))
+    aRows.toDF("k", "v").createOrReplaceTempView("rr_scatter_a")
+    aRows.map { case (k, v) => if (k % 512 == 1) (k, v + "X") else (k, v) }
+      .toDF("k", "v").createOrReplaceTempView("rr_scatter_b")
+    val eng = new SparkViewEngine(spark)
+    def side(t: String) = RemoteTable.introspect(eng, t, Seq("k"), Seq("v"))
+    val (out, stats) = RemoteRemoteDiffer.diff(spark,
+      side("rr_scatter_a"), side("rr_scatter_b"),
+      bisectionFactor = 4, bisectionThreshold = 100,
+      control = new PushdownControl())
+    assert(stats.denseCutoverAtLevel.isEmpty,
+      s"scattered diffs must never trigger the dense cutover: $stats")
+    assert(stats.rowsFetched <= 8192,
+      s"leaf fetch must be O(diff), not the whole table: $stats")
+    assert(out.collect().map(_.mkString("|")).toSet.size == 64)
   }
 
   test("identical sides prune every segment with zero rows fetched") {
