@@ -17,7 +17,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamingDiff {
 
   case class KeyedRow(key: Long, payload: String, ts: Timestamp)
-  case class DiffEvent(sign: String, key: Long, payload: String)
+  /** `seq` orders a key's transitions WITHIN one micro-batch (0, 1, …, in
+    * event-time order). Downstream sinks need genuine order to reconstruct
+    * a key's final image: sign algebra cannot — an A→B→A flap emits
+    * −A,+B,−B,+A and every payload's signed count nets to zero, which
+    * would read as "key deleted" when the correct final state is A. */
+  case class DiffEvent(sign: String, key: Long, payload: String, seq: Long)
 
   /** Stateful continuous diff: flatMapGroupsWithState keyed by PK. */
   def continuousDiff(rows: Dataset[KeyedRow]): Dataset[DiffEvent] = {
@@ -32,8 +37,8 @@ object StreamingDiff {
           var last = state.getOption
           for (r <- sorted) {
             if (!last.contains(r.payload)) {
-              last.foreach(old => out += DiffEvent("-", key, old))
-              out += DiffEvent("+", key, r.payload)
+              last.foreach(old => out += DiffEvent("-", key, old, out.size.toLong))
+              out += DiffEvent("+", key, r.payload, out.size.toLong)
               last = Some(r.payload)
             }
           }
@@ -44,20 +49,23 @@ object StreamingDiff {
 
   /** Apply one micro-batch of [[DiffEvent]]s to a remote table as repair
     * statements — the streaming half of [[graft.sources.RemoteRepair]]:
-    * DELETE every key the batch touches, then INSERT each key's NET final
-    * payload (count(+) − count(−) > 0 — a key transitioning several times
-    * inside one batch nets out to exactly its last image, with no
-    * dependence on row order). The apply is IDEMPOTENT per batch, so a
-    * replayed micro-batch (Structured Streaming's at-least-once foreachBatch
-    * contract) converges to the same remote state — effectively-once. */
+    * DELETE every key the batch touches, then INSERT each key's FINAL
+    * image — the payload of its highest-`seq` '+' event. Order, not sign
+    * algebra: a key flapping A→B→A inside one batch emits −A,+B,−B,+A,
+    * where both payloads' signed counts net to zero — only the event order
+    * identifies A as the surviving state. A key whose batch has no '+'
+    * events at all is simply deleted (a tombstone stream works). The apply
+    * is IDEMPOTENT per batch, so a replayed micro-batch (Structured
+    * Streaming's at-least-once foreachBatch contract) converges to the
+    * same remote state — effectively-once. */
   def applyDiffEventsBatch(engine: graft.sources.RemoteEngine, table: String,
       batch: DataFrame, maxPerStatement: Int = 256): (Long, Long) = {
     import graft.sources.RemoteRepair
     val keys = batch.select(col("key")).distinct()
-    val finalRows = batch.groupBy(col("key"), col("payload"))
-      .agg(sum(when(col("sign") === "+", 1L).otherwise(-1L)).as("net"))
-      .where(col("net") > 0)
-      .select(col("key"), col("payload"))
+    val finalRows = batch.where(col("sign") === "+")
+      .groupBy(col("key"))
+      .agg(max(struct(col("seq"), col("payload"))).as("m"))
+      .select(col("key"), col("m.payload").as("payload"))
     var deleted = 0L
     var inserted = 0L
     val keyIt = keys.toLocalIterator()

@@ -878,8 +878,8 @@ class StreamingDiffSpec extends AnyFunSuite {
     val got = spark.table("cdiff").as[StreamingDiff.DiffEvent].collect().toSet
     q.stop()
     assert(got == Set(
-      StreamingDiff.DiffEvent("+", 1, "a"), StreamingDiff.DiffEvent("+", 2, "b"),
-      StreamingDiff.DiffEvent("-", 2, "b"), StreamingDiff.DiffEvent("+", 2, "c")))
+      StreamingDiff.DiffEvent("+", 1, "a", 0), StreamingDiff.DiffEvent("+", 2, "b", 0),
+      StreamingDiff.DiffEvent("-", 2, "b", 0), StreamingDiff.DiffEvent("+", 2, "c", 1)))
   }
 
   test("streaming repair sink keeps a live remote converged to the feed's final state") {
@@ -895,9 +895,13 @@ class StreamingDiffSpec extends AnyFunSuite {
         StreamingDiff.KeyedRow(k, p, new java.sql.Timestamp(t))
       input.addData(row(1, "a", 1), row(2, "b", 2), row(3, "x", 3))
       q.processAllAvailable()
-      // k=2 transitions TWICE inside one batch (b→c→d): the net-payload
-      // rule must land on 'd' regardless of row order; k=1 replays (no-op)
-      input.addData(row(2, "c", 4), row(2, "d", 5), row(1, "a", 6))
+      // k=2 transitions TWICE inside one batch (b→c→d): the final-image
+      // rule must land on 'd'; k=3 FLAPS x→y→x inside one batch — every
+      // payload's signed count nets to zero, so only event ORDER identifies
+      // x as the survivor (the sign-algebra bug deleted the row outright);
+      // k=1 replays (no-op)
+      input.addData(row(2, "c", 4), row(2, "d", 5), row(1, "a", 6),
+        row(3, "y", 7), row(3, "x", 8))
       q.processAllAvailable()
       q.stop()
       val got = eng.query("""SELECT "key", "payload" FROM srep ORDER BY "key"""")
