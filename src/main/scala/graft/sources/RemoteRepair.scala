@@ -19,7 +19,9 @@ import org.apache.spark.sql.functions._
   * DAMAGE, not the table: a 100 TB table with 10k drifted rows costs ~80
   * statements. In the dense regime (most of the table wrong) a truncate +
   * bulk reload beats row repair and this deliberately does NOT try to be
-  * that path — the statement count makes the mismatch visible.
+  * that path — `repair` REFUSES up front (one COUNT on each side) when
+  * the damage exceeds both `maxDamageFraction` of the remote and the
+  * `maxDamageKeys` floor, instead of grinding through 100k statements.
   *
   * Statement order is deletes-first: an updated key carries both signs, so
   * its stale remote row must vanish before its replacement lands (a
@@ -91,20 +93,41 @@ object RemoteRepair {
     * reference's `--materialize` semantics (it writes a table in the
     * database being diffed, `joindiff_tables.py:38,396-399`; the
     * path-based `Graft.materializeDiff` is the parquet analogue). Columns
-    * are all VARCHAR: diff rows arriving from the pushdown loops are
-    * normalized TEXT by construction, and the artifact is a report to
-    * query, not a typed copy. Capped like the reference's
-    * TABLE_WRITE_LIMIT, and streamed in batched multi-row INSERTs. */
+    * are TYPED from the diff's Spark schema through the dialect's type map
+    * (the reference writes typed temp tables, `joindiff_tables.py:57-67`);
+    * diffs arriving from the pushdown loops are normalized TEXT by
+    * construction and land in the dialect's widest text type — unbounded
+    * where the engine has one, so long values survive. Capped like the
+    * reference's TABLE_WRITE_LIMIT, and streamed in batched multi-row
+    * INSERTs. */
   def materializeDiffRemote(engine: RemoteEngine, table: String, diff: DataFrame,
       limit: Int = 1000, maxPerStatement: Int = 256): Long = {
     val profile = engine.profile
     val cols = diff.columns.toIndexedSeq
+    // Drop-before-create, so a re-run with the same target replaces the
+    // previous report instead of failing on CREATE (reference:
+    // data_diff/joindiff_tables.py:156 drops the materialize target first).
+    // Not every dialect has DROP TABLE IF EXISTS (Oracle, Derby), so the
+    // drop is attempted and a does-not-exist error ignored; any OTHER
+    // problem (permissions, locks) still surfaces loudly at CREATE.
+    scala.util.Try(engine.update(s"DROP TABLE $table"))
     engine.update(s"CREATE TABLE $table (" +
-      cols.map(c => s"${profile.quote(c)} VARCHAR(4000)").mkString(", ") + ")")
-    val asText = diff.limit(limit)
-      .select(cols.map(c => org.apache.spark.sql.functions.col(c).cast("string").as(c)): _*)
+      diff.schema.fields.map(f =>
+        s"${profile.quote(f.name)} ${profile.sqlTypeSql(f.dataType)}").mkString(", ") + ")")
+    // scalar columns keep their typed values (valueLiteral renders them in
+    // the dialect's literal forms); only types with no scalar rendering —
+    // arrays/structs/binary, which land in the text column type anyway —
+    // are stringified
+    val sel = diff.schema.fields.map { f =>
+      import org.apache.spark.sql.types.StringType
+      val c = org.apache.spark.sql.functions.col(f.name)
+      if (profile.sqlTypeSql(f.dataType) == profile.unboundedTextTypeSql
+          && f.dataType != StringType) c.cast("string").as(f.name)
+      else c
+    }
     var written = 0L
-    val it = asText.toLocalIterator().asScala.map { r => written += 1; r }
+    val it = diff.limit(limit).select(sel.toIndexedSeq: _*)
+      .toLocalIterator().asScala.map { r => written += 1; r }
     insertStatements(profile, table, cols, it, maxPerStatement)
       .foreach(engine.update)
     written
@@ -121,8 +144,33 @@ object RemoteRepair {
     * through a text bridge. */
   def repair(engine: RemoteEngine, table: String, keyCols: Seq[String],
       localSource: DataFrame, diff: DataFrame,
-      maxPerStatement: Int = 256): RepairStats = {
+      maxPerStatement: Int = 256,
+      /** Dense-damage guard: refuse when MORE than this fraction of the
+        * remote's rows carry diff keys AND the key count exceeds
+        * `maxDamageKeys` (small tables repair row-by-row fine at any
+        * fraction). 1.0 disables the fraction check. */
+      maxDamageFraction: Double = 0.5,
+      maxDamageKeys: Long = 10000): RepairStats = {
     val profile = engine.profile
+    // Partial-column guard: DELETE+INSERT rebuilds each repaired row from
+    // `localSource` ALONE, so a remote column absent there would come back
+    // NULL (or violate NOT NULL) — with a --columns/--ignore'd diff this
+    // silently destroys un-diffed data on exactly the rows being
+    // "repaired". Introspect the remote catalog (same query the schema
+    // introspection path uses) and refuse when the local source does not
+    // cover the remote schema.
+    val remoteCols = engine.query(profile.tableSchemaSql(table))
+      .flatMap(profile.parseSchemaRow).map(_.name).distinct
+    require(remoteCols.nonEmpty,
+      s"${profile.name}: table '$table' does not exist, or has no columns")
+    val localSet = localSource.columns.map(_.toLowerCase).toSet
+    val uncovered = remoteCols.filterNot(c => localSet(c.toLowerCase))
+    require(uncovered.isEmpty,
+      s"repair refused: remote table '$table' has column(s) " +
+        s"${uncovered.mkString(", ")} not present in the local source — " +
+        "DELETE+INSERT would rewrite every repaired row with NULLs there, " +
+        "destroying un-diffed data. Repair with a local source covering the " +
+        "full remote schema, or patch those columns out of the remote table.")
     // diffs from the pushdown loops carry NORMALIZED TEXT columns (they
     // came back through a text bridge); cast keys to the local source's
     // types so the semi join is exact (no implicit string/long coercion)
@@ -131,6 +179,23 @@ object RemoteRepair {
     val allKeys = diff.select(keyExprs: _*).distinct()
     val minusKeys = diff.where(col("sign") === "-").select(keyExprs: _*).distinct()
     val insertRows = localSource.join(minusKeys, keyCols, "left_semi")
+
+    // Dense-damage guard: when most of the table differs, row-by-row
+    // DELETE+INSERT is the wrong tool (O(table) statements through a
+    // control channel) — a truncate + bulk reload is. One local count and
+    // one remote COUNT(*) decide before the first statement is issued.
+    val damagedKeys = allKeys.count()
+    if (damagedKeys > maxDamageKeys && maxDamageFraction < 1.0) {
+      val remoteRows = engine.query(s"SELECT COUNT(*) FROM $table")
+        .head.head.map(_.trim.toLong).getOrElse(0L)
+      if (remoteRows > 0 && damagedKeys.toDouble / remoteRows > maxDamageFraction)
+        throw new IllegalArgumentException(
+          f"dense repair refused: $damagedKeys of $remoteRows remote rows " +
+            f"(${100.0 * damagedKeys / remoteRows}%.0f%%) carry diff keys — " +
+            f"row repair would issue ~${2 * (damagedKeys / maxPerStatement + 1)} " +
+            "statements through the control channel. Truncate and bulk-reload " +
+            "the remote instead, or pass maxDamageFraction=1.0 to force row repair.")
+    }
 
     // counts ride the streamed iterators — a separate .count() would
     // re-execute both plans (and could disagree with what was shipped)

@@ -136,6 +136,78 @@ class RepairSpec extends AnyFunSuite {
     }
   }
 
+  test("repair refuses a local source that does not cover the remote schema") {
+    // The partial-column hazard: DELETE+INSERT rebuilds repaired rows from
+    // the local source alone, so a remote column missing there (a
+    // --columns/--ignore'd diff) would be silently NULLed on every
+    // repaired row. The guard must refuse BEFORE issuing any statement.
+    import spark.implicits._
+    val eng = DuckDbProcess.engine()
+    try {
+      eng.update("""CREATE TABLE guard ("k" BIGINT, "v" VARCHAR, "audit_note" VARCHAR)""")
+      eng.update("""INSERT INTO guard VALUES (1, 'x', 'precious')""")
+      val partial = Seq((1L, "y")).toDF("k", "v") // no audit_note
+      val diff = Seq(("-", 1L, "y"), ("+", 1L, "x")).toDF("sign", "k", "v")
+      val e = intercept[IllegalArgumentException] {
+        RemoteRepair.repair(eng, "guard", Seq("k"), partial, diff)
+      }
+      assert(e.getMessage.contains("repair refused") &&
+        e.getMessage.contains("audit_note"), e.getMessage)
+      // nothing was deleted: the un-diffed column survives untouched
+      assert(eng.query("""SELECT "audit_note" FROM guard""").head.head.contains("precious"))
+    } finally eng.close()
+  }
+
+  test("repair refuses dense damage above the fraction guard, runs when forced") {
+    import spark.implicits._
+    val eng = DuckDbProcess.engine()
+    try {
+      eng.update("""CREATE TABLE dense ("k" BIGINT, "v" VARCHAR)""")
+      val aRows = (1L to 100L).map(i => (i, s"v$i"))
+      // remote: EVERY row drifted
+      eng.update("INSERT INTO dense VALUES " +
+        aRows.map { case (k, v) => s"($k, '${v}X')" }.mkString(", "))
+      val a = aRows.toDF("k", "v")
+      def liveDiff() = graft.api.Graft.diffPushdownIntrospected(
+        graft.diff.TableSegment(a, Seq("k")), eng, "dense",
+        bisectionFactor = 4, bisectionThreshold = 64)
+      val e = intercept[IllegalArgumentException] {
+        RemoteRepair.repair(eng, "dense", Seq("k"), a, liveDiff(),
+          maxDamageFraction = 0.5, maxDamageKeys = 10)
+      }
+      assert(e.getMessage.contains("dense repair refused") &&
+        e.getMessage.contains("bulk-reload"), e.getMessage)
+      // forcing the fraction off repairs row-by-row as before
+      RemoteRepair.repair(eng, "dense", Seq("k"), a, liveDiff(),
+        maxDamageFraction = 1.0, maxDamageKeys = 10)
+      assert(liveDiff().collect().isEmpty)
+    } finally eng.close()
+  }
+
+  test("remote materialize writes typed columns and survives >4000-char values") {
+    import spark.implicits._
+    val eng = DuckDbProcess.engine()
+    try {
+      val long = "x" * 6000 // would not fit the old VARCHAR(4000) columns
+      val diff = Seq(
+        ("-", 1L, 2.5, java.sql.Timestamp.valueOf("2026-03-01 12:00:00.123456"), long),
+        ("+", 1L, 3.5, java.sql.Timestamp.valueOf("2026-03-01 12:00:00.123456"), "short"))
+        .toDF("sign", "k", "d", "t", "s")
+      val n = RemoteRepair.materializeDiffRemote(eng, "mat_typed", diff)
+      assert(n == 2)
+      val types = eng.query(
+        """SELECT column_name, data_type FROM information_schema.columns
+          |WHERE table_name = 'mat_typed' ORDER BY ordinal_position""".stripMargin)
+        .map(r => (r(0).get, r(1).get))
+      assert(types == Seq(("sign", "VARCHAR"), ("k", "BIGINT"), ("d", "DOUBLE"),
+        ("t", "TIMESTAMP"), ("s", "VARCHAR")), s"got $types")
+      val got = eng.query(
+        """SELECT "sign", "k", "d", length("s") FROM mat_typed ORDER BY "sign"""")
+        .map(_.map(_.get))
+      assert(got == Seq(Seq("+", "1", "3.5", "5"), Seq("-", "1", "2.5", "6000")), s"got $got")
+    } finally eng.close()
+  }
+
   test("repair reconciles a live DuckDB remote through the text bridge") {
     import spark.implicits._
     val eng = DuckDbProcess.engine()
