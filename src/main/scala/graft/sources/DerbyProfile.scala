@@ -224,6 +224,10 @@ object DerbyProfile extends SourceProfile {
   override def hexKeyProjectionSql(expr: String): Option[String] =
     Some(s"GRAFT_HEX16($expr)")
 
+  /** Derby's unbounded character type (32700-char limit, vs VARCHAR's
+    * 32672 cap with a mandatory length). */
+  override def unboundedTextTypeSql: String = "LONG VARCHAR"
+
   /** Installed automatically by JdbcEngine on connect (X0Y68 swallowed),
     * so the CLI's `remote:jdbc:derby:<db>` route needs no out-of-band
     * setup. */

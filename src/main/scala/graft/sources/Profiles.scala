@@ -1,5 +1,7 @@
 package graft.sources
 
+import org.apache.spark.sql.types._
+
 import graft.diff.Checksum
 
 /** The remaining engine profiles from the reference's connector set
@@ -56,6 +58,8 @@ object SnowflakeProfile extends SourceProfile {
   /** HEX_ENCODE hexes the UTF-8 bytes, uppercase by default. */
   override def hexKeyProjectionSql(expr: String): Option[String] =
     Some(s"rpad(substr(upper(hex_encode($expr)), 1, 32), 32, '0')")
+  /** Snowflake VARCHAR defaults to its 16 MB maximum. */
+  override def unboundedTextTypeSql: String = "VARCHAR"
 }
 
 /** BigQuery (reference: data_diff/databases/bigquery.py:95-201). */
@@ -135,6 +139,17 @@ object ClickHouseProfile extends SourceProfile {
   def normalizeBooleanSql(expr: String): String = toStringSql(s"cast($expr as int)")
   override def nonAlnumPredicateSql(expr: String): Option[String] =
     Some(s"match($expr, '[^A-Za-z0-9]')")
+  /** ClickHouse's type system is its own alphabet. */
+  override def unboundedTextTypeSql: String = "String"
+  override def sqlTypeSql(dt: DataType): String = dt match {
+    case ByteType | ShortType | IntegerType | LongType => "Int64"
+    case FloatType | DoubleType => "Float64"
+    case d: DecimalType => s"Decimal(${d.precision.min(38)}, ${d.scale.min(37)})"
+    case BooleanType => "Bool"
+    case DateType => "Date32"
+    case TimestampType | TimestampNTZType => "DateTime64(6)"
+    case _ => unboundedTextTypeSql
+  }
 }
 
 /** MSSQL (reference: data_diff/databases/mssql.py:99-161). The only
@@ -179,9 +194,21 @@ object MsSqlProfile extends SourceProfile {
   def normalizeNumberSql(expr: String, precision: Int): String =
     s"CONVERT(VARCHAR(50), CAST($expr AS DECIMAL(38, $precision)))"
   def normalizeBooleanSql(expr: String): String = s"CONVERT(VARCHAR(MAX), CAST($expr AS INT))"
-  // T-SQL has no regex, but LIKE supports character classes.
+  // T-SQL has no regex, but LIKE supports character classes. The [A-Za-z0-9]
+  // ranges follow the COLUMN's collation by default — under a CI locale
+  // collation 'é' sorts inside a–z, so the probe would miss exactly the
+  // characters the case fold must refuse. Pin both sides to a binary
+  // collation so the ranges are code-point ranges.
   override def nonAlnumPredicateSql(expr: String): Option[String] =
-    Some(s"$expr LIKE '%[^A-Za-z0-9]%'")
+    Some(s"$expr COLLATE Latin1_General_BIN LIKE '%[^A-Za-z0-9]%' COLLATE Latin1_General_BIN")
+  override def unboundedTextTypeSql: String = "NVARCHAR(MAX)"
+  /** T-SQL has FLOAT and BIT, not DOUBLE PRECISION and BOOLEAN. */
+  override def sqlTypeSql(dt: DataType): String = dt match {
+    case FloatType | DoubleType => "FLOAT"
+    case BooleanType => "BIT"
+    case TimestampType | TimestampNTZType => "DATETIME2(6)"
+    case other => super.sqlTypeSql(other)
+  }
 }
 
 /** Oracle (reference: data_diff/databases/oracle.py:65-156). */
@@ -227,6 +254,15 @@ object OracleProfile extends SourceProfile {
   def normalizeBooleanSql(expr: String): String = toStringSql(s"CAST($expr AS NUMBER(1))")
   override def nonAlnumPredicateSql(expr: String): Option[String] =
     Some(s"REGEXP_LIKE($expr, '[^A-Za-z0-9]')")
+  override def unboundedTextTypeSql: String = "CLOB"
+  /** Oracle numbers are NUMBER(p,s); booleans (pre-23c) are NUMBER(1). */
+  override def sqlTypeSql(dt: DataType): String = dt match {
+    case ByteType | ShortType | IntegerType | LongType => "NUMBER(19)"
+    case FloatType | DoubleType => "BINARY_DOUBLE"
+    case d: DecimalType => s"NUMBER(${d.precision.min(38)}, ${d.scale.min(37)})"
+    case BooleanType => "NUMBER(1)"
+    case other => super.sqlTypeSql(other)
+  }
 }
 
 /** Redshift: Postgres dialect with strtol for the checksum and a native
@@ -243,6 +279,8 @@ object RedshiftProfile extends SourceProfile {
   def normalizeBooleanSql(expr: String): String = s"(($expr)::int)::varchar"
   override def nonAlnumPredicateSql(expr: String): Option[String] =
     Some(s"$expr ~ '[^A-Za-z0-9]'")
+  /** Redshift VARCHAR tops out at 65535 bytes; there is no TEXT. */
+  override def unboundedTextTypeSql: String = "VARCHAR(65535)"
 }
 
 /** Vertica (reference: data_diff/databases/vertica.py:69-131). */
@@ -260,6 +298,7 @@ object VerticaProfile extends SourceProfile {
   def normalizeBooleanSql(expr: String): String = toStringSql(s"cast ($expr as int)")
   override def nonAlnumPredicateSql(expr: String): Option[String] =
     Some(s"REGEXP_LIKE($expr, '[^A-Za-z0-9]')")
+  override def unboundedTextTypeSql: String = "LONG VARCHAR"
 }
 
 /** Databricks SQL (reference: data_diff/databases/databricks.py:73-116). */
@@ -287,6 +326,11 @@ object DatabricksProfile extends SourceProfile {
   /** encode(..., 'UTF-8') pins the byte source; hex() renders uppercase. */
   override def hexKeyProjectionSql(expr: String): Option[String] =
     Some(s"rpad(substring(upper(hex(encode($expr, 'UTF-8'))), 1, 32), 32, '0')")
+  override def unboundedTextTypeSql: String = "STRING"
+  override def sqlTypeSql(dt: DataType): String = dt match {
+    case FloatType | DoubleType => "DOUBLE"
+    case other => super.sqlTypeSql(other)
+  }
 }
 
 /** Spark SQL rendered as text — this engine's own dialect, used when the
@@ -326,4 +370,9 @@ object SparkProfile extends SourceProfile {
   /** encode(..., 'UTF-8') pins the byte source; hex() renders uppercase. */
   override def hexKeyProjectionSql(expr: String): Option[String] =
     Some(s"rpad(substring(upper(hex(encode($expr, 'UTF-8'))), 1, 32), 32, '0')")
+  override def unboundedTextTypeSql: String = "STRING"
+  override def sqlTypeSql(dt: DataType): String = dt match {
+    case FloatType | DoubleType => "DOUBLE"
+    case other => super.sqlTypeSql(other)
+  }
 }

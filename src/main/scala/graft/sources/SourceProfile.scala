@@ -305,6 +305,27 @@ trait SourceProfile {
     * "object already exists" (Derby SQLState X0Y68). Empty for engines
     * whose profile renders in pure built-ins. */
   def connectBootstrapSql: Seq[String] = Nil
+
+  /** The dialect's widest portable character type, for materialized text
+    * columns whose length is unknowable up front. The ANSI fallback is
+    * VARCHAR(4000); engines with genuinely unbounded text types override
+    * so long values survive (reference writes typed temp tables,
+    * data_diff/joindiff_tables.py:57-67). */
+  def unboundedTextTypeSql: String = "VARCHAR(4000)"
+
+  /** DDL column type for materializing a Spark-typed column on this
+    * engine. Scalar types map to their ANSI forms; everything else
+    * (arrays, structs, maps — and strings) lands in the unbounded text
+    * type, with the caller rendering those values as strings. */
+  def sqlTypeSql(dt: DataType): String = dt match {
+    case ByteType | ShortType | IntegerType | LongType => "BIGINT"
+    case FloatType | DoubleType => "DOUBLE PRECISION"
+    case d: DecimalType => s"DECIMAL(${d.precision.min(38)}, ${d.scale.min(37)})"
+    case BooleanType => "BOOLEAN"
+    case DateType => "DATE"
+    case TimestampType | TimestampNTZType => "TIMESTAMP"
+    case _ => unboundedTextTypeSql
+  }
 }
 
 /** DuckDB: hex-literal cast (reference behavior: data_diff/databases/
@@ -324,6 +345,8 @@ object DuckDbProfile extends SourceProfile {
   /** encode() = UTF-8 bytes; DuckDB hex(BLOB) renders uppercase. */
   override def hexKeyProjectionSql(expr: String): Option[String] =
     Some(s"rpad(substring(upper(hex(encode($expr))), 1, 32), 32, '0')")
+  /** DuckDB VARCHAR is unbounded. */
+  override def unboundedTextTypeSql: String = "VARCHAR"
 }
 
 /** PostgreSQL: bit-cast of the hex suffix (reference behavior:
@@ -344,6 +367,7 @@ object PostgresProfile extends SourceProfile {
     * database's server_encoding. */
   override def hexKeyProjectionSql(expr: String): Option[String] =
     Some(s"rpad(upper(substring(encode(convert_to($expr, 'UTF8'), 'hex') from 1 for 32)), 32, '0')")
+  override def unboundedTextTypeSql: String = "TEXT"
 }
 
 /** MySQL: conv() hex→int, DATE_FORMAT microseconds (reference behavior:
@@ -368,6 +392,7 @@ object MySqlProfile extends SourceProfile {
     * declared charset; HEX of a string value hexes its bytes. */
   override def hexKeyProjectionSql(expr: String): Option[String] =
     Some(s"rpad(substring(upper(hex(convert($expr using utf8mb4))), 1, 32), 32, '0')")
+  override def unboundedTextTypeSql: String = "LONGTEXT"
 }
 
 /** Trino/Presto: md5 over varbinary, from_base for the hex suffix
@@ -388,6 +413,12 @@ object TrinoProfile extends SourceProfile {
   /** to_utf8 = UTF-8 varbinary; to_hex renders uppercase. */
   override def hexKeyProjectionSql(expr: String): Option[String] =
     Some(s"rpad(substr(upper(to_hex(to_utf8($expr))), 1, 32), 32, '0')")
+  override def unboundedTextTypeSql: String = "VARCHAR"
+  /** Trino spells double as DOUBLE, not the ANSI DOUBLE PRECISION. */
+  override def sqlTypeSql(dt: DataType): String = dt match {
+    case FloatType | DoubleType => "DOUBLE"
+    case other => super.sqlTypeSql(other)
+  }
 }
 
 object SourceProfile {

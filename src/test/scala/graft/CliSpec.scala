@@ -241,10 +241,15 @@ class CliEndToEndSpec extends AnyFunSuite {
     Console.withOut(new java.io.PrintStream(new java.io.ByteArrayOutputStream)) {
       Cli.run(Cli.parseArgs(Array(s"$dir/local", s"duckdb:$dir/remote.db:t",
         "-k", "k", "--materialize", "remote:diff_report")), spark)
+      // re-run with the same target: drop-before-create must REPLACE the
+      // report, not fail on CREATE (reference drops the target first)
+      Cli.run(Cli.parseArgs(Array(s"$dir/local", s"duckdb:$dir/remote.db:t",
+        "-k", "k", "--materialize", "remote:diff_report")), spark)
     }
     val check = graft.sources.DuckDbProcess.engine(s"$dir/remote.db")
     try {
       // k=2 updated (both signs) + k=3 removed → 3 materialized rows
+      // (not 6: the second run replaced the first's report)
       val got = check.query("""SELECT sign, k FROM diff_report ORDER BY k, sign""")
         .map(_.map(_.get))
       assert(got == Seq(Seq("+", "2"), Seq("-", "2"), Seq("-", "3")), s"got $got")

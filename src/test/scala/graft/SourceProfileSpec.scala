@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.{DerbyProfile, DuckDbProfile, MySqlProfile, PostgresProfile, SourceProfile, SparkProfile, TrinoProfile}
+import graft.sources.{DerbyProfile, DuckDbProfile, MsSqlProfile, MySqlProfile, PostgresProfile, SourceProfile, SparkProfile, TrinoProfile}
 
 class SourceProfileSpec extends AnyFunSuite {
 
@@ -70,6 +70,41 @@ class SourceProfileSpec extends AnyFunSuite {
     assert(DerbyProfile.bootstrapSql.size == 7)
     assert(DerbyProfile.nonAlnumPredicateSql("\"k\"").contains("GRAFT_NONALNUM(\"k\") = 1"))
     assert(DerbyProfile.hexKeyProjectionSql("\"k\"").contains("GRAFT_HEX16(\"k\")"))
+  }
+
+  test("mssql: non-alnum probe pins a binary collation on both LIKE sides") {
+    // Without COLLATE, [A-Za-z0-9] ranges follow the column's collation:
+    // under a CI locale collation 'é' sorts inside a–z and the probe would
+    // pass — licensing the case fold on exactly the keys it must refuse.
+    assert(MsSqlProfile.nonAlnumPredicateSql("\"k\"").contains(
+      "\"k\" COLLATE Latin1_General_BIN LIKE '%[^A-Za-z0-9]%' COLLATE Latin1_General_BIN"))
+  }
+
+  test("materialize DDL types follow each dialect's own alphabet") {
+    import org.apache.spark.sql.types._
+    import graft.sources.{ClickHouseProfile, MsSqlProfile, OracleProfile}
+    // ANSI defaults
+    assert(DuckDbProfile.sqlTypeSql(LongType) == "BIGINT")
+    assert(DuckDbProfile.sqlTypeSql(TimestampType) == "TIMESTAMP")
+    assert(DuckDbProfile.sqlTypeSql(DecimalType(12, 2)) == "DECIMAL(12, 2)")
+    assert(DuckDbProfile.sqlTypeSql(StringType) == "VARCHAR") // unbounded
+    assert(PostgresProfile.sqlTypeSql(StringType) == "TEXT")
+    assert(MySqlProfile.sqlTypeSql(StringType) == "LONGTEXT")
+    // dialects with their own spellings
+    assert(MsSqlProfile.sqlTypeSql(DoubleType) == "FLOAT")
+    assert(MsSqlProfile.sqlTypeSql(BooleanType) == "BIT")
+    assert(MsSqlProfile.sqlTypeSql(StringType) == "NVARCHAR(MAX)")
+    assert(OracleProfile.sqlTypeSql(LongType) == "NUMBER(19)")
+    assert(OracleProfile.sqlTypeSql(BooleanType) == "NUMBER(1)")
+    assert(OracleProfile.sqlTypeSql(StringType) == "CLOB")
+    assert(ClickHouseProfile.sqlTypeSql(LongType) == "Int64")
+    assert(ClickHouseProfile.sqlTypeSql(DoubleType) == "Float64")
+    assert(ClickHouseProfile.sqlTypeSql(StringType) == "String")
+    assert(SparkProfile.sqlTypeSql(DoubleType) == "DOUBLE")
+    assert(SparkProfile.sqlTypeSql(StringType) == "STRING")
+    assert(DerbyProfile.sqlTypeSql(StringType) == "LONG VARCHAR")
+    // arrays/structs fall back to the text type (values stringified)
+    assert(DuckDbProfile.sqlTypeSql(ArrayType(LongType)) == "VARCHAR")
   }
 
   test("segmented checksum groups by the repeated CASE expression, not position") {
