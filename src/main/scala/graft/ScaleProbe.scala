@@ -93,6 +93,17 @@ object ScaleProbe {
         fact.select(col("id").as("doc_id"), lit(0L).as("chunk_idx"), col("n_tokens")),
         Seq("doc_id", "chunk_idx"), "n_tokens", 4096L)))
 
+    // ---- video codec throughput at ~10× the (decimated) gate volume ------
+    // The q_multimodal_video gate certifies decode PARITY on a 10×-
+    // decimated corpus; the volume claim lives here: 50k genuine animated
+    // GIFs (200k frames) encoded and decoded through javax.imageio inside
+    // tasks — map-only, zero shuffles, so throughput scales with cores.
+    val videoDocs = spark.range(50000).select(col("id").as("doc_id"))
+    time("decodeVideoFrames 50k GIFs")(
+      noop(graft.multimodal.Multimodal.decodeVideoFrames(
+        graft.multimodal.Multimodal.attachVideoPayload(
+          videoDocs, "doc_id", w = 8, h = 8, nFrames = 4)).toDF()))
+
     // LAST and opt-in (arg 3 = "hazard"): exact percentile buffers
     // O(distinct values) per group and dies on heap at this scale after
     // minutes of churn (measured: 318 s → OOM at 48g over 60M doubles) —
