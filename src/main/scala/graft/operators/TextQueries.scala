@@ -250,6 +250,59 @@ object TextQueries {
         .select(col("doc_id"), col("lang"), qualityScore(col("text")).as("score"))
         .orderBy("doc_id")
     }),
+
+    // ---- tokenizer-training statistics ----------------------------------
+    // Corpus vocabulary coverage: global token frequencies, the top-50
+    // vocabulary by (count desc, token asc), each row carrying its
+    // cumulative count and the corpus total — what a greedy vocabulary of
+    // that size covers, in exact integers (tokenizer sizing reads exactly
+    // this table). Plan: one token explode into a map-side partial count,
+    // then the bounded TopKStructs aggregate — a 50-row buffer crosses the
+    // final exchange instead of sorting the whole distinct-token table,
+    // and the cumulative window runs over exactly 50 rows.
+    "q_vocab_coverage" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = docs(s, d)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum(col("cnt")).as("total_tokens"))
+      counts
+        .agg(graft.functions.TopKStructs.topK(
+          struct((-col("cnt")).as("negcnt"), col("tok").as("t")), 50).as("top"))
+        .select(posexplode(col("top")).as(Seq("pos", "r")))
+        .select((col("pos") + 1).cast("long").as("rnk"),
+          col("r.t").as("tok"), (-col("r.negcnt")).as("cnt"))
+        .crossJoin(broadcast(total))
+        .withColumn("cum_cnt", sum(col("cnt")).over(
+          Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("rnk"), col("tok"), col("cnt"), col("cum_cnt"), col("total_tokens"))
+        .orderBy("rnk")
+    }),
+
+    // First BPE merge-step statistics: adjacent-token-pair counts across
+    // the corpus, top-20 by (count desc, pair asc) — the argmax of this
+    // table is exactly the first merge a BPE tokenizer learns, and
+    // tokenizer training re-runs it after every merge. Same scale shape
+    // as the shingle operators: a narrow per-doc transform explodes to
+    // one row per adjacent pair, counts partial-aggregate map-side, and
+    // only the bounded 20-pair buffer crosses the final exchange.
+    "q_bpe_pairs" -> ((s, d) => {
+      val arr = tokens(col("text"))
+      // sequence(0, -1) counts DOWN in Spark — guard one-token docs to an
+      // empty index list so they contribute no pairs
+      val idx = when(size(arr) >= 2, sequence(lit(0), size(arr) - 2))
+        .otherwise(array().cast("array<int>"))
+      docs(s, d)
+        .select(explode(transform(idx,
+          i => concat(element_at(arr, i + 1), lit(" "), element_at(arr, i + 2)))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .agg(graft.functions.TopKStructs.topK(
+          struct((-col("cnt")).as("negcnt"), col("pair").as("p")), 20).as("top"))
+        .select(posexplode(col("top")).as(Seq("pos", "r")))
+        .select((col("pos") + 1).cast("long").as("rnk"),
+          col("r.p").as("pair"), (-col("r.negcnt")).as("cnt"))
+        .orderBy("rnk")
+    }),
   )
 
   // ---- oracle SQL ------------------------------------------------------
@@ -304,6 +357,25 @@ object TextQueries {
        |     ELSE 'en' END""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_vocab_coverage" ->
+      s"""WITH tok AS (SELECT unnest($toks) AS tok FROM documents),
+         |c AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+         |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens FROM c),
+         |top AS (
+         |  SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rnk
+         |  FROM c ORDER BY cnt DESC, tok LIMIT 50)
+         |SELECT rnk, tok, cnt,
+         |  CAST(SUM(cnt) OVER (ORDER BY rnk) AS BIGINT) AS cum_cnt,
+         |  t.total_tokens
+         |FROM top, t ORDER BY rnk""".stripMargin,
+
+    "q_bpe_pairs" ->
+      s"""WITH t AS (SELECT $toks AS l FROM documents),
+         |p AS (SELECT unnest([l[i] || ' ' || l[i+1] for i in range(1, len(l))]) AS pair FROM t),
+         |c AS (SELECT pair, COUNT(*) AS cnt FROM p GROUP BY pair)
+         |SELECT row_number() OVER (ORDER BY cnt DESC, pair) AS rnk, pair, cnt
+         |FROM c ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+
     "q_token_count" ->
       s"""SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_ws_tokens,
          |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_lex_tokens
