@@ -257,22 +257,23 @@ object TextQueries {
     // cumulative count and the corpus total — what a greedy vocabulary of
     // that size covers, in exact integers (tokenizer sizing reads exactly
     // this table). Plan: one token explode into a map-side partial count,
-    // then the bounded TopKStructs aggregate — a 50-row buffer crosses the
-    // final exchange instead of sorting the whole distinct-token table,
-    // and the cumulative window runs over exactly 50 rows.
+    // then ONE mixed aggregate carrying both the bounded TopKStructs
+    // buffer AND the corpus-total sum — a 50-row buffer plus one long
+    // cross the final exchange, the distinct-token table never sorts, and
+    // the corpus is scanned once (a separate total branch would re-scan
+    // and re-aggregate everything; audited out of the plan). The
+    // cumulative window runs over exactly 50 rows.
     "q_vocab_coverage" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val counts = docs(s, d)
+      docs(s, d)
         .select(explode(tokens(col("text"))).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("cnt"))
-      val total = counts.agg(sum(col("cnt")).as("total_tokens"))
-      counts
         .agg(graft.functions.TopKStructs.topK(
-          struct((-col("cnt")).as("negcnt"), col("tok").as("t")), 50).as("top"))
-        .select(posexplode(col("top")).as(Seq("pos", "r")))
+          struct((-col("cnt")).as("negcnt"), col("tok").as("t")), 50).as("top"),
+          sum(col("cnt")).as("total_tokens"))
+        .select(col("total_tokens"), posexplode(col("top")).as(Seq("pos", "r")))
         .select((col("pos") + 1).cast("long").as("rnk"),
-          col("r.t").as("tok"), (-col("r.negcnt")).as("cnt"))
-        .crossJoin(broadcast(total))
+          col("r.t").as("tok"), (-col("r.negcnt")).as("cnt"), col("total_tokens"))
         .withColumn("cum_cnt", sum(col("cnt")).over(
           Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .select(col("rnk"), col("tok"), col("cnt"), col("cum_cnt"), col("total_tokens"))
