@@ -104,6 +104,40 @@ object ScaleProbe {
         graft.multimodal.Multimodal.attachVideoPayload(
           videoDocs, "doc_id", w = 8, h = 8, nFrames = 4)).toDF()))
 
+    // ---- pushdown control loop at 1M rows, 64 scattered diffs ------------
+    // The dense-cutover veto's scale claim, measured: single-row diffs
+    // scattered one per ~16k-key stripe keep EVERY level-0 segment dirty
+    // (prune rate 0 — the exact profile the old zero-prune fast path
+    // misread as density and answered with a full-table bulk fetch). The
+    // loop must instead bisect: level 1 prunes ~94% and the leaf fetch is
+    // O(diff × threshold), not O(table).
+    {
+      import graft.diff.TableSegment
+      import graft.sources.{PushdownDiffer, RemoteTable, SparkViewEngine}
+      val n = 1000000L
+      val base = spark.range(1, n + 1)
+        .select(col("id").as("k"), concat(lit("v"), col("id")).as("v"))
+        .localCheckpoint()
+      base.withColumn("v",
+          when(pmod(col("k"), lit(n / 64)) === 1, concat(col("v"), lit("X")))
+            .otherwise(col("v")))
+        .createOrReplaceTempView("probe_pd_b")
+      val remote = RemoteTable.introspect(new SparkViewEngine(spark), "probe_pd_b",
+        Seq("k"), Seq("v"))
+      val stats = time("pushdown 1M scattered=64") {
+        val (df, st) = PushdownDiffer.diffWithStats(
+          TableSegment(base, Seq("k"), Seq("v")), remote)
+        noop(df)
+        st
+      }
+      println(s"  levels=${stats.levels} probed=${stats.segmentsProbed} " +
+        s"pruned=${stats.segmentsPruned} leaves=${stats.leafSegments} " +
+        s"queries=${stats.remoteQueries} rowsFetched=${stats.rowsFetched} " +
+        s"cutover=${stats.denseCutoverAtLevel}")
+      require(stats.denseCutoverAtLevel.isEmpty && stats.rowsFetched < n / 8,
+        s"scattered regime must bisect, not bulk-fetch: $stats")
+    }
+
     // LAST and opt-in (arg 3 = "hazard"): exact percentile buffers
     // O(distinct values) per group and dies on heap at this scale after
     // minutes of churn (measured: 318 s → OOM at 48g over 60M doubles) —
