@@ -281,10 +281,11 @@ class DifferAgreementFuzzSpec extends AnyFunSuite {
       bisectionFactor = 4, bisectionThreshold = 64,
       control = new graft.sources.PushdownControl(progressive = true))._1)
     assert(progressive == expected, "progressive PushdownDiffer diverged")
-    // sixth control flow: the default run above takes the DENSE-CUTOVER
-    // path (uniform random mutations dirty every top segment → zero-prune
-    // fires); force pure bisection on the same mutations so both regimes
-    // are pinned to the same answer
+    // sixth control flow: the default run above makes its own regime
+    // decision (uniform random mutations dirty every top segment, so the
+    // candidacy + sampled-children confirmation decide whether to cut
+    // over); force pure bisection on the same mutations so BOTH possible
+    // regimes are pinned to the same answer whatever the decision was
     val bisected = canon(graft.sources.PushdownDiffer.diffWithStats(
       TableSegment(base, Seq("k")),
       RemoteTable.introspect(eng, "fz_b", Seq("k"), Seq("s", "v")),
