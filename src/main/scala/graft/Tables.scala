@@ -13,27 +13,31 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts has shipped in three physical encodings across testdata
-    // regenerations; normalize every one to TimestampType so downstream
-    // instant-based functions (unix_micros, window, etc.) always apply:
-    //  - TIMESTAMP(NANOS): Spark reads long nanos under
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    // Timestamp columns have shipped in several physical encodings across
+    // testdata regenerations; normalize every one to TimestampType so
+    // downstream instant-based functions (unix_micros, window, etc.)
+    // always apply:
+    //  - events.ts as TIMESTAMP(NANOS): Spark reads long nanos under
     //    spark.sql.legacy.parquet.nanosAsLong (set by Verify/Bench/tests).
     //    `div` is integral long division — ns (~1.7e18) overflows double math.
-    //  - timestamp[us] without timezone: Spark reads TIMESTAMP_NTZ. Sessions
-    //    run in UTC everywhere (Bench/Verify/tests), so reinterpreting the
-    //    naive value as a UTC instant is lossless and matches the DuckDB
-    //    oracle's epoch math. Mirrors the reference's forced-UTC discipline
+    //  - ANY column as timestamp[us] without timezone (the current
+    //    regeneration stores events.ts, o_orderdate, and l_shipdate this
+    //    way): Spark reads TIMESTAMP_NTZ. Sessions run in UTC everywhere
+    //    (Bench/Verify/tests), so reinterpreting the naive value as a UTC
+    //    instant is lossless and matches the DuckDB oracle's epoch math.
+    //    Mirrors the reference's forced-UTC discipline
     //    (data_diff/databases/_connect.py:288-303).
-    if (name == "events") df.schema("ts").dataType match {
-      case LongType =>
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType =>
-        df.withColumn("ts", df.col("ts").cast(TimestampType))
-      case _ => df
-    }
+    val df =
+      if (name == "events" && raw.schema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    if (df.schema.fields.exists(_.dataType == TimestampNTZType))
+      df.select(df.schema.fields.map(f =>
+        if (f.dataType == TimestampNTZType) col(f.name).cast(TimestampType).as(f.name)
+        else col(f.name)).toIndexedSeq: _*)
     else df
   }
 }
