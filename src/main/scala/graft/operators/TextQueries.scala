@@ -280,6 +280,33 @@ object TextQueries {
         .orderBy("rnk")
     }),
 
+    // Incremental corpus curation: the diff engine (the reference's
+    // flagship operator) reused as the CHANGE DETECTOR for a pipeline
+    // refresh. Corpus v2 = v1 with ~2% of docs edited, ~2% dropped, a few
+    // added; the joindiff on doc_id yields exactly the delta, and quality
+    // scoring re-runs ONLY on the '+' rows — at 100 TB this is the
+    // difference between an hourly incremental refresh (work ∝ delta) and
+    // a full-corpus reprocess (work ∝ corpus). Drops are '-' keys with no
+    // '+' partner (an edited doc's stale '-' image is superseded by its
+    // '+'), via a broadcast-sized left-anti join on the delta itself.
+    "q_incremental_curation" -> ((s, d) => {
+      val v1 = docs(s, d).select(col("doc_id"), col("text"))
+      val v2 = v1.where(col("doc_id") % 53 =!= 0)
+        .withColumn("text", when(col("doc_id") % 37 === 0,
+          concat(col("text"), lit(" edited edit"))).otherwise(col("text")))
+        .unionByName(v1.where(col("doc_id") < 10)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      val delta = graft.diff.JoinDiffer.diff(v1, v2, Seq("doc_id"), Seq("text"))
+      val plus = delta.where(col("sign") === "+").select(col("doc_id"), col("text"))
+      val drops = delta.where(col("sign") === "-").select(col("doc_id"))
+        .join(plus.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      drops.select(col("doc_id"), lit("drop").as("action"),
+          lit(null).cast("long").as("score"))
+        .unionByName(plus.select(col("doc_id"), lit("upsert").as("action"),
+          qualityScore(col("text")).as("score")))
+        .orderBy("doc_id", "action")
+    }),
+
     // First BPE merge-step statistics: adjacent-token-pair counts across
     // the corpus, top-20 by (count desc, pair asc) — the argmax of this
     // table is exactly the first merge a BPE tokenizer learns, and
@@ -369,6 +396,26 @@ object TextQueries {
          |  CAST(SUM(cnt) OVER (ORDER BY rnk) AS BIGINT) AS cum_cnt,
          |  t.total_tokens
          |FROM top, t ORDER BY rnk""".stripMargin,
+
+    "q_incremental_curation" ->
+      s"""WITH v1 AS (SELECT doc_id, text FROM documents),
+         |v2 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 37 = 0 THEN text || ' edited edit' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 53 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 10),
+         |plus AS (
+         |  SELECT b.doc_id, b.text FROM v2 b LEFT JOIN v1 a ON a.doc_id = b.doc_id
+         |  WHERE a.doc_id IS NULL OR a.text IS DISTINCT FROM b.text),
+         |drops AS (
+         |  SELECT a.doc_id FROM v1 a LEFT JOIN v2 b ON a.doc_id = b.doc_id
+         |  WHERE b.doc_id IS NULL)
+         |SELECT doc_id, 'drop' AS action, CAST(NULL AS BIGINT) AS score FROM drops
+         |UNION ALL
+         |SELECT doc_id, 'upsert' AS action,
+         |  CAST($scoreSql AS BIGINT) AS score FROM plus
+         |ORDER BY doc_id, action""".stripMargin,
 
     "q_bpe_pairs" ->
       s"""WITH t AS (SELECT $toks AS l FROM documents),
