@@ -52,7 +52,8 @@ object ParseTime {
   *     [--ignore col1,col2] [--update-column col --min-age 1d --max-age 1h]
   *     [--materialize path] [--where EXPR] [--assume-unique-key]
   *     [--sample-exclusive-rows] [--materialize-all-rows]
-  *     [--table-write-limit N] [--case-sensitive] [--repair] [-d|-v] [--version]
+  *     [--table-write-limit N] [--case-sensitive] [--repair] [--force-repair]
+  *     [-d|-v] [--version]
   *   graft.cli.Cli --dbt --dbt-project-dir DIR
   *     --dbt-dev-base PATH --dbt-prod-base PATH
   *
@@ -104,6 +105,9 @@ object Cli {
       // side B target — see the --repair branch for why other
       // orientations refuse.
       repair: Boolean = false,
+      // override the dense-damage refusal: repair row-by-row even when
+      // most of the remote differs (RemoteRepair's maxDamageFraction=1.0)
+      forceRepair: Boolean = false,
       // -d/--debug/-v raise the log level (reference prints debug info)
       verbose: Boolean = false,
       version: Boolean = false,
@@ -143,6 +147,7 @@ object Cli {
       case "--table-write-limit" :: v :: t => go(t, a.copy(tableWriteLimit = v.toInt), positional)
       case "--case-sensitive" :: t => go(t, a.copy(caseSensitive = true), positional)
       case "--repair" :: t => go(t, a.copy(repair = true), positional)
+      case "--force-repair" :: t => go(t, a.copy(repair = true, forceRepair = true), positional)
       case ("-d" | "--debug" | "-v" | "--verbose") :: t => go(t, a.copy(verbose = true), positional)
       case "--version" :: t => go(t, a.copy(version = true), positional)
       // accepted for drop-in compatibility: this engine never phones home,
@@ -405,7 +410,8 @@ object Cli {
               .filterNot(a.ignore.contains)
             val truth = segA.scoped.select(
               (a.keys ++ compare).map(org.apache.spark.sql.functions.col): _*)
-            val rs = graft.sources.RemoteRepair.repair(eng, table, a.keys, truth, diff)
+            val rs = graft.sources.RemoteRepair.repair(eng, table, a.keys, truth, diff,
+              maxDamageFraction = if (a.forceRepair) 1.0 else 0.5)
             Console.err.println(
               s"[repair] $table: ${rs.deletedKeys} keys deleted, " +
                 s"${rs.insertedRows} rows inserted, ${rs.statements} statements")

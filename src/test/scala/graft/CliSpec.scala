@@ -58,6 +58,13 @@ class CliArgsSpec extends AnyFunSuite {
   test("--version parses without sources") {
     assert(Cli.parseArgs(Array("--version")).version)
   }
+
+  test("--force-repair implies --repair and lifts the dense-damage fraction") {
+    val a = Cli.parseArgs(Array("/a", "remote:x", "-k", "id", "--force-repair"))
+    assert(a.repair && a.forceRepair)
+    val plain = Cli.parseArgs(Array("/a", "remote:x", "-k", "id", "--repair"))
+    assert(plain.repair && !plain.forceRepair)
+  }
 }
 
 class CliEndToEndSpec extends AnyFunSuite {
