@@ -126,6 +126,50 @@ object CurationQueries {
       .drop("_pid", "_cum_excl")
   }
 
+  /** Duplicated-passage spans — the exact-substring dedup signal (cf. Lee
+    * et al. 2021, "Deduplicating Training Data Makes Language Models
+    * Better": spans repeated verbatim anywhere in the corpus should be cut,
+    * not just whole near-dup documents). A sliding `n`-token window (stride
+    * 1) is duplicated when its exact text occurs anywhere else in the
+    * corpus (another doc OR another position of the same doc); maximal runs
+    * of consecutive duplicated windows are the removable passages.
+    *
+    * Plan shape at 100 TB: the window index is a narrow generate (≈one row
+    * per token, no shuffle), window frequencies are ONE partial-aggregating
+    * shuffle on the window text, the dup flag comes back via a sort-merge
+    * join against the one-row-per-window frequency side (AQE-splittable
+    * when a boilerplate window is hot — deliberately NOT a count-over
+    * window, which would buffer the hottest window's whole group in one
+    * task), and run detection is a doc-keyed window pass (bounded by doc
+    * length). Runs fall out of the classic gaps-and-islands rewrite:
+    * `pos − row_number()` is constant exactly on consecutive positions.
+    *
+    * Output: one row per document that contains at least one duplicated
+    * window — total dup windows, number of maximal spans, and the longest
+    * span's length in TOKENS (run + n − 1). Integer everywhere. */
+  def dupPassageSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    require(n > 0, s"window size must be positive, got $n")
+    val win = df
+      .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("t"))
+      .select(col("doc_id"), col("t"), posexplode(col("t")).as(Seq("pos", "tok")))
+      .where(col("pos") <= size(col("t")) - n)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        concat_ws(" ", col("tok") +:
+          (1 until n).map(k => element_at(col("t"), col("pos") + k + 1)): _*).as("w"))
+    val freq = win.groupBy("w").agg(count(lit(1)).as("freq"))
+    val dup = win.join(freq, Seq("w")).where(col("freq") > 1L)
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    dup
+      .withColumn("island", col("pos") - row_number().over(byDoc))
+      .groupBy("doc_id", "island").agg(count(lit(1)).as("run"))
+      .groupBy("doc_id")
+      .agg(sum("run").as("n_dup_windows"),
+        count(lit(1)).as("n_spans"),
+        (max("run") + (n - 1)).as("longest_span_tokens"))
+  }
+
   val queries: Map[String, Q] = Map(
     // PII masking before training. The synthetic corpus carries no real
     // PII, so the text under test is assembled deterministically from
@@ -245,6 +289,31 @@ object CurationQueries {
     // sample is reproducible across runs, engines, and repartitioning
     // (rand() is none of those), and adding a language never reshuffles
     // another language's picks.
+    // Exact-substring dup passages (see dupPassageSpans): which documents
+    // carry verbatim-repeated 8-token spans, how many, and how long the
+    // worst one is — the per-doc work list for passage-level cutting.
+    "q_dup_passages" -> ((s, d) =>
+      dupPassageSpans(Tables.load(s, d, "documents"), "doc_id", "text", n = 8)
+        .orderBy("doc_id")),
+
+    // Per-source document cap — the RefinedWeb-style per-domain cap: a
+    // handful of giant sources must not dominate the mix, so keep only the
+    // top-5 docs per source by (n_chars desc, doc_id asc). Same bounded
+    // TopKStructs shape as q_topk_groups: k-row buffers partial-aggregate
+    // map-side, so a source with a billion documents shuffles 5 rows, not
+    // a billion — the rank-window spelling would funnel that source
+    // through one unsplittable window partition.
+    "q_source_cap" -> ((s, d) =>
+      Tables.load(s, d, "documents")
+        .groupBy(col("source"))
+        .agg(graft.functions.TopKStructs.topK(
+          struct((-col("n_chars")).as("negc"), col("doc_id").as("id")), 5).as("top"))
+        .select(col("source"), posexplode(col("top")).as(Seq("pos", "r")))
+        .select(col("source"), col("r.id").as("doc_id"),
+          (-col("r.negc")).as("n_chars"),
+          (col("pos") + 1).cast("long").as("rnk"))
+        .orderBy("source", "rnk")),
+
     "q_stratified_sample" -> ((s, d) => {
       val h = pmod(Dedup.md5Int48(
         concat(col("lang"), lit("|"), col("doc_id").cast("string"))), lit(100))
@@ -344,6 +413,29 @@ object CurationQueries {
         |WHERE ('0x' || substring(md5('mix|' || doc_id::VARCHAR), 1, 12))::BIGINT % 100
         |      < rate_pct
         |ORDER BY doc_id""".stripMargin,
+
+    "q_dup_passages" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |w AS (SELECT doc_id, toks, unnest(range(0, len(toks) - 7)) AS pos FROM t),
+        |wk AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |         array_to_string(toks[pos + 1 : pos + 8], ' ') AS w FROM w),
+        |f AS (SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY w) AS freq FROM wk),
+        |d AS (SELECT doc_id, pos,
+        |        pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |      FROM f WHERE freq > 1),
+        |i AS (SELECT doc_id, island, COUNT(*) AS run FROM d GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(run) AS BIGINT) AS n_dup_windows,
+        |  COUNT(*) AS n_spans,
+        |  CAST(MAX(run) + 7 AS BIGINT) AS longest_span_tokens
+        |FROM i GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_source_cap" ->
+      """SELECT source, doc_id, n_chars, rnk FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rnk
+        |  FROM documents) sub
+        |WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
 
     "q_stratified_sample" ->
       """SELECT doc_id, lang, source FROM documents

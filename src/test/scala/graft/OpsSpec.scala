@@ -205,6 +205,31 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("dupPassageSpans finds cross-doc and within-doc repeats, merges runs") {
+    // n=3 windows. doc 1 and doc 2 share the exact 5-token passage
+    // "a b c d e" → windows (a b c),(b c d),(c d e): one run of 3 dup
+    // windows each, longest span 3+2 = 5 tokens. doc 3 repeats "x y z"
+    // INSIDE itself at two positions → both occurrences are dup windows,
+    // but non-consecutive → 2 spans of length 3. doc 4 shares nothing.
+    val docs = Seq(
+      (1L, "a b c d e p q r s"),
+      (2L, "m n a b c d e"),
+      (3L, "x y z k1 k2 k3 x y z"),
+      (4L, "u v w only here once")).toDF("doc_id", "text")
+    val got = CurationQueries.dupPassageSpans(docs, "doc_id", "text", n = 3)
+      .select("doc_id", "n_dup_windows", "n_spans", "longest_span_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 3L, 1L, 5L),
+      (2L, 3L, 1L, 5L),
+      (3L, 2L, 2L, 3L)))
+  }
+
+  test("dupPassageSpans ignores docs shorter than the window") {
+    val docs = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    assert(CurationQueries.dupPassageSpans(docs, "doc_id", "text", n = 3).count() == 0L)
+  }
+
   test("chunkWindows refuses a stride that would skip or loop") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     for ((w, stride) <- Seq((32, 33), (32, 0), (32, -1), (0, 1))) {
