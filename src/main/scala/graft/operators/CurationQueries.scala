@@ -147,8 +147,13 @@ object CurationQueries {
     * Output: one row per document that contains at least one duplicated
     * window — total dup windows, number of maximal spans, and the longest
     * span's length in TOKENS (run + n − 1). Integer everywhere. */
-  def dupPassageSpans(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 8): DataFrame = {
+  /** (doc_id, pos) of every sliding `n`-token window whose exact text
+    * occurs more than once corpus-wide — the shared front half of
+    * dupPassageSpans/cutDupPassages. One partial-agg shuffle on the window
+    * text + an AQE-splittable join back (see dupPassageSpans scaladoc for
+    * why not a count-over window). */
+  private def dupWindowPositions(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
     require(n > 0, s"window size must be positive, got $n")
     val win = df
       .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("t"))
@@ -158,16 +163,57 @@ object CurationQueries {
         concat_ws(" ", col("tok") +:
           (1 until n).map(k => element_at(col("t"), col("pos") + k + 1)): _*).as("w"))
     val freq = win.groupBy("w").agg(count(lit(1)).as("freq"))
-    val dup = win.join(freq, Seq("w")).where(col("freq") > 1L)
+    win.join(freq, Seq("w")).where(col("freq") > 1L).select("doc_id", "pos")
+  }
+
+  def dupPassageSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
-    dup
+    dupWindowPositions(df, idCol, textCol, n)
       .withColumn("island", col("pos") - row_number().over(byDoc))
       .groupBy("doc_id", "island").agg(count(lit(1)).as("run"))
       .groupBy("doc_id")
       .agg(sum("run").as("n_dup_windows"),
         count(lit(1)).as("n_spans"),
         (max("run") + (n - 1)).as("longest_span_tokens"))
+  }
+
+  /** The cut step that dupPassageSpans only reports: every token covered by
+    * a duplicated `n`-window is removed, and each document comes back with
+    * its before/after token counts and the md5 signature of the cleaned
+    * token stream (shipping the rewritten text would just re-emit the
+    * corpus; the signature pins the rewrite bit-exactly for the oracle).
+    *
+    * Plan: dup windows (one agg shuffle + join back) → covered positions
+    * via a narrow `sequence` explode + distinct → LEFT ANTI join from the
+    * token index (both sides shuffle on (doc_id, pos) — never a broadcast
+    * of something corpus-sized) → per-doc reassembly with a doc-bounded
+    * collect_list. Documents that lose everything (or are shorter than the
+    * window) still appear, with n_kept_tokens = 0 / the full stream. */
+  def cutDupPassages(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("t"))
+    val tk = toks.select(col("doc_id"), posexplode(col("t")).as(Seq("p", "tok")))
+      .select(col("doc_id"), col("p").cast("long").as("p"), col("tok"))
+    val covered = dupWindowPositions(df, idCol, textCol, n)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
+      .distinct()
+    val kept = tk.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("p"), col("tok")))),
+          x => x.getField("tok")), " ")).as("clean_sig"))
+    toks.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept_tokens"), lit(0L)).as("n_kept_tokens"),
+        // md5 of the empty string: the signature of a fully-cut document
+        coalesce(col("clean_sig"), lit("d41d8cd98f00b204e9800998ecf8427e"))
+          .as("clean_sig"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -294,6 +340,13 @@ object CurationQueries {
     // worst one is — the per-doc work list for passage-level cutting.
     "q_dup_passages" -> ((s, d) =>
       dupPassageSpans(Tables.load(s, d, "documents"), "doc_id", "text", n = 8)
+        .orderBy("doc_id")),
+
+    // The rewrite the span report feeds: cut every token under a
+    // duplicated 8-window, keep before/after counts + a signature of the
+    // cleaned stream (see cutDupPassages).
+    "q_passage_cut" -> ((s, d) =>
+      cutDupPassages(Tables.load(s, d, "documents"), "doc_id", "text", n = 8)
         .orderBy("doc_id")),
 
     // Per-source document cap — the RefinedWeb-style per-domain cap: a
@@ -428,6 +481,28 @@ object CurationQueries {
         |  COUNT(*) AS n_spans,
         |  CAST(MAX(run) + 7 AS BIGINT) AS longest_span_tokens
         |FROM i GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_passage_cut" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |w AS (SELECT doc_id, toks, unnest(range(0, len(toks) - 7)) AS pos FROM t),
+        |wk AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |         array_to_string(toks[pos + 1 : pos + 8], ' ') AS w FROM w),
+        |f AS (SELECT doc_id, pos FROM
+        |        (SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY w) AS freq FROM wk)
+        |      WHERE freq > 1),
+        |cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS p FROM f),
+        |tk AS (SELECT doc_id, CAST(p AS BIGINT) AS p, toks[p + 1] AS tok FROM
+        |        (SELECT doc_id, toks, unnest(range(0, len(toks))) AS p FROM t)),
+        |kept AS (SELECT tk.doc_id, tk.p, tk.tok FROM tk
+        |         LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.p = cov.p
+        |         WHERE cov.p IS NULL),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |          string_agg(tok, ' ' ORDER BY p) AS s FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept_tokens,
+        |  md5(COALESCE(agg.s, '')) AS clean_sig
+        |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     "q_source_cap" ->
       """SELECT source, doc_id, n_chars, rnk FROM (

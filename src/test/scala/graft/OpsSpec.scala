@@ -225,6 +225,37 @@ class CurationSpec extends AnyFunSuite {
       (3L, 2L, 2L, 3L)))
   }
 
+  test("cutDupPassages removes exactly the covered tokens, keeps clean docs whole") {
+    // n=3: docs 1/2 share "a b c d e" → all 5 tokens covered in both.
+    // doc 1 keeps "p q r s"; doc 2 keeps "m n"; doc 3 is untouched;
+    // doc 4 is shorter than the window → untouched by construction.
+    val docs = Seq(
+      (1L, "a b c d e p q r s"),
+      (2L, "m n a b c d e"),
+      (3L, "u v w only here once"),
+      (4L, "a b")).toDF("doc_id", "text")
+    val got = CurationQueries.cutDupPassages(docs, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    def sig(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(got == Set(
+      (1L, 9L, 4L, sig("p q r s")),
+      (2L, 7L, 2L, sig("m n")),
+      (3L, 6L, 6L, sig("u v w only here once")),
+      (4L, 2L, 2L, sig("a b"))))
+  }
+
+  test("cutDupPassages signs a fully-cut document as the empty stream") {
+    val docs = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = CurationQueries.cutDupPassages(docs, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSet
+    assert(got == Set(
+      (1L, 0L, "d41d8cd98f00b204e9800998ecf8427e"),
+      (2L, 0L, "d41d8cd98f00b204e9800998ecf8427e")))
+  }
+
   test("dupPassageSpans ignores docs shorter than the window") {
     val docs = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
     assert(CurationQueries.dupPassageSpans(docs, "doc_id", "text", n = 3).count() == 0L)
