@@ -171,6 +171,41 @@ object Dedup {
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** Incremental LSH: near-dup candidates for a corpus REFRESH without
+    * re-pairing the existing corpus against itself. `index` is the
+    * already-deduped corpus (at production scale its band signatures are a
+    * precomputed table — recomputing them here is one scan, no pair work);
+    * `delta` is the new/changed documents. Ids must be disjoint across the
+    * two sides (a refresh upsert replaces its old row, it doesn't coexist
+    * with it).
+    *
+    * Candidates = (delta × index) ∪ (delta × delta) sharing an LSH band —
+    * exactly the pairs a full re-run would emit that INVOLVE a delta doc,
+    * with the index×index quadrant (the overwhelming mass at 100 TB: a
+    * 0.1% refresh makes it 10⁶× the delta×delta quadrant) never computed.
+    * Same band-join shape as minhashCandidates, so skew behavior and AQE
+    * splitting carry over; the two quadrants are unioned BEFORE the final
+    * per-pair count so shared-band tallies match the full run's.
+    */
+  def deltaMinhashCandidates(index: DataFrame, delta: DataFrame,
+      idCol: String, textCol: String,
+      numHashes: Int = 64, rowsPerBand: Int = 4): DataFrame = {
+    val bi = lshBands(index, idCol, textCol, numHashes, rowsPerBand)
+    val bd = lshBands(delta, idCol, textCol, numHashes, rowsPerBand)
+    val cross = bd.select(col("doc_id").as("doc_x"), col("band"), col("bh"))
+      .join(bi.select(col("doc_id").as("doc_y"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .select(least(col("doc_x"), col("doc_y")).as("doc_a"),
+        greatest(col("doc_x"), col("doc_y")).as("doc_b"))
+    val within = bd.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+      .join(bd.select(col("doc_id").as("doc_b"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+    cross.unionByName(within)
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared_bands"))
+  }
+
   /** Benchmark decontamination: ids of corpus documents sharing at least
     * one word n-gram with ANY benchmark document — training-data hygiene,
     * dropping pretraining docs that leak evaluation content. The benchmark

@@ -307,6 +307,27 @@ object TextQueries {
         .orderBy("doc_id", "action")
     }),
 
+    // Incremental near-dup search for the same v1→v2 refresh fixture as
+    // q_incremental_curation: only the upserted docs are minhashed and
+    // band-joined against the unchanged corpus and each other —
+    // index×index pairs (the 10⁶×-bigger quadrant at a 0.1% refresh of a
+    // 100 TB corpus) are never computed. The oracle replays the FULL LSH
+    // over v2 and filters to delta-involving pairs: both spellings must
+    // agree pair-for-pair and band-count-for-band-count.
+    "q_delta_dedup" -> ((s, d) => {
+      val v1 = docs(s, d).select(col("doc_id"), col("text"))
+      val v2 = v1.where(col("doc_id") % 53 =!= 0)
+        .withColumn("text", when(col("doc_id") % 37 === 0,
+          concat(col("text"), lit(" edited edit"))).otherwise(col("text")))
+        .unionByName(v1.where(col("doc_id") < 10)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      val delta = graft.diff.JoinDiffer.diff(v1, v2, Seq("doc_id"), Seq("text"))
+      val plus = delta.where(col("sign") === "+").select(col("doc_id"), col("text"))
+      val unchanged = v2.join(plus.select("doc_id"), Seq("doc_id"), "left_anti")
+      Dedup.deltaMinhashCandidates(unchanged, plus, "doc_id", "text")
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // First BPE merge-step statistics: adjacent-token-pair counts across
     // the corpus, top-20 by (count desc, pair asc) — the argmax of this
     // table is exactly the first merge a BPE tokenizer learns, and
@@ -654,6 +675,37 @@ object TextQueries {
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
          |FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_delta_dedup" ->
+      s"""WITH v1 AS (SELECT doc_id, text FROM documents),
+         |v2 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 37 = 0 THEN text || ' edited edit' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 53 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 10),
+         |plus AS (
+         |  SELECT b.doc_id FROM v2 b LEFT JOIN v1 a ON a.doc_id = b.doc_id
+         |  WHERE a.doc_id IS NULL OR a.text IS DISTINCT FROM b.text),
+         |hs AS (
+         |  SELECT doc_id, [('0x' || substring(md5(s), 1, 12))::BIGINT for s in $shingles] AS hl
+         |  FROM (SELECT doc_id, $toks AS toks FROM v2) t),
+         |sig AS (
+         |  SELECT doc_id,
+         |    [list_min([((2*i+1)*h + 7919*i) % ${graft.dedup.Dedup.MinhashMod} for h in hl]) for i in range(0, 64)] AS sg
+         |  FROM hs WHERE len(hl) > 0),
+         |bands AS (
+         |  SELECT doc_id, b,
+         |    md5(array_to_string(list_transform(sg[b*4+1:b*4+4], v -> v::VARCHAR), ',')) AS bh
+         |  FROM sig, range(16) r(b)),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT p.doc_a, p.doc_b, p.n_shared_bands FROM pairs p
+         |WHERE p.doc_a IN (SELECT doc_id FROM plus)
+         |   OR p.doc_b IN (SELECT doc_id FROM plus)
+         |ORDER BY 1, 2""".stripMargin,
 
     "q_simhash" ->
       s"""WITH tk AS (

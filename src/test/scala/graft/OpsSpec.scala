@@ -35,6 +35,31 @@ class DedupSpec extends AnyFunSuite {
     assert(g.length == 1 && g(0).getLong(1) == 0L && g(0).getLong(2) == 3L)
   }
 
+  test("deltaMinhashCandidates equals the full LSH restricted to delta pairs") {
+    // index: 3 docs (0 ≈ 1 near-dups, 2 distinct). delta: 10 is a copy of
+    // 0 (cross-quadrant hit), 11/12 are copies of each other but nothing
+    // in the index (within-delta hit), 13 matches nothing.
+    val index = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy cat"),
+      (2L, "completely different text with other words entirely")).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "sphinx of black quartz judge my vow now"),
+      (12L, "sphinx of black quartz judge my vow now"),
+      (13L, "unrelated singleton content nothing shares this")).toDF("doc_id", "text")
+    val got = Dedup.deltaMinhashCandidates(index, delta, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    val deltaIds = Set(10L, 11L, 12L, 13L)
+    val full = Dedup.minhashCandidates(index.unionByName(delta), "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+      .filter(p => deltaIds(p._1) || deltaIds(p._2))
+    assert(got == full)
+    assert(got.map(p => (p._1, p._2)).contains((0L, 10L)))
+    assert(got.map(p => (p._1, p._2)).contains((11L, 12L)))
+    assert(!got.exists(p => !deltaIds(p._1) && !deltaIds(p._2)))
+  }
+
   test("jaccard pairs find near-dups and exact dups") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.5)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
