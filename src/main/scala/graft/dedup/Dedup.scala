@@ -189,8 +189,19 @@ object Dedup {
     */
   def deltaMinhashCandidates(index: DataFrame, delta: DataFrame,
       idCol: String, textCol: String,
+      numHashes: Int = 64, rowsPerBand: Int = 4): DataFrame =
+    deltaMinhashCandidatesFromBands(
+      lshBands(index, idCol, textCol, numHashes, rowsPerBand),
+      delta, idCol, textCol, numHashes, rowsPerBand)
+
+  /** The production spelling of [[deltaMinhashCandidates]]: the corpus
+    * index arrives as its STORED band signatures (doc_id, band, bh) — the
+    * table a 100 TB pipeline maintains across refreshes — so a refresh
+    * scans and hashes only the delta. */
+  def deltaMinhashCandidatesFromBands(indexBands: DataFrame, delta: DataFrame,
+      idCol: String, textCol: String,
       numHashes: Int = 64, rowsPerBand: Int = 4): DataFrame = {
-    val bi = lshBands(index, idCol, textCol, numHashes, rowsPerBand)
+    val bi = indexBands
     val bd = lshBands(delta, idCol, textCol, numHashes, rowsPerBand)
     val cross = bd.select(col("doc_id").as("doc_x"), col("band"), col("bh"))
       .join(bi.select(col("doc_id").as("doc_y"), col("band"), col("bh")),
@@ -204,6 +215,46 @@ object Dedup {
       .select("doc_a", "doc_b")
     cross.unionByName(within)
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** Per-document LSH bands as a plain-Scala kernel, bit-identical to
+    * [[lshBands]] (same tokenizer, 3-shingles, md5-48, linear hash family,
+    * band md5 — parity is spec-pinned). Exists for STREAMS: the batch band
+    * computation is a per-doc aggregation a stream cannot run statelessly,
+    * while this is a pure per-row function usable inside a typed flatMap —
+    * zero state, zero shuffle. Batch pipelines should keep using
+    * [[lshBands]] (whole-stage codegen'd; this walks Scala objects).
+    * Returns (band, bandHash) pairs; empty for docs with no 3-shingle. */
+  def bandsOfText(text: String, numHashes: Int = 64,
+      rowsPerBand: Int = 4): Seq[(Long, String)] = {
+    if (text == null) return Seq.empty
+    // tokens(): split(trim(text), " ") keeps interior empties — split with
+    // limit -1 matches Spark's regex split exactly
+    val toks = text.trim.split(" ", -1)
+    if (toks.length < 3) return Seq.empty
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h48(s: String): Long = {
+      val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) | ((d(2) & 0xffL) << 24) |
+        ((d(3) & 0xffL) << 16) | ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+    }
+    val hs = toks.sliding(3).map(_.mkString(" ")).map(h48).toArray
+    val sig = Array.tabulate(numHashes) { i =>
+      var m = Long.MaxValue
+      var j = 0
+      while (j < hs.length) {
+        val v = ((2L * i + 1) * hs(j) + 7919L * i) % MinhashMod
+        if (v < m) m = v
+        j += 1
+      }
+      m
+    }
+    val numBands = numHashes / rowsPerBand
+    (0 until numBands).map { b =>
+      val s = (0 until rowsPerBand)
+        .map(r => sig(b * rowsPerBand + r).toString).mkString(",")
+      (b.toLong, org.apache.commons.codec.digest.DigestUtils.md5Hex(s))
+    }
   }
 
   /** Benchmark decontamination: ids of corpus documents sharing at least

@@ -189,6 +189,32 @@ object StreamingDiff {
       .dropDuplicatesWithinWatermark("doc_id")
   }
 
+  /** Streaming NEAR-dup candidates: each arriving document is minhash-
+    * banded per-row (`Dedup.bandsOfText`, a plain-Scala kernel bit-
+    * identical to the batch `lshBands` — the batch form is a per-doc
+    * aggregation a stream cannot run statelessly) and band-joined against
+    * the STORED corpus index signatures — a stream-static equi-join,
+    * re-planned each micro-batch, so index updates between batches are
+    * picked up. The only stateful op is the watermark-bounded per-pair
+    * dedup. Batch analogue: `Dedup.deltaMinhashCandidatesFromBands`; the
+    * pairs this emits are exactly that operator's cross-quadrant pairs.
+    * Emits one (doc_id, match_id, ts) row per candidate pair. */
+  def streamingNearDup(docs: Dataset[Doc], indexBands: DataFrame,
+      numHashes: Int = 64, rowsPerBand: Int = 4,
+      watermark: String = "1 hour"): DataFrame = {
+    import docs.sparkSession.implicits._
+    val bands = docs.flatMap { d =>
+      graft.dedup.Dedup.bandsOfText(d.text, numHashes, rowsPerBand)
+        .map { case (b, bh) => (d.doc_id, d.ts, b, bh) }
+    }.toDF("doc_id", "ts", "band", "bh")
+    bands
+      .join(indexBands.select(col("doc_id").as("match_id"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .select(col("doc_id"), col("match_id"), col("ts"))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("doc_id", "match_id")
+  }
+
   /** Streaming exact dedup for a document feed: state per content hash
     * remembers whether the content was ever emitted; replays and late
     * copies are dropped. The batch analogue is `Dedup.exactGroups` — this

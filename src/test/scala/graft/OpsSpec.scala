@@ -1114,6 +1114,62 @@ class StreamingDiffSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("bandsOfText is bit-identical to the batch lshBands aggregation") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy cat"),
+      (2L, "completely different text with other words entirely"),
+      (3L, "ab"),                      // < 3 tokens → no bands either way
+      (4L, "a  b c d")                 // interior double space: empty token
+    ).toDF("doc_id", "text")
+    val batch = graft.dedup.Dedup.lshBands(docs, "doc_id", "text")
+      .as[(Long, Long, String)].collect().toSet
+    val scalaSide = Seq(
+      0L -> "the quick brown fox jumps over the lazy dog",
+      1L -> "the quick brown fox jumps over the lazy cat",
+      2L -> "completely different text with other words entirely",
+      3L -> "ab",
+      4L -> "a  b c d").flatMap { case (id, t) =>
+      graft.dedup.Dedup.bandsOfText(t).map { case (b, bh) => (id, b, bh) }
+    }.toSet
+    assert(batch.nonEmpty && batch == scalaSide)
+  }
+
+  test("streaming near-dup flags arrivals against the stored index, dedups replays") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "an entirely unrelated reference document lives here")).toDF("doc_id", "text")
+    val indexBands = graft.dedup.Dedup.lshBands(corpus, "doc_id", "text").localCheckpoint()
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingDiff.Doc]
+    val q = StreamingDiff.streamingNearDup(input.toDS(), indexBands)
+      .writeStream.format("memory").queryName("sneardup").outputMode("append").start()
+    def doc(id: Long, t: String, ts: Long) = StreamingDiff.Doc(id, t, new java.sql.Timestamp(ts))
+    input.addData(
+      doc(1, "the quick brown fox jumps over the lazy dog", 1000),  // dup of 100
+      doc(2, "nothing in the index resembles this sentence at all", 2000))
+    q.processAllAvailable()
+    input.addData(
+      doc(1, "the quick brown fox jumps over the lazy dog", 3000),  // replay → deduped
+      doc(3, "an entirely unrelated reference document lives here", 4000)) // dup of 101
+    q.processAllAvailable()
+    val got = spark.table("sneardup").select("doc_id", "match_id")
+      .as[(Long, Long)].collect().toSeq
+    q.stop()
+    assert(got.sorted == Seq((1L, 100L), (3L, 101L)))
+    // agreement with the batch delta operator over the same final delta
+    val delta = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "nothing in the index resembles this sentence at all"),
+      (3L, "an entirely unrelated reference document lives here")).toDF("doc_id", "text")
+    val batchPairs = graft.dedup.Dedup
+      .deltaMinhashCandidatesFromBands(indexBands, delta, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(batchPairs == Set((1L, 100L), (3L, 101L)))
+  }
+
   test("streaming dedup emits each distinct content once, drops replays") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
