@@ -286,6 +286,45 @@ class CurationSpec extends AnyFunSuite {
     assert(CurationQueries.dupPassageSpans(docs, "doc_id", "text", n = 3).count() == 0L)
   }
 
+  test("fuzz: passage span/cut operators agree with a brute-force reference") {
+    val rnd = new scala.util.Random(1234L)
+    val vocab = Vector("a", "b", "c", "d") // tiny vocab → dense collisions
+    val n = 3
+    def md5hex(s: String) =
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    for (trial <- 0 until 4) {
+      val docs = (0L until 25L).map(i =>
+        (i, Seq.fill(2 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      val toksBy = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+      val wins = for ((id, tk) <- toksBy.toSeq; p <- 0 to tk.length - n)
+        yield (id, p, tk.slice(p, p + n).mkString(" "))
+      val freq = wins.groupBy(_._3).map { case (w, g) => w -> g.size }
+      val dup = wins.filter(w => freq(w._3) > 1)
+      val spansExp = dup.groupBy(_._1).map { case (id, ws) =>
+        val runs = ws.map(_._2).sorted.foldLeft(List.empty[List[Int]]) { (acc, p) =>
+          acc match {
+            case (h @ (hp :: _)) :: t if p == hp + 1 => (p :: h) :: t
+            case _ => List(p) :: acc
+          }
+        }.map(_.size)
+        (id, ws.size.toLong, runs.size.toLong, (runs.max + n - 1).toLong)
+      }.toSet
+      val df = docs.toDF("doc_id", "text")
+      val gotSpans = CurationQueries.dupPassageSpans(df, "doc_id", "text", n)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(gotSpans == spansExp, s"trial $trial spans")
+      val covered = dup.flatMap { case (id, p, _) => (p until p + n).map(id -> _) }.toSet
+      val cutExp = toksBy.map { case (id, tk) =>
+        val kept = tk.zipWithIndex.collect { case (t, i) if !covered((id, i)) => t }
+        (id, tk.length.toLong, kept.length.toLong, md5hex(kept.mkString(" ")))
+      }.toSet
+      val gotCut = CurationQueries.cutDupPassages(df, "doc_id", "text", n)
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(gotCut == cutExp, s"trial $trial cut")
+      assert(spansExp.nonEmpty, s"vacuous trial $trial") // tiny vocab guarantees dups
+    }
+  }
+
   test("chunkWindows refuses a stride that would skip or loop") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     for ((w, stride) <- Seq((32, 33), (32, 0), (32, -1), (0, 1))) {
