@@ -102,6 +102,20 @@ object EmbeddingQueries {
         .orderBy("vec_id")
     }),
 
+    // Incremental SemDeDup: vectors with vec_id % 11 == 0 play a corpus
+    // refresh's NEW arrivals, the rest the existing kept corpus. Only the
+    // delta is flagged, only touched cells do kernel work (semi-join on
+    // the cell key before anything shuffles) — the embedding-side
+    // analogue of q_delta_dedup's refresh economics.
+    "q_delta_semantic_dedup" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.deltaSemanticDupFlags(
+        e.where(col("vec_id") % 11 =!= 0), e.where(col("vec_id") % 11 === 0),
+        "vec_id", "embedding", "label", 0.45)
+        .select(col("id").as("vec_id"), col("cell").as("label"), col("is_dup"))
+        .orderBy("vec_id")
+    }),
+
     "q_embedding_label_centroid_dist" -> ((s, d) => {
       // Per-label centroid, then each vector's dot with its label centroid —
       // the IVF coarse-quantizer building block. Components are quantized
@@ -330,6 +344,23 @@ object EmbeddingQueries {
          |SELECT m.vec_id, m.cell, (dups.id IS NOT NULL) AS is_dup
          |FROM m LEFT JOIN dups ON m.vec_id = dups.id
          |ORDER BY m.vec_id""".stripMargin,
+
+    "q_delta_semantic_dedup" ->
+      """WITH n AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+        |      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))), (a, c) -> a + c))) AS nv
+        |  FROM embeddings),
+        |d AS (SELECT * FROM n WHERE vec_id % 11 = 0),
+        |dups AS (
+        |  SELECT DISTINCT b.vec_id AS id
+        |  FROM d b JOIN n a ON a.label = b.label AND a.vec_id <> b.vec_id
+        |  WHERE (a.vec_id % 11 <> 0 OR a.vec_id < b.vec_id)
+        |    AND list_reduce(list_prepend(0.0, list_transform(list_zip(a.nv, b.nv),
+        |      x -> x[1] * x[2])), (ac, x) -> ac + x) >= 0.45)
+        |SELECT d.vec_id, d.label, (dups.id IS NOT NULL) AS is_dup
+        |FROM d LEFT JOIN dups ON d.vec_id = dups.id
+        |ORDER BY d.vec_id""".stripMargin,
 
     "q_semantic_dedup" ->
       """WITH n AS (

@@ -463,6 +463,71 @@ object Similarity {
       .select(col("id"), col("cell"), coalesce(col("dup"), lit(false)).as("is_dup"))
   }
 
+  /** Incremental SemDeDup: dup flags for a corpus refresh's NEW vectors
+    * only, against the existing (kept) corpus and each other — the
+    * embedding-side analogue of `Dedup.deltaMinhashCandidatesFromBands`.
+    * A delta vector is a duplicate iff some vector in the SAME cell that is
+    * either (a) any existing-corpus member or (b) an earlier (lower-id)
+    * delta member has cosine ≥ `threshold` with it. With delta ids above
+    * the index ids (the natural arrival order) this equals the full
+    * `semanticDupFlags` re-run restricted to delta rows (spec-pinned), but
+    * the work is |delta-in-cell| × |cell| per TOUCHED cell instead of
+    * Σ|cell|²/2 over every cell: untouched cells are dropped by a
+    * cell-key semi-join before anything shuffles, so a 0.1% refresh does
+    * ~0.1% of the full run's kernel work. Output: one row per delta
+    * vector with its cell and `is_dup`. */
+  def deltaSemanticDupFlags(index: DataFrame, delta: DataFrame,
+      idCol: String, vecCol: String, cellCol: String, threshold: Double,
+      maxCellRows: Int = 1 << 22,
+      maxPairsPerCell: Long = 1000000000L): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    def prep(df: DataFrame, isDelta: Boolean) =
+      withUnitVector(df.select(col(idCol).cast("long").as("id"),
+        col(cellCol).cast("string").as("cellk"), col(vecCol).as("v")), "v", "nv")
+        .select(col("cellk"), col("id"), col("nv"), lit(isDelta).as("isd"))
+    val touched = delta.select(col(cellCol).cast("string").as("cellk")).distinct()
+    val unit = prep(index, isDelta = false).join(touched, Seq("cellk"), "left_semi")
+      .unionByName(prep(delta, isDelta = true))
+      .as[(String, Long, Array[Double], Boolean)]
+    val dups = unit.groupByKey(_._1).flatMapGroups { (cellk, it) =>
+      val members = it.toArray
+      require(members.length <= maxCellRows,
+        s"deltaSemanticDupFlags cell '$cellk' has ${members.length} vectors " +
+          s"(> $maxCellRows). Re-cluster with more cells, or raise maxCellRows.")
+      val nDelta = members.count(_._4)
+      val pairBound = nDelta.toLong * members.length
+      require(pairBound <= maxPairsPerCell,
+        s"deltaSemanticDupFlags cell '$cellk' implies ≤$pairBound candidate pairs " +
+          s"(> $maxPairsPerCell) — re-cluster with more cells, or raise maxPairsPerCell.")
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var j = 0
+      while (j < members.length) {
+        if (members(j)._4) {
+          val (idJ, vj) = (members(j)._2, members(j)._3)
+          var found = false
+          var i = 0
+          while (i < members.length && !found) {
+            if (i != j && (!members(i)._4 || members(i)._2 < idJ)) {
+              val vi = members(i)._3
+              var s = 0.0
+              var k = 0
+              while (k < vj.length) { s += vi(k) * vj(k); k += 1 }
+              found = s >= threshold
+            }
+            i += 1
+          }
+          if (found) out += idJ
+        }
+        j += 1
+      }
+      out.iterator
+    }.toDF("did").withColumn("dup", lit(true))
+    delta.select(col(idCol).as("id"), col(cellCol).as("cell"))
+      .join(dups, col("id").cast("long") === col("did"), "left")
+      .select(col("id"), col("cell"), coalesce(col("dup"), lit(false)).as("is_dup"))
+  }
+
   /** Recall@k of an approximate ANN result against the exact one: for each
     * query, how many of the exact top-k neighbors the approximate method
     * returned (both frames in the `(query_id, neighbor_id, rank)` shape

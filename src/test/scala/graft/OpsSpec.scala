@@ -536,6 +536,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == Map(0L -> false, 1L -> true, 2L -> false, 3L -> false))
   }
 
+  test("deltaSemanticDupFlags equals the full re-run restricted to delta rows") {
+    // delta ids above the index ids (arrival order), random vectors in 4
+    // cells: the delta flags must match semanticDupFlags over index∪delta
+    // filtered to the delta — including dups ONTO higher-id index members,
+    // which the incremental kernel checks regardless of id order.
+    val rnd = new scala.util.Random(17L)
+    def vec() = Array.fill(6)((rnd.nextDouble() * 2 - 1).toFloat)
+    val indexRows = (0L until 60L).map(i => (i, (i % 4).toInt, vec()))
+    val deltaRows = (100L until 120L).map { i =>
+      // half the delta copies an index vector → guaranteed dups
+      val v = if (i % 2 == 0) indexRows((i % 60).toInt)._3 else vec()
+      (i, (i % 4).toInt, v)
+    }
+    val index = indexRows.toDF("vec_id", "label", "embedding")
+    val delta = deltaRows.toDF("vec_id", "label", "embedding")
+    val got = Similarity.deltaSemanticDupFlags(index, delta,
+      "vec_id", "embedding", "label", 0.5)
+      .select("id", "is_dup").as[(Long, Boolean)].collect().toMap
+    val full = Similarity.semanticDupFlags(index.unionByName(delta),
+      "vec_id", "embedding", "label", 0.5)
+      .where(col("id") >= 100L)
+      .select("id", "is_dup").as[(Long, Boolean)].collect().toMap
+    assert(got.size == 20 && got == full)
+    assert(got.values.exists(identity) && got.values.exists(!_), "vacuous fuzz")
+  }
+
   test("fuzz: semanticDupFlags kernel agrees with the declarative join form") {
     // the kernel replaced a cell-keyed join whose HOF dot was interpreted;
     // this pins the replacement to the declarative semantics on random data
