@@ -375,6 +375,51 @@ object CurationQueries {
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy("doc_id")
     }),
+
+    // Training-export shuffle: the last mile of a corpus build. Each epoch
+    // gets its OWN deterministic global permutation (sort_key = md5-48 of
+    // "ep<epoch>|<doc_id>" — reshuffling between epochs is just a salt
+    // change, no state carried), documents land in shard = sort_key mod 16,
+    // and seq is the within-shard position. Reproducible across runs,
+    // engines, and partitioning, unlike rand(). Scale shape: the 2-row
+    // epoch table is the broadcast side of the cross join (the corpus is
+    // never duplicated through a shuffle), and the seq window partitions on
+    // (epoch, shard) — shard count is CHOSEN (tens of thousands at 100 TB)
+    // so each window partition is exactly one output-file-sized shard,
+    // bounded by construction, and shards write in parallel.
+    "q_train_shuffle" -> ((s, d) => {
+      val epochs = s.createDataFrame(Seq(Tuple1(0L), Tuple1(1L))).toDF("epoch")
+      val byShard = org.apache.spark.sql.expressions.Window
+        .partitionBy("epoch", "shard").orderBy("sort_key", "doc_id")
+      Tables.load(s, d, "documents").select("doc_id")
+        .crossJoin(broadcast(epochs))
+        .withColumn("sort_key", Dedup.md5Int48(concat(
+          lit("ep"), col("epoch").cast("string"), lit("|"),
+          col("doc_id").cast("string"))))
+        .withColumn("shard", pmod(col("sort_key"), lit(16)))
+        .withColumn("seq", row_number().over(byShard).cast("long"))
+        .select("epoch", "shard", "seq", "doc_id", "sort_key")
+        .orderBy("epoch", "shard", "seq")
+    }),
+
+    // Packing-efficiency report — the number the sequence-packing step is
+    // justified by: padding each document independently to length-32
+    // sequences vs packing the concatenated stream (q_pack_sequences).
+    // Per-doc sequence counts are pure narrow arithmetic on the token
+    // count (no explode, no per-chunk rows), then ONE global aggregate:
+    // a single scan and a single exchange of partial sums regardless of
+    // corpus size. All quantities are non-negative integers, so the
+    // utilization percentage's integer division is engine-exact.
+    "q_pack_efficiency" -> ((s, d) =>
+      Tables.load(s, d, "documents")
+        .select(size(TextFunctions.tokens(col("text"))).cast("long").as("n"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n").as("total_tokens"),
+          sum(expr("(n + 31) div 32")).as("n_seq_padded"))
+        .select(col("n_docs"), col("total_tokens"), col("n_seq_padded"),
+          (col("n_seq_padded") * 32 - col("total_tokens")).as("padded_tokens"),
+          expr("(total_tokens * 100) div (n_seq_padded * 32)").as("util_pct"),
+          expr("(total_tokens + 31) div 32").as("n_seq_packed"))),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -517,5 +562,32 @@ object CurationQueries {
         |WHERE ('0x' || substring(md5(lang || '|' || doc_id::VARCHAR), 1, 12))::BIGINT % 100
         |      < CASE WHEN lang = 'en' THEN 20 ELSE 50 END
         |ORDER BY doc_id""".stripMargin,
+
+    "q_train_shuffle" ->
+      """WITH e(epoch) AS (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))),
+        |k AS (
+        |  SELECT epoch, doc_id,
+        |    ('0x' || substring(md5('ep' || epoch::VARCHAR || '|' || doc_id::VARCHAR), 1, 12))::BIGINT
+        |      AS sort_key
+        |  FROM documents, e)
+        |SELECT epoch, sort_key % 16 AS shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch, sort_key % 16
+        |    ORDER BY sort_key, doc_id) AS BIGINT) AS seq,
+        |  doc_id, sort_key
+        |FROM k ORDER BY epoch, shard, seq""".stripMargin,
+
+    "q_pack_efficiency" ->
+      """WITH d AS (
+        |  SELECT CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n FROM documents),
+        |a AS (
+        |  SELECT COUNT(*) AS n_docs, SUM(n) AS total_tokens,
+        |    SUM((n + 31) // 32) AS n_seq_padded
+        |  FROM d)
+        |SELECT n_docs, CAST(total_tokens AS BIGINT) AS total_tokens,
+        |  CAST(n_seq_padded AS BIGINT) AS n_seq_padded,
+        |  CAST(n_seq_padded * 32 - total_tokens AS BIGINT) AS padded_tokens,
+        |  CAST((total_tokens * 100) // (n_seq_padded * 32) AS BIGINT) AS util_pct,
+        |  CAST((total_tokens + 31) // 32 AS BIGINT) AS n_seq_packed
+        |FROM a""".stripMargin,
   )
 }

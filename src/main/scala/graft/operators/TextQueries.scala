@@ -352,6 +352,41 @@ object TextQueries {
           col("r.p").as("pair"), (-col("r.negcnt")).as("cnt"))
         .orderBy("rnk")
     }),
+
+    // Model-based quality filter in the fastText shape: a LINEAR classifier
+    // over hashed unigram features (hash token → one of 1024 buckets, sum
+    // the buckets' learned weights, threshold the logit) — the
+    // quality-classifier step of GPT-3/LLaMA-style curation pipelines,
+    // which score every document against a small trained model. The weight
+    // table here is a deterministic stand-in for trained weights (integer
+    // centi-logits in [−100,100] derived from md5 of the bucket id), so the
+    // oracle can rebuild it; a real checkpoint drops in as the same
+    // 1024-row table. Plan shape is the part that matters at 100 TB: the
+    // model is a BROADCAST dim (any hashed-feature model is KB–MB), the
+    // corpus explodes to tokens and probes it map-side, and the only
+    // exchange is the per-doc partial-aggregating sum — classifier
+    // inference is one narrow pass, never a shuffle of the corpus against
+    // the model. The per-token average is computed on a +100-shifted
+    // numerator so the integer division never sees a negative operand
+    // (Spark `div` truncates toward zero, DuckDB `//` floors — they agree
+    // only on non-negatives).
+    "q_quality_classifier" -> ((s, d) => {
+      val buckets = 1024
+      val wtab = s.range(0, buckets).toDF("bucket")
+        .withColumn("w", pmod(Dedup.md5Int48(
+          concat(lit("w|"), col("bucket").cast("string"))), lit(201)) - 100)
+      docs(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .withColumn("bucket", pmod(Dedup.md5Int48(col("tok")), lit(buckets)))
+        .join(broadcast(wtab), Seq("bucket"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("w").as("logit_centi"))
+        .select(col("doc_id"), col("n_tokens"), col("logit_centi"),
+          (expr("((logit_centi + 100 * n_tokens) * 10) div n_tokens") - 1000)
+            .as("avg_millilogit"),
+          (col("logit_centi") > 0).as("flag_keep"))
+        .orderBy("doc_id")
+    }),
   )
 
   // ---- oracle SQL ------------------------------------------------------
@@ -718,5 +753,23 @@ object TextQueries {
          |SELECT doc_id,
          |  CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
          |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_quality_classifier" ->
+      s"""WITH wtab AS (
+         |  SELECT CAST(b AS BIGINT) AS bucket,
+         |    ('0x' || substring(md5('w|' || b::VARCHAR), 1, 12))::BIGINT % 201 - 100 AS w
+         |  FROM range(1024) r(b)),
+         |tk AS (
+         |  SELECT doc_id,
+         |    ('0x' || substring(md5(tok), 1, 12))::BIGINT % 1024 AS bucket
+         |  FROM (SELECT doc_id, unnest($toks) AS tok FROM documents)),
+         |sc AS (
+         |  SELECT doc_id, COUNT(*) AS n_tokens, SUM(w) AS logit_centi
+         |  FROM tk JOIN wtab USING (bucket) GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, CAST(logit_centi AS BIGINT) AS logit_centi,
+         |  CAST(((logit_centi + 100 * n_tokens) * 10) // n_tokens - 1000 AS BIGINT)
+         |    AS avg_millilogit,
+         |  logit_centi > 0 AS flag_keep
+         |FROM sc ORDER BY doc_id""".stripMargin,
   )
 }

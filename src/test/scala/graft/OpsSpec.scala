@@ -334,6 +334,88 @@ class CurationSpec extends AnyFunSuite {
       assert(e.getMessage.contains("stride"), s"w=$w stride=$stride")
     }
   }
+
+  test("quality classifier: broadcast-table path equals the pure-function spelling") {
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "delta"),
+      (3L, "zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    def q(name: String) = graft.operators.TextQueries.queries(name)
+    // independent spelling: weight computed inline per token (no table,
+    // no join) — must agree with the broadcast-dim-join operator exactly
+    val bucket = pmod(Dedup.md5Int48(col("tok")), lit(1024))
+    val w = pmod(Dedup.md5Int48(concat(lit("w|"), bucket.cast("string"))), lit(201)) - 100
+    val want = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("tok"))
+      .select(col("doc_id"), w.as("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), sum("w").as("logit"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // run the real operator over a parquet copy shaped like `documents`
+    val dir = java.nio.file.Files.createTempDirectory("qc").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = q("q_quality_classifier")(spark, dir)
+      .select("doc_id", "n_tokens", "logit_centi", "avg_millilogit", "flag_keep")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    assert(got.length == 3)
+    got.foreach { case (id, n, logit, avg, keep) =>
+      val (wn, wl) = want(id)
+      assert(n == wn && logit == wl, s"doc $id")
+      // shifted-numerator average: floor((logit+100n)*10/n) - 1000, and the
+      // numerator is non-negative by w >= -100 — same value in any engine
+      assert(avg == ((logit + 100 * n) * 10) / n - 1000, s"doc $id avg")
+      assert(keep == (logit > 0), s"doc $id flag")
+    }
+  }
+
+  test("train shuffle: per-epoch deterministic permutation, contiguous shard seqs") {
+    val docs = (0L until 64L).map(i => (i, s"tok$i"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("ts").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def run() = CurationQueries.queries("q_train_shuffle")(spark, dir)
+      .select("epoch", "shard", "seq", "doc_id", "sort_key")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val a = run()
+    // deterministic: identical on re-run (rand() would not be)
+    assert(a == run())
+    // each document appears exactly once per epoch
+    assert(a.groupBy(_._1).forall(_._2.map(_._4).sorted == (0L until 64L)))
+    // shard is the sort key mod 16; seq is 1..count contiguous per shard
+    a.foreach { case (_, shard, _, _, key) => assert(shard == key % 16) }
+    a.groupBy(r => (r._1, r._2)).values.foreach { g =>
+      assert(g.map(_._3).sorted == (1L to g.length))
+      // within a shard, seq follows ascending sort_key
+      assert(g.sortBy(_._3).map(_._5) == g.map(_._5).sorted)
+    }
+    // epochs are DIFFERENT permutations (salt changes the hash)
+    val byEpoch = a.groupBy(_._1).view.mapValues(
+      _.sortBy(r => (r._2, r._3)).map(_._4)).toMap
+    assert(byEpoch(0L) != byEpoch(1L))
+  }
+
+  test("pack efficiency: padded-vs-packed arithmetic on a hand-computed corpus") {
+    // token counts 5, 32, 33, 80 → padded seqs 1+1+2+3 = 7, total 150,
+    // padding 7*32-150 = 74, util 150*100 div 224 = 66, packed ceil = 5
+    val docs = Seq(
+      (1L, (1 to 5).map("t" + _).mkString(" ")),
+      (2L, (1 to 32).map("t" + _).mkString(" ")),
+      (3L, (1 to 33).map("t" + _).mkString(" ")),
+      (4L, (1 to 80).map("t" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("pe").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CurationQueries.queries("q_pack_efficiency")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((4L, 150L, 7L, 74L, 66L, 5L)))
+  }
 }
 
 class HistogramQuantileSpec extends AnyFunSuite {
