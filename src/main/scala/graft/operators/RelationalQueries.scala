@@ -638,6 +638,56 @@ object RelationalQueries {
           unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"))
         .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).cast("double").as("sum_value"))
         .orderBy("event_type", "hour_epoch")),
+
+    // Strict-order funnel (view → click → purchase): a user advances a
+    // stage only with an event STRICTLY AFTER their first occurrence of
+    // the previous stage — the standard product-analytics funnel. Each
+    // stage is one filtered aggregate on user_id joined to the previous
+    // stage's first-occurrence times: every shuffle in the chain is keyed
+    // on user_id, so a cluster partitions once and AQE reuses the layout;
+    // per-stage state is one timestamp per surviving user, monotonically
+    // shrinking down the funnel. Epoch-micros arithmetic end to end —
+    // nothing floats, nothing is calendar-dependent.
+    "q_funnel" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val t1 = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("us").as("t1"))
+      val t2 = ev.where(col("event_type") === "click")
+        .join(t1, "user_id").where(col("us") > col("t1"))
+        .groupBy("user_id").agg(min("us").as("t2"))
+      val t3 = ev.where(col("event_type") === "purchase")
+        .join(t2, "user_id").where(col("us") > col("t2"))
+        .groupBy("user_id").agg(min("us").as("t3"))
+      def n(df: DataFrame, stage: Long, name: String) =
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(stage).as("stage"), lit(name).as("funnel_step"), col("n_users"))
+      n(t1, 1L, "view")
+        .unionByName(n(t2, 2L, "view>click"))
+        .unionByName(n(t3, 3L, "view>click>purchase"))
+        .orderBy("stage")
+    }),
+
+    // Weekly retention cohorts: users grouped by the week of their FIRST
+    // event, counted once per (cohort, weeks-since-first) they were active
+    // in. Week arithmetic is integer days-since-epoch div 7 — no calendar
+    // truncation semantics to disagree on between engines. Plan: first-day
+    // per user (partial-agg on user_id), join back (same key, layout
+    // reused), project to (cohort, offset, user), distinct + count — every
+    // exchange keyed and linear, the cohort matrix itself is
+    // O(weeks × weeks) rows regardless of corpus size.
+    "q_retention_cohorts" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      val first = ev.groupBy("user_id").agg(min("day").as("first_day"))
+      ev.join(first, "user_id")
+        .select(col("user_id"), expr("first_day div 7").as("cohort_week"),
+          expr("(day - first_day) div 7").as("week_offset"))
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
   )
 
   /** DuckDB rendering of the deterministic HLL in `hllEstimate` — identical
@@ -993,5 +1043,33 @@ object RelationalQueries {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+        |t1 AS (SELECT user_id, MIN(us) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, MIN(us) AS t2 FROM e JOIN t1 USING (user_id)
+        |       WHERE event_type = 'click' AND us > t1 GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, MIN(us) AS t3 FROM e JOIN t2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND us > t2 GROUP BY e.user_id)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage, 'view' AS funnel_step,
+        |         (SELECT COUNT(*) FROM t1) AS n_users
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), 'view>click', (SELECT COUNT(*) FROM t2)
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), 'view>click>purchase', (SELECT COUNT(*) FROM t3))
+        |ORDER BY stage""".stripMargin,
+
+    "q_retention_cohorts" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |f AS (SELECT user_id, MIN(day) AS first_day FROM e GROUP BY user_id),
+        |m AS (SELECT DISTINCT e.user_id, first_day // 7 AS cohort_week,
+        |        (day - first_day) // 7 AS week_offset
+        |      FROM e JOIN f USING (user_id))
+        |SELECT cohort_week, week_offset, COUNT(*) AS n_users
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -418,6 +418,57 @@ class CurationSpec extends AnyFunSuite {
   }
 }
 
+class EventsAnalyticsSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("ev").toString
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val day = 86400L
+    val rows = Seq(
+      // user 1: full strict-order funnel, active days 0 and 8
+      (1L, ts(100), 1L, "view", 1.0, "{}"),
+      (2L, ts(200), 1L, "click", 1.0, "{}"),
+      (3L, ts(300), 1L, "purchase", 1.0, "{}"),
+      (4L, ts(8 * day + 10), 1L, "error", 1.0, "{}"),
+      // user 2: click BEFORE first view only → stage 1; active days 0, 20
+      (5L, ts(100), 2L, "click", 1.0, "{}"),
+      (6L, ts(200), 2L, "view", 1.0, "{}"),
+      (7L, ts(20 * day + 10), 2L, "error", 1.0, "{}"),
+      // user 3: view→click ordered, purchase BEFORE the click → stage 2
+      (8L, ts(100), 3L, "view", 1.0, "{}"),
+      (9L, ts(150), 3L, "click", 1.0, "{}"),
+      (10L, ts(120), 3L, "purchase", 1.0, "{}"),
+      // user 4: never views → not in the funnel at all
+      (11L, ts(100), 4L, "purchase", 1.0, "{}"),
+      // user 5: first seen day 7 (cohort week 1), active again day 15
+      (12L, ts(7 * day + 10), 5L, "error", 1.0, "{}"),
+      (13L, ts(15 * day + 10), 5L, "error", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    rows.write.mode("overwrite").parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("funnel counts strict first-occurrence ordering only") {
+    val got = graft.operators.RelationalQueries.queries("q_funnel")(spark, dir)
+      .select("stage", "funnel_step", "n_users")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "view", 3L),
+      (2L, "view>click", 2L),
+      (3L, "view>click>purchase", 1L)))
+  }
+
+  test("retention cohorts count each user once per active week offset") {
+    val got = graft.operators.RelationalQueries.queries("q_retention_cohorts")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 0L, 4L), (0L, 1L, 1L), (0L, 2L, 1L),
+      (1L, 0L, 1L), (1L, 1L, 1L)))
+  }
+}
+
 class HistogramQuantileSpec extends AnyFunSuite {
   lazy val spark = SparkTest.spark
   import spark.implicits._
