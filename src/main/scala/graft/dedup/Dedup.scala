@@ -225,20 +225,28 @@ object Dedup {
     * zero state, zero shuffle. Batch pipelines should keep using
     * [[lshBands]] (whole-stage codegen'd; this walks Scala objects).
     * Returns (band, bandHash) pairs; empty for docs with no 3-shingle. */
-  def bandsOfText(text: String, numHashes: Int = 64,
-      rowsPerBand: Int = 4): Seq[(Long, String)] = {
+  /** Plain-Scala per-row n-gram shingle hashes — bit-identical to the DF
+    * spelling `shingleIndexRaw(...)` + `md5Int48` (same tokenization:
+    * split with limit −1 keeps interior empties, matching Spark's regex
+    * split; same 48-bit head-of-md5). The kernel streaming operators use
+    * where the batch side runs the DataFrame aggregation. */
+  def shingleHashesOf(text: String, n: Int): Seq[Long] = {
     if (text == null) return Seq.empty
-    // tokens(): split(trim(text), " ") keeps interior empties — split with
-    // limit -1 matches Spark's regex split exactly
     val toks = text.trim.split(" ", -1)
-    if (toks.length < 3) return Seq.empty
+    if (toks.length < n) return Seq.empty
     val md = java.security.MessageDigest.getInstance("MD5")
     def h48(s: String): Long = {
       val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) | ((d(2) & 0xffL) << 24) |
         ((d(3) & 0xffL) << 16) | ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
     }
-    val hs = toks.sliding(3).map(_.mkString(" ")).map(h48).toArray
+    toks.sliding(n).map(g => h48(g.mkString(" "))).toSeq
+  }
+
+  def bandsOfText(text: String, numHashes: Int = 64,
+      rowsPerBand: Int = 4): Seq[(Long, String)] = {
+    val hs = shingleHashesOf(text, 3).toArray
+    if (hs.isEmpty) return Seq.empty
     val sig = Array.tabulate(numHashes) { i =>
       var m = Long.MaxValue
       var j = 0

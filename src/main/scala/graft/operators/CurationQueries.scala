@@ -216,6 +216,35 @@ object CurationQueries {
           .as("clean_sig"))
   }
 
+  /** Training-export shuffle: the last mile of a corpus build. Each epoch
+    * gets its OWN deterministic global permutation (sort_key = md5-48 of
+    * "ep<epoch>|<id>" — reshuffling between epochs is just a salt change,
+    * no state carried), rows land in shard = sort_key mod `nShards`, and
+    * seq is the within-shard position. Reproducible across runs, engines,
+    * and partitioning, unlike rand(). Scale shape: the epoch table is the
+    * broadcast side of the cross join (the corpus is never duplicated
+    * through a shuffle), and the seq window partitions on (epoch, shard) —
+    * shard count is CHOSEN (tens of thousands at 100 TB) so each window
+    * partition is exactly one output-file-sized shard, bounded by
+    * construction, and shards write in parallel. */
+  def trainShuffle(df: DataFrame, idCol: String,
+      nEpochs: Int, nShards: Int): DataFrame = {
+    require(nEpochs > 0 && nShards > 0,
+      s"trainShuffle needs positive epochs/shards, got $nEpochs/$nShards")
+    val spark = df.sparkSession
+    val epochs = spark.range(0, nEpochs.toLong).toDF("epoch")
+    val byShard = org.apache.spark.sql.expressions.Window
+      .partitionBy("epoch", "shard").orderBy("sort_key", "doc_id")
+    df.select(col(idCol).as("doc_id"))
+      .crossJoin(broadcast(epochs))
+      .withColumn("sort_key", Dedup.md5Int48(concat(
+        lit("ep"), col("epoch").cast("string"), lit("|"),
+        col("doc_id").cast("string"))))
+      .withColumn("shard", pmod(col("sort_key"), lit(nShards)))
+      .withColumn("seq", row_number().over(byShard).cast("long"))
+      .select("epoch", "shard", "seq", "doc_id", "sort_key")
+  }
+
   val queries: Map[String, Q] = Map(
     // PII masking before training. The synthetic corpus carries no real
     // PII, so the text under test is assembled deterministically from
@@ -376,31 +405,9 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
-    // Training-export shuffle: the last mile of a corpus build. Each epoch
-    // gets its OWN deterministic global permutation (sort_key = md5-48 of
-    // "ep<epoch>|<doc_id>" — reshuffling between epochs is just a salt
-    // change, no state carried), documents land in shard = sort_key mod 16,
-    // and seq is the within-shard position. Reproducible across runs,
-    // engines, and partitioning, unlike rand(). Scale shape: the 2-row
-    // epoch table is the broadcast side of the cross join (the corpus is
-    // never duplicated through a shuffle), and the seq window partitions on
-    // (epoch, shard) — shard count is CHOSEN (tens of thousands at 100 TB)
-    // so each window partition is exactly one output-file-sized shard,
-    // bounded by construction, and shards write in parallel.
-    "q_train_shuffle" -> ((s, d) => {
-      val epochs = s.createDataFrame(Seq(Tuple1(0L), Tuple1(1L))).toDF("epoch")
-      val byShard = org.apache.spark.sql.expressions.Window
-        .partitionBy("epoch", "shard").orderBy("sort_key", "doc_id")
-      Tables.load(s, d, "documents").select("doc_id")
-        .crossJoin(broadcast(epochs))
-        .withColumn("sort_key", Dedup.md5Int48(concat(
-          lit("ep"), col("epoch").cast("string"), lit("|"),
-          col("doc_id").cast("string"))))
-        .withColumn("shard", pmod(col("sort_key"), lit(16)))
-        .withColumn("seq", row_number().over(byShard).cast("long"))
-        .select("epoch", "shard", "seq", "doc_id", "sort_key")
-        .orderBy("epoch", "shard", "seq")
-    }),
+    "q_train_shuffle" -> ((s, d) =>
+      trainShuffle(Tables.load(s, d, "documents"), "doc_id",
+        nEpochs = 2, nShards = 16).orderBy("epoch", "shard", "seq")),
 
     // Packing-efficiency report — the number the sequence-packing step is
     // justified by: padding each document independently to length-32

@@ -639,56 +639,66 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).cast("double").as("sum_value"))
         .orderBy("event_type", "hour_epoch")),
 
-    // Strict-order funnel (view → click → purchase): a user advances a
-    // stage only with an event STRICTLY AFTER their first occurrence of
-    // the previous stage — the standard product-analytics funnel. Each
-    // stage is one filtered aggregate on user_id joined to the previous
-    // stage's first-occurrence times: every shuffle in the chain is keyed
-    // on user_id, so a cluster partitions once and AQE reuses the layout;
-    // per-stage state is one timestamp per surviving user, monotonically
-    // shrinking down the funnel. Epoch-micros arithmetic end to end —
-    // nothing floats, nothing is calendar-dependent.
-    "q_funnel" -> ((s, d) => {
-      val ev = t(s, d, "events")
-        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
-      val t1 = ev.where(col("event_type") === "view")
-        .groupBy("user_id").agg(min("us").as("t1"))
-      val t2 = ev.where(col("event_type") === "click")
-        .join(t1, "user_id").where(col("us") > col("t1"))
-        .groupBy("user_id").agg(min("us").as("t2"))
-      val t3 = ev.where(col("event_type") === "purchase")
-        .join(t2, "user_id").where(col("us") > col("t2"))
-        .groupBy("user_id").agg(min("us").as("t3"))
-      def n(df: DataFrame, stage: Long, name: String) =
-        df.agg(count(lit(1)).as("n_users"))
-          .select(lit(stage).as("stage"), lit(name).as("funnel_step"), col("n_users"))
-      n(t1, 1L, "view")
-        .unionByName(n(t2, 2L, "view>click"))
-        .unionByName(n(t3, 3L, "view>click>purchase"))
-        .orderBy("stage")
-    }),
+    "q_funnel" -> ((s, d) =>
+      funnel(t(s, d, "events"), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase")).orderBy("stage")),
 
-    // Weekly retention cohorts: users grouped by the week of their FIRST
-    // event, counted once per (cohort, weeks-since-first) they were active
-    // in. Week arithmetic is integer days-since-epoch div 7 — no calendar
-    // truncation semantics to disagree on between engines. Plan: first-day
-    // per user (partial-agg on user_id), join back (same key, layout
-    // reused), project to (cohort, offset, user), distinct + count — every
-    // exchange keyed and linear, the cohort matrix itself is
-    // O(weeks × weeks) rows regardless of corpus size.
-    "q_retention_cohorts" -> ((s, d) => {
-      val ev = t(s, d, "events")
-        .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
-      val first = ev.groupBy("user_id").agg(min("day").as("first_day"))
-      ev.join(first, "user_id")
-        .select(col("user_id"), expr("first_day div 7").as("cohort_week"),
-          expr("(day - first_day) div 7").as("week_offset"))
-        .distinct()
-        .groupBy("cohort_week", "week_offset")
-        .agg(count(lit(1)).as("n_users"))
-        .orderBy("cohort_week", "week_offset")
-    }),
+    "q_retention_cohorts" -> ((s, d) =>
+      retentionCohorts(t(s, d, "events"), "user_id", "ts")
+        .orderBy("cohort_week", "week_offset")),
   )
+
+  /** Strict-order funnel over an event stream: a user advances a stage
+    * only with an event STRICTLY AFTER their first occurrence of the
+    * previous stage — the standard product-analytics funnel, generic over
+    * the stage list. Each stage is one filtered aggregate on the user key
+    * joined to the previous stage's first-occurrence times: every shuffle
+    * in the chain is keyed on the user, so a cluster partitions once and
+    * AQE reuses the layout; per-stage state is one timestamp per surviving
+    * user, monotonically shrinking down the funnel. Epoch-micros integer
+    * arithmetic end to end — nothing floats, nothing calendar-dependent.
+    * Output: (stage, funnel_step, n_users), one row per stage prefix. */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val ev = events.select(col(userCol).as("user_id"), col(typeCol).as("et"),
+      unix_micros(col(tsCol)).as("us"))
+    val firsts = stages.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (stage, _)) =>
+        val hits = ev.where(col("et") === stage)
+        Some(prev match {
+          case None => hits.groupBy("user_id").agg(min("us").as("t"))
+          case Some(p) => hits.join(p.select(col("user_id"), col("t").as("tp")), "user_id")
+            .where(col("us") > col("tp"))
+            .groupBy("user_id").agg(min("us").as("t"))
+        })
+    }.flatten
+    firsts.zipWithIndex.map { case (df, i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("stage"),
+          lit(stages.take(i + 1).mkString(">")).as("funnel_step"), col("n_users"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Weekly retention cohorts: users grouped by the week of their FIRST
+    * event, counted once per (cohort, weeks-since-first) they were active
+    * in. Week arithmetic is integer days-since-epoch div 7 — no calendar
+    * truncation semantics to disagree on between engines. Plan: first-day
+    * per user (partial-agg on the user key), join back (same key, layout
+    * reused), project to (cohort, offset, user), distinct + count — every
+    * exchange keyed and linear; the cohort matrix itself is O(weeks²)
+    * rows regardless of event volume. */
+  def retentionCohorts(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val evDays = events.select(col(userCol).as("user_id"),
+      expr(s"unix_micros($tsCol) div 86400000000").as("day"))
+    val first = evDays.groupBy("user_id").agg(min("day").as("first_day"))
+    evDays.join(first, "user_id")
+      .select(col("user_id"), expr("first_day div 7").as("cohort_week"),
+        expr("(day - first_day) div 7").as("week_offset"))
+      .distinct()
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
 
   /** DuckDB rendering of the deterministic HLL in `hllEstimate` — identical
     * hash, register, and estimate arithmetic (format('{:b}', x) ≡ bin(x)). */

@@ -13,6 +13,32 @@ object TextQueries {
 
   private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
 
+  /** Linear quality classifier over hashed unigram features (fastText
+    * shape): token → md5-48 mod `buckets`, bucket weights summed per doc,
+    * logit thresholded at 0. `weights` defaults to the deterministic
+    * stand-in table (integer centi-logits in [−100,100] from md5 of the
+    * bucket id) so results are engine-reproducible; a trained checkpoint
+    * drops in as any (bucket, w) table of the same shape. The model is a
+    * broadcast dim — inference is one narrow probe + one per-doc
+    * partial-agg exchange; the corpus never shuffles against the model. */
+  def qualityClassifier(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 1024, weights: Option[DataFrame] = None): DataFrame = {
+    val spark = df.sparkSession
+    val wtab = weights.getOrElse(
+      spark.range(0, buckets).toDF("bucket")
+        .withColumn("w", pmod(Dedup.md5Int48(
+          concat(lit("w|"), col("bucket").cast("string"))), lit(201)) - 100))
+    df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .withColumn("bucket", pmod(Dedup.md5Int48(col("tok")), lit(buckets)))
+      .join(broadcast(wtab), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("w").as("logit_centi"))
+      .select(col("doc_id"), col("n_tokens"), col("logit_centi"),
+        (expr("((logit_centi + 100 * n_tokens) * 10) div n_tokens") - 1000)
+          .as("avg_millilogit"),
+        (col("logit_centi") > 0).as("flag_keep"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_token_count" -> ((s, d) =>
       docs(s, d).select(
@@ -370,23 +396,8 @@ object TextQueries {
     // numerator so the integer division never sees a negative operand
     // (Spark `div` truncates toward zero, DuckDB `//` floors — they agree
     // only on non-negatives).
-    "q_quality_classifier" -> ((s, d) => {
-      val buckets = 1024
-      val wtab = s.range(0, buckets).toDF("bucket")
-        .withColumn("w", pmod(Dedup.md5Int48(
-          concat(lit("w|"), col("bucket").cast("string"))), lit(201)) - 100)
-      docs(s, d)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-        .withColumn("bucket", pmod(Dedup.md5Int48(col("tok")), lit(buckets)))
-        .join(broadcast(wtab), Seq("bucket"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"), sum("w").as("logit_centi"))
-        .select(col("doc_id"), col("n_tokens"), col("logit_centi"),
-          (expr("((logit_centi + 100 * n_tokens) * 10) div n_tokens") - 1000)
-            .as("avg_millilogit"),
-          (col("logit_centi") > 0).as("flag_keep"))
-        .orderBy("doc_id")
-    }),
+    "q_quality_classifier" -> ((s, d) =>
+      qualityClassifier(docs(s, d), "doc_id", "text").orderBy("doc_id")),
   )
 
   // ---- oracle SQL ------------------------------------------------------

@@ -215,6 +215,33 @@ object StreamingDiff {
       .dropDuplicatesWithinWatermark("doc_id", "match_id")
   }
 
+  /** Ingest-time curation pipeline — the streaming spelling of the batch
+    * corpus build (`q_pipeline_e2e`): exact dedup → quality filter →
+    * benchmark decontamination, composed as ONE streaming query. Dedup is
+    * the only stateful stage (one boolean per distinct content hash,
+    * watermark TTL); the quality gate is a stateless codegen'd filter on
+    * the same `qualityScore` column the batch gate uses; decontamination
+    * is an EXACT per-row membership test against the broadcast benchmark
+    * shingle-hash set — eval sets are KB–MB by nature (the batch
+    * `contaminatedIds` broadcasts the same index), so there is no
+    * stream-stream join and no second state store. The per-row kernel
+    * `Dedup.shingleHashesOf` is spec-pinned bit-identical to the batch
+    * shingling, so a doc is dropped here iff the batch operator would
+    * flag it; docs shorter than `n` tokens carry no n-gram and pass
+    * vacuously, exactly like the batch side. */
+  def streamingCurate(docs: Dataset[Doc], benchmark: DataFrame,
+      minScore: Long = 2L, n: Int = 5): Dataset[Doc] = {
+    import docs.sparkSession.implicits._
+    import graft.dedup.Dedup
+    val bench: Set[Long] = Dedup.benchmarkIndex(benchmark, "doc_id", "text", n)
+      .collect().map(_.getLong(0)).toSet
+    val bc = docs.sparkSession.sparkContext.broadcast(bench)
+    streamingDedup(docs)
+      .where(graft.text.TextFunctions.qualityScore(col("text")) >= minScore)
+      .as[Doc]
+      .filter(d => !Dedup.shingleHashesOf(d.text, n).exists(bc.value.contains))
+  }
+
   /** Streaming exact dedup for a document feed: state per content hash
     * remembers whether the content was ever emitted; replays and late
     * copies are dropped. The batch analogue is `Dedup.exactGroups` — this

@@ -1383,4 +1383,57 @@ class StreamingDiffSpec extends AnyFunSuite {
     q.stop()
     assert(got == Set(1L, 2L, 5L)) // 3 and 4 are duplicate content
   }
+
+  test("streaming curate: dedup, quality gate, and decontamination in one query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((100L, "secret eval question about spark internals"))
+      .toDF("doc_id", "text")
+    // ~25 tokens, 100-2000 chars, contains a stopword → score 100
+    def good(tag: String) =
+      s"the $tag corpus document carries twenty five ordinary tokens " +
+        s"spread across a sentence long enough to clear every quality " +
+        s"threshold comfortably $tag"
+    val contaminated =
+      "the leaked document embeds secret eval question about spark internals " +
+        "inside an otherwise long and perfectly ordinary high quality sentence " +
+        "with plenty of tokens"
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingDiff.Doc]
+    val q = StreamingDiff.streamingCurate(input.toDS(), bench, minScore = 60L)
+      .writeStream.format("memory").queryName("scurate").outputMode("append").start()
+    def doc(id: Long, t: String, ts: Long) = StreamingDiff.Doc(id, t, new java.sql.Timestamp(ts))
+    input.addData(
+      doc(1, good("alpha"), 1000),
+      doc(2, good("alpha"), 2000),   // exact duplicate of 1 → dedup drops
+      doc(3, contaminated, 3000),    // benchmark 5-gram → decontamination drops
+      doc(4, "tiny noise", 4000),    // score 20 < 60 → quality gate drops
+      doc(5, good("beta"), 5000))
+    q.processAllAvailable()
+    val got = spark.table("scurate").as[StreamingDiff.Doc].collect().map(_.doc_id).toSet
+    q.stop()
+    assert(got == Set(1L, 5L))
+    // each drop agrees with its batch counterpart
+    val corpus = Seq(3L -> contaminated).toDF("doc_id", "text")
+    assert(graft.dedup.Dedup.contaminatedIds(corpus, bench, "doc_id", "text")
+      .as[Long].collect().toSeq == Seq(3L))
+    val scores = Seq(good("alpha"), "tiny noise").toDF("text")
+      .select(graft.text.TextFunctions.qualityScore(col("text"))).as[Long].collect()
+    assert(scores(0) >= 60L && scores(1) < 60L, scores.toSeq.toString)
+  }
+
+  test("shingleHashesOf is bit-identical to the batch shingling") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g"), (2L, "x  y z"), (3L, "one"), (4L, ""))
+      .toDF("doc_id", "text")
+    for (n <- Seq(3, 5)) {
+      val batch = graft.dedup.Dedup.shingleIndexRaw(docs, "doc_id", "text", n)
+        .select(col("doc_id"), graft.dedup.Dedup.md5Int48(col("s")).as("h"))
+        .as[(Long, Long)].collect().groupBy(_._1).view
+        .mapValues(_.map(_._2).toSeq.sorted).toMap
+      val local = docs.as[(Long, String)].collect().map { case (id, t) =>
+        id -> graft.dedup.Dedup.shingleHashesOf(t, n).sorted
+      }.filter(_._2.nonEmpty).toMap
+      assert(local == batch, s"n=$n")
+    }
+  }
 }
