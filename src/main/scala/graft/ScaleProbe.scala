@@ -6,7 +6,10 @@ import org.apache.spark.sql.functions._
 /** Ad-hoc scale measurements on SYNTHESIZED large inputs (the sf fixtures
   * stop at 0.1) — the source of PERFORMANCE.md's "measured at 100×" numbers,
   * kept as a main so the measurements are reproducible, not folklore.
-  * Run: `sbt "runMain graft.ScaleProbe [n_vectors] [n_rows]"`. */
+  * Run: `SPARK_DRIVER_MEM=48g sbt "runMain graft.ScaleProbe [n_vectors]
+  * [n_rows]"` — the default 8g forked heap OOMs in the packSequences
+  * checkpoint at the default 60M rows (the probe sizes are chosen to need
+  * a real executor's memory, that is the point of them). */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val nVec = if (args.nonEmpty) args(0).toInt else 200000
@@ -109,6 +112,40 @@ object ScaleProbe {
       noop(graft.operators.CurationQueries.dupPassageSpans(passDocs, "doc_id", "text")))
     time(s"cutDupPassages ($nDocs docs)")(
       noop(graft.operators.CurationQueries.cutDupPassages(passDocs, "doc_id", "text")))
+
+    // ---- classifier inference + training export at the same 10× corpus ---
+    // The classifier is one narrow broadcast-probe pass + one per-doc
+    // partial-agg exchange; the export is a broadcast cross join + one
+    // window bounded by the chosen shard size (1024 shards here — the
+    // file-sized-shard discipline, ~600 rows/shard at this corpus).
+    time(s"qualityClassifier ($nDocs docs)")(
+      noop(graft.operators.TextQueries.qualityClassifier(passDocs, "doc_id", "text")))
+    time(s"trainShuffle 2 epochs x1024 shards")(
+      noop(graft.operators.CurationQueries.trainShuffle(passDocs, "doc_id",
+        nEpochs = 2, nShards = 1024)))
+
+    // ---- funnel + retention at ~30× the events fixture -------------------
+    // nRows/10 events over nRows/600 users (~100 events/user), five event
+    // types, a 90-day spread: every exchange in both operators is keyed on
+    // user_id (funnel: one filtered partial-agg + join per stage;
+    // retention: first-day agg + join back + distinct), so both are
+    // shuffle-linear in events and never hold more than one timestamp per
+    // user per stage.
+    val nEv = nRows / 10
+    val nUsers = (nRows / 600).max(1000L)
+    val events = spark.range(nEv)
+      .select(col("id").as("event_id"),
+        timestamp_micros(lit(1700000000000000L) +
+          pmod(col("id") * 7919L, lit(7776000L)) * 1000000L).as("ts"),
+        pmod(col("id") * 104729L, lit(nUsers)).as("user_id"),
+        element_at(array(lit("view"), lit("click"), lit("purchase"),
+          lit("error"), lit("signup")),
+          (pmod(col("id") * 31L, lit(5L)) + 1).cast("int")).as("event_type"))
+    time(s"funnel ($nEv events, $nUsers users)")(
+      noop(graft.operators.RelationalQueries.funnel(
+        events, "user_id", "event_type", "ts", Seq("view", "click", "purchase"))))
+    time(s"retentionCohorts ($nEv events)")(
+      noop(graft.operators.RelationalQueries.retentionCohorts(events, "user_id", "ts")))
 
     // ---- incremental dedup: delta LSH against a STORED band index --------
     // The refresh economics claim, measured: a 1% delta band-joined against

@@ -92,6 +92,13 @@ object TextQueries {
     "q_simhash" -> ((s, d) =>
       Dedup.simhash(docs(s, d), "doc_id", "text").orderBy("doc_id")),
 
+    // SimHash pairing: the pigeonhole block join (see Dedup.simhashNearDup)
+    // — EXACT Hamming-≤3 pairs without the O(n²) all-pairs scan the oracle
+    // brute-forces.
+    "q_simhash_neardup" -> ((s, d) =>
+      Dedup.simhashNearDup(docs(s, d), "doc_id", "text")
+        .orderBy("doc_a", "doc_b")),
+
     // TF-IDF term ranking with an INTEGER idf — floor(log2(N/df))+1 via
     // binary-string length — so scores are exact integers and reproducible
     // on any engine (float log() differs in the last ulp across libms).
@@ -764,6 +771,27 @@ object TextQueries {
          |SELECT doc_id,
          |  CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
          |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // The oracle brute-forces the all-pairs Hamming join the pigeonhole
+    // block join avoids — both must emit identical pairs (the block join
+    // is exact by the pigeonhole bound).
+    "q_simhash_neardup" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest(list_distinct($toks)) AS tok FROM documents),
+         |bits AS (
+         |  SELECT doc_id, i,
+         |    SUM(CASE WHEN ((('0x' || substring(md5(tok), 1, 12))::BIGINT >> i) & 1) = 1
+         |        THEN 1 ELSE -1 END) AS s
+         |  FROM tk, range(48) r(i) GROUP BY doc_id, i),
+         |sim AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY doc_id)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY 1, 2""".stripMargin,
 
     "q_quality_classifier" ->
       s"""WITH wtab AS (

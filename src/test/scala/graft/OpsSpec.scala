@@ -35,6 +35,29 @@ class DedupSpec extends AnyFunSuite {
     assert(g.length == 1 && g(0).getLong(1) == 0L && g(0).getLong(2) == 3L)
   }
 
+  test("simhashNearDup equals the brute-force all-pairs Hamming join") {
+    // random docs over a tiny vocab so near-identical token SETS (and so
+    // low-Hamming simhash pairs) occur naturally; exact dups give d = 0
+    val rnd = new scala.util.Random(7L)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    def text() = Seq.fill(4 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val data = (0L until 40L).map(i => (i, text())) ++ Seq((100L, "a b c"), (101L, "a b c"))
+    val df = data.toDF("doc_id", "text")
+    val got = Dedup.simhashNearDup(df, "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val sigs = Dedup.simhash(df, "doc_id", "text")
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib, h.toLong)).toSet
+    assert(got == brute)
+    assert(got.contains((100L, 101L, 0L)), "exact dup pair must appear at d=0")
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDup(df, "doc_id", "text", maxHamming = 4) // 48 % 5 != 0
+    }
+  }
+
   test("deltaMinhashCandidates equals the full LSH restricted to delta pairs") {
     // index: 3 docs (0 ≈ 1 near-dups, 2 distinct). delta: 10 is a copy of
     // 0 (cross-quadrant hit), 11/12 are copies of each other but nothing
