@@ -12,6 +12,33 @@ object SchemaTools {
   final case class ColDiff(name: String, aType: Option[String], bType: Option[String],
       status: String)
 
+  /** Referential-integrity validation — the FK companion to
+    * `TableSegment.validateKeys` (which checks PK uniqueness/nulls):
+    * counts child rows whose key has no parent. NULL child keys count as
+    * orphans (they reference nothing) and are reported separately so a
+    * nullable-FK schema can subtract them. Plan: the child side reduces to
+    * one partial-aggregated row per distinct key BEFORE the join (a
+    * billion-row child with a million distinct keys joins a million rows),
+    * then a left-anti against the parent keys — both sides shuffle on the
+    * key, AQE broadcasts the parent when it is small. One summary row out;
+    * nothing corpus-sized ever reaches the driver. */
+  def refIntegrity(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val perKey = child.groupBy(col(childKey).as("k"))
+      .agg(count(lit(1)).as("n"))
+    val orphans = perKey.where(col("k").isNotNull)
+      .join(parent.select(col(parentKey).as("k")).distinct(), Seq("k"), "left_anti")
+      .agg(coalesce(sum("n"), lit(0L)).as("n_orphan_rows"),
+        count(lit(1)).as("n_orphan_keys"))
+    val totals = child.agg(count(lit(1)).as("n_child_rows"),
+      sum(when(col(childKey).isNull, 1L).otherwise(0L)).as("n_null_keys"))
+    totals.crossJoin(orphans)
+      .select(col("n_child_rows"),
+        coalesce(col("n_null_keys"), lit(0L)).as("n_null_keys"),
+        col("n_orphan_rows"), col("n_orphan_keys"))
+  }
+
   /** Column-by-column comparison of the two sides' schemas (reference:
     * __main__.py:78-100 diff_schemas — same-DB diffs warn on mismatches
     * before diffing values). `caseSensitive = false` (the default) matches

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.diff.{Checksum, HashDiffer, JoinDiffer, Normalize, TableSegment}
+import graft.diff.{Checksum, HashDiffer, JoinDiffer, Normalize, SchemaTools, TableSegment}
 
 /** The flagship diff operators (SURVEY.md §2.8) wired into the correctness
   * gate. The second table of each diff is a deterministic in-plan mutation of
@@ -111,6 +111,15 @@ object DiffQueries {
         count(lit(1)).as("total"),
         countDistinct(col("o_orderkey")).as("distinct_keys"),
         sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("null_keys"))),
+
+    // FK referential integrity (see SchemaTools.refIntegrity) — the parent
+    // side drops every o_orderkey % 97 == 0 (the same delete the diff
+    // fixtures use), so the orphan counts are non-vacuous and the oracle
+    // rebuilds the identical broken pair.
+    "q_ref_integrity" -> ((s, d) =>
+      SchemaTools.refIntegrity(
+        Tables.load(s, d, "lineitem"), "l_orderkey",
+        orders(s, d).where(col("o_orderkey") % 97 =!= 0), "o_orderkey")),
   )
 
   // ---- oracle SQL ------------------------------------------------------
@@ -229,5 +238,18 @@ object DiffQueries {
       """SELECT COUNT(*) AS total, COUNT(DISTINCT o_orderkey) AS distinct_keys,
         |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_keys
         |FROM orders""".stripMargin,
+
+    "q_ref_integrity" ->
+      """WITH p AS (
+        |  SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey % 97 <> 0),
+        |pk AS (SELECT l_orderkey AS k, COUNT(*) AS n FROM lineitem GROUP BY 1),
+        |orph AS (
+        |  SELECT pk.k, pk.n FROM pk LEFT JOIN p ON pk.k = p.o_orderkey
+        |  WHERE pk.k IS NOT NULL AND p.o_orderkey IS NULL)
+        |SELECT (SELECT COUNT(*) FROM lineitem) AS n_child_rows,
+        |  (SELECT CAST(COALESCE(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |   FROM lineitem) AS n_null_keys,
+        |  CAST(COALESCE((SELECT SUM(n) FROM orph), 0) AS BIGINT) AS n_orphan_rows,
+        |  (SELECT COUNT(*) FROM orph) AS n_orphan_keys""".stripMargin,
   )
 }

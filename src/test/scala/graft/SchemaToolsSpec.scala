@@ -47,4 +47,20 @@ class SchemaToolsSpec extends AnyFunSuite {
       .map(c => c.name -> c.status).toMap
     assert(sens("ID") == "a_only" && sens("id") == "b_only" && sens("v") == "match")
   }
+
+  test("refIntegrity counts orphan rows/keys and NULL keys separately") {
+    // parent has 1, 2; child references 1 (×2), 2 (×1), 9 (×3 — orphan),
+    // and carries two NULL keys (counted as nulls, not joined)
+    val parent = Seq(1L, 2L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(9L), Some(9L), Some(9L),
+      None, None).toDF("fk")
+    val got = SchemaTools.refIntegrity(child, "fk", parent, "pk")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((8L, 2L, 3L, 1L)))
+    // a fully consistent pair reports zeros
+    val clean = SchemaTools.refIntegrity(
+      Seq(1L, 2L, 2L).toDF("fk"), "fk", parent, "pk")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(clean == Seq((3L, 0L, 0L, 0L)))
+  }
 }
