@@ -651,33 +651,52 @@ object RelationalQueries {
   /** Strict-order funnel over an event stream: a user advances a stage
     * only with an event STRICTLY AFTER their first occurrence of the
     * previous stage — the standard product-analytics funnel, generic over
-    * the stage list. Each stage is one filtered aggregate on the user key
-    * joined to the previous stage's first-occurrence times: every shuffle
-    * in the chain is keyed on the user, so a cluster partitions once and
-    * AQE reuses the layout; per-stage state is one timestamp per surviving
-    * user, monotonically shrinking down the funnel. Epoch-micros integer
-    * arithmetic end to end — nothing floats, nothing calendar-dependent.
+    * the stage list.
+    *
+    * Plan shape (audited): the naive spelling — one filtered aggregate per
+    * stage, each joined to the previous stage's times — scans the event
+    * table O(stages²) times because every union branch recomputes its
+    * whole prefix chain. This spelling is ONE scan and ONE data-sized
+    * exchange instead: filter to the stage event types (pushed to the
+    * scan), hash-partition by user once, then layer per-stage conditional
+    * window minimums over that single partitioning — `t_i = min(us WHERE
+    * et = stage_i AND us > t_{i-1}) OVER (PARTITION BY user)` references
+    * the previous stage's column, so Catalyst runs the Window operators
+    * back to back in-partition with NO further exchange (each is
+    * partition-bounded, same key). The per-user reduction afterwards
+    * reuses the same partitioning (zero-exchange groupBy), and only
+    * `stages` partial-count rows cross the final single-partition
+    * exchange. Epoch-micros integer arithmetic end to end.
     * Output: (stage, funnel_step, n_users), one row per stage prefix. */
   def funnel(events: DataFrame, userCol: String, typeCol: String,
       tsCol: String, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
-    val ev = events.select(col(userCol).as("user_id"), col(typeCol).as("et"),
-      unix_micros(col(tsCol)).as("us"))
-    val firsts = stages.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
-      case (prev, (stage, _)) =>
-        val hits = ev.where(col("et") === stage)
-        Some(prev match {
-          case None => hits.groupBy("user_id").agg(min("us").as("t"))
-          case Some(p) => hits.join(p.select(col("user_id"), col("t").as("tp")), "user_id")
-            .where(col("us") > col("tp"))
-            .groupBy("user_id").agg(min("us").as("t"))
-        })
-    }.flatten
-    firsts.zipWithIndex.map { case (df, i) =>
-      df.agg(count(lit(1)).as("n_users"))
-        .select(lit(i + 1L).as("stage"),
-          lit(stages.take(i + 1).mkString(">")).as("funnel_step"), col("n_users"))
-    }.reduce(_.unionByName(_))
+    val w = Window.partitionBy("user_id")
+    var cur = events
+      .select(col(userCol).as("user_id"), col(typeCol).as("et"),
+        unix_micros(col(tsCol)).as("us"))
+      .where(col("et").isin(stages: _*))
+    stages.zipWithIndex.foreach { case (stage, i) =>
+      val cond =
+        if (i == 0) col("et") === stage
+        else col("et") === stage && col(s"_t${i - 1}").isNotNull &&
+          col("us") > col(s"_t${i - 1}")
+      cur = cur.withColumn(s"_t$i", min(when(cond, col("us"))).over(w))
+    }
+    val perUser = cur.groupBy("user_id")
+      .agg(stages.indices.map(i => max(col(s"_t$i")).as(s"_t$i")).head,
+        stages.indices.map(i => max(col(s"_t$i")).as(s"_t$i")).tail: _*)
+    val counts = perUser.agg(
+      stages.indices.map(i =>
+        sum(when(col(s"_t$i").isNotNull, 1L).otherwise(0L)).as(s"_n$i")).head,
+      stages.indices.map(i =>
+        sum(when(col(s"_t$i").isNotNull, 1L).otherwise(0L)).as(s"_n$i")).tail: _*)
+    counts
+      .select(explode(array(stages.indices.map(i => struct(
+        lit(i + 1L).as("stage"),
+        lit(stages.take(i + 1).mkString(">")).as("funnel_step"),
+        coalesce(col(s"_n$i"), lit(0L)).as("n_users"))): _*)).as("r"))
+      .select("r.stage", "r.funnel_step", "r.n_users")
   }
 
   /** Weekly retention cohorts: users grouped by the week of their FIRST

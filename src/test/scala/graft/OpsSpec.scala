@@ -483,6 +483,19 @@ class EventsAnalyticsSpec extends AnyFunSuite {
       (3L, "view>click>purchase", 1L)))
   }
 
+  test("funnel plans one scan and one data-sized exchange regardless of stage count") {
+    // the chained-join spelling scanned events O(stages²) times (audited:
+    // 6 scans / 11 exchanges for 3 stages); the window-cascade spelling
+    // must stay at ONE scan + the user hash partition + the final
+    // single-partition of per-stage partial counts
+    val plan = graft.operators.RelationalQueries.funnel(
+      graft.Tables.load(spark, dir, "events"),
+      "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+      .queryExecution.executedPlan.toString
+    assert("FileScan".r.findAllIn(plan).size == 1, plan)
+    assert("Exchange".r.findAllIn(plan).size == 2, plan)
+  }
+
   test("retention cohorts count each user once per active week offset") {
     val got = graft.operators.RelationalQueries.queries("q_retention_cohorts")(spark, dir)
       .as[(Long, Long, Long)].collect().toSeq
