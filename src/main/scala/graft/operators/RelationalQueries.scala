@@ -708,10 +708,16 @@ object RelationalQueries {
     * exchange keyed and linear; the cohort matrix itself is O(weeks²)
     * rows regardless of event volume. */
   def retentionCohorts(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
-    val evDays = events.select(col(userCol).as("user_id"),
+    // first_day as a window min over the same user partitioning, not a
+    // self-join: one scan, and the per-user distinct that follows runs
+    // IN PLACE because HashPartitioning(user_id) already clusters every
+    // (user, cohort, offset) group — the only other exchange is the final
+    // cohort-matrix aggregation of one-row-per-user-week partials
+    // (plan pinned in the spec: 1 scan, 2 exchanges)
+    val w = Window.partitionBy("user_id")
+    events.select(col(userCol).as("user_id"),
       expr(s"unix_micros($tsCol) div 86400000000").as("day"))
-    val first = evDays.groupBy("user_id").agg(min("day").as("first_day"))
-    evDays.join(first, "user_id")
+      .withColumn("first_day", min("day").over(w))
       .select(col("user_id"), expr("first_day div 7").as("cohort_week"),
         expr("(day - first_day) div 7").as("week_offset"))
       .distinct()

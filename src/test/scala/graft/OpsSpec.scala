@@ -494,6 +494,13 @@ class EventsAnalyticsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert("FileScan".r.findAllIn(plan).size == 1, plan)
     assert("Exchange".r.findAllIn(plan).size == 2, plan)
+    // retention: window-min first_day (no self-join), distinct reuses the
+    // user partitioning in place → 1 scan, 2 exchanges as well
+    val rplan = graft.operators.RelationalQueries.retentionCohorts(
+      graft.Tables.load(spark, dir, "events"), "user_id", "ts")
+      .queryExecution.executedPlan.toString
+    assert("FileScan".r.findAllIn(rplan).size == 1, rplan)
+    assert("Exchange".r.findAllIn(rplan).size == 2, rplan)
   }
 
   test("retention cohorts count each user once per active week offset") {
