@@ -242,6 +242,63 @@ object StreamingDiff {
       .filter(d => !Dedup.shingleHashesOf(d.text, n).exists(bc.value.contains))
   }
 
+  case class UserEvent(user_id: Long, ts: Timestamp)
+  case class SessionOut(user_id: Long, session_idx: Long, n_events: Long,
+      start_us: Long, end_us: Long)
+  /** (start_us, end_us, n_events) per not-yet-final session; `emitted`
+    * preserves the per-user session index across emissions. */
+  case class SessionState(emitted: Long, open: Seq[(Long, Long, Long)])
+
+  /** Streaming gap-based sessionization — the continuous spelling of the
+    * batch `q_sessionize` (30-minute gap): events merge into per-user
+    * interval state, and a session is emitted ONLY once the event-time
+    * watermark passes its end + gap — at that point no surviving event
+    * (all have ts > watermark) can extend or bridge it, so the emitted
+    * session is FINAL and bit-equal to what the batch window pass computes
+    * over the same events; out-of-order arrivals within the watermark
+    * merge correctly (including an event BRIDGING two open sessions into
+    * one). State per user is the open-session list — bounded by the
+    * watermark horizon over the gap, not by stream length — plus one
+    * emitted counter; the event-time timeout fires exactly at the first
+    * open session's close point. */
+  def streamingSessionize(events: Dataset[UserEvent],
+      gapUs: Long = 1800000000L, watermark: String = "30 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    def usOf(t: Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, it: Iterator[UserEvent], state: GroupState[SessionState]) =>
+          val st = state.getOption.getOrElse(SessionState(0L, Nil))
+          // merge incoming events into the open intervals: sort by start,
+          // coalesce any adjacent pair within the gap (this is what makes
+          // a late bridging event join two sessions)
+          val pts = it.map(e => (usOf(e.ts), usOf(e.ts), 1L)).toSeq
+          val merged = (st.open ++ pts).sortBy(s => (s._1, s._2))
+            .foldLeft(List.empty[(Long, Long, Long)]) {
+              case (acc @ (ps, pe, pn) :: rest, (s, e, n)) =>
+                if (s - pe <= gapUs) (ps, math.max(pe, e), pn + n) :: rest
+                else (s, e, n) :: acc
+              case (Nil, x) => x :: Nil
+            }.reverse
+          // watermark in micros; sessions whose close point it passed are final
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (closed, open) = merged.partition { case (_, e, _) => e + gapUs < wmUs }
+          val out = closed.sortBy(_._1).zipWithIndex.map { case ((s, e, n), i) =>
+            SessionOut(user, st.emitted + i + 1, n, s, e)
+          }
+          state.update(SessionState(st.emitted + closed.size, open))
+          if (open.nonEmpty)
+            state.setTimeoutTimestamp(open.map(_._2).min / 1000L + gapUs / 1000L + 1L)
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup for a document feed: state per content hash
     * remembers whether the content was ever emitted; replays and late
     * copies are dropped. The batch analogue is `Dedup.exactGroups` — this

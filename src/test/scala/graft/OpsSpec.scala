@@ -1464,6 +1464,52 @@ class StreamingDiffSpec extends AnyFunSuite {
     assert(scores(0) >= 60L && scores(1) < 60L, scores.toSeq.toString)
   }
 
+  test("streaming sessionize: watermark-final sessions equal the batch window pass") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingDiff.UserEvent]
+    val q = StreamingDiff.streamingSessionize(input.toDS())
+      .writeStream.format("memory").queryName("ssess").outputMode("append").start()
+    // two open sessions 2000 s apart (> the 1800 s gap) ...
+    input.addData(StreamingDiff.UserEvent(1L, ts(5000)),
+      StreamingDiff.UserEvent(1L, ts(7000)),
+      StreamingDiff.UserEvent(2L, ts(6000)))
+    q.processAllAvailable()
+    // ... BRIDGED by a late in-watermark arrival into one session of 3
+    input.addData(StreamingDiff.UserEvent(1L, ts(6000)))
+    q.processAllAvailable()
+    // sentinel advances the watermark past 7000+1800 → u1/u2 emit via
+    // their event-time TIMEOUTS (they get no data in this batch)
+    input.addData(StreamingDiff.UserEvent(99L, ts(20000)))
+    q.processAllAvailable()
+    // a later u1 session; second sentinel closes it and u99's first
+    input.addData(StreamingDiff.UserEvent(1L, ts(19000)))
+    q.processAllAvailable()
+    input.addData(StreamingDiff.UserEvent(99L, ts(30000)))
+    q.processAllAvailable()
+    val got = spark.table("ssess").as[StreamingDiff.SessionOut].collect()
+      .map(s => (s.user_id, s.session_idx, s.n_events, s.start_us, s.end_us)).toSet
+    q.stop()
+    val M = 1000000L
+    assert(got == Set(
+      (1L, 1L, 3L, 5000 * M, 7000 * M),
+      (1L, 2L, 1L, 19000 * M, 19000 * M),
+      (2L, 1L, 1L, 6000 * M, 6000 * M),
+      (99L, 1L, 1L, 20000 * M, 20000 * M)))
+    // batch parity: the same events through the batch q_sessionize rule
+    // (u99's 30000 s event is still OPEN in the stream, so exclude it)
+    val dir = java.nio.file.Files.createTempDirectory("ss").toString
+    Seq((1L, 5000L), (1L, 7000L), (2L, 6000L), (1L, 6000L), (1L, 19000L), (99L, 20000L))
+      .zipWithIndex.map { case ((u, sec), i) => (i.toLong, ts(sec), u, "view", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = graft.operators.RelationalQueries.queries("q_sessionize")(spark, dir)
+      .select("user_id", "session_idx", "n_events", "start_us", "end_us")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(batch == got)
+  }
+
   test("shingleHashesOf is bit-identical to the batch shingling") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f g"), (2L, "x  y z"), (3L, "one"), (4L, ""))
