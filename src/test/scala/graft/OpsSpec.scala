@@ -503,6 +503,36 @@ class EventsAnalyticsSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(rplan).size == 2, rplan)
   }
 
+  test("fuzz: funnel agrees with a brute-force reference on random event sets") {
+    val stages = Seq("view", "click", "purchase")
+    val types = stages ++ Seq("error", "signup")
+    val rnd = new scala.util.Random(21L)
+    for (round <- 1 to 15) {
+      val evs = for {
+        _ <- 0 until (5 + rnd.nextInt(60))
+      } yield (rnd.nextInt(6).toLong, types(rnd.nextInt(types.size)),
+        (1000L + rnd.nextInt(500)) * 1000000L) // whole-second micros
+      val want: Seq[Long] = stages.indices.map { k =>
+        evs.groupBy(_._1).values.count { u =>
+          var prev = Option.empty[Long]
+          var ok = true
+          for (i <- 0 to k if ok) {
+            val cand = u.collect { case (_, t, us)
+              if t == stages(i) && prev.forall(us > _) => us }
+            if (cand.isEmpty) ok = false else prev = Some(cand.min)
+          }
+          ok
+        }.toLong
+      }
+      val df = evs.map { case (u, t, us) =>
+        (u, t, new java.sql.Timestamp(us / 1000L)) }.toDF("user_id", "event_type", "ts")
+      val got = graft.operators.RelationalQueries
+        .funnel(df, "user_id", "event_type", "ts", stages)
+        .orderBy("stage").select("n_users").as[Long].collect().toSeq
+      assert(got == want, s"round $round: got $got want $want events $evs")
+    }
+  }
+
   test("retention cohorts count each user once per active week offset") {
     val got = graft.operators.RelationalQueries.queries("q_retention_cohorts")(spark, dir)
       .as[(Long, Long, Long)].collect().toSeq
