@@ -245,6 +245,31 @@ object CurationQueries {
       .select("epoch", "shard", "seq", "doc_id", "sort_key")
   }
 
+  /** Materialize one epoch of the training-export shuffle as SORTED SHARD
+    * FILES — the layout a trainer's data loader streams: exactly one
+    * parquet file per shard directory (`epoch=<e>/shard=<s>/`), rows
+    * inside each file in the epoch's permutation order. The plan is the
+    * write-side of `trainShuffle`: repartition on (epoch, shard) puts each
+    * shard wholly in one task (one file per shard by construction — never
+    * a per-shard coalesce job), `sortWithinPartitions` orders the task's
+    * rows before the writer sees them, and `partitionBy` splits the task's
+    * output into its shard directories. Payload columns ride along, so the
+    * written files are the training data itself, not an id manifest. */
+  def writeTrainShards(df: DataFrame, idCol: String, path: String,
+      nEpochs: Int, nShards: Int): Unit = {
+    require(nEpochs > 0 && nShards > 0,
+      s"writeTrainShards needs positive epochs/shards, got $nEpochs/$nShards")
+    val epochs = df.sparkSession.range(0, nEpochs.toLong).toDF("epoch")
+    df.crossJoin(broadcast(epochs))
+      .withColumn("sort_key", Dedup.md5Int48(concat(
+        lit("ep"), col("epoch").cast("string"), lit("|"),
+        col(idCol).cast("string"))))
+      .withColumn("shard", pmod(col("sort_key"), lit(nShards)))
+      .repartition(col("epoch"), col("shard"))
+      .sortWithinPartitions("epoch", "shard", "sort_key", idCol)
+      .write.partitionBy("epoch", "shard").mode("overwrite").parquet(path)
+  }
+
   val queries: Map[String, Q] = Map(
     // PII masking before training. The synthetic corpus carries no real
     // PII, so the text under test is assembled deterministically from

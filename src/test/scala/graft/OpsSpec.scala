@@ -422,6 +422,33 @@ class CurationSpec extends AnyFunSuite {
     assert(byEpoch(0L) != byEpoch(1L))
   }
 
+  test("writeTrainShards: one sorted file per shard, ordering matches trainShuffle") {
+    val docs = (0L until 48L).map(i => (i, s"payload$i")).toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("shards").toString + "/export"
+    CurationQueries.writeTrainShards(docs, "doc_id", out, nEpochs = 2, nShards = 4)
+    // exactly one parquet file per (epoch, shard) directory
+    for (e <- 0 to 1; s <- 0 to 3) {
+      val dir = new java.io.File(s"$out/epoch=$e/shard=$s")
+      val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"epoch=$e shard=$s: ${dir.listFiles().toSeq}")
+      // file order IS the permutation order: reading the single file split
+      // yields rows as written
+      val rows = spark.read.parquet(files(0).getPath)
+        .select("sort_key", "doc_id").as[(Long, Long)].collect().toSeq
+      assert(rows == rows.sortBy(r => (r._1, r._2)), s"epoch=$e shard=$s unsorted")
+      assert(rows.forall(_._1 % 4 == s), s"epoch=$e shard=$s wrong shard members")
+    }
+    // the written corpus is complete per epoch and matches trainShuffle's
+    // assignment
+    val back = spark.read.parquet(out)
+    assert(back.count() == 96)
+    val fromOp = CurationQueries.trainShuffle(docs, "doc_id", nEpochs = 2, nShards = 4)
+      .select("epoch", "shard", "doc_id").as[(Long, Long, Long)].collect().toSet
+    val written = back.select(col("epoch").cast("long"), col("shard").cast("long"),
+      col("doc_id")).as[(Long, Long, Long)].collect().toSet
+    assert(written == fromOp)
+  }
+
   test("pack efficiency: padded-vs-packed arithmetic on a hand-computed corpus") {
     // token counts 5, 32, 33, 80 → padded seqs 1+1+2+3 = 7, total 150,
     // padding 7*32-150 = 74, util 150*100 div 224 = 66, packed ceil = 5
