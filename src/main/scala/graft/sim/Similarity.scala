@@ -215,6 +215,143 @@ object Similarity {
       }.toDF("vid", "acell")
   }
 
+  /** Multi-probe variant of the assignment kernel: each vector's `nProbe`
+    * best cells by the same (score DESC, cell ASC) order — the standard
+    * IVF recall knob (probe > 1 cells so near-boundary neighbors in the
+    * runner-up cells are not lost). Same guards, same bit-reproducible
+    * integer arithmetic; ascending-cell iteration with strict-> insertion
+    * keeps ties on the smaller cell id. Returns (vid, probe 1..nProbe,
+    * acell). */
+  private def assignCellsTopN(vecs: DataFrame, idCol: String, vecCol: String,
+      cells: Array[(Long, Array[Long], Long)], maxXi: Long,
+      quantScale: Long, nProbe: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val maxN2 = cells.iterator.map(_._3).foldLeft(0L)(math.max)
+    val maxSxi2 = cells.iterator.flatMap(_._2.iterator)
+      .foldLeft(0L)((m, x) => math.max(m, math.abs(x)))
+    val dim2 = if (cells.isEmpty) 0 else cells.iterator.map(_._2.length).max
+    require(BigInt(maxN2) * BigInt(maxXi) < BigInt(Long.MaxValue) &&
+      BigInt(dim2) * BigInt(maxXi) * BigInt(maxSxi2) < BigInt(Long.MaxValue),
+      s"integer centroid dot would overflow int64 (dim=$dim2 max|xi|=$maxXi " +
+        s"max|sxi|=$maxSxi2) — lower quantScale (currently $quantScale) or raise k.")
+    val bcCells = spark.sparkContext.broadcast(cells)
+    val np = math.min(nProbe, cells.length)
+    vecs
+      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { iter =>
+        val cs = bcCells.value
+        iter.flatMap { case (id, v) =>
+          val xi = new Array[Long](v.length)
+          var i = 0
+          while (i < v.length) { xi(i) = math.floor(v(i) * quantScale).toLong; i += 1 }
+          val topCell = new Array[Long](np)
+          val topScore = new Array[Double](np)
+          java.util.Arrays.fill(topScore, Double.NegativeInfinity)
+          for ((cellId, sxi, n) <- cs) {
+            var s = 0L
+            var p = 0
+            while (p < xi.length) { s += xi(p) * sxi(p); p += 1 }
+            val sc = s.toDouble / n
+            // strict > insertion on ascending cells = (score DESC, cell ASC)
+            var j = np - 1
+            if (sc > topScore(j)) {
+              while (j > 0 && sc > topScore(j - 1)) {
+                topScore(j) = topScore(j - 1); topCell(j) = topCell(j - 1); j -= 1
+              }
+              topScore(j) = sc; topCell(j) = cellId
+            }
+          }
+          (0 until np).iterator
+            .filter(r => topScore(r) != Double.NegativeInfinity)
+            .map(r => (id, (r + 1).toLong, topCell(r)))
+        }
+      }.toDF("vid", "probe", "acell")
+  }
+
+  /** Build and PERSIST an IVF index for serving: the integer centroid
+    * component sums (cells×dims rows) at `path`/centroids and the
+    * per-vector postings (assigned cell + pre-normalized unit vector) at
+    * `path`/postings. Build is one component aggregation + one broadcast
+    * assignment pass; `ivfQueryIndex` then serves arbitrarily many query
+    * batches without ever re-clustering, re-assigning, or re-normalizing
+    * the corpus — the build-once/query-many discipline a 100 TB embedding
+    * store runs (the same persistence philosophy as SnapshotChecksums for
+    * the diff engine). */
+  def saveIvfIndex(vecs: DataFrame, idCol: String, vecCol: String,
+      cellCol: String, path: String, quantScale: Long = 1000000L): Unit = {
+    val dims = vecs.select(col(idCol).as("vid"), col(cellCol).cast("long").as("cell"),
+      posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .withColumn("xi", floor(col("x").cast("double") * quantScale).cast("long"))
+    val cent = dims.groupBy("cell", "pos")
+      .agg(sum(col("xi")).as("sxi"), count(lit(1)).as("n"))
+    cent.write.mode("overwrite").parquet(s"$path/centroids")
+    val cells = collectCentroids(cent)
+    val assigned = assignCells(vecs, idCol, vecCol, cells, maxAbsXi(dims), quantScale)
+    withUnitVector(vecs.select(col(idCol).as("uid"), col(vecCol).as("v")), "v", "nv")
+      .join(broadcast(assigned), col("uid") === col("vid"))
+      .select(col("uid").as("vid"), col("acell").as("cell"), col("nv").as("nv"))
+      .write.mode("overwrite").parquet(s"$path/postings")
+  }
+
+  /** Serve top-k cosine neighbors for NEW query vectors from a persisted
+    * IVF index (`saveIvfIndex`): each query scores against the broadcast
+    * mean centroids (tiny, read from `path`/centroids), probes its
+    * `nProbe` best cells, and runs exact dots against ONLY those cells'
+    * postings — ≈ nProbe/k of the corpus per query, the standard IVF
+    * recall/cost knob (nProbe = number of cells degrades gracefully to
+    * exact brute force — spec-pinned equal to `bruteForceTopK`). The
+    * probed queries are the BROADCAST side of the postings join; the
+    * corpus never shuffles. The candidate budget is checked exactly from
+    * the centroid member counts before any pair materializes. */
+  def ivfQueryIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int, nProbe: Int = 1,
+      quantScale: Long = 1000000L, maxEstCandidates: Long = 2000000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val cent = spark.read.parquet(s"$path/centroids")
+    val cells = collectCentroids(cent)
+    require(cells.nonEmpty, s"empty IVF index at $path")
+    val nQueries = queries.count()
+    val maxCellN = cells.iterator.map(_._3).max
+    val estCandidates = BigInt(nQueries) * BigInt(math.min(nProbe, cells.length)) * BigInt(maxCellN)
+    require(estCandidates <= BigInt(maxEstCandidates),
+      s"ivfQueryIndex with $nQueries queries x $nProbe probes against cells of up " +
+        s"to $maxCellN members bounds candidates at ~$estCandidates " +
+        s"(> $maxEstCandidates). Lower nProbe, or rebuild with more cells.")
+    // query-side max|xi| from the query vectors themselves (the corpus
+    // bound stored nothing — queries are new data)
+    val qdims = queries.select(col("query_id"),
+      posexplode(col("qv")).as(Seq("pos", "x")))
+      .withColumn("xi", floor(col("x").cast("double") * quantScale).cast("long"))
+    val probes = assignCellsTopN(queries, "query_id", "qv", cells,
+      maxAbsXi(qdims), quantScale, nProbe)
+    val qunit = withUnitVector(
+      queries.select(col("query_id").as("qid"), col("qv").as("v")), "v", "qn")
+    val probed = qunit.join(broadcast(probes), col("qid") === col("vid"))
+      .select(col("qid").as("query_id"), col("acell").as("cell"), col("qn"))
+    val postings = spark.read.parquet(s"$path/postings")
+    val sims = postings.join(broadcast(probed), Seq("cell"))
+      .where(col("query_id") =!= col("vid"))
+      .select(col("query_id"), col("vid").as("neighbor_id"), col("qn"), col("nv"))
+      .as[(Long, Long, Array[Double], Array[Double])]
+      .mapPartitions(_.map { case (q, nb, qn, nv) =>
+        var s = 0.0
+        var i = 0
+        while (i < qn.length) { s += qn(i) * nv(i); i += 1 }
+        (q, nb, s)
+      })
+      .toDF("query_id", "neighbor_id", "sim")
+    // no pair dedup needed: every posting lives in exactly ONE cell, so a
+    // (query, neighbor) pair appears once even under multi-probe
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    sims.withColumn("rank", row_number().over(wRank).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
   /** Deterministic distributed k-means (Lloyd's) — produces the cluster
     * column `semanticDupFlags`/`ivfTopK` consume when no label exists.
     * Engine-reproducible end to end: seeds are the k lowest-id vectors

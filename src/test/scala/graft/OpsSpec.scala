@@ -696,6 +696,48 @@ class SimilaritySpec extends AnyFunSuite {
   lazy val spark = SparkTest.spark
   import spark.implicits._
 
+  test("persisted IVF index serves new queries; nProbe=all equals brute force") {
+    // two tight clusters on orthogonal axes + one straggler per cluster
+    // that leans toward the OTHER cluster — the case nProbe=1 can miss
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.05f)), (2L, Array(0.98f, 0.1f)), (3L, Array(0.9f, 0.4f)),
+      (11L, Array(0.05f, 1.0f)), (12L, Array(0.1f, 0.97f)), (13L, Array(0.45f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val labeled = corpus.withColumn("cell",
+      when(col("vec_id") < 10L, 0L).otherwise(1L))
+    val path = java.nio.file.Files.createTempDirectory("ivf").toString + "/idx"
+    Similarity.saveIvfIndex(labeled, "vec_id", "embedding", "cell", path)
+    // queries are NEW vectors, never indexed
+    val queries = Seq(
+      (100L, Array(0.99f, 0.2f)),   // x-cluster query
+      (101L, Array(0.2f, 0.99f)),   // y-cluster query
+      (102L, Array(0.7f, 0.72f)))   // boundary query — needs both cells
+      .toDF("query_id", "qv")
+    def run(nProbe: Int) =
+      Similarity.ivfQueryIndex(spark, path, queries, k = 3, nProbe = nProbe)
+        .select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Long)].collect().toSet
+    // nProbe = number of cells degrades to exact brute force
+    val brute = Similarity.bruteForceTopK(
+      queries, corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
+      k = 3)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(run(2) == brute)
+    // single-probe: the clean-cluster queries (whose true top-3 all live
+    // in their own cell) agree with brute force exactly; the boundary
+    // query lands in the y cell and ranks ONLY that cell's members —
+    // missing its true #2 (vec 3, the x-cell straggler), which is exactly
+    // the recall nProbe=2 buys back
+    val p1 = run(1)
+    assert(p1.filter(_._1 == 100L) == brute.filter(_._1 == 100L))
+    assert(p1.filter(_._1 == 101L) == brute.filter(_._1 == 101L))
+    assert(p1.filter(_._1 == 102L) ==
+      Set((102L, 13L, 1L), (102L, 12L, 2L), (102L, 11L, 3L)))
+    assert(brute.filter(_._1 == 102L).map(_._2).contains(3L))
+    // serving is deterministic across reads of the same index
+    assert(run(2) == brute)
+  }
+
   test("semanticDecontaminate flags training vectors near a benchmark vector") {
     val bench = Seq(
       (100L, Array(1.0f, 0.0f, 0.0f)), (101L, Array(0.0f, 1.0f, 0.0f)))
