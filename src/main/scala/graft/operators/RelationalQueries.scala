@@ -669,8 +669,10 @@ object RelationalQueries {
     * exchange. Epoch-micros integer arithmetic end to end.
     * Output: (stage, funnel_step, n_users), one row per stage prefix. */
   def funnel(events: DataFrame, userCol: String, typeCol: String,
-      tsCol: String, stages: Seq[String]): DataFrame = {
+      tsCol: String, stages: Seq[String],
+      maxGapUs: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
+    require(maxGapUs.forall(_ > 0), s"conversion window must be positive: $maxGapUs")
     val w = Window.partitionBy("user_id")
     var cur = events
       .select(col(userCol).as("user_id"), col(typeCol).as("et"),
@@ -679,8 +681,14 @@ object RelationalQueries {
     stages.zipWithIndex.foreach { case (stage, i) =>
       val cond =
         if (i == 0) col("et") === stage
-        else col("et") === stage && col(s"_t${i - 1}").isNotNull &&
-          col("us") > col(s"_t${i - 1}")
+        else {
+          val after = col("et") === stage && col(s"_t${i - 1}").isNotNull &&
+            col("us") > col(s"_t${i - 1}")
+          // conversion window: the stage must land within maxGap of the
+          // previous stage's first occurrence (the "converted within 7
+          // days" spelling of the funnel)
+          maxGapUs.fold(after)(g => after && col("us") <= col(s"_t${i - 1}") + g)
+        }
       cur = cur.withColumn(s"_t$i", min(when(cond, col("us"))).over(w))
     }
     val perUser = cur.groupBy("user_id")

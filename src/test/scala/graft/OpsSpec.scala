@@ -557,6 +557,24 @@ class EventsAnalyticsSpec extends AnyFunSuite {
         .funnel(df, "user_id", "event_type", "ts", stages)
         .orderBy("stage").select("n_users").as[Long].collect().toSeq
       assert(got == want, s"round $round: got $got want $want events $evs")
+      // conversion-window variant vs the same reference with the gap rule
+      val gap = 60L * 1000000L
+      val wantGap: Seq[Long] = stages.indices.map { k =>
+        evs.groupBy(_._1).values.count { u =>
+          var prev = Option.empty[Long]
+          var ok = true
+          for (i <- 0 to k if ok) {
+            val cand = u.collect { case (_, t, us)
+              if t == stages(i) && prev.forall(p => us > p && us <= p + gap) => us }
+            if (cand.isEmpty) ok = false else prev = Some(cand.min)
+          }
+          ok
+        }.toLong
+      }
+      val gotGap = graft.operators.RelationalQueries
+        .funnel(df, "user_id", "event_type", "ts", stages, maxGapUs = Some(gap))
+        .orderBy("stage").select("n_users").as[Long].collect().toSeq
+      assert(gotGap == wantGap, s"round $round gap: got $gotGap want $wantGap")
     }
   }
 
