@@ -31,5 +31,13 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         }))
     inject(Md5Bits48.HeadName, fromTail = false)
     inject(Md5Bits48.TailName, fromTail = true)
+    ext.injectFunction((
+      FunctionIdentifier(DotProductDouble.Name),
+      new ExpressionInfo(classOf[DotProductDouble].getName, DotProductDouble.Name),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"${DotProductDouble.Name} expects exactly two arguments")
+        DotProductDouble(args.head, args(1))
+      }))
   }
 }

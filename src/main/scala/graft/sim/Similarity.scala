@@ -15,7 +15,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Codegen'd primitive dot (see [[graft.functions.DotProductDouble]]) —
+    * bit-identical accumulation order to [[dotFold]], which stays as the
+    * reference spelling the parity spec checks against. */
   def dot(a: Column, b: Column): Column =
+    graft.functions.DotProductDouble.dot(a, b)
+
+  /** The higher-order-function fold spelling of [[dot]] (CodegenFallback —
+    * interpreted, boxing; kept as the cross-check reference only). */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 

@@ -89,6 +89,61 @@ class Md5Bits48Spec extends AnyFunSuite {
   }
 }
 
+class DotProductDoubleSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+  import graft.sim.Similarity
+
+  test("codegen'd dot is bit-identical to the fold spelling on random vectors") {
+    val rnd = new scala.util.Random(17L)
+    val rows = (0L until 200L).map { i =>
+      val d = 1 + rnd.nextInt(16)
+      (i, Array.fill(d)((rnd.nextDouble() * 4 - 2).toFloat),
+        Array.fill(d)((rnd.nextDouble() * 4 - 2).toFloat))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select(col("id"),
+        Similarity.dot(col("a"), col("b")).as("fast"),
+        Similarity.dotFold(col("a"), col("b")).as("ref"))
+      .as[(Long, Double, Double)].collect()
+    got.foreach { case (id, fast, ref) =>
+      assert(java.lang.Double.doubleToLongBits(fast) ==
+        java.lang.Double.doubleToLongBits(ref), s"id=$id $fast vs $ref")
+    }
+  }
+
+  test("null semantics mirror the fold: null element or length mismatch -> null") {
+    val df = Seq(
+      (1L, Seq[Option[Double]](Some(1.0), None), Seq[Option[Double]](Some(2.0), Some(3.0))),
+      (2L, Seq[Option[Double]](Some(1.0)), Seq[Option[Double]](Some(2.0), Some(3.0))),
+      (3L, Seq[Option[Double]](Some(1.5), Some(-2.0)), Seq[Option[Double]](Some(2.0), Some(0.5))))
+      .toDF("id", "a", "b")
+    val got = df.select(col("id"),
+        Similarity.dot(col("a"), col("b")).as("fast"),
+        Similarity.dotFold(col("a"), col("b")).as("ref"))
+      .collect().map(r => (r.getLong(0), r.isNullAt(1), r.isNullAt(2),
+        if (r.isNullAt(1)) 0.0 else r.getDouble(1)))
+    got.foreach { case (id, fastNull, refNull, v) =>
+      assert(fastNull == refNull, s"id=$id null mismatch")
+      if (id == 3L) assert(!fastNull && v == 1.5 * 2.0 + -2.0 * 0.5)
+    }
+  }
+
+  test("graft_dot resolves in SQL via the extensions injection") {
+    val iso = spark.newSession()
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftSparkExtensions().apply(ext)
+    org.apache.spark.sql.graft.ColumnBridge.registerInjectedFunctions(ext,
+      iso.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.functionRegistry)
+    val r = iso.sql(
+      s"SELECT ${graft.functions.DotProductDouble.Name}(" +
+        "cast(array(1.0, 2.0) as array<double>), " +
+        "cast(array(3.0, 4.0) as array<double>)) AS d").head()
+    assert(r.getDouble(0) == 11.0)
+  }
+}
+
 class TopKStructsSpec extends AnyFunSuite {
   lazy val spark = SparkTest.spark
   import spark.implicits._
