@@ -28,9 +28,10 @@ object Similarity {
       lit(0.0), (acc, x) => acc + x)
 
 
-  def norm(v: Column): Column =
-    sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
+  /** √(v·v) through the codegen'd dot — the fold spelling
+    * (`aggregate(transform(v, x²))`) multiplies the same elements in the
+    * same ascending order, so the sum under the sqrt is bit-identical. */
+  def norm(v: Column): Column = sqrt(graft.functions.DotProductDouble.dot(v, v))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
