@@ -69,8 +69,8 @@ object DotProductDouble {
       ColumnBridge.expression(b.cast("array<double>"))))
 }
 
-/** Static helper the generated code calls — a primitive loop over the two
-  * `ArrayData`, no boxing unless a null forces the null result. */
+/** Static helpers the generated code calls — primitive loops, no boxing
+  * unless a null forces a null result. */
 object VecUtils {
   def dotDouble(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
@@ -83,5 +83,20 @@ object VecUtils {
       i += 1
     }
     java.lang.Double.valueOf(s)
+  }
+
+  /** fold((acc·31 + codePoint) mod 1e9+7) over the string's code points —
+    * acc stays < 1e9+7, so acc·31 + cp < 2^35: no overflow. */
+  def rollingHash31(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31L + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    acc
   }
 }

@@ -33,8 +33,15 @@ object TextFunctions {
   }
 
   /** Polynomial rolling-hash fingerprint over characters:
-    * fold(acc*31 + code(char)) mod 1e9+7, zero-initialized. */
+    * fold(acc*31 + code(char)) mod 1e9+7, zero-initialized. Codegen'd
+    * (see [[graft.functions.RollingHash31]]); [[fingerprintFold]] keeps
+    * the HOF spelling as the parity-spec reference. */
   def fingerprint(text: Column): Column =
+    graft.functions.RollingHash31.hash(text)
+
+  /** The CodegenFallback fold spelling of [[fingerprint]] (reference for
+    * the parity spec only). */
+  def fingerprintFold(text: Column): Column =
     aggregate(
       transform(split(text, ""), c => ascii(c).cast("long")),
       lit(0L),

@@ -129,6 +129,26 @@ class DotProductDoubleSpec extends AnyFunSuite {
     }
   }
 
+  test("codegen'd rolling hash is bit-identical to the fold fingerprint") {
+    val rnd = new scala.util.Random(31L)
+    val ascii = (32 to 126).map(_.toChar)
+    val latin = "éüñßàç"
+    def text() = {
+      val n = rnd.nextInt(120)
+      (0 until n).map(_ =>
+        if (rnd.nextInt(10) == 0) latin(rnd.nextInt(latin.length))
+        else ascii(rnd.nextInt(ascii.length))).mkString
+    }
+    val rows = (0L until 150L).map(i => (i, text())) ++
+      Seq((900L, ""), (901L, "a"), (902L, "hello world"))
+    val df = rows.toDF("id", "t")
+    val got = df.select(col("id"),
+        graft.text.TextFunctions.fingerprint(col("t")).as("fast"),
+        graft.text.TextFunctions.fingerprintFold(col("t")).as("ref"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (id, fast, ref) => assert(fast == ref, s"id=$id") }
+  }
+
   test("graft_dot resolves in SQL via the extensions injection") {
     val iso = spark.newSession()
     val ext = new org.apache.spark.sql.SparkSessionExtensions
