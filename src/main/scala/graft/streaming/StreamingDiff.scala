@@ -299,6 +299,70 @@ object StreamingDiff {
       }
   }
 
+  case class StageEvent(user_id: Long, stage: String, ts: Timestamp)
+  case class FunnelHit(user_id: Long, stage: Long, funnel_step: String, at_us: Long)
+  /** `times` = finalized first-occurrence micros for the achieved stage
+    * prefix; `pending` = (us, stageIdx) events not yet past the
+    * watermark. */
+  case class FunnelProgress(times: Seq[Long], pending: Seq[(Long, Int)])
+
+  /** Streaming strict-order funnel — the continuous spelling of the batch
+    * `funnel` operator: one FunnelHit per (user, stage) the moment the
+    * stage's first-occurrence time is WATERMARK-FINAL (no surviving event
+    * can be earlier), in stage order, with the same
+    * min-after-previous-stage chain rule, so emitted hits match the batch
+    * operator over the same events including out-of-order arrivals.
+    *
+    * Why state stays bounded: an event with ts at or below the watermark
+    * ("ripe") either extends the finalized chain NOW — its predecessor
+    * stage time is final and earlier — or it never will: any predecessor
+    * time set in the future comes from an event still above the
+    * watermark, which is LATER than the ripe event, making it forever
+    * ineligible (stage i must be strictly after stage i−1). So ripe
+    * events are consumed or dropped at each trigger, and state is the
+    * achieved-prefix times plus only the above-watermark pending buffer —
+    * the watermark horizon, not stream length. */
+  def streamingFunnel(events: Dataset[StageEvent], stages: Seq[String],
+      watermark: String = "30 minutes"): Dataset[FunnelHit] = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    import events.sparkSession.implicits._
+    val stageIdx = stages.zipWithIndex.toMap
+    def usOf(t: Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    events
+      .filter(e => stageIdx.contains(e.stage))
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelProgress, FunnelHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, it: Iterator[StageEvent], state: GroupState[FunnelProgress]) =>
+          val st = state.getOption.getOrElse(FunnelProgress(Nil, Nil))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val incoming = it.map(e => (usOf(e.ts), stageIdx(e.stage))).toSeq
+          val (ripe, pending) = (st.pending ++ incoming).partition(_._1 < wmUs)
+          val times = st.times.toBuffer
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelHit]
+          var advanced = true
+          while (advanced && times.length < stages.length) {
+            val i = times.length
+            val eligible = ripe.collect { case (us, s)
+              if s == i && (i == 0 || us > times(i - 1)) => us }
+            if (eligible.isEmpty) advanced = false
+            else {
+              val t = eligible.min
+              times += t
+              out += FunnelHit(user, i + 1L, stages.take(i + 1).mkString(">"), t)
+            }
+          }
+          state.update(FunnelProgress(times.toSeq, pending))
+          if (pending.nonEmpty)
+            state.setTimeoutTimestamp(pending.map(_._1).min / 1000L + 1L)
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup for a document feed: state per content hash
     * remembers whether the content was ever emitted; replays and late
     * copies are dropped. The batch analogue is `Dedup.exactGroups` — this

@@ -1627,6 +1627,51 @@ class StreamingDiffSpec extends AnyFunSuite {
     assert(batch == got)
   }
 
+  test("streaming funnel emits watermark-final stage hits matching the batch chain") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    def ev(u: Long, s: String, sec: Long) = StreamingDiff.StageEvent(u, s, ts(sec))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingDiff.StageEvent]
+    val q = StreamingDiff.streamingFunnel(input.toDS(), Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName("sfunnel").outputMode("append").start()
+    // u1 full chain; u2 click BEFORE view (stage 1 only); u3 purchase
+    // before click (stage 2); u5's click arrives BEFORE its view but both
+    // are in order by event time — the late view must still open stage 1
+    input.addData(ev(1, "view", 5000), ev(1, "click", 5100),
+      ev(2, "click", 5000), ev(2, "view", 5200),
+      ev(3, "view", 5000), ev(3, "purchase", 5050), ev(3, "click", 5100),
+      ev(5, "click", 6000), ev(99, "view", 4000))
+    q.processAllAvailable()
+    input.addData(ev(1, "purchase", 5300), ev(5, "view", 5500))
+    q.processAllAvailable()
+    // sentinel: watermark past everything above → all hits final
+    input.addData(ev(99, "view", 60000))
+    q.processAllAvailable()
+    val got = spark.table("sfunnel").as[StreamingDiff.FunnelHit].collect()
+      .map(h => (h.user_id, h.stage, h.at_us)).toSet
+    q.stop()
+    val M = 1000000L
+    assert(got == Set(
+      (1L, 1L, 5000 * M), (1L, 2L, 5100 * M), (1L, 3L, 5300 * M),
+      (2L, 1L, 5200 * M),
+      (3L, 1L, 5000 * M), (3L, 2L, 5100 * M),
+      (5L, 1L, 5500 * M), (5L, 2L, 6000 * M),
+      (99L, 1L, 4000 * M)))
+    // batch parity on the same events: stage counts agree
+    val df = Seq((1L, "view", 5000L), (1L, "click", 5100L), (1L, "purchase", 5300L),
+      (2L, "click", 5000L), (2L, "view", 5200L),
+      (3L, "view", 5000L), (3L, "purchase", 5050L), (3L, "click", 5100L),
+      (5L, "click", 6000L), (5L, "view", 5500L),
+      (99L, "view", 4000L), (99L, "view", 60000L))
+      .map { case (u, s, sec) => (u, s, ts(sec)) }.toDF("user_id", "event_type", "ts")
+    val batch = graft.operators.RelationalQueries
+      .funnel(df, "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+      .orderBy("stage").select("n_users").as[Long].collect().toSeq
+    val streamCounts = (1 to 3).map(s => got.count(_._2 == s).toLong)
+    assert(batch == streamCounts, s"batch $batch vs stream $streamCounts")
+  }
+
   test("shingleHashesOf is bit-identical to the batch shingling") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f g"), (2L, "x  y z"), (3L, "one"), (4L, ""))
