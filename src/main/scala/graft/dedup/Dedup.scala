@@ -555,20 +555,30 @@ object Dedup {
     * Hamming scan never happens. Output: (doc_a, doc_b, hamming), one row
     * per confirmed pair. */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, bits: Int = 48): DataFrame = {
+      maxHamming: Int = 3, bits: Int = 48): DataFrame =
+    hammingNearDup(simhash(df, idCol, textCol, bits), "doc_id", "simhash",
+      maxHamming, bits)
+
+  /** The pigeonhole block join over ANY integer-signature column (the
+    * back half of [[simhashNearDup]], shared with the perceptual image
+    * dedup's dHashes): exact Hamming-≤`maxHamming` pairs without the
+    * O(n²) all-pairs scan — see [[simhashNearDup]]'s scaladoc for the
+    * bound and plan shape. Output: (doc_a, doc_b, hamming). */
+  def hammingNearDup(sig: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int, bits: Int): DataFrame = {
     val nBlocks = maxHamming + 1
     require(maxHamming >= 0 && bits % nBlocks == 0,
-      s"simhashNearDup needs bits divisible by maxHamming+1, got $bits/$nBlocks")
+      s"hammingNearDup needs bits divisible by maxHamming+1, got $bits/$nBlocks")
     val w = bits / nBlocks
-    val sig = simhash(df, idCol, textCol, bits)
+    require(w < 64, s"block width must be < 64 bits, got $w")
     val blocks = sig
-      .select(col("doc_id"), col("simhash"),
+      .select(col(idCol).as("doc_id"), col(sigCol).as("sg"),
         explode(sequence(lit(0), lit(nBlocks - 1))).as("blk"))
-      .withColumn("bval", expr(s"shiftright(simhash, blk * $w) & ${(1L << w) - 1}"))
+      .withColumn("bval", expr(s"shiftright(sg, blk * $w) & ${(1L << w) - 1}"))
     val a = blocks.select(col("blk"), col("bval"),
-      col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+      col("doc_id").as("doc_a"), col("sg").as("sig_a"))
     val b = blocks.select(col("blk"), col("bval"),
-      col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+      col("doc_id").as("doc_b"), col("sg").as("sig_b"))
     a.join(b, Seq("blk", "bval"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b", "sig_a", "sig_b")

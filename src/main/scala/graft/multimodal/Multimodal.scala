@@ -185,6 +185,49 @@ object Multimodal {
   case class ImageFeatures(doc_id: Long, width: Int, height: Int,
       pixel_sum: Long, first_px: Int, pixel_checksum: Long)
 
+  case class ImageHash(doc_id: Long, dhash: Long)
+
+  /** Perceptual difference-hash (dHash) over the DECODED raster — the
+    * image-dedup signature: integer grayscale `(r+g+b) div 3` per pixel,
+    * 2×1 box average down to a (w/2)×h grid, one bit per horizontal
+    * gradient (`right neighbor brighter`), row-major LSB-first. On the
+    * standard 14×8 synthetic payloads that is a 7×8 grid → 48 bits, so the
+    * hash feeds `Dedup.hammingNearDup` with the same 12-bit-block
+    * parameters as the text SimHash. All-integer arithmetic end to end:
+    * the DuckDB oracle reproduces the hash from the pixel formula without
+    * decoding a PNG — a match proves the real `javax.imageio` decode
+    * round-tripped every pixel. Map-only, zero shuffles. */
+  def dhashImages(rows: Dataset[MediaRow]): Dataset[ImageHash] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.map { r =>
+        val img = ImageIoCodec.decode(r.payload)
+        val gw = img.getWidth / 2
+        val gh = img.getHeight
+        def gray(x: Int, y: Int): Int = {
+          val p = img.getRGB(x, y)
+          (((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255)) / 3
+        }
+        var hash = 0L
+        var bit = 0
+        var y = 0
+        while (y < gh) {
+          var x = 0
+          var prev = (gray(0, y) + gray(1, y)) / 2
+          while (x < gw - 1) {
+            val curr = (gray(2 * (x + 1), y) + gray(2 * (x + 1) + 1, y)) / 2
+            if (curr > prev) hash |= 1L << bit
+            bit += 1
+            prev = curr
+            x += 1
+          }
+          y += 1
+        }
+        ImageHash(r.doc_id, hash)
+      }
+    }
+  }
+
   /** Decode stage over real image payloads: partition-batched like
     * [[extractFeatures]], but through the genuine [[ImageIoCodec]] — the
     * output columns are functions of the decoded RASTER, not the bytes, so

@@ -88,6 +88,29 @@ object MultimodalQueries {
         .toDF("doc_id", "frame_idx", "n_bytes", "byte_sum")
         .orderBy("doc_id", "frame_idx")
     }),
+
+    // Perceptual image hashing over REAL decoded PNGs (see
+    // Multimodal.dhashImages): every doc gets a genuine 14×8 PNG, the
+    // dHash comes from the decoded raster, and the oracle recomputes it
+    // from the pixel formula — a match proves the decode round-tripped
+    // every pixel through the gray/box/gradient integer pipeline.
+    "q_image_dhash" -> ((s, d) =>
+      Multimodal.dhashImages(Multimodal.attachImagePayload(
+        Tables.load(s, d, "documents"), "doc_id", w = 14, h = 8))
+        .toDF().orderBy("doc_id")),
+
+    // Image near-dup via the shared pigeonhole Hamming join
+    // (Dedup.hammingNearDup) over the dHashes — image dedup end to end:
+    // decode → perceptual hash → blocked exact pairing. The synthetic
+    // pixel formula repeats every 256 ids (base = id·31 mod 256), so
+    // exact-duplicate images exist and pair at distance 0; the oracle
+    // brute-forces the all-pairs Hamming join the block join avoids.
+    "q_image_neardup" -> ((s, d) =>
+      graft.dedup.Dedup.hammingNearDup(
+        Multimodal.dhashImages(Multimodal.attachImagePayload(
+          Tables.load(s, d, "documents"), "doc_id", w = 14, h = 8)).toDF(),
+        "doc_id", "dhash", maxHamming = 3, bits = 48)
+        .orderBy("doc_a", "doc_b")),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -184,5 +207,40 @@ object MultimodalQueries {
         |  CAST(length(fr) AS BIGINT) AS n_bytes,
         |  CAST(list_sum([ascii(c) for c in string_split(fr, '')]) AS BIGINT) AS byte_sum
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q_image_dhash" -> (dhashCte + """
+        |SELECT doc_id, dhash FROM dh ORDER BY doc_id""".stripMargin),
+
+    "q_image_neardup" -> (dhashCte + """
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+        |FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+        |ORDER BY 1, 2""".stripMargin),
   )
+
+  /** SQL replay of the 14×8 synthetic image → gray → 2×1 box → gradient
+    * dHash pipeline (`Multimodal.dhashImages` over `synthPng` pixels):
+    * channel c at (x, y) is (id·31 + x·7 + y·13 + c·101) mod 256, gray is
+    * the integer mean of the three channels, the grid cell is the integer
+    * mean of the two pixels it covers, and bit y·6+x is set when the
+    * right neighbor is brighter. */
+  private def dhashCte = // def: referenced from oracleSql above (val init order)
+    """WITH px AS (
+      |  SELECT doc_id, y, xg,
+      |    ( ( (doc_id*31 + (2*xg)*7 + y*13) % 256
+      |      + (doc_id*31 + (2*xg)*7 + y*13 + 101) % 256
+      |      + (doc_id*31 + (2*xg)*7 + y*13 + 202) % 256 ) // 3
+      |    + ( (doc_id*31 + (2*xg+1)*7 + y*13) % 256
+      |      + (doc_id*31 + (2*xg+1)*7 + y*13 + 101) % 256
+      |      + (doc_id*31 + (2*xg+1)*7 + y*13 + 202) % 256 ) // 3
+      |    ) // 2 AS g
+      |  FROM documents, range(8) ry(y), range(7) rx(xg)),
+      |bits AS (
+      |  SELECT a.doc_id,
+      |    CASE WHEN b.g > a.g THEN (1::BIGINT << (a.y*6 + a.xg)) ELSE 0 END AS v
+      |  FROM px a JOIN px b ON a.doc_id = b.doc_id AND a.y = b.y AND b.xg = a.xg + 1
+      |  WHERE a.xg < 6),
+      |dh AS (
+      |  SELECT doc_id, CAST(SUM(v) AS BIGINT) AS dhash FROM bits GROUP BY doc_id)""".stripMargin
 }

@@ -1015,6 +1015,47 @@ class SimilaritySpec extends AnyFunSuite {
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = SparkTest.spark
 
+  test("image dHash: perceptual distance orders tweak < unrelated; exact dup = 0") {
+    import spark.implicits._
+    def png(f: (Int, Int) => Int, w: Int = 14, h: Int = 8): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = f(x, y) & 255
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val base = (x: Int, y: Int) => x * 16 + y * 3
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image/png", png(base)),
+      Multimodal.MediaRow(2L, "image/png", png(base)), // exact dup
+      // one grid cell's brightness nudged — a tiny perceptual change
+      Multimodal.MediaRow(3L, "image/png",
+        png((x, y) => if (x == 6 && y == 4) base(x, y) + 120 else base(x, y))),
+      // reversed gradient — perceptually opposite
+      Multimodal.MediaRow(4L, "image/png", png((x, y) => 255 - base(x, y))))
+      .toDS()
+    val h = Multimodal.dhashImages(rows).collect().map(r => r.doc_id -> r.dhash).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(h(1L) == h(2L))
+    val tweak = ham(h(1L), h(3L))
+    val opposite = ham(h(1L), h(4L))
+    assert(tweak >= 1 && tweak <= 4, s"tweak moved $tweak bits")
+    assert(opposite > 20, s"opposite image only $opposite bits away")
+    // the shared pigeonhole join finds exactly the dup pair at d=0 and
+    // the tweaked pair within d=3 (when the tweak stayed under the bound)
+    val pairs = graft.dedup.Dedup.hammingNearDup(
+      Multimodal.dhashImages(rows).toDF(), "doc_id", "dhash",
+      maxHamming = 3, bits = 48)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L, 0L)))
+    if (tweak <= 3) assert(pairs.map(p => (p._1, p._2)).contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("binary payload pipeline: schema + deterministic stub features") {
     import spark.implicits._
     val docs = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text")
