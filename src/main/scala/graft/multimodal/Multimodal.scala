@@ -382,6 +382,49 @@ object Multimodal {
     }
   }
 
+  case class AudioHash(doc_id: Long, ahash: Long)
+
+  /** Perceptual audio hash over the DECODED samples — the audio analogue
+    * of [[dhashImages]]: the PCM stream splits into `windows + 1` equal
+    * energy windows (integer sum of |sample|), and each of the `windows`
+    * bits records whether the next window is louder — a loudness-envelope
+    * gradient, robust to small per-sample noise exactly as dHash is to
+    * small pixel noise. 48 windows-gradient bits by default, so the hash
+    * feeds the same `Dedup.hammingNearDup` block join as the text and
+    * image signatures. Integer end to end; the oracle replays the synth
+    * formula without parsing a WAV — a match proves the
+    * `javax.sound.sampled` decode returned every sample. Trailing samples
+    * beyond the last full window are ignored. */
+  def ahashAudio(rows: Dataset[MediaRow], windows: Int = 48): Dataset[AudioHash] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.map { r =>
+        val (_, samples) = WavCodec.decodeSamples(r.payload)
+        val nw = windows + 1
+        val winLen = samples.length / nw
+        require(winLen > 0,
+          s"audio of ${samples.length} samples cannot fill $nw windows")
+        def energy(w: Int): Long = {
+          var s = 0L
+          var i = w * winLen
+          val end = i + winLen
+          while (i < end) { s += math.abs(samples(i).toLong); i += 1 }
+          s
+        }
+        var hash = 0L
+        var prev = energy(0)
+        var w = 1
+        while (w < nw) {
+          val curr = energy(w)
+          if (curr > prev) hash |= 1L << (w - 1)
+          prev = curr
+          w += 1
+        }
+        AudioHash(r.doc_id, hash)
+      }
+    }
+  }
+
   /** REAL video-shaped codec over the JDK's animated-GIF support: GIF is
     * the one MULTI-FRAME container a stock JRE can both write
     * (`ImageWriter.writeToSequence` + per-frame `GraphicControlExtension`

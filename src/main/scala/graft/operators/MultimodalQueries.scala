@@ -111,6 +111,16 @@ object MultimodalQueries {
           Tables.load(s, d, "documents"), "doc_id", w = 14, h = 8)).toDF(),
         "doc_id", "dhash", maxHamming = 3, bits = 48)
         .orderBy("doc_a", "doc_b")),
+
+    // Perceptual audio hashing over REAL decoded WAVs (see
+    // Multimodal.ahashAudio): 245 genuine PCM samples per doc through
+    // javax.sound.sampled, 49 five-sample energy windows, 48 loudness-
+    // gradient bits; the oracle replays the sample formula — a match
+    // proves the decode returned every sample.
+    "q_audio_ahash" -> ((s, d) =>
+      Multimodal.ahashAudio(Multimodal.attachAudioPayload(
+        Tables.load(s, d, "documents"), "doc_id", nSamples = 245))
+        .toDF().orderBy("doc_id")),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -217,6 +227,20 @@ object MultimodalQueries {
         |FROM dh a JOIN dh b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
         |ORDER BY 1, 2""".stripMargin),
+
+    "q_audio_ahash" ->
+      """WITH s AS (
+        |  SELECT doc_id, i // 5 AS w,
+        |    abs((doc_id*31 + i*7919) % 65536 - 32768) AS a
+        |  FROM documents, range(245) r(i)),
+        |e AS (SELECT doc_id, w, SUM(a) AS en FROM s GROUP BY 1, 2),
+        |bits AS (
+        |  SELECT a.doc_id,
+        |    CASE WHEN b.en > a.en THEN (1::BIGINT << a.w) ELSE 0 END AS v
+        |  FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+        |  WHERE a.w < 48)
+        |SELECT doc_id, CAST(SUM(v) AS BIGINT) AS ahash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 
   /** SQL replay of the 14×8 synthetic image → gray → 2×1 box → gradient

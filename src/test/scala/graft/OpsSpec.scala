@@ -1056,6 +1056,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("audio aHash: loudness-envelope distance orders tweak < unrelated") {
+    import spark.implicits._
+    def wav(f: Int => Int) =
+      Multimodal.WavCodec.encodeWav(Array.tabulate(245)(f), 8000f)
+    // a slow loudness ramp with one window (samples 120-124) nudged louder
+    val base = (i: Int) => (i % 49) * 130 - 3000
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "audio/wav", wav(base)),
+      Multimodal.MediaRow(2L, "audio/wav", wav(base)), // exact dup
+      Multimodal.MediaRow(3L, "audio/wav",
+        wav(i => if (i >= 120 && i < 125) base(i) + 900 else base(i))),
+      Multimodal.MediaRow(4L, "audio/wav",
+        wav(i => (i * 7919) % 65536 - 32768))) // noise — unrelated envelope
+      .toDS()
+    val h = Multimodal.ahashAudio(rows).collect().map(r => r.doc_id -> r.ahash).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(h(1L) == h(2L))
+    val tweak = ham(h(1L), h(3L))
+    assert(tweak >= 1 && tweak <= 4, s"tweak moved $tweak bits")
+    assert(ham(h(1L), h(4L)) > tweak, "unrelated audio should be farther than the tweak")
+  }
+
   test("binary payload pipeline: schema + deterministic stub features") {
     import spark.implicits._
     val docs = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text")
