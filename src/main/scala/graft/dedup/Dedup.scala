@@ -587,4 +587,48 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
   }
+
+  /** Incremental Hamming pairing — the delta-refresh form of
+    * [[hammingNearDup]], same economics as `deltaMinhashCandidates`: only
+    * the DELTA's signatures block-join against the stored index
+    * signatures and each other; the index×index quadrant (10⁶× the work
+    * at a 0.1% refresh) is never computed. Pair-identical to the full
+    * operator over index ∪ delta restricted to delta-involving pairs
+    * (spec-pinned). Ids must be disjoint between the two sides. */
+  def deltaHammingNearDup(indexSig: DataFrame, deltaSig: DataFrame,
+      idCol: String, sigCol: String, maxHamming: Int, bits: Int): DataFrame = {
+    val nBlocks = maxHamming + 1
+    require(maxHamming >= 0 && bits % nBlocks == 0,
+      s"deltaHammingNearDup needs bits divisible by maxHamming+1, got $bits/$nBlocks")
+    val w = bits / nBlocks
+    require(w < 64, s"block width must be < 64 bits, got $w")
+    def blocksOf(df: DataFrame) = df
+      .select(col(idCol).as("doc_id"), col(sigCol).as("sg"),
+        explode(sequence(lit(0), lit(nBlocks - 1))).as("blk"))
+      .withColumn("bval", expr(s"shiftright(sg, blk * $w) & ${(1L << w) - 1}"))
+    val di = blocksOf(deltaSig)
+    val both = blocksOf(indexSig).unionByName(di)
+    // delta side A × (index ∪ delta) side B: every emitted pair involves
+    // ≥1 delta id; doc_a < doc_b dedups the delta×delta quadrant's
+    // mirror, and index-side ids appear on either side of the ordering
+    val a = di.select(col("blk"), col("bval"),
+      col("doc_id").as("doc_a"), col("sg").as("sig_a"))
+    val b = both.select(col("blk"), col("bval"),
+      col("doc_id").as("doc_b"), col("sg").as("sig_b"))
+    val fwd = col("doc_a") < col("doc_b")
+    a.join(b, Seq("blk", "bval"))
+      .where(col("doc_a") =!= col("doc_b"))
+      // normalize pair order WITH the signatures riding along — a
+      // delta×delta pair is found from both directions and must collapse
+      // to one row under the distinct
+      .select(
+        when(fwd, col("doc_a")).otherwise(col("doc_b")).as("doc_a"),
+        when(fwd, col("doc_b")).otherwise(col("doc_a")).as("doc_b"),
+        when(fwd, col("sig_a")).otherwise(col("sig_b")).as("sig_a"),
+        when(fwd, col("sig_b")).otherwise(col("sig_a")).as("sig_b"))
+      .distinct()
+      .withColumn("hamming", expr("cast(bit_count(sig_a ^ sig_b) as bigint)"))
+      .where(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
 }

@@ -242,6 +242,53 @@ object StreamingDiff {
       .filter(d => !Dedup.shingleHashesOf(d.text, n).exists(bc.value.contains))
   }
 
+  case class SigEvent(doc_id: Long, sig: Long, ts: Timestamp)
+
+  /** Streaming perceptual near-dup over ANY Hamming signature (text
+    * SimHash, image dHash, audio aHash — the batch kernels produce the
+    * `sig` per row): each arrival's signature explodes to its pigeonhole
+    * blocks (stateless, narrow) and band-joins the STORED index blocks —
+    * a stream-static equi-join re-planned per micro-batch, so index
+    * updates between batches are picked up — then the exact `bit_count`
+    * confirm keeps true Hamming-≤d matches. Recall 1.0 against the index
+    * by the same pigeonhole bound as the batch `Dedup.hammingNearDup`;
+    * the only stateful op is the watermark-bounded per-pair dedup.
+    * `indexBlocks` comes from [[indexSigBlocks]] (checkpoint it — the
+    * static side is re-planned every batch). */
+  def streamingHammingNearDup(sigs: Dataset[SigEvent], indexBlocks: DataFrame,
+      maxHamming: Int, bits: Int, watermark: String = "1 hour"): DataFrame = {
+    val nBlocks = maxHamming + 1
+    require(maxHamming >= 0 && bits % nBlocks == 0 && bits / nBlocks < 64,
+      s"bits/maxHamming combination unsupported: $bits/$nBlocks")
+    val w = bits / nBlocks
+    sigs.toDF()
+      .select(col("doc_id"), col("sig"), col("ts"),
+        explode(sequence(lit(0), lit(nBlocks - 1))).as("blk"))
+      .withColumn("bval", expr(s"shiftright(sig, blk * $w) & ${(1L << w) - 1}"))
+      .join(indexBlocks, Seq("blk", "bval"))
+      .where(col("doc_id") =!= col("match_id") &&
+        expr("bit_count(sig ^ match_sig)") <= maxHamming)
+      .select(col("doc_id"), col("match_id"),
+        expr("cast(bit_count(sig ^ match_sig) as bigint)").as("hamming"), col("ts"))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("doc_id", "match_id")
+  }
+
+  /** Block the stored signature index for [[streamingHammingNearDup]]'s
+    * static join side: (match_id, match_sig, blk, bval), one row per
+    * signature block. */
+  def indexSigBlocks(indexSig: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int, bits: Int): DataFrame = {
+    val nBlocks = maxHamming + 1
+    require(maxHamming >= 0 && bits % nBlocks == 0 && bits / nBlocks < 64,
+      s"bits/maxHamming combination unsupported: $bits/$nBlocks")
+    val w = bits / nBlocks
+    indexSig
+      .select(col(idCol).as("match_id"), col(sigCol).as("match_sig"),
+        explode(sequence(lit(0), lit(nBlocks - 1))).as("blk"))
+      .withColumn("bval", expr(s"shiftright(match_sig, blk * $w) & ${(1L << w) - 1}"))
+  }
+
   case class UserEvent(user_id: Long, ts: Timestamp)
   case class SessionOut(user_id: Long, session_idx: Long, n_events: Long,
       start_us: Long, end_us: Long)

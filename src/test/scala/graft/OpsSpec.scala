@@ -58,6 +58,38 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzz: hammingNearDup and its delta form agree with brute force") {
+    val rnd = new scala.util.Random(43L)
+    for (round <- 1 to 8) {
+      // clustered signatures so low-Hamming pairs actually occur: a few
+      // 48-bit anchors, most sigs are an anchor with 0-5 bits flipped
+      val anchors = Array.fill(4)(rnd.nextLong() & ((1L << 48) - 1))
+      val sigs = (0L until 60L).map { i =>
+        var s = anchors(rnd.nextInt(anchors.length))
+        (0 until rnd.nextInt(6)).foreach(_ => s ^= 1L << rnd.nextInt(48))
+        (i, s)
+      }
+      val df = sigs.toDF("doc_id", "sig")
+      val got = Dedup.hammingNearDup(df, "doc_id", "sig", maxHamming = 3, bits = 48)
+        .as[(Long, Long, Long)].collect().toSet
+      val brute = (for {
+        (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+        h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+      } yield (ia, ib, h.toLong)).toSet
+      assert(got == brute, s"round $round")
+      // delta form: ids >= 40 are the refresh — identical to the full
+      // operator restricted to delta-involving pairs, no dup rows
+      val idx = sigs.filter(_._1 < 40L).toDF("doc_id", "sig")
+      val delta = sigs.filter(_._1 >= 40L).toDF("doc_id", "sig")
+      val gotDelta = Dedup.deltaHammingNearDup(idx, delta, "doc_id", "sig",
+        maxHamming = 3, bits = 48)
+        .as[(Long, Long, Long)].collect()
+      assert(gotDelta.length == gotDelta.toSet.size, s"round $round: dup rows")
+      assert(gotDelta.toSet == brute.filter(p => p._1 >= 40L || p._2 >= 40L),
+        s"round $round delta")
+    }
+  }
+
   test("deltaMinhashCandidates equals the full LSH restricted to delta pairs") {
     // index: 3 docs (0 ≈ 1 near-dups, 2 distinct). delta: 10 is a copy of
     // 0 (cross-quadrant hit), 11/12 are copies of each other but nothing
@@ -1642,6 +1674,33 @@ class StreamingDiffSpec extends AnyFunSuite {
     val scores = Seq(good("alpha"), "tiny noise").toDF("text")
       .select(graft.text.TextFunctions.qualityScore(col("text"))).as[Long].collect()
     assert(scores(0) >= 60L && scores(1) < 60L, scores.toSeq.toString)
+  }
+
+  test("streaming Hamming near-dup flags arrivals against the stored index, exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val anchor = 0x0000ABCDEF123456L
+    val index = Seq((100L, anchor), (101L, anchor ^ (1L << 40) ^ 3L), // 3 bits off
+      (102L, ~anchor & ((1L << 48) - 1)))                             // far
+      .toDF("doc_id", "sig")
+    val blocks = StreamingDiff.indexSigBlocks(index, "doc_id", "sig",
+      maxHamming = 3, bits = 48).localCheckpoint()
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingDiff.SigEvent]
+    val q = StreamingDiff.streamingHammingNearDup(input.toDS(), blocks,
+      maxHamming = 3, bits = 48)
+      .writeStream.format("memory").queryName("shamming").outputMode("append").start()
+    def ev(id: Long, s: Long, t: Long) =
+      StreamingDiff.SigEvent(id, s, new java.sql.Timestamp(t))
+    input.addData(
+      ev(1, anchor, 1000),               // matches 100 (d=0) and 101 (d=3)
+      ev(2, anchor ^ (1L << 47), 2000))  // 1 bit off anchor: matches 100, not 101 (d=4)
+    q.processAllAvailable()
+    input.addData(ev(1, anchor, 3000))   // replay → deduped
+    q.processAllAvailable()
+    val got = spark.table("shamming").select("doc_id", "match_id", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    q.stop()
+    assert(got == Set((1L, 100L, 0L), (1L, 101L, 3L), (2L, 100L, 1L)))
   }
 
   test("streaming sessionize: watermark-final sessions equal the batch window pass") {
