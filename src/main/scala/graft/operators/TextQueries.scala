@@ -370,13 +370,15 @@ object TextQueries {
     // only the bounded 20-pair buffer crosses the final exchange.
     "q_bpe_pairs" -> ((s, d) => {
       val arr = tokens(col("text"))
-      // sequence(0, -1) counts DOWN in Spark — guard one-token docs to an
-      // empty index list so they contribute no pairs
-      val idx = when(size(arr) >= 2, sequence(lit(0), size(arr) - 2))
-        .otherwise(array().cast("array<int>"))
+      // adjacent pairs via arrays_zip of the two shifted slices — plain
+      // codegen'd expressions; the earlier transform(sequence(...),
+      // i => concat(element_at ...)) lambda was CodegenFallback
+      // (interpreted + per-element boxing) and dominated the gate
       docs(s, d)
-        .select(explode(transform(idx,
-          i => concat(element_at(arr, i + 1), lit(" "), element_at(arr, i + 2)))).as("pair"))
+        .select(explode(arrays_zip(
+          slice(arr, lit(1), greatest(size(arr) - 1, lit(0))),
+          slice(arr, lit(2), greatest(size(arr) - 1, lit(0))))).as("p"))
+        .select(concat(col("p.0"), lit(" "), col("p.1")).as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("cnt"))
         .agg(graft.functions.TopKStructs.topK(
           struct((-col("cnt")).as("negcnt"), col("pair").as("p")), 20).as("top"))
