@@ -527,7 +527,18 @@ object Dedup {
   }
 
   /** 48-bit SimHash per document over distinct whitespace tokens. */
-  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 48): DataFrame = {
+  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 48): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("tok"))
+      .groupBy("doc_id")
+      .agg(graft.functions.SimhashBits.simhash(md5Int48(col("tok")), bits).as("simhash"))
+
+  /** The explode spelling of [[simhash]] — |tokens|·bits rows through two
+    * exchanges where the [[graft.functions.SimhashBits]] aggregate ships
+    * one bits-long counter buffer per doc; kept as the parity-spec
+    * reference. */
+  def simhashExplode(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 48): DataFrame = {
     val toks = df.select(col(idCol).as("doc_id"),
       explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("tok"))
     val bitSums = toks

@@ -35,6 +35,19 @@ class DedupSpec extends AnyFunSuite {
     assert(g.length == 1 && g(0).getLong(1) == 0L && g(0).getLong(2) == 3L)
   }
 
+  test("SimhashBits aggregate is bit-identical to the explode spelling") {
+    val rnd = new scala.util.Random(11L)
+    val vocab = Vector("a", "b", "c", "dd", "ee", "fff", "gg", "hh", "iii", "jj")
+    def text() = Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val docs = (0L until 80L).map(i => (i, text())).toDF("doc_id", "text")
+      .repartition(7) // partial buffers must merge across partitions
+    val fast = Dedup.simhash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val ref = Dedup.simhashExplode(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(fast == ref)
+  }
+
   test("simhashNearDup equals the brute-force all-pairs Hamming join") {
     // random docs over a tiny vocab so near-identical token SETS (and so
     // low-Hamming simhash pairs) occur naturally; exact dups give d = 0
