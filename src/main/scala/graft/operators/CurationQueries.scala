@@ -434,6 +434,40 @@ object CurationQueries {
       trainShuffle(Tables.load(s, d, "documents"), "doc_id",
         nEpochs = 2, nShards = 16).orderBy("epoch", "shard", "seq")),
 
+    // Dataset-card rollup — the one-row summary a corpus release ships:
+    // volume (docs/tokens/chars), diversity (languages/sources), and
+    // health (exact-duplicate docs, quality-flagged docs) in exact
+    // integers, with milli-precision means via integer division. Plan:
+    // one narrow pass computes per-doc signals, ONE content-hash
+    // aggregate finds duplicate groups (partial-aggregated), and the
+    // global rollup is partial sums — two data-sized exchanges total at
+    // any corpus size.
+    "q_corpus_report" -> ((s, d) => {
+      val dd = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars"),
+          TextFunctions.qualityScore(col("text")).as("q"),
+          md5(col("text")).as("h"))
+      val dupDocs = dd.groupBy("h").agg(count(lit(1)).as("copies"))
+        .where(col("copies") > 1L)
+        .agg(coalesce(sum("copies"), lit(0L)).as("n_dup_docs"))
+      dd.agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum("n_chars").as("n_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(when(col("q") < 60L, 1L).otherwise(0L)).as("n_low_quality"),
+        sum("q").as("q_sum"))
+        .crossJoin(dupDocs)
+        .select(col("n_docs"), col("n_tokens"), col("n_chars"),
+          col("n_langs"), col("n_sources"),
+          expr("(n_tokens * 1000) div n_docs").as("avg_millitokens"),
+          expr("(q_sum * 1000) div n_docs").as("avg_milliquality"),
+          col("n_low_quality"), col("n_dup_docs"))
+    }),
+
     // Packing-efficiency report — the number the sequence-packing step is
     // justified by: padding each document independently to length-32
     // sequences vs packing the concatenated stream (q_pack_sequences).
@@ -594,6 +628,35 @@ object CurationQueries {
         |WHERE ('0x' || substring(md5(lang || '|' || doc_id::VARCHAR), 1, 12))::BIGINT % 100
         |      < CASE WHEN lang = 'en' THEN 20 ELSE 50 END
         |ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_report" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST((CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 40 ELSE 10 END)
+        |       + (CASE WHEN len(string_split(trim(text), ' ')) >= 20 THEN 30 ELSE 10 END)
+        |       + (CASE WHEN len([t for t in string_split(trim(text), ' ')
+        |            if t IN ('the','a','of','and','to','in','is')]) > 0 THEN 30 ELSE 0 END)
+        |      AS BIGINT) AS q,
+        |    md5(text) AS h
+        |  FROM documents),
+        |dup AS (
+        |  SELECT CAST(COALESCE(SUM(copies), 0) AS BIGINT) AS n_dup_docs FROM (
+        |    SELECT COUNT(*) AS copies FROM d GROUP BY h HAVING COUNT(*) > 1)),
+        |agg AS (
+        |  SELECT COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens,
+        |    SUM(n_chars) AS n_chars,
+        |    COUNT(DISTINCT lang) AS n_langs, COUNT(DISTINCT source) AS n_sources,
+        |    CAST(SUM(CASE WHEN q < 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+        |    SUM(q) AS q_sum
+        |  FROM d)
+        |SELECT n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_chars AS BIGINT) AS n_chars, n_langs, n_sources,
+        |  CAST((n_tokens * 1000) // n_docs AS BIGINT) AS avg_millitokens,
+        |  CAST((q_sum * 1000) // n_docs AS BIGINT) AS avg_milliquality,
+        |  n_low_quality, n_dup_docs
+        |FROM agg, dup""".stripMargin,
 
     "q_train_shuffle" ->
       """WITH e(epoch) AS (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))),
