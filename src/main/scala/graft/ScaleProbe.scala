@@ -124,6 +124,27 @@ object ScaleProbe {
       noop(graft.operators.CurationQueries.trainShuffle(passDocs, "doc_id",
         nEpochs = 2, nShards = 1024)))
 
+    // ---- perceptual hashing + Hamming pairing at the same 10× corpus -----
+    // SimHash via the SimhashBits aggregate (one 48-long vote buffer per
+    // doc crosses the exchange), then the pigeonhole block join. passDocs
+    // has ~10% boilerplate-sharing docs but token SETS mostly differ, so
+    // candidate volume reflects block-collision density, not an all-dup
+    // degenerate corpus.
+    val simSigs = time(s"simhash ($nDocs docs, agg form)") {
+      val sg = graft.dedup.Dedup.simhash(passDocs, "doc_id", "text").localCheckpoint()
+      sg.count(); sg
+    }
+    time("hammingNearDup d<=3 on 48-bit")(
+      noop(graft.dedup.Dedup.hammingNearDup(simSigs, "doc_id", "simhash",
+        maxHamming = 3, bits = 48)))
+    // image dHash throughput: 100k genuine PNGs encoded + decoded + hashed
+    // inside tasks — map-only like the video probe, scales with cores
+    time("dhashImages 100k PNGs")(
+      noop(graft.multimodal.Multimodal.dhashImages(
+        graft.multimodal.Multimodal.attachImagePayload(
+          spark.range(100000).select(col("id").as("doc_id")), "doc_id",
+          w = 14, h = 8)).toDF()))
+
     // ---- funnel + retention at ~30× the events fixture -------------------
     // nRows/10 events over nRows/600 users (~100 events/user), five event
     // types, a 90-day spread: every exchange in both operators is keyed on

@@ -463,8 +463,8 @@ object CurationQueries {
         .crossJoin(dupDocs)
         .select(col("n_docs"), col("n_tokens"), col("n_chars"),
           col("n_langs"), col("n_sources"),
-          expr("(n_tokens * 1000) div n_docs").as("avg_millitokens"),
-          expr("(q_sum * 1000) div n_docs").as("avg_milliquality"),
+          expr("(n_tokens * 1000) div nullif(n_docs, 0)").as("avg_millitokens"),
+          expr("(q_sum * 1000) div nullif(n_docs, 0)").as("avg_milliquality"),
           col("n_low_quality"), col("n_dup_docs"))
     }),
 
@@ -653,8 +653,8 @@ object CurationQueries {
         |  FROM d)
         |SELECT n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
         |  CAST(n_chars AS BIGINT) AS n_chars, n_langs, n_sources,
-        |  CAST((n_tokens * 1000) // n_docs AS BIGINT) AS avg_millitokens,
-        |  CAST((q_sum * 1000) // n_docs AS BIGINT) AS avg_milliquality,
+        |  CAST((n_tokens * 1000) // nullif(n_docs, 0) AS BIGINT) AS avg_millitokens,
+        |  CAST((q_sum * 1000) // nullif(n_docs, 0) AS BIGINT) AS avg_milliquality,
         |  n_low_quality, n_dup_docs
         |FROM agg, dup""".stripMargin,
 
