@@ -30,6 +30,24 @@ object EmbeddingQueries {
     // reports its nearest benchmark neighbor and a leak flag. Broadcast-
     // exact (eval sets are small by nature), so the oracle is plain
     // brute force over the same folds.
+    // Embedding-distribution drift between two corpus snapshots: cluster
+    // shares (the label cells here; kmeansCells when unlabeled) compared
+    // with the same integer milli-bits PSI as the numeric histogram
+    // monitor (RelationalQueries.psiOverCounts — everything after the two
+    // per-cell counts is O(cells)). v2 deterministically drops ~2.4% of
+    // vectors and double-weights the %17 stratum, so shares genuinely
+    // shift and the PSI is non-zero.
+    "q_embedding_drift" -> ((s, d) => {
+      val v1 = emb(s, d)
+      val v2 = v1.where(col("vec_id") % 41 =!= 0)
+        .unionByName(v1.where(col("vec_id") % 17 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"), col("embedding"), col("label")))
+      def counts(df: DataFrame, out: String) =
+        df.select(col("label").cast("long").as("bin"))
+          .groupBy("bin").agg(count(lit(1)).as(out))
+      RelationalQueries.psiOverCounts(counts(v1, "cnt_a"), counts(v2, "cnt_b"))
+    }),
+
     "q_semantic_decontaminate" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.semanticDecontaminate(
@@ -205,6 +223,35 @@ object EmbeddingQueries {
         |        x -> x[1] * x[2])), (ac, x) -> ac + x) AS sim
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, sim FROM s WHERE sim >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_embedding_drift" ->
+      """WITH v2 AS (
+        |  SELECT vec_id, label FROM embeddings WHERE vec_id % 41 <> 0
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id, label FROM embeddings WHERE vec_id % 17 = 0),
+        |ca AS (SELECT CAST(label AS BIGINT) AS bin, COUNT(*) AS cnt_a
+        |       FROM embeddings GROUP BY 1),
+        |cb AS (SELECT CAST(label AS BIGINT) AS bin, COUNT(*) AS cnt_b
+        |       FROM v2 GROUP BY 1),
+        |j AS (
+        |  SELECT COALESCE(ca.bin, cb.bin) AS bin,
+        |    CAST(COALESCE(cnt_a, 0) AS BIGINT) AS cnt_a,
+        |    CAST(COALESCE(cnt_b, 0) AS BIGINT) AS cnt_b
+        |  FROM ca FULL OUTER JOIN cb ON ca.bin = cb.bin),
+        |tot AS (SELECT SUM(cnt_a) AS tot_a, SUM(cnt_b) AS tot_b FROM j),
+        |p AS (
+        |  SELECT CAST((cnt_a * 1000) // tot_a AS BIGINT) AS pa_milli,
+        |         CAST((cnt_b * 1000) // tot_b AS BIGINT) AS pb_milli,
+        |         cnt_a, cnt_b
+        |  FROM j, tot)
+        |SELECT
+        |  CAST(SUM((pa_milli - pb_milli) *
+        |    (length(format('{:b}', pa_milli + 1)) - length(format('{:b}', pb_milli + 1)))) AS BIGINT)
+        |    AS psi_millibits,
+        |  CAST(SUM(CASE WHEN cnt_a > 0 AND cnt_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bins_a_only,
+        |  CAST(SUM(CASE WHEN cnt_b > 0 AND cnt_a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bins_b_only,
+        |  CAST(SUM(CASE WHEN cnt_a > 0 AND cnt_b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bins_shared
+        |FROM p""".stripMargin,
 
     "q_semantic_decontaminate" ->
       """WITH n AS (

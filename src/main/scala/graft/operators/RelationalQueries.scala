@@ -186,7 +186,16 @@ object RelationalQueries {
     def counts(df: DataFrame, out: String) =
       df.select(histogramBin(valueSql, loCents, widthCents, bins).as("bin"))
         .groupBy("bin").agg(count(lit(1)).as(out))
-    val j = counts(a, "cnt_a").join(counts(b, "cnt_b"), Seq("bin"), "full_outer")
+    psiOverCounts(counts(a, "cnt_a"), counts(b, "cnt_b"))
+  }
+
+  /** The PSI tail shared by the numeric-histogram drift (`psiDrift`) and
+    * CATEGORICAL drift monitors (e.g. embedding cluster shares): takes two
+    * pre-aggregated count relations `(bin, cnt_a)` / `(bin, cnt_b)` —
+    * categories are just bins — and emits the one-row integer milli-bits
+    * PSI summary. Everything after the counts is O(bins). */
+  def psiOverCounts(countsA: DataFrame, countsB: DataFrame): DataFrame = {
+    val j = countsA.join(countsB, Seq("bin"), "full_outer")
       .select(col("bin"),
         coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
         coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
