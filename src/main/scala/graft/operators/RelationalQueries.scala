@@ -652,6 +652,14 @@ object RelationalQueries {
       funnel(t(s, d, "events"), "user_id", "event_type", "ts",
         Seq("view", "click", "purchase")).orderBy("stage")),
 
+    // The conversion-window form: each stage must land within 48 h of the
+    // previous stage's first occurrence (same single-scan window cascade;
+    // the bound is one extra predicate in each stage's conditional min).
+    "q_funnel_windowed" -> ((s, d) =>
+      funnel(t(s, d, "events"), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"),
+        maxGapUs = Some(48L * 3600L * 1000000L)).orderBy("stage")),
+
     "q_retention_cohorts" -> ((s, d) =>
       retentionCohorts(t(s, d, "events"), "user_id", "ts")
         .orderBy("cohort_week", "week_offset")),
@@ -1105,6 +1113,26 @@ object RelationalQueries {
         |       WHERE event_type = 'click' AND us > t1 GROUP BY e.user_id),
         |t3 AS (SELECT e.user_id, MIN(us) AS t3 FROM e JOIN t2 USING (user_id)
         |       WHERE event_type = 'purchase' AND us > t2 GROUP BY e.user_id)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage, 'view' AS funnel_step,
+        |         (SELECT COUNT(*) FROM t1) AS n_users
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), 'view>click', (SELECT COUNT(*) FROM t2)
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), 'view>click>purchase', (SELECT COUNT(*) FROM t3))
+        |ORDER BY stage""".stripMargin,
+
+    "q_funnel_windowed" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+        |t1 AS (SELECT user_id, MIN(us) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, MIN(us) AS t2 FROM e JOIN t1 USING (user_id)
+        |       WHERE event_type = 'click' AND us > t1
+        |         AND us <= t1 + 172800000000 GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, MIN(us) AS t3 FROM e JOIN t2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND us > t2
+        |         AND us <= t2 + 172800000000 GROUP BY e.user_id)
         |SELECT * FROM (
         |  SELECT CAST(1 AS BIGINT) AS stage, 'view' AS funnel_step,
         |         (SELECT COUNT(*) FROM t1) AS n_users

@@ -388,6 +388,22 @@ object TextQueries {
         .orderBy("rnk")
     }),
 
+    // Incremental SimHash pairing: the %43 stratum re-arrives as a delta
+    // (new ids); only delta×(index∪delta) blocks join — the index×index
+    // quadrant is never computed (see Dedup.deltaHammingNearDup). The
+    // oracle brute-forces the FULL Hamming join over index∪delta and
+    // filters to delta-involving pairs — both spellings must agree
+    // pair-for-pair.
+    "q_simhash_delta" -> ((s, d) => {
+      val v = docs(s, d).select(col("doc_id"), col("text"))
+      Dedup.deltaHammingNearDup(
+        Dedup.simhash(v.where(col("doc_id") % 43 =!= 0), "doc_id", "text"),
+        Dedup.simhash(v.where(col("doc_id") % 43 === 0)
+          .select((col("doc_id") + 500000).as("doc_id"), col("text")), "doc_id", "text"),
+        "doc_id", "simhash", maxHamming = 3, bits = 48)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Model-based quality filter in the fastText shape: a LINEAR classifier
     // over hashed unigram features (hash token → one of 1024 buckets, sum
     // the buckets' learned weights, threshold the logit) — the
@@ -793,6 +809,29 @@ object TextQueries {
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY 1, 2""".stripMargin,
+
+    "q_simhash_delta" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest(list_distinct($toks)) AS tok FROM documents),
+         |bits AS (
+         |  SELECT doc_id, i,
+         |    SUM(CASE WHEN ((('0x' || substring(md5(tok), 1, 12))::BIGINT >> i) & 1) = 1
+         |        THEN 1 ELSE -1 END) AS s
+         |  FROM tk, range(48) r(i) GROUP BY doc_id, i),
+         |sim AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY doc_id),
+         |allr AS (
+         |  SELECT doc_id, simhash FROM sim WHERE doc_id % 43 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 500000 AS doc_id, simhash FROM sim WHERE doc_id % 43 = 0)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM allr a JOIN allr b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |  AND (a.doc_id >= 500000 OR b.doc_id >= 500000)
          |ORDER BY 1, 2""".stripMargin,
 
     "q_quality_classifier" ->
