@@ -1807,6 +1807,82 @@ class StreamingDiffSpec extends AnyFunSuite {
     assert(batch == streamCounts, s"batch $batch vs stream $streamCounts")
   }
 
+  test("fuzz: streaming funnel + sessionize equal their batch operators on random streams") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(57L)
+    val types = Seq("view", "click", "purchase")
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    for (round <- 1 to 3) {
+      // random per-user event streams over ~4 hours; feed in EVENT-TIME
+      // order split at random points so watermark drops cannot occur and
+      // batch/stream see identical data, while within-batch order is
+      // shuffled (the merge logic must not depend on arrival order)
+      val evs = (for {
+        _ <- 0 until (40 + rnd.nextInt(60))
+      } yield (rnd.nextInt(5).toLong, types(rnd.nextInt(3)),
+        (10000L + rnd.nextInt(14400)).toLong)).sortBy(_._3)
+      val sentinel = (99L, "view", 200000L)
+      val batches = {
+        val cuts = Seq.fill(3)(rnd.nextInt(evs.length + 1)).sorted
+        (Seq(0) ++ cuts ++ Seq(evs.length)).sliding(2)
+          .map { case Seq(a, b) => rnd.shuffle(evs.slice(a, b)) }.toSeq
+      }
+      // ---- streaming funnel vs batch funnel ----
+      val fin = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingDiff.StageEvent]
+      val fq = StreamingDiff.streamingFunnel(fin.toDS(), types)
+        .writeStream.format("memory").queryName(s"sfz$round").outputMode("append").start()
+      batches.foreach { b =>
+        if (b.nonEmpty) {
+          fin.addData(b.map { case (u, t, sec) => StreamingDiff.StageEvent(u, t, ts(sec)) }: _*)
+          fq.processAllAvailable()
+        }
+      }
+      fin.addData(StreamingDiff.StageEvent(sentinel._1, sentinel._2, ts(sentinel._3)))
+      fq.processAllAvailable()
+      val streamHits = spark.table(s"sfz$round").as[StreamingDiff.FunnelHit].collect()
+        .filter(_.user_id != 99L).map(h => (h.user_id, h.stage)).toSet
+      fq.stop()
+      val batchDf = (evs :+ sentinel).map { case (u, t, sec) => (u, t, ts(sec)) }
+        .toDF("user_id", "event_type", "ts")
+      val batchCounts = graft.operators.RelationalQueries
+        .funnel(batchDf.where(col("user_id") =!= 99L), "user_id", "event_type", "ts", types)
+        .orderBy("stage").select("n_users").as[Long].collect().toSeq
+      val streamCounts = (1 to 3).map(s => streamHits.count(_._2 == s).toLong)
+      assert(streamCounts == batchCounts, s"round $round: $streamCounts vs $batchCounts")
+      // ---- streaming sessionize vs the batch window pass ----
+      val sin = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingDiff.UserEvent]
+      val sq = StreamingDiff.streamingSessionize(sin.toDS())
+        .writeStream.format("memory").queryName(s"ssz$round").outputMode("append").start()
+      batches.foreach { b =>
+        if (b.nonEmpty) {
+          sin.addData(b.map { case (u, _, sec) => StreamingDiff.UserEvent(u, ts(sec)) }: _*)
+          sq.processAllAvailable()
+        }
+      }
+      sin.addData(StreamingDiff.UserEvent(99L, ts(sentinel._3)))
+      sq.processAllAvailable()
+      val streamSess = spark.table(s"ssz$round").as[StreamingDiff.SessionOut].collect()
+        .filter(_.user_id != 99L)
+        .map(s => (s.user_id, s.session_idx, s.n_events, s.start_us, s.end_us)).toSet
+      sq.stop()
+      // batch reference: gap rule over sorted per-user times
+      val want = evs.groupBy(_._1).flatMap { case (u, es) =>
+        val times = es.map(_._3 * 1000000L).sorted
+        val sessions = times.foldLeft(List.empty[(Long, Long, Long)]) {
+          case (acc, us) => acc match {
+            case (s0, e0, n0) :: rest if us - e0 <= 1800000000L =>
+              (s0, us, n0 + 1) :: rest
+            case _ => (us, us, 1L) :: acc
+          }
+        }.reverse
+        sessions.zipWithIndex.map { case ((s0, e0, n0), i) =>
+          (u, i + 1L, n0, s0, e0) }
+      }.toSet
+      assert(streamSess == want, s"round $round sessionize")
+    }
+  }
+
   test("shingleHashesOf is bit-identical to the batch shingling") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f g"), (2L, "x  y z"), (3L, "one"), (4L, ""))
