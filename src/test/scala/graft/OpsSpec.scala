@@ -439,6 +439,29 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("quality classifier accepts a supplied (trained) weight table") {
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text")
+    // a "checkpoint" where every bucket weighs +7 → logit = 7 · n_tokens
+    val wtab = spark.range(0, 1024).toDF("bucket").withColumn("w", lit(7L))
+    val got = graft.operators.TextQueries
+      .qualityClassifier(docs, "doc_id", "text", weights = Some(wtab))
+      .select("doc_id", "n_tokens", "logit_centi", "flag_keep")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(1L -> ((2L, 14L, true)), 2L -> ((1L, 7L, true))))
+  }
+
+  test("audio hash refuses samples that cannot fill the window grid") {
+    import spark.implicits._
+    val tiny = Seq(Multimodal.MediaRow(1L, "audio/wav",
+      Multimodal.WavCodec.encodeWav(Array.fill(10)(100), 8000f))).toDS()
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.ahashAudio(tiny).collect() // 10 samples < 49 windows
+    }
+    assert(e.getMessage.contains("windows") ||
+      e.getCause != null && e.getCause.getMessage.contains("windows"))
+  }
+
   test("train shuffle: per-epoch deterministic permutation, contiguous shard seqs") {
     val docs = (0L until 64L).map(i => (i, s"tok$i"))
       .toDF("doc_id", "text")
