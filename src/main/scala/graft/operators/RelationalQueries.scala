@@ -195,10 +195,16 @@ object RelationalQueries {
     * categories are just bins — and emits the one-row integer milli-bits
     * PSI summary. Everything after the counts is O(bins). */
   def psiOverCounts(countsA: DataFrame, countsB: DataFrame): DataFrame = {
+    // `j` feeds BOTH the totals and the main aggregate; without pinning,
+    // each execution recomputes it — i.e. re-SCANS both inputs (audited:
+    // the drift gates planned 2× the scans). The joined counts are
+    // O(bins) rows, so an eager localCheckpoint pins them for pennies and
+    // each input is scanned exactly once.
     val j = countsA.join(countsB, Seq("bin"), "full_outer")
       .select(col("bin"),
         coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
         coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+      .localCheckpoint(true)
     val tot = j.agg(sum(col("cnt_a")).as("tot_a"), sum(col("cnt_b")).as("tot_b"))
     j.crossJoin(broadcast(tot))
       .withColumn("pa_milli", expr("(cnt_a * 1000) div tot_a"))
