@@ -438,10 +438,11 @@ object CurationQueries {
     // volume (docs/tokens/chars), diversity (languages/sources), and
     // health (exact-duplicate docs, quality-flagged docs) in exact
     // integers, with milli-precision means via integer division. Plan:
-    // one narrow pass computes per-doc signals, ONE content-hash
-    // aggregate finds duplicate groups (partial-aggregated), and the
-    // global rollup is partial sums — two data-sized exchanges total at
-    // any corpus size.
+    // two corpus passes — the global rollup (map-side partial sums, no
+    // data-sized shuffle) and the duplicate detection (one content-hash
+    // partial-aggregating exchange); the dup side genuinely needs the
+    // hash shuffle, so fusing to one pass would force the rollup through
+    // that exchange too — two independent scans are the cheaper plan.
     "q_corpus_report" -> ((s, d) => {
       val dd = Tables.load(s, d, "documents")
         .select(col("doc_id"), col("lang"), col("source"),
