@@ -117,7 +117,19 @@ object Cli {
       dbt: Boolean = false,
       dbtProjectDir: String = ".",
       dbtDevBase: Option[String] = None,
-      dbtProdBase: Option[String] = None)
+      dbtProdBase: Option[String] = None,
+      // --select: restrict dbt diffs to models matching the glob
+      // (reference passes dbt selection syntax through; the artifact-world
+      // analogue is a name glob over the built models)
+      dbtSelect: Option[String] = None,
+      // --state: read run_results/manifest from an alternate artifacts
+      // dir instead of <project-dir>/target (reference: dbt state dir)
+      dbtState: Option[String] = None,
+      // --prod-database/--prod-schema: override where prod relations live
+      // (reference overrides the prod manifest's database/schema; the
+      // path-world analogue composes the prod base as <database>[/<schema>])
+      prodDatabase: Option[String] = None,
+      prodSchema: Option[String] = None)
 
   def parseArgs(argv: Array[String]): Args = {
     def split(s: String) = s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -159,6 +171,17 @@ object Cli {
       case "--dbt-project-dir" :: v :: t => go(t, a.copy(dbtProjectDir = v), positional)
       case "--dbt-dev-base" :: v :: t => go(t, a.copy(dbtDevBase = Some(v)), positional)
       case "--dbt-prod-base" :: v :: t => go(t, a.copy(dbtProdBase = Some(v)), positional)
+      case "--select" :: v :: t => go(t, a.copy(dbtSelect = Some(v)), positional)
+      case "--state" :: v :: t => go(t, a.copy(dbtState = Some(v)), positional)
+      case "--prod-database" :: v :: t => go(t, a.copy(prodDatabase = Some(v)), positional)
+      case "--prod-schema" :: v :: t => go(t, a.copy(prodSchema = Some(v)), positional)
+      // reference reads warehouse creds from dbt profiles; sources here
+      // are explicit URIs/paths, so the flag is accepted and unused
+      case "--dbt-profiles-dir" :: _ :: t => go(t, a, positional)
+      case "--cloud" :: _ =>
+        throw new IllegalArgumentException(
+          "--cloud submits diffs to a SaaS backend; this engine runs " +
+            "everything locally/in-cluster — drop the flag to diff here")
       case v :: t if positional == 0 => go(t, a.copy(sourceA = v), 1)
       case v :: t if positional == 1 => go(t, a.copy(sourceB = v), 2)
       case v :: _ => throw new IllegalArgumentException(s"Unexpected argument: $v")
@@ -174,8 +197,9 @@ object Cli {
       case _ => throw new IllegalArgumentException("--conf and --run must be used together")
     }
     if (a.dbt) {
-      require(a.dbtDevBase.nonEmpty && a.dbtProdBase.nonEmpty,
-        "--dbt requires --dbt-dev-base and --dbt-prod-base directories")
+      require(a.dbtDevBase.nonEmpty && (a.dbtProdBase.nonEmpty || a.prodDatabase.nonEmpty),
+        "--dbt requires --dbt-dev-base and a prod location " +
+          "(--dbt-prod-base, or --prod-database [--prod-schema])")
     } else if (!a.version) {
       require(a.sourceA.nonEmpty && a.sourceB.nonEmpty, "two sources required")
       require(a.keys.nonEmpty, "-k key column(s) required")
@@ -472,13 +496,32 @@ object Cli {
   private def runDbt(a: Args, spark: SparkSession): Unit = {
     def read(p: String) =
       new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
-    val target = s"${a.dbtProjectDir}/target"
-    val (tasks, skipped) = graft.dbt.DbtAdapter.tasks(
+    // --state overrides the artifacts dir (reference: dbt state dir)
+    val target = a.dbtState.getOrElse(s"${a.dbtProjectDir}/target")
+    val (allTasks, skipped) = graft.dbt.DbtAdapter.tasks(
       read(s"$target/run_results.json"), read(s"$target/manifest.json"))
+    // --select: name glob over built models ('*' wildcard, like dbt's
+    // simplest selector form)
+    val tasks = a.dbtSelect match {
+      case None => allTasks
+      case Some(sel) =>
+        val re = ("^" + java.util.regex.Pattern.quote(sel)
+          .replace("*", "\\E.*\\Q") + "$").r
+        val kept = allTasks.filter(t => re.findFirstIn(t.model).isDefined)
+        allTasks.filterNot(kept.contains)
+          .foreach(t => println(s"skipped ${t.model}: not selected by '$sel'"))
+        kept
+    }
+    // --prod-database/--prod-schema compose the prod base when given
+    val prodBase = (a.prodDatabase, a.prodSchema) match {
+      case (Some(db), Some(sch)) => s"$db/$sch"
+      case (Some(db), None) => db
+      case _ => a.dbtProdBase.get
+    }
     skipped.foreach(s => println(s"skipped ${s.model}: ${s.reason}"))
     tasks.foreach { t =>
       val dev = Graft.connectToTable(spark, s"${a.dbtDevBase.get}/${t.model}.parquet", t.keys)
-      val prod = Graft.connectToTable(spark, s"${a.dbtProdBase.get}/${t.model}.parquet", t.keys)
+      val prod = Graft.connectToTable(spark, s"$prodBase/${t.model}.parquet", t.keys)
       val s = DiffFormat.collectStats(Graft.diffStats(prod, dev))
       val summary =
         if (s.removed == 0 && s.added == 0 && s.updated == 0) "no differences"

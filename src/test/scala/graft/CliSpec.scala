@@ -169,6 +169,35 @@ class CliEndToEndSpec extends AnyFunSuite {
     assert(text.contains("users:") && text.toLowerCase.contains("updated"))
     // missing bases fail at parse time, before Spark is touched
     assertThrows[IllegalArgumentException](Cli.parseArgs(Array("--dbt")))
+
+    // --select filters by model-name glob; --state reads artifacts from an
+    // alternate dir; --prod-database/--prod-schema compose the prod base
+    val stateDir = s"$dir/elsewhere"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stateDir))
+    for (f <- Seq("run_results.json", "manifest.json"))
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/target/$f"),
+        java.nio.file.Paths.get(s"$stateDir/$f"))
+    val out2 = new java.io.ByteArrayOutputStream
+    Console.withOut(new java.io.PrintStream(out2, true, "UTF-8")) {
+      Cli.run(Cli.parseArgs(Array("--dbt", "--dbt-project-dir", "/nonexistent",
+        "--state", stateDir, "--select", "us*",
+        "--dbt-dev-base", s"$dir/dev",
+        "--prod-database", dir, "--prod-schema", "prod",
+        "--dbt-profiles-dir", "/ignored")), spark)
+    }
+    val t2 = out2.toString("UTF-8")
+    assert(t2.contains("users:") && t2.toLowerCase.contains("updated"), t2)
+    // a selector that matches nothing reports every model as unselected
+    val out3 = new java.io.ByteArrayOutputStream
+    Console.withOut(new java.io.PrintStream(out3, true, "UTF-8")) {
+      Cli.run(Cli.parseArgs(Array("--dbt", "--dbt-project-dir", dir,
+        "--select", "orders*",
+        "--dbt-dev-base", s"$dir/dev", "--dbt-prod-base", s"$dir/prod")), spark)
+    }
+    assert(out3.toString("UTF-8").contains("skipped users: not selected by 'orders*'"))
+    // --cloud refuses loudly: there is no SaaS backend here
+    val e = intercept[IllegalArgumentException](Cli.parseArgs(Array("--cloud", "x", "y")))
+    assert(e.getMessage.contains("locally"))
   }
 
   test("--version prints and exits before any source is touched") {
