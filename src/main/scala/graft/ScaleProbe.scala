@@ -57,6 +57,19 @@ object ScaleProbe {
     time("ivfTopK k=8 (5 queries)")(
       noop(graft.sim.Similarity.ivfTopK(vecs, "vec_id", "embedding", "label",
         col("vec_id") < 5, k = 8)))
+    // the SERVING path: index persisted once, 100 NEW query vectors
+    // probe their 4 best cells — measures steady-state query cost with
+    // the build amortized away
+    val ivfDir = java.nio.file.Files.createTempDirectory("ivfprobe").toString + "/idx"
+    time(s"saveIvfIndex ($nVec vectors)")(
+      graft.sim.Similarity.saveIvfIndex(vecs, "vec_id", "embedding", "label", ivfDir))
+    val newQueries = spark.range(100)
+      .select((col("id") + 10000000L).as("query_id"),
+        transform(sequence(lit(0), lit(63)),
+          j => sin((col("id") + 7) * (j + 1) * 0.9)).as("qv"))
+    time("ivfQueryIndex 100 queries nProbe=4")(
+      noop(graft.sim.Similarity.ivfQueryIndex(spark, ivfDir, newQueries,
+        k = 8, nProbe = 4)))
 
     // ---- wide fact table at nRows ----------------------------------------
     // no checkpoint: the generator is a narrow codegen'd range (~1 s at 60M
