@@ -150,6 +150,76 @@ final case class TableSegment(
     }
   }
 
+  /** Split into `count` row-balanced segments bounded by key checkpoints
+    * taken at ROW quantiles — the skew-proof alternative to
+    * splitByKeyRange's arithmetic mid-points. Sparse or clustered key
+    * spaces (snowflake IDs with epoch gaps, tenant-prefixed keys, bulk-
+    * deleted ranges) make arithmetic splitting arbitrarily unbalanced:
+    * most segments empty, one holding nearly every row — at 100 TB that
+    * is one straggler checksumming the whole table while the rest of the
+    * cluster idles. Quantile checkpoints are actual key values from the
+    * data, so every segment holds ~n/count rows REGARDLESS of the key
+    * distribution, and the bounds are still plain range predicates that
+    * push into the scan unchanged. (The reference bisects arithmetically
+    * only — diff_tables.py:289-352 — and inherits exactly this
+    * imbalance on sparse keys.)
+    *
+    * Also lifts the key-type restriction: checkpoints compare in native
+    * column order (no UUID/alphanumeric arithmetic parsing), so ANY
+    * orderable single-column key — arbitrary strings included —
+    * segments correctly.
+    *
+    * `exact = true` derives checkpoints from a full sort (ntile): one
+    * range-shuffle pass, deterministic and engine-reproducible — the
+    * oracle-gated path, and the right choice when the segment plan
+    * itself must be auditable. `exact = false` (default, the 100 TB
+    * path) sorts only a deterministic hash sample of ~`sampleSize`
+    * keys per requested segment — the same sample-then-pick-boundaries
+    * scheme as Spark's own RangePartitioner, but md5-48-deterministic,
+    * so two runs (or two engines) draw the identical sample. Balance
+    * becomes approximate; COVERAGE stays exact, because the segments
+    * remain a partition of the key line:
+    * (lo, c1), [c1, c2), …, [ck, hi). Driver traffic is the
+    * checkpoint list itself — `count − 1` values — in both modes. */
+  def splitByRowQuantiles(count: Int, exact: Boolean = false,
+      sampleSize: Int = 100): Seq[TableSegment] = {
+    require(keyCols.size == 1,
+      "row-quantile split needs a single key column (compound keys: " +
+        "quantile-split the leading column, mesh the rest)")
+    if (count <= 1) return Seq(this)
+    val k = keyCols.head
+    val keys = scoped.select(col(k)).where(col(k).isNotNull)
+    val basis =
+      if (exact) keys
+      else {
+        // Deterministic hash sample targeting sampleSize·count keys: one
+        // cheap codegen'd filter pass + a count() to size the modulus.
+        // (Two scans of ONE column; the exact path's global sort is the
+        // thing being avoided, not the scan.)
+        val n = keys.count()
+        val mod = math.max(1L, n / math.max(1L, sampleSize.toLong * count))
+        keys.where(pmod(graft.functions.Md5Bits48.head(col(k).cast("string")),
+          lit(mod)) === 0)
+      }
+    // Checkpoint = FIRST key of ntile buckets 2..count: segment bounds
+    // are [inclusive, exclusive), so [cp_i, cp_i+1) reproduces bucket i
+    // exactly (keys unique under PK discipline). The single-partition
+    // window is bounded: the exact path is the documented sort-one-
+    // column mode, the sampled path sees ~sampleSize·count rows.
+    val cps = basis
+      .withColumn("b", ntile(count).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col(k))))
+      .where(col("b") > 1)
+      .groupBy("b").agg(min(col(k)).as("cp"))
+      .orderBy("b").collect().map(_.get(1)).toSeq.distinct
+    if (cps.isEmpty) return Seq(this)
+    // Ends inherit this segment's existing scope bounds (None = open).
+    val bounds = (minKey +: cps.map(c => Some(Seq(c)))) :+ maxKey
+    bounds.sliding(2).map { case Seq(lo, hi) =>
+      copy(minKey = lo, maxKey = hi)
+    }.toSeq
+  }
+
   /** count(*) vs count(distinct keys) — duplicate-PK validation
     * (reference: joindiff_tables.py:228-248). */
   def validateKeys(): (Long, Long, Long) = {

@@ -161,6 +161,26 @@ object PushdownQueries {
         .agg(sum("cnt").as("total_rows"))
     }),
 
+    // Row-balanced segmentation: the exact quantile checkpoints must
+    // reproduce the ntile row split (keys unique), so per-segment counts
+    // AND key bounds are oracle-checkable — balance and coverage in one
+    // result. (The skew story — arithmetic split collapsing on sparse
+    // keys while this one stays flat — is SegmentSpec territory; the
+    // gate pins the checkpoint math itself cross-engine.)
+    "q_quantile_segments" -> ((s, d) => {
+      val o = Tables.load(s, d, "orders").select(col("o_orderkey").as("k"))
+      val parts = TableSegment(o, Seq("k")).splitByRowQuantiles(8, exact = true)
+      val segCol = parts.zipWithIndex
+        .foldRight(lit(null).cast("long")) { case ((p, i), acc) =>
+          val lo = p.minKey.map(v => col("k") >= lit(v.head)).getOrElse(lit(true))
+          val hi = p.maxKey.map(v => col("k") < lit(v.head)).getOrElse(lit(true))
+          when(lo && hi, lit(i.toLong)).otherwise(acc)
+        }
+      o.groupBy(segCol.as("seg"))
+        .agg(count(lit(1)).as("cnt"), min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("seg")
+    }),
+
     // Same coverage invariant for Decimal(p,0) surrogate keys (the Oracle/
     // Teradata NUMBER-PK shape; reference accepts Decimal(precision=0) as a
     // segmentation key, abcs/database_types.py:196-201). The ×10^10 spread
@@ -245,5 +265,12 @@ object PushdownQueries {
 
     "q_decimal_segments" ->
       "SELECT COUNT(*) AS total_rows FROM orders",
+
+    "q_quantile_segments" ->
+      """WITH b AS (SELECT o_orderkey AS k,
+        |  ntile(8) OVER (ORDER BY o_orderkey) AS bucket FROM orders)
+        |SELECT bucket - 1 AS seg, count(*) AS cnt,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
