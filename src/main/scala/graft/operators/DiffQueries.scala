@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.diff.{Checksum, HashDiffer, JoinDiffer, Normalize, SchemaTools, TableSegment}
+import graft.diff.{Checksum, DiffEstimate, HashDiffer, JoinDiffer, Normalize, SchemaTools, TableSegment}
 
 /** The flagship diff operators (SURVEY.md §2.8) wired into the correctness
   * gate. The second table of each diff is a deterministic in-plan mutation of
@@ -69,6 +69,21 @@ object DiffQueries {
     "q_diff_col_counts" -> ((s, d) => {
       val a = orders(s, d)
       JoinDiffer.diffCountsPerColumn(a, mutatedOrders(a), Seq("o_orderkey"), orderCompareCols)
+    }),
+
+    // Strategy pre-flight: deterministic 1/16 key sample diffed and
+    // extrapolated (DiffEstimate). The decision surface is integer
+    // milli-units end to end, so the DuckDB oracle reproduces the
+    // sample, the rate, AND the recommendation exactly. The uniform
+    // fixture (~7% of keys differ) lands on the dense side of the 5%
+    // cutoff — the regime where bisection would stop pruning.
+    "q_diff_estimate" -> ((s, d) => {
+      val a = orders(s, d)
+      val e = DiffEstimate.estimate(a, mutatedOrders(a),
+        Seq("o_orderkey"), orderCompareCols, mod = 16L)
+      import s.implicits._
+      Seq((e.sampledKeys, e.differingKeys, e.milliRate, e.recommendation))
+        .toDF("sampled_keys", "differing_keys", "milli_rate", "recommendation")
     }),
 
     // The checksum is emitted as its decimal STRING (not DECIMAL(38,0)): the
@@ -218,6 +233,22 @@ object DiffQueries {
              s"CAST(SUM(CASE WHEN a.$c IS DISTINCT FROM b.$c THEN 1 ELSE 0 END) AS BIGINT) AS n_diff_$c")
              .mkString(",\n  ")}
          |FROM orders a JOIN b ON a.o_orderkey = b.o_orderkey""".stripMargin,
+
+    "q_diff_estimate" ->
+      s"""$mutatedCte,
+         |sa AS (SELECT * FROM orders
+         |  WHERE ('0x' || substring(md5(o_orderkey::VARCHAR), 1, 12))::BIGINT % 16 = 0),
+         |sb AS (SELECT * FROM b
+         |  WHERE ('0x' || substring(md5(o_orderkey::VARCHAR), 1, 12))::BIGINT % 16 = 0),
+         |j AS (SELECT CASE WHEN a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+         |    OR $anyColDiff THEN 1 ELSE 0 END AS dif
+         |  FROM sa a FULL OUTER JOIN sb b ON a.o_orderkey = b.o_orderkey)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS sampled_keys,
+         |  CAST(SUM(dif) AS BIGINT) AS differing_keys,
+         |  CAST(1000 * SUM(dif) // COUNT(*) AS BIGINT) AS milli_rate,
+         |  CASE WHEN 1000 * SUM(dif) // COUNT(*) >= 50 THEN 'dense-join'
+         |    ELSE 'bisect' END AS recommendation
+         |FROM j""".stripMargin,
 
     "q_checksum" ->
       s"""SELECT COUNT(*) AS cnt,
