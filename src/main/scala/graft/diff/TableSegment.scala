@@ -187,31 +187,8 @@ final case class TableSegment(
       "row-quantile split needs a single key column (compound keys: " +
         "quantile-split the leading column, mesh the rest)")
     if (count <= 1) return Seq(this)
-    val k = keyCols.head
-    val keys = scoped.select(col(k)).where(col(k).isNotNull)
-    val basis =
-      if (exact) keys
-      else {
-        // Deterministic hash sample targeting sampleSize·count keys: one
-        // cheap codegen'd filter pass + a count() to size the modulus.
-        // (Two scans of ONE column; the exact path's global sort is the
-        // thing being avoided, not the scan.)
-        val n = keys.count()
-        val mod = math.max(1L, n / math.max(1L, sampleSize.toLong * count))
-        keys.where(pmod(graft.functions.Md5Bits48.head(col(k).cast("string")),
-          lit(mod)) === 0)
-      }
-    // Checkpoint = FIRST key of ntile buckets 2..count: segment bounds
-    // are [inclusive, exclusive), so [cp_i, cp_i+1) reproduces bucket i
-    // exactly (keys unique under PK discipline). The single-partition
-    // window is bounded: the exact path is the documented sort-one-
-    // column mode, the sampled path sees ~sampleSize·count rows.
-    val cps = basis
-      .withColumn("b", ntile(count).over(
-        org.apache.spark.sql.expressions.Window.orderBy(col(k))))
-      .where(col("b") > 1)
-      .groupBy("b").agg(min(col(k)).as("cp"))
-      .orderBy("b").collect().map(_.get(1)).toSeq.distinct
+    val cps = TableSegment.quantileCheckpoints(
+      scoped.select(col(keyCols.head)), keyCols.head, count, exact, sampleSize)
     if (cps.isEmpty) return Seq(this)
     // Ends inherit this segment's existing scope bounds (None = open).
     val bounds = (minKey +: cps.map(c => Some(Seq(c)))) :+ maxKey
@@ -233,6 +210,38 @@ final case class TableSegment(
 }
 
 object TableSegment {
+  /** Interior checkpoint values for `count` row-balanced segments of
+    * `df`'s `k` column — the shared core of splitByRowQuantiles, also
+    * used by PushdownControl.quantileSeed to seed remote bisection.
+    * Checkpoint = FIRST key of ntile buckets 2..count, so with
+    * [inclusive, exclusive) bounds segment i reproduces bucket i exactly
+    * (keys unique under PK discipline). exact=false samples
+    * ~sampleSize·count keys by deterministic md5-48 hash first (one
+    * cheap codegen'd filter pass + a count() to size the modulus — two
+    * scans of ONE column; the exact path's global sort is the thing
+    * being avoided, not the scan). The single-partition ntile window is
+    * bounded: exact is the documented sort-one-column mode, the sampled
+    * path sees ~sampleSize·count rows. Returns ≤ count−1 values,
+    * strictly increasing; driver traffic is the checkpoint list. */
+  def quantileCheckpoints(keyDf: DataFrame, k: String, count: Int,
+      exact: Boolean, sampleSize: Int = 100): Seq[Any] = {
+    val keys = keyDf.select(col(k)).where(col(k).isNotNull)
+    val basis =
+      if (exact) keys
+      else {
+        val n = keys.count()
+        val mod = math.max(1L, n / math.max(1L, sampleSize.toLong * count))
+        keys.where(pmod(graft.functions.Md5Bits48.head(col(k).cast("string")),
+          lit(mod)) === 0)
+      }
+    basis
+      .withColumn("b", ntile(count).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col(k))))
+      .where(col("b") > 1)
+      .groupBy("b").agg(min(col(k)).as("cp"))
+      .orderBy("b").collect().map(_.get(1)).toSeq.distinct
+  }
+
   /** Key value → driver-side arithmetic key (shared by splitByKeyRange and
     * the pushdown differ's bisection). */
   def toKey(v: Any): KeySpace.Key = v match {

@@ -111,7 +111,23 @@ class PushdownControl(val checksumWarnSeconds: Int = PushdownControl.DefaultChec
     val denseCutoverPruneRate: Double = 0.10,
     /** Small-frontier fast path bound, in units of `bisectionThreshold`
       * rows (see denseCutover). */
-    val denseCutoverFrontierFactor: Int = 4) {
+    val denseCutoverFrontierFactor: Int = 4,
+    /** Seed level 0 with LOCAL row-quantile checkpoints
+      * (TableSegment.quantileCheckpoints, sampled mode) instead of
+      * arithmetic mid-points. Sparse/clustered key spaces — snowflake
+      * IDs with epoch gaps, tenant prefixes — make arithmetic level-0
+      * children wildly unbalanced: one child holds ~every row and the
+      * loop burns whole levels (each a remote round-trip re-checksumming
+      * the same rows) homing in on the dense sliver. Quantile seeds cut
+      * where the rows actually are, so level 0 starts balanced.
+      * Correctness is unaffected either way — seeds only refine HOW the
+      * combined root range is partitioned, never its coverage, and
+      * remote-only rows land in whichever seeded segment contains them
+      * (balance is estimated from the local side; the sides agree modulo
+      * the diff itself). Single-column keys only (compound keys fall
+      * back to the arithmetic mesh). Cost: one sampled scan of the local
+      * key column before the first level. */
+    val quantileSeed: Boolean = false) {
 
   /** The cutover CANDIDACY decision, shared by both differs. Two triggers:
     *  - the configured rule: `denseCutoverAfterLevels` levels done with a
@@ -652,7 +668,52 @@ object PushdownDiffer {
     type Summary = (Long, Option[BigDecimal])
     val leaves = ArrayBuffer.empty[Box]
     val emitted = ArrayBuffer.empty[DataFrame]
-    var frontier: Seq[Box] = splitBox(rootBox)
+    // Level-0 quantile seeding (control.quantileSeed): cut the root box
+    // at sampled LOCAL row-quantiles so the first frontier is row-
+    // balanced even on sparse/clustered key spaces (see the knob's doc).
+    // Checkpoints parse through the same uniform key arithmetic as the
+    // root bounds (hex-projected keys parse as 128-bit hex directly —
+    // the uniform-UUID heuristic must not see them), are clamped
+    // strictly inside the root and deduped; any degenerate outcome
+    // falls back to the arithmetic split. Seeds refine HOW the root
+    // range is partitioned, never its coverage, so correctness is
+    // untouched by construction.
+    def quantileSeedBoxes(): Option[Seq[Box]] =
+      if (!control.quantileSeed || keyCols.size != 1) None
+      else {
+        val k = keyCols.head
+        // Seed count targets ~threshold rows PER SEEDED BOX (clamped to
+        // [factor, maxSegmentsPerQuery]): a box that still needs
+        // splitting then yields leaf-sized children in one arithmetic
+        // round even when its key range spans a sparse gap — without
+        // this, a seeded box covering gap+sliver re-inherits the
+        // arithmetic pathology INSIDE its own bounds and burns the
+        // levels the seeding was meant to save. The count() is one
+        // column-pruned pass; quantileCheckpoints' sampling pays one
+        // more (pre-flight cost, documented on the knob).
+        val localKeys = localForRange.scoped.select(col(k))
+        val n = localKeys.count()
+        val seedCount = math.min(maxSegmentsPerQuery.toLong,
+          math.max(bisectionFactor.toLong,
+            (n + bisectionThreshold - 1) / bisectionThreshold)).toInt
+        val raw = TableSegment.quantileCheckpoints(
+          localKeys, k, seedCount, exact = false)
+        if (raw.isEmpty) None
+        else {
+          val (lo, hi) = (rootBox._1.head, rootBox._2.head)
+          val cpKeys: Seq[KeySpace.Key] =
+            if (hexKeyCols(k)) raw.map(s => KeySpace.UuidKey(
+              BigInt(s.asInstanceOf[String], 16), uppercase = true, dashed = false))
+            else TableSegment.toKeys(
+              Seq(TableSegment.fromKey(lo), TableSegment.fromKey(hi)) ++ raw).drop(2)
+          val interior = cpKeys.filter(c => (c - lo) > 0 && (hi - c) > 0)
+            .distinct.sortWith((a, b) => (a - b) < 0)
+          if (interior.isEmpty) None
+          else Some(((lo +: interior) :+ hi).sliding(2)
+            .map(p => (Seq(p(0)), Seq(p(1)))).toSeq)
+        }
+      }
+    var frontier: Seq[Box] = quantileSeedBoxes().getOrElse(splitBox(rootBox))
     var level = 0
     var probed = 0
     var pruned = 0

@@ -269,6 +269,58 @@ class PushdownDifferSpec extends AnyFunSuite {
     assert(rows.exists(_.startsWith("-|1|v1")) && rows.exists(_.startsWith("+|1|v1X")))
   }
 
+  test("quantile seeding: skewed key space converges in fewer levels, identical rows") {
+    // Snowflake shape: 20k dense keys in [1, 20000] + 50 stragglers near
+    // 10^12. The arithmetic level-0 split cuts [1, ~10^12] into equal-WIDTH
+    // children, so every dense row lands in child 0 and the loop burns a
+    // level (a remote round-trip each) per ~8x of key-space narrowing
+    // before segments reach the threshold. Quantile seeds cut where the
+    // rows are: level 0 starts row-balanced and the whole diff finishes
+    // in 2-3 levels. Rows must be bit-identical either way — seeding only
+    // re-partitions the root range.
+    import spark.implicits._
+    val aRows = (1 to 20000).map(i => (i.toLong, s"v$i")) ++
+      (1 to 50).map(i => (1000000000000L + i * 9999L, s"t$i"))
+    val a = aRows.toDF("k", "v")
+    aRows.map { case (k, v) => if (k % 1024 == 1) (k, v + "X") else (k, v) }
+      .toDF("k", "v").createOrReplaceTempView("pd_skew_b")
+    val remote = RemoteTable(new SparkViewEngine(spark), "pd_skew_b",
+      Seq("k"), Seq("v"), a.schema)
+    def run(ctrl: PushdownControl) = PushdownDiffer.diffWithStats(
+      TableSegment(a, Seq("k"), Seq("v")), remote,
+      bisectionFactor = 8, bisectionThreshold = 512, control = ctrl)
+    val (outA, arith) = run(new PushdownControl())
+    val (outQ, quant) = run(new PushdownControl(quantileSeed = true))
+    val want = outA.collect().map(_.mkString("|")).toSet
+    assert(want.nonEmpty && outQ.collect().map(_.mkString("|")).toSet == want)
+    assert(quant.levels < arith.levels,
+      s"quantile seeding must save levels: $quant vs $arith")
+    assert(quant.remoteQueries < arith.remoteQueries,
+      s"quantile seeding must save remote round-trips: $quant vs $arith")
+    assert(quant.denseCutoverAtLevel.isEmpty,
+      s"balanced segments with scattered diffs must not cut over: $quant")
+  }
+
+  test("quantile seeding on a uniform key space stays correct and comparable") {
+    // No skew: seeding must not hurt — same rows, level count within one
+    // of the arithmetic run (checkpoints land near the mid-points anyway).
+    import spark.implicits._
+    val aRows = (1 to 8192).map(i => (i.toLong, s"v$i"))
+    val a = aRows.toDF("k", "v")
+    aRows.map { case (k, v) => if (k % 997 == 1) (k, v + "X") else (k, v) }
+      .toDF("k", "v").createOrReplaceTempView("pd_uni_b")
+    val remote = RemoteTable(new SparkViewEngine(spark), "pd_uni_b",
+      Seq("k"), Seq("v"), a.schema)
+    def run(ctrl: PushdownControl) = PushdownDiffer.diffWithStats(
+      TableSegment(a, Seq("k"), Seq("v")), remote,
+      bisectionFactor = 4, bisectionThreshold = 256, control = ctrl)
+    val (outA, arith) = run(new PushdownControl())
+    val (outQ, quant) = run(new PushdownControl(quantileSeed = true))
+    assert(outQ.collect().map(_.mkString("|")).toSet ==
+      outA.collect().map(_.mkString("|")).toSet)
+    assert(quant.levels <= arith.levels + 1, s"$quant vs $arith")
+  }
+
   test("remote-remote scattered diffs bisect to leaves the same way") {
     import spark.implicits._
     val n = 16384
