@@ -17,6 +17,13 @@ object Graft {
     case object Auto extends Algorithm
     case object JoinDiff extends Algorithm
     case object HashDiff extends Algorithm
+    /** Measure, then choose: sample-diff both sides (DiffEstimate —
+      * deterministic md5-48 key sample, Wilson-bounded) and run joindiff
+      * when the sampled rate says the table differs ~everywhere,
+      * hashdiff when diffs are sparse enough that checksum pruning wins.
+      * The evidence-based Auto, costing one sampled pre-pass of
+      * ~n/estimateMod rows per side. */
+    case object Estimate extends Algorithm
   }
 
   final case class DiffOptions(
@@ -29,7 +36,12 @@ object Graft {
       /** Columns compared under JSON equivalence: key order and whitespace
         * differences are not diffs (reference: utils.py:515-536). */
       jsonColumns: Seq[String] = Nil,
-      validateKeys: Boolean = true)
+      validateKeys: Boolean = true,
+      /** Algorithm.Estimate knobs: sample 1/estimateMod of the key space;
+        * at/above denseMilliCutoff thousandths of sampled keys differing,
+        * the dense join wins (see DiffEstimate.estimate). */
+      estimateMod: Long = 1024L,
+      denseMilliCutoff: Long = 50L)
 
   /** Build a diff-scoped segment from any Spark-readable source:
     * "format:path" (parquet/csv/json/orc), "jdbc:<url>#<table>" (Spark's
@@ -96,9 +108,30 @@ object Graft {
       case Algorithm.Auto =>
         // Spark reads both sides itself — storage is always "the same
         // engine"; hashdiff only pays off when the caller expects few
-        // diffs, which Auto cannot know. Default to the single-pass join.
+        // diffs, which Auto cannot know without a pre-pass it must not
+        // silently spend. Default to the single-pass join;
+        // Algorithm.Estimate is the opt-in that measures first.
         JoinDiffer.diff(a.scoped, b.scoped, a.keyCols, compare, jsonCols)
+      case Algorithm.Estimate =>
+        chooseAlgorithm(a, b, compare, opts) match {
+          case Algorithm.JoinDiff =>
+            JoinDiffer.diff(a.scoped, b.scoped, a.keyCols, compare, jsonCols)
+          case _ =>
+            HashDiffer.diff(a.copy(extraCols = compare), b.copy(extraCols = compare),
+              opts.buckets, jsonCols = jsonCols)
+        }
     }
+  }
+
+  /** The Algorithm.Estimate decision, exposed for callers that want the
+    * verdict without the diff: sampled rate ≥ denseMilliCutoff →
+    * JoinDiff (one shuffle beats checksum levels that prune nothing),
+    * else HashDiff (pruning pays). */
+  def chooseAlgorithm(a: TableSegment, b: TableSegment, compare: Seq[String],
+      opts: DiffOptions = DiffOptions()): Algorithm = {
+    val e = graft.diff.DiffEstimate.estimate(a.scoped, b.scoped, a.keyCols,
+      compare, mod = opts.estimateMod, denseMilliCutoff = opts.denseMilliCutoff)
+    if (e.isDense) Algorithm.JoinDiff else Algorithm.HashDiff
   }
 
   def diffStats(a: TableSegment, b: TableSegment): DataFrame =

@@ -48,7 +48,7 @@ object ParseTime {
 /** CLI mirroring the reference's surface (reference: data_diff/__main__.py):
   *
   *   graft.cli.Cli SOURCE_A SOURCE_B -k key[,key2] [-c col1,col2]
-  *     [--algorithm auto|joindiff|hashdiff] [--stats] [--json] [--limit N]
+  *     [--algorithm auto|joindiff|hashdiff|estimate] [--stats] [--json] [--limit N]
   *     [--ignore col1,col2] [--update-column col --min-age 1d --max-age 1h]
   *     [--materialize path] [--where EXPR] [--assume-unique-key]
   *     [--sample-exclusive-rows] [--materialize-all-rows]
@@ -387,6 +387,9 @@ object Cli {
           val algo = a.algorithm match {
             case "joindiff" => Graft.Algorithm.JoinDiff
             case "hashdiff" => Graft.Algorithm.HashDiff
+            // evidence-based pick: sample-diff first (DiffEstimate), then
+            // joindiff if dense, hashdiff if sparse
+            case "estimate" => Graft.Algorithm.Estimate
             case "" | "auto" => Graft.Algorithm.Auto
             case other => throw new IllegalArgumentException(s"unknown algorithm: $other")
           }

@@ -94,6 +94,22 @@ class CliEndToEndSpec extends AnyFunSuite {
     assert(text.contains("1 rows removed") || text.toLowerCase.contains("removed"))
   }
 
+  test("--algorithm estimate runs the sampled pre-flight and still emits the exact diff") {
+    val dir = java.nio.file.Files.createTempDirectory("cliest").toString
+    (1L to 2000L).map(i => (i, s"v$i")).toDF("k", "v").write.parquet(s"$dir/ta")
+    (1L to 2000L).map(i => (i, if (i % 400 == 0) s"v${i}M" else s"v$i"))
+      .toDF("k", "v").write.parquet(s"$dir/tb")
+    val out = new java.io.ByteArrayOutputStream
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      Cli.run(Cli.parseArgs(Array(s"$dir/ta", s"$dir/tb", "-k", "k",
+        "--algorithm", "estimate", "--json")), spark)
+    }
+    val lines = out.toString("UTF-8").linesIterator.filter(_.startsWith("{")).toSeq
+    // 5 mutated keys → 10 signed rows, regardless of which differ the
+    // estimate picked (sparse here → hashdiff)
+    assert(lines.size == 10, lines.mkString("\n"))
+  }
+
   test("--where scopes both sides; --assume-unique-key skips PK validation") {
     val dir = java.nio.file.Files.createTempDirectory("cliwhere").toString
     // duplicate key k=1 on side a: validation must reject it by default

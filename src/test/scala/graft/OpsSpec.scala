@@ -1353,6 +1353,36 @@ class GraftApiSpec extends AnyFunSuite {
     assert(e.getMessage.contains("original-typed"))
   }
 
+  test("Algorithm.Estimate measures the regime and picks the matching differ") {
+    import graft.diff.TableSegment
+    def base(n: Long) = spark.range(n)
+      .select(col("id").as("k"), (col("id") % 5).cast("string").as("v"))
+    // sparse: 1/500 keys mutated → hashdiff (pruning pays)
+    val a = base(10000)
+    val sparse = base(10000).withColumn("v",
+      when(col("k") % 500 === 0, lit("M")).otherwise(col("v")))
+    assert(Graft.chooseAlgorithm(TableSegment(a.toDF(), Seq("k")),
+      TableSegment(sparse.toDF(), Seq("k")), Seq("v"),
+      Graft.DiffOptions(estimateMod = 4L)) == Graft.Algorithm.HashDiff)
+    // dense: half the keys mutated → joindiff (one shuffle wins)
+    val dense = base(10000).withColumn("v",
+      when(col("k") % 2 === 0, lit("M")).otherwise(col("v")))
+    assert(Graft.chooseAlgorithm(TableSegment(a.toDF(), Seq("k")),
+      TableSegment(dense.toDF(), Seq("k")), Seq("v"),
+      Graft.DiffOptions(estimateMod = 4L)) == Graft.Algorithm.JoinDiff)
+    // the picked path produces the same rows as an explicit choice
+    for (b <- Seq(sparse, dense)) {
+      val est = Graft.diffTables(TableSegment(a.toDF(), Seq("k")),
+        TableSegment(b.toDF(), Seq("k")),
+        Graft.DiffOptions(algorithm = Graft.Algorithm.Estimate, estimateMod = 4L))
+      val ref = Graft.diffTables(TableSegment(a.toDF(), Seq("k")),
+        TableSegment(b.toDF(), Seq("k")),
+        Graft.DiffOptions(algorithm = Graft.Algorithm.JoinDiff))
+      assert(est.collect().map(_.mkString("|")).toSet ==
+        ref.collect().map(_.mkString("|")).toSet)
+    }
+  }
+
   test("diffTables end-to-end over the public API") {
     val a = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
     val b = Seq((1L, "x"), (2L, "z")).toDF("k", "v")
