@@ -249,6 +249,63 @@ object ScaleProbe {
         s"scattered regime must bisect, not bulk-fetch: $stats")
     }
 
+    // ---- skew-seeded pushdown at 1M rows ---------------------------------
+    // The quantileSeed scale claim, measured: 1M dense keys plus 100
+    // stragglers parked at 10^12 (snowflake shape). Arithmetic level-0
+    // children split ~10^12 of key WIDTH, so every dense row lands in one
+    // child and each extra level is a remote round-trip; quantile seeds
+    // cut where the rows are. Same diffs both runs, fewer levels seeded.
+    {
+      import graft.diff.TableSegment
+      import graft.sources.{PushdownControl, PushdownDiffer, RemoteTable, SparkViewEngine}
+      val n = 1000000L
+      val base = spark.range(1, n + 1)
+        .select(col("id").as("k"), concat(lit("v"), col("id")).as("v"))
+        .union(spark.range(100).select((col("id") * 9973L + 1000000000000L).as("k"),
+          concat(lit("t"), col("id")).as("v")))
+        .localCheckpoint()
+      base.withColumn("v",
+          when(pmod(col("k"), lit(n / 64)) === 1, concat(col("v"), lit("X")))
+            .otherwise(col("v")))
+        .createOrReplaceTempView("probe_pdskew_b")
+      val remote = RemoteTable.introspect(new SparkViewEngine(spark), "probe_pdskew_b",
+        Seq("k"), Seq("v"))
+      def runSkew(label: String, ctrl: PushdownControl) = {
+        val stats = time(label) {
+          val (df, st) = PushdownDiffer.diffWithStats(
+            TableSegment(base, Seq("k"), Seq("v")), remote, control = ctrl)
+          noop(df)
+          st
+        }
+        println(s"  levels=${stats.levels} queries=${stats.remoteQueries} " +
+          s"probed=${stats.segmentsProbed} rowsFetched=${stats.rowsFetched}")
+        stats
+      }
+      val arith = runSkew("pushdown 1M skewed arith", new PushdownControl())
+      val seeded = runSkew("pushdown 1M skewed seeded",
+        new PushdownControl(quantileSeed = true))
+      require(seeded.levels < arith.levels && seeded.remoteQueries <= arith.remoteQueries,
+        s"seeding must save levels on the skewed shape: $seeded vs $arith")
+    }
+
+    // ---- sampled diff-rate pre-flight at nRows ---------------------------
+    // The Estimate strategy pick's scale cost: one codegen'd hash-filter
+    // pass per side + a join on ~n/mod keys. At mod=1024 and 60M rows the
+    // sampled sliver is ~59k keys/side.
+    {
+      val a = spark.range(nRows).select(col("id").as("k"),
+        pmod(col("id") * 31L, lit(97L)).as("v"))
+      val b = spark.range(nRows).select(col("id").as("k"),
+        when(pmod(col("id"), lit(50L)) === 0, lit(-1L))
+          .otherwise(pmod(col("id") * 31L, lit(97L))).as("v"))
+      val e = time(s"diffEstimate $nRows rows mod=1024")(
+        graft.diff.DiffEstimate.estimate(a, b, Seq("k"), Seq("v"), mod = 1024L))
+      println(s"  sampled=${e.sampledKeys} differing=${e.differingKeys} " +
+        s"milli=${e.milliRate} upper=${e.upperMilliRate} rec=${e.recommendation}")
+      require(e.milliRate > 10 && e.milliRate < 30,
+        s"2% mutation should estimate ~20 milli: $e")
+    }
+
     // LAST and opt-in (arg 3 = "hazard"): exact percentile buffers
     // O(distinct values) per group and dies on heap at this scale after
     // minutes of churn (measured: 318 s → OOM at 48g over 60M doubles) —

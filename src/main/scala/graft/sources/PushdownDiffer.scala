@@ -112,21 +112,23 @@ class PushdownControl(val checksumWarnSeconds: Int = PushdownControl.DefaultChec
     /** Small-frontier fast path bound, in units of `bisectionThreshold`
       * rows (see denseCutover). */
     val denseCutoverFrontierFactor: Int = 4,
-    /** Seed level 0 with LOCAL row-quantile checkpoints
-      * (TableSegment.quantileCheckpoints, sampled mode) instead of
-      * arithmetic mid-points. Sparse/clustered key spaces — snowflake
-      * IDs with epoch gaps, tenant prefixes — make arithmetic level-0
-      * children wildly unbalanced: one child holds ~every row and the
-      * loop burns whole levels (each a remote round-trip re-checksumming
-      * the same rows) homing in on the dense sliver. Quantile seeds cut
-      * where the rows actually are, so level 0 starts balanced.
-      * Correctness is unaffected either way — seeds only refine HOW the
-      * combined root range is partitioned, never its coverage, and
-      * remote-only rows land in whichever seeded segment contains them
-      * (balance is estimated from the local side; the sides agree modulo
-      * the diff itself). Single-column keys only (compound keys fall
-      * back to the arithmetic mesh). Cost: one sampled scan of the local
-      * key column before the first level. */
+    /** Split boxes at sampled LOCAL row-quantiles instead of arithmetic
+      * mid-widths — the root at level 0 and every level's dirty parents
+      * (all of a level's parents cut in ONE Spark job). Sparse/clustered
+      * key spaces — snowflake IDs with epoch gaps, tenant prefixes —
+      * make arithmetic children wildly unbalanced: one child holds
+      * ~every row and the loop burns whole levels (each a remote
+      * round-trip re-checksumming the same rows) narrowing key WIDTH
+      * toward the dense sliver. Quantile splits cut where the rows
+      * actually are, so the level count is ~log_factor(n/threshold)
+      * regardless of key distribution. Correctness is unaffected either
+      * way — splits only refine HOW a box is partitioned, never its
+      * coverage; remote-only rows land in whichever segment contains
+      * them (balance is estimated from the local side — the sides agree
+      * modulo the diff itself — and a parent invisible locally falls
+      * back to the arithmetic split). Single-column keys only (compound
+      * keys always use the arithmetic mesh). Cost: one sampled
+      * key-column pass per level plus one count() up front. */
     val quantileSeed: Boolean = false) {
 
   /** The cutover CANDIDACY decision, shared by both differs. Two triggers:
@@ -668,52 +670,72 @@ object PushdownDiffer {
     type Summary = (Long, Option[BigDecimal])
     val leaves = ArrayBuffer.empty[Box]
     val emitted = ArrayBuffer.empty[DataFrame]
-    // Level-0 quantile seeding (control.quantileSeed): cut the root box
-    // at sampled LOCAL row-quantiles so the first frontier is row-
-    // balanced even on sparse/clustered key spaces (see the knob's doc).
-    // Checkpoints parse through the same uniform key arithmetic as the
-    // root bounds (hex-projected keys parse as 128-bit hex directly —
-    // the uniform-UUID heuristic must not see them), are clamped
-    // strictly inside the root and deduped; any degenerate outcome
-    // falls back to the arithmetic split. Seeds refine HOW the root
-    // range is partitioned, never its coverage, so correctness is
-    // untouched by construction.
-    def quantileSeedBoxes(): Option[Seq[Box]] =
-      if (!control.quantileSeed || keyCols.size != 1) None
+    // Data-driven splitting (control.quantileSeed): cut every box that
+    // needs splitting — the root at level 0, dirty parents at each deeper
+    // level — at its own sampled LOCAL row-quantiles instead of
+    // arithmetic mid-widths (see the knob's doc). ALL parents of a level
+    // split in ONE Spark job: sampled keys range-join the parent bounds,
+    // one ntile window partitioned by parent assigns buckets, and the
+    // min key of buckets 2..factor are the parent's checkpoints (driver
+    // traffic: ≤ parents × (factor−1) values). Checkpoints parse through
+    // the same uniform key arithmetic as the root bounds (hex-projected
+    // keys parse as 128-bit hex directly — the uniform-UUID heuristic
+    // must not see them), are clamped strictly inside the parent and
+    // deduped; parents with no usable checkpoints (e.g. dirty only from
+    // remote-only rows the local side cannot see) fall back to the
+    // arithmetic split. Splits only refine HOW a box is partitioned,
+    // never its coverage, so correctness is untouched by construction.
+    val quantileActive = control.quantileSeed && keyCols.size == 1
+    def quantileSplitAll(cands: Seq[(Box, Long)]): Map[Box, Seq[Box]] =
+      if (!quantileActive || cands.isEmpty) Map.empty
       else {
         val k = keyCols.head
-        // Seed count targets ~threshold rows PER SEEDED BOX (clamped to
-        // [factor, maxSegmentsPerQuery]): a box that still needs
-        // splitting then yields leaf-sized children in one arithmetic
-        // round even when its key range spans a sparse gap — without
-        // this, a seeded box covering gap+sliver re-inherits the
-        // arithmetic pathology INSIDE its own bounds and burns the
-        // levels the seeding was meant to save. The count() is one
-        // column-pruned pass; quantileCheckpoints' sampling pays one
-        // more (pre-flight cost, documented on the knob).
-        val localKeys = localForRange.scoped.select(col(k))
-        val n = localKeys.count()
-        val seedCount = math.min(maxSegmentsPerQuery.toLong,
-          math.max(bisectionFactor.toLong,
-            (n + bisectionThreshold - 1) / bisectionThreshold)).toInt
-        val raw = TableSegment.quantileCheckpoints(
-          localKeys, k, seedCount, exact = false)
-        if (raw.isEmpty) None
-        else {
-          val (lo, hi) = (rootBox._1.head, rootBox._2.head)
-          val cpKeys: Seq[KeySpace.Key] =
-            if (hexKeyCols(k)) raw.map(s => KeySpace.UuidKey(
-              BigInt(s.asInstanceOf[String], 16), uppercase = true, dashed = false))
-            else TableSegment.toKeys(
-              Seq(TableSegment.fromKey(lo), TableSegment.fromKey(hi)) ++ raw).drop(2)
-          val interior = cpKeys.filter(c => (c - lo) > 0 && (hi - c) > 0)
-            .distinct.sortWith((a, b) => (a - b) < 0)
-          if (interior.isEmpty) None
-          else Some(((lo +: interior) :+ hi).sliding(2)
-            .map(p => (Seq(p(0)), Seq(p(1)))).toSeq)
-        }
+        val mod = math.max(1L, cands.map(_._2).max / (bisectionFactor.toLong * 200))
+        val bounds = boundsDf(cands.map(_._1))
+        val cond = col("__ck") >= col("__graft_lo_0") && col("__ck") < col("__graft_hi_0")
+        val sampled = localAligned.scoped
+          .where(pmod(graft.functions.Md5Bits48.head(col(k).cast("string")),
+            lit(mod)) === 0)
+          .select(localKeyCol(k).as("__ck"))
+          .join(broadcast(bounds), cond)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(segField)).orderBy(col("__ck"))
+        val cpRows = sampled
+          .withColumn("__b", ntile(bisectionFactor).over(w))
+          .where(col("__b") > 1)
+          .groupBy(col(segField), col("__b")).agg(min(col("__ck")).as("cp"))
+          .collect()
+        val bySeg: Map[Int, Seq[Any]] = cpRows.groupBy(_.getInt(0))
+          .view.mapValues(_.sortBy(_.getInt(1)).map(_.get(2)).toSeq.distinct).toMap
+        cands.zipWithIndex.flatMap { case ((box, _), i) =>
+          bySeg.get(i).flatMap { raw =>
+            val (lo, hi) = (box._1.head, box._2.head)
+            val cpKeys: Seq[KeySpace.Key] =
+              if (hexKeyCols(k)) raw.map(s => KeySpace.UuidKey(
+                BigInt(s.asInstanceOf[String], 16), uppercase = true, dashed = false))
+              else TableSegment.toKeys(
+                Seq(TableSegment.fromKey(lo), TableSegment.fromKey(hi)) ++ raw).drop(2)
+            val interior = cpKeys.filter(c => (c - lo) > 0 && (hi - c) > 0)
+              .distinct.sortWith((a, b) => (a - b) < 0)
+            if (interior.isEmpty) None
+            else Some(box -> ((lo +: interior) :+ hi).sliding(2)
+              .map(p => (Seq(p(0)), Seq(p(1)))).toSeq)
+          }
+        }.toMap
       }
-    var frontier: Seq[Box] = quantileSeedBoxes().getOrElse(splitBox(rootBox))
+    /** Children for every split candidate: quantile where usable,
+      * arithmetic otherwise. */
+    def splitBoxes(cands: Seq[(Box, Long)]): Seq[(Box, Seq[Box])] = {
+      val byQuantile = quantileSplitAll(cands)
+      cands.map { case (box, _) => box -> byQuantile.getOrElse(box, splitBox(box)) }
+    }
+    var frontier: Seq[Box] =
+      if (quantileActive) {
+        // level-0 seed: the root box through the same splitter; the mod
+        // sizing needs a row count — one column-pruned pass
+        val n = localAligned.scoped.select(col(keyCols.head)).count()
+        splitBoxes(Seq((rootBox, math.max(1L, n)))).head._2
+      } else splitBox(rootBox)
     var level = 0
     var probed = 0
     var pruned = 0
@@ -737,6 +759,10 @@ object PushdownDiffer {
 
       val next = ArrayBuffer.empty[Box]
       val splitParents = ArrayBuffer.empty[Box]
+      // parents needing a split this level, with their larger side count —
+      // split together AFTER the chunk loop so the quantile path cuts
+      // every parent in one Spark job
+      val splitCands = ArrayBuffer.empty[(Box, Long)]
       // upper bound on rows in the next frontier: each split parent's
       // larger side count (its children hold exactly its rows)
       var nextFrontierRows = 0L
@@ -776,15 +802,16 @@ object PushdownDiffer {
           val r = remoteMap.getOrElse(i, (0L, None: Option[BigDecimal]))
           if (l == r) pruned += 1
           else if (math.max(l._1, r._1) < bisectionThreshold) leaves += box
-          else {
-            val children = splitBox(box)
-            if (children.size <= 1) leaves += box // key space too small to cut
-            else {
-              next ++= children; splitParents += box
-              nextFrontierRows += math.max(l._1, r._1)
-            }
-          }
+          else splitCands += ((box, math.max(l._1, r._1)))
         }
+      }
+      splitBoxes(splitCands.toSeq).zip(splitCands).foreach {
+        case ((box, children), (_, rows)) =>
+          if (children.size <= 1) leaves += box // key space too small to cut
+          else {
+            next ++= children; splitParents += box
+            nextFrontierRows += rows
+          }
       }
       frontier = next.toSeq
       // dense-diff cutover (see PushdownControl.denseCutover): sustained
