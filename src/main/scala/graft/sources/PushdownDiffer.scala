@@ -128,7 +128,10 @@ class PushdownControl(val checksumWarnSeconds: Int = PushdownControl.DefaultChec
       * modulo the diff itself — and a parent invisible locally falls
       * back to the arithmetic split). Single-column keys only (compound
       * keys always use the arithmetic mesh). Cost: one sampled
-      * key-column pass per level plus one count() up front. */
+      * key-column pass per level plus one count() up front. Applies to
+      * the local↔remote loop (PushdownDiffer) only: remote↔remote has
+      * no Spark-readable side to sample, so RemoteRemoteDiffer always
+      * splits arithmetically and ignores this knob. */
     val quantileSeed: Boolean = false) {
 
   /** The cutover CANDIDACY decision, shared by both differs. Two triggers:
