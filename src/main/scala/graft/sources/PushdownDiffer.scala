@@ -696,7 +696,12 @@ object PushdownDiffer {
         val mod = math.max(1L, cands.map(_._2).max / (bisectionFactor.toLong * 200))
         val bounds = boundsDf(cands.map(_._1))
         val cond = col("__ck") >= col("__graft_lo_0") && col("__ck") < col("__graft_hi_0")
-        val sampled = localAligned.scoped
+        // bounding-box pre-filter: the sargable cover predicate reaches
+        // the scan (parquet min/max pruning), so a late-level sampling
+        // pass reads only the frontier's slice of the table, mirroring
+        // the checksum batches' own scoping
+        val sampled = localAligned
+          .withExtraFilter(boundingBoxCond(cands.map(_._1))).scoped
           .where(pmod(graft.functions.Md5Bits48.head(col(k).cast("string")),
             lit(mod)) === 0)
           .select(localKeyCol(k).as("__ck"))
