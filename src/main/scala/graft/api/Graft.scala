@@ -130,7 +130,8 @@ object Graft {
   def chooseAlgorithm(a: TableSegment, b: TableSegment, compare: Seq[String],
       opts: DiffOptions = DiffOptions()): Algorithm = {
     val e = graft.diff.DiffEstimate.estimate(a.scoped, b.scoped, a.keyCols,
-      compare, mod = opts.estimateMod, denseMilliCutoff = opts.denseMilliCutoff)
+      compare, mod = opts.estimateMod, denseMilliCutoff = opts.denseMilliCutoff,
+      jsonCols = opts.jsonColumns.toSet)
     if (e.isDense) Algorithm.JoinDiff else Algorithm.HashDiff
   }
 

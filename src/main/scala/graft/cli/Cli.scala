@@ -275,7 +275,11 @@ object Cli {
         // silently dropped (reference: joindiff_tables.py requires same-DB
         // sides and errors on cross-database use)
         a.algorithm match {
-          case "" | "auto" | "hashdiff" => ()
+          // `estimate` is honored too: the pushdown loop already measures
+          // its regime mid-flight (dense-cutover candidacy + density
+          // probe), which IS the measure-then-choose behavior the flag
+          // asks for — no separate pre-flight needed
+          case "" | "auto" | "hashdiff" | "estimate" => ()
           case "joindiff" => throw new IllegalArgumentException(
             "--algorithm joindiff requires both tables in the same engine; " +
               "a duckdb: remote source always uses pushdown hashdiff")

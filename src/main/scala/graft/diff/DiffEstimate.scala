@@ -74,7 +74,8 @@ object DiffEstimate {
     * themselves. */
   def estimate(a: DataFrame, b: DataFrame, keyCols: Seq[String],
       compareCols: Seq[String], mod: Long = 1024L,
-      denseMilliCutoff: Long = 50L): DiffRateEstimate = {
+      denseMilliCutoff: Long = 50L,
+      jsonCols: Set[String] = Set.empty): DiffRateEstimate = {
     require(mod >= 1, s"mod must be >= 1, got $mod")
     val f = sampleFilter(keyCols, mod)
     val sa = a.where(f).select((keyCols ++ compareCols).map(col): _*)
@@ -83,8 +84,15 @@ object DiffEstimate {
       keyCols.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _),
       "full_outer")
     val oneSided = col(s"a.${keyCols.head}").isNull || col(s"b.${keyCols.head}").isNull
-    val unequal = compareCols.map(c => !(col(s"a.$c") <=> col(s"b.$c")))
-      .reduceOption(_ || _).getOrElse(lit(false))
+    // same per-column predicate JoinDiffer flags rows with — including
+    // JSON equivalence, or a cosmetically-reordered JSON column would
+    // read as a 100% diff rate and flip the recommendation to exactly
+    // the wrong strategy
+    val unequal = compareCols.map { c =>
+      if (jsonCols.contains(c))
+        !JsonCompare.jsonEquivalent(col(s"a.$c"), col(s"b.$c"))
+      else !(col(s"a.$c") <=> col(s"b.$c"))
+    }.reduceOption(_ || _).getOrElse(lit(false))
     val row = joined.agg(
       count(lit(1)).as("n"),
       sum(when(oneSided || unequal, 1L).otherwise(0L)).as("d")).head()

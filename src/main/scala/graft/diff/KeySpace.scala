@@ -114,6 +114,16 @@ object KeySpace {
     value.foreach(c => require(Alphanums.contains(c), s"unexpected character '$c'"))
     def toBigInt: BigInt = alphanumToNumber(value)
     def +(n: BigInt): Key = AlphanumKey(numberToAlphanum(toBigInt + n), maxLen)
+    /** Exclusive-upper-bound successor in SQL STRING order, not base-66
+      * arithmetic: value+1 can carry into a LONGER string that starts at
+      * the low symbols ("zz"+1 = "-  "), which SQL-sorts BELOW the value
+      * it should cap — a root box [lo, "-  ") then matches nothing and a
+      * diff silently reports clean. Appending the lowest symbol yields
+      * the tightest string strictly above `value` and above every key
+      * ≤ `value` in BOTH orders (numerically it ties with `value` under
+      * right-pad justification — the degenerate-range case the split
+      * sites already collapse to a leaf). */
+    override def next: Key = AlphanumKey(value + Alphanums.head, maxLen)
     override def -(other: Key): BigInt = other match {
       case AlphanumKey(o, _) =>
         val (a, b) = justify(value, o)

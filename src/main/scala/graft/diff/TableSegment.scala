@@ -143,7 +143,11 @@ final case class TableSegment(
       // min and max parse UNIFORMLY (a column whose min happens to look
       // like a UUID but whose max doesn't must use one arithmetic, not two)
       val Seq(mn, mx0) = TableSegment.toKeys(Seq(row.get(i * 2), row.get(i * 2 + 1)))
-      KeySpace.splitKeySpace(mn, mx0.next, perDim) // exclusive upper bound
+      val hi = mx0.next // exclusive upper bound
+      // single-distinct-key dimension: AlphanumKey.next ties numerically
+      // with its value (SQL-order successor), so the range is 0-width —
+      // one segment covering [min, min·' ') is the whole answer
+      if ((hi - mn) <= 0) Seq(mn, hi) else KeySpace.splitKeySpace(mn, hi, perDim)
     }
     KeySpace.createMeshFromPoints(grids).map { case (lo, hi) =>
       withScope(lo.values.map(TableSegment.fromKey), hi.values.map(TableSegment.fromKey))
@@ -169,10 +173,10 @@ final case class TableSegment(
     * orderable single-column key — arbitrary strings included —
     * segments correctly.
     *
-    * `exact = true` derives checkpoints from a full sort (ntile): one
-    * range-shuffle pass, deterministic and engine-reproducible — the
-    * oracle-gated path, and the right choice when the segment plan
-    * itself must be auditable. `exact = false` (default, the 100 TB
+    * `exact = true` derives checkpoints from a full ntile sort —
+    * deterministic and engine-reproducible, but the window is a
+    * SINGLE-PARTITION sort of the whole key column (the auditable,
+    * oracle-gated mode; use it at gate scale). `exact = false` (default, the 100 TB
     * path) sorts only a deterministic hash sample of ~`sampleSize`
     * keys per requested segment — the same sample-then-pick-boundaries
     * scheme as Spark's own RangePartitioner, but md5-48-deterministic,
@@ -211,17 +215,20 @@ final case class TableSegment(
 
 object TableSegment {
   /** Interior checkpoint values for `count` row-balanced segments of
-    * `df`'s `k` column — the shared core of splitByRowQuantiles, also
-    * used by PushdownControl.quantileSeed to seed remote bisection.
-    * Checkpoint = FIRST key of ntile buckets 2..count, so with
-    * [inclusive, exclusive) bounds segment i reproduces bucket i exactly
-    * (keys unique under PK discipline). exact=false samples
-    * ~sampleSize·count keys by deterministic md5-48 hash first (one
-    * cheap codegen'd filter pass + a count() to size the modulus — two
-    * scans of ONE column; the exact path's global sort is the thing
-    * being avoided, not the scan). The single-partition ntile window is
-    * bounded: exact is the documented sort-one-column mode, the sampled
-    * path sees ~sampleSize·count rows. Returns ≤ count−1 values,
+    * `df`'s `k` column — the core of splitByRowQuantiles (the pushdown
+    * differ's per-level quantile splitter is a separate spelling of the
+    * same scheme: it needs a per-PARENT modulus carried through a join,
+    * but draws from the same md5-48 predicate via
+    * DiffEstimate.sampleFilter semantics). Checkpoint = FIRST key of
+    * ntile buckets 2..count, so with [inclusive, exclusive) bounds
+    * segment i reproduces bucket i exactly (keys unique under PK
+    * discipline). exact=false samples ~sampleSize·count keys by
+    * deterministic md5-48 hash first (one cheap codegen'd filter pass +
+    * a count() to size the modulus — two scans of ONE column). NOTE the
+    * ntile window is a deliberate single-partition sort: in exact mode
+    * the WHOLE key column moves through one task — the auditable,
+    * gate-scale mode; at scale use exact=false, where only the
+    * ~sampleSize·count sampled keys do. Returns ≤ count−1 values,
     * strictly increasing; driver traffic is the checkpoint list. */
   def quantileCheckpoints(keyDf: DataFrame, k: String, count: Int,
       exact: Boolean, sampleSize: Int = 100): Seq[Any] = {
@@ -231,8 +238,7 @@ object TableSegment {
       else {
         val n = keys.count()
         val mod = math.max(1L, n / math.max(1L, sampleSize.toLong * count))
-        keys.where(pmod(graft.functions.Md5Bits48.head(col(k).cast("string")),
-          lit(mod)) === 0)
+        keys.where(DiffEstimate.sampleFilter(Seq(k), mod))
       }
     basis
       .withColumn("b", ntile(count).over(

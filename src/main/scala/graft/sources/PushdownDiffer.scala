@@ -693,19 +693,32 @@ object PushdownDiffer {
       if (!quantileActive || cands.isEmpty) Map.empty
       else {
         val k = keyCols.head
-        val mod = math.max(1L, cands.map(_._2).max / (bisectionFactor.toLong * 200))
-        val bounds = boundsDf(cands.map(_._1))
+        val boxes = cands.map(_._1)
+        // Per-parent sampling modulus: each parent samples ~factor·200 of
+        // ITS OWN keys. One global modulus sized from the largest parent
+        // would sample ~0 keys from small parents in the same level
+        // (1e9-row parent next to 2e4-row parents → mod ~156k → 0.13
+        // sampled keys) and silently push them to the arithmetic
+        // fallback. The mod rides the broadcast bounds table and filters
+        // AFTER the range join assigns the parent.
+        val modRows = cands.zipWithIndex.map { case ((_, rows), i) =>
+          Row(i, math.max(1L, rows / (bisectionFactor.toLong * 200))) }
+        val modDf = spark.createDataFrame(modRows.asJava, StructType(Array(
+          StructField("__modseg", IntegerType, nullable = false),
+          StructField("__mod", LongType, nullable = false))))
+        val boundsM = boundsDf(boxes)
+          .join(modDf, col(segField) === col("__modseg")).drop("__modseg")
         val cond = col("__ck") >= col("__graft_lo_0") && col("__ck") < col("__graft_hi_0")
         // bounding-box pre-filter: the sargable cover predicate reaches
         // the scan (parquet min/max pruning), so a late-level sampling
         // pass reads only the frontier's slice of the table, mirroring
         // the checksum batches' own scoping
         val sampled = localAligned
-          .withExtraFilter(boundingBoxCond(cands.map(_._1))).scoped
-          .where(pmod(graft.functions.Md5Bits48.head(col(k).cast("string")),
-            lit(mod)) === 0)
-          .select(localKeyCol(k).as("__ck"))
-          .join(broadcast(bounds), cond)
+          .withExtraFilter(boundingBoxCond(boxes)).scoped
+          .select(localKeyCol(k).as("__ck"),
+            graft.functions.Md5Bits48.head(col(k).cast("string")).as("__h"))
+          .join(broadcast(boundsM), cond)
+          .where(pmod(col("__h"), col("__mod")) === 0)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col(segField)).orderBy(col("__ck"))
         val cpRows = sampled
@@ -716,18 +729,25 @@ object PushdownDiffer {
         val bySeg: Map[Int, Seq[Any]] = cpRows.groupBy(_.getInt(0))
           .view.mapValues(_.sortBy(_.getInt(1)).map(_.get(2)).toSeq.distinct).toMap
         cands.zipWithIndex.flatMap { case ((box, _), i) =>
+          // A checkpoint VALUE the key arithmetic cannot represent (a
+          // sampled string with characters outside base-66 — dots,
+          // non-ASCII — when the min/max happened to parse) must not
+          // kill the diff: that parent just falls back to the
+          // arithmetic split (None here → getOrElse(splitBox) below).
           bySeg.get(i).flatMap { raw =>
-            val (lo, hi) = (box._1.head, box._2.head)
-            val cpKeys: Seq[KeySpace.Key] =
-              if (hexKeyCols(k)) raw.map(s => KeySpace.UuidKey(
-                BigInt(s.asInstanceOf[String], 16), uppercase = true, dashed = false))
-              else TableSegment.toKeys(
-                Seq(TableSegment.fromKey(lo), TableSegment.fromKey(hi)) ++ raw).drop(2)
-            val interior = cpKeys.filter(c => (c - lo) > 0 && (hi - c) > 0)
-              .distinct.sortWith((a, b) => (a - b) < 0)
-            if (interior.isEmpty) None
-            else Some(box -> ((lo +: interior) :+ hi).sliding(2)
-              .map(p => (Seq(p(0)), Seq(p(1)))).toSeq)
+            scala.util.Try {
+              val (lo, hi) = (box._1.head, box._2.head)
+              val cpKeys: Seq[KeySpace.Key] =
+                if (hexKeyCols(k)) raw.map(s => KeySpace.UuidKey(
+                  BigInt(s.asInstanceOf[String], 16), uppercase = true, dashed = false))
+                else TableSegment.toKeys(
+                  Seq(TableSegment.fromKey(lo), TableSegment.fromKey(hi)) ++ raw).drop(2)
+              val interior = cpKeys.filter(c => (c - lo) > 0 && (hi - c) > 0)
+                .distinct.sortWith((a, b) => (a - b) < 0)
+              if (interior.isEmpty) None
+              else Some(box -> ((lo +: interior) :+ hi).sliding(2)
+                .map(p => (Seq(p(0)), Seq(p(1)))).toSeq)
+            }.toOption.flatten
           }
         }.toMap
       }

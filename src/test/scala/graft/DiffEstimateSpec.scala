@@ -60,6 +60,20 @@ class DiffEstimateSpec extends AnyFunSuite {
     assert(e.differingKeys > 0, s"deletions must register: $e")
   }
 
+  test("jsonCols: cosmetically-reordered JSON is not a diff for the estimator") {
+    // without the JSON lens every row reads as differing (milli=1000) and
+    // the recommendation flips to exactly the wrong strategy
+    val a = spark.range(1000).select(col("id").as("k"),
+      concat(lit("{\"x\":"), col("id"), lit(",\"y\":1}")).as("j"))
+    val b = spark.range(1000).select(col("id").as("k"),
+      concat(lit("{\"y\":1,\"x\":"), col("id"), lit("}")).as("j"))
+    val raw = DiffEstimate.estimate(a, b, Seq("k"), Seq("j"), mod = 1L)
+    assert(raw.milliRate == 1000 && raw.recommendation == "dense-join")
+    val json = DiffEstimate.estimate(a, b, Seq("k"), Seq("j"), mod = 1L,
+      jsonCols = Set("j"))
+    assert(json.differingKeys == 0 && json.recommendation == "bisect", json)
+  }
+
   test("mod=1 degrades to the exact full diff rate") {
     val a = base(2000)
     val b = base(2000).withColumn("w",

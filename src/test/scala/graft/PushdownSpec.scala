@@ -321,6 +321,60 @@ class PushdownDifferSpec extends AnyFunSuite {
     assert(quant.levels <= arith.levels + 1, s"$quant vs $arith")
   }
 
+  test("alphanum max key all-'z': the exclusive upper bound must not sort below the keys") {
+    // 'z' is the highest base-66 symbol, so max+1 carries into a LONGER
+    // string starting at the low symbols ("zz"+1 = "-  ") that SQL-sorts
+    // BELOW every key — the root box [lo, "-  ") would match nothing and
+    // the diff silently report clean. AlphanumKey.next now appends the
+    // lowest symbol instead ("zz ") — above every key in both orders.
+    import spark.implicits._
+    val chars = ('a' to 'z').map(_.toString)
+    val keys = for (x <- chars; y <- chars) yield x + y // 676 keys incl "zz"
+    val aRows = keys.zipWithIndex.map { case (k, i) => (k, s"v$i") }
+    val a = aRows.toDF("k", "v")
+    aRows.map { case (k, v) => if (k.last == 'q' || k == "zz") (k, v + "X") else (k, v) }
+      .toDF("k", "v").createOrReplaceTempView("pd_ztop_b")
+    val remote = RemoteTable(new SparkViewEngine(spark), "pd_ztop_b",
+      Seq("k"), Seq("v"), a.schema)
+    val (out, _) = PushdownDiffer.diffWithStats(
+      TableSegment(a, Seq("k"), Seq("v")), remote,
+      bisectionFactor = 4, bisectionThreshold = 64)
+    val want = JoinDiffer.diff(a, spark.table("pd_ztop_b"), Seq("k"), Seq("v"))
+      .collect().map(_.mkString("|")).toSet
+    assert(want.size == 54, s"27 mutated keys → 54 signed rows, got ${want.size}")
+    assert(out.collect().map(_.mkString("|")).toSet == want)
+    // splitByKeyRange coverage on the same top-of-alphabet shape,
+    // including a single-distinct-key table (0-width range after the
+    // SQL-order successor)
+    val parts = TableSegment(a, Seq("k")).splitByKeyRange(5)
+    assert(parts.map(_.scoped.count()).sum == 676)
+    val single = Seq(("zz", 1L)).toDF("k", "v")
+    val sp = TableSegment(single, Seq("k")).splitByKeyRange(4)
+    assert(sp.map(_.scoped.count()).sum == 1)
+  }
+
+  test("quantileSeed falls back to arithmetic when sampled checkpoints leave base-66") {
+    // interior keys carry '.', which the base-66 arithmetic cannot
+    // represent; the min/max happen to parse, so the root box builds —
+    // a sampled checkpoint with a dot must NOT kill the diff, just send
+    // that parent to the arithmetic split
+    import spark.implicits._
+    val keys = Seq("a0", "zz") ++ (1 to 800).map(i => f"m.$i%05d")
+    val aRows = keys.zipWithIndex.map { case (k, i) => (k, s"v$i") }
+    val a = aRows.toDF("k", "v")
+    aRows.map { case (k, v) => if (v.stripPrefix("v").toInt % 7 == 0) (k, v + "X") else (k, v) }
+      .toDF("k", "v").createOrReplaceTempView("pd_dot_b")
+    val remote = RemoteTable(new SparkViewEngine(spark), "pd_dot_b",
+      Seq("k"), Seq("v"), a.schema)
+    def run(ctrl: PushdownControl) = PushdownDiffer.diffWithStats(
+      TableSegment(a, Seq("k"), Seq("v")), remote,
+      bisectionFactor = 4, bisectionThreshold = 64, control = ctrl)
+    val (outA, _) = run(new PushdownControl())
+    val (outQ, _) = run(new PushdownControl(quantileSeed = true))
+    val want = outA.collect().map(_.mkString("|")).toSet
+    assert(want.nonEmpty && outQ.collect().map(_.mkString("|")).toSet == want)
+  }
+
   test("remote-remote scattered diffs bisect to leaves the same way") {
     import spark.implicits._
     val n = 16384
