@@ -235,7 +235,7 @@ object PushdownDiffer {
     * engines serialize their own access (ProcessEngine.query is
     * synchronized), so one in-flight remote call per engine is the cap.
     */
-  private implicit lazy val remoteEc: scala.concurrent.ExecutionContext =
+  private[sources] implicit lazy val remoteEc: scala.concurrent.ExecutionContext =
     scala.concurrent.ExecutionContext.fromExecutorService(
       java.util.concurrent.Executors.newCachedThreadPool(r => {
         val t = new Thread(r, "graft-pushdown-remote")

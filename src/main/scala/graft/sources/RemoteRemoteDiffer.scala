@@ -18,9 +18,13 @@ import graft.diff.{JoinDiffer, KeySpace, TableSegment}
   * engine; per level each side's round-trip runs on its own thread, so a
   * level costs max(a, b), not their sum.
   *
-  * Leaf volume is bounded by differing-regions × bisectionThreshold — the
-  * same bound the reference's download path has — so the driver never holds
-  * more than the diff neighborhood.
+  * Leaf volume is bounded by differing-regions × bisectionThreshold while
+  * the loop bisects — the same bound the reference's download path has —
+  * so the driver holds no more than the diff neighborhood. The DENSE
+  * CUTOVER deliberately exceeds that bound (its leaves are most of the
+  * table): JDBC-reachable engines then fetch as a partitioned
+  * spark.read.jdbc scan (rows go straight to executors), and only pure
+  * text-protocol engines still drain through the coordinator.
   *
   * Both sides MUST normalize at the same negotiated precision
   * (`Graft.diffRemotes` introspects and aligns; this low-level entry
@@ -29,13 +33,9 @@ import graft.diff.{JoinDiffer, KeySpace, TableSegment}
   */
 object RemoteRemoteDiffer {
 
-  private implicit lazy val ec: scala.concurrent.ExecutionContext =
-    scala.concurrent.ExecutionContext.fromExecutorService(
-      java.util.concurrent.Executors.newCachedThreadPool(r => {
-        val t = new Thread(r, "graft-remote-remote")
-        t.setDaemon(true)
-        t
-      }))
+  // shared with PushdownDiffer: one cached daemon pool per JVM carries all
+  // remote round-trips (engines serialize their own access)
+  private implicit def ec: scala.concurrent.ExecutionContext = PushdownDiffer.remoteEc
   private def await[T](f: scala.concurrent.Future[T]): T =
     scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
 
@@ -46,6 +46,8 @@ object RemoteRemoteDiffer {
       control: PushdownControl = new PushdownControl()): (DataFrame, PushdownStats) = {
     require(bisectionFactor >= 2 && bisectionFactor < bisectionThreshold,
       "need 2 <= bisectionFactor < bisectionThreshold")
+    require(maxSegmentsPerQuery >= bisectionFactor,
+      "segment batch cap must fit at least one split fan-out")
     require(a.keyCols == b.keyCols, s"key columns must match: ${a.keyCols} vs ${b.keyCols}")
     require(a.relevantCols == b.relevantCols,
       s"compared columns must match: ${a.relevantCols} vs ${b.relevantCols}")
@@ -123,26 +125,74 @@ object RemoteRemoteDiffer {
       f.dataType == StringType && f.metadata.contains(SchemaTools.StringClassKey) &&
         f.metadata.getString(SchemaTools.StringClassKey).startsWith("uuid")
     }
+    // Mutual normalization KIND per column: two catalogs can map the same
+    // data to different numeric kinds (BIGINT vs NUMBER(18,0)); rendering
+    // one side through the integer branch ("5") and the other through the
+    // decimal branch ("5.00") would mismatch EVERY checksum, defeat all
+    // pruning, and report every row as a spurious -/+ pair. Both-integral
+    // pairs keep the integer rendering; any fractional side forces the
+    // decimal rendering on both (CASTing an integer column to
+    // DECIMAL(38,p) is valid in every dialect); kind mismatches beyond
+    // numeric refuse loudly.
+    def mutualDt(c: String): DataType = {
+      val (ta, tb) = (a.schema(c).dataType, b.schema(c).dataType)
+      def kind(t: DataType): String = t match {
+        case TimestampType | TimestampNTZType => "ts"
+        case DateType => "date"
+        case DoubleType | FloatType | _: DecimalType => "frac"
+        case ByteType | ShortType | IntegerType | LongType => "int"
+        case BooleanType => "bool"
+        case StringType => "str"
+        case _ => "other"
+      }
+      (kind(ta), kind(tb)) match {
+        case (x, y) if x == y => ta
+        case ("int", "frac") | ("frac", "int") => DecimalType(38, a.fracPrecision)
+        case _ => throw new IllegalArgumentException(
+          s"column $c maps to incompatible kinds across engines: $ta vs $tb — " +
+            "restrict the compare (--columns/--ignore) or cast in a remote view")
+      }
+    }
     def normSql(t: RemoteTable): Map[String, String] = t.relevantCols.map { c =>
-      c -> t.engine.profile.normalizedColumnSql(c, t.schema(c).dataType,
+      c -> t.engine.profile.normalizedColumnSql(c, mutualDt(c),
         t.fracPrecision, t.tsPrecision,
         stringClass = if (uuidTag(a, c) && uuidTag(b, c)) Some("uuid-lower") else None)
     }.toMap
     val (normA, normB) = (normSql(a), normSql(b))
-    // overflow-safe concat is contagious across engines (reference:
-    // diff_tables.py:228-231): if either dialect needs it, both hash items
-    // before concatenation, so checksums stay comparable
+    // overflow-safe concat mode must agree — the reference negotiates it
+    // contagiously (diff_tables.py:228-231); these profiles render concat
+    // per their own fixed mode, so a mixed pairing refuses loudly rather
+    // than silently producing incomparable checksums
     require(a.engine.profile.preventOverflowWhenConcat ==
         b.engine.profile.preventOverflowWhenConcat,
-      "overflow-safe concat must be negotiated to the same mode on both profiles")
+      "overflow-safe concat must be negotiated to the same mode on both profiles " +
+        "(pair the overflow-safe engine with a like-moded profile, or diff each " +
+        "against a common Spark-readable staging copy)")
+    // UUID-aligned KEY columns segment in LOWERED space: checksums and the
+    // leaf join already compare them lowercased, so cutting segments on
+    // RAW values would put the same logical row in different boxes per
+    // side — nothing would ever prune, and in progressive mode the two
+    // boxes can leaf at different levels and emit a spurious -/+ pair for
+    // an identical row. (Fold/hex collation handling takes precedence:
+    // those already define the shared segmentation space.)
+    val uuidSegKeyCols: Set[String] = keyCols.filter(k =>
+      uuidTag(a, k) && uuidTag(b, k) && !foldKeyCols(k) && !hexKeyCols(k)).toSet
 
-    // hex-projected keys probe MIN/MAX of the projection in each side's own
-    // SQL (a raw min under a locale collation is not the projected min)
+    // Converted keys probe MIN/MAX of the CONVERSION in each side's own
+    // SQL — hex keys probe the projection, folded keys probe UPPER(k),
+    // uuid-aligned keys probe LOWER(k). Probing raw and converting
+    // client-side would be wrong: fold∘min ≠ min∘fold under binary order
+    // (binary min "ZEBRA" of {"ZEBRA","apple"} folds to "ZEBRA", but the
+    // folded space's min is "APPLE"), so a raw probe can build a root box
+    // that EXCLUDES rows and silently under-reports the diff.
     def rangeOf(t: RemoteTable) = scala.concurrent.Future {
       val p = t.engine.profile
       t.engine.query(p.keyRangeExprsSql(t.table,
         keyCols.map(k =>
-          if (hexKeyCols(k)) p.hexKeyProjectionSql(p.quote(k)).get else p.quote(k)),
+          if (hexKeyCols(k)) p.hexKeyProjectionSql(p.quote(k)).get
+          else if (foldKeyCols(k)) s"UPPER(${p.quote(k)})"
+          else if (uuidSegKeyCols(k)) s"LOWER(${p.quote(k)})"
+          else p.quote(k)),
         t.extraWhereSql)).head
     }
     val (rangeAF, rangeBF) = (rangeOf(a), rangeOf(b))
@@ -153,7 +203,9 @@ object RemoteRemoteDiffer {
       case ByteType | ShortType | IntegerType | LongType => java.lang.Long.valueOf(s.trim.toLong)
       case dt: DecimalType if dt.scale == 0 => new java.math.BigDecimal(s.trim)
       case StringType =>
-        if (foldKeyCols(k)) s.toUpperCase(java.util.Locale.ROOT) else s
+        if (foldKeyCols(k)) s.toUpperCase(java.util.Locale.ROOT)
+        else if (uuidSegKeyCols(k)) s.toLowerCase(java.util.Locale.ROOT)
+        else s
       case other => throw new IllegalArgumentException(
         s"unsupported key type for $k: $other (decimal keys must have scale 0)")
     }
@@ -180,7 +232,10 @@ object RemoteRemoteDiffer {
       StructType(StructField("sign", StringType, nullable = false) +:
         cols.map(StructField(_, StringType, nullable = true)))
     if (dims.exists(_.isEmpty))
-      return (spark.createDataFrame(Seq.empty[Row].asJava, outSchema(a.relevantCols)),
+      // honor pre-call ignoreColumn drops like the other empty paths, so
+      // result schemas line up across runs
+      return (spark.createDataFrame(Seq.empty[Row].asJava,
+        outSchema(keyCols ++ compare.filterNot(control.ignored))),
         PushdownStats(0, 0, 0, 0, queries, 0))
 
     type Box = (Seq[KeySpace.Key], Seq[KeySpace.Key])
@@ -201,6 +256,7 @@ object RemoteRemoteDiffer {
       def keySql(k: String): String =
         if (foldKeyCols(k)) s"UPPER(${p.quote(k)})"
         else if (hexKeyCols(k)) p.hexKeyProjectionSql(p.quote(k)).get
+        else if (uuidSegKeyCols(k)) s"LOWER(${p.quote(k)})"
         else p.quote(k)
       keyCols.zip(box._1.map(TableSegment.fromKey)).zip(box._2.map(TableSegment.fromKey))
         .map { case ((k, lo), hi) =>
@@ -228,19 +284,57 @@ object RemoteRemoteDiffer {
         StructType(cols.map(StructField(_, StringType, nullable = true))))
     def compareLeaves(leafSeq: Seq[Box], cmpCols: Seq[String]): DataFrame = {
       val rel = keyCols ++ cmpCols
-      def fetchSide(t: RemoteTable, norm: Map[String, String]) = scala.concurrent.Future {
-        leafSeq.grouped(maxSegmentsPerQuery).toSeq.flatMap { chunk =>
-          val leafOr = chunk.map(bx => s"(${pred(t, bx)})").mkString(" OR ")
-          t.engine.query(t.engine.profile.selectNormalizedSql(t.table,
-            rel.map(c => (norm(c), c)),
-            Some(t.extraWhereSql.fold(s"($leafOr)")(e => s"($leafOr) AND ($e)"))))
+      // JDBC-reachable engines fetch leaves as ONE partitioned scan — each
+      // leaf predicate is a partition read by executors in parallel, and
+      // the rows never pass through the driver. That is the path that
+      // makes the dense-diff CUTOVER scale here: in that regime the
+      // "leaves" are most of the table, and a single-threaded text drain
+      // into driver-held Seqs would be the new bottleneck (and a driver
+      // OOM) — exactly PushdownDiffer's fetch split. Text-protocol
+      // engines keep the batched-statement drain.
+      def fetchSide(t: RemoteTable,
+          norm: Map[String, String]): scala.concurrent.Future[(DataFrame, Long, Int)] =
+        scala.concurrent.Future {
+          val p = t.engine.profile
+          t.engine.jdbcSource match {
+            case Some((url, props)) =>
+              def keySql(k: String): String =
+                if (foldKeyCols(k)) s"UPPER(${p.quote(k)})"
+                else if (hexKeyCols(k)) p.hexKeyProjectionSql(p.quote(k)).get
+                else if (uuidSegKeyCols(k)) s"LOWER(${p.quote(k)})"
+                else p.quote(k)
+              val rk = keyCols.indices.map(d => s"__graft_rk_$d")
+              val sel = (rel.map(c => s"${norm(c)} AS ${p.quote(c)}") ++
+                keyCols.zip(rk).map { case (k, al) => s"${keySql(k)} AS ${p.quote(al)}" })
+                .mkString(", ")
+              val inner = s"SELECT $sel FROM ${t.table}" +
+                t.extraWhereSql.fold("")(e => s" WHERE $e")
+              def rkPred(box: Box): String =
+                rk.zip(box._1.map(TableSegment.fromKey)).zip(box._2.map(TableSegment.fromKey))
+                  .map { case ((al, lo), hi) =>
+                    s"${p.quote(al)} >= ${p.literal(lo)} AND ${p.quote(al)} < ${p.literal(hi)}"
+                  }.mkString(" AND ")
+              val fetched = spark.read.jdbc(url, s"($inner) g", leafSeq.map(rkPred).toArray, props)
+                .drop(rk: _*)
+                .persist() // pin: a task retry must re-read blocks, not the remote
+              (fetched, fetched.count(), 1) // one logical scan (N partition reads)
+            case None =>
+              var stmts = 0
+              val rows = leafSeq.grouped(maxSegmentsPerQuery).toSeq.flatMap { chunk =>
+                val leafOr = chunk.map(bx => s"(${pred(t, bx)})").mkString(" OR ")
+                stmts += 1
+                t.engine.query(p.selectNormalizedSql(t.table,
+                  rel.map(c => (norm(c), c)),
+                  Some(t.extraWhereSql.fold(s"($leafOr)")(e => s"($leafOr) AND ($e)"))))
+              }
+              (toDf(rows, rel), rows.size.toLong, stmts)
+          }
         }
-      }
       val (ffa, ffb) = (fetchSide(a, normA), fetchSide(b, normB))
-      val (rowsA, rowsB) = (await(ffa), await(ffb))
-      queries2 += 2 * ((leafSeq.size + maxSegmentsPerQuery - 1) / maxSegmentsPerQuery)
-      fetchedRows += rowsA.size + rowsB.size
-      JoinDiffer.diff(toDf(rowsA, rel), toDf(rowsB, rel), keyCols, cmpCols)
+      val ((dfA, nA, qA), (dfB, nB, qB)) = (await(ffa), await(ffb))
+      fetchedRows += nA + nB
+      queries2 += qA + qB
+      JoinDiffer.diff(dfA, dfB, keyCols, cmpCols)
     }
 
     val leaves = ArrayBuffer.empty[Box]
@@ -307,14 +401,20 @@ object RemoteRemoteDiffer {
           val sample = splitParents.indices
             .collect { case i if i % stride == 0 => splitParents(i) }
             .take(maxParents)
+          // compound keys can fan out up to 2^dims children per parent, so
+          // the sample's children can exceed one statement's cap — batch
+          // the confirm query like every other checksum round
           val children = sample.flatMap(splitBox)
-          val (fa, fb) = (levelQuery(a, normA, children, activeRelevant),
-            levelQuery(b, normB, children, activeRelevant))
-          val (ma, mb) = (await(fa), await(fb))
-          queries += 2
-          val clean = children.indices.count(i =>
-            ma.getOrElse(i, (0L, None: Option[BigDecimal])) ==
-              mb.getOrElse(i, (0L, None: Option[BigDecimal])))
+          var clean = 0
+          children.grouped(maxSegmentsPerQuery).foreach { cchunk =>
+            val (fa, fb) = (levelQuery(a, normA, cchunk, activeRelevant),
+              levelQuery(b, normB, cchunk, activeRelevant))
+            val (ma, mb) = (await(fa), await(fb))
+            queries += 2
+            clean += cchunk.indices.count(i =>
+              ma.getOrElse(i, (0L, None: Option[BigDecimal])) ==
+                mb.getOrElse(i, (0L, None: Option[BigDecimal])))
+          }
           clean.toDouble / children.size < control.denseCutoverPruneRate
         }
         if (confirmed) {

@@ -217,6 +217,63 @@ class PushdownDifferSpec extends AnyFunSuite {
     assert(want.size == n && outCut.collect().map(_.mkString("|")).toSet == want)
   }
 
+  test("remote-remote uuid keys with mismatched casing: segments align and prune, diff exact") {
+    // Side A stores uppercase UUID PKs, side B lowercase — the exact
+    // scenario uuid alignment exists for. Checksums and the leaf join
+    // lower-case the key, so segmentation must too: cutting on RAW values
+    // puts the same logical row in different boxes per side, nothing ever
+    // prunes, and in progressive mode the two boxes can leaf at different
+    // levels and emit a spurious -/+ pair for an identical row.
+    import spark.implicits._
+    def uuid(i: Int, up: Boolean) = {
+      val u = new java.util.UUID(0x1000L + i.toLong, 0x1234L).toString
+      if (up) u.toUpperCase(java.util.Locale.ROOT) else u
+    }
+    val n = 4000
+    (1 to n).map(i => (uuid(i, true), s"v$i")).toDF("k", "v")
+      .createOrReplaceTempView("rr_uuid_a")
+    (1 to n).map(i => (uuid(i, false), if (i % 500 == 0) s"v${i}X" else s"v$i"))
+      .toDF("k", "v").createOrReplaceTempView("rr_uuid_b")
+    val eng = new SparkViewEngine(spark)
+    def side(t: String) = RemoteTable.introspect(eng, t, Seq("k"), Seq("v"))
+    val (out, stats) = RemoteRemoteDiffer.diff(spark, side("rr_uuid_a"), side("rr_uuid_b"),
+      bisectionFactor = 4, bisectionThreshold = 256,
+      control = new PushdownControl(progressive = true))
+    val rows = out.collect().map(_.mkString("|")).toSet
+    // 8 mutated keys → 16 signed rows; identical rows must NOT surface as
+    // cross-level phantom pairs
+    assert(rows.size == 16, s"$stats\n${rows.take(8)}")
+    assert(stats.segmentsPruned > 0, s"uuid-aligned segmentation must prune: $stats")
+  }
+
+  test("remote-remote dense cutover fetches a JDBC side as a partitioned scan") {
+    // side A lives in a real JDBC engine: the cutover's bulk fetch must
+    // ride spark.read.jdbc partition predicates (rows to executors), not
+    // the text drain — and produce identical rows either way
+    import spark.implicits._
+    import graft.sources.{DerbyProfile, JdbcEngine, RemoteRepair}
+    val n = 8192
+    val url = "jdbc:derby:memory:rr_jdbc_" + java.util.UUID.randomUUID().toString.take(8)
+    java.sql.DriverManager.getConnection(s"$url;create=true").close()
+    val eng = new JdbcEngine(url, new java.util.Properties(), DerbyProfile)
+    eng.update("CREATE TABLE t (\"k\" BIGINT, \"v\" VARCHAR(32))")
+    val aRows = (1 to n).map(i => (i.toLong, s"v$i"))
+    RemoteRepair.insertStatements(DerbyProfile, "t", Seq("k", "v"),
+      aRows.map(r => org.apache.spark.sql.Row(r._1, r._2)).iterator, 512)
+      .foreach(eng.update)
+    aRows.map { case (k, v) => if (k % 2 == 0) (k, v + "X") else (k, v) }
+      .toDF("k", "v").createOrReplaceTempView("rr_jdbc_b")
+    val sideA = RemoteTable.introspect(eng, "t", Seq("k"), Seq("v"))
+    val sideB = RemoteTable.introspect(new SparkViewEngine(spark), "rr_jdbc_b",
+      Seq("k"), Seq("v"))
+    val (out, stats) = RemoteRemoteDiffer.diff(spark, sideA, sideB,
+      bisectionFactor = 4, bisectionThreshold = 64, control = new PushdownControl())
+    assert(stats.denseCutoverAtLevel.isDefined, s"dense fixture must cut over: $stats")
+    val rows = out.collect().map(_.mkString("|")).toSet
+    assert(rows.size == n, s"n/2 mutated keys → n signed rows, got ${rows.size}")
+    assert(rows.exists(_.startsWith("-|2|v2")) && rows.exists(_.startsWith("+|2|v2X")))
+  }
+
   test("remote-remote dense diff cuts over the same way") {
     import spark.implicits._
     val n = 16384
