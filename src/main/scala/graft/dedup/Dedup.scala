@@ -232,7 +232,19 @@ object Dedup {
     * where the batch side runs the DataFrame aggregation. */
   def shingleHashesOf(text: String, n: Int): Seq[Long] = {
     if (text == null) return Seq.empty
-    val toks = text.trim.split(" ", -1)
+    // Spark's trim() strips ASCII space 0x20 ONLY; Java String.trim strips
+    // everything <= U+0020 (tabs, newlines) — a text starting with '\t'
+    // would shingle differently here than in the DF spelling and silently
+    // break the bit-identical-parity contract the streaming operators
+    // depend on
+    def trimSpaces(s: String): String = {
+      var i = 0
+      var j = s.length
+      while (i < j && s.charAt(i) == ' ') i += 1
+      while (j > i && s.charAt(j - 1) == ' ') j -= 1
+      if (i == 0 && j == s.length) s else s.substring(i, j)
+    }
+    val toks = trimSpaces(text).split(" ", -1)
     if (toks.length < n) return Seq.empty
     val md = java.security.MessageDigest.getInstance("MD5")
     def h48(s: String): Long = {

@@ -16,6 +16,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingDiff {
 
+  /** Event-time in MICROSECONDS — every in-state ordering decision uses
+    * this, never Timestamp.getTime: millisecond truncation makes sub-ms
+    * transitions sort by shuffle arrival order, and for a CDC feed that
+    * means possibly emitting the stale image as a key's final state. */
+  private def usOf(t: Timestamp): Long = {
+    val i = t.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
+  /** Shared pigeonhole block-width validation for the Hamming operators. */
+  private def blockWidth(maxHamming: Int, bits: Int): Int = {
+    val nBlocks = maxHamming + 1
+    require(maxHamming >= 0 && bits % nBlocks == 0 && bits / nBlocks < 64,
+      s"bits/maxHamming combination unsupported: $bits/$nBlocks")
+    bits / nBlocks
+  }
+
   case class KeyedRow(key: Long, payload: String, ts: Timestamp)
   /** `seq` orders a key's transitions WITHIN one micro-batch (0, 1, …, in
     * event-time order). Downstream sinks need genuine order to reconstruct
@@ -31,18 +48,30 @@ object StreamingDiff {
       .flatMapGroupsWithState[String, DiffEvent](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key: Long, it: Iterator[KeyedRow], state: GroupState[String]) =>
-          // Process in event-time order within the micro-batch.
-          val sorted = it.toSeq.sortBy(_.ts.getTime)
+          // Process in event-time order within the micro-batch — MICROS,
+          // not getTime millis (sub-ms transitions must not sort by
+          // shuffle arrival order, or the stale image becomes "final").
+          val sorted = it.toSeq.sortBy(r => usOf(r.ts))
           val out = scala.collection.mutable.ArrayBuffer.empty[DiffEvent]
           var last = state.getOption
           for (r <- sorted) {
-            if (!last.contains(r.payload)) {
+            if (r.payload == null) {
+              // tombstone: delete the key if present. GroupState.update
+              // rejects null, and applyDiffEventsBatch already treats a
+              // key with no '+' events as a delete — so a CDC delete is
+              // a '-' with no re-insert.
+              last.foreach(old => out += DiffEvent("-", key, old, out.size.toLong))
+              last = None
+            } else if (!last.contains(r.payload)) {
               last.foreach(old => out += DiffEvent("-", key, old, out.size.toLong))
               out += DiffEvent("+", key, r.payload, out.size.toLong)
               last = Some(r.payload)
             }
           }
-          last.foreach(state.update)
+          last match {
+            case Some(p) => state.update(p)
+            case None => if (state.exists) state.remove()
+          }
           out.iterator
       }
   }
@@ -139,7 +168,14 @@ object StreamingDiff {
     *
     * `cols` is the full compared row in stable order (keys first, like
     * `TableSegment.relevantCols`); hashing pairs each column with its null
-    * flag for the same null-migration safety as the batch form. */
+    * flag for the same null-migration safety as the batch form.
+    *
+    * A bucket whose ops net to zero keeps reporting `(cnt=0, checksum=0)`
+    * — deliberately, so the sink learns the bucket EMPTIED rather than
+    * keeping its stale last summary. The batch `fastBucketChecksums` has
+    * NO row for an empty bucket, so comparers must treat an absent batch
+    * row as (0, 0) (COALESCE in the full-outer compare), or an emptied
+    * bucket reads permanently dirty. */
   def cdcChecksumMonitor(cdc: DataFrame, keyCols: Seq[String],
       compareCols: Seq[String], buckets: Int = 4096): DataFrame = {
     val cols = keyCols ++ compareCols
@@ -210,9 +246,18 @@ object StreamingDiff {
     bands
       .join(indexBands.select(col("doc_id").as("match_id"), col("band"), col("bh")),
         Seq("band", "bh"))
-      .select(col("doc_id"), col("match_id"), col("ts"))
+      // a replayed or re-ingested doc already present in the index matches
+      // its own signatures — not a near-dup (the Hamming sibling filters
+      // the same way); dedupe on the CANONICAL pair so (a,b) and (b,a)
+      // arriving across batches emit once, matching the batch operator's
+      // least/greatest canonicalization
+      .where(col("doc_id") =!= col("match_id"))
+      .select(col("doc_id"), col("match_id"), col("ts"),
+        least(col("doc_id"), col("match_id")).as("pair_a"),
+        greatest(col("doc_id"), col("match_id")).as("pair_b"))
       .withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark("doc_id", "match_id")
+      .dropDuplicatesWithinWatermark("pair_a", "pair_b")
+      .select(col("doc_id"), col("match_id"), col("ts"))
   }
 
   /** Ingest-time curation pipeline — the streaming spelling of the batch
@@ -230,10 +275,11 @@ object StreamingDiff {
     * flag it; docs shorter than `n` tokens carry no n-gram and pass
     * vacuously, exactly like the batch side. */
   def streamingCurate(docs: Dataset[Doc], benchmark: DataFrame,
-      minScore: Long = 2L, n: Int = 5): Dataset[Doc] = {
+      minScore: Long = 2L, n: Int = 5,
+      benchIdCol: String = "doc_id", benchTextCol: String = "text"): Dataset[Doc] = {
     import docs.sparkSession.implicits._
     import graft.dedup.Dedup
-    val bench: Set[Long] = Dedup.benchmarkIndex(benchmark, "doc_id", "text", n)
+    val bench: Set[Long] = Dedup.benchmarkIndex(benchmark, benchIdCol, benchTextCol, n)
       .collect().map(_.getLong(0)).toSet
     val bc = docs.sparkSession.sparkContext.broadcast(bench)
     streamingDedup(docs)
@@ -257,10 +303,8 @@ object StreamingDiff {
     * static side is re-planned every batch). */
   def streamingHammingNearDup(sigs: Dataset[SigEvent], indexBlocks: DataFrame,
       maxHamming: Int, bits: Int, watermark: String = "1 hour"): DataFrame = {
+    val w = blockWidth(maxHamming, bits)
     val nBlocks = maxHamming + 1
-    require(maxHamming >= 0 && bits % nBlocks == 0 && bits / nBlocks < 64,
-      s"bits/maxHamming combination unsupported: $bits/$nBlocks")
-    val w = bits / nBlocks
     sigs.toDF()
       .select(col("doc_id"), col("sig"), col("ts"),
         explode(sequence(lit(0), lit(nBlocks - 1))).as("blk"))
@@ -279,10 +323,8 @@ object StreamingDiff {
     * signature block. */
   def indexSigBlocks(indexSig: DataFrame, idCol: String, sigCol: String,
       maxHamming: Int, bits: Int): DataFrame = {
+    val w = blockWidth(maxHamming, bits)
     val nBlocks = maxHamming + 1
-    require(maxHamming >= 0 && bits % nBlocks == 0 && bits / nBlocks < 64,
-      s"bits/maxHamming combination unsupported: $bits/$nBlocks")
-    val w = bits / nBlocks
     indexSig
       .select(col(idCol).as("match_id"), col(sigCol).as("match_sig"),
         explode(sequence(lit(0), lit(nBlocks - 1))).as("blk"))
@@ -311,10 +353,6 @@ object StreamingDiff {
   def streamingSessionize(events: Dataset[UserEvent],
       gapUs: Long = 1800000000L, watermark: String = "30 minutes"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    def usOf(t: Timestamp): Long = {
-      val i = t.toInstant
-      i.getEpochSecond * 1000000L + i.getNano / 1000L
-    }
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
@@ -372,12 +410,15 @@ object StreamingDiff {
   def streamingFunnel(events: Dataset[StageEvent], stages: Seq[String],
       watermark: String = "30 minutes"): Dataset[FunnelHit] = {
     require(stages.nonEmpty, "funnel needs at least one stage")
+    // name → index must be a bijection here: a repeated name would map to
+    // its LAST index only, stage 0 would never match, and the funnel
+    // would silently emit nothing forever (the batch funnel is positional
+    // and tolerates repeats — model a repeated step as distinct event
+    // types before streaming it)
+    require(stages.distinct.size == stages.size,
+      s"streaming funnel requires distinct stage names, got $stages")
     import events.sparkSession.implicits._
     val stageIdx = stages.zipWithIndex.toMap
-    def usOf(t: Timestamp): Long = {
-      val i = t.toInstant
-      i.getEpochSecond * 1000000L + i.getNano / 1000L
-    }
     events
       .filter(e => stageIdx.contains(e.stage))
       .withWatermark("ts", watermark)
@@ -427,10 +468,18 @@ object StreamingDiff {
         (_: String, it: Iterator[Doc], state: GroupState[Boolean]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
+            val batch = it.toSeq
             val first = if (state.exists) None
-                        else it.toSeq.sortBy(d => (d.ts.getTime, d.doc_id)).headOption
+                        else batch.sortBy(d => (usOf(d.ts), d.doc_id)).headOption
             state.update(true)
-            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 3600000L)
+            // TTL from the LATER of watermark and this batch's event times:
+            // on the very first trigger the watermark is still 0 (epoch),
+            // and an epoch-based timeout would purge the state at the next
+            // trigger — a replay of the same content well inside the
+            // intended retention would then be re-emitted as new
+            val base = math.max(state.getCurrentWatermarkMs(),
+              if (batch.isEmpty) 0L else batch.iterator.map(_.ts.getTime).max)
+            state.setTimeoutTimestamp(base + 3600000L)
             first.iterator
           }
       }

@@ -1482,6 +1482,88 @@ class StreamingDiffSpec extends AnyFunSuite {
       StreamingDiff.DiffEvent("-", 2, "b", 0), StreamingDiff.DiffEvent("+", 2, "c", 1)))
   }
 
+  test("continuous diff: null payload is a tombstone — delete emitted, state cleared, no crash") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingDiff.KeyedRow]
+    val q = StreamingDiff.continuousDiff(input.toDS())
+      .writeStream.format("memory").queryName("ctomb").outputMode("append").start()
+    def row(k: Long, p: String, t: Long) = StreamingDiff.KeyedRow(k, p, new java.sql.Timestamp(t))
+    input.addData(row(1, "a", 1))
+    q.processAllAvailable()
+    input.addData(row(1, null, 2)) // CDC delete
+    q.processAllAvailable()
+    input.addData(row(1, "b", 3)) // re-insert after the tombstone
+    q.processAllAvailable()
+    val got = spark.table("ctomb").as[StreamingDiff.DiffEvent].collect().toSeq
+    q.stop()
+    assert(got.toSet == Set(
+      StreamingDiff.DiffEvent("+", 1, "a", 0),
+      StreamingDiff.DiffEvent("-", 1, "a", 0),
+      StreamingDiff.DiffEvent("+", 1, "b", 0)))
+  }
+
+  test("continuous diff orders sub-millisecond transitions by MICROS, not getTime") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingDiff.KeyedRow]
+    val q = StreamingDiff.continuousDiff(input.toDS())
+      .writeStream.format("memory").queryName("cmicro").outputMode("append").start()
+    def rowUs(k: Long, p: String, us: Int) = {
+      val t = new java.sql.Timestamp(0L)
+      t.setNanos(us * 1000) // sub-millisecond: getTime == 0 for both events
+      StreamingDiff.KeyedRow(k, p, t)
+    }
+    // added LATER-first: a getTime (ms) sort is stable and would keep this
+    // arrival order, making "early" the final image
+    input.addData(rowUs(1, "late", 900), rowUs(1, "early", 100))
+    q.processAllAvailable()
+    val got = spark.table("cmicro").as[StreamingDiff.DiffEvent].collect()
+    q.stop()
+    val finalPlus = got.filter(_.sign == "+").maxBy(_.seq)
+    assert(finalPlus.payload == "late", got.mkString(", "))
+  }
+
+  test("streaming near-dup: a doc already in the index does not match itself") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val text = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq((7L, text)).toDF("doc_id", "text")
+    val indexBands = graft.dedup.Dedup.lshBands(corpus, "doc_id", "text").localCheckpoint()
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingDiff.Doc]
+    val q = StreamingDiff.streamingNearDup(input.toDS(), indexBands)
+      .writeStream.format("memory").queryName("snself").outputMode("append").start()
+    // replayed doc 7 (same id, same text) + a genuine near-dup doc 9
+    input.addData(StreamingDiff.Doc(7L, text, new java.sql.Timestamp(1000)),
+      StreamingDiff.Doc(9L, text, new java.sql.Timestamp(2000)))
+    q.processAllAvailable()
+    val got = spark.table("snself").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(got == Set((9L, 7L)), s"self-pair must be filtered: $got")
+  }
+
+  test("streaming dedup retention survives the first-trigger watermark (epoch TTL bug)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingDiff.Doc]
+    val q = StreamingDiff.streamingDedup(input.toDS())
+      .writeStream.format("memory").queryName("sdttl").outputMode("append").start()
+    val t0 = 1700000000000L // a modern event time, far past epoch+1h
+    input.addData(StreamingDiff.Doc(1L, "same content", new java.sql.Timestamp(t0)))
+    q.processAllAvailable()
+    // unrelated doc advances the watermark to ~t0 - 1h >> epoch + 1h: an
+    // epoch-based TTL would purge doc 1's state HERE
+    input.addData(StreamingDiff.Doc(2L, "other content", new java.sql.Timestamp(t0 + 60000)))
+    q.processAllAvailable()
+    // replay of doc 1's content 10 minutes after the original — well
+    // inside the 1h retention — must still be dropped
+    input.addData(StreamingDiff.Doc(3L, "same content", new java.sql.Timestamp(t0 + 600000)))
+    q.processAllAvailable()
+    val got = spark.table("sdttl").as[StreamingDiff.Doc].collect().map(_.doc_id).toSet
+    q.stop()
+    assert(got == Set(1L, 2L), s"replayed content must stay deduped: $got")
+  }
+
   test("streaming repair sink keeps a live remote converged to the feed's final state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
