@@ -146,6 +146,10 @@ object Dedup {
     * shuffle of (doc_id, h) pairs, everything whole-stage codegen. */
   def lshBands(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, rowsPerBand: Int = 4): DataFrame = {
+    require(numHashes > 0 && rowsPerBand > 0 && numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a positive multiple of rowsPerBand " +
+        s"($rowsPerBand) — a remainder would aggregate min-hashes that no " +
+        "band ever uses, silently buying less recall than configured")
     val numBands = numHashes / rowsPerBand
     val sh = shingleIndexRaw(df, idCol, textCol)
       .select(col("doc_id"), md5Int48(col("s")).as("h"))
@@ -257,6 +261,8 @@ object Dedup {
 
   def bandsOfText(text: String, numHashes: Int = 64,
       rowsPerBand: Int = 4): Seq[(Long, String)] = {
+    require(numHashes > 0 && rowsPerBand > 0 && numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a positive multiple of rowsPerBand ($rowsPerBand)")
     val hs = shingleHashesOf(text, 3).toArray
     if (hs.isEmpty) return Seq.empty
     val sig = Array.tabulate(numHashes) { i =>
@@ -526,16 +532,21 @@ object Dedup {
       .select(col("h"), coalesce(col("in_a"), lit(0)).as("in_a"),
         coalesce(col("in_b"), lit(0)).as("in_b"))
       .orderBy(col("h").asc).limit(k)
+    // KMV rule: an UNSATURATED union sketch (k_used < k) holds the entire
+    // distinct union, so the exact count is already in hand — applying
+    // the (k−1)·U/h_k estimator there replaces an exactly-knowable answer
+    // with sampling noise (at 75 union shingles whose hashes happen to
+    // cluster low, the estimator can be 2× off).
+    val unionEst = when(col("k_used") < k, col("k_used").cast("double"))
+      .otherwise((col("k_used") - 1).cast("double") * lit(281474976710656.0)
+        / col("hk").cast("double"))
+    val jacc = col("rho").cast("double") / col("k_used").cast("double")
     merged.agg(
         count(lit(1)).as("k_used"), max(col("h")).as("hk"),
         sum(col("in_a") * col("in_b")).as("rho"))
       .select(col("k_used"), col("hk"), col("rho"),
-        ((col("k_used") - 1).cast("double") * lit(281474976710656.0)
-          / col("hk").cast("double")).as("union_est"),
-        (col("rho").cast("double") / col("k_used").cast("double")).as("jaccard_est"),
-        (col("rho").cast("double") / col("k_used").cast("double")
-          * ((col("k_used") - 1).cast("double") * lit(281474976710656.0)
-            / col("hk").cast("double"))).as("inter_est"))
+        unionEst.as("union_est"), jacc.as("jaccard_est"),
+        (jacc * unionEst).as("inter_est"))
   }
 
   /** 48-bit SimHash per document over distinct whitespace tokens. */

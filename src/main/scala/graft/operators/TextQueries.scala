@@ -687,10 +687,12 @@ object TextQueries {
          |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_used, max(h) AS hk,
          |        CAST(sum(in_a * in_b) AS BIGINT) AS rho FROM un)
          |SELECT k_used, hk, rho,
-         |  (k_used - 1)::DOUBLE * 281474976710656.0 / hk::DOUBLE AS union_est,
+         |  CASE WHEN k_used < 256 THEN k_used::DOUBLE
+         |    ELSE (k_used - 1)::DOUBLE * 281474976710656.0 / hk::DOUBLE END AS union_est,
          |  rho::DOUBLE / k_used::DOUBLE AS jaccard_est,
          |  rho::DOUBLE / k_used::DOUBLE
-         |    * ((k_used - 1)::DOUBLE * 281474976710656.0 / hk::DOUBLE) AS inter_est
+         |    * CASE WHEN k_used < 256 THEN k_used::DOUBLE
+         |      ELSE (k_used - 1)::DOUBLE * 281474976710656.0 / hk::DOUBLE END AS inter_est
          |FROM m""".stripMargin,
 
     "q_tfidf_rank" ->

@@ -41,7 +41,14 @@ object Similarity {
     * folds from the hot loop. */
   private def withUnitVector(df: DataFrame, vecCol: String, outCol: String): DataFrame =
     df.withColumn("_nrm", norm(col(vecCol)))
-      .withColumn(outCol, transform(col(vecCol), x => x.cast("double") / col("_nrm")))
+      // zero-norm guard: an all-zero embedding (failed/padded embed row)
+      // would normalize to NaN, and Spark SORTS NaN above every double and
+      // treats NaN >= t as TRUE — the zero vector would rank as the #1
+      // neighbor of every query and pass every threshold filter. A zero
+      // unit vector instead gives sim 0 everywhere: never ranked, never
+      // thresholded in, and consistent with the plain-Scala kernels.
+      .withColumn(outCol, transform(col(vecCol), x =>
+        when(col("_nrm") === 0.0, lit(0.0)).otherwise(x.cast("double") / col("_nrm"))))
       .drop("_nrm", vecCol)
 
   /** Top-k cosine neighbors for each query vector (exact, brute force). */
@@ -96,17 +103,24 @@ object Similarity {
         .toDF("query_id", "neighbor_id", "rank", "sim")
     // compute budget, same philosophy as lshNearDup/semanticDupFlags: a
     // coarse partition with too few cells doesn't fail, it quietly runs
-    // queries·|biggest cell| exact dots. Cell member counts are already
-    // driver-side; one cheap count of the query side bounds the candidate
-    // volume exactly before any pair materializes.
+    // queries·|biggest cell| exact dots. The guard must bound the cells
+    // the JOIN actually runs on — the REASSIGNED argmax cells, not the
+    // input labels: mean centroids of a coarse labeling can collapse
+    // most of the corpus into one argmax cell (hash-partitioned input
+    // cells all centroid near the corpus mean, one marginally dominates),
+    // and an input-label bound would wave exactly that runaway through.
+    // One count per side before any pair materializes.
     val nQueries = vecs.where(queryFilter).count()
-    val maxCellN = cells.iterator.map(_._3).max
+    val assigned = assignCells(vecs, idCol, vecCol, cells, maxAbsXi(dims), 1000000L)
+    val maxCellRow = assigned.groupBy(col("acell"))
+      .agg(count(lit(1)).as("n")).agg(max(col("n"))).head()
+    val maxCellN = if (maxCellRow.isNullAt(0)) 0L else maxCellRow.getLong(0)
     val estCandidates = BigInt(nQueries) * BigInt(maxCellN)
     require(estCandidates <= BigInt(maxEstCandidates),
-      s"ivfTopK with $nQueries queries against cells of up to $maxCellN members " +
-        s"bounds candidates at ~$estCandidates (> $maxEstCandidates). Re-cluster " +
-        "with more cells, or raise maxEstCandidates if the runtime is acceptable.")
-    val assigned = assignCells(vecs, idCol, vecCol, cells, maxAbsXi(dims), 1000000L)
+      s"ivfTopK with $nQueries queries against assigned cells of up to $maxCellN " +
+        s"members bounds candidates at ~$estCandidates (> $maxEstCandidates). " +
+        "Re-cluster with more cells, or raise maxEstCandidates if the runtime " +
+        "is acceptable.")
     // assigned is one row per vector id (small); broadcast keeps the unit
     // vectors from shuffling just to pick up their cell label.
     val unit = withUnitVector(vecs.select(col(idCol).as("uid"), col(vecCol).as("v")), "v", "nv")
@@ -316,7 +330,14 @@ object Similarity {
     * the centroid member counts before any pair materializes. */
   def ivfQueryIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, k: Int, nProbe: Int = 1,
-      quantScale: Long = 1000000L, maxEstCandidates: Long = 2000000000L): DataFrame = {
+      quantScale: Long = 1000000L, maxEstCandidates: Long = 2000000000L,
+      /** Drop postings whose id equals the query's id — ONLY for queries
+        * drawn from the indexed corpus itself. New query batches usually
+        * have an independent id space, where an accidental numeric
+        * collision would silently drop a true neighbor (a recall loss
+        * indistinguishable from ANN error), so the default keeps
+        * everything. */
+      excludeSelfId: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val cent = spark.read.parquet(s"$path/centroids")
@@ -342,7 +363,7 @@ object Similarity {
       .select(col("qid").as("query_id"), col("acell").as("cell"), col("qn"))
     val postings = spark.read.parquet(s"$path/postings")
     val sims = postings.join(broadcast(probed), Seq("cell"))
-      .where(col("query_id") =!= col("vid"))
+      .where(if (excludeSelfId) col("query_id") =!= col("vid") else lit(true))
       .select(col("query_id"), col("vid").as("neighbor_id"), col("qn"), col("nv"))
       .as[(Long, Long, Array[Double], Array[Double])]
       .mapPartitions(_.map { case (q, nb, qn, nv) =>
@@ -383,9 +404,16 @@ object Similarity {
     * `iterations` rounds. */
   def kmeansCells(vecs: DataFrame, idCol: String, vecCol: String,
       k: Int, iterations: Int = 2, quantScale: Long = 1000000L): DataFrame = {
+    // PERSISTED: every iteration's centroid aggregation (and the final
+    // caller-side evaluation) re-reads this frame — without the persist
+    // the n·dim posexplode lineage re-runs from the source per round
+    // (~2 corpus scans/iteration at 10M×64). Same treatment
+    // connectedComponents gives its edge frame.
     val dims = vecs.select(col(idCol).cast("long").as("vid"),
         posexplode(col(vecCol)).as(Seq("pos", "x")))
       .withColumn("xi", floor(col("x").cast("double") * quantScale).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // component-magnitude bound for the overflow guard: computed ONCE (the
     // component frame does not change across iterations)
     val mXi = maxAbsXi(dims)
@@ -402,7 +430,10 @@ object Similarity {
         .groupBy(col("acell").as("cell"), col("pos"))
         .agg(sum(col("xi")).as("sxi"), count(lit(1)).as("n"))
     }
-    assigned.select(col("vid").as("vec_id"), col("acell").as("cell"))
+    // pin the final assignment before releasing the component cache: the
+    // caller's evaluation must not re-trigger the unpersisted lineage
+    assigned.select(col("vid").as("vec_id"), col("acell").as("cell")).localCheckpoint()
+    } finally dims.unpersist()
   }
 
   /** LSH-bucketed near-duplicate pairs — the scale path `similarPairs`
@@ -571,10 +602,18 @@ object Similarity {
     // materialized cell is the SemDeDup contract (k is chosen so a cluster
     // fits a worker); the cap fails loudly instead of OOMing mid-task.
     val dups = unit.groupByKey(_._1).flatMapGroups { (cellk, it) =>
-      val members = it.map(t => (t._2, t._3)).toArray
-      require(members.length <= maxCellRows,
-        s"semanticDupFlags cell '$cellk' has ${members.length} vectors (> $maxCellRows). " +
-          "Re-cluster with more cells so each fits a worker, or raise maxCellRows.")
+      // buffer WITH the cap enforced during iteration: a blind .toArray of
+      // a degenerate 50M-vector cell exhausts the task heap before any
+      // after-the-fact require could produce the loud, actionable error
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+      while (it.hasNext) {
+        require(buf.length < maxCellRows,
+          s"semanticDupFlags cell '$cellk' exceeds $maxCellRows vectors. " +
+            "Re-cluster with more cells so each fits a worker, or raise maxCellRows.")
+        val t = it.next()
+        buf += ((t._2, t._3))
+      }
+      val members = buf.toArray
       // Compute bound, not just memory: an at-cap cell that FITS can still
       // be an O(m²/2) hours-long single task. The pair budget (default 1e9
       // dots ≈ tens of seconds of kernel) trips long before that, with the
@@ -637,10 +676,16 @@ object Similarity {
       .unionByName(prep(delta, isDelta = true))
       .as[(String, Long, Array[Double], Boolean)]
     val dups = unit.groupByKey(_._1).flatMapGroups { (cellk, it) =>
-      val members = it.toArray
-      require(members.length <= maxCellRows,
-        s"deltaSemanticDupFlags cell '$cellk' has ${members.length} vectors " +
-          s"(> $maxCellRows). Re-cluster with more cells, or raise maxCellRows.")
+      // cap enforced WHILE buffering — see semanticDupFlags: a blind
+      // toArray would OOM before the loud error fires
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Array[Double], Boolean)]
+      while (it.hasNext) {
+        require(buf.length < maxCellRows,
+          s"deltaSemanticDupFlags cell '$cellk' exceeds $maxCellRows vectors. " +
+            "Re-cluster with more cells, or raise maxCellRows.")
+        buf += it.next()
+      }
+      val members = buf.toArray
       val nDelta = members.count(_._4)
       val pairBound = nDelta.toLong * members.length
       require(pairBound <= maxPairsPerCell,
@@ -709,23 +754,6 @@ object Similarity {
           floor(x.cast("double") * lit(127.0) / col("maxabs") + lit(0.5)).cast("long"))))
   }
 
-  /** All pairs with cosine ≥ threshold (exact, O(n²) — use LSH buckets or
-    * an IVF coarse quantizer to restrict candidates at scale).
-    *
-    * Executed as a broadcast nested-loop join with a primitive-array kernel:
-    * the unit vectors are broadcast once (n·dim doubles — the same smallness
-    * bound any broadcast join assumes) and each partition of the streaming
-    * side runs a tight JIT'd multiply-add loop against them. Row-at-a-time
-    * alternatives are far slower at n² pairs: array HOFs (zip_with/
-    * aggregate) run on the interpreted CodegenFallback path, and expanding
-    * to `dim` scalar columns makes the join materialize 2·dim columns per
-    * pair (measured 8×). The kernel accumulates in ascending-index order —
-    * the same zero-initialized left fold as the SQL form, so results are
-    * bit-identical to the fold-based oracle. For corpora whose unit-vector
-    * matrix outgrows a broadcast, restrict candidates first (ivfTopK /
-    * lshBands) — exact all-pairs at that scale is the wrong query, and the
-    * `maxBroadcastBytes` guard fails loudly before the driver collect
-    * rather than OOMing mid-job. */
   /** Cross-corpus semantic decontamination: for every training vector, the
     * nearest BENCHMARK vector by cosine and a flag when it clears the
     * contamination threshold — the embedding-space sibling of the n-gram
@@ -770,9 +798,15 @@ object Similarity {
         var j = 0
         while (j < cands.length) {
           val (bid, bv) = cands(j)
+          // bound by the ACTUAL arrays, never the `dim` hint: dim only
+          // sizes the broadcast estimate, and looping on it would silently
+          // truncate longer vectors or crash on shorter ones
+          if (v.length != bv.length) throw new IllegalArgumentException(
+            s"semanticDecontaminate: dimension mismatch ${v.length} vs ${bv.length} " +
+              s"(train id $id, bench id $bid)")
           var s = 0.0
           var k = 0
-          while (k < dim) { s += v(k) * bv(k); k += 1 }
+          while (k < v.length) { s += v(k) * bv(k); k += 1 }
           if (s > best) { best = s; bestId = bid }
           j += 1
         }
@@ -781,6 +815,23 @@ object Similarity {
     }.toDF("doc_id", "nearest_bench_id", "max_sim", "flag_contaminated")
   }
 
+  /** All pairs with cosine ≥ threshold (exact, O(n²) — use LSH buckets or
+    * an IVF coarse quantizer to restrict candidates at scale).
+    *
+    * Executed as a broadcast nested-loop join with a primitive-array kernel:
+    * the unit vectors are broadcast once (n·dim doubles — the same smallness
+    * bound any broadcast join assumes) and each partition of the streaming
+    * side runs a tight JIT'd multiply-add loop against them. Row-at-a-time
+    * alternatives are far slower at n² pairs: array HOFs (zip_with/
+    * aggregate) run on the interpreted CodegenFallback path, and expanding
+    * to `dim` scalar columns makes the join materialize 2·dim columns per
+    * pair (measured 8×). The kernel accumulates in ascending-index order —
+    * the same zero-initialized left fold as the SQL form, so results are
+    * bit-identical to the fold-based oracle. For corpora whose unit-vector
+    * matrix outgrows a broadcast, restrict candidates first (ivfTopK /
+    * lshBands) — exact all-pairs at that scale is the wrong query, and the
+    * `maxBroadcastBytes` guard fails loudly before the driver collect
+    * rather than OOMing mid-job. */
   def similarPairs(vecs: DataFrame, idCol: String, vecCol: String,
       threshold: Double, dim: Int = 64,
       maxBroadcastBytes: Long = 256L << 20): DataFrame = {
@@ -815,9 +866,12 @@ object Similarity {
         lo = if (lo < 0) -lo - 1 else lo + 1
         (lo until cands.length).iterator.map { j =>
           val (idb, vb) = cands(j)
+          if (va.length != vb.length) throw new IllegalArgumentException(
+            s"similarPairs: dimension mismatch ${va.length} vs ${vb.length} " +
+              s"(ids $ida, $idb)")
           var s = 0.0
           var k = 0
-          while (k < dim) { s += va(k) * vb(k); k += 1 }
+          while (k < va.length) { s += va(k) * vb(k); k += 1 }
           (ida, idb, s)
         }.filter(_._3 >= threshold)
       }

@@ -160,6 +160,10 @@ class DedupSpec extends AnyFunSuite {
     // inter_est = jaccard * union_est by construction
     assert(math.abs(r.getAs[Double]("inter_est") -
       r.getAs[Double]("jaccard_est") * r.getAs[Double]("union_est")) < 1e-9)
+    // KMV rule: unsaturated sketch → the union estimate IS the exact
+    // count, not the (k−1)·U/h_k extrapolation (which at this sample size
+    // can be 2× off an exactly-knowable answer)
+    assert(r.getAs[Double]("union_est") == (sa ++ sb).size.toDouble)
   }
 
   test("kmvOverlap at small k estimates within sketch error on a real corpus") {
