@@ -86,16 +86,31 @@ object VecUtils {
   }
 
   /** fold((acc·31 + codePoint) mod 1e9+7) over the string's code points —
-    * acc stays < 1e9+7, so acc·31 + cp < 2^35: no overflow. */
+    * acc stays < 1e9+7, so acc·31 + cp < 2^35: no overflow. Walks the
+    * UTF-8 bytes in place (no per-row String transcode — that allocation
+    * dominated multi-KB documents on the fingerprint path); for valid
+    * UTF-8 the decoded code points are identical to codePointAt
+    * iteration, which the parity spec fuzzes including 2/3/4-byte
+    * sequences. */
   def rollingHash31(s: org.apache.spark.unsafe.types.UTF8String): Long = {
-    val str = s.toString
+    val n = s.numBytes
     var acc = 0L
     var i = 0
-    val n = str.length
     while (i < n) {
-      val cp = str.codePointAt(i)
+      val b0 = s.getByte(i) & 0xff
+      var cp = 0
+      var len = 1
+      if (b0 < 0x80) cp = b0
+      else if ((b0 & 0xe0) == 0xc0) { len = 2; cp = b0 & 0x1f }
+      else if ((b0 & 0xf0) == 0xe0) { len = 3; cp = b0 & 0x0f }
+      else { len = 4; cp = b0 & 0x07 }
+      var j = 1
+      while (j < len && i + j < n) {
+        cp = (cp << 6) | (s.getByte(i + j) & 0x3f)
+        j += 1
+      }
       acc = (acc * 31L + cp) % 1000000007L
-      i += Character.charCount(cp)
+      i += len
     }
     acc
   }

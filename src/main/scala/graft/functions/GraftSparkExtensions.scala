@@ -39,5 +39,13 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
           s"${DotProductDouble.Name} expects exactly two arguments")
         DotProductDouble(args.head, args(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier(RollingHash31.Name),
+      new ExpressionInfo(classOf[RollingHash31].getName, RollingHash31.Name),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"${RollingHash31.Name} expects exactly one argument")
+        RollingHash31(args.head)
+      }))
   }
 }

@@ -81,11 +81,20 @@ case class TopKStructs(
   override def eval(buffer: mutable.PriorityQueue[InternalRow]): Any =
     new GenericArrayData(buffer.toArray.sorted(ordering).asInstanceOf[Array[Any]])
 
+  // per-instance, not per-call: serialize runs once per GROUP on the
+  // map side, and rebuilding the generated projection (codegen-cache
+  // lookup + class instantiation) plus a 4 KB scratch per group is
+  // avoidable hot-path cost. Expression trees are deserialized per task,
+  // so instance confinement makes these thread-safe — the same reasoning
+  // as the `ordering` lazy val.
+  @transient private lazy val serProjection = UnsafeProjection.create(structType)
+  @transient private lazy val serScratch = new Array[Byte](4 << 10)
+
   override def serialize(buffer: mutable.PriorityQueue[InternalRow]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
-    val projection = UnsafeProjection.create(structType)
-    val scratch = new Array[Byte](4 << 10)
+    val projection = serProjection
+    val scratch = serScratch
     buffer.foreach { row =>
       val unsafe = projection.apply(row)
       out.writeInt(unsafe.getSizeInBytes)

@@ -27,6 +27,10 @@ object SkewJoin {
   def saltedJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, salt: Int): DataFrame = {
     require(salt > 0, "salt must be positive")
+    // withColumn would silently REPLACE a user column named _salt and the
+    // final drop would erase its data with no error
+    TemporalJoins.requireNoReserved(left, Seq("_salt"))
+    TemporalJoins.requireNoReserved(right, Seq("_salt"))
     // any per-row value works as salt (the result is salt-invariant);
     // monotonically_increasing_id is free and uniform across partitions
     val l = left.withColumn("_salt", pmod(monotonically_increasing_id(), lit(salt.toLong)))

@@ -31,8 +31,14 @@ object TemporalJoins {
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
       leftTs: String, rightTs: String, payloadCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    TemporalJoins.requireNoReserved(left, Seq("_k", "_t", "_side", "_p"))
+    TemporalJoins.requireNoReserved(right, Seq("_k", "_t", "_side", "_p"))
+    // a NULL right event time sorts FIRST under asc and would become the
+    // carried payload for left rows with no legitimate earlier match —
+    // "greatest rightTs <= leftTs" can never match a null, so drop them
+    val rightNN = right.where(col(rightTs).isNotNull)
     val payloadType = org.apache.spark.sql.types.StructType(
-      right.select(payloadCols.map(col): _*).schema.fields)
+      rightNN.select(payloadCols.map(col): _*).schema.fields)
     // the payload travels as ONE struct: the struct itself is non-null for
     // every right row even when members are null, so the window fill cannot
     // splice member values from DIFFERENT right rows (a per-column
@@ -42,7 +48,7 @@ object TemporalJoins {
       .select(Seq(col(keyCol).as("_k"), col(leftTs).as("_t"), lit(1).as("_side"))
         ++ leftCols.map(col) :+ lit(null).cast(payloadType).as("_p"): _*)
     val leftSchema = left.schema
-    val r2 = right
+    val r2 = rightNN
       .select(Seq(col(keyCol).as("_k"), col(rightTs).as("_t"), lit(0).as("_side"))
         ++ leftCols.map(c => lit(null).cast(leftSchema(c).dataType).as(c))
         :+ struct(payloadCols.map(col): _*).as("_p"): _*)
@@ -71,11 +77,17 @@ object TemporalJoins {
   def rangeJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       loCol: String, hiCol: String, rightTs: String, binWidth: Long): DataFrame = {
+    requireNoReserved(left, Seq("_bin", "_bin0"))
+    requireNoReserved(right, Seq("_bin", "_bin0"))
     val r2 = right.withColumn("_bin", floor(col(rightTs) / binWidth))
     val l2 = left
       // interval wider than the bin would span >2 bins and silently DROP
       // matches — fail loudly per row instead (data-dependent, so it can't
-      // be a static require)
+      // be a static require). A NULL bound is NOT an error: under inner-
+      // join semantics a null comparison matches nothing, so the row is
+      // simply dropped — one bad row must not abort a billion-row join
+      // (and the raise_error message itself would be null).
+      .where(col(loCol).isNotNull && col(hiCol).isNotNull)
       .where(when(col(hiCol) - col(loCol) <= binWidth, lit(true))
         .otherwise(raise_error(concat(
           lit(s"rangeJoin: interval wider than binWidth=$binWidth at $loCol="), col(loCol).cast("string")))))
@@ -85,5 +97,15 @@ object TemporalJoins {
     l2.join(r2, l2(leftKey) === r2(rightKey) && l2("_bin") === r2("_bin"))
       .where(col(rightTs) >= col(loCol) && col(rightTs) < col(hiCol))
       .drop("_bin")
+  }
+
+  /** The helper columns these rewrites generate would silently REPLACE a
+    * same-named user column (withColumn/union semantics), vanishing its
+    * data with no error — refuse loudly instead. */
+  private[joins] def requireNoReserved(df: DataFrame, reserved: Seq[String]): Unit = {
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"column name(s) ${clash.mkString(", ")} collide with this join's internal " +
+        s"helper columns (${reserved.mkString(", ")}) — rename them first")
   }
 }

@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
-import graft.joins.TemporalJoins
+import graft.joins.{SkewJoin, TemporalJoins}
 
 class TemporalJoinsSpec extends AnyFunSuite {
   lazy val spark = SparkTest.spark
@@ -57,6 +57,43 @@ class TemporalJoinsSpec extends AnyFunSuite {
 class SkewJoinSpec extends AnyFunSuite {
   lazy val spark = SparkTest.spark
   import spark.implicits._
+
+  test("asof: null right event times never become the carried payload") {
+    import spark.implicits._
+    // the null rts sorts FIRST under asc — without the filter it would be
+    // the as-of payload for left rows with no legitimate earlier match
+    val left = Seq(("a", 100L)).toDF("k", "lts")
+    val right = Seq(("a", Option.empty[Long], "POISON"),
+      ("a", Some(500L), "late")).toDF("k", "rts", "pay")
+    val got = TemporalJoins.asofJoin(left, right, "k", "lts", "rts", Seq("pay"))
+      .select("pay").head()
+    assert(got.isNullAt(0), s"null-ts right row must not match: $got")
+  }
+
+  test("range join drops null-bounded rows instead of aborting the job") {
+    import spark.implicits._
+    val left = Seq(("a", Some(0L), Some(10L)), ("a", None, Some(10L)),
+      ("a", Some(0L), None)).toDF("k", "lo", "hi")
+    val right = Seq(("a", 5L, "hit")).toDF("rk", "rts", "v")
+    val got = TemporalJoins.rangeJoin(left, right, "k", "rk", "lo", "hi", "rts", 100L)
+    // the null-bounded rows match nothing (inner-join semantics), the
+    // valid row still matches — and nothing raises
+    assert(got.count() == 1L)
+  }
+
+  test("reserved helper column names are refused loudly, not silently replaced") {
+    import spark.implicits._
+    val l = Seq((1L, 0L)).toDF("k", "_salt")
+    val r = Seq((1L, "x")).toDF("rk", "v")
+    val e = intercept[IllegalArgumentException](
+      SkewJoin.saltedJoin(l, r, "k", "rk", 4))
+    assert(e.getMessage.contains("_salt"))
+    val l2 = Seq((1L, 2L, 3L)).toDF("k", "ts", "_p")
+    val e2 = intercept[IllegalArgumentException](
+      TemporalJoins.asofJoin(l2, Seq((1L, 2L, "p")).toDF("k2", "rts", "pay"),
+        "k", "ts", "rts", Seq("pay")))
+    assert(e2.getMessage.contains("_p"))
+  }
 
   test("salted join equals the plain join, including multi-match keys") {
     val l = Seq((1L, "x"), (1L, "y"), (2L, "z"), (3L, "w")).toDF("k", "lv")

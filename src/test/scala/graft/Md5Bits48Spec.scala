@@ -140,7 +140,11 @@ class DotProductDoubleSpec extends AnyFunSuite {
         else ascii(rnd.nextInt(ascii.length))).mkString
     }
     val rows = (0L until 150L).map(i => (i, text())) ++
-      Seq((900L, ""), (901L, "a"), (902L, "hello world"))
+      Seq((900L, ""), (901L, "a"), (902L, "hello world"),
+        // 3-byte (CJK, ZWSP) and 4-byte (emoji, non-BMP) sequences: the
+        // kernel walks UTF-8 bytes directly, so every length class must
+        // agree with codePointAt iteration
+        (903L, "漢字テスト​"), (904L, "a😀b🚀🧪"), (905L, "mixéd漢😀 end"))
     val df = rows.toDF("id", "t")
     val got = df.select(col("id"),
         graft.text.TextFunctions.fingerprint(col("t")).as("fast"),
