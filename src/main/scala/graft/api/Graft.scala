@@ -100,8 +100,16 @@ object Graft {
     val compare = a.relevantCols
       .filterNot(a.keyCols.contains).filterNot(opts.ignoreColumns.contains)
     val jsonCols = opts.jsonColumns.toSet
+    // diffExplicit, not diff: a compare list EMPTIED by ignoreColumns
+    // means membership-only — the Nil-derives-all convenience default
+    // (shared by TableSegment.relevantCols, which the HashDiff path
+    // consults) would re-include exactly the columns the caller asked
+    // to ignore. Membership-only therefore always takes the join path.
+    if (compare.isEmpty)
+      return JoinDiffer.diffExplicit(a.scoped, b.scoped, a.keyCols, Nil, jsonCols)
     opts.algorithm match {
-      case Algorithm.JoinDiff => JoinDiffer.diff(a.scoped, b.scoped, a.keyCols, compare, jsonCols)
+      case Algorithm.JoinDiff =>
+        JoinDiffer.diffExplicit(a.scoped, b.scoped, a.keyCols, compare, jsonCols)
       case Algorithm.HashDiff =>
         HashDiffer.diff(a.copy(extraCols = compare), b.copy(extraCols = compare), opts.buckets,
           jsonCols = jsonCols)
@@ -111,11 +119,11 @@ object Graft {
         // diffs, which Auto cannot know without a pre-pass it must not
         // silently spend. Default to the single-pass join;
         // Algorithm.Estimate is the opt-in that measures first.
-        JoinDiffer.diff(a.scoped, b.scoped, a.keyCols, compare, jsonCols)
+        JoinDiffer.diffExplicit(a.scoped, b.scoped, a.keyCols, compare, jsonCols)
       case Algorithm.Estimate =>
         chooseAlgorithm(a, b, compare, opts) match {
           case Algorithm.JoinDiff =>
-            JoinDiffer.diff(a.scoped, b.scoped, a.keyCols, compare, jsonCols)
+            JoinDiffer.diffExplicit(a.scoped, b.scoped, a.keyCols, compare, jsonCols)
           case _ =>
             HashDiffer.diff(a.copy(extraCols = compare), b.copy(extraCols = compare),
               opts.buckets, jsonCols = jsonCols)
@@ -135,9 +143,14 @@ object Graft {
     if (e.isDense) Algorithm.JoinDiff else Algorithm.HashDiff
   }
 
-  def diffStats(a: TableSegment, b: TableSegment): DataFrame =
-    JoinDiffer.stats(a.scoped, b.scoped, a.keyCols,
-      a.relevantCols.filterNot(a.keyCols.contains))
+  def diffStats(a: TableSegment, b: TableSegment,
+      opts: DiffOptions = DiffOptions()): DataFrame =
+    // statsExplicit + the same jsonColumns as diffTables, so the summary
+    // can never contradict the row-level diff it summarizes
+    JoinDiffer.statsExplicit(a.scoped, b.scoped, a.keyCols,
+      a.relevantCols.filterNot(a.keyCols.contains)
+        .filterNot(opts.ignoreColumns.contains),
+      opts.jsonColumns.toSet)
 
   /** Cross-engine diff: the b-side lives in an external engine reachable
     * only through `engine`; per-segment checksum SQL is pushed there and

@@ -46,15 +46,25 @@ object JoinDiffer {
 
   /** Diff rows: ('-', a-side values) for rows missing/stale in b,
     * ('+', b-side values) for rows new/changed in b. An updated key yields
-    * both signs (reference: joindiff_tables.py:168-226 `_diff_segments`). */
+    * both signs (reference: joindiff_tables.py:168-226 `_diff_segments`).
+    * `compareColsIn = Nil` derives all non-key columns (the convenience
+    * default); a genuinely EMPTY compare list — membership-only diff of a
+    * key-only link table, or every column ignored — goes through
+    * [[diffExplicit]]. */
   def diff(a: DataFrame, b: DataFrame, keyCols: Seq[String],
-      compareColsIn: Seq[String] = Nil, jsonCols: Set[String] = Set.empty): DataFrame = {
-    val compareCols =
+      compareColsIn: Seq[String] = Nil, jsonCols: Set[String] = Set.empty): DataFrame =
+    diffExplicit(a, b, keyCols,
       if (compareColsIn.nonEmpty) compareColsIn
-      else a.columns.toSeq.filterNot(keyCols.contains)
+      else a.columns.toSeq.filterNot(keyCols.contains), jsonCols)
+
+  /** [[diff]] with the compare list taken LITERALLY: empty means compare
+    * nothing but key membership (added/removed rows only). */
+  def diffExplicit(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+      compareCols: Seq[String], jsonCols: Set[String] = Set.empty): DataFrame = {
     val cols = keyCols ++ compareCols
     val f = flagged(a, b, keyCols, compareCols, jsonCols)
-    val anyDiff = compareCols.map(c => col(s"is_diff_$c") === 1).reduce(_ || _)
+    val anyDiff = compareCols.map(c => col(s"is_diff_$c") === 1)
+      .reduceOption(_ || _).getOrElse(lit(false))
     val aRow = struct(lit("-").as("sign") +: cols.map(c => col(s"a_$c").as(c)): _*)
     val bRow = struct(lit("+").as("sign") +: cols.map(c => col(s"b_$c").as(c)): _*)
     f.where(col("is_exclusive_a") || col("is_exclusive_b") || anyDiff)
@@ -65,20 +75,30 @@ object JoinDiffer {
       .select("r.*")
   }
 
-  /** One-row diff statistics (reference: diff_tables.py:76-186 DiffStats). */
+  /** One-row diff statistics (reference: diff_tables.py:76-186 DiffStats).
+    * Same Nil-derives-all convention as [[diff]]; see [[statsExplicit]]. */
   def stats(a: DataFrame, b: DataFrame, keyCols: Seq[String],
-      compareColsIn: Seq[String] = Nil): DataFrame = {
-    val compareCols =
+      compareColsIn: Seq[String] = Nil, jsonCols: Set[String] = Set.empty): DataFrame =
+    statsExplicit(a, b, keyCols,
       if (compareColsIn.nonEmpty) compareColsIn
-      else a.columns.toSeq.filterNot(keyCols.contains)
-    val f = flagged(a, b, keyCols, compareCols)
-    val anyDiff = compareCols.map(c => col(s"is_diff_$c") === 1).reduce(_ || _)
+      else a.columns.toSeq.filterNot(keyCols.contains), jsonCols)
+
+  /** [[stats]] with the compare list taken literally (empty = membership
+    * only). Counters are zero, not NULL, on an empty join — two empty
+    * tables report four 0s like the reference's DiffStats. `jsonCols`
+    * matches [[diff]]'s, so the summary never contradicts the row-level
+    * diff it summarizes. */
+  def statsExplicit(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+      compareCols: Seq[String], jsonCols: Set[String] = Set.empty): DataFrame = {
+    val f = flagged(a, b, keyCols, compareCols, jsonCols)
+    val anyDiff = compareCols.map(c => col(s"is_diff_$c") === 1)
+      .reduceOption(_ || _).getOrElse(lit(false))
     val both = !col("is_exclusive_a") && !col("is_exclusive_b")
     f.agg(
-      sum(when(col("is_exclusive_a"), 1L).otherwise(0L)).as("removed"),
-      sum(when(col("is_exclusive_b"), 1L).otherwise(0L)).as("added"),
-      sum(when(both && anyDiff, 1L).otherwise(0L)).as("updated"),
-      sum(when(both && !anyDiff, 1L).otherwise(0L)).as("unchanged"))
+      coalesce(sum(when(col("is_exclusive_a"), 1L).otherwise(0L)), lit(0L)).as("removed"),
+      coalesce(sum(when(col("is_exclusive_b"), 1L).otherwise(0L)), lit(0L)).as("added"),
+      coalesce(sum(when(both && anyDiff, 1L).otherwise(0L)), lit(0L)).as("updated"),
+      coalesce(sum(when(both && !anyDiff, 1L).otherwise(0L)), lit(0L)).as("unchanged"))
   }
 
   /** Random sample of rows that exist on only one side — the quick "what
@@ -126,11 +146,13 @@ object JoinDiffer {
   /** Per-column changed-row counts over matched keys
     * (reference: joindiff_tables.py:336-354). */
   def diffCountsPerColumn(a: DataFrame, b: DataFrame, keyCols: Seq[String],
-      compareCols: Seq[String]): DataFrame = {
-    val f = flagged(a, b, keyCols, compareCols)
+      compareCols: Seq[String], jsonCols: Set[String] = Set.empty): DataFrame = {
+    val f = flagged(a, b, keyCols, compareCols, jsonCols)
     val both = !col("is_exclusive_a") && !col("is_exclusive_b")
     f.where(both).agg(
-      sum(col(s"is_diff_${compareCols.head}")).as(s"n_diff_${compareCols.head}"),
-      compareCols.tail.map(c => sum(col(s"is_diff_$c")).as(s"n_diff_$c")): _*)
+      coalesce(sum(col(s"is_diff_${compareCols.head}")), lit(0L))
+        .as(s"n_diff_${compareCols.head}"),
+      compareCols.tail.map(c =>
+        coalesce(sum(col(s"is_diff_$c")), lit(0L)).as(s"n_diff_$c")): _*)
   }
 }

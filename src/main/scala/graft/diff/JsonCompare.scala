@@ -3,26 +3,27 @@ package graft.diff
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** JSON-aware comparison: two JSON strings that parse to the same object
-  * must not count as a diff, regardless of key order or whitespace
-  * (reference: data_diff/utils.py:515-536 `diffs_are_equiv_jsons`,
-  * data_diff/hashdiff_tables.py:72-84).
+/** JSON-aware comparison: two JSON strings that parse to the same VALUE
+  * must not count as a diff, regardless of key order, whitespace, number
+  * spelling (1 vs 1.0), or nesting depth (reference:
+  * data_diff/utils.py:515-536 `diffs_are_equiv_jsons` compares
+  * `json.loads` values; data_diff/hashdiff_tables.py:72-84).
   *
-  * Canonicalization here covers flat objects (sorted keys, minified),
-  * which is the shape the reference compares after its own minified-string
-  * normalization; nested payloads can layer `to_json(from_json(...))` with
-  * a typed schema instead.
+  * Canonicalization is the Jackson-walk expression
+  * [[graft.functions.JsonCanonical]]: recursive sorted keys, canonical
+  * decimal numbers, type-preserving — '{"a":1}' vs '{"a":"1"}' is a REAL
+  * diff (a from_json(Map(String,String)) spelling stringified every value
+  * and silently suppressed those), and duplicate keys are last-wins
+  * instead of a job-aborting DUPLICATED_MAP_KEY.
   */
 object JsonCompare {
 
-  /** Canonical form of a flat JSON object column: parse to a map, sort
-    * entries by key, re-serialize minified. NULL and parse failures yield
-    * NULL (from_json returns null on malformed input). */
+  /** Canonical form of a JSON column (any nesting). NULL and parse
+    * failures yield NULL. */
   def canonicalize(c: Column): Column =
-    to_json(map_from_entries(array_sort(map_entries(
-      from_json(c, org.apache.spark.sql.types.MapType(
-        org.apache.spark.sql.types.StringType,
-        org.apache.spark.sql.types.StringType))))))
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.JsonCanonical(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c)))
 
   /** Null-safe equivalence of two JSON columns under canonicalization.
     * Canonicalization maps NULL, malformed, and non-flat payloads all to

@@ -35,13 +35,23 @@ object Normalize {
         // (reference: data_diff/databases/base.py:808-822) — so a DATE on one
         // side checksums equal to a midnight TIMESTAMP on the other.
         concat(date_format(c, "yyyy-MM-dd"), lit(" 00:00:00.000000"))
-      case DoubleType | FloatType | (_: DecimalType) =>
-        // Domain contract: |value| must fit DECIMAL(38, fracPrecision) —
-        // the same bound every pushdown profile's normalizeNumberSql
-        // enforces remotely. Outside it (|x| ≳ 1e36 at precision 2) the
-        // diff fails LOUDLY with an ANSI overflow on either side rather
-        // than silently disagreeing across engines; doubles that extreme
-        // have no portable fixed-point rendering to checksum against.
+      case DoubleType | FloatType =>
+        // NaN/±Infinity have no fixed-point rendering; the bare decimal
+        // cast mapped them to NULL — silently checksumming EQUAL to a
+        // genuine NULL on the other side, so a NaN-vs-NULL difference
+        // pruned as clean. They now render as their distinct literal
+        // names: never null-colliding, reportable as the diffs they are
+        // (a remote engine's rendering will simply disagree and the row
+        // surfaces in the leaf compare). Finite overflow (|x| ≳ 1e36 at
+        // precision 2) still fails LOUDLY with an ANSI overflow — the
+        // same bound every pushdown profile's normalizeNumberSql
+        // enforces remotely.
+        when(isnan(c), lit("NaN"))
+          .when(c === lit(Double.PositiveInfinity), lit("Infinity"))
+          .when(c === lit(Double.NegativeInfinity), lit("-Infinity"))
+          .otherwise(c.cast(DecimalType(38, fracPrecision)).cast(StringType))
+      case _: DecimalType =>
+        // decimals cannot hold NaN/Inf; domain contract as above
         c.cast(DecimalType(38, fracPrecision)).cast(StringType)
       case ByteType | ShortType | IntegerType | LongType =>
         c.cast(StringType)
@@ -71,7 +81,15 @@ object Normalize {
   def normalizedCols(schema: StructType, names: Seq[String],
       fracPrecision: Int = 2, tsPrecision: Int = 6): Seq[Column] =
     names.map { n =>
-      val f = schema(n)
+      // resolve like the session does: exact first, then case-insensitive
+      // — a JDBC side storing "ID" must normalize under the caller's "id"
+      // just as TableSegment.scoped already selects it (StructType.apply
+      // alone is case-SENSITIVE and crashed the checksum path on the same
+      // inputs joindiff handled)
+      val f = schema.fields.find(_.name == n)
+        .orElse(schema.fields.find(_.name.equalsIgnoreCase(n)))
+        .getOrElse(throw new IllegalArgumentException(
+          s"""column $n not found among ${schema.fieldNames.mkString(", ")}"""))
       if (isUuidClass(f)) normalizeUuid(col(n))
       else normalize(col(n), f.dataType, fracPrecision, tsPrecision)
     }

@@ -24,10 +24,17 @@ final case class Collation(
     caseSensitive: Option[Boolean] = None,
     accentSensitive: Option[Boolean] = None) {
 
-  /** Reference __eq__: any two ordinal collations compare equal. */
+  /** Reference __eq__: any two ordinal collations compare equal. The
+    * locale-field fallback additionally requires the ordinal FLAGS to
+    * agree — without that, a collation declared non-ordinal with no
+    * further locale facts (all fields None) compared equal to Spark's
+    * binary ordering, and segmentation would run on raw string bounds
+    * against an engine that said its ordering is NOT byte order: bounds
+    * selecting different row sets per engine, rows silently lost. */
   def equivalent(o: Collation): Boolean =
     if (ordinal.contains(true) && o.ordinal.contains(true)) true
-    else language == o.language &&
+    else ordinal == o.ordinal &&
+      language == o.language &&
       (country.isEmpty || o.country.isEmpty || country == o.country) &&
       caseSensitive == o.caseSensitive &&
       accentSensitive == o.accentSensitive &&

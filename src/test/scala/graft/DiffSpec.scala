@@ -75,6 +75,35 @@ class NormalizeSpec extends AnyFunSuite {
     assert(row.getString(2) == "1")
     assert(row.getString(3) == "42")
   }
+
+  test("NaN and infinities normalize to distinct literals, never NULL-colliding") {
+    // the bare decimal cast rendered these as NULL — a NaN on one side
+    // checksummed EQUAL to a genuine NULL on the other and the segment
+    // pruned clean
+    val df = Seq((Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+      Option.empty[java.lang.Double])).toDF("nan", "pinf", "ninf", "nul")
+    val r = df.select(
+      Normalize.normalize(col("nan"), org.apache.spark.sql.types.DoubleType),
+      Normalize.normalize(col("pinf"), org.apache.spark.sql.types.DoubleType),
+      Normalize.normalize(col("ninf"), org.apache.spark.sql.types.DoubleType),
+      Normalize.normalize(col("nul"), org.apache.spark.sql.types.DoubleType)).head()
+    assert(r.getString(0) == "NaN" && r.getString(1) == "Infinity" &&
+      r.getString(2) == "-Infinity" && r.isNullAt(3))
+  }
+
+  test("normalizedCols resolves column casing like the session (JDBC uppercased schemas)") {
+    val df = Seq((1L, "x")).toDF("ID", "V")
+    val cols = Normalize.normalizedCols(df.schema, Seq("id", "v"))
+    // must not throw, and must normalize through the stored field's type
+    assert(df.select(cols: _*).head().getString(0) == "1")
+  }
+
+  test("a declared non-ordinal collation with unknown locale facts is NOT binary-equivalent") {
+    import graft.sources.Collation
+    val v = Collation.negotiate(Collation.SparkBinary, Collation(ordinal = Some(false)))
+    assert(v != Right(None),
+      s"non-ordinal must not pass as ordinal-equivalent (raw segmentation unsafe): $v")
+  }
 }
 
 class JsonCompareSpec extends AnyFunSuite {
@@ -87,6 +116,27 @@ class JsonCompareSpec extends AnyFunSuite {
       ("""{"k": 1}""", """{ "k" : 1 }""", true),
       ("""{"k": 1}""", """{"k": 2}""", false),
       (null.asInstanceOf[String], null.asInstanceOf[String], true)
+    ).toDF("a", "b", "want")
+    val got = df.select(JsonCompare.jsonEquivalent(col("a"), col("b")).as("eq"), col("want"))
+      .collect()
+    got.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1), r.toString))
+  }
+
+  test("types are preserved, numbers compare by value, duplicate keys don't crash") {
+    val df = Seq(
+      // a number and its string rendering are DIFFERENT values — the old
+      // Map(String,String) canonicalization stringified both and
+      // silently suppressed the diff
+      ("""{"a":1}""", """{"a":"1"}""", false),
+      ("""{"a":true}""", """{"a":"true"}""", false),
+      // reference compares json.loads values: 1 == 1.0
+      ("""{"a":1.0}""", """{"a":1}""", true),
+      ("""{"a":1E2}""", """{"a":100}""", true),
+      // nested reordering is equivalence too (recursive canonical keys)
+      ("""{"a":{"y":2,"x":1}}""", """{"a":{"x":1,"y":2}}""", true),
+      // duplicate keys: legal JSON, last-wins, never a job abort
+      ("""{"a":1,"a":2}""", """{"a":2}""", true),
+      ("""{"a":1,"a":2}""", """{"a":1}""", false)
     ).toDF("a", "b", "want")
     val got = df.select(JsonCompare.jsonEquivalent(col("a"), col("b")).as("eq"), col("want"))
       .collect()
@@ -115,6 +165,39 @@ class JoinDifferSpec extends AnyFunSuite {
     val (a, b) = sides
     val r = JoinDiffer.stats(a, b, Seq("k")).head()
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((1L, 1L, 1L, 1L)))
+  }
+
+  test("membership-only diff: key-only tables and all-columns-ignored both work") {
+    // key-only link table — anyDiff over zero compare columns must not
+    // crash (empty.reduceLeft), and exclusives still report
+    val la = Seq(Tuple1(1L), Tuple1(2L)).toDF("k")
+    val lb = Seq(Tuple1(2L), Tuple1(3L)).toDF("k")
+    val got = JoinDiffer.diff(la, lb, Seq("k"))
+      .select("sign", "k").as[(String, Long)].collect().toSet
+    assert(got == Set(("-", 1L), ("+", 3L)))
+    // ignoreColumns covering EVERY compare column must not silently
+    // re-derive them (the Nil-means-all sentinel): k=3's s/v change is
+    // ignored, only membership diffs remain
+    val (a, b) = sides
+    val viaApi = graft.api.Graft.diffTables(
+      graft.diff.TableSegment(a, Seq("k")), graft.diff.TableSegment(b, Seq("k")),
+      graft.api.Graft.DiffOptions(ignoreColumns = Seq("s", "v")))
+      .select("sign", "k").as[(String, Long)].collect().toSet
+    assert(viaApi == Set(("-", 1L), ("+", 4L)), s"ignored columns leaked back in: $viaApi")
+  }
+
+  test("stats report zeros, not NULLs, on an empty join; jsonCols agree with diff") {
+    val e = Seq.empty[(Long, String)].toDF("k", "v")
+    val r = JoinDiffer.stats(e, e, Seq("k")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((0L, 0L, 0L, 0L)))
+    // cosmetic JSON reordering: diff() with jsonCols emits nothing — the
+    // stats summary must agree instead of counting them updated
+    val ja = Seq((1L, """{"x":1,"y":2}""")).toDF("k", "j")
+    val jb = Seq((1L, """{"y":2,"x":1}""")).toDF("k", "j")
+    val s = JoinDiffer.stats(ja, jb, Seq("k"), jsonCols = Set("j")).head()
+    assert(s.getLong(2) == 0L && s.getLong(3) == 1L, s.toString)
+    val c = JoinDiffer.diffCountsPerColumn(ja, jb, Seq("k"), Seq("j"), Set("j")).head()
+    assert(c.getLong(0) == 0L, c.toString)
   }
 
   test("sampleExclusive returns only one-sided rows with original columns") {
