@@ -227,20 +227,28 @@ object CurationQueries {
     * shard count is CHOSEN (tens of thousands at 100 TB) so each window
     * partition is exactly one output-file-sized shard, bounded by
     * construction, and shards write in parallel. */
+  /** The shuffle-key derivation shared by the manifest (trainShuffle) and
+    * the written shards (writeTrainShards) — ONE definition, so the two
+    * can never silently disagree on the permutation the trainer streams:
+    * epoch cross join, md5-48 sort_key of "ep<e>|<id>", shard = sort_key
+    * mod nShards. */
+  private def withShuffleKey(df: DataFrame, idCol: String,
+      nEpochs: Int, nShards: Int): DataFrame = {
+    val epochs = df.sparkSession.range(0, nEpochs.toLong).toDF("epoch")
+    df.crossJoin(broadcast(epochs))
+      .withColumn("sort_key", Dedup.md5Int48(concat(
+        lit("ep"), col("epoch").cast("string"), lit("|"),
+        col(idCol).cast("string"))))
+      .withColumn("shard", pmod(col("sort_key"), lit(nShards)))
+  }
+
   def trainShuffle(df: DataFrame, idCol: String,
       nEpochs: Int, nShards: Int): DataFrame = {
     require(nEpochs > 0 && nShards > 0,
       s"trainShuffle needs positive epochs/shards, got $nEpochs/$nShards")
-    val spark = df.sparkSession
-    val epochs = spark.range(0, nEpochs.toLong).toDF("epoch")
     val byShard = org.apache.spark.sql.expressions.Window
       .partitionBy("epoch", "shard").orderBy("sort_key", "doc_id")
-    df.select(col(idCol).as("doc_id"))
-      .crossJoin(broadcast(epochs))
-      .withColumn("sort_key", Dedup.md5Int48(concat(
-        lit("ep"), col("epoch").cast("string"), lit("|"),
-        col("doc_id").cast("string"))))
-      .withColumn("shard", pmod(col("sort_key"), lit(nShards)))
+    withShuffleKey(df.select(col(idCol).as("doc_id")), "doc_id", nEpochs, nShards)
       .withColumn("seq", row_number().over(byShard).cast("long"))
       .select("epoch", "shard", "seq", "doc_id", "sort_key")
   }
@@ -259,12 +267,7 @@ object CurationQueries {
       nEpochs: Int, nShards: Int): Unit = {
     require(nEpochs > 0 && nShards > 0,
       s"writeTrainShards needs positive epochs/shards, got $nEpochs/$nShards")
-    val epochs = df.sparkSession.range(0, nEpochs.toLong).toDF("epoch")
-    df.crossJoin(broadcast(epochs))
-      .withColumn("sort_key", Dedup.md5Int48(concat(
-        lit("ep"), col("epoch").cast("string"), lit("|"),
-        col(idCol).cast("string"))))
-      .withColumn("shard", pmod(col("sort_key"), lit(nShards)))
+    withShuffleKey(df, idCol, nEpochs, nShards)
       .repartition(col("epoch"), col("shard"))
       .sortWithinPartitions("epoch", "shard", "sort_key", idCol)
       .write.partitionBy("epoch", "shard").mode("overwrite").parquet(path)
@@ -370,8 +373,12 @@ object CurationQueries {
       val dd = Tables.load(s, d, "documents")
         .select(col("doc_id"), col("lang"),
           size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+      // pinned O(languages) rows: total derives from the SAME aggregate —
+      // a separate dd.agg subtree would tokenize the whole corpus a third
+      // time (membership join below is the second scan)
       val langTok = dd.groupBy("lang").agg(sum("n_tokens").as("lang_tokens"))
-      val total = dd.agg(sum("n_tokens").as("total_tokens"))
+        .localCheckpoint(true)
+      val total = langTok.agg(sum("lang_tokens").as("total_tokens"))
       val rates = langTok.join(w, Seq("lang"))
         .crossJoin(total)
         .withColumn("rate_pct",

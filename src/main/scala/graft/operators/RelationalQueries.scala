@@ -41,20 +41,24 @@ object RelationalQueries {
         struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*)).as("p"))
       .select("p.*").where(col("v").isNotNull).distinct()
     val h = graft.functions.Md5Bits48.head(col("v"))
+    // ONE aggregation tree serves both estimates: `pairs` is already
+    // distinct, so the exact count per column is the sum of per-bucket
+    // row counts — a second consumption of `pairs` (separate `exact`
+    // subtree) would recompute the explode+distinct over the whole input
     val regs = pairs
       .select(col("col_name"), pmod(h, lit(256)).as("bucket"), shiftright(h, 8).as("h2"))
       .withColumn("rho", when(col("h2") === 0, lit(41)).otherwise(lit(41) - length(bin(col("h2")))))
-      .groupBy("col_name", "bucket").agg(max(col("rho")).as("r"))
-    val est = regs.groupBy("col_name").agg(
+      .groupBy("col_name", "bucket").agg(max(col("rho")).as("r"), count(lit(1)).as("n"))
+    regs.groupBy("col_name").agg(
         count(lit(1)).as("m_used"),
-        sum(expr("shiftleft(cast(1 as bigint), 41 - r)")).as("z_used"))
+        sum(expr("shiftleft(cast(1 as bigint), 41 - r)")).as("z_used"),
+        sum(col("n")).as("n_exact"))
       .select(col("col_name"),
         (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) * lit(65536.0)
           * lit(2199023255552.0) /
           (((lit(256L) - col("m_used")) * lit(2199023255552L) + col("z_used")).cast("double")))
-          .as("n_hll"))
-    val exact = pairs.groupBy("col_name").agg(count(lit(1)).as("n_exact"))
-    est.join(exact, Seq("col_name")).select("col_name", "n_hll", "n_exact")
+          .as("n_hll"),
+        col("n_exact"))
   }
 
   /** Bounded-state quantile sketch — the scale path next to `q_quantiles`'
@@ -90,11 +94,21 @@ object RelationalQueries {
     // bin 0 undetected (DuckDB's // floors, where raw<0 is equivalent)
     val cents = expr(s"cast(floor(($valueCol) * 100) as bigint)")
     val rawBin = expr(s"(cast(floor(($valueCol) * 100) as bigint) - ${loCents}L) div ${widthCents}L")
-    val binned = df.select(col(groupCol).as("grp"),
-      histogramBin(valueCol, loCents, widthCents, bins).as("bin"),
-      (cents < loCents || rawBin > (bins - 1).toLong).cast("long").as("oob"))
+    // NULL values are excluded like the exact `percentile` path excludes
+    // them — binned NULLs would otherwise survive as a bin=NULL row that
+    // inflates n AND sorts before real bins in Spark but after them in
+    // DuckDB (the header's nullable-sort-key rule), shifting every
+    // quantile differently per engine
+    val binned = df.where(expr(s"($valueCol) is not null"))
+      .select(col(groupCol).as("grp"),
+        histogramBin(valueCol, loCents, widthCents, bins).as("bin"),
+        (cents < loCents || rawBin > (bins - 1).toLong).cast("long").as("oob"))
+    // pinned: `counts` feeds BOTH the clamp accounting and the quantile
+    // selection — unpinned, the input would scan twice (the same audited
+    // double-consumption psiOverCounts pins against); O(groups×bins) rows
     val counts = binned.groupBy("grp", "bin")
       .agg(count(lit(1)).as("cnt"), sum(col("oob")).as("oob"))
+      .localCheckpoint(true)
     val clampedPerGroup = counts.groupBy("grp")
       .agg(sum(col("oob")).as("clamped"))
       .withColumnRenamed("grp", groupCol)
@@ -143,13 +157,16 @@ object RelationalQueries {
     * ceiling (cntA·totB at ~10¹² rows/side) can't wrap. */
   def histogramDrift(a: DataFrame, b: DataFrame, valueSql: String,
       loCents: Long, widthCents: Long, bins: Int): DataFrame = {
-    def counts(df: DataFrame, out: String) =
-      df.select(histogramBin(valueSql, loCents, widthCents, bins).as("bin"))
-        .groupBy("bin").agg(count(lit(1)).as(out))
-    val j = counts(a, "cnt_a").join(counts(b, "cnt_b"), Seq("bin"), "full_outer")
+    // NULLs excluded (see histogramQuantiles); `j` pinned because it
+    // feeds both the totals and the main select — unpinned, BOTH inputs
+    // scan twice (the same audited shape psiOverCounts pins against)
+    val j = binCounts(a, valueSql, loCents, widthCents, bins, "cnt_a")
+      .join(binCounts(b, valueSql, loCents, widthCents, bins, "cnt_b"),
+        Seq("bin"), "full_outer")
       .select(col("bin"),
         coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
         coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+      .localCheckpoint(true)
     val tot = j.agg(sum(col("cnt_a")).as("tot_a"), sum(col("cnt_b")).as("tot_b"))
     j.crossJoin(broadcast(tot))
       .withColumn("flag_drift",
@@ -182,12 +199,18 @@ object RelationalQueries {
     * on any engine. Plan shape = histogramDrift's: two map-side bin
     * aggregations, a ≤bins-row join, one broadcast of two totals. */
   def psiDrift(a: DataFrame, b: DataFrame, valueSql: String,
-      loCents: Long, widthCents: Long, bins: Int): DataFrame = {
-    def counts(df: DataFrame, out: String) =
-      df.select(histogramBin(valueSql, loCents, widthCents, bins).as("bin"))
-        .groupBy("bin").agg(count(lit(1)).as(out))
-    psiOverCounts(counts(a, "cnt_a"), counts(b, "cnt_b"))
-  }
+      loCents: Long, widthCents: Long, bins: Int): DataFrame =
+    psiOverCounts(binCounts(a, valueSql, loCents, widthCents, bins, "cnt_a"),
+      binCounts(b, valueSql, loCents, widthCents, bins, "cnt_b"))
+
+  /** One side's per-bin counts (NULL values excluded — a bin=NULL row
+    * would inflate totals and sort differently per engine), shared by the
+    * drift monitors. */
+  private def binCounts(df: DataFrame, valueSql: String,
+      loCents: Long, widthCents: Long, bins: Int, out: String): DataFrame =
+    df.where(expr(s"($valueSql) is not null"))
+      .select(histogramBin(valueSql, loCents, widthCents, bins).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as(out))
 
   /** The PSI tail shared by the numeric-histogram drift (`psiDrift`) and
     * CATEGORICAL drift monitors (e.g. embedding cluster shares): takes two
@@ -487,8 +510,13 @@ object RelationalQueries {
         .repartitionByRange(32, col("p"), col("k"))
         .sortWithinPartitions("p", "k")
         .select(col("k"))
-        .persist()
-      // one job: materializes the cache AND returns the per-partition counts
+        // localCheckpoint, not persist(): persist registers in the session
+        // CacheManager and is never dropped here (each invocation would
+        // leak a cached copy for the JVM's life), while a localCheckpoint
+        // is released by the ContextCleaner once unreferenced — and its
+        // eager materialization pins the sampled range bounds just the same
+        .localCheckpoint(true)
+      // one job over the pinned blocks returns the per-partition counts
       val cnts = local.groupBy(spark_partition_id().as("pid")).count()
         .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
       val n = cnts.map(_._2).sum

@@ -148,6 +148,9 @@ object StreamingDiff {
       windowDur: String = "1 hour", watermark: String = "10 minutes"): DataFrame =
     events
       .withWatermark(tsCol, watermark)
+      // NULL values excluded, matching the batch sketch (a bin=NULL row
+      // would inflate n and shift every downstream quantile)
+      .where(expr(s"($valueSql) is not null"))
       .withColumn("bin",
         graft.operators.RelationalQueries.histogramBin(valueSql, loCents, widthCents, bins))
       .groupBy(window(col(tsCol), windowDur), col("bin"))

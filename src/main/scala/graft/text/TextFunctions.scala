@@ -90,8 +90,13 @@ object TextFunctions {
   def cjkCount(text: Column): Column =
     regexp_count(text, lit("[一-鿿]")).cast("long")
 
-  /** Stopword-profile language ID: zh by CJK presence, otherwise the marker
-    * set with the strictly highest hit count, defaulting to en. */
+  /** Stopword-profile language ID: zh by CJK presence, otherwise a FIXED
+    * CASCADE es → fr → de → en, each taken when it strictly beats the
+    * languages LATER in the cascade (so ties resolve to the later
+    * language, e.g. es=fr ties go to fr, fr=de ties to de, all-zero to
+    * en). Not "strictly highest overall": the cascade order IS the tie
+    * rule, and the SQL oracle (`predictedLangSql`) mirrors it exactly so
+    * engines agree. */
   def predictLang(text: Column): Column = {
     val en = markerCount(text, "en"); val es = markerCount(text, "es")
     val fr = markerCount(text, "fr"); val de = markerCount(text, "de")
