@@ -36,7 +36,12 @@ object Multimodal {
       * signal, content checksum). A real image codec would decode and emit
       * e.g. (pixel sum, dominant channel, perceptual hash). */
     def features(kind: String, payload: Array[Byte]): (Long, Int, Long)
-    /** One frame → fixed-width re-encoded frame (the resize/resample step). */
+    /** One frame → re-encoded frame targeting `outBytes` of CONTENT (the
+      * resize/resample step). Container codecs emit container bytes:
+      * StubCodec/WavCodec hit the byte budget exactly, while a PNG
+      * re-encode is variable-length (header + compression) and can exceed
+      * a tiny budget — consumers needing byte-exact frames use the stub
+      * or a raw-raster codec. */
     def resize(frame: Array[Byte], outBytes: Int): Array[Byte]
   }
 
@@ -86,7 +91,7 @@ object Multimodal {
   object ImageIoCodec extends MediaCodec {
     // ImageIO defaults to a disk-backed scratch cache per read/write; tasks
     // decode thousands of small images, so force heap-only once per JVM
-    private lazy val init: Unit = javax.imageio.ImageIO.setUseCache(false)
+    private[multimodal] lazy val init: Unit = javax.imageio.ImageIO.setUseCache(false)
 
     def decode(payload: Array[Byte]): java.awt.image.BufferedImage = {
       init
@@ -166,6 +171,10 @@ object Multimodal {
       }
       y += 1
     }
+    // encode-only path: force the heap-only ImageIO cache here too — the
+    // decode-side init never runs for tasks that only synthesize, and the
+    // default disk-backed scratch costs a temp file per image
+    ImageIoCodec.init
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
@@ -204,6 +213,16 @@ object Multimodal {
         val img = ImageIoCodec.decode(r.payload)
         val gw = img.getWidth / 2
         val gh = img.getHeight
+        // the hash is ONE long: more than 64 gradient bits would wrap the
+        // shift distance (JVM long shifts take distance mod 64) and OR
+        // later gradients back onto bits 0..N — a silently garbage
+        // signature (a 16×16 image is already 7×16 = 112 bits). Width
+        // must give at least one 2-pixel column.
+        require(img.getWidth >= 2, s"dhash needs width >= 2, got ${img.getWidth}")
+        require((gw - 1).toLong * gh <= 64,
+          s"dhash grid ${gw - 1}x$gh = ${(gw - 1) * gh} gradient bits exceeds " +
+            "the 64-bit hash: resize the payload first (w=14,h=8 gives the " +
+            "standard 48 bits)")
         def gray(x: Int, y: Int): Int = {
           val p = img.getRGB(x, y)
           (((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255)) / 3
@@ -309,11 +328,15 @@ object Multimodal {
       * interpolation) keeps the result bit-deterministic across JVMs. */
     def resize(frame: Array[Byte], outBytes: Int): Array[Byte] = {
       val (fmt, samples) = decodeSamples(frame)
+      if (samples.isEmpty) return encodeWav(Array.empty[Int], fmt.getSampleRate)
       val outN = math.max(1, outBytes / 2)
       val out = new Array[Int](outN)
       var i = 0
       while (i < outN) {
-        out(i) = samples(i * samples.length / outN)
+        // LONG index math: i·|samples| exceeds Int range already at
+        // ~100k samples upsampled toward 1 MiB (the wrapped negative
+        // index threw ArrayIndexOutOfBounds mid-task)
+        out(i) = samples(((i.toLong * samples.length) / outN).toInt)
         i += 1
       }
       encodeWav(out, fmt.getSampleRate)
@@ -580,7 +603,11 @@ object Multimodal {
     df.select(
       col(idCol).cast("long").as("doc_id"),
       lit("text/utf-8").as("kind"),
-      encode(col(textCol), "UTF-8").as("payload"))
+      // NULL text encodes to a NULL payload, which the codec kernels
+      // would dereference mid-task (NPE kills the job); an empty media
+      // object is the faithful stand-in
+      coalesce(encode(col(textCol), "UTF-8"),
+        lit(Array.emptyByteArray)).as("payload"))
 
   /** Partition-batched feature extraction — the mapPartitions shape keeps
     * per-batch codec state (decoder instances, buffers) off the row path. */

@@ -27,7 +27,12 @@ import graft.diff.SchemaTools
   *     mask sub-precision diffs) — the reference negotiates per column pair
   *     in hashdiff_tables.py:119-168; here the table-wide knobs land in the
   *     returned RemoteTable and the caller aligns the local TableSegment
-  *     (SchemaTools.negotiatePrecision is the local-side counterpart).
+  *     (Graft.alignPrecision is the local-side counterpart honoring this
+  *     rule; SchemaTools.negotiatePrecision takes the MIN of BOTH knobs —
+  *     the declared-precision rule for Spark↔Spark pairs — and pairing it
+  *     with this introspection would round away the remote's extra
+  *     decimal digits, masking exactly the sub-precision diffs the MAX
+  *     rule protects).
   */
 object RemoteSchema {
 
@@ -58,6 +63,15 @@ object RemoteSchema {
     require(missing.isEmpty,
       s"columns not found in remote table '$table': ${missing.mkString(", ")}")
     val infos = wanted.map(c => c -> byName(c.toLowerCase))
+    // catalog-STORED casing per requested column: SQL this introspection
+    // emits itself must quote the stored name — quoting the caller's
+    // casing fails on engines where quoted identifiers are case-sensitive
+    // (Postgres folds unquoted DDL lowercase, Snowflake uppercase).
+    // Returned schema/keyCols keep the CALLER's casing: that is the
+    // cross-side contract (local.keyCols == remote.keyCols) and Spark
+    // resolves it case-insensitively.
+    val storedName: Map[String, String] =
+      infos.map { case (c, info) => c -> info.name }.toMap
 
     val fields = infos.map { case (c, info) =>
       val dt = profile.sparkType(info).getOrElse(throw new IllegalArgumentException(
@@ -67,11 +81,13 @@ object RemoteSchema {
 
     // ---- 64-row text refinement, executed remotely -----------------------
     val textCols = fields.collect { case f if f.dataType == StringType => f.name }
+    var sampledRows = 0
     val refined: Map[String, SchemaTools.StringClass] =
       if (textCols.isEmpty) Map.empty
       else {
         val sample = engine.query(profile.sampleSql(
-          table, textCols.map(profile.quote), sampleSize, extraWhereSql))
+          table, textCols.map(c => profile.quote(storedName(c))), sampleSize, extraWhereSql))
+        sampledRows = sample.length
         textCols.zipWithIndex.map { case (c, i) =>
           val values = sample.flatMap(_.lift(i).flatten)
           // nonNullCount = sampled ROWS: a NULL-bearing sample stays PlainText
@@ -91,7 +107,17 @@ object RemoteSchema {
     // base-66 alphabet: key-range arithmetic cannot segment it (the
     // reference logs "cannot be used as a key", base.py:1148-1152 — here
     // the failure is loud because the caller asked for exactly these keys)
-    keyCols.foreach { k =>
+    // An EMPTY sample (empty table, or extraWhereSql matching nothing) is
+    // no evidence at all: refusing would make a legitimately-empty remote
+    // un-diffable (its diff is simply every local row, one-signed). Warn
+    // like the reference (base.py:1148-1152 logs instead of raising) and
+    // let the empty range probe resolve it downstream.
+    if (sampledRows == 0 && textCols.exists(keyCols.contains))
+      Console.err.println(
+        s"[graft] remote table '$table' sampled 0 rows — text key classes " +
+          "unverified (an empty side diffs fine; a filtered-empty sample " +
+          "may mis-segment if the table is not actually empty)")
+    else keyCols.foreach { k =>
       if (refined.get(k).contains(SchemaTools.PlainText))
         throw new IllegalArgumentException(
           s"key column '$k' sampled values outside the UUID/alphanumeric key " +
@@ -107,9 +133,17 @@ object RemoteSchema {
       case (c, info) if withMeta(wanted.indexOf(c)).dataType == TimestampType =>
         info.datetimePrecision.getOrElse(6)
     }.minOption.getOrElse(6).min(6).max(0)
+    // MAX of the stored scales, uncapped up to the decimal limit: a cap
+    // (formerly 12) silently truncated digits 13..s of a DECIMAL(38,18)
+    // column on BOTH sides — rows differing only there checksummed equal,
+    // exactly the masking this MAX rule exists to prevent. Any value of a
+    // source DECIMAL(p<=38, s) fits DECIMAL(38, s) by construction; mixed
+    // extremes (a huge-integer DECIMAL(38,0) next to a scale-18 column)
+    // can overflow the shared cast — LOUDLY, with ANSI on — and the
+    // remedy is --columns or a casting view, not silent truncation.
     val fracPrecision = withMeta.collect {
       case StructField(_, d: DecimalType, _, _) => d.scale
-    }.maxOption.map(_.max(0).min(12)).getOrElse(2)
+    }.maxOption.map(_.max(0).min(38)).getOrElse(2)
 
     RemoteTable(engine, table, keyCols, compareCols, StructType(withMeta.toArray),
       fracPrecision = fracPrecision, tsPrecision = tsPrecision,
