@@ -44,7 +44,20 @@ object DbtAdapter {
         else Left(ModelDiff(name, keys))
       }
     }
-    (out.collect { case Left(t) => t }, out.collect { case Right(s) => s })
+    // dbt enforces unique model names project-wide, but package shadowing
+    // can still surface two successful builds with one name — diffAll's
+    // Map (and the shared '<base>/<name>.parquet' path) would silently
+    // drop one diff, so later duplicates skip loudly instead
+    val lefts = out.collect { case Left(t) => t }
+    val seen = scala.collection.mutable.Set.empty[String]
+    val kept = scala.collection.mutable.ArrayBuffer.empty[ModelDiff]
+    val dupSkips = scala.collection.mutable.ArrayBuffer.empty[Skipped]
+    lefts.foreach { t =>
+      if (seen.add(t.model)) kept += t
+      else dupSkips += Skipped(t.model,
+        "duplicate model name across packages — diff the packages separately")
+    }
+    (kept.toSeq, out.collect { case Right(s) => s } ++ dupSkips.toSeq)
   }
 
   private def primaryKeys(node: JsonNode): Seq[String] = {

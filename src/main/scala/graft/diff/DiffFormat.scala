@@ -18,10 +18,13 @@ object DiffFormat {
     }
   }
 
-  /** Collect a JoinDiffer.stats frame into a typed result. */
+  /** Collect a JoinDiffer.stats frame into a typed result. NAMED lookups:
+    * positional reads would silently transpose counts if the stats
+    * aggregate ever gained or reordered a column. */
   def collectStats(stats: DataFrame): DiffStatsResult = {
     val r = stats.head()
-    DiffStatsResult(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    DiffStatsResult(r.getAs[Long]("removed"), r.getAs[Long]("added"),
+      r.getAs[Long]("updated"), r.getAs[Long]("unchanged"))
   }
 
   /** Human summary line (reference: diff_tables.py:138-160). */

@@ -52,6 +52,17 @@ object SnowflakeProfile extends SourceProfile {
     s"to_char(cast(convert_timezone('UTC', $expr) as timestamp($precision)), 'YYYY-MM-DD HH24:MI:SS.FF6')"
   def normalizeNumberSql(expr: String, precision: Int): String =
     toStringSql(s"cast($expr as decimal(38, $precision))")
+  /** convert_timezone('UTC', x) interprets a TIMESTAMP_NTZ/DATE input as
+    * SESSION-local before converting — under Snowflake's default
+    * America/Los_Angeles session a midnight DATE would render as
+    * 08:00:00 and every checksum would mismatch the Spark side's
+    * wall-clock form. Forcing the session to UTC makes the conversion a
+    * no-op on naive values and correct on TIMESTAMP_TZ/LTZ — the exact
+    * forced-UTC discipline the reference applies at connect
+    * (data_diff/databases/_connect.py:288-303) and this engine applies
+    * to every Spark session. */
+  override def connectBootstrapSql: Seq[String] =
+    Seq("ALTER SESSION SET TIMEZONE = 'UTC'")
   def normalizeBooleanSql(expr: String): String = toStringSql(s"($expr)::int")
   override def nonAlnumPredicateSql(expr: String): Option[String] =
     Some(s"REGEXP_INSTR($expr, '[^A-Za-z0-9]') > 0")
@@ -79,7 +90,9 @@ object BigQueryProfile extends SourceProfile {
     // name-parse takes precedence over these defaults.
     "SELECT column_name, data_type, 6 as datetime_precision, " +
       "38 as numeric_precision, 9 as numeric_scale " +
-      s"FROM $dataset.INFORMATION_SCHEMA.COLUMNS WHERE table_name = ${stringLit(parts.last)}"
+      // backtick-quoted: hyphenated GCP project ids (`my-project.ds`) are
+      // the common case and are a syntax error unquoted
+      s"FROM `$dataset`.INFORMATION_SCHEMA.COLUMNS WHERE table_name = ${stringLit(parts.last)}"
   }
   def toStringSql(expr: String): String = s"cast($expr as string)"
   def md5AsIntSql(expr: String): String =
@@ -91,6 +104,14 @@ object BigQueryProfile extends SourceProfile {
       val ts6 = s"FORMAT_TIMESTAMP('%F %H:%M:%E6S', $expr)"
       s"RPAD(LEFT($ts6, ${20 + precision}), 26, '0')"
     }
+  /** The reference's own rendering (databases/bigquery.py format("%.Nf")).
+    * KNOWN SHARED LIMIT: %f coerces NUMERIC/BIGNUMERIC through FLOAT64,
+    * so values past ~15 significant digits round before rendering — a
+    * 38-digit NUMERIC differing only in its low digits can checksum
+    * equal on the BigQuery side (the reference has the identical
+    * behavior; BigQuery has no built-in fixed-scale exact-decimal
+    * formatter). High-precision NUMERIC compares should CAST the column
+    * in a view or use --columns to diff it as text. */
   def normalizeNumberSql(expr: String, precision: Int): String =
     s"format('%.${precision}f', $expr)"
   def normalizeBooleanSql(expr: String): String = toStringSql(s"cast($expr as int)")
@@ -181,10 +202,21 @@ object MsSqlProfile extends SourceProfile {
   override protected def extraTypeKinds: Map[String, SourceProfile.TypeKind] =
     Map("bit" -> SourceProfile.BooleanKind)
   def toStringSql(expr: String): String = s"CONVERT(VARCHAR(MAX), $expr)"
+  /** HashBytes hashes the STORAGE bytes of its input: an NVARCHAR operand
+    * (T-SQL FORMAT returns nvarchar — every normalized timestamp) hashes
+    * UTF-16LE and can never equal the other side's md5 over UTF-8, so
+    * every segment containing a datetime would fail its checksum and
+    * bisection would prune nothing (a silent full-table download). The
+    * VARCHAR(MAX) convert forces single-byte storage — identical to
+    * UTF-8 for the ASCII canonical renderings (timestamps, numbers,
+    * booleans, uuids); non-ASCII raw text still hashes differently and
+    * leaf-compares instead of pruning (correct result, documented cost).
+    * MAX, never VARCHAR(n): a truncated concat input would make
+    * DIFFERENT rows hash equal and mask real diffs. */
   def md5AsIntSql(expr: String): String =
-    s"convert(bigint, convert(varbinary, '0x' + RIGHT(CONVERT(NVARCHAR(32), HashBytes('MD5', $expr), 2), ${Checksum.ChecksumHexDigits}), 1)) - ${Checksum.Offset}"
+    s"convert(bigint, convert(varbinary, '0x' + RIGHT(CONVERT(NVARCHAR(32), HashBytes('MD5', CONVERT(VARCHAR(MAX), $expr)), 2), ${Checksum.ChecksumHexDigits}), 1)) - ${Checksum.Offset}"
   override def md5AsHexSql(expr: String): String =
-    s"LOWER(CONVERT(VARCHAR(32), HashBytes('MD5', $expr), 2))"
+    s"LOWER(CONVERT(VARCHAR(32), HashBytes('MD5', CONVERT(VARCHAR(MAX), $expr)), 2))"
   def normalizeTimestampSql(expr: String, precision: Int): String = {
     val base = s"FORMAT($expr, 'yyyy-MM-dd HH:mm:ss')"
     if (precision > 0)

@@ -242,14 +242,23 @@ trait SourceProfile {
       .findFirstMatchIn(info.dataType)
     val precFromName = params.map(_.group(1).toInt)
     val scaleFromName = params.flatMap(m => Option(m.group(2)).map(_.toInt))
-    (extraTypeKinds ++ AnsiTypeKinds).get(canonicalTypeName(info.dataType)).map {
+    // engine-specific kinds OVERRIDE the shared table — Map ++ is
+    // right-biased, so the shared table must be the LEFT operand (the
+    // reversed order silently killed e.g. Oracle's date→TemporalKind
+    // override, refusing DATE-vs-timestamp pairings its time-of-day
+    // semantics support)
+    (AnsiTypeKinds ++ extraTypeKinds).get(canonicalTypeName(info.dataType)).map {
       case TemporalKind => TimestampType
       case DateKind => DateType
       case IntegerKind => LongType
       case DecimalKind =>
         val scale = scaleFromName.orElse(info.numericScale).getOrElse(0)
         val prec = precFromName.orElse(info.numericPrecision).filter(_ >= scale).getOrElse(38)
-        DecimalType(math.min(prec, 38), scale)
+        // clamp BOTH to Spark's decimal limit, scale never above
+        // precision — numeric(45,40) must introspect, not throw
+        // DecimalType's scale>precision exception mid-diff
+        val p = math.min(prec, 38)
+        DecimalType(p, math.min(scale, p))
       case FloatKind => DoubleType
       case TextKind => StringType
       case BooleanKind => BooleanType

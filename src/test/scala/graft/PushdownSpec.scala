@@ -33,16 +33,19 @@ class ProfilesSpec extends AnyFunSuite {
   }
 
   test("mssql: HashBytes varbinary cast, overflow-safe concat declared") {
+    // the VARCHAR(MAX) convert inside HashBytes is deliberate: NVARCHAR
+    // operands (T-SQL FORMAT output) would hash UTF-16LE bytes and never
+    // match the other side's md5 over UTF-8
     assert(MsSqlProfile.md5AsIntSql("x") ==
-      s"convert(bigint, convert(varbinary, '0x' + RIGHT(CONVERT(NVARCHAR(32), HashBytes('MD5', x), 2), 12), 1)) - $Off")
+      s"convert(bigint, convert(varbinary, '0x' + RIGHT(CONVERT(NVARCHAR(32), HashBytes('MD5', CONVERT(VARCHAR(MAX), x)), 2), 12), 1)) - $Off")
     assert(MsSqlProfile.preventOverflowWhenConcat)
     // each item md5-HEX-hashed (style-2 lowercase — raw VARBINARY could
     // never equal the other side's md5() hex); separators survive NULLs
     assert(MsSqlProfile.concatSql(Seq("a", "b")) ==
-      "concat(LOWER(CONVERT(VARCHAR(32), HashBytes('MD5', a), 2)), '|', LOWER(CONVERT(VARCHAR(32), HashBytes('MD5', b), 2)))")
+      "concat(LOWER(CONVERT(VARCHAR(32), HashBytes('MD5', CONVERT(VARCHAR(MAX), a)), 2)), '|', LOWER(CONVERT(VARCHAR(32), HashBytes('MD5', CONVERT(VARCHAR(MAX), b)), 2)))")
     // single compare column: CONCAT needs >= 2 args — rendered bare
     assert(MsSqlProfile.concatSql(Seq("a")) ==
-      "COALESCE(LOWER(CONVERT(VARCHAR(32), HashBytes('MD5', a), 2)), '')")
+      "COALESCE(LOWER(CONVERT(VARCHAR(32), HashBytes('MD5', CONVERT(VARCHAR(MAX), a)), 2)), '')")
     // canonical 26-char timestamp and separator-free decimal rendering
     assert(MsSqlProfile.normalizeTimestampSql("t", 3) ==
       "FORMAT(t, 'yyyy-MM-dd HH:mm:ss') + '.' + SUBSTRING(FORMAT(t, 'ffffff'), 1, 3) + REPLICATE('0', 3)")
