@@ -118,12 +118,19 @@ object KeySpace {
       * arithmetic: value+1 can carry into a LONGER string that starts at
       * the low symbols ("zz"+1 = "-  "), which SQL-sorts BELOW the value
       * it should cap — a root box [lo, "-  ") then matches nothing and a
-      * diff silently reports clean. Appending the lowest symbol yields
-      * the tightest string strictly above `value` and above every key
-      * ≤ `value` in BOTH orders (numerically it ties with `value` under
-      * right-pad justification — the degenerate-range case the split
-      * sites already collapse to a leaf). */
-    override def next: Key = AlphanumKey(value + Alphanums.head, maxLen)
+      * diff silently reports clean. Appending '-' (the lowest non-space
+      * symbol) yields a string strictly above `value` in EVERY comparison
+      * convention a remote engine may use: binary / NO PAD ("max-" >
+      * "max"), right-pad-justified base-66 (value·66+1 > value·66), and
+      * ANSI PAD SPACE ("max-" vs "max "-padded: '-' 0x2D > ' ' 0x20).
+      * Appending ' ' instead would break PAD SPACE engines (SQL Server
+      * char comparison, legacy MySQL collations): there 'max ' = 'max',
+      * so `k < 'max '` is FALSE for the max key itself and the remote
+      * side silently drops it — a spurious one-sided diff, or a missed
+      * diff when both sides pad. No alphabet key sorts in ("max",
+      * "max-") except "max"+spaces, which stay inside the bound in both
+      * conventions, so no key is ever excluded. */
+    override def next: Key = AlphanumKey(value + Alphanums(1), maxLen)
     override def -(other: Key): BigInt = other match {
       case AlphanumKey(o, _) =>
         val (a, b) = justify(value, o)

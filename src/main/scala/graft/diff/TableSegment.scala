@@ -144,9 +144,9 @@ final case class TableSegment(
       // like a UUID but whose max doesn't must use one arithmetic, not two)
       val Seq(mn, mx0) = TableSegment.toKeys(Seq(row.get(i * 2), row.get(i * 2 + 1)))
       val hi = mx0.next // exclusive upper bound
-      // single-distinct-key dimension: AlphanumKey.next ties numerically
-      // with its value (SQL-order successor), so the range is 0-width —
-      // one segment covering [min, min·' ') is the whole answer
+      // single-distinct-key dimension: AlphanumKey.next is the width-1
+      // SQL-order successor (value + '-'), so the range cannot split —
+      // one segment covering [min, min·'-') is the whole answer
       if ((hi - mn) <= 0) Seq(mn, hi) else KeySpace.splitKeySpace(mn, hi, perDim)
     }
     KeySpace.createMeshFromPoints(grids).map { case (lo, hi) =>

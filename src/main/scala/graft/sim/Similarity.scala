@@ -316,6 +316,15 @@ object Similarity {
       .join(broadcast(assigned), col("uid") === col("vid"))
       .select(col("uid").as("vid"), col("acell").as("cell"), col("nv").as("nv"))
       .write.mode("overwrite").parquet(s"$path/postings")
+    // Per-cell posting counts under the argmax-REASSIGNED labels — what
+    // the postings join actually fans out over. The centroid member
+    // counts are input-label sizes; a degenerate reassignment can
+    // collapse most postings into one cell, so a query-time budget guard
+    // reading centroid counts would pass while the join blows up.
+    // Persisting the real counts (k rows) makes the guard exact at zero
+    // query-time cost.
+    assigned.groupBy(col("acell").as("cell")).agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$path/cellcounts")
   }
 
   /** Serve top-k cosine neighbors for NEW query vectors from a persisted
@@ -327,7 +336,8 @@ object Similarity {
     * exact brute force — spec-pinned equal to `bruteForceTopK`). The
     * probed queries are the BROADCAST side of the postings join; the
     * corpus never shuffles. The candidate budget is checked exactly from
-    * the centroid member counts before any pair materializes. */
+    * the persisted per-cell POSTING counts (reassigned labels) before
+    * any pair materializes. */
   def ivfQueryIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, k: Int, nProbe: Int = 1,
       quantScale: Long = 1000000L, maxEstCandidates: Long = 2000000000L,
@@ -344,7 +354,18 @@ object Similarity {
     val cells = collectCentroids(cent)
     require(cells.nonEmpty, s"empty IVF index at $path")
     val nQueries = queries.count()
-    val maxCellN = cells.iterator.map(_._3).max
+    // Budget from the POSTINGS' per-cell counts (argmax-reassigned
+    // labels — what the join fans out over), not the centroid member
+    // counts (input labels): a degenerate reassignment can collapse most
+    // postings into one cell that the centroid counts don't show.
+    // `saveIvfIndex` persists them as k rows; older indexes fall back to
+    // one cell-column-only aggregate over the postings.
+    val maxCellN: Long =
+      (try spark.read.parquet(s"$path/cellcounts").agg(max(col("n"))).head().getLong(0)
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        spark.read.parquet(s"$path/postings").groupBy("cell").count()
+          .agg(max(col("count"))).head().getLong(0)
+      })
     val estCandidates = BigInt(nQueries) * BigInt(math.min(nProbe, cells.length)) * BigInt(maxCellN)
     require(estCandidates <= BigInt(maxEstCandidates),
       s"ivfQueryIndex with $nQueries queries x $nProbe probes against cells of up " +

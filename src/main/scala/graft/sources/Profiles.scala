@@ -207,16 +207,32 @@ object MsSqlProfile extends SourceProfile {
     * UTF-16LE and can never equal the other side's md5 over UTF-8, so
     * every segment containing a datetime would fail its checksum and
     * bisection would prune nothing (a silent full-table download). The
-    * VARCHAR(MAX) convert forces single-byte storage — identical to
-    * UTF-8 for the ASCII canonical renderings (timestamps, numbers,
-    * booleans, uuids); non-ASCII raw text still hashes differently and
-    * leaf-compares instead of pruning (correct result, documented cost).
-    * MAX, never VARCHAR(n): a truncated concat input would make
-    * DIFFERENT rows hash equal and mask real diffs. */
+    * operand is therefore converted to VARCHAR(MAX) — but collated
+    * `Latin1_General_100_BIN2_UTF8` BEFORE the cast, so the conversion
+    * targets UTF-8 storage (SQL Server 2019+), not the database's
+    * default single-byte code page. The code-page route would map every
+    * character outside the page to '?', so two DIFFERENT non-ASCII
+    * strings of equal length both render '?…?' and checksum EQUAL — on a
+    * same-profile MSSQL↔MSSQL diff a genuinely dirty segment would prune
+    * as clean and the diff be silently missed. With UTF-8 bytes the hash
+    * is lossless AND equals the other side's md5 over UTF-8, so
+    * non-ASCII text segments prune cross-engine too. (Pre-2019 servers
+    * lack UTF-8 collations; there the operator must force leaf-compare
+    * for non-ASCII text — the COLLATE clause fails loudly at parse time
+    * rather than silently corrupting.) MAX, never VARCHAR(n): a
+    * truncated concat input would make DIFFERENT rows hash equal and
+    * mask real diffs. */
+  /** Route through NVARCHAR first: a COLLATE cast on a VARCHAR of a
+    * DIFFERENT code page reinterprets the stored bytes rather than
+    * converting them, which would garble non-ASCII cp1252 text; the
+    * NVARCHAR convert decodes via the source column's own code page
+    * (lossless), and only then does the UTF-8-collated cast encode. */
+  private def utf8Bytes(expr: String): String =
+    s"CAST(CONVERT(NVARCHAR(MAX), $expr) COLLATE Latin1_General_100_BIN2_UTF8 AS VARCHAR(MAX))"
   def md5AsIntSql(expr: String): String =
-    s"convert(bigint, convert(varbinary, '0x' + RIGHT(CONVERT(NVARCHAR(32), HashBytes('MD5', CONVERT(VARCHAR(MAX), $expr)), 2), ${Checksum.ChecksumHexDigits}), 1)) - ${Checksum.Offset}"
+    s"convert(bigint, convert(varbinary, '0x' + RIGHT(CONVERT(NVARCHAR(32), HashBytes('MD5', ${utf8Bytes(expr)}), 2), ${Checksum.ChecksumHexDigits}), 1)) - ${Checksum.Offset}"
   override def md5AsHexSql(expr: String): String =
-    s"LOWER(CONVERT(VARCHAR(32), HashBytes('MD5', CONVERT(VARCHAR(MAX), $expr)), 2))"
+    s"LOWER(CONVERT(VARCHAR(32), HashBytes('MD5', ${utf8Bytes(expr)}), 2))"
   def normalizeTimestampSql(expr: String, precision: Int): String = {
     val base = s"FORMAT($expr, 'yyyy-MM-dd HH:mm:ss')"
     if (precision > 0)

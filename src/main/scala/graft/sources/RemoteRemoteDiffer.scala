@@ -314,9 +314,16 @@ object RemoteRemoteDiffer {
                   .map { case ((al, lo), hi) =>
                     s"${p.quote(al)} >= ${p.literal(lo)} AND ${p.quote(al)} < ${p.literal(hi)}"
                   }.mkString(" AND ")
+              // pin: a task retry must re-read blocks, not the remote.
+              // localCheckpoint, NOT persist(): persist registers in the
+              // session CacheManager and is never dropped here, so every
+              // compareLeaves round of a long-lived session would leak
+              // cached blocks (under dense cutover, most of the table);
+              // eagerly checkpointed blocks are released by the
+              // ContextCleaner once the plan is unreferenced.
               val fetched = spark.read.jdbc(url, s"($inner) g", leafSeq.map(rkPred).toArray, props)
                 .drop(rk: _*)
-                .persist() // pin: a task retry must re-read blocks, not the remote
+                .localCheckpoint(true)
               (fetched, fetched.count(), 1) // one logical scan (N partition reads)
             case None =>
               var stmts = 0

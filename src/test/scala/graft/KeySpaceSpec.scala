@@ -42,6 +42,28 @@ class KeySpaceSpec extends AnyFunSuite {
     }
   }
 
+  test("alphanum next: exclusive bound strictly above value in binary, right-pad AND PAD SPACE orders") {
+    // PAD SPACE engines (SQL Server char comparison, legacy MySQL
+    // collations) treat 'max ' = 'max' — a trailing-space successor
+    // would make `k < next(max)` FALSE for the max key itself and the
+    // remote side silently drop it. The successor appends '-' instead.
+    for (v <- Seq("max", "zz", "a", "Z9", "with space")) {
+      val nxt = KeySpace.AlphanumKey(v).next.asInstanceOf[KeySpace.AlphanumKey].value
+      assert(nxt.last != ' ', s"successor of '$v' must not end in space: '$nxt'")
+      // binary / NO PAD order: strictly greater
+      assert(nxt > v)
+      // PAD SPACE order: compare after right-padding the shorter side
+      val n = math.max(nxt.length, v.length)
+      assert(nxt.padTo(n, ' ') > v.padTo(n, ' '),
+        s"PAD SPACE comparison must rank '$nxt' above '$v'")
+      // right-pad-justified base-66 order (the driver's own arithmetic)
+      assert(KeySpace.AlphanumKey(nxt) - KeySpace.AlphanumKey(v) > 0)
+      // and keys of the form value+spaces (the only alphabet strings
+      // between value and value+'-' in binary order) stay INSIDE the bound
+      assert((v + " ").padTo(nxt.length, ' ') < nxt)
+    }
+  }
+
   test("splitKeySpace: varying-length alphanum range where raw base-66 inverts") {
     // "AA" < "Z" in SQL string order, but raw (unjustified) base-66 values
     // invert (792 vs 38) — the range must still split, not throw "empty"

@@ -826,6 +826,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(brute.filter(_._1 == 102L).map(_._2).contains(3L))
     // serving is deterministic across reads of the same index
     assert(run(2) == brute)
+    // the budget guard reads the persisted per-cell POSTING counts
+    // (reassigned labels — what the join fans out over), written at build
+    assert(spark.read.parquet(s"$path/cellcounts")
+      .as[(Long, Long)].collect().toMap == Map(0L -> 3L, 1L -> 3L))
+    // pre-cellcounts indexes (older builds) fall back to aggregating the
+    // postings and still serve identically
+    val fs = new java.io.File(s"$path/cellcounts")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(fs)
+    assert(run(2) == brute)
   }
 
   test("semanticDecontaminate flags training vectors near a benchmark vector") {

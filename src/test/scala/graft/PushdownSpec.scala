@@ -32,20 +32,24 @@ class ProfilesSpec extends AnyFunSuite {
       s"reinterpretAsUInt128(reverse(unhex(lowerUTF8(substr(hex(MD5(x)), 21))))) - $Off")
   }
 
-  test("mssql: HashBytes varbinary cast, overflow-safe concat declared") {
-    // the VARCHAR(MAX) convert inside HashBytes is deliberate: NVARCHAR
-    // operands (T-SQL FORMAT output) would hash UTF-16LE bytes and never
-    // match the other side's md5 over UTF-8
+  test("mssql: HashBytes over UTF-8 bytes, overflow-safe concat declared") {
+    // the UTF-8-collated VARCHAR(MAX) cast inside HashBytes is deliberate:
+    // NVARCHAR operands (T-SQL FORMAT output) would hash UTF-16LE bytes and
+    // never match the other side's md5 over UTF-8, and a plain (code-page)
+    // VARCHAR convert maps non-codepage chars to '?' so two DIFFERENT CJK
+    // strings checksum EQUAL — a silently-missed MSSQL↔MSSQL diff. The
+    // NVARCHAR hop before the UTF-8 cast keeps cp1252 varchar lossless.
+    val u = "CAST(CONVERT(NVARCHAR(MAX), %s) COLLATE Latin1_General_100_BIN2_UTF8 AS VARCHAR(MAX))"
     assert(MsSqlProfile.md5AsIntSql("x") ==
-      s"convert(bigint, convert(varbinary, '0x' + RIGHT(CONVERT(NVARCHAR(32), HashBytes('MD5', CONVERT(VARCHAR(MAX), x)), 2), 12), 1)) - $Off")
+      s"convert(bigint, convert(varbinary, '0x' + RIGHT(CONVERT(NVARCHAR(32), HashBytes('MD5', ${u.format("x")}), 2), 12), 1)) - $Off")
     assert(MsSqlProfile.preventOverflowWhenConcat)
     // each item md5-HEX-hashed (style-2 lowercase — raw VARBINARY could
     // never equal the other side's md5() hex); separators survive NULLs
     assert(MsSqlProfile.concatSql(Seq("a", "b")) ==
-      "concat(LOWER(CONVERT(VARCHAR(32), HashBytes('MD5', CONVERT(VARCHAR(MAX), a)), 2)), '|', LOWER(CONVERT(VARCHAR(32), HashBytes('MD5', CONVERT(VARCHAR(MAX), b)), 2)))")
+      s"concat(LOWER(CONVERT(VARCHAR(32), HashBytes('MD5', ${u.format("a")}), 2)), '|', LOWER(CONVERT(VARCHAR(32), HashBytes('MD5', ${u.format("b")}), 2)))")
     // single compare column: CONCAT needs >= 2 args — rendered bare
     assert(MsSqlProfile.concatSql(Seq("a")) ==
-      "COALESCE(LOWER(CONVERT(VARCHAR(32), HashBytes('MD5', CONVERT(VARCHAR(MAX), a)), 2)), '')")
+      s"COALESCE(LOWER(CONVERT(VARCHAR(32), HashBytes('MD5', ${u.format("a")}), 2)), '')")
     // canonical 26-char timestamp and separator-free decimal rendering
     assert(MsSqlProfile.normalizeTimestampSql("t", 3) ==
       "FORMAT(t, 'yyyy-MM-dd HH:mm:ss') + '.' + SUBSTRING(FORMAT(t, 'ffffff'), 1, 3) + REPLICATE('0', 3)")
@@ -385,8 +389,10 @@ class PushdownDifferSpec extends AnyFunSuite {
     // 'z' is the highest base-66 symbol, so max+1 carries into a LONGER
     // string starting at the low symbols ("zz"+1 = "-  ") that SQL-sorts
     // BELOW every key — the root box [lo, "-  ") would match nothing and
-    // the diff silently report clean. AlphanumKey.next now appends the
-    // lowest symbol instead ("zz ") — above every key in both orders.
+    // the diff silently report clean. AlphanumKey.next appends '-'
+    // ("zz-") — above every key in binary, right-pad, AND PAD SPACE
+    // orders (a trailing ' ' would compare EQUAL to the max key on
+    // PAD SPACE engines and silently drop it).
     import spark.implicits._
     val chars = ('a' to 'z').map(_.toString)
     val keys = for (x <- chars; y <- chars) yield x + y // 676 keys incl "zz"
