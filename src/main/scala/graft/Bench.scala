@@ -64,7 +64,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The full line carries one key per gate (~130) and has been observed
+    // truncated mid-key by tail-limited log capture, losing every
+    // per-query number. Defend twice: print a short totals-only line
+    // FIRST (survives head-limited capture), and write the complete JSON
+    // to a file (survives any capture — committed per round), then print
+    // the full contract line last (survives tail-limited capture).
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","detail":"bench_last.json"}""")
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json"))
+    java.nio.file.Files.write(out, (full + "\n").getBytes("UTF-8"))
+    println(full)
     spark.stop()
   }
 }
