@@ -281,9 +281,9 @@ object ScaleProbe {
           s"probed=${stats.segmentsProbed} rowsFetched=${stats.rowsFetched}")
         stats
       }
-      val arith = runSkew("pushdown 1M skewed arith", new PushdownControl())
-      val seeded = runSkew("pushdown 1M skewed seeded",
-        new PushdownControl(quantileSeed = true))
+      val arith = runSkew("pushdown 1M skewed arith", new PushdownControl(quantileSeed = false))
+      val seeded = runSkew("pushdown 1M skewed seeded (the default)",
+        new PushdownControl())
       require(seeded.levels < arith.levels && seeded.remoteQueries <= arith.remoteQueries,
         s"seeding must save levels on the skewed shape: $seeded vs $arith")
     }

@@ -178,9 +178,10 @@ object DerbyProfile extends SourceProfile {
 
   /** Derby has no LIMIT — FETCH FIRST is its ANSI spelling. */
   override def sampleSql(table: String, exprs: Seq[String], n: Int,
-      where: Option[String] = None): String =
+      where: Option[String] = None, orderBy: Option[String] = None): String =
     s"SELECT ${exprs.mkString(", ")} FROM $table" +
-      s"${where.fold("")(w => s" WHERE $w")} FETCH FIRST $n ROWS ONLY"
+      s"${where.fold("")(w => s" WHERE $w")}" +
+      s"${orderBy.fold("")(o => s" ORDER BY $o")} FETCH FIRST $n ROWS ONLY"
 
   /** Derby refuses GROUP BY <expression> (columns only), so the bucket CASE
     * moves into a derived table and the outer query groups by its column —

@@ -194,9 +194,9 @@ object MsSqlProfile extends SourceProfile {
   /** T-SQL has no LIMIT; the reference renders OFFSET/FETCH
     * (reference: databases/mssql.py:117-130). */
   override def sampleSql(table: String, exprs: Seq[String], n: Int,
-      where: Option[String] = None): String =
+      where: Option[String] = None, orderBy: Option[String] = None): String =
     s"SELECT ${exprs.mkString(", ")} FROM $table${where.fold("")(w => s" WHERE $w")} " +
-      s"ORDER BY (SELECT NULL) OFFSET 0 ROWS FETCH NEXT $n ROWS ONLY"
+      s"ORDER BY ${orderBy.getOrElse("(SELECT NULL)")} OFFSET 0 ROWS FETCH NEXT $n ROWS ONLY"
   /** BIT is T-SQL's boolean (on Postgres the same name is a bitstring,
     * which is why this lives here and not in the shared table). */
   override protected def extraTypeKinds: Map[String, SourceProfile.TypeKind] =
@@ -279,9 +279,9 @@ object OracleProfile extends SourceProfile {
     Map("date" -> SourceProfile.TemporalKind)
   /** Oracle has no LIMIT (reference: databases/oracle.py:68-78). */
   override def sampleSql(table: String, exprs: Seq[String], n: Int,
-      where: Option[String] = None): String =
+      where: Option[String] = None, orderBy: Option[String] = None): String =
     s"SELECT ${exprs.mkString(", ")} FROM $table${where.fold("")(w => s" WHERE $w")} " +
-      s"FETCH NEXT $n ROWS ONLY"
+      s"${orderBy.fold("")(o => s"ORDER BY $o ")}FETCH NEXT $n ROWS ONLY"
   /** Oracle renders TIMESTAMP(6) etc.; canonical stripping already handles
     * the parameter, and NUMBER/VARCHAR2 live in the shared table. */
   def toStringSql(expr: String): String = s"cast($expr as varchar(1024))"

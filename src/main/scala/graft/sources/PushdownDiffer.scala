@@ -130,9 +130,16 @@ class PushdownControl(val checksumWarnSeconds: Int = PushdownControl.DefaultChec
       * keys always use the arithmetic mesh). Cost: one sampled
       * key-column pass per level plus one count() up front. Applies to
       * the local↔remote loop (PushdownDiffer) only: remote↔remote has
-      * no Spark-readable side to sample, so RemoteRemoteDiffer always
-      * splits arithmetically and ignores this knob. */
-    val quantileSeed: Boolean = false) {
+      * no Spark-readable side to sample, so RemoteRemoteDiffer seeds
+      * from a dialect-level deterministic sample instead and ignores
+      * this knob. ON by default: measured 6→2 levels / 13→7 remote
+      * round-trips on snowflake-ID keys with bit-identical rows
+      * (ScaleProbe), and on already-uniform keys the splits land within
+      * one level of the arithmetic ones (spec-pinned) — the sampling
+      * pass is a column-pruned scan of the frontier's slice only, noise
+      * against one saved round-trip. `--no-quantile-seed` restores the
+      * reference's arithmetic checkpoints (utils.py:321-324). */
+    val quantileSeed: Boolean = true) {
 
   /** The cutover CANDIDACY decision, shared by both differs. Two triggers:
     *  - the configured rule: `denseCutoverAfterLevels` levels done with a

@@ -266,12 +266,16 @@ trait SourceProfile {
     }
   }
 
-  /** Bounded row sample in select order — the 64-row text-refinement query
-    * (reference: base.py:1126-1131; LIMIT is the ANSI-ish default, TOP /
-    * FETCH NEXT engines override). */
+  /** Bounded row sample — the 64-row text-refinement query (reference:
+    * base.py:1126-1131; LIMIT is the ANSI-ish default, TOP / FETCH NEXT
+    * engines override). `orderBy` (an expression, e.g. a key's md5 hex)
+    * turns the storage-order prefix into a DETERMINISTIC pseudo-random
+    * sample — what the remote↔remote quantile seeding orders by; None
+    * keeps engine order (the refinement query doesn't care). */
   def sampleSql(table: String, exprs: Seq[String], n: Int,
-      where: Option[String] = None): String =
-    s"SELECT ${exprs.mkString(", ")} FROM $table${where.fold("")(w => s" WHERE $w")} LIMIT $n"
+      where: Option[String] = None, orderBy: Option[String] = None): String =
+    s"SELECT ${exprs.mkString(", ")} FROM $table${where.fold("")(w => s" WHERE $w")}" +
+      s"${orderBy.fold("")(o => s" ORDER BY $o")} LIMIT $n"
 
   /** Predicate matching values that contain ANY character outside the
     * strict [A-Za-z0-9] alphabet — the full-table probe that licenses

@@ -38,6 +38,11 @@ class CliArgsSpec extends AnyFunSuite {
     val a = Cli.parseArgs(Array("/a", "/b", "-k", "id",
       "--bisection-factor", "8", "--bisection-threshold", "1024"))
     assert(a.bisectionFactor == 8 && a.bisectionThreshold == 1024)
+    // quantile seeding defaults ON (beyond ref); --no-quantile-seed
+    // restores the reference's arithmetic checkpoints
+    assert(d.quantileSeed)
+    assert(!Cli.parseArgs(Array("/a", "/b", "-k", "id", "--no-quantile-seed")).quantileSeed)
+    assert(Cli.parseArgs(Array("/a", "/b", "-k", "id", "--quantile-seed")).quantileSeed)
   }
 
   test("missing keys or sources rejected") {
@@ -222,6 +227,34 @@ class CliEndToEndSpec extends AnyFunSuite {
       Cli.run(Cli.parseArgs(Array("--version")), spark)
     }
     assert(out.toString("UTF-8").contains("graft"))
+  }
+
+  test("pushdown CLI: --no-quantile-seed and the seeded default emit the identical diff") {
+    // skewed snowflake-ID keys — the shape quantile seeding exists for;
+    // both paths must produce the same rows (seeding only moves split
+    // points, never coverage)
+    val dir = java.nio.file.Files.createTempDirectory("cliqs").toString
+    val keys = ((1L to 400L) ++ (1_000_000_000L to 1_000_000_400L)).toSeq
+    keys.map(k => (k, s"v$k")).toDF("k", "v").write.parquet(s"$dir/local")
+    val setup = graft.sources.DuckDbProcess.engine(s"$dir/remote.db")
+    try {
+      val rows = keys.map(k =>
+        if (k % 97 == 3) s"($k, 'v${k}X')" else s"($k, 'v$k')").mkString(", ")
+      setup.query(s"CREATE TABLE t AS SELECT * FROM (VALUES $rows) AS x(k, v)")
+    } finally setup.close()
+    def run(extra: String*): Seq[String] = {
+      val out = new java.io.ByteArrayOutputStream
+      Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+        Cli.run(Cli.parseArgs(Array(s"$dir/local", s"duckdb:$dir/remote.db:t",
+          "-k", "k", "--json", "--bisection-factor", "4",
+          "--bisection-threshold", "64") ++ extra), spark)
+      }
+      out.toString("UTF-8").linesIterator.filter(_.startsWith("{")).toSeq.sorted
+    }
+    val seeded = run()
+    val arith = run("--no-quantile-seed")
+    assert(seeded.nonEmpty && seeded == arith,
+      s"seeded=${seeded.size} arith=${arith.size}")
   }
 
   test("full CLI pushdown path against a live DuckDB database file") {

@@ -353,8 +353,8 @@ class PushdownDifferSpec extends AnyFunSuite {
     def run(ctrl: PushdownControl) = PushdownDiffer.diffWithStats(
       TableSegment(a, Seq("k"), Seq("v")), remote,
       bisectionFactor = 8, bisectionThreshold = 512, control = ctrl)
-    val (outA, arith) = run(new PushdownControl())
-    val (outQ, quant) = run(new PushdownControl(quantileSeed = true))
+    val (outA, arith) = run(new PushdownControl(quantileSeed = false))
+    val (outQ, quant) = run(new PushdownControl()) // seeding is the default
     val want = outA.collect().map(_.mkString("|")).toSet
     assert(want.nonEmpty && outQ.collect().map(_.mkString("|")).toSet == want)
     assert(quant.levels < arith.levels,
@@ -378,8 +378,8 @@ class PushdownDifferSpec extends AnyFunSuite {
     def run(ctrl: PushdownControl) = PushdownDiffer.diffWithStats(
       TableSegment(a, Seq("k"), Seq("v")), remote,
       bisectionFactor = 4, bisectionThreshold = 256, control = ctrl)
-    val (outA, arith) = run(new PushdownControl())
-    val (outQ, quant) = run(new PushdownControl(quantileSeed = true))
+    val (outA, arith) = run(new PushdownControl(quantileSeed = false))
+    val (outQ, quant) = run(new PushdownControl()) // seeding is the default
     assert(outQ.collect().map(_.mkString("|")).toSet ==
       outA.collect().map(_.mkString("|")).toSet)
     assert(quant.levels <= arith.levels + 1, s"$quant vs $arith")
@@ -435,8 +435,8 @@ class PushdownDifferSpec extends AnyFunSuite {
     def run(ctrl: PushdownControl) = PushdownDiffer.diffWithStats(
       TableSegment(a, Seq("k"), Seq("v")), remote,
       bisectionFactor = 4, bisectionThreshold = 64, control = ctrl)
-    val (outA, _) = run(new PushdownControl())
-    val (outQ, _) = run(new PushdownControl(quantileSeed = true))
+    val (outA, _) = run(new PushdownControl(quantileSeed = false))
+    val (outQ, _) = run(new PushdownControl()) // seeding is the default
     val want = outA.collect().map(_.mkString("|")).toSet
     assert(want.nonEmpty && outQ.collect().map(_.mkString("|")).toSet == want)
   }
@@ -560,7 +560,10 @@ class PushdownDifferSpec extends AnyFunSuite {
     val remote = RemoteTable(new SparkViewEngine(spark), "pd_prog_b",
       Seq("k"), Seq("v"), a.schema)
     var seen = Vector.empty[(Int, Set[String])]
-    val ctrl = new PushdownControl(progressive = true) {
+    // arithmetic splits: this test pins multi-level emission ORDER, and
+    // quantile seeding (the default) converges this shape in too few
+    // levels to observe it
+    val ctrl = new PushdownControl(progressive = true, quantileSeed = false) {
       override def onLeafDiff(level: Int, d: DataFrame): Unit =
         seen :+= ((level, d.collect().map(_.mkString("|")).toSet))
     }
@@ -826,11 +829,16 @@ class PushdownDifferSpec extends AnyFunSuite {
         concat(lit("K"), col("o_orderkey").cast("string")).as("k"), col("o_totalprice"))
       val remote = RemoteTable(eng, "pd_duck_alpha", Seq("k"), Seq("o_totalprice"), base.schema)
       // uniform %5 mutations would fire the dense cutover at level 0; this
-      // test probes string-key BISECTION mechanics, so disable it
+      // test probes string-key ARITHMETIC bisection mechanics (base-66
+      // checkpoint predicates on both engines), so disable the cutover
+      // and the quantile seeding default (whose balanced segments leave
+      // no empty arithmetic slivers to prune on this everywhere-dirty
+      // shape — the pruned>0 assertion is about predicate validity)
       val (out, stats) = PushdownDiffer.diffWithStats(
         TableSegment(base, Seq("k"), Seq("o_totalprice")), remote,
         bisectionFactor = 4, bisectionThreshold = 256,
-        control = new PushdownControl(denseCutoverAfterLevels = Int.MaxValue))
+        control = new PushdownControl(denseCutoverAfterLevels = Int.MaxValue,
+          quantileSeed = false))
       val mutated = base.withColumn("o_totalprice",
         when(substring(col("k"), 2, 100).cast("long") % 5 === 0, col("o_totalprice") + 2.0)
           .otherwise(col("o_totalprice")))
