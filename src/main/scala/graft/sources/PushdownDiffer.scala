@@ -128,11 +128,13 @@ class PushdownControl(val checksumWarnSeconds: Int = PushdownControl.DefaultChec
       * modulo the diff itself — and a parent invisible locally falls
       * back to the arithmetic split). Single-column keys only (compound
       * keys always use the arithmetic mesh). Cost: one sampled
-      * key-column pass per level plus one count() up front. Applies to
-      * the local↔remote loop (PushdownDiffer) only: remote↔remote has
-      * no Spark-readable side to sample, so RemoteRemoteDiffer seeds
-      * from a dialect-level deterministic sample instead and ignores
-      * this knob. ON by default: measured 6→2 levels / 13→7 remote
+      * key-column pass per level plus one count() up front. In the
+      * local↔remote loop (PushdownDiffer) the sample is a local Spark
+      * pass; remote↔remote has no Spark-readable side, so under the
+      * same knob RemoteRemoteDiffer seeds from a dialect-level
+      * deterministic sample pushed to the larger engine — sampleSql
+      * ordered by md5-of-key (RemoteRemoteDiffer.quantileSplitAll).
+      * ON by default: measured 6→2 levels / 13→7 remote
       * round-trips on snowflake-ID keys with bit-identical rows
       * (ScaleProbe), and on already-uniform keys the splits land within
       * one level of the arithmetic ones (spec-pinned) — the sampling

@@ -30,6 +30,15 @@ import graft.diff.{JoinDiffer, KeySpace, TableSegment}
   * (`Graft.diffRemotes` introspects and aligns; this low-level entry
   * requires it) and their checksum renderings must be bit-compatible —
   * which is exactly the `SourceProfile` contract.
+  *
+  * Under `PushdownControl.quantileSeed` (the default) the root box and
+  * every level's dirty parents split at DATA quantiles estimated from a
+  * deterministic dialect-level sample pushed to the larger engine
+  * (`sampleSql` ordered by md5-of-key; see `quantileSplitAll`) instead of
+  * arithmetic mid-widths — the remote↔remote counterpart of
+  * PushdownDiffer's local quantile seeding, saving whole bisection levels
+  * (each a remote round-trip on BOTH engines) on sparse/clustered key
+  * spaces the reference splits arithmetically (data_diff/utils.py:321-324).
   */
 object RemoteRemoteDiffer {
 
@@ -185,15 +194,20 @@ object RemoteRemoteDiffer {
     // (binary min "ZEBRA" of {"ZEBRA","apple"} folds to "ZEBRA", but the
     // folded space's min is "APPLE"), so a raw probe can build a root box
     // that EXCLUDES rows and silently under-reports the diff.
+    // the per-dialect segmentation-space rendering of a key column — the
+    // ONE spelling shared by range probes, segment predicates, leaf-fetch
+    // aliases and the quantile sampling below
+    def segKeySql(t: RemoteTable, k: String): String = {
+      val p = t.engine.profile
+      if (foldKeyCols(k)) s"UPPER(${p.quote(k)})"
+      else if (hexKeyCols(k)) p.hexKeyProjectionSql(p.quote(k)).get
+      else if (uuidSegKeyCols(k)) s"LOWER(${p.quote(k)})"
+      else p.quote(k)
+    }
     def rangeOf(t: RemoteTable) = scala.concurrent.Future {
       val p = t.engine.profile
       t.engine.query(p.keyRangeExprsSql(t.table,
-        keyCols.map(k =>
-          if (hexKeyCols(k)) p.hexKeyProjectionSql(p.quote(k)).get
-          else if (foldKeyCols(k)) s"UPPER(${p.quote(k)})"
-          else if (uuidSegKeyCols(k)) s"LOWER(${p.quote(k)})"
-          else p.quote(k)),
-        t.extraWhereSql)).head
+        keyCols.map(segKeySql(t, _)), t.extraWhereSql)).head
     }
     val (rangeAF, rangeBF) = (rangeOf(a), rangeOf(b))
     val (rangeA, rangeB) = (await(rangeAF), await(rangeBF))
@@ -253,16 +267,94 @@ object RemoteRemoteDiffer {
     }
     def pred(t: RemoteTable, box: Box): String = {
       val p = t.engine.profile
-      def keySql(k: String): String =
-        if (foldKeyCols(k)) s"UPPER(${p.quote(k)})"
-        else if (hexKeyCols(k)) p.hexKeyProjectionSql(p.quote(k)).get
-        else if (uuidSegKeyCols(k)) s"LOWER(${p.quote(k)})"
-        else p.quote(k)
       keyCols.zip(box._1.map(TableSegment.fromKey)).zip(box._2.map(TableSegment.fromKey))
         .map { case ((k, lo), hi) =>
-          s"${keySql(k)} >= ${p.literal(lo)} AND ${keySql(k)} < ${p.literal(hi)}" }
+          s"${segKeySql(t, k)} >= ${p.literal(lo)} AND ${segKeySql(t, k)} < ${p.literal(hi)}" }
         .mkString(" AND ")
     }
+
+    // ---- quantile seeding (control.quantileSeed) --------------------------
+    // Remote↔remote has no Spark-readable side to sample, so split
+    // checkpoints come from a DIALECT-LEVEL deterministic sample on the
+    // LARGER engine: `sampleSql(keyExpr, n, where = parent range, orderBy =
+    // md5-of-key)` — ORDER BY the key's md5 hex turns the remote's top-n
+    // into a uniform pseudo-random sample of the parent's rows that is
+    // deterministic across runs (same rows → same sample → same splits).
+    // The sampled keys sort client-side in key space and the
+    // factor-quantile positions become the parent's checkpoints, parsed
+    // through the SAME key arithmetic as the root bounds; a parent whose
+    // sample fails to parse (characters outside the base-66 alphabet) or
+    // yields no interior checkpoints falls back to the arithmetic mesh —
+    // splits only refine HOW a box is partitioned, never its coverage, so
+    // correctness is untouched either way. Parents batch UNION ALL into one
+    // statement (bounded below) so a level costs ONE extra round-trip on
+    // one engine, not one per parent. Remote cost: a top-n over each
+    // parent's slice — on a PK-indexed/clustered table an index range
+    // scan, and in the regime this exists for (snowflake IDs, tenant
+    // prefixes) it replaces whole LEVELS of checksum statements that
+    // re-scan the same slice while arithmetic splits narrow key WIDTH
+    // toward the dense sliver. Single-column keys only, like
+    // PushdownDiffer's local sampling (compound keys keep the mesh).
+    val quantileActive = control.quantileSeed && keyCols.size == 1
+    val samplesPerBucket = 16
+    // returns (children by parent, sample statements issued) — the
+    // statement count comes back as a value because two calls run on
+    // concurrent futures per level and must not race on the `queries` var
+    def quantileSplitAll(t: RemoteTable, parents: Seq[Box]): (Map[Box, Seq[Box]], Int) =
+      if (!quantileActive || parents.isEmpty) (Map.empty, 0)
+      else {
+        var stmts = 0
+        val k = keyCols.head
+        val p = t.engine.profile
+        val orderBy = p.md5AsHexSql(p.toStringSql(segKeySql(t, k)))
+        val nPer = bisectionFactor * samplesPerBucket
+        // bound each statement's text drain to ~32k short values, and never
+        // exceed the configured per-statement segment cap
+        val perStmt = math.max(1, math.min(maxSegmentsPerQuery, 32768 / nPer))
+        val samples = scala.collection.mutable.Map.empty[Int, ArrayBuffer[String]]
+        parents.zipWithIndex.grouped(perStmt).foreach { chunk =>
+          val sql = chunk.map { case (box, i) =>
+            val w = t.extraWhereSql.fold(pred(t, box))(e => s"(${pred(t, box)}) AND ($e)")
+            s"SELECT $i AS seg, graft_sk FROM (" +
+              p.sampleSql(t.table, Seq(s"${segKeySql(t, k)} AS graft_sk"),
+                nPer, Some(w), Some(orderBy)) + s") g$i"
+          }.mkString(" UNION ALL ")
+          stmts += 1
+          // a failed sample statement must not kill the diff — those
+          // parents just keep the arithmetic split
+          scala.util.Try(t.engine.query(sql)) match {
+            case scala.util.Success(rows) => rows.foreach { r =>
+              for (seg <- r.head; v <- r(1))
+                samples.getOrElseUpdate(seg.trim.toInt, ArrayBuffer.empty[String]) += v
+            }
+            case scala.util.Failure(e) => Console.err.println(
+              s"[graft] quantile sample on ${p.name} failed (${e.getMessage}); " +
+                "falling back to arithmetic splits for this batch")
+          }
+        }
+        val split = parents.zipWithIndex.flatMap { case (box, i) =>
+          samples.get(i).flatMap { raw =>
+            scala.util.Try {
+              val (lo, hi) = (box._1.head, box._2.head)
+              val parsed = raw.toSeq.map(parseKey(k, _))
+              val cpKeys: Seq[KeySpace.Key] =
+                if (hexKeyCols(k)) parsed.map(s => KeySpace.UuidKey(
+                  BigInt(s.asInstanceOf[String], 16), uppercase = true, dashed = false))
+                else TableSegment.toKeys(
+                  Seq(TableSegment.fromKey(lo), TableSegment.fromKey(hi)) ++ parsed).drop(2)
+              val sorted = cpKeys.sortWith((x, y) => (x - y) < 0)
+              val interior = (1 until bisectionFactor)
+                .map(j => sorted((j * sorted.size) / bisectionFactor))
+                .filter(c => (c - lo) > 0 && (hi - c) > 0)
+                .distinct.sortWith((x, y) => (x - y) < 0)
+              if (interior.isEmpty) None
+              else Some(box -> ((lo +: interior) :+ hi).sliding(2)
+                .map(pr => (Seq(pr(0)), Seq(pr(1)))).toSeq)
+            }.toOption.flatten
+          }
+        }.toMap
+        (split, stmts)
+      }
 
     type Summary = (Long, Option[BigDecimal])
     def levelQuery(t: RemoteTable, norm: Map[String, String],
@@ -298,14 +390,10 @@ object RemoteRemoteDiffer {
           val p = t.engine.profile
           t.engine.jdbcSource match {
             case Some((url, props)) =>
-              def keySql(k: String): String =
-                if (foldKeyCols(k)) s"UPPER(${p.quote(k)})"
-                else if (hexKeyCols(k)) p.hexKeyProjectionSql(p.quote(k)).get
-                else if (uuidSegKeyCols(k)) s"LOWER(${p.quote(k)})"
-                else p.quote(k)
               val rk = keyCols.indices.map(d => s"__graft_rk_$d")
               val sel = (rel.map(c => s"${norm(c)} AS ${p.quote(c)}") ++
-                keyCols.zip(rk).map { case (k, al) => s"${keySql(k)} AS ${p.quote(al)}" })
+                keyCols.zip(rk).map { case (k, al) =>
+                  s"${segKeySql(t, k)} AS ${p.quote(al)}" })
                 .mkString(", ")
               val inner = s"SELECT $sel FROM ${t.table}" +
                 t.extraWhereSql.fold("")(e => s" WHERE $e")
@@ -314,16 +402,18 @@ object RemoteRemoteDiffer {
                   .map { case ((al, lo), hi) =>
                     s"${p.quote(al)} >= ${p.literal(lo)} AND ${p.quote(al)} < ${p.literal(hi)}"
                   }.mkString(" AND ")
-              // pin: a task retry must re-read blocks, not the remote.
-              // localCheckpoint, NOT persist(): persist registers in the
-              // session CacheManager and is never dropped here, so every
-              // compareLeaves round of a long-lived session would leak
-              // cached blocks (under dense cutover, most of the table);
-              // eagerly checkpointed blocks are released by the
-              // ContextCleaner once the plan is unreferenced.
+              // pin: a task retry must re-read blocks, not the remote —
+              // persist(), which KEEPS the JDBC lineage, so losing an
+              // executor mid-compare recomputes its partitions from the
+              // remote instead of failing the whole diff (localCheckpoint
+              // truncates lineage and cannot recover). The CacheManager
+              // leak persist used to cause is closed in compareLeaves:
+              // the diff result is eagerly checkpointed and BOTH inputs
+              // unpersist in a finally, so no fetch outlives its leaf
+              // comparison.
               val fetched = spark.read.jdbc(url, s"($inner) g", leafSeq.map(rkPred).toArray, props)
                 .drop(rk: _*)
-                .localCheckpoint(true)
+                .persist()
               (fetched, fetched.count(), 1) // one logical scan (N partition reads)
             case None =>
               var stmts = 0
@@ -341,12 +431,35 @@ object RemoteRemoteDiffer {
       val ((dfA, nA, qA), (dfB, nB, qB)) = (await(ffa), await(ffb))
       fetchedRows += nA + nB
       queries2 += qA + qB
-      JoinDiffer.diff(dfA, dfB, keyCols, cmpCols)
+      // materialize the diff NOW (eager localCheckpoint — small: bounded by
+      // the differing neighborhood), then release the fetched inputs: the
+      // persisted JDBC fetches carry recoverable lineage through the join,
+      // and nothing cached outlives the leaf comparison. unpersist on the
+      // driver-built text-path frames is a no-op.
+      try JoinDiffer.diff(dfA, dfB, keyCols, cmpCols).localCheckpoint(true)
+      finally { dfA.unpersist(); dfB.unpersist() }
     }
 
     val leaves = ArrayBuffer.empty[Box]
     val emitted = ArrayBuffer.empty[DataFrame]
-    var frontier = splitBox(rootBox)
+    // level-0 seed: the root splits at the larger side's sampled quantiles
+    // (one COUNT per side picks the sampling engine — concurrent, so the
+    // extra cost is one round-trip, the same budget PushdownDiffer's local
+    // count() pays); arithmetic otherwise
+    var frontier: Seq[Box] =
+      if (quantileActive) {
+        def cnt(t: RemoteTable) = scala.concurrent.Future {
+          t.engine.query(s"SELECT COUNT(*) AS cnt FROM ${t.table}" +
+            t.extraWhereSql.fold("")(e => s" WHERE $e")).head.head.get.trim.toLong
+        }
+        val (fa, fb) = (cnt(a), cnt(b))
+        val (na, nb) = (await(fa), await(fb))
+        queries += 2
+        val larger = if (na >= nb) a else b
+        val (byQ, stmts) = quantileSplitAll(larger, Seq(rootBox))
+        queries += stmts
+        byQ.getOrElse(rootBox, splitBox(rootBox))
+      } else splitBox(rootBox)
     var level = 0
     var probed = 0
     var pruned = 0
@@ -363,6 +476,10 @@ object RemoteRemoteDiffer {
       val activeRelevant = keyCols ++ activeCompare
       val next = ArrayBuffer.empty[Box]
       val splitParents = ArrayBuffer.empty[Box]
+      // parents needing a split this level, with their larger side's row
+      // count and WHICH side is larger — collected across chunks so the
+      // quantile path samples each engine's parents in one batch
+      val splitCands = ArrayBuffer.empty[(Box, Long, Boolean)]
       // upper bound on rows in the next frontier (see PushdownDiffer)
       var nextFrontierRows = 0L
       frontier.grouped(maxSegmentsPerQuery).foreach { chunk =>
@@ -375,14 +492,28 @@ object RemoteRemoteDiffer {
           val sb = mb.getOrElse(i, (0L, None: Option[BigDecimal]))
           if (sa == sb) pruned += 1
           else if (math.max(sa._1, sb._1) < bisectionThreshold) leaves += box
-          else {
-            val children = splitBox(box)
-            if (children.size <= 1) leaves += box
-            else {
-              next ++= children; splitParents += box
-              nextFrontierRows += math.max(sa._1, sb._1)
-            }
-          }
+          else splitCands += ((box, math.max(sa._1, sb._1), sa._1 >= sb._1))
+        }
+      }
+      // each dirty parent samples on its own larger side (the side whose
+      // rows the split must balance); two batched statements max, run
+      // concurrently — a level still costs max(a, b)
+      val byQuantile: Map[Box, Seq[Box]] = if (quantileActive && splitCands.nonEmpty) {
+        val (fa, fb) = (
+          scala.concurrent.Future(quantileSplitAll(a,
+            splitCands.collect { case (bx, _, true) => bx }.toSeq)),
+          scala.concurrent.Future(quantileSplitAll(b,
+            splitCands.collect { case (bx, _, false) => bx }.toSeq)))
+        val ((qa, sa2), (qb, sb2)) = (await(fa), await(fb))
+        queries += sa2 + sb2
+        qa ++ qb
+      } else Map.empty
+      splitCands.foreach { case (box, rows, _) =>
+        val children = byQuantile.getOrElse(box, splitBox(box))
+        if (children.size <= 1) leaves += box
+        else {
+          next ++= children; splitParents += box
+          nextFrontierRows += rows
         }
       }
       frontier = next.toSeq

@@ -648,7 +648,11 @@ class PushdownDifferSpec extends AnyFunSuite {
     aRows.toDF("k", "v").createOrReplaceTempView("rr_prog_a")
     bRows.toDF("k", "v").createOrReplaceTempView("rr_prog_b")
     var seen = Vector.empty[(Int, Set[String])]
-    val ctrl = new PushdownControl(progressive = true) {
+    // arithmetic splits: the multi-level emission this spec pins is an
+    // artifact of UNEVEN segment sizes — quantile seeding balances the
+    // splits so well that everything leafs at one level (the seeded
+    // progressive contract is asserted separately below)
+    val ctrl = new PushdownControl(progressive = true, quantileSeed = false) {
       override def onLeafDiff(level: Int, d: DataFrame): Unit =
         seen :+= ((level, d.collect().map(_.mkString("|")).toSet))
     }
@@ -667,6 +671,18 @@ class PushdownDifferSpec extends AnyFunSuite {
     assert(seen.flatMap(_._2).toSet == want)
     assert(seen.map(_._2.size).sum == want.size, "a row emitted twice (or lost)")
     assert(out.collect().map(_.mkString("|")).toSet == want)
+    // seeded progressive run (the default): per-level emissions must still
+    // union to exactly the batch result with no duplicates
+    var seenSeeded = Vector.empty[Set[String]]
+    val ctrlSeeded = new PushdownControl(progressive = true) {
+      override def onLeafDiff(level: Int, d: DataFrame): Unit =
+        seenSeeded :+= d.collect().map(_.mkString("|")).toSet
+    }
+    val outSeeded = graft.api.Graft.diffRemotes(spark, eng, "rr_prog_a", eng, "rr_prog_b",
+      Seq("k"), Seq("v"), bisectionFactor = 4, bisectionThreshold = 64, control = ctrlSeeded)
+    assert(seenSeeded.flatMap(_.toSeq).toSet == want)
+    assert(seenSeeded.map(_.size).sum == want.size, "a row emitted twice (or lost)")
+    assert(outSeeded.collect().map(_.mkString("|")).toSet == want)
   }
 
   test("remote-remote with one case-insensitive side folds BOTH engines' segmentation") {
@@ -677,8 +693,13 @@ class PushdownDifferSpec extends AnyFunSuite {
     val n = 400
     def keyOf(i: Int): String = f"${if (i % 3 == 0) "r" else "R"}$i%03d"
     val aRows = (1 to n).map(i => (keyOf(i), s"v$i"))
+    // mutations CLUSTERED in one slice of the key space: under the default
+    // quantile seeding segments are balanced by construction, so uniformly
+    // scattered diffs (old i % 11) would dirty every leaf and nothing
+    // could ever prune — clean segments must exist under ANY split shape
+    // for the prune assertion to test folding rather than the splitter
     val bRows = (1 to n).map { i =>
-      if (i % 11 == 0) (keyOf(i), s"v${i}X") else (keyOf(i), s"v$i")
+      if (i >= 100 && i < 140 && i % 3 == 0) (keyOf(i), s"v${i}X") else (keyOf(i), s"v$i")
     }
     aRows.toDF("k", "v").createOrReplaceTempView("rr_ci_a")
     val eng = new ProcessEngine(Seq("python3", "-c", bridgeScript), DuckDbProfile)
@@ -707,6 +728,61 @@ class PushdownDifferSpec extends AnyFunSuite {
       assert(stats.segmentsPruned > 0,
         s"folded cross-engine checksums failed to prune: $stats")
     } finally eng.close()
+  }
+
+  test("remote-remote snowflake-ID keys: quantile seeding saves levels AND round-trips " +
+      "(live Derby × DuckDB)") {
+    // Both engines live, neither Spark-readable: side A in embedded Derby,
+    // side B in a DuckDB process. Keys are snowflake-style — one key at 1,
+    // the rest packed into a ~20k-wide sliver near 1e12 — so arithmetic
+    // mid-width splits burn a level per factor× of key-WIDTH narrowing
+    // toward the sliver, each level one checksum round-trip on BOTH
+    // engines. The seeded run (quantileSeed default) samples the larger
+    // engine ORDER BY md5-of-key, cuts where the rows actually are, and
+    // must produce bit-identical rows in strictly fewer levels and fewer
+    // total remote statements.
+    assume(scala.util.Try(Class.forName("org.apache.derby.jdbc.EmbeddedDriver")).isSuccess,
+      "no Derby driver on the classpath")
+    import graft.sources.{DerbyProfile, JdbcEngine, RemoteRepair}
+    val n = 20000
+    def keyOf(i: Int): Long = if (i == 1) 1L else 1000000000000L + i
+    val url = "jdbc:derby:memory:rr_sf_" + java.util.UUID.randomUUID().toString.take(8)
+    java.sql.DriverManager.getConnection(s"$url;create=true").close()
+    val derby = new JdbcEngine(url, new java.util.Properties(), DerbyProfile)
+    val duck = new ProcessEngine(Seq("python3", "-c", bridgeScript), DuckDbProfile)
+    try {
+      derby.update("CREATE TABLE rr_sf_a (\"k\" BIGINT, \"v\" VARCHAR(32))")
+      RemoteRepair.insertStatements(DerbyProfile, "rr_sf_a", Seq("k", "v"),
+        (1 to n).iterator.map(i => org.apache.spark.sql.Row(keyOf(i), s"v$i")), 1024)
+        .foreach(derby.update)
+      duck.query(
+        s"""CREATE TABLE rr_sf_b AS
+           |SELECT CASE WHEN i = 1 THEN 1 ELSE 1000000000000 + i END AS k,
+           |       CASE WHEN i % 1000 = 0 THEN 'v' || i || 'X' ELSE 'v' || i END AS v
+           |FROM range(1, ${n + 1}) t(i)""".stripMargin)
+      val ta = RemoteTable.introspect(derby, "rr_sf_a", Seq("k"), Seq("v"))
+      val tb = RemoteTable.introspect(duck, "rr_sf_b", Seq("k"), Seq("v"))
+      val tp = math.min(ta.tsPrecision, tb.tsPrecision)
+      val fp = math.max(ta.fracPrecision, tb.fracPrecision)
+      def run(ctrl: PushdownControl) = RemoteRemoteDiffer.diff(spark,
+        ta.copy(fracPrecision = fp, tsPrecision = tp),
+        tb.copy(fracPrecision = fp, tsPrecision = tp),
+        bisectionFactor = 4, bisectionThreshold = 256, control = ctrl)
+      val (outSeed, statsSeed) = run(new PushdownControl()) // seeding is the default
+      val (outArith, statsArith) = run(new PushdownControl(quantileSeed = false))
+      val want = (1 to n).filter(_ % 1000 == 0).flatMap(i =>
+        Seq(s"-|${keyOf(i)}|v$i", s"+|${keyOf(i)}|v${i}X")).toSet
+      assert(outArith.collect().map(_.mkString("|")).toSet == want, s"$statsArith")
+      assert(outSeed.collect().map(_.mkString("|")).toSet == want,
+        s"seeded rows must be bit-identical: $statsSeed")
+      assert(statsSeed.denseCutoverAtLevel.isEmpty && statsArith.denseCutoverAtLevel.isEmpty,
+        s"scattered fixture must bisect, not cut over: $statsSeed / $statsArith")
+      assert(statsSeed.levels < statsArith.levels,
+        s"seeding must save whole levels: ${statsSeed.levels} vs ${statsArith.levels}")
+      assert(statsSeed.remoteQueries < statsArith.remoteQueries,
+        s"seeding must save total round-trips: " +
+          s"${statsSeed.remoteQueries} vs ${statsArith.remoteQueries}")
+    } finally { derby.close(); duck.close() }
   }
 
   test("remote-remote with an incomparable-collation side segments via the hex projection") {
