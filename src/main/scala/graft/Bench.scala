@@ -74,7 +74,12 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","detail":"bench_last.json"}""")
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json"))
-    java.nio.file.Files.write(out, (full + "\n").getBytes("UTF-8"))
+    // best-effort: an unwritable path (read-only cwd, bad BENCH_OUT) must
+    // not take down the full contract line below — the file is the backup
+    // for the stdout line, never the other way around
+    scala.util.Try(java.nio.file.Files.write(out, (full + "\n").getBytes("UTF-8")))
+      .failed.foreach(e =>
+        Console.err.println(s"[bench] could not write $out: ${e.getMessage}"))
     println(full)
     spark.stop()
   }

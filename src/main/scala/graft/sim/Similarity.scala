@@ -360,12 +360,21 @@ object Similarity {
     // postings into one cell that the centroid counts don't show.
     // `saveIvfIndex` persists them as k rows; older indexes fall back to
     // one cell-column-only aggregate over the postings.
+    // null-safe: an interrupted overwrite can leave a readable-but-EMPTY
+    // cellcounts directory, where max(n) aggregates to NULL without any
+    // AnalysisException — treat that exactly like a missing directory and
+    // fall back to aggregating the postings themselves
+    def maxOf(df: DataFrame, c: String): Option[Long] = {
+      val r = df.agg(max(col(c))).head()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
     val maxCellN: Long =
-      (try spark.read.parquet(s"$path/cellcounts").agg(max(col("n"))).head().getLong(0)
-      catch { case _: org.apache.spark.sql.AnalysisException =>
-        spark.read.parquet(s"$path/postings").groupBy("cell").count()
-          .agg(max(col("count"))).head().getLong(0)
-      })
+      (try maxOf(spark.read.parquet(s"$path/cellcounts"), "n")
+      catch { case _: org.apache.spark.sql.AnalysisException => None })
+        .orElse(maxOf(
+          spark.read.parquet(s"$path/postings").groupBy("cell").count(), "count"))
+        .getOrElse(throw new IllegalArgumentException(
+          s"IVF index at $path has no postings — rebuild it"))
     val estCandidates = BigInt(nQueries) * BigInt(math.min(nProbe, cells.length)) * BigInt(maxCellN)
     require(estCandidates <= BigInt(maxEstCandidates),
       s"ivfQueryIndex with $nQueries queries x $nProbe probes against cells of up " +

@@ -9,10 +9,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** Structured-Streaming extension: a continuous diff over a keyed CDC feed.
   *
   * The reference is batch-only (SURVEY.md §2.9); this is the greenfield
-  * streaming surface: state per key holds the last seen payload hash, each
-  * incoming record emits '-' old / '+' new when it changes, nothing when it
-  * is a no-op replay. Watermarked windowed aggregation gives the stats
-  * stream.
+  * streaming surface: state per key holds the last seen payload (or its
+  * 48-bit hash in [[StreamingDiff.continuousDiffHashState]]), TTL-evicted
+  * on event time; each incoming record emits '-' old / '+' new when it
+  * changes, nothing when it is a no-op replay. Watermarked windowed
+  * aggregation gives the stats stream.
   */
 object StreamingDiff {
 
@@ -41,13 +42,40 @@ object StreamingDiff {
     * would read as "key deleted" when the correct final state is A. */
   case class DiffEvent(sign: String, key: Long, payload: String, seq: Long)
 
-  /** Stateful continuous diff: flatMapGroupsWithState keyed by PK. */
-  def continuousDiff(rows: Dataset[KeyedRow]): Dataset[DiffEvent] = {
+  /** Stateful continuous diff: flatMapGroupsWithState keyed by PK.
+    *
+    * STATE BOUND: one last-seen payload per key, EVICTED by an event-time
+    * TTL (`ttlMs` past the later of the watermark and the key's newest
+    * event) — so state size is proportional to keys ACTIVE within the TTL
+    * horizon, not to the total keyspace or stream length; pointing this at
+    * a 100 TB keyspace holds only the hot working set. For state that is
+    * O(8 bytes) per key regardless of payload width, use
+    * [[continuousDiffHashState]].
+    *
+    * BEYOND-TTL RE-ARRIVAL: a key whose state was evicted and then
+    * re-arrives is indistinguishable from a brand-new key — it emits '+'
+    * with no matching '-', even when the payload is an exact replay of the
+    * pre-eviction image (suppressed inside the TTL) or a change from it
+    * (which would have emitted '-' old first). [[applyDiffEventsBatch]] is
+    * immune — it DELETEs each touched key before INSERTing its final
+    * image, so the remote converges identically — but consumers doing
+    * sign algebra must treat '+'-without-'-' as upsert, not strict insert.
+    * Events at or below the watermark are dropped by the engine before
+    * the state function (the standard stateful-operator contract). */
+  def continuousDiff(rows: Dataset[KeyedRow], watermark: String = "24 hours",
+      ttlMs: Long = 86400000L): Dataset[DiffEvent] = {
     import rows.sparkSession.implicits._
-    rows.groupByKey(_.key)
+    rows
+      .withWatermark("ts", watermark)
+      .groupByKey(_.key)
       .flatMapGroupsWithState[String, DiffEvent](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (key: Long, it: Iterator[KeyedRow], state: GroupState[String]) =>
+          // TTL expiry: evict silently — eviction is retention, NOT a CDC
+          // delete (emitting '-' here would tell downstream the key was
+          // removed from the source when it merely went idle)
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
           // Process in event-time order within the micro-batch — MICROS,
           // not getTime millis (sub-ms transitions must not sort by
           // shuffle arrival order, or the stale image becomes "final").
@@ -72,7 +100,77 @@ object StreamingDiff {
             case Some(p) => state.update(p)
             case None => if (state.exists) state.remove()
           }
+          if (state.exists) {
+            // TTL base: the LATER of watermark and this batch's newest
+            // event — on the first trigger the watermark is still 0
+            // (epoch), and an epoch-based timeout would evict every key
+            // at the very next trigger (see streamingDedup)
+            val base = math.max(state.getCurrentWatermarkMs(),
+              sorted.lastOption.map(_.ts.getTime).getOrElse(0L))
+            state.setTimeoutTimestamp(base + ttlMs)
+          }
           out.iterator
+          }
+      }
+  }
+
+  /** 48-bit md5 suffix of a payload — the same truncation family as
+    * [[graft.diff.Checksum]], JVM-side (state compares only; never leaves
+    * the operator). */
+  private def hash48(s: String): Long =
+    java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s).takeRight(12), 16)
+
+  /** [[continuousDiff]] with HASH-ONLY state: per key the state is the
+    * 48-bit md5 of the last payload (8 bytes however wide the payload),
+    * so the state store is bounded by active-keys × 8B + store overhead —
+    * the mode to run against wide CDC payloads at a 100 TB keyspace.
+    * The trade: the old image is gone, so '-' events carry `payload =
+    * null` (change and tombstone alike) — exactly enough for
+    * [[applyDiffEventsBatch]], which deletes by key and inserts each
+    * key's final '+' image, and for any consumer that treats '-' as
+    * "key changed away from something". Same TTL bound and beyond-TTL
+    * re-arrival semantics as [[continuousDiff]]; a 48-bit collision
+    * (~1 in 2.8e14 per replayed pair) suppresses a genuine change the
+    * same way the reference's 48-bit segment checksums can. */
+  def continuousDiffHashState(rows: Dataset[KeyedRow], watermark: String = "24 hours",
+      ttlMs: Long = 86400000L): Dataset[DiffEvent] = {
+    import rows.sparkSession.implicits._
+    rows
+      .withWatermark("ts", watermark)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Long, DiffEvent](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, it: Iterator[KeyedRow], state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = it.toSeq.sortBy(r => usOf(r.ts))
+            val out = scala.collection.mutable.ArrayBuffer.empty[DiffEvent]
+            var last: Option[Long] = state.getOption
+            for (r <- sorted) {
+              if (r.payload == null) {
+                last.foreach(_ => out += DiffEvent("-", key, null, out.size.toLong))
+                last = None
+              } else {
+                val h = hash48(r.payload)
+                if (!last.contains(h)) {
+                  last.foreach(_ => out += DiffEvent("-", key, null, out.size.toLong))
+                  out += DiffEvent("+", key, r.payload, out.size.toLong)
+                  last = Some(h)
+                }
+              }
+            }
+            last match {
+              case Some(h) => state.update(h)
+              case None => if (state.exists) state.remove()
+            }
+            if (state.exists) {
+              val base = math.max(state.getCurrentWatermarkMs(),
+                sorted.lastOption.map(_.ts.getTime).getOrElse(0L))
+              state.setTimeoutTimestamp(base + ttlMs)
+            }
+            out.iterator
+          }
       }
   }
 

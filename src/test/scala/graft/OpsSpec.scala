@@ -830,6 +830,14 @@ class SimilaritySpec extends AnyFunSuite {
     // (reassigned labels — what the join fans out over), written at build
     assert(spark.read.parquet(s"$path/cellcounts")
       .as[(Long, Long)].collect().toMap == Map(0L -> 3L, 1L -> 3L))
+    // an interrupted overwrite can leave a readable-but-EMPTY cellcounts
+    // directory: max(n) is NULL (no AnalysisException), which must fall
+    // back to the postings aggregate, not NPE
+    val ccSchema = spark.read.parquet(s"$path/cellcounts").schema
+    spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row], ccSchema)
+      .write.mode("overwrite").parquet(s"$path/cellcounts")
+    assert(run(2) == brute)
     // pre-cellcounts indexes (older builds) fall back to aggregating the
     // postings and still serve identically
     val fs = new java.io.File(s"$path/cellcounts")
@@ -1538,6 +1546,68 @@ class StreamingDiffSpec extends AnyFunSuite {
     q.stop()
     val finalPlus = got.filter(_.sign == "+").maxBy(_.seq)
     assert(finalPlus.payload == "late", got.mkString(", "))
+  }
+
+  test("continuous diff TTL evicts idle keys: beyond-TTL replay resurfaces as '+', no '-'") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingDiff.KeyedRow]
+    // 1 s watermark, 1 s TTL so the fixture can age keys out quickly
+    val q = StreamingDiff.continuousDiff(input.toDS(), watermark = "1 second", ttlMs = 1000L)
+      .writeStream.format("memory").queryName("cttl").outputMode("append").start()
+    def row(k: Long, p: String, t: Long) = StreamingDiff.KeyedRow(k, p, new java.sql.Timestamp(t))
+    input.addData(row(1, "a", 10000))
+    q.processAllAvailable()
+    input.addData(row(1, "a", 10500)) // replay INSIDE the TTL: suppressed
+    q.processAllAvailable()
+    // advance the watermark far past key 1's timeout (10 s + 1 s TTL),
+    // then trigger again so the eviction fires under the new watermark
+    input.addData(row(99, "z", 30000))
+    q.processAllAvailable()
+    input.addData(row(98, "y", 31000))
+    q.processAllAvailable()
+    // beyond-TTL re-arrival of the SAME payload: state is gone, so this
+    // is indistinguishable from a new key — '+' again, never a '-'
+    input.addData(row(1, "a", 40000))
+    q.processAllAvailable()
+    val got = spark.table("cttl").as[StreamingDiff.DiffEvent].collect().toSeq
+    q.stop()
+    val key1 = got.filter(_.key == 1L)
+    assert(key1.count(e => e.sign == "+" && e.payload == "a") == 2,
+      s"pre- and post-eviction inserts expected, got $got")
+    assert(!key1.exists(_.sign == "-"), s"eviction must not emit a CDC delete: $got")
+  }
+
+  test("hash-state continuous diff: replay suppressed, '-' carries null, repair converges") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingDiff.KeyedRow]
+    val q = StreamingDiff.continuousDiffHashState(input.toDS())
+      .writeStream.format("memory").queryName("chash").outputMode("append").start()
+    def row(k: Long, p: String, t: Long) = StreamingDiff.KeyedRow(k, p, new java.sql.Timestamp(t))
+    input.addData(row(1, "a", 1), row(2, "b", 2))
+    q.processAllAvailable()
+    input.addData(row(1, "a", 3))  // replay: the 48-bit hash matches, suppressed
+    input.addData(row(2, "c", 4))  // change: '-' with null old image, '+' new
+    input.addData(row(3, null, 5)) // tombstone for an absent key: nothing
+    q.processAllAvailable()
+    val got = spark.table("chash").as[StreamingDiff.DiffEvent].collect().toSet
+    assert(got == Set(
+      StreamingDiff.DiffEvent("+", 1, "a", 0), StreamingDiff.DiffEvent("+", 2, "b", 0),
+      StreamingDiff.DiffEvent("-", 2, null, 0), StreamingDiff.DiffEvent("+", 2, "c", 1)))
+    // the repair apply needs only keys + final '+' images, so the null
+    // '-' payloads must still converge a remote copy
+    val eng = graft.sources.DuckDbProcess.engine()
+    try {
+      eng.update("""CREATE TABLE chash_rt ("key" BIGINT, "payload" VARCHAR)""")
+      eng.update("""INSERT INTO chash_rt VALUES (1, 'a'), (2, 'b')""")
+      val (del, ins) = StreamingDiff.applyDiffEventsBatch(eng, "chash_rt",
+        spark.table("chash").where(col("key") === 2L))
+      assert((del, ins) == (1L, 1L))
+      val got = eng.query("""SELECT "key", "payload" FROM chash_rt ORDER BY "key"""")
+        .map(r => (r(0).get, r(1).get))
+      assert(got == Seq(("1", "a"), ("2", "c")))
+    } finally { q.stop(); eng.close() }
   }
 
   test("streaming near-dup: a doc already in the index does not match itself") {
