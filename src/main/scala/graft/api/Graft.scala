@@ -28,7 +28,10 @@ object Graft {
 
   final case class DiffOptions(
       algorithm: Algorithm = Algorithm.Auto,
-      buckets: Int = 1024,
+      /** HashDiff bucket-level size; `HashDiffer.Auto` (the default)
+        * derives it from a cheap count via the reference heuristic
+        * clamp(rows/250k, 2, 128). */
+      buckets: Int = graft.diff.HashDiffer.Auto,
       extraCols: Seq[String] = Nil,
       /** Columns excluded from comparison mid-flight — the reference's
         * `ignore_column` re-plan (reference: diff_tables.py:196-199). */

@@ -48,7 +48,8 @@ object ParseTime {
 /** CLI mirroring the reference's surface (reference: data_diff/__main__.py):
   *
   *   graft.cli.Cli SOURCE_A SOURCE_B -k key[,key2] [-c col1,col2]
-  *     [--algorithm auto|joindiff|hashdiff|estimate] [--stats] [--json] [--limit N]
+  *     [--algorithm auto|joindiff|hashdiff|estimate] [--no-estimate]
+  *     [--stats] [--json] [--limit N]
   *     [--ignore col1,col2] [--update-column col --min-age 1d --max-age 1h]
   *     [--materialize path] [--where EXPR] [--assume-unique-key]
   *     [--sample-exclusive-rows] [--materialize-all-rows]
@@ -71,6 +72,11 @@ object Cli {
       // empty = not set on the command line ("auto" must remain an EXPLICIT
       // choice so a config file cannot override it)
       ignore: Seq[String] = Nil, algorithm: String = "",
+      // with NO --algorithm, local two-table diffs default to the
+      // measured pick (Algorithm.Estimate: sample-diff, then joindiff if
+      // dense / hashdiff if sparse); --no-estimate restores the plain
+      // single-pass joindiff default without naming an algorithm
+      noEstimate: Boolean = false,
       stats: Boolean = false, json: Boolean = false, limit: Option[Int] = None,
       updateColumn: Option[String] = None,
       minAge: Option[String] = None, maxAge: Option[String] = None,
@@ -152,6 +158,7 @@ object Cli {
       case "--bisection-threshold" :: v :: t => go(t, a.copy(bisectionThreshold = v.toInt), positional)
       case "--quantile-seed" :: t => go(t, a.copy(quantileSeed = true), positional)
       case "--no-quantile-seed" :: t => go(t, a.copy(quantileSeed = false), positional)
+      case "--no-estimate" :: t => go(t, a.copy(noEstimate = true), positional)
       case "--json" :: t => go(t, a.copy(json = true), positional)
       case "--limit" :: v :: t => go(t, a.copy(limit = Some(v.toInt)), positional)
       case "--update-column" :: v :: t => go(t, a.copy(updateColumn = Some(v)), positional)
@@ -403,7 +410,13 @@ object Cli {
             // evidence-based pick: sample-diff first (DiffEstimate), then
             // joindiff if dense, hashdiff if sparse
             case "estimate" => Graft.Algorithm.Estimate
-            case "" | "auto" => Graft.Algorithm.Auto
+            // no flag: the measured pick is the default — the sample
+            // pre-flight costs ~n/estimateMod rows per side and spares a
+            // sparse-diff run the full shuffle; --no-estimate (or an
+            // explicit `auto`) restores the single-pass joindiff
+            case "" => if (a.noEstimate) Graft.Algorithm.Auto
+                       else Graft.Algorithm.Estimate
+            case "auto" => Graft.Algorithm.Auto
             case other => throw new IllegalArgumentException(s"unknown algorithm: $other")
           }
           Graft.diffTables(segA, segB,

@@ -21,6 +21,21 @@ import org.apache.spark.sql.functions._
   */
 object HashDiffer {
 
+  /** Sentinel for `diff`'s `buckets`: size the level from a cheap count. */
+  val Auto = 0
+
+  /** Reference sizing heuristic: one bucket per ~250k rows, clamped to
+    * [2, 128] (reference: tests/test_database_types.py:744-745 sizes its
+    * bisection the same way). Small tables stop paying for 1024 mostly-
+    * empty buckets; growing tables scale the level with the data. The
+    * clamp mirrors the reference so leaf sizes stay comparable to its
+    * segments; at the 100 TB end, callers chasing a smaller pass-2
+    * exchange should pass an explicit `buckets` (~rows / expected-leaf)
+    * or set `refineFactor` — one Spark level costs a single scan+shuffle
+    * regardless of the bucket count, so overriding upward is cheap. */
+  def autoBuckets(n: Long): Int =
+    math.max(2L, math.min(128L, n / 250000L)).toInt
+
   /** Deterministic key-space partition: xxhash64 of the key columns modulo
     * `buckets`. Hash, not range — uniform without knowing the distribution. */
   def bucketOf(keyCols: Seq[String], buckets: Int): Column =
@@ -67,30 +82,38 @@ object HashDiffer {
     * when diffs are rare AND coarse buckets are huge: the extra pass scans
     * only the dirty fraction and shrinks the final exchange by up to the
     * refine factor. */
-  def diff(a: TableSegment, b: TableSegment, buckets: Int = 1024,
+  def diff(a: TableSegment, b: TableSegment, buckets: Int = Auto,
       refineFactor: Int = 1, jsonCols: Set[String] = Set.empty): DataFrame = {
     val compare = a.relevantCols.filterNot(a.keyCols.contains)
     def emptyDiff =
       JoinDiffer.diff(a.scoped, b.scoped, a.keyCols, compare, jsonCols).where(lit(false))
 
+    // Auto: derive the level size from a cheap column-pruned count of the
+    // larger side — rows never leave the executors, and the count's scan
+    // is a fraction of the checksum pass that follows it
+    val nBuckets =
+      if (buckets > 0) buckets
+      else autoBuckets(math.max(a.scoped.select(a.keyCols.map(col): _*).count(),
+        b.scoped.select(b.keyCols.map(col): _*).count()))
+
     // jsonCols note: the bucket checksums hash raw strings, so a JSON-
     // equivalent-but-reordered payload makes its bucket dirty — that only
     // costs the bucket a trip through the final join, where the JSON-
     // equivalence flag correctly suppresses the row.
-    val dirty = dirtyBuckets(a, b, buckets)
+    val dirty = dirtyBuckets(a, b, nBuckets)
     if (dirty.isEmpty) return emptyDiff
     // Every bucket differs → diffs are dense and the bucket filters would
     // only add per-row hashing to the full join; go straight to joindiff
     // (the reference likewise stops bisecting segments that all differ).
-    if (dirty.length == buckets)
+    if (dirty.length == nBuckets)
       return JoinDiffer.diff(a.scoped, b.scoped, a.keyCols, compare, jsonCols)
-    val fA = a.withExtraFilter(bucketOf(a.keyCols, buckets).isin(dirty.toSeq: _*))
-    val fB = b.withExtraFilter(bucketOf(b.keyCols, buckets).isin(dirty.toSeq: _*))
+    val fA = a.withExtraFilter(bucketOf(a.keyCols, nBuckets).isin(dirty.toSeq: _*))
+    val fB = b.withExtraFilter(bucketOf(b.keyCols, nBuckets).isin(dirty.toSeq: _*))
 
     val (finalA, finalB) =
       if (refineFactor <= 1) (fA, fB)
       else {
-        val fine = buckets * refineFactor
+        val fine = nBuckets * refineFactor
         val dirtyFine = dirtyBuckets(fA, fB, fine)
         if (dirtyFine.isEmpty) return emptyDiff
         (fA.withExtraFilter(bucketOf(a.keyCols, fine).isin(dirtyFine.toSeq: _*)),

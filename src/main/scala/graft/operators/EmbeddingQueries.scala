@@ -78,6 +78,27 @@ object EmbeddingQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // INCREMENTAL index maintenance: 90% of the corpus builds the index,
+    // the next 8% arrives later as a delta folded in by appendToIvfIndex
+    // (FIXED centroids, postings appended, cellcounts merged), and the
+    // held-out 2% serves as queries. The oracle computes centroids from
+    // the base slice only and assigns base ∪ delta against them — exactly
+    // the fixed-centroid rebuild the append must equal.
+    "q_ivf_append" -> ((s, d) => {
+      val e = emb(s, d)
+      val path = java.nio.file.Files.createTempDirectory("ivfapp").toString + "/idx"
+      Similarity.saveIvfIndex(e.where(col("vec_id") % 100 < 90),
+        "vec_id", "embedding", "label", path)
+      Similarity.appendToIvfIndex(s, path,
+        e.where(col("vec_id") % 100 >= 90 && col("vec_id") % 100 < 98),
+        "vec_id", "embedding")
+      Similarity.ivfQueryIndex(s, path,
+        e.where(col("vec_id") % 100 >= 98)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+        k = 8, nProbe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // LSH-pruned near-dup: the pairs q_embedding_neardup finds, minus any
     // whose 40 deterministic sign bits never collide in a band — recall vs
     // the exact query is the spec's concern; the gate pins the bucketing
@@ -340,6 +361,63 @@ object EmbeddingQueries {
         |  WHERE vec_id % 100 < 98),
         |cent AS (SELECT cell, pos, CAST(SUM(xi) AS BIGINT) AS sxi, COUNT(*) AS n
         |  FROM dims GROUP BY cell, pos),
+        |assigned AS (
+        |  SELECT vid, ccell AS acell FROM (
+        |    SELECT d.vid, c.cell AS ccell,
+        |      CAST(CAST(SUM(d.xi * c.sxi) AS BIGINT) AS DOUBLE) / MAX(c.n) AS score,
+        |      ROW_NUMBER() OVER (PARTITION BY d.vid
+        |        ORDER BY CAST(CAST(SUM(d.xi * c.sxi) AS BIGINT) AS DOUBLE) / MAX(c.n) DESC,
+        |                 c.cell ASC) AS rn
+        |    FROM dims d JOIN cent c ON d.pos = c.pos GROUP BY d.vid, c.cell)
+        |  WHERE rn = 1),
+        |qdims AS (
+        |  SELECT vec_id AS qid, i - 1 AS pos,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xi
+        |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS r(i)
+        |  WHERE vec_id % 100 >= 98),
+        |probes AS (
+        |  SELECT qid, ccell FROM (
+        |    SELECT q.qid, c.cell AS ccell,
+        |      ROW_NUMBER() OVER (PARTITION BY q.qid
+        |        ORDER BY CAST(CAST(SUM(q.xi * c.sxi) AS BIGINT) AS DOUBLE) / MAX(c.n) DESC,
+        |                 c.cell ASC) AS rn
+        |    FROM qdims q JOIN cent c ON q.pos = c.pos GROUP BY q.qid, c.cell)
+        |  WHERE rn <= 2),
+        |unitv AS (
+        |  SELECT vec_id AS uid, list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+        |      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))), (a, c) -> a + c))) AS nv
+        |  FROM embeddings),
+        |members AS (
+        |  SELECT u.uid, a.acell, u.nv FROM unitv u JOIN assigned a ON u.uid = a.vid),
+        |sims AS (
+        |  SELECT p.qid AS query_id, m.uid AS neighbor_id,
+        |    list_reduce(list_prepend(0.0, list_transform(list_zip(q.nv, m.nv),
+        |        x -> x[1] * x[2])), (a, x) -> a + x) AS sim
+        |  FROM probes p
+        |  JOIN members m ON m.acell = p.ccell
+        |  JOIN unitv q ON q.uid = p.qid
+        |  WHERE m.uid <> p.qid)
+        |SELECT query_id, neighbor_id, rank, sim FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+        |  FROM sims) WHERE rank <= 8 ORDER BY query_id, rank""".stripMargin,
+
+    // fixed-centroid rebuild: centroids from the base slice (< 90) ONLY;
+    // base ∪ delta (< 98) argmax-assigned against them — what
+    // appendToIvfIndex must be indistinguishable from
+    "q_ivf_append" ->
+      """WITH bdims AS (
+        |  SELECT vec_id AS vid, label AS cell, i - 1 AS pos,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xi
+        |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS r(i)
+        |  WHERE vec_id % 100 < 90),
+        |cent AS (SELECT cell, pos, CAST(SUM(xi) AS BIGINT) AS sxi, COUNT(*) AS n
+        |  FROM bdims GROUP BY cell, pos),
+        |dims AS (
+        |  SELECT vec_id AS vid, i - 1 AS pos,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xi
+        |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS r(i)
+        |  WHERE vec_id % 100 < 98),
         |assigned AS (
         |  SELECT vid, ccell AS acell FROM (
         |    SELECT d.vid, c.cell AS ccell,

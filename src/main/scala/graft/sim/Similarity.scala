@@ -327,6 +327,63 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/cellcounts")
   }
 
+  /** Incremental IVF maintenance: fold a DELTA of new vectors into a
+    * persisted index WITHOUT re-clustering or touching existing postings.
+    * Centroids stay FIXED — the delta is argmax-assigned against the
+    * stored integer centroids by the exact kernel the original build used,
+    * so the appended postings are bit-identical to what a full
+    * `saveIvfIndex` over base ∪ delta would produce GIVEN the same
+    * centroids, and serving results are too (spec-pinned append ≡
+    * rebuild). Cost is ∝ |delta|: one component aggregate over the delta
+    * (overflow-guard max|xi|), one broadcast assignment pass, one postings
+    * append, and a k-row cellcounts rewrite (old counts + delta counts —
+    * the budget guard in `ivfQueryIndex` stays exact). Drifted centroids
+    * degrade RECALL only, never correctness (every vector still lives in
+    * exactly one cell); re-cluster with `saveIvfIndex` when drift
+    * accumulates. Caller contract: append each delta exactly once —
+    * replaying a delta duplicates its postings (dedup upstream by vector
+    * id). Returns the number of vectors appended. */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      delta: DataFrame, idCol: String, vecCol: String,
+      quantScale: Long = 1000000L): Long = {
+    val cent = spark.read.parquet(s"$path/centroids")
+    val cells = collectCentroids(cent)
+    require(cells.nonEmpty, s"empty IVF index at $path — build with saveIvfIndex first")
+    val dims = delta.select(col(idCol).as("vid"),
+      posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .withColumn("xi", floor(col("x").cast("double") * quantScale).cast("long"))
+    val assigned = assignCells(delta, idCol, vecCol, cells, maxAbsXi(dims), quantScale)
+    val posted = withUnitVector(
+        delta.select(col(idCol).as("uid"), col(vecCol).as("v")), "v", "nv")
+      .join(broadcast(assigned), col("uid") === col("vid"))
+      .select(col("uid").as("vid"), col("acell").as("cell"), col("nv").as("nv"))
+    posted.write.mode("append").parquet(s"$path/postings")
+    // merge counts driver-side (k rows + k rows — constant-bounded), then
+    // overwrite: cellcounts cannot be read and overwritten in one plan
+    val deltaCounts = assigned.groupBy(col("acell").as("cell"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // pre-cellcounts (or interrupted-overwrite-emptied) index: seed the
+    // base counts from the postings already on disk — the delta was just
+    // appended, so its contribution is subtracted back out
+    def fromPostings(): Map[Long, Long] =
+      spark.read.parquet(s"$path/postings").groupBy("cell").count()
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1) - deltaCounts.getOrElse(r.getLong(0), 0L))).toMap
+    val baseCounts: Map[Long, Long] =
+      (try {
+        val m = spark.read.parquet(s"$path/cellcounts")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        if (m.nonEmpty) m else fromPostings()
+      } catch { case _: org.apache.spark.sql.AnalysisException => fromPostings() })
+    val merged = (baseCounts.keySet ++ deltaCounts.keySet).toSeq.map(c =>
+      (c, baseCounts.getOrElse(c, 0L) + deltaCounts.getOrElse(c, 0L)))
+    import spark.implicits._
+    merged.toDF("cell", "n").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/cellcounts")
+    deltaCounts.valuesIterator.sum
+  }
+
   /** Serve top-k cosine neighbors for NEW query vectors from a persisted
     * IVF index (`saveIvfIndex`): each query scores against the broadcast
     * mean centroids (tiny, read from `path`/centroids), probes its

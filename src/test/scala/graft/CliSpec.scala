@@ -115,6 +115,42 @@ class CliEndToEndSpec extends AnyFunSuite {
     assert(lines.size == 10, lines.mkString("\n"))
   }
 
+  test("estimate is the default: no flag measures first; --no-estimate restores joindiff") {
+    // flag surface: no --algorithm → the sampled pre-flight; --no-estimate
+    // → plain joindiff; an explicit algorithm always wins over both
+    import graft.api.Graft
+    def algoOf(args: Array[String]): Graft.Algorithm = {
+      val a = Cli.parseArgs(args ++ Array("x", "y", "-k", "k"))
+      a.algorithm match {
+        case "" => if (a.noEstimate) Graft.Algorithm.Auto else Graft.Algorithm.Estimate
+        case "auto" => Graft.Algorithm.Auto
+        case "estimate" => Graft.Algorithm.Estimate
+        case other => fail(s"unexpected $other")
+      }
+    }
+    assert(algoOf(Array()) == Graft.Algorithm.Estimate)
+    assert(algoOf(Array("--no-estimate")) == Graft.Algorithm.Auto)
+    assert(algoOf(Array("--algorithm", "auto")) == Graft.Algorithm.Auto)
+    assert(algoOf(Array("--no-estimate", "--algorithm", "estimate")) == Graft.Algorithm.Estimate)
+    // e2e: BOTH regimes emit the identical rows on the same tables
+    val dir = java.nio.file.Files.createTempDirectory("clinoest").toString
+    (1L to 2000L).map(i => (i, s"v$i")).toDF("k", "v").write.parquet(s"$dir/ta")
+    (1L to 2000L).map(i => (i, if (i % 400 == 0) s"v${i}M" else s"v$i"))
+      .toDF("k", "v").write.parquet(s"$dir/tb")
+    def runWith(extra: String*): Set[String] = {
+      val out = new java.io.ByteArrayOutputStream
+      Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+        Cli.run(Cli.parseArgs(Array(s"$dir/ta", s"$dir/tb", "-k", "k", "--json")
+          ++ extra), spark)
+      }
+      out.toString("UTF-8").linesIterator.filter(_.startsWith("{")).toSet
+    }
+    val defaulted = runWith()           // measured pick (sparse → hashdiff)
+    val plain = runWith("--no-estimate") // single-pass joindiff
+    assert(defaulted == plain && defaulted.size == 10,
+      s"regimes must agree: ${defaulted.size} vs ${plain.size}")
+  }
+
   test("--where scopes both sides; --assume-unique-key skips PK validation") {
     val dir = java.nio.file.Files.createTempDirectory("cliwhere").toString
     // duplicate key k=1 on side a: validation must reject it by default

@@ -299,6 +299,26 @@ class HashDifferSpec extends AnyFunSuite {
     assert(viaHash == viaJoin && viaHash.nonEmpty)
   }
 
+  test("default buckets auto-size from a cheap count via the reference clamp") {
+    // the heuristic itself: one bucket per ~250k rows, clamped [2, 128]
+    // (reference: tests/test_database_types.py:744-745)
+    assert(HashDiffer.autoBuckets(0L) == 2)
+    assert(HashDiffer.autoBuckets(250000L) == 2)
+    assert(HashDiffer.autoBuckets(1000000L) == 4)
+    assert(HashDiffer.autoBuckets(100000000L) == 128)
+    // the default-auto path (buckets omitted) produces the same rows as
+    // an explicit level size, sized from the LARGER side
+    val a = (1L to 300L).map(i => (i, s"v$i")).toDF("k", "s")
+    val b = (1L to 300L).map(i => (i, if (i % 100 == 0) "X" else s"v$i")).toDF("k", "s")
+    val auto = HashDiffer.diff(TableSegment(a, Seq("k")), TableSegment(b, Seq("k")))
+      .select("sign", "k").as[(String, Long)].collect().toSet
+    val explicit = HashDiffer.diff(TableSegment(a, Seq("k")), TableSegment(b, Seq("k")), 16)
+      .select("sign", "k").as[(String, Long)].collect().toSet
+    assert(auto == explicit && auto.size == 6)
+    // the API default rides the same sentinel
+    assert(graft.api.Graft.DiffOptions().buckets == HashDiffer.Auto)
+  }
+
   test("two-level refinement matches single-level and JoinDiffer") {
     import spark.implicits._
     val a = (1L to 400L).map(i => (i, s"v$i")).toDF("k", "s")

@@ -848,6 +848,61 @@ class SimilaritySpec extends AnyFunSuite {
     assert(run(2) == brute)
   }
 
+  test("appendToIvfIndex folds a delta in: serving equals rebuild, centroids fixed, counts exact") {
+    val base = Seq(
+      (1L, Array(1.0f, 0.05f)), (2L, Array(0.98f, 0.1f)),
+      (11L, Array(0.05f, 1.0f)), (12L, Array(0.1f, 0.97f)))
+      .toDF("vec_id", "embedding")
+    val labeled = base.withColumn("cell",
+      when(col("vec_id") < 10L, 0L).otherwise(1L))
+    val path = java.nio.file.Files.createTempDirectory("ivfapp").toString + "/idx"
+    Similarity.saveIvfIndex(labeled, "vec_id", "embedding", "cell", path)
+    val centBefore = spark.read.parquet(s"$path/centroids")
+      .collect().map(_.mkString("|")).toSet
+    // delta: one vector per cluster plus a boundary one
+    val delta = Seq(
+      (3L, Array(0.95f, 0.2f)), (13L, Array(0.2f, 0.95f)), (21L, Array(0.7f, 0.72f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.appendToIvfIndex(spark, path, delta, "vec_id", "embedding") == 3L)
+    // centroids are FIXED — maintenance must never re-cluster
+    assert(spark.read.parquet(s"$path/centroids")
+      .collect().map(_.mkString("|")).toSet == centBefore)
+    // serving ≡ rebuild given fixed centroids: with nProbe = all cells the
+    // index degrades to exact brute force over base ∪ delta, so equality
+    // here pins that every delta vector landed in exactly one cell with a
+    // correctly normalized posting
+    val queries = Seq(
+      (100L, Array(0.99f, 0.15f)), (101L, Array(0.15f, 0.99f)),
+      (102L, Array(0.71f, 0.7f)))
+      .toDF("query_id", "qv")
+    val served = Similarity.ivfQueryIndex(spark, path, queries, k = 4, nProbe = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    val union = base.union(delta)
+    val brute = Similarity.bruteForceTopK(queries,
+        union.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")), k = 4)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(served == brute)
+    assert(served.map(_._2).intersect(Set(3L, 13L, 21L)).nonEmpty,
+      "delta vectors must be servable")
+    // the budget guard's persisted counts stay exact: cellcounts after the
+    // append equal a fresh aggregate of the postings
+    val counts = spark.read.parquet(s"$path/cellcounts")
+      .as[(Long, Long)].collect().toMap
+    val fromPostings = spark.read.parquet(s"$path/postings")
+      .groupBy("cell").count().as[(Long, Long)].collect().toMap
+    assert(counts == fromPostings && counts.values.sum == 7L)
+    // a second append onto the SAME index keeps the invariant (counts are
+    // merged, not overwritten with only the delta's)
+    val delta2 = Seq((4L, Array(0.9f, 0.3f))).toDF("vec_id", "embedding")
+    assert(Similarity.appendToIvfIndex(spark, path, delta2, "vec_id", "embedding") == 1L)
+    val counts2 = spark.read.parquet(s"$path/cellcounts")
+      .as[(Long, Long)].collect().toMap
+    assert(counts2.values.sum == 8L &&
+      counts2 == spark.read.parquet(s"$path/postings")
+        .groupBy("cell").count().as[(Long, Long)].collect().toMap)
+  }
+
   test("semanticDecontaminate flags training vectors near a benchmark vector") {
     val bench = Seq(
       (100L, Array(1.0f, 0.0f, 0.0f)), (101L, Array(0.0f, 1.0f, 0.0f)))
