@@ -640,7 +640,14 @@ object PushdownDiffer {
           // text protocol selects — parity is identical by construction),
           // while Spark reads one partition per leaf predicate, so
           // executors pull ranges in parallel instead of the coordinator
-          // draining one statement at a time. This is the fetch path that
+          // draining one statement at a time. LOOPBACK HAZARD: if the
+          // "remote" is served by THIS Spark application (an in-process
+          // Thrift server), every task slot can end up holding a scan
+          // task blocked on a statement that needs a slot on the same
+          // scheduler — a deadlock, observed live at local[4]. Point the
+          // engine's jdbcSource at None (text drain) for loopback
+          // setups; a real remote warehouse has no such cycle.
+          // This is the fetch path that
           // makes the dense-diff cutover scale: there the "leaves" are
           // most of the table, and a single-threaded text drain would be
           // the new bottleneck. Raw (folded) keys ride along under

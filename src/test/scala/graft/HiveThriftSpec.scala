@@ -21,40 +21,14 @@ class HiveThriftSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       "org.apache.spark.sql.hive.thriftserver.HiveThriftServer2")).isSuccess &&
       scala.util.Try(Class.forName("org.apache.hive.jdbc.HiveDriver")).isSuccess
 
-  // ONE server for the whole suite: HiveServer2's config is baked into the
-  // shared session's hiveconf at first start, so a second startWithContext
-  // in the same JVM silently keeps the old (stopped) port and every
-  // connection is refused. The lazy starts it on demand; afterAll stops it.
-  private var stopServer: Option[() => Unit] = None
-  private lazy val thriftUrl: String = {
-    val port = {
-      val ss = new java.net.ServerSocket(0)
-      try ss.getLocalPort finally ss.close()
-    }
-    spark.conf.set("hive.server2.thrift.port", port.toString)
-    spark.conf.set("hive.server2.thrift.bind.host", "localhost")
-    // the HiveThriftServer2 CLASS is private[thriftserver]; hold a stop
-    // closure instead of the instance
-    val srv = org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
-      .startWithContext(spark.sqlContext)
-    stopServer = Some(() => srv.stop())
-    val props = new java.util.Properties()
-    props.setProperty("user", "anonymous")
-    val url = s"jdbc:hive2://localhost:$port/default"
-    // the server binds asynchronously — poll the socket until it accepts
-    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-    var up = false
-    while (!up) {
-      try { java.sql.DriverManager.getConnection(url, props).close(); up = true }
-      catch {
-        case e: Exception =>
-          if (System.nanoTime() > deadline) throw e
-          Thread.sleep(500)
-      }
-    }
-    url
-  }
-  override def afterAll(): Unit = stopServer.foreach(_())
+  // ONE server per JVM: HiveServer2's config is baked into the shared
+  // session's hiveconf at first start, so a second startWithContext in the
+  // same JVM silently keeps the old (stopped) port and every connection is
+  // refused. The server is therefore owned by a JVM-wide singleton
+  // (ThriftConformanceSpec.url — the conformance kit shares the same
+  // socket) and deliberately never stopped mid-run.
+  private def thriftUrl: String = ThriftConformanceSpec.url(spark)
+  override def afterAll(): Unit = ()
 
   test("pushdown diff end to end over a live HiveServer2 Thrift socket") {
     assume(thriftAvailable, "no thrift server / hive-jdbc on the classpath")
