@@ -572,6 +572,347 @@ object Multimodal {
     }
   }
 
+  /** REAL MP4 / ISO-BMFF CONTAINER support, pure JVM — ISO/IEC 14496-12
+    * box structure parsed from the spec, no codec libraries. What is real:
+    * the box walk (32/64-bit sizes, unknown boxes skipped), `ftyp` brand,
+    * `mvhd`/`mdhd` timing (v0 and v1), `tkhd` 16.16 geometry, `stsd`
+    * sample-entry fourcc, and the `stts`/`stsz`/`stsc`/`stco`/`co64`
+    * sample tables EXPANDED to exact per-sample byte ranges — so the
+    * frame-sampling stage slices true sample payloads out of `mdat` by
+    * offset, the way a production keyframe sampler seeks, without ever
+    * decoding them. What stays stubbed: turning an H.264/H.265 NAL
+    * payload into a raster needs a codec the JDK does not ship — that one
+    * step remains behind [[MediaCodec]] (StubCodec by default; production
+    * injects its own), the seam the GIF/PNG/WAV paths prove out with real
+    * decoders. Synthetic fixtures (`synthMp4`) are STRUCTURALLY VALID
+    * MP4 files whose sample bytes follow a formula of (seed, frame,
+    * offset), so the DuckDB oracle reproduces every probed value without
+    * parsing a container — the same trick as the GIF/PNG/WAV gates. */
+  object Mp4Video {
+    import java.io.{ByteArrayOutputStream, DataOutputStream}
+
+    /** Everything the container declares about its (first video) track. */
+    case class Mp4Meta(brand: String, timescale: Long, durationMs: Long,
+        width: Int, height: Int, codec: String,
+        sampleOffsets: Array[Long], sampleSizes: Array[Int],
+        sampleDeltas: Array[Int]) {
+      def nSamples: Int = sampleSizes.length
+    }
+
+    // ---- writer (synthetic, structurally valid fixtures) ----------------
+    private def beInt(v: Int): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    private def beShort(v: Int): Array[Byte] =
+      Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    private def box(typ: String, parts: Array[Byte]*): Array[Byte] = {
+      val body = parts.foldLeft(Array.emptyByteArray)(_ ++ _)
+      beInt(body.length + 8) ++ typ.getBytes("US-ASCII") ++ body
+    }
+    private def fullBox(typ: String, version: Int, flags: Int,
+        parts: Array[Byte]*): Array[Byte] =
+      box(typ, (beInt((version << 24) | (flags & 0xffffff)) +:
+        parts).toIndexedSeq: _*)
+    private val identityMatrix: Array[Byte] =
+      beInt(0x10000) ++ beInt(0) ++ beInt(0) ++
+      beInt(0) ++ beInt(0x10000) ++ beInt(0) ++
+      beInt(0) ++ beInt(0) ++ beInt(0x40000000)
+
+    /** Byte j of sample f: `(seed*31 + f*17 + j*7) mod 256` — the oracle
+      * formula (GIF-gate style). */
+    def synthSampleByte(seed: Long, f: Int, j: Int): Int =
+      (((seed * 31 + f * 17 + j * 7) % 256 + 256) % 256).toInt
+    /** Size of sample f: 48 + (seed*7 + f*11) mod 48 — varying so the
+      * stsz/stsc/stco expansion is load-bearing, never uniform-stride. */
+    def synthSampleSize(seed: Long, f: Int): Int =
+      48 + (((seed * 7 + f * 11) % 48 + 48) % 48).toInt
+
+    /** Deterministic synthetic MP4: ftyp + mdat + moov with correct
+      * mvhd/tkhd/mdhd timing (25 fps: mvhd ts 1000 / 40 per frame, media
+      * ts 90000 / 3600 per frame), an `avc1` stsd entry (fourcc only — no
+      * avcC config; nothing here encodes), and exact sample tables.
+      * `chunks` > 1 splits samples across mdat chunks round-robin-ish so
+      * the general stsc walk is exercised, not just the one-chunk case. */
+    def synthMp4(seed: Long, nSamples: Int = 6, w: Int = 16, h: Int = 9,
+        chunks: Int = 1): Array[Byte] = {
+      require(nSamples > 0 && chunks > 0 && chunks <= nSamples)
+      val sizes = (0 until nSamples).map(synthSampleSize(seed, _)).toArray
+      val mdatPayload = {
+        val bos = new ByteArrayOutputStream()
+        var f = 0
+        while (f < nSamples) {
+          var j = 0
+          while (j < sizes(f)) { bos.write(synthSampleByte(seed, f, j)); j += 1 }
+          f += 1
+        }
+        bos.toByteArray
+      }
+      val ftyp = box("ftyp", "isom".getBytes("US-ASCII"), beInt(0x200),
+        "isomiso2avc1mp41".getBytes("US-ASCII"))
+      val mdat = box("mdat", mdatPayload)
+      val firstSampleOffset = ftyp.length + 8L
+      // chunking: ceil-split the samples into `chunks` runs
+      val perChunk = (nSamples + chunks - 1) / chunks
+      val chunkSampleCounts =
+        (0 until chunks).map(c => math.min(perChunk, nSamples - c * perChunk))
+          .filter(_ > 0).toArray
+      val chunkOffsets = {
+        var off = firstSampleOffset
+        var s = 0
+        chunkSampleCounts.map { cnt =>
+          val o = off
+          (0 until cnt).foreach { i => off += sizes(s + i) }
+          s += cnt
+          o
+        }
+      }
+      val mvhd = fullBox("mvhd", 0, 0,
+        beInt(0), beInt(0), beInt(1000), beInt(nSamples * 40),
+        beInt(0x10000), beShort(0x100), beShort(0), beInt(0), beInt(0),
+        identityMatrix,
+        beInt(0), beInt(0), beInt(0), beInt(0), beInt(0), beInt(0),
+        beInt(2))
+      val tkhd = fullBox("tkhd", 0, 7,
+        beInt(0), beInt(0), beInt(1), beInt(0), beInt(nSamples * 40),
+        beInt(0), beInt(0), beShort(0), beShort(0), beShort(0), beShort(0),
+        identityMatrix,
+        beInt(w << 16), beInt(h << 16))
+      val mdhd = fullBox("mdhd", 0, 0,
+        beInt(0), beInt(0), beInt(90000), beInt(nSamples * 3600),
+        beShort(0x55c4), beShort(0))
+      val hdlr = fullBox("hdlr", 0, 0,
+        beInt(0), "vide".getBytes("US-ASCII"), beInt(0), beInt(0), beInt(0),
+        "VideoHandler".getBytes("US-ASCII") :+ 0.toByte)
+      val avc1 = box("avc1",
+        new Array[Byte](6), beShort(1),           // reserved, data_ref_index
+        beShort(0), beShort(0), new Array[Byte](12),
+        beShort(w), beShort(h),
+        beInt(0x480000), beInt(0x480000), beInt(0), beShort(1),
+        new Array[Byte](32),                       // compressorname
+        beShort(24), beShort(0xffff))
+      val stsd = fullBox("stsd", 0, 0, beInt(1), avc1)
+      val stts = fullBox("stts", 0, 0, beInt(1), beInt(nSamples), beInt(3600))
+      val stsc = fullBox("stsc", 0, 0, beInt(chunkSampleCounts.length),
+        chunkSampleCounts.zipWithIndex.flatMap { case (cnt, i) =>
+          beInt(i + 1) ++ beInt(cnt) ++ beInt(1) }.toArray)
+      val stsz = fullBox("stsz", 0, 0, beInt(0), beInt(nSamples),
+        sizes.flatMap(beInt))
+      val stco = fullBox("stco", 0, 0, beInt(chunkOffsets.length),
+        chunkOffsets.flatMap(o => beInt(o.toInt)))
+      val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
+      val vmhd = fullBox("vmhd", 0, 1, beShort(0), beShort(0), beShort(0), beShort(0))
+      val dref = fullBox("dref", 0, 0, beInt(1), fullBox("url ", 0, 1))
+      val dinf = box("dinf", dref)
+      val minf = box("minf", vmhd, dinf, stbl)
+      val mdia = box("mdia", mdhd, hdlr, minf)
+      val trak = box("trak", tkhd, mdia)
+      val moov = box("moov", mvhd, trak)
+      ftyp ++ mdat ++ moov
+    }
+
+    // ---- parser ---------------------------------------------------------
+    private final class Cursor(val buf: Array[Byte]) {
+      def u32(off: Long): Long = {
+        val i = off.toInt
+        ((buf(i) & 0xffL) << 24) | ((buf(i + 1) & 0xffL) << 16) |
+          ((buf(i + 2) & 0xffL) << 8) | (buf(i + 3) & 0xffL)
+      }
+      def u64(off: Long): Long = (u32(off) << 32) | u32(off + 4)
+      def u16(off: Long): Int = (((buf(off.toInt) & 0xff) << 8) |
+        (buf(off.toInt + 1) & 0xff))
+      def fourcc(off: Long): String =
+        new String(buf, off.toInt, 4, "US-ASCII")
+    }
+    /** Walk the boxes of [start, end); call f(type, bodyStart, bodyEnd). */
+    private def walk(c: Cursor, start: Long, end: Long)(
+        f: (String, Long, Long) => Unit): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val size0 = c.u32(off)
+        val typ = c.fourcc(off + 4)
+        val (bodyStart, size) =
+          if (size0 == 1) (off + 16, c.u64(off + 8))
+          else if (size0 == 0) (off + 8, end - off) // to end of enclosing box
+          else (off + 8, size0)
+        require(size >= bodyStart - off && off + size <= end,
+          s"corrupt MP4: box $typ size $size at $off exceeds bounds")
+        f(typ, bodyStart, off + size)
+        off += size
+      }
+    }
+
+    /** Parse the container. Throws IllegalArgumentException on anything
+      * that is not a video MP4 (missing moov/trak/sample tables). */
+    def parse(payload: Array[Byte]): Mp4Meta = {
+      val c = new Cursor(payload)
+      var brand = ""
+      var mvhdTs = 0L; var mvhdDur = 0L
+      var width = 0; var height = 0
+      var codec = ""
+      var deltas: Array[Int] = Array.empty
+      var sizes: Array[Int] = Array.empty
+      var stscEntries: Array[(Int, Int)] = Array.empty // (firstChunk, samplesPerChunk)
+      var chunkOffsets: Array[Long] = Array.empty
+      var haveTrak = false
+      walk(c, 0, payload.length) {
+        case ("ftyp", s, _) => brand = c.fourcc(s)
+        case ("moov", moovS, moovE) =>
+          walk(c, moovS, moovE) {
+            case ("mvhd", s, _) =>
+              val v = c.buf(s.toInt) & 0xff
+              if (v == 1) { mvhdTs = c.u32(s + 20); mvhdDur = c.u64(s + 24) }
+              else { mvhdTs = c.u32(s + 12); mvhdDur = c.u32(s + 16) }
+            case ("trak", trakS, trakE) if !haveTrak =>
+              var isVideo = false
+              var w0 = 0; var h0 = 0
+              var codec0 = ""
+              var deltas0: Array[Int] = Array.empty
+              var sizes0: Array[Int] = Array.empty
+              var stsc0: Array[(Int, Int)] = Array.empty
+              var stco0: Array[Long] = Array.empty
+              walk(c, trakS, trakE) {
+                case ("tkhd", s, _) =>
+                  val v = c.buf(s.toInt) & 0xff
+                  val base = if (v == 1) s + 4 + 8 + 8 + 4 + 4 + 8 else s + 4 + 4 + 4 + 4 + 4 + 4
+                  // base is at reserved[8]+layer...: width sits 52 bytes
+                  // after it (8 reserved + 2 layer + 2 alt + 2 volume +
+                  // 2 reserved + 36 matrix)
+                  w0 = (c.u32(base + 52) >> 16).toInt
+                  h0 = (c.u32(base + 56) >> 16).toInt
+                case ("mdia", mdiaS, mdiaE) =>
+                  walk(c, mdiaS, mdiaE) {
+                    case ("hdlr", s, _) =>
+                      isVideo = c.fourcc(s + 8) == "vide"
+                    case ("minf", minfS, minfE) =>
+                      walk(c, minfS, minfE) {
+                        case ("stbl", stblS, stblE) =>
+                          walk(c, stblS, stblE) {
+                            case ("stsd", s, _) =>
+                              if (c.u32(s + 4) > 0) codec0 = c.fourcc(s + 12)
+                            case ("stts", s, _) =>
+                              val n = c.u32(s + 4).toInt
+                              deltas0 = (0 until n).toArray.flatMap { i =>
+                                val cnt = c.u32(s + 8 + i * 8).toInt
+                                val d = c.u32(s + 12 + i * 8).toInt
+                                Array.fill(cnt)(d)
+                              }
+                            case ("stsz", s, _) =>
+                              val fixed = c.u32(s + 4)
+                              val n = c.u32(s + 8).toInt
+                              sizes0 =
+                                if (fixed != 0) Array.fill(n)(fixed.toInt)
+                                else (0 until n).map(i => c.u32(s + 12 + i * 4).toInt).toArray
+                            case ("stsc", s, _) =>
+                              val n = c.u32(s + 4).toInt
+                              stsc0 = (0 until n).map(i =>
+                                (c.u32(s + 8 + i * 12).toInt,
+                                  c.u32(s + 12 + i * 12).toInt)).toArray
+                            case ("stco", s, _) =>
+                              val n = c.u32(s + 4).toInt
+                              stco0 = (0 until n).map(i => c.u32(s + 8 + i * 4)).toArray
+                            case ("co64", s, _) =>
+                              val n = c.u32(s + 4).toInt
+                              stco0 = (0 until n).map(i => c.u64(s + 8 + i * 8)).toArray
+                            case _ =>
+                          }
+                        case _ =>
+                      }
+                    case _ =>
+                  }
+                case _ =>
+              }
+              if (isVideo) {
+                haveTrak = true
+                width = w0; height = h0; codec = codec0
+                deltas = deltas0; sizes = sizes0
+                stscEntries = stsc0; chunkOffsets = stco0
+              }
+            case _ =>
+          }
+        case _ =>
+      }
+      require(haveTrak && sizes.nonEmpty && chunkOffsets.nonEmpty,
+        "not a video MP4: no video trak with sample tables found")
+      // expand stsc runs (firstChunk, samplesPerChunk) over the chunk list
+      // to per-sample absolute offsets
+      val offsets = new Array[Long](sizes.length)
+      var sample = 0
+      var chunk = 0
+      var entry = 0
+      while (chunk < chunkOffsets.length && sample < sizes.length) {
+        while (entry + 1 < stscEntries.length &&
+            chunk + 1 >= stscEntries(entry + 1)._1) entry += 1
+        val spc = stscEntries(entry)._2
+        var off = chunkOffsets(chunk)
+        var i = 0
+        while (i < spc && sample < sizes.length) {
+          offsets(sample) = off
+          off += sizes(sample)
+          sample += 1; i += 1
+        }
+        chunk += 1
+      }
+      require(sample == sizes.length,
+        s"corrupt MP4: stsc/stco cover $sample of ${sizes.length} samples")
+      val durMs = if (mvhdTs > 0) mvhdDur * 1000L / mvhdTs else 0L
+      Mp4Meta(brand, mvhdTs, durMs, width, height, codec,
+        offsets, sizes, deltas)
+    }
+
+    /** The bytes of sample `f`, sliced straight from mdat by the expanded
+      * tables — a real container seek, no decode. */
+    def sampleBytes(payload: Array[Byte], meta: Mp4Meta, f: Int): Array[Byte] =
+      java.util.Arrays.copyOfRange(payload,
+        meta.sampleOffsets(f).toInt, meta.sampleOffsets(f).toInt + meta.sampleSizes(f))
+  }
+
+  /** Attach a REAL (structurally valid) MP4 payload per row, seeded by the
+    * id column; ≥2-chunk layout every 3rd row so the stsc expansion stays
+    * load-bearing in the gate corpus. */
+  def attachMp4Payload(df: DataFrame, idCol: String, nSamples: Int = 6,
+      w: Int = 16, h: Int = 9): Dataset[MediaRow] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .map(id => MediaRow(id, "video/mp4",
+        Mp4Video.synthMp4(id, nSamples, w, h,
+          chunks = if (id % 3 == 0) 2 else 1)))
+  }
+
+  case class Mp4Probe(doc_id: Long, brand: String, duration_ms: Long,
+      width: Int, height: Int, codec: String, n_samples: Int,
+      media_bytes: Long, first_sample_sum: Long)
+
+  /** Container-probe stage over real MP4 payloads: every value comes from
+    * PARSING the box structure — brand, mvhd duration, tkhd geometry, stsd
+    * fourcc, sample count, total sample bytes, and the byte sum of sample
+    * 0 sliced from mdat via the expanded stsz/stsc/stco tables. */
+  def probeMp4(rows: Dataset[MediaRow]): Dataset[Mp4Probe] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.map { r =>
+        val m = Mp4Video.parse(r.payload)
+        val s0 = Mp4Video.sampleBytes(r.payload, m, 0)
+        Mp4Probe(r.doc_id, m.brand, m.durationMs, m.width, m.height, m.codec,
+          m.nSamples, m.sampleSizes.foldLeft(0L)(_ + _),
+          s0.foldLeft(0L)((acc, b) => acc + (b & 0xff)))
+      }
+    }
+  }
+
+  /** Frame sampling over real MP4 containers: every `stride`-th SAMPLE's
+    * true bytes, sliced by offset from mdat — the production keyframe-
+    * sampler dataflow (1→N flatMap generator; decode of the slices stays
+    * behind MediaCodec). */
+  def sampleMp4Frames(rows: Dataset[MediaRow], stride: Int = 2): Dataset[FrameRow] = {
+    import rows.sparkSession.implicits._
+    require(stride > 0, "stride must be positive")
+    rows.flatMap { r =>
+      val m = Mp4Video.parse(r.payload)
+      (0 until m.nSamples by stride).iterator.map(f =>
+        FrameRow(r.doc_id, f.toLong, Mp4Video.sampleBytes(r.payload, m, f)))
+    }
+  }
+
   /** Attach a REAL animated-GIF payload per row, seeded by the id column —
     * encode runs inside tasks, same shape as the PNG/WAV attach stages. */
   def attachVideoPayload(df: DataFrame, idCol: String,

@@ -89,6 +89,34 @@ object MultimodalQueries {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // REAL MP4/ISO-BMFF container probe: every value is parsed from the
+    // box structure of a structurally valid MP4 built inside tasks —
+    // ftyp brand, mvhd duration, tkhd 16.16 geometry, stsd fourcc, and
+    // the stsz/stsc/stco tables expanded to slice sample 0's true bytes
+    // out of mdat (every 3rd doc uses a 2-chunk layout so the stsc walk
+    // is load-bearing). Sample bytes follow a formula of (doc_id, frame,
+    // offset), so the oracle reproduces every probed value without
+    // parsing a container — the GIF/PNG/WAV oracle trick. H.264 payload
+    // DECODE stays behind MediaCodec (the one step the JDK cannot do).
+    "q_mp4_probe" -> ((s, d) =>
+      Multimodal.probeMp4(Multimodal.attachMp4Payload(
+        Tables.load(s, d, "documents").where(col("doc_id") % 10 === 0), "doc_id"))
+        .toDF().orderBy("doc_id")),
+
+    // MP4 frame sampling: every 2nd SAMPLE's true bytes sliced by offset
+    // from mdat via the expanded sample tables — the production
+    // keyframe-sampler dataflow (1→N generator, no decode).
+    "q_mp4_frames" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.sampleMp4Frames(Multimodal.attachMp4Payload(
+        Tables.load(s, d, "documents").where(col("doc_id") % 10 === 0), "doc_id"),
+        stride = 2)
+        .map(fr => (fr.doc_id, fr.frame_idx, fr.frame.length.toLong,
+          fr.frame.foldLeft(0L)((acc, b) => acc + (b & 0xff))))
+        .toDF("doc_id", "frame_idx", "n_bytes", "byte_sum")
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // Perceptual image hashing over REAL decoded PNGs (see
     // Multimodal.dhashImages): every doc gets a genuine 14×8 PNG, the
     // dHash comes from the decoded raster, and the oracle recomputes it
@@ -217,6 +245,27 @@ object MultimodalQueries {
         |  CAST(length(fr) AS BIGINT) AS n_bytes,
         |  CAST(list_sum([ascii(c) for c in string_split(fr, '')]) AS BIGINT) AS byte_sum
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q_mp4_probe" ->
+      """SELECT doc_id, 'isom' AS brand, CAST(240 AS BIGINT) AS duration_ms,
+        |  CAST(16 AS INT) AS width, CAST(9 AS INT) AS height,
+        |  'avc1' AS codec, CAST(6 AS INT) AS n_samples,
+        |  CAST(list_sum(list_transform(range(0, 6),
+        |    f -> 48 + (doc_id*7 + f*11) % 48)) AS BIGINT) AS media_bytes,
+        |  CAST(list_sum(list_transform(range(0, 48 + (doc_id*7) % 48),
+        |    j -> (doc_id*31 + j*7) % 256)) AS BIGINT) AS first_sample_sum
+        |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin,
+
+    "q_mp4_frames" ->
+      """WITH s AS (
+        |  SELECT doc_id, f AS frame_idx, 48 + (doc_id*7 + f*11) % 48 AS n_bytes
+        |  FROM documents, unnest([0, 2, 4]) r(f)
+        |  WHERE doc_id % 10 = 0)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(n_bytes AS BIGINT) AS n_bytes,
+        |  CAST(list_sum(list_transform(range(0, n_bytes),
+        |    j -> (doc_id*31 + frame_idx*17 + j*7) % 256)) AS BIGINT) AS byte_sum
+        |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q_image_dhash" -> (dhashCte + """
         |SELECT doc_id, dhash FROM dh ORDER BY doc_id""".stripMargin),

@@ -1162,6 +1162,43 @@ class SimilaritySpec extends AnyFunSuite {
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = SparkTest.spark
 
+  test("MP4 box parser round-trips the synthetic container exactly, incl. multi-chunk stsc") {
+    import graft.multimodal.Multimodal.Mp4Video
+    for (chunks <- Seq(1, 2, 3)) {
+      val seed = 77L
+      val n = 7
+      val payload = Mp4Video.synthMp4(seed, nSamples = n, w = 32, h = 18, chunks = chunks)
+      val m = Mp4Video.parse(payload)
+      assert(m.brand == "isom" && m.codec == "avc1", s"chunks=$chunks: $m")
+      assert(m.width == 32 && m.height == 18)
+      assert(m.timescale == 1000L && m.durationMs == n * 40L)
+      assert(m.nSamples == n)
+      assert(m.sampleDeltas.toSeq == Seq.fill(n)(3600))
+      assert(m.sampleSizes.toSeq == (0 until n).map(Mp4Video.synthSampleSize(seed, _)))
+      // the expanded stsz/stsc/stco tables must slice the exact sample
+      // bytes out of mdat — this is what makes frame sampling REAL
+      for (f <- 0 until n) {
+        val got = Mp4Video.sampleBytes(payload, m, f)
+        val want = (0 until m.sampleSizes(f))
+          .map(j => Mp4Video.synthSampleByte(seed, f, j).toByte).toArray
+        assert(java.util.Arrays.equals(got, want),
+          s"chunks=$chunks sample $f bytes diverge")
+      }
+      // offsets strictly increase and sit inside the payload
+      assert(m.sampleOffsets.toSeq == m.sampleOffsets.sorted.toSeq)
+      assert(m.sampleOffsets.last + m.sampleSizes.last <= payload.length)
+    }
+  }
+
+  test("MP4 parser refuses non-MP4 and truncated input loudly") {
+    import graft.multimodal.Multimodal.{Mp4Video, synthPng}
+    intercept[IllegalArgumentException](Mp4Video.parse(synthPng(1L)))
+    val ok = Mp4Video.synthMp4(5L)
+    // truncating mid-moov must not silently return partial tables
+    intercept[IllegalArgumentException](
+      Mp4Video.parse(java.util.Arrays.copyOfRange(ok, 0, ok.length - 30)))
+  }
+
   test("image dHash: perceptual distance orders tweak < unrelated; exact dup = 0") {
     import spark.implicits._
     def png(f: (Int, Int) => Int, w: Int = 14, h: Int = 8): Array[Byte] = {
