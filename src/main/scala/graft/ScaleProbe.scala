@@ -286,6 +286,31 @@ object ScaleProbe {
         new PushdownControl())
       require(seeded.levels < arith.levels && seeded.remoteQueries <= arith.remoteQueries,
         s"seeding must save levels on the skewed shape: $seeded vs $arith")
+
+      // ---- remote↔remote on the same snowflake shape ---------------------
+      // NEITHER side Spark-readable: the seeding samples the LARGER ENGINE
+      // (sampleSql ordered by md5-of-key) instead of a local Spark pass —
+      // each saved level here is a checksum round-trip on BOTH engines.
+      import graft.sources.RemoteRemoteDiffer
+      base.createOrReplaceTempView("probe_rr_a")
+      val eng = new SparkViewEngine(spark)
+      val ra = RemoteTable.introspect(eng, "probe_rr_a", Seq("k"), Seq("v"))
+      val rb = RemoteTable.introspect(eng, "probe_pdskew_b", Seq("k"), Seq("v"))
+      def runRR(label: String, ctrl: PushdownControl) = {
+        val stats = time(label) {
+          val (df, st) = RemoteRemoteDiffer.diff(spark, ra, rb, control = ctrl)
+          noop(df)
+          st
+        }
+        println(s"  levels=${stats.levels} queries=${stats.remoteQueries} " +
+          s"probed=${stats.segmentsProbed} rowsFetched=${stats.rowsFetched}")
+        stats
+      }
+      val rrArith = runRR("rr 1M skewed arith", new PushdownControl(quantileSeed = false))
+      val rrSeeded = runRR("rr 1M skewed seeded (the default)", new PushdownControl())
+      require(rrSeeded.levels < rrArith.levels && rrSeeded.remoteQueries < rrArith.remoteQueries,
+        s"remote-remote seeding must save levels AND statements on the skewed " +
+          s"shape: $rrSeeded vs $rrArith")
     }
 
     // ---- sampled diff-rate pre-flight at nRows ---------------------------
