@@ -632,9 +632,12 @@ object Multimodal {
       * ts 90000 / 3600 per frame), an `avc1` stsd entry (fourcc only — no
       * avcC config; nothing here encodes), and exact sample tables.
       * `chunks` > 1 splits samples across mdat chunks round-robin-ish so
-      * the general stsc walk is exercised, not just the one-chunk case. */
+      * the general stsc walk is exercised, not just the one-chunk case.
+      * `moovFirst` emits the web-streaming "faststart" layout (ftyp +
+      * moov + mdat) — the shape where a truncated mdat still box-walks
+      * cleanly and only the sample-range validation can catch it. */
     def synthMp4(seed: Long, nSamples: Int = 6, w: Int = 16, h: Int = 9,
-        chunks: Int = 1): Array[Byte] = {
+        chunks: Int = 1, moovFirst: Boolean = false): Array[Byte] = {
       require(nSamples > 0 && chunks > 0 && chunks <= nSamples)
       val sizes = (0 until nSamples).map(synthSampleSize(seed, _)).toArray
       val mdatPayload = {
@@ -650,13 +653,12 @@ object Multimodal {
       val ftyp = box("ftyp", "isom".getBytes("US-ASCII"), beInt(0x200),
         "isomiso2avc1mp41".getBytes("US-ASCII"))
       val mdat = box("mdat", mdatPayload)
-      val firstSampleOffset = ftyp.length + 8L
       // chunking: ceil-split the samples into `chunks` runs
       val perChunk = (nSamples + chunks - 1) / chunks
       val chunkSampleCounts =
         (0 until chunks).map(c => math.min(perChunk, nSamples - c * perChunk))
           .filter(_ > 0).toArray
-      val chunkOffsets = {
+      def chunkOffsetsFrom(firstSampleOffset: Long): Array[Long] = {
         var off = firstSampleOffset
         var s = 0
         chunkSampleCounts.map { cnt =>
@@ -666,6 +668,7 @@ object Multimodal {
           o
         }
       }
+      def moovFor(chunkOffsets: Array[Long]): Array[Byte] = {
       val mvhd = fullBox("mvhd", 0, 0,
         beInt(0), beInt(0), beInt(1000), beInt(nSamples * 40),
         beInt(0x10000), beShort(0x100), beShort(0), beInt(0), beInt(0),
@@ -706,8 +709,19 @@ object Multimodal {
       val minf = box("minf", vmhd, dinf, stbl)
       val mdia = box("mdia", mdhd, hdlr, minf)
       val trak = box("trak", tkhd, mdia)
-      val moov = box("moov", mvhd, trak)
-      ftyp ++ mdat ++ moov
+      box("moov", mvhd, trak)
+      }
+      if (moovFirst) {
+        // moov's LENGTH is independent of the offset values (fixed-width
+        // ints), so a probe build sizes it and the real build carries the
+        // post-moov mdat offsets
+        val probeLen = moovFor(chunkOffsetsFrom(0L)).length
+        val moov = moovFor(chunkOffsetsFrom(ftyp.length + probeLen + 8L))
+        ftyp ++ moov ++ mdat
+      } else {
+        val moov = moovFor(chunkOffsetsFrom(ftyp.length + 8L))
+        ftyp ++ mdat ++ moov
+      }
     }
 
     // ---- parser ---------------------------------------------------------
@@ -718,8 +732,6 @@ object Multimodal {
           ((buf(i + 2) & 0xffL) << 8) | (buf(i + 3) & 0xffL)
       }
       def u64(off: Long): Long = (u32(off) << 32) | u32(off + 4)
-      def u16(off: Long): Int = (((buf(off.toInt) & 0xff) << 8) |
-        (buf(off.toInt + 1) & 0xff))
       def fourcc(off: Long): String =
         new String(buf, off.toInt, 4, "US-ASCII")
     }
@@ -835,6 +847,8 @@ object Multimodal {
         "not a video MP4: no video trak with sample tables found")
       // expand stsc runs (firstChunk, samplesPerChunk) over the chunk list
       // to per-sample absolute offsets
+      require(stscEntries.nonEmpty,
+        "not a video MP4: stsz/stco present but the stsc table is missing or empty")
       val offsets = new Array[Long](sizes.length)
       var sample = 0
       var chunk = 0
@@ -854,13 +868,26 @@ object Multimodal {
       }
       require(sample == sizes.length,
         s"corrupt MP4: stsc/stco cover $sample of ${sizes.length} samples")
+      // every declared sample range must lie INSIDE the payload: with
+      // moov-before-mdat, a truncated mdat still box-walks cleanly, and
+      // copyOfRange would silently ZERO-PAD the missing tail — wrong
+      // sample bytes with no error. Validate once here so sampleBytes is
+      // a plain slice.
+      var v = 0
+      while (v < sizes.length) {
+        require(offsets(v) >= 0 && offsets(v) + sizes(v) <= payload.length,
+          s"corrupt MP4: sample $v range [${offsets(v)}, ${offsets(v) + sizes(v)}) " +
+            s"exceeds the ${payload.length}-byte payload (truncated mdat?)")
+        v += 1
+      }
       val durMs = if (mvhdTs > 0) mvhdDur * 1000L / mvhdTs else 0L
       Mp4Meta(brand, mvhdTs, durMs, width, height, codec,
         offsets, sizes, deltas)
     }
 
     /** The bytes of sample `f`, sliced straight from mdat by the expanded
-      * tables — a real container seek, no decode. */
+      * tables — a real container seek, no decode (ranges validated against
+      * the payload length at parse time). */
     def sampleBytes(payload: Array[Byte], meta: Mp4Meta, f: Int): Array[Byte] =
       java.util.Arrays.copyOfRange(payload,
         meta.sampleOffsets(f).toInt, meta.sampleOffsets(f).toInt + meta.sampleSizes(f))

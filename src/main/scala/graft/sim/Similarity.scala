@@ -342,7 +342,10 @@ object Similarity {
     * exactly one cell); re-cluster with `saveIvfIndex` when drift
     * accumulates. Caller contract: append each delta exactly once —
     * replaying a delta duplicates its postings (dedup upstream by vector
-    * id). Returns the number of vectors appended. */
+    * id). Writes are ordered so a crash can only leave the budget counts
+    * OVERSTATED (guard-conservative); [[repairIvfCellcounts]] resyncs
+    * them to the postings exactly. Returns the number of vectors
+    * appended. */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       delta: DataFrame, idCol: String, vecCol: String,
       quantScale: Long = 1000000L): Long = {
@@ -357,19 +360,22 @@ object Similarity {
         delta.select(col(idCol).as("uid"), col(vecCol).as("v")), "v", "nv")
       .join(broadcast(assigned), col("uid") === col("vid"))
       .select(col("uid").as("vid"), col("acell").as("cell"), col("nv").as("nv"))
-    posted.write.mode("append").parquet(s"$path/postings")
-    // merge counts driver-side (k rows + k rows — constant-bounded), then
-    // overwrite: cellcounts cannot be read and overwritten in one plan
     val deltaCounts = assigned.groupBy(col("acell").as("cell"))
       .agg(count(lit(1)).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // CRASH-SAFE ORDER: (1) read the base counts from the PRE-append
+    // state, (2) overwrite cellcounts with base + delta, (3) append the
+    // postings. A crash between (2) and (3) leaves counts that OVERSTATE
+    // — the budget guard then refuses too early, never admits a join it
+    // should have blocked (the unsafe direction would be understating).
+    // Re-running a crashed append adds the delta's counts again (more
+    // overstatement, same safe direction); repairIvfCellcounts resyncs
+    // counts to the postings exactly whenever in doubt.
     // pre-cellcounts (or interrupted-overwrite-emptied) index: seed the
-    // base counts from the postings already on disk — the delta was just
-    // appended, so its contribution is subtracted back out
+    // base counts from the postings already on disk
     def fromPostings(): Map[Long, Long] =
       spark.read.parquet(s"$path/postings").groupBy("cell").count()
-        .collect().map(r => r.getLong(0) ->
-          (r.getLong(1) - deltaCounts.getOrElse(r.getLong(0), 0L))).toMap
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val baseCounts: Map[Long, Long] =
       (try {
         val m = spark.read.parquet(s"$path/cellcounts")
@@ -381,8 +387,19 @@ object Similarity {
     import spark.implicits._
     merged.toDF("cell", "n").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/cellcounts")
+    posted.write.mode("append").parquet(s"$path/postings")
     deltaCounts.valuesIterator.sum
   }
+
+  /** Resync the persisted per-cell budget counts to the postings EXACTLY —
+    * one aggregate over the postings. Run after an interrupted
+    * [[appendToIvfIndex]] (whose crash window can leave counts
+    * overstated — safe for the budget guard but drifting) or any manual
+    * surgery on the postings directory. */
+  def repairIvfCellcounts(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    spark.read.parquet(s"$path/postings").groupBy("cell")
+      .agg(count(lit(1)).as("n")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/cellcounts")
 
   /** Serve top-k cosine neighbors for NEW query vectors from a persisted
     * IVF index (`saveIvfIndex`): each query scores against the broadcast

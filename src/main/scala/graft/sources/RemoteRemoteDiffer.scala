@@ -443,19 +443,28 @@ object RemoteRemoteDiffer {
     val leaves = ArrayBuffer.empty[Box]
     val emitted = ArrayBuffer.empty[DataFrame]
     // level-0 seed: the root splits at the larger side's sampled quantiles
-    // (one COUNT per side picks the sampling engine — concurrent, so the
-    // extra cost is one round-trip, the same budget PushdownDiffer's local
-    // count() pays); arithmetic otherwise
+    // (one COUNT per side picks the sampling engine — concurrent with each
+    // other, so the wall cost is one round-trip, the same budget
+    // PushdownDiffer's local count() pays; columnar warehouses answer
+    // COUNT(*) from metadata). A failed COUNT must not kill the diff any
+    // more than a failed sample statement does: the surviving side (or
+    // side a) is sampled, and the sampler's own fallback keeps the
+    // arithmetic split as the floor.
     var frontier: Seq[Box] =
       if (quantileActive) {
         def cnt(t: RemoteTable) = scala.concurrent.Future {
-          t.engine.query(s"SELECT COUNT(*) AS cnt FROM ${t.table}" +
-            t.extraWhereSql.fold("")(e => s" WHERE $e")).head.head.get.trim.toLong
+          scala.util.Try(
+            t.engine.query(s"SELECT COUNT(*) AS cnt FROM ${t.table}" +
+              t.extraWhereSql.fold("")(e => s" WHERE $e")).head.head.get.trim.toLong)
         }
         val (fa, fb) = (cnt(a), cnt(b))
         val (na, nb) = (await(fa), await(fb))
         queries += 2
-        val larger = if (na >= nb) a else b
+        val larger = (na.toOption, nb.toOption) match {
+          case (Some(x), Some(y)) => if (x >= y) a else b
+          case (Some(_), None) => a
+          case (None, _) => b
+        }
         val (byQ, stmts) = quantileSplitAll(larger, Seq(rootBox))
         queries += stmts
         byQ.getOrElse(rootBox, splitBox(rootBox))

@@ -61,10 +61,18 @@ object StreamingDiff {
     * image, so the remote converges identically — but consumers doing
     * sign algebra must treat '+'-without-'-' as upsert, not strict insert.
     * Events at or below the watermark are dropped by the engine before
-    * the state function (the standard stateful-operator contract). */
+    * the state function (the standard stateful-operator contract) — so a
+    * HISTORICAL BACKFILL whose event times are disordered by more than
+    * the watermark (weeks of per-partition file replay) would silently
+    * lose the stragglers. For that regime pass `watermark = null`:
+    * UNBOUNDED legacy mode — no watermark, no TTL, every event processed
+    * regardless of lateness, state grows with the keyspace (the caller
+    * explicitly accepts the 100 TB hazard the default exists to
+    * prevent). */
   def continuousDiff(rows: Dataset[KeyedRow], watermark: String = "24 hours",
       ttlMs: Long = 86400000L): Dataset[DiffEvent] = {
     import rows.sparkSession.implicits._
+    if (watermark == null) return continuousDiffUnbounded(rows)
     rows
       .withWatermark("ts", watermark)
       .groupByKey(_.key)
@@ -111,6 +119,36 @@ object StreamingDiff {
           }
           out.iterator
           }
+      }
+  }
+
+  /** The pre-TTL semantics, kept for historical backfills (see
+    * [[continuousDiff]]'s watermark doc): NoTimeout, no watermark, every
+    * event processed however late — state grows with the keyspace. */
+  private def continuousDiffUnbounded(rows: Dataset[KeyedRow]): Dataset[DiffEvent] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState[String, DiffEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, it: Iterator[KeyedRow], state: GroupState[String]) =>
+          val sorted = it.toSeq.sortBy(r => usOf(r.ts))
+          val out = scala.collection.mutable.ArrayBuffer.empty[DiffEvent]
+          var last = state.getOption
+          for (r <- sorted) {
+            if (r.payload == null) {
+              last.foreach(old => out += DiffEvent("-", key, old, out.size.toLong))
+              last = None
+            } else if (!last.contains(r.payload)) {
+              last.foreach(old => out += DiffEvent("-", key, old, out.size.toLong))
+              out += DiffEvent("+", key, r.payload, out.size.toLong)
+              last = Some(r.payload)
+            }
+          }
+          last match {
+            case Some(p) => state.update(p)
+            case None => if (state.exists) state.remove()
+          }
+          out.iterator
       }
   }
 

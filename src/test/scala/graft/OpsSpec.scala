@@ -901,6 +901,15 @@ class SimilaritySpec extends AnyFunSuite {
     assert(counts2.values.sum == 8L &&
       counts2 == spark.read.parquet(s"$path/postings")
         .groupBy("cell").count().as[(Long, Long)].collect().toMap)
+    // a crashed append can leave the counts OVERSTATED (the safe
+    // direction — the budget guard refuses early, never admits a blow-up);
+    // repairIvfCellcounts must resync them to the postings exactly
+    Seq((0L, 999L), (1L, 999L)).toDF("cell", "n")
+      .write.mode("overwrite").parquet(s"$path/cellcounts")
+    Similarity.repairIvfCellcounts(spark, path)
+    assert(spark.read.parquet(s"$path/cellcounts").as[(Long, Long)].collect().toMap ==
+      spark.read.parquet(s"$path/postings")
+        .groupBy("cell").count().as[(Long, Long)].collect().toMap)
   }
 
   test("semanticDecontaminate flags training vectors near a benchmark vector") {
@@ -1197,6 +1206,26 @@ class MultimodalSpec extends AnyFunSuite {
     // truncating mid-moov must not silently return partial tables
     intercept[IllegalArgumentException](
       Mp4Video.parse(java.util.Arrays.copyOfRange(ok, 0, ok.length - 30)))
+    // faststart (moov-BEFORE-mdat) with a cut-short mdat: an explicit
+    // mdat size lets the box walk catch the truncation, but live-capture
+    // files write size==0 ("to end of file") — there the walk parses the
+    // truncated file CLEANLY and only the sample-range validation stands
+    // between the caller and silently zero-padded sample bytes
+    val fast = Mp4Video.synthMp4(5L, moovFirst = true)
+    val mf = Mp4Video.parse(fast) // intact faststart layout parses…
+    assert(java.util.Arrays.equals(Mp4Video.sampleBytes(fast, mf, 0),
+      Mp4Video.sampleBytes(ok, Mp4Video.parse(ok), 0)),
+      "faststart layout must carry the same sample bytes")
+    val mdatAt = (0 until fast.length - 4).find(i =>
+      fast(i) == 'm' && fast(i + 1) == 'd' && fast(i + 2) == 'a' && fast(i + 3) == 't').get - 4
+    val openEnded = fast.clone()
+    openEnded(mdatAt) = 0; openEnded(mdatAt + 1) = 0
+    openEnded(mdatAt + 2) = 0; openEnded(mdatAt + 3) = 0
+    val mo = Mp4Video.parse(openEnded) // size-0 mdat parses when intact
+    assert(mo.nSamples == mf.nSamples)
+    val e = intercept[IllegalArgumentException](Mp4Video.parse(
+      java.util.Arrays.copyOfRange(openEnded, 0, openEnded.length - 10)))
+    assert(e.getMessage.contains("truncated mdat"), e.getMessage)
   }
 
   test("image dHash: perceptual distance orders tweak < unrelated; exact dup = 0") {
@@ -1668,6 +1697,26 @@ class StreamingDiffSpec extends AnyFunSuite {
     assert(key1.count(e => e.sign == "+" && e.payload == "a") == 2,
       s"pre- and post-eviction inserts expected, got $got")
     assert(!key1.exists(_.sign == "-"), s"eviction must not emit a CDC delete: $got")
+  }
+
+  test("continuousDiff watermark=null: unbounded legacy mode keeps weeks-late events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingDiff.KeyedRow]
+    val q = StreamingDiff.continuousDiff(input.toDS(), watermark = null)
+      .writeStream.format("memory").queryName("cunb").outputMode("append").start()
+    def row(k: Long, p: String, t: Long) = StreamingDiff.KeyedRow(k, p, new java.sql.Timestamp(t))
+    input.addData(row(1, "a", 100L * 86400000L)) // day 100
+    q.processAllAvailable()
+    // ~100 days EARLIER than the max seen event time: any watermark would
+    // drop this before the state function — the backfill regime the
+    // unbounded mode exists for
+    input.addData(row(2, "b", 86400000L))
+    q.processAllAvailable()
+    val got = spark.table("cunb").as[StreamingDiff.DiffEvent].collect().toSet
+    q.stop()
+    assert(got == Set(
+      StreamingDiff.DiffEvent("+", 1, "a", 0), StreamingDiff.DiffEvent("+", 2, "b", 0)))
   }
 
   test("hash-state continuous diff: replay suppressed, '-' carries null, repair converges") {
