@@ -48,6 +48,8 @@ object ParseTime {
 /** CLI mirroring the reference's surface (reference: data_diff/__main__.py):
   *
   *   graft.cli.Cli SOURCE_A SOURCE_B -k key[,key2] [-c col1,col2]
+  *     (-c accepts LIKE wildcards: % any run, ? one char — reference
+  *     --columns semantics; a pattern matching nothing errors)
   *     [--algorithm auto|joindiff|hashdiff|estimate] [--no-estimate]
   *     [--stats] [--json] [--limit N]
   *     [--ignore col1,col2] [--update-column col --min-age 1d --max-age 1h]
@@ -142,6 +144,39 @@ object Cli {
       // path-world analogue composes the prod base as <database>[/<schema>])
       prodDatabase: Option[String] = None,
       prodSchema: Option[String] = None)
+
+  /** The reference's `--columns` wildcard expansion (match_like:
+    * utils.py:362-367, applied at __main__.py:439-461): `%` matches any
+    * run of characters, `?` exactly one; a pattern that matches NOTHING
+    * in the available columns is an error (silently comparing fewer
+    * columns than asked is a false-clean hazard). Literal names pass
+    * through untouched; matches keep the available-column order, deduped
+    * across patterns. Case folds unless `caseSensitive`. */
+  def expandColumnPatterns(patterns: Seq[String], available: Seq[String],
+      caseSensitive: Boolean): Seq[String] = {
+    def fold(s: String) =
+      if (caseSensitive) s else s.toLowerCase(java.util.Locale.ROOT)
+    val out = scala.collection.mutable.LinkedHashSet.empty[String]
+    patterns.foreach { p =>
+      if (!p.contains("%") && !p.contains("?")) out += p
+      else {
+        val sb = new StringBuilder
+        // fold BEFORE quoting — lowercasing a built regex would corrupt
+        // the \Q…\E quoting markers
+        fold(p).foreach {
+          case '%' => sb.append(".*")
+          case '?' => sb.append(".")
+          case ch => sb.append(java.util.regex.Pattern.quote(ch.toString))
+        }
+        val re = java.util.regex.Pattern.compile(sb.toString)
+        val matched = available.filter(c => re.matcher(fold(c)).matches())
+        if (matched.isEmpty) throw new IllegalArgumentException(
+          s"Column '$p' not found in the table (wildcards: % = any run, ? = one character)")
+        out ++= matched
+      }
+    }
+    out.toSeq
+  }
 
   def parseArgs(argv: Array[String]): Args = {
     def split(s: String) = s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -249,8 +284,22 @@ object Cli {
       val now = java.time.Instant.now()
       def ageBound(age: Option[String]) =
         age.map(s => java.sql.Timestamp.from(now.minus(ParseTime.parseTimeDelta(s))))
+      // -c patterns with % / ? expand against the actual schema before any
+      // segment is built (reference: --columns through match_like); keys
+      // and the update column never re-enter through a wildcard
+      val colsHaveWildcards = a.cols.exists(p => p.contains("%") || p.contains("?"))
+      def expandCols(available: => Seq[String]): Seq[String] =
+        if (!colsHaveWildcards) a.cols
+        else expandColumnPatterns(a.cols, available, a.caseSensitive)
+          .filterNot(c => a.keys.exists(k =>
+            if (a.caseSensitive) k == c else k.equalsIgnoreCase(c)))
+          .filterNot(c => a.updateColumn.contains(c))
       def segment(src: String) = {
-        val seg = Graft.connectToTable(spark, src, a.keys, a.cols)
+        val segCols =
+          if (!colsHaveWildcards) a.cols
+          else expandCols(
+            Graft.connectToTable(spark, src, a.keys, Nil).relevantCols)
+        val seg = Graft.connectToTable(spark, src, a.keys, segCols)
           .copy(updateCol = a.updateColumn,
             // --min-age: only rows OLDER than the delta → upper bound on update ts
             maxUpdate = ageBound(a.minAge), minUpdate = ageBound(a.maxAge))
@@ -363,10 +412,11 @@ object Cli {
           val (engA, engB) = (engineFor(dbA), engineFor(dbB))
           try {
             // without -c the column list comes from side A's own catalog
-            val compare = (if (a.cols.nonEmpty) a.cols
-              else engA.query(engA.profile.tableSchemaSql(tA))
-                .flatMap(engA.profile.parseSchemaRow).map(_.name)
-                .filterNot(a.keys.contains))
+            // (wildcard -c patterns expand against the same catalog)
+            def catalogA = engA.query(engA.profile.tableSchemaSql(tA))
+              .flatMap(engA.profile.parseSchemaRow).map(_.name).toSeq
+            val compare = (if (a.cols.nonEmpty) expandCols(catalogA)
+              else catalogA.filterNot(a.keys.contains))
               .filterNot(a.ignore.contains)
             remoteTotalA = Some(remoteCount(engA, tA))
             Graft.diffRemotes(spark, engA, tA, engB, tB, a.keys, compare.toSeq,
@@ -376,7 +426,7 @@ object Cli {
         case (None, Some((db, table))) =>
           val eng = engineFor(db)
           try {
-            val compare = (if (a.cols.nonEmpty) a.cols
+            val compare = (if (a.cols.nonEmpty) expandCols(segA.relevantCols)
                            else segA.relevantCols.filterNot(a.keys.contains))
               .filterNot(a.ignore.contains)
             // the real-user path: the remote's schema is introspected from
@@ -392,7 +442,7 @@ object Cli {
           val eng = engineFor(db)
           try {
             val segB = segment(a.sourceB)
-            val compare = (if (a.cols.nonEmpty) a.cols
+            val compare = (if (a.cols.nonEmpty) expandCols(segB.relevantCols)
                            else segB.relevantCols.filterNot(a.keys.contains))
               .filterNot(a.ignore.contains)
             remoteTotalA = Some(remoteCount(eng, table))
@@ -458,7 +508,7 @@ object Cli {
         case (None, Some((db, table))) =>
           val eng = engineFor(db)
           try {
-            val compare = (if (a.cols.nonEmpty) a.cols
+            val compare = (if (a.cols.nonEmpty) expandCols(segA.relevantCols)
                            else segA.relevantCols.filterNot(a.keys.contains))
               .filterNot(a.ignore.contains)
             val truth = segA.scoped.select(

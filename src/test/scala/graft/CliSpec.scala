@@ -115,6 +115,43 @@ class CliEndToEndSpec extends AnyFunSuite {
     assert(lines.size == 10, lines.mkString("\n"))
   }
 
+  test("-c wildcards expand like the reference's --columns (match_like)") {
+    // unit semantics: % any run, ? one char, order preserved, deduped,
+    // loud on no-match, case-insensitive unless asked otherwise
+    val avail = Seq("o_orderkey", "o_custkey", "o_orderstatus", "note", "Note2")
+    assert(Cli.expandColumnPatterns(Seq("o_%"), avail, caseSensitive = false) ==
+      Seq("o_orderkey", "o_custkey", "o_orderstatus"))
+    assert(Cli.expandColumnPatterns(Seq("note?"), avail, caseSensitive = false) ==
+      Seq("Note2"))
+    assert(Cli.expandColumnPatterns(Seq("NOTE%", "o_cust%"), avail, caseSensitive = false) ==
+      Seq("note", "Note2", "o_custkey"))
+    intercept[IllegalArgumentException]( // case-sensitive: NOTE% matches nothing
+      Cli.expandColumnPatterns(Seq("NOTE%"), avail, caseSensitive = true))
+    assert(Cli.expandColumnPatterns(Seq("literal_name"), avail, caseSensitive = false) ==
+      Seq("literal_name")) // literals pass through untouched
+    intercept[IllegalArgumentException](
+      Cli.expandColumnPatterns(Seq("zz%"), avail, caseSensitive = false))
+    // e2e: a wildcard -c equals the explicit spelling, keys never re-enter
+    val dir = java.nio.file.Files.createTempDirectory("cliwild").toString
+    (1L to 500L).map(i => (i, s"a$i", s"b$i", i * 1.5)).toDF("k", "va", "vb", "other")
+      .write.parquet(s"$dir/ta")
+    (1L to 500L).map(i => (i, if (i % 100 == 0) s"a${i}X" else s"a$i", s"b$i", i * 1.5))
+      .toDF("k", "va", "vb", "other").write.parquet(s"$dir/tb")
+    def runWith(c: String): Set[String] = {
+      val out = new java.io.ByteArrayOutputStream
+      Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+        Cli.run(Cli.parseArgs(Array(s"$dir/ta", s"$dir/tb", "-k", "k",
+          "-c", c, "--json")), spark)
+      }
+      out.toString("UTF-8").linesIterator.filter(_.startsWith("{")).toSet
+    }
+    val viaWildcard = runWith("v%")
+    val viaExplicit = runWith("va,vb")
+    assert(viaWildcard == viaExplicit && viaWildcard.size == 10,
+      s"${viaWildcard.size} vs ${viaExplicit.size}")
+    intercept[IllegalArgumentException](runWith("nosuch%"))
+  }
+
   test("estimate is the default: no flag measures first; --no-estimate restores joindiff") {
     // flag surface: no --algorithm → the sampled pre-flight; --no-estimate
     // → plain joindiff; an explicit algorithm always wins over both
