@@ -186,23 +186,23 @@ object Cli {
       case "-k" :: v :: t => go(t, a.copy(keys = split(v)), positional)
       case "-c" :: v :: t => go(t, a.copy(cols = split(v)), positional)
       case "--ignore" :: v :: t => go(t, a.copy(ignore = split(v)), positional)
-      case "--algorithm" :: v :: t => go(t, a.copy(algorithm = v), positional)
-      case "--stats" :: t => go(t, a.copy(stats = true), positional)
-      case "--interactive" :: t => go(t, a.copy(interactive = true), positional)
+      case ("-a" | "--algorithm") :: v :: t => go(t, a.copy(algorithm = v), positional)
+      case ("-s" | "--stats") :: t => go(t, a.copy(stats = true), positional)
+      case ("-i" | "--interactive") :: t => go(t, a.copy(interactive = true), positional)
       case "--bisection-factor" :: v :: t => go(t, a.copy(bisectionFactor = v.toInt), positional)
       case "--bisection-threshold" :: v :: t => go(t, a.copy(bisectionThreshold = v.toInt), positional)
       case "--quantile-seed" :: t => go(t, a.copy(quantileSeed = true), positional)
       case "--no-quantile-seed" :: t => go(t, a.copy(quantileSeed = false), positional)
       case "--no-estimate" :: t => go(t, a.copy(noEstimate = true), positional)
       case "--json" :: t => go(t, a.copy(json = true), positional)
-      case "--limit" :: v :: t => go(t, a.copy(limit = Some(v.toInt)), positional)
-      case "--update-column" :: v :: t => go(t, a.copy(updateColumn = Some(v)), positional)
+      case ("-l" | "--limit") :: v :: t => go(t, a.copy(limit = Some(v.toInt)), positional)
+      case ("-t" | "--update-column") :: v :: t => go(t, a.copy(updateColumn = Some(v)), positional)
       case "--min-age" :: v :: t => go(t, a.copy(minAge = Some(v)), positional)
       case "--max-age" :: v :: t => go(t, a.copy(maxAge = Some(v)), positional)
-      case "--materialize" :: v :: t => go(t, a.copy(materialize = Some(v)), positional)
+      case ("-m" | "--materialize" | "--materialize-to-table") :: v :: t => go(t, a.copy(materialize = Some(v)), positional)
       case "--conf" :: v :: t => go(t, a.copy(conf = Some(v)), positional)
       case "--run" :: v :: t => go(t, a.copy(run = Some(v)), positional)
-      case "--where" :: v :: t => go(t, a.copy(where = Some(v)), positional)
+      case ("-w" | "--where") :: v :: t => go(t, a.copy(where = Some(v)), positional)
       case "--assume-unique-key" :: t => go(t, a.copy(assumeUniqueKey = true), positional)
       case "--sample-exclusive-rows" :: t => go(t, a.copy(sampleExclusiveRows = true), positional)
       case "--materialize-all-rows" :: t => go(t, a.copy(materializeAllRows = true), positional)
@@ -216,7 +216,7 @@ object Cli {
       // and parallelism is the cluster scheduler's job, not a CLI knob
       // (reference: --no-tracking, --threads N)
       case "--no-tracking" :: t => go(t, a, positional)
-      case "--threads" :: _ :: t => go(t, a, positional)
+      case ("-j" | "--threads") :: _ :: t => go(t, a, positional)
       case "--dbt" :: t => go(t, a.copy(dbt = true), positional)
       case "--dbt-project-dir" :: v :: t => go(t, a.copy(dbtProjectDir = v), positional)
       case "--dbt-dev-base" :: v :: t => go(t, a.copy(dbtDevBase = Some(v)), positional)

@@ -32,6 +32,21 @@ class CliArgsSpec extends AnyFunSuite {
     assert(a.ignore == Seq("noisy") && a.updateColumn.contains("ts") && a.minAge.contains("1d"))
   }
 
+  test("reference short aliases parse: -a -s -i -l -t -m -w -j") {
+    // a reference user's muscle memory must keep working (reference:
+    // __main__.py short options)
+    val a = Cli.parseArgs(Array("/a", "/b", "-k", "id", "-a", "hashdiff",
+      "-s", "-l", "7", "-t", "updated_at", "-m", "/out", "-w", "id > 5",
+      "-j", "4"))
+    assert(a.algorithm == "hashdiff" && a.stats && a.limit.contains(7))
+    assert(a.updateColumn.contains("updated_at") && a.materialize.contains("/out"))
+    assert(a.where.contains("id > 5")) // -j/--threads accepted and ignored
+    assert(Cli.parseArgs(Array("/a", "/b", "-k", "id", "-i")).interactive)
+    // --materialize-to-table is the reference's long spelling
+    assert(Cli.parseArgs(Array("/a", "/b", "-k", "id",
+      "--materialize-to-table", "x")).materialize.contains("x"))
+  }
+
   test("bisection knobs parse with the reference defaults") {
     val d = Cli.parseArgs(Array("/a", "/b", "-k", "id"))
     assert(d.bisectionFactor == 32 && d.bisectionThreshold == 16384)
