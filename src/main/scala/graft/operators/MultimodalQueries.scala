@@ -149,6 +149,20 @@ object MultimodalQueries {
       Multimodal.ahashAudio(Multimodal.attachAudioPayload(
         Tables.load(s, d, "documents"), "doc_id", nSamples = 245))
         .toDF().orderBy("doc_id")),
+
+    // Perceptual AUDIO near-dup — the aHash pairing through the same
+    // pigeonhole Hamming block join image dedup uses (never all-pairs):
+    // recordings whose loudness envelopes differ in ≤3 gradient bits.
+    // 10×-decimated like the other codec gates; the oracle brute-forces
+    // all pairs from the replayed sample formula and must match exactly
+    // (recall 1.0 by the pigeonhole principle).
+    "q_audio_neardup" -> ((s, d) =>
+      graft.dedup.Dedup.hammingNearDup(
+        Multimodal.ahashAudio(Multimodal.attachAudioPayload(
+          Tables.load(s, d, "documents").where(col("doc_id") % 10 === 0),
+          "doc_id", nSamples = 245)).toDF(),
+        "doc_id", "ahash", maxHamming = 3, bits = 48)
+        .orderBy("doc_a", "doc_b")),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -277,20 +291,34 @@ object MultimodalQueries {
         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
         |ORDER BY 1, 2""".stripMargin),
 
-    "q_audio_ahash" ->
-      """WITH s AS (
-        |  SELECT doc_id, i // 5 AS w,
-        |    abs((doc_id*31 + i*7919) % 65536 - 32768) AS a
-        |  FROM documents, range(245) r(i)),
-        |e AS (SELECT doc_id, w, SUM(a) AS en FROM s GROUP BY 1, 2),
-        |bits AS (
-        |  SELECT a.doc_id,
-        |    CASE WHEN b.en > a.en THEN (1::BIGINT << a.w) ELSE 0 END AS v
-        |  FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.w = a.w + 1
-        |  WHERE a.w < 48)
-        |SELECT doc_id, CAST(SUM(v) AS BIGINT) AS ahash
-        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_audio_ahash" -> (ahashCte("") + """
+        |SELECT doc_id, ahash FROM ah ORDER BY doc_id""".stripMargin),
+
+    "q_audio_neardup" -> (ahashCte(" WHERE doc_id % 10 = 0") + """
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+        |FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+        |ORDER BY 1, 2""".stripMargin),
   )
+
+  /** SQL replay of the synthetic WAV → PCM → 49 energy windows → 48
+    * loudness-gradient bits pipeline (`Multimodal.ahashAudio` over
+    * `synthWav` samples) as a CTE ending in ah(doc_id, ahash); `where`
+    * scopes the doc corpus (the near-dup gate decimates). */
+  private def ahashCte(where: String) =
+    s"""WITH s AS (
+       |  SELECT doc_id, i // 5 AS w,
+       |    abs((doc_id*31 + i*7919) % 65536 - 32768) AS a
+       |  FROM documents, range(245) r(i)$where),
+       |e AS (SELECT doc_id, w, SUM(a) AS en FROM s GROUP BY 1, 2),
+       |bits AS (
+       |  SELECT a.doc_id,
+       |    CASE WHEN b.en > a.en THEN (1::BIGINT << a.w) ELSE 0 END AS v
+       |  FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+       |  WHERE a.w < 48),
+       |ah AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS ahash
+       |  FROM bits GROUP BY doc_id)""".stripMargin
 
   /** SQL replay of the 14×8 synthetic image → gray → 2×1 box → gradient
     * dHash pipeline (`Multimodal.dhashImages` over `synthPng` pixels):
