@@ -206,44 +206,47 @@ object Multimodal {
     * the DuckDB oracle reproduces the hash from the pixel formula without
     * decoding a PNG — a match proves the real `javax.imageio` decode
     * round-tripped every pixel. Map-only, zero shuffles. */
+  /** The dHash kernel over one decoded raster — shared by the image
+    * signature and the per-frame video signature. */
+  private[multimodal] def dhashOf(img: java.awt.image.BufferedImage): Long = {
+    val gw = img.getWidth / 2
+    val gh = img.getHeight
+    // the hash is ONE long: more than 64 gradient bits would wrap the
+    // shift distance (JVM long shifts take distance mod 64) and OR
+    // later gradients back onto bits 0..N — a silently garbage
+    // signature (a 16×16 image is already 7×16 = 112 bits). Width
+    // must give at least one 2-pixel column.
+    require(img.getWidth >= 2, s"dhash needs width >= 2, got ${img.getWidth}")
+    require((gw - 1).toLong * gh <= 64,
+      s"dhash grid ${gw - 1}x$gh = ${(gw - 1) * gh} gradient bits exceeds " +
+        "the 64-bit hash: resize the payload first (w=14,h=8 gives the " +
+        "standard 48 bits)")
+    def gray(x: Int, y: Int): Int = {
+      val p = img.getRGB(x, y)
+      (((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255)) / 3
+    }
+    var hash = 0L
+    var bit = 0
+    var y = 0
+    while (y < gh) {
+      var x = 0
+      var prev = (gray(0, y) + gray(1, y)) / 2
+      while (x < gw - 1) {
+        val curr = (gray(2 * (x + 1), y) + gray(2 * (x + 1) + 1, y)) / 2
+        if (curr > prev) hash |= 1L << bit
+        bit += 1
+        prev = curr
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
   def dhashImages(rows: Dataset[MediaRow]): Dataset[ImageHash] = {
     import rows.sparkSession.implicits._
     rows.mapPartitions { it =>
-      it.map { r =>
-        val img = ImageIoCodec.decode(r.payload)
-        val gw = img.getWidth / 2
-        val gh = img.getHeight
-        // the hash is ONE long: more than 64 gradient bits would wrap the
-        // shift distance (JVM long shifts take distance mod 64) and OR
-        // later gradients back onto bits 0..N — a silently garbage
-        // signature (a 16×16 image is already 7×16 = 112 bits). Width
-        // must give at least one 2-pixel column.
-        require(img.getWidth >= 2, s"dhash needs width >= 2, got ${img.getWidth}")
-        require((gw - 1).toLong * gh <= 64,
-          s"dhash grid ${gw - 1}x$gh = ${(gw - 1) * gh} gradient bits exceeds " +
-            "the 64-bit hash: resize the payload first (w=14,h=8 gives the " +
-            "standard 48 bits)")
-        def gray(x: Int, y: Int): Int = {
-          val p = img.getRGB(x, y)
-          (((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255)) / 3
-        }
-        var hash = 0L
-        var bit = 0
-        var y = 0
-        while (y < gh) {
-          var x = 0
-          var prev = (gray(0, y) + gray(1, y)) / 2
-          while (x < gw - 1) {
-            val curr = (gray(2 * (x + 1), y) + gray(2 * (x + 1) + 1, y)) / 2
-            if (curr > prev) hash |= 1L << bit
-            bit += 1
-            prev = curr
-            x += 1
-          }
-          y += 1
-        }
-        ImageHash(r.doc_id, hash)
-      }
+      it.map(r => ImageHash(r.doc_id, dhashOf(ImageIoCodec.decode(r.payload))))
     }
   }
 
@@ -568,6 +571,20 @@ object Multimodal {
           }
           (f, img.getWidth, img.getHeight, sum, cs)
         }
+      } finally { iis.close(); reader.reset() }
+    }
+
+    /** Per-frame dHash signatures from a real container decode — the
+      * frame-level input to the temporal-majority video signature. */
+    def decodeFrameHashes(payload: Array[Byte]): Seq[Long] = {
+      val reader = readerTL.get()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        require(n > 0, s"javax.imageio found no GIF frames in a ${payload.length}-byte payload")
+        (0 until n).map(f => dhashOf(reader.read(f)))
       } finally { iis.close(); reader.reset() }
     }
   }
@@ -962,6 +979,41 @@ object Multimodal {
       GifVideo.decodeFrames(r.payload).map { case (f, w, h, sum, cs) =>
         VideoFrameFeatures(r.doc_id, f, w, h, sum, cs)
       }
+    }
+  }
+
+  case class VideoHash(doc_id: Long, vhash: Long)
+
+  /** TEMPORAL-MAJORITY video signature: dHash each decoded frame, then
+    * set bit b of the video hash when MORE THAN HALF the frames set it —
+    * a whole-clip perceptual signature that tolerates a few edited/
+    * corrupted frames where a first-frame keyframe hash would not, and
+    * stays deterministic integer math end to end (the oracle replays it
+    * from the pixel formula). Same 48-bit shape as the image/audio/text
+    * signatures, so [[graft.dedup.Dedup.hammingNearDup]]'s pigeonhole
+    * block join pairs videos with identical parameters — the video leg of
+    * the perceptual-dedup triad. Map-only; scales with cores like the
+    * other codec kernels. */
+  /** Per-bit strict majority over frame signatures (ties clear the bit) —
+    * the fold that makes the clip hash tolerate a MINORITY of edited or
+    * corrupted frames. */
+  def majorityHash(hs: Seq[Long]): Long = {
+    var vh = 0L
+    var b = 0
+    while (b < 64) {
+      var c = 0
+      hs.foreach(h => if (((h >>> b) & 1L) == 1L) c += 1)
+      if (2 * c > hs.size) vh |= 1L << b
+      b += 1
+    }
+    vh
+  }
+
+  def vhashVideos(rows: Dataset[MediaRow]): Dataset[VideoHash] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.map(r => VideoHash(r.doc_id,
+        majorityHash(GifVideo.decodeFrameHashes(r.payload))))
     }
   }
 

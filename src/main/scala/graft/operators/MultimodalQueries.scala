@@ -150,6 +150,26 @@ object MultimodalQueries {
         Tables.load(s, d, "documents"), "doc_id", nSamples = 245))
         .toDF().orderBy("doc_id")),
 
+    // Perceptual VIDEO near-dup — the third leg of the dedup triad: every
+    // decoded GIF frame dHashes (real container parse + raster decode),
+    // the temporal MAJORITY of each bit forms the clip signature, and the
+    // same pigeonhole Hamming block join pairs clips within 3 bits. The
+    // oracle replays frame pixels from the generating formula through the
+    // identical integer pipeline — brute-forced pairs must match exactly.
+    "q_video_vhash" -> ((s, d) =>
+      Multimodal.vhashVideos(Multimodal.attachVideoPayload(
+        Tables.load(s, d, "documents").where(col("doc_id") % 10 === 0),
+        "doc_id", w = 14, h = 8, nFrames = 4))
+        .toDF().orderBy("doc_id")),
+
+    "q_video_neardup" -> ((s, d) =>
+      graft.dedup.Dedup.hammingNearDup(
+        Multimodal.vhashVideos(Multimodal.attachVideoPayload(
+          Tables.load(s, d, "documents").where(col("doc_id") % 10 === 0),
+          "doc_id", w = 14, h = 8, nFrames = 4)).toDF(),
+        "doc_id", "vhash", maxHamming = 3, bits = 48)
+        .orderBy("doc_a", "doc_b")),
+
     // Perceptual AUDIO near-dup — the aHash pairing through the same
     // pigeonhole Hamming block join image dedup uses (never all-pairs):
     // recordings whose loudness envelopes differ in ≤3 gradient bits.
@@ -291,6 +311,16 @@ object MultimodalQueries {
         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
         |ORDER BY 1, 2""".stripMargin),
 
+    "q_video_vhash" -> (vhashCte + """
+        |SELECT doc_id, vhash FROM vh ORDER BY doc_id""".stripMargin),
+
+    "q_video_neardup" -> (vhashCte + """
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.vhash, b.vhash)) AS BIGINT) AS hamming
+        |FROM vh a JOIN vh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.vhash, b.vhash)) <= 3
+        |ORDER BY 1, 2""".stripMargin),
+
     "q_audio_ahash" -> (ahashCte("") + """
         |SELECT doc_id, ahash FROM ah ORDER BY doc_id""".stripMargin),
 
@@ -301,6 +331,30 @@ object MultimodalQueries {
         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
         |ORDER BY 1, 2""".stripMargin),
   )
+
+  /** SQL replay of the 14×8×4-frame GIF → per-frame dHash →
+    * temporal-majority pipeline (`Multimodal.vhashVideos` over `synthGif`
+    * pixels — gray of frame f at (x, y) is
+    * (id·31 + f·17 + x·7 + y·13) mod 256, identity palette) as a CTE
+    * ending in vh(doc_id, vhash); 10×-decimated like the Spark gate. */
+  private def vhashCte =
+    """WITH cells AS (
+      |  SELECT doc_id, f, y, cx,
+      |    ( (doc_id*31 + f*17 + (2*cx)*7 + y*13) % 256
+      |    + (doc_id*31 + f*17 + (2*cx+1)*7 + y*13) % 256 ) // 2 AS cv
+      |  FROM documents, range(4) rf(f), range(7) rcx(cx), range(8) ry(y)
+      |  WHERE doc_id % 10 = 0),
+      |vbits AS (
+      |  SELECT a.doc_id, a.f, (a.y*6 + a.cx) AS bit,
+      |    CASE WHEN b.cv > a.cv THEN 1 ELSE 0 END AS v
+      |  FROM cells a JOIN cells b
+      |    ON a.doc_id = b.doc_id AND a.f = b.f AND a.y = b.y AND b.cx = a.cx + 1
+      |  WHERE a.cx < 6),
+      |maj AS (
+      |  SELECT doc_id, bit, CASE WHEN 2*SUM(v) > 4 THEN 1 ELSE 0 END AS mv
+      |  FROM vbits GROUP BY 1, 2),
+      |vh AS (SELECT doc_id, CAST(SUM(mv * (1::BIGINT << bit)) AS BIGINT) AS vhash
+      |  FROM maj GROUP BY 1)""".stripMargin
 
   /** SQL replay of the synthetic WAV → PCM → 49 energy windows → 48
     * loudness-gradient bits pipeline (`Multimodal.ahashAudio` over

@@ -1228,6 +1228,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("truncated mdat"), e.getMessage)
   }
 
+  test("video vHash: strict per-bit majority tolerates a minority of edited frames") {
+    import graft.multimodal.Multimodal
+    val a = 0xF0F0F0F0F0F0L
+    val b = ~a & 0xFFFFFFFFFFFFL
+    // 3-of-4 frames agree → the odd frame cannot flip any bit
+    assert(Multimodal.majorityHash(Seq(a, a, a, b)) == a)
+    // 2-2 tie → strict majority clears every contested bit
+    assert(Multimodal.majorityHash(Seq(a, a, b, b)) == 0L)
+    // unanimous passes through; empty is zero (no frames set nothing)
+    assert(Multimodal.majorityHash(Seq(a, a)) == a)
+    assert(Multimodal.majorityHash(Nil) == 0L)
+    // end to end: real GIF decode per frame, majority = manual fold
+    val payload = Multimodal.GifVideo.synthGif(9L, w = 14, h = 8, nFrames = 4)
+    val frames = Multimodal.GifVideo.decodeFrameHashes(payload)
+    assert(frames.size == 4)
+    import spark.implicits._
+    val got = Multimodal.vhashVideos(
+      Seq(Multimodal.MediaRow(9L, "image/gif", payload)).toDS()).collect().head
+    assert(got.vhash == Multimodal.majorityHash(frames))
+  }
+
   test("image dHash: perceptual distance orders tweak < unrelated; exact dup = 0") {
     import spark.implicits._
     def png(f: (Int, Int) => Int, w: Int = 14, h: Int = 8): Array[Byte] = {
