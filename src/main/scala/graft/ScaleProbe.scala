@@ -157,6 +157,17 @@ object ScaleProbe {
         graft.multimodal.Multimodal.attachImagePayload(
           spark.range(100000).select(col("id").as("doc_id")), "doc_id",
           w = 14, h = 8)).toDF()))
+    // MP4 container parsing throughput: 100k structurally valid MP4s
+    // written + box-walked + sample-table-expanded + every 2nd sample
+    // sliced out of mdat inside tasks — pure-JVM integer work, map-only
+    time("mp4 probe+frameSample 100k")(
+      noop {
+        import spark.implicits._
+        val media = graft.multimodal.Multimodal.attachMp4Payload(
+          spark.range(100000).select(col("id").as("doc_id")), "doc_id")
+        graft.multimodal.Multimodal.sampleMp4Frames(media, stride = 2)
+          .map(fr => fr.frame.length.toLong).toDF("n")
+      })
 
     // ---- funnel + retention at ~30× the events fixture -------------------
     // nRows/10 events over nRows/600 users (~100 events/user), five event
