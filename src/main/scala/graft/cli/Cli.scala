@@ -288,18 +288,39 @@ object Cli {
       // segment is built (reference: --columns through match_like); keys
       // and the update column never re-enter through a wildcard
       val colsHaveWildcards = a.cols.exists(p => p.contains("%") || p.contains("?"))
+      def sameName(x: String, y: String): Boolean =
+        if (a.caseSensitive) x == y else x.equalsIgnoreCase(y)
       def expandCols(available: => Seq[String]): Seq[String] =
         if (!colsHaveWildcards) a.cols
-        else expandColumnPatterns(a.cols, available, a.caseSensitive)
-          .filterNot(c => a.keys.exists(k =>
-            if (a.caseSensitive) k == c else k.equalsIgnoreCase(c)))
-          .filterNot(c => a.updateColumn.contains(c))
+        else {
+          val expanded = expandColumnPatterns(a.cols, available, a.caseSensitive)
+            .filterNot(c => a.keys.exists(sameName(_, c)))
+            .filterNot(c => a.updateColumn.exists(sameName(_, c)))
+          // an expansion that nets NOTHING must refuse, never fall through:
+          // empty extraCols means "all non-key columns" downstream
+          // (TableSegment.relevantCols' convenience default), which would
+          // silently compare columns the user never selected
+          if (expanded.isEmpty) throw new IllegalArgumentException(
+            s"-c ${a.cols.mkString(",")} matched only key/update columns — " +
+              "nothing left to compare. Name value columns, or drop -c to " +
+              "compare every non-key column.")
+          expanded
+        }
       def segment(src: String) = {
-        val segCols =
-          if (!colsHaveWildcards) a.cols
-          else expandCols(
-            Graft.connectToTable(spark, src, a.keys, Nil).relevantCols)
-        val seg = Graft.connectToTable(spark, src, a.keys, segCols)
+        // ONE connect per source: under wildcards the same segment re-scopes
+        // to the expanded list (a second connectToTable would re-infer csv
+        // schemas / re-issue jdbc schema round-trips just to read columns)
+        val base = Graft.connectToTable(spark, src, a.keys, Nil)
+        // literal -c names are validated against the schema here, like the
+        // reference (match_like errors on ANY --columns argument not
+        // found) — the alternative is an opaque resolver error mid-plan
+        a.cols.filterNot(p => p.contains("%") || p.contains("?")).foreach { c =>
+          require(base.relevantCols.exists(sameName(_, c)),
+            s"Column '$c' not found in $src. Columns: ${base.relevantCols.mkString(", ")}")
+        }
+        val seg =
+          if (a.cols.isEmpty) base
+          else base.copy(extraCols = expandCols(base.relevantCols))
           .copy(updateCol = a.updateColumn,
             // --min-age: only rows OLDER than the delta → upper bound on update ts
             maxUpdate = ageBound(a.minAge), minUpdate = ageBound(a.maxAge))

@@ -196,18 +196,11 @@ object Multimodal {
 
   case class ImageHash(doc_id: Long, dhash: Long)
 
-  /** Perceptual difference-hash (dHash) over the DECODED raster — the
-    * image-dedup signature: integer grayscale `(r+g+b) div 3` per pixel,
-    * 2×1 box average down to a (w/2)×h grid, one bit per horizontal
-    * gradient (`right neighbor brighter`), row-major LSB-first. On the
-    * standard 14×8 synthetic payloads that is a 7×8 grid → 48 bits, so the
-    * hash feeds `Dedup.hammingNearDup` with the same 12-bit-block
-    * parameters as the text SimHash. All-integer arithmetic end to end:
-    * the DuckDB oracle reproduces the hash from the pixel formula without
-    * decoding a PNG — a match proves the real `javax.imageio` decode
-    * round-tripped every pixel. Map-only, zero shuffles. */
   /** The dHash kernel over one decoded raster — shared by the image
-    * signature and the per-frame video signature. */
+    * signature and the per-frame video signature: integer grayscale
+    * `(r+g+b) div 3` per pixel, 2×1 box average down to a (w/2)×h grid,
+    * one bit per horizontal gradient (`right neighbor brighter`),
+    * row-major LSB-first. */
   private[multimodal] def dhashOf(img: java.awt.image.BufferedImage): Long = {
     val gw = img.getWidth / 2
     val gh = img.getHeight
@@ -243,6 +236,14 @@ object Multimodal {
     hash
   }
 
+  /** Perceptual difference-hash (dHash) over the DECODED raster — the
+    * image-dedup signature ([[dhashOf]] per payload). On the standard
+    * 14×8 synthetic payloads that is a 7×8 grid → 48 bits, so the hash
+    * feeds `Dedup.hammingNearDup` with the same 12-bit-block parameters
+    * as the text SimHash. All-integer arithmetic end to end: the DuckDB
+    * oracle reproduces the hash from the pixel formula without decoding a
+    * PNG — a match proves the real `javax.imageio` decode round-tripped
+    * every pixel. Map-only, zero shuffles. */
   def dhashImages(rows: Dataset[MediaRow]): Dataset[ImageHash] = {
     import rows.sparkSession.implicits._
     rows.mapPartitions { it =>
@@ -542,11 +543,19 @@ object Multimodal {
       bos.toByteArray
     }
 
-    /** Parse a GIF container and decode every frame — the real 1→N frame
-      * extraction a video pipeline runs. Returns (frame_idx, width, height,
-      * gray-level sum, rolling checksum over row-major gray levels — the
-      * same (·131 mod 1e9+7) fold as the other codecs). */
-    def decodeFrames(payload: Array[Byte]): Seq[(Int, Int, Int, Long, Long)] = {
+    /** Walk every frame COMPOSITED onto the logical screen and hand the
+      * canvas to `f` — the ONE reader protocol both extraction paths
+      * share. Real-world "optimized" GIFs store later frames as delta
+      * sub-rects at an (left, top) offset; hashing or summarizing those
+      * raw rects would compare incompatible geometries (and a 1-pixel
+      * rect would crash the dHash kernel), so each frame draws onto a
+      * persistent canvas at its declared offset. Disposal: none /
+      * doNotDispose accumulate (also the fallback for the rare
+      * restoreToPrevious); restoreToBackgroundColor clears the frame's
+      * rect to black after its snapshot, per the GIF89a contract. */
+    private def readComposited[T](payload: Array[Byte])(
+        f: java.awt.image.BufferedImage => T): Seq[T] = {
+      import javax.imageio.metadata.IIOMetadataNode
       val reader = readerTL.get()
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
@@ -554,38 +563,129 @@ object Multimodal {
         reader.setInput(iis)
         val n = reader.getNumImages(true)
         require(n > 0, s"javax.imageio found no GIF frames in a ${payload.length}-byte payload")
-        (0 until n).map { f =>
-          val img = reader.read(f)
-          var sum = 0L
-          var cs = 0L
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              val v = img.getRGB(x, y) & 0xff // grayscale: R==G==B==index
-              sum += v
-              cs = (cs * 131 + v) % 1000000007L
-              x += 1
-            }
-            y += 1
-          }
-          (f, img.getWidth, img.getHeight, sum, cs)
+        def attr(node: org.w3c.dom.Node, name: String, dflt: String): String = {
+          val a = node.getAttributes
+          Option(if (a == null) null else a.getNamedItem(name))
+            .map(_.getNodeValue).getOrElse(dflt)
         }
+        def childNamed(root: org.w3c.dom.Node, name: String): Option[org.w3c.dom.Node] = {
+          var c = root.getFirstChild
+          while (c != null && c.getNodeName != name) c = c.getNextSibling
+          Option(c)
+        }
+        // logical screen from the stream metadata; frame 0's own size is
+        // the fallback when a stripped stream omits the descriptor
+        val first = reader.read(0)
+        val (sw, sh) =
+          (try {
+            val root = reader.getStreamMetadata.getAsTree("javax_imageio_gif_stream_1.0")
+            childNamed(root, "LogicalScreenDescriptor").map(d =>
+              (attr(d, "logicalScreenWidth", "0").toInt,
+                attr(d, "logicalScreenHeight", "0").toInt))
+              .filter(d => d._1 > 0 && d._2 > 0)
+              .getOrElse((first.getWidth, first.getHeight))
+          } catch { case _: Exception => (first.getWidth, first.getHeight) })
+        val canvas = new java.awt.image.BufferedImage(
+          sw, sh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = canvas.createGraphics()
+        try {
+          (0 until n).map { fr =>
+            val img = if (fr == 0) first else reader.read(fr)
+            val md = reader.getImageMetadata(fr).getAsTree("javax_imageio_gif_image_1.0")
+            val (left, top) = childNamed(md, "ImageDescriptor").map(d =>
+              (attr(d, "imageLeftPosition", "0").toInt,
+                attr(d, "imageTopPosition", "0").toInt)).getOrElse((0, 0))
+            val disposal = childNamed(md, "GraphicControlExtension")
+              .map(attr(_, "disposalMethod", "none")).getOrElse("none")
+            g.drawImage(img, left, top, null)
+            val out = f(canvas)
+            if (disposal == "restoreToBackgroundColor") {
+              g.setColor(java.awt.Color.BLACK)
+              g.fillRect(left, top, img.getWidth, img.getHeight)
+            }
+            out
+          }
+        } finally g.dispose()
       } finally { iis.close(); reader.reset() }
     }
 
+    /** Parse a GIF container and decode every frame — the real 1→N frame
+      * extraction a video pipeline runs, with delta-rect frames
+      * COMPOSITED onto the logical screen (see [[readComposited]]).
+      * Returns (frame_idx, width, height, gray-level sum, rolling
+      * checksum over row-major gray levels — the same (·131 mod 1e9+7)
+      * fold as the other codecs). */
+    def decodeFrames(payload: Array[Byte]): Seq[(Int, Int, Int, Long, Long)] = {
+      var f = -1
+      readComposited(payload) { img =>
+        f += 1
+        var sum = 0L
+        var cs = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val v = img.getRGB(x, y) & 0xff // grayscale: R==G==B==index
+            sum += v
+            cs = (cs * 131 + v) % 1000000007L
+            x += 1
+          }
+          y += 1
+        }
+        (f, img.getWidth, img.getHeight, sum, cs)
+      }
+    }
+
     /** Per-frame dHash signatures from a real container decode — the
-      * frame-level input to the temporal-majority video signature. */
-    def decodeFrameHashes(payload: Array[Byte]): Seq[Long] = {
-      val reader = readerTL.get()
-      val iis = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(payload))
+      * frame-level input to the temporal-majority video signature; frames
+      * hash as full composited screens, so delta-rect clips compare on a
+      * consistent bit grid. */
+    def decodeFrameHashes(payload: Array[Byte]): Seq[Long] =
+      readComposited(payload)(dhashOf)
+
+    /** A real "optimized" GIF for the compositing specs: frame 0 is a
+      * full screen; every later frame is a SUB-RECT at an offset (the
+      * delta encoding real encoders emit), pixel value
+      * (seed·31 + f·17 + x·7 + y·13) mod 256 in FRAME-LOCAL coords. */
+    def synthDeltaGif(seed: Long, w: Int = 14, h: Int = 8, nFrames: Int = 4,
+        rectW: Int = 4, rectH: Int = 3): Array[Byte] = {
+      val writer = writerTL.get()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
       try {
-        reader.setInput(iis)
-        val n = reader.getNumImages(true)
-        require(n > 0, s"javax.imageio found no GIF frames in a ${payload.length}-byte payload")
-        (0 until n).map(f => dhashOf(reader.read(f)))
-      } finally { iis.close(); reader.reset() }
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nFrames) {
+          val (fw, fh) = if (f == 0) (w, h) else (rectW, rectH)
+          val img = synthFrame(seed, f, fw, fh)
+          val md = writer.getDefaultImageMetadata(
+            new javax.imageio.ImageTypeSpecifier(img), null)
+          val fmt = md.getNativeMetadataFormatName
+          val root = md.getAsTree(fmt).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          val gce = new javax.imageio.metadata.IIOMetadataNode("GraphicControlExtension")
+          gce.setAttribute("disposalMethod", "doNotDispose")
+          gce.setAttribute("userInputFlag", "FALSE")
+          gce.setAttribute("transparentColorFlag", "FALSE")
+          gce.setAttribute("delayTime", "10")
+          gce.setAttribute("transparentColorIndex", "0")
+          root.appendChild(gce)
+          if (f > 0) {
+            // offset the delta rect: ImageDescriptor carries the position
+            var c = root.getFirstChild
+            while (c != null && c.getNodeName != "ImageDescriptor") c = c.getNextSibling
+            require(c != null, "GIF writer metadata lacks ImageDescriptor")
+            val d = c.asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+            d.setAttribute("imageLeftPosition", ((f * 3) % (w - rectW)).toString)
+            d.setAttribute("imageTopPosition", ((f * 2) % (h - rectH)).toString)
+          }
+          md.setFromTree(fmt, root)
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, md), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+      } finally { ios.close(); writer.reset() }
+      bos.toByteArray
     }
   }
 
@@ -984,16 +1084,6 @@ object Multimodal {
 
   case class VideoHash(doc_id: Long, vhash: Long)
 
-  /** TEMPORAL-MAJORITY video signature: dHash each decoded frame, then
-    * set bit b of the video hash when MORE THAN HALF the frames set it —
-    * a whole-clip perceptual signature that tolerates a few edited/
-    * corrupted frames where a first-frame keyframe hash would not, and
-    * stays deterministic integer math end to end (the oracle replays it
-    * from the pixel formula). Same 48-bit shape as the image/audio/text
-    * signatures, so [[graft.dedup.Dedup.hammingNearDup]]'s pigeonhole
-    * block join pairs videos with identical parameters — the video leg of
-    * the perceptual-dedup triad. Map-only; scales with cores like the
-    * other codec kernels. */
   /** Per-bit strict majority over frame signatures (ties clear the bit) —
     * the fold that makes the clip hash tolerate a MINORITY of edited or
     * corrupted frames. */
@@ -1009,6 +1099,16 @@ object Multimodal {
     vh
   }
 
+  /** TEMPORAL-MAJORITY video signature: dHash each decoded (composited)
+    * frame, then set bit b of the video hash when MORE THAN HALF the
+    * frames set it — a whole-clip perceptual signature that tolerates a
+    * few edited/corrupted frames where a first-frame keyframe hash would
+    * not, and stays deterministic integer math end to end (the oracle
+    * replays it from the pixel formula). Same 48-bit shape as the
+    * image/audio/text signatures, so [[graft.dedup.Dedup.hammingNearDup]]'s
+    * pigeonhole block join pairs videos with identical parameters — the
+    * video leg of the perceptual-dedup triad. Map-only; scales with cores
+    * like the other codec kernels. */
   def vhashVideos(rows: Dataset[MediaRow]): Dataset[VideoHash] = {
     import rows.sparkSession.implicits._
     rows.mapPartitions { it =>

@@ -165,6 +165,23 @@ class CliEndToEndSpec extends AnyFunSuite {
     assert(viaWildcard == viaExplicit && viaWildcard.size == 10,
       s"${viaWildcard.size} vs ${viaExplicit.size}")
     intercept[IllegalArgumentException](runWith("nosuch%"))
+    // a pattern matching ONLY the key must refuse — empty extraCols means
+    // "all columns" downstream, the silent opposite of what was asked
+    val e = intercept[IllegalArgumentException](runWith("k%"))
+    assert(e.getMessage.contains("matched only key"), e.getMessage)
+    // literal typos error like the reference's match_like, not mid-plan
+    val e2 = intercept[IllegalArgumentException](runWith("vaa"))
+    assert(e2.getMessage.contains("not found"), e2.getMessage)
+    // the update column cannot re-enter through a wildcard even when its
+    // -t casing differs from the catalog's (default case-insensitive)
+    val out3 = new java.io.ByteArrayOutputStream
+    Console.withOut(new java.io.PrintStream(out3, true, "UTF-8")) {
+      Cli.run(Cli.parseArgs(Array(s"$dir/ta", s"$dir/tb", "-k", "k",
+        "-c", "%", "-t", "OTHER", "--json")), spark)
+    }
+    val lines3 = out3.toString("UTF-8").linesIterator.filter(_.startsWith("{")).toSeq
+    assert(lines3.size == 10 && !lines3.exists(_.contains("\"other\"")),
+      s"update column leaked into the compare set: ${lines3.take(2)}")
   }
 
   test("estimate is the default: no flag measures first; --no-estimate restores joindiff") {

@@ -1249,6 +1249,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.vhash == Multimodal.majorityHash(frames))
   }
 
+  test("optimized (delta-rect) GIFs composite onto the logical screen before hashing") {
+    import graft.multimodal.Multimodal
+    // real-world optimized GIFs store later frames as sub-rects at an
+    // offset: raw-rect hashing would crash on narrow rects or compare
+    // incompatible bit grids — compositing must keep every frame a full
+    // 14×8 screen and the clip pair-able with itself
+    val payload = Multimodal.GifVideo.synthDeltaGif(11L, w = 14, h = 8,
+      nFrames = 4, rectW = 4, rectH = 3)
+    val frames = Multimodal.GifVideo.decodeFrames(payload)
+    assert(frames.size == 4)
+    assert(frames.forall { case (_, w, h, _, _) => w == 14 && h == 8 },
+      s"every composited frame reports the logical screen size: $frames")
+    // frame 0 covers the screen; frame 1's canvas = frame 0 overdrawn by
+    // the 4×3 rect at (3, 2) — its gray sum must differ from BOTH frame
+    // 0's and a standalone full frame 1's
+    val full = Multimodal.GifVideo.decodeFrames(
+      Multimodal.GifVideo.synthGif(11L, w = 14, h = 8, nFrames = 2))
+    assert(frames(1)._4 != frames(0)._4 && frames(1)._4 != full(1)._4)
+    // the hash path rides the same compositing — no crash, 4 signatures
+    val hs = Multimodal.GifVideo.decodeFrameHashes(payload)
+    assert(hs.size == 4)
+    // and an identical clip is an exact dup of itself end to end
+    assert(Multimodal.majorityHash(hs) ==
+      Multimodal.majorityHash(Multimodal.GifVideo.decodeFrameHashes(payload)))
+  }
+
   test("image dHash: perceptual distance orders tweak < unrelated; exact dup = 0") {
     import spark.implicits._
     def png(f: (Int, Int) => Int, w: Int = 14, h: Int = 8): Array[Byte] = {
