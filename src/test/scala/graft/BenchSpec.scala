@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench bookkeeping helpers that `--repin` / bench_best.json
+  * depend on. Pure string-level tests — no SparkSession needed. */
+class BenchSpec extends AnyFunSuite {
+
+  test("parseGateTimes reads every gate, including non-q_ names") {
+    val json =
+      """{"metric":"total","value":1.5,"unit":"sec","gates":3,""" +
+        """"queries":{"q1_agg":0.5,"q_topk":0.25,"q5_region_revenue":0.75},""" +
+        """"sf":"/root/testdata/sf0.1","detail":"bench_last.json"}"""
+    val parsed = Bench.parseGateTimes(json)
+    assert(parsed === Map(
+      "q1_agg" -> 0.5, "q_topk" -> 0.25, "q5_region_revenue" -> 0.75))
+  }
+
+  test("parseGateTimes ignores envelope keys and non-numeric values") {
+    val json = """{"queries":{"q_a":1.0},"sf":"/x","quux":"notanumber"}"""
+    assert(Bench.parseGateTimes(json) === Map("q_a" -> 1.0))
+  }
+
+  test("parseGateTimes handles scientific notation") {
+    val parsed = Bench.parseGateTimes("""{"q_fast":9.5E-4,"q_slow":1.2e2}""")
+    assert(parsed("q_fast") === 9.5e-4)
+    assert(parsed("q_slow") === 120.0)
+  }
+
+  test("parseGateTimes round-trips the best-file format") {
+    val best =
+      """{"metric":"best","value":0.73,"unit":"sec","sf":"/root/testdata/sf0.1",""" +
+        """"queries":{"q1_agg":0.48,"q_hashdiff":0.25}}"""
+    assert(Bench.parseGateTimes(best) === Map("q1_agg" -> 0.48, "q_hashdiff" -> 0.25))
+  }
+}
