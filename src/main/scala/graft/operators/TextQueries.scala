@@ -39,6 +39,40 @@ object TextQueries {
         (col("logit_centi") > 0).as("flag_keep"))
   }
 
+  /** BPE encode over a corpus with a ranked merge table: collect the
+    * (bounded) merge list, ship it as a real `Broadcast` — one copy per
+    * executor — and run the codegen'd [[graft.functions.BpeEncode]]
+    * expression map-only over the corpus. The corpus never shuffles; the
+    * only driver materialization is the vocab itself, bounded by LIMIT
+    * before collect so a mis-wired corpus-sized "merge table" fails loudly
+    * instead of OOMing the driver. */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      mergesDf: DataFrame): DataFrame = {
+    val cap = 1 << 20
+    val rows = mergesDf.orderBy("rank").select("left", "right")
+      .limit(cap + 1).collect()
+    require(rows.length <= cap,
+      s"merge table exceeds $cap rows — not a vocab; refusing to broadcast")
+    val arr = rows.map(r => (r.getString(0), r.getString(1)))
+    val table = graft.functions.BpeTable.broadcast(
+      df.sparkSession.sparkContext.broadcast(arr))
+    val bpe = graft.functions.BpeEncode.encode(col(textCol), table)
+    df.select(col(idCol).as("doc_id"), bpe.as("bpe_text"))
+      .withColumn("n_bpe_tokens",
+        when(col("bpe_text") === "", lit(0L))
+          .otherwise(size(split(col("bpe_text"), " ")).cast("long")))
+      .select(col("doc_id"), col("n_bpe_tokens"), col("bpe_text"))
+  }
+
+  /** The q_bpe_encode fixture vocab: ten merges over common English
+    * letter pairs, ordered so every compound side is created before it is
+    * used (th→the, an→and, in→ing) — i.e. a well-formed BPE table, which
+    * is what makes the greedy loop ≡ the oracle's ascending replace chain
+    * (see BpeEncode scaladoc). */
+  val BpeFixtureMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("i", "n"), ("a", "n"), ("e", "r"), ("o", "n"),
+    ("th", "e"), ("an", "d"), ("in", "g"), ("e", "s"), ("o", "r"))
+
   val queries: Map[String, Q] = Map(
     "q_token_count" -> ((s, d) =>
       docs(s, d).select(
@@ -388,6 +422,20 @@ object TextQueries {
         .orderBy("rnk")
     }),
 
+    // BPE merge APPLICATION — the other half of the tokenizer:
+    // q_bpe_pairs learns merge statistics, this gate spends a learned
+    // vocab, encoding every document with the ten-merge fixture table
+    // through the broadcast + codegen'd expression path. The oracle
+    // replays the ascending-rank pass form as a replace() chain over a
+    // char-wrapped encoding (equivalence argued in BpeEncode's scaladoc,
+    // property-pinned in BpeEncodeSpec).
+    "q_bpe_encode" -> ((s, d) => {
+      val merges = BpeFixtureMerges.zipWithIndex
+        .map { case ((l, r), i) => (i, l, r) }
+      val mergesDf = s.createDataFrame(merges).toDF("rank", "left", "right")
+      bpeEncode(docs(s, d), "doc_id", "text", mergesDf).orderBy("doc_id")
+    }),
+
     // Incremental SimHash pairing: the %43 stratum re-arrives as a delta
     // (new ids); only delta×(index∪delta) blocks join — the index×index
     // quadrant is never computed (see Dedup.deltaHammingNearDup). The
@@ -515,6 +563,33 @@ object TextQueries {
          |c AS (SELECT pair, COUNT(*) AS cnt FROM p GROUP BY pair)
          |SELECT row_number() OVER (ORDER BY cnt DESC, pair) AS rnk, pair, cnt
          |FROM c ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+
+    // Replays the ascending-rank pass form of BPE encode: wrap every char
+    // as chr(1)<c>chr(2), then one literal replace() per merge in rank
+    // order (left-to-right non-overlapping — replace()'s scan — matching
+    // the expression's merge pass), drop space tokens, unwrap. Chain is
+    // generated from the same BpeFixtureMerges constant the gate uses.
+    "q_bpe_encode" -> {
+      def sqlStr(s: String) = "'" + s.replace("'", "''") + "'"
+      def tok(s: String) = s"chr(1) || ${sqlStr(s)} || chr(2)"
+      val chain = BpeFixtureMerges.foldLeft(
+        """regexp_replace(text, '(.)', chr(1) || '\1' || chr(2), 'g')""") {
+        case (acc, (l, r)) =>
+          s"replace($acc, ${tok(l)} || ${tok(r)}, ${tok(l + r)})"
+      }
+      s"""WITH enc AS (SELECT doc_id, $chain AS s FROM documents),
+         |nosp AS (SELECT doc_id, replace(s, chr(1) || ' ' || chr(2), '') AS s FROM enc),
+         |un AS (SELECT doc_id,
+         |  CASE WHEN s = '' THEN ''
+         |       ELSE substr(replace(s, chr(2) || chr(1), ' '), 2,
+         |                   length(replace(s, chr(2) || chr(1), ' ')) - 2) END AS bpe_text
+         |  FROM nosp)
+         |SELECT doc_id,
+         |  CAST(CASE WHEN bpe_text = '' THEN 0
+         |            ELSE len(str_split(bpe_text, ' ')) END AS BIGINT) AS n_bpe_tokens,
+         |  bpe_text
+         |FROM un ORDER BY doc_id""".stripMargin
+    },
 
     "q_token_count" ->
       s"""SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_ws_tokens,

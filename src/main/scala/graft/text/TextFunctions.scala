@@ -22,6 +22,14 @@ object TextFunctions {
   def regexTokenCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")).cast("long")
 
+  /** Apply a ranked BPE merge list to text → space-joined subword tokens
+    * (the encode loop; see [[graft.functions.BpeEncode]] for semantics and
+    * the oracle-replay argument). Literal-merges spelling for specs and
+    * fixtures; the broadcast DataFrame spelling is
+    * `TextQueries.bpeEncode`. */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
+    graft.functions.BpeEncode.encode(text, merges)
+
   /** Distinct word n-gram shingles (default 3). Empty array when the text is
     * shorter than n tokens (sequence() would run backwards otherwise). */
   def shingles(text: Column, n: Int = 3): Column = {
