@@ -697,11 +697,13 @@ object Multimodal {
     * sample tables EXPANDED to exact per-sample byte ranges — so the
     * frame-sampling stage slices true sample payloads out of `mdat` by
     * offset, the way a production keyframe sampler seeks, without ever
-    * decoding them. What stays stubbed: turning an H.264/H.265 NAL
-    * payload into a raster needs a codec the JDK does not ship — that one
-    * step remains behind [[MediaCodec]] (StubCodec by default; production
-    * injects its own), the seam the GIF/PNG/WAV paths prove out with real
-    * decoders. Synthetic fixtures (`synthMp4`) are STRUCTURALLY VALID
+    * decoding them. One level deeper, [[graft.multimodal.H264]] walks each
+    * sample's Annex-B NAL units and Exp-Golomb-decodes the SPS (geometry,
+    * profile, IDR keyframe flags) — so the remaining seam is RASTER DECODE
+    * ONLY: turning a slice payload into pixels needs an entropy decoder
+    * the JDK does not ship, and that one step remains behind
+    * [[MediaCodec]] (StubCodec by default; production injects its own),
+    * the seam the GIF/PNG/WAV paths prove out with real decoders. Synthetic fixtures (`synthMp4`) are STRUCTURALLY VALID
     * MP4 files whose sample bytes follow a formula of (seed, frame,
     * offset), so the DuckDB oracle reproduces every probed value without
     * parsing a container — the same trick as the GIF/PNG/WAV gates. */
@@ -755,16 +757,25 @@ object Multimodal {
       * cleanly and only the sample-range validation can catch it. */
     def synthMp4(seed: Long, nSamples: Int = 6, w: Int = 16, h: Int = 9,
         chunks: Int = 1, moovFirst: Boolean = false): Array[Byte] = {
+      require(nSamples > 0)
+      synthMp4Samples((0 until nSamples).map { f =>
+        val size = synthSampleSize(seed, f)
+        Array.tabulate[Byte](size)(j => synthSampleByte(seed, f, j).toByte)
+      }.toArray, w, h, chunks, moovFirst)
+    }
+
+    /** Same container writer, but over CALLER-SUPPLIED sample payloads —
+      * the H.264 gate feeds real Annex-B access units through here so the
+      * NAL walk runs on bytes sliced out of a genuine MP4 (see
+      * [[graft.multimodal.H264]]). */
+    def synthMp4Samples(samples: Array[Array[Byte]], w: Int, h: Int,
+        chunks: Int = 1, moovFirst: Boolean = false): Array[Byte] = {
+      val nSamples = samples.length
       require(nSamples > 0 && chunks > 0 && chunks <= nSamples)
-      val sizes = (0 until nSamples).map(synthSampleSize(seed, _)).toArray
+      val sizes = samples.map(_.length)
       val mdatPayload = {
         val bos = new ByteArrayOutputStream()
-        var f = 0
-        while (f < nSamples) {
-          var j = 0
-          while (j < sizes(f)) { bos.write(synthSampleByte(seed, f, j)); j += 1 }
-          f += 1
-        }
+        samples.foreach(bos.write)
         bos.toByteArray
       }
       val ftyp = box("ftyp", "isom".getBytes("US-ASCII"), beInt(0x200),

@@ -117,6 +117,19 @@ object MultimodalQueries {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // H.264 keyframe index, no codec: MP4 samples are REAL Annex-B NAL
+    // streams (start codes, escaped RBSP); the stage slices each sample
+    // from mdat, walks its NALs, Exp-Golomb-decodes the SPS (profile,
+    // level, MB geometry, frame cropping -> exact pixel size), and flags
+    // IDR samples — the seekable-frame index a video pipeline builds
+    // before any decode. Slice payloads follow a zero-free byte formula,
+    // so the oracle reproduces every probed value arithmetically while
+    // the SPS values only match if the bit-level parse is right.
+    "q_h264_nal" -> ((s, d) =>
+      graft.multimodal.H264.probeH264(graft.multimodal.H264.attachH264Payload(
+        Tables.load(s, d, "documents").where(col("doc_id") % 10 === 0), "doc_id"))
+        .toDF().orderBy("doc_id")),
+
     // Perceptual image hashing over REAL decoded PNGs (see
     // Multimodal.dhashImages): every doc gets a genuine 14×8 PNG, the
     // dHash comes from the decoded raster, and the oracle recomputes it
@@ -300,6 +313,20 @@ object MultimodalQueries {
         |  CAST(list_sum(list_transform(range(0, n_bytes),
         |    j -> (doc_id*31 + frame_idx*17 + j*7) % 256)) AS BIGINT) AS byte_sum
         |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q_h264_nal" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN (doc_id // 10) % 4 < 2 THEN 66 ELSE 77 END AS INT) AS profile_idc,
+        |  CAST(30 AS INT) AS level_idc,
+        |  CAST((1 + doc_id % 4) * 16 - 2 * (doc_id % 3) AS INT) AS width,
+        |  CAST((1 + (doc_id // 10) % 3) * 16 - 2 * ((doc_id // 10) % 2) AS INT) AS height,
+        |  CAST(10 AS BIGINT) AS n_nals,
+        |  CAST(2 AS BIGINT) AS n_idr,
+        |  '0,3' AS idr_frames,
+        |  CAST(list_sum(list_transform(range(0, 6), f ->
+        |    list_sum(list_transform(range(0, 24 + (doc_id*5 + f*13) % 24),
+        |      j -> 1 + (doc_id*31 + f*17 + j*7) % 255)))) AS BIGINT) AS slice_byte_sum
+        |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin,
 
     "q_image_dhash" -> (dhashCte + """
         |SELECT doc_id, dhash FROM dh ORDER BY doc_id""".stripMargin),

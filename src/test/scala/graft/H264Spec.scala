@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.{H264, Multimodal}
+
+/** Pins the H.264 structural layer: RBSP escape/unescape, Exp-Golomb bit
+  * I/O, SPS write→parse round-trips (crop geometry included), the Annex-B
+  * walker's start-code handling, and the end-to-end MP4→sample→NAL→SPS
+  * probe against the generating formulas. */
+class H264Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .appName("H264Spec").master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("rbsp escape inserts 03 exactly at 00 00 0x runs and unescape inverts") {
+    val cases = Seq(
+      Array[Byte](0, 0, 0),                      // 00 00 00 -> 00 00 03 00
+      Array[Byte](0, 0, 1),                      // would fake a start code
+      Array[Byte](0, 0, 2), Array[Byte](0, 0, 3),
+      Array[Byte](0, 0, 4),                      // NOT escaped (>3)
+      Array[Byte](1, 0, 0, 0, 0, 1, 7),          // double run
+      Array[Byte](), Array[Byte](0), Array[Byte](0, 0))
+    for (c <- cases) {
+      val esc = H264.rbspEscape(c)
+      assert(H264.rbspUnescape(esc).toSeq === c.toSeq, s"case ${c.mkString(",")}")
+      // nothing below 00 00 03 survives in the escaped form: 00 00 00 /
+      // 00 00 01 / 00 00 02 would alias start codes or RBSP boundaries
+      val s = esc.map(_ & 0xff)
+      for (i <- 0 until s.length - 2 if s(i) == 0 && s(i + 1) == 0)
+        assert(s(i + 2) >= 3,
+          s"unescaped 00 00 0${s(i + 2)} at $i in ${s.mkString(",")}")
+    }
+    assert(H264.rbspEscape(Array[Byte](0, 0, 4)).toSeq === Seq[Byte](0, 0, 4))
+  }
+
+  test("exp-golomb writer/reader round-trips 0..1000") {
+    val w = new H264.BitWriter
+    (0 to 1000).foreach(w.writeUe)
+    val r = new H264.BitReader(w.finishRbsp())
+    (0 to 1000).foreach(v => assert(r.readUe() === v))
+  }
+
+  test("SPS write->parse round-trips across geometry and profiles") {
+    for {
+      profile <- Seq(66, 77)
+      mbW <- Seq(1, 2, 5, 120)      // up to 1920 wide
+      mbH <- Seq(1, 3, 68)          // up to 1088 tall
+      cropR <- Seq(0, 1, 4)
+      cropB <- Seq(0, 1)
+    } {
+      val sps = H264.Sps(profile, 31, mbW, mbH, 0, cropR, 0, cropB, frameMbsOnly = true)
+      val parsed = H264.parseSps(H264.writeSps(sps))
+      assert(parsed === sps, s"p=$profile w=$mbW h=$mbH cr=$cropR cb=$cropB")
+      assert(parsed.width === mbW * 16 - 2 * cropR)
+      assert(parsed.height === mbH * 16 - 2 * cropB)
+    }
+  }
+
+  test("annex-b walker handles 3- and 4-byte start codes and trailing zeros") {
+    val sps = H264.writeSps(H264.Sps(66, 30, 2, 2, 0, 0, 0, 0, frameMbsOnly = true))
+    val stream =
+      Array[Byte](0, 0, 0, 1, (3 << 5 | 7).toByte) ++ sps ++
+        Array[Byte](0, 0, 1, (3 << 5 | 8).toByte, 0x42) ++
+        Array[Byte](0, 0, 0, 1, (2 << 5 | 1).toByte, 9, 9, 9)
+    val nals = H264.annexBNals(stream)
+    assert(nals.map(_.nalType) === Vector(7, 8, 1))
+    assert(nals.map(_.refIdc) === Vector(3, 3, 2))
+    assert(nals(1).payload.toSeq === Seq[Byte](0x42))
+    assert(nals(2).payload.toSeq === Seq[Byte](9, 9, 9))
+    // a NAL whose payload was escaped parses back to the same SPS
+    assert(H264.parseSps(nals(0).payload) ===
+      H264.Sps(66, 30, 2, 2, 0, 0, 0, 0, frameMbsOnly = true))
+  }
+
+  test("forbidden_zero_bit and empty NALs are refused") {
+    intercept[IllegalArgumentException] {
+      H264.annexBNals(Array[Byte](0, 0, 1, 0x80.toByte, 1))
+    }
+    intercept[IllegalArgumentException] {
+      H264.annexBNals(Array[Byte](0, 0, 1))
+    }
+  }
+
+  test("synthetic access units: IDR carries SPS+PPS, slices are zero-free") {
+    for (seed <- Seq(0L, 10L, 30L, 130L); f <- 0 until 6) {
+      val au = H264.synthAccessUnit(seed, f, idrEvery = 3)
+      val nals = H264.annexBNals(au)
+      if (f % 3 == 0) {
+        assert(nals.map(_.nalType) === Vector(7, 8, 5))
+        assert(nals(2).payload.forall(_ != 0))
+        assert(nals(2).payload.length === H264.synthSliceLen(seed, f))
+      } else {
+        assert(nals.map(_.nalType) === Vector(1))
+        assert(nals(0).payload.forall(_ != 0))
+      }
+    }
+  }
+
+  test("end-to-end MP4 probe matches the generating formulas") {
+    val ids = Seq(0L, 10L, 20L, 30L, 40L, 130L, 490L)
+    val rows = spark.createDataFrame(ids.map(Tuple1(_))).toDF("doc_id")
+    val got = H264.probeH264(H264.attachH264Payload(rows, "doc_id"))
+      .collect().sortBy(_.doc_id)
+    for ((p, id) <- got.zip(ids)) {
+      assert(p.profile_idc === H264.synthProfile(id))
+      assert(p.level_idc === 30)
+      assert(p.width === H264.synthMbW(id) * 16 - 2 * H264.synthCropRight(id))
+      assert(p.height === H264.synthMbH(id) * 16 - 2 * H264.synthCropBottom(id))
+      assert(p.n_nals === 10L) // 2 IDR AUs x 3 + 4 slices
+      assert(p.n_idr === 2L)
+      assert(p.idr_frames === "0,3")
+      val expectedSum = (0 until 6).map { f =>
+        (0 until H264.synthSliceLen(id, f))
+          .map(j => H264.synthSliceByte(id, f, j).toLong).sum
+      }.sum
+      assert(p.slice_byte_sum === expectedSum, s"doc $id")
+    }
+  }
+
+  test("high-profile SPS with chroma branch parses (real-world shape)") {
+    // hand-build a profile-100 SPS: chroma_format_idc=1, depths 0, no
+    // scaling matrix — the branch our fixtures never take
+    val w = new H264.BitWriter
+    w.writeBits(100, 8); w.writeBits(0, 8); w.writeBits(40, 8)
+    w.writeUe(0)          // sps_id
+    w.writeUe(1)          // chroma_format_idc
+    w.writeUe(0); w.writeUe(0) // bit depths
+    w.writeBit(0)         // transform bypass
+    w.writeBit(0)         // no scaling matrix
+    w.writeUe(0)          // log2_max_frame_num_minus4
+    w.writeUe(2)          // poc type
+    w.writeUe(4)          // max_num_ref_frames
+    w.writeBit(0)
+    w.writeUe(119)        // 1920
+    w.writeUe(67)         // 1088
+    w.writeBit(1)         // frame_mbs_only
+    w.writeBit(1)         // direct_8x8
+    w.writeBit(1)         // cropping
+    w.writeUe(0); w.writeUe(0); w.writeUe(0); w.writeUe(4) // 1080
+    w.writeBit(0)         // vui
+    val sps = H264.parseSps(H264.rbspEscape(w.finishRbsp()))
+    assert(sps.profileIdc === 100)
+    assert(sps.width === 1920)
+    assert(sps.height === 1080)
+  }
+}
