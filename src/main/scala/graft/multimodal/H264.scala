@@ -251,6 +251,90 @@ object H264 {
     }
   }
 
+  // ---- AVCC form (ISO 14496-15: how MP4 actually carries AVC) -----------
+
+  /** Decoder configuration from an `avcC` box body: NAL length-prefix
+    * size plus the out-of-band SPS/PPS NAL units (header byte included,
+    * payload escaped — same shape as in-band NALs). */
+  case class AvcConfig(lengthSize: Int, sps: Vector[Array[Byte]],
+      pps: Vector[Array[Byte]]) {
+    /** The first SPS, parsed. */
+    def firstSps: Sps = {
+      require(sps.nonEmpty, "avcC carries no SPS")
+      val hdr = sps.head(0) & 0xff
+      require((hdr & 0x1f) == NalSps, f"avcC SPS entry has NAL type ${hdr & 0x1f}")
+      parseSps(java.util.Arrays.copyOfRange(sps.head, 1, sps.head.length))
+    }
+  }
+
+  /** Serialize an AVCDecoderConfigurationRecord (§5.3.3.1). */
+  def writeAvcc(cfg: AvcConfig): Array[Byte] = {
+    require(cfg.lengthSize == 1 || cfg.lengthSize == 2 || cfg.lengthSize == 4,
+      s"NAL length prefix must be 1, 2 or 4 bytes, got ${cfg.lengthSize}")
+    val out = new java.io.ByteArrayOutputStream()
+    val sps0 = cfg.firstSps // validates + supplies profile/level bytes
+    out.write(1)                                  // configurationVersion
+    out.write(sps0.profileIdc)
+    out.write(0)                                  // profile_compatibility
+    out.write(sps0.levelIdc)
+    out.write(0xfc | (cfg.lengthSize - 1))        // reserved + lengthSizeMinusOne
+    out.write(0xe0 | cfg.sps.length)              // reserved + numOfSPS
+    cfg.sps.foreach { n => out.write(n.length >> 8); out.write(n.length & 0xff); out.write(n, 0, n.length) }
+    out.write(cfg.pps.length)
+    cfg.pps.foreach { n => out.write(n.length >> 8); out.write(n.length & 0xff); out.write(n, 0, n.length) }
+    out.toByteArray
+  }
+
+  /** Parse an `avcC` box body. */
+  def parseAvcc(b: Array[Byte]): AvcConfig = {
+    require(b.length >= 7 && (b(0) & 0xff) == 1,
+      s"not an AVCDecoderConfigurationRecord (${b.length} bytes)")
+    val lengthSize = (b(4) & 3) + 1
+    val nSps = b(5) & 0x1f
+    var p = 6
+    def readSet(n: Int): Vector[Array[Byte]] = {
+      val v = Vector.newBuilder[Array[Byte]]
+      var i = 0
+      while (i < n) {
+        require(p + 2 <= b.length, "avcC truncated at a parameter-set length")
+        val len = ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
+        p += 2
+        require(p + len <= b.length, "avcC truncated inside a parameter set")
+        v += java.util.Arrays.copyOfRange(b, p, p + len)
+        p += len
+        i += 1
+      }
+      v.result()
+    }
+    val sps = readSet(nSps)
+    require(p < b.length, "avcC truncated before the PPS count")
+    val pps = { val n = b(p) & 0xff; p += 1; readSet(n) }
+    AvcConfig(lengthSize, sps, pps)
+  }
+
+  /** Walk a LENGTH-PREFIXED sample (the in-mdat form when an avcC is
+    * present): each NAL is preceded by a big-endian length of
+    * `lengthSize` bytes — no start codes, no trailing zeros. */
+  def lengthPrefixedNals(bytes: Array[Byte], lengthSize: Int): Vector[Nal] = {
+    val out = Vector.newBuilder[Nal]
+    var p = 0
+    while (p < bytes.length) {
+      require(p + lengthSize <= bytes.length, s"truncated NAL length at $p")
+      var len = 0L
+      var i = 0
+      while (i < lengthSize) { len = (len << 8) | (bytes(p + i) & 0xffL); i += 1 }
+      p += lengthSize
+      require(len >= 1 && p + len <= bytes.length,
+        s"NAL length $len at $p exceeds the ${bytes.length}-byte sample")
+      val hdr = bytes(p) & 0xff
+      require((hdr & 0x80) == 0, f"forbidden_zero_bit set in NAL header 0x$hdr%02x")
+      out += Nal((hdr >> 5) & 3, hdr & 0x1f,
+        java.util.Arrays.copyOfRange(bytes, p + 1, p + len.toInt))
+      p += len.toInt
+    }
+    out.result()
+  }
+
   // ---- synthetic fixtures ------------------------------------------------
 
   /** The oracle formulas (all integer, DuckDB-replayable; corpus doc_ids
@@ -309,6 +393,86 @@ object H264 {
     Multimodal.Mp4Video.synthMp4Samples(
       (0 until nFrames).map(synthAccessUnit(seed, _, idrEvery)).toArray,
       sps.width, sps.height, chunks = if (seed % 3 == 0) 2 else 1)
+  }
+
+  private def beLen(v: Int, n: Int): Array[Byte] =
+    Array.tabulate[Byte](n)(i => ((v >> (8 * (n - 1 - i))) & 0xff).toByte)
+
+  /** The AVCC spelling of the same stream — how production muxers write
+    * AVC into MP4: SPS/PPS live OUT-OF-BAND in an `avcC` box inside the
+    * avc1 sample entry, and each mdat sample is a 4-byte-length-prefixed
+    * slice NAL (no start codes). Slice payload bytes are the SAME formula
+    * as the Annex-B fixtures, so both gates share one oracle family. */
+  def synthAvccMp4(seed: Long, nFrames: Int, idrEvery: Int): Array[Byte] = {
+    val sps = synthSps(seed)
+    val spsNal = Array((3 << 5 | NalSps).toByte) ++ writeSps(sps)
+    val ppsNal = {
+      val w = new BitWriter
+      w.writeUe(0); w.writeUe(0); w.writeBit(0); w.writeBit(0); w.writeUe(0)
+      Array((3 << 5 | NalPps).toByte) ++ rbspEscape(w.finishRbsp())
+    }
+    val avcc = writeAvcc(AvcConfig(4, Vector(spsNal), Vector(ppsNal)))
+    val avccBox = {
+      val len = avcc.length + 8
+      Array(((len >> 24) & 0xff).toByte, ((len >> 16) & 0xff).toByte,
+        ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++
+        "avcC".getBytes("US-ASCII") ++ avcc
+    }
+    val samples = (0 until nFrames).map { f =>
+      val isIdr = f % idrEvery == 0
+      val slice = Array.tabulate[Byte](synthSliceLen(seed, f))(j =>
+        synthSliceByte(seed, f, j).toByte)
+      val nal = Array(((if (isIdr) 3 else 2) << 5 |
+        (if (isIdr) NalSliceIdr else NalSliceNonIdr)).toByte) ++ slice
+      beLen(nal.length, 4) ++ nal
+    }.toArray
+    Multimodal.Mp4Video.synthMp4Samples(samples, sps.width, sps.height,
+      chunks = if (seed % 3 == 0) 2 else 1, sampleEntryExtra = avccBox)
+  }
+
+  def attachAvccPayload(df: DataFrame, idCol: String,
+      nFrames: Int = 6, idrEvery: Int = 3): Dataset[Multimodal.MediaRow] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .map(id => Multimodal.MediaRow(id, "video/mp4",
+        synthAvccMp4(id, nFrames, idrEvery)))
+  }
+
+  /** [[probeH264]]'s AVCC twin: geometry/profile come from the avcC box's
+    * out-of-band SPS (extracted from the avc1 sample entry by the
+    * container parser), samples walk as length-prefixed NALs. n_nals
+    * counts IN-BAND units only — one slice per frame — which is the
+    * structural difference between the two carriage forms. */
+  def probeH264Avcc(rows: Dataset[Multimodal.MediaRow]): Dataset[H264Probe] = {
+    import rows.sparkSession.implicits._
+    rows.map { r =>
+      val meta = Multimodal.Mp4Video.parse(r.payload)
+      require(meta.avcc.nonEmpty, s"doc ${r.doc_id}: no avcC in the avc1 entry")
+      val cfg = parseAvcc(meta.avcc)
+      val sps = cfg.firstSps
+      require(sps.width == meta.width && sps.height == meta.height,
+        s"doc ${r.doc_id}: avcC SPS ${sps.width}x${sps.height} != " +
+          s"container tkhd ${meta.width}x${meta.height}")
+      var nNals = 0L
+      var sliceSum = 0L
+      val idr = Vector.newBuilder[Int]
+      var f = 0
+      while (f < meta.nSamples) {
+        val nals = lengthPrefixedNals(
+          Multimodal.Mp4Video.sampleBytes(r.payload, meta, f), cfg.lengthSize)
+        nNals += nals.length
+        var sawIdr = false
+        nals.foreach { nal =>
+          if (nal.nalType == NalSliceIdr) { sawIdr = true }
+          if (nal.nalType == NalSliceIdr || nal.nalType == NalSliceNonIdr)
+            sliceSum += nal.payload.foldLeft(0L)((a, b) => a + (b & 0xff))
+        }
+        if (sawIdr) idr += f
+        f += 1
+      }
+      H264Probe(r.doc_id, sps.profileIdc, sps.levelIdc, sps.width, sps.height,
+        nNals, idr.result().length.toLong, idr.result().mkString(","), sliceSum)
+    }
   }
 
   // ---- Spark stages -------------------------------------------------------

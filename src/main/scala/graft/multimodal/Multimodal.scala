@@ -714,7 +714,8 @@ object Multimodal {
     case class Mp4Meta(brand: String, timescale: Long, durationMs: Long,
         width: Int, height: Int, codec: String,
         sampleOffsets: Array[Long], sampleSizes: Array[Int],
-        sampleDeltas: Array[Int]) {
+        sampleDeltas: Array[Int],
+        avcc: Array[Byte] = Array.emptyByteArray) {
       def nSamples: Int = sampleSizes.length
     }
 
@@ -765,11 +766,14 @@ object Multimodal {
     }
 
     /** Same container writer, but over CALLER-SUPPLIED sample payloads —
-      * the H.264 gate feeds real Annex-B access units through here so the
+      * the H.264 gates feed real Annex-B access units through here so the
       * NAL walk runs on bytes sliced out of a genuine MP4 (see
-      * [[graft.multimodal.H264]]). */
+      * [[graft.multimodal.H264]]). `sampleEntryExtra` is appended INSIDE
+      * the avc1 sample entry after its 78 fixed bytes — where a real
+      * muxer puts the `avcC` decoder-configuration box (ISO 14496-15). */
     def synthMp4Samples(samples: Array[Array[Byte]], w: Int, h: Int,
-        chunks: Int = 1, moovFirst: Boolean = false): Array[Byte] = {
+        chunks: Int = 1, moovFirst: Boolean = false,
+        sampleEntryExtra: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
       val nSamples = samples.length
       require(nSamples > 0 && chunks > 0 && chunks <= nSamples)
       val sizes = samples.map(_.length)
@@ -820,7 +824,8 @@ object Multimodal {
         beShort(w), beShort(h),
         beInt(0x480000), beInt(0x480000), beInt(0), beShort(1),
         new Array[Byte](32),                       // compressorname
-        beShort(24), beShort(0xffff))
+        beShort(24), beShort(0xffff),
+        sampleEntryExtra)                          // avcC et al.
       val stsd = fullBox("stsd", 0, 0, beInt(1), avc1)
       val stts = fullBox("stts", 0, 0, beInt(1), beInt(nSamples), beInt(3600))
       val stsc = fullBox("stsc", 0, 0, beInt(chunkSampleCounts.length),
@@ -894,6 +899,7 @@ object Multimodal {
       var stscEntries: Array[(Int, Int)] = Array.empty // (firstChunk, samplesPerChunk)
       var chunkOffsets: Array[Long] = Array.empty
       var haveTrak = false
+      var avccBytes: Array[Byte] = Array.emptyByteArray
       walk(c, 0, payload.length) {
         case ("ftyp", s, _) => brand = c.fourcc(s)
         case ("moov", moovS, moovE) =>
@@ -906,6 +912,7 @@ object Multimodal {
               var isVideo = false
               var w0 = 0; var h0 = 0
               var codec0 = ""
+              var avcc0: Array[Byte] = Array.emptyByteArray
               var deltas0: Array[Int] = Array.empty
               var sizes0: Array[Int] = Array.empty
               var stsc0: Array[(Int, Int)] = Array.empty
@@ -927,8 +934,23 @@ object Multimodal {
                       walk(c, minfS, minfE) {
                         case ("stbl", stblS, stblE) =>
                           walk(c, stblS, stblE) {
-                            case ("stsd", s, _) =>
-                              if (c.u32(s + 4) > 0) codec0 = c.fourcc(s + 12)
+                            case ("stsd", s, stsdE) =>
+                              if (c.u32(s + 4) > 0) {
+                                codec0 = c.fourcc(s + 12)
+                                // a VIDEO sample entry is 8 bytes of box
+                                // header + 78 fixed bytes, then nested
+                                // config boxes (avcC for AVC — ISO
+                                // 14496-15 §5.3.4)
+                                val entryEnd =
+                                  math.min(s + 8 + c.u32(s + 8), stsdE)
+                                if (s + 16 + 78 <= entryEnd)
+                                  walk(c, s + 16 + 78, entryEnd) {
+                                    case ("avcC", as, ae) =>
+                                      avcc0 = java.util.Arrays.copyOfRange(
+                                        c.buf, as.toInt, ae.toInt)
+                                    case _ =>
+                                  }
+                              }
                             case ("stts", s, _) =>
                               val n = c.u32(s + 4).toInt
                               deltas0 = (0 until n).toArray.flatMap { i =>
@@ -963,7 +985,7 @@ object Multimodal {
               }
               if (isVideo) {
                 haveTrak = true
-                width = w0; height = h0; codec = codec0
+                width = w0; height = h0; codec = codec0; avccBytes = avcc0
                 deltas = deltas0; sizes = sizes0
                 stscEntries = stsc0; chunkOffsets = stco0
               }
@@ -1010,7 +1032,7 @@ object Multimodal {
       }
       val durMs = if (mvhdTs > 0) mvhdDur * 1000L / mvhdTs else 0L
       Mp4Meta(brand, mvhdTs, durMs, width, height, codec,
-        offsets, sizes, deltas)
+        offsets, sizes, deltas, avccBytes)
     }
 
     /** The bytes of sample `f`, sliced straight from mdat by the expanded

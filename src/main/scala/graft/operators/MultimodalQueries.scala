@@ -130,6 +130,18 @@ object MultimodalQueries {
         Tables.load(s, d, "documents").where(col("doc_id") % 10 === 0), "doc_id"))
         .toDF().orderBy("doc_id")),
 
+    // The AVCC carriage form of the same stream — how production muxers
+    // actually write AVC into MP4: SPS/PPS out-of-band in an avcC box
+    // (extracted from the avc1 sample entry by the container parser),
+    // mdat samples as 4-byte-length-prefixed NALs, no start codes. Same
+    // slice-byte formula as q_h264_nal, so the oracle differs only in
+    // n_nals (one in-band NAL per frame; parameter sets live in the
+    // config box).
+    "q_h264_avcc" -> ((s, d) =>
+      graft.multimodal.H264.probeH264Avcc(graft.multimodal.H264.attachAvccPayload(
+        Tables.load(s, d, "documents").where(col("doc_id") % 10 === 0), "doc_id"))
+        .toDF().orderBy("doc_id")),
+
     // Perceptual image hashing over REAL decoded PNGs (see
     // Multimodal.dhashImages): every doc gets a genuine 14×8 PNG, the
     // dHash comes from the decoded raster, and the oracle recomputes it
@@ -321,6 +333,20 @@ object MultimodalQueries {
         |  CAST((1 + doc_id % 4) * 16 - 2 * (doc_id % 3) AS INT) AS width,
         |  CAST((1 + (doc_id // 10) % 3) * 16 - 2 * ((doc_id // 10) % 2) AS INT) AS height,
         |  CAST(10 AS BIGINT) AS n_nals,
+        |  CAST(2 AS BIGINT) AS n_idr,
+        |  '0,3' AS idr_frames,
+        |  CAST(list_sum(list_transform(range(0, 6), f ->
+        |    list_sum(list_transform(range(0, 24 + (doc_id*5 + f*13) % 24),
+        |      j -> 1 + (doc_id*31 + f*17 + j*7) % 255)))) AS BIGINT) AS slice_byte_sum
+        |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin,
+
+    "q_h264_avcc" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN (doc_id // 10) % 4 < 2 THEN 66 ELSE 77 END AS INT) AS profile_idc,
+        |  CAST(30 AS INT) AS level_idc,
+        |  CAST((1 + doc_id % 4) * 16 - 2 * (doc_id % 3) AS INT) AS width,
+        |  CAST((1 + (doc_id // 10) % 3) * 16 - 2 * ((doc_id // 10) % 2) AS INT) AS height,
+        |  CAST(6 AS BIGINT) AS n_nals,
         |  CAST(2 AS BIGINT) AS n_idr,
         |  '0,3' AS idr_frames,
         |  CAST(list_sum(list_transform(range(0, 6), f ->

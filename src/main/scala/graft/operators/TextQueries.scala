@@ -49,7 +49,9 @@ object TextQueries {
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
       mergesDf: DataFrame): DataFrame = {
     val cap = 1 << 20
-    val rows = mergesDf.orderBy("rank").select("left", "right")
+    // (left, right) tiebreak: a duplicate rank must not make the applied
+    // vocab depend on shuffle order
+    val rows = mergesDf.orderBy("rank", "left", "right").select("left", "right")
       .limit(cap + 1).collect()
     require(rows.length <= cap,
       s"merge table exceeds $cap rows — not a vocab; refusing to broadcast")

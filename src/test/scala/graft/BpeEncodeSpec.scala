@@ -1,8 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col
-import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.TextQueries
@@ -12,20 +10,12 @@ import graft.operators.TextQueries
   * the ascending-rank single-pass form the DuckDB oracle replays
   * (equivalence argument in BpeEncode's scaladoc — valid for well-formed
   * merge tables, which both the fixture and the generator produce). */
-class BpeEncodeSpec extends AnyFunSuite with BeforeAndAfterAll {
+class BpeEncodeSpec extends AnyFunSuite {
 
-  private var spark: SparkSession = _
-
-  override def beforeAll(): Unit = {
-    spark = SparkSession.builder()
-      .appName("BpeEncodeSpec").master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-  }
-  override def afterAll(): Unit = if (spark != null) spark.stop()
+  // the suite-wide shared session — a per-spec builder().getOrCreate()
+  // RETURNS this same session in-JVM, so a per-spec stop() would kill it
+  // for every suite that runs after (observed: 242 cascade failures)
+  private lazy val spark = SparkTest.spark
 
   private val Fixture = TextQueries.BpeFixtureMerges
 

@@ -1,29 +1,17 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.multimodal.{H264, Multimodal}
+import graft.multimodal.H264
 
 /** Pins the H.264 structural layer: RBSP escape/unescape, Exp-Golomb bit
   * I/O, SPS write→parse round-trips (crop geometry included), the Annex-B
   * walker's start-code handling, and the end-to-end MP4→sample→NAL→SPS
   * probe against the generating formulas. */
-class H264Spec extends AnyFunSuite with BeforeAndAfterAll {
+class H264Spec extends AnyFunSuite {
 
-  private var spark: SparkSession = _
-
-  override def beforeAll(): Unit = {
-    spark = SparkSession.builder()
-      .appName("H264Spec").master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-  }
-  override def afterAll(): Unit = if (spark != null) spark.stop()
+  // shared suite session — never stop() it (see BpeEncodeSpec note)
+  private lazy val spark = SparkTest.spark
 
   test("rbsp escape inserts 03 exactly at 00 00 0x runs and unescape inverts") {
     val cases = Seq(
@@ -127,6 +115,47 @@ class H264Spec extends AnyFunSuite with BeforeAndAfterAll {
           .map(j => H264.synthSliceByte(id, f, j).toLong).sum
       }.sum
       assert(p.slice_byte_sum === expectedSum, s"doc $id")
+    }
+  }
+
+  test("avcC config round-trips and length-prefixed samples walk") {
+    val sps = H264.Sps(77, 31, 3, 2, 0, 1, 0, 1, frameMbsOnly = true)
+    val spsNal = Array((3 << 5 | 7).toByte) ++ H264.writeSps(sps)
+    val ppsNal = Array((3 << 5 | 8).toByte, 0x42.toByte)
+    for (ls <- Seq(1, 2, 4)) {
+      val cfg = H264.AvcConfig(ls, Vector(spsNal), Vector(ppsNal))
+      val parsed = H264.parseAvcc(H264.writeAvcc(cfg))
+      assert(parsed.lengthSize === ls)
+      assert(parsed.sps.head.toSeq === spsNal.toSeq)
+      assert(parsed.pps.head.toSeq === ppsNal.toSeq)
+      assert(parsed.firstSps === sps)
+    }
+    // length-prefixed walk: two NALs under a 2-byte prefix
+    val n1 = Array[Byte]((2 << 5 | 1).toByte, 7, 7)
+    val n2 = Array[Byte]((3 << 5 | 5).toByte, 9)
+    val sample = Array[Byte](0, 3) ++ n1 ++ Array[Byte](0, 2) ++ n2
+    val nals = H264.lengthPrefixedNals(sample, 2)
+    assert(nals.map(_.nalType) === Vector(1, 5))
+    assert(nals(0).payload.toSeq === Seq[Byte](7, 7))
+    // truncation is refused, not zero-padded
+    intercept[IllegalArgumentException] {
+      H264.lengthPrefixedNals(sample.dropRight(1), 2)
+    }
+  }
+
+  test("end-to-end AVCC MP4 probe: avcC extracted from avc1, same formulas") {
+    val ids = Seq(0L, 10L, 30L, 130L, 490L)
+    val rows = spark.createDataFrame(ids.map(Tuple1(_))).toDF("doc_id")
+    val got = H264.probeH264Avcc(H264.attachAvccPayload(rows, "doc_id"))
+      .collect().sortBy(_.doc_id)
+    val annexb = H264.probeH264(H264.attachH264Payload(rows, "doc_id"))
+      .collect().sortBy(_.doc_id)
+    for (((a, b), id) <- got.zip(annexb).zip(ids)) {
+      // identical stream content, different carriage: everything matches
+      // except the in-band NAL count (parameter sets moved to avcC)
+      assert(a.copy(n_nals = 0) === b.copy(n_nals = 0), s"doc $id")
+      assert(a.n_nals === 6L)
+      assert(b.n_nals === 10L)
     }
   }
 
