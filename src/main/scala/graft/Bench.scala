@@ -3,6 +3,11 @@ import org.apache.spark.sql.SparkSession
 
 object Bench {
 
+  /** Recorded instead of a time when a gate throws: poisons the total
+    * loudly (never Infinity — that would break the JSON line) and is
+    * excluded from every bench_best merge. */
+  private val FailedSentinel = 999999.0
+
   /** JDK17 module opens for a child JVM that builds a SparkSession outside
     * spark-submit — mirrors build.sbt / spark-submit's own defaults. Needed
     * by `--repin`, which forks bare `java` processes. */
@@ -56,9 +61,18 @@ object Bench {
       return
     }
     val old = existing.map(parseGateTimes).getOrElse(Map.empty)
-    val merged = (old.keySet ++ fresh.keySet).toSeq.sorted.map { k =>
-      k -> math.min(old.getOrElse(k, Double.MaxValue), fresh.getOrElse(k, Double.MaxValue))
+    // two kinds of poison must never become a "best": the failed-gate
+    // sentinel (a crashed gate records FailedSentinel, not a time), and
+    // gates that no longer exist in the registry (a rename would otherwise
+    // leave its stale minimum in the file — and in the total — forever)
+    val live = SparkEntry.queries.keySet
+    val merged = (old.keySet ++ fresh.keySet).filter(live).toSeq.sorted.flatMap { k =>
+      val v = math.min(old.getOrElse(k, Double.MaxValue), fresh.getOrElse(k, Double.MaxValue))
+      if (v >= FailedSentinel) None else Some(k -> v)
     }
+    val dropped = (old.keySet ++ fresh.keySet).filterNot(live)
+    if (dropped.nonEmpty)
+      Console.err.println(s"[bench] pruned stale gates from bench_best: ${dropped.toSeq.sorted.mkString(",")}")
     val total = merged.map(_._2).sum
     writeFile(path,
       s"""{"metric":"best","value":$total,"unit":"sec","sf":"$sfDir","queries":${queriesJson(merged)}}""")
@@ -93,7 +107,11 @@ object Bench {
       pb.redirectErrorStream(true)
       pb.redirectOutput(ProcessBuilder.Redirect.INHERIT)
       val rc = pb.start().waitFor()
-      val t = readFile(out).map(parseGateTimes).getOrElse(Map.empty).get(gate)
+      // a gate that THREW in the child still exits 0 — it records the
+      // FailedSentinel instead of a time, which must read as a failure
+      // here, not as a (huge) measurement to launder into bench_best
+      val t = readFile(out).map(parseGateTimes).getOrElse(Map.empty)
+        .get(gate).filter(_ < FailedSentinel)
       java.nio.file.Files.deleteIfExists(out)
       if (rc != 0 || t.isEmpty)
         Console.err.println(s"[bench] repin of $gate FAILED (rc=$rc)")
@@ -161,7 +179,7 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
             false
         }
-        if (ok) (System.nanoTime() - t0) / 1e9 else 999999.0
+        if (ok) (System.nanoTime() - t0) / 1e9 else FailedSentinel
       }
       name -> times.min
     }

@@ -86,26 +86,25 @@ final class BpeTable(
   private def mergesArr: Array[(String, String)] =
     if (bcMerges != null) bcMerges.value else localMerges
 
-  /** pair "left right" -> rank (tokens never contain a space: words
-    * are split on spaces before encoding, so the separator is safe). Built lazily per JVM. */
-  @transient private lazy val rank: JHashMap[String, Integer] = {
-    val m = new JHashMap[String, Integer]()
-    val arr = mergesArr
-    var i = 0
-    while (i < arr.length) {
-      // first occurrence wins: a duplicate pair at a later rank is dead
-      m.putIfAbsent(arr(i)._1 + " " + arr(i)._2, Integer.valueOf(i))
-      i += 1
-    }
-    m
-  }
+  /** The per-JVM runtime (rank map + word memo). Every TASK deserializes
+    * its own BpeTable from the task binary, so instance-level lazy state
+    * would rebuild the O(|merges|) rank map and start the memo cold once
+    * per task — for the broadcast path, runtime state is therefore cached
+    * JVM-wide keyed by the broadcast id (same lifetime as the broadcast
+    * block itself); only closure-literal fixtures build per-instance. */
+  @transient private lazy val runtime: BpeTable.Runtime =
+    if (bcMerges != null) {
+      // bounded: a long-lived executor that has seen many vocab
+      // broadcasts wipes the map rather than growing it (rebuild is
+      // cheap relative to the leak)
+      if (BpeTable.runtimes.size() > 64) BpeTable.runtimes.clear()
+      BpeTable.runtimes.computeIfAbsent(bcMerges.id,
+        _ => new BpeTable.Runtime(mergesArr))
+    } else new BpeTable.Runtime(mergesArr)
 
-  /** Per-thread word->encoding memo, size-capped so executor state stays
-    * bounded (reset, not LRU — one wipe per 64k distinct words is cheaper
-    * than bookkeeping on every hit). */
-  @transient private lazy val cache =
-    ThreadLocal.withInitial[JHashMap[String, String]](() => new JHashMap())
-  private val CacheCap = 65536
+  private def rank: JHashMap[String, Integer] = runtime.rank
+  private def cache: ThreadLocal[JHashMap[String, String]] = runtime.cache
+  private def CacheCap = BpeTable.CacheCap
 
   def encode(text: UTF8String): UTF8String = {
     if (text == null) return null
@@ -171,6 +170,32 @@ final class BpeTable(
 }
 
 object BpeTable {
+  private[functions] val CacheCap = 65536
+
+  /** JVM-wide runtime state per broadcast vocab (see BpeTable.runtime). */
+  private val runtimes =
+    new java.util.concurrent.ConcurrentHashMap[Long, Runtime]()
+
+  private[functions] final class Runtime(merges: Array[(String, String)]) {
+    /** pair "left right" -> rank (tokens never contain a space: words are
+      * split on spaces before encoding, so the separator is unambiguous). */
+    val rank: JHashMap[String, Integer] = {
+      val m = new JHashMap[String, Integer](merges.length * 2)
+      var i = 0
+      while (i < merges.length) {
+        // first occurrence wins: a duplicate pair at a later rank is dead
+        m.putIfAbsent(merges(i)._1 + " " + merges(i)._2, Integer.valueOf(i))
+        i += 1
+      }
+      m
+    }
+    /** Per-thread word->encoding memo, size-capped so executor state stays
+      * bounded (reset, not LRU — one wipe per 64k distinct words is cheaper
+      * than bookkeeping on every hit). */
+    val cache: ThreadLocal[JHashMap[String, String]] =
+      ThreadLocal.withInitial[JHashMap[String, String]](() => new JHashMap())
+  }
+
   /** Refuse merge tables that would not survive as a task-shipped closure
     * or broadcast — vocab-sized is fine, corpus-sized is a bug. */
   private val MaxMerges = 1 << 20

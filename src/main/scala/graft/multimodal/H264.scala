@@ -154,17 +154,31 @@ object H264 {
 
   case class Sps(profileIdc: Int, levelIdc: Int, widthMbs: Int,
       heightMapUnits: Int, cropLeft: Int, cropRight: Int,
-      cropTop: Int, cropBottom: Int, frameMbsOnly: Boolean) {
-    /** 4:2:0 crop units: X=2; Y=2·(2−frame_mbs_only_flag)/… = 2 for
-      * frame pictures (§7.4.2.1.1). */
-    def width: Int = widthMbs * 16 - 2 * (cropLeft + cropRight)
+      cropTop: Int, cropBottom: Int, frameMbsOnly: Boolean,
+      chromaFormatIdc: Int = 1, separateColourPlane: Boolean = false) {
+    /** §7.4.2.1.1: ChromaArrayType 0 (monochrome / separate planes) crops
+      * in luma samples; 4:2:0/4:2:2 halve horizontally (SubWidthC=2);
+      * only 4:2:0 halves vertically (SubHeightC=2); field coding doubles
+      * the vertical unit. */
+    private def chromaArrayType: Int =
+      if (separateColourPlane) 0 else chromaFormatIdc
+    private def cropUnitX: Int =
+      if (chromaArrayType == 1 || chromaArrayType == 2) 2 else 1
+    private def cropUnitY: Int =
+      (if (chromaArrayType == 1) 2 else 1) * (if (frameMbsOnly) 1 else 2)
+    def width: Int = widthMbs * 16 - cropUnitX * (cropLeft + cropRight)
     def height: Int =
-      heightMapUnits * 16 * (if (frameMbsOnly) 1 else 2) - 2 * (cropTop + cropBottom)
+      heightMapUnits * 16 * (if (frameMbsOnly) 1 else 2) -
+        cropUnitY * (cropTop + cropBottom)
   }
 
   /** Serialize an SPS RBSP (profile 66/77 — Baseline/Main, which carry no
-    * chroma-format extension fields) and escape it. */
+    * chroma-format extension fields, hence always 4:2:0) and escape it. */
   def writeSps(sps: Sps): Array[Byte] = {
+    require(!HighProfiles.contains(sps.profileIdc) && sps.chromaFormatIdc == 1 &&
+      !sps.separateColourPlane,
+      "writeSps emits Baseline/Main (4:2:0) only; high-profile chroma " +
+        "shapes are parse-side support")
     val w = new BitWriter
     w.writeBits(sps.profileIdc, 8)
     w.writeBits(0, 8)                  // constraint flags + reserved
@@ -177,6 +191,7 @@ object H264 {
     w.writeUe(sps.widthMbs - 1)        // pic_width_in_mbs_minus1
     w.writeUe(sps.heightMapUnits - 1)  // pic_height_in_map_units_minus1
     w.writeBit(if (sps.frameMbsOnly) 1 else 0)
+    if (!sps.frameMbsOnly) w.writeBit(0) // mb_adaptive_frame_field_flag
     w.writeBit(1)                      // direct_8x8_inference_flag
     val cropping =
       sps.cropLeft != 0 || sps.cropRight != 0 || sps.cropTop != 0 || sps.cropBottom != 0
@@ -201,13 +216,16 @@ object H264 {
     r.readBits(8)                      // constraints
     val level = r.readBits(8).toInt
     r.readUe()                         // sps_id
+    var chromaFormatIdc = 1            // implied 4:2:0 for non-high profiles
+    var separateColourPlane = false
     if (HighProfiles.contains(profile)) {
-      val chroma = r.readUe()
-      if (chroma == 3) r.readBit()     // separate_colour_plane_flag
+      chromaFormatIdc = r.readUe()
+      if (chromaFormatIdc == 3)
+        separateColourPlane = r.readBit() == 1
       r.readUe(); r.readUe()           // bit_depth_{luma,chroma}_minus8
       r.readBit()                      // qpprime_y_zero_transform_bypass
       if (r.readBit() == 1) {          // seq_scaling_matrix_present
-        val lists = if (chroma == 3) 12 else 8
+        val lists = if (chromaFormatIdc == 3) 12 else 8
         var l = 0
         while (l < lists) {
           if (r.readBit() == 1) skipScalingList(r, if (l < 6) 16 else 64)
@@ -234,7 +252,8 @@ object H264 {
     val (cl, cr, ct, cb) =
       if (r.readBit() == 1) (r.readUe(), r.readUe(), r.readUe(), r.readUe())
       else (0, 0, 0, 0)
-    Sps(profile, level, wMbs, hUnits, cl, cr, ct, cb, frameMbsOnly)
+    Sps(profile, level, wMbs, hUnits, cl, cr, ct, cb, frameMbsOnly,
+      chromaFormatIdc, separateColourPlane)
   }
 
   private def skipScalingList(r: BitReader, size: Int): Unit = {
@@ -271,6 +290,14 @@ object H264 {
   def writeAvcc(cfg: AvcConfig): Array[Byte] = {
     require(cfg.lengthSize == 1 || cfg.lengthSize == 2 || cfg.lengthSize == 4,
       s"NAL length prefix must be 1, 2 or 4 bytes, got ${cfg.lengthSize}")
+    // the record's count fields are 5 and 8 bits wide — an overflow would
+    // silently corrupt the reserved bits / shift the parse
+    require(cfg.sps.nonEmpty && cfg.sps.length <= 31,
+      s"numOfSequenceParameterSets is 5 bits: 1..31, got ${cfg.sps.length}")
+    require(cfg.pps.length <= 255,
+      s"numOfPictureParameterSets is 8 bits: 0..255, got ${cfg.pps.length}")
+    require((cfg.sps ++ cfg.pps).forall(_.length <= 0xffff),
+      "a parameter set exceeds the 16-bit length field")
     val out = new java.io.ByteArrayOutputStream()
     val sps0 = cfg.firstSps // validates + supplies profile/level bytes
     out.write(1)                                  // configurationVersion
@@ -357,6 +384,17 @@ object H264 {
       cropLeft = 0, cropRight = synthCropRight(seed),
       cropTop = 0, cropBottom = synthCropBottom(seed), frameMbsOnly = true)
 
+  /** The shared fixture PPS RBSP (escaped): ids + the flags a parser must
+    * skip over — ONE definition, because the Annex-B and AVCC fixtures
+    * assert identical stream content. */
+  private def minimalPpsRbsp(): Array[Byte] = {
+    val w = new BitWriter
+    w.writeUe(0); w.writeUe(0)     // pps_id, sps_id
+    w.writeBit(0); w.writeBit(0)   // entropy_coding_mode, pic_order_present
+    w.writeUe(0)                   // num_slice_groups_minus1
+    rbspEscape(w.finishRbsp())
+  }
+
   private def nalBytes(refIdc: Int, nalType: Int, payload: Array[Byte],
       fourByteStart: Boolean): Array[Byte] = {
     val start: Array[Byte] =
@@ -373,15 +411,8 @@ object H264 {
     val slice = Array.tabulate[Byte](synthSliceLen(seed, f))(j =>
       synthSliceByte(seed, f, j).toByte)
     if (isIdr) {
-      val pps = { // minimal PPS RBSP: ids + flags a real parser skips over
-        val w = new BitWriter
-        w.writeUe(0); w.writeUe(0)     // pps_id, sps_id
-        w.writeBit(0); w.writeBit(0)   // entropy_coding_mode, pic_order_present
-        w.writeUe(0)                   // num_slice_groups_minus1
-        rbspEscape(w.finishRbsp())
-      }
       nalBytes(3, NalSps, writeSps(synthSps(seed)), fourByteStart = true) ++
-        nalBytes(3, NalPps, pps, fourByteStart = false) ++
+        nalBytes(3, NalPps, minimalPpsRbsp(), fourByteStart = false) ++
         nalBytes(3, NalSliceIdr, slice, fourByteStart = false)
     } else nalBytes(2, NalSliceNonIdr, slice, fourByteStart = true)
   }
@@ -406,11 +437,7 @@ object H264 {
   def synthAvccMp4(seed: Long, nFrames: Int, idrEvery: Int): Array[Byte] = {
     val sps = synthSps(seed)
     val spsNal = Array((3 << 5 | NalSps).toByte) ++ writeSps(sps)
-    val ppsNal = {
-      val w = new BitWriter
-      w.writeUe(0); w.writeUe(0); w.writeBit(0); w.writeBit(0); w.writeUe(0)
-      Array((3 << 5 | NalPps).toByte) ++ rbspEscape(w.finishRbsp())
-    }
+    val ppsNal = Array((3 << 5 | NalPps).toByte) ++ minimalPpsRbsp()
     val avcc = writeAvcc(AvcConfig(4, Vector(spsNal), Vector(ppsNal)))
     val avccBox = {
       val len = avcc.length + 8

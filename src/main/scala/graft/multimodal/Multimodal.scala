@@ -943,12 +943,22 @@ object Multimodal {
                                 // 14496-15 §5.3.4)
                                 val entryEnd =
                                   math.min(s + 8 + c.u32(s + 8), stsdE)
+                                // best-effort: a sample entry whose tail
+                                // is vendor padding rather than boxes must
+                                // stay probe-able (it was before this
+                                // extraction existed) — a malformed tail
+                                // just means "no avcC", never a failure
                                 if (s + 16 + 78 <= entryEnd)
-                                  walk(c, s + 16 + 78, entryEnd) {
+                                  try walk(c, s + 16 + 78, entryEnd) {
                                     case ("avcC", as, ae) =>
                                       avcc0 = java.util.Arrays.copyOfRange(
                                         c.buf, as.toInt, ae.toInt)
                                     case _ =>
+                                  } catch {
+                                    // keep any avcC captured before the
+                                    // corrupt tail (its bounds were
+                                    // validated by walk before f ran)
+                                    case _: IllegalArgumentException => ()
                                   }
                               }
                             case ("stts", s, _) =>

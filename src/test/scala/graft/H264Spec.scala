@@ -118,6 +118,64 @@ class H264Spec extends AnyFunSuite {
     }
   }
 
+  test("interlaced SPS (frameMbsOnly=false) round-trips; crop units double") {
+    // 1920x1088 interlaced with frame_crop_bottom_offset=2:
+    // CropUnitY = SubHeightC * (2 - frame_mbs_only) = 4 -> 1088-8 = 1080
+    val sps = H264.Sps(77, 40, 120, 34, 0, 0, 0, 2, frameMbsOnly = false)
+    val parsed = H264.parseSps(H264.writeSps(sps))
+    assert(parsed === sps)
+    assert(parsed.width === 1920)
+    assert(parsed.height === 1080)
+  }
+
+  test("4:4:4 and monochrome crops use luma-sample units") {
+    def build(chroma: Int, cropR: Int, cropB: Int): H264.Sps = {
+      val w = new H264.BitWriter
+      w.writeBits(100, 8); w.writeBits(0, 8); w.writeBits(40, 8)
+      w.writeUe(0)            // sps_id
+      w.writeUe(chroma)
+      if (chroma == 3) w.writeBit(0) // separate_colour_plane_flag
+      w.writeUe(0); w.writeUe(0); w.writeBit(0); w.writeBit(0)
+      w.writeUe(0)            // log2_max_frame_num_minus4
+      w.writeUe(2)            // poc type
+      w.writeUe(1); w.writeBit(0)
+      w.writeUe(9)            // 160 wide
+      w.writeUe(5)            // 96 tall
+      w.writeBit(1); w.writeBit(1)
+      w.writeBit(1)           // cropping
+      w.writeUe(0); w.writeUe(cropR); w.writeUe(0); w.writeUe(cropB)
+      w.writeBit(0)
+      H264.parseSps(H264.rbspEscape(w.finishRbsp()))
+    }
+    // 4:4:4: CropUnitX = CropUnitY = 1 (luma samples)
+    val s444 = build(3, 3, 5)
+    assert(s444.width === 160 - 3)
+    assert(s444.height === 96 - 5)
+    // monochrome: also luma units
+    val sMono = build(0, 2, 2)
+    assert(sMono.width === 160 - 2)
+    assert(sMono.height === 96 - 2)
+    // 4:2:2: X halves (SubWidthC=2), Y does not (SubHeightC=1)
+    val s422 = build(2, 3, 5)
+    assert(s422.width === 160 - 6)
+    assert(s422.height === 96 - 5)
+  }
+
+  test("writeAvcc refuses count/length overflows instead of corrupting") {
+    val sps = H264.Sps(66, 30, 1, 1, 0, 0, 0, 0, frameMbsOnly = true)
+    val spsNal = Array((3 << 5 | 7).toByte) ++ H264.writeSps(sps)
+    val pps = Array((3 << 5 | 8).toByte, 0x42.toByte)
+    intercept[IllegalArgumentException] {
+      H264.writeAvcc(H264.AvcConfig(4, Vector.fill(32)(spsNal), Vector(pps)))
+    }
+    intercept[IllegalArgumentException] {
+      H264.writeAvcc(H264.AvcConfig(4, Vector(spsNal), Vector.fill(256)(pps)))
+    }
+    intercept[IllegalArgumentException] {
+      H264.writeAvcc(H264.AvcConfig(4, Vector.empty, Vector(pps)))
+    }
+  }
+
   test("avcC config round-trips and length-prefixed samples walk") {
     val sps = H264.Sps(77, 31, 3, 2, 0, 1, 0, 1, frameMbsOnly = true)
     val spsNal = Array((3 << 5 | 7).toByte) ++ H264.writeSps(sps)
