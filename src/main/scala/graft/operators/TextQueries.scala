@@ -66,6 +66,69 @@ object TextQueries {
       .select(col("doc_id"), col("n_bpe_tokens"), col("bpe_text"))
   }
 
+  /** BPE merge TRAINING: the iterative loop a real tokenizer trainer runs
+    * (Sennrich et al. 2016 §2.2) — each round re-tokenizes the corpus
+    * with the merges learned so far (the codegen'd [[graft.functions
+    * .BpeEncode]] expression), counts adjacent token pairs per word, and
+    * adopts the most frequent pair (count desc, pair asc tiebreak) as the
+    * next merge. Scale shape per round: one explode + one partial-agg
+    * exchange; the ONLY driver materialization is the single argmax row,
+    * so rounds scale like `q_bpe_pairs` regardless of corpus size. The
+    * driver-side loop over rounds is the algorithm, not a shortcut —
+    * merge r+1's counts are defined over the corpus as tokenized by
+    * merges 1..r. */
+  def learnBpeMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(rounds >= 1 && rounds <= 1000, s"rounds must be 1..1000, got $rounds")
+    val words = df.select(explode(split(trim(col(textCol)), " ")).as("word"))
+      .where(col("word") =!= "")
+    var merges = Vector.empty[(String, String, Long)]
+    for (_ <- 0 until rounds) {
+      val toks = split(graft.functions.BpeEncode.encode(
+        col("word"), merges.map(m => (m._1, m._2))), " ")
+      val top = words
+        .select(explode(arrays_zip(
+          slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+          slice(toks, lit(2), greatest(size(toks) - 1, lit(0))))).as("p"))
+        .groupBy(col("p.0").as("left"), col("p.1").as("right"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("left"), col("right"))
+        .limit(1).collect()
+      if (top.isEmpty) {
+        return spark.createDataFrame(merges.zipWithIndex.map { case ((l, r, c), i) =>
+          (i + 1L, l, r, c) }).toDF("rank", "left", "right", "cnt")
+      }
+      merges :+= ((top(0).getString(0), top(0).getString(1), top(0).getLong(2)))
+    }
+    spark.createDataFrame(merges.zipWithIndex.map { case ((l, r, c), i) =>
+      (i + 1L, l, r, c) }).toDF("rank", "left", "right", "cnt")
+  }
+
+  /** Token-id mapping over BPE output: encode, then map each subword
+    * token to its vocab id (OOV → −1). The vocab ships as a single
+    * `typedlit` map literal inside a codegen'd `element_at` — map-only,
+    * no join, no shuffle beyond the caller's ordering; the LIMIT-guarded
+    * collect refuses corpus-sized "vocabs" the same way bpeEncode's
+    * merge collect does. */
+  def bpeTokenIds(df: DataFrame, idCol: String, textCol: String,
+      mergesDf: DataFrame, vocabDf: DataFrame): DataFrame = {
+    val cap = 1 << 20
+    val vrows = vocabDf.select("token", "id").limit(cap + 1).collect()
+    require(vrows.length <= cap,
+      s"vocab exceeds $cap rows — refusing to embed in the plan")
+    val vocab: Map[String, Long] =
+      vrows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enc = bpeEncode(df, idCol, textCol, mergesDf)
+    val toks = when(col("bpe_text") === "", array().cast("array<string>"))
+      .otherwise(split(col("bpe_text"), " "))
+    val ids = transform(toks, t =>
+      coalesce(element_at(typedLit(vocab), t), lit(-1L)))
+    enc.select(col("doc_id"), col("n_bpe_tokens"),
+      concat_ws(",", ids).as("ids_csv"),
+      size(filter(ids, i => i === -1L)).cast("long").as("n_oov"))
+  }
+
   /** The q_bpe_encode fixture vocab: ten merges over common English
     * letter pairs, ordered so every compound side is created before it is
     * used (th→the, an→and, in→ing) — i.e. a well-formed BPE table, which
@@ -74,6 +137,13 @@ object TextQueries {
   val BpeFixtureMerges: Seq[(String, String)] = Seq(
     ("t", "h"), ("i", "n"), ("a", "n"), ("e", "r"), ("o", "n"),
     ("th", "e"), ("an", "d"), ("in", "g"), ("e", "s"), ("o", "r"))
+
+  /** The q_bpe_ids fixture vocab: the ten merged tokens plus single
+    * letters and digits, ids by position. Anything else (punctuation,
+    * uppercase) is OOV → −1, exercised by the gate corpus. */
+  val BpeFixtureVocab: Seq[String] =
+    BpeFixtureMerges.map { case (l, r) => l + r } ++
+      ('a' to 'z').map(_.toString) ++ ('0' to '9').map(_.toString)
 
   val queries: Map[String, Q] = Map(
     "q_token_count" -> ((s, d) =>
@@ -438,6 +508,27 @@ object TextQueries {
       bpeEncode(docs(s, d), "doc_id", "text", mergesDf).orderBy("doc_id")
     }),
 
+    // BPE merge TRAINING, three rounds of the real iterative loop: each
+    // round re-tokenizes with the merges learned so far and adopts the
+    // argmax pair. The oracle replays all three rounds in SQL — pair
+    // counts over the char-wrapped corpus, scalar-subquery argmax,
+    // replace, repeat — so the gate proves the whole train loop, not one
+    // round. (q_bpe_pairs is round 1's count table; this is the loop.)
+    "q_bpe_learn" -> ((s, d) =>
+      learnBpeMerges(docs(s, d), "text", rounds = 3).orderBy("rank")),
+
+    // Vocab lookup over BPE output: token -> id via a typedlit map in a
+    // codegen'd element_at (map-only, no join), OOV -> -1. The id
+    // sequence is the actual artifact a training pipeline materializes.
+    "q_bpe_ids" -> ((s, d) => {
+      val mergesDf = s.createDataFrame(BpeFixtureMerges.zipWithIndex
+        .map { case ((l, r), i) => (i, l, r) }).toDF("rank", "left", "right")
+      val vocabDf = s.createDataFrame(BpeFixtureVocab.zipWithIndex
+        .map { case (t, i) => (t, i.toLong) }).toDF("token", "id")
+      bpeTokenIds(docs(s, d), "doc_id", "text", mergesDf, vocabDf)
+        .orderBy("doc_id")
+    }),
+
     // Incremental SimHash pairing: the %43 stratum re-arrives as a delta
     // (new ids); only delta×(index∪delta) blocks join — the index×index
     // quadrant is never computed (see Dedup.deltaHammingNearDup). The
@@ -526,6 +617,28 @@ object TextQueries {
        |          len([t for t in $toks if t IN ('the','a','of','and','to')]) THEN 'de'
        |     ELSE 'en' END""".stripMargin
 
+  // ---- shared BPE oracle plumbing (chr(1)/chr(2)-wrapped char encoding,
+  // replayed in DuckDB; see q_bpe_encode's comment for the semantics) ----
+  private def bpeSqlStr(s: String) = "'" + s.replace("'", "''") + "'"
+  private def bpeTok(s: String) = s"chr(1) || ${bpeSqlStr(s)} || chr(2)"
+  /** The fixture merge chain applied to `expr` (ascending rank). */
+  private def bpeChain(expr: String): String =
+    BpeFixtureMerges.foldLeft(
+      s"""regexp_replace($expr, '(.)', chr(1) || '\\1' || chr(2), 'g')""") {
+      case (acc, (l, r)) =>
+        s"replace($acc, ${bpeTok(l)} || ${bpeTok(r)}, ${bpeTok(l + r)})"
+    }
+  /** CTEs ending in `un(doc_id, bpe_text)` — the fixture encode of every
+    * document. */
+  private def bpeTextCtes: String =
+    s"""WITH enc AS (SELECT doc_id, ${bpeChain("text")} AS s FROM documents),
+       |nosp AS (SELECT doc_id, replace(s, chr(1) || ' ' || chr(2), '') AS s FROM enc),
+       |un AS (SELECT doc_id,
+       |  CASE WHEN s = '' THEN ''
+       |       ELSE substr(replace(s, chr(2) || chr(1), ' '), 2,
+       |                   length(replace(s, chr(2) || chr(1), ' ')) - 2) END AS bpe_text
+       |  FROM nosp)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_vocab_coverage" ->
       s"""WITH tok AS (SELECT unnest($toks) AS tok FROM documents),
@@ -571,26 +684,61 @@ object TextQueries {
     // order (left-to-right non-overlapping — replace()'s scan — matching
     // the expression's merge pass), drop space tokens, unwrap. Chain is
     // generated from the same BpeFixtureMerges constant the gate uses.
-    "q_bpe_encode" -> {
-      def sqlStr(s: String) = "'" + s.replace("'", "''") + "'"
-      def tok(s: String) = s"chr(1) || ${sqlStr(s)} || chr(2)"
-      val chain = BpeFixtureMerges.foldLeft(
-        """regexp_replace(text, '(.)', chr(1) || '\1' || chr(2), 'g')""") {
-        case (acc, (l, r)) =>
-          s"replace($acc, ${tok(l)} || ${tok(r)}, ${tok(l + r)})"
-      }
-      s"""WITH enc AS (SELECT doc_id, $chain AS s FROM documents),
-         |nosp AS (SELECT doc_id, replace(s, chr(1) || ' ' || chr(2), '') AS s FROM enc),
-         |un AS (SELECT doc_id,
-         |  CASE WHEN s = '' THEN ''
-         |       ELSE substr(replace(s, chr(2) || chr(1), ' '), 2,
-         |                   length(replace(s, chr(2) || chr(1), ' ')) - 2) END AS bpe_text
-         |  FROM nosp)
+    "q_bpe_encode" ->
+      s"""$bpeTextCtes
          |SELECT doc_id,
          |  CAST(CASE WHEN bpe_text = '' THEN 0
          |            ELSE len(str_split(bpe_text, ' ')) END AS BIGINT) AS n_bpe_tokens,
          |  bpe_text
-         |FROM un ORDER BY doc_id""".stripMargin
+         |FROM un ORDER BY doc_id""".stripMargin,
+
+    // Replays the full three-round training loop: per round, pair counts
+    // over the wrapped corpus, scalar-subquery argmax (cnt desc, pair
+    // asc — consistent with Spark's (left, right) tuple order because
+    // tokens never contain the ' ' separator), replace, repeat.
+    "q_bpe_learn" -> {
+      def toksOf(sCol: String) =
+        s"str_split(replace(substr($sCol, 2, length($sCol) - 2), chr(2) || chr(1), chr(31)), chr(31))"
+      def pair(am: String, merged: Boolean): String = {
+        val l = s"split_part((SELECT pair FROM $am), ' ', 1)"
+        val r = s"split_part((SELECT pair FROM $am), ' ', 2)"
+        if (merged) s"chr(1) || $l || $r || chr(2)"
+        else s"chr(1) || $l || chr(2) || chr(1) || $r || chr(2)"
+      }
+      val rounds = (1 to 3).map { k =>
+        s"""p$k AS (SELECT unnest([l[i] || ' ' || l[i+1] for i in range(1, len(l))]) AS pair
+           |  FROM (SELECT ${toksOf("s")} AS l FROM s${k - 1})),
+           |c$k AS (SELECT pair, COUNT(*) AS cnt FROM p$k GROUP BY pair),
+           |m$k AS (SELECT pair, cnt FROM c$k ORDER BY cnt DESC, pair LIMIT 1),
+           |s$k AS (SELECT replace(s, ${pair(s"m$k", merged = false)},
+           |  ${pair(s"m$k", merged = true)}) AS s FROM s${k - 1})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH w0 AS (SELECT unnest(str_split(trim(text), ' ')) AS word FROM documents),
+         |s0 AS (SELECT regexp_replace(word, '(.)', chr(1) || '\\1' || chr(2), 'g') AS s
+         |  FROM w0 WHERE word <> ''),
+         |$rounds
+         |SELECT CAST(k AS BIGINT) AS rank,
+         |  split_part(pair, ' ', 1) AS "left", split_part(pair, ' ', 2) AS "right",
+         |  CAST(cnt AS BIGINT) AS cnt
+         |FROM (SELECT 1 AS k, pair, cnt FROM m1
+         |      UNION ALL SELECT 2, pair, cnt FROM m2
+         |      UNION ALL SELECT 3, pair, cnt FROM m3)
+         |ORDER BY rank""".stripMargin
+    },
+
+    "q_bpe_ids" -> {
+      val caseChain = "CASE t " + BpeFixtureVocab.zipWithIndex.map {
+        case (tok, i) => s"WHEN ${bpeSqlStr(tok)} THEN $i" }.mkString(" ") +
+        " ELSE -1 END"
+      s"""$bpeTextCtes,
+         |t AS (SELECT doc_id,
+         |  CASE WHEN bpe_text = '' THEN CAST([] AS VARCHAR[])
+         |       ELSE str_split(bpe_text, ' ') END AS toks FROM un)
+         |SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
+         |  array_to_string(list_transform(toks, t -> CAST($caseChain AS VARCHAR)), ',') AS ids_csv,
+         |  CAST(len(list_filter(toks, t -> $caseChain = -1)) AS BIGINT) AS n_oov
+         |FROM t ORDER BY doc_id""".stripMargin
     },
 
     "q_token_count" ->

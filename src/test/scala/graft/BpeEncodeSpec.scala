@@ -114,6 +114,36 @@ class BpeEncodeSpec extends AnyFunSuite {
         enc("singing in the rain").split(" ").length.toLong))
   }
 
+  test("learnBpeMerges runs the real iterative loop (hand-traced 3 rounds)") {
+    val docs = spark.createDataFrame(Seq(
+      (1L, "the the cat"), (2L, "in the hat"))).toDF("doc_id", "text")
+    val got = TextQueries.learnBpeMerges(docs, "text", rounds = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // round 1: (t,h) and (h,e) both count 3 — 'h e' wins the pair-asc tie;
+    // round 2: 'the' is now t|he, so (t,he) counts 3;
+    // round 3: (a,t) from cat+hat counts 2
+    assert(got.toSeq === Seq(
+      (1L, "h", "e", 3L), (2L, "t", "he", 3L), (3L, "a", "t", 2L)))
+  }
+
+  test("bpeTokenIds maps through the vocab with OOV = -1") {
+    val docs = spark.createDataFrame(Seq((1L, "the cat!"))).toDF("doc_id", "text")
+    val mergesDf = spark.createDataFrame(
+      Fixture.zipWithIndex.map { case ((l, r), i) => (i, l, r) })
+      .toDF("rank", "left", "right")
+    val vocabDf = spark.createDataFrame(
+      TextQueries.BpeFixtureVocab.zipWithIndex.map { case (t, i) => (t, i.toLong) })
+      .toDF("token", "id")
+    val got = TextQueries.bpeTokenIds(docs, "doc_id", "text", mergesDf, vocabDf)
+      .collect()(0)
+    // "the cat!" -> tokens [the, c, a, t, !]; vocab: the=5, c=12, a=10,
+    // t=29, '!' OOV
+    assert(got.getLong(1) === 5L)
+    assert(got.getString(2) === "5,12,10,29,-1")
+    assert(got.getLong(3) === 1L)
+  }
+
   test("oversized merge table is refused, not broadcast") {
     intercept[IllegalArgumentException] {
       graft.functions.BpeTable.local(Array.fill(1 << 20 | 1)(("a", "b")))
