@@ -324,6 +324,49 @@ object ScaleProbe {
           s"shape: $rrSeeded vs $rrArith")
     }
 
+    // ---- BPE encode at vocab scale (50k merges) --------------------------
+    // The gate runs a 10-merge fixture; a real tokenizer ships ~50k
+    // merges. BFS-consistent vocab (every left side is built by an
+    // earlier merge, right side a single letter), broadcast once,
+    // JVM-wide rank map + per-thread word memo (BpeTable.Runtime), then
+    // one map-only pass over a Zipf-ish corpus. The requires pin the
+    // output shape; the printed words/s is the recorded throughput.
+    {
+      import graft.operators.TextQueries
+      val letters = ('a' to 'z').map(_.toString)
+      val l2 = for { a <- letters; b <- letters } yield (a, b)
+      val l3 = for { t <- l2.map { case (a, b) => a + b }; c <- letters } yield (t, c)
+      val l4 = (for { t <- l3.map { case (t0, c0) => t0 + c0 }.iterator; c <- letters.iterator }
+        yield (t, c)).take(50000 - l2.size - l3.size).toSeq
+      val bigMerges = l2 ++ l3 ++ l4
+      val mergesDf = spark.createDataFrame(
+        bigMerges.zipWithIndex.map { case ((l, r), i) => (i, l, r) })
+        .toDF("rank", "left", "right")
+      val nDocs = math.min(nRows, 1000000L)
+      val wordsPerDoc = 16
+      val corpus = spark.range(nDocs).select(col("id"),
+        concat_ws(" ", (0 until wordsPerDoc).map(j =>
+          concat(lit("tok"), pmod(hash(col("id") * 31 + lit(j)), lit(5000))
+            .cast("string"))): _*).as("text"))
+        .localCheckpoint()
+      val out = TextQueries.bpeEncode(corpus, "id", "text", mergesDf)
+      val t0 = System.nanoTime()
+      noop(out)
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"bpeEncode 50k merges          $secs%8.2f s  " +
+        f"(${nDocs * wordsPerDoc / secs}%.0f words/s, ${nDocs / secs}%.0f docs/s)")
+      // parity check: the distributed (broadcast + JVM-wide runtime)
+      // result for doc 0 must equal a driver-local encode of the same
+      // text through the same 50k-merge table
+      val text0 = corpus.where(col("id") === 0).collect()(0).getString(1)
+      val expected = graft.functions.BpeTable.local(bigMerges.toArray)
+        .encode(org.apache.spark.unsafe.types.UTF8String.fromString(text0))
+        .toString
+      val sample = out.where(col("doc_id") === 0).collect()(0).getString(2)
+      require(sample == expected,
+        s"distributed 50k-merge encode diverged from local: '$sample' vs '$expected'")
+    }
+
     // ---- streaming: continuousDiffHashState state bound ------------------
     // The 8 B/key claim, measured: 10M keys through a MemoryStream into
     // the hash-state CDC diff. Three requires make this a probe, not a
@@ -369,7 +412,7 @@ object ScaleProbe {
       }
 
       val nKeys = math.min(nRows, 10000000L)
-      val (hsRows, hsMem, _) = runStream(s"hashState ${nKeys / 1000000}M keys",
+      val (hsRows, hsMem, _) = runStream(s"hashState $nKeys keys",
         nKeys, payloadWidth = 16, hashMode = true)
       require(hsRows == nKeys,
         s"hash-state rows $hsRows != $nKeys keys — state is not 1 row/key")
