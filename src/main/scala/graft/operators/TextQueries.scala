@@ -79,54 +79,72 @@ object TextQueries {
     * merges 1..r. */
   def learnBpeMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
     val spark = df.sparkSession
-    import spark.implicits._
     require(rounds >= 1 && rounds <= 1000, s"rounds must be 1..1000, got $rounds")
+    // persisted: every round re-ENCODES the words (inherent to the
+    // algorithm), but the word extraction itself is identical across
+    // rounds — without the cache that is `rounds` redundant source scans
     val words = df.select(explode(split(trim(col(textCol)), " ")).as("word"))
       .where(col("word") =!= "")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var merges = Vector.empty[(String, String, Long)]
-    for (_ <- 0 until rounds) {
-      val toks = split(graft.functions.BpeEncode.encode(
-        col("word"), merges.map(m => (m._1, m._2))), " ")
-      val top = words
-        .select(explode(arrays_zip(
-          slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
-          slice(toks, lit(2), greatest(size(toks) - 1, lit(0))))).as("p"))
-        .groupBy(col("p.0").as("left"), col("p.1").as("right"))
-        .agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("left"), col("right"))
-        .limit(1).collect()
-      if (top.isEmpty) {
-        return spark.createDataFrame(merges.zipWithIndex.map { case ((l, r, c), i) =>
-          (i + 1L, l, r, c) }).toDF("rank", "left", "right", "cnt")
+    try {
+      var exhausted = false
+      var round = 0
+      while (round < rounds && !exhausted) {
+        val toks = split(graft.functions.BpeEncode.encode(
+          col("word"), merges.map(m => (m._1, m._2))), " ")
+        val top = words
+          .select(explode(arrays_zip(
+            slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+            slice(toks, lit(2), greatest(size(toks) - 1, lit(0))))).as("p"))
+          .groupBy(col("p.0").as("left"), col("p.1").as("right"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("left"), col("right"))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else merges :+= ((top(0).getString(0), top(0).getString(1), top(0).getLong(2)))
+        round += 1
       }
-      merges :+= ((top(0).getString(0), top(0).getString(1), top(0).getLong(2)))
-    }
+    } finally words.unpersist()
     spark.createDataFrame(merges.zipWithIndex.map { case ((l, r, c), i) =>
       (i + 1L, l, r, c) }).toDF("rank", "left", "right", "cnt")
   }
 
   /** Token-id mapping over BPE output: encode, then map each subword
-    * token to its vocab id (OOV → −1). The vocab ships as a single
-    * `typedlit` map literal inside a codegen'd `element_at` — map-only,
-    * no join, no shuffle beyond the caller's ordering; the LIMIT-guarded
-    * collect refuses corpus-sized "vocabs" the same way bpeEncode's
-    * merge collect does. */
+    * token to its vocab id (OOV → −1) through the codegen'd
+    * [[graft.functions.VocabIds]] expression — the vocab ships as a real
+    * `Broadcast` consumed via a JVM-wide hash map (O(1) per lookup, one
+    * copy per executor), map-only, no join; the LIMIT-guarded collect
+    * refuses corpus-sized "vocabs" the same way bpeEncode's merge collect
+    * does. The collect is sorted and duplicate tokens are refused loudly:
+    * an unordered last-wins `toMap` would make the applied id depend on
+    * shuffle order. */
   def bpeTokenIds(df: DataFrame, idCol: String, textCol: String,
       mergesDf: DataFrame, vocabDf: DataFrame): DataFrame = {
     val cap = 1 << 20
-    val vrows = vocabDf.select("token", "id").limit(cap + 1).collect()
+    val vrows = vocabDf.select("token", "id").orderBy("token", "id")
+      .limit(cap + 1).collect()
     require(vrows.length <= cap,
-      s"vocab exceeds $cap rows — refusing to embed in the plan")
-    val vocab: Map[String, Long] =
-      vrows.map(r => r.getString(0) -> r.getLong(1)).toMap
+      s"vocab exceeds $cap rows — refusing to broadcast")
+    var vi = 0
+    while (vi < vrows.length) {
+      require(vi == 0 || vrows(vi).getString(0) != vrows(vi - 1).getString(0),
+        s"vocab token '${vrows(vi).getString(0)}' appears more than once — " +
+          "which id applies would depend on row order; deduplicate the vocab")
+      require(vrows(vi).getLong(1) >= 0L,
+        s"vocab id ${vrows(vi).getLong(1)} < 0 collides with the OOV sentinel (−1)")
+      vi += 1
+    }
+    val arr = vrows.map(r => (r.getString(0), r.getLong(1)))
+    val table = graft.functions.VocabTable.broadcast(
+      df.sparkSession.sparkContext.broadcast(arr))
     val enc = bpeEncode(df, idCol, textCol, mergesDf)
-    val toks = when(col("bpe_text") === "", array().cast("array<string>"))
-      .otherwise(split(col("bpe_text"), " "))
-    val ids = transform(toks, t =>
-      coalesce(element_at(typedLit(vocab), t), lit(-1L)))
     enc.select(col("doc_id"), col("n_bpe_tokens"),
-      concat_ws(",", ids).as("ids_csv"),
-      size(filter(ids, i => i === -1L)).cast("long").as("n_oov"))
+      graft.functions.VocabIds.ids(col("bpe_text"), table).as("ids_csv"))
+      .withColumn("n_oov",
+        when(col("ids_csv") === "", lit(0L))
+          .otherwise(size(filter(split(col("ids_csv"), ","),
+            t => t === "-1")).cast("long")))
   }
 
   /** The q_bpe_encode fixture vocab: ten merges over common English
@@ -693,9 +711,14 @@ object TextQueries {
          |FROM un ORDER BY doc_id""".stripMargin,
 
     // Replays the full three-round training loop: per round, pair counts
-    // over the wrapped corpus, scalar-subquery argmax (cnt desc, pair
-    // asc — consistent with Spark's (left, right) tuple order because
-    // tokens never contain the ' ' separator), replace, repeat.
+    // over the wrapped corpus, scalar-subquery argmax ordered by the
+    // SPLIT left/right columns — NOT the concatenated "left right"
+    // string, whose single-key compare diverges from Spark's
+    // (left, right) tuple order when a token contains a char below
+    // 0x20 — then replace, repeat. Like every wrapped-oracle gate this
+    // assumes corpus text contains none of the sentinels chr(1)/chr(2)/
+    // chr(31) (true of the documents fixture; the Spark side has no such
+    // restriction).
     "q_bpe_learn" -> {
       def toksOf(sCol: String) =
         s"str_split(replace(substr($sCol, 2, length($sCol) - 2), chr(2) || chr(1), chr(31)), chr(31))"
@@ -709,7 +732,8 @@ object TextQueries {
         s"""p$k AS (SELECT unnest([l[i] || ' ' || l[i+1] for i in range(1, len(l))]) AS pair
            |  FROM (SELECT ${toksOf("s")} AS l FROM s${k - 1})),
            |c$k AS (SELECT pair, COUNT(*) AS cnt FROM p$k GROUP BY pair),
-           |m$k AS (SELECT pair, cnt FROM c$k ORDER BY cnt DESC, pair LIMIT 1),
+           |m$k AS (SELECT pair, cnt FROM c$k
+           |  ORDER BY cnt DESC, split_part(pair, ' ', 1), split_part(pair, ' ', 2) LIMIT 1),
            |s$k AS (SELECT replace(s, ${pair(s"m$k", merged = false)},
            |  ${pair(s"m$k", merged = true)}) AS s FROM s${k - 1})""".stripMargin
       }.mkString(",\n")

@@ -144,6 +144,26 @@ class BpeEncodeSpec extends AnyFunSuite {
     assert(got.getLong(3) === 1L)
   }
 
+  test("bpeTokenIds: empty text maps to empty csv and zero OOV; duplicate and negative-id vocabs are refused") {
+    val mergesDf = spark.createDataFrame(
+      Fixture.zipWithIndex.map { case ((l, r), i) => (i, l, r) })
+      .toDF("rank", "left", "right")
+    val docs = spark.createDataFrame(Seq((1L, ""))).toDF("doc_id", "text")
+    val vocabDf = spark.createDataFrame(Seq(("a", 0L), ("b", 1L))).toDF("token", "id")
+    val r = TextQueries.bpeTokenIds(docs, "doc_id", "text", mergesDf, vocabDf).collect()(0)
+    assert(r.getLong(1) === 0L && r.getString(2) === "" && r.getLong(3) === 0L)
+    // the same token twice: which id applies would depend on row order
+    val dup = spark.createDataFrame(Seq(("a", 0L), ("a", 1L))).toDF("token", "id")
+    intercept[IllegalArgumentException] {
+      TextQueries.bpeTokenIds(docs, "doc_id", "text", mergesDf, dup)
+    }
+    // id -1 collides with the OOV sentinel
+    val neg = spark.createDataFrame(Seq(("a", -1L))).toDF("token", "id")
+    intercept[IllegalArgumentException] {
+      TextQueries.bpeTokenIds(docs, "doc_id", "text", mergesDf, neg)
+    }
+  }
+
   test("oversized merge table is refused, not broadcast") {
     intercept[IllegalArgumentException] {
       graft.functions.BpeTable.local(Array.fill(1 << 20 | 1)(("a", "b")))
