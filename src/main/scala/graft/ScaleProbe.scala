@@ -367,6 +367,51 @@ object ScaleProbe {
         s"distributed 50k-merge encode diverged from local: '$sample' vs '$expected'")
     }
 
+    // ---- VocabIds at vocab scale: lookup cost must be size-independent ---
+    // The review finding this probe pins: a `typedlit` map literal's
+    // element_at is a LINEAR key scan serialized into every task
+    // (measured 17× slower at 100k vocab than 1k); the broadcast-hash-map
+    // VocabIds expression must cost the same at 200k vocab as at 11
+    // entries. Same corpus, same merges, two vocabs whose extra 200k
+    // entries are never matched — identical output, so the require is a
+    // pure lookup-cost A/B inside one JVM.
+    {
+      import graft.operators.TextQueries
+      val nDocs = math.min(nRows, 1000000L)
+      val wordsPerDoc = 16
+      val corpus = spark.range(nDocs).select(col("id"),
+        concat_ws(" ", (0 until wordsPerDoc).map(j =>
+          concat(lit("tok"), pmod(hash(col("id") * 31 + lit(j)), lit(5000))
+            .cast("string"))): _*).as("text"))
+        .localCheckpoint()
+      val mergesDf = spark.createDataFrame(Seq((0, "t", "o"), (1, "to", "k")))
+        .toDF("rank", "left", "right")
+      val hot = Seq("tok") ++ ('0' to '9').map(_.toString)
+      def vocabDf(pad: Int) = spark.createDataFrame(
+        (hot ++ (0 until pad).map(i => s"pad$i")).zipWithIndex
+          .map { case (t, i) => (t, i.toLong) }).toDF("token", "id")
+      def run(label: String, pad: Int): Double = {
+        val out = TextQueries.bpeTokenIds(corpus, "id", "text", mergesDf, vocabDf(pad))
+        noop(out) // warm: broadcast ship + JIT
+        val t0 = System.nanoTime()
+        noop(out)
+        val secs = (System.nanoTime() - t0) / 1e9
+        val r0 = out.where(col("doc_id") === 0).collect()(0)
+        require(r0.getLong(3) == 0L, s"every token is in vocab, n_oov must be 0: $r0")
+        require(r0.getString(2).count(_ == ',') + 1 == r0.getLong(1),
+          s"ids_csv arity must equal n_bpe_tokens: $r0")
+        // "tok" + 4 digit chars per word on average ≈ 5 tokens/word
+        val toks = nDocs * wordsPerDoc * 5
+        println(f"$label%-28s $secs%8.2f s  (~${toks / secs}%.0f token lookups/s)")
+        secs
+      }
+      val tSmall = run("vocabIds 11-entry vocab", pad = 0)
+      val tBig = run("vocabIds 200k-entry vocab", pad = 200000)
+      require(tBig < tSmall * 2.5 + 0.5,
+        f"vocab lookup must be size-independent (hash map, not a literal " +
+          f"scan): 200k vocab $tBig%.2f s vs 11-entry $tSmall%.2f s")
+    }
+
     // ---- streaming: continuousDiffHashState state bound ------------------
     // The 8 B/key claim, measured: 10M keys through a MemoryStream into
     // the hash-state CDC diff. Three requires make this a probe, not a
