@@ -107,6 +107,16 @@ object EmbeddingQueries {
       Similarity.lshNearDup(emb(s, d), "vec_id", "embedding", 0.45)
         .orderBy("id_a", "id_b")),
 
+    // kNN GRAPH: every vector's top-5 cosine neighbors, 2-probe IVF over
+    // the label cells — the all-queries structure SemDeDup/diversity
+    // sampling consume. The oracle replays the whole pipeline: integer
+    // centroids from the labels, every vector re-scored against them,
+    // top-2 probe cells per query vs argmax cell per neighbor, exact
+    // unit-vector dots, rank ties to the smaller neighbor id.
+    "q_knn_graph" -> ((s, d) =>
+      Similarity.knnGraph(emb(s, d), "vec_id", "embedding", "label",
+        k = 5, nProbe = 2).orderBy("query_id", "rank")),
+
     // ANN EVALUATION as a first-class gate: recall@k of the IVF path against
     // the exact brute force, integer hit counts per query (the caller
     // divides) — how a pipeline decides whether its coarse quantizer is
@@ -321,6 +331,38 @@ object EmbeddingQueries {
         |        x -> x[1] * x[2])), (ac, x) -> ac + x) AS sim
         |  FROM cand JOIN n a ON cand.id_a = a.vec_id JOIN n b ON cand.id_b = b.vec_id)
         |SELECT id_a, id_b, sim FROM s WHERE sim >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_knn_graph" ->
+      """WITH dims AS (
+        |  SELECT vec_id AS vid, CAST(label AS BIGINT) AS cell, i - 1 AS pos,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xi
+        |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS r(i)),
+        |cent AS (SELECT cell, pos, CAST(SUM(xi) AS BIGINT) AS sxi, COUNT(*) AS n
+        |  FROM dims GROUP BY cell, pos),
+        |scores AS (
+        |  SELECT d.vid, c.cell AS ccell,
+        |    CAST(CAST(SUM(d.xi * c.sxi) AS BIGINT) AS DOUBLE) / MAX(c.n) AS score
+        |  FROM dims d JOIN cent c ON d.pos = c.pos GROUP BY d.vid, c.cell),
+        |ranked AS (
+        |  SELECT vid, ccell AS cell,
+        |    ROW_NUMBER() OVER (PARTITION BY vid ORDER BY score DESC, ccell ASC) AS rn
+        |  FROM scores),
+        |probes AS (SELECT vid, cell FROM ranked WHERE rn <= 2),
+        |assigned AS (SELECT vid, cell FROM ranked WHERE rn = 1),
+        |n AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+        |      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))), (a, c) -> a + c))) AS nv
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT p.vid AS query_id, a.vid AS neighbor_id,
+        |    list_reduce(list_prepend(0.0, list_transform(list_zip(q.nv, c.nv),
+        |        x -> x[1] * x[2])), (ac, x) -> ac + x) AS sim
+        |  FROM probes p JOIN assigned a ON p.cell = a.cell AND p.vid <> a.vid
+        |  JOIN n q ON q.vec_id = p.vid JOIN n c ON c.vec_id = a.vid)
+        |SELECT query_id, neighbor_id, rank, sim FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM s) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q_ann_ivf" ->
       """WITH dims AS (

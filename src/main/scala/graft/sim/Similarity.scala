@@ -293,6 +293,156 @@ object Similarity {
       }.toDF("vid", "probe", "acell")
   }
 
+  /** Fused probe+normalize kernel for [[knnGraph]]: one narrow pass emits,
+    * per vector, its `nProbe` best cells by the integer centroid score
+    * (same (score DESC, cell ASC) order and overflow guards as
+    * [[assignCellsTopN]]) AND the pre-normalized unit vector — so the graph
+    * join downstream never has to join an n-row assignment frame back onto
+    * the vectors (the broadcast [[ivfTopK]] uses, which stops being
+    * broadcastable at billions of vectors). Normalization is bit-identical
+    * to [[withUnitVector]]: ascending-index Σx², one sqrt, per-element
+    * division; a zero-norm vector becomes the zero unit vector (sim 0
+    * everywhere — never ranked, never thresholded in).
+    * Returns (vid, probe 1..nProbe, acell, nv). */
+  private def assignProbesWithUnit(vecs: DataFrame, idCol: String, vecCol: String,
+      cells: Array[(Long, Array[Long], Long)], maxXi: Long,
+      quantScale: Long, nProbe: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val dim = if (cells.isEmpty) 0 else cells.iterator.map(_._2.length).max
+    val maxSxi = cells.iterator.flatMap(_._2.iterator)
+      .foldLeft(0L)((m, x) => math.max(m, math.abs(x)))
+    val maxN = cells.iterator.map(_._3).foldLeft(0L)(math.max)
+    require(BigInt(maxN) * BigInt(maxXi) < BigInt(Long.MaxValue) &&
+      BigInt(dim) * BigInt(maxXi) * BigInt(maxSxi) < BigInt(Long.MaxValue),
+      s"integer centroid dot would overflow int64 (dim=$dim max|xi|=$maxXi " +
+        s"max|sxi|=$maxSxi) — lower quantScale (currently $quantScale) or raise k.")
+    val bcCells = spark.sparkContext.broadcast(cells)
+    val np = math.min(nProbe, cells.length)
+    vecs
+      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { iter =>
+        val cs = bcCells.value
+        iter.flatMap { case (id, v) =>
+          val xi = new Array[Long](v.length)
+          var ss = 0.0
+          var i = 0
+          while (i < v.length) {
+            xi(i) = math.floor(v(i) * quantScale).toLong
+            ss += v(i) * v(i)
+            i += 1
+          }
+          val nrm = math.sqrt(ss)
+          val nv = new Array[Double](v.length)
+          if (nrm != 0.0) {
+            var j = 0
+            while (j < v.length) { nv(j) = v(j) / nrm; j += 1 }
+          }
+          val topCell = new Array[Long](np)
+          val topScore = new Array[Double](np)
+          java.util.Arrays.fill(topScore, Double.NegativeInfinity)
+          for ((cellId, sxi, n) <- cs) {
+            var s = 0L
+            var p = 0
+            while (p < xi.length) { s += xi(p) * sxi(p); p += 1 }
+            val sc = s.toDouble / n
+            var j = np - 1
+            if (sc > topScore(j)) {
+              while (j > 0 && sc > topScore(j - 1)) {
+                topScore(j) = topScore(j - 1); topCell(j) = topCell(j - 1); j -= 1
+              }
+              topScore(j) = sc; topCell(j) = cellId
+            }
+          }
+          (0 until np).iterator
+            .filter(r => topScore(r) != Double.NegativeInfinity)
+            .map(r => (id, (r + 1).toLong, topCell(r), nv))
+        }
+      }.toDF("vid", "probe", "acell", "nv")
+  }
+
+  /** kNN GRAPH: the top-k cosine neighbors of EVERY vector — the
+    * all-vectors generalization of [[ivfTopK]], the structure SemDeDup-style
+    * curation, graph-based dedup, and diversity sampling consume. Each
+    * vector probes its `nProbe` best coarse cells (the IVF recall knob:
+    * near-boundary true neighbors living in the runner-up cell are not
+    * lost), candidates are the argmax-cell members of the probed cells, and
+    * exact unit-vector dots rank them. Pair volume is ~nProbe·n²/k for k
+    * cells — never all-pairs.
+    *
+    * Scale shape (deliberately better than ivfTopK's): the fused kernel
+    * emits probe cells AND the unit vector in one pass, so both join sides
+    * derive from it directly — the candidate join is a plain shuffle hash
+    * join on the cell id with NO n-row broadcast anywhere. Each neighbor
+    * lives in exactly one argmax cell and a query's probed cells are
+    * distinct, so a pair can match at most once — no dedup stage. The
+    * candidate budget is checked EXACTLY before any pair materializes:
+    * one aggregate over the probe frame computes Σ_cells (probes into
+    * cell × members of cell), the true join fan-out.
+    *
+    * Determinism: integer-quantized centroid scores (exact int64 dot, one
+    * exactly-rounded division), ascending-index float dots — every step
+    * replayable bit-for-bit by the SQL oracle. Ranking ties break on the
+    * smaller neighbor id. The reference engine has no ANN surface; this is
+    * part of the training-pipeline extension (SemDeDup, Abbas et al. 2023,
+    * builds exactly this within-cell neighbor structure). */
+  def knnGraph(vecs: DataFrame, idCol: String, vecCol: String, cellCol: String,
+      k: Int, nProbe: Int = 2, quantScale: Long = 1000000L,
+      maxEstCandidates: Long = 2000000000L): DataFrame = {
+    require(k >= 1, s"knnGraph needs k >= 1, got $k")
+    require(nProbe >= 1, s"knnGraph needs nProbe >= 1, got $nProbe")
+    import org.apache.spark.sql.expressions.Window
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val dims = vecs.select(col(idCol).as("vid"), col(cellCol).cast("long").as("cell"),
+      posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .withColumn("xi", floor(col("x").cast("double") * quantScale).cast("long"))
+    val cent = dims.groupBy("cell", "pos")
+      .agg(sum(col("xi")).as("sxi"), count(lit(1)).as("n"))
+    val cells = collectCentroids(cent)
+    if (cells.isEmpty)
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("query_id", "neighbor_id", "rank", "sim")
+    val probed = assignProbesWithUnit(vecs, idCol, vecCol, cells,
+      maxAbsXi(dims), quantScale, nProbe)
+    // exact fan-out guard: Σ over cells of (rows probing the cell ×
+    // argmax members of the cell) IS the candidate count the join below
+    // produces (before the self-pair filter). One tiny aggregate (≤ cells
+    // rows) — the kernel runs once for it, and the same philosophy as
+    // ivfTopK's guard: a degenerate clustering refuses loudly instead of
+    // quietly running toward all-pairs.
+    val loadRow = probed.groupBy(col("acell"))
+      .agg(count(lit(1)).as("nq"),
+        count(when(col("probe") === 1, 1)).as("ni"))
+      .agg(sum(col("nq") * col("ni"))).head()
+    val est = if (loadRow.isNullAt(0)) 0L else loadRow.getLong(0)
+    require(est <= maxEstCandidates,
+      s"knnGraph candidate join would materialize ~$est pairs " +
+        s"(> $maxEstCandidates). Re-cluster with more cells, lower nProbe, " +
+        "or raise maxEstCandidates if the runtime is acceptable.")
+    val index = probed.where(col("probe") === 1)
+      .select(col("vid").as("neighbor_id"), col("acell").as("cell"), col("nv").as("cn"))
+    val queries = probed
+      .select(col("vid").as("query_id"), col("acell").as("cell"), col("nv").as("qn"))
+    val sims = queries.join(index, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qn"), col("cn"))
+      .as[(Long, Long, Array[Double], Array[Double])]
+      .mapPartitions(_.map { case (q, nb, qn, cn) =>
+        var s = 0.0
+        var i = 0
+        while (i < qn.length) { s += qn(i) * cn(i); i += 1 }
+        (q, nb, s)
+      })
+      .toDF("query_id", "neighbor_id", "sim")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
   /** Build and PERSIST an IVF index for serving: the integer centroid
     * component sums (cells×dims rows) at `path`/centroids and the
     * per-vector postings (assigned cell + pre-normalized unit vector) at

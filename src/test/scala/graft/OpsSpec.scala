@@ -946,6 +946,70 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top(3L) == 1L && top(1L) == 2L)
   }
 
+  test("knnGraph probing all cells equals brute force for every vector") {
+    // two tight clusters around (1,0) and (0,1); with nProbe = #cells every
+    // query scans every candidate, so the graph must equal the exact
+    // brute-force top-k run with all vectors as queries — ids, ranks, AND
+    // bit-identical sims (both paths accumulate ascending-index doubles).
+    val vecs = Seq(
+      (0L, 0, Array(1.0f, 0.0f)), (1L, 0, Array(0.95f, 0.05f)),
+      (2L, 0, Array(0.9f, 0.1f)), (3L, 1, Array(0.0f, 1.0f)),
+      (4L, 1, Array(0.05f, 0.95f)), (5L, 1, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "label", "embedding")
+    val graph = Similarity.knnGraph(vecs, "vec_id", "embedding", "label",
+      k = 3, nProbe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val brute = Similarity.bruteForceTopK(
+      vecs.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      vecs.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")), 3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(graph == brute)
+    assert(graph.map(_._1) == (0L to 5L).toSet) // EVERY vector is a query
+  }
+
+  test("knnGraph single-probe stays within the argmax cell") {
+    // with nProbe=1 a query only sees its own cluster: neighbors across
+    // the label boundary must be absent even though they exist
+    val vecs = Seq(
+      (0L, 0, Array(1.0f, 0.0f)), (1L, 0, Array(0.95f, 0.05f)),
+      (2L, 1, Array(0.0f, 1.0f)), (3L, 1, Array(0.05f, 0.95f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.knnGraph(vecs, "vec_id", "embedding", "label",
+      k = 3, nProbe = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L), (1L, 0L), (2L, 3L), (3L, 2L)))
+  }
+
+  test("knnGraph refuses an over-budget candidate join before any pair runs") {
+    val vecs = Seq(
+      (0L, 0, Array(1.0f, 0.0f)), (1L, 0, Array(0.9f, 0.1f)),
+      (2L, 0, Array(0.8f, 0.2f))).toDF("vec_id", "label", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.knnGraph(vecs, "vec_id", "embedding", "label",
+        k = 2, nProbe = 1, maxEstCandidates = 2) // 3 probes × 3 members = 9 > 2
+    }
+    assert(e.getMessage.contains("Re-cluster"))
+  }
+
+  test("knnGraph zero-norm vector gets sim 0 and never outranks real neighbors") {
+    val vecs = Seq(
+      (0L, 0, Array(1.0f, 0.0f)), (1L, 0, Array(0.9f, 0.1f)),
+      (2L, 0, Array(0.0f, 0.0f))).toDF("vec_id", "label", "embedding")
+    val got = Similarity.knnGraph(vecs, "vec_id", "embedding", "label",
+      k = 2, nProbe = 1)
+      .as[(Long, Long, Long, Double)].collect()
+    // the zero vector is a last-ranked sim-0 neighbor, never NaN, never #1
+    val zeroRows = got.filter(_._2 == 2L)
+    assert(zeroRows.nonEmpty && zeroRows.forall(r => r._4 == 0.0 && r._3 == 2L))
+    assert(got.filter(_._1 == 2L).forall(_._4 == 0.0)) // as a query too
+  }
+
+  test("knnGraph on an empty corpus returns an empty graph") {
+    val vecs = Seq.empty[(Long, Int, Array[Float])]
+      .toDF("vec_id", "label", "embedding")
+    assert(Similarity.knnGraph(vecs, "vec_id", "embedding", "label", k = 2).isEmpty)
+  }
+
   test("similarPairs refuses an over-budget broadcast before collecting") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
