@@ -47,6 +47,13 @@ object H264 {
       writeBits(0L, len - 1)
       writeBits(x, len)
     }
+    /** Exp-Golomb signed (§9.1.1): se(v) k maps back as
+      * v<=0 → k=-2v (even), v>0 → k=2v-1 (odd). */
+    def writeSe(v: Int): Unit =
+      writeUe(if (v <= 0) -2 * v else 2 * v - 1)
+    /** pcm_alignment_zero_bit run: pad the CURRENT byte with zeros
+      * (§7.3.5 before I_PCM samples). No-op when already aligned. */
+    def alignZero(): Unit = while (nBits != 0) writeBit(0)
     /** rbsp_trailing_bits(): stop bit 1, then zero-pad to a byte. */
     def finishRbsp(): Array[Byte] = {
       writeBit(1)
@@ -76,6 +83,17 @@ object H264 {
       }
       ((1L << zeros) - 1 + readBits(zeros)).toInt
     }
+    /** Exp-Golomb signed (§9.1.1): odd k → (k+1)/2, even k → -k/2. */
+    def readSe(): Int = {
+      val k = readUe()
+      if (k % 2 == 0) -(k / 2) else (k + 1) / 2
+    }
+    def byteAligned: Boolean = (pos & 7) == 0
+    /** Consume pcm_alignment_zero_bit padding, requiring each bit 0
+      * (§7.3.5: a 1 here means the parse lost sync). */
+    def alignToByte(): Unit =
+      while (!byteAligned)
+        require(readBit() == 0, "pcm_alignment_zero_bit is 1: bitstream desync")
   }
 
   /** Insert emulation-prevention bytes: any 00 00 followed by 00..03
@@ -155,7 +173,12 @@ object H264 {
   case class Sps(profileIdc: Int, levelIdc: Int, widthMbs: Int,
       heightMapUnits: Int, cropLeft: Int, cropRight: Int,
       cropTop: Int, cropBottom: Int, frameMbsOnly: Boolean,
-      chromaFormatIdc: Int = 1, separateColourPlane: Boolean = false) {
+      chromaFormatIdc: Int = 1, separateColourPlane: Boolean = false,
+      // retained for SLICE HEADER parsing (the I_PCM raster path): the
+      // frame_num field width, the POC mode (2 = none in the header),
+      // and the POC-lsb width mode 0 would read.
+      log2MaxFrameNum: Int = 4, pocType: Int = 2,
+      log2MaxPocLsb: Int = 4) {
     /** §7.4.2.1.1: ChromaArrayType 0 (monochrome / separate planes) crops
       * in luma samples; 4:2:0/4:2:2 halve horizontally (SubWidthC=2);
       * only 4:2:0 halves vertically (SubHeightC=2); field coding doubles
@@ -179,12 +202,14 @@ object H264 {
       !sps.separateColourPlane,
       "writeSps emits Baseline/Main (4:2:0) only; high-profile chroma " +
         "shapes are parse-side support")
+    require(sps.pocType == 2, "writeSps emits pic_order_cnt_type 2 only " +
+      "(no POC fields in slice headers); types 0/1 are parse-side support")
     val w = new BitWriter
     w.writeBits(sps.profileIdc, 8)
     w.writeBits(0, 8)                  // constraint flags + reserved
     w.writeBits(sps.levelIdc, 8)
     w.writeUe(0)                       // seq_parameter_set_id
-    w.writeUe(0)                       // log2_max_frame_num_minus4
+    w.writeUe(sps.log2MaxFrameNum - 4) // log2_max_frame_num_minus4
     w.writeUe(2)                       // pic_order_cnt_type (2: no extra fields)
     w.writeUe(1)                       // max_num_ref_frames
     w.writeBit(0)                      // gaps_in_frame_num_value_allowed
@@ -233,9 +258,10 @@ object H264 {
         }
       }
     }
-    r.readUe()                         // log2_max_frame_num_minus4
+    val log2MaxFrameNum = r.readUe() + 4 // log2_max_frame_num_minus4
     val poc = r.readUe()
-    if (poc == 0) r.readUe()           // log2_max_pic_order_cnt_lsb_minus4
+    var log2MaxPocLsb = 4
+    if (poc == 0) log2MaxPocLsb = r.readUe() + 4
     else if (poc == 1) {
       r.readBit(); r.readUe(); r.readUe()
       val n = r.readUe()
@@ -253,7 +279,9 @@ object H264 {
       if (r.readBit() == 1) (r.readUe(), r.readUe(), r.readUe(), r.readUe())
       else (0, 0, 0, 0)
     Sps(profile, level, wMbs, hUnits, cl, cr, ct, cb, frameMbsOnly,
-      chromaFormatIdc, separateColourPlane)
+      chromaFormatIdc, separateColourPlane,
+      log2MaxFrameNum = log2MaxFrameNum, pocType = poc,
+      log2MaxPocLsb = log2MaxPocLsb)
   }
 
   private def skipScalingList(r: BitReader, size: Int): Unit = {
@@ -268,6 +296,60 @@ object H264 {
       if (next != 0) last = next
       i += 1
     }
+  }
+
+  /** The PPS fields a slice-header/macroblock parse consumes (§7.3.2.2;
+    * the trailing weighted-pred/QP knobs are parsed past but not needed
+    * for the I_PCM raster path, where every sample is literal). */
+  case class Pps(ppsId: Int, spsId: Int, cabac: Boolean,
+      picOrderPresent: Boolean, deblockingControlPresent: Boolean,
+      redundantPicCntPresent: Boolean)
+
+  /** Serialize the fixture PPS RBSP (escaped): the FULL mandatory §7.3.2.2
+    * field list with every knob at its neutral value — CAVLC entropy, one
+    * slice group, no deblocking override, no redundant-count field. (The
+    * earlier fixtures stopped after num_slice_groups_minus1, which no
+    * conformant decoder would accept; the I_PCM raster path actually
+    * parses the PPS, so the fixture must be complete.) */
+  def writePps(): Array[Byte] = {
+    val w = new BitWriter
+    w.writeUe(0); w.writeUe(0)     // pps_id, sps_id
+    w.writeBit(0)                  // entropy_coding_mode_flag (CAVLC)
+    w.writeBit(0)                  // bottom_field_pic_order_in_frame_present
+    w.writeUe(0)                   // num_slice_groups_minus1
+    w.writeUe(0); w.writeUe(0)     // num_ref_idx_l{0,1}_default_active_minus1
+    w.writeBit(0)                  // weighted_pred_flag
+    w.writeBits(0, 2)              // weighted_bipred_idc
+    w.writeSe(0)                   // pic_init_qp_minus26
+    w.writeSe(0)                   // pic_init_qs_minus26
+    w.writeSe(0)                   // chroma_qp_index_offset
+    w.writeBit(0)                  // deblocking_filter_control_present_flag
+    w.writeBit(0)                  // constrained_intra_pred_flag
+    w.writeBit(0)                  // redundant_pic_cnt_present_flag
+    rbspEscape(w.finishRbsp())
+  }
+
+  /** Parse a PPS from its ESCAPED payload. FMO (slice groups > 1) is
+    * refused — its map types change the macroblock-to-slice-group walk
+    * and no production training corpus ships it. */
+  def parsePps(payload: Array[Byte]): Pps = {
+    val r = new BitReader(rbspUnescape(payload))
+    val ppsId = r.readUe()
+    val spsId = r.readUe()
+    val cabac = r.readBit() == 1
+    val picOrderPresent = r.readBit() == 1
+    val numSliceGroups = r.readUe() + 1
+    require(numSliceGroups == 1,
+      s"FMO ($numSliceGroups slice groups) is not supported: the slice-group " +
+        "map changes macroblock order and nothing modern emits it")
+    r.readUe(); r.readUe()         // num_ref_idx_l{0,1}_default_active_minus1
+    r.readBit()                    // weighted_pred_flag
+    r.readBits(2)                  // weighted_bipred_idc
+    r.readSe(); r.readSe(); r.readSe() // qp, qs, chroma_qp_index_offset
+    val deblock = r.readBit() == 1
+    r.readBit()                    // constrained_intra_pred_flag
+    val redundant = r.readBit() == 1
+    Pps(ppsId, spsId, cabac, picOrderPresent, deblock, redundant)
   }
 
   // ---- AVCC form (ISO 14496-15: how MP4 actually carries AVC) -----------
@@ -384,16 +466,10 @@ object H264 {
       cropLeft = 0, cropRight = synthCropRight(seed),
       cropTop = 0, cropBottom = synthCropBottom(seed), frameMbsOnly = true)
 
-  /** The shared fixture PPS RBSP (escaped): ids + the flags a parser must
-    * skip over — ONE definition, because the Annex-B and AVCC fixtures
-    * assert identical stream content. */
-  private def minimalPpsRbsp(): Array[Byte] = {
-    val w = new BitWriter
-    w.writeUe(0); w.writeUe(0)     // pps_id, sps_id
-    w.writeBit(0); w.writeBit(0)   // entropy_coding_mode, pic_order_present
-    w.writeUe(0)                   // num_slice_groups_minus1
-    rbspEscape(w.finishRbsp())
-  }
+  /** The shared fixture PPS RBSP (escaped) — ONE definition, because the
+    * Annex-B and AVCC fixtures assert identical stream content. Now the
+    * full conformant field list (see [[writePps]]). */
+  private def minimalPpsRbsp(): Array[Byte] = writePps()
 
   private def nalBytes(refIdc: Int, nalType: Int, payload: Array[Byte],
       fourByteStart: Boolean): Array[Byte] = {
@@ -502,6 +578,194 @@ object H264 {
     }
   }
 
+  // ---- I_PCM raster path (§7.3.5 / §7.4.5): real pixels, no entropy ------
+
+  /** A decoded 4:2:0 frame: full macroblock-grid planes (crop applied by
+    * the consumer via the SPS geometry). Values 0..255 as Ints. */
+  case class Raster(widthMbs: Int, heightMbs: Int,
+      luma: Array[Int], cb: Array[Int], cr: Array[Int]) {
+    def w: Int = widthMbs * 16
+    def h: Int = heightMbs * 16
+  }
+
+  /** Serialize an IDR I-slice whose every macroblock is I_PCM: slice
+    * header (§7.3.3 under pocType 2 / CAVLC / IDR), then per MB in raster
+    * order mb_type ue(25), pcm_alignment_zero_bit padding, 256 raw luma
+    * samples and 64+64 raw Cb/Cr samples (§7.3.5). Returns the ESCAPED
+    * payload (I_PCM bytes may be zero, so emulation prevention is
+    * load-bearing here, unlike the zero-free formula slices). */
+  def writeIpcmSlice(sps: Sps, luma: (Int, Int) => Int,
+      cb: (Int, Int) => Int, cr: (Int, Int) => Int): Array[Byte] = {
+    require(sps.pocType == 2 && sps.frameMbsOnly && sps.chromaFormatIdc == 1,
+      "writeIpcmSlice emits progressive 4:2:0 pocType-2 streams only")
+    val w = new BitWriter
+    w.writeUe(0)                        // first_mb_in_slice
+    w.writeUe(7)                        // slice_type: I (all slices I)
+    w.writeUe(0)                        // pic_parameter_set_id
+    w.writeBits(0, sps.log2MaxFrameNum) // frame_num (0: every frame is IDR)
+    w.writeUe(0)                        // idr_pic_id
+    // pocType 2: no POC fields. I slice: no ref lists, no pred weights.
+    w.writeBit(0); w.writeBit(0)        // dec_ref_pic_marking (IDR): 2 flags
+    w.writeSe(0)                        // slice_qp_delta
+    var mb = 0
+    val nMbs = sps.widthMbs * sps.heightMapUnits
+    while (mb < nMbs) {
+      val mbX = (mb % sps.widthMbs) * 16
+      val mbY = (mb / sps.widthMbs) * 16
+      w.writeUe(25)                     // mb_type I_PCM
+      w.alignZero()                     // pcm_alignment_zero_bit*
+      var yy = 0
+      while (yy < 16) {
+        var xx = 0
+        while (xx < 16) { w.writeBits(luma(mbY + yy, mbX + xx) & 0xff, 8); xx += 1 }
+        yy += 1
+      }
+      var cy = 0
+      while (cy < 8) {
+        var cx = 0
+        while (cx < 8) { w.writeBits(cb(mbY / 2 + cy, mbX / 2 + cx) & 0xff, 8); cx += 1 }
+        cy += 1
+      }
+      cy = 0
+      while (cy < 8) {
+        var cx = 0
+        while (cx < 8) { w.writeBits(cr(mbY / 2 + cy, mbX / 2 + cx) & 0xff, 8); cx += 1 }
+        cy += 1
+      }
+      mb += 1
+    }
+    rbspEscape(w.finishRbsp())
+  }
+
+  /** Decode an I-slice whose macroblocks are all I_PCM into a [[Raster]] —
+    * REAL pixels from real H.264 bitstream bytes, no codec library: the
+    * slice header is fully parsed (frame_num width, POC mode, deblocking
+    * and redundant-count knobs honored from the SPS/PPS actually in the
+    * stream), and each macroblock's literal samples are lifted after the
+    * alignment run. Anything needing the CAVLC/CABAC residual pipeline
+    * (mb_type != 25, P/B slices) refuses loudly — THAT is the remaining
+    * codec seam, now narrowed from "raster decode" to "entropy-coded
+    * residual decode". */
+  def decodeIpcmSlice(sps: Sps, pps: Pps, payload: Array[Byte],
+      isIdr: Boolean, refIdc: Int): Raster = {
+    require(!pps.cabac,
+      "CABAC streams need the arithmetic entropy decoder (the remaining " +
+        "codec seam); the I_PCM raster path reads CAVLC-mode bit layout")
+    require(sps.frameMbsOnly, "interlaced (field/MBAFF) pictures not supported")
+    require(sps.chromaFormatIdc == 1 && !sps.separateColourPlane,
+      "only 4:2:0 I_PCM is implemented (MbWidthC=MbHeightC=8)")
+    val r = new BitReader(rbspUnescape(payload))
+    require(r.readUe() == 0,
+      "multi-slice pictures not supported: first_mb_in_slice != 0")
+    val sliceType = r.readUe()
+    require(sliceType == 2 || sliceType == 7,
+      s"slice_type $sliceType is not I: P/B slices need reference frames " +
+        "and the residual pipeline")
+    r.readUe()                          // pic_parameter_set_id
+    r.readBits(sps.log2MaxFrameNum)     // frame_num
+    if (isIdr) r.readUe()               // idr_pic_id
+    sps.pocType match {
+      case 0 =>
+        r.readBits(sps.log2MaxPocLsb)
+        if (pps.picOrderPresent) r.readSe()
+      case 2 =>
+      case t => throw new IllegalArgumentException(
+        s"pic_order_cnt_type $t slice headers not supported")
+    }
+    if (pps.redundantPicCntPresent) r.readUe()
+    if (refIdc != 0) {
+      if (isIdr) { r.readBit(); r.readBit() } // dec_ref_pic_marking (IDR)
+      else require(r.readBit() == 0,
+        "adaptive_ref_pic_marking on a non-IDR I slice not supported")
+    }
+    r.readSe()                          // slice_qp_delta
+    if (pps.deblockingControlPresent) {
+      val idc = r.readUe()
+      if (idc != 1) { r.readSe(); r.readSe() }
+    }
+    val wMbs = sps.widthMbs
+    val hMbs = sps.heightMapUnits
+    val w = wMbs * 16
+    val luma = new Array[Int](w * hMbs * 16)
+    val cw = w / 2
+    val cbP = new Array[Int](cw * hMbs * 8)
+    val crP = new Array[Int](cw * hMbs * 8)
+    var mb = 0
+    val nMbs = wMbs * hMbs
+    while (mb < nMbs) {
+      val mbType = r.readUe()
+      require(mbType == 25,
+        s"mb_type $mbType: only I_PCM macroblocks carry literal samples — " +
+          "intra-predicted types need the CAVLC residual decode (the seam)")
+      r.alignToByte()
+      val mbX = (mb % wMbs) * 16
+      val mbY = (mb / wMbs) * 16
+      var yy = 0
+      while (yy < 16) {
+        var xx = 0
+        while (xx < 16) {
+          luma((mbY + yy) * w + mbX + xx) = r.readBits(8).toInt; xx += 1
+        }
+        yy += 1
+      }
+      var cy = 0
+      while (cy < 8) {
+        var cx = 0
+        while (cx < 8) {
+          cbP((mbY / 2 + cy) * cw + mbX / 2 + cx) = r.readBits(8).toInt; cx += 1
+        }
+        cy += 1
+      }
+      cy = 0
+      while (cy < 8) {
+        var cx = 0
+        while (cx < 8) {
+          crP((mbY / 2 + cy) * cw + mbX / 2 + cx) = r.readBits(8).toInt; cx += 1
+        }
+        cy += 1
+      }
+      mb += 1
+    }
+    require(r.readBit() == 1, "rbsp_stop_one_bit missing after the last MB")
+    Raster(wMbs, hMbs, luma, cbP, crP)
+  }
+
+  // ---- I_PCM fixtures: pixel formulas the oracle replays -----------------
+
+  def ipcmMbW(seed: Long): Int = 1 + (seed % 2).toInt
+  def ipcmMbH(seed: Long): Int = 1 + ((seed / 10) % 2).toInt
+  /** Pixel formulas, all integer mod 256 (zeros INCLUDED — emulation
+    * prevention must genuinely fire for the bits to survive the mux). */
+  def ipcmLuma(seed: Long, f: Int, y: Int, x: Int): Int =
+    (((seed * 7 + f * 11 + y * 5 + x * 3) % 256 + 256) % 256).toInt
+  def ipcmCb(seed: Long, f: Int, y: Int, x: Int): Int =
+    (((seed * 13 + f * 3 + y * 7 + x * 11) % 256 + 256) % 256).toInt
+  def ipcmCr(seed: Long, f: Int, y: Int, x: Int): Int =
+    (((seed * 17 + f * 5 + y * 13 + x * 7) % 256 + 256) % 256).toInt
+
+  def ipcmSps(seed: Long): Sps =
+    Sps(66, levelIdc = 30, widthMbs = ipcmMbW(seed),
+      heightMapUnits = ipcmMbH(seed), cropLeft = 0, cropRight = 0,
+      cropTop = 0, cropBottom = 0, frameMbsOnly = true)
+
+  /** A structurally valid MP4 of `nFrames` all-I_PCM IDR access units
+    * (each SPS+PPS+slice, so every sample decodes independently — the
+    * all-keyframe layout a seekable archival intra stream uses). */
+  def synthIpcmMp4(seed: Long, nFrames: Int): Array[Byte] = {
+    val sps = ipcmSps(seed)
+    val samples = (0 until nFrames).map { f =>
+      val slice = writeIpcmSlice(sps,
+        (y, x) => ipcmLuma(seed, f, y, x),
+        (y, x) => ipcmCb(seed, f, y, x),
+        (y, x) => ipcmCr(seed, f, y, x))
+      nalBytes(3, NalSps, writeSps(sps), fourByteStart = true) ++
+        nalBytes(3, NalPps, minimalPpsRbsp(), fourByteStart = false) ++
+        nalBytes(3, NalSliceIdr, slice, fourByteStart = false)
+    }.toArray
+    Multimodal.Mp4Video.synthMp4Samples(samples, sps.width, sps.height,
+      chunks = if (seed % 3 == 0) 2 else 1)
+  }
+
   // ---- Spark stages -------------------------------------------------------
 
   def attachH264Payload(df: DataFrame, idCol: String,
@@ -555,6 +819,72 @@ object H264 {
           s"container tkhd ${meta.width}x${meta.height}")
       H264Probe(r.doc_id, sps.profileIdc, sps.levelIdc, sps.width, sps.height,
         nNals, idr.result().length.toLong, idr.result().mkString(","), sliceSum)
+    }
+  }
+
+  def attachIpcmPayload(df: DataFrame, idCol: String,
+      nFrames: Int = 3): Dataset[Multimodal.MediaRow] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .map(id => Multimodal.MediaRow(id, "video/mp4", synthIpcmMp4(id, nFrames)))
+  }
+
+  case class IpcmDecodeRow(doc_id: Long, width: Int, height: Int,
+      n_frames: Long, luma_sum: Long, luma_wsum: Long,
+      cb_sum: Long, cr_sum: Long)
+
+  /** RASTER DECODE stage: container parse → NAL walk → SPS/PPS parse →
+    * slice-header parse → I_PCM sample lift, all from the real bitstream
+    * bytes. Output sums are position-weighted so they pin EVERY pixel of
+    * every frame (a permuted or shifted raster changes luma_wsum), and the
+    * oracle replays them from the generating formula — a match proves the
+    * full bitstream round trip: Exp-Golomb headers, alignment runs, and
+    * emulation-prevention escapes included. Map-only, no shuffle except
+    * the gate's ORDER BY. Sums cover the full macroblock grid (crop
+    * stripping is a consumer concern; the tkhd geometry check pins the
+    * cropped size separately). */
+  def decodeIpcm(rows: Dataset[Multimodal.MediaRow]): Dataset[IpcmDecodeRow] = {
+    import rows.sparkSession.implicits._
+    rows.map { r =>
+      val meta = Multimodal.Mp4Video.parse(r.payload)
+      var lumaSum = 0L
+      var lumaWsum = 0L
+      var cbSum = 0L
+      var crSum = 0L
+      var width = 0
+      var height = 0
+      var f = 0
+      while (f < meta.nSamples) {
+        val nals = annexBNals(Multimodal.Mp4Video.sampleBytes(r.payload, meta, f))
+        var sps: Sps = null
+        var pps: Pps = null
+        nals.foreach { nal =>
+          nal.nalType match {
+            case NalSps => sps = parseSps(nal.payload)
+            case NalPps => pps = parsePps(nal.payload)
+            case NalSliceIdr =>
+              require(sps != null && pps != null,
+                s"doc ${r.doc_id} frame $f: IDR slice before SPS/PPS")
+              val ras = decodeIpcmSlice(sps, pps, nal.payload,
+                isIdr = true, refIdc = nal.refIdc)
+              width = sps.width; height = sps.height
+              var i = 0
+              while (i < ras.luma.length) {
+                lumaSum += ras.luma(i)
+                lumaWsum += (f + 1).toLong * (i + 1) * ras.luma(i)
+                i += 1
+              }
+              i = 0
+              while (i < ras.cb.length) {
+                cbSum += ras.cb(i); crSum += ras.cr(i); i += 1
+              }
+            case _ =>
+          }
+        }
+        f += 1
+      }
+      IpcmDecodeRow(r.doc_id, width, height, meta.nSamples.toLong,
+        lumaSum, lumaWsum, cbSum, crSum)
     }
   }
 }

@@ -142,6 +142,19 @@ object MultimodalQueries {
         Tables.load(s, d, "documents").where(col("doc_id") % 10 === 0), "doc_id"))
         .toDF().orderBy("doc_id")),
 
+    // H.264 RASTER DECODE, no codec library — the I_PCM subset: fixtures
+    // are conformant all-I_PCM IDR streams (real slice headers, real
+    // alignment runs, real emulation-prevention escapes around literal
+    // zero samples), and the stage lifts every pixel back out through the
+    // full parse chain (container → NAL → SPS/PPS → slice header → MB
+    // walk). Position-and-frame-weighted sums pin every sample; the
+    // oracle replays them from the generating pixel formula. The codec
+    // seam is now ENTROPY-CODED RESIDUALS ONLY.
+    "q_h264_ipcm" -> ((s, d) =>
+      graft.multimodal.H264.decodeIpcm(graft.multimodal.H264.attachIpcmPayload(
+        Tables.load(s, d, "documents").where(col("doc_id") % 10 === 0), "doc_id"))
+        .toDF().orderBy("doc_id")),
+
     // Perceptual image hashing over REAL decoded PNGs (see
     // Multimodal.dhashImages): every doc gets a genuine 14×8 PNG, the
     // dHash comes from the decoded raster, and the oracle recomputes it
@@ -353,6 +366,32 @@ object MultimodalQueries {
         |    list_sum(list_transform(range(0, 24 + (doc_id*5 + f*13) % 24),
         |      j -> 1 + (doc_id*31 + f*17 + j*7) % 255)))) AS BIGINT) AS slice_byte_sum
         |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin,
+
+    "q_h264_ipcm" ->
+      """WITH g AS (
+        |  SELECT doc_id, 16*(1 + doc_id % 2) AS w, 16*(1 + (doc_id // 10) % 2) AS h
+        |  FROM documents WHERE doc_id % 10 = 0)
+        |SELECT doc_id,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(3 AS BIGINT) AS n_frames,
+        |  CAST(list_sum(list_transform(range(0, 3), f ->
+        |    list_sum(list_transform(range(0, h), y ->
+        |      list_sum(list_transform(range(0, w), x ->
+        |        (doc_id*7 + f*11 + y*5 + x*3) % 256)))))) AS BIGINT) AS luma_sum,
+        |  CAST(list_sum(list_transform(range(0, 3), f ->
+        |    list_sum(list_transform(range(0, h), y ->
+        |      list_sum(list_transform(range(0, w), x ->
+        |        (f+1) * (y*w + x + 1) *
+        |          ((doc_id*7 + f*11 + y*5 + x*3) % 256))))))) AS BIGINT) AS luma_wsum,
+        |  CAST(list_sum(list_transform(range(0, 3), f ->
+        |    list_sum(list_transform(range(0, h // 2), y ->
+        |      list_sum(list_transform(range(0, w // 2), x ->
+        |        (doc_id*13 + f*3 + y*7 + x*11) % 256)))))) AS BIGINT) AS cb_sum,
+        |  CAST(list_sum(list_transform(range(0, 3), f ->
+        |    list_sum(list_transform(range(0, h // 2), y ->
+        |      list_sum(list_transform(range(0, w // 2), x ->
+        |        (doc_id*17 + f*5 + y*13 + x*7) % 256)))))) AS BIGINT) AS cr_sum
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     "q_image_dhash" -> (dhashCte + """
         |SELECT doc_id, dhash FROM dh ORDER BY doc_id""".stripMargin),

@@ -243,4 +243,106 @@ class H264Spec extends AnyFunSuite {
     assert(sps.width === 1920)
     assert(sps.height === 1080)
   }
+
+  // ---- I_PCM raster path -------------------------------------------------
+
+  test("PPS write→parse round-trips the full mandatory field list") {
+    val pps = H264.parsePps(H264.writePps())
+    assert(pps === H264.Pps(0, 0, cabac = false, picOrderPresent = false,
+      deblockingControlPresent = false, redundantPicCntPresent = false))
+  }
+
+  test("I_PCM slice round-trips every pixel of a 2x1-MB frame") {
+    val sps = H264.Sps(66, 30, widthMbs = 2, heightMapUnits = 1,
+      0, 0, 0, 0, frameMbsOnly = true)
+    def lum(y: Int, x: Int) = (y * 31 + x * 7) % 256
+    def cb(y: Int, x: Int) = (y * 13 + x * 3 + 5) % 256
+    def cr(y: Int, x: Int) = (y * 11 + x * 17 + 9) % 256
+    val slice = H264.writeIpcmSlice(sps, lum, cb, cr)
+    val ras = H264.decodeIpcmSlice(sps, H264.parsePps(H264.writePps()),
+      slice, isIdr = true, refIdc = 3)
+    assert(ras.w === 32 && ras.h === 16)
+    for (y <- 0 until 16; x <- 0 until 32)
+      assert(ras.luma(y * 32 + x) === lum(y, x), s"luma ($y,$x)")
+    for (y <- 0 until 8; x <- 0 until 16) {
+      assert(ras.cb(y * 16 + x) === cb(y, x), s"cb ($y,$x)")
+      assert(ras.cr(y * 16 + x) === cr(y, x), s"cr ($y,$x)")
+    }
+  }
+
+  test("I_PCM zero-sample runs force emulation prevention and still decode") {
+    val sps = H264.Sps(66, 30, 1, 1, 0, 0, 0, 0, frameMbsOnly = true)
+    // all-zero samples: the raw RBSP is a long 00 run — the escaped
+    // payload MUST carry 03 bytes or the NAL would alias a start code
+    val slice = H264.writeIpcmSlice(sps, (_, _) => 0, (_, _) => 0, (_, _) => 0)
+    assert(slice.contains(3.toByte), "no emulation-prevention byte inserted")
+    val ras = H264.decodeIpcmSlice(sps, H264.parsePps(H264.writePps()),
+      slice, isIdr = true, refIdc = 3)
+    assert(ras.luma.forall(_ == 0) && ras.cb.forall(_ == 0) && ras.cr.forall(_ == 0))
+    // and the NAL survives an Annex-B walk intact (no fake start code)
+    val au = Array[Byte](0, 0, 0, 1, (3 << 5 | 5).toByte) ++ slice
+    val nals = H264.annexBNals(au)
+    assert(nals.length === 1 && nals(0).payload.toSeq === slice.toSeq)
+  }
+
+  test("I_PCM decode refuses what needs the entropy pipeline, loudly") {
+    val sps = H264.Sps(66, 30, 1, 1, 0, 0, 0, 0, frameMbsOnly = true)
+    val pps = H264.parsePps(H264.writePps())
+    val good = H264.writeIpcmSlice(sps, (_, _) => 1, (_, _) => 2, (_, _) => 3)
+    // CABAC PPS
+    val e1 = intercept[IllegalArgumentException] {
+      H264.decodeIpcmSlice(sps, pps.copy(cabac = true), good, isIdr = true, refIdc = 3)
+    }
+    assert(e1.getMessage.contains("CABAC"))
+    // P slice: header with slice_type 5
+    val wP = new H264.BitWriter
+    wP.writeUe(0); wP.writeUe(5); wP.writeUe(0)
+    val e2 = intercept[IllegalArgumentException] {
+      H264.decodeIpcmSlice(sps, pps,
+        H264.rbspEscape(wP.finishRbsp()), isIdr = false, refIdc = 2)
+    }
+    assert(e2.getMessage.contains("not I"))
+    // intra-predicted macroblock (mb_type 0 = I_4x4): needs residual decode
+    val wI = new H264.BitWriter
+    wI.writeUe(0); wI.writeUe(7); wI.writeUe(0)
+    wI.writeBits(0, 4); wI.writeUe(0)
+    wI.writeBit(0); wI.writeBit(0); wI.writeSe(0)
+    wI.writeUe(0) // mb_type I_4x4, not I_PCM
+    val e3 = intercept[IllegalArgumentException] {
+      H264.decodeIpcmSlice(sps, pps,
+        H264.rbspEscape(wI.finishRbsp()), isIdr = true, refIdc = 3)
+    }
+    assert(e3.getMessage.contains("I_PCM"))
+    // truncated slice: bit reader must refuse, not wrap
+    val e4 = intercept[IllegalArgumentException] {
+      H264.decodeIpcmSlice(sps, pps, good.take(20), isIdr = true, refIdc = 3)
+    }
+    assert(e4.getMessage.contains("past RBSP end"))
+  }
+
+  test("end-to-end I_PCM MP4 decode matches the generating pixel formulas") {
+    val ids = Seq(0L, 10L, 30L, 130L)
+    val rows = spark.createDataFrame(ids.map(Tuple1(_))).toDF("doc_id")
+    val got = H264.decodeIpcm(H264.attachIpcmPayload(rows, "doc_id"))
+      .collect().sortBy(_.doc_id)
+    for ((p, id) <- got.zip(ids)) {
+      val w = 16 * H264.ipcmMbW(id)
+      val h = 16 * H264.ipcmMbH(id)
+      assert(p.width === w && p.height === h && p.n_frames === 3L, s"doc $id")
+      var lSum = 0L; var lWsum = 0L; var cbSum = 0L; var crSum = 0L
+      for (f <- 0 until 3) {
+        for (y <- 0 until h; x <- 0 until w) {
+          val v = H264.ipcmLuma(id, f, y, x)
+          lSum += v
+          lWsum += (f + 1).toLong * (y * w + x + 1) * v
+        }
+        for (y <- 0 until h / 2; x <- 0 until w / 2) {
+          cbSum += H264.ipcmCb(id, f, y, x)
+          crSum += H264.ipcmCr(id, f, y, x)
+        }
+      }
+      assert(p.luma_sum === lSum && p.luma_wsum === lWsum, s"doc $id luma")
+      assert(p.cb_sum === cbSum && p.cr_sum === crSum, s"doc $id chroma")
+    }
+  }
 }
