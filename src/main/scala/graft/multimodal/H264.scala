@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions.col
   * nal_unit_type. This is everything a 100 TB video-curation pipeline
   * needs to build a keyframe INDEX — which samples are seekable, what the
   * coded geometry is, where each NAL's bytes live — without ever entropy-
-  * decoding a slice. The remaining seam is RASTER DECODE ONLY: turning a
-  * slice payload into pixels stays behind [[Multimodal.MediaCodec]],
-  * because CABAC/CAVLC + prediction is a codec the JDK does not ship.
+  * decoding a slice. The I_PCM raster path below additionally decodes
+  * REAL pixels from slices whose macroblocks carry literal samples, so
+  * the remaining seam is ENTROPY-CODED RESIDUALS ONLY: CAVLC/CABAC +
+  * prediction stays behind [[Multimodal.MediaCodec]], because that is a
+  * codec the JDK does not ship.
   *
   * Fixtures are the q_mp4_probe trick one level deeper: synthetic streams
   * are STRUCTURALLY VALID (real start codes, real escaped SPS bits that
