@@ -70,6 +70,28 @@ object ScaleProbe {
     time("ivfQueryIndex 100 queries nProbe=4")(
       noop(graft.sim.Similarity.ivfQueryIndex(spark, ivfDir, newQueries,
         k = 8, nProbe = 4)))
+    // ALL-vectors kNN graph (2-probe): pair volume ~nProbe·n²/64 cells —
+    // at the pinned 30k vectors ~28M exact dots through the shuffle-hash
+    // cell join (no n-row broadcast anywhere; the exact fan-out guard
+    // runs first). CAPPED at 30k regardless of nVec: quadratic-over-64-
+    // cells at the 200k default is ~1.25e9 window-sorted pairs, which is
+    // a different (and budget-refusable, given the sin-vector centroid
+    // skew) experiment than the per-pair cost this section measures —
+    // the same reasoning as the lshNearDup band note above. The
+    // row-count require pins that every vector came back as a query.
+    locally {
+      val knnN = math.min(nVec, 30000)
+      val knnVecs = if (nVec > knnN) vecs.where(col("vec_id") < knnN) else vecs
+      val g = graft.sim.Similarity.knnGraph(knnVecs, "vec_id", "embedding",
+        "label", k = 8, nProbe = 2, maxEstCandidates = 4000000000L)
+        .groupBy().agg(count(lit(1)).as("rows"),
+          countDistinct(col("query_id")).as("queries"))
+      val r = time(s"knnGraph k=8 nProbe=2 ($knnN)")(g.head())
+      require(r.getLong(1) == knnN.toLong,
+        s"knnGraph must return every vector as a query: ${r.getLong(1)} of $knnN")
+      require(r.getLong(0) >= knnN.toLong,
+        s"knnGraph returned fewer rows than queries: ${r.getLong(0)}")
+    }
 
     // ---- wide fact table at nRows ----------------------------------------
     // no checkpoint: the generator is a narrow codegen'd range (~1 s at 60M

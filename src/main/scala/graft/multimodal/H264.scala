@@ -597,17 +597,22 @@ object H264 {
     * payload (I_PCM bytes may be zero, so emulation prevention is
     * load-bearing here, unlike the zero-free formula slices). */
   def writeIpcmSlice(sps: Sps, luma: (Int, Int) => Int,
-      cb: (Int, Int) => Int, cr: (Int, Int) => Int): Array[Byte] = {
+      cb: (Int, Int) => Int, cr: (Int, Int) => Int,
+      isIdr: Boolean = true, frameNum: Int = 0, refIdc: Int = 3): Array[Byte] = {
     require(sps.pocType == 2 && sps.frameMbsOnly && sps.chromaFormatIdc == 1,
       "writeIpcmSlice emits progressive 4:2:0 pocType-2 streams only")
+    require(!isIdr || frameNum == 0, "IDR pictures must have frame_num 0")
     val w = new BitWriter
     w.writeUe(0)                        // first_mb_in_slice
     w.writeUe(7)                        // slice_type: I (all slices I)
     w.writeUe(0)                        // pic_parameter_set_id
-    w.writeBits(0, sps.log2MaxFrameNum) // frame_num (0: every frame is IDR)
-    w.writeUe(0)                        // idr_pic_id
+    w.writeBits(frameNum.toLong, sps.log2MaxFrameNum)
+    if (isIdr) w.writeUe(0)             // idr_pic_id
     // pocType 2: no POC fields. I slice: no ref lists, no pred weights.
-    w.writeBit(0); w.writeBit(0)        // dec_ref_pic_marking (IDR): 2 flags
+    if (refIdc != 0) {
+      if (isIdr) { w.writeBit(0); w.writeBit(0) } // dec_ref_pic_marking (IDR)
+      else w.writeBit(0)                // adaptive_ref_pic_marking_mode_flag
+    }
     w.writeSe(0)                        // slice_qp_delta
     var mb = 0
     val nMbs = sps.widthMbs * sps.heightMapUnits
@@ -855,20 +860,28 @@ object H264 {
       var crSum = 0L
       var width = 0
       var height = 0
+      // parameter sets are STREAM-scoped (§7.4.1.2.1): an SPS/PPS from an
+      // earlier access unit governs later non-IDR slices that carry none
+      // in-band, so the active sets persist across the sample loop.
+      var sps: Sps = null
+      var pps: Pps = null
       var f = 0
       while (f < meta.nSamples) {
         val nals = annexBNals(Multimodal.Mp4Video.sampleBytes(r.payload, meta, f))
-        var sps: Sps = null
-        var pps: Pps = null
         nals.foreach { nal =>
           nal.nalType match {
             case NalSps => sps = parseSps(nal.payload)
             case NalPps => pps = parsePps(nal.payload)
-            case NalSliceIdr =>
+            case NalSliceIdr | NalSliceNonIdr =>
+              // EVERY slice decodes or refuses loudly inside
+              // decodeIpcmSlice — silently skipping one would report
+              // sums that exclude its pixels (a wrong answer, not an
+              // error). Non-IDR all-intra samples are legal in archival
+              // intra streams where only the first AU is IDR.
               require(sps != null && pps != null,
-                s"doc ${r.doc_id} frame $f: IDR slice before SPS/PPS")
+                s"doc ${r.doc_id} frame $f: slice before any SPS/PPS")
               val ras = decodeIpcmSlice(sps, pps, nal.payload,
-                isIdr = true, refIdc = nal.refIdc)
+                isIdr = nal.nalType == NalSliceIdr, refIdc = nal.refIdc)
               width = sps.width; height = sps.height
               var i = 0
               while (i < ras.luma.length) {
@@ -885,6 +898,7 @@ object H264 {
         }
         f += 1
       }
+      require(width > 0, s"doc ${r.doc_id}: no slice NAL in any sample")
       IpcmDecodeRow(r.doc_id, width, height, meta.nSamples.toLong,
         lumaSum, lumaWsum, cbSum, crSum)
     }

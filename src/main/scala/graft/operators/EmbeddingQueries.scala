@@ -350,10 +350,14 @@ object EmbeddingQueries {
         |probes AS (SELECT vid, cell FROM ranked WHERE rn <= 2),
         |assigned AS (SELECT vid, cell FROM ranked WHERE rn = 1),
         |n AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |  SELECT vec_id, CASE WHEN nrm = 0
+        |      THEN list_transform(embedding, x -> 0.0)
+        |      ELSE list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm)
+        |    END AS nv
+        |  FROM (SELECT vec_id, embedding,
         |    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
-        |      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))), (a, c) -> a + c))) AS nv
-        |  FROM embeddings),
+        |      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))), (a, c) -> a + c)) AS nrm
+        |    FROM embeddings)),
         |s AS (
         |  SELECT p.vid AS query_id, a.vid AS neighbor_id,
         |    list_reduce(list_prepend(0.0, list_transform(list_zip(q.nv, c.nv),

@@ -191,18 +191,16 @@ object Similarity {
     * more cells) rather than letting assignments silently go wrong at
     * exactly the corpus sizes this operator targets.
     * Returns (vid, acell). */
-  private def assignCells(vecs: DataFrame, idCol: String, vecCol: String,
-      cells: Array[(Long, Array[Long], Long)], maxXi: Long,
-      quantScale: Long): DataFrame = {
-    val spark = vecs.sparkSession
-    import spark.implicits._
+  /** The int64-overflow preconditions every centroid-dot kernel shares.
+    * The dot guard trusts the OBSERVED max|sxi| — which is only
+    * trustworthy if the component sums could not themselves have wrapped
+    * during aggregation (a wrapped sum reads SMALL and would sneak past);
+    * |sxi| ≤ members·max|xi| exactly, so that bound is the precondition. */
+  private def requireDotBounds(cells: Array[(Long, Array[Long], Long)],
+      maxXi: Long, quantScale: Long): Unit = {
     val dim = if (cells.isEmpty) 0 else cells.iterator.map(_._2.length).max
     val maxSxi = cells.iterator.flatMap(_._2.iterator)
       .foldLeft(0L)((m, x) => math.max(m, math.abs(x)))
-    // the dot guard below trusts the OBSERVED max|sxi| — which is only
-    // trustworthy if the component sums could not themselves have wrapped
-    // during aggregation (a wrapped sum reads SMALL and would sneak past).
-    // |sxi| ≤ members·max|xi| exactly, so this bound is the precondition.
     val maxN = cells.iterator.map(_._3).foldLeft(0L)(math.max)
     require(BigInt(maxN) * BigInt(maxXi) < BigInt(Long.MaxValue),
       s"centroid component sums could wrap int64: max members/cell $maxN * " +
@@ -214,6 +212,14 @@ object Similarity {
         s"max|sxi|=$maxSxi = $worstDot >= 2^63. Cells hold too many members for " +
         s"quantization scale $quantScale — lower quantScale (e.g. ${quantScale / 1000}) " +
         "or raise k so cells shrink; both keep assignment deterministic.")
+  }
+
+  private def assignCells(vecs: DataFrame, idCol: String, vecCol: String,
+      cells: Array[(Long, Array[Long], Long)], maxXi: Long,
+      quantScale: Long): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    requireDotBounds(cells, maxXi, quantScale)
     val bcCells = spark.sparkContext.broadcast(cells)
     vecs
       .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
@@ -247,51 +253,12 @@ object Similarity {
     * acell). */
   private def assignCellsTopN(vecs: DataFrame, idCol: String, vecCol: String,
       cells: Array[(Long, Array[Long], Long)], maxXi: Long,
-      quantScale: Long, nProbe: Int): DataFrame = {
-    val spark = vecs.sparkSession
-    import spark.implicits._
-    val maxN2 = cells.iterator.map(_._3).foldLeft(0L)(math.max)
-    val maxSxi2 = cells.iterator.flatMap(_._2.iterator)
-      .foldLeft(0L)((m, x) => math.max(m, math.abs(x)))
-    val dim2 = if (cells.isEmpty) 0 else cells.iterator.map(_._2.length).max
-    require(BigInt(maxN2) * BigInt(maxXi) < BigInt(Long.MaxValue) &&
-      BigInt(dim2) * BigInt(maxXi) * BigInt(maxSxi2) < BigInt(Long.MaxValue),
-      s"integer centroid dot would overflow int64 (dim=$dim2 max|xi|=$maxXi " +
-        s"max|sxi|=$maxSxi2) — lower quantScale (currently $quantScale) or raise k.")
-    val bcCells = spark.sparkContext.broadcast(cells)
-    val np = math.min(nProbe, cells.length)
-    vecs
-      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
-      .as[(Long, Array[Double])]
-      .mapPartitions { iter =>
-        val cs = bcCells.value
-        iter.flatMap { case (id, v) =>
-          val xi = new Array[Long](v.length)
-          var i = 0
-          while (i < v.length) { xi(i) = math.floor(v(i) * quantScale).toLong; i += 1 }
-          val topCell = new Array[Long](np)
-          val topScore = new Array[Double](np)
-          java.util.Arrays.fill(topScore, Double.NegativeInfinity)
-          for ((cellId, sxi, n) <- cs) {
-            var s = 0L
-            var p = 0
-            while (p < xi.length) { s += xi(p) * sxi(p); p += 1 }
-            val sc = s.toDouble / n
-            // strict > insertion on ascending cells = (score DESC, cell ASC)
-            var j = np - 1
-            if (sc > topScore(j)) {
-              while (j > 0 && sc > topScore(j - 1)) {
-                topScore(j) = topScore(j - 1); topCell(j) = topCell(j - 1); j -= 1
-              }
-              topScore(j) = sc; topCell(j) = cellId
-            }
-          }
-          (0 until np).iterator
-            .filter(r => topScore(r) != Double.NegativeInfinity)
-            .map(r => (id, (r + 1).toLong, topCell(r)))
-        }
-      }.toDF("vid", "probe", "acell")
-  }
+      quantScale: Long, nProbe: Int): DataFrame =
+    // one kernel, one tie-break, one guard: delegate to the fused
+    // probe+normalize pass and drop the unit vector (the extra nv
+    // materialization only runs over query batches here — small)
+    assignProbesWithUnit(vecs, idCol, vecCol, cells, maxXi, quantScale, nProbe)
+      .select("vid", "probe", "acell")
 
   /** Fused probe+normalize kernel for [[knnGraph]]: one narrow pass emits,
     * per vector, its `nProbe` best cells by the integer centroid score
@@ -309,14 +276,7 @@ object Similarity {
       quantScale: Long, nProbe: Int): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
-    val dim = if (cells.isEmpty) 0 else cells.iterator.map(_._2.length).max
-    val maxSxi = cells.iterator.flatMap(_._2.iterator)
-      .foldLeft(0L)((m, x) => math.max(m, math.abs(x)))
-    val maxN = cells.iterator.map(_._3).foldLeft(0L)(math.max)
-    require(BigInt(maxN) * BigInt(maxXi) < BigInt(Long.MaxValue) &&
-      BigInt(dim) * BigInt(maxXi) * BigInt(maxSxi) < BigInt(Long.MaxValue),
-      s"integer centroid dot would overflow int64 (dim=$dim max|xi|=$maxXi " +
-        s"max|sxi|=$maxSxi) — lower quantScale (currently $quantScale) or raise k.")
+    requireDotBounds(cells, maxXi, quantScale)
     val bcCells = spark.sparkContext.broadcast(cells)
     val np = math.min(nProbe, cells.length)
     vecs
@@ -404,20 +364,29 @@ object Similarity {
     if (cells.isEmpty)
       return Seq.empty[(Long, Long, Long, Double)]
         .toDF("query_id", "neighbor_id", "rank", "sim")
+    // persisted: the probe+normalize kernel feeds THREE consumers (the
+    // fan-out guard aggregate and both join sides) that would otherwise
+    // each recompute the O(n·cells·dim) pass — the guard action below
+    // materializes the cache once. No unpersist: the result plan keeps
+    // referencing the frame; Spark's LRU block eviction reclaims it.
     val probed = assignProbesWithUnit(vecs, idCol, vecCol, cells,
       maxAbsXi(dims), quantScale, nProbe)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // exact fan-out guard: Σ over cells of (rows probing the cell ×
     // argmax members of the cell) IS the candidate count the join below
-    // produces (before the self-pair filter). One tiny aggregate (≤ cells
-    // rows) — the kernel runs once for it, and the same philosophy as
-    // ivfTopK's guard: a degenerate clustering refuses loudly instead of
-    // quietly running toward all-pairs.
-    val loadRow = probed.groupBy(col("acell"))
+    // produces (before the self-pair filter). One tiny collect (≤ cells
+    // rows), summed in BigInt on the driver — at billions of vectors a
+    // degenerate clustering makes nq·ni itself overflow int64, and a
+    // wrapped estimate would wave through the exact runaway join this
+    // guard exists to refuse. Same philosophy as ivfTopK's guard.
+    val loads = probed.groupBy(col("acell"))
       .agg(count(lit(1)).as("nq"),
         count(when(col("probe") === 1, 1)).as("ni"))
-      .agg(sum(col("nq") * col("ni"))).head()
-    val est = if (loadRow.isNullAt(0)) 0L else loadRow.getLong(0)
-    require(est <= maxEstCandidates,
+      .select(col("nq"), col("ni")).as[(Long, Long)].collect()
+    val est = loads.foldLeft(BigInt(0)) { case (a, (nq, ni)) =>
+      a + BigInt(nq) * BigInt(ni)
+    }
+    require(est <= BigInt(maxEstCandidates),
       s"knnGraph candidate join would materialize ~$est pairs " +
         s"(> $maxEstCandidates). Re-cluster with more cells, lower nProbe, " +
         "or raise maxEstCandidates if the runtime is acceptable.")

@@ -320,6 +320,36 @@ class H264Spec extends AnyFunSuite {
     assert(e4.getMessage.contains("past RBSP end"))
   }
 
+  test("non-IDR I_PCM slices decode under the stream-scoped SPS/PPS") {
+    // archival intra layout: only sample 0 is IDR and carries SPS/PPS;
+    // sample 1 is a non-IDR all-I_PCM slice with nothing in-band — its
+    // pixels MUST land in the sums (a silently skipped slice would be a
+    // wrong answer, not an error)
+    val sps = H264.ipcmSps(0L)
+    def slice(f: Int) = H264.writeIpcmSlice(sps,
+      (y, x) => H264.ipcmLuma(0L, f, y, x),
+      (y, x) => H264.ipcmCb(0L, f, y, x),
+      (y, x) => H264.ipcmCr(0L, f, y, x),
+      isIdr = f == 0, frameNum = f, refIdc = if (f == 0) 3 else 2)
+    def nal(refIdc: Int, typ: Int, payload: Array[Byte]): Array[Byte] =
+      Array[Byte](0, 0, 0, 1, (((refIdc & 3) << 5) | (typ & 0x1f)).toByte) ++ payload
+    val samples = Array(
+      nal(3, 7, H264.writeSps(sps)) ++ nal(3, 8, H264.writePps()) ++
+        nal(3, 5, slice(0)),
+      nal(2, 1, slice(1)))
+    val mp4 = graft.multimodal.Multimodal.Mp4Video.synthMp4Samples(
+      samples, sps.width, sps.height, chunks = 1)
+    import spark.implicits._
+    val got = H264.decodeIpcm(Seq(
+      graft.multimodal.Multimodal.MediaRow(0L, "video/mp4", mp4)).toDS())
+      .collect()(0)
+    var lSum = 0L
+    for (f <- 0 until 2; y <- 0 until 16; x <- 0 until 16)
+      lSum += H264.ipcmLuma(0L, f, y, x)
+    assert(got.n_frames === 2L)
+    assert(got.luma_sum === lSum, "non-IDR frame pixels missing from the sum")
+  }
+
   test("end-to-end I_PCM MP4 decode matches the generating pixel formulas") {
     val ids = Seq(0L, 10L, 30L, 130L)
     val rows = spark.createDataFrame(ids.map(Tuple1(_))).toDF("doc_id")
