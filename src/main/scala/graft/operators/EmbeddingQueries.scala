@@ -117,6 +117,17 @@ object EmbeddingQueries {
       Similarity.knnGraph(emb(s, d), "vec_id", "embedding", "label",
         k = 5, nProbe = 2).orderBy("query_id", "rank")),
 
+    // Auto-clustered kNN graph — the label-free production spelling:
+    // cells = max(1, n/32) deterministic k-means cells (so pair volume
+    // stays ~nProbe·n·32 at ANY corpus size), then the same 2-probe
+    // graph. The oracle replays k-means (corpus-derived seed count via
+    // a scalar-subquery LIMIT), re-derives integer centroids from the
+    // final assignment, and replays the probe + dot ranking.
+    "q_knn_graph_auto" -> ((s, d) =>
+      Similarity.knnGraphAuto(emb(s, d), "vec_id", "embedding",
+        k = 5, nProbe = 2, targetCellSize = 32)
+        .orderBy("query_id", "rank")),
+
     // ANN EVALUATION as a first-class gate: recall@k of the IVF path against
     // the exact brute force, integer hit counts per query (the caller
     // divides) — how a pipeline decides whether its coarse quantizer is
@@ -203,14 +214,16 @@ object EmbeddingQueries {
 
   /** Two Lloyd rounds of the deterministic k-means as reusable CTEs
     * (through `a2` = the final (vid, cell) assignment) — shared by the
-    * k-means gate and the label-free SemDeDup composition. */
-  private val kmeansCtes =
-    """dims AS (
+    * k-means gate, the label-free SemDeDup composition, and the
+    * auto-clustered kNN graph. `kSql` is the seed-count expression
+    * (a literal, or a scalar subquery for corpus-derived k). */
+  private def kmeansCtes(kSql: String = "8") =
+    s"""dims AS (
       |  SELECT vec_id AS vid, i - 1 AS pos,
       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xi
       |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS r(i)),
       |c0 AS (SELECT vid AS cell, pos, xi AS sxi, 1::BIGINT AS n FROM dims
-      |       WHERE vid IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+      |       WHERE vid IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $kSql)),
       |s1 AS (SELECT d.vid, c.cell,
       |         CAST(CAST(SUM(d.xi * c.sxi) AS BIGINT) AS DOUBLE) / MAX(c.n) AS score
       |       FROM dims d JOIN c0 c ON d.pos = c.pos GROUP BY d.vid, c.cell),
@@ -367,6 +380,40 @@ object EmbeddingQueries {
         |SELECT query_id, neighbor_id, rank, sim FROM (
         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
         |  FROM s) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_knn_graph_auto" ->
+      (s"""WITH ${kmeansCtes("(SELECT greatest(1, count(*) // 32) FROM embeddings)")},""" +
+      """
+        |cent2 AS (SELECT a2.cell, d.pos, CAST(SUM(d.xi) AS BIGINT) AS sxi, COUNT(*) AS n
+        |  FROM dims d JOIN a2 ON d.vid = a2.vid GROUP BY a2.cell, d.pos),
+        |scores3 AS (
+        |  SELECT d.vid, c.cell AS ccell,
+        |    CAST(CAST(SUM(d.xi * c.sxi) AS BIGINT) AS DOUBLE) / MAX(c.n) AS score
+        |  FROM dims d JOIN cent2 c ON d.pos = c.pos GROUP BY d.vid, c.cell),
+        |ranked3 AS (
+        |  SELECT vid, ccell AS cell,
+        |    ROW_NUMBER() OVER (PARTITION BY vid ORDER BY score DESC, ccell ASC) AS rn
+        |  FROM scores3),
+        |probes AS (SELECT vid, cell FROM ranked3 WHERE rn <= 2),
+        |assigned AS (SELECT vid, cell FROM ranked3 WHERE rn = 1),
+        |nv AS (
+        |  SELECT vec_id, CASE WHEN nrm = 0
+        |      THEN list_transform(embedding, x -> 0.0)
+        |      ELSE list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm)
+        |    END AS nv
+        |  FROM (SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+        |      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))), (a, c) -> a + c)) AS nrm
+        |    FROM embeddings)),
+        |s AS (
+        |  SELECT p.vid AS query_id, a.vid AS neighbor_id,
+        |    list_reduce(list_prepend(0.0, list_transform(list_zip(q.nv, c.nv),
+        |        x -> x[1] * x[2])), (ac, x) -> ac + x) AS sim
+        |  FROM probes p JOIN assigned a ON p.cell = a.cell AND p.vid <> a.vid
+        |  JOIN nv q ON q.vec_id = p.vid JOIN nv c ON c.vec_id = a.vid)
+        |SELECT query_id, neighbor_id, rank, sim FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM s) WHERE rank <= 5 ORDER BY query_id, rank""").stripMargin,
 
     "q_ann_ivf" ->
       """WITH dims AS (
@@ -563,11 +610,11 @@ object EmbeddingQueries {
         |FROM m ORDER BY vec_id""".stripMargin,
 
     "q_kmeans_cells" ->
-      s"""WITH $kmeansCtes
+      s"""WITH ${kmeansCtes()}
          |SELECT vid AS vec_id, cell FROM a2 ORDER BY vec_id""".stripMargin,
 
     "q_semantic_dedup_auto" ->
-      s"""WITH $kmeansCtes,
+      s"""WITH ${kmeansCtes()},
          |n AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) /
          |    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,

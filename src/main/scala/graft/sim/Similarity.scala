@@ -412,6 +412,39 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
+  /** The production spelling of [[knnGraph]]'s cells ∝ n discipline: no
+    * label column needed and no fixed cell count to outgrow — the corpus
+    * is clustered into `max(1, n / targetCellSize)` deterministic k-means
+    * cells first, so pair volume stays ~nProbe·n·targetCellSize at ANY
+    * corpus size (measured: 10× rows at fixed 64 cells was a 38.8× gate;
+    * with cells scaled 10× the same graph ran at 1.6× — exponent 0.19,
+    * k-means included). One count action sizes the clustering; everything
+    * downstream is [[kmeansCells]] + [[knnGraph]] unchanged, so the
+    * determinism story (integer centroids, lowest-id seeds, exact dots)
+    * is theirs. */
+  def knnGraphAuto(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int = 2, targetCellSize: Int = 32, iterations: Int = 2,
+      quantScale: Long = 1000000L,
+      maxEstCandidates: Long = 2000000000L): DataFrame = {
+    require(targetCellSize >= 1, s"targetCellSize must be >= 1, got $targetCellSize")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val n = vecs.count()
+    if (n == 0)
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("query_id", "neighbor_id", "rank", "sim")
+    val kCells = math.max(1L, n / targetCellSize).toInt
+    val cells = kmeansCells(vecs, idCol, vecCol, kCells,
+      iterations = iterations, quantScale = quantScale)
+    // kmeansCells returns (vec_id, cell); re-key the corpus on the same
+    // long id so the join is unambiguous whatever idCol was called
+    val withCell = vecs
+      .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("__v"))
+      .join(cells, Seq("vec_id"))
+    knnGraph(withCell, "vec_id", "__v", "cell", k, nProbe,
+      quantScale, maxEstCandidates)
+  }
+
   /** Build and PERSIST an IVF index for serving: the integer centroid
     * component sums (cells×dims rows) at `path`/centroids and the
     * per-vector postings (assigned cell + pre-normalized unit vector) at

@@ -980,6 +980,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == Set((0L, 1L), (1L, 0L), (2L, 3L), (3L, 2L)))
   }
 
+  test("knnGraphAuto equals kmeansCells + knnGraph composed by hand") {
+    // 12 vectors in two tight clusters, targetCellSize 6 → k-means k=2;
+    // the auto path must equal the manual composition row for row
+    val vecs = (0 until 12).map { i =>
+      val base = if (i < 6) Array(1.0f, 0.0f) else Array(0.0f, 1.0f)
+      (i.toLong, Array(base(0) + i * 0.01f, base(1) + i * 0.003f))
+    }.toDF("vec_id", "embedding")
+    val auto = Similarity.knnGraphAuto(vecs, "vec_id", "embedding",
+      k = 3, nProbe = 2, targetCellSize = 6)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val cells = Similarity.kmeansCells(vecs, "vec_id", "embedding", k = 2)
+    val withCell = vecs.join(cells, Seq("vec_id"))
+    val manual = Similarity.knnGraph(withCell, "vec_id", "embedding", "cell",
+      k = 3, nProbe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(auto === manual)
+    assert(auto.map(_._1) === (0L to 11L).toSet)
+  }
+
   test("knnGraph refuses an over-budget candidate join before any pair runs") {
     val vecs = Seq(
       (0L, 0, Array(1.0f, 0.0f)), (1L, 0, Array(0.9f, 0.1f)),
