@@ -415,13 +415,20 @@ object Similarity {
   /** The production spelling of [[knnGraph]]'s cells ∝ n discipline: no
     * label column needed and no fixed cell count to outgrow — the corpus
     * is clustered into `max(1, n / targetCellSize)` deterministic k-means
-    * cells first, so pair volume stays ~nProbe·n·targetCellSize at ANY
-    * corpus size (measured: 10× rows at fixed 64 cells was a 38.8× gate;
-    * with cells scaled 10× the same graph ran at 1.6× — exponent 0.19,
-    * k-means included). One count action sizes the clustering; everything
-    * downstream is [[kmeansCells]] + [[knnGraph]] unchanged, so the
-    * determinism story (integer centroids, lowest-id seeds, exact dots)
-    * is theirs. */
+    * cells first, so the GRAPH stage's pair volume stays
+    * ~nProbe·n·targetCellSize at ANY corpus size (measured at 10× rows:
+    * fixed 64 cells was a 38.8× slowdown; with cells scaled 10× the graph
+    * stage ran at 1.6× — exponent 0.19). The clustering stage itself is
+    * the scaling knob to watch: its broadcast assignment kernel is
+    * O(n·kCells·dim), which is quadratic in n when kCells ∝ n — measured
+    * all-in (k-means + graph) 12.3 s at 20k vectors vs 2.1 s at 2k
+    * (5.9×/10× rows, exponent 0.77 — still sublinear at this size, but
+    * the term grows). At corpus sizes where that kernel dominates, cap
+    * `n / targetCellSize` or fit centroids on a sample and keep only the
+    * single assignment pass over the full corpus. One count action sizes
+    * the clustering; everything downstream is [[kmeansCells]] +
+    * [[knnGraph]] unchanged, so the determinism story (integer centroids,
+    * lowest-id seeds, exact dots) is theirs. */
   def knnGraphAuto(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
       nProbe: Int = 2, targetCellSize: Int = 32, iterations: Int = 2,
       quantScale: Long = 1000000L,
