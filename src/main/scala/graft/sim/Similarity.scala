@@ -424,7 +424,8 @@ object Similarity {
     * all-in (k-means + graph) 12.3 s at 20k vectors vs 2.1 s at 2k
     * (5.9×/10× rows, exponent 0.77 — still sublinear at this size, but
     * the term grows). At corpus sizes where that kernel dominates, cap
-    * `n / targetCellSize` or fit centroids on a sample and keep only the
+    * `n / targetCellSize` or pass `fitSampleMod` > 1 to fit the centroids
+    * on [[kmeansCells]]'s deterministic hash-sample and keep only the
     * single assignment pass over the full corpus. One count action sizes
     * the clustering; everything downstream is [[kmeansCells]] +
     * [[knnGraph]] unchanged, so the determinism story (integer centroids,
@@ -432,7 +433,8 @@ object Similarity {
   def knnGraphAuto(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
       nProbe: Int = 2, targetCellSize: Int = 32, iterations: Int = 2,
       quantScale: Long = 1000000L,
-      maxEstCandidates: Long = 2000000000L): DataFrame = {
+      maxEstCandidates: Long = 2000000000L,
+      fitSampleMod: Long = 1L): DataFrame = {
     require(targetCellSize >= 1, s"targetCellSize must be >= 1, got $targetCellSize")
     val spark = vecs.sparkSession
     import spark.implicits._
@@ -442,7 +444,8 @@ object Similarity {
         .toDF("query_id", "neighbor_id", "rank", "sim")
     val kCells = math.max(1L, n / targetCellSize).toInt
     val cells = kmeansCells(vecs, idCol, vecCol, kCells,
-      iterations = iterations, quantScale = quantScale)
+      iterations = iterations, quantScale = quantScale,
+      fitSampleMod = fitSampleMod)
     // kmeansCells returns (vec_id, cell); re-key the corpus on the same
     // long id so the join is unambiguous whatever idCol was called
     val withCell = vecs
@@ -664,35 +667,60 @@ object Similarity {
     * pass a smaller `quantScale` (precision trades linearly) or a larger
     * k. Empty cells simply vanish (fewer centroids next round),
     * identically in any engine. Returns (vec_id, cell) after
-    * `iterations` rounds. */
+    * `iterations` rounds.
+    *
+    * `fitSampleMod` is the extreme-scale knob: with mod m > 1 the Lloyd
+    * ITERATIONS run only over the deterministic hash-sample
+    * `xxhash64(id) % m == 0` (~n/m vectors), and the full corpus gets ONE
+    * assignment pass against the fitted centroids — the standard
+    * fit-on-a-sample discipline that turns the O(n·k·dim·iterations)
+    * kernel into O((n/m)·k·dim·iterations + n·k·dim). mod 1 (default) is
+    * byte-identical to the full fit (same code path, no extra pass). */
   def kmeansCells(vecs: DataFrame, idCol: String, vecCol: String,
-      k: Int, iterations: Int = 2, quantScale: Long = 1000000L): DataFrame = {
+      k: Int, iterations: Int = 2, quantScale: Long = 1000000L,
+      fitSampleMod: Long = 1L): DataFrame = {
+    require(fitSampleMod >= 1, s"fitSampleMod must be >= 1, got $fitSampleMod")
+    val fitVecs = if (fitSampleMod == 1L) vecs
+      else vecs.where(pmod(xxhash64(col(idCol).cast("long")), lit(fitSampleMod)) === 0)
     // PERSISTED: every iteration's centroid aggregation (and the final
     // caller-side evaluation) re-reads this frame — without the persist
     // the n·dim posexplode lineage re-runs from the source per round
     // (~2 corpus scans/iteration at 10M×64). Same treatment
-    // connectedComponents gives its edge frame.
-    val dims = vecs.select(col(idCol).cast("long").as("vid"),
+    // connectedComponents gives its edge frame. Holds the FIT SET only.
+    val dims = fitVecs.select(col(idCol).cast("long").as("vid"),
         posexplode(col(vecCol)).as(Seq("pos", "x")))
       .withColumn("xi", floor(col("x").cast("double") * quantScale).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-    // component-magnitude bound for the overflow guard: computed ONCE (the
-    // component frame does not change across iterations)
-    val mXi = maxAbsXi(dims)
-    // seeds: the k lowest vector ids (a TakeOrdered, not a full sort), each
-    // a singleton cell keyed by its id
-    val seedIds = vecs.select(col(idCol).cast("long").as("vid"))
+    // component-magnitude bound for the overflow guard: computed ONCE.
+    // Under a sampled fit the FINAL pass assigns vectors outside the fit
+    // set, whose |xi| the fit frame does not bound — the guard's input
+    // must cover the widest vector actually assigned, so it is computed
+    // over the full corpus in that case (one narrow max aggregate).
+    val mXi =
+      if (fitSampleMod == 1L) maxAbsXi(dims)
+      else maxAbsXi(vecs.select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .select(floor(col("x").cast("double") * quantScale).cast("long").as("xi")))
+    // seeds: the k lowest FIT-SET vector ids (a TakeOrdered, not a full
+    // sort), each a singleton cell keyed by its id
+    val seedIds = fitVecs.select(col(idCol).cast("long").as("vid"))
       .orderBy("vid").limit(k)
     var cent = dims.join(broadcast(seedIds), Seq("vid"), "left_semi")
       .select(col("vid").as("cell"), col("pos"), col("xi").as("sxi"), lit(1L).as("n"))
     var assigned: DataFrame = null
+    var centUsed: Array[(Long, Array[Long], Long)] = null
     for (_ <- 1 to iterations) {
-      assigned = assignCells(vecs, idCol, vecCol, collectCentroids(cent), mXi, quantScale)
+      centUsed = collectCentroids(cent)
+      assigned = assignCells(fitVecs, idCol, vecCol, centUsed, mXi, quantScale)
       cent = dims.join(assigned, Seq("vid"))
         .groupBy(col("acell").as("cell"), col("pos"))
         .agg(sum(col("xi")).as("sxi"), count(lit(1)).as("n"))
     }
+    // sampled fit: the corpus-wide pass uses the SAME centroids the last
+    // fit-set assignment saw, so mod=1 and a mod>1 whose sample is the
+    // whole corpus produce identical assignments
+    if (fitSampleMod > 1L)
+      assigned = assignCells(vecs, idCol, vecCol, centUsed, mXi, quantScale)
     // pin the final assignment before releasing the component cache: the
     // caller's evaluation must not re-trigger the unpersisted lineage
     assigned.select(col("vid").as("vec_id"), col("acell").as("cell")).localCheckpoint()

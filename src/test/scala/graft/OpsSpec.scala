@@ -1133,6 +1133,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.values.toSet.size == 3)
   }
 
+  test("kmeansCells sampled fit assigns the whole corpus deterministically") {
+    // three exact-duplicate content groups interleaved by id; the Lloyd
+    // rounds fit on the xxhash64 % 2 == 0 sample, the corpus-wide pass
+    // assigns everyone. Identical inputs MUST co-assign whatever the
+    // fitted centroids are (same kernel, same argmax) — that plus
+    // full coverage, seeds-from-the-fit-set, and run-to-run equality is
+    // what the sampled path owes, without assuming which clusters the
+    // hash sample happens to hit.
+    val vecs = (0L until 30L).map { i =>
+      val v = (i % 3) match {
+        case 0 => Array(1.0f, 0.0f)
+        case 1 => Array(0.0f, 1.0f)
+        case _ => Array(0.7f, 0.7f)
+      }
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    def run() = Similarity.kmeansCells(vecs, "vec_id", "embedding",
+      k = 3, fitSampleMod = 2)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val got = run()
+    assert(got.length === 30 && got.map(_._1).toSet === (0L until 30L).toSet)
+    val fitIds = vecs.where(pmod(xxhash64(col("vec_id")), lit(2)) === 0)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got.map(_._2).toSet.subsetOf(fitIds), "cells must be fit-set seed ids")
+    val byContent = got.groupBy(_._1 % 3).values.map(_.map(_._2).toSet)
+    assert(byContent.forall(_.size == 1), "identical vectors must co-assign")
+    assert(got.toSeq === run().toSeq, "sampled fit must be deterministic")
+  }
+
   test("kmeansCells refuses a centroid dot that would wrap int64, and a smaller quantScale fixes it") {
     // components ~±2000 quantize to |xi| ≈ 2e9 at the default 1e6 scale, so
     // even a SINGLETON seed centroid puts dim·max|xi|·max|sxi| ≈ 4·(2e9)² ≈
