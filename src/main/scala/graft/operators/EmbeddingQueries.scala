@@ -239,6 +239,31 @@ object EmbeddingQueries {
       |         SELECT *, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY score DESC, cell ASC) AS rn
       |         FROM s2) WHERE rn = 1)""".stripMargin
 
+  /** The shared tail of the two kNN-graph oracles: zero-norm-guarded unit
+    * vectors, the probe × argmax-member join (expects CTEs `probes` and
+    * `assigned` of (vid, cell)), exact left-fold dots, and the
+    * (sim DESC, neighbor ASC) top-5 ranking — one definition so the two
+    * replays cannot drift apart. */
+  private val knnRankTail =
+    """nv AS (
+      |  SELECT vec_id, CASE WHEN nrm = 0
+      |      THEN list_transform(embedding, x -> 0.0)
+      |      ELSE list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm)
+      |    END AS nv
+      |  FROM (SELECT vec_id, embedding,
+      |    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+      |      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))), (a, c) -> a + c)) AS nrm
+      |    FROM embeddings)),
+      |s AS (
+      |  SELECT p.vid AS query_id, a.vid AS neighbor_id,
+      |    list_reduce(list_prepend(0.0, list_transform(list_zip(q.nv, c.nv),
+      |        x -> x[1] * x[2])), (ac, x) -> ac + x) AS sim
+      |  FROM probes p JOIN assigned a ON p.cell = a.cell AND p.vid <> a.vid
+      |  JOIN nv q ON q.vec_id = p.vid JOIN nv c ON c.vec_id = a.vid)
+      |SELECT query_id, neighbor_id, rank, sim FROM (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+      |  FROM s) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_ann_topk" ->
       """WITH n AS (
@@ -346,7 +371,7 @@ object EmbeddingQueries {
         |SELECT id_a, id_b, sim FROM s WHERE sim >= 0.45 ORDER BY id_a, id_b""".stripMargin,
 
     "q_knn_graph" ->
-      """WITH dims AS (
+      ("""WITH dims AS (
         |  SELECT vec_id AS vid, CAST(label AS BIGINT) AS cell, i - 1 AS pos,
         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xi
         |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS r(i)),
@@ -362,24 +387,7 @@ object EmbeddingQueries {
         |  FROM scores),
         |probes AS (SELECT vid, cell FROM ranked WHERE rn <= 2),
         |assigned AS (SELECT vid, cell FROM ranked WHERE rn = 1),
-        |n AS (
-        |  SELECT vec_id, CASE WHEN nrm = 0
-        |      THEN list_transform(embedding, x -> 0.0)
-        |      ELSE list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm)
-        |    END AS nv
-        |  FROM (SELECT vec_id, embedding,
-        |    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
-        |      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))), (a, c) -> a + c)) AS nrm
-        |    FROM embeddings)),
-        |s AS (
-        |  SELECT p.vid AS query_id, a.vid AS neighbor_id,
-        |    list_reduce(list_prepend(0.0, list_transform(list_zip(q.nv, c.nv),
-        |        x -> x[1] * x[2])), (ac, x) -> ac + x) AS sim
-        |  FROM probes p JOIN assigned a ON p.cell = a.cell AND p.vid <> a.vid
-        |  JOIN n q ON q.vec_id = p.vid JOIN n c ON c.vec_id = a.vid)
-        |SELECT query_id, neighbor_id, rank, sim FROM (
-        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
-        |  FROM s) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+        |""".stripMargin + knnRankTail),
 
     "q_knn_graph_auto" ->
       (s"""WITH ${kmeansCtes("(SELECT greatest(1, count(*) // 32) FROM embeddings)")},""" +
@@ -396,24 +404,7 @@ object EmbeddingQueries {
         |  FROM scores3),
         |probes AS (SELECT vid, cell FROM ranked3 WHERE rn <= 2),
         |assigned AS (SELECT vid, cell FROM ranked3 WHERE rn = 1),
-        |nv AS (
-        |  SELECT vec_id, CASE WHEN nrm = 0
-        |      THEN list_transform(embedding, x -> 0.0)
-        |      ELSE list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm)
-        |    END AS nv
-        |  FROM (SELECT vec_id, embedding,
-        |    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
-        |      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))), (a, c) -> a + c)) AS nrm
-        |    FROM embeddings)),
-        |s AS (
-        |  SELECT p.vid AS query_id, a.vid AS neighbor_id,
-        |    list_reduce(list_prepend(0.0, list_transform(list_zip(q.nv, c.nv),
-        |        x -> x[1] * x[2])), (ac, x) -> ac + x) AS sim
-        |  FROM probes p JOIN assigned a ON p.cell = a.cell AND p.vid <> a.vid
-        |  JOIN nv q ON q.vec_id = p.vid JOIN nv c ON c.vec_id = a.vid)
-        |SELECT query_id, neighbor_id, rank, sim FROM (
-        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
-        |  FROM s) WHERE rank <= 5 ORDER BY query_id, rank""").stripMargin,
+        |""".stripMargin + knnRankTail),
 
     "q_ann_ivf" ->
       """WITH dims AS (

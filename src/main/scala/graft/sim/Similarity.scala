@@ -219,6 +219,12 @@ object Similarity {
       quantScale: Long): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
+    // an empty centroid set would leave the kernel's bestCell at its 0L
+    // initializer for EVERY row — the whole corpus silently assigned to a
+    // nonexistent cell 0 is a wrong answer, not a degenerate-but-valid one
+    require(cells.nonEmpty,
+      "assignCells with no centroids: the seed/fit set is empty " +
+        "(check k, the input row count, and fitSampleMod)")
     requireDotBounds(cells, maxXi, quantScale)
     val bcCells = spark.sparkContext.broadcast(cells)
     vecs
@@ -442,7 +448,10 @@ object Similarity {
     if (n == 0)
       return Seq.empty[(Long, Long, Long, Double)]
         .toDF("query_id", "neighbor_id", "rank", "sim")
-    val kCells = math.max(1L, n / targetCellSize).toInt
+    // clamped: at n >= 2^31·targetCellSize a bare .toInt wraps negative
+    // (or to exactly 0), which would flow into empty seeds — the clamp
+    // keeps the guarantee honest at any corpus size
+    val kCells = math.min(Int.MaxValue.toLong, math.max(1L, n / targetCellSize)).toInt
     val cells = kmeansCells(vecs, idCol, vecCol, kCells,
       iterations = iterations, quantScale = quantScale,
       fitSampleMod = fitSampleMod)
@@ -680,6 +689,8 @@ object Similarity {
       k: Int, iterations: Int = 2, quantScale: Long = 1000000L,
       fitSampleMod: Long = 1L): DataFrame = {
     require(fitSampleMod >= 1, s"fitSampleMod must be >= 1, got $fitSampleMod")
+    require(k >= 1, s"kmeansCells needs k >= 1, got $k")
+    require(iterations >= 1, s"kmeansCells needs iterations >= 1, got $iterations")
     val fitVecs = if (fitSampleMod == 1L) vecs
       else vecs.where(pmod(xxhash64(col(idCol).cast("long")), lit(fitSampleMod)) === 0)
     // PERSISTED: every iteration's centroid aggregation (and the final

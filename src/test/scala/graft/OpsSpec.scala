@@ -1162,6 +1162,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.toSeq === run().toSeq, "sampled fit must be deterministic")
   }
 
+  test("kmeansCells refuses an empty fit sample and bad knobs loudly") {
+    val vecs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    // a mod no id hashes to 0 under → empty fit set: the old behavior
+    // silently assigned the whole corpus to nonexistent cell 0
+    val fitless = (3L to 500L).find(m =>
+      vecs.where(pmod(xxhash64(col("vec_id")), lit(m)) === 0).isEmpty)
+    assume(fitless.nonEmpty, "no fitless mod in range — fixture luck ran out")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.kmeansCells(vecs, "vec_id", "embedding", k = 2,
+        fitSampleMod = fitless.get)
+    }
+    assert(e.getMessage.contains("fitSampleMod"))
+    intercept[IllegalArgumentException] {
+      Similarity.kmeansCells(vecs, "vec_id", "embedding", k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.kmeansCells(vecs, "vec_id", "embedding", k = 2, iterations = 0)
+    }
+  }
+
   test("kmeansCells refuses a centroid dot that would wrap int64, and a smaller quantScale fixes it") {
     // components ~±2000 quantize to |xi| ≈ 2e9 at the default 1e6 scale, so
     // even a SINGLETON seed centroid puts dim·max|xi|·max|sxi| ≈ 4·(2e9)² ≈
