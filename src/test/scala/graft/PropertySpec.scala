@@ -87,4 +87,46 @@ class PropertySpec extends AnyFunSuite {
       shifted >= -(1L << 47) && shifted <= (1L << 47)
     })
   }
+
+  test("H.264 RBSP escape/unescape round-trips arbitrary byte arrays") {
+    import graft.multimodal.H264
+    // zero-heavy generator: emulation prevention only fires on 00 00 0x
+    // runs, so a uniform byte gen would barely exercise it
+    val zeroHeavy = Gen.listOf(Gen.frequency(
+      (6, Gen.const(0.toByte)), (2, Gen.choose(1, 3).map(_.toByte)),
+      (2, Gen.choose(Byte.MinValue, Byte.MaxValue)))).map(_.toArray)
+    check(Prop.forAll(zeroHeavy) { bytes =>
+      val esc = H264.rbspEscape(bytes)
+      // invariant: no 00 00 00 / 00 00 01 / 00 00 02 survives in the
+      // escaped form (00 00 03 is the emulation marker itself — legal)
+      val clean = (0 until esc.length - 2).forall(i =>
+        !(esc(i) == 0 && esc(i + 1) == 0 && (esc(i + 2) & 0xff) <= 2))
+      clean && java.util.Arrays.equals(H264.rbspUnescape(esc), bytes)
+    })
+  }
+
+  test("H.264 Exp-Golomb ue/se/fixed-bit sequences round-trip through the bit IO") {
+    import graft.multimodal.H264
+    // a mixed program of writes replayed as reads must give back the
+    // same values — the slice-header parser is exactly such a program
+    val op: Gen[(Int, Long)] = Gen.oneOf(
+      Gen.chooseNum(0, 100000).map(v => (0, v.toLong)),        // ue
+      Gen.chooseNum(-50000, 50000).map(v => (1, v.toLong)),    // se
+      for { n <- Gen.chooseNum(1, 24); v <- Gen.chooseNum(0L, (1L << n) - 1) }
+        yield (2, (n.toLong << 32) | v))                       // u(n)
+    check(Prop.forAll(Gen.listOf(op)) { ops =>
+      val w = new H264.BitWriter
+      ops.foreach {
+        case (0, v) => w.writeUe(v.toInt)
+        case (1, v) => w.writeSe(v.toInt)
+        case (2, nv) => w.writeBits(nv & 0xffffffffL, (nv >>> 32).toInt)
+      }
+      val r = new H264.BitReader(w.finishRbsp())
+      ops.forall {
+        case (0, v) => r.readUe() == v.toInt
+        case (1, v) => r.readSe() == v.toInt
+        case (2, nv) => r.readBits((nv >>> 32).toInt) == (nv & 0xffffffffL)
+      } && r.readBit() == 1 // the rbsp stop bit lands exactly after
+    })
+  }
 }
