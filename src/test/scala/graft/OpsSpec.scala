@@ -967,6 +967,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(graph.map(_._1) == (0L to 5L).toSet) // EVERY vector is a query
   }
 
+  test("knnGraph ≡ brute force at 500 random vectors when probing all cells") {
+    // fixed-seed random corpus, 8 cells, nProbe = 8 = all cells: the
+    // graph must equal the exact answer on every (query, rank) — a much
+    // denser tie/probe surface than the 6-vector fixture
+    val rnd = new scala.util.Random(421)
+    val vecs = (0L until 500L).map(i =>
+      (i, i % 8, Array.fill(8)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "label", "embedding")
+    val graph = Similarity.knnGraph(vecs, "vec_id", "embedding", "label",
+      k = 4, nProbe = 8)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)]
+      .collect().toSet
+    val brute = Similarity.bruteForceTopK(
+      vecs.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      vecs.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")), 4)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(graph === brute)
+    assert(graph.size === 2000) // 500 queries × 4 ranks
+  }
+
   test("knnGraph single-probe stays within the argmax cell") {
     // with nProbe=1 a query only sees its own cluster: neighbors across
     // the label boundary must be absent even though they exist
