@@ -52,7 +52,8 @@ object ParseTime {
   *     --columns semantics; a pattern matching nothing errors)
   *     [--algorithm auto|joindiff|hashdiff|estimate] [--no-estimate]
   *     [--stats] [--json] [--limit N]
-  *     [--ignore col1,col2] [--update-column col --min-age 1d --max-age 1h]
+  *     [--ignore col1,col2] [--tolerance col=eps[,col=eps…]]
+  *     [--update-column col --min-age 1d --max-age 1h]
   *     [--materialize path] [--where EXPR] [--assume-unique-key]
   *     [--sample-exclusive-rows] [--materialize-all-rows]
   *     [--table-write-limit N] [--case-sensitive] [--repair] [--force-repair]
@@ -74,6 +75,10 @@ object Cli {
       // empty = not set on the command line ("auto" must remain an EXPLICIT
       // choice so a config file cannot override it)
       ignore: Seq[String] = Nil, algorithm: String = "",
+      // per-column absolute epsilon compare (beyond ref): --tolerance
+      // col=eps[,col=eps…]; joindiff-only (a checksum cannot compare
+      // within an epsilon), so remote pushdown refuses it
+      tolerances: Map[String, Double] = Map.empty,
       // with NO --algorithm, local two-table diffs default to the
       // measured pick (Algorithm.Estimate: sample-diff, then joindiff if
       // dense / hashdiff if sparse); --no-estimate restores the plain
@@ -186,6 +191,19 @@ object Cli {
       case "-k" :: v :: t => go(t, a.copy(keys = split(v)), positional)
       case "-c" :: v :: t => go(t, a.copy(cols = split(v)), positional)
       case "--ignore" :: v :: t => go(t, a.copy(ignore = split(v)), positional)
+      case "--tolerance" :: v :: t =>
+        val parsed = split(v).map { kv =>
+          kv.split("=", 2) match {
+            case Array(c, e) if c.nonEmpty =>
+              val eps = try e.toDouble catch { case _: NumberFormatException =>
+                throw new IllegalArgumentException(
+                  s"--tolerance $kv: '$e' is not a number") }
+              c -> eps
+            case _ => throw new IllegalArgumentException(
+              s"--tolerance expects col=eps[,col=eps...], got '$kv'")
+          }
+        }.toMap
+        go(t, a.copy(tolerances = a.tolerances ++ parsed), positional)
       case ("-a" | "--algorithm") :: v :: t => go(t, a.copy(algorithm = v), positional)
       case ("-s" | "--stats") :: t => go(t, a.copy(stats = true), positional)
       case ("-i" | "--interactive") :: t => go(t, a.copy(interactive = true), positional)
@@ -373,6 +391,9 @@ object Cli {
         require(!a.materializeAllRows && !a.sampleExclusiveRows,
           "--materialize-all-rows / --sample-exclusive-rows are joindiff-only " +
             "(reference: joindiff_tables.py); a duckdb: remote runs pushdown hashdiff")
+        require(a.tolerances.isEmpty,
+          "--tolerance is joindiff-only: a pushdown checksum cannot compare " +
+            "within an epsilon. Diff both sides locally to use tolerances.")
       }
       def engineFor(spec: String): graft.sources.RemoteEngine = {
         val raw: graft.sources.RemoteEngine =
@@ -492,7 +513,7 @@ object Cli {
           }
           Graft.diffTables(segA, segB,
             Graft.DiffOptions(algorithm = algo, ignoreColumns = a.ignore,
-              validateKeys = !a.assumeUniqueKey))
+              validateKeys = !a.assumeUniqueKey, tolerances = a.tolerances))
       }
       val limited = a.limit.fold(diff)(diff.limit)
       // --materialize-all-rows writes the reference's all_rows shape — the

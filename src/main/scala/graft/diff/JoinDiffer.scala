@@ -21,9 +21,21 @@ object JoinDiffer {
     * Columns named in `jsonCols` compare under JSON equivalence — key
     * order and whitespace do not make a diff (the reference suppresses
     * equivalent-JSON diffs in hashdiff_tables.py:72-84; here the semantics
-    * sit directly in the join's diff flag, still codegen'd built-ins). */
+    * sit directly in the join's diff flag, still codegen'd built-ins).
+    *
+    * Columns named in `tolerances` compare under an ABSOLUTE numeric
+    * epsilon: |a−b| ≤ ε is "unchanged" (the float-drift ask the reference
+    * leaves open — ETL re-computation, unit migrations, lossy casts all
+    * produce value noise a byte-exact diff mislabels as churn). Null
+    * semantics are unchanged: null vs non-null is a diff, null <=> null
+    * is not; NaN vs NaN compares equal via the null-safe branch, and a
+    * NaN against a number is a diff (|NaN−x| ≤ ε is false). Exactness is
+    * the default — only columns explicitly mapped get a tolerance. */
   def flagged(a: DataFrame, b: DataFrame, keyCols: Seq[String],
-      compareCols: Seq[String], jsonCols: Set[String] = Set.empty): DataFrame = {
+      compareCols: Seq[String], jsonCols: Set[String] = Set.empty,
+      tolerances: Map[String, Double] = Map.empty): DataFrame = {
+    require(tolerances.values.forall(e => e >= 0 && !e.isNaN),
+      s"tolerances must be non-negative finite epsilons, got $tolerances")
     val cols = keyCols ++ compareCols
     val aa = a.select(cols.map(c => col(c).as(s"a_$c")): _*)
     val bb = b.select(cols.map(c => col(c).as(s"b_$c")): _*)
@@ -36,7 +48,13 @@ object JoinDiffer {
     val diffFlags = compareCols.map { c =>
       val neq =
         if (jsonCols.contains(c)) !JsonCompare.jsonEquivalent(col(s"a_$c"), col(s"b_$c"))
-        else !(col(s"a_$c") <=> col(s"b_$c"))
+        else tolerances.get(c) match {
+          case Some(eps) =>
+            !((col(s"a_$c") <=> col(s"b_$c")) ||
+              (col(s"a_$c").isNotNull && col(s"b_$c").isNotNull &&
+                abs(col(s"a_$c").cast("double") - col(s"b_$c").cast("double")) <= eps))
+          case None => !(col(s"a_$c") <=> col(s"b_$c"))
+        }
       neq.cast("int").as(s"is_diff_$c")
     }
     j.select(
@@ -52,17 +70,19 @@ object JoinDiffer {
     * key-only link table, or every column ignored — goes through
     * [[diffExplicit]]. */
   def diff(a: DataFrame, b: DataFrame, keyCols: Seq[String],
-      compareColsIn: Seq[String] = Nil, jsonCols: Set[String] = Set.empty): DataFrame =
+      compareColsIn: Seq[String] = Nil, jsonCols: Set[String] = Set.empty,
+      tolerances: Map[String, Double] = Map.empty): DataFrame =
     diffExplicit(a, b, keyCols,
       if (compareColsIn.nonEmpty) compareColsIn
-      else a.columns.toSeq.filterNot(keyCols.contains), jsonCols)
+      else a.columns.toSeq.filterNot(keyCols.contains), jsonCols, tolerances)
 
   /** [[diff]] with the compare list taken LITERALLY: empty means compare
     * nothing but key membership (added/removed rows only). */
   def diffExplicit(a: DataFrame, b: DataFrame, keyCols: Seq[String],
-      compareCols: Seq[String], jsonCols: Set[String] = Set.empty): DataFrame = {
+      compareCols: Seq[String], jsonCols: Set[String] = Set.empty,
+      tolerances: Map[String, Double] = Map.empty): DataFrame = {
     val cols = keyCols ++ compareCols
-    val f = flagged(a, b, keyCols, compareCols, jsonCols)
+    val f = flagged(a, b, keyCols, compareCols, jsonCols, tolerances)
     val anyDiff = compareCols.map(c => col(s"is_diff_$c") === 1)
       .reduceOption(_ || _).getOrElse(lit(false))
     val aRow = struct(lit("-").as("sign") +: cols.map(c => col(s"a_$c").as(c)): _*)
@@ -78,10 +98,11 @@ object JoinDiffer {
   /** One-row diff statistics (reference: diff_tables.py:76-186 DiffStats).
     * Same Nil-derives-all convention as [[diff]]; see [[statsExplicit]]. */
   def stats(a: DataFrame, b: DataFrame, keyCols: Seq[String],
-      compareColsIn: Seq[String] = Nil, jsonCols: Set[String] = Set.empty): DataFrame =
+      compareColsIn: Seq[String] = Nil, jsonCols: Set[String] = Set.empty,
+      tolerances: Map[String, Double] = Map.empty): DataFrame =
     statsExplicit(a, b, keyCols,
       if (compareColsIn.nonEmpty) compareColsIn
-      else a.columns.toSeq.filterNot(keyCols.contains), jsonCols)
+      else a.columns.toSeq.filterNot(keyCols.contains), jsonCols, tolerances)
 
   /** [[stats]] with the compare list taken literally (empty = membership
     * only). Counters are zero, not NULL, on an empty join — two empty
@@ -89,8 +110,9 @@ object JoinDiffer {
     * matches [[diff]]'s, so the summary never contradicts the row-level
     * diff it summarizes. */
   def statsExplicit(a: DataFrame, b: DataFrame, keyCols: Seq[String],
-      compareCols: Seq[String], jsonCols: Set[String] = Set.empty): DataFrame = {
-    val f = flagged(a, b, keyCols, compareCols, jsonCols)
+      compareCols: Seq[String], jsonCols: Set[String] = Set.empty,
+      tolerances: Map[String, Double] = Map.empty): DataFrame = {
+    val f = flagged(a, b, keyCols, compareCols, jsonCols, tolerances)
     val anyDiff = compareCols.map(c => col(s"is_diff_$c") === 1)
       .reduceOption(_ || _).getOrElse(lit(false))
     val both = !col("is_exclusive_a") && !col("is_exclusive_b")

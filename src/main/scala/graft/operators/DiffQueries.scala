@@ -42,6 +42,22 @@ object DiffQueries {
         .orderBy("o_orderkey", "sign")
     }),
 
+    // Epsilon-tolerant joindiff: the b side perturbs o_totalprice by
+    // ±0.005 (float-drift noise: ETL re-computation, lossy casts) on
+    // %13 keys and by +5.0 (a real change) on %31 keys; with tolerance
+    // 0.01 on that column only the real changes — and nothing else —
+    // surface. Exactness stays the default for every unmapped column.
+    "q_joindiff_tolerance" -> ((s, d) => {
+      val a = orders(s, d).select(orderCols.map(col): _*)
+      val b = a.withColumn("o_totalprice",
+        when(col("o_orderkey") % 31 === 0, col("o_totalprice") + 5.0)
+          .when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 0.005)
+          .otherwise(col("o_totalprice")))
+      JoinDiffer.diff(a, b, Seq("o_orderkey"), orderCompareCols,
+        tolerances = Map("o_totalprice" -> 0.01))
+        .orderBy("o_orderkey", "sign")
+    }),
+
     // The repair loop closed end to end: diff a against its mutated copy,
     // apply the diff to the mutated side as a patch, and emit the patched
     // table — the oracle is simply `orders` itself, so a hash match proves
@@ -197,6 +213,20 @@ object DiffQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_joindiff" -> diffRowsSql,
+
+    "q_joindiff_tolerance" ->
+      s"""WITH a AS (SELECT ${orderCols.mkString(", ")} FROM orders),
+         |b AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+         |  CASE WHEN o_orderkey % 31 = 0 THEN o_totalprice + 5.0
+         |       WHEN o_orderkey % 13 = 0 THEN o_totalprice + 0.005
+         |       ELSE o_totalprice END AS o_totalprice,
+         |  o_orderdate, o_orderpriority FROM a),
+         |d AS (SELECT a.o_orderkey FROM a JOIN b USING (o_orderkey)
+         |      WHERE abs(a.o_totalprice - b.o_totalprice) > 0.01)
+         |SELECT '-' AS sign, a.* FROM a JOIN d USING (o_orderkey)
+         |UNION ALL
+         |SELECT '+' AS sign, b.* FROM b JOIN d USING (o_orderkey)
+         |ORDER BY o_orderkey, sign""".stripMargin,
 
     // Patching the mutated copy with the diff must reproduce the source.
     "q_diff_apply" ->

@@ -114,6 +114,26 @@ class CliEndToEndSpec extends AnyFunSuite {
     assert(text.contains("1 rows removed") || text.toLowerCase.contains("removed"))
   }
 
+  test("--tolerance suppresses within-epsilon drift end to end, parses strictly") {
+    val dir = java.nio.file.Files.createTempDirectory("clitol").toString
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v").write.parquet(s"$dir/ta")
+    Seq((1L, 10.004), (2L, 25.0), (3L, 30.0)).toDF("k", "v").write.parquet(s"$dir/tb")
+    val out = new java.io.ByteArrayOutputStream
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      Cli.run(Cli.parseArgs(Array(s"$dir/ta", s"$dir/tb", "-k", "k",
+        "--tolerance", "v=0.01", "--json")), spark)
+    }
+    val lines = out.toString("UTF-8").linesIterator.filter(_.startsWith("{")).toSeq
+    // only k=2 (drift 5.0 > eps) diffs; k=1's 0.004 is suppressed
+    assert(lines.size == 2, lines.mkString("\n"))
+    assert(lines.forall(_.contains("\"k\":2")), lines.mkString("\n"))
+    // strict parse: garbage forms refuse with the flag named
+    intercept[IllegalArgumentException] { Cli.parseArgs(Array("a", "b", "-k", "k",
+      "--tolerance", "v")) }
+    intercept[IllegalArgumentException] { Cli.parseArgs(Array("a", "b", "-k", "k",
+      "--tolerance", "v=xyz")) }
+  }
+
   test("--algorithm estimate runs the sampled pre-flight and still emits the exact diff") {
     val dir = java.nio.file.Files.createTempDirectory("cliest").toString
     (1L to 2000L).map(i => (i, s"v$i")).toDF("k", "v").write.parquet(s"$dir/ta")

@@ -167,6 +167,35 @@ class JoinDifferSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((1L, 1L, 1L, 1L)))
   }
 
+  test("epsilon tolerance: drift within eps is unchanged, beyond diffs, nulls stay strict") {
+    val a = Seq((1L, Some(10.0), "p"), (2L, Some(20.0), "q"),
+      (3L, Some(30.0), "r"), (4L, None: Option[Double], "s"),
+      (5L, Some(50.0), "t")).toDF("k", "v", "s")
+    val b = Seq((1L, Some(10.005), "p"), (2L, Some(20.5), "q"),
+      (3L, None: Option[Double], "r"), (4L, None: Option[Double], "s"),
+      (5L, Some(50.0), "u")).toDF("k", "v", "s")
+    val tol = Map("v" -> 0.01)
+    val got = JoinDiffer.diff(a, b, Seq("k"), tolerances = tol)
+      .select("sign", "k").as[(String, Long)].collect().toSet
+    // k=1 within eps → unchanged; k=2 beyond eps; k=3 null vs value is a
+    // diff regardless of eps; k=4 null<=>null unchanged; k=5 the UNMAPPED
+    // string column stays byte-exact
+    assert(got == Set(("-", 2L), ("+", 2L), ("-", 3L), ("+", 3L),
+      ("-", 5L), ("+", 5L)))
+    val r = JoinDiffer.stats(a, b, Seq("k"), tolerances = tol).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((0L, 0L, 3L, 2L)))
+    // NaN: equal to itself via the null-safe branch, a diff vs any number
+    val na = Seq((1L, Double.NaN), (2L, Double.NaN)).toDF("k", "v")
+    val nb = Seq((1L, Double.NaN), (2L, 2.0)).toDF("k", "v")
+    val nd = JoinDiffer.diff(na, nb, Seq("k"), tolerances = tol)
+      .select("k").as[Long].collect().toSet
+    assert(nd == Set(2L))
+    // refusal: a negative or NaN epsilon is a caller bug, not a knob
+    intercept[IllegalArgumentException] {
+      JoinDiffer.diff(a, b, Seq("k"), tolerances = Map("v" -> -0.5))
+    }
+  }
+
   test("membership-only diff: key-only tables and all-columns-ignored both work") {
     // key-only link table — anyDiff over zero compare columns must not
     // crash (empty.reduceLeft), and exclusives still report
