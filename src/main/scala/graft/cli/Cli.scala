@@ -522,7 +522,10 @@ object Cli {
       val matSource = if (a.materializeAllRows) {
         val segB = segment(a.sourceB)
         val compare = segA.relevantCols.filterNot(a.keys.contains).filterNot(a.ignore.contains)
-        graft.diff.JoinDiffer.flagged(segA.scoped, segB.scoped, a.keys, compare)
+        // same tolerances as the signed diff — the materialized is_diff
+        // flags must never contradict the rows the diff printed
+        graft.diff.JoinDiffer.flagged(segA.scoped, segB.scoped, a.keys, compare,
+          tolerances = a.tolerances)
       } else limited
       // --materialize remote:<table> writes the diff INTO the remote engine
       // (the reference's semantics — it materializes a table in the
