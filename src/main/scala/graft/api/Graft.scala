@@ -45,6 +45,10 @@ object Graft {
         * an epsilon, so Auto/Estimate force JoinDiff and an explicit
         * HashDiff choice is refused loudly. */
       tolerances: Map[String, Double] = Map.empty,
+      /** Per-column RELATIVE tolerance: combined envelope
+        * |a−b| ≤ atol + rtol·max(|a|,|b|) (isclose shape; see
+        * JoinDiffer.flagged for the near-zero pitfall). */
+      relTolerances: Map[String, Double] = Map.empty,
       validateKeys: Boolean = true,
       /** Algorithm.Estimate knobs: sample 1/estimateMod of the key space;
         * at/above denseMilliCutoff thousandths of sampled keys differing,
@@ -115,14 +119,15 @@ object Graft {
     // consults) would re-include exactly the columns the caller asked
     // to ignore. Membership-only therefore always takes the join path.
     val tol = opts.tolerances
-    require(tol.isEmpty || opts.algorithm != Algorithm.HashDiff,
+    val rtol = opts.relTolerances
+    require((tol.isEmpty && rtol.isEmpty) || opts.algorithm != Algorithm.HashDiff,
       "tolerances need the row-level join compare: a hashdiff checksum " +
         "cannot compare within an epsilon. Use Algorithm.JoinDiff (or Auto).")
     if (compare.isEmpty)
       return JoinDiffer.diffExplicit(a.scoped, b.scoped, a.keyCols, Nil, jsonCols)
     opts.algorithm match {
       case Algorithm.JoinDiff =>
-        JoinDiffer.diffExplicit(a.scoped, b.scoped, a.keyCols, compare, jsonCols, tol)
+        JoinDiffer.diffExplicit(a.scoped, b.scoped, a.keyCols, compare, jsonCols, tol, rtol)
       case Algorithm.HashDiff =>
         HashDiffer.diff(a.copy(extraCols = compare), b.copy(extraCols = compare), opts.buckets,
           jsonCols = jsonCols)
@@ -132,15 +137,15 @@ object Graft {
         // diffs, which Auto cannot know without a pre-pass it must not
         // silently spend. Default to the single-pass join;
         // Algorithm.Estimate is the opt-in that measures first.
-        JoinDiffer.diffExplicit(a.scoped, b.scoped, a.keyCols, compare, jsonCols, tol)
+        JoinDiffer.diffExplicit(a.scoped, b.scoped, a.keyCols, compare, jsonCols, tol, rtol)
       case Algorithm.Estimate =>
         // tolerances force the join: the estimate's hashdiff arm would
         // re-report the within-epsilon drift the caller asked to ignore
-        val pick = if (tol.nonEmpty) Algorithm.JoinDiff
+        val pick = if (tol.nonEmpty || rtol.nonEmpty) Algorithm.JoinDiff
           else chooseAlgorithm(a, b, compare, opts)
         pick match {
           case Algorithm.JoinDiff =>
-            JoinDiffer.diffExplicit(a.scoped, b.scoped, a.keyCols, compare, jsonCols, tol)
+            JoinDiffer.diffExplicit(a.scoped, b.scoped, a.keyCols, compare, jsonCols, tol, rtol)
           case _ =>
             HashDiffer.diff(a.copy(extraCols = compare), b.copy(extraCols = compare),
               opts.buckets, jsonCols = jsonCols)
@@ -167,7 +172,7 @@ object Graft {
     JoinDiffer.statsExplicit(a.scoped, b.scoped, a.keyCols,
       a.relevantCols.filterNot(a.keyCols.contains)
         .filterNot(opts.ignoreColumns.contains),
-      opts.jsonColumns.toSet, opts.tolerances)
+      opts.jsonColumns.toSet, opts.tolerances, opts.relTolerances)
 
   /** Cross-engine diff: the b-side lives in an external engine reachable
     * only through `engine`; per-segment checksum SQL is pushed there and

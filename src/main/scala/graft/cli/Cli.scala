@@ -52,7 +52,7 @@ object ParseTime {
   *     --columns semantics; a pattern matching nothing errors)
   *     [--algorithm auto|joindiff|hashdiff|estimate] [--no-estimate]
   *     [--stats] [--json] [--limit N]
-  *     [--ignore col1,col2] [--tolerance col=eps[,col=eps…]]
+  *     [--ignore col1,col2] [--tolerance col=eps[,…]] [--rel-tolerance col=r[,…]]
   *     [--update-column col --min-age 1d --max-age 1h]
   *     [--materialize path] [--where EXPR] [--assume-unique-key]
   *     [--sample-exclusive-rows] [--materialize-all-rows]
@@ -79,6 +79,7 @@ object Cli {
       // col=eps[,col=eps…]; joindiff-only (a checksum cannot compare
       // within an epsilon), so remote pushdown refuses it
       tolerances: Map[String, Double] = Map.empty,
+      relTolerances: Map[String, Double] = Map.empty,
       // with NO --algorithm, local two-table diffs default to the
       // measured pick (Algorithm.Estimate: sample-diff, then joindiff if
       // dense / hashdiff if sparse); --no-estimate restores the plain
@@ -185,6 +186,17 @@ object Cli {
 
   def parseArgs(argv: Array[String]): Args = {
     def split(s: String) = s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    def parseTol(flag: String, v: String): Map[String, Double] =
+      split(v).map { kv =>
+        kv.split("=", 2) match {
+          case Array(c, e) if c.nonEmpty =>
+            val eps = try e.toDouble catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(s"$flag $kv: '$e' is not a number") }
+            c -> eps
+          case _ => throw new IllegalArgumentException(
+            s"$flag expects col=eps[,col=eps...], got '$kv'")
+        }
+      }.toMap
     @annotation.tailrec
     def go(rest: List[String], a: Args, positional: Int): Args = rest match {
       case Nil => a
@@ -192,18 +204,10 @@ object Cli {
       case "-c" :: v :: t => go(t, a.copy(cols = split(v)), positional)
       case "--ignore" :: v :: t => go(t, a.copy(ignore = split(v)), positional)
       case "--tolerance" :: v :: t =>
-        val parsed = split(v).map { kv =>
-          kv.split("=", 2) match {
-            case Array(c, e) if c.nonEmpty =>
-              val eps = try e.toDouble catch { case _: NumberFormatException =>
-                throw new IllegalArgumentException(
-                  s"--tolerance $kv: '$e' is not a number") }
-              c -> eps
-            case _ => throw new IllegalArgumentException(
-              s"--tolerance expects col=eps[,col=eps...], got '$kv'")
-          }
-        }.toMap
-        go(t, a.copy(tolerances = a.tolerances ++ parsed), positional)
+        go(t, a.copy(tolerances = a.tolerances ++ parseTol("--tolerance", v)), positional)
+      case "--rel-tolerance" :: v :: t =>
+        go(t, a.copy(relTolerances = a.relTolerances ++ parseTol("--rel-tolerance", v)),
+          positional)
       case ("-a" | "--algorithm") :: v :: t => go(t, a.copy(algorithm = v), positional)
       case ("-s" | "--stats") :: t => go(t, a.copy(stats = true), positional)
       case ("-i" | "--interactive") :: t => go(t, a.copy(interactive = true), positional)
@@ -391,7 +395,7 @@ object Cli {
         require(!a.materializeAllRows && !a.sampleExclusiveRows,
           "--materialize-all-rows / --sample-exclusive-rows are joindiff-only " +
             "(reference: joindiff_tables.py); a duckdb: remote runs pushdown hashdiff")
-        require(a.tolerances.isEmpty,
+        require(a.tolerances.isEmpty && a.relTolerances.isEmpty,
           "--tolerance is joindiff-only: a pushdown checksum cannot compare " +
             "within an epsilon. Diff both sides locally to use tolerances.")
       }
@@ -513,7 +517,8 @@ object Cli {
           }
           Graft.diffTables(segA, segB,
             Graft.DiffOptions(algorithm = algo, ignoreColumns = a.ignore,
-              validateKeys = !a.assumeUniqueKey, tolerances = a.tolerances))
+              validateKeys = !a.assumeUniqueKey, tolerances = a.tolerances,
+              relTolerances = a.relTolerances))
       }
       val limited = a.limit.fold(diff)(diff.limit)
       // --materialize-all-rows writes the reference's all_rows shape — the
@@ -525,7 +530,7 @@ object Cli {
         // same tolerances as the signed diff — the materialized is_diff
         // flags must never contradict the rows the diff printed
         graft.diff.JoinDiffer.flagged(segA.scoped, segB.scoped, a.keys, compare,
-          tolerances = a.tolerances)
+          tolerances = a.tolerances, relTolerances = a.relTolerances)
       } else limited
       // --materialize remote:<table> writes the diff INTO the remote engine
       // (the reference's semantics — it materializes a table in the

@@ -23,19 +23,26 @@ object JoinDiffer {
     * equivalent-JSON diffs in hashdiff_tables.py:72-84; here the semantics
     * sit directly in the join's diff flag, still codegen'd built-ins).
     *
-    * Columns named in `tolerances` compare under an ABSOLUTE numeric
-    * epsilon: |a−b| ≤ ε is "unchanged" (the float-drift ask the reference
-    * leaves open — ETL re-computation, unit migrations, lossy casts all
-    * produce value noise a byte-exact diff mislabels as churn). Null
-    * semantics are unchanged: null vs non-null is a diff, null <=> null
-    * is not; NaN vs NaN compares equal via the null-safe branch, and a
-    * NaN against a number is a diff (|NaN−x| ≤ ε is false). Exactness is
-    * the default — only columns explicitly mapped get a tolerance. */
+    * Columns named in `tolerances` (absolute ε) and/or `relTolerances`
+    * (relative factor) compare within a numeric envelope:
+    * |a−b| ≤ atol + rtol·max(|a|,|b|) is "unchanged" — the float-drift
+    * ask the reference leaves open (ETL re-computation, unit migrations,
+    * lossy casts all produce value noise a byte-exact diff mislabels as
+    * churn). The combined form is the standard isclose shape, symmetric
+    * via max(|a|,|b|); a column in only one map gets 0 for the other
+    * term. Note the rel-only pitfall near zero: values drifting around 0
+    * fail any pure-relative bound (rtol·~0 = ~0) — give such columns a
+    * small atol too. Null semantics are unchanged: null vs non-null is a
+    * diff, null <=> null is not; NaN vs NaN compares equal via the
+    * null-safe branch, and a NaN against a number is a diff (the envelope
+    * test is false on NaN). Exactness is the default — only columns
+    * explicitly mapped get an envelope. */
   def flagged(a: DataFrame, b: DataFrame, keyCols: Seq[String],
       compareCols: Seq[String], jsonCols: Set[String] = Set.empty,
-      tolerances: Map[String, Double] = Map.empty): DataFrame = {
-    require(tolerances.values.forall(e => e >= 0 && !e.isNaN),
-      s"tolerances must be non-negative finite epsilons, got $tolerances")
+      tolerances: Map[String, Double] = Map.empty,
+      relTolerances: Map[String, Double] = Map.empty): DataFrame = {
+    require((tolerances.values ++ relTolerances.values).forall(e => e >= 0 && !e.isNaN),
+      s"tolerances must be non-negative finite, got abs=$tolerances rel=$relTolerances")
     val cols = keyCols ++ compareCols
     val aa = a.select(cols.map(c => col(c).as(s"a_$c")): _*)
     val bb = b.select(cols.map(c => col(c).as(s"b_$c")): _*)
@@ -48,13 +55,21 @@ object JoinDiffer {
     val diffFlags = compareCols.map { c =>
       val neq =
         if (jsonCols.contains(c)) !JsonCompare.jsonEquivalent(col(s"a_$c"), col(s"b_$c"))
-        else tolerances.get(c) match {
-          case Some(eps) =>
-            !((col(s"a_$c") <=> col(s"b_$c")) ||
-              (col(s"a_$c").isNotNull && col(s"b_$c").isNotNull &&
-                abs(col(s"a_$c").cast("double") - col(s"b_$c").cast("double")) <= eps))
-          case None => !(col(s"a_$c") <=> col(s"b_$c"))
-        }
+        else if (tolerances.contains(c) || relTolerances.contains(c)) {
+          val atol = tolerances.getOrElse(c, 0.0)
+          val rtol = relTolerances.getOrElse(c, 0.0)
+          val da = col(s"a_$c").cast("double")
+          val db = col(s"b_$c").cast("double")
+          // the NaN guard is load-bearing: Spark orders NaN EQUAL to
+          // itself and ABOVE every double, so with a NaN side the bound
+          // rtol·greatest(...) becomes NaN and `NaN <= NaN` is TRUE —
+          // without the guard a NaN-vs-number pair would silently count
+          // as within-envelope. NaN≡NaN stays handled by <=> above.
+          !((col(s"a_$c") <=> col(s"b_$c")) ||
+            (col(s"a_$c").isNotNull && col(s"b_$c").isNotNull &&
+              !isnan(da) && !isnan(db) &&
+              abs(da - db) <= lit(atol) + lit(rtol) * greatest(abs(da), abs(db))))
+        } else !(col(s"a_$c") <=> col(s"b_$c"))
       neq.cast("int").as(s"is_diff_$c")
     }
     j.select(
@@ -71,18 +86,21 @@ object JoinDiffer {
     * [[diffExplicit]]. */
   def diff(a: DataFrame, b: DataFrame, keyCols: Seq[String],
       compareColsIn: Seq[String] = Nil, jsonCols: Set[String] = Set.empty,
-      tolerances: Map[String, Double] = Map.empty): DataFrame =
+      tolerances: Map[String, Double] = Map.empty,
+      relTolerances: Map[String, Double] = Map.empty): DataFrame =
     diffExplicit(a, b, keyCols,
       if (compareColsIn.nonEmpty) compareColsIn
-      else a.columns.toSeq.filterNot(keyCols.contains), jsonCols, tolerances)
+      else a.columns.toSeq.filterNot(keyCols.contains), jsonCols, tolerances,
+      relTolerances)
 
   /** [[diff]] with the compare list taken LITERALLY: empty means compare
     * nothing but key membership (added/removed rows only). */
   def diffExplicit(a: DataFrame, b: DataFrame, keyCols: Seq[String],
       compareCols: Seq[String], jsonCols: Set[String] = Set.empty,
-      tolerances: Map[String, Double] = Map.empty): DataFrame = {
+      tolerances: Map[String, Double] = Map.empty,
+      relTolerances: Map[String, Double] = Map.empty): DataFrame = {
     val cols = keyCols ++ compareCols
-    val f = flagged(a, b, keyCols, compareCols, jsonCols, tolerances)
+    val f = flagged(a, b, keyCols, compareCols, jsonCols, tolerances, relTolerances)
     val anyDiff = compareCols.map(c => col(s"is_diff_$c") === 1)
       .reduceOption(_ || _).getOrElse(lit(false))
     val aRow = struct(lit("-").as("sign") +: cols.map(c => col(s"a_$c").as(c)): _*)
@@ -99,10 +117,12 @@ object JoinDiffer {
     * Same Nil-derives-all convention as [[diff]]; see [[statsExplicit]]. */
   def stats(a: DataFrame, b: DataFrame, keyCols: Seq[String],
       compareColsIn: Seq[String] = Nil, jsonCols: Set[String] = Set.empty,
-      tolerances: Map[String, Double] = Map.empty): DataFrame =
+      tolerances: Map[String, Double] = Map.empty,
+      relTolerances: Map[String, Double] = Map.empty): DataFrame =
     statsExplicit(a, b, keyCols,
       if (compareColsIn.nonEmpty) compareColsIn
-      else a.columns.toSeq.filterNot(keyCols.contains), jsonCols, tolerances)
+      else a.columns.toSeq.filterNot(keyCols.contains), jsonCols, tolerances,
+      relTolerances)
 
   /** [[stats]] with the compare list taken literally (empty = membership
     * only). Counters are zero, not NULL, on an empty join — two empty
@@ -111,8 +131,9 @@ object JoinDiffer {
     * diff it summarizes. */
   def statsExplicit(a: DataFrame, b: DataFrame, keyCols: Seq[String],
       compareCols: Seq[String], jsonCols: Set[String] = Set.empty,
-      tolerances: Map[String, Double] = Map.empty): DataFrame = {
-    val f = flagged(a, b, keyCols, compareCols, jsonCols, tolerances)
+      tolerances: Map[String, Double] = Map.empty,
+      relTolerances: Map[String, Double] = Map.empty): DataFrame = {
+    val f = flagged(a, b, keyCols, compareCols, jsonCols, tolerances, relTolerances)
     val anyDiff = compareCols.map(c => col(s"is_diff_$c") === 1)
       .reduceOption(_ || _).getOrElse(lit(false))
     val both = !col("is_exclusive_a") && !col("is_exclusive_b")

@@ -58,6 +58,22 @@ object DiffQueries {
         .orderBy("o_orderkey", "sign")
     }),
 
+    // RELATIVE tolerance: the b side scales o_totalprice by ×(1+1e-4)
+    // (proportional drift — a currency re-conversion, a float32 round
+    // trip) on %13 keys and by ×1.1 on %31 keys; with rtol 1e-3 only the
+    // 10% changes surface. The envelope is |a−b| ≤ rtol·max(|a|,|b|) —
+    // the isclose shape, symmetric in the two sides.
+    "q_joindiff_rel_tolerance" -> ((s, d) => {
+      val a = orders(s, d).select(orderCols.map(col): _*)
+      val b = a.withColumn("o_totalprice",
+        when(col("o_orderkey") % 31 === 0, col("o_totalprice") * 1.1)
+          .when(col("o_orderkey") % 13 === 0, col("o_totalprice") * 1.0001)
+          .otherwise(col("o_totalprice")))
+      JoinDiffer.diff(a, b, Seq("o_orderkey"), orderCompareCols,
+        relTolerances = Map("o_totalprice" -> 0.001))
+        .orderBy("o_orderkey", "sign")
+    }),
+
     // The repair loop closed end to end: diff a against its mutated copy,
     // apply the diff to the mutated side as a patch, and emit the patched
     // table — the oracle is simply `orders` itself, so a hash match proves
@@ -223,6 +239,21 @@ object DiffQueries {
          |  o_orderdate, o_orderpriority FROM a),
          |d AS (SELECT a.o_orderkey FROM a JOIN b USING (o_orderkey)
          |      WHERE abs(a.o_totalprice - b.o_totalprice) > 0.01)
+         |SELECT '-' AS sign, a.* FROM a JOIN d USING (o_orderkey)
+         |UNION ALL
+         |SELECT '+' AS sign, b.* FROM b JOIN d USING (o_orderkey)
+         |ORDER BY o_orderkey, sign""".stripMargin,
+
+    "q_joindiff_rel_tolerance" ->
+      s"""WITH a AS (SELECT ${orderCols.mkString(", ")} FROM orders),
+         |b AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+         |  CASE WHEN o_orderkey % 31 = 0 THEN o_totalprice * 1.1
+         |       WHEN o_orderkey % 13 = 0 THEN o_totalprice * 1.0001
+         |       ELSE o_totalprice END AS o_totalprice,
+         |  o_orderdate, o_orderpriority FROM a),
+         |d AS (SELECT a.o_orderkey FROM a JOIN b USING (o_orderkey)
+         |      WHERE abs(a.o_totalprice - b.o_totalprice) >
+         |            0.001 * greatest(abs(a.o_totalprice), abs(b.o_totalprice)))
          |SELECT '-' AS sign, a.* FROM a JOIN d USING (o_orderkey)
          |UNION ALL
          |SELECT '+' AS sign, b.* FROM b JOIN d USING (o_orderkey)

@@ -196,6 +196,28 @@ class JoinDifferSpec extends AnyFunSuite {
     }
   }
 
+  test("relative tolerance scales with magnitude; atol covers the near-zero hole") {
+    // same proportional drift (×1.0001) on a small and a huge value: a
+    // fixed atol passes one and fails the other, rtol passes both
+    val a = Seq((1L, 10.0), (2L, 1.0e9), (3L, 0.0)).toDF("k", "v")
+    val b = Seq((1L, 10.0 * 1.0001), (2L, 1.0e9 * 1.0001), (3L, 1.0e-9)).toDF("k", "v")
+    val byRel = JoinDiffer.diff(a, b, Seq("k"),
+      relTolerances = Map("v" -> 0.001))
+      .select("k").as[Long].collect().toSet
+    // k=1, k=2 proportional drift suppressed; k=3 is the documented
+    // rel-only pitfall — |0 − 1e-9| > rtol·max(0, 1e-9), so it DIFFS
+    assert(byRel == Set(3L))
+    // the combined isclose envelope: a tiny atol absorbs the near-zero
+    // noise while rtol still owns the magnitude-scaled part
+    val byBoth = JoinDiffer.diff(a, b, Seq("k"),
+      tolerances = Map("v" -> 1.0e-6), relTolerances = Map("v" -> 0.001))
+    assert(byBoth.isEmpty)
+    // and stats agree with the row-level diff
+    val r = JoinDiffer.stats(a, b, Seq("k"),
+      tolerances = Map("v" -> 1.0e-6), relTolerances = Map("v" -> 0.001)).head()
+    assert((r.getLong(2), r.getLong(3)) == ((0L, 3L)))
+  }
+
   test("membership-only diff: key-only tables and all-columns-ignored both work") {
     // key-only link table — anyDiff over zero compare columns must not
     // crash (empty.reduceLeft), and exclusives still report
