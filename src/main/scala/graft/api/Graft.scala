@@ -87,6 +87,12 @@ object Graft {
   def diffTables(a: TableSegment, b: TableSegment,
       opts: DiffOptions = DiffOptions()): DataFrame = {
     require(a.keyCols == b.keyCols, "both sides must use the same key columns")
+    // cheap option-consistency refusals FIRST: a guaranteed-to-fail call
+    // must not pay validateKeys' count-distinct scans before erroring
+    require((opts.tolerances.isEmpty && opts.relTolerances.isEmpty) ||
+        opts.algorithm != Algorithm.HashDiff,
+      "tolerances need the row-level join compare: a hashdiff checksum " +
+        "cannot compare within an epsilon. Use Algorithm.JoinDiff (or Auto).")
     // column-name matching follows the session's resolution rules: Spark
     // resolves case-insensitively unless spark.sql.caseSensitive=true, and
     // the reference's schemas are CaseInsensitiveDicts unless
@@ -118,11 +124,8 @@ object Graft {
     // (shared by TableSegment.relevantCols, which the HashDiff path
     // consults) would re-include exactly the columns the caller asked
     // to ignore. Membership-only therefore always takes the join path.
-    val tol = opts.tolerances
-    val rtol = opts.relTolerances
-    require((tol.isEmpty && rtol.isEmpty) || opts.algorithm != Algorithm.HashDiff,
-      "tolerances need the row-level join compare: a hashdiff checksum " +
-        "cannot compare within an epsilon. Use Algorithm.JoinDiff (or Auto).")
+    val tol = resolveTol(opts.tolerances, "tolerance", compare, caseSensitive)
+    val rtol = resolveTol(opts.relTolerances, "relative-tolerance", compare, caseSensitive)
     if (compare.isEmpty)
       return JoinDiffer.diffExplicit(a.scoped, b.scoped, a.keyCols, Nil, jsonCols)
     opts.algorithm match {
@@ -165,14 +168,38 @@ object Graft {
     if (e.isDense) Algorithm.JoinDiff else Algorithm.HashDiff
   }
 
+  /** Tolerance keys must name real compare columns, resolved with the
+    * same case rules as the columns themselves — a typo or wrong-case key
+    * would otherwise parse, thread through, and silently disable the
+    * envelope the caller believes is active. Returns the map re-keyed to
+    * the resolved column spellings. */
+  private def resolveTol(m: Map[String, Double], flag: String,
+      compare: Seq[String], caseSensitive: Boolean): Map[String, Double] =
+    m.map { case (k, e) =>
+      val resolved =
+        if (caseSensitive) compare.find(_ == k)
+        else compare.find(_.equalsIgnoreCase(k))
+      require(resolved.nonEmpty,
+        s"$flag column '$k' is not among the compared columns " +
+          s"[${compare.mkString(", ")}] — keys and ignored columns " +
+          "cannot carry tolerances")
+      resolved.get -> e
+    }
+
   def diffStats(a: TableSegment, b: TableSegment,
       opts: DiffOptions = DiffOptions()): DataFrame =
     // statsExplicit + the same jsonColumns as diffTables, so the summary
     // can never contradict the row-level diff it summarizes
-    JoinDiffer.statsExplicit(a.scoped, b.scoped, a.keyCols,
-      a.relevantCols.filterNot(a.keyCols.contains)
-        .filterNot(opts.ignoreColumns.contains),
-      opts.jsonColumns.toSet, opts.tolerances, opts.relTolerances)
+    {
+    val compare = a.relevantCols.filterNot(a.keyCols.contains)
+      .filterNot(opts.ignoreColumns.contains)
+    val caseSensitive =
+      a.df.sparkSession.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    JoinDiffer.statsExplicit(a.scoped, b.scoped, a.keyCols, compare,
+      opts.jsonColumns.toSet,
+      resolveTol(opts.tolerances, "tolerance", compare, caseSensitive),
+      resolveTol(opts.relTolerances, "relative-tolerance", compare, caseSensitive))
+    }
 
   /** Cross-engine diff: the b-side lives in an external engine reachable
     * only through `engine`; per-segment checksum SQL is pushed there and

@@ -585,7 +585,11 @@ object Cli {
       else limited.toLocalIterator().forEachRemaining(r => println(r.mkString(" ")))
       if (a.stats) {
         val s =
-          if (!anyRemote) DiffFormat.collectStats(Graft.diffStats(segA, segment(a.sourceB)))
+          // the summary must share the diff's ignore/tolerance options,
+          // or within-envelope rows the diff suppressed read as 'updated'
+          if (!anyRemote) DiffFormat.collectStats(Graft.diffStats(segA, segment(a.sourceB),
+            Graft.DiffOptions(ignoreColumns = a.ignore, tolerances = a.tolerances,
+              relTolerances = a.relTolerances)))
           else {
             // remote mode: derive the summary from the diff rows plus the
             // side-A row count (captured above; local scan otherwise) — no

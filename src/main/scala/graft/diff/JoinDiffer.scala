@@ -41,7 +41,8 @@ object JoinDiffer {
       compareCols: Seq[String], jsonCols: Set[String] = Set.empty,
       tolerances: Map[String, Double] = Map.empty,
       relTolerances: Map[String, Double] = Map.empty): DataFrame = {
-    require((tolerances.values ++ relTolerances.values).forall(e => e >= 0 && !e.isNaN),
+    require((tolerances.values ++ relTolerances.values)
+        .forall(e => e >= 0 && !e.isNaN && !e.isInfinite),
       s"tolerances must be non-negative finite, got abs=$tolerances rel=$relTolerances")
     val cols = keyCols ++ compareCols
     val aa = a.select(cols.map(c => col(c).as(s"a_$c")): _*)
@@ -58,17 +59,31 @@ object JoinDiffer {
         else if (tolerances.contains(c) || relTolerances.contains(c)) {
           val atol = tolerances.getOrElse(c, 0.0)
           val rtol = relTolerances.getOrElse(c, 0.0)
-          val da = col(s"a_$c").cast("double")
-          val db = col(s"b_$c").cast("double")
-          // the NaN guard is load-bearing: Spark orders NaN EQUAL to
-          // itself and ABOVE every double, so with a NaN side the bound
-          // rtol·greatest(...) becomes NaN and `NaN <= NaN` is TRUE —
-          // without the guard a NaN-vs-number pair would silently count
-          // as within-envelope. NaN≡NaN stays handled by <=> above.
+          // try_cast, not cast: under ANSI (Spark 4's default) a plain
+          // cast on a non-numeric value ABORTS the whole diff job
+          // mid-flight; try_cast yields NULL and the coalesce below
+          // falls back to the exact compare for that row
+          val da = expr(s"try_cast(`a_$c` AS DOUBLE)")
+          val db = expr(s"try_cast(`b_$c` AS DOUBLE)")
+          // the finiteness guards are load-bearing: Spark orders NaN
+          // EQUAL to itself and ABOVE every double, so a NaN side makes
+          // the rtol·greatest(...) bound NaN and `NaN <= NaN` is TRUE;
+          // an infinite side makes the bound +Inf and `Inf <= Inf` is
+          // TRUE — either way a wildly-different pair would silently
+          // count as within-envelope (numpy.isclose says False for
+          // both). NaN≡NaN and Inf≡Inf stay handled by <=> above. The
+          // coalesce is equally load-bearing: a tolerance on a column
+          // double-cast can't evaluate (a string, a date) makes the
+          // envelope NULL, and without the fallback the NULL propagates
+          // into is_diff — a genuinely different row silently VANISHES
+          // from the diff instead of falling back to the exact compare.
+          val finite = (c: Column) => !isnan(c) && abs(c) =!= lit(Double.PositiveInfinity)
           !((col(s"a_$c") <=> col(s"b_$c")) ||
-            (col(s"a_$c").isNotNull && col(s"b_$c").isNotNull &&
-              !isnan(da) && !isnan(db) &&
-              abs(da - db) <= lit(atol) + lit(rtol) * greatest(abs(da), abs(db))))
+            coalesce(
+              col(s"a_$c").isNotNull && col(s"b_$c").isNotNull &&
+                finite(da) && finite(db) &&
+                abs(da - db) <= lit(atol) + lit(rtol) * greatest(abs(da), abs(db)),
+              lit(false)))
         } else !(col(s"a_$c") <=> col(s"b_$c"))
       neq.cast("int").as(s"is_diff_$c")
     }
@@ -189,8 +204,10 @@ object JoinDiffer {
   /** Per-column changed-row counts over matched keys
     * (reference: joindiff_tables.py:336-354). */
   def diffCountsPerColumn(a: DataFrame, b: DataFrame, keyCols: Seq[String],
-      compareCols: Seq[String], jsonCols: Set[String] = Set.empty): DataFrame = {
-    val f = flagged(a, b, keyCols, compareCols, jsonCols)
+      compareCols: Seq[String], jsonCols: Set[String] = Set.empty,
+      tolerances: Map[String, Double] = Map.empty,
+      relTolerances: Map[String, Double] = Map.empty): DataFrame = {
+    val f = flagged(a, b, keyCols, compareCols, jsonCols, tolerances, relTolerances)
     val both = !col("is_exclusive_a") && !col("is_exclusive_b")
     f.where(both).agg(
       coalesce(sum(col(s"is_diff_${compareCols.head}")), lit(0L))

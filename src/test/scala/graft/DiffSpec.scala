@@ -196,6 +196,43 @@ class JoinDifferSpec extends AnyFunSuite {
     }
   }
 
+  test("tolerance guards: infinities diff, non-numeric falls back exact, typos refuse") {
+    // Inf vs number must DIFF under rtol (the bound would be Inf <= Inf
+    // without the finiteness guard); Inf <=> Inf stays unchanged
+    val ia = Seq((1L, Double.PositiveInfinity), (2L, Double.PositiveInfinity))
+      .toDF("k", "v")
+    val ib = Seq((1L, 42.0), (2L, Double.PositiveInfinity)).toDF("k", "v")
+    val id = JoinDiffer.diff(ia, ib, Seq("k"), relTolerances = Map("v" -> 0.5))
+      .select("k").as[Long].collect().toSet
+    assert(id == Set(1L))
+    // a tolerance on a STRING column: the double cast can't evaluate, the
+    // envelope must fall back to the exact compare instead of
+    // NULL-propagating the row out of the diff entirely
+    val sa = Seq((1L, "p"), (2L, "same")).toDF("k", "v")
+    val sb = Seq((1L, "q"), (2L, "same")).toDF("k", "v")
+    val sd = JoinDiffer.diff(sa, sb, Seq("k"), tolerances = Map("v" -> 0.01))
+      .select("k").as[Long].collect().toSet
+    assert(sd == Set(1L), "non-castable tolerant column must still report diffs")
+    // an infinite epsilon would disable the column compare silently
+    intercept[IllegalArgumentException] {
+      JoinDiffer.diff(sa, sb, Seq("k"),
+        tolerances = Map("v" -> Double.PositiveInfinity))
+    }
+    // the API layer refuses a tolerance key that names no compare column
+    import graft.api.Graft
+    val e = intercept[IllegalArgumentException] {
+      Graft.diffTables(
+        graft.diff.TableSegment(sa, Seq("k")), graft.diff.TableSegment(sb, Seq("k")),
+        Graft.DiffOptions(tolerances = Map("nope" -> 0.01)))
+    }
+    assert(e.getMessage.contains("nope"))
+    // …but a wrong-CASE key resolves like the columns themselves do
+    val ok = Graft.diffTables(
+      graft.diff.TableSegment(ia, Seq("k")), graft.diff.TableSegment(ib, Seq("k")),
+      Graft.DiffOptions(tolerances = Map("V" -> 100.0)))
+    assert(ok.select("k").as[Long].collect().toSet == Set(1L)) // Inf still diffs
+  }
+
   test("relative tolerance scales with magnitude; atol covers the near-zero hole") {
     // same proportional drift (×1.0001) on a small and a huge value: a
     // fixed atol passes one and fails the other, rtol passes both
