@@ -25,7 +25,8 @@ object SparkEntry {
       graft.operators.MultimodalQueries.queries ++
       graft.operators.ExtendedQueries.queries ++
       graft.operators.PushdownQueries.queries ++
-      graft.operators.CurationQueries.queries
+      graft.operators.CurationQueries.queries ++
+      graft.operators.LayoutQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +38,6 @@ object SparkEntry {
       graft.operators.MultimodalQueries.oracleSql ++
       graft.operators.ExtendedQueries.oracleSql ++
       graft.operators.PushdownQueries.oracleSql ++
-      graft.operators.CurationQueries.oracleSql
+      graft.operators.CurationQueries.oracleSql ++
+      graft.operators.LayoutQueries.oracleSql
 }

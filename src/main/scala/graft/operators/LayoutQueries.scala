@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.layout.DataLayout
+
+/** Data-layout gates: the Z-order key itself (engine-exact, DuckDB
+  * recomputes the interleave bit-for-bit) and the end-to-end clustered
+  * write → manifest → pruned scan loop (whose RESULT is layout-independent
+  * by construction — the oracle is the plain filter — while the LayoutSpec
+  * asserts the pruning actually happened).
+  */
+object LayoutQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** 24-bit dimensions for orders: (o_custkey, whole cents of totalprice).
+    * Cents go through DECIMAL(18,2) first — double*100 truncates vs rounds
+    * differently across engines; the decimal detour is exact on both. */
+  private def cents(priceCol: String) =
+    (col(priceCol).cast(DecimalType(18, 2)) * 100).cast("long")
+
+  private val Bits = 24
+
+  /** Where the layout gate writes its clustered copy: one deterministic
+    * temp dir per sf directory, overwritten on every run (the gate must be
+    * re-runnable; Verify and Bench use different sf dirs so they never
+    * race). */
+  private def layoutDir(d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_zorder_${math.abs(d.hashCode.toLong)}"
+
+  val queries: Map[String, Q] = Map(
+    // The Morton key itself, over every order: 24 bits of custkey
+    // interleaved with 24 bits of price-cents. Pure builtin bit ops
+    // (shift/and/add), one whole-stage-codegen'd projection, zero shuffles
+    // beyond the final presentation sort.
+    "q_zorder_key" -> ((s, d) =>
+      Tables.load(s, d, "orders")
+        .select(col("o_orderkey"),
+          DataLayout.zOrderKey(
+            Seq(col("o_custkey"), cents("o_totalprice")), Bits).as("zkey"))
+        .orderBy("o_orderkey")),
+
+    // End-to-end: write orders z-ordered by (custkey, cents), manifest the
+    // per-file min/max, then answer a 2-D range predicate through the
+    // manifest-pruned scan. The returned ROWS are what any scan strategy
+    // must return (the oracle is the plain WHERE); the file pruning is
+    // asserted in LayoutSpec (this gate at sf0.01 prunes most of its 16
+    // files). At 100 TB this is the difference between reading a few
+    // hundred files and reading the table.
+    "q_layout_skipscan" -> ((s, d) => {
+      val dir = layoutDir(d)
+      DataLayout.writeZOrdered(
+        Tables.load(s, d, "orders"),
+        Seq(col("o_custkey"), cents("o_totalprice")), Bits,
+        statsCols = Seq("o_custkey", "o_totalprice"),
+        outDir = dir, numFiles = 16)
+      DataLayout.skipScan(s, dir, Seq(
+        ("o_custkey", 100L, 200L),
+        ("o_totalprice", 50000.0, 150000.0))).df
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_zorder_key" ->
+      s"""WITH b AS (
+         |  SELECT o_orderkey, o_custkey AS x,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+         |  FROM orders)
+         |SELECT o_orderkey,
+         |  CAST(list_sum([ (((x >> j) & 1) << (2*j + 1)) + (((y >> j) & 1) << (2*j))
+         |                  for j in range(0, $Bits) ]) AS BIGINT) AS zkey
+         |FROM b ORDER BY o_orderkey""".stripMargin,
+
+    "q_layout_skipscan" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 200
+        |  AND o_totalprice BETWEEN 50000.0 AND 150000.0
+        |ORDER BY o_orderkey""".stripMargin,
+  )
+}
