@@ -494,6 +494,51 @@ object CurationQueries {
           (col("n_seq_padded") * 32 - col("total_tokens")).as("padded_tokens"),
           expr("(total_tokens * 100) div (n_seq_padded * 32)").as("util_pct"),
           expr("(total_tokens + 31) div 32").as("n_seq_packed"))),
+
+    // DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling"): score every raw
+    // document by how much more likely its hashed n-gram features are
+    // under the TARGET distribution (here the src1/src2 sources standing
+    // in for a high-quality domain) than under the raw corpus, then keep
+    // the documents the target "prefers". Features are unigrams + bigrams
+    // hashed to 4096 buckets (the paper's bag-of-hashed-ngrams), bucket
+    // probabilities are add-one smoothed, and the log-likelihood ratio is
+    // summed in MILLI-BITS via TextFunctions.milliLog2 — integer-exact on
+    // every engine, where a float-ln spelling would drift in the last ulp
+    // across libms and flip rankings. Plan shape at 100 TB: the feature
+    // stream is a narrow explode (never collected); bucket counts partial-
+    // aggregate map-side down to <=4096 rows; the weight table broadcasts
+    // (4096 rows regardless of corpus size); the per-doc score is one
+    // partial-aggregating shuffle on doc_id. The stream is computed twice
+    // (count pass + score pass) — both scan-bound, and caching a
+    // corpus-sized exploded stream would cost more than the rescan.
+    "q_dsir_weights" -> ((s, d) => {
+      val B = 4096
+      val dd = Tables.load(s, d, "documents")
+      val uni = dd.select(col("doc_id"), col("source"),
+        explode(TextFunctions.tokens(col("text"))).as("f"))
+      val big = Dedup.shingleIndexRaw(dd, "doc_id", "text", n = 2, carry = Seq("source"))
+        .select(col("doc_id"), col("source"), col("s").as("f"))
+      val feat = uni.unionByName(big)
+        .select(col("doc_id"), col("source"),
+          pmod(Dedup.md5Int48(concat(lit("dsir|"), col("f"))), lit(B)).as("b"))
+      val isTgt = col("source").isin("src1", "src2")
+      val rawc = feat.groupBy("b").agg(count(lit(1)).as("nr"),
+        sum(when(isTgt, 1L).otherwise(0L)).as("nt"))
+      val tots = feat.agg((count(lit(1)) + B).as("trf"),
+        (sum(when(isTgt, 1L).otherwise(0L)) + B).as("ttf"))
+      import TextFunctions.milliLog2
+      val w = rawc.crossJoin(broadcast(tots))
+        .select(col("b"),
+          (milliLog2(col("nt") + 1) - milliLog2(col("ttf"))
+            - milliLog2(col("nr") + 1) + milliLog2(col("trf"))).as("w_milli"))
+      feat.join(broadcast(w), Seq("b"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_feats"), sum(col("w_milli")).as("weight_millibits"))
+        .select(col("doc_id"), col("n_feats"), col("weight_millibits"),
+          (col("weight_millibits") > 0).as("selected"))
+        .orderBy("doc_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -692,5 +737,43 @@ object CurationQueries {
         |  CAST((total_tokens * 100) // (n_seq_padded * 32) AS BIGINT) AS util_pct,
         |  CAST((total_tokens + 31) // 32 AS BIGINT) AS n_seq_packed
         |FROM a""".stripMargin,
+
+    "q_dsir_weights" -> {
+      // piecewise-linear log2 in milli-bits — the SQL twin of
+      // TextFunctions.milliLog2 (integer-exact, see its scaladoc)
+      def l2(x: String): String = {
+        val bl = s"length(format('{:b}', $x))"
+        s"((($bl) - 1) * 1000 + ((($x) - (1::BIGINT << (($bl) - 1))) * 1000)" +
+          s" // (1::BIGINT << (($bl) - 1)))"
+      }
+      s"""WITH tk AS (
+         |  SELECT doc_id, source, unnest(string_split(trim(text), ' ')) AS f
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id, source,
+         |    unnest([x.toks[i] || ' ' || x.toks[i+1] for i in range(1, len(x.toks))]) AS f
+         |  FROM (SELECT doc_id, source, string_split(trim(text), ' ') AS toks
+         |        FROM documents) x),
+         |feat AS (
+         |  SELECT doc_id, source,
+         |    ('0x' || substring(md5('dsir|' || f), 1, 12))::BIGINT % 4096 AS b
+         |  FROM (SELECT * FROM tk UNION ALL SELECT * FROM bg)),
+         |rawc AS (
+         |  SELECT b, COUNT(*) AS nr,
+         |    CAST(SUM(CASE WHEN source IN ('src1','src2') THEN 1 ELSE 0 END) AS BIGINT) AS nt
+         |  FROM feat GROUP BY 1),
+         |tots AS (
+         |  SELECT COUNT(*) + 4096 AS trf,
+         |    CAST(SUM(CASE WHEN source IN ('src1','src2') THEN 1 ELSE 0 END) + 4096 AS BIGINT) AS ttf
+         |  FROM feat),
+         |w AS (
+         |  SELECT b, ${l2("nt + 1")} - ${l2("ttf")} - ${l2("nr + 1")} + ${l2("trf")} AS w_milli
+         |  FROM rawc, tots)
+         |SELECT doc_id, COUNT(*) AS n_feats,
+         |  CAST(SUM(w_milli) AS BIGINT) AS weight_millibits,
+         |  CAST(SUM(w_milli) AS BIGINT) > 0 AS selected
+         |FROM feat JOIN w USING (b)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
   )
 }

@@ -18,6 +18,23 @@ object TextFunctions {
   /** Whitespace tokens of the trimmed text. */
   def tokens(text: Column): Column = split(trim(text), " ")
 
+  /** Piecewise-linear log2 of a positive integer, in milli-bits — the
+    * engine-exact stand-in for float `ln` everywhere a log-ratio score is
+    * aggregated (float `log()` differs in the last ulp across libms, so a
+    * sum of thousands of them is not reproducible cross-engine; a sum of
+    * integers is).
+    *
+    * `L(x) = (bitlen(x)-1)*1000 + ((x - 2^(bitlen(x)-1)) * 1000) div
+    * 2^(bitlen(x)-1)` — exact at powers of two, linear between them,
+    * maximum error 0.086 bits. All integer arithmetic: `bin()`/`format`,
+    * shifts, and integral division exist verbatim in every engine. */
+  def milliLog2(x: Column): Column = {
+    val xl = x.cast("long")
+    val bl = length(bin(xl)).cast("long")
+    val p = call_function("shiftleft", lit(1L), (bl - 1).cast("int"))
+    (bl - 1) * 1000 + call_function("div", (xl - p) * 1000, p)
+  }
+
   /** BPE-ish lexical token count: letter runs, digit runs, single symbols. */
   def regexTokenCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")).cast("long")
