@@ -168,6 +168,38 @@ object ExtendedQueries {
         .select(col("c_mktsegment"), col("r.ck").as("c_custkey"),
           (-col("r.negbal")).as("c_acctbal"), (col("pos") + 1).cast("long").as("rnk"))
         .orderBy("c_mktsegment", "rnk")),
+
+    // Robust anomaly detection over a metric series — the observability
+    // loop a diff engine feeds (Datafold's product monitors table metrics
+    // between diffs): daily order counts per priority, flagged where the
+    // deviation from the per-priority MEDIAN exceeds 3× the median absolute
+    // deviation. Median/MAD, not mean/stddev: one bad backfill day would
+    // drag a mean-based threshold toward itself and mask the next one.
+    // Everything stays integer-exact across engines by carrying DOUBLED
+    // values: 2·median of integers is exactly integral (both engines
+    // interpolate the even-count midpoint), dev2 = |2x − med2|, mad4 =
+    // 2·median(dev2), and the flag d > 3·MAD becomes 2·dev2 > 3·mad4 in
+    // integers — no float threshold to drift. Scale shape: the (priority,
+    // day) rollup partial-aggregates map-side; the exact per-priority
+    // medians buffer series POINTS (days — calendar-bounded, independent
+    // of row count), never rows.
+    "q_anomaly_mad" -> ((s, d) => {
+      val x = t(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("priority"),
+          to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n_orders"))
+      val m = x.groupBy("priority")
+        .agg((expr("percentile(n_orders, 0.5)") * 2).cast("long").as("med2"))
+      val dev = x.join(m, Seq("priority"))
+        .withColumn("dev2", abs(col("n_orders") * 2 - col("med2")))
+      val md = dev.groupBy("priority")
+        .agg((expr("percentile(dev2, 0.5)") * 2).cast("long").as("mad4"))
+      dev.join(md, Seq("priority"))
+        .select(col("priority"), col("day"), col("n_orders"), col("med2"),
+          col("dev2"), col("mad4"),
+          (col("dev2") * 2 > col("mad4") * 3).as("is_anomaly"))
+        .orderBy("priority", "day")
+    }),
   )
 
   private val evCte =
@@ -177,6 +209,26 @@ object ExtendedQueries {
       |  FROM events)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_anomaly_mad" ->
+      """WITH x AS (
+        |  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+        |    COUNT(*) AS n_orders
+        |  FROM orders GROUP BY 1, 2),
+        |m AS (
+        |  SELECT priority, CAST(2 * median(n_orders) AS BIGINT) AS med2
+        |  FROM x GROUP BY 1),
+        |dv AS (
+        |  SELECT x.priority, x.day, x.n_orders, m.med2,
+        |    abs(2 * x.n_orders - m.med2) AS dev2
+        |  FROM x JOIN m USING (priority)),
+        |md AS (
+        |  SELECT priority, CAST(2 * median(dev2) AS BIGINT) AS mad4
+        |  FROM dv GROUP BY 1)
+        |SELECT dv.priority, dv.day, dv.n_orders, dv.med2, dv.dev2, md.mad4,
+        |  (2 * dv.dev2 > 3 * md.mad4) AS is_anomaly
+        |FROM dv JOIN md USING (priority)
+        |ORDER BY priority, day""".stripMargin,
+
     "q_topk_groups" ->
       """SELECT c_mktsegment, c_custkey, c_acctbal, rnk FROM (
         |  SELECT c_mktsegment, c_custkey, c_acctbal,
