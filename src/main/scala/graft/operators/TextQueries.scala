@@ -582,6 +582,29 @@ object TextQueries {
     // only on non-negatives).
     "q_quality_classifier" -> ((s, d) =>
       qualityClassifier(docs(s, d), "doc_id", "text").orderBy("doc_id")),
+
+    // Unicode NFC normalization (graft.functions.UnicodeNormalize — Spark
+    // has no builtin; DuckDB's nfc_normalize is the oracle). The corpus is
+    // ASCII, so the gate DETERMINISTICALLY derives a decomposed-Unicode
+    // variant — replace every 'e' with 'e' + U+0301 (combining acute) —
+    // then normalizes it back to composed form on both engines. Code-point
+    // counts before/after prove composition actually happened (length()
+    // counts code points on both engines); the all-ASCII original passes
+    // through the expression's no-copy fast path, exercised by the
+    // unchanged original column.
+    "q_unicode_nfc" -> ((s, d) => {
+      val deco = regexp_replace(col("c_name"), "e", "e\u0301")
+      Tables.load(s, d, "customer")
+        .select(col("c_custkey"), deco.as("raw"),
+          graft.functions.UnicodeNormalize.nfc(deco).as("nfc_text"),
+          graft.functions.UnicodeNormalize.nfc(col("c_name")).as("ascii_same"))
+        .select(col("c_custkey"), col("nfc_text"),
+          length(col("raw")).cast("long").as("n_raw_cp"),
+          length(col("nfc_text")).cast("long").as("n_nfc_cp"),
+          (col("raw") =!= col("nfc_text")).as("changed"),
+          col("ascii_same"))
+        .orderBy("c_custkey")
+    }),
   )
 
   // ---- oracle SQL ------------------------------------------------------
@@ -1102,5 +1125,16 @@ object TextQueries {
          |    AS avg_millilogit,
          |  logit_centi > 0 AS flag_keep
          |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q_unicode_nfc" ->
+      """WITH r AS (
+        |  SELECT c_custkey, replace(c_name, 'e', 'e' || chr(769)) AS raw, c_name
+        |  FROM customer)
+        |SELECT c_custkey, nfc_normalize(raw) AS nfc_text,
+        |  length(raw) AS n_raw_cp,
+        |  length(nfc_normalize(raw)) AS n_nfc_cp,
+        |  (raw != nfc_normalize(raw)) AS changed,
+        |  c_name AS ascii_same
+        |FROM r ORDER BY c_custkey""".stripMargin,
   )
 }
