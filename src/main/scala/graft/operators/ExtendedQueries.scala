@@ -184,10 +184,14 @@ object ExtendedQueries {
     // medians buffer series POINTS (days — calendar-bounded, independent
     // of row count), never rows.
     "q_anomaly_mad" -> ((s, d) => {
+      // the series rollup is O(priorities × days) — checkpoint it so the
+      // median, deviation, and MAD passes below reuse 12k rows instead of
+      // re-scanning the orders table three times
       val x = t(s, d, "orders")
         .groupBy(col("o_orderpriority").as("priority"),
           to_date(col("o_orderdate")).as("day"))
         .agg(count(lit(1)).as("n_orders"))
+        .localCheckpoint(true)
       val m = x.groupBy("priority")
         .agg((expr("percentile(n_orders, 0.5)") * 2).cast("long").as("med2"))
       val dev = x.join(m, Seq("priority"))
