@@ -90,24 +90,155 @@ object DataLayout {
     * shuffling only `files × statsCols` min/max pairs.
     */
   def writeZOrdered(df: DataFrame, dims: Seq[Column], bits: Int,
-      statsCols: Seq[String], outDir: String, numFiles: Int): Unit = {
+      statsCols: Seq[String], outDir: String, numFiles: Int): Unit =
+    writeClustered(df, dims, bits, statsCols, outDir, numFiles, "overwrite")
+
+  /** Z-order and APPEND a delta to an existing layout, extending the
+    * manifest with the new files' stats. The delta alone is clustered (one
+    * range exchange over DELTA rows only — base data is neither read nor
+    * rewritten), so ingestion cost is ∝ delta; the price is z-range overlap
+    * between delta files and base files, which [[compactZOrdered]] repays
+    * incrementally. This is the OPTIMIZE-style maintenance loop every
+    * manifest-backed table format runs: cheap clustered appends, targeted
+    * compaction of only the clusters that overlap. */
+  def appendZOrdered(delta: DataFrame, dims: Seq[Column], bits: Int,
+      statsCols: Seq[String], outDir: String, numFiles: Int): Unit =
+    writeClustered(delta, dims, bits, statsCols, outDir, numFiles, "append")
+
+  private def writeClustered(df: DataFrame, dims: Seq[Column], bits: Int,
+      statsCols: Seq[String], outDir: String, numFiles: Int,
+      mode: String): Unit = {
     require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
     statsCols.foreach(c => require(df.columns.contains(c),
       s"stats column '$c' not in ${df.columns.mkString(",")}"))
+    val before: Set[String] =
+      if (mode == "append")
+        listDataFiles(df.sparkSession, outDir).map(canon).toSet
+      else Set.empty
     val z = "_graft_z"
     df.withColumn(z, zOrderKey(dims, bits))
       .repartitionByRange(numFiles, col(z))
       .sortWithinPartitions(z)
       .drop(z)
-      .write.mode("overwrite").parquet(outDir)
-    val written = df.sparkSession.read.parquet(outDir)
-    val aggs = statsCols.flatMap(c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
-      count(lit(1)).as("n_rows")
-    written.groupBy(input_file_name().as("file"))
-      .agg(aggs.head, aggs.tail: _*)
-      .write.mode("overwrite").parquet(s"$outDir/$ManifestDir")
+      .write.mode(mode).parquet(outDir)
+    val all = listDataFiles(df.sparkSession, outDir)
+    val fresh = all.filterNot(f => before(canon(f)))
+    val stats = fileStats(df.sparkSession.read.parquet(fresh: _*), dims, bits, statsCols)
+    stats.write.mode(if (mode == "append") "append" else "overwrite")
+      .parquet(s"$outDir/$ManifestDir")
   }
+
+  /** Per-file min/max stats (+ the z-key interval) for `files` — O(files)
+    * output rows, partial-aggregated map-side. */
+  private def fileStats(df: DataFrame, dims: Seq[Column], bits: Int,
+      statsCols: Seq[String]): DataFrame = {
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
+      Seq(min(col("_graft_z")).as("zmin"), max(col("_graft_z")).as("zmax"),
+        count(lit(1)).as("n_rows"))
+    df.withColumn("_graft_z", zOrderKey(dims, bits))
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Scheme-insensitive canonical form for comparing file names coming
+    * from `input_file_name()` (file:///x) vs Hadoop listings (file:/x). */
+  private def canon(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Data files of the layout (manifest and hidden paths excluded) —
+    * through the Hadoop FileSystem API, so the same code lists local dirs
+    * in tests and object stores on a cluster. */
+  private def listDataFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      .map(_.getPath.toString)
+      .sorted
+  }
+
+  /** Compact ONLY the z-overlapping file clusters of a layout (connected
+    * components of the interval-overlap graph over the manifest's
+    * [zmin, zmax] ranges — O(files log files) driver work on stats rows,
+    * never row data). Singleton clusters are left byte-identical on disk;
+    * each multi-file cluster is re-clustered into ⌈rows/rowsPerFile⌉ files
+    * by one range exchange over JUST that cluster's rows. After appends,
+    * this rewrites the few clusters a delta touched and nothing else —
+    * incremental-OPTIMIZE cost ∝ overlap, not table size. */
+  def compactZOrdered(spark: SparkSession, dir: String, dims: Seq[Column],
+      bits: Int, statsCols: Seq[String], rowsPerFile: Long): CompactReport = {
+    require(rowsPerFile >= 1, s"rowsPerFile must be >= 1: $rowsPerFile")
+    val manifest = spark.read.parquet(s"$dir/$ManifestDir")
+      .select("file", "zmin", "zmax", "n_rows")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._2, t._3, t._1)) // deterministic sweep order
+    // interval sweep: files sorted by zmin; a file overlaps the running
+    // cluster iff its zmin <= the cluster's max zmax so far
+    val clusters = scala.collection.mutable.ArrayBuffer.empty[Vector[(String, Long, Long, Long)]]
+    for (f <- manifest) {
+      if (clusters.nonEmpty && f._2 <= clusters.last.map(_._3).max)
+        clusters(clusters.size - 1) = clusters.last :+ f
+      else clusters += Vector(f)
+    }
+    val (toRewrite, untouched) = clusters.toVector.partition(_.size > 1)
+    var rewrittenFiles = 0
+    var compactGen = 0
+    for (cluster <- toRewrite) {
+      val rows = cluster.map(_._4).sum
+      val nOut = math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile).toInt
+      val data = spark.read.parquet(cluster.map(_._1): _*)
+      // stage the rewrite next to the data, then swap atomically-enough:
+      // new files in, old files + old manifest rows out
+      val stage = s"$dir/_graft_compact_stage"
+      val z = "_graft_z"
+      data.withColumn(z, zOrderKey(dims, bits))
+        .repartitionByRange(nOut, col(z))
+        .sortWithinPartitions(z)
+        .drop(z)
+        .write.mode("overwrite").parquet(stage)
+      val fs = fsOf(spark, dir)
+      val staged = listDataFiles(spark, stage)
+      for ((s, i) <- staged.zipWithIndex) {
+        val src = new org.apache.hadoop.fs.Path(s)
+        val dst = new org.apache.hadoop.fs.Path(dir,
+          s"compact_${compactGen}_${i}_${src.getName}")
+        require(fs.rename(src, dst), s"rename failed: $src -> $dst")
+      }
+      for (old <- cluster)
+        require(fs.delete(new org.apache.hadoop.fs.Path(old._1), false),
+          s"delete failed: ${old._1}")
+      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+      compactGen += 1
+      rewrittenFiles += cluster.size
+    }
+    // rebuild the manifest: untouched rows carry over, rewritten clusters
+    // get fresh stats from the files now on disk
+    val keepRaw = untouched.flatten.map(_._1)
+    val keepCanon = keepRaw.map(canon).toSet
+    val allNow = listDataFiles(spark, dir)
+    val freshFiles = allNow.filterNot(f => keepCanon(canon(f)))
+    val old = spark.read.parquet(s"$dir/$ManifestDir")
+      .where(col("file").isin(keepRaw: _*))
+      .localCheckpoint(true) // manifest rows only — O(files)
+    val rebuilt =
+      if (freshFiles.isEmpty) old
+      else old.unionByName(
+        fileStats(spark.read.parquet(freshFiles: _*), dims, bits, statsCols))
+    val pinned = rebuilt.localCheckpoint(true) // sever lineage from the dir being overwritten
+    pinned.write.mode("overwrite").parquet(s"$dir/$ManifestDir")
+    CompactReport(clustersRewritten = toRewrite.size,
+      filesRewritten = rewrittenFiles, filesTotalAfter = allNow.size)
+  }
+
+  final case class CompactReport(clustersRewritten: Int, filesRewritten: Int,
+      filesTotalAfter: Int)
 
   /** A manifest-pruned scan: the surviving data plus its pruning stats. */
   final case class PrunedScan(df: DataFrame, filesRead: Int, filesTotal: Int)

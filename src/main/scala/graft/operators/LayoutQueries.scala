@@ -63,6 +63,30 @@ object LayoutQueries {
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
         .orderBy("o_orderkey")
     }),
+
+    // Incremental maintenance loop: base write (¾ of orders) → clustered
+    // APPEND of the remaining delta (cost ∝ delta, base untouched) →
+    // targeted compaction (only z-overlapping clusters rewrite) → pruned
+    // scan. The rows any scan must return are the oracle (plain WHERE);
+    // LayoutSpec asserts the structural side (overlap healed, no-op when
+    // disjoint). This is the OPTIMIZE cycle a continuously-ingesting
+    // 100 TB table lives by.
+    "q_layout_compact" -> ((s, d) => {
+      val dir = layoutDir(d) + "_inc"
+      val dims = Seq(col("o_custkey"), cents("o_totalprice"))
+      val orders = Tables.load(s, d, "orders")
+      DataLayout.writeZOrdered(orders.where(col("o_orderkey") % 4 =!= 0),
+        dims, Bits, Seq("o_custkey", "o_totalprice"), dir, numFiles = 12)
+      DataLayout.appendZOrdered(orders.where(col("o_orderkey") % 4 === 0),
+        dims, Bits, Seq("o_custkey", "o_totalprice"), dir, numFiles = 4)
+      DataLayout.compactZOrdered(s, dir, dims, Bits,
+        Seq("o_custkey", "o_totalprice"), rowsPerFile = 2048L)
+      DataLayout.skipScan(s, dir, Seq(
+        ("o_custkey", 300L, 450L),
+        ("o_totalprice", 80000.0, 220000.0))).df
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -81,6 +105,13 @@ object LayoutQueries {
         |FROM orders
         |WHERE o_custkey BETWEEN 100 AND 200
         |  AND o_totalprice BETWEEN 50000.0 AND 150000.0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_layout_compact" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE o_custkey BETWEEN 300 AND 450
+        |  AND o_totalprice BETWEEN 80000.0 AND 220000.0
         |ORDER BY o_orderkey""".stripMargin,
   )
 }

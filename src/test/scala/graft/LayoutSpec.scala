@@ -78,7 +78,7 @@ class LayoutSpec extends AnyFunSuite {
     val manifest = spark.read.parquet(s"$dir/${DataLayout.ManifestDir}")
     assert(manifest.count() == 8L)
     assert(manifest.columns.toSet ==
-      Set("file", "min_x", "max_x", "min_y", "max_y", "n_rows"))
+      Set("file", "min_x", "max_x", "min_y", "max_y", "zmin", "zmax", "n_rows"))
   }
 
   test("skipScan returns exactly the filtered rows and prunes files") {
@@ -120,6 +120,63 @@ class LayoutSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       DataLayout.skipScan(spark, dir, Seq(("id", 0L, 10L)))
     }
+  }
+
+  test("appendZOrdered extends the layout; compact heals the overlap") {
+    val dir = Files.createTempDirectory("graft_layout_spec").toString + "/t"
+    val rnd = new scala.util.Random(5)
+    def mk(n: Int, idBase: Long) = (0 until n).map { i =>
+      (idBase + i, rnd.nextLong(1 << 16), rnd.nextLong(1 << 16))
+    }.toDF("id", "x", "y")
+    DataLayout.writeZOrdered(mk(4000, 0L), Seq(col("x"), col("y")), 16,
+      Seq("x", "y"), dir, numFiles = 8)
+    // two delta batches — each clustered on its own, overlapping the base
+    DataLayout.appendZOrdered(mk(500, 100000L), Seq(col("x"), col("y")), 16,
+      Seq("x", "y"), dir, numFiles = 2)
+    DataLayout.appendZOrdered(mk(500, 200000L), Seq(col("x"), col("y")), 16,
+      Seq("x", "y"), dir, numFiles = 2)
+    val manifest = spark.read.parquet(s"$dir/${DataLayout.ManifestDir}")
+    assert(manifest.count() == 12L)
+    assert(spark.read.parquet(dir).count() == 5000L)
+    // append preserved skip-scan correctness (delta files overlap, so more
+    // files are touched — correctness first, compaction repays the cost)
+    def scanIds() = DataLayout.skipScan(spark, dir,
+      Seq(("x", 0L, 8191L), ("y", 0L, 8191L)))
+    val wantIds = spark.read.parquet(dir)
+      .where(col("x") <= 8191L && col("y") <= 8191L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(scanIds().df.select("id").as[Long].collect().sorted.toSeq == wantIds)
+
+    val report = DataLayout.compactZOrdered(spark, dir,
+      Seq(col("x"), col("y")), 16, Seq("x", "y"), rowsPerFile = 700L)
+    // the deltas overlap everything, so one big cluster rewrites into
+    // ceil(5000/700) = 8 files; afterwards no z-ranges overlap
+    assert(report.filesRewritten >= 10, s"$report")
+    assert(spark.read.parquet(dir).count() == 5000L)
+    val m2 = spark.read.parquet(s"$dir/${DataLayout.ManifestDir}")
+      .select("zmin", "zmax").as[(Long, Long)].collect().sortBy(_._1)
+    m2.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2, "z-ranges still overlap")
+      case _ =>
+    }
+    assert(m2.length == report.filesTotalAfter)
+    // correctness invariant under compaction
+    assert(scanIds().df.select("id").as[Long].collect().sorted.toSeq == wantIds)
+    // and the corner query is selective again
+    assert(scanIds().filesRead < report.filesTotalAfter)
+  }
+
+  test("compact on a non-overlapping layout is a no-op") {
+    val dir = Files.createTempDirectory("graft_layout_spec").toString + "/t"
+    writeSample(dir)
+    val filesBefore = spark.read.parquet(s"$dir/${DataLayout.ManifestDir}")
+      .select("file").as[String].collect().sorted.toSeq
+    val report = DataLayout.compactZOrdered(spark, dir,
+      Seq(col("x"), col("y")), 16, Seq("x", "y"), rowsPerFile = 1000L)
+    assert(report.clustersRewritten == 0 && report.filesRewritten == 0)
+    val filesAfter = spark.read.parquet(s"$dir/${DataLayout.ManifestDir}")
+      .select("file").as[String].collect().sorted.toSeq
+    assert(filesAfter == filesBefore, "no-op compact must not touch files")
   }
 
   test("z-ordered layout beats a 1-D sort for 2-D rectangles (file touches)") {
