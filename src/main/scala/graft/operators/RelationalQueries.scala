@@ -355,6 +355,21 @@ object RelationalQueries {
         .crossJoin(li.agg(countDistinct(col("l_orderkey")).as("n_exact")))
     }),
 
+    // KMV SET OPERATIONS (Beyer et al. 2007): distinct-count estimates for
+    // union / intersection / A-not-B of two key sets from their bottom-256
+    // hash sketches — the cross-engine diff pre-flight that never joins
+    // the tables. Each side's sketch is a local scan + map-side top-k;
+    // the sketches meet on ≤256 rows and everything downstream is
+    // constant-size arithmetic (see graft.diff.KmvSketch).
+    "q_kmv_setops" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val sa = graft.diff.KmvSketch.sketch(
+        o.where(col("o_orderstatus") === "O"), col("o_custkey"))
+      val sb = graft.diff.KmvSketch.sketch(
+        o.where(col("o_orderstatus") === "F"), col("o_custkey"))
+      graft.diff.KmvSketch.setOps(sa, sb)
+    }),
+
     "q_rollup" -> ((s, d) =>
       t(s, d, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -866,6 +881,35 @@ object RelationalQueries {
         |  (k_used - 1)::DOUBLE * 281474976710656.0 / CAST(hk AS DOUBLE) AS n_kmv,
         |  (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS n_exact
         |FROM s""".stripMargin,
+
+    "q_kmv_setops" ->
+      """WITH sa AS (
+        |  SELECT DISTINCT ('0x' || substring(md5(o_custkey::VARCHAR), 1, 12))::BIGINT AS h
+        |  FROM orders WHERE o_orderstatus = 'O' AND o_custkey IS NOT NULL
+        |  ORDER BY h ASC LIMIT 256),
+        |sb AS (
+        |  SELECT DISTINCT ('0x' || substring(md5(o_custkey::VARCHAR), 1, 12))::BIGINT AS h
+        |  FROM orders WHERE o_orderstatus = 'F' AND o_custkey IS NOT NULL
+        |  ORDER BY h ASC LIMIT 256),
+        |m AS (
+        |  SELECT h, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+        |    SELECT h, 1 AS in_a, 0 AS in_b FROM sa
+        |    UNION ALL SELECT h, 0 AS in_a, 1 AS in_b FROM sb) u
+        |  GROUP BY h ORDER BY h ASC LIMIT 256),
+        |g AS (
+        |  SELECT COUNT(*) AS k_union, MAX(h) AS hk_union,
+        |    CAST(SUM(in_a * in_b) AS BIGINT) AS n_both,
+        |    CAST(SUM(in_a * (1 - in_b)) AS BIGINT) AS n_a_only,
+        |    CAST(SUM(in_b * (1 - in_a)) AS BIGINT) AS n_b_only
+        |  FROM m),
+        |e AS (
+        |  SELECT *, CASE WHEN k_union < 256 THEN CAST(k_union AS DOUBLE)
+        |    ELSE CAST(k_union - 1 AS DOUBLE) * 281474976710656.0 / CAST(hk_union AS DOUBLE)
+        |  END AS est_union FROM g)
+        |SELECT k_union, hk_union, n_both, n_a_only, n_b_only, est_union,
+        |  CAST(n_both AS DOUBLE) * est_union / CAST(k_union AS DOUBLE) AS est_inter,
+        |  CAST(n_a_only AS DOUBLE) * est_union / CAST(k_union AS DOUBLE) AS est_a_not_b
+        |FROM e""".stripMargin,
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
