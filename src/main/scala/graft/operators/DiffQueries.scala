@@ -136,6 +136,29 @@ object DiffQueries {
         .orderBy("bucket")
     }),
 
+    // Z-order COMPOUND-KEY segmentation: the 2-D answer to "bisect this
+    // table on (customer, price)". A modulo or single-column range segment
+    // smears a two-dimensional neighborhood across every segment; the
+    // Morton bucket (z-key's top bits) makes each segment an axis-aligned
+    // region in BOTH dimensions at once, so when a checksum mismatch
+    // localizes to a segment, the follow-up predicate is a tight 2-D
+    // rectangle — and on a z-ordered layout (DataLayout.writeZOrdered with
+    // the same dims) that rectangle is a handful of FILES. Same
+    // cross-engine checksum formula as every segment gate, so the remote
+    // side can compute its half as pushed-down SQL: the z-key is plain
+    // shift/and/add arithmetic every engine renders (the DuckDB oracle
+    // recomputes it bit for bit).
+    "q_zorder_segments" -> ((s, d) => {
+      val a = orders(s, d)
+      val cents = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+      val z = graft.layout.DataLayout.zOrderKey(Seq(col("o_custkey"), cents), 24)
+      val seg = TableSegment(a, Seq("o_orderkey"), orderCompareCols)
+      // 64 segments over the 48-bit z space: bucket = z div 2^42
+      seg.bucketChecksums(call_function("div", z, lit(1L << 42)))
+        .withColumn("checksum", col("checksum").cast("string"))
+        .orderBy("bucket")
+    }),
+
     // The InfoTree surface: which segments differ and by how much, without
     // the row join. Cross-engine md5 checksums + a modulo bucket so the
     // DuckDB oracle reproduces every value including the dirty flag.
@@ -229,6 +252,16 @@ object DiffQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_joindiff" -> diffRowsSql,
+
+    "q_zorder_segments" ->
+      s"""WITH b AS (
+         |  SELECT *, CAST(list_sum([
+         |      (((o_custkey >> j) & 1) << (2*j + 1))
+         |      + (((CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) >> j) & 1) << (2*j))
+         |      for j in range(0, 24) ]) AS BIGINT) // ${1L << 42} AS bucket
+         |  FROM orders)
+         |SELECT bucket, COUNT(*) AS cnt, $duckOrdersChecksum AS checksum
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_joindiff_tolerance" ->
       s"""WITH a AS (SELECT ${orderCols.mkString(", ")} FROM orders),

@@ -179,6 +179,26 @@ class LayoutSpec extends AnyFunSuite {
     assert(filesAfter == filesBefore, "no-op compact must not touch files")
   }
 
+  test("z-key top-bit segments confine BOTH dimensions at once") {
+    // bucket = z div 2^42 fixes the top 3 bits of each 24-bit dimension,
+    // so every segment's rows live in a 1/8 x 1/8 rectangle — the property
+    // that makes a dirty segment's follow-up predicate tight in 2-D
+    // (q_zorder_segments) and few-files on a z-ordered layout
+    val rnd = new scala.util.Random(17)
+    val pts = Seq.fill(5000)((rnd.nextLong(1L << 24), rnd.nextLong(1L << 24)))
+    val seg = pts.toDF("x", "y")
+      .select(col("x"), col("y"),
+        call_function("div",
+          DataLayout.zOrderKey(Seq(col("x"), col("y")), 24), lit(1L << 42)).as("b"))
+      .groupBy("b")
+      .agg(max("x") - min("x"), max("y") - min("y"))
+      .as[(Long, Long, Long)].collect()
+    assert(seg.nonEmpty)
+    seg.foreach { case (b, xw, yw) =>
+      assert(xw < (1L << 21) && yw < (1L << 21), s"bucket $b spans $xw x $yw")
+    }
+  }
+
   test("z-ordered layout beats a 1-D sort for 2-D rectangles (file touches)") {
     val rnd = new scala.util.Random(99)
     val df = (0 until 4000).map { i =>
