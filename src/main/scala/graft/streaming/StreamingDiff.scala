@@ -262,6 +262,67 @@ object StreamingDiff {
         applyDiffEventsBatch(engine, table, batch.toDF()); ()
       }
 
+  /** Streaming CLUSTERED ingestion: every micro-batch lands z-ordered via
+    * [[graft.layout.DataLayout.appendZOrdered]] (append cost ∝ batch, base
+    * files untouched) and every `compactEvery`-th batch runs the targeted
+    * [[graft.layout.DataLayout.compactZOrdered]] — so a continuously-fed
+    * table stays skip-scannable on its 2-D key without ever pausing for a
+    * full rewrite. This is the streaming closure of the layout story: at
+    * 100 TB, ingestion writes a few clustered files per trigger and
+    * compaction only ever rewrites the z-clusters the recent batches
+    * overlapped.
+    *
+    * Restart safety: foreachBatch is at-least-once, and a replayed append
+    * would duplicate rows — so the sink records the last committed batch id
+    * in `dir/_graft_stream_commit` (underscore path: invisible to readers)
+    * and [[ingestBatch]] refuses ids it has already committed. Replays
+    * become no-ops; the layout converges to exactly-once. */
+  def clusteredIngestSink(rows: DataFrame, dims: Seq[org.apache.spark.sql.Column],
+      bits: Int, statsCols: Seq[String], dir: String,
+      filesPerBatch: Int = 4, compactEvery: Int = 4, rowsPerFile: Long = 1L << 20)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val fn: (Dataset[org.apache.spark.sql.Row], Long) => Unit = (batch, id) =>
+      ingestBatch(batch.toDF(), id, dims, bits, statsCols, dir,
+        filesPerBatch, compactEvery, rowsPerFile)
+    rows.writeStream.outputMode("append").foreachBatch(fn)
+  }
+
+  /** One idempotent ingest step (the foreachBatch body, callable directly
+    * so restarts/replays are testable): skips batch ids at or below the
+    * committed watermark, appends the batch z-ordered, advances the
+    * commit marker, and compacts every `compactEvery` batches. */
+  def ingestBatch(batch: DataFrame, id: Long,
+      dims: Seq[org.apache.spark.sql.Column], bits: Int,
+      statsCols: Seq[String], dir: String, filesPerBatch: Int,
+      compactEvery: Int, rowsPerFile: Long): Unit = {
+    import graft.layout.DataLayout
+    val spark = batch.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(dir, "_graft_stream_commit")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed: Long =
+      if (!fs.exists(marker)) -1L
+      else {
+        val in = fs.open(marker)
+        try {
+          val buf = new Array[Byte](64) // a decimal long: ≤20 bytes
+          val n = in.read(buf)
+          new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLong
+        } finally in.close()
+      }
+    if (id <= committed) return // replayed micro-batch: already on disk
+    if (batch.isEmpty) ()
+    else if (committed < 0L && !fs.exists(new org.apache.hadoop.fs.Path(
+        s"$dir/${DataLayout.ManifestDir}")))
+      DataLayout.writeZOrdered(batch, dims, bits, statsCols, dir, filesPerBatch)
+    else
+      DataLayout.appendZOrdered(batch, dims, bits, statsCols, dir, filesPerBatch)
+    val out = fs.create(marker, true)
+    try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+    if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
+      DataLayout.compactZOrdered(spark, dir, dims, bits, statsCols, rowsPerFile)
+    ()
+  }
+
   /** Watermarked tumbling-window event counts (late data dropped at 10m). */
   def windowedCounts(events: DataFrame): DataFrame =
     events

@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.layout.DataLayout
+import graft.streaming.StreamingDiff
+
+class StreamingLayoutSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  private def batchDf(base: Long, n: Int) = {
+    val rnd = new scala.util.Random(base)
+    (0 until n).map(i => (base + i, rnd.nextLong(1 << 16), rnd.nextLong(1 << 16)))
+      .toDF("id", "x", "y")
+  }
+
+  test("streaming clustered ingest: appends land z-ordered, compaction keeps files bounded") {
+    val dir = Files.createTempDirectory("graft_slayout").toString + "/t"
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long)]
+    val q = StreamingDiff.clusteredIngestSink(
+      input.toDF().toDF("id", "x", "y"),
+      Seq(col("x"), col("y")), bits = 16, statsCols = Seq("x", "y"),
+      dir = dir, filesPerBatch = 2, compactEvery = 2, rowsPerFile = 600L)
+      .start()
+    try {
+      for (b <- 0 until 5) {
+        input.addData((0 until 400).map(i =>
+          (b * 1000L + i, (b * 7919L + i * 13L) % 65536L, (b * 104729L + i * 31L) % 65536L)))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val all = spark.read.parquet(dir)
+    assert(all.count() == 2000L)
+    // skip-scan answers exactly like a plain filter over everything ingested
+    val want = all.where(col("x") <= 20000L && col("y") <= 20000L)
+      .select("id").as[Long].collect().sorted.toSeq
+    val scan = DataLayout.skipScan(spark, dir,
+      Seq(("x", 0L, 20000L), ("y", 0L, 20000L)))
+    assert(scan.df.select("id").as[Long].collect().sorted.toSeq == want)
+    // compaction ran: without it 5 batches × 2 files stay 10 overlapping
+    // files; after the batch-4 compact the manifest count matches disk and
+    // is bounded by ceil(2000/600)+appends
+    assert(scan.filesTotal <= 8, s"filesTotal=${scan.filesTotal}")
+    val manifest = spark.read.parquet(s"$dir/${DataLayout.ManifestDir}")
+    assert(manifest.count().toInt == scan.filesTotal)
+  }
+
+  test("replayed micro-batch ids are no-ops (at-least-once -> exactly-once)") {
+    val dir = Files.createTempDirectory("graft_slayout").toString + "/t"
+    val dims = Seq(col("x"), col("y"))
+    def ingest(id: Long, base: Long): Unit =
+      StreamingDiff.ingestBatch(batchDf(base, 300), id, dims, 16,
+        Seq("x", "y"), dir, filesPerBatch = 2, compactEvery = 0, rowsPerFile = 1000L)
+    ingest(0L, 0L)
+    ingest(1L, 10000L)
+    assert(spark.read.parquet(dir).count() == 600L)
+    // replay both ids — nothing may change
+    ingest(0L, 0L)
+    ingest(1L, 10000L)
+    assert(spark.read.parquet(dir).count() == 600L)
+    // a NEW id appends
+    ingest(2L, 20000L)
+    assert(spark.read.parquet(dir).count() == 900L)
+    // manifest stayed consistent with disk throughout
+    val m = spark.read.parquet(s"$dir/${DataLayout.ManifestDir}")
+    assert(m.agg(sum("n_rows")).head().getLong(0) == 900L)
+  }
+}
