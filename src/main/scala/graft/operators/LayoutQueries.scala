@@ -79,8 +79,14 @@ object LayoutQueries {
         dims, Bits, Seq("o_custkey", "o_totalprice"), dir, numFiles = 12)
       DataLayout.appendZOrdered(orders.where(col("o_orderkey") % 4 === 0),
         dims, Bits, Seq("o_custkey", "o_totalprice"), dir, numFiles = 4)
+      // target ~16 output files at ANY sf: a fixed rowsPerFile would
+      // shatter a 10× table into 10× the files (the manifest count() is
+      // O(files) rows, not a table scan)
+      val nRows = s.read.parquet(s"$dir/${DataLayout.ManifestDir}")
+        .agg(sum("n_rows")).head().getLong(0)
       DataLayout.compactZOrdered(s, dir, dims, Bits,
-        Seq("o_custkey", "o_totalprice"), rowsPerFile = 2048L)
+        Seq("o_custkey", "o_totalprice"),
+        rowsPerFile = math.max(2048L, (nRows + 15) / 16))
       DataLayout.skipScan(s, dir, Seq(
         ("o_custkey", 300L, 450L),
         ("o_totalprice", 80000.0, 220000.0))).df
