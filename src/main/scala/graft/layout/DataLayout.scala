@@ -240,6 +240,77 @@ object DataLayout {
   final case class CompactReport(clustersRewritten: Int, filesRewritten: Int,
       filesTotalAfter: Int)
 
+  /** Targeted delete — the right-to-be-forgotten operator: remove every
+    * row matching ALL `(col, lo, hi)` ranges, rewriting ONLY the files
+    * whose min/max envelope intersects the predicate. On a layout
+    * clustered by the deletion key (user id, tenant, …) that is a handful
+    * of files out of a 100 TB table; every other file stays byte-identical
+    * on disk and keeps its manifest row. Files left empty by the delete
+    * are removed outright. Returns (filesRewritten, rowsDeleted). */
+  def deleteWhere(spark: SparkSession, dir: String, dims: Seq[Column],
+      bits: Int, statsCols: Seq[String],
+      ranges: Seq[(String, Any, Any)]): DeleteReport = {
+    require(ranges.nonEmpty, "deleteWhere needs at least one (col, lo, hi) range")
+    val manifest = spark.read.parquet(s"$dir/$ManifestDir")
+    ranges.foreach { case (c, _, _) =>
+      require(manifest.columns.contains(s"min_$c"),
+        s"manifest has no stats for column '$c' — was it in statsCols at write?")
+    }
+    val hitCond = ranges.map { case (c, lo, hi) =>
+      col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
+    }.reduce(_ && _)
+    val hitRaw = manifest.where(hitCond).select("file")
+      .collect().map(_.getString(0)).toSeq // O(files): paths only
+    if (hitRaw.isEmpty)
+      return DeleteReport(0, 0L, spark.read.parquet(s"$dir/$ManifestDir").count().toInt)
+    val rowPred = ranges.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _)
+    val hitData = spark.read.parquet(hitRaw: _*)
+    val deleted = hitData.where(rowPred).count()
+    // null-safe complement: a NULL predicate (null in a range column) must
+    // SURVIVE the delete, not vanish with it
+    val survivors = hitData.where(!coalesce(rowPred, lit(false)))
+    val fs = fsOf(spark, dir)
+    val stage = s"$dir/_graft_delete_stage"
+    // keep survivors clustered: one range exchange over ONLY the hit files'
+    // rows, one output file per original hit file (sizes stay comparable)
+    val keepN = math.max(1, hitRaw.size)
+    survivors.withColumn("_graft_z", zOrderKey(dims, bits))
+      .repartitionByRange(keepN, col("_graft_z"))
+      .sortWithinPartitions("_graft_z")
+      .drop("_graft_z")
+      .write.mode("overwrite").parquet(stage)
+    val staged = listDataFiles(spark, stage)
+    for ((sf, i) <- staged.zipWithIndex) {
+      val src = new org.apache.hadoop.fs.Path(sf)
+      val dst = new org.apache.hadoop.fs.Path(dir, s"delete_${i}_${src.getName}")
+      require(fs.rename(src, dst), s"rename failed: $src -> $dst")
+    }
+    for (old <- hitRaw)
+      require(fs.delete(new org.apache.hadoop.fs.Path(old), false),
+        s"delete failed: $old")
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    // manifest: untouched rows carry over, fresh stats for the rewrites
+    val old = spark.read.parquet(s"$dir/$ManifestDir")
+      .where(!col("file").isin(hitRaw: _*))
+      .localCheckpoint(true) // manifest rows only — O(files)
+    val oldCanon = old.select("file")
+      .as(org.apache.spark.sql.Encoders.STRING).collect().map(canon).toSet
+    val allNow = listDataFiles(spark, dir)
+    val freshFiles = allNow.filterNot(f => oldCanon(canon(f)))
+    val rebuilt =
+      if (freshFiles.isEmpty) old
+      else old.unionByName(
+        fileStats(spark.read.parquet(freshFiles: _*), dims, bits, statsCols))
+    val pinned = rebuilt.localCheckpoint(true)
+    pinned.write.mode("overwrite").parquet(s"$dir/$ManifestDir")
+    DeleteReport(hitRaw.size, deleted, allNow.size)
+  }
+
+  final case class DeleteReport(filesRewritten: Int, rowsDeleted: Long,
+      filesTotalAfter: Int)
+
   /** A manifest-pruned scan: the surviving data plus its pruning stats. */
   final case class PrunedScan(df: DataFrame, filesRead: Int, filesTotal: Int)
 

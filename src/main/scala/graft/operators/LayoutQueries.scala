@@ -93,6 +93,24 @@ object LayoutQueries {
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
         .orderBy("o_orderkey")
     }),
+
+    // Targeted delete — right-to-be-forgotten at table scale: remove a
+    // 2-D key range from a clustered layout, rewriting ONLY the files
+    // whose min/max envelope intersects it (LayoutSpec proves the
+    // untouched files stay byte-identical). The oracle is the complement
+    // WHERE — what any correct delete must leave behind.
+    "q_layout_delete" -> ((s, d) => {
+      val dir = layoutDir(d) + "_del"
+      val dims = Seq(col("o_custkey"), cents("o_totalprice"))
+      DataLayout.writeZOrdered(Tables.load(s, d, "orders"), dims, Bits,
+        Seq("o_custkey", "o_totalprice"), dir, numFiles = 16)
+      DataLayout.deleteWhere(s, dir, dims, Bits,
+        Seq("o_custkey", "o_totalprice"),
+        Seq(("o_custkey", 500L, 650L), ("o_totalprice", 0.0, 300000.0)))
+      s.read.parquet(dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -118,6 +136,13 @@ object LayoutQueries {
         |FROM orders
         |WHERE o_custkey BETWEEN 300 AND 450
         |  AND o_totalprice BETWEEN 80000.0 AND 220000.0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_layout_delete" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE NOT (o_custkey BETWEEN 500 AND 650
+        |           AND o_totalprice BETWEEN 0.0 AND 300000.0)
         |ORDER BY o_orderkey""".stripMargin,
   )
 }

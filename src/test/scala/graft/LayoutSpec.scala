@@ -179,6 +179,61 @@ class LayoutSpec extends AnyFunSuite {
     assert(filesAfter == filesBefore, "no-op compact must not touch files")
   }
 
+  test("deleteWhere rewrites only envelope-hit files; others stay byte-identical") {
+    val dir = Files.createTempDirectory("graft_layout_spec").toString + "/t"
+    writeSample(dir) // 4000 rows, 8 files, dims (x, y) @16 bits
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def fileSums(): Map[String, Long] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(s => s.getPath.getName -> s.getModificationTime).toMap
+    val before = fileSums()
+    val full = spark.read.parquet(dir).select("id", "x", "y")
+      .as[(Long, Long, Long)].collect().toSeq
+    val hit = full.count { case (_, x, y) =>
+      x >= 0L && x <= 4095L && y >= 0L && y <= 4095L }
+    val report = DataLayout.deleteWhere(spark, dir,
+      Seq(col("x"), col("y")), 16, Seq("x", "y"),
+      Seq(("x", 0L, 4095L), ("y", 0L, 4095L)))
+    assert(report.rowsDeleted == hit && hit > 0)
+    // the corner delete must not touch most of the 8 files
+    assert(report.filesRewritten <= 3, s"$report")
+    // survivors are exactly the complement
+    val after = spark.read.parquet(dir).select("id").as[Long].collect().sorted.toSeq
+    val want = full.collect { case (id, x, y)
+      if !(x >= 0L && x <= 4095L && y >= 0L && y <= 4095L) => id }.sorted
+    assert(after == want)
+    // untouched files kept their exact identity (name + mtime)
+    val untouchedBefore = before.filterNot(_._1.startsWith("delete_"))
+    val kept = fileSums().filter(f => untouchedBefore.contains(f._1))
+    assert(kept.size >= 5)
+    kept.foreach { case (name, m) => assert(m == untouchedBefore(name), name) }
+    // manifest stays consistent: n_rows sums to the survivor count and
+    // skip-scan still answers exactly
+    val manifest = spark.read.parquet(s"$dir/${DataLayout.ManifestDir}")
+    assert(manifest.agg(sum("n_rows")).head().getLong(0) == want.size.toLong)
+    val scan = DataLayout.skipScan(spark, dir,
+      Seq(("x", 0L, 8191L), ("y", 0L, 8191L)))
+    val scanWant = full.collect { case (id, x, y)
+      if x <= 8191L && y <= 8191L &&
+        !(x <= 4095L && y <= 4095L) => id }.sorted
+    assert(scan.df.select("id").as[Long].collect().sorted.toSeq == scanWant)
+  }
+
+  test("deleteWhere: rows with NULL in a range column survive") {
+    val dir = Files.createTempDirectory("graft_layout_spec").toString + "/t"
+    val rows = Seq((1L, Some(10L), 10L), (2L, None, 20L), (3L, Some(30L), 30L))
+      .toDF("id", "x", "y")
+    DataLayout.writeZOrdered(rows, Seq(col("x"), col("y")), 16,
+      Seq("x", "y"), dir, numFiles = 1)
+    val report = DataLayout.deleteWhere(spark, dir,
+      Seq(col("x"), col("y")), 16, Seq("x", "y"),
+      Seq(("x", 0L, 100L)))
+    assert(report.rowsDeleted == 2L)
+    assert(spark.read.parquet(dir).select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("z-key top-bit segments confine BOTH dimensions at once") {
     // bucket = z div 2^42 fixes the top 3 bits of each 24-bit dimension,
     // so every segment's rows live in a 1/8 x 1/8 rectangle — the property
