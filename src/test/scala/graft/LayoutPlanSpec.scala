@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.layout.DataLayout
+
+/** Executed-plan pins for the layout pack — the ".explain until it's the
+  * plan you'd want" loop made durable, like the funnel/bucketed-diff plan
+  * specs. */
+class LayoutPlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q_zorder_key: one scan, pruned columns, codegen'd, one presentation sort") {
+    val df = graft.operators.LayoutQueries.queries("q_zorder_key")(spark, sf)
+    df.collect() // finalize the adaptive plan so codegen stages are visible
+    // keep only the final-plan section (AQE prints the initial plan too)
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("FileScan".r.findAllIn(plan).size == 1, plan)
+    // the 48-term bit fold must stay inside whole-stage codegen ("*(n)"
+    // stage markers in the finalized plan)
+    assert(plan.contains("*("), plan)
+    // only the final ORDER BY exchanges; the key itself is narrow
+    assert("Exchange".r.findAllIn(plan).size <= 1, plan)
+    // column pruning reached the scan: 3 needed columns, nothing else
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(read.contains("o_orderkey") && read.contains("o_custkey") &&
+      read.contains("o_totalprice"), read)
+    assert(!read.contains("o_orderdate") && !read.contains("o_orderpriority"), read)
+  }
+
+  test("skipScan pushes the row filter into the surviving files' scan") {
+    val dir = Files.createTempDirectory("graft_layout_plan").toString + "/t"
+    val rnd = new scala.util.Random(3)
+    val df = (0 until 2000).map(i =>
+      (i.toLong, rnd.nextLong(1 << 16), rnd.nextLong(1 << 16))).toDF("id", "x", "y")
+    DataLayout.writeZOrdered(df, Seq(col("x"), col("y")), 16, Seq("x", "y"),
+      dir, numFiles = 4)
+    val scan = DataLayout.skipScan(spark, dir,
+      Seq(("x", 0L, 9999L), ("y", 0L, 9999L)))
+    val plan = scan.df.queryExecution.executedPlan.toString
+    // parquet row-group stats get the SAME intervals the manifest used
+    // (the y-side filters fall past the plan string's metadata truncation,
+    // so assert the x pair + the pushdown prefix)
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("GreaterThanOrEqual(x,0)") &&
+      plan.contains("LessThanOrEqual(x,9999)"), plan)
+  }
+
+  test("q_dsir_weights: bucket weights broadcast; the corpus never builds a hash side") {
+    val df = graft.operators.CurationQueries.queries("q_dsir_weights")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the feature->weight join must be a broadcast of the <=4096-row side
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
+    // no sort-merge join anywhere: nothing corpus-sized meets anything
+    // corpus-sized on a shuffle boundary in this plan
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+}
