@@ -22,7 +22,9 @@ object PlanAudit {
         "q_ngram_jaccard", "q_dup_ngram_fraction", "q_dedup_survivors",
         "q_topk_groups", "q_ann_lsh", "q_bloom_decontaminate",
         "q_semantic_dedup", "q_bm25_rank", "q_pipeline_e2e",
-        "q_quantiles_sketch", "q_pack_sequences")
+        "q_quantiles_sketch", "q_pack_sequences",
+        "q_zorder_key", "q_zorder_segments", "q_dsir_weights",
+        "q_kmv_setops", "q_anomaly_mad")
     interesting.foreach { q =>
       println(s"===== $q =====")
       SparkEntry.queries(q)(spark, sfDir).explain("formatted")

@@ -3,8 +3,10 @@ package graft.layout
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multi-dimensional data layout: Z-order (Morton) clustered writes plus a
-  * min/max file manifest, and the manifest-pruned scan that pays them off.
+/** Multi-dimensional data layout: Z-order (Morton) clustered writes, a
+  * VERSIONED min/max file manifest, manifest-pruned scans, incremental
+  * maintenance (clustered append, targeted compaction, targeted delete),
+  * time travel, vacuum, and a churn-proportional diff between versions.
   *
   * This is the 100 TB operator the sf-scale gates can only hint at: a table
   * diffed or filtered on two+ dimensions (say `(customer, price)` or
@@ -21,24 +23,29 @@ import org.apache.spark.sql.functions._
   *    oracle recomputes it with a list comprehension);
   *  - the clustered write is `repartitionByRange(zkey)` +
   *    `sortWithinPartitions(zkey)` — ONE range exchange whose sampling-based
-  *    boundaries auto-balance file sizes at any scale, no driver knowledge
-  *    of the distribution;
-  *  - the manifest is a per-file min/max stats table written UNDER the data
-  *    directory as `_graft_manifest` (underscore paths are invisible to
-  *    Spark's file index, exactly how `_delta_log` hides) — O(files), not
-  *    O(rows);
+  *    boundaries auto-balance file sizes at any scale;
+  *  - the manifest is an APPEND-ONLY LOG of per-file stats rows under
+  *    `_graft_manifest` (underscore paths are invisible to Spark's file
+  *    index, exactly how `_delta_log` hides): a live row carries the file's
+  *    min/max envelope, z-interval, row count, and `v_added`; a mutation
+  *    that retires a file appends a TOMBSTONE row (`v_removed`). Data files
+  *    are immutable — compaction and deletion write new files and tombstone
+  *    old ones, so every historical version stays readable until [[vacuum]];
   *  - the pruned scan intersects the predicate's per-dimension interval with
-  *    each file's [min, max] envelope and hands the surviving file list to
-  *    the parquet reader. The driver holds file NAMES only — the same
-  *    O(files) cost every manifest-backed table format (Delta, Iceberg,
-  *    Hudi) pays, and the row-level filter still runs (and still pushes
-  *    down) inside the scan.
+  *    each alive file's [min, max] envelope and hands the surviving file
+  *    list to the parquet reader. The driver holds file NAMES and stats only
+  *    — the O(files) cost every manifest-backed format (Delta, Iceberg,
+  *    Hudi) pays — and the row filter still pushes down inside the scan;
+  *  - [[diffVersions]] is the payoff for a DIFF ENGINE: because files are
+  *    immutable, two versions of a layout can be diffed by comparing file
+  *    SETS in the manifest and join-diffing only the rows of files present
+  *    in exactly one version — cost ∝ churn, not table size. The rsync of
+  *    table diffs; the reference engine re-bisects the full key range for
+  *    every comparison instead (data_diff/table_segment.py).
   *
-  * The reference engine has no layout story at all — it reads whatever the
-  * warehouse stored (cf. data_diff's per-database table scans,
-  * `data_diff/table_segment.py`) — so at 100 TB every bisection segment
-  * rescans the full key range. Writing the diff-side snapshot z-ordered by
-  * the segmentation keys turns each segment probe into a few-file read.
+  * NOTE: a mutated layout must be read through [[readLayout]]/[[skipScan]]
+  * (manifest-routed); a plain `spark.read.parquet(dir)` sees retired files
+  * too — the same contract Delta directories have.
   */
 object DataLayout {
 
@@ -78,11 +85,67 @@ object DataLayout {
     call_function("div", (x - lit(lo)) * lit(1L << bits), lit(span))
   }
 
-  /** Name of the hidden manifest directory under a z-ordered table. */
+  /** Name of the hidden manifest-log directory under a z-ordered table. */
   val ManifestDir = "_graft_manifest"
 
-  /** Write `df` clustered by the Z-order of `dims`, then write the per-file
-    * min/max manifest for `statsCols` under `outDir/_graft_manifest`.
+  /** Sentinel for "the latest version". */
+  val Latest: Long = Long.MaxValue
+
+  // ---- manifest log ------------------------------------------------------
+
+  private def manifestPath(dir: String) = s"$dir/$ManifestDir"
+
+  /** The raw manifest log (live rows + tombstones) — O(files) rows. */
+  def manifestLog(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(manifestPath(dir))
+
+  /** Highest version number recorded in the log (−1 for a missing log). */
+  def currentVersion(spark: SparkSession, dir: String): Long = {
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(manifestPath(dir)))) -1L
+    else manifestLog(spark, dir)
+      .agg(max(greatest(coalesce(col("v_added"), lit(-1L)),
+        coalesce(col("v_removed"), lit(-1L)))))
+      .head().getLong(0)
+  }
+
+  /** One stats row per file ALIVE at `version`: added at or before it,
+    * not tombstoned at or before it. O(files) work on stats rows. */
+  def aliveManifest(spark: SparkSession, dir: String,
+      version: Long = Latest): DataFrame = {
+    val log = manifestLog(spark, dir)
+    val statCols = log.columns.filterNot(Set("file", "v_added", "v_removed"))
+    val aggs = statCols.map(c => max(col(c)).as(c)) ++
+      Seq(max(col("v_added")).as("v_added"), max(col("v_removed")).as("v_removed"))
+    log.groupBy("file")
+      .agg(aggs.head, aggs.tail: _*)
+      .where(col("v_added").isNotNull && col("v_added") <= version &&
+        (col("v_removed").isNull || col("v_removed") > version))
+  }
+
+  /** Canonical column order for log writes, so parquet appends across
+    * mutations always carry an identical schema. */
+  private def normalizeLog(df: DataFrame): DataFrame = {
+    val mid = df.columns.filterNot(Set("file", "v_added", "v_removed")).sorted
+    df.select(("file" +: mid.toSeq :+ "v_added" :+ "v_removed").map(col): _*)
+  }
+
+  private def appendLog(dir: String, rows: DataFrame): Unit =
+    normalizeLog(rows).write.mode("append").parquet(manifestPath(dir))
+
+  /** Tombstone rows for `files`: their alive stats rows re-emitted with
+    * v_added cleared and v_removed = `v` (the stats ride along so the log
+    * alone reconstructs any version). */
+  private def tombstones(alive: DataFrame, files: Seq[String], v: Long): DataFrame =
+    alive.where(col("file").isin(files: _*))
+      .withColumn("v_added", lit(null).cast("long"))
+      .withColumn("v_removed", lit(v))
+
+  // ---- writes ------------------------------------------------------------
+
+  /** Write `df` clustered by the Z-order of `dims` as VERSION 0 of a new
+    * layout (replacing anything at `outDir`), then write the per-file
+    * manifest for `statsCols`.
     *
     * One range exchange on the z-key (sampled boundaries — no skew knowledge
     * needed from the caller), an in-partition sort, `numFiles` output files,
@@ -91,45 +154,44 @@ object DataLayout {
     */
   def writeZOrdered(df: DataFrame, dims: Seq[Column], bits: Int,
       statsCols: Seq[String], outDir: String, numFiles: Int): Unit =
-    writeClustered(df, dims, bits, statsCols, outDir, numFiles, "overwrite")
+    writeClustered(df, dims, bits, statsCols, outDir, numFiles, append = false)
 
-  /** Z-order and APPEND a delta to an existing layout, extending the
-    * manifest with the new files' stats. The delta alone is clustered (one
-    * range exchange over DELTA rows only — base data is neither read nor
-    * rewritten), so ingestion cost is ∝ delta; the price is z-range overlap
-    * between delta files and base files, which [[compactZOrdered]] repays
-    * incrementally. This is the OPTIMIZE-style maintenance loop every
-    * manifest-backed table format runs: cheap clustered appends, targeted
-    * compaction of only the clusters that overlap. */
+  /** Z-order and APPEND a delta as a new version of an existing layout.
+    * The delta alone is clustered (one range exchange over DELTA rows only —
+    * base files are neither read nor rewritten), so ingestion cost is
+    * ∝ delta; the price is z-range overlap between delta files and base
+    * files, which [[compactZOrdered]] repays incrementally. */
   def appendZOrdered(delta: DataFrame, dims: Seq[Column], bits: Int,
       statsCols: Seq[String], outDir: String, numFiles: Int): Unit =
-    writeClustered(delta, dims, bits, statsCols, outDir, numFiles, "append")
+    writeClustered(delta, dims, bits, statsCols, outDir, numFiles, append = true)
 
   private def writeClustered(df: DataFrame, dims: Seq[Column], bits: Int,
       statsCols: Seq[String], outDir: String, numFiles: Int,
-      mode: String): Unit = {
+      append: Boolean): Unit = {
     require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
     statsCols.foreach(c => require(df.columns.contains(c),
       s"stats column '$c' not in ${df.columns.mkString(",")}"))
+    val spark = df.sparkSession
     val before: Set[String] =
-      if (mode == "append")
-        listDataFiles(df.sparkSession, outDir).map(canon).toSet
-      else Set.empty
+      if (append) listDataFiles(spark, outDir).map(canon).toSet else Set.empty
+    val v = if (append) currentVersion(spark, outDir) + 1 else 0L
     val z = "_graft_z"
     df.withColumn(z, zOrderKey(dims, bits))
       .repartitionByRange(numFiles, col(z))
       .sortWithinPartitions(z)
       .drop(z)
-      .write.mode(mode).parquet(outDir)
-    val all = listDataFiles(df.sparkSession, outDir)
+      .write.mode(if (append) "append" else "overwrite").parquet(outDir)
+    val all = listDataFiles(spark, outDir)
     val fresh = all.filterNot(f => before(canon(f)))
-    val stats = fileStats(df.sparkSession.read.parquet(fresh: _*), dims, bits, statsCols)
-    stats.write.mode(if (mode == "append") "append" else "overwrite")
-      .parquet(s"$outDir/$ManifestDir")
+    val stats = fileStats(spark.read.parquet(fresh: _*), dims, bits, statsCols)
+      .withColumn("v_added", lit(v))
+      .withColumn("v_removed", lit(null).cast("long"))
+    if (append) appendLog(outDir, stats)
+    else normalizeLog(stats).write.mode("overwrite").parquet(manifestPath(outDir))
   }
 
-  /** Per-file min/max stats (+ the z-key interval) for `files` — O(files)
-    * output rows, partial-aggregated map-side. */
+  /** Per-file min/max stats (+ the z-key interval) for the given data —
+    * O(files) output rows, partial-aggregated map-side. */
   private def fileStats(df: DataFrame, dims: Seq[Column], bits: Int,
       statsCols: Seq[String]): DataFrame = {
     val aggs = statsCols.flatMap(c =>
@@ -150,9 +212,10 @@ object DataLayout {
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Data files of the layout (manifest and hidden paths excluded) —
-    * through the Hadoop FileSystem API, so the same code lists local dirs
-    * in tests and object stores on a cluster. */
+  /** Data files physically under the layout dir (manifest and hidden paths
+    * excluded) — via the Hadoop FileSystem API, so the same code lists
+    * local dirs in tests and object stores on a cluster. Includes retired
+    * files until [[vacuum]]; version-aware readers use [[aliveManifest]]. */
   private def listDataFiles(spark: SparkSession, dir: String): Seq[String] = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = fsOf(spark, dir)
@@ -164,159 +227,25 @@ object DataLayout {
       .sorted
   }
 
-  /** Compact ONLY the z-overlapping file clusters of a layout (connected
-    * components of the interval-overlap graph over the manifest's
-    * [zmin, zmax] ranges — O(files log files) driver work on stats rows,
-    * never row data). Singleton clusters are left byte-identical on disk;
-    * each multi-file cluster is re-clustered into ⌈rows/rowsPerFile⌉ files
-    * by one range exchange over JUST that cluster's rows. After appends,
-    * this rewrites the few clusters a delta touched and nothing else —
-    * incremental-OPTIMIZE cost ∝ overlap, not table size. */
-  def compactZOrdered(spark: SparkSession, dir: String, dims: Seq[Column],
-      bits: Int, statsCols: Seq[String], rowsPerFile: Long): CompactReport = {
-    require(rowsPerFile >= 1, s"rowsPerFile must be >= 1: $rowsPerFile")
-    val manifest = spark.read.parquet(s"$dir/$ManifestDir")
-      .select("file", "zmin", "zmax", "n_rows")
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      .sortBy(t => (t._2, t._3, t._1)) // deterministic sweep order
-    // interval sweep: files sorted by zmin; a file overlaps the running
-    // cluster iff its zmin <= the cluster's max zmax so far
-    val clusters = scala.collection.mutable.ArrayBuffer.empty[Vector[(String, Long, Long, Long)]]
-    for (f <- manifest) {
-      if (clusters.nonEmpty && f._2 <= clusters.last.map(_._3).max)
-        clusters(clusters.size - 1) = clusters.last :+ f
-      else clusters += Vector(f)
-    }
-    val (toRewrite, untouched) = clusters.toVector.partition(_.size > 1)
-    var rewrittenFiles = 0
-    var compactGen = 0
-    for (cluster <- toRewrite) {
-      val rows = cluster.map(_._4).sum
-      val nOut = math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile).toInt
-      val data = spark.read.parquet(cluster.map(_._1): _*)
-      // stage the rewrite next to the data, then swap atomically-enough:
-      // new files in, old files + old manifest rows out
-      val stage = s"$dir/_graft_compact_stage"
-      val z = "_graft_z"
-      data.withColumn(z, zOrderKey(dims, bits))
-        .repartitionByRange(nOut, col(z))
-        .sortWithinPartitions(z)
-        .drop(z)
-        .write.mode("overwrite").parquet(stage)
-      val fs = fsOf(spark, dir)
-      val staged = listDataFiles(spark, stage)
-      for ((s, i) <- staged.zipWithIndex) {
-        val src = new org.apache.hadoop.fs.Path(s)
-        val dst = new org.apache.hadoop.fs.Path(dir,
-          s"compact_${compactGen}_${i}_${src.getName}")
-        require(fs.rename(src, dst), s"rename failed: $src -> $dst")
-      }
-      for (old <- cluster)
-        require(fs.delete(new org.apache.hadoop.fs.Path(old._1), false),
-          s"delete failed: ${old._1}")
-      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-      compactGen += 1
-      rewrittenFiles += cluster.size
-    }
-    // rebuild the manifest: untouched rows carry over, rewritten clusters
-    // get fresh stats from the files now on disk
-    val keepRaw = untouched.flatten.map(_._1)
-    val keepCanon = keepRaw.map(canon).toSet
-    val allNow = listDataFiles(spark, dir)
-    val freshFiles = allNow.filterNot(f => keepCanon(canon(f)))
-    val old = spark.read.parquet(s"$dir/$ManifestDir")
-      .where(col("file").isin(keepRaw: _*))
-      .localCheckpoint(true) // manifest rows only — O(files)
-    val rebuilt =
-      if (freshFiles.isEmpty) old
-      else old.unionByName(
-        fileStats(spark.read.parquet(freshFiles: _*), dims, bits, statsCols))
-    val pinned = rebuilt.localCheckpoint(true) // sever lineage from the dir being overwritten
-    pinned.write.mode("overwrite").parquet(s"$dir/$ManifestDir")
-    CompactReport(clustersRewritten = toRewrite.size,
-      filesRewritten = rewrittenFiles, filesTotalAfter = allNow.size)
+  // ---- reads -------------------------------------------------------------
+
+  /** The layout's rows at `version` (default: latest) — manifest-routed,
+    * so retired files are invisible. */
+  def readLayout(spark: SparkSession, dir: String,
+      version: Long = Latest): DataFrame = {
+    val files = aliveManifest(spark, dir, version).select("file")
+      .collect().map(_.getString(0)) // O(files): paths only
+    if (files.isEmpty) spark.read.parquet(dir).where(lit(false))
+    else spark.read.parquet(files.toIndexedSeq: _*)
   }
-
-  final case class CompactReport(clustersRewritten: Int, filesRewritten: Int,
-      filesTotalAfter: Int)
-
-  /** Targeted delete — the right-to-be-forgotten operator: remove every
-    * row matching ALL `(col, lo, hi)` ranges, rewriting ONLY the files
-    * whose min/max envelope intersects the predicate. On a layout
-    * clustered by the deletion key (user id, tenant, …) that is a handful
-    * of files out of a 100 TB table; every other file stays byte-identical
-    * on disk and keeps its manifest row. Files left empty by the delete
-    * are removed outright. Returns (filesRewritten, rowsDeleted). */
-  def deleteWhere(spark: SparkSession, dir: String, dims: Seq[Column],
-      bits: Int, statsCols: Seq[String],
-      ranges: Seq[(String, Any, Any)]): DeleteReport = {
-    require(ranges.nonEmpty, "deleteWhere needs at least one (col, lo, hi) range")
-    val manifest = spark.read.parquet(s"$dir/$ManifestDir")
-    ranges.foreach { case (c, _, _) =>
-      require(manifest.columns.contains(s"min_$c"),
-        s"manifest has no stats for column '$c' — was it in statsCols at write?")
-    }
-    val hitCond = ranges.map { case (c, lo, hi) =>
-      col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
-    }.reduce(_ && _)
-    val hitRaw = manifest.where(hitCond).select("file")
-      .collect().map(_.getString(0)).toSeq // O(files): paths only
-    if (hitRaw.isEmpty)
-      return DeleteReport(0, 0L, spark.read.parquet(s"$dir/$ManifestDir").count().toInt)
-    val rowPred = ranges.map { case (c, lo, hi) =>
-      col(c) >= lit(lo) && col(c) <= lit(hi)
-    }.reduce(_ && _)
-    val hitData = spark.read.parquet(hitRaw: _*)
-    val deleted = hitData.where(rowPred).count()
-    // null-safe complement: a NULL predicate (null in a range column) must
-    // SURVIVE the delete, not vanish with it
-    val survivors = hitData.where(!coalesce(rowPred, lit(false)))
-    val fs = fsOf(spark, dir)
-    val stage = s"$dir/_graft_delete_stage"
-    // keep survivors clustered: one range exchange over ONLY the hit files'
-    // rows, one output file per original hit file (sizes stay comparable)
-    val keepN = math.max(1, hitRaw.size)
-    survivors.withColumn("_graft_z", zOrderKey(dims, bits))
-      .repartitionByRange(keepN, col("_graft_z"))
-      .sortWithinPartitions("_graft_z")
-      .drop("_graft_z")
-      .write.mode("overwrite").parquet(stage)
-    val staged = listDataFiles(spark, stage)
-    for ((sf, i) <- staged.zipWithIndex) {
-      val src = new org.apache.hadoop.fs.Path(sf)
-      val dst = new org.apache.hadoop.fs.Path(dir, s"delete_${i}_${src.getName}")
-      require(fs.rename(src, dst), s"rename failed: $src -> $dst")
-    }
-    for (old <- hitRaw)
-      require(fs.delete(new org.apache.hadoop.fs.Path(old), false),
-        s"delete failed: $old")
-    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-    // manifest: untouched rows carry over, fresh stats for the rewrites
-    val old = spark.read.parquet(s"$dir/$ManifestDir")
-      .where(!col("file").isin(hitRaw: _*))
-      .localCheckpoint(true) // manifest rows only — O(files)
-    val oldCanon = old.select("file")
-      .as(org.apache.spark.sql.Encoders.STRING).collect().map(canon).toSet
-    val allNow = listDataFiles(spark, dir)
-    val freshFiles = allNow.filterNot(f => oldCanon(canon(f)))
-    val rebuilt =
-      if (freshFiles.isEmpty) old
-      else old.unionByName(
-        fileStats(spark.read.parquet(freshFiles: _*), dims, bits, statsCols))
-    val pinned = rebuilt.localCheckpoint(true)
-    pinned.write.mode("overwrite").parquet(s"$dir/$ManifestDir")
-    DeleteReport(hitRaw.size, deleted, allNow.size)
-  }
-
-  final case class DeleteReport(filesRewritten: Int, rowsDeleted: Long,
-      filesTotalAfter: Int)
 
   /** A manifest-pruned scan: the surviving data plus its pruning stats. */
   final case class PrunedScan(df: DataFrame, filesRead: Int, filesTotal: Int)
 
-  /** Scan `dir` reading only files whose `[min, max]` envelope intersects
-    * every `(column, lo, hi)` interval in `ranges`, then apply the same
-    * intervals as a row filter (file envelopes admit non-matching rows).
+  /** Scan the layout at `version` reading only files whose `[min, max]`
+    * envelope intersects every `(column, lo, hi)` interval in `ranges`,
+    * then apply the same intervals as a row filter (file envelopes admit
+    * non-matching rows).
     *
     * The manifest collect is O(files) driver memory — file paths and stats
     * only, the bound every manifest-backed format accepts. Row data never
@@ -324,18 +253,18 @@ object DataLayout {
     * the parquet scan of the surviving files.
     */
   def skipScan(spark: SparkSession, dir: String,
-      ranges: Seq[(String, Any, Any)]): PrunedScan = {
+      ranges: Seq[(String, Any, Any)], version: Long = Latest): PrunedScan = {
     require(ranges.nonEmpty, "skipScan needs at least one (col, lo, hi) range")
-    val manifest = spark.read.parquet(s"$dir/$ManifestDir")
+    val alive = aliveManifest(spark, dir, version).localCheckpoint(true)
     ranges.foreach { case (c, _, _) =>
-      require(manifest.columns.contains(s"min_$c"),
+      require(alive.columns.contains(s"min_$c"),
         s"manifest has no stats for column '$c' — was it in statsCols at write?")
     }
     val keep = ranges.map { case (c, lo, hi) =>
       col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
     }.reduce(_ && _)
-    val total = manifest.count().toInt
-    val files = manifest.where(keep).select("file")
+    val total = alive.count().toInt
+    val files = alive.where(keep).select("file")
       .collect().map(_.getString(0)) // O(files): paths only, never rows
     val rowFilter = ranges.map { case (c, lo, hi) =>
       col(c) >= lit(lo) && col(c) <= lit(hi)
@@ -345,4 +274,194 @@ object DataLayout {
       else spark.read.parquet(files.toIndexedSeq: _*).where(rowFilter)
     PrunedScan(df, files.length, total)
   }
+
+  // ---- maintenance -------------------------------------------------------
+
+  /** Compact ONLY the z-overlapping file clusters of the latest version
+    * (connected components of the interval-overlap graph over the alive
+    * manifest's [zmin, zmax] ranges — O(files log files) driver work on
+    * stats rows, never row data). Singleton clusters are untouched; each
+    * multi-file cluster is re-clustered into ⌈rows/rowsPerFile⌉ files by
+    * one range exchange over JUST that cluster's rows. Old files are
+    * TOMBSTONED, not deleted — prior versions stay readable until
+    * [[vacuum]]. After appends, this rewrites the few clusters a delta
+    * touched and nothing else — incremental-OPTIMIZE cost ∝ overlap, not
+    * table size. */
+  def compactZOrdered(spark: SparkSession, dir: String, dims: Seq[Column],
+      bits: Int, statsCols: Seq[String], rowsPerFile: Long): CompactReport = {
+    require(rowsPerFile >= 1, s"rowsPerFile must be >= 1: $rowsPerFile")
+    val aliveDf = aliveManifest(spark, dir).localCheckpoint(true)
+    val alive = aliveDf
+      .select("file", "zmin", "zmax", "n_rows")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._2, t._3, t._1)) // deterministic sweep order
+    // interval sweep: files sorted by zmin; a file overlaps the running
+    // cluster iff its zmin <= the cluster's max zmax so far
+    val clusters = scala.collection.mutable.ArrayBuffer.empty[Vector[(String, Long, Long, Long)]]
+    for (f <- alive) {
+      if (clusters.nonEmpty && f._2 <= clusters.last.map(_._3).max)
+        clusters(clusters.size - 1) = clusters.last :+ f
+      else clusters += Vector(f)
+    }
+    val (toRewrite, _) = clusters.toVector.partition(_.size > 1)
+    if (toRewrite.isEmpty)
+      return CompactReport(0, 0, alive.length)
+    val v = currentVersion(spark, dir) + 1
+    val fs = fsOf(spark, dir)
+    var rewrittenFiles = 0
+    val freshNames = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((cluster, gen) <- toRewrite.zipWithIndex) {
+      val rows = cluster.map(_._4).sum
+      val nOut = math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile).toInt
+      val data = spark.read.parquet(cluster.map(_._1): _*)
+      val stage = s"$dir/_graft_compact_stage"
+      val z = "_graft_z"
+      data.withColumn(z, zOrderKey(dims, bits))
+        .repartitionByRange(nOut, col(z))
+        .sortWithinPartitions(z)
+        .drop(z)
+        .write.mode("overwrite").parquet(stage)
+      for ((s, i) <- listDataFiles(spark, stage).zipWithIndex) {
+        val src = new org.apache.hadoop.fs.Path(s)
+        val dst = new org.apache.hadoop.fs.Path(dir,
+          s"compact_v${v}_${gen}_${i}_${src.getName}")
+        require(fs.rename(src, dst), s"rename failed: $src -> $dst")
+        freshNames += dst.toString
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+      rewrittenFiles += cluster.size
+    }
+    val retired = toRewrite.flatten.map(_._1)
+    val freshStats = fileStats(
+      spark.read.parquet(freshNames.toSeq: _*), dims, bits, statsCols)
+      .withColumn("v_added", lit(v))
+      .withColumn("v_removed", lit(null).cast("long"))
+    appendLog(dir, freshStats.unionByName(tombstones(aliveDf, retired, v)))
+    CompactReport(clustersRewritten = toRewrite.size,
+      filesRewritten = rewrittenFiles,
+      filesTotalAfter = alive.length - retired.size + freshNames.size)
+  }
+
+  final case class CompactReport(clustersRewritten: Int, filesRewritten: Int,
+      filesTotalAfter: Int)
+
+  /** Targeted delete — the right-to-be-forgotten operator: remove every
+    * row matching ALL `(col, lo, hi)` ranges, rewriting ONLY the files
+    * whose min/max envelope intersects the predicate. On a layout
+    * clustered by the deletion key (user id, tenant, …) that is a handful
+    * of files out of a 100 TB table; every other file is untouched. The
+    * hit files are TOMBSTONED (prior versions stay readable until
+    * [[vacuum]] — GDPR erasure therefore needs `deleteWhere` + `vacuum`,
+    * exactly like Delta's delete + VACUUM). */
+  def deleteWhere(spark: SparkSession, dir: String, dims: Seq[Column],
+      bits: Int, statsCols: Seq[String],
+      ranges: Seq[(String, Any, Any)]): DeleteReport = {
+    require(ranges.nonEmpty, "deleteWhere needs at least one (col, lo, hi) range")
+    val aliveDf = aliveManifest(spark, dir).localCheckpoint(true)
+    ranges.foreach { case (c, _, _) =>
+      require(aliveDf.columns.contains(s"min_$c"),
+        s"manifest has no stats for column '$c' — was it in statsCols at write?")
+    }
+    val hitCond = ranges.map { case (c, lo, hi) =>
+      col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
+    }.reduce(_ && _)
+    val aliveCount = aliveDf.count().toInt
+    val hitRaw = aliveDf.where(hitCond).select("file")
+      .collect().map(_.getString(0)).toSeq // O(files): paths only
+    if (hitRaw.isEmpty) return DeleteReport(0, 0L, aliveCount)
+    val rowPred = ranges.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _)
+    val hitData = spark.read.parquet(hitRaw: _*)
+    val deleted = hitData.where(rowPred).count()
+    // null-safe complement: a NULL predicate (null in a range column) must
+    // SURVIVE the delete, not vanish with it
+    val survivors = hitData.where(!coalesce(rowPred, lit(false)))
+    val v = currentVersion(spark, dir) + 1
+    val fs = fsOf(spark, dir)
+    val stage = s"$dir/_graft_delete_stage"
+    // keep survivors clustered: one range exchange over ONLY the hit files'
+    // rows, one output file per original hit file (sizes stay comparable)
+    survivors.withColumn("_graft_z", zOrderKey(dims, bits))
+      .repartitionByRange(math.max(1, hitRaw.size), col("_graft_z"))
+      .sortWithinPartitions("_graft_z")
+      .drop("_graft_z")
+      .write.mode("overwrite").parquet(stage)
+    val freshNames = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((sf, i) <- listDataFiles(spark, stage).zipWithIndex) {
+      val src = new org.apache.hadoop.fs.Path(sf)
+      val dst = new org.apache.hadoop.fs.Path(dir, s"delete_v${v}_${i}_${src.getName}")
+      require(fs.rename(src, dst), s"rename failed: $src -> $dst")
+      freshNames += dst.toString
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    val freshStats =
+      if (freshNames.isEmpty) None
+      else Some(fileStats(
+        spark.read.parquet(freshNames.toSeq: _*), dims, bits, statsCols)
+        .withColumn("v_added", lit(v))
+        .withColumn("v_removed", lit(null).cast("long")))
+    val tomb = tombstones(aliveDf, hitRaw, v)
+    appendLog(dir, freshStats.map(_.unionByName(tomb)).getOrElse(tomb))
+    DeleteReport(hitRaw.size, deleted,
+      aliveCount - hitRaw.size + freshNames.size)
+  }
+
+  final case class DeleteReport(filesRewritten: Int, rowsDeleted: Long,
+      filesTotalAfter: Int)
+
+  /** Physically remove every data file NOT alive at the latest version
+    * (tombstoned by compaction/deletes, plus stat-less empty orphans) and
+    * compact the manifest log to the alive rows. After a vacuum, time
+    * travel to earlier versions is gone — that is the point (GDPR erasure
+    * completes here), exactly Delta's VACUUM contract. */
+  def vacuum(spark: SparkSession, dir: String): VacuumReport = {
+    val logBefore = manifestLog(spark, dir).count()
+    val alive = aliveManifest(spark, dir).localCheckpoint(true)
+    val aliveCanon = alive.select("file")
+      .collect().map(r => canon(r.getString(0))).toSet
+    val fs = fsOf(spark, dir)
+    var removed = 0
+    for (f <- listDataFiles(spark, dir) if !aliveCanon(canon(f))) {
+      if (fs.delete(new org.apache.hadoop.fs.Path(f), false)) removed += 1
+    }
+    normalizeLog(alive).write.mode("overwrite").parquet(manifestPath(dir))
+    VacuumReport(filesDeleted = removed, logRowsBefore = logBefore,
+      logRowsAfter = aliveCanon.size.toLong)
+  }
+
+  final case class VacuumReport(filesDeleted: Int, logRowsBefore: Long,
+      logRowsAfter: Long)
+
+  // ---- version diff ------------------------------------------------------
+
+  /** The diff between two VERSIONS of a layout, at churn cost: because data
+    * files are immutable, every row of a file alive in BOTH versions is
+    * identical in both — so only files present in exactly one version can
+    * contribute diff rows. Those files' rows feed the engine's flagship
+    * [[graft.diff.JoinDiffer.diff]] ('-' rows left at `fromVersion`, '+'
+    * rows arrived by `toVersion`); files alive in both are never read.
+    * A day of churn on a 100 TB table diffs in minutes; the reference
+    * re-bisects the full key range instead. */
+  def diffVersions(spark: SparkSession, dir: String, fromVersion: Long,
+      toVersion: Long, keyCols: Seq[String],
+      compareCols: Seq[String] = Nil): VersionDiff = {
+    def files(v: Long): Set[String] =
+      aliveManifest(spark, dir, v).select("file")
+        .collect().map(_.getString(0)).toSet
+    val fa = files(fromVersion)
+    val fb = files(toVersion)
+    val onlyA = (fa -- fb).toSeq.sorted
+    val onlyB = (fb -- fa).toSeq.sorted
+    def side(only: Seq[String]): DataFrame =
+      if (only.nonEmpty) spark.read.parquet(only: _*)
+      else readLayout(spark, dir, math.max(fromVersion, toVersion)).where(lit(false))
+    val diff = graft.diff.JoinDiffer.diff(
+      side(onlyA), side(onlyB), keyCols, compareCols)
+    VersionDiff(diff, filesReadA = onlyA.size, filesReadB = onlyB.size,
+      filesUnchanged = (fa intersect fb).size)
+  }
+
+  final case class VersionDiff(df: DataFrame, filesReadA: Int,
+      filesReadB: Int, filesUnchanged: Int)
 }

@@ -80,9 +80,9 @@ object LayoutQueries {
       DataLayout.appendZOrdered(orders.where(col("o_orderkey") % 4 === 0),
         dims, Bits, Seq("o_custkey", "o_totalprice"), dir, numFiles = 4)
       // target ~16 output files at ANY sf: a fixed rowsPerFile would
-      // shatter a 10× table into 10× the files (the manifest count() is
+      // shatter a 10× table into 10× the files (the manifest read is
       // O(files) rows, not a table scan)
-      val nRows = s.read.parquet(s"$dir/${DataLayout.ManifestDir}")
+      val nRows = DataLayout.aliveManifest(s, dir)
         .agg(sum("n_rows")).head().getLong(0)
       DataLayout.compactZOrdered(s, dir, dims, Bits,
         Seq("o_custkey", "o_totalprice"),
@@ -107,9 +107,40 @@ object LayoutQueries {
       DataLayout.deleteWhere(s, dir, dims, Bits,
         Seq("o_custkey", "o_totalprice"),
         Seq(("o_custkey", 500L, 650L), ("o_totalprice", 0.0, 300000.0)))
-      s.read.parquet(dir)
+      // erasure completes with the vacuum (tombstoned files are gone from
+      // disk); the read below is manifest-routed either way
+      DataLayout.vacuum(s, dir)
+      DataLayout.readLayout(s, dir)
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("o_orderkey")
+    }),
+
+    // Time travel + churn-proportional version diff, end to end: version 0
+    // writes ¾ of orders, version 1 appends the rest, version 2 deletes a
+    // key range. The gate reads version 1 (time travel: the full table as
+    // it stood) UNION-style alongside diffVersions(1→2) rows — the rsync
+    // payoff: the v1→v2 diff never reads files both versions share. The
+    // oracle rebuilds both from plain SQL over orders.
+    "q_layout_timetravel" -> ((s, d) => {
+      val dir = layoutDir(d) + "_tt"
+      val dims = Seq(col("o_custkey"), cents("o_totalprice"))
+      val stats = Seq("o_custkey", "o_totalprice")
+      val orders = Tables.load(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      DataLayout.writeZOrdered(orders.where(col("o_orderkey") % 4 =!= 0),
+        dims, Bits, stats, dir, numFiles = 12)                         // v0
+      DataLayout.appendZOrdered(orders.where(col("o_orderkey") % 4 === 0),
+        dims, Bits, stats, dir, numFiles = 4)                          // v1
+      DataLayout.deleteWhere(s, dir, dims, Bits, stats,
+        Seq(("o_custkey", 100L, 220L)))                                // v2
+      val v1 = DataLayout.readLayout(s, dir, 1L)
+        .select(lit("v1").as("state"), col("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+      val d12 = DataLayout.diffVersions(s, dir, 1L, 2L,
+        Seq("o_orderkey"), Seq("o_custkey", "o_orderstatus", "o_totalprice")).df
+        .select(concat(lit("diff"), col("sign")).as("state"),
+          col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      v1.unionByName(d12).orderBy("state", "o_orderkey")
     }),
   )
 
@@ -144,5 +175,12 @@ object LayoutQueries {
         |WHERE NOT (o_custkey BETWEEN 500 AND 650
         |           AND o_totalprice BETWEEN 0.0 AND 300000.0)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_layout_timetravel" ->
+      """SELECT 'v1' AS state, o_orderkey, o_custkey, o_totalprice FROM orders
+        |UNION ALL
+        |SELECT 'diff-' AS state, o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 220
+        |ORDER BY state, o_orderkey""".stripMargin,
   )
 }

@@ -78,7 +78,9 @@ class LayoutSpec extends AnyFunSuite {
     val manifest = spark.read.parquet(s"$dir/${DataLayout.ManifestDir}")
     assert(manifest.count() == 8L)
     assert(manifest.columns.toSet ==
-      Set("file", "min_x", "max_x", "min_y", "max_y", "zmin", "zmax", "n_rows"))
+      Set("file", "min_x", "max_x", "min_y", "max_y", "zmin", "zmax", "n_rows",
+        "v_added", "v_removed"))
+    assert(DataLayout.currentVersion(spark, dir) == 0L)
   }
 
   test("skipScan returns exactly the filtered rows and prunes files") {
@@ -152,8 +154,10 @@ class LayoutSpec extends AnyFunSuite {
     // the deltas overlap everything, so one big cluster rewrites into
     // ceil(5000/700) = 8 files; afterwards no z-ranges overlap
     assert(report.filesRewritten >= 10, s"$report")
-    assert(spark.read.parquet(dir).count() == 5000L)
-    val m2 = spark.read.parquet(s"$dir/${DataLayout.ManifestDir}")
+    // version-routed read: retired files are invisible (the dir itself
+    // still holds them until vacuum)
+    assert(DataLayout.readLayout(spark, dir).count() == 5000L)
+    val m2 = DataLayout.aliveManifest(spark, dir)
       .select("zmin", "zmax").as[(Long, Long)].collect().sortBy(_._1)
     m2.sliding(2).foreach {
       case Array((_, hi), (lo2, _)) => assert(hi < lo2, "z-ranges still overlap")
@@ -199,8 +203,9 @@ class LayoutSpec extends AnyFunSuite {
     assert(report.rowsDeleted == hit && hit > 0)
     // the corner delete must not touch most of the 8 files
     assert(report.filesRewritten <= 3, s"$report")
-    // survivors are exactly the complement
-    val after = spark.read.parquet(dir).select("id").as[Long].collect().sorted.toSeq
+    // survivors are exactly the complement (manifest-routed read)
+    val after = DataLayout.readLayout(spark, dir)
+      .select("id").as[Long].collect().sorted.toSeq
     val want = full.collect { case (id, x, y)
       if !(x >= 0L && x <= 4095L && y >= 0L && y <= 4095L) => id }.sorted
     assert(after == want)
@@ -209,9 +214,9 @@ class LayoutSpec extends AnyFunSuite {
     val kept = fileSums().filter(f => untouchedBefore.contains(f._1))
     assert(kept.size >= 5)
     kept.foreach { case (name, m) => assert(m == untouchedBefore(name), name) }
-    // manifest stays consistent: n_rows sums to the survivor count and
-    // skip-scan still answers exactly
-    val manifest = spark.read.parquet(s"$dir/${DataLayout.ManifestDir}")
+    // manifest stays consistent: alive n_rows sums to the survivor count
+    // and skip-scan still answers exactly
+    val manifest = DataLayout.aliveManifest(spark, dir)
     assert(manifest.agg(sum("n_rows")).head().getLong(0) == want.size.toLong)
     val scan = DataLayout.skipScan(spark, dir,
       Seq(("x", 0L, 8191L), ("y", 0L, 8191L)))
@@ -231,7 +236,8 @@ class LayoutSpec extends AnyFunSuite {
       Seq(col("x"), col("y")), 16, Seq("x", "y"),
       Seq(("x", 0L, 100L)))
     assert(report.rowsDeleted == 2L)
-    assert(spark.read.parquet(dir).select("id").as[Long].collect().toSeq == Seq(2L))
+    assert(DataLayout.readLayout(spark, dir)
+      .select("id").as[Long].collect().toSeq == Seq(2L))
   }
 
   test("z-key top-bit segments confine BOTH dimensions at once") {

@@ -35,7 +35,7 @@ class StreamingLayoutSpec extends AnyFunSuite {
         q.processAllAvailable()
       }
     } finally q.stop()
-    val all = spark.read.parquet(dir)
+    val all = DataLayout.readLayout(spark, dir)
     assert(all.count() == 2000L)
     // skip-scan answers exactly like a plain filter over everything ingested
     val want = all.where(col("x") <= 20000L && col("y") <= 20000L)
@@ -47,7 +47,7 @@ class StreamingLayoutSpec extends AnyFunSuite {
     // files; after the batch-4 compact the manifest count matches disk and
     // is bounded by ceil(2000/600)+appends
     assert(scan.filesTotal <= 8, s"filesTotal=${scan.filesTotal}")
-    val manifest = spark.read.parquet(s"$dir/${DataLayout.ManifestDir}")
+    val manifest = DataLayout.aliveManifest(spark, dir)
     assert(manifest.count().toInt == scan.filesTotal)
   }
 
@@ -59,16 +59,16 @@ class StreamingLayoutSpec extends AnyFunSuite {
         Seq("x", "y"), dir, filesPerBatch = 2, compactEvery = 0, rowsPerFile = 1000L)
     ingest(0L, 0L)
     ingest(1L, 10000L)
-    assert(spark.read.parquet(dir).count() == 600L)
+    assert(DataLayout.readLayout(spark, dir).count() == 600L)
     // replay both ids — nothing may change
     ingest(0L, 0L)
     ingest(1L, 10000L)
-    assert(spark.read.parquet(dir).count() == 600L)
+    assert(DataLayout.readLayout(spark, dir).count() == 600L)
     // a NEW id appends
     ingest(2L, 20000L)
-    assert(spark.read.parquet(dir).count() == 900L)
-    // manifest stayed consistent with disk throughout
-    val m = spark.read.parquet(s"$dir/${DataLayout.ManifestDir}")
+    assert(DataLayout.readLayout(spark, dir).count() == 900L)
+    // manifest stayed consistent throughout
+    val m = DataLayout.aliveManifest(spark, dir)
     assert(m.agg(sum("n_rows")).head().getLong(0) == 900L)
   }
 }
