@@ -53,14 +53,41 @@ case class UnicodeNormalize(child: Expression, form: String)
 object UnicodeNormalize {
   private val Forms = Set("NFC", "NFD", "NFKC", "NFKD")
 
-  /** Static helper the generated code calls. ASCII (and already-normalized)
-    * inputs return the SAME UTF8String — no decode, no allocation — so the
-    * hot path over mostly-ASCII corpora is a byte scan. */
+  /** Resolve the form name to its cached enum constant — a match on an
+    * interned string, not a per-row `valueOf` map lookup. */
+  private def formFor(form: String): Normalizer.Form = form match {
+    case "NFC" => Normalizer.Form.NFC
+    case "NFD" => Normalizer.Form.NFD
+    case "NFKC" => Normalizer.Form.NFKC
+    case "NFKD" => Normalizer.Form.NFKD
+    case other => throw new IllegalArgumentException(
+      s"unknown normalization form: $other")
+  }
+
+  /** ASCII is a fixed point of all four normalization forms, so a pure
+    * byte scan (no String decode) clears the common corpus row. */
+  private def isAscii(s: UTF8String): Boolean = {
+    var i = 0
+    val n = s.numBytes()
+    while (i < n) {
+      if ((s.getByte(i) & 0x80) != 0) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Static helper the generated code calls. ASCII inputs return the SAME
+    * UTF8String after a byte scan — no decode, no allocation; non-ASCII
+    * already-normalized inputs decode once for the quick-check and also
+    * return the original. */
   def normalize(s: UTF8String, form: String): UTF8String = {
-    val nf = Normalizer.Form.valueOf(form)
-    val str = s.toString
-    if (Normalizer.isNormalized(str, nf)) s
-    else UTF8String.fromString(Normalizer.normalize(str, nf))
+    val nf = formFor(form)
+    if (isAscii(s)) s
+    else {
+      val str = s.toString
+      if (Normalizer.isNormalized(str, nf)) s
+      else UTF8String.fromString(Normalizer.normalize(str, nf))
+    }
   }
 
   private def make(c: Column, form: String): Column = {

@@ -229,13 +229,26 @@ object DataLayout {
 
   // ---- reads -------------------------------------------------------------
 
+  /** Empty-but-typed frame for a layout with no alive files at a version:
+    * schema comes from any data file still on disk (retired ones count —
+    * they share the schema). A fully-vacuumed empty layout has NO schema
+    * source left, and gets a loud refusal instead of a cryptic
+    * unable-to-infer AnalysisException. */
+  private def emptyFrame(spark: SparkSession, dir: String): DataFrame = {
+    val any = listDataFiles(spark, dir)
+    require(any.nonEmpty,
+      s"layout at $dir has no live or retired data files left to infer a " +
+        "schema from (fully erased + vacuumed); nothing to read")
+    spark.read.parquet(any.head).where(lit(false))
+  }
+
   /** The layout's rows at `version` (default: latest) — manifest-routed,
     * so retired files are invisible. */
   def readLayout(spark: SparkSession, dir: String,
       version: Long = Latest): DataFrame = {
     val files = aliveManifest(spark, dir, version).select("file")
       .collect().map(_.getString(0)) // O(files): paths only
-    if (files.isEmpty) spark.read.parquet(dir).where(lit(false))
+    if (files.isEmpty) emptyFrame(spark, dir)
     else spark.read.parquet(files.toIndexedSeq: _*)
   }
 
@@ -256,24 +269,38 @@ object DataLayout {
       ranges: Seq[(String, Any, Any)], version: Long = Latest): PrunedScan = {
     require(ranges.nonEmpty, "skipScan needs at least one (col, lo, hi) range")
     val alive = aliveManifest(spark, dir, version).localCheckpoint(true)
-    ranges.foreach { case (c, _, _) =>
-      require(alive.columns.contains(s"min_$c"),
-        s"manifest has no stats for column '$c' — was it in statsCols at write?")
-    }
-    val keep = ranges.map { case (c, lo, hi) =>
-      col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
-    }.reduce(_ && _)
+    requireStats(alive, ranges)
     val total = alive.count().toInt
-    val files = alive.where(keep).select("file")
+    val files = alive.where(envelopeCond(ranges)).select("file")
       .collect().map(_.getString(0)) // O(files): paths only, never rows
-    val rowFilter = ranges.map { case (c, lo, hi) =>
-      col(c) >= lit(lo) && col(c) <= lit(hi)
-    }.reduce(_ && _)
     val df =
-      if (files.isEmpty) spark.read.parquet(dir).where(lit(false))
-      else spark.read.parquet(files.toIndexedSeq: _*).where(rowFilter)
+      if (files.isEmpty) emptyFrame(spark, dir)
+      else spark.read.parquet(files.toIndexedSeq: _*).where(rowCond(ranges))
     PrunedScan(df, files.length, total)
   }
+
+  /** The three range-predicate builders skipScan and deleteWhere share —
+    * one definition, so scan and delete can never diverge on which files
+    * an interval hits. */
+  private def requireStats(manifest: DataFrame, ranges: Seq[(String, Any, Any)]): Unit =
+    ranges.foreach { case (c, _, _) =>
+      require(manifest.columns.contains(s"min_$c"),
+        s"manifest has no stats for column '$c' — was it in statsCols at write?")
+    }
+
+  /** File-envelope intersection: [min_c, max_c] meets [lo, hi] for EVERY
+    * range (a file whose stats are NULL — all-NULL column — never matches,
+    * which is correct: NULL never satisfies a range predicate). */
+  private def envelopeCond(ranges: Seq[(String, Any, Any)]): Column =
+    ranges.map { case (c, lo, hi) =>
+      col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
+    }.reduce(_ && _)
+
+  /** The row-level form of the same intervals. */
+  private def rowCond(ranges: Seq[(String, Any, Any)]): Column =
+    ranges.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _)
 
   // ---- maintenance -------------------------------------------------------
 
@@ -291,21 +318,31 @@ object DataLayout {
       bits: Int, statsCols: Seq[String], rowsPerFile: Long): CompactReport = {
     require(rowsPerFile >= 1, s"rowsPerFile must be >= 1: $rowsPerFile")
     val aliveDf = aliveManifest(spark, dir).localCheckpoint(true)
-    val alive = aliveDf
+    val allAlive = aliveDf
       .select("file", "zmin", "zmax", "n_rows")
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .collect()
+    // files whose every z-dim is NULL have NULL z-stats: no interval, no
+    // overlap — leave them untouched rather than NPE on getLong
+    val alive = allAlive.filterNot(r => r.isNullAt(1) || r.isNullAt(2))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .sortBy(t => (t._2, t._3, t._1)) // deterministic sweep order
     // interval sweep: files sorted by zmin; a file overlaps the running
-    // cluster iff its zmin <= the cluster's max zmax so far
+    // cluster iff its zmin <= the running cluster's max zmax (kept as a
+    // single var — the sweep stays O(files log files), not O(files^2))
     val clusters = scala.collection.mutable.ArrayBuffer.empty[Vector[(String, Long, Long, Long)]]
+    var clusterMaxZ = Long.MinValue
     for (f <- alive) {
-      if (clusters.nonEmpty && f._2 <= clusters.last.map(_._3).max)
+      if (clusters.nonEmpty && f._2 <= clusterMaxZ) {
         clusters(clusters.size - 1) = clusters.last :+ f
-      else clusters += Vector(f)
+        clusterMaxZ = math.max(clusterMaxZ, f._3)
+      } else {
+        clusters += Vector(f)
+        clusterMaxZ = f._3
+      }
     }
     val (toRewrite, _) = clusters.toVector.partition(_.size > 1)
     if (toRewrite.isEmpty)
-      return CompactReport(0, 0, alive.length)
+      return CompactReport(0, 0, allAlive.length)
     val v = currentVersion(spark, dir) + 1
     val fs = fsOf(spark, dir)
     var rewrittenFiles = 0
@@ -339,7 +376,7 @@ object DataLayout {
     appendLog(dir, freshStats.unionByName(tombstones(aliveDf, retired, v)))
     CompactReport(clustersRewritten = toRewrite.size,
       filesRewritten = rewrittenFiles,
-      filesTotalAfter = alive.length - retired.size + freshNames.size)
+      filesTotalAfter = allAlive.length - retired.size + freshNames.size)
   }
 
   final case class CompactReport(clustersRewritten: Int, filesRewritten: Int,
@@ -358,20 +395,12 @@ object DataLayout {
       ranges: Seq[(String, Any, Any)]): DeleteReport = {
     require(ranges.nonEmpty, "deleteWhere needs at least one (col, lo, hi) range")
     val aliveDf = aliveManifest(spark, dir).localCheckpoint(true)
-    ranges.foreach { case (c, _, _) =>
-      require(aliveDf.columns.contains(s"min_$c"),
-        s"manifest has no stats for column '$c' — was it in statsCols at write?")
-    }
-    val hitCond = ranges.map { case (c, lo, hi) =>
-      col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
-    }.reduce(_ && _)
+    requireStats(aliveDf, ranges)
     val aliveCount = aliveDf.count().toInt
-    val hitRaw = aliveDf.where(hitCond).select("file")
+    val hitRaw = aliveDf.where(envelopeCond(ranges)).select("file")
       .collect().map(_.getString(0)).toSeq // O(files): paths only
     if (hitRaw.isEmpty) return DeleteReport(0, 0L, aliveCount)
-    val rowPred = ranges.map { case (c, lo, hi) =>
-      col(c) >= lit(lo) && col(c) <= lit(hi)
-    }.reduce(_ && _)
+    val rowPred = rowCond(ranges)
     val hitData = spark.read.parquet(hitRaw: _*)
     val deleted = hitData.where(rowPred).count()
     // null-safe complement: a NULL predicate (null in a range column) must
@@ -417,6 +446,7 @@ object DataLayout {
     * completes here), exactly Delta's VACUUM contract. */
   def vacuum(spark: SparkSession, dir: String): VacuumReport = {
     val logBefore = manifestLog(spark, dir).count()
+    val hwm = currentVersion(spark, dir)
     val alive = aliveManifest(spark, dir).localCheckpoint(true)
     val aliveCanon = alive.select("file")
       .collect().map(r => canon(r.getString(0))).toSet
@@ -425,10 +455,32 @@ object DataLayout {
     for (f <- listDataFiles(spark, dir) if !aliveCanon(canon(f))) {
       if (fs.delete(new org.apache.hadoop.fs.Path(f), false)) removed += 1
     }
-    normalizeLog(alive).write.mode("overwrite").parquet(manifestPath(dir))
+    // preserve the version HIGH-WATER MARK: a vacuum right after a
+    // delete-everything mutation would otherwise drop that version's
+    // tombstones from the log, currentVersion would regress, and the next
+    // mutation would REUSE an already-issued version id. The marker row
+    // (v_added = v_removed = hwm) is never alive at any version — readers
+    // skip it — but keeps the max.
+    val hwmRow = {
+      import org.apache.spark.sql.Row
+      val vals = alive.schema.fields.map {
+        case f if f.name == "file" => VersionHwmFile
+        case f if f.name == "v_added" => java.lang.Long.valueOf(hwm)
+        case f if f.name == "v_removed" => java.lang.Long.valueOf(hwm)
+        case _ => null
+      }
+      alive.sparkSession.createDataFrame(
+        java.util.Arrays.asList(Row(vals.toIndexedSeq: _*)), alive.schema)
+    }
+    normalizeLog(alive.unionByName(hwmRow))
+      .write.mode("overwrite").parquet(manifestPath(dir))
     VacuumReport(filesDeleted = removed, logRowsBefore = logBefore,
       logRowsAfter = aliveCanon.size.toLong)
   }
+
+  /** Synthetic manifest-log file name carrying the version high-water mark
+    * through a vacuum (v_added = v_removed, so never alive). */
+  val VersionHwmFile = "_graft_version_hwm"
 
   final case class VacuumReport(filesDeleted: Int, logRowsBefore: Long,
       logRowsAfter: Long)

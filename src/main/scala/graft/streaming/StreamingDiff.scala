@@ -273,10 +273,17 @@ object StreamingDiff {
     * overlapped.
     *
     * Restart safety: foreachBatch is at-least-once, and a replayed append
-    * would duplicate rows — so the sink records the last committed batch id
-    * in `dir/_graft_stream_commit` (underscore path: invisible to readers)
-    * and [[ingestBatch]] refuses ids it has already committed. Replays
-    * become no-ops; the layout converges to exactly-once. */
+    * would duplicate rows — so the sink records the last committed
+    * (batch id, layout version) pair in `dir/_graft_stream_commit`
+    * (underscore path: invisible to readers) and [[ingestBatch]] refuses
+    * ids at or below the committed id. The commit point that matters is
+    * the MANIFEST append (readers are manifest-routed): if a crash lands
+    * between the manifest commit and the marker write, the marker's
+    * version lags the log's — the retried batch detects that, skips the
+    * re-append, and just advances the marker. Data files from a crash
+    * before the manifest commit are unreferenced orphans (invisible to
+    * readers, reclaimed by vacuum). Replays therefore converge to
+    * exactly-once at every crash point. */
   def clusteredIngestSink(rows: DataFrame, dims: Seq[org.apache.spark.sql.Column],
       bits: Int, statsCols: Seq[String], dir: String,
       filesPerBatch: Int = 4, compactEvery: Int = 4, rowsPerFile: Long = 1L << 20)
@@ -288,38 +295,71 @@ object StreamingDiff {
   }
 
   /** One idempotent ingest step (the foreachBatch body, callable directly
-    * so restarts/replays are testable): skips batch ids at or below the
-    * committed watermark, appends the batch z-ordered, advances the
-    * commit marker, and compacts every `compactEvery` batches. */
+    * so restarts/replays are testable). Two-phase per batch:
+    *
+    *  1. INTENT (`_graft_stream_intent` = "id:baseVersion") written before
+    *     touching data;
+    *  2. the clustered append (the real commit point is its manifest
+    *     append — readers are manifest-routed, so data files from a crash
+    *     before that are invisible orphans vacuumed later);
+    *  3. optional compaction (semantics-preserving, safe to re-run);
+    *  4. COMMIT (`_graft_stream_commit` = id).
+    *
+    * A retry of batch `id` finds the commit marker (done: skip), or an
+    * intent for `id` whose baseVersion is still the log's version (append
+    * never committed: redo it), or an intent whose baseVersion is below
+    * the log's (append committed, crash before commit marker: skip the
+    * re-append, re-run only the idempotent tail). Every crash point
+    * therefore converges to exactly-once. */
   def ingestBatch(batch: DataFrame, id: Long,
       dims: Seq[org.apache.spark.sql.Column], bits: Int,
       statsCols: Seq[String], dir: String, filesPerBatch: Int,
       compactEvery: Int, rowsPerFile: Long): Unit = {
     import graft.layout.DataLayout
     val spark = batch.sparkSession
-    val marker = new org.apache.hadoop.fs.Path(dir, "_graft_stream_commit")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val committed: Long =
-      if (!fs.exists(marker)) -1L
+    val commitP = new org.apache.hadoop.fs.Path(dir, "_graft_stream_commit")
+    val intentP = new org.apache.hadoop.fs.Path(dir, "_graft_stream_intent")
+    val fs = commitP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // drain fully — a single read() may legally return a prefix on remote
+    // filesystems, and a truncated id would replay batches
+    def readAll(p: org.apache.hadoop.fs.Path): Option[String] =
+      if (!fs.exists(p)) None
       else {
-        val in = fs.open(marker)
+        val in = fs.open(p)
         try {
-          val buf = new Array[Byte](64) // a decimal long: ≤20 bytes
-          val n = in.read(buf)
-          new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLong
+          val bos = new java.io.ByteArrayOutputStream(64)
+          val buf = new Array[Byte](64)
+          var n = in.read(buf)
+          while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+          Some(bos.toString("UTF-8").trim)
         } finally in.close()
       }
-    if (id <= committed) return // replayed micro-batch: already on disk
-    if (batch.isEmpty) ()
-    else if (committed < 0L && !fs.exists(new org.apache.hadoop.fs.Path(
-        s"$dir/${DataLayout.ManifestDir}")))
-      DataLayout.writeZOrdered(batch, dims, bits, statsCols, dir, filesPerBatch)
-    else
-      DataLayout.appendZOrdered(batch, dims, bits, statsCols, dir, filesPerBatch)
-    val out = fs.create(marker, true)
-    try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+    def write(p: org.apache.hadoop.fs.Path, s: String): Unit = {
+      val out = fs.create(p, true)
+      try out.write(s.getBytes("UTF-8")) finally out.close()
+    }
+    val committedId = readAll(commitP).map(_.toLong).getOrElse(-1L)
+    if (id <= committedId) return // replayed micro-batch: already on disk
+    val intent = readAll(intentP).map { s =>
+      val parts = s.split(":"); (parts(0).toLong, parts(1).toLong)
+    }
+    val logVer = DataLayout.currentVersion(spark, dir)
+    val appendAlreadyCommitted = intent.exists { case (iid, base) =>
+      iid == id && logVer > base
+    }
+    if (!appendAlreadyCommitted) {
+      if (intent.forall(_._1 != id)) write(intentP, s"$id:$logVer")
+      if (!batch.isEmpty) {
+        if (logVer < 0L)
+          DataLayout.writeZOrdered(batch, dims, bits, statsCols, dir, filesPerBatch)
+        else
+          DataLayout.appendZOrdered(batch, dims, bits, statsCols, dir, filesPerBatch)
+      }
+    }
     if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
       DataLayout.compactZOrdered(spark, dir, dims, bits, statsCols, rowsPerFile)
+    write(commitP, id.toString)
+    fs.delete(intentP, false)
     ()
   }
 

@@ -71,4 +71,39 @@ class StreamingLayoutSpec extends AnyFunSuite {
     val m = DataLayout.aliveManifest(spark, dir)
     assert(m.agg(sum("n_rows")).head().getLong(0) == 900L)
   }
+
+  test("crash between manifest commit and commit marker does not duplicate") {
+    val dir = Files.createTempDirectory("graft_slayout").toString + "/t"
+    val dims = Seq(col("x"), col("y"))
+    def ingest(id: Long, base: Long): Unit =
+      StreamingDiff.ingestBatch(batchDf(base, 300), id, dims, 16,
+        Seq("x", "y"), dir, filesPerBatch = 2, compactEvery = 2, rowsPerFile = 1000L)
+    ingest(0L, 0L)
+    ingest(1L, 10000L)
+    assert(DataLayout.readLayout(spark, dir).count() == 600L)
+    // simulate batch 2 crashing AFTER its append committed the manifest
+    // but BEFORE the commit marker: write the intent, do the append, stop
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val ver = DataLayout.currentVersion(spark, dir)
+    val intent = new org.apache.hadoop.fs.Path(dir, "_graft_stream_intent")
+    val out = fs.create(intent, true)
+    out.write(s"2:$ver".getBytes("UTF-8")); out.close()
+    DataLayout.appendZOrdered(batchDf(20000L, 300), dims, 16, Seq("x", "y"),
+      dir, numFiles = 2)
+    assert(DataLayout.readLayout(spark, dir).count() == 900L)
+    // the retry of batch 2 must NOT re-append those 300 rows
+    ingest(2L, 20000L)
+    assert(DataLayout.readLayout(spark, dir).count() == 900L)
+    // and the pipeline continues normally afterwards
+    ingest(3L, 30000L)
+    assert(DataLayout.readLayout(spark, dir).count() == 1200L)
+    // simulate a crash BEFORE the manifest commit for batch 4: intent
+    // written, nothing else — the retry must do the real append exactly once
+    val out2 = fs.create(intent, true)
+    out2.write(s"4:${DataLayout.currentVersion(spark, dir)}".getBytes("UTF-8"))
+    out2.close()
+    ingest(4L, 40000L)
+    assert(DataLayout.readLayout(spark, dir).count() == 1500L)
+  }
 }

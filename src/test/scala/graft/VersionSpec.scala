@@ -94,5 +94,57 @@ class VersionSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == latestBefore.size.toLong)
     // idempotent
     assert(DataLayout.vacuum(spark, dir).filesDeleted == 0)
+    // the version high-water mark survives the vacuum: the next mutation
+    // must NOT reuse an already-issued version id
+    assert(DataLayout.currentVersion(spark, dir) == 2L)
+    DataLayout.appendZOrdered(mk(20000 until 20100), dims, 16, Seq("x", "y"),
+      dir, numFiles = 1)
+    assert(DataLayout.currentVersion(spark, dir) == 3L)
+    assert(DataLayout.readLayout(spark, dir, 3L).count() ==
+      latestBefore.size.toLong + 100L)
+  }
+
+  test("full erasure: delete everything, vacuum, version preserved, loud empty read") {
+    val dir = Files.createTempDirectory("graft_version").toString + "/t"
+    DataLayout.writeZOrdered(mk(0 until 500), dims, 16, Seq("x", "y"),
+      dir, numFiles = 2)                                              // v0
+    val rep = DataLayout.deleteWhere(spark, dir, dims, 16, Seq("x", "y"),
+      Seq(("x", 0L, 65535L)))                                         // v1
+    assert(rep.rowsDeleted == 500L)
+    assert(DataLayout.readLayout(spark, dir).count() == 0L) // schema from retired files
+    DataLayout.vacuum(spark, dir)
+    // a pure-tombstone version must not vanish from the version counter
+    assert(DataLayout.currentVersion(spark, dir) == 1L)
+    // nothing left to infer a schema from — loud refusal, not a cryptic
+    // AnalysisException
+    val e = intercept[IllegalArgumentException] {
+      DataLayout.readLayout(spark, dir)
+    }
+    assert(e.getMessage.contains("fully erased"))
+    // the table can still move forward: the next append is version 2
+    DataLayout.appendZOrdered(mk(0 until 10), dims, 16, Seq("x", "y"),
+      dir, numFiles = 1)
+    assert(DataLayout.currentVersion(spark, dir) == 2L)
+    assert(DataLayout.readLayout(spark, dir).count() == 10L)
+  }
+
+  test("compact tolerates files whose z-stats are NULL (all-NULL dims)") {
+    val dir = Files.createTempDirectory("graft_version").toString + "/t"
+    DataLayout.writeZOrdered(mk(0 until 600), dims, 16, Seq("x", "y"),
+      dir, numFiles = 2)
+    // a delta whose every dim is NULL -> one file with NULL zmin/zmax
+    val nulls = Seq((100000L, Option.empty[Long], Option.empty[Long]),
+      (100001L, Option.empty[Long], Option.empty[Long])).toDF("id", "x", "y")
+    DataLayout.appendZOrdered(nulls, dims, 16, Seq("x", "y"), dir, numFiles = 1)
+    // overlapping delta (same x/y range as the base, fresh ids) to force a
+    // real compaction alongside the NULL file
+    val delta = (0 until 200).map(i =>
+      (300000L + i, (i * 13L) % 65536L, (i * 31L) % 65536L)).toDF("id", "x", "y")
+    DataLayout.appendZOrdered(delta, dims, 16, Seq("x", "y"), dir, numFiles = 1)
+    val report = DataLayout.compactZOrdered(spark, dir, dims, 16,
+      Seq("x", "y"), rowsPerFile = 500L)
+    assert(report.clustersRewritten >= 1)
+    // every row — including the NULL-dim ones — survives
+    assert(DataLayout.readLayout(spark, dir).count() == 802L)
   }
 }
