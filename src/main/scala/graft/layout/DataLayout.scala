@@ -516,4 +516,148 @@ object DataLayout {
 
   final case class VersionDiff(df: DataFrame, filesReadA: Int,
       filesReadB: Int, filesUnchanged: Int)
+
+  // ---- bloom file index --------------------------------------------------
+
+  /** Name of the hidden per-column Bloom-index directory under a layout. */
+  val BloomDir = "_graft_bloom"
+
+  private def bloomPath(dir: String, column: String) =
+    s"$dir/$BloomDir/$column"
+
+  /** Per-row Bloom bit positions for `c`: `numHashes` independent draws of
+    * `pmod(xxhash64(c, seed), numBits)`. Pure builtins, so the SAME
+    * expression computes the key side at scan time — build and probe can
+    * never disagree on a hash. */
+  private def bloomPositions(c: Column, numBits: Int, numHashes: Int): Column =
+    array((0 until numHashes).map(i =>
+      pmod(xxhash64(c, lit(i)), lit(numBits.toLong))): _*)
+
+  /** Build (or incrementally extend) a per-FILE Bloom index over `column`.
+    *
+    * This is the skip lever the min/max envelope cannot give: a point
+    * lookup on a column UNCORRELATED with the clustering dimensions (find
+    * order 17 in a table z-ordered by (customer, price)) intersects every
+    * file's [min, max] — but a per-file Bloom filter answers "could this
+    * file contain key k" in O(numHashes) bit tests, no file I/O. Parquet
+    * row-group blooms do this inside one file; at 100 TB you need it
+    * BEFORE opening 1M footers, i.e. in the manifest layer — the same
+    * design as Delta/Iceberg file-level bloom stats.
+    *
+    * The build is one pass over UNINDEXED alive files only (cost ∝ delta
+    * after an append, like the manifest itself): explode each row's
+    * `numHashes` positions, split into (word, bit), `bit_or` the masks
+    * per (file, word) — partial-aggregated map-side, so the shuffle
+    * carries at most `files × numBits/64` rows — and assemble the dense
+    * `Array[Long]` per file. No UDF, no custom expression, no driver-side
+    * row data; whole-stage codegen end to end.
+    *
+    * Sizing: `numBits` is per FILE. At the default 8192 bits (1 KiB) a
+    * 100k-row file with 4 hashes sits near the classic 1% false-positive
+    * regime at ~2 bits/key — callers with bigger files raise `numBits`
+    * (the report carries the observed fill fraction so the choice is
+    * measurable, not guessed).
+    */
+  def buildBloomIndex(spark: SparkSession, dir: String, column: String,
+      numBits: Int = 8192, numHashes: Int = 4): BloomIndexReport = {
+    require(numBits >= 64 && numBits % 64 == 0,
+      s"numBits must be a positive multiple of 64: $numBits")
+    require(numHashes >= 1 && numHashes <= 16,
+      s"numHashes out of range: $numHashes")
+    val fs = fsOf(spark, dir)
+    val idxPath = new org.apache.hadoop.fs.Path(bloomPath(dir, column))
+    val alive = aliveManifest(spark, dir).select("file")
+      .collect().map(_.getString(0)).toSeq.sorted
+    val indexed: Set[String] =
+      if (!fs.exists(idxPath)) Set.empty
+      else {
+        val idx = spark.read.parquet(idxPath.toString)
+        val head = idx.select("num_bits", "num_hashes").head()
+        require(head.getInt(0) == numBits && head.getInt(1) == numHashes,
+          s"bloom index at $idxPath was built with numBits=${head.getInt(0)} " +
+            s"numHashes=${head.getInt(1)}; rebuild from scratch to change params")
+        idx.select("file").collect().map(r => canon(r.getString(0))).toSet
+      }
+    val todo = alive.filterNot(f => indexed(canon(f)))
+    if (todo.isEmpty)
+      return BloomIndexReport(filesIndexed = 0, filesTotal = alive.size)
+    val numWords = numBits / 64
+    val data = spark.read.parquet(todo: _*)
+    require(data.columns.contains(column),
+      s"column '$column' not in layout schema ${data.columns.mkString(",")}")
+    val masks = data
+      .select(input_file_name().as("file"),
+        explode(bloomPositions(col(column), numBits, numHashes)).as("pos"))
+      .select(col("file"),
+        (col("pos") / 64).cast("int").as("word"),
+        pmod(col("pos"), lit(64L)).cast("int").as("bit"))
+      .groupBy("file", "word")
+      .agg(bit_or(call_function("shiftleft", lit(1L), col("bit"))).as("mask"))
+      .groupBy("file")
+      .agg(map_from_entries(collect_list(struct(col("word"), col("mask"))))
+        .as("m"))
+      .select(col("file"),
+        transform(sequence(lit(0), lit(numWords - 1)),
+          i => coalesce(element_at(col("m"), i), lit(0L))).as("bloom"),
+        lit(numBits).as("num_bits"), lit(numHashes).as("num_hashes"))
+    masks.write.mode("append").parquet(idxPath.toString)
+    BloomIndexReport(filesIndexed = todo.size, filesTotal = alive.size)
+  }
+
+  final case class BloomIndexReport(filesIndexed: Int, filesTotal: Int)
+
+  /** Point-lookup scan through the Bloom index: read only alive files
+    * whose filter admits AT LEAST ONE of `keys`, then apply the exact
+    * `IN` predicate row-level (blooms admit false positives, never false
+    * negatives). Files the index does not cover — e.g. fresh appends
+    * since the last [[buildBloomIndex]] — are always read, so a stale
+    * index degrades to extra I/O, never to a wrong answer.
+    *
+    * The membership test runs as a DataFrame filter over the manifest ×
+    * index join (O(files) stats rows; row data and bloom blobs never
+    * reach the driver — only surviving file NAMES do, the same bound as
+    * [[skipScan]]). Key positions are computed by the very expression the
+    * build used, over a literal one-row-per-key frame, with the keys cast
+    * to the column's on-disk type first — an int-literal probe of a long
+    * column must hash the long. */
+  def bloomScan(spark: SparkSession, dir: String, column: String,
+      keys: Seq[Any], version: Long = Latest): BloomScan = {
+    require(keys.nonEmpty && !keys.contains(null),
+      "bloomScan needs at least one non-null key")
+    val idxDir = bloomPath(dir, column)
+    require(fsOf(spark, dir).exists(new org.apache.hadoop.fs.Path(idxDir)),
+      s"no bloom index for column '$column' at $dir — run buildBloomIndex first")
+    val alive = aliveManifest(spark, dir, version).select("file")
+    val idx = spark.read.parquet(idxDir)
+    val head = idx.select("num_bits", "num_hashes").head()
+    val (numBits, numHashes) = (head.getInt(0), head.getInt(1))
+    val colType = spark.read.parquet(
+      alive.select("file").head().getString(0)).schema(column).dataType
+    val keyPositions: Array[Seq[Long]] = spark.range(1)
+      .select(explode(array(keys.map(k => lit(k).cast(colType)): _*)).as("k"))
+      .select(bloomPositions(col("k"), numBits, numHashes).as("pos"))
+      .collect().map(_.getSeq[Long](0))
+    val admits = keyPositions.map { pos =>
+      pos.map(p =>
+        element_at(col("bloom"), (p / 64).toInt + 1)
+          .bitwiseAND(lit(1L << (p % 64))) =!= 0).reduce(_ && _)
+    }.reduce(_ || _)
+    val verdicts = alive.join(idx.select("file", "bloom"), Seq("file"), "left")
+      .select(col("file"), col("bloom").isNull.as("unindexed"),
+        coalesce(col("bloom").isNull || admits, lit(false)).as("keep"))
+      .collect() // O(files): names + two booleans, never blobs or rows
+    val kept = verdicts.filter(_.getBoolean(2)).map(_.getString(0))
+    val unindexed = verdicts.count(_.getBoolean(1))
+    val typedKeys = keys.map(k => lit(k).cast(colType))
+    val df =
+      if (kept.isEmpty) emptyFrame(spark, dir).where(lit(false))
+      else spark.read.parquet(kept.toIndexedSeq: _*)
+        .where(col(column).isin(typedKeys: _*))
+    BloomScan(df, filesRead = kept.length,
+      filesSkipped = verdicts.length - kept.length,
+      filesUnindexed = unindexed)
+  }
+
+  final case class BloomScan(df: DataFrame, filesRead: Int,
+      filesSkipped: Int, filesUnindexed: Int)
 }

@@ -115,6 +115,27 @@ object LayoutQueries {
         .orderBy("o_orderkey")
     }),
 
+    // Per-file Bloom index: point lookups on a column UNCORRELATED with
+    // the clustering dims (orderkey, in a table z-ordered by custkey ×
+    // price) — min/max envelopes admit every file for such a probe; the
+    // 1 KiB-per-file bloom skips most of them with zero file I/O. The
+    // oracle is the plain IN (what any lookup must return; one probe key
+    // deliberately absent); LayoutSpec asserts the pruning + the
+    // stale-index no-false-negative contract.
+    "q_layout_bloom" -> ((s, d) => {
+      val dir = layoutDir(d) + "_bloom"
+      DataLayout.writeZOrdered(
+        Tables.load(s, d, "orders"),
+        Seq(col("o_custkey"), cents("o_totalprice")), Bits,
+        statsCols = Seq("o_custkey", "o_totalprice"),
+        outDir = dir, numFiles = 16)
+      DataLayout.buildBloomIndex(s, dir, "o_orderkey")
+      DataLayout.bloomScan(s, dir, "o_orderkey",
+        Seq(3L, 17L, 256L, 999L, 1200L, 10000000L)).df
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
     // Time travel + churn-proportional version diff, end to end: version 0
     // writes ¾ of orders, version 1 appends the rest, version 2 deletes a
     // key range. The gate reads version 1 (time travel: the full table as
@@ -174,6 +195,12 @@ object LayoutQueries {
         |FROM orders
         |WHERE NOT (o_custkey BETWEEN 500 AND 650
         |           AND o_totalprice BETWEEN 0.0 AND 300000.0)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_layout_bloom" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey IN (3, 17, 256, 999, 1200, 10000000)
         |ORDER BY o_orderkey""".stripMargin,
 
     "q_layout_timetravel" ->

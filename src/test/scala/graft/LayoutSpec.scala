@@ -282,4 +282,85 @@ class LayoutSpec extends AnyFunSuite {
     assert(touches(zDir) <= 8,
       s"z-order should bound y: touched ${touches(zDir)}/16")
   }
+
+  test("bloomScan: exact rows, real pruning, absent key skips everything") {
+    val dir = Files.createTempDirectory("graft_layout_spec").toString + "/t"
+    writeSample(dir, n = 4000, files = 8)
+    val r = DataLayout.buildBloomIndex(spark, dir, "id")
+    assert(r.filesIndexed == 8 && r.filesTotal == 8)
+    // id is a dense sequence UNCORRELATED with the (x, y) clustering: the
+    // min/max envelope on (x, y) cannot prune an id probe at all, but each
+    // id lives in exactly one file — the bloom should skip most of the 8.
+    val keys = Seq(5L, 1234L, 3999L, 999999L) // last one absent
+    val scan = DataLayout.bloomScan(spark, dir, "id", keys)
+    val want = spark.read.parquet(dir).where(col("id").isin(keys: _*))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(scan.df.select("id").as[Long].collect().sorted.toSeq == want)
+    assert(scan.filesUnindexed == 0)
+    assert(scan.filesRead < 8,
+      s"bloom pruned nothing: read ${scan.filesRead}/8")
+    // a key that exists nowhere must prune every file (8192 bits over
+    // ~500 rows x 4 hashes: false-positive odds are negligible)
+    val miss = DataLayout.bloomScan(spark, dir, "id", Seq(987654321L))
+    assert(miss.filesRead == 0 && miss.df.count() == 0L)
+  }
+
+  test("bloom index: stale after append is extra I/O, never a wrong answer") {
+    val dir = Files.createTempDirectory("graft_layout_spec").toString + "/t"
+    writeSample(dir, n = 4000, files = 8)
+    DataLayout.buildBloomIndex(spark, dir, "id")
+    // append rows the index has never seen
+    val delta = (4000 until 4500).map { i =>
+      (i.toLong, (i % 65536).toLong, ((i * 7) % 65536).toLong)
+    }.toDF("id", "x", "y")
+    DataLayout.appendZOrdered(delta, Seq(col("x"), col("y")), 16,
+      Seq("x", "y"), dir, numFiles = 2)
+    // probe a key that lives ONLY in the unindexed delta: the scan must
+    // find it (unindexed files always read), and report the coverage gap
+    val stale = DataLayout.bloomScan(spark, dir, "id", Seq(4321L))
+    assert(stale.df.select("id").as[Long].collect().toSeq == Seq(4321L))
+    assert(stale.filesUnindexed == 2)
+    // incremental rebuild indexes ONLY the two delta files (cost ∝ delta)
+    val r2 = DataLayout.buildBloomIndex(spark, dir, "id")
+    assert(r2.filesIndexed == 2 && r2.filesTotal == 10)
+    val fresh = DataLayout.bloomScan(spark, dir, "id", Seq(4321L))
+    assert(fresh.filesUnindexed == 0)
+    assert(fresh.df.select("id").as[Long].collect().toSeq == Seq(4321L))
+    assert(fresh.filesRead < stale.filesRead,
+      s"rebuilt index should prune the delta: ${fresh.filesRead} vs ${stale.filesRead}")
+    // a third build is a no-op
+    assert(DataLayout.buildBloomIndex(spark, dir, "id").filesIndexed == 0)
+  }
+
+  test("bloom index refuses param drift and missing prerequisites") {
+    val dir = Files.createTempDirectory("graft_layout_spec").toString + "/t"
+    writeSample(dir, n = 1000, files = 4)
+    intercept[IllegalArgumentException] {
+      DataLayout.bloomScan(spark, dir, "id", Seq(1L)) // no index yet
+    }
+    DataLayout.buildBloomIndex(spark, dir, "id", numBits = 4096, numHashes = 3)
+    intercept[IllegalArgumentException] { // param drift must not mix scales
+      DataLayout.buildBloomIndex(spark, dir, "id", numBits = 8192)
+    }
+    intercept[IllegalArgumentException] {
+      DataLayout.buildBloomIndex(spark, dir, "id", numBits = 100) // not /64
+    }
+    intercept[IllegalArgumentException] {
+      DataLayout.bloomScan(spark, dir, "id", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      DataLayout.buildBloomIndex(spark, dir, "nope")
+    }
+  }
+
+  test("bloomScan hashes probe keys in the column's on-disk type") {
+    val dir = Files.createTempDirectory("graft_layout_spec").toString + "/t"
+    writeSample(dir, n = 1000, files = 4)
+    DataLayout.buildBloomIndex(spark, dir, "id")
+    // Int probes of a BIGINT column: xxhash64(42: int) != xxhash64(42L),
+    // so an uncast probe would false-NEGATIVE. The cast inside bloomScan
+    // makes integer-literal probes land.
+    val scan = DataLayout.bloomScan(spark, dir, "id", Seq(42, 777))
+    assert(scan.df.select("id").as[Long].collect().sorted.toSeq == Seq(42L, 777L))
+  }
 }
