@@ -26,7 +26,8 @@ object SparkEntry {
       graft.operators.ExtendedQueries.queries ++
       graft.operators.PushdownQueries.queries ++
       graft.operators.CurationQueries.queries ++
-      graft.operators.LayoutQueries.queries
+      graft.operators.LayoutQueries.queries ++
+      graft.operators.SqlSurfaceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -39,5 +40,6 @@ object SparkEntry {
       graft.operators.ExtendedQueries.oracleSql ++
       graft.operators.PushdownQueries.oracleSql ++
       graft.operators.CurationQueries.oracleSql ++
-      graft.operators.LayoutQueries.oracleSql
+      graft.operators.LayoutQueries.oracleSql ++
+      graft.operators.SqlSurfaceQueries.oracleSql
 }
