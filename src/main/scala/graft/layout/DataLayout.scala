@@ -517,6 +517,99 @@ object DataLayout {
   final case class VersionDiff(df: DataFrame, filesReadA: Int,
       filesReadB: Int, filesUnchanged: Int)
 
+  // ---- merge (upsert) ----------------------------------------------------
+
+  /** MERGE INTO for clustered layouts — the CDC upsert: rows of `delta`
+    * whose `keyCols` match an existing row REPLACE it; unmatched delta
+    * rows INSERT. Only files whose min/max envelope on the first key
+    * column can contain a delta key are rewritten — on a layout clustered
+    * by the merge key, a day's CDC batch touches the few files its keys
+    * land in, not the 100 TB table (Delta's MERGE does the same file
+    * pruning from its stats).
+    *
+    * Mechanics: the file-targeting test joins the O(files) manifest stats
+    * against the delta's DISTINCT keys on a between-range condition (the
+    * stats side broadcasts; one pass over the delta — no row data to the
+    * driver). Hit files are read once; their matched rows drop via one
+    * anti join against the delta keys, and survivors + the whole delta
+    * are re-clustered into `numFiles` fresh files in one range exchange.
+    * Hit files are TOMBSTONED, so the pre-merge version stays readable
+    * until [[vacuum]].
+    *
+    * Contract: delta keys must be UNIQUE (two delta rows for one key have
+    * no defined winner — refused loudly, one agg over the delta), and the
+    * first key column must be in the manifest's statsCols. */
+  def mergeInto(spark: SparkSession, dir: String, dims: Seq[Column],
+      bits: Int, statsCols: Seq[String], delta: DataFrame,
+      keyCols: Seq[String], numFiles: Int): MergeReport = {
+    require(keyCols.nonEmpty, "mergeInto needs at least one key column")
+    require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
+    keyCols.foreach(k => require(delta.columns.contains(k),
+      s"key column '$k' not in delta schema ${delta.columns.mkString(",")}"))
+    val aliveDf = aliveManifest(spark, dir).localCheckpoint(true)
+    val envKey = keyCols.head
+    requireStats(aliveDf, Seq((envKey, null, null)))
+    val layoutCols = readLayout(spark, dir).columns
+    require(delta.columns.sorted.sameElements(layoutCols.sorted),
+      s"delta schema ${delta.columns.sorted.mkString(",")} != layout schema " +
+        layoutCols.sorted.mkString(","))
+    val deltaKeys = delta.select(keyCols.map(col): _*).distinct()
+      .localCheckpoint(true)
+    val deltaCount = delta.count()
+    require(deltaKeys.count() == deltaCount,
+      "mergeInto delta has duplicate keys — no defined winner; dedupe first")
+    val aliveCount = aliveDf.count().toInt
+    // file targeting: a file can hold delta key k iff min <= k <= max on
+    // the envelope column; the stats side is O(files) rows and broadcast
+    val hit = broadcast(aliveDf.select(col("file"),
+        col(s"min_$envKey").as("_lo"), col(s"max_$envKey").as("_hi")))
+      .join(deltaKeys.select(col(envKey).as("_k")),
+        col("_k") >= col("_lo") && col("_k") <= col("_hi"))
+      .select("file").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted // O(files): paths only
+    val v = currentVersion(spark, dir) + 1
+    // updated = table rows replaced; matchedKeys = delta keys that found a
+    // row (the two differ if the table carried duplicate keys), so
+    // inserted = deltaCount - matchedKeys can never go negative
+    val (survivors, updated, matchedKeys) =
+      if (hit.isEmpty) (delta.where(lit(false)), 0L, 0L)
+      else {
+        val hitData = spark.read.parquet(hit: _*).localCheckpoint(false)
+        val matched = hitData.join(deltaKeys, keyCols, "left_semi").count()
+        val mKeys = deltaKeys.join(hitData, keyCols, "left_semi").count()
+        (hitData.join(deltaKeys, keyCols, "left_anti"), matched, mKeys)
+      }
+    val merged = survivors.select(layoutCols.map(col): _*)
+      .unionByName(delta.select(layoutCols.map(col): _*))
+    val fs = fsOf(spark, dir)
+    val stage = s"$dir/_graft_merge_stage"
+    val z = "_graft_z"
+    merged.withColumn(z, zOrderKey(dims, bits))
+      .repartitionByRange(numFiles, col(z))
+      .sortWithinPartitions(z)
+      .drop(z)
+      .write.mode("overwrite").parquet(stage)
+    val freshNames = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((sf, i) <- listDataFiles(spark, stage).zipWithIndex) {
+      val src = new org.apache.hadoop.fs.Path(sf)
+      val dst = new org.apache.hadoop.fs.Path(dir, s"merge_v${v}_${i}_${src.getName}")
+      require(fs.rename(src, dst), s"rename failed: $src -> $dst")
+      freshNames += dst.toString
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    val freshStats = fileStats(
+      spark.read.parquet(freshNames.toSeq: _*), dims, bits, statsCols)
+      .withColumn("v_added", lit(v))
+      .withColumn("v_removed", lit(null).cast("long"))
+    appendLog(dir, freshStats.unionByName(tombstones(aliveDf, hit, v)))
+    MergeReport(filesRewritten = hit.size, rowsUpdated = updated,
+      rowsInserted = deltaCount - matchedKeys,
+      filesTotalAfter = aliveCount - hit.size + freshNames.size)
+  }
+
+  final case class MergeReport(filesRewritten: Int, rowsUpdated: Long,
+      rowsInserted: Long, filesTotalAfter: Int)
+
   // ---- bloom file index --------------------------------------------------
 
   /** Name of the hidden per-column Bloom-index directory under a layout. */

@@ -115,6 +115,29 @@ object LayoutQueries {
         .orderBy("o_orderkey")
     }),
 
+    // MERGE INTO (CDC upsert): version 0 lacks every orderkey ≡ 3 (mod 4);
+    // the delta UPDATES the status of keys ≡ 0 (mod 8) and INSERTS keys
+    // ≡ 3 (mod 8). Only envelope-hit files rewrite (LayoutSpec proves the
+    // targeting); the oracle is the merge's logical result — a CASE over
+    // orders minus the still-missing keys.
+    "q_layout_merge" -> ((s, d) => {
+      val dir = layoutDir(d) + "_merge"
+      val dims = Seq(col("o_custkey"), cents("o_totalprice"))
+      val stats = Seq("o_custkey", "o_totalprice", "o_orderkey")
+      val orders = Tables.load(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      DataLayout.writeZOrdered(orders.where(col("o_orderkey") % 4 =!= 3),
+        dims, Bits, stats, dir, numFiles = 16)
+      val delta = orders.where(col("o_orderkey") % 8 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .unionByName(orders.where(col("o_orderkey") % 8 === 3))
+      DataLayout.mergeInto(s, dir, dims, Bits, stats, delta,
+        keyCols = Seq("o_orderkey"), numFiles = 8)
+      DataLayout.readLayout(s, dir)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
     // Per-file Bloom index: point lookups on a column UNCORRELATED with
     // the clustering dims (orderkey, in a table z-ordered by custkey ×
     // price) — min/max envelopes admit every file for such a probe; the
@@ -201,6 +224,14 @@ object LayoutQueries {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders
         |WHERE o_orderkey IN (3, 17, 256, 999, 1200, 10000000)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_layout_merge" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 8 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |  o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 8 <> 7
         |ORDER BY o_orderkey""".stripMargin,
 
     "q_layout_timetravel" ->

@@ -283,6 +283,60 @@ class LayoutSpec extends AnyFunSuite {
       s"z-order should bound y: touched ${touches(zDir)}/16")
   }
 
+  test("mergeInto: upsert semantics, envelope targeting, time travel intact") {
+    val dir = Files.createTempDirectory("graft_layout_spec").toString + "/t"
+    // cluster BY the merge key: 8000 ids in 8 files => ~1000-id envelopes
+    val base = (0 until 8000).map(i => (i.toLong, s"v$i")).toDF("id", "payload")
+    DataLayout.writeZOrdered(base, Seq(col("id")), 16, Seq("id"), dir, 8)
+    // delta: update ids 100..119, insert ids 9000..9009 — all inside the
+    // first file's envelope or beyond every envelope
+    val delta = ((100 until 120).map(i => (i.toLong, s"UPD$i")) ++
+      (9000 until 9010).map(i => (i.toLong, s"NEW$i"))).toDF("id", "payload")
+    val before = DataLayout.aliveManifest(spark, dir).select("file")
+      .collect().map(_.getString(0)).toSet
+    val rep = DataLayout.mergeInto(spark, dir, Seq(col("id")), 16,
+      Seq("id"), delta, Seq("id"), numFiles = 2)
+    assert(rep.rowsUpdated == 20 && rep.rowsInserted == 10)
+    // targeting: the 20 updates live in ONE of 8 files (ids 100-119); the
+    // inserts hit no envelope — exactly one file rewrites
+    assert(rep.filesRewritten == 1, rep.toString)
+    // untouched files are byte-identical (never rewritten, never read back)
+    val after = DataLayout.aliveManifest(spark, dir).select("file")
+      .collect().map(_.getString(0)).toSet
+    assert((before intersect after).size == 7)
+    // merged content: updates replaced, inserts present, rest unchanged
+    val got = DataLayout.readLayout(spark, dir)
+      .as[(Long, String)].collect().toMap
+    assert(got.size == 8010)
+    assert(got(105L) == "UPD105" && got(9005L) == "NEW9005" && got(50L) == "v50")
+    // pre-merge version still readable until vacuum
+    val v0 = DataLayout.readLayout(spark, dir, 0L).as[(Long, String)].collect().toMap
+    assert(v0.size == 8000 && v0(105L) == "v105" && !v0.contains(9005L))
+  }
+
+  test("mergeInto: insert-only delta rewrites nothing; contract refusals") {
+    val dir = Files.createTempDirectory("graft_layout_spec").toString + "/t"
+    val base = (0 until 1000).map(i => (i.toLong, s"v$i")).toDF("id", "payload")
+    DataLayout.writeZOrdered(base, Seq(col("id")), 16, Seq("id"), dir, 4)
+    val inserts = (5000 until 5020).map(i => (i.toLong, s"NEW$i")).toDF("id", "payload")
+    val rep = DataLayout.mergeInto(spark, dir, Seq(col("id")), 16,
+      Seq("id"), inserts, Seq("id"), numFiles = 1)
+    assert(rep.filesRewritten == 0 && rep.rowsUpdated == 0 && rep.rowsInserted == 20)
+    assert(DataLayout.readLayout(spark, dir).count() == 1020L)
+    // duplicate delta keys have no defined winner
+    val dup = Seq((1L, "a"), (1L, "b")).toDF("id", "payload")
+    intercept[IllegalArgumentException] {
+      DataLayout.mergeInto(spark, dir, Seq(col("id")), 16, Seq("id"),
+        dup, Seq("id"), numFiles = 1)
+    }
+    // schema drift refused
+    val wrong = Seq((1L, "a", 2L)).toDF("id", "payload", "extra")
+    intercept[IllegalArgumentException] {
+      DataLayout.mergeInto(spark, dir, Seq(col("id")), 16, Seq("id"),
+        wrong, Seq("id"), numFiles = 1)
+    }
+  }
+
   test("bloomScan: exact rows, real pruning, absent key skips everything") {
     val dir = Files.createTempDirectory("graft_layout_spec").toString + "/t"
     writeSample(dir, n = 4000, files = 8)
