@@ -190,12 +190,24 @@ object DataLayout {
     else normalizeLog(stats).write.mode("overwrite").parquet(manifestPath(outDir))
   }
 
-  /** Per-file min/max stats (+ the z-key interval) for the given data —
-    * O(files) output rows, partial-aggregated map-side. */
+  /** Per-file stats (+ the z-key interval) for the given data — O(files)
+    * output rows, partial-aggregated map-side. Beyond the min/max
+    * envelope each stats column carries its null count and an HLL SKETCH
+    * (`hll_sketch_agg` binary) — sketches are union-mergeable, so
+    * table-level NDV at any version is one `hll_union_agg` over manifest
+    * rows, never a data scan ([[tableStatsFromManifest]]). */
   private def fileStats(df: DataFrame, dims: Seq[Column], bits: Int,
       statsCols: Seq[String]): DataFrame = {
+    // sketch the xxhash64 of the value, not the value: the HLL aggregate
+    // only takes int/long/string/binary, and hashing first makes every
+    // column type (double, decimal, date, …) sketchable with identical
+    // NDV up to negligible 64-bit collisions; nulls stay out of the
+    // sketch (they're counted separately) via the isNotNull gate
     val aggs = statsCols.flatMap(c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+        count_if(col(c).isNull).as(s"nulls_$c"),
+        hll_sketch_agg(when(col(c).isNotNull, xxhash64(col(c))))
+          .as(s"hll_$c"))) ++
       Seq(min(col("_graft_z")).as("zmin"), max(col("_graft_z")).as("zmax"),
         count(lit(1)).as("n_rows"))
     df.withColumn("_graft_z", zOrderKey(dims, bits))
@@ -516,6 +528,35 @@ object DataLayout {
 
   final case class VersionDiff(df: DataFrame, filesReadA: Int,
       filesReadB: Int, filesUnchanged: Int)
+
+  // ---- manifest-only table stats -----------------------------------------
+
+  /** Table-level statistics at `version` answered ENTIRELY from the
+    * manifest — O(files) stats rows, zero data I/O: exact row count
+    * (sum of per-file counts), exact per-column min/max (min of mins /
+    * max of maxs) and null counts (sums), plus an NDV estimate from the
+    * union of the per-file HLL sketches (union-mergeable by
+    * construction, so the estimate equals what one global sketch over
+    * the data would give — the property per-file `approx_count_distinct`
+    * numbers don't have). On a 100 TB table this is the difference
+    * between a metadata lookup and a full scan for COUNT(*)-class
+    * questions; it's also the stats feed for join-strategy and
+    * diff-estimate decisions.
+    *
+    * Returns one row: `n_rows`, then per stats column `min_c`, `max_c`,
+    * `nulls_c`, `ndv_c`. */
+  def tableStatsFromManifest(spark: SparkSession, dir: String,
+      version: Long = Latest): DataFrame = {
+    val alive = aliveManifest(spark, dir, version)
+    val statNames = alive.columns.collect { case c if c.startsWith("min_") =>
+      c.stripPrefix("min_") }.toSeq.sorted
+    val aggs = Seq(sum(col("n_rows")).as("n_rows")) ++ statNames.flatMap(c =>
+      Seq(min(col(s"min_$c")).as(s"min_$c"), max(col(s"max_$c")).as(s"max_$c"),
+        sum(col(s"nulls_$c")).as(s"nulls_$c"),
+        coalesce(hll_sketch_estimate(
+          hll_union_agg(col(s"hll_$c"), lit(true))), lit(0L)).as(s"ndv_$c")))
+    alive.agg(aggs.head, aggs.tail: _*)
+  }
 
   // ---- merge (upsert) ----------------------------------------------------
 

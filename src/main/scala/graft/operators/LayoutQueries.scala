@@ -115,6 +115,24 @@ object LayoutQueries {
         .orderBy("o_orderkey")
     }),
 
+    // Manifest-only table stats: COUNT(*), min/max, null counts answered
+    // from O(files) stats rows with ZERO data I/O — the metadata-lookup
+    // path a 100 TB table needs for stats-class questions. The oracle
+    // computes the same numbers the hard way (a full scan); NDV columns
+    // are approximate (union-merged HLL sketches) and spec-checked
+    // instead of oracle-hashed.
+    "q_layout_stats" -> ((s, d) => {
+      val dir = layoutDir(d) + "_stats"
+      DataLayout.writeZOrdered(
+        Tables.load(s, d, "orders"),
+        Seq(col("o_custkey"), cents("o_totalprice")), Bits,
+        statsCols = Seq("o_custkey", "o_totalprice"),
+        outDir = dir, numFiles = 16)
+      DataLayout.tableStatsFromManifest(s, dir)
+        .select("n_rows", "min_o_custkey", "max_o_custkey", "nulls_o_custkey",
+          "min_o_totalprice", "max_o_totalprice", "nulls_o_totalprice")
+    }),
+
     // MERGE INTO (CDC upsert): version 0 lacks every orderkey ≡ 3 (mod 4);
     // the delta UPDATES the status of keys ≡ 0 (mod 8) and INSERTS keys
     // ≡ 3 (mod 8). Only envelope-hit files rewrite (LayoutSpec proves the
@@ -225,6 +243,16 @@ object LayoutQueries {
         |FROM orders
         |WHERE o_orderkey IN (3, 17, 256, 999, 1200, 10000000)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_layout_stats" ->
+      """SELECT count(*) AS n_rows,
+        |  min(o_custkey) AS min_o_custkey,
+        |  max(o_custkey) AS max_o_custkey,
+        |  count(*) FILTER (WHERE o_custkey IS NULL) AS nulls_o_custkey,
+        |  min(o_totalprice) AS min_o_totalprice,
+        |  max(o_totalprice) AS max_o_totalprice,
+        |  count(*) FILTER (WHERE o_totalprice IS NULL) AS nulls_o_totalprice
+        |FROM orders""".stripMargin,
 
     "q_layout_merge" ->
       """SELECT o_orderkey, o_custkey,

@@ -78,7 +78,8 @@ class LayoutSpec extends AnyFunSuite {
     val manifest = spark.read.parquet(s"$dir/${DataLayout.ManifestDir}")
     assert(manifest.count() == 8L)
     assert(manifest.columns.toSet ==
-      Set("file", "min_x", "max_x", "min_y", "max_y", "zmin", "zmax", "n_rows",
+      Set("file", "min_x", "max_x", "nulls_x", "hll_x",
+        "min_y", "max_y", "nulls_y", "hll_y", "zmin", "zmax", "n_rows",
         "v_added", "v_removed"))
     assert(DataLayout.currentVersion(spark, dir) == 0L)
   }
@@ -281,6 +282,36 @@ class LayoutSpec extends AnyFunSuite {
     assert(touches(sDir) == 16, "x-sorted layout should touch all files")
     assert(touches(zDir) <= 8,
       s"z-order should bound y: touched ${touches(zDir)}/16")
+  }
+
+  test("tableStatsFromManifest: exact counts/min/max/nulls, NDV within HLL error") {
+    val dir = Files.createTempDirectory("graft_layout_spec").toString + "/t"
+    // 3000 rows, x cycles 0..499 (NDV 500), y has nulls every 7th row
+    val df = (0 until 3000).map { i =>
+      (i.toLong, (i % 500).toLong,
+        if (i % 7 == 0) None else Some((i % 80).toLong))
+    }.toDF("id", "x", "y")
+    DataLayout.writeZOrdered(df, Seq(col("x")), 16, Seq("x", "y"), dir, 6)
+    val row = DataLayout.tableStatsFromManifest(spark, dir).head()
+    val g = row.getValuesMap[Any](Seq("n_rows", "min_x", "max_x", "nulls_x",
+      "ndv_x", "min_y", "max_y", "nulls_y", "ndv_y"))
+    assert(g("n_rows") == 3000L && g("min_x") == 0L && g("max_x") == 499L)
+    assert(g("nulls_x") == 0L)
+    assert(g("nulls_y") == (0 until 3000).count(_ % 7 == 0).toLong)
+    assert(g("min_y") == 0L && g("max_y") == 79L)
+    // union-merged HLL: within a few % of true NDV despite 6-way split
+    val ndvX = g("ndv_x").asInstanceOf[Long]
+    assert(math.abs(ndvX - 500L) <= 25, s"ndv_x=$ndvX")
+    val ndvY = g("ndv_y").asInstanceOf[Long]
+    assert(math.abs(ndvY - 79L) <= 8, s"ndv_y=$ndvY")
+    // stats survive maintenance: after a delete, the manifest-only
+    // numbers track the new alive set
+    DataLayout.deleteWhere(spark, dir, Seq(col("x")), 16, Seq("x", "y"),
+      Seq(("x", 0L, 99L)))
+    val after = DataLayout.tableStatsFromManifest(spark, dir).head()
+    assert(after.getAs[Long]("n_rows") ==
+      df.where(!col("x").between(0, 99)).count())
+    assert(after.getAs[Long]("min_x") >= 100L)
   }
 
   test("mergeInto: upsert semantics, envelope targeting, time travel intact") {
