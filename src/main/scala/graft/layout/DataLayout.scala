@@ -579,14 +579,24 @@ object DataLayout {
     *
     * Contract: delta keys must be UNIQUE (two delta rows for one key have
     * no defined winner — refused loudly, one agg over the delta), and the
-    * first key column must be in the manifest's statsCols. */
+    * first key column must be in the manifest's statsCols.
+    *
+    * `deleteKeys` (optional) is the CDC tombstone side: rows matching any
+    * of those keys are REMOVED in the same pass — one combined file
+    * targeting, one rewrite, one new version, which is how a CDC batch
+    * (upserts + deletes) must land atomically. A key in both the delta
+    * and `deleteKeys` is refused: the caller owns last-event-wins
+    * resolution, not this operator. */
   def mergeInto(spark: SparkSession, dir: String, dims: Seq[Column],
       bits: Int, statsCols: Seq[String], delta: DataFrame,
-      keyCols: Seq[String], numFiles: Int): MergeReport = {
+      keyCols: Seq[String], numFiles: Int,
+      deleteKeys: Option[DataFrame] = None): MergeReport = {
     require(keyCols.nonEmpty, "mergeInto needs at least one key column")
     require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
     keyCols.foreach(k => require(delta.columns.contains(k),
       s"key column '$k' not in delta schema ${delta.columns.mkString(",")}"))
+    deleteKeys.foreach(dk => require(dk.columns.sorted.sameElements(keyCols.sorted),
+      s"deleteKeys must carry exactly the key columns ${keyCols.sorted.mkString(",")}"))
     val aliveDf = aliveManifest(spark, dir).localCheckpoint(true)
     val envKey = keyCols.head
     requireStats(aliveDf, Seq((envKey, null, null)))
@@ -599,12 +609,19 @@ object DataLayout {
     val deltaCount = delta.count()
     require(deltaKeys.count() == deltaCount,
       "mergeInto delta has duplicate keys — no defined winner; dedupe first")
+    val delKeys = deleteKeys.map(_.select(keyCols.map(col): _*).distinct()
+      .localCheckpoint(true))
+    delKeys.foreach(dk => require(
+      dk.join(deltaKeys, keyCols, "left_semi").isEmpty,
+      "a key appears in both the upsert delta and deleteKeys — resolve " +
+        "last-event-wins upstream; this operator refuses the ambiguity"))
+    val allKeys = delKeys.fold(deltaKeys)(dk => deltaKeys.unionByName(dk))
     val aliveCount = aliveDf.count().toInt
-    // file targeting: a file can hold delta key k iff min <= k <= max on
-    // the envelope column; the stats side is O(files) rows and broadcast
+    // file targeting: a file can hold key k iff min <= k <= max on the
+    // envelope column; the stats side is O(files) rows and broadcast
     val hit = broadcast(aliveDf.select(col("file"),
         col(s"min_$envKey").as("_lo"), col(s"max_$envKey").as("_hi")))
-      .join(deltaKeys.select(col(envKey).as("_k")),
+      .join(allKeys.select(col(envKey).as("_k")),
         col("_k") >= col("_lo") && col("_k") <= col("_hi"))
       .select("file").distinct()
       .collect().map(_.getString(0)).toSeq.sorted // O(files): paths only
@@ -612,13 +629,15 @@ object DataLayout {
     // updated = table rows replaced; matchedKeys = delta keys that found a
     // row (the two differ if the table carried duplicate keys), so
     // inserted = deltaCount - matchedKeys can never go negative
-    val (survivors, updated, matchedKeys) =
-      if (hit.isEmpty) (delta.where(lit(false)), 0L, 0L)
+    val (survivors, updated, matchedKeys, deleted) =
+      if (hit.isEmpty) (delta.where(lit(false)), 0L, 0L, 0L)
       else {
         val hitData = spark.read.parquet(hit: _*).localCheckpoint(false)
         val matched = hitData.join(deltaKeys, keyCols, "left_semi").count()
         val mKeys = deltaKeys.join(hitData, keyCols, "left_semi").count()
-        (hitData.join(deltaKeys, keyCols, "left_anti"), matched, mKeys)
+        val nDel = delKeys.fold(0L)(dk =>
+          hitData.join(dk, keyCols, "left_semi").count())
+        (hitData.join(allKeys, keyCols, "left_anti"), matched, mKeys, nDel)
       }
     val merged = survivors.select(layoutCols.map(col): _*)
       .unionByName(delta.select(layoutCols.map(col): _*))
@@ -638,18 +657,22 @@ object DataLayout {
       freshNames += dst.toString
     }
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-    val freshStats = fileStats(
-      spark.read.parquet(freshNames.toSeq: _*), dims, bits, statsCols)
-      .withColumn("v_added", lit(v))
-      .withColumn("v_removed", lit(null).cast("long"))
-    appendLog(dir, freshStats.unionByName(tombstones(aliveDf, hit, v)))
+    // a pure-delete batch can leave zero merged rows, hence zero files
+    val freshStats =
+      if (freshNames.isEmpty) None
+      else Some(fileStats(
+        spark.read.parquet(freshNames.toSeq: _*), dims, bits, statsCols)
+        .withColumn("v_added", lit(v))
+        .withColumn("v_removed", lit(null).cast("long")))
+    val tomb = tombstones(aliveDf, hit, v)
+    appendLog(dir, freshStats.map(_.unionByName(tomb)).getOrElse(tomb))
     MergeReport(filesRewritten = hit.size, rowsUpdated = updated,
-      rowsInserted = deltaCount - matchedKeys,
+      rowsInserted = deltaCount - matchedKeys, rowsDeleted = deleted,
       filesTotalAfter = aliveCount - hit.size + freshNames.size)
   }
 
   final case class MergeReport(filesRewritten: Int, rowsUpdated: Long,
-      rowsInserted: Long, filesTotalAfter: Int)
+      rowsInserted: Long, rowsDeleted: Long, filesTotalAfter: Int)
 
   // ---- bloom file index --------------------------------------------------
 

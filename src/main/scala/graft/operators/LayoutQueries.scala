@@ -156,6 +156,28 @@ object LayoutQueries {
         .orderBy("o_orderkey")
     }),
 
+    // CDC batch apply: upserts AND delete tombstones land as ONE atomic
+    // merge (one targeting pass, one rewrite, one version) — the shape a
+    // Debezium-style change feed needs. Oracle: CASE for the updates,
+    // WHERE for the deletes.
+    "q_layout_cdc" -> ((s, d) => {
+      val dir = layoutDir(d) + "_cdc"
+      val dims = Seq(col("o_custkey"), cents("o_totalprice"))
+      val stats = Seq("o_custkey", "o_totalprice", "o_orderkey")
+      val orders = Tables.load(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      DataLayout.writeZOrdered(orders, dims, Bits, stats, dir, numFiles = 16)
+      DataLayout.mergeInto(s, dir, dims, Bits, stats,
+        delta = orders.where(col("o_orderkey") % 10 === 1)
+          .withColumn("o_orderstatus", lit("U")),
+        keyCols = Seq("o_orderkey"), numFiles = 8,
+        deleteKeys = Some(orders.where(col("o_orderkey") % 10 === 6)
+          .select("o_orderkey")))
+      DataLayout.readLayout(s, dir)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
     // Per-file Bloom index: point lookups on a column UNCORRELATED with
     // the clustering dims (orderkey, in a table z-ordered by custkey ×
     // price) — min/max envelopes admit every file for such a probe; the
@@ -242,6 +264,14 @@ object LayoutQueries {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders
         |WHERE o_orderkey IN (3, 17, 256, 999, 1200, 10000000)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_layout_cdc" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 10 = 1 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |  o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 10 <> 6
         |ORDER BY o_orderkey""".stripMargin,
 
     "q_layout_stats" ->

@@ -363,6 +363,80 @@ object StreamingDiff {
     ()
   }
 
+  /** Streaming CDC apply: each micro-batch of change events (upserts +
+    * delete tombstones) lands on the clustered layout as ONE atomic
+    * [[graft.layout.DataLayout.mergeInto]] — envelope-targeted rewrite,
+    * so a trigger's worth of CDC touches the files its keys live in, not
+    * the table. `opCol` holds 'D' for deletes (any other value upserts);
+    * `seqCol` must totally order events per key — the batch resolves
+    * last-event-wins BEFORE merging, because mergeInto refuses duplicate
+    * keys by contract.
+    *
+    * Restart safety: a `_graft_cdc_commit` marker skips replayed batch
+    * ids. A crash between the merge's manifest commit and the marker
+    * makes the retry re-merge the SAME resolved batch — semantically
+    * idempotent (upserting identical rows and re-deleting absent keys
+    * converges to identical content; the table gains one extra version
+    * whose version-diff is empty), so every crash point converges. */
+  def cdcMergeSink(cdc: DataFrame, dims: Seq[org.apache.spark.sql.Column],
+      bits: Int, statsCols: Seq[String], dir: String, keyCols: Seq[String],
+      opCol: String, seqCol: String, numFiles: Int = 4)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val fn: (Dataset[org.apache.spark.sql.Row], Long) => Unit = (batch, id) =>
+      cdcMergeBatch(batch.toDF(), id, dims, bits, statsCols, dir, keyCols,
+        opCol, seqCol, numFiles)
+    cdc.writeStream.outputMode("append").foreachBatch(fn)
+  }
+
+  /** One idempotent CDC merge step (the foreachBatch body, callable
+    * directly so replays are testable). */
+  def cdcMergeBatch(batch: DataFrame, id: Long,
+      dims: Seq[org.apache.spark.sql.Column], bits: Int,
+      statsCols: Seq[String], dir: String, keyCols: Seq[String],
+      opCol: String, seqCol: String, numFiles: Int): Unit = {
+    import graft.layout.DataLayout
+    val spark = batch.sparkSession
+    val commitP = new org.apache.hadoop.fs.Path(dir, "_graft_cdc_commit")
+    val fs = commitP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed: Long =
+      if (!fs.exists(commitP)) -1L
+      else {
+        val in = fs.open(commitP)
+        try {
+          val bos = new java.io.ByteArrayOutputStream(64)
+          val buf = new Array[Byte](64)
+          var n = in.read(buf)
+          while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+          bos.toString("UTF-8").trim.toLong
+        } finally in.close()
+      }
+    if (id <= committed) return // replayed micro-batch: already applied
+    if (!batch.isEmpty) {
+      // last-event-wins per key within the batch (seqCol is the total
+      // order; mergeInto would refuse the raw multi-event batch)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*).orderBy(col(seqCol).desc)
+      val last = batch.withColumn("_graft_rn", row_number().over(w))
+        .where(col("_graft_rn") === 1).drop("_graft_rn")
+        .localCheckpoint(true)
+      val ups = last.where(col(opCol) =!= "D").drop(opCol, seqCol)
+      val dels = last.where(col(opCol) === "D")
+        .select(keyCols.map(col): _*)
+      if (DataLayout.currentVersion(spark, dir) < 0L) {
+        // first batch bootstraps the layout; deletes have nothing to hit
+        if (!ups.isEmpty)
+          DataLayout.writeZOrdered(ups, dims, bits, statsCols, dir, numFiles)
+      } else {
+        DataLayout.mergeInto(spark, dir, dims, bits, statsCols, ups,
+          keyCols, numFiles,
+          deleteKeys = if (dels.isEmpty) None else Some(dels))
+      }
+    }
+    val out = fs.create(commitP, true)
+    try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+    ()
+  }
+
   /** Watermarked tumbling-window event counts (late data dropped at 10m). */
   def windowedCounts(events: DataFrame): DataFrame =
     events

@@ -51,6 +51,47 @@ class StreamingLayoutSpec extends AnyFunSuite {
     assert(manifest.count().toInt == scan.filesTotal)
   }
 
+  test("streaming CDC merge: upserts, tombstones, last-event-wins, replay safety") {
+    val dir = Files.createTempDirectory("graft_slayout").toString + "/t"
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String, Long)]
+    val q = StreamingDiff.cdcMergeSink(
+      input.toDF().toDF("id", "payload", "op", "seq"),
+      Seq(col("id")), bits = 16, statsCols = Seq("id"), dir = dir,
+      keyCols = Seq("id"), opCol = "op", seqCol = "seq", numFiles = 4)
+      .start()
+    try {
+      // batch 0: 500 inserts bootstrap the layout
+      input.addData((0 until 500).map(i => (i.toLong, s"v$i", "I", 1L)))
+      q.processAllAvailable()
+      // batch 1: updates, deletes, and two keys with MULTIPLE events whose
+      // seq order decides the winner (42: update then delete -> gone;
+      // 43: delete then update -> alive with the new payload)
+      input.addData(
+        (100 until 110).map(i => (i.toLong, s"UPD$i", "U", 2L)) ++
+        (200 until 210).map(i => (i.toLong, "", "D", 2L)) ++
+        Seq((42L, "UPD42", "U", 2L), (42L, "", "D", 3L),
+            (43L, "", "D", 2L), (43L, "LATE43", "U", 3L),
+            (9000L, "NEW9000", "I", 2L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = DataLayout.readLayout(spark, dir)
+      .select("id", "payload").as[(Long, String)].collect().toMap
+    assert(got.size == 500 - 10 - 1 + 1) // -deletes -42 +9000
+    assert(got(105L) == "UPD105" && got(9000L) == "NEW9000")
+    assert(!got.contains(205L) && !got.contains(42L))
+    assert(got(43L) == "LATE43" && got(77L) == "v77")
+    // replayed batch id: marker makes it a no-op even with new content
+    val vBefore = DataLayout.currentVersion(spark, dir)
+    StreamingDiff.cdcMergeBatch(
+      Seq((77L, "SHOULD_NOT_LAND", "U", 9L)).toDF("id", "payload", "op", "seq"),
+      1L, Seq(col("id")), 16, Seq("id"), dir, Seq("id"), "op", "seq", 4)
+    assert(DataLayout.currentVersion(spark, dir) == vBefore)
+    assert(DataLayout.readLayout(spark, dir).where(col("id") === 77L)
+      .select("payload").head().getString(0) == "v77")
+  }
+
   test("replayed micro-batch ids are no-ops (at-least-once -> exactly-once)") {
     val dir = Files.createTempDirectory("graft_slayout").toString + "/t"
     val dims = Seq(col("x"), col("y"))
