@@ -95,9 +95,16 @@ object DataLayout {
 
   private def manifestPath(dir: String) = s"$dir/$ManifestDir"
 
-  /** The raw manifest log (live rows + tombstones) — O(files) rows. */
+  /** The raw manifest log (live rows + tombstones) — O(files) rows.
+    * mergeSchema: a log written before a stats-schema extension (the
+    * nulls_/hll_ columns arrived after min/max) holds old- and new-schema
+    * part files side by side; merging footers keeps every column visible
+    * no matter which file Spark would otherwise sample for the schema.
+    * Old rows read NULL in the newer columns — [[tableStatsFromManifest]]
+    * reports the affected stats as unknown instead of silently
+    * undercounting. */
   def manifestLog(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(manifestPath(dir))
+    spark.read.option("mergeSchema", "true").parquet(manifestPath(dir))
 
   /** Highest version number recorded in the log (−1 for a missing log). */
   def currentVersion(spark: SparkSession, dir: String): Long = {
@@ -140,6 +147,54 @@ object DataLayout {
     alive.where(col("file").isin(files: _*))
       .withColumn("v_added", lit(null).cast("long"))
       .withColumn("v_removed", lit(v))
+
+  /** The stage-write → rename-into-layout commit path every file REWRITE
+    * (compaction, targeted delete, merge) shares: z-cluster `staged` into
+    * `nOut` files under a hidden stage dir, then move the NON-EMPTY
+    * results into `dir` under `prefix`. Spark's writer emits one
+    * schema-only part file for an empty frame; such a file would never
+    * get a stats row, so renaming it would leave an unmanifested orphan
+    * visible to plain `spark.read.parquet(dir)` readers — empties are
+    * detected by parquet FOOTER row count (metadata-only, no data read)
+    * and deleted with the stage dir instead. Returns the final names. */
+  private def stageRename(spark: SparkSession, dir: String, stage: String,
+      prefix: String, staged: DataFrame, nOut: Int, dims: Seq[Column],
+      bits: Int): Seq[String] = {
+    val z = "_graft_z"
+    staged.withColumn(z, zOrderKey(dims, bits))
+      .repartitionByRange(nOut, col(z))
+      .sortWithinPartitions(z)
+      .drop(z)
+      .write.mode("overwrite").parquet(stage)
+    val fs = fsOf(spark, dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def footerRows(p: String): Long = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(p), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }
+    val fresh = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((sf, i) <- listDataFiles(spark, stage).zipWithIndex
+         if footerRows(sf) > 0L) {
+      val src = new org.apache.hadoop.fs.Path(sf)
+      val dst = new org.apache.hadoop.fs.Path(dir, s"${prefix}_${i}_${src.getName}")
+      require(fs.rename(src, dst), s"rename failed: $src -> $dst")
+      fresh += dst.toString
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    fresh.toSeq
+  }
+
+  /** `v_added` stats rows for freshly committed files; None when a rewrite
+    * produced zero non-empty files (a pure-delete batch). */
+  private def freshStatsFor(spark: SparkSession, fresh: Seq[String],
+      dims: Seq[Column], bits: Int, statsCols: Seq[String],
+      v: Long): Option[DataFrame] =
+    if (fresh.isEmpty) None
+    else Some(fileStats(spark.read.parquet(fresh: _*), dims, bits, statsCols)
+      .withColumn("v_added", lit(v))
+      .withColumn("v_removed", lit(null).cast("long")))
 
   // ---- writes ------------------------------------------------------------
 
@@ -356,36 +411,21 @@ object DataLayout {
     if (toRewrite.isEmpty)
       return CompactReport(0, 0, allAlive.length)
     val v = currentVersion(spark, dir) + 1
-    val fs = fsOf(spark, dir)
     var rewrittenFiles = 0
     val freshNames = scala.collection.mutable.ArrayBuffer.empty[String]
     for ((cluster, gen) <- toRewrite.zipWithIndex) {
       val rows = cluster.map(_._4).sum
       val nOut = math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile).toInt
       val data = spark.read.parquet(cluster.map(_._1): _*)
-      val stage = s"$dir/_graft_compact_stage"
-      val z = "_graft_z"
-      data.withColumn(z, zOrderKey(dims, bits))
-        .repartitionByRange(nOut, col(z))
-        .sortWithinPartitions(z)
-        .drop(z)
-        .write.mode("overwrite").parquet(stage)
-      for ((s, i) <- listDataFiles(spark, stage).zipWithIndex) {
-        val src = new org.apache.hadoop.fs.Path(s)
-        val dst = new org.apache.hadoop.fs.Path(dir,
-          s"compact_v${v}_${gen}_${i}_${src.getName}")
-        require(fs.rename(src, dst), s"rename failed: $src -> $dst")
-        freshNames += dst.toString
-      }
-      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+      freshNames ++= stageRename(spark, dir, s"$dir/_graft_compact_stage",
+        s"compact_v${v}_${gen}", data, nOut, dims, bits)
       rewrittenFiles += cluster.size
     }
     val retired = toRewrite.flatten.map(_._1)
-    val freshStats = fileStats(
-      spark.read.parquet(freshNames.toSeq: _*), dims, bits, statsCols)
-      .withColumn("v_added", lit(v))
-      .withColumn("v_removed", lit(null).cast("long"))
-    appendLog(dir, freshStats.unionByName(tombstones(aliveDf, retired, v)))
+    val tomb = tombstones(aliveDf, retired, v)
+    appendLog(dir,
+      freshStatsFor(spark, freshNames.toSeq, dims, bits, statsCols, v)
+        .map(_.unionByName(tomb)).getOrElse(tomb))
     CompactReport(clustersRewritten = toRewrite.size,
       filesRewritten = rewrittenFiles,
       filesTotalAfter = allAlive.length - retired.size + freshNames.size)
@@ -419,31 +459,13 @@ object DataLayout {
     // SURVIVE the delete, not vanish with it
     val survivors = hitData.where(!coalesce(rowPred, lit(false)))
     val v = currentVersion(spark, dir) + 1
-    val fs = fsOf(spark, dir)
-    val stage = s"$dir/_graft_delete_stage"
     // keep survivors clustered: one range exchange over ONLY the hit files'
     // rows, one output file per original hit file (sizes stay comparable)
-    survivors.withColumn("_graft_z", zOrderKey(dims, bits))
-      .repartitionByRange(math.max(1, hitRaw.size), col("_graft_z"))
-      .sortWithinPartitions("_graft_z")
-      .drop("_graft_z")
-      .write.mode("overwrite").parquet(stage)
-    val freshNames = scala.collection.mutable.ArrayBuffer.empty[String]
-    for ((sf, i) <- listDataFiles(spark, stage).zipWithIndex) {
-      val src = new org.apache.hadoop.fs.Path(sf)
-      val dst = new org.apache.hadoop.fs.Path(dir, s"delete_v${v}_${i}_${src.getName}")
-      require(fs.rename(src, dst), s"rename failed: $src -> $dst")
-      freshNames += dst.toString
-    }
-    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-    val freshStats =
-      if (freshNames.isEmpty) None
-      else Some(fileStats(
-        spark.read.parquet(freshNames.toSeq: _*), dims, bits, statsCols)
-        .withColumn("v_added", lit(v))
-        .withColumn("v_removed", lit(null).cast("long")))
+    val freshNames = stageRename(spark, dir, s"$dir/_graft_delete_stage",
+      s"delete_v$v", survivors, math.max(1, hitRaw.size), dims, bits)
     val tomb = tombstones(aliveDf, hitRaw, v)
-    appendLog(dir, freshStats.map(_.unionByName(tomb)).getOrElse(tomb))
+    appendLog(dir, freshStatsFor(spark, freshNames, dims, bits, statsCols, v)
+      .map(_.unionByName(tomb)).getOrElse(tomb))
     DeleteReport(hitRaw.size, deleted,
       aliveCount - hitRaw.size + freshNames.size)
   }
@@ -548,13 +570,32 @@ object DataLayout {
   def tableStatsFromManifest(spark: SparkSession, dir: String,
       version: Long = Latest): DataFrame = {
     val alive = aliveManifest(spark, dir, version)
+    val cols = alive.columns.toSet
     val statNames = alive.columns.collect { case c if c.startsWith("min_") =>
       c.stripPrefix("min_") }.toSeq.sorted
-    val aggs = Seq(sum(col("n_rows")).as("n_rows")) ++ statNames.flatMap(c =>
+    // a manifest written before the nulls_/hll_ schema extension (or a
+    // log mixing pre- and post-extension files under mergeSchema) reads
+    // NULL in those columns for the old rows — the additive stats then
+    // report NULL ("unknown") instead of a silent undercount. A file
+    // whose column is entirely null legitimately has a NULL sketch
+    // (hll_sketch_agg over zero non-null inputs); that is completeness,
+    // not a gap, hence the nulls_c = n_rows escape in the sketch guard.
+    val aggs = Seq(sum(col("n_rows")).as("n_rows")) ++ statNames.flatMap { c =>
+      val nullsAgg =
+        if (!cols(s"nulls_$c")) lit(null).cast("long").as(s"nulls_$c")
+        else when(bool_and(col(s"nulls_$c").isNotNull),
+          sum(col(s"nulls_$c"))).as(s"nulls_$c")
+      val ndvAgg =
+        if (!cols(s"hll_$c")) lit(null).cast("long").as(s"ndv_$c")
+        else when(
+          bool_and(coalesce(col(s"hll_$c").isNotNull ||
+            col(s"nulls_$c") === col("n_rows"), lit(false))),
+          coalesce(hll_sketch_estimate(
+            hll_union_agg(col(s"hll_$c"), lit(true))), lit(0L)))
+          .as(s"ndv_$c")
       Seq(min(col(s"min_$c")).as(s"min_$c"), max(col(s"max_$c")).as(s"max_$c"),
-        sum(col(s"nulls_$c")).as(s"nulls_$c"),
-        coalesce(hll_sketch_estimate(
-          hll_union_agg(col(s"hll_$c"), lit(true))), lit(0L)).as(s"ndv_$c")))
+        nullsAgg, ndvAgg)
+    }
     alive.agg(aggs.head, aggs.tail: _*)
   }
 
@@ -604,9 +645,14 @@ object DataLayout {
     require(delta.columns.sorted.sameElements(layoutCols.sorted),
       s"delta schema ${delta.columns.sorted.mkString(",")} != layout schema " +
         layoutCols.sorted.mkString(","))
-    val deltaKeys = delta.select(keyCols.map(col): _*).distinct()
+    // pin the delta ONCE: it is consulted three times (duplicate-key
+    // check, counts, the merged write), and a nondeterministic or
+    // concurrently-changing source must not pass validation on one
+    // evaluation and write different rows on another
+    val d = delta.localCheckpoint(true)
+    val deltaKeys = d.select(keyCols.map(col): _*).distinct()
       .localCheckpoint(true)
-    val deltaCount = delta.count()
+    val deltaCount = d.count()
     require(deltaKeys.count() == deltaCount,
       "mergeInto delta has duplicate keys — no defined winner; dedupe first")
     val delKeys = deleteKeys.map(_.select(keyCols.map(col): _*).distinct()
@@ -630,7 +676,7 @@ object DataLayout {
     // row (the two differ if the table carried duplicate keys), so
     // inserted = deltaCount - matchedKeys can never go negative
     val (survivors, updated, matchedKeys, deleted) =
-      if (hit.isEmpty) (delta.where(lit(false)), 0L, 0L, 0L)
+      if (hit.isEmpty) (d.where(lit(false)), 0L, 0L, 0L)
       else {
         val hitData = spark.read.parquet(hit: _*).localCheckpoint(false)
         val matched = hitData.join(deltaKeys, keyCols, "left_semi").count()
@@ -640,32 +686,15 @@ object DataLayout {
         (hitData.join(allKeys, keyCols, "left_anti"), matched, mKeys, nDel)
       }
     val merged = survivors.select(layoutCols.map(col): _*)
-      .unionByName(delta.select(layoutCols.map(col): _*))
-    val fs = fsOf(spark, dir)
-    val stage = s"$dir/_graft_merge_stage"
-    val z = "_graft_z"
-    merged.withColumn(z, zOrderKey(dims, bits))
-      .repartitionByRange(numFiles, col(z))
-      .sortWithinPartitions(z)
-      .drop(z)
-      .write.mode("overwrite").parquet(stage)
-    val freshNames = scala.collection.mutable.ArrayBuffer.empty[String]
-    for ((sf, i) <- listDataFiles(spark, stage).zipWithIndex) {
-      val src = new org.apache.hadoop.fs.Path(sf)
-      val dst = new org.apache.hadoop.fs.Path(dir, s"merge_v${v}_${i}_${src.getName}")
-      require(fs.rename(src, dst), s"rename failed: $src -> $dst")
-      freshNames += dst.toString
-    }
-    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-    // a pure-delete batch can leave zero merged rows, hence zero files
-    val freshStats =
-      if (freshNames.isEmpty) None
-      else Some(fileStats(
-        spark.read.parquet(freshNames.toSeq: _*), dims, bits, statsCols)
-        .withColumn("v_added", lit(v))
-        .withColumn("v_removed", lit(null).cast("long")))
+      .unionByName(d.select(layoutCols.map(col): _*))
+    // a pure-delete batch can leave zero merged rows, hence zero files —
+    // stageRename drops the writer's schema-only empty part file rather
+    // than committing an unmanifested orphan
+    val freshNames = stageRename(spark, dir, s"$dir/_graft_merge_stage",
+      s"merge_v$v", merged, numFiles, dims, bits)
     val tomb = tombstones(aliveDf, hit, v)
-    appendLog(dir, freshStats.map(_.unionByName(tomb)).getOrElse(tomb))
+    appendLog(dir, freshStatsFor(spark, freshNames, dims, bits, statsCols, v)
+      .map(_.unionByName(tomb)).getOrElse(tomb))
     MergeReport(filesRewritten = hit.size, rowsUpdated = updated,
       rowsInserted = deltaCount - matchedKeys, rowsDeleted = deleted,
       filesTotalAfter = aliveCount - hit.size + freshNames.size)
@@ -785,23 +814,38 @@ object DataLayout {
     require(fsOf(spark, dir).exists(new org.apache.hadoop.fs.Path(idxDir)),
       s"no bloom index for column '$column' at $dir — run buildBloomIndex first")
     val alive = aliveManifest(spark, dir, version).select("file")
+    val firstAlive = alive.head(1) // empty-safe: a fully-deleted layout
+    if (firstAlive.isEmpty)
+      return BloomScan(emptyFrame(spark, dir).where(lit(false)),
+        filesRead = 0, filesSkipped = 0, filesUnindexed = 0)
     val idx = spark.read.parquet(idxDir)
     val head = idx.select("num_bits", "num_hashes").head()
     val (numBits, numHashes) = (head.getInt(0), head.getInt(1))
     val colType = spark.read.parquet(
-      alive.select("file").head().getString(0)).schema(column).dataType
-    val keyPositions: Array[Seq[Long]] = spark.range(1)
+      firstAlive(0).getString(0)).schema(column).dataType
+    // the probe side: ONE ROW PER KEY carrying its bit positions, computed
+    // by the very expression the build used, then tested against each
+    // file's filter as a broadcast semi join. (A literal boolean tree of
+    // keys × hashes element_at nodes would drive Catalyst analysis and
+    // generated-code size past its limits for realistic point-lookup
+    // batches; the join form keeps the PLAN O(1) no matter the batch.)
+    val keyPos = spark.range(1)
       .select(explode(array(keys.map(k => lit(k).cast(colType)): _*)).as("k"))
       .select(bloomPositions(col("k"), numBits, numHashes).as("pos"))
-      .collect().map(_.getSeq[Long](0))
-    val admits = keyPositions.map { pos =>
-      pos.map(p =>
-        element_at(col("bloom"), (p / 64).toInt + 1)
-          .bitwiseAND(lit(1L << (p % 64))) =!= 0).reduce(_ && _)
-    }.reduce(_ || _)
-    val verdicts = alive.join(idx.select("file", "bloom"), Seq("file"), "left")
-      .select(col("file"), col("bloom").isNull.as("unindexed"),
-        coalesce(col("bloom").isNull || admits, lit(false)).as("keep"))
+    // word/bit split mirrors the build exactly: word = (p / 64) as int,
+    // bit = pmod(p, 64) as int, mask = shiftleft(1L, bit)
+    val admitsAll = forall(col("pos"), p =>
+      element_at(col("bloom"), (p / 64).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          pmod(p, lit(64L)).cast("int"))) =!= 0)
+    val admitted = idx.select(col("file"), col("bloom"))
+      .join(broadcast(keyPos), admitsAll, "left_semi")
+      .select(col("file"), lit(true).as("_admit"))
+    val verdicts = alive
+      .join(idx.select(col("file"), lit(true).as("_indexed")), Seq("file"), "left")
+      .join(admitted, Seq("file"), "left")
+      .select(col("file"), col("_indexed").isNull.as("unindexed"),
+        (col("_indexed").isNull || col("_admit").isNotNull).as("keep"))
       .collect() // O(files): names + two booleans, never blobs or rows
     val kept = verdicts.filter(_.getBoolean(2)).map(_.getString(0))
     val unindexed = verdicts.count(_.getBoolean(1))

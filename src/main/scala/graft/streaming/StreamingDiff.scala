@@ -320,35 +320,20 @@ object StreamingDiff {
     val commitP = new org.apache.hadoop.fs.Path(dir, "_graft_stream_commit")
     val intentP = new org.apache.hadoop.fs.Path(dir, "_graft_stream_intent")
     val fs = commitP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // drain fully — a single read() may legally return a prefix on remote
-    // filesystems, and a truncated id would replay batches
-    def readAll(p: org.apache.hadoop.fs.Path): Option[String] =
-      if (!fs.exists(p)) None
-      else {
-        val in = fs.open(p)
-        try {
-          val bos = new java.io.ByteArrayOutputStream(64)
-          val buf = new Array[Byte](64)
-          var n = in.read(buf)
-          while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
-          Some(bos.toString("UTF-8").trim)
-        } finally in.close()
-      }
-    def write(p: org.apache.hadoop.fs.Path, s: String): Unit = {
-      val out = fs.create(p, true)
-      try out.write(s.getBytes("UTF-8")) finally out.close()
-    }
-    val committedId = readAll(commitP).map(_.toLong).getOrElse(-1L)
+    val committedId = readMarker(fs, commitP)
+      .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(-1L)
     if (id <= committedId) return // replayed micro-batch: already on disk
-    val intent = readAll(intentP).map { s =>
-      val parts = s.split(":"); (parts(0).toLong, parts(1).toLong)
+    val intent = readMarker(fs, intentP).flatMap { s =>
+      scala.util.Try {
+        val parts = s.split(":"); (parts(0).toLong, parts(1).toLong)
+      }.toOption
     }
     val logVer = DataLayout.currentVersion(spark, dir)
     val appendAlreadyCommitted = intent.exists { case (iid, base) =>
       iid == id && logVer > base
     }
     if (!appendAlreadyCommitted) {
-      if (intent.forall(_._1 != id)) write(intentP, s"$id:$logVer")
+      if (intent.forall(_._1 != id)) writeMarker(fs, intentP, s"$id:$logVer")
       if (!batch.isEmpty) {
         if (logVer < 0L)
           DataLayout.writeZOrdered(batch, dims, bits, statsCols, dir, filesPerBatch)
@@ -358,9 +343,36 @@ object StreamingDiff {
     }
     if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
       DataLayout.compactZOrdered(spark, dir, dims, bits, statsCols, rowsPerFile)
-    write(commitP, id.toString)
+    writeMarker(fs, commitP, id.toString)
     fs.delete(intentP, false)
     ()
+  }
+
+  /** Drain a marker file fully — a single read() may legally return a
+    * prefix on remote filesystems, and a truncated id would replay
+    * batches. Callers parse the string TOLERANTLY (`Try(_.toLong)`): a
+    * marker that exists but does not parse is the zero-byte/partial
+    * residue of a crash DURING the non-atomic marker write, and must read
+    * as ABSENT — the worst case is one redundant re-run of an idempotent
+    * batch body, never a stream permanently wedged on a parse throw. */
+  private def readMarker(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bos = new java.io.ByteArrayOutputStream(64)
+        val buf = new Array[Byte](64)
+        var n = in.read(buf)
+        while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        Some(bos.toString("UTF-8").trim)
+      } finally in.close()
+    }
+
+  private def writeMarker(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
   }
 
   /** Streaming CDC apply: each micro-batch of change events (upserts +
@@ -398,18 +410,8 @@ object StreamingDiff {
     val spark = batch.sparkSession
     val commitP = new org.apache.hadoop.fs.Path(dir, "_graft_cdc_commit")
     val fs = commitP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val committed: Long =
-      if (!fs.exists(commitP)) -1L
-      else {
-        val in = fs.open(commitP)
-        try {
-          val bos = new java.io.ByteArrayOutputStream(64)
-          val buf = new Array[Byte](64)
-          var n = in.read(buf)
-          while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
-          bos.toString("UTF-8").trim.toLong
-        } finally in.close()
-      }
+    val committed: Long = readMarker(fs, commitP)
+      .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(-1L)
     if (id <= committed) return // replayed micro-batch: already applied
     if (!batch.isEmpty) {
       // last-event-wins per key within the batch (seqCol is the total
@@ -419,7 +421,10 @@ object StreamingDiff {
       val last = batch.withColumn("_graft_rn", row_number().over(w))
         .where(col("_graft_rn") === 1).drop("_graft_rn")
         .localCheckpoint(true)
-      val ups = last.where(col(opCol) =!= "D").drop(opCol, seqCol)
+      // null-safe: an event whose op is NULL must UPSERT per the
+      // "anything other than 'D' upserts" contract, not vanish from both
+      // branches the way a plain =!= filter would silently drop it
+      val ups = last.where(!(col(opCol) <=> "D")).drop(opCol, seqCol)
       val dels = last.where(col(opCol) === "D")
         .select(keyCols.map(col): _*)
       if (DataLayout.currentVersion(spark, dir) < 0L) {
@@ -432,8 +437,7 @@ object StreamingDiff {
           deleteKeys = if (dels.isEmpty) None else Some(dels))
       }
     }
-    val out = fs.create(commitP, true)
-    try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+    writeMarker(fs, commitP, id.toString)
     ()
   }
 

@@ -448,4 +448,78 @@ class LayoutSpec extends AnyFunSuite {
     val scan = DataLayout.bloomScan(spark, dir, "id", Seq(42, 777))
     assert(scan.df.select("id").as[Long].collect().sorted.toSeq == Seq(42L, 777L))
   }
+
+  test("pure-delete merge commits no orphan file; bloomScan survives empty") {
+    val dir = Files.createTempDirectory("graft_layout_spec").toString + "/t"
+    val base = (0 until 1000).map(i => (i.toLong, s"v$i")).toDF("id", "payload")
+    DataLayout.writeZOrdered(base, Seq(col("id")), 16, Seq("id"), dir, 4)
+    DataLayout.buildBloomIndex(spark, dir, "id")
+    // delete EVERY row via deleteKeys with an empty upsert delta: the
+    // merged frame is empty, so the writer's schema-only part file must
+    // be dropped, not renamed into the layout as an unmanifested orphan
+    val emptyDelta = base.where(lit(false))
+    val allKeys = base.select("id")
+    val rep = DataLayout.mergeInto(spark, dir, Seq(col("id")), 16,
+      Seq("id"), emptyDelta, Seq("id"), numFiles = 2,
+      deleteKeys = Some(allKeys))
+    assert(rep.rowsDeleted == 1000 && rep.rowsUpdated == 0 && rep.rowsInserted == 0)
+    assert(rep.filesTotalAfter == 0, s"orphan counted: $rep")
+    assert(DataLayout.aliveManifest(spark, dir).count() == 0L)
+    // no merge_v* data file may exist on disk — a plain reader of the dir
+    // sees only the (tombstoned) originals, never a stray empty file
+    val onDisk = new java.io.File(dir).listFiles.map(_.getName)
+      .filter(_.endsWith(".parquet"))
+    assert(!onDisk.exists(_.startsWith("merge_v")), onDisk.mkString(","))
+    // readLayout on the empty version yields a typed empty frame
+    assert(DataLayout.readLayout(spark, dir).count() == 0L)
+    // bloomScan on a zero-alive-files layout: empty result, no crash
+    val scan = DataLayout.bloomScan(spark, dir, "id", Seq(5L))
+    assert(scan.filesRead == 0 && scan.df.count() == 0L)
+  }
+
+  test("bloomScan stays plannable for a large point-lookup batch") {
+    val dir = Files.createTempDirectory("graft_layout_spec").toString + "/t"
+    writeSample(dir, n = 4000, files = 8)
+    DataLayout.buildBloomIndex(spark, dir, "id")
+    // 2000 probe keys x 4 hashes as a literal predicate tree would blow
+    // past codegen limits; the join-based probe keeps the plan O(1)
+    val keys: Seq[Any] = (0 until 2000).map(i => (i * 2).toLong)
+    val scan = DataLayout.bloomScan(spark, dir, "id", keys)
+    val want = spark.read.parquet(dir)
+      .where(col("id").isin(keys: _*)).count()
+    assert(scan.df.count() == want && want == 2000L)
+  }
+
+  test("tableStats over a pre-extension manifest reports unknown, not wrong") {
+    val dir = Files.createTempDirectory("graft_layout_spec").toString + "/t"
+    val base = (0 until 1000).map(i => (i.toLong, s"v$i")).toDF("id", "payload")
+    DataLayout.writeZOrdered(base, Seq(col("id")), 16, Seq("id"), dir, 4)
+    // simulate a manifest written BEFORE the nulls_/hll_ stats extension:
+    // strip those columns from the existing log in place
+    val manifestDir = s"$dir/${DataLayout.ManifestDir}"
+    val old = spark.read.parquet(manifestDir)
+      .drop("nulls_id", "hll_id").collect()
+    val oldSchema = spark.read.parquet(manifestDir)
+      .drop("nulls_id", "hll_id").schema
+    val tmp = Files.createTempDirectory("graft_layout_spec").toString + "/m"
+    spark.createDataFrame(java.util.Arrays.asList(old: _*), oldSchema)
+      .write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(manifestDir), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(manifestDir))
+    // a new-schema append lands next to the old-schema log files
+    val delta = (1000 until 1200).map(i => (i.toLong, s"v$i")).toDF("id", "payload")
+    DataLayout.appendZOrdered(delta, Seq(col("id")), 16, Seq("id"), dir, 1)
+    // mergeSchema keeps every column visible; additive stats fed by any
+    // old-schema row must surface as NULL (unknown), never undercount
+    val stats = DataLayout.tableStatsFromManifest(spark, dir).head()
+    assert(stats.getAs[Long]("n_rows") == 1200L)
+    assert(stats.getAs[Long]("min_id") == 0L && stats.getAs[Long]("max_id") == 1199L)
+    assert(stats.isNullAt(stats.fieldIndex("nulls_id")),
+      "nulls over a partly pre-extension manifest must be unknown")
+    assert(stats.isNullAt(stats.fieldIndex("ndv_id")),
+      "ndv over a partly pre-extension manifest must be unknown")
+  }
 }

@@ -147,4 +147,55 @@ class StreamingLayoutSpec extends AnyFunSuite {
     ingest(4L, 40000L)
     assert(DataLayout.readLayout(spark, dir).count() == 1500L)
   }
+
+  test("a marker truncated by a crash mid-write reads as absent, not a wedge") {
+    val dir = Files.createTempDirectory("graft_slayout").toString + "/t"
+    val dims = Seq(col("x"), col("y"))
+    def ingest(id: Long, base: Long): Unit =
+      StreamingDiff.ingestBatch(batchDf(base, 300), id, dims, 16,
+        Seq("x", "y"), dir, filesPerBatch = 2, compactEvery = 0, rowsPerFile = 1000L)
+    ingest(0L, 0L)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    // crash DURING the commit-marker write of batch 1: append + manifest
+    // committed, intent still present, commit marker left ZERO-BYTE
+    val ver0 = DataLayout.currentVersion(spark, dir)
+    val intent = new org.apache.hadoop.fs.Path(dir, "_graft_stream_intent")
+    val o = fs.create(intent, true)
+    o.write(s"1:$ver0".getBytes("UTF-8")); o.close()
+    DataLayout.appendZOrdered(batchDf(10000L, 300), dims, 16, Seq("x", "y"),
+      dir, numFiles = 2)
+    val commit = new org.apache.hadoop.fs.Path(dir, "_graft_stream_commit")
+    fs.create(commit, true).close() // zero-byte residue
+    // the retry must neither throw NumberFormatException forever nor
+    // re-append: intent says batch 1's manifest already committed
+    ingest(1L, 10000L)
+    assert(DataLayout.readLayout(spark, dir).count() == 600L)
+    ingest(2L, 20000L)
+    assert(DataLayout.readLayout(spark, dir).count() == 900L)
+    // same for the CDC sink's marker: zero-byte marker, replayed batch —
+    // mergeInto is idempotent, so the re-apply converges with no dupes
+    val cdcDir = Files.createTempDirectory("graft_slayout").toString + "/c"
+    def cdc(id: Long, rows: Seq[(Long, String, String, Long)]): Unit =
+      StreamingDiff.cdcMergeBatch(rows.toDF("id", "payload", "op", "seq"),
+        id, Seq(col("id")), 16, Seq("id"), cdcDir, Seq("id"), "op", "seq", 2)
+    cdc(0L, (0 until 100).map(i => (i.toLong, s"v$i", "I", 1L)))
+    val cdcCommit = new org.apache.hadoop.fs.Path(cdcDir, "_graft_cdc_commit")
+    fs.create(cdcCommit, true).close() // zero-byte residue
+    cdc(0L, (0 until 100).map(i => (i.toLong, s"v$i", "I", 1L))) // replay
+    assert(DataLayout.readLayout(spark, cdcDir).count() == 100L)
+  }
+
+  test("a CDC event with a NULL op upserts per contract, never vanishes") {
+    val dir = Files.createTempDirectory("graft_slayout").toString + "/t"
+    def cdc(id: Long, rows: Seq[(Long, String, String, Long)]): Unit =
+      StreamingDiff.cdcMergeBatch(rows.toDF("id", "payload", "op", "seq"),
+        id, Seq(col("id")), 16, Seq("id"), dir, Seq("id"), "op", "seq", 2)
+    cdc(0L, (0 until 50).map(i => (i.toLong, s"v$i", "I", 1L)))
+    // op = NULL is "any other value" per the scaladoc -> upsert
+    cdc(1L, Seq((7L, "NULLOP7", null, 2L), (99L, "NEW99", null, 2L)))
+    val got = DataLayout.readLayout(spark, dir)
+      .select("id", "payload").as[(Long, String)].collect().toMap
+    assert(got(7L) == "NULLOP7" && got(99L) == "NEW99" && got.size == 51)
+  }
 }
