@@ -272,7 +272,7 @@ object DataLayout {
 
   /** Scheme-insensitive canonical form for comparing file names coming
     * from `input_file_name()` (file:///x) vs Hadoop listings (file:/x). */
-  private def canon(p: String): String =
+  private[layout] def canon(p: String): String =
     new org.apache.hadoop.fs.Path(p).toUri.getPath
 
   private def fsOf(spark: SparkSession, dir: String) =
@@ -283,7 +283,7 @@ object DataLayout {
     * excluded) — via the Hadoop FileSystem API, so the same code lists
     * local dirs in tests and object stores on a cluster. Includes retired
     * files until [[vacuum]]; version-aware readers use [[aliveManifest]]. */
-  private def listDataFiles(spark: SparkSession, dir: String): Seq[String] = {
+  private[layout] def listDataFiles(spark: SparkSession, dir: String): Seq[String] = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = fsOf(spark, dir)
     if (!fs.exists(path)) Seq.empty

@@ -1,0 +1,259 @@
+package graft.layout
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+/** A Catalyst-integrated [[FileIndex]] over a graft layout's manifest: the
+  * min/max envelope (and, for point predicates, the per-file Bloom index)
+  * prune files INSIDE query planning, so ANY query shape — SQL, joins,
+  * aggregates, whatever Catalyst pushes a data filter out of — skips files
+  * automatically. [[DataLayout.skipScan]]/[[DataLayout.bloomScan]] ask the
+  * caller to hand intervals/keys in; this class is the production spelling
+  * where the QUERY carries the predicate:
+  *
+  * {{{
+  *   DataLayout.readLayoutIndexed(spark, dir)
+  *     .where($"tenant" === 7 && $"price" between (10, 20))   // prunes files
+  *     .join(dim, "k")                                        // still prunes
+  * }}}
+  *
+  * Mechanics: Spark's `FileSourceStrategy` calls
+  * `listFiles(partitionFilters, dataFilters)` with the pushed data filters
+  * as Catalyst expressions. Each top-level conjunct is rewritten into a
+  * THREE-VALUED "may this file match" predicate over the manifest row
+  * (`a = v`   → `min_a <= v && max_a >= v`;
+  *  `a < v`   → `min_a < v`;
+  *  `a IN …`  → OR of the point tests, plus a Bloom-bitmap probe when
+  *              [[DataLayout.buildBloomIndex]] has covered the column;
+  *  `a IS NOT NULL` → `nulls_a < n_rows`, so all-NULL files drop;
+  *  unknown shapes → no pruning, never a wrong answer) and evaluated on
+  * the driver against the O(files) manifest snapshot — the same
+  * planning-time metadata cost Delta/Iceberg pay. Files a predicate can
+  * not rule out are scanned, and the row-level filter STILL applies inside
+  * the scan, so pruning is invisible to results (false positives read
+  * extra bytes; false negatives cannot happen because min/max/null-count
+  * envelopes and Bloom filters are one-sided by construction).
+  *
+  * The snapshot pins `version` at construction (snapshot isolation — a
+  * concurrent mutation does not shift this frame mid-query); build a new
+  * index (or call [[refresh]]) to see later versions.
+  *
+  * The Bloom probe hashes each literal key on the DRIVER with the very
+  * same `XxHash64` expression the build used, and tests the per-file
+  * bitmaps loaded once per column (numBits/8 bytes per file — 1 KiB at
+  * the default 8192 bits; a deployment with millions of small files
+  * should raise file sizes before raising driver heap).
+  */
+class GraftFileIndex(spark: SparkSession, dir: String,
+    version: Long = DataLayout.Latest) extends FileIndex {
+
+  private val hadoopConf = spark.sparkContext.hadoopConfiguration
+  private val fs = new Path(dir).getFileSystem(hadoopConf)
+
+  // O(files) planning-time snapshot: manifest stats rows as InternalRows
+  // (internal types, so Catalyst comparisons run on them directly) plus
+  // each alive file's FileStatus for the scan.
+  private var snapshot: (StructType, Array[InternalRow], Array[FileStatus]) = load()
+  private def manifestSchema = snapshot._1
+  private def rows = snapshot._2
+  private def statuses = snapshot._3
+
+  private def load(): (StructType, Array[InternalRow], Array[FileStatus]) = {
+    val df = DataLayout.aliveManifest(spark, dir, version)
+    val schema = df.schema
+    val collected = df.queryExecution.executedPlan.executeCollect()
+      .map(_.copy()) // executeCollect may reuse row buffers
+    val fileOrd = schema.fieldIndex("file")
+    val stats = collected.map(r =>
+      fs.getFileStatus(new Path(r.getUTF8String(fileOrd).toString)))
+    (schema, collected, stats)
+  }
+
+  /** (files kept, files total) of the most recent `listFiles` — the
+    * pruning evidence specs and reports read. */
+  @volatile var lastPruning: Option[(Int, Int)] = None
+
+  override def rootPaths: Seq[Path] = Seq(new Path(dir))
+  override def partitionSchema: StructType = new StructType()
+  override def inputFiles: Array[String] = statuses.map(_.getPath.toString)
+  override def sizeInBytes: Long = statuses.map(_.getLen).sum
+  override def refresh(): Unit = { snapshot = load(); bloomCache.clear() }
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val preds = dataFilters.flatMap(envelope).map(Predicate.create)
+    val bloomDrop: Set[Int] = bloomRejected(dataFilters)
+    val kept = rows.indices.filter(i =>
+      !bloomDrop(i) && preds.forall(_.eval(rows(i))))
+    lastPruning = Some((kept.size, rows.length))
+    Seq(PartitionDirectory(InternalRow.empty,
+      kept.map(statuses).toArray[FileStatus]))
+  }
+
+  // ---- envelope rewrite ---------------------------------------------------
+
+  private lazy val fieldIdx: Map[String, Int] =
+    manifestSchema.fieldNames.zipWithIndex.toMap
+
+  private def bref(name: String): Option[BoundReference] =
+    fieldIdx.get(name).map { i =>
+      val f = manifestSchema(i); BoundReference(i, f.dataType, f.nullable)
+    }
+
+  /** `[min_c, max_c]` meets `[lo, hi]` — None when the manifest has no
+    * stats for `c` or the literal's type differs from the stored one
+    * (Catalyst would only push a same-type comparison on a raw attribute;
+    * anything else conservatively reads everything). NULL stats (all-NULL
+    * column in that file) evaluate to NULL → `Predicate.eval` false →
+    * file dropped, which is correct: NULL never satisfies a range. */
+  private def rangeHit(c: String, lo: Literal, hi: Literal): Option[Expression] =
+    for {
+      mn <- bref(s"min_$c"); mx <- bref(s"max_$c")
+      if mn.dataType == lo.dataType && mx.dataType == hi.dataType
+    } yield And(GreaterThanOrEqual(mx, lo), LessThanOrEqual(mn, hi))
+
+  private def cmp(c: String, l: Literal,
+      mk: (Expression, Expression) => Expression, stat: String): Option[Expression] =
+    bref(s"${stat}_$c").filter(_.dataType == l.dataType).map(b => mk(b, l))
+
+  /** The smallest string no `p`-prefixed string reaches (None when every
+    * char of `p` is ￿): increment the last non-max char, drop the
+    * rest. UTF-8 byte order (what Catalyst compares) preserves it. */
+  private def prefixCeiling(p: String): Option[String] = {
+    val i = p.lastIndexWhere(_ != Char.MaxValue)
+    if (i < 0) None else Some(p.substring(0, i) :+ (p.charAt(i) + 1).toChar)
+  }
+
+  private def envelope(e: Expression): Option[Expression] = e match {
+    case And(l, r) => (envelope(l), envelope(r)) match {
+      case (Some(a), Some(b)) => Some(And(a, b))
+      case (a, b) => a.orElse(b)
+    }
+    // a disjunct prunes only if BOTH branches rewrite
+    case Or(l, r) => for { a <- envelope(l); b <- envelope(r) } yield Or(a, b)
+    case EqualTo(a: AttributeReference, l: Literal) => rangeHit(a.name, l, l)
+    case EqualTo(l: Literal, a: AttributeReference) => rangeHit(a.name, l, l)
+    case EqualNullSafe(a: AttributeReference, l: Literal) if l.value != null =>
+      rangeHit(a.name, l, l)
+    case EqualNullSafe(l: Literal, a: AttributeReference) if l.value != null =>
+      rangeHit(a.name, l, l)
+    case LessThan(a: AttributeReference, l: Literal) => cmp(a.name, l, LessThan, "min")
+    case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+      cmp(a.name, l, LessThanOrEqual, "min")
+    case GreaterThan(a: AttributeReference, l: Literal) => cmp(a.name, l, GreaterThan, "max")
+    case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+      cmp(a.name, l, GreaterThanOrEqual, "max")
+    // mirrored literal-on-left forms
+    case LessThan(l: Literal, a: AttributeReference) => cmp(a.name, l, GreaterThan, "max")
+    case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+      cmp(a.name, l, GreaterThanOrEqual, "max")
+    case GreaterThan(l: Literal, a: AttributeReference) => cmp(a.name, l, LessThan, "min")
+    case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+      cmp(a.name, l, LessThanOrEqual, "min")
+    case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      val hits = vs.map(v => rangeHit(a.name, v.asInstanceOf[Literal],
+        v.asInstanceOf[Literal]))
+      if (hits.exists(_.isEmpty)) None else Some(hits.flatten.reduce(Or))
+    case InSet(a: AttributeReference, vs) =>
+      val hits = vs.toSeq.map(v =>
+        rangeHit(a.name, Literal(v, a.dataType), Literal(v, a.dataType)))
+      if (hits.isEmpty || hits.exists(_.isEmpty)) None
+      else Some(hits.flatten.reduce(Or))
+    case IsNull(a: AttributeReference) =>
+      bref(s"nulls_${a.name}").map(n => GreaterThan(n, Literal(0L, LongType)))
+    case IsNotNull(a: AttributeReference) =>
+      for { n <- bref(s"nulls_${a.name}"); t <- bref("n_rows") }
+        yield LessThan(n, t)
+    case StartsWith(a: AttributeReference, l @ Literal(_, StringType))
+        if l.value != null =>
+      val p = l.value.toString
+      for { lo <- cmp(a.name, Literal(p), GreaterThanOrEqual, "max") } yield
+        prefixCeiling(p).flatMap(c => cmp(a.name, Literal(c), LessThan, "min"))
+          .map(And(lo, _)).getOrElse(lo)
+    case _ => None // unknown shapes never prune — extra I/O, never a wrong answer
+  }
+
+  // ---- bloom probe --------------------------------------------------------
+
+  /** Per-column bitmaps, loaded once: canon(file) → bits, + params. */
+  private val bloomCache =
+    scala.collection.mutable.Map.empty[String, Option[(Map[String, Array[Long]], Int, Int)]]
+
+  private def bloomFor(column: String): Option[(Map[String, Array[Long]], Int, Int)] =
+    bloomCache.getOrElseUpdate(column, {
+      val p = new Path(s"$dir/${DataLayout.BloomDir}/$column")
+      if (!fs.exists(p)) None
+      else {
+        val idx = spark.read.parquet(p.toString)
+          .select("file", "bloom", "num_bits", "num_hashes").collect()
+        if (idx.isEmpty) None
+        else Some((
+          idx.map(r => DataLayout.canon(r.getString(0)) ->
+            r.getSeq[Long](1).toArray).toMap,
+          idx.head.getInt(2), idx.head.getInt(3)))
+      }
+    })
+
+  /** Row indices a Bloom filter REJECTS for some top-level point predicate
+    * (`=`, `IN`, `INSET`) on an indexed column. Unindexed files are never
+    * rejected. Key hashing replays the build's expression exactly:
+    * `xxhash64(value, hashIndex)` = `XxHash64(Seq(v, i), seed = 42)`. */
+  private def bloomRejected(dataFilters: Seq[Expression]): Set[Int] = {
+    val fileOrd = manifestSchema.fieldIndex("file")
+    val points: Seq[(String, Seq[Literal])] = dataFilters.flatMap {
+      case EqualTo(a: AttributeReference, l: Literal) => Some(a.name -> Seq(l))
+      case EqualTo(l: Literal, a: AttributeReference) => Some(a.name -> Seq(l))
+      case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        Some(a.name -> vs.map(_.asInstanceOf[Literal]))
+      case InSet(a: AttributeReference, vs) =>
+        Some(a.name -> vs.toSeq.map(v => Literal(v, a.dataType)))
+      case _ => None
+    }
+    val rejected = scala.collection.mutable.Set.empty[Int]
+    for ((colName, keys) <- points; (bits, numBits, numHashes) <- bloomFor(colName)
+         if keys.forall(_.value != null)) {
+      // positions per key, hashed exactly as the build hashed rows
+      val keyPositions: Seq[Array[Int]] = keys.map { k =>
+        Array.tabulate(numHashes) { i =>
+          val h = XxHash64(Seq(k, Literal(i)), 42L).eval(InternalRow.empty)
+            .asInstanceOf[Long]
+          (((h % numBits) + numBits) % numBits).toInt
+        }
+      }
+      for (r <- rows.indices) {
+        val f = DataLayout.canon(rows(r).getUTF8String(fileOrd).toString)
+        bits.get(f).foreach { bm => // unindexed file: never rejected
+          val admits = keyPositions.exists(_.forall(p =>
+            (bm(p / 64) & (1L << (p % 64))) != 0))
+          if (!admits) rejected += r
+        }
+      }
+    }
+    rejected.toSet
+  }
+}
+
+object GraftFileIndex {
+  /** The layout as a Catalyst-planned DataFrame: queries prune files
+    * through the manifest (and Bloom index) automatically — see
+    * [[GraftFileIndex]]. Returns the frame plus its index so callers can
+    * read the pruning evidence. */
+  def readLayoutIndexed(spark: SparkSession, dir: String,
+      version: Long = DataLayout.Latest): (DataFrame, GraftFileIndex) = {
+    val index = new GraftFileIndex(spark, dir, version)
+    val any = DataLayout.listDataFiles(spark, dir)
+    require(any.nonEmpty,
+      s"layout at $dir has no data files to infer a schema from")
+    val schema = spark.read.parquet(any.head).schema
+    val rel = HadoopFsRelation(index, new StructType(), schema, None,
+      new ParquetFileFormat, Map.empty[String, String])(spark)
+    val df = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .baseRelationToDataFrame(rel)
+    (df, index)
+  }
+}

@@ -226,6 +226,32 @@ object LayoutQueries {
           col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       v1.unionByName(d12).orderBy("state", "o_orderkey")
     }),
+
+    // The Catalyst-integrated FileIndex: the layout read as a DataFrame
+    // whose QUERY predicates prune files inside planning — no intervals
+    // or keys handed to a helper API; the WHERE itself reaches the
+    // manifest (and the o_orderkey bloom) via GraftFileIndex.listFiles.
+    // The oracle is the plain WHERE over orders (pruning must be
+    // invisible to results); FileIndexSpec asserts the files actually
+    // skipped, bloom rejection, snapshot isolation, and the
+    // unknown-shape full-scan fallback.
+    "q_layout_sql" -> ((s, d) => {
+      val dir = layoutDir(d) + "_fi"
+      DataLayout.writeZOrdered(
+        Tables.load(s, d, "orders"),
+        Seq(col("o_custkey"), cents("o_totalprice")), Bits,
+        statsCols = Seq("o_custkey", "o_totalprice", "o_orderkey"),
+        outDir = dir, numFiles = 16)
+      DataLayout.buildBloomIndex(s, dir, "o_orderkey")
+      val (ldf, _) = graft.layout.GraftFileIndex.readLayoutIndexed(s, dir)
+      // 2-D range (envelope) + a point-lookup disjunct (bloom): both
+      // prune; the union shape exercises Or-rewrite + IN-rewrite at once
+      ldf.where((col("o_custkey").between(100L, 220L) &&
+          col("o_totalprice") > 100000.0) ||
+          col("o_orderkey").isin(3L, 999L, 10000000L))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -298,5 +324,12 @@ object LayoutQueries {
         |SELECT 'diff-' AS state, o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_custkey BETWEEN 100 AND 220
         |ORDER BY state, o_orderkey""".stripMargin,
+
+    "q_layout_sql" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE (o_custkey BETWEEN 100 AND 220 AND o_totalprice > 100000)
+        |   OR o_orderkey IN (3, 999, 10000000)
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }
