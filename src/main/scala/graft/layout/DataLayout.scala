@@ -551,6 +551,55 @@ object DataLayout {
   final case class VersionDiff(df: DataFrame, filesReadA: Int,
       filesReadB: Int, filesUnchanged: Int)
 
+  /** Row-level CHANGE FEED over `(fromVersion, toVersion]`: one row per
+    * changed row per version STEP — `sign` ('-' left / '+' arrived), the
+    * `version` that did it, then key + compare columns. The CDC read side
+    * of the layout (Delta's table_changes / CDF), derived rather than
+    * stored: each step v→v+1 goes through [[diffVersions]], so a step
+    * reads ONLY the files present in exactly one of its two versions —
+    * a feed over k steps costs the churn of those k steps, never k table
+    * scans, and a file-moving-but-row-preserving step (compaction,
+    * recluster) correctly contributes ZERO rows. */
+  def changeFeed(spark: SparkSession, dir: String, fromVersion: Long,
+      toVersion: Long, keyCols: Seq[String],
+      compareCols: Seq[String] = Nil): DataFrame = {
+    require(fromVersion < toVersion,
+      s"changeFeed needs fromVersion < toVersion: $fromVersion >= $toVersion")
+    require(toVersion <= currentVersion(spark, dir),
+      s"toVersion $toVersion beyond the log's ${currentVersion(spark, dir)}")
+    (fromVersion until toVersion).map { v =>
+      diffVersions(spark, dir, v, v + 1, keyCols, compareCols).df
+        .withColumn("version", lit(v + 1))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Re-cluster the ENTIRE layout by NEW dimensions as one new version —
+    * the OPTIMIZE ZORDER BY (new dims) migration when query patterns
+    * change. A full rewrite by construction (every row can move), priced
+    * accordingly: one range exchange over the whole table. History stays
+    * readable until [[vacuum]]; `statsCols` may differ from the previous
+    * layout's (tombstones keep their old stats schema — the log merges). */
+  def recluster(spark: SparkSession, dir: String, dims: Seq[Column],
+      bits: Int, statsCols: Seq[String], numFiles: Int): ReclusterReport = {
+    require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
+    val aliveDf = aliveManifest(spark, dir).localCheckpoint(true)
+    val files = aliveDf.select("file")
+      .collect().map(_.getString(0)).toSeq.sorted // O(files): paths only
+    require(files.nonEmpty, s"layout at $dir has no alive files to recluster")
+    val v = currentVersion(spark, dir) + 1
+    val data = spark.read.parquet(files: _*)
+    statsCols.foreach(c => require(data.columns.contains(c),
+      s"stats column '$c' not in ${data.columns.mkString(",")}"))
+    val fresh = stageRename(spark, dir, s"$dir/_graft_recluster_stage",
+      s"recluster_v$v", data, numFiles, dims, bits)
+    val tomb = tombstones(aliveDf, files, v)
+    appendLog(dir, freshStatsFor(spark, fresh, dims, bits, statsCols, v)
+      .map(_.unionByName(tomb, allowMissingColumns = true)).getOrElse(tomb))
+    ReclusterReport(filesBefore = files.size, filesAfter = fresh.size)
+  }
+
+  final case class ReclusterReport(filesBefore: Int, filesAfter: Int)
+
   // ---- manifest-only table stats -----------------------------------------
 
   /** Table-level statistics at `version` answered ENTIRELY from the

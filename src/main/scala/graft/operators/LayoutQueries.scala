@@ -252,6 +252,48 @@ object LayoutQueries {
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
         .orderBy("o_orderkey")
     }),
+
+    // Row-level change feed (the CDF read side of the layout): v0 writes
+    // ¾ of orders, v1 appends the rest, v2 deletes a key range — the feed
+    // over (0, 2] must emit exactly the '+' rows v1 appended and the '-'
+    // rows v2 deleted, each stamped with its version, at churn cost
+    // (files alive across a step are never read). The oracle replays both
+    // steps in SQL; VersionSpec pins the zero-row compaction step.
+    "q_layout_changefeed" -> ((s, d) => {
+      val dir = layoutDir(d) + "_cf"
+      val dims = Seq(col("o_custkey"), cents("o_totalprice"))
+      val stats = Seq("o_custkey", "o_totalprice")
+      val orders = Tables.load(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      DataLayout.writeZOrdered(orders.where(col("o_orderkey") % 4 =!= 0),
+        dims, Bits, stats, dir, numFiles = 12)                         // v0
+      DataLayout.appendZOrdered(orders.where(col("o_orderkey") % 4 === 0),
+        dims, Bits, stats, dir, numFiles = 4)                          // v1
+      DataLayout.deleteWhere(s, dir, dims, Bits, stats,
+        Seq(("o_custkey", 100L, 220L)))                                // v2
+      DataLayout.changeFeed(s, dir, 0L, 2L, Seq("o_orderkey"),
+          Seq("o_custkey", "o_totalprice"))
+        .orderBy("version", "sign", "o_orderkey")
+    }),
+
+    // Full re-cluster by NEW dimensions (query patterns changed): the
+    // table first lands z-ordered by (custkey, price), then reclusters by
+    // orderkey as one new version; a 1-D orderkey range through skipScan
+    // must prune well on the NEW layout and return the plain-WHERE rows.
+    // LayoutSpec pins content preservation + the pruning flip.
+    "q_layout_recluster" -> ((s, d) => {
+      val dir = layoutDir(d) + "_rc"
+      DataLayout.writeZOrdered(
+        Tables.load(s, d, "orders"),
+        Seq(col("o_custkey"), cents("o_totalprice")), Bits,
+        statsCols = Seq("o_custkey", "o_totalprice"),
+        outDir = dir, numFiles = 16)
+      DataLayout.recluster(s, dir, Seq(col("o_orderkey")), 24,
+        statsCols = Seq("o_orderkey"), numFiles = 16)
+      DataLayout.skipScan(s, dir, Seq(("o_orderkey", 1000L, 5000L))).df
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -330,6 +372,22 @@ object LayoutQueries {
         |FROM orders
         |WHERE (o_custkey BETWEEN 100 AND 220 AND o_totalprice > 100000)
         |   OR o_orderkey IN (3, 999, 10000000)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_layout_changefeed" ->
+      """SELECT '+' AS sign, CAST(1 AS BIGINT) AS version,
+        |       o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_orderkey % 4 = 0
+        |UNION ALL
+        |SELECT '-' AS sign, CAST(2 AS BIGINT) AS version,
+        |       o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_custkey BETWEEN 100 AND 220
+        |ORDER BY version, sign, o_orderkey""".stripMargin,
+
+    "q_layout_recluster" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey BETWEEN 1000 AND 5000
         |ORDER BY o_orderkey""".stripMargin,
   )
 }

@@ -128,6 +128,65 @@ class VersionSpec extends AnyFunSuite {
     assert(DataLayout.readLayout(spark, dir).count() == 10L)
   }
 
+  test("changeFeed: per-step rows at churn cost; compaction steps are empty") {
+    val dir = Files.createTempDirectory("graft_version").toString + "/t"
+    build(dir) // v0 write, v1 append, v2 delete
+    // a compaction step moves files but not rows — the feed must show it
+    // as ZERO change rows (the file-set diff sees only identical content)
+    DataLayout.compactZOrdered(spark, dir, dims, 16, Seq("x", "y"),
+      rowsPerFile = 5000L)                                            // v3
+    val feed = DataLayout.changeFeed(spark, dir, 0L,
+      DataLayout.currentVersion(spark, dir), Seq("id"), Seq("x", "y"))
+      .select("version", "sign", "id")
+      .as[(Long, String, Long)].collect().toSeq
+    val byVersion = feed.groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).sorted).toMap
+    // v1: the 500 appended ids arrive, nothing leaves
+    assert(byVersion(1L) == (10000 until 10500).map(i => ("+", i.toLong)))
+    // v2: exactly the deleted ids leave (from BOTH the base and the
+    // appended range — 10083..10236 wrap back under x = 2000), nothing
+    // arrives
+    val deleted = ((0 until 3000) ++ (10000 until 10500)).map(_.toLong)
+      .filter(i => (i * 13L) % 65536L <= 2000L).sorted
+    assert(byVersion(2L) == deleted.map(i => ("-", i)))
+    // v3 (compaction): no semantic change → no feed rows at all
+    assert(!byVersion.contains(3L), byVersion.getOrElse(3L, Nil).take(5).toString)
+    // contract refusals
+    intercept[IllegalArgumentException] {
+      DataLayout.changeFeed(spark, dir, 2L, 2L, Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      DataLayout.changeFeed(spark, dir, 0L, 99L, Seq("id"))
+    }
+  }
+
+  test("recluster: content identical, pruning flips to the new dimension") {
+    val dir = Files.createTempDirectory("graft_version").toString + "/t"
+    DataLayout.writeZOrdered(mk(0 until 8000), dims, 16, Seq("x", "y"),
+      dir, numFiles = 8)                                              // v0
+    val before = DataLayout.readLayout(spark, dir)
+      .select("id").as[Long].collect().sorted.toSeq
+    // an id-range scan on the (x, y) layout touches everything: id is
+    // uncorrelated with the clustering — no stats even exist for it
+    val rep = DataLayout.recluster(spark, dir, Seq(col("id")), 24,
+      statsCols = Seq("id", "x"), numFiles = 8)                       // v1
+    assert(rep.filesBefore == 8 && rep.filesAfter == 8)
+    // content byte-for-byte identical...
+    val after = DataLayout.readLayout(spark, dir)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(after == before)
+    // ...the change feed across the recluster is EMPTY (rows moved files,
+    // no row changed)...
+    assert(DataLayout.changeFeed(spark, dir, 0L, 1L, Seq("id"),
+      Seq("x", "y")).isEmpty)
+    // ...and an id range now prunes hard on the new clustering
+    val scan = DataLayout.skipScan(spark, dir, Seq(("id", 2000L, 2999L)))
+    assert(scan.filesRead <= 2, s"read ${scan.filesRead}/${scan.filesTotal}")
+    assert(scan.df.select("id").as[Long].collect().sorted.toSeq ==
+      (2000 until 3000).map(_.toLong))
+    // the old version remains readable (history intact until vacuum)
+    assert(DataLayout.readLayout(spark, dir, 0L).count() == 8000L)
+  }
+
   test("compact tolerates files whose z-stats are NULL (all-NULL dims)") {
     val dir = Files.createTempDirectory("graft_version").toString + "/t"
     DataLayout.writeZOrdered(mk(0 until 600), dims, 16, Seq("x", "y"),
