@@ -43,9 +43,17 @@ import org.apache.spark.sql.functions._
   *    table diffs; the reference engine re-bisects the full key range for
   *    every comparison instead (data_diff/table_segment.py).
   *
+  *  - DELETION VECTORS ([[deleteVectors]]) are the soft-delete fast path:
+  *    matching rows' COORDINATES (file, `_metadata.row_index`) land in an
+  *    append-only `_graft_dv` log as a new version; no data file is
+  *    touched. Every reader applies the version's mask with one anti
+  *    join; every rewrite (compaction, delete, merge, recluster,
+  *    [[purgeDeletes]]) applies-and-purges it. Delta/Iceberg's deletion
+  *    vectors / position deletes, from plain Spark primitives.
+  *
   * NOTE: a mutated layout must be read through [[readLayout]]/[[skipScan]]
   * (manifest-routed); a plain `spark.read.parquet(dir)` sees retired files
-  * too — the same contract Delta directories have.
+  * and soft-deleted rows too — the same contract Delta directories have.
   */
 object DataLayout {
 
@@ -106,14 +114,23 @@ object DataLayout {
   def manifestLog(spark: SparkSession, dir: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(manifestPath(dir))
 
-  /** Highest version number recorded in the log (−1 for a missing log). */
+  /** Highest version number recorded across the manifest log AND the
+    * deletion-vector log (a DV commit is a version like any other — time
+    * travel to just before it must un-hide its rows). −1 for a missing
+    * layout. */
   def currentVersion(spark: SparkSession, dir: String): Long = {
     val fs = fsOf(spark, dir)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(manifestPath(dir)))) -1L
-    else manifestLog(spark, dir)
-      .agg(max(greatest(coalesce(col("v_added"), lit(-1L)),
-        coalesce(col("v_removed"), lit(-1L)))))
-      .head().getLong(0)
+    val m =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(manifestPath(dir)))) -1L
+      else manifestLog(spark, dir)
+        .agg(max(greatest(coalesce(col("v_added"), lit(-1L)),
+          coalesce(col("v_removed"), lit(-1L)))))
+        .head().getLong(0)
+    val dv = dvLog(spark, dir)
+      .map(_.agg(max("v")).head())
+      .filterNot(_.isNullAt(0)).map(_.getLong(0))
+      .getOrElse(-1L)
+    math.max(m, dv)
   }
 
   /** One stats row per file ALIVE at `version`: added at or before it,
@@ -294,6 +311,176 @@ object DataLayout {
       .sorted
   }
 
+  // ---- deletion vectors --------------------------------------------------
+
+  /** Name of the hidden deletion-vector log directory under a layout. */
+  val DvDir = "_graft_dv"
+
+  private def dvPath(dir: String) = s"$dir/$DvDir"
+
+  /** The deletion-vector log: one row per SOFT-DELETED row position —
+    * `(file, pos, v)` = row `pos` (the parquet `_metadata.row_index`) of
+    * `file` was deleted at version `v`. APPEND-ONLY and monotone: positions
+    * only ever accumulate, so the mask effective at version V is simply
+    * every row with `v <= V` — no tombstones, no compaction bookkeeping.
+    * None when no DV was ever written. */
+  def dvLog(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(dvPath(dir))
+    if (!fsOf(spark, dir).exists(p)) None
+    else Some(spark.read.parquet(dvPath(dir)))
+  }
+
+  /** DV rows effective at `version` (those committed at or before it). */
+  private def dvAt(spark: SparkSession, dir: String,
+      version: Long): Option[DataFrame] =
+    dvLog(spark, dir).map(_.where(col("v") <= version))
+
+  /** Column-level twin of [[canon]]: strip the URI scheme + slash run down
+    * to a single leading `/`, so `file:///x` (metadata column), `file:/x`
+    * (Hadoop listing) and `/x` all compare equal — build-side and
+    * probe-side file names can then join without a UDF. */
+  private def canonCol(c: Column): Column =
+    regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.\\-]*:/+", "/")
+
+  private val MetaFile = "_graft_meta_file"
+  private val MetaPos = "_graft_meta_pos"
+
+  /** Read `files` with canonical file-path and row-index meta columns
+    * appended — the coordinates deletion vectors address rows by. */
+  private def readWithMeta(spark: SparkSession, files: Seq[String]): DataFrame =
+    spark.read.parquet(files: _*)
+      .withColumn(MetaFile, canonCol(col("_metadata.file_path")))
+      .withColumn(MetaPos, col("_metadata.row_index"))
+
+  /** Drop `df`'s rows whose (file, pos) appears in `dv` — one left-anti
+    * join on the canonical coordinates. The DV side is ∝ deleted rows;
+    * AQE broadcasts it when small, shuffles otherwise — either way row
+    * data never reaches the driver. */
+  private def applyMask(df: DataFrame, dv: DataFrame): DataFrame =
+    df.join(
+      dv.select(canonCol(col("file")).as("_dv_f"), col("pos").as("_dv_p")),
+      col(MetaFile) === col("_dv_f") && col(MetaPos) === col("_dv_p"),
+      "left_anti")
+
+  /** Read `files` with the `version`'s deletion-vector mask applied. Files
+    * carrying no DV positions read PLAIN (no meta columns, no join — the
+    * common case pays nothing); DV'd files read with `_metadata.row_index`
+    * and shed masked positions via one anti join. The driver holds only
+    * the O(dv-files) set of DV'd file names. */
+  private def readMasked(spark: SparkSession, dir: String, files: Seq[String],
+      version: Long): DataFrame = {
+    if (files.isEmpty) return emptyFrame(spark, dir)
+    dvAt(spark, dir, version) match {
+      case None => spark.read.parquet(files: _*)
+      case Some(d) =>
+        val dvCanon = d.select(canonCol(col("file")).as("f")).distinct()
+          .collect().map(_.getString(0)).toSet // O(dv-files): names only
+        val (hit, clean) = files.partition(f => dvCanon(canon(f)))
+        val parts = Seq(
+          if (clean.isEmpty) None else Some(spark.read.parquet(clean: _*)),
+          if (hit.isEmpty) None
+          else {
+            val df = readWithMeta(spark, hit)
+            val cols = df.columns.filterNot(Set(MetaFile, MetaPos))
+            Some(applyMask(df, d).select(cols.map(col): _*))
+          }).flatten
+        if (parts.isEmpty) emptyFrame(spark, dir)
+        else parts.reduce(_.unionByName(_))
+    }
+  }
+
+  /** Mask an ALREADY-CONSTRUCTED file-relation frame (the Catalyst
+    * [[GraftFileIndex]] read) at `version`: when the version has DV rows,
+    * wrap the frame in the same coordinate anti join, projected back to
+    * the data columns. Data-column predicates still push THROUGH the anti
+    * join's left side into the scan, so manifest/bloom pruning is
+    * unaffected. No DVs → the frame returns untouched. */
+  private[layout] def maskIndexed(spark: SparkSession, dir: String,
+      version: Long, df: DataFrame): DataFrame =
+    dvAt(spark, dir, version) match {
+      case Some(d) if !d.isEmpty =>
+        val cols = df.columns
+        applyMask(df
+          .withColumn(MetaFile, canonCol(col("_metadata.file_path")))
+          .withColumn(MetaPos, col("_metadata.row_index")), d)
+          .select(cols.map(col): _*)
+      case _ => df
+    }
+
+  /** Soft delete — DELETION VECTORS: mark every row matching ALL
+    * `(col, lo, hi)` ranges deleted WITHOUT rewriting a single data file.
+    * Only the row COORDINATES (file, `_metadata.row_index`) of matching
+    * rows are appended to the DV log as a new version; envelope-hit files
+    * are read once to find them, every other file is untouched, and no
+    * data file is ever modified. This is the milliseconds-per-terabyte
+    * delete path (Delta/Iceberg deletion vectors / position deletes);
+    * the bytes remain on disk until [[purgeDeletes]] + [[vacuum]], so
+    * GDPR-grade erasure must follow with those — [[deleteWhere]] is the
+    * single-step physical alternative.
+    *
+    * Already-masked rows never re-match (the scan is mask-applied), so
+    * overlapping deletes accumulate without double counting, and a
+    * delete that matches nothing commits NO version. */
+  def deleteVectors(spark: SparkSession, dir: String,
+      ranges: Seq[(String, Any, Any)]): DvDeleteReport = {
+    require(ranges.nonEmpty, "deleteVectors needs at least one (col, lo, hi) range")
+    val aliveDf = aliveManifest(spark, dir).localCheckpoint(true)
+    requireStats(aliveDf, ranges)
+    val hit = aliveDf.where(envelopeCond(ranges)).select("file")
+      .collect().map(_.getString(0)).toSeq.sorted // O(files): paths only
+    if (hit.isEmpty) return DvDeleteReport(0, 0L)
+    val v = currentVersion(spark, dir) + 1
+    // masked read: rows already soft-deleted must not re-delete
+    val dvPrev = dvAt(spark, dir, Latest)
+    val base = readWithMeta(spark, hit)
+    val masked = dvPrev.map(applyMask(base, _)).getOrElse(base)
+    // pin before counting AND writing — the two must agree on one evaluation
+    val fresh = masked.where(rowCond(ranges))
+      .select(col(MetaFile).as("file"), col(MetaPos).as("pos"), lit(v).as("v"))
+      .localCheckpoint(true)
+    val n = fresh.count()
+    if (n == 0L) return DvDeleteReport(0, 0L)
+    val filesTouched = fresh.select("file").distinct().count().toInt
+    fresh.write.mode("append").parquet(dvPath(dir))
+    DvDeleteReport(filesTouched, n)
+  }
+
+  final case class DvDeleteReport(filesTouched: Int, rowsDeleted: Long)
+
+  /** Physically apply outstanding deletion vectors: rewrite ONLY the alive
+    * files carrying DV positions (masked read, re-clustered, one output
+    * file per rewritten input) and tombstone the originals as a new
+    * version. The DV log keeps its rows — earlier versions still need them
+    * to time-travel correctly — but the latest version's files are
+    * DV-free; the soft-deleted bytes leave disk at the next [[vacuum]].
+    * DV delete → purge → vacuum is the GDPR-complete spelling, exactly
+    * Delta's DELETE → REORG APPLY (PURGE) → VACUUM. */
+  def purgeDeletes(spark: SparkSession, dir: String, dims: Seq[Column],
+      bits: Int, statsCols: Seq[String]): PurgeReport = {
+    val aliveDf = aliveManifest(spark, dir).localCheckpoint(true)
+    val dvCanon: Set[String] = dvAt(spark, dir, Latest) match {
+      case None => Set.empty
+      case Some(d) => d.select(canonCol(col("file")).as("f")).distinct()
+        .collect().map(_.getString(0)).toSet // O(dv-files): names only
+    }
+    val hit = aliveDf.select("file").collect().map(_.getString(0))
+      .filter(f => dvCanon(canon(f))).toSeq.sorted
+    if (hit.isEmpty) return PurgeReport(0, 0L)
+    val v = currentVersion(spark, dir) + 1
+    val data = readMasked(spark, dir, hit, Latest)
+    val freshNames = stageRename(spark, dir, s"$dir/_graft_purge_stage",
+      s"purge_v$v", data, hit.size, dims, bits)
+    val tomb = tombstones(aliveDf, hit, v)
+    appendLog(dir, freshStatsFor(spark, freshNames, dims, bits, statsCols, v)
+      .map(_.unionByName(tomb)).getOrElse(tomb))
+    PurgeReport(filesRewritten = hit.size,
+      positionsApplied = dvLog(spark, dir).map(
+        _.where(canonCol(col("file")).isin(hit.map(canon): _*)).count())
+        .getOrElse(0L))
+  }
+
+  final case class PurgeReport(filesRewritten: Int, positionsApplied: Long)
+
   // ---- reads -------------------------------------------------------------
 
   /** Empty-but-typed frame for a layout with no alive files at a version:
@@ -310,13 +497,13 @@ object DataLayout {
   }
 
   /** The layout's rows at `version` (default: latest) — manifest-routed,
-    * so retired files are invisible. */
+    * so retired files are invisible, and deletion-vector-masked, so
+    * soft-deleted rows are too (each at the version's own mask). */
   def readLayout(spark: SparkSession, dir: String,
       version: Long = Latest): DataFrame = {
     val files = aliveManifest(spark, dir, version).select("file")
       .collect().map(_.getString(0)) // O(files): paths only
-    if (files.isEmpty) emptyFrame(spark, dir)
-    else spark.read.parquet(files.toIndexedSeq: _*)
+    readMasked(spark, dir, files.toIndexedSeq, version)
   }
 
   /** A manifest-pruned scan: the surviving data plus its pruning stats. */
@@ -340,9 +527,8 @@ object DataLayout {
     val total = alive.count().toInt
     val files = alive.where(envelopeCond(ranges)).select("file")
       .collect().map(_.getString(0)) // O(files): paths only, never rows
-    val df =
-      if (files.isEmpty) emptyFrame(spark, dir)
-      else spark.read.parquet(files.toIndexedSeq: _*).where(rowCond(ranges))
+    val df = readMasked(spark, dir, files.toIndexedSeq, version)
+      .where(rowCond(ranges))
     PrunedScan(df, files.length, total)
   }
 
@@ -416,7 +602,10 @@ object DataLayout {
     for ((cluster, gen) <- toRewrite.zipWithIndex) {
       val rows = cluster.map(_._4).sum
       val nOut = math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile).toInt
-      val data = spark.read.parquet(cluster.map(_._1): _*)
+      // masked read: a rewrite permanently applies any outstanding DVs on
+      // the cluster's files (n_rows-based sizing may overcount slightly
+      // until then — freshStats recounts what was actually written)
+      val data = readMasked(spark, dir, cluster.map(_._1), Latest)
       freshNames ++= stageRename(spark, dir, s"$dir/_graft_compact_stage",
         s"compact_v${v}_${gen}", data, nOut, dims, bits)
       rewrittenFiles += cluster.size
@@ -453,7 +642,9 @@ object DataLayout {
       .collect().map(_.getString(0)).toSeq // O(files): paths only
     if (hitRaw.isEmpty) return DeleteReport(0, 0L, aliveCount)
     val rowPred = rowCond(ranges)
-    val hitData = spark.read.parquet(hitRaw: _*)
+    // masked: already-soft-deleted rows neither count as deleted here nor
+    // survive into the rewrite (the rewrite purges their DVs for good)
+    val hitData = readMasked(spark, dir, hitRaw, Latest)
     val deleted = hitData.where(rowPred).count()
     // null-safe complement: a NULL predicate (null in a range column) must
     // SURVIVE the delete, not vanish with it
@@ -508,6 +699,19 @@ object DataLayout {
     }
     normalizeLog(alive.unionByName(hwmRow))
       .write.mode("overwrite").parquet(manifestPath(dir))
+    // compact the DV log too: rows addressing just-deleted files can never
+    // be consulted again (their versions are unreadable post-vacuum), while
+    // rows on ALIVE files must survive — they still mask current reads
+    // until a purge rewrites those files. Pin before the overwrite: the
+    // kept frame reads from the very path it rewrites.
+    dvLog(spark, dir).foreach { d =>
+      val aliveNames = spark.createDataset(aliveCanon.toSeq)(
+        org.apache.spark.sql.Encoders.STRING).toDF("_alive_f")
+      val kept = d.join(aliveNames,
+          canonCol(col("file")) === col("_alive_f"), "left_semi")
+        .localCheckpoint(true)
+      kept.write.mode("overwrite").parquet(dvPath(dir))
+    }
     VacuumReport(filesDeleted = removed, logRowsBefore = logBefore,
       logRowsAfter = aliveCanon.size.toLong)
   }
@@ -539,13 +743,29 @@ object DataLayout {
     val fb = files(toVersion)
     val onlyA = (fa -- fb).toSeq.sorted
     val onlyB = (fb -- fa).toSeq.sorted
-    def side(only: Seq[String]): DataFrame =
-      if (only.nonEmpty) spark.read.parquet(only: _*)
-      else readLayout(spark, dir, math.max(fromVersion, toVersion)).where(lit(false))
+    // DELETION VECTORS break "shared file ⇒ identical rows": a file alive
+    // in both versions still differs if a DV landed on it in between. Pull
+    // those files onto BOTH sides, each masked at its own version — cost
+    // stays ∝ churn (files a delete touched), never table size.
+    val (lo, hi) = (math.min(fromVersion, toVersion), math.max(fromVersion, toVersion))
+    val dvChanged: Seq[String] = dvLog(spark, dir) match {
+      case None => Nil
+      case Some(d) =>
+        val changed = d.where(col("v") > lo && col("v") <= hi)
+          .select(canonCol(col("file")).as("f")).distinct()
+          .collect().map(_.getString(0)).toSet // O(dv-files): names only
+        (fa intersect fb).filter(f => changed(canon(f))).toSeq.sorted
+    }
+    def side(only: Seq[String], v: Long): DataFrame = {
+      val fl = only ++ dvChanged
+      if (fl.nonEmpty) readMasked(spark, dir, fl, v)
+      else readLayout(spark, dir, hi).where(lit(false))
+    }
     val diff = graft.diff.JoinDiffer.diff(
-      side(onlyA), side(onlyB), keyCols, compareCols)
-    VersionDiff(diff, filesReadA = onlyA.size, filesReadB = onlyB.size,
-      filesUnchanged = (fa intersect fb).size)
+      side(onlyA, fromVersion), side(onlyB, toVersion), keyCols, compareCols)
+    VersionDiff(diff, filesReadA = onlyA.size + dvChanged.size,
+      filesReadB = onlyB.size + dvChanged.size,
+      filesUnchanged = (fa intersect fb).size - dvChanged.size)
   }
 
   final case class VersionDiff(df: DataFrame, filesReadA: Int,
@@ -587,7 +807,7 @@ object DataLayout {
       .collect().map(_.getString(0)).toSeq.sorted // O(files): paths only
     require(files.nonEmpty, s"layout at $dir has no alive files to recluster")
     val v = currentVersion(spark, dir) + 1
-    val data = spark.read.parquet(files: _*)
+    val data = readMasked(spark, dir, files, Latest) // full rewrite purges DVs
     statsCols.foreach(c => require(data.columns.contains(c),
       s"stats column '$c' not in ${data.columns.mkString(",")}"))
     val fresh = stageRename(spark, dir, s"$dir/_graft_recluster_stage",
@@ -645,7 +865,19 @@ object DataLayout {
       Seq(min(col(s"min_$c")).as(s"min_$c"), max(col(s"max_$c")).as(s"max_$c"),
         nullsAgg, ndvAgg)
     }
+    // deletion vectors: n_rows stays EXACT by subtracting the version's
+    // masked positions on alive files (per-file counts are exact, DV rows
+    // are exact coordinates). min/max/nulls/ndv remain FILE-level figures —
+    // valid conservative bounds (that is their pruning job) that tighten
+    // back to exact when a purge rewrites the DV'd files.
+    val dvDeleted: Long = dvAt(spark, dir, version) match {
+      case None => 0L
+      case Some(d) =>
+        d.join(alive.select(canonCol(col("file")).as("_alive_f")),
+          canonCol(col("file")) === col("_alive_f"), "left_semi").count()
+    }
     alive.agg(aggs.head, aggs.tail: _*)
+      .withColumn("n_rows", col("n_rows") - lit(dvDeleted))
   }
 
   // ---- merge (upsert) ----------------------------------------------------
@@ -727,7 +959,9 @@ object DataLayout {
     val (survivors, updated, matchedKeys, deleted) =
       if (hit.isEmpty) (d.where(lit(false)), 0L, 0L, 0L)
       else {
-        val hitData = spark.read.parquet(hit: _*).localCheckpoint(false)
+        // masked: a soft-deleted row must not resurrect as a survivor or
+        // count as a match; the rewrite purges the hit files' DVs for good
+        val hitData = readMasked(spark, dir, hit, Latest).localCheckpoint(false)
         val matched = hitData.join(deltaKeys, keyCols, "left_semi").count()
         val mKeys = deltaKeys.join(hitData, keyCols, "left_semi").count()
         val nDel = delKeys.fold(0L)(dk =>
@@ -899,10 +1133,8 @@ object DataLayout {
     val kept = verdicts.filter(_.getBoolean(2)).map(_.getString(0))
     val unindexed = verdicts.count(_.getBoolean(1))
     val typedKeys = keys.map(k => lit(k).cast(colType))
-    val df =
-      if (kept.isEmpty) emptyFrame(spark, dir).where(lit(false))
-      else spark.read.parquet(kept.toIndexedSeq: _*)
-        .where(col(column).isin(typedKeys: _*))
+    val df = readMasked(spark, dir, kept.toIndexedSeq, version)
+      .where(col(column).isin(typedKeys: _*))
     BloomScan(df, filesRead = kept.length,
       filesSkipped = verdicts.length - kept.length,
       filesUnindexed = unindexed)

@@ -254,6 +254,8 @@ object GraftFileIndex {
       new ParquetFileFormat, Map.empty[String, String])(spark)
     val df = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .baseRelationToDataFrame(rel)
-    (df, index)
+    // deletion vectors ride on top as a coordinate anti join (no-op when
+    // the version has none); data predicates still push into the scan
+    (DataLayout.maskIndexed(spark, dir, version, df), index)
   }
 }

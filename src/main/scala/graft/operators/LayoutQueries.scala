@@ -276,6 +276,63 @@ object LayoutQueries {
         .orderBy("version", "sign", "o_orderkey")
     }),
 
+    // Deletion vectors — the soft-delete fast path: two overlapping DV
+    // deletes land as two versions of pure coordinate appends (LayoutSpec
+    // proves every data file stays byte-identical and the second delete
+    // never double-counts); the manifest-routed read applies the mask via
+    // one anti join. The oracle is the conjunction of the complements —
+    // what any correct delete must leave behind.
+    "q_layout_dv" -> ((s, d) => {
+      val dir = layoutDir(d) + "_dv"
+      DataLayout.writeZOrdered(
+        Tables.load(s, d, "orders"),
+        Seq(col("o_custkey"), cents("o_totalprice")), Bits,
+        statsCols = Seq("o_custkey", "o_totalprice"),
+        outDir = dir, numFiles = 16)
+      DataLayout.deleteVectors(s, dir, Seq(
+        ("o_custkey", 500L, 650L), ("o_totalprice", 0.0, 300000.0)))  // v1
+      DataLayout.deleteVectors(s, dir, Seq(("o_custkey", 600L, 700L))) // v2
+      DataLayout.readLayout(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // The DV lifecycle completed: soft delete → purgeDeletes (rewrite ONLY
+    // the DV'd files, masked) → vacuum (soft-deleted bytes leave disk) —
+    // the GDPR-complete spelling, read back through a manifest-pruned
+    // skipScan. Oracle: range ∧ complement-of-delete.
+    "q_layout_dv_purge" -> ((s, d) => {
+      val dir = layoutDir(d) + "_dvp"
+      val dims = Seq(col("o_custkey"), cents("o_totalprice"))
+      val stats = Seq("o_custkey", "o_totalprice")
+      DataLayout.writeZOrdered(Tables.load(s, d, "orders"),
+        dims, Bits, stats, dir, numFiles = 16)
+      DataLayout.deleteVectors(s, dir, Seq(("o_custkey", 500L, 650L)))
+      DataLayout.purgeDeletes(s, dir, dims, Bits, stats)
+      DataLayout.vacuum(s, dir)
+      DataLayout.skipScan(s, dir, Seq(("o_custkey", 400L, 800L))).df
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // Version diff across a DV step: a soft delete moves NO files, so the
+    // naive shared-file shortcut would report an empty diff — the engine
+    // must pull DV-churned files onto both sides (each masked at its own
+    // version) and emit exactly the '-' rows the delete masked, at churn
+    // cost (VersionSpec pins the filesUnchanged count).
+    "q_layout_dv_diff" -> ((s, d) => {
+      val dir = layoutDir(d) + "_dvd"
+      val dims = Seq(col("o_custkey"), cents("o_totalprice"))
+      val orders = Tables.load(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      DataLayout.writeZOrdered(orders, dims, Bits,
+        Seq("o_custkey", "o_totalprice"), dir, numFiles = 16)            // v0
+      DataLayout.deleteVectors(s, dir, Seq(("o_custkey", 100L, 220L)))   // v1
+      DataLayout.diffVersions(s, dir, 0L, 1L,
+          Seq("o_orderkey"), Seq("o_custkey", "o_totalprice")).df
+        .orderBy("o_orderkey")
+    }),
+
     // Full re-cluster by NEW dimensions (query patterns changed): the
     // table first lands z-ordered by (custkey, price), then reclusters by
     // orderkey as one new version; a 1-D orderkey range through skipScan
@@ -388,6 +445,27 @@ object LayoutQueries {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders
         |WHERE o_orderkey BETWEEN 1000 AND 5000
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_layout_dv" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE NOT (o_custkey BETWEEN 500 AND 650
+        |           AND o_totalprice BETWEEN 0.0 AND 300000.0)
+        |  AND NOT (o_custkey BETWEEN 600 AND 700)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_layout_dv_purge" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE o_custkey BETWEEN 400 AND 800
+        |  AND NOT (o_custkey BETWEEN 500 AND 650)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_layout_dv_diff" ->
+      """SELECT '-' AS sign, o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 220
         |ORDER BY o_orderkey""".stripMargin,
   )
 }
