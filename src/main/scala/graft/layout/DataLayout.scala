@@ -488,13 +488,24 @@ object DataLayout {
     * they share the schema). A fully-vacuumed empty layout has NO schema
     * source left, and gets a loud refusal instead of a cryptic
     * unable-to-infer AnalysisException. */
-  private def emptyFrame(spark: SparkSession, dir: String): DataFrame = {
-    val any = listDataFiles(spark, dir)
-    require(any.nonEmpty,
-      s"layout at $dir has no live or retired data files left to infer a " +
-        "schema from (fully erased + vacuumed); nothing to read")
-    spark.read.parquet(any.head).where(lit(false))
-  }
+  /** ONE data file to infer the layout's schema from: a file physically
+    * under the dir when any exists, else a manifest-referenced file — a
+    * freshly [[cloneLayout]]'d layout owns no physical files at all, every
+    * byte still lives under its source. */
+  private[layout] def schemaAnchorFile(spark: SparkSession, dir: String): String =
+    listDataFiles(spark, dir).headOption
+      .orElse(
+        if (!fsOf(spark, dir).exists(
+          new org.apache.hadoop.fs.Path(manifestPath(dir)))) None
+        else manifestLog(spark, dir)
+          .where(col("file") =!= VersionHwmFile && col("v_added").isNotNull)
+          .select("file").head(1).headOption.map(_.getString(0)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"layout at $dir has no live or retired data files left to infer a " +
+          "schema from (fully erased + vacuumed); nothing to read"))
+
+  private def emptyFrame(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(schemaAnchorFile(spark, dir)).where(lit(false))
 
   /** The layout's rows at `version` (default: latest) — manifest-routed,
     * so retired files are invisible, and deletion-vector-masked, so
@@ -722,6 +733,63 @@ object DataLayout {
 
   final case class VacuumReport(filesDeleted: Int, logRowsBefore: Long,
       logRowsAfter: Long)
+
+  // ---- shallow clone -----------------------------------------------------
+
+  /** SHALLOW CLONE: an independent layout at `dstDir` equal to `srcDir` at
+    * `version`, WITHOUT copying a single data byte — only the manifest
+    * (alive rows rebased to version 0) and the version's effective
+    * deletion-vector positions move. O(files) metadata for any table size:
+    * a 100 TB dev branch in milliseconds (Delta's CREATE TABLE ... SHALLOW
+    * CLONE).
+    *
+    * The clone then DIVERGES freely: appends, deletes, merges, and
+    * compactions write their files under `dstDir` and tombstone shared
+    * entries in the CLONE's manifest only — the source never observes any
+    * of it. Copy-on-write falls out of the layout's own immutability: a
+    * rewrite reads the shared files and writes replacements locally.
+    *
+    * Safety asymmetries to know:
+    *  - [[vacuum]] on the clone only deletes files PHYSICALLY under
+    *    `dstDir` ([[listDataFiles]] never lists foreign paths), so shared
+    *    source bytes survive any clone-side vacuum; retired shared entries
+    *    just leave the clone's log.
+    *  - [[vacuum]] on the SOURCE doesn't know about clones (there is no
+    *    central catalog): source-side vacuum after source-side mutations
+    *    can delete files a clone still references — vacuum sources only
+    *    when their clones are gone, or clone from a version you keep
+    *    alive. The same contract Delta documents for shallow clones. */
+  def cloneLayout(spark: SparkSession, srcDir: String, dstDir: String,
+      version: Long = Latest): CloneReport = {
+    require(canon(srcDir) != canon(dstDir),
+      s"clone target must differ from the source: $srcDir")
+    require(fsOf(spark, srcDir).exists(
+      new org.apache.hadoop.fs.Path(manifestPath(srcDir))),
+      s"no layout (manifest) at $srcDir")
+    val alive = aliveManifest(spark, srcDir, version).localCheckpoint(true)
+    val n = alive.count()
+    require(n > 0, s"layout at $srcDir has no alive files at version $version")
+    val fs = fsOf(spark, dstDir)
+    fs.delete(new org.apache.hadoop.fs.Path(dstDir), true)
+    normalizeLog(alive
+      .withColumn("v_added", lit(0L))
+      .withColumn("v_removed", lit(null).cast("long")))
+      .write.mode("overwrite").parquet(manifestPath(dstDir))
+    // the version's effective mask comes along, rebased to the clone's
+    // version 0 (positions on non-alive files can never be consulted)
+    val dvMoved = dvAt(spark, srcDir, version).map { d =>
+      val kept = d.join(alive.select(canonCol(col("file")).as("_alive_f")),
+          canonCol(col("file")) === col("_alive_f"), "left_semi")
+        .select(col("file"), col("pos"), lit(0L).as("v"))
+        .localCheckpoint(true)
+      val k = kept.count()
+      if (k > 0L) kept.write.mode("overwrite").parquet(dvPath(dstDir))
+      k
+    }.getOrElse(0L)
+    CloneReport(filesShared = n, dvPositions = dvMoved)
+  }
+
+  final case class CloneReport(filesShared: Long, dvPositions: Long)
 
   // ---- version diff ------------------------------------------------------
 

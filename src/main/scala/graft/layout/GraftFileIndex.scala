@@ -246,10 +246,8 @@ object GraftFileIndex {
   def readLayoutIndexed(spark: SparkSession, dir: String,
       version: Long = DataLayout.Latest): (DataFrame, GraftFileIndex) = {
     val index = new GraftFileIndex(spark, dir, version)
-    val any = DataLayout.listDataFiles(spark, dir)
-    require(any.nonEmpty,
-      s"layout at $dir has no data files to infer a schema from")
-    val schema = spark.read.parquet(any.head).schema
+    val schema =
+      spark.read.parquet(DataLayout.schemaAnchorFile(spark, dir)).schema
     val rel = HadoopFsRelation(index, new StructType(), schema, None,
       new ParquetFileFormat, Map.empty[String, String])(spark)
     val df = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
-import graft.layout.DataLayout
+import graft.layout.{DataLayout, MatView}
 
 /** Data-layout gates: the Z-order key itself (engine-exact, DuckDB
   * recomputes the interleave bit-for-bit) and the end-to-end clustered
@@ -333,6 +333,57 @@ object LayoutQueries {
         .orderBy("o_orderkey")
     }),
 
+    // Incremental view maintenance: a count/sum/min/max-per-group view
+    // materialized once, then the layout mutates (append + DV delete) and
+    // ONE churn-cost refresh — change-feed deltas for count/sum, a
+    // dirty-group-only base pass for clipped minima — must land the view
+    // on exactly what a from-scratch GROUP BY of the final table computes
+    // (the oracle). Cents as BIGINT keep incremental arithmetic exact.
+    "q_layout_ivm" -> ((s, d) => {
+      val dir = layoutDir(d) + "_ivm"
+      val view = dir + "_view"
+      val c = cents("o_totalprice").as("o_price_cents")
+      def prep(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+          c)
+      val orders = Tables.load(s, d, "orders")
+      DataLayout.writeZOrdered(
+        prep(orders.where(col("o_orderkey") % 3 =!= 0)),
+        Seq(col("o_custkey"), col("o_price_cents")), Bits,
+        statsCols = Seq("o_custkey"), outDir = dir, numFiles = 16)     // v0
+      MatView.materialize(s, dir, view, Seq("o_orderpriority"),
+        Seq("o_price_cents"), Seq("o_orderkey"))
+      DataLayout.appendZOrdered(
+        prep(orders.where(col("o_orderkey") % 3 === 0)),
+        Seq(col("o_custkey"), col("o_price_cents")), Bits,
+        statsCols = Seq("o_custkey"), outDir = dir, numFiles = 4)      // v1
+      DataLayout.deleteVectors(s, dir, Seq(("o_custkey", 400L, 700L))) // v2
+      MatView.refresh(s, view)
+      MatView.read(s, view).orderBy("o_orderpriority")
+    }),
+
+    // Shallow clone: a zero-copy dev branch of the layout (manifest-only
+    // commit), which then DIVERGES — a targeted delete on the clone
+    // rewrites shared files locally and never touches the source. The
+    // returned rows are the clone's; CloneSpec pins that the source stays
+    // byte-identical and that clone-side vacuum spares shared bytes.
+    "q_layout_clone" -> ((s, d) => {
+      val src = layoutDir(d) + "_clsrc"
+      val dst = layoutDir(d) + "_cldst"
+      DataLayout.writeZOrdered(
+        Tables.load(s, d, "orders"),
+        Seq(col("o_custkey"), cents("o_totalprice")), Bits,
+        statsCols = Seq("o_custkey", "o_totalprice"), src, numFiles = 16)
+      DataLayout.deleteVectors(s, src, Seq(("o_custkey", 0L, 150L)))
+      DataLayout.cloneLayout(s, src, dst)
+      DataLayout.deleteWhere(s, dst, Seq(col("o_custkey"), cents("o_totalprice")),
+        Bits, Seq("o_custkey", "o_totalprice"),
+        Seq(("o_custkey", 1200L, 1500L)))
+      DataLayout.readLayout(s, dst)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
     // Full re-cluster by NEW dimensions (query patterns changed): the
     // table first lands z-ordered by (custkey, price), then reclusters by
     // orderkey as one new version; a 1-D orderkey range through skipScan
@@ -466,6 +517,27 @@ object LayoutQueries {
       """SELECT '-' AS sign, o_orderkey, o_custkey, o_totalprice
         |FROM orders
         |WHERE o_custkey BETWEEN 100 AND 220
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_layout_ivm" ->
+      """SELECT o_orderpriority,
+        |  count(*) AS n_rows,
+        |  count(c) AS n_o_price_cents,
+        |  CAST(sum(c) AS BIGINT) AS sum_o_price_cents,
+        |  min(c) AS min_o_price_cents,
+        |  max(c) AS max_o_price_cents
+        |FROM (SELECT o_orderpriority, o_custkey,
+        |        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |      FROM orders)
+        |WHERE NOT (o_custkey BETWEEN 400 AND 700)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_layout_clone" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE NOT (o_custkey BETWEEN 0 AND 150)
+        |  AND NOT (o_custkey BETWEEN 1200 AND 1500)
         |ORDER BY o_orderkey""".stripMargin,
   )
 }

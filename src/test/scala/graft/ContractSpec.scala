@@ -23,7 +23,8 @@ class ContractSpec extends AnyFunSuite {
       graft.operators.RelationalQueries.queries, graft.operators.DiffQueries.queries,
       graft.operators.TextQueries.queries, graft.operators.EmbeddingQueries.queries,
       graft.operators.MultimodalQueries.queries, graft.operators.ExtendedQueries.queries,
-      graft.operators.PushdownQueries.queries, graft.operators.CurationQueries.queries)
+      graft.operators.PushdownQueries.queries, graft.operators.CurationQueries.queries,
+      graft.operators.LayoutQueries.queries, graft.operators.SqlSurfaceQueries.queries)
     assert(packs.map(_.size).sum == q.size,
       "duplicate query names across packs shadow each other")
   }
