@@ -247,6 +247,22 @@ object DataLayout {
     val before: Set[String] =
       if (append) listDataFiles(spark, outDir).map(canon).toSet else Set.empty
     val v = if (append) currentVersion(spark, outDir) + 1 else 0L
+    // schema evolution: an append may EXTEND the table's columns (new ones
+    // land nullable; missing ones read NULL from the delta's files; type
+    // changes refuse). Resolved BEFORE the write so a refusal costs nothing.
+    val evolved: Option[org.apache.spark.sql.types.StructType] =
+      if (!append) None
+      else schemaAt(spark, outDir, Latest)
+        .orElse(listDataFiles(spark, outDir).headOption
+          .map(f => spark.read.parquet(f).schema))
+        // no recorded schema AND no file (pre-log layout, fully erased):
+        // the delta bootstraps the schema — nothing to merge against
+        .flatMap { base =>
+          val merged = mergeSchemas(base, df.schema)
+          if (merged.fields.map(f => (f.name, f.dataType)).toSeq !=
+            base.fields.map(f => (f.name, f.dataType)).toSeq) Some(merged)
+          else None
+        }
     val z = "_graft_z"
     df.withColumn(z, zOrderKey(dims, bits))
       .repartitionByRange(numFiles, col(z))
@@ -260,6 +276,8 @@ object DataLayout {
       .withColumn("v_removed", lit(null).cast("long"))
     if (append) appendLog(outDir, stats)
     else normalizeLog(stats).write.mode("overwrite").parquet(manifestPath(outDir))
+    if (!append) recordSchema(spark, outDir, 0L, df.schema)
+    else evolved.foreach(recordSchema(spark, outDir, v, _))
   }
 
   /** Per-file stats (+ the z-key interval) for the given data — O(files)
@@ -311,6 +329,73 @@ object DataLayout {
       .sorted
   }
 
+  // ---- schema log --------------------------------------------------------
+
+  /** Name of the hidden schema-log directory under a layout. */
+  val SchemaDir = "_graft_schema"
+
+  private def schemaPath(dir: String) = s"$dir/$SchemaDir"
+
+  /** SCHEMA EVOLUTION without rewriting a byte: the layout's schema is a
+    * VERSIONED artifact — one `(v, schema_json)` row per change, written
+    * when an append's column set extends the table. Readers resolve the
+    * schema effective at their version in O(1) metadata (never by merging
+    * 100k parquet footers the way `mergeSchema` would) and hand it to the
+    * scan, which fills columns absent from older files with NULL — Delta's
+    * schema-in-the-transaction-log design. Old versions keep their OLD
+    * schema: time travel to before a column existed doesn't show it.
+    * None = the layout predates any evolution; readers use a data file's
+    * own footer (all files share one schema in that case). */
+  private[layout] def schemaAt(spark: SparkSession, dir: String,
+      version: Long): Option[org.apache.spark.sql.types.StructType] = {
+    val p = new org.apache.hadoop.fs.Path(schemaPath(dir))
+    if (!fsOf(spark, dir).exists(p)) None
+    else spark.read.parquet(schemaPath(dir))
+      .where(col("v") <= version)
+      .orderBy(col("v").desc).select("schema_json")
+      .head(1).headOption
+      .map(r => org.apache.spark.sql.types.DataType.fromJson(r.getString(0))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  private def recordSchema(spark: SparkSession, dir: String, v: Long,
+      s: org.apache.spark.sql.types.StructType): Unit = {
+    import spark.implicits._
+    Seq((v, s.json)).toDF("v", "schema_json")
+      .coalesce(1).write.mode("append").parquet(schemaPath(dir))
+  }
+
+  /** Union-merge `delta`'s fields into `base`: shared columns must keep
+    * their exact type (widening is refused loudly — silent coercion at
+    * 100 TB is a data-corruption class), new columns append as nullable,
+    * and columns the delta lacks become nullable (its files read NULL). */
+  private[layout] def mergeSchemas(
+      base: org.apache.spark.sql.types.StructType,
+      delta: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val deltaMap = delta.fields.map(f => f.name -> f).toMap
+    val kept = base.fields.map { bf =>
+      deltaMap.get(bf.name) match {
+        case Some(df) =>
+          require(df.dataType == bf.dataType,
+            s"schema evolution cannot change column '${bf.name}' from " +
+              s"${bf.dataType.simpleString} to ${df.dataType.simpleString}")
+          bf.copy(nullable = bf.nullable || df.nullable)
+        case None => bf.copy(nullable = true)
+      }
+    }
+    val baseNames = base.fieldNames.toSet
+    val extra = delta.fields.filterNot(f => baseNames(f.name))
+      .map(_.copy(nullable = true))
+    org.apache.spark.sql.types.StructType(kept ++ extra)
+  }
+
+  /** A reader pinned to `schema` when one is recorded (absent columns read
+    * NULL), a plain footer-schema reader otherwise. */
+  private def readerFor(spark: SparkSession,
+      schema: Option[org.apache.spark.sql.types.StructType]) =
+    schema.map(spark.read.schema(_)).getOrElse(spark.read)
+
   // ---- deletion vectors --------------------------------------------------
 
   /** Name of the hidden deletion-vector log directory under a layout. */
@@ -347,8 +432,9 @@ object DataLayout {
 
   /** Read `files` with canonical file-path and row-index meta columns
     * appended — the coordinates deletion vectors address rows by. */
-  private def readWithMeta(spark: SparkSession, files: Seq[String]): DataFrame =
-    spark.read.parquet(files: _*)
+  private def readWithMeta(spark: SparkSession, files: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
+    readerFor(spark, schema).parquet(files: _*)
       .withColumn(MetaFile, canonCol(col("_metadata.file_path")))
       .withColumn(MetaPos, col("_metadata.row_index"))
 
@@ -368,19 +454,23 @@ object DataLayout {
     * and shed masked positions via one anti join. The driver holds only
     * the O(dv-files) set of DV'd file names. */
   private def readMasked(spark: SparkSession, dir: String, files: Seq[String],
-      version: Long): DataFrame = {
+      version: Long,
+      schemaOverride: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     if (files.isEmpty) return emptyFrame(spark, dir)
+    val sch = schemaOverride.orElse(schemaAt(spark, dir, version))
     dvAt(spark, dir, version) match {
-      case None => spark.read.parquet(files: _*)
+      case None => readerFor(spark, sch).parquet(files: _*)
       case Some(d) =>
         val dvCanon = d.select(canonCol(col("file")).as("f")).distinct()
           .collect().map(_.getString(0)).toSet // O(dv-files): names only
         val (hit, clean) = files.partition(f => dvCanon(canon(f)))
         val parts = Seq(
-          if (clean.isEmpty) None else Some(spark.read.parquet(clean: _*)),
+          if (clean.isEmpty) None
+          else Some(readerFor(spark, sch).parquet(clean: _*)),
           if (hit.isEmpty) None
           else {
-            val df = readWithMeta(spark, hit)
+            val df = readWithMeta(spark, hit, sch)
             val cols = df.columns.filterNot(Set(MetaFile, MetaPos))
             Some(applyMask(df, d).select(cols.map(col): _*))
           }).flatten
@@ -432,7 +522,7 @@ object DataLayout {
     val v = currentVersion(spark, dir) + 1
     // masked read: rows already soft-deleted must not re-delete
     val dvPrev = dvAt(spark, dir, Latest)
-    val base = readWithMeta(spark, hit)
+    val base = readWithMeta(spark, hit, schemaAt(spark, dir, Latest))
     val masked = dvPrev.map(applyMask(base, _)).getOrElse(base)
     // pin before counting AND writing — the two must agree on one evaluation
     val fresh = masked.where(rowCond(ranges))
@@ -505,7 +595,12 @@ object DataLayout {
           "schema from (fully erased + vacuumed); nothing to read"))
 
   private def emptyFrame(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(schemaAnchorFile(spark, dir)).where(lit(false))
+    schemaAt(spark, dir, Latest) match {
+      case Some(s) => spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), s)
+      case None =>
+        spark.read.parquet(schemaAnchorFile(spark, dir)).where(lit(false))
+    }
 
   /** The layout's rows at `version` (default: latest) — manifest-routed,
     * so retired files are invisible, and deletion-vector-masked, so
@@ -786,6 +881,8 @@ object DataLayout {
       if (k > 0L) kept.write.mode("overwrite").parquet(dvPath(dstDir))
       k
     }.getOrElse(0L)
+    // the version's effective schema becomes the clone's baseline
+    schemaAt(spark, srcDir, version).foreach(recordSchema(spark, dstDir, 0L, _))
     CloneReport(filesShared = n, dvPositions = dvMoved)
   }
 
@@ -824,9 +921,12 @@ object DataLayout {
           .collect().map(_.getString(0)).toSet // O(dv-files): names only
         (fa intersect fb).filter(f => changed(canon(f))).toSeq.sorted
     }
+    // both sides read under the RANGE END's schema: a compare column that
+    // arrived mid-range reads NULL on the older side instead of erroring
+    val hiSchema = schemaAt(spark, dir, hi)
     def side(only: Seq[String], v: Long): DataFrame = {
       val fl = only ++ dvChanged
-      if (fl.nonEmpty) readMasked(spark, dir, fl, v)
+      if (fl.nonEmpty) readMasked(spark, dir, fl, v, hiSchema)
       else readLayout(spark, dir, hi).where(lit(false))
     }
     val diff = graft.diff.JoinDiffer.diff(

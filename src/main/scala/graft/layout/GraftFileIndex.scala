@@ -246,8 +246,8 @@ object GraftFileIndex {
   def readLayoutIndexed(spark: SparkSession, dir: String,
       version: Long = DataLayout.Latest): (DataFrame, GraftFileIndex) = {
     val index = new GraftFileIndex(spark, dir, version)
-    val schema =
-      spark.read.parquet(DataLayout.schemaAnchorFile(spark, dir)).schema
+    val schema = DataLayout.schemaAt(spark, dir, version).getOrElse(
+      spark.read.parquet(DataLayout.schemaAnchorFile(spark, dir)).schema)
     val rel = HadoopFsRelation(index, new StructType(), schema, None,
       new ParquetFileFormat, Map.empty[String, String])(spark)
     val df = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

@@ -384,6 +384,28 @@ object LayoutQueries {
         .orderBy("o_orderkey")
     }),
 
+    // Schema evolution: the second half of orders lands WITH a column the
+    // first half never had. No old file is rewritten; the reader resolves
+    // the recorded merged schema in O(1) metadata and the scan fills the
+    // missing column with NULL on pre-evolution rows — exactly the CASE
+    // the oracle states. SchemaEvolutionSpec pins time travel (v0 keeps
+    // the narrow schema), type-change refusal, and rewrite healing.
+    "q_layout_schema_evo" -> ((s, d) => {
+      val dir = layoutDir(d) + "_evo"
+      val orders = Tables.load(s, d, "orders")
+      DataLayout.writeZOrdered(
+        orders.where(col("o_orderkey") % 2 === 1)
+          .select("o_orderkey", "o_custkey", "o_totalprice"),
+        Seq(col("o_custkey"), cents("o_totalprice")), Bits,
+        statsCols = Seq("o_custkey"), outDir = dir, numFiles = 8)
+      DataLayout.appendZOrdered(
+        orders.where(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"),
+        Seq(col("o_custkey"), cents("o_totalprice")), Bits,
+        statsCols = Seq("o_custkey"), outDir = dir, numFiles = 4)
+      DataLayout.readLayout(s, dir).orderBy("o_orderkey")
+    }),
+
     // Full re-cluster by NEW dimensions (query patterns changed): the
     // table first lands z-ordered by (custkey, price), then reclusters by
     // orderkey as one new version; a 1-D orderkey range through skipScan
@@ -538,6 +560,12 @@ object LayoutQueries {
         |FROM orders
         |WHERE NOT (o_custkey BETWEEN 0 AND 150)
         |  AND NOT (o_custkey BETWEEN 1200 AND 1500)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_layout_schema_evo" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN o_orderpriority END AS o_orderpriority
+        |FROM orders
         |ORDER BY o_orderkey""".stripMargin,
   )
 }

@@ -115,17 +115,27 @@ class VersionSpec extends AnyFunSuite {
     DataLayout.vacuum(spark, dir)
     // a pure-tombstone version must not vanish from the version counter
     assert(DataLayout.currentVersion(spark, dir) == 1L)
-    // nothing left to infer a schema from — loud refusal, not a cryptic
-    // AnalysisException
-    val e = intercept[IllegalArgumentException] {
-      DataLayout.readLayout(spark, dir)
-    }
-    assert(e.getMessage.contains("fully erased"))
+    // the SCHEMA LOG survives full erasure, so the table still knows its
+    // own shape: an empty, correctly-typed read (Delta semantics)
+    val empty = DataLayout.readLayout(spark, dir)
+    assert(empty.count() == 0L && empty.columns.toSeq == Seq("id", "x", "y"))
     // the table can still move forward: the next append is version 2
     DataLayout.appendZOrdered(mk(0 until 10), dims, 16, Seq("x", "y"),
       dir, numFiles = 1)
     assert(DataLayout.currentVersion(spark, dir) == 2L)
     assert(DataLayout.readLayout(spark, dir).count() == 10L)
+    // a PRE-schema-log layout (no log to fall back on) erased the same way
+    // refuses loudly, not with a cryptic AnalysisException
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/${DataLayout.SchemaDir}"), true)
+    DataLayout.deleteWhere(spark, dir, dims, 16, Seq("x", "y"),
+      Seq(("x", 0L, 65535L)))
+    DataLayout.vacuum(spark, dir)
+    val e = intercept[IllegalArgumentException] {
+      DataLayout.readLayout(spark, dir)
+    }
+    assert(e.getMessage.contains("fully erased"))
   }
 
   test("changeFeed: per-step rows at churn cost; compaction steps are empty") {
