@@ -1,0 +1,124 @@
+package graft.layout
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CDC REPLICATION between layouts: a physically independent copy of a
+  * source layout (other bucket, other region, other retention policy)
+  * kept current by applying the source's derived change feed — never by
+  * re-copying the table.
+  *
+  * [[init]] seeds the replica with one clustered write of the source's
+  * current rows and pins the source version it reflects. Each [[sync]]
+  * then:
+  *
+  *   1. reads the source's change feed over `(pinned, current]` — cost
+  *      ∝ churn (each step reads only the files/DV coordinates that step
+  *      touched, see [[DataLayout.changeFeed]]);
+  *   2. collapses multi-step key histories to LAST-EVENT-WINS with one
+  *      window over the feed (a key updated five times applies once; a
+  *      key deleted then re-inserted applies as its final row);
+  *   3. applies the net delta with one envelope-targeted
+  *      [[DataLayout.mergeInto]] — upserts for keys whose final event is
+  *      an arrival, tombstone deletes for keys whose final event is a
+  *      removal. Only replica files whose key envelope intersects the
+  *      delta rewrite.
+  *
+  * A day of churn on a 100 TB table ships as the day's delta, lands in
+  * minutes, and the replica keeps its own independent version history,
+  * time travel, and clustering dimensions (they may differ from the
+  * source's — a replica clustered for its own query patterns is the
+  * point). The reference engine diffs tables to FIND drift
+  * (data_diff/diff_tables.py); this closes the loop and repairs it at
+  * churn cost, with the same machinery.
+  */
+object Replica {
+
+  /** Hidden metadata dir under a replica: source dir, pinned source
+    * version, and the replication key. */
+  val MetaDir = "_graft_replica_meta"
+
+  private def metaPath(dir: String) = s"$dir/$MetaDir"
+
+  final case class ReplicaDef(srcDir: String, srcVersion: Long,
+      keyCols: Seq[String])
+
+  private def writeMeta(spark: SparkSession, dstDir: String,
+      d: ReplicaDef): Unit = {
+    import spark.implicits._
+    Seq((d.srcDir, d.srcVersion, d.keyCols))
+      .toDF("src_dir", "src_version", "key_cols")
+      .coalesce(1).write.mode("overwrite").parquet(metaPath(dstDir))
+  }
+
+  /** The replica's pinned source position. */
+  def meta(spark: SparkSession, dstDir: String): ReplicaDef = {
+    val r = spark.read.parquet(metaPath(dstDir)).head()
+    ReplicaDef(r.getAs[String]("src_dir"), r.getAs[Long]("src_version"),
+      r.getAs[scala.collection.Seq[String]]("key_cols").toSeq)
+  }
+
+  /** Seed `dstDir` with the source's current rows, clustered by the
+    * REPLICA's own `dims` (they need not match the source's), and pin the
+    * source version. The one full copy the replica will ever pay. */
+  def init(spark: SparkSession, srcDir: String, dstDir: String,
+      dims: Seq[Column], bits: Int, statsCols: Seq[String],
+      keyCols: Seq[String], numFiles: Int): ReplicaDef = {
+    require(keyCols.nonEmpty, "init needs the replication key columns")
+    val v = DataLayout.currentVersion(spark, srcDir)
+    require(v >= 0, s"no source layout at $srcDir")
+    val rows = DataLayout.readLayout(spark, srcDir)
+    keyCols.foreach(k => require(rows.columns.contains(k),
+      s"key column '$k' not in source schema ${rows.columns.mkString(",")}"))
+    require(statsCols.contains(keyCols.head),
+      s"statsCols must include the envelope key '${keyCols.head}' — sync's " +
+        "mergeInto targets replica files by that column's min/max")
+    DataLayout.writeZOrdered(rows, dims, bits, statsCols, dstDir, numFiles)
+    val d = ReplicaDef(srcDir, v, keyCols)
+    writeMeta(spark, dstDir, d)
+    d
+  }
+
+  final case class SyncReport(fromVersion: Long, toVersion: Long,
+      feedRows: Long, upserts: Long, deletes: Long, filesRewritten: Int)
+
+  /** Apply the source's churn since the last sync. No-op when current. */
+  def sync(spark: SparkSession, dstDir: String, dims: Seq[Column],
+      bits: Int, statsCols: Seq[String], numFiles: Int): SyncReport = {
+    val d = meta(spark, dstDir)
+    val cur = DataLayout.currentVersion(spark, d.srcDir)
+    require(cur >= d.srcVersion, s"source at ${d.srcDir} regressed: replica " +
+      s"pinned ${d.srcVersion}, source at $cur — was the source replaced?")
+    if (cur == d.srcVersion)
+      return SyncReport(cur, cur, 0L, 0L, 0L, 0)
+
+    val dataCols = DataLayout.readLayout(spark, dstDir).columns.toSeq
+    val compareCols = dataCols.filterNot(d.keyCols.contains)
+    val feed = DataLayout.changeFeed(spark, d.srcDir, d.srcVersion, cur,
+      d.keyCols, compareCols).localCheckpoint(true)
+    val feedRows = feed.count()
+    if (feedRows == 0L) { // pure file-motion steps (compaction, recluster)
+      writeMeta(spark, dstDir, d.copy(srcVersion = cur))
+      return SyncReport(d.srcVersion, cur, 0L, 0L, 0L, 0)
+    }
+
+    // LAST EVENT WINS per key: highest version, and within one step the
+    // arrival ('+' sorts before '-') beats the departure it replaced
+    val w = Window.partitionBy(d.keyCols.map(col): _*)
+      .orderBy(col("version").desc, col("sign").asc)
+    val last = feed.withColumn("_rk", row_number().over(w))
+      .where(col("_rk") === 1).localCheckpoint(true)
+    val ups = last.where(col("sign") === "+")
+      .select(dataCols.map(col): _*)
+    val dels = last.where(col("sign") === "-")
+      .select(d.keyCols.map(col): _*)
+    val rep = DataLayout.mergeInto(spark, dstDir, dims, bits, statsCols,
+      ups, d.keyCols, numFiles,
+      deleteKeys = if (dels.isEmpty) None else Some(dels))
+    writeMeta(spark, dstDir, d.copy(srcVersion = cur))
+    SyncReport(d.srcVersion, cur, feedRows,
+      upserts = rep.rowsUpdated + rep.rowsInserted, deletes = rep.rowsDeleted,
+      filesRewritten = rep.filesRewritten)
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
-import graft.layout.{DataLayout, MatView}
+import graft.layout.{DataLayout, MatView, Replica}
 
 /** Data-layout gates: the Z-order key itself (engine-exact, DuckDB
   * recomputes the interleave bit-for-bit) and the end-to-end clustered
@@ -406,6 +406,33 @@ object LayoutQueries {
       DataLayout.readLayout(s, dir).orderBy("o_orderkey")
     }),
 
+    // CDC replication: a physically independent replica (clustered by ITS
+    // OWN dims) seeded once, then the source churns (append + DV delete)
+    // and ONE sync ships exactly the churn — change-feed rows collapsed
+    // last-event-wins into one envelope-targeted merge. The replica's
+    // rows must equal the source's final table, which the oracle states
+    // directly over orders. ReplicaSpec pins churn-cost and idempotence.
+    "q_layout_replica" -> ((s, d) => {
+      val src = layoutDir(d) + "_repsrc"
+      val dst = layoutDir(d) + "_repdst"
+      val orders = Tables.load(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      DataLayout.writeZOrdered(
+        orders.where(col("o_orderkey") % 3 =!= 0),
+        Seq(col("o_custkey"), cents("o_totalprice")), Bits,
+        statsCols = Seq("o_custkey"), outDir = src, numFiles = 16)   // v0
+      Replica.init(s, src, dst, Seq(col("o_orderkey")), Bits,
+        Seq("o_orderkey"), Seq("o_orderkey"), numFiles = 8)
+      DataLayout.appendZOrdered(
+        orders.where(col("o_orderkey") % 3 === 0),
+        Seq(col("o_custkey"), cents("o_totalprice")), Bits,
+        statsCols = Seq("o_custkey"), outDir = src, numFiles = 4)    // v1
+      DataLayout.deleteVectors(s, src, Seq(("o_custkey", 900L, 1100L))) // v2
+      Replica.sync(s, dst, Seq(col("o_orderkey")), Bits,
+        Seq("o_orderkey"), numFiles = 4)
+      DataLayout.readLayout(s, dst).orderBy("o_orderkey")
+    }),
+
     // Full re-cluster by NEW dimensions (query patterns changed): the
     // table first lands z-ordered by (custkey, price), then reclusters by
     // orderkey as one new version; a 1-D orderkey range through skipScan
@@ -566,6 +593,12 @@ object LayoutQueries {
       """SELECT o_orderkey, o_custkey, o_totalprice,
         |  CASE WHEN o_orderkey % 2 = 0 THEN o_orderpriority END AS o_orderpriority
         |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_layout_replica" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE NOT (o_custkey BETWEEN 900 AND 1100)
         |ORDER BY o_orderkey""".stripMargin,
   )
 }
