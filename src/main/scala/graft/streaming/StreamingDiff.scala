@@ -441,6 +441,60 @@ object StreamingDiff {
     ()
   }
 
+  /** Streaming INCREMENTAL VIEW MAINTENANCE: each micro-batch of CDC
+    * events lands on the layout via [[cdcMergeBatch]] and then rolls the
+    * materialized aggregate view forward via
+    * [[graft.layout.MatView.refresh]] — so a pre-aggregated metrics table
+    * tracks a continuously-mutating fact table at CHURN cost per trigger:
+    * the merge touches only the files the batch's keys live in, and the
+    * refresh reads only that version step's change feed (O(groups) merge;
+    * a base re-scan only for groups whose min/max an eviction clipped,
+    * semi-join-pruned). At 100 TB neither side of a trigger ever pays a
+    * full pass.
+    *
+    * The view bootstraps itself on the first trigger that leaves the
+    * layout non-empty (one full aggregation over just that batch's rows —
+    * the only full pass the view's lifetime needs).
+    *
+    * Restart safety composes from the two halves' own guarantees: the
+    * merge skips replayed batch ids via its `_graft_cdc_commit` marker,
+    * and refresh is version-anchored — a crash between merge and refresh
+    * just means the next trigger's refresh rolls across both version
+    * steps; a replayed trigger finds the view already current and no-ops.
+    * Every crash point converges to a view exactly equal to a full
+    * GROUP BY recompute of the layout's current version. */
+  def ivmSink(cdc: DataFrame, dims: Seq[org.apache.spark.sql.Column],
+      bits: Int, statsCols: Seq[String], dir: String, keyCols: Seq[String],
+      opCol: String, seqCol: String, viewDir: String,
+      groupCols: Seq[String], measures: Seq[String], numFiles: Int = 4)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val fn: (Dataset[org.apache.spark.sql.Row], Long) => Unit = (batch, id) =>
+      ivmBatch(batch.toDF(), id, dims, bits, statsCols, dir, keyCols,
+        opCol, seqCol, viewDir, groupCols, measures, numFiles)
+    cdc.writeStream.outputMode("append").foreachBatch(fn)
+  }
+
+  /** One idempotent IVM step (the foreachBatch body, callable directly so
+    * replays and crash points are testable). */
+  def ivmBatch(batch: DataFrame, id: Long,
+      dims: Seq[org.apache.spark.sql.Column], bits: Int,
+      statsCols: Seq[String], dir: String, keyCols: Seq[String],
+      opCol: String, seqCol: String, viewDir: String,
+      groupCols: Seq[String], measures: Seq[String], numFiles: Int): Unit = {
+    import graft.layout.{DataLayout, MatView}
+    cdcMergeBatch(batch, id, dims, bits, statsCols, dir, keyCols,
+      opCol, seqCol, numFiles)
+    val spark = batch.sparkSession
+    if (DataLayout.currentVersion(spark, dir) < 0L) return // nothing landed yet
+    val metaP = new org.apache.hadoop.fs.Path(viewDir, MatView.MetaDir)
+    val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(metaP))
+      MatView.materialize(spark, dir, viewDir, groupCols, measures, keyCols)
+    else
+      MatView.refresh(spark, viewDir)
+    ()
+  }
+
   /** Watermarked tumbling-window event counts (late data dropped at 10m). */
   def windowedCounts(events: DataFrame): DataFrame =
     events

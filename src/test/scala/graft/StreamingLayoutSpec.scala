@@ -186,6 +186,74 @@ class StreamingLayoutSpec extends AnyFunSuite {
     assert(DataLayout.readLayout(spark, cdcDir).count() == 100L)
   }
 
+  test("streaming IVM: the view tracks a CDC-fed layout exactly, per trigger") {
+    val root = Files.createTempDirectory("graft_sivm").toString
+    val dir = root + "/t"
+    val viewDir = root + "/v"
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // (id, grp, amount_cents, op, seq) — whole-cent longs so the
+    // incremental view must equal a full recompute EXACTLY
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long, String, Long)]
+    val q = StreamingDiff.ivmSink(
+      input.toDF().toDF("id", "grp", "amount", "op", "seq"),
+      Seq(col("id")), bits = 16, statsCols = Seq("id"), dir = dir,
+      keyCols = Seq("id"), opCol = "op", seqCol = "seq", viewDir = viewDir,
+      groupCols = Seq("grp"), measures = Seq("amount"), numFiles = 2)
+      .start()
+    def viewRows() = graft.layout.MatView.read(spark, viewDir)
+      .select("grp", "n_rows", "sum_amount", "min_amount", "max_amount")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    def recompute() = DataLayout.readLayout(spark, dir)
+      .groupBy("grp").agg(count(lit(1)), sum("amount"), min("amount"), max("amount"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    try {
+      // trigger 0 bootstraps layout + view in one full (batch-sized) pass
+      input.addData((0 until 300).map(i =>
+        (i.toLong, s"g${i % 7}", (i * 101L) % 9973L, "I", 1L)))
+      q.processAllAvailable()
+      assert(viewRows() == recompute())
+      // trigger 1: updates move values BETWEEN groups, deletes clip a
+      // group's maximum (the dirty-group path), and one new group appears
+      input.addData(
+        (0 until 40).map(i => (i.toLong, s"g${(i + 1) % 7}", 50000L + i, "U", 2L)) ++
+        (250 until 300).map(i => (i.toLong, "", 0L, "D", 2L)) ++
+        Seq((9001L, "gNEW", 7L, "I", 2L)))
+      q.processAllAvailable()
+      assert(viewRows() == recompute())
+      // trigger 2: empty a whole group — it must LEAVE the view
+      input.addData((0 until 300).collect {
+        case i if (if (i < 40) (i + 1) % 7 else i % 7) == 3 && i < 250 =>
+          (i.toLong, "", 0L, "D", 3L) })
+      q.processAllAvailable()
+      val v2 = viewRows()
+      assert(v2 == recompute())
+      assert(!v2.contains("g3"))
+    } finally q.stop()
+    // replayed trigger id: both halves no-op (marker + version-anchored)
+    val vBefore = DataLayout.currentVersion(spark, dir)
+    val viewBefore = viewRows()
+    StreamingDiff.ivmBatch(
+      Seq((0L, "gX", 1L, "U", 99L)).toDF("id", "grp", "amount", "op", "seq"),
+      1L, Seq(col("id")), 16, Seq("id"), dir, Seq("id"), "op", "seq",
+      viewDir, Seq("grp"), Seq("amount"), 2)
+    assert(DataLayout.currentVersion(spark, dir) == vBefore)
+    assert(viewRows() == viewBefore)
+    // crash between merge and refresh: merge batch 3 directly (view now
+    // stale), then a later trigger's refresh must roll across the gap
+    StreamingDiff.cdcMergeBatch(
+      Seq((1L, "gLATE", 123L, "U", 4L)).toDF("id", "grp", "amount", "op", "seq"),
+      3L, Seq(col("id")), 16, Seq("id"), dir, Seq("id"), "op", "seq", 2)
+    StreamingDiff.ivmBatch(
+      Seq((2L, "gLATE", 456L, "U", 5L)).toDF("id", "grp", "amount", "op", "seq"),
+      4L, Seq(col("id")), 16, Seq("id"), dir, Seq("id"), "op", "seq",
+      viewDir, Seq("grp"), Seq("amount"), 2)
+    assert(viewRows() == recompute())
+    assert(viewRows()("gLATE") == ((2L, 579L, 123L, 456L)))
+  }
+
   test("a CDC event with a NULL op upserts per contract, never vanishes") {
     val dir = Files.createTempDirectory("graft_slayout").toString + "/t"
     def cdc(id: Long, rows: Seq[(Long, String, String, Long)]): Unit =
