@@ -225,8 +225,12 @@ object DataLayout {
     * shuffling only `files × statsCols` min/max pairs.
     */
   def writeZOrdered(df: DataFrame, dims: Seq[Column], bits: Int,
-      statsCols: Seq[String], outDir: String, numFiles: Int): Unit =
+      statsCols: Seq[String], outDir: String, numFiles: Int): Unit = {
+    // an overwrite keeps the dir's constraint log (invariants outlive any
+    // one version) — so it is enforced here too
+    Constraints.enforce(df.sparkSession, outDir, df, "writeZOrdered")
     writeClustered(df, dims, bits, statsCols, outDir, numFiles, append = false)
+  }
 
   /** Z-order and APPEND a delta as a new version of an existing layout.
     * The delta alone is clustered (one range exchange over DELTA rows only —
@@ -234,10 +238,12 @@ object DataLayout {
     * ∝ delta; the price is z-range overlap between delta files and base
     * files, which [[compactZOrdered]] repays incrementally. */
   def appendZOrdered(delta: DataFrame, dims: Seq[Column], bits: Int,
-      statsCols: Seq[String], outDir: String, numFiles: Int): Unit =
+      statsCols: Seq[String], outDir: String, numFiles: Int): Unit = {
+    Constraints.enforce(delta.sparkSession, outDir, delta, "appendZOrdered")
     writeClustered(delta, dims, bits, statsCols, outDir, numFiles, append = true)
+  }
 
-  private def writeClustered(df: DataFrame, dims: Seq[Column], bits: Int,
+  private[layout] def writeClustered(df: DataFrame, dims: Seq[Column], bits: Int,
       statsCols: Seq[String], outDir: String, numFiles: Int,
       append: Boolean): Unit = {
     require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
@@ -1099,6 +1105,7 @@ object DataLayout {
     // concurrently-changing source must not pass validation on one
     // evaluation and write different rows on another
     val d = delta.localCheckpoint(true)
+    Constraints.enforce(spark, dir, d, "mergeInto") // upserts only; deletes add no rows
     val deltaKeys = d.select(keyCols.map(col): _*).distinct()
       .localCheckpoint(true)
     val deltaCount = d.count()

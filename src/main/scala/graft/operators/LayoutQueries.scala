@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
-import graft.layout.{DataLayout, MatView, Replica}
+import graft.layout.{Constraints, DataLayout, MatView, Replica}
 
 /** Data-layout gates: the Z-order key itself (engine-exact, DuckDB
   * recomputes the interleave bit-for-bit) and the end-to-end clustered
@@ -433,6 +433,36 @@ object LayoutQueries {
       DataLayout.readLayout(s, dst).orderBy("o_orderkey")
     }),
 
+    // CHECK constraints: invariants enforced at the write seam. A layout
+    // seeded with conforming rows gains two constraints; a permissive
+    // append of the WHOLE table then quarantines exactly the violating
+    // rows — returned here with the names of the constraints each row
+    // failed, which the oracle restates as plain CASE logic over orders.
+    // ConstraintsSpec pins the strict-mode refusals (append/merge/add) and
+    // the SQL NULL-passes semantics.
+    "q_layout_constraints" -> ((s, d) => {
+      val dir = layoutDir(d) + "_ck"
+      val orders = Tables.load(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      // clean slate for re-runs: the constraint log survives overwrite by
+      // design, so the gate resets it explicitly
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir, Constraints.ConstraintsDir), true)
+      DataLayout.writeZOrdered(
+        orders.where(col("o_custkey") % 7 =!= 0 && col("o_totalprice") < 300000),
+        Seq(col("o_custkey"), cents("o_totalprice")), Bits,
+        statsCols = Seq("o_custkey"), outDir = dir, numFiles = 8)
+      Constraints.add(s, dir, "c_mod", "o_custkey % 7 <> 0")
+      Constraints.add(s, dir, "c_cap", "o_totalprice < 300000")
+      Constraints.appendPermissive(
+        orders.where(col("o_custkey") % 7 === 0 || col("o_totalprice") >= 300000),
+        Seq(col("o_custkey"), cents("o_totalprice")), Bits,
+        statsCols = Seq("o_custkey"), dir = dir, numFiles = 4)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "violated")
+        .orderBy("o_orderkey")
+    }),
+
     // Full re-cluster by NEW dimensions (query patterns changed): the
     // table first lands z-ordered by (custkey, price), then reclusters by
     // orderkey as one new version; a 1-D orderkey range through skipScan
@@ -599,6 +629,15 @@ object LayoutQueries {
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders
         |WHERE NOT (o_custkey BETWEEN 900 AND 1100)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_layout_constraints" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  concat_ws(',',
+        |    CASE WHEN o_custkey % 7 = 0 THEN 'c_mod' END,
+        |    CASE WHEN o_totalprice >= 300000 THEN 'c_cap' END) AS violated
+        |FROM orders
+        |WHERE o_custkey % 7 = 0 OR o_totalprice >= 300000
         |ORDER BY o_orderkey""".stripMargin,
   )
 }
