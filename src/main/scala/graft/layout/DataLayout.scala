@@ -154,8 +154,14 @@ object DataLayout {
     df.select(("file" +: mid.toSeq :+ "v_added" :+ "v_removed").map(col): _*)
   }
 
+  /** Every log append is ONE part file (the rows are O(files-touched) —
+    * tiny): a single file commits by a single rename, so a version becomes
+    * visible to concurrent readers (the change-feed stream's poll thread,
+    * a parallel query) atomically — never as a partially-committed row
+    * set. This is the commit point of every mutation; data files written
+    * before it are invisible orphans until it lands. */
   private def appendLog(dir: String, rows: DataFrame): Unit =
-    normalizeLog(rows).write.mode("append").parquet(manifestPath(dir))
+    normalizeLog(rows).coalesce(1).write.mode("append").parquet(manifestPath(dir))
 
   /** Tombstone rows for `files`: their alive stats rows re-emitted with
     * v_added cleared and v_removed = `v` (the stats ride along so the log
@@ -418,7 +424,13 @@ object DataLayout {
   def dvLog(spark: SparkSession, dir: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(dvPath(dir))
     if (!fsOf(spark, dir).exists(p)) None
-    else Some(spark.read.parquet(dvPath(dir)))
+    // explicit schema, not inference: a concurrent DV append creates the
+    // dir before its part files commit, and schema inference over the
+    // momentarily-file-less dir throws UNABLE_TO_INFER_SCHEMA at any
+    // concurrent reader (the change-feed stream's poll thread hit this);
+    // with the log's fixed schema that window just reads as "no rows yet"
+    else Some(spark.read.schema("file STRING, pos BIGINT, v BIGINT")
+      .parquet(dvPath(dir)))
   }
 
   /** DV rows effective at `version` (those committed at or before it). */
@@ -537,7 +549,9 @@ object DataLayout {
     val n = fresh.count()
     if (n == 0L) return DvDeleteReport(0, 0L)
     val filesTouched = fresh.select("file").distinct().count().toInt
-    fresh.write.mode("append").parquet(dvPath(dir))
+    // one part file = one rename = the DV version appears atomically to
+    // concurrent readers (see appendLog); DV deltas are churn-sized
+    fresh.coalesce(1).write.mode("append").parquet(dvPath(dir))
     DvDeleteReport(filesTouched, n)
   }
 

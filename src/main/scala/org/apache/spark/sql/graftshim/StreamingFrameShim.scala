@@ -1,0 +1,22 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.DataFrame
+
+/** The one `private[sql]` bridge the layout's DSv1 streaming source needs:
+  * `MicroBatchExecution` asserts that a v1 `Source.getBatch` result has
+  * `isStreaming = true`, and the only way to tag an arbitrary batch plan
+  * that way is `SparkSession.internalCreateDataFrame(rdd, schema,
+  * isStreaming = true)` — the same call Spark's own `FileStreamSource`
+  * makes (spark/sql/core FileStreamSource.scala). This object lives under
+  * `org.apache.spark.sql` purely for that access; no other internals are
+  * touched, and the wrapped RDD is the batch plan's own distributed
+  * `toRdd` (lazy — nothing is computed or collected here).
+  */
+object StreamingFrameShim {
+  def asStreaming(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val qe = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution
+    spark.internalCreateDataFrame(qe.toRdd, df.schema, isStreaming = true)
+  }
+}
