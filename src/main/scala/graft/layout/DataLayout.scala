@@ -658,6 +658,40 @@ object DataLayout {
     PrunedScan(df, files.length, total)
   }
 
+  /** DYNAMIC FILE PRUNING: the rows of the layout whose `keyCol` appears
+    * in `keys` — but decided FILE-FIRST through the manifest, the
+    * read-side twin of [[mergeInto]]'s envelope targeting. The O(files)
+    * stats rows broadcast against the (distributed, arbitrary-size) key
+    * frame decide which files can possibly hold a requested key; only
+    * those are read, then one semi-join drops the envelope's false
+    * positives. Keys never collect to the driver and the data scan never
+    * touches a file no key can live in.
+    *
+    * This is what "join a 100 TB fact layout to a filtered dimension"
+    * should cost: on a table clustered by `keyCol`, a dimension subset
+    * that maps to k files reads k files — Spark's own dynamic partition
+    * pruning can't help here (the layout is one unpartitioned dir), so
+    * the manifest supplies the pruning instead. Degenerate case (keys
+    * everywhere) reads everything, same as any DFP.
+    */
+  def semiJoinScan(spark: SparkSession, dir: String, keys: DataFrame,
+      keyCol: String, version: Long = Latest): PrunedScan = {
+    require(keys.columns.contains(keyCol),
+      s"key frame has no column '$keyCol' (${keys.columns.mkString(",")})")
+    val alive = aliveManifest(spark, dir, version).localCheckpoint(true)
+    requireStats(alive, Seq((keyCol, null, null)))
+    val total = alive.count().toInt
+    val k = keys.select(col(keyCol).as("_k")).distinct()
+    val hit = broadcast(alive.select(col("file"),
+        col(s"min_$keyCol").as("_lo"), col(s"max_$keyCol").as("_hi")))
+      .join(k, col("_k") >= col("_lo") && col("_k") <= col("_hi"))
+      .select("file").distinct()
+      .collect().map(_.getString(0)).toIndexedSeq.sorted // O(files): paths only
+    val df = readMasked(spark, dir, hit, version)
+      .join(k.select(col("_k").as(keyCol)), Seq(keyCol), "left_semi")
+    PrunedScan(df, hit.length, total)
+  }
+
   /** The three range-predicate builders skipScan and deleteWhere share —
     * one definition, so scan and delete can never diverge on which files
     * an interval hits. */

@@ -463,6 +463,27 @@ object LayoutQueries {
         .orderBy("o_orderkey")
     }),
 
+    // Dynamic file pruning: "join the fact layout to a filtered dimension"
+    // decided file-first — the manifest broadcast against the dimension's
+    // keys picks the files any requested key can live in; only those are
+    // read, one semi-join drops envelope false positives. The oracle is
+    // the plain IN-subquery join. LayoutSpec pins that the pruning
+    // actually skipped files.
+    "q_layout_dfp" -> ((s, d) => {
+      val dir = layoutDir(d) + "_dfp"
+      DataLayout.writeZOrdered(
+        Tables.load(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice"),
+        Seq(col("o_custkey"), cents("o_totalprice")), Bits,
+        statsCols = Seq("o_custkey"), outDir = dir, numFiles = 16)
+      val keys = Tables.load(s, d, "customer")
+        .where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("o_custkey"))
+      DataLayout.semiJoinScan(s, dir, keys, "o_custkey").df
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
     // Full re-cluster by NEW dimensions (query patterns changed): the
     // table first lands z-ordered by (custkey, price), then reclusters by
     // orderkey as one new version; a 1-D orderkey range through skipScan
@@ -629,6 +650,13 @@ object LayoutQueries {
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders
         |WHERE NOT (o_custkey BETWEEN 900 AND 1100)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_layout_dfp" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_custkey IN (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
         |ORDER BY o_orderkey""".stripMargin,
 
     "q_layout_constraints" ->

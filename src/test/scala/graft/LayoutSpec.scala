@@ -108,6 +108,38 @@ class LayoutSpec extends AnyFunSuite {
       s"corner query read ${corner.filesRead}/8 files — layout not clustering")
   }
 
+  test("semiJoinScan: exact semi-join rows, file-first pruning, nulls and dupes in keys") {
+    val dir = Files.createTempDirectory("graft_layout_spec").toString + "/t"
+    writeSample(dir)
+    val full = spark.read.parquet(dir)
+    // a tight key cluster (the 4 lowest real x values, plus a duplicate):
+    // on an x-clustered layout it must skip files
+    val ks = full.select("x").distinct().orderBy("x").limit(4).as[Long].collect()
+    val keys = (ks.toSeq :+ ks.head).toDF("x")
+    val scan = DataLayout.semiJoinScan(spark, dir, keys, "x")
+    val want = full.where(col("x").isin(ks: _*))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(want.nonEmpty &&
+      scan.df.select("id").as[Long].collect().sorted.toSeq == want)
+    assert(scan.filesTotal == 8 && scan.filesRead < 8,
+      s"read ${scan.filesRead}/8 files — no pruning happened")
+    // NULL keys match nothing (semi-join semantics), empty keys read nothing
+    val nullScan = DataLayout.semiJoinScan(spark, dir,
+      Seq(Option.empty[Long]).toDF("x"), "x")
+    assert(nullScan.df.count() == 0L)
+    val emptyScan = DataLayout.semiJoinScan(spark, dir,
+      Seq.empty[Long].toDF("x"), "x")
+    assert(emptyScan.filesRead == 0 && emptyScan.df.count() == 0L)
+    // a DV'd row never comes back through the semi-join
+    DataLayout.deleteVectors(spark, dir, Seq(("x", ks.head, ks.head)))
+    val after = DataLayout.semiJoinScan(spark, dir, keys, "x")
+    assert(!after.df.select("x").as[Long].collect().contains(ks.head))
+    // stats-less key column refuses
+    intercept[IllegalArgumentException] {
+      DataLayout.semiJoinScan(spark, dir, Seq(1L).toDF("id"), "id")
+    }
+  }
+
   test("skipScan with an empty intersection reads zero files, zero rows") {
     val dir = Files.createTempDirectory("graft_layout_spec").toString + "/t"
     writeSample(dir)
