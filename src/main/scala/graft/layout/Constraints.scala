@@ -42,14 +42,24 @@ object Constraints {
   private def logExists(spark: SparkSession, dir: String): Boolean =
     fsOf(spark, dir).exists(new org.apache.hadoop.fs.Path(cPath(dir)))
 
+  // explicit schema (cf. DataLayout.dvLog): a dir created by an in-flight
+  // or crashed append momentarily holds no part files, and inference over
+  // it would throw at any concurrent reader
   private def readLog(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(cPath(dir))
+    spark.read.schema("name STRING, expr_sql STRING, active BOOLEAN, seq BIGINT")
+      .parquet(cPath(dir))
 
   private def appendLog(spark: SparkSession, dir: String,
       name: String, exprSql: String, active: Boolean): Unit = {
     import spark.implicits._
+    // isNullAt guard: a log dir created by a crashed write holds zero rows,
+    // and max() over nothing is NULL — that residue must read as "start
+    // at 0", not NPE
     val seq = if (!logExists(spark, dir)) 0L
-      else readLog(spark, dir).agg(max("seq")).head().getLong(0) + 1L
+      else {
+        val r = readLog(spark, dir).agg(max("seq")).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0) + 1L
+      }
     Seq((name, exprSql, active, seq))
       .toDF("name", "expr_sql", "active", "seq")
       .coalesce(1).write.mode("append").parquet(cPath(dir))
