@@ -154,14 +154,52 @@ object DataLayout {
     df.select(("file" +: mid.toSeq :+ "v_added" :+ "v_removed").map(col): _*)
   }
 
-  /** Every log append is ONE part file (the rows are O(files-touched) —
-    * tiny): a single file commits by a single rename, so a version becomes
-    * visible to concurrent readers (the change-feed stream's poll thread,
-    * a parallel query) atomically — never as a partially-committed row
-    * set. This is the commit point of every mutation; data files written
+  /** Commit `rows` into `logDir` as ONE part file renamed into place as
+    * `commit-v{v}.parquet` — the stage-then-rename makes every version
+    * commit three things at once:
+    *
+    *  - ATOMIC: readers (a parallel query, the change-feed stream's poll
+    *    thread) see the version fully or not at all — one file, one
+    *    rename, never a partially-visible row set;
+    *  - CRASH-CLEAN: a crash before the rename leaves only a `_stage_*`
+    *    dir Spark readers ignore (vacuum sweeps it); there is no claim
+    *    marker that could wedge the next writer;
+    *  - PUT-IF-ABSENT: Hadoop `rename` refuses an existing destination,
+    *    so two mutators that both derived version v race to ONE winner —
+    *    the loser gets ConcurrentModificationException instead of silently
+    *    corrupting the log (optimistic concurrency, the same commit
+    *    discipline Delta's log takes from `put-if-absent`). Cross-LOG
+    *    races (a manifest mutation vs a DV delete claiming the same v)
+    *    are not arbitrated — the single-mutator deployment contract
+    *    stands; this turns same-log races from corruption into an error.
+    *
+    * This is the commit point of every mutation; data files written
     * before it are invisible orphans until it lands. */
-  private def appendLog(dir: String, rows: DataFrame): Unit =
-    normalizeLog(rows).coalesce(1).write.mode("append").parquet(manifestPath(dir))
+  private[layout] def commitLogFile(logDir: String, rows: DataFrame, v: Long): Unit = {
+    val spark = rows.sparkSession
+    val lp = new org.apache.hadoop.fs.Path(logDir)
+    val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = new org.apache.hadoop.fs.Path(logDir,
+      s"_stage_${java.util.UUID.randomUUID}")
+    rows.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = fs.listStatus(stage).map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse {
+        fs.delete(stage, true)
+        throw new IllegalStateException(
+          s"staged commit wrote no part file under $stage")
+      }
+    val dest = new org.apache.hadoop.fs.Path(logDir, s"commit-v$v.parquet")
+    val ok = try fs.rename(part, dest)
+      catch { case _: java.io.IOException => false }
+    fs.delete(stage, true)
+    if (!ok) throw new java.util.ConcurrentModificationException(
+      s"version $v of ${lp.getParent} was committed by a concurrent writer " +
+        "while this mutation ran — re-read the layout and retry")
+  }
+
+  private def appendLog(dir: String, rows: DataFrame, v: Long): Unit =
+    commitLogFile(manifestPath(dir), normalizeLog(rows), v)
 
   /** Tombstone rows for `files`: their alive stats rows re-emitted with
     * v_added cleared and v_removed = `v` (the stats ride along so the log
@@ -286,7 +324,7 @@ object DataLayout {
     val stats = fileStats(spark.read.parquet(fresh: _*), dims, bits, statsCols)
       .withColumn("v_added", lit(v))
       .withColumn("v_removed", lit(null).cast("long"))
-    if (append) appendLog(outDir, stats)
+    if (append) appendLog(outDir, stats, v)
     else normalizeLog(stats).write.mode("overwrite").parquet(manifestPath(outDir))
     if (!append) recordSchema(spark, outDir, 0L, df.schema)
     else evolved.foreach(recordSchema(spark, outDir, v, _))
@@ -551,7 +589,7 @@ object DataLayout {
     val filesTouched = fresh.select("file").distinct().count().toInt
     // one part file = one rename = the DV version appears atomically to
     // concurrent readers (see appendLog); DV deltas are churn-sized
-    fresh.coalesce(1).write.mode("append").parquet(dvPath(dir))
+    commitLogFile(dvPath(dir), fresh, v)
     DvDeleteReport(filesTouched, n)
   }
 
@@ -582,7 +620,7 @@ object DataLayout {
       s"purge_v$v", data, hit.size, dims, bits)
     val tomb = tombstones(aliveDf, hit, v)
     appendLog(dir, freshStatsFor(spark, freshNames, dims, bits, statsCols, v)
-      .map(_.unionByName(tomb)).getOrElse(tomb))
+      .map(_.unionByName(tomb)).getOrElse(tomb), v)
     PurgeReport(filesRewritten = hit.size,
       positionsApplied = dvLog(spark, dir).map(
         _.where(canonCol(col("file")).isin(hit.map(canon): _*)).count())
@@ -774,7 +812,7 @@ object DataLayout {
     val tomb = tombstones(aliveDf, retired, v)
     appendLog(dir,
       freshStatsFor(spark, freshNames.toSeq, dims, bits, statsCols, v)
-        .map(_.unionByName(tomb)).getOrElse(tomb))
+        .map(_.unionByName(tomb)).getOrElse(tomb), v)
     CompactReport(clustersRewritten = toRewrite.size,
       filesRewritten = rewrittenFiles,
       filesTotalAfter = allAlive.length - retired.size + freshNames.size)
@@ -816,7 +854,7 @@ object DataLayout {
       s"delete_v$v", survivors, math.max(1, hitRaw.size), dims, bits)
     val tomb = tombstones(aliveDf, hitRaw, v)
     appendLog(dir, freshStatsFor(spark, freshNames, dims, bits, statsCols, v)
-      .map(_.unionByName(tomb)).getOrElse(tomb))
+      .map(_.unionByName(tomb)).getOrElse(tomb), v)
     DeleteReport(hitRaw.size, deleted,
       aliveCount - hitRaw.size + freshNames.size)
   }
@@ -871,6 +909,17 @@ object DataLayout {
           canonCol(col("file")) === col("_alive_f"), "left_semi")
         .localCheckpoint(true)
       kept.write.mode("overwrite").parquet(dvPath(dir))
+    }
+    // sweep crashed commit stages: a `_stage_*` dir is either the residue
+    // of a writer that died before its rename (reclaim it) or an in-flight
+    // commit — and vacuum IS a mutator, so by the single-mutator contract
+    // there is no in-flight commit while it runs
+    for (ld <- Seq(manifestPath(dir), dvPath(dir))) {
+      val lp = new org.apache.hadoop.fs.Path(ld)
+      if (fs.exists(lp))
+        fs.listStatus(lp)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("_stage_"))
+          .foreach(s => fs.delete(s.getPath, true))
     }
     VacuumReport(filesDeleted = removed, logRowsBefore = logBefore,
       logRowsAfter = aliveCanon.size.toLong)
@@ -1036,7 +1085,7 @@ object DataLayout {
       s"recluster_v$v", data, numFiles, dims, bits)
     val tomb = tombstones(aliveDf, files, v)
     appendLog(dir, freshStatsFor(spark, fresh, dims, bits, statsCols, v)
-      .map(_.unionByName(tomb, allowMissingColumns = true)).getOrElse(tomb))
+      .map(_.unionByName(tomb, allowMissingColumns = true)).getOrElse(tomb), v)
     ReclusterReport(filesBefore = files.size, filesAfter = fresh.size)
   }
 
@@ -1200,7 +1249,7 @@ object DataLayout {
       s"merge_v$v", merged, numFiles, dims, bits)
     val tomb = tombstones(aliveDf, hit, v)
     appendLog(dir, freshStatsFor(spark, freshNames, dims, bits, statsCols, v)
-      .map(_.unionByName(tomb)).getOrElse(tomb))
+      .map(_.unionByName(tomb)).getOrElse(tomb), v)
     MergeReport(filesRewritten = hit.size, rowsUpdated = updated,
       rowsInserted = deltaCount - matchedKeys, rowsDeleted = deleted,
       filesTotalAfter = aliveCount - hit.size + freshNames.size)

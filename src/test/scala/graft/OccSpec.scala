@@ -1,0 +1,124 @@
+package graft.layout
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Optimistic concurrency at the commit point: every mutation's log entry
+  * is one part file renamed into place as `commit-v{N}.parquet`, so two
+  * writers deriving the same version race to ONE winner — the loser
+  * throws instead of silently interleaving manifest rows. Crashed stages
+  * are invisible to readers and swept by vacuum. (Lives in package
+  * graft.layout to exercise the `commitLogFile` primitive directly.)
+  */
+class OccSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTest.spark
+  import spark.implicits._
+
+  private val dims = Seq(col("k"))
+  private def fresh(rows: Range): String = {
+    val dir = Files.createTempDirectory("graft_occ").toString + "/t"
+    DataLayout.writeZOrdered(rows.map(i => (i.toLong, i.toLong)).toDF("k", "amt"),
+      dims, 16, Seq("k"), dir, 2)
+    dir
+  }
+  private def fs = org.apache.hadoop.fs.FileSystem.getLocal(
+    spark.sparkContext.hadoopConfiguration)
+  private def p(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  test("commitLogFile: same version commits once; loser throws; stages vanish") {
+    val log = Files.createTempDirectory("graft_occ").toString + "/log"
+    DataLayout.commitLogFile(log, Seq(("a", 1L)).toDF("f", "x"), 7L)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      DataLayout.commitLogFile(log, Seq(("b", 2L)).toDF("f", "x"), 7L)
+    }
+    assert(e.getMessage.contains("version 7"))
+    // the winner's rows are untouched; exactly one commit file; no stages
+    assert(spark.read.parquet(s"$log/commit-v7.parquet")
+      .as[(String, Long)].collect().toSeq == Seq(("a", 1L)))
+    val names = fs.listStatus(p(log)).map(_.getPath.getName)
+    assert(names.count(_.startsWith("commit-v")) == 1)
+    assert(!names.exists(_.startsWith("_stage_")))
+    // a different version proceeds
+    DataLayout.commitLogFile(log, Seq(("c", 3L)).toDF("f", "x"), 8L)
+    assert(fs.exists(p(s"$log/commit-v8.parquet")))
+  }
+
+  test("manifest race end-to-end: the losing append aborts, reads stay intact") {
+    val dir = fresh(1 to 100)
+    // simulate the race: another writer committed v1 AFTER this writer
+    // read version 0 — plant a VALID manifest commit whose rows are a
+    // duplicate of v0's (harmless: aliveManifest collapses per file), so
+    // currentVersion still reads 0 and the appender derives v = 1
+    DataLayout.commitLogFile(s"$dir/${DataLayout.ManifestDir}",
+      DataLayout.manifestLog(spark, dir), 1L)
+    assert(DataLayout.currentVersion(spark, dir) == 0L)
+    intercept[java.util.ConcurrentModificationException] {
+      DataLayout.appendZOrdered(Seq((200L, 200L)).toDF("k", "amt"),
+        dims, 16, Seq("k"), dir, 1)
+    }
+    // the loser's data files are unmanifested orphans: reads untouched
+    assert(DataLayout.readLayout(spark, dir).count() == 100L)
+    // vacuum reclaims the orphan bytes and the layout keeps working
+    val report = DataLayout.vacuum(spark, dir)
+    assert(report.filesDeleted >= 1)
+    DataLayout.appendZOrdered(Seq((200L, 200L)).toDF("k", "amt"),
+      dims, 16, Seq("k"), dir, 1)
+    assert(DataLayout.readLayout(spark, dir).count() == 101L)
+  }
+
+  test("DV race end-to-end: the losing delete aborts, nothing is masked") {
+    val dir = fresh(1 to 100)
+    // a concurrent DV commit for v1 (valid DV schema; its v value 0 keeps
+    // currentVersion at 0 so the deleter derives v = 1; its bogus file
+    // name masks nothing)
+    DataLayout.commitLogFile(s"$dir/${DataLayout.DvDir}",
+      Seq(("bogus", 0L, 0L)).toDF("file", "pos", "v"), 1L)
+    intercept[java.util.ConcurrentModificationException] {
+      DataLayout.deleteVectors(spark, dir, Seq(("k", 1L, 10L)))
+    }
+    assert(DataLayout.readLayout(spark, dir).count() == 100L)
+    // clear the foreign commit; the retried delete proceeds normally
+    fs.delete(p(s"$dir/${DataLayout.DvDir}/commit-v1.parquet"), false)
+    val r = DataLayout.deleteVectors(spark, dir, Seq(("k", 1L, 10L)))
+    assert(r.rowsDeleted == 10L)
+    assert(DataLayout.readLayout(spark, dir).count() == 90L)
+  }
+
+  test("a crashed stage dir is invisible to readers and swept by vacuum") {
+    val dir = fresh(1 to 50)
+    // plant crash residue: a stage dir WITH a real parquet part inside
+    val stage = p(s"$dir/${DataLayout.ManifestDir}/_stage_deadbeef")
+    Seq(("bogus", 99L)).toDF("file", "v_added")
+      .write.parquet(stage.toString)
+    // readers: version and rows unaffected by the staged rows
+    assert(DataLayout.currentVersion(spark, dir) == 0L)
+    assert(DataLayout.readLayout(spark, dir).count() == 50L)
+    // mutations continue past the residue
+    DataLayout.appendZOrdered(Seq((60L, 60L)).toDF("k", "amt"),
+      dims, 16, Seq("k"), dir, 1)
+    assert(DataLayout.currentVersion(spark, dir) == 1L)
+    // vacuum sweeps it
+    DataLayout.vacuum(spark, dir)
+    assert(!fs.exists(stage))
+  }
+
+  test("sequential mutations never self-conflict: every version commits once") {
+    val dir = fresh(1 to 60)
+    DataLayout.appendZOrdered(Seq((100L, 1L)).toDF("k", "amt"), dims, 16, Seq("k"), dir, 1)
+    DataLayout.deleteVectors(spark, dir, Seq(("k", 5L, 6L)))
+    DataLayout.mergeInto(spark, dir, dims, 16, Seq("k"),
+      Seq((7L, 700L)).toDF("k", "amt"), Seq("k"), 1)
+    DataLayout.recluster(spark, dir, Seq(col("amt")), 16, Seq("k"), 2)
+    assert(DataLayout.currentVersion(spark, dir) == 4L)
+    val got = DataLayout.readLayout(spark, dir)
+      .select("k", "amt").as[(Long, Long)].collect().toMap
+    assert(got.size == 59 && got(7L) == 700L && !got.contains(5L))
+    // one commit file per manifest version (v0 is the initial overwrite)
+    val commits = fs.listStatus(p(s"$dir/${DataLayout.ManifestDir}"))
+      .map(_.getPath.getName).filter(_.startsWith("commit-v")).sorted
+    assert(commits.toSeq == Seq("commit-v1.parquet", "commit-v3.parquet",
+      "commit-v4.parquet")) // v2 was the DV commit, in the DV log
+  }
+}
