@@ -81,6 +81,27 @@ object DataLayout {
     terms.reduce(_ + _)
   }
 
+  /** A STRING column as a z-order dimension: the first `ceil(bits/8)`
+    * UTF-8 bytes, zero-padded, packed big-endian and truncated to `bits`
+    * bits — a non-negative long MONOTONE in the string's unsigned-byte
+    * order (exactly the order parquet string min/max stats use), so a
+    * layout clustered on `stringDim(col("lang"), bits)` skip-scans string
+    * ranges through the same manifest envelopes as any long dimension.
+    * Equal prefixes collide (ties are fine for clustering: they only
+    * cost locality, never correctness); NULL stays NULL, like a NULL
+    * long dim. All builtin expressions (encode/rpad/hex/conv), one
+    * whole-stage-codegen'd projection, no UDF. */
+  def stringDim(c: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 56, s"stringDim bits out of [1,56]: $bits")
+    val k = (bits + 7) / 8
+    // rpad with 0x00 AFTER encode: without padding, "b" (0x62) would pack
+    // numerically above "ab" (0x6162) at k=2 while sorting below it
+    val packed = conv(hex(substring(
+      rpad(encode(c, "UTF-8"), k, Array[Byte](0)), 1, k)), 16, 10)
+      .cast("long")
+    shiftright(packed, k * 8 - bits)
+  }
+
   /** Map a long-valued column clamped to `[lo, hi]` onto `[0, 2^bits)`,
     * integer-exactly: `((x - lo) * 2^bits) div (hi - lo + 1)`. */
   def linearBucket(c: Column, lo: Long, hi: Long, bits: Int): Column = {

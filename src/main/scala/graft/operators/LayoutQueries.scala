@@ -463,6 +463,24 @@ object LayoutQueries {
         .orderBy("o_orderkey")
     }),
 
+    // String z-dimension: documents clustered by (lang, n_chars) — the
+    // language is a STRING, packed byte-order-monotone by stringDim, so
+    // the manifest's plain string min/max envelopes prune the same way a
+    // long dim's do. The oracle is the plain WHERE; LayoutSpec pins the
+    // monotonicity law and the actual file skipping.
+    "q_layout_stringdim" -> ((s, d) => {
+      val dir = layoutDir(d) + "_sd"
+      val docs = Tables.load(s, d, "documents")
+        .select("doc_id", "lang", "n_chars")
+      DataLayout.writeZOrdered(docs,
+        Seq(DataLayout.stringDim(col("lang"), 16), col("n_chars")), 16,
+        statsCols = Seq("lang", "n_chars"), outDir = dir, numFiles = 8)
+      DataLayout.skipScan(s, dir, Seq(
+        ("lang", "en", "en"), ("n_chars", 200L, 1500L))).df
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // Dynamic file pruning: "join the fact layout to a filtered dimension"
     // decided file-first — the manifest broadcast against the dimension's
     // keys picks the files any requested key can live in; only those are
@@ -651,6 +669,13 @@ object LayoutQueries {
         |FROM orders
         |WHERE NOT (o_custkey BETWEEN 900 AND 1100)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_layout_stringdim" ->
+      """SELECT doc_id, lang, n_chars
+        |FROM documents
+        |WHERE lang >= 'en' AND lang <= 'en'
+        |  AND n_chars BETWEEN 200 AND 1500
+        |ORDER BY doc_id""".stripMargin,
 
     "q_layout_dfp" ->
       """SELECT o_orderkey, o_custkey, o_totalprice

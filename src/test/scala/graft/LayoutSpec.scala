@@ -108,6 +108,56 @@ class LayoutSpec extends AnyFunSuite {
       s"corner query read ${corner.filesRead}/8 files — layout not clustering")
   }
 
+  test("stringDim is monotone in unsigned UTF-8 byte order") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    def byteLt(a: String, b: String): Boolean = {
+      val (x, y) = (a.getBytes(UTF_8), b.getBytes(UTF_8))
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    val rnd = new scala.util.Random(42)
+    val pool = "abcABC019 _-/éü中文🎉"
+    val strings = Seq("", "a", "ab", "b", "aa", "é", "中", "中文", "z", "Z") ++
+      (0 until 200).map(_ => (0 until rnd.nextInt(12))
+        .map(_ => pool(rnd.nextInt(pool.length))).mkString)
+    for (bits <- Seq(8, 16, 24, 56)) {
+      val dims = strings.distinct.toDF("s")
+        .select(col("s"), DataLayout.stringDim(col("s"), bits).as("d"))
+        .as[(String, Long)].collect().toMap
+      for (a <- dims.keys; b <- dims.keys if byteLt(a, b))
+        assert(dims(a) <= dims(b),
+          s"stringDim($bits) order broke: '$a'=${dims(a)} > '$b'=${dims(b)}")
+      assert(dims.values.forall(_ >= 0L))
+    }
+    // NULL stays NULL
+    assert(Seq(Option.empty[String]).toDF("s")
+      .select(DataLayout.stringDim(col("s"), 16)).head().isNullAt(0))
+  }
+
+  test("a string-dim clustered layout prunes files on string ranges") {
+    val dir = Files.createTempDirectory("graft_layout_spec").toString + "/t"
+    val rnd = new scala.util.Random(7)
+    val langs = Seq("ar", "de", "en", "es", "fr", "hi", "ja", "pt", "ru", "zh")
+    val df = (0 until 4000).map { i =>
+      (i.toLong, langs(rnd.nextInt(langs.length)), rnd.nextLong(4000))
+    }.toDF("id", "lang", "n")
+    DataLayout.writeZOrdered(df,
+      Seq(DataLayout.stringDim(col("lang"), 16), col("n")), 16,
+      statsCols = Seq("lang", "n"), outDir = dir, numFiles = 8)
+    val scan = DataLayout.skipScan(spark, dir, Seq(("lang", "de", "en")))
+    val want = df.where(col("lang") >= "de" && col("lang") <= "en")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(scan.df.select("id").as[Long].collect().sorted.toSeq == want)
+    assert(scan.filesRead < scan.filesTotal,
+      s"read ${scan.filesRead}/${scan.filesTotal} — string envelope never pruned")
+  }
+
   test("semiJoinScan: exact semi-join rows, file-first pruning, nulls and dupes in keys") {
     val dir = Files.createTempDirectory("graft_layout_spec").toString + "/t"
     writeSample(dir)
