@@ -717,6 +717,54 @@ object DataLayout {
     PrunedScan(df, files.length, total)
   }
 
+  /** TABLE HISTORY (Delta's DESCRIBE HISTORY, derived not stored): one row
+    * per version with what it did — files/rows added and removed from the
+    * manifest log, positions soft-deleted from the DV log, and the commit
+    * file's mtime where one exists (versions committed before the
+    * rename-commit protocol, version 0's initial write, and logs rewritten
+    * by vacuum read NULL). O(files + dv-rows) log aggregation, never a
+    * data scan. The shape implies the operation: only-added = append;
+    * added+removed = rewrite (compact/merge/delete/recluster/purge);
+    * dv-only = soft delete. */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val log = manifestLog(spark, dir).where(col("file") =!= VersionHwmFile)
+    val added = log.where(col("v_added").isNotNull)
+      .groupBy(col("v_added").as("version"))
+      .agg(count(lit(1)).as("files_added"), sum("n_rows").as("rows_added"))
+    val removed = log.where(col("v_removed").isNotNull)
+      .groupBy(col("v_removed").as("version"))
+      .agg(count(lit(1)).as("files_removed"), sum("n_rows").as("rows_removed"))
+    val dv = dvLog(spark, dir).map(
+      _.groupBy(col("v").as("version"))
+        .agg(count(lit(1)).as("dv_rows_deleted")))
+      .getOrElse(Seq.empty[(Long, Long)].toDF("version", "dv_rows_deleted"))
+    // commit-file mtimes: O(versions) driver-side names-and-stats listing
+    val fs = fsOf(spark, dir)
+    val mtimes: Seq[(Long, java.sql.Timestamp)] =
+      Seq(manifestPath(dir), dvPath(dir)).flatMap { ld =>
+        val lp = new org.apache.hadoop.fs.Path(ld)
+        if (!fs.exists(lp)) Nil
+        else fs.listStatus(lp).toSeq.collect {
+          case s if s.isFile && s.getPath.getName.startsWith("commit-v") &&
+              s.getPath.getName.endsWith(".parquet") =>
+            val v = s.getPath.getName
+              .stripPrefix("commit-v").stripSuffix(".parquet")
+            scala.util.Try(v.toLong).toOption
+              .map(_ -> new java.sql.Timestamp(s.getModificationTime))
+        }.flatten
+      }
+    val ts = mtimes.toDF("version", "committed_at")
+    def z(c: String) = coalesce(col(c), lit(0L)).as(c)
+    added.join(removed, Seq("version"), "full_outer")
+      .join(dv, Seq("version"), "full_outer")
+      .join(ts, Seq("version"), "left_outer")
+      .select(col("version"), z("files_added"), z("rows_added"),
+        z("files_removed"), z("rows_removed"), z("dv_rows_deleted"),
+        col("committed_at"))
+      .orderBy("version")
+  }
+
   /** DYNAMIC FILE PRUNING: the rows of the layout whose `keyCol` appears
     * in `keys` — but decided FILE-FIRST through the manifest, the
     * read-side twin of [[mergeInto]]'s envelope targeting. The O(files)

@@ -28,6 +28,32 @@ class VersionSpec extends AnyFunSuite {
       Seq(("x", 0L, 2000L)))                                          // v2
   }
 
+  test("history: one row per version with exact add/remove/DV accounting") {
+    val dir = Files.createTempDirectory("graft_version").toString + "/t"
+    build(dir)                                                  // v0 v1 v2
+    DataLayout.deleteVectors(spark, dir, Seq(("x", 3000L, 4000L)))  // v3
+    val h = DataLayout.history(spark, dir)
+      .select("version", "files_added", "rows_added", "files_removed",
+        "rows_removed", "dv_rows_deleted")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toList
+    assert(h.map(_._1) == List(0L, 1L, 2L, 3L))
+    val byV = h.map(r => r._1 -> r).toMap
+    assert(byV(0L)._2 == 6 && byV(0L)._3 == 3000 && byV(0L)._4 == 0) // initial
+    assert(byV(1L)._2 == 2 && byV(1L)._3 == 500)                     // append
+    assert(byV(2L)._4 > 0 && byV(2L)._5 > 0 && byV(2L)._6 == 0)     // rewrite
+    assert(byV(3L)._2 == 0 && byV(3L)._6 > 0)                        // DV-only
+    // rows removed at v2 - rows re-added at v2 = the deleted rows
+    val deletedAtV2 = byV(2L)._5 - byV(2L)._3
+    val want = mk(0 until 3000).unionByName(mk(10000 until 10500))
+      .where(col("x") <= 2000L).count()
+    assert(deletedAtV2 == want)
+    // the post-OCC versions carry a commit timestamp; v0 reads NULL
+    val ts = DataLayout.history(spark, dir)
+      .select("version", "committed_at").collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(ts(0L) && !ts(1L) && !ts(2L) && !ts(3L))
+  }
+
   test("every version reads back exactly as it stood") {
     val dir = Files.createTempDirectory("graft_version").toString + "/t"
     build(dir)
