@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.layout.DataLayout
+
+/** Model-based lifecycle fuzz: a seeded random walk over EVERY layout
+  * mutation (append, merge, DV delete, physical delete, compact,
+  * recluster, purge), with an in-memory Map as the ground-truth model.
+  * After every step the layout must equal the model exactly; at the end,
+  * time travel must reproduce each recorded snapshot and the change feed
+  * must REPLAY any version range from its starting snapshot to its ending
+  * one. One test, every operator composition the individual specs can't
+  * enumerate.
+  */
+class LayoutFuzzSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  test("20 random mutations: model equality, time travel, change-feed replay") {
+    val dir = Files.createTempDirectory("graft_fuzz").toString + "/t"
+    val dims = Seq(col("k"))
+    val stats = Seq("k")
+    val rnd = new scala.util.Random(20260815L)
+    def df(m: Iterable[(Long, Long)]) = m.toSeq.toDF("k", "amt")
+
+    var model = (0 until 500).map(i => (i.toLong, rnd.nextLong(1 << 20))).toMap
+    DataLayout.writeZOrdered(df(model), dims, 16, stats, dir, 4) // v0
+    var nextKey = 1000L
+    val snapshots = scala.collection.mutable.Map(0L -> model)
+
+    def read(v: Long = DataLayout.Latest): Map[Long, Long] =
+      DataLayout.readLayout(spark, dir, v)
+        .select("k", "amt").as[(Long, Long)].collect().toMap
+
+    for (step <- 1 to 20) {
+      val keys = model.keys.toIndexedSeq
+      rnd.nextInt(7) match {
+        case 0 => // append fresh keys
+          val fresh = (0 until 50).map(i => (nextKey + i, rnd.nextLong(1 << 20)))
+          nextKey += 100
+          DataLayout.appendZOrdered(df(fresh), dims, 16, stats, dir, 2)
+          model ++= fresh
+        case 1 => // merge: updates + inserts + tombstone deletes
+          val ups = rnd.shuffle(keys).take(30).map(k => (k, rnd.nextLong(1 << 20))) ++
+            (0 until 10).map(i => (nextKey + i, rnd.nextLong(1 << 20)))
+          nextKey += 100
+          val dels = rnd.shuffle(keys.filterNot(ups.map(_._1).contains))
+            .take(10)
+          DataLayout.mergeInto(spark, dir, dims, 16, stats, df(ups),
+            Seq("k"), 2,
+            deleteKeys = if (dels.isEmpty) None else Some(dels.toDF("k")))
+          model = model -- dels ++ ups
+        case 2 => // soft delete a key range (DV)
+          val lo = rnd.nextLong(nextKey)
+          val hi = lo + rnd.nextInt(200)
+          val before = model.size
+          DataLayout.deleteVectors(spark, dir, Seq(("k", lo, hi)))
+          model = model.filterNot { case (k, _) => k >= lo && k <= hi }
+          if (model.size == before) () // no-op deletes commit no version
+        case 3 => // physical delete a key range
+          val lo = rnd.nextLong(nextKey)
+          val hi = lo + rnd.nextInt(200)
+          DataLayout.deleteWhere(spark, dir, dims, 16, stats,
+            Seq(("k", lo, hi)))
+          model = model.filterNot { case (k, _) => k >= lo && k <= hi }
+        case 4 => // compact (row-preserving)
+          DataLayout.compactZOrdered(spark, dir, dims, 16, stats, 2000L)
+        case 5 => // recluster by the OTHER column (row-preserving)
+          DataLayout.recluster(spark, dir, Seq(col("amt")), 16, stats, 3)
+        case 6 => // purge outstanding DVs (row-preserving)
+          DataLayout.purgeDeletes(spark, dir, dims, 16, stats)
+      }
+      val v = DataLayout.currentVersion(spark, dir)
+      assert(read() == model, s"step $step (version $v) diverged from the model")
+      snapshots(v) = model
+    }
+
+    // time travel: every recorded version reads back as its snapshot
+    for ((v, snap) <- snapshots)
+      assert(read(v) == snap, s"time travel to v$v diverged")
+
+    // change-feed replay: any recorded range applies its start snapshot
+    // forward to its end snapshot
+    val versions = snapshots.keys.toSeq.sorted
+    val pairs = Seq((versions.head, versions.last)) ++
+      (0 until 3).map { _ =>
+        val i = rnd.nextInt(versions.size - 1)
+        (versions(i), versions(i + 1 + rnd.nextInt(versions.size - i - 1)))
+      }
+    for ((a, b) <- pairs.distinct) {
+      val feed = DataLayout.changeFeed(spark, dir, a, b, Seq("k"), Seq("amt"))
+        .select("sign", "k", "amt", "version")
+        .as[(String, Long, Long, Long)].collect().sortBy(_._4)
+      val replayed = feed.foldLeft(snapshots(a)) {
+        case (m, ("-", k, _, _)) => m - k
+        case (m, ("+", k, amt, _)) => m + (k -> amt)
+        case (m, _) => m
+      }
+      assert(replayed == snapshots(b), s"feed replay ($a,$b] diverged")
+    }
+
+    // history covers every committed version with self-consistent totals
+    val h = DataLayout.history(spark, dir)
+      .select("version", "files_added", "files_removed", "dv_rows_deleted")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(h.map(_._1).toSet == (0L to versions.last).toSet)
+    assert(h.forall { case (_, fa, fr, dv) => fa + fr + dv > 0 })
+
+    // vacuum at the end: the latest version survives exactly
+    DataLayout.vacuum(spark, dir)
+    assert(read() == model)
+  }
+}
