@@ -34,7 +34,11 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *  - `startingVersion` (optional): first version EXCLUSIVE to stream
   *    from. Default = the layout's version when the stream starts (only
   *    future changes); `0` replays all post-initial history; `-1` replays
-  *    the initial version too (a full-snapshot bootstrap, every row '+').
+  *    the initial version too (a full-snapshot bootstrap, every row '+');
+  *  - `maxVersionsPerBatch` (optional): cap one micro-batch at this many
+  *    version steps, so a stream that wakes up far behind drains the
+  *    backlog in bounded bites (best-effort: the first batch after a
+  *    start/restart is uncapped because the cap base isn't known yet).
   *
   * The schema is pinned at stream start (streaming sources are
   * fixed-schema by contract); restart the stream to pick up evolved
@@ -92,16 +96,29 @@ class LayoutChangeFeedProvider extends StreamSourceProvider with DataSourceRegis
     val start = parameters.get("startingVersion")
       .orElse(parameters.get("startingversion")).map(_.trim.toLong)
       .getOrElse(DataLayout.currentVersion(spark, dir))
-    new LayoutChangeFeedSource(sqlContext, dir, keys, compare, start, sch)
+    val maxV = parameters.get("maxVersionsPerBatch")
+      .orElse(parameters.get("maxversionsperbatch")).map(_.trim.toLong)
+      .getOrElse(Long.MaxValue)
+    require(maxV >= 1, s"maxVersionsPerBatch must be >= 1: $maxV")
+    new LayoutChangeFeedSource(sqlContext, dir, keys, compare, start, sch, maxV)
   }
 }
 
 private[layout] class LayoutChangeFeedSource(sqlContext: SQLContext,
     dir: String, keyCols: Seq[String], compareCols: Seq[String],
-    startVersion: Long, override val schema: StructType) extends Source {
+    startVersion: Long, override val schema: StructType,
+    maxVersionsPerBatch: Long = Long.MaxValue) extends Source {
 
   private val spark = sqlContext.sparkSession
     .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+
+  /** Backlog pacing: the end of the last batch this instance PLANNED, so
+    * getOffset can cap the next batch at `maxVersionsPerBatch` version
+    * steps — a stream that wakes up 500 versions behind then drains in
+    * bounded bites instead of one giant batch. Best-effort by design:
+    * until the first getBatch (fresh start or checkpoint restart) the cap
+    * base is unknown and one uncapped batch may pass. */
+  @volatile private var lastPlannedEnd: Option[Long] = None
 
   /** v1 offsets round-trip through the checkpoint as JSON strings; a
     * restart hands them back as SerializedOffset, so parse the json
@@ -113,12 +130,18 @@ private[layout] class LayoutChangeFeedSource(sqlContext: SQLContext,
 
   override def getOffset: Option[OffsetV1] = {
     val cur = DataLayout.currentVersion(spark, dir)
-    if (cur > startVersion) Some(LongOffset(cur)) else None
+    val capped = lastPlannedEnd match {
+      case Some(e) if maxVersionsPerBatch != Long.MaxValue =>
+        math.min(cur, e + maxVersionsPerBatch)
+      case _ => cur
+    }
+    if (capped > startVersion) Some(LongOffset(capped)) else None
   }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val from = start.map(versionOf).getOrElse(startVersion)
     val to = versionOf(end)
+    lastPlannedEnd = Some(to)
     val batch: DataFrame =
       if (from >= to)
         spark.createDataFrame(

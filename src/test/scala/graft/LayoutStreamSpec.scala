@@ -91,6 +91,38 @@ class LayoutStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("maxVersionsPerBatch paces a backlog in bounded bites") {
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val root = Files.createTempDirectory("graft_lstream").toString
+    val dir = root + "/t"
+    write(dir, (1L to 20L).map(i => (i, i)))                   // v0
+    for (b <- 1 to 4) append(dir, Seq((100L + b, b)))          // v1..v4 backlog
+    // drive the Source protocol directly (the engine's own loop is
+    // covered by the other tests; pacing is deterministic this way)
+    val src = new graft.layout.LayoutChangeFeedProvider().createSource(
+      spark.sqlContext, root + "/meta", None, "graft-changefeed",
+      Map("path" -> dir, "keyCols" -> "k",
+        "startingVersion" -> "0", "maxVersionsPerBatch" -> "1"))
+    def off(o: Option[org.apache.spark.sql.execution.streaming.Offset]) =
+      o.map { case l: LongOffset => l.offset }.get
+    // before any batch the cap base is unknown: the full backlog is offered
+    assert(off(src.getOffset) == 4L)
+    // anchor the base at the start, then every offer advances by ONE step
+    // (the batches' CONTENT is covered by the engine-driven tests above —
+    // a streaming-tagged frame can't be collected outside the engine, so
+    // pacing is asserted on the offset protocol itself)
+    var last = 0L
+    src.getBatch(None, LongOffset(0L)) // restart-style anchor: (0, 0] empty
+    for (expect <- 1L to 4L) {
+      val next = off(src.getOffset)
+      assert(next == expect, s"offered $next after $last — cap ignored")
+      src.getBatch(Some(LongOffset(last)), LongOffset(next))
+      last = next
+    }
+    // fully drained: the next offer is the current version, no further step
+    assert(off(src.getOffset) == 4L)
+  }
+
   test("compareCols scopes the feed; untracked-column churn is invisible") {
     val root = Files.createTempDirectory("graft_lstream").toString
     val dir = root + "/t"
