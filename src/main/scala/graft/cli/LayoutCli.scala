@@ -1,0 +1,226 @@
+package graft.cli
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.layout.{Constraints, DataLayout}
+
+/** CLI for the layout lifecycle — the ops surface a team runs against a
+  * clustered table without writing Scala:
+  *
+  * {{{
+  * graft-layout write     <dir> --from t.parquet --dims a,b --stats a,b [--bits 24] [--files 16]
+  * graft-layout append    <dir> --from delta.parquet --dims a,b --stats a,b
+  * graft-layout delete    <dir> --range a:10:20[,b:0:5] --dims a,b --stats a,b [--soft]
+  * graft-layout compact   <dir> --dims a,b --stats a,b [--rows-per-file N]
+  * graft-layout recluster <dir> --dims c --stats c [--bits N] [--files N]
+  * graft-layout purge     <dir> --dims a,b --stats a,b
+  * graft-layout vacuum    <dir>
+  * graft-layout history   <dir>
+  * graft-layout stats     <dir>
+  * graft-layout scan      <dir> --range a:10:20 [--out out.parquet]
+  * graft-layout travel    <dir> --version N [--out out.parquet]
+  * graft-layout constraint <dir> add <name> <sql-predicate> | drop <name> | list
+  * }}}
+  *
+  * `--dims` entries are column names; prefix `str:` for a string column
+  * (clustered via [[DataLayout.stringDim]]). Ranges are `col:lo:hi`
+  * (numeric when both bounds parse as longs, else string). JSON lines go
+  * to stdout; a contract violation (bad args, CHECK refusal, concurrent
+  * commit) exits nonzero with the message on stderr.
+  */
+object LayoutCli {
+
+  final case class LArgs(cmd: String = "", dir: String = "",
+      from: Option[String] = None, dims: Seq[String] = Nil,
+      stats: Seq[String] = Nil, bits: Int = 24, files: Int = 16,
+      rowsPerFile: Long = 1L << 20, ranges: Seq[(String, Any, Any)] = Nil,
+      soft: Boolean = false, out: Option[String] = None,
+      version: Option[Long] = None, rest: Seq[String] = Nil)
+
+  def parseArgs(argv: Array[String]): LArgs = {
+    def ranges(v: String): Seq[(String, Any, Any)] =
+      v.split(",").toSeq.map { r =>
+        r.split(":") match {
+          case Array(c, lo, hi) =>
+            (scala.util.Try(lo.toLong).toOption,
+              scala.util.Try(hi.toLong).toOption) match {
+              case (Some(l), Some(h)) => (c, l: Any, h: Any)
+              case _ => (c, lo: Any, hi: Any)
+            }
+          case _ => throw new IllegalArgumentException(
+            s"range must be col:lo:hi, got '$r'")
+        }
+      }
+    def go(rem: List[String], a: LArgs): LArgs = rem match {
+      case Nil => a
+      case "--from" :: v :: t => go(t, a.copy(from = Some(v)))
+      case "--dims" :: v :: t => go(t, a.copy(dims = v.split(",").toSeq))
+      case "--stats" :: v :: t => go(t, a.copy(stats = v.split(",").toSeq))
+      case "--bits" :: v :: t => go(t, a.copy(bits = v.toInt))
+      case "--files" :: v :: t => go(t, a.copy(files = v.toInt))
+      case "--rows-per-file" :: v :: t => go(t, a.copy(rowsPerFile = v.toLong))
+      case "--range" :: v :: t => go(t, a.copy(ranges = ranges(v)))
+      case "--soft" :: t => go(t, a.copy(soft = true))
+      case "--out" :: v :: t => go(t, a.copy(out = Some(v)))
+      case "--version" :: v :: t => go(t, a.copy(version = Some(v.toLong)))
+      case p :: t if a.cmd.isEmpty => go(t, a.copy(cmd = p))
+      case p :: t if a.dir.isEmpty => go(t, a.copy(dir = p))
+      case p :: t => go(t, a.copy(rest = a.rest :+ p))
+    }
+    val a = go(argv.toList, LArgs())
+    require(a.cmd.nonEmpty, "usage: graft-layout <cmd> <dir> [options]")
+    require(a.dir.nonEmpty, s"command '${a.cmd}' needs a layout dir")
+    a
+  }
+
+  /** `str:`-prefixed dims cluster via the byte-order-monotone string
+    * packing; everything else is a plain (long-castable) column. */
+  private def dimCols(dims: Seq[String], bits: Int): Seq[Column] = {
+    require(dims.nonEmpty, "this command needs --dims")
+    dims.map {
+      case s if s.startsWith("str:") =>
+        DataLayout.stringDim(col(s.stripPrefix("str:")), bits)
+      case c => col(c)
+    }
+  }
+
+  private def jsonLine(kv: (String, Any)*): String =
+    kv.map {
+      case (k, v: String) => s""""$k":"$v""""
+      case (k, v) => s""""$k":$v"""
+    }.mkString("{", ",", "}")
+
+  /** Print every row of a small ops frame as one JSON line each (these
+    * frames are O(versions) or O(columns) — never data-sized). */
+  private def printFrame(df: DataFrame): Unit = {
+    val cols = df.columns
+    df.toJSON.collect().foreach(println) // driver-bounded by contract
+    Console.err.println(s"[layout] ${cols.mkString(",")}")
+  }
+
+  def run(a: LArgs, spark: SparkSession): Unit = a.cmd match {
+    case "write" | "append" =>
+      val src = a.from.getOrElse(
+        throw new IllegalArgumentException(s"${a.cmd} needs --from <parquet>"))
+      val df = spark.read.parquet(src)
+      val stats = if (a.stats.nonEmpty) a.stats
+        else a.dims.map(_.stripPrefix("str:"))
+      if (a.cmd == "write")
+        DataLayout.writeZOrdered(df, dimCols(a.dims, a.bits), a.bits,
+          stats, a.dir, a.files)
+      else
+        DataLayout.appendZOrdered(df, dimCols(a.dims, a.bits), a.bits,
+          stats, a.dir, a.files)
+      println(jsonLine("op" -> a.cmd, "dir" -> a.dir,
+        "version" -> DataLayout.currentVersion(spark, a.dir)))
+
+    case "delete" =>
+      require(a.ranges.nonEmpty, "delete needs --range col:lo:hi")
+      if (a.soft) {
+        val r = DataLayout.deleteVectors(spark, a.dir, a.ranges)
+        println(jsonLine("op" -> "delete-soft",
+          "files_touched" -> r.filesTouched, "rows_deleted" -> r.rowsDeleted))
+      } else {
+        val stats = if (a.stats.nonEmpty) a.stats
+          else a.dims.map(_.stripPrefix("str:"))
+        val r = DataLayout.deleteWhere(spark, a.dir, dimCols(a.dims, a.bits),
+          a.bits, stats, a.ranges)
+        println(jsonLine("op" -> "delete",
+          "files_rewritten" -> r.filesRewritten, "rows_deleted" -> r.rowsDeleted))
+      }
+
+    case "compact" =>
+      val stats = if (a.stats.nonEmpty) a.stats
+        else a.dims.map(_.stripPrefix("str:"))
+      val r = DataLayout.compactZOrdered(spark, a.dir, dimCols(a.dims, a.bits),
+        a.bits, stats, a.rowsPerFile)
+      println(jsonLine("op" -> "compact",
+        "clusters_rewritten" -> r.clustersRewritten,
+        "files_rewritten" -> r.filesRewritten,
+        "files_total_after" -> r.filesTotalAfter))
+
+    case "recluster" =>
+      val stats = if (a.stats.nonEmpty) a.stats
+        else a.dims.map(_.stripPrefix("str:"))
+      val r = DataLayout.recluster(spark, a.dir, dimCols(a.dims, a.bits),
+        a.bits, stats, a.files)
+      println(jsonLine("op" -> "recluster",
+        "files_before" -> r.filesBefore, "files_after" -> r.filesAfter))
+
+    case "purge" =>
+      val stats = if (a.stats.nonEmpty) a.stats
+        else a.dims.map(_.stripPrefix("str:"))
+      val r = DataLayout.purgeDeletes(spark, a.dir, dimCols(a.dims, a.bits),
+        a.bits, stats)
+      println(jsonLine("op" -> "purge",
+        "files_rewritten" -> r.filesRewritten,
+        "positions_applied" -> r.positionsApplied))
+
+    case "vacuum" =>
+      val r = DataLayout.vacuum(spark, a.dir)
+      println(jsonLine("op" -> "vacuum", "files_deleted" -> r.filesDeleted,
+        "log_rows_before" -> r.logRowsBefore, "log_rows_after" -> r.logRowsAfter))
+
+    case "history" =>
+      printFrame(DataLayout.history(spark, a.dir))
+
+    case "stats" =>
+      printFrame(DataLayout.tableStatsFromManifest(spark, a.dir))
+
+    case "scan" =>
+      require(a.ranges.nonEmpty, "scan needs --range col:lo:hi")
+      val s = DataLayout.skipScan(spark, a.dir, a.ranges,
+        a.version.getOrElse(DataLayout.Latest))
+      a.out match {
+        case Some(p) => s.df.write.mode("overwrite").parquet(p)
+        case None => ()
+      }
+      println(jsonLine("op" -> "scan", "files_read" -> s.filesRead,
+        "files_total" -> s.filesTotal, "rows" -> s.df.count(),
+        "out" -> a.out.getOrElse("")))
+
+    case "travel" =>
+      val v = a.version.getOrElse(
+        throw new IllegalArgumentException("travel needs --version N"))
+      val df = DataLayout.readLayout(spark, a.dir, v)
+      a.out.foreach(p => df.write.mode("overwrite").parquet(p))
+      println(jsonLine("op" -> "travel", "version" -> v,
+        "rows" -> df.count(), "out" -> a.out.getOrElse("")))
+
+    case "constraint" => a.rest match {
+      case Seq("list") | Seq() =>
+        Constraints.list(spark, a.dir).foreach { case (n, e) =>
+          println(jsonLine("name" -> n, "expr" -> e))
+        }
+      case Seq("add", name, exprSql) =>
+        Constraints.add(spark, a.dir, name, exprSql)
+        println(jsonLine("op" -> "constraint-add", "name" -> name))
+      case Seq("drop", name) =>
+        Constraints.drop(spark, a.dir, name)
+        println(jsonLine("op" -> "constraint-drop", "name" -> name))
+      case other => throw new IllegalArgumentException(
+        s"constraint subcommand must be add <name> <expr> | drop <name> | list, got: ${other.mkString(" ")}")
+    }
+
+    case other =>
+      throw new IllegalArgumentException(s"unknown layout command '$other'")
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(parseArgs(argv), spark)
+    catch {
+      case e: Exception =>
+        Console.err.println(s"[layout] ${e.getMessage}")
+        sys.exit(2)
+    }
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.cli.LayoutCli
+import graft.layout.DataLayout
+
+/** End-to-end lifecycle through the ops CLI: every command against a real
+  * layout dir, output contract included. */
+class LayoutCliSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  private def cli(args: String*): String = {
+    val bos = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(bos, true, "UTF-8")) {
+      LayoutCli.run(LayoutCli.parseArgs(args.toArray), spark)
+    }
+    bos.toString("UTF-8")
+  }
+
+  test("write/append/delete/constraint/history/scan/travel/vacuum round-trip") {
+    val root = Files.createTempDirectory("graft_lcli").toString
+    val dir = root + "/t"
+    (1 to 500).map(i => (i.toLong, (i * 7L) % 1000L, s"s${i % 10}"))
+      .toDF("k", "amt", "tag").write.parquet(root + "/src")
+    (501 to 550).map(i => (i.toLong, (i * 7L) % 1000L, s"s${i % 10}"))
+      .toDF("k", "amt", "tag").write.parquet(root + "/delta")
+
+    // write + append, with a string dim in the mix
+    assert(cli("write", dir, "--from", root + "/src",
+      "--dims", "k,str:tag", "--stats", "k,amt,tag", "--bits", "16",
+      "--files", "4").contains(""""version":0"""))
+    assert(cli("append", dir, "--from", root + "/delta",
+      "--dims", "k,str:tag", "--stats", "k,amt,tag", "--bits", "16",
+      "--files", "2").contains(""""version":1"""))
+    assert(DataLayout.readLayout(spark, dir).count() == 550L)
+
+    // constraints: add, list, a violating append refuses, drop
+    assert(cli("constraint", dir, "add", "amt_cap", "amt < 1000")
+      .contains("constraint-add"))
+    assert(cli("constraint", dir, "list").contains("amt_cap"))
+    (900 to 910).map(i => (i.toLong, 5000L, "bad")).toDF("k", "amt", "tag")
+      .write.parquet(root + "/bad")
+    intercept[IllegalArgumentException] {
+      cli("append", dir, "--from", root + "/bad",
+        "--dims", "k,str:tag", "--stats", "k,amt,tag", "--bits", "16")
+    }
+    assert(cli("constraint", dir, "drop", "amt_cap").contains("constraint-drop"))
+
+    // soft delete, then scan honors the mask and prunes by range
+    val del = cli("delete", dir, "--range", "k:1:50", "--soft")
+    assert(del.contains(""""rows_deleted":50"""))
+    val scan = cli("scan", dir, "--range", "k:1:100",
+      "--out", root + "/scan_out")
+    assert(scan.contains(""""rows":50"""))
+    assert(spark.read.parquet(root + "/scan_out").count() == 50L)
+    // string-range scan through the same manifest: s3-tagged survivors
+    val sscan = cli("scan", dir, "--range", "tag:s3:s3")
+    val want = DataLayout.readLayout(spark, dir)
+      .where(col("tag") === "s3").count()
+    assert(want > 0 && sscan.contains(s""""rows":$want"""))
+
+    // history covers the three versions so far (v0 write, v1 append, v2 DV)
+    val hist = cli("history", dir)
+    assert(hist.linesIterator.size == 3 && hist.contains(""""version":2"""))
+
+    // time travel back to v1: the soft-deleted rows are visible again
+    val travel = cli("travel", dir, "--version", "1", "--out", root + "/v1")
+    assert(travel.contains(""""rows":550"""))
+    assert(spark.read.parquet(root + "/v1").count() == 550L)
+
+    // compact + vacuum keep the latest content
+    cli("compact", dir, "--dims", "k,str:tag", "--stats", "k,amt,tag",
+      "--bits", "16", "--rows-per-file", "1000")
+    cli("vacuum", dir)
+    assert(DataLayout.readLayout(spark, dir).count() == 500L)
+
+    // stats come from the manifest only
+    assert(cli("stats", dir).contains("n_rows"))
+
+    // contract errors are loud
+    intercept[IllegalArgumentException] { cli("scan", dir) }
+    intercept[IllegalArgumentException] { cli("nonsense", dir) }
+    intercept[IllegalArgumentException] {
+      LayoutCli.parseArgs(Array("history"))
+    }
+  }
+}
