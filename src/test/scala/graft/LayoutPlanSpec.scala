@@ -52,6 +52,44 @@ class LayoutPlanSpec extends AnyFunSuite {
       plan.contains("LessThanOrEqual(x,9999)"), plan)
   }
 
+  test("semiJoinScan: broadcast LEFT SEMI, keys never collected, scan pre-pruned") {
+    val dir = Files.createTempDirectory("graft_layout_plan").toString + "/t"
+    val rnd = new scala.util.Random(11)
+    val df = (0 until 2000).map(i =>
+      (i.toLong, rnd.nextLong(1 << 16), rnd.nextLong(1 << 16))).toDF("id", "x", "y")
+    DataLayout.writeZOrdered(df, Seq(col("x"), col("y")), 16, Seq("x", "y"),
+      dir, numFiles = 4)
+    val ks = df.select("x").distinct().orderBy("x").limit(8)
+    val scan = DataLayout.semiJoinScan(spark, dir, ks, "x")
+    scan.df.collect() // finalize the adaptive plan
+    val plan = scan.df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the dedup'd key side broadcasts into a LEFT SEMI hash join — the
+    // fact side never shuffles and no sort-merge appears
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the data scan reads only the envelope-hit files (pruning happened
+    // BEFORE the plan, in the manifest)
+    assert(scan.filesRead < scan.filesTotal, s"${scan.filesRead}/${scan.filesTotal}")
+  }
+
+  test("string-dim skipScan: string bounds reach the parquet scan as pushed filters") {
+    val dir = Files.createTempDirectory("graft_layout_plan").toString + "/t"
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val rnd = new scala.util.Random(5)
+    val df = (0 until 2000).map(i =>
+      (i.toLong, langs(rnd.nextInt(langs.size)), rnd.nextLong(4000))).toDF("id", "lang", "n")
+    DataLayout.writeZOrdered(df,
+      Seq(DataLayout.stringDim(col("lang"), 16), col("n")), 16,
+      Seq("lang", "n"), dir, numFiles = 4)
+    val scan = DataLayout.skipScan(spark, dir, Seq(("lang", "en", "en")))
+    val plan = scan.df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("GreaterThanOrEqual(lang,en)") &&
+      plan.contains("LessThanOrEqual(lang,en)"), plan)
+  }
+
   test("q_dsir_weights: bucket weights broadcast; the corpus never builds a hash side") {
     val df = graft.operators.CurationQueries.queries("q_dsir_weights")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
