@@ -11,6 +11,7 @@ import graft.layout.{Constraints, DataLayout}
   * {{{
   * graft-layout write     <dir> --from t.parquet --dims a,b --stats a,b [--bits 24] [--files 16]
   * graft-layout append    <dir> --from delta.parquet --dims a,b --stats a,b
+  * graft-layout merge     <dir> --from cdc.parquet --keys k --dims a,b [--op-col op] [--seq-col seq]
   * graft-layout delete    <dir> --range a:10:20[,b:0:5] --dims a,b --stats a,b [--soft]
   * graft-layout compact   <dir> --dims a,b --stats a,b [--rows-per-file N]
   * graft-layout recluster <dir> --dims c --stats c [--bits N] [--files N]
@@ -36,7 +37,8 @@ object LayoutCli {
       stats: Seq[String] = Nil, bits: Int = 24, files: Int = 16,
       rowsPerFile: Long = 1L << 20, ranges: Seq[(String, Any, Any)] = Nil,
       soft: Boolean = false, out: Option[String] = None,
-      version: Option[Long] = None, rest: Seq[String] = Nil)
+      version: Option[Long] = None, keys: Seq[String] = Nil,
+      opCol: String = "op", seqCol: String = "seq", rest: Seq[String] = Nil)
 
   def parseArgs(argv: Array[String]): LArgs = {
     def ranges(v: String): Seq[(String, Any, Any)] =
@@ -64,6 +66,9 @@ object LayoutCli {
       case "--soft" :: t => go(t, a.copy(soft = true))
       case "--out" :: v :: t => go(t, a.copy(out = Some(v)))
       case "--version" :: v :: t => go(t, a.copy(version = Some(v.toLong)))
+      case "--keys" :: v :: t => go(t, a.copy(keys = v.split(",").toSeq))
+      case "--op-col" :: v :: t => go(t, a.copy(opCol = v))
+      case "--seq-col" :: v :: t => go(t, a.copy(seqCol = v))
       case p :: t if a.cmd.isEmpty => go(t, a.copy(cmd = p))
       case p :: t if a.dir.isEmpty => go(t, a.copy(dir = p))
       case p :: t => go(t, a.copy(rest = a.rest :+ p))
@@ -114,6 +119,31 @@ object LayoutCli {
           stats, a.dir, a.files)
       println(jsonLine("op" -> a.cmd, "dir" -> a.dir,
         "version" -> DataLayout.currentVersion(spark, a.dir)))
+
+    case "merge" =>
+      // one-shot CDC apply: upserts + 'D' tombstones, resolved
+      // last-event-wins per key by --seq-col BEFORE the envelope-targeted
+      // mergeInto (the same contract as the streaming cdcMergeSink, minus
+      // the replay marker a one-shot doesn't need)
+      val src = a.from.getOrElse(
+        throw new IllegalArgumentException("merge needs --from <cdc.parquet>"))
+      require(a.keys.nonEmpty, "merge needs --keys k1[,k2]")
+      val cdc = spark.read.parquet(src)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(a.keys.map(col): _*).orderBy(col(a.seqCol).desc)
+      val last = cdc.withColumn("_graft_rn", row_number().over(w))
+        .where(col("_graft_rn") === 1).drop("_graft_rn")
+        .localCheckpoint(true)
+      val ups = last.where(!(col(a.opCol) <=> "D")).drop(a.opCol, a.seqCol)
+      val dels = last.where(col(a.opCol) === "D").select(a.keys.map(col): _*)
+      val stats = if (a.stats.nonEmpty) a.stats
+        else a.dims.map(_.stripPrefix("str:"))
+      val r = DataLayout.mergeInto(spark, a.dir, dimCols(a.dims, a.bits),
+        a.bits, stats, ups, a.keys, a.files,
+        deleteKeys = if (dels.isEmpty) None else Some(dels))
+      println(jsonLine("op" -> "merge", "files_rewritten" -> r.filesRewritten,
+        "rows_updated" -> r.rowsUpdated, "rows_inserted" -> r.rowsInserted,
+        "rows_deleted" -> r.rowsDeleted))
 
     case "delete" =>
       require(a.ranges.nonEmpty, "delete needs --range col:lo:hi")

@@ -82,6 +82,22 @@ class LayoutCliSpec extends AnyFunSuite {
     // stats come from the manifest only
     assert(cli("stats", dir).contains("n_rows"))
 
+    // one-shot CDC merge: update one key, insert one, delete one, and a
+    // contested key where the later seq (delete) wins
+    Seq(
+      (60L, 77L, "s0", "U", 1L), (9001L, 1L, "s1", "I", 1L),
+      (70L, 0L, "", "D", 1L),
+      (80L, 5L, "s2", "U", 1L), (80L, 0L, "", "D", 2L))
+      .toDF("k", "amt", "tag", "op", "seq").write.parquet(root + "/cdc")
+    val m = cli("merge", dir, "--from", root + "/cdc", "--keys", "k",
+      "--dims", "k,str:tag", "--stats", "k,amt,tag", "--bits", "16",
+      "--files", "2")
+    assert(m.contains(""""rows_deleted":2""") && m.contains(""""rows_inserted":1"""))
+    val after = DataLayout.readLayout(spark, dir)
+      .select("k", "amt").as[(Long, Long)].collect().toMap
+    assert(after(60L) == 77L && after(9001L) == 1L &&
+      !after.contains(70L) && !after.contains(80L))
+
     // contract errors are loud
     intercept[IllegalArgumentException] { cli("scan", dir) }
     intercept[IllegalArgumentException] { cli("nonsense", dir) }
