@@ -90,9 +90,20 @@ object LayoutCli {
     }
   }
 
+  /** JSON string escaping for values (keys are fixed literals): quotes,
+    * backslashes, and control chars — a constraint predicate containing a
+    * quoted literal must not emit a malformed line. */
+  private def jstr(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
   private def jsonLine(kv: (String, Any)*): String =
     kv.map {
-      case (k, v: String) => s""""$k":"$v""""
+      case (k, v: String) => s""""$k":"${jstr(v)}""""
       case (k, v) => s""""$k":$v"""
     }.mkString("{", ",", "}")
 

@@ -65,6 +65,30 @@ object Constraints {
       .coalesce(1).write.mode("append").parquet(cPath(dir))
   }
 
+  /** Run `write` with the constraint log preserved across it: a
+    * non-partitioned Spark overwrite deletes the ENTIRE layout dir —
+    * including `_graft_constraints` — but invariants outlive any one
+    * version, so the log is snapshotted (O(constraints) driver rows)
+    * before the write and re-written after. Without this, writeZOrdered
+    * over a constrained dir would enforce the constraints one last time
+    * and then silently drop them — later appends could land violating
+    * rows. */
+  private[layout] def preserveAcross(spark: SparkSession, dir: String)
+      (write: => Unit): Unit = {
+    val snap: Option[Seq[org.apache.spark.sql.Row]] =
+      if (!logExists(spark, dir)) None
+      else Some(readLog(spark, dir).collect().toSeq).filter(_.nonEmpty)
+    write
+    snap.foreach { rows =>
+      spark.createDataFrame(
+        new java.util.ArrayList(scala.jdk.CollectionConverters
+          .SeqHasAsJava(rows).asJava),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "name STRING, expr_sql STRING, active BOOLEAN, seq BIGINT"))
+        .coalesce(1).write.mode("overwrite").parquet(cPath(dir))
+    }
+  }
+
   /** The ACTIVE constraints of a layout: (name, predicate SQL), add-order.
     * Empty when the layout has no constraint log. */
   def list(spark: SparkSession, dir: String): Seq[(String, String)] = {

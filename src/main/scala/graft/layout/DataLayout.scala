@@ -335,11 +335,15 @@ object DataLayout {
           else None
         }
     val z = "_graft_z"
-    df.withColumn(z, zOrderKey(dims, bits))
+    def clusteredWrite(): Unit = df.withColumn(z, zOrderKey(dims, bits))
       .repartitionByRange(numFiles, col(z))
       .sortWithinPartitions(z)
       .drop(z)
       .write.mode(if (append) "append" else "overwrite").parquet(outDir)
+    // an overwrite deletes the whole dir — the constraint log must survive
+    // it (invariants outlive any one version; they were enforced above)
+    if (append) clusteredWrite()
+    else Constraints.preserveAcross(spark, outDir)(clusteredWrite())
     val all = listDataFiles(spark, outDir)
     val fresh = all.filterNot(f => before(canon(f)))
     val stats = fileStats(spark.read.parquet(fresh: _*), dims, bits, statsCols)
@@ -593,7 +597,8 @@ object DataLayout {
     require(ranges.nonEmpty, "deleteVectors needs at least one (col, lo, hi) range")
     val aliveDf = aliveManifest(spark, dir).localCheckpoint(true)
     requireStats(aliveDf, ranges)
-    val hit = aliveDf.where(envelopeCond(ranges)).select("file")
+    val hit = aliveDf.where(envelopeCond(aliveDf.columns.toSet, ranges))
+      .select("file")
       .collect().map(_.getString(0)).toSeq.sorted // O(files): paths only
     if (hit.isEmpty) return DvDeleteReport(0, 0L)
     val v = currentVersion(spark, dir) + 1
@@ -710,7 +715,8 @@ object DataLayout {
     val alive = aliveManifest(spark, dir, version).localCheckpoint(true)
     requireStats(alive, ranges)
     val total = alive.count().toInt
-    val files = alive.where(envelopeCond(ranges)).select("file")
+    val files = alive.where(envelopeCond(alive.columns.toSet, ranges))
+      .select("file")
       .collect().map(_.getString(0)) // O(files): paths only, never rows
     val df = readMasked(spark, dir, files.toIndexedSeq, version)
       .where(rowCond(ranges))
@@ -789,10 +795,14 @@ object DataLayout {
     requireStats(alive, Seq((keyCol, null, null)))
     val total = alive.count().toInt
     val k = keys.select(col(keyCol).as("_k")).distinct()
+    // files whose key stats were never recorded (statsCols drift) can hold
+    // ANY key — they join every probe unconditionally, never get skipped
+    val unrec = alive.where(statsUnrecorded(alive.columns.toSet, keyCol))
+      .select("file")
     val hit = broadcast(alive.select(col("file"),
         col(s"min_$keyCol").as("_lo"), col(s"max_$keyCol").as("_hi")))
       .join(k, col("_k") >= col("_lo") && col("_k") <= col("_hi"))
-      .select("file").distinct()
+      .select("file").unionByName(unrec).distinct()
       .collect().map(_.getString(0)).toIndexedSeq.sorted // O(files): paths only
     val df = readMasked(spark, dir, hit, version)
       .join(k.select(col("_k").as(keyCol)), Seq(keyCol), "left_semi")
@@ -808,12 +818,31 @@ object DataLayout {
         s"manifest has no stats for column '$c' — was it in statsCols at write?")
     }
 
+  /** TRUE when this file's stats for `c` were never RECORDED — min AND
+    * null count both NULL, the state a manifest row lands in when it
+    * predates `c` joining statsCols (recluster with different statsCols,
+    * an append passing a different set — both documented as allowed, the
+    * log merges). Distinct from an all-NULL column, which records
+    * min = NULL but nulls_ = n_rows. Unrecorded must read as "may match":
+    * treating it as "cannot match" silently drops the file from every
+    * envelope hit set — skipScan returns partial rows, deleteWhere leaves
+    * matches alive, mergeInto duplicates keys. A pre-extension log with
+    * no nulls_ column at all cannot tell the two states apart and keeps
+    * the file (extra I/O, never a wrong answer). */
+  private def statsUnrecorded(manifestCols: Set[String], c: String): Column =
+    if (manifestCols(s"nulls_$c")) col(s"min_$c").isNull && col(s"nulls_$c").isNull
+    else col(s"min_$c").isNull
+
   /** File-envelope intersection: [min_c, max_c] meets [lo, hi] for EVERY
-    * range (a file whose stats are NULL — all-NULL column — never matches,
-    * which is correct: NULL never satisfies a range predicate). */
-  private def envelopeCond(ranges: Seq[(String, Any, Any)]): Column =
+    * range. A file whose stats are RECORDED as all-NULL never matches
+    * (NULL never satisfies a range predicate — the test evaluates NULL and
+    * coalesces to false); a file whose stats were never recorded always
+    * may. */
+  private def envelopeCond(manifestCols: Set[String],
+      ranges: Seq[(String, Any, Any)]): Column =
     ranges.map { case (c, lo, hi) =>
-      col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
+      coalesce(col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi),
+        lit(false)) || statsUnrecorded(manifestCols, c)
     }.reduce(_ && _)
 
   /** The row-level form of the same intervals. */
@@ -905,7 +934,8 @@ object DataLayout {
     val aliveDf = aliveManifest(spark, dir).localCheckpoint(true)
     requireStats(aliveDf, ranges)
     val aliveCount = aliveDf.count().toInt
-    val hitRaw = aliveDf.where(envelopeCond(ranges)).select("file")
+    val hitRaw = aliveDf.where(envelopeCond(aliveDf.columns.toSet, ranges))
+      .select("file")
       .collect().map(_.getString(0)).toSeq // O(files): paths only
     if (hitRaw.isEmpty) return DeleteReport(0, 0L, aliveCount)
     val rowPred = rowCond(ranges)
@@ -1224,11 +1254,13 @@ object DataLayout {
 
   /** MERGE INTO for clustered layouts — the CDC upsert: rows of `delta`
     * whose `keyCols` match an existing row REPLACE it; unmatched delta
-    * rows INSERT. Only files whose min/max envelope on the first key
-    * column can contain a delta key are rewritten — on a layout clustered
-    * by the merge key, a day's CDC batch touches the few files its keys
-    * land in, not the 100 TB table (Delta's MERGE does the same file
-    * pruning from its stats).
+    * rows INSERT. Only files whose min/max envelopes on EVERY
+    * stats-covered key column can contain a delta key are rewritten — on
+    * a layout clustered by the merge key, a day's CDC batch touches the
+    * few files its keys land in, not the 100 TB table (Delta's MERGE does
+    * the same file pruning from its stats). Intersecting all key columns'
+    * envelopes (not just the first) keeps the rewrite set tight when the
+    * leading key of a composite key is unselective.
     *
     * Mechanics: the file-targeting test joins the O(files) manifest stats
     * against the delta's DISTINCT keys on a between-range condition (the
@@ -1285,12 +1317,23 @@ object DataLayout {
         "last-event-wins upstream; this operator refuses the ambiguity"))
     val allKeys = delKeys.fold(deltaKeys)(dk => deltaKeys.unionByName(dk))
     val aliveCount = aliveDf.count().toInt
-    // file targeting: a file can hold key k iff min <= k <= max on the
-    // envelope column; the stats side is O(files) rows and broadcast
-    val hit = broadcast(aliveDf.select(col("file"),
-        col(s"min_$envKey").as("_lo"), col(s"max_$envKey").as("_hi")))
-      .join(allKeys.select(col(envKey).as("_k")),
-        col("_k") >= col("_lo") && col("_k") <= col("_hi"))
+    // file targeting: a file can hold a composite key iff EVERY key
+    // column's [min, max] envelope admits that key's value — intersecting
+    // all stats-covered key columns, not just the first (a first key that
+    // is unselective in a composite key would otherwise hit nearly every
+    // file). The stats side is O(files) rows and broadcast; a key column
+    // whose stats were never recorded for a file (statsCols drift) reads
+    // as "may hold" for that file, never as "cannot".
+    val mCols = aliveDf.columns.toSet
+    val envKeys = keyCols.filter(k => mCols(s"min_$k"))
+    val statsSide = broadcast(aliveDf.select(col("file") +: envKeys.flatMap(k =>
+      Seq(col(s"min_$k").as(s"_lo_$k"), col(s"max_$k").as(s"_hi_$k"),
+        statsUnrecorded(mCols, k).as(s"_unrec_$k"))): _*))
+    val hitCond = envKeys.map(k =>
+      coalesce(col(s"_k_$k") >= col(s"_lo_$k") && col(s"_k_$k") <= col(s"_hi_$k"),
+        lit(false)) || col(s"_unrec_$k")).reduce(_ && _)
+    val hit = statsSide
+      .join(allKeys.select(envKeys.map(k => col(k).as(s"_k_$k")): _*), hitCond)
       .select("file").distinct()
       .collect().map(_.getString(0)).toSeq.sorted // O(files): paths only
     val v = currentVersion(spark, dir) + 1

@@ -105,27 +105,55 @@ class GraftFileIndex(spark: SparkSession, dir: String,
       val f = manifestSchema(i); BoundReference(i, f.dataType, f.nullable)
     }
 
+  /** TRUE when this file's stats for `c` were never RECORDED — min and
+    * null count both NULL, the state a manifest row mixed into the log
+    * before `c` joined statsCols (or before the nulls_/hll_ schema
+    * extension) reads under mergeSchema. Distinct from an all-NULL column
+    * (min NULL, nulls_ = n_rows): unrecorded stats must KEEP the file —
+    * every envelope test below Or-wraps with this, so a NULL-stat file is
+    * scanned (extra I/O) instead of silently losing its rows. A manifest
+    * with no nulls_ column at all can't tell the two states apart and
+    * keeps the file on min-NULL alone. */
+  private def unrecorded(c: String): Expression =
+    (bref(s"min_$c"), bref(s"nulls_$c")) match {
+      case (Some(mn), Some(n)) => And(IsNull(mn), IsNull(n))
+      case (Some(mn), None) => IsNull(mn)
+      case _ => Literal.TrueLiteral // no stats at all: never prune
+    }
+
   /** `[min_c, max_c]` meets `[lo, hi]` — None when the manifest has no
     * stats for `c` or the literal's type differs from the stored one
     * (Catalyst would only push a same-type comparison on a raw attribute;
-    * anything else conservatively reads everything). NULL stats (all-NULL
-    * column in that file) evaluate to NULL → `Predicate.eval` false →
-    * file dropped, which is correct: NULL never satisfies a range. */
+    * anything else conservatively reads everything). A RECORDED all-NULL
+    * column evaluates the test to NULL → `Predicate.eval` false → file
+    * dropped, which is correct: NULL never satisfies a range; unrecorded
+    * stats keep the file via the Or-wrap. */
   private def rangeHit(c: String, lo: Literal, hi: Literal): Option[Expression] =
     for {
       mn <- bref(s"min_$c"); mx <- bref(s"max_$c")
       if mn.dataType == lo.dataType && mx.dataType == hi.dataType
-    } yield And(GreaterThanOrEqual(mx, lo), LessThanOrEqual(mn, hi))
+    } yield Or(unrecorded(c),
+      And(GreaterThanOrEqual(mx, lo), LessThanOrEqual(mn, hi)))
 
   private def cmp(c: String, l: Literal,
       mk: (Expression, Expression) => Expression, stat: String): Option[Expression] =
-    bref(s"${stat}_$c").filter(_.dataType == l.dataType).map(b => mk(b, l))
+    bref(s"${stat}_$c").filter(_.dataType == l.dataType)
+      .map(b => Or(unrecorded(c), mk(b, l)))
 
-  /** The smallest string no `p`-prefixed string reaches (None when every
-    * char of `p` is ￿): increment the last non-max char, drop the
-    * rest. UTF-8 byte order (what Catalyst compares) preserves it. */
+  /** The smallest string no `p`-prefixed string reaches: increment the
+    * last incrementable char, drop the rest (incrementing an EARLIER char
+    * and truncating is equally a ceiling, so skipped tail chars cost
+    * nothing). A char is incrementable only when its successor is a real
+    * comparison point: not ￿ (nothing above) and not anything whose
+    * successor lands in the surrogate range — UTF8String encodes an
+    * unpaired surrogate as '?' (0x3F), which sorts BELOW valid matches
+    * and would turn the upper bound into a false negative. None when no
+    * char qualifies (prune on the lower bound only). */
   private def prefixCeiling(p: String): Option[String] = {
-    val i = p.lastIndexWhere(_ != Char.MaxValue)
+    def incrementable(c: Char): Boolean =
+      c != Char.MaxValue && !Character.isSurrogate(c) &&
+        !Character.isSurrogate((c + 1).toChar)
+    val i = p.lastIndexWhere(incrementable)
     if (i < 0) None else Some(p.substring(0, i) :+ (p.charAt(i) + 1).toChar)
   }
 
@@ -164,11 +192,16 @@ class GraftFileIndex(spark: SparkSession, dir: String,
         rangeHit(a.name, Literal(v, a.dataType), Literal(v, a.dataType)))
       if (hits.isEmpty || hits.exists(_.isEmpty)) None
       else Some(hits.flatten.reduce(Or))
+    // Or(IsNull(n), …): a NULL null-count (stats row predating the
+    // nulls_ extension under mergeSchema) must keep the file — Catalyst
+    // pushes IsNotNull alongside nearly every comparison, so dropping on
+    // unknown here would silently lose every pre-extension file's rows
     case IsNull(a: AttributeReference) =>
-      bref(s"nulls_${a.name}").map(n => GreaterThan(n, Literal(0L, LongType)))
+      bref(s"nulls_${a.name}").map(n =>
+        Or(IsNull(n), GreaterThan(n, Literal(0L, LongType))))
     case IsNotNull(a: AttributeReference) =>
       for { n <- bref(s"nulls_${a.name}"); t <- bref("n_rows") }
-        yield LessThan(n, t)
+        yield Or(IsNull(n), LessThan(n, t))
     case StartsWith(a: AttributeReference, l @ Literal(_, StringType))
         if l.value != null =>
       val p = l.value.toString

@@ -105,4 +105,17 @@ class LayoutCliSpec extends AnyFunSuite {
       LayoutCli.parseArgs(Array("history"))
     }
   }
+
+  test("constraint list emits valid JSON even with quoted/backslashed predicates") {
+    val root = Files.createTempDirectory("graft_lcli").toString
+    val dir = root + "/t"
+    (1 to 20).map(i => (i.toLong, s"v$i")).toDF("k", "tag")
+      .write.parquet(root + "/src")
+    cli("write", dir, "--from", root + "/src", "--dims", "k",
+      "--stats", "k,tag", "--bits", "16", "--files", "1")
+    cli("constraint", dir, "add", "no_quote", """tag <> 'x"y\z'""")
+    val out = cli("constraint", dir, "list").trim
+    // the line must parse as JSON: quotes and backslashes escaped
+    assert(out == """{"name":"no_quote","expr":"tag <> 'x\"y\\z'"}""")
+  }
 }
