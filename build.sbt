@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes STRAIGHT to this process's stdout, not through
+// sbt's logger: the driver parses the bench/verify contract JSON from
+// stdout, and the logger's "[info] " prefix has broken that parse three
+// rounds running ("parsed": null in BENCH_r{13,14,15}).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -16,6 +16,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Bench.silenceBoundedWindowWarn()
     new java.io.File(outDir).mkdirs()
     // comma-separated query-name filter for fast local iteration; the
     // driver never sets it, so the gate always dumps everything

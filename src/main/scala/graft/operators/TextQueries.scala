@@ -431,6 +431,11 @@ object TextQueries {
         .select(col("total_tokens"), posexplode(col("top")).as(Seq("pos", "r")))
         .select((col("pos") + 1).cast("long").as("rnk"),
           col("r.t").as("tok"), (-col("r.negcnt")).as("cnt"), col("total_tokens"))
+        // deliberately unpartitioned: the window runs over exactly 50
+        // bounded rows (the top-k above). WindowExec's "No Partition
+        // Defined" WARN is silenced centrally in Bench/Verify — a literal
+        // partitionBy would not help, Spark 4's EliminateWindowPartitions
+        // strips foldable partition specs back out.
         .withColumn("cum_cnt", sum(col("cnt")).over(
           Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .select(col("rnk"), col("tok"), col("cnt"), col("cum_cnt"), col("total_tokens"))
