@@ -16,7 +16,7 @@ import graft.layout.{Constraints, DataLayout}
   * graft-layout compact   <dir> --dims a,b --stats a,b [--rows-per-file N]
   * graft-layout recluster <dir> --dims c --stats c [--bits N] [--files N]
   * graft-layout purge     <dir> --dims a,b --stats a,b
-  * graft-layout vacuum    <dir>
+  * graft-layout vacuum    <dir> [--retain N]
   * graft-layout history   <dir>
   * graft-layout stats     <dir>
   * graft-layout scan      <dir> --range a:10:20 [--out out.parquet]
@@ -36,7 +36,7 @@ object LayoutCli {
       from: Option[String] = None, dims: Seq[String] = Nil,
       stats: Seq[String] = Nil, bits: Int = 24, files: Int = 16,
       rowsPerFile: Long = 1L << 20, ranges: Seq[(String, Any, Any)] = Nil,
-      soft: Boolean = false, out: Option[String] = None,
+      soft: Boolean = false, retain: Int = 1, out: Option[String] = None,
       version: Option[Long] = None, keys: Seq[String] = Nil,
       opCol: String = "op", seqCol: String = "seq", rest: Seq[String] = Nil)
 
@@ -64,6 +64,7 @@ object LayoutCli {
       case "--rows-per-file" :: v :: t => go(t, a.copy(rowsPerFile = v.toLong))
       case "--range" :: v :: t => go(t, a.copy(ranges = ranges(v)))
       case "--soft" :: t => go(t, a.copy(soft = true))
+      case "--retain" :: v :: t => go(t, a.copy(retain = v.toInt))
       case "--out" :: v :: t => go(t, a.copy(out = Some(v)))
       case "--version" :: v :: t => go(t, a.copy(version = Some(v.toLong)))
       case "--keys" :: v :: t => go(t, a.copy(keys = v.split(",").toSeq))
@@ -199,8 +200,11 @@ object LayoutCli {
         "positions_applied" -> r.positionsApplied))
 
     case "vacuum" =>
-      val r = DataLayout.vacuum(spark, a.dir)
+      // --retain 0 is the explicit GDPR spelling (all history gone);
+      // the default keeps one version of time travel
+      val r = DataLayout.vacuum(spark, a.dir, a.retain)
       println(jsonLine("op" -> "vacuum", "files_deleted" -> r.filesDeleted,
+        "retain" -> a.retain,
         "log_rows_before" -> r.logRowsBefore, "log_rows_after" -> r.logRowsAfter))
 
     case "history" =>

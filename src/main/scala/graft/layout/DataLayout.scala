@@ -120,6 +120,11 @@ object DataLayout {
   /** Sentinel for "the latest version". */
   val Latest: Long = Long.MaxValue
 
+  /** Bounded OCC retries for commits that can never conflict with a
+    * concurrent winner (appends; deletion-vector deletes re-RUN instead —
+    * see [[deleteVectors]]). Rewrites refuse on a lost race. */
+  private val OccMaxRetries = 5
+
   // ---- manifest log ------------------------------------------------------
 
   private def manifestPath(dir: String) = s"$dir/$ManifestDir"
@@ -155,9 +160,23 @@ object DataLayout {
   }
 
   /** One stats row per file ALIVE at `version`: added at or before it,
-    * not tombstoned at or before it. O(files) work on stats rows. */
+    * not tombstoned at or before it. O(files) work on stats rows.
+    * An explicit version below the vacuum horizon refuses loudly — its
+    * files were physically removed, and a silently partial table is the
+    * one thing a versioned read must never return. (Latest reads skip the
+    * check: the current version is always above the horizon.) */
   def aliveManifest(spark: SparkSession, dir: String,
       version: Long = Latest): DataFrame = {
+    // negative versions are the synthetic "before anything" state (the
+    // change-feed stream diffs -1 → 0 for its initial snapshot): their
+    // alive set is empty by construction, never vacuum-damaged
+    if (version != Latest && version >= 0) {
+      val h = vacuumHorizon(spark, dir)
+      require(version >= h,
+        s"version $version of $dir predates the vacuum horizon $h — its " +
+          "files were physically removed; time travel reaches versions >= " +
+          s"$h. Vacuum with a larger retainVersions to keep more history.")
+    }
     val log = manifestLog(spark, dir)
     val statCols = log.columns.filterNot(Set("file", "v_added", "v_removed"))
     val aggs = statCols.map(c => max(col(c)).as(c)) ++
@@ -221,6 +240,34 @@ object DataLayout {
 
   private def appendLog(dir: String, rows: DataFrame, v: Long): Unit =
     commitLogFile(manifestPath(dir), normalizeLog(rows), v)
+
+  /** OCC AUTO-RETRY for append commits: an append's log entry is disjoint
+    * from ANY concurrent winner by construction — it references only its
+    * own fresh data files and tombstones nothing — so losing the
+    * put-if-absent race is not a data conflict. Re-derive the version from
+    * the winner's log and re-commit the same stats (bounded); the data
+    * files are already on disk and need no rewrite. The serialization is
+    * "winner, then this append", which is correct for any winner: a
+    * concurrent rewrite/delete read the manifest before this append
+    * committed, so its rewrite never covered (and never needed to cover)
+    * these fresh files. REWRITES (compact/delete/merge/recluster/purge)
+    * still refuse on a lost race: their tombstone sets can collide with
+    * the winner's. Returns the version that actually committed. */
+  private[layout] def commitAppendWithRetry(spark: SparkSession, dir: String,
+      statsAt: Long => DataFrame, firstV: Long): Long = {
+    var vNow = firstV
+    var attempt = 0
+    while (true) {
+      try { appendLog(dir, statsAt(vNow), vNow); return vNow }
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > OccMaxRetries) throw e
+          vNow = currentVersion(spark, dir) + 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** Tombstone rows for `files`: their alive stats rows re-emitted with
     * v_added cleared and v_removed = `v` (the stats ride along so the log
@@ -346,13 +393,28 @@ object DataLayout {
     else Constraints.preserveAcross(spark, outDir)(clusteredWrite())
     val all = listDataFiles(spark, outDir)
     val fresh = all.filterNot(f => before(canon(f)))
-    val stats = fileStats(spark.read.parquet(fresh: _*), dims, bits, statsCols)
-      .withColumn("v_added", lit(v))
-      .withColumn("v_removed", lit(null).cast("long"))
-    if (append) appendLog(outDir, stats, v)
-    else normalizeLog(stats).write.mode("overwrite").parquet(manifestPath(outDir))
-    if (!append) recordSchema(spark, outDir, 0L, df.schema)
-    else evolved.foreach(recordSchema(spark, outDir, v, _))
+    def statsAt(ver: Long) =
+      fileStats(spark.read.parquet(fresh: _*), dims, bits, statsCols)
+        .withColumn("v_added", lit(ver))
+        .withColumn("v_removed", lit(null).cast("long"))
+    if (append) {
+      val vNow = commitAppendWithRetry(spark, outDir, statsAt, v)
+      // schema evolution re-resolves against the WINNER's latest schema on
+      // a retried commit (the winner may have evolved it concurrently)
+      val evolvedNow =
+        if (vNow == v) evolved
+        else schemaAt(spark, outDir, Latest).flatMap { base =>
+          val merged = mergeSchemas(base, df.schema)
+          if (merged.fields.map(f => (f.name, f.dataType)).toSeq !=
+            base.fields.map(f => (f.name, f.dataType)).toSeq) Some(merged)
+          else None
+        }.orElse(evolved)
+      evolvedNow.foreach(recordSchema(spark, outDir, vNow, _))
+    } else {
+      normalizeLog(statsAt(v)).write.mode("overwrite")
+        .parquet(manifestPath(outDir))
+      recordSchema(spark, outDir, 0L, df.schema)
+    }
   }
 
   /** Per-file stats (+ the z-key interval) for the given data — O(files)
@@ -591,8 +653,30 @@ object DataLayout {
     *
     * Already-masked rows never re-match (the scan is mask-applied), so
     * overlapping deletes accumulate without double counting, and a
-    * delete that matches nothing commits NO version. */
+    * delete that matches nothing commits NO version.
+    *
+    * OCC AUTO-RETRY: a DV delete that loses the version race RE-RUNS in
+    * full (bounded) rather than re-committing its rows — the winner may
+    * have masked overlapping positions (which must not double-count in
+    * exact row-count accounting) or rewritten the very files the
+    * positions addressed (which would silently lose the delete). The
+    * re-run recomputes against the winner's state, so the result is the
+    * correct serialization "winner, then this delete". */
   def deleteVectors(spark: SparkSession, dir: String,
+      ranges: Seq[(String, Any, Any)]): DvDeleteReport = {
+    var attempt = 0
+    while (true) {
+      try return deleteVectorsOnce(spark, dir, ranges)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > OccMaxRetries) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def deleteVectorsOnce(spark: SparkSession, dir: String,
       ranges: Seq[(String, Any, Any)]): DvDeleteReport = {
     require(ranges.nonEmpty, "deleteVectors needs at least one (col, lo, hi) range")
     val aliveDf = aliveManifest(spark, dir).localCheckpoint(true)
@@ -672,7 +756,8 @@ object DataLayout {
         if (!fsOf(spark, dir).exists(
           new org.apache.hadoop.fs.Path(manifestPath(dir)))) None
         else manifestLog(spark, dir)
-          .where(col("file") =!= VersionHwmFile && col("v_added").isNotNull)
+          .where(!col("file").isin(VersionHwmFile, VersionHorizonFile) &&
+            col("v_added").isNotNull)
           .select("file").head(1).headOption.map(_.getString(0)))
       .getOrElse(throw new IllegalArgumentException(
         s"layout at $dir has no live or retired data files left to infer a " +
@@ -734,7 +819,8 @@ object DataLayout {
     * dv-only = soft delete. */
   def history(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val log = manifestLog(spark, dir).where(col("file") =!= VersionHwmFile)
+    val log = manifestLog(spark, dir)
+      .where(!col("file").isin(VersionHwmFile, VersionHorizonFile))
     val added = log.where(col("v_added").isNotNull)
       .groupBy(col("v_added").as("version"))
       .agg(count(lit(1)).as("files_added"), sum("n_rows").as("rows_added"))
@@ -961,53 +1047,85 @@ object DataLayout {
   final case class DeleteReport(filesRewritten: Int, rowsDeleted: Long,
       filesTotalAfter: Int)
 
-  /** Physically remove every data file NOT alive at the latest version
-    * (tombstoned by compaction/deletes, plus stat-less empty orphans) and
-    * compact the manifest log to the alive rows. After a vacuum, time
-    * travel to earlier versions is gone — that is the point (GDPR erasure
-    * completes here), exactly Delta's VACUUM contract. */
-  def vacuum(spark: SparkSession, dir: String): VacuumReport = {
-    val logBefore = manifestLog(spark, dir).count()
+  /** Physically remove every data file not alive at any version in the
+    * RETENTION WINDOW `[hwm − retainVersions, hwm]` (plus stat-less empty
+    * orphans) and compact the manifest log to the retained files' rows.
+    * Time travel inside the window keeps working — the retained files'
+    * original add/tombstone versions survive the compaction; versions
+    * below the resulting HORIZON refuse loudly (their files are gone).
+    *
+    * The default keeps ONE version of history, so a routine vacuum no
+    * longer silently destroys all time travel; GDPR-grade erasure is the
+    * explicit `retainVersions = 0` spelling — only the latest version's
+    * files remain, exactly Delta's `VACUUM ... RETAIN 0 HOURS` contract
+    * (deleteWhere/purgeDeletes + vacuum(0) completes the right to be
+    * forgotten). The horizon never regresses: a lenient vacuum after a
+    * strict one cannot re-promise versions whose files are already gone. */
+  def vacuum(spark: SparkSession, dir: String,
+      retainVersions: Int = 1): VacuumReport = {
+    require(retainVersions >= 0, s"retainVersions must be >= 0: $retainVersions")
+    val log = manifestLog(spark, dir).localCheckpoint(true)
+    val logBefore = log.count()
     val hwm = currentVersion(spark, dir)
-    val alive = aliveManifest(spark, dir).localCheckpoint(true)
-    val aliveCanon = alive.select("file")
+    val horizon = math.max(vacuumHorizon(spark, dir),
+      math.max(0L, hwm - retainVersions))
+    val real = log.where(!col("file").isin(VersionHwmFile, VersionHorizonFile))
+    // a file is retained iff alive at SOME version in [horizon, hwm]:
+    // never tombstoned, or tombstoned after the horizon. Its rows keep
+    // their original v_added/v_removed so every retained version still
+    // reconstructs exactly.
+    val retainedNames = real.groupBy("file")
+      .agg(max("v_removed").as("_vr"))
+      .where(col("_vr").isNull || col("_vr") > horizon)
+      .select("file")
+    // pin before the overwrite: the kept frame reads the very path it
+    // rewrites
+    val kept = real.join(retainedNames, Seq("file"), "left_semi")
+      .localCheckpoint(true)
+    val retainedCanon = kept.select("file").distinct()
       .collect().map(r => canon(r.getString(0))).toSet
     val fs = fsOf(spark, dir)
     var removed = 0
-    for (f <- listDataFiles(spark, dir) if !aliveCanon(canon(f))) {
+    for (f <- listDataFiles(spark, dir) if !retainedCanon(canon(f))) {
       if (fs.delete(new org.apache.hadoop.fs.Path(f), false)) removed += 1
     }
-    // preserve the version HIGH-WATER MARK: a vacuum right after a
-    // delete-everything mutation would otherwise drop that version's
-    // tombstones from the log, currentVersion would regress, and the next
-    // mutation would REUSE an already-issued version id. The marker row
-    // (v_added = v_removed = hwm) is never alive at any version — readers
-    // skip it — but keeps the max.
-    val hwmRow = {
+    // marker rows (v_added = v_removed = v, so never alive at any version
+    // — readers skip them):
+    //  - the version HIGH-WATER MARK: a vacuum right after a
+    //    delete-everything mutation would otherwise drop that version's
+    //    tombstones, currentVersion would regress, and the next mutation
+    //    would REUSE an already-issued version id;
+    //  - the HORIZON, so time travel below it refuses with a clear error
+    //    instead of returning a silently partial table.
+    def marker(name: String, v: Long) = {
       import org.apache.spark.sql.Row
-      val vals = alive.schema.fields.map {
-        case f if f.name == "file" => VersionHwmFile
-        case f if f.name == "v_added" => java.lang.Long.valueOf(hwm)
-        case f if f.name == "v_removed" => java.lang.Long.valueOf(hwm)
+      val vals = kept.schema.fields.map {
+        case f if f.name == "file" => name
+        case f if f.name == "v_added" => java.lang.Long.valueOf(v)
+        case f if f.name == "v_removed" => java.lang.Long.valueOf(v)
         case _ => null
       }
-      alive.sparkSession.createDataFrame(
-        java.util.Arrays.asList(Row(vals.toIndexedSeq: _*)), alive.schema)
+      spark.createDataFrame(
+        java.util.Arrays.asList(Row(vals.toIndexedSeq: _*)), kept.schema)
     }
-    normalizeLog(alive.unionByName(hwmRow))
+    val markers =
+      if (horizon > 0) marker(VersionHwmFile, hwm)
+        .unionByName(marker(VersionHorizonFile, horizon))
+      else marker(VersionHwmFile, hwm)
+    normalizeLog(kept.unionByName(markers))
       .write.mode("overwrite").parquet(manifestPath(dir))
     // compact the DV log too: rows addressing just-deleted files can never
     // be consulted again (their versions are unreadable post-vacuum), while
-    // rows on ALIVE files must survive — they still mask current reads
-    // until a purge rewrites those files. Pin before the overwrite: the
-    // kept frame reads from the very path it rewrites.
+    // rows on RETAINED files must survive — they still mask reads at every
+    // retained version until a purge rewrites those files. Pin before the
+    // overwrite: the kept frame reads from the very path it rewrites.
     dvLog(spark, dir).foreach { d =>
-      val aliveNames = spark.createDataset(aliveCanon.toSeq)(
-        org.apache.spark.sql.Encoders.STRING).toDF("_alive_f")
-      val kept = d.join(aliveNames,
-          canonCol(col("file")) === col("_alive_f"), "left_semi")
+      val keptNames = spark.createDataset(retainedCanon.toSeq)(
+        org.apache.spark.sql.Encoders.STRING).toDF("_kept_f")
+      val dvKept = d.join(keptNames,
+          canonCol(col("file")) === col("_kept_f"), "left_semi")
         .localCheckpoint(true)
-      kept.write.mode("overwrite").parquet(dvPath(dir))
+      dvKept.write.mode("overwrite").parquet(dvPath(dir))
     }
     // sweep crashed commit stages: a `_stage_*` dir is either the residue
     // of a writer that died before its rename (reclaim it) or an in-flight
@@ -1021,12 +1139,28 @@ object DataLayout {
           .foreach(s => fs.delete(s.getPath, true))
     }
     VacuumReport(filesDeleted = removed, logRowsBefore = logBefore,
-      logRowsAfter = aliveCanon.size.toLong)
+      logRowsAfter = retainedCanon.size.toLong)
   }
 
   /** Synthetic manifest-log file name carrying the version high-water mark
     * through a vacuum (v_added = v_removed, so never alive). */
   val VersionHwmFile = "_graft_version_hwm"
+
+  /** Synthetic manifest-log file name carrying the vacuum horizon: the
+    * lowest version whose files are all still present. Reads below it
+    * refuse. */
+  val VersionHorizonFile = "_graft_version_horizon"
+
+  /** The layout's vacuum horizon — the lowest time-travelable version.
+    * 0 when never vacuumed with retention (or no layout yet). */
+  def vacuumHorizon(spark: SparkSession, dir: String): Long = {
+    if (!fsOf(spark, dir).exists(
+      new org.apache.hadoop.fs.Path(manifestPath(dir)))) return 0L
+    val r = manifestLog(spark, dir)
+      .where(col("file") === VersionHorizonFile)
+      .agg(max("v_added")).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
 
   final case class VacuumReport(filesDeleted: Int, logRowsBefore: Long,
       logRowsAfter: Long)

@@ -107,9 +107,10 @@ object LayoutQueries {
       DataLayout.deleteWhere(s, dir, dims, Bits,
         Seq("o_custkey", "o_totalprice"),
         Seq(("o_custkey", 500L, 650L), ("o_totalprice", 0.0, 300000.0)))
-      // erasure completes with the vacuum (tombstoned files are gone from
-      // disk); the read below is manifest-routed either way
-      DataLayout.vacuum(s, dir)
+      // erasure completes with the vacuum: retainVersions = 0 is the
+      // explicit GDPR spelling (tombstoned files leave disk; a default
+      // vacuum would retain one version of history)
+      DataLayout.vacuum(s, dir, retainVersions = 0)
       DataLayout.readLayout(s, dir)
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("o_orderkey")
@@ -309,7 +310,7 @@ object LayoutQueries {
         dims, Bits, stats, dir, numFiles = 16)
       DataLayout.deleteVectors(s, dir, Seq(("o_custkey", 500L, 650L)))
       DataLayout.purgeDeletes(s, dir, dims, Bits, stats)
-      DataLayout.vacuum(s, dir)
+      DataLayout.vacuum(s, dir, retainVersions = 0)
       DataLayout.skipScan(s, dir, Seq(("o_custkey", 400L, 800L))).df
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
         .orderBy("o_orderkey")

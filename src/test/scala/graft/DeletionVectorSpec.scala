@@ -123,7 +123,7 @@ class DeletionVectorSpec extends AnyFunSuite {
     // vacuum: retired originals leave disk; a PLAIN read now equals the
     // masked read (the soft-deleted bytes are gone), and the DV log is
     // compacted to empty (every DV'd file is dead post-purge)
-    val vr = DataLayout.vacuum(spark, dir)
+    val vr = DataLayout.vacuum(spark, dir, retainVersions = 0)
     assert(vr.filesDeleted == p.filesRewritten)
     assert(ids(spark.read.parquet(dir).select("id")) == maskedWant)
     assert(DataLayout.dvLog(spark, dir).forall(_.isEmpty))

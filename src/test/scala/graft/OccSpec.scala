@@ -47,10 +47,11 @@ class OccSpec extends AnyFunSuite {
 
   test("manifest race end-to-end: the losing append aborts, reads stay intact") {
     val dir = fresh(1 to 100)
-    // simulate the race: another writer committed v1 AFTER this writer
-    // read version 0 — plant a VALID manifest commit whose rows are a
-    // duplicate of v0's (harmless: aliveManifest collapses per file), so
-    // currentVersion still reads 0 and the appender derives v = 1
+    // simulate a WEDGED race: a foreign commit occupies v1 but its rows
+    // carry v_added = 0 (a duplicate of v0's — harmless: aliveManifest
+    // collapses per file), so currentVersion reads 0 forever and every
+    // retry re-derives v = 1. The appender must exhaust its bounded OCC
+    // retries and abort loudly, never spin or silently corrupt.
     DataLayout.commitLogFile(s"$dir/${DataLayout.ManifestDir}",
       DataLayout.manifestLog(spark, dir), 1L)
     assert(DataLayout.currentVersion(spark, dir) == 0L)
@@ -120,5 +121,70 @@ class OccSpec extends AnyFunSuite {
       .map(_.getPath.getName).filter(_.startsWith("commit-v")).sorted
     assert(commits.toSeq == Seq("commit-v1.parquet", "commit-v3.parquet",
       "commit-v4.parquet")) // v2 was the DV commit, in the DV log
+  }
+
+  test("OCC retry: a lost append race re-commits at the winner's next version") {
+    val dir = fresh(1 to 100) // v0, 2 files
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = DataLayout.listDataFiles(spark, dir).head
+    // plant a REALISTIC winner at v1: a new data file (a copy of an
+    // existing one), manifested with proper v_added = 1 rows — exactly
+    // what a concurrent appendZOrdered would have committed
+    for (n <- Seq("winner.parquet", "loser.parquet"))
+      org.apache.hadoop.fs.FileUtil.copy(fs, p(base), fs, p(s"$dir/$n"),
+        false, conf)
+    val template = DataLayout.manifestLog(spark, dir).limit(1)
+      .localCheckpoint(true)
+    def rowFor(f: String, v: Long) = template
+      .withColumn("file", lit(s"$dir/$f"))
+      .withColumn("v_added", lit(v))
+      .withColumn("v_removed", lit(null).cast("long"))
+    DataLayout.commitLogFile(s"$dir/${DataLayout.ManifestDir}",
+      rowFor("winner.parquet", 1L), 1L)
+    // the loser derived v = 1 BEFORE the winner landed; its data file is
+    // already on disk — the retry must re-commit the same stats at v2,
+    // never rewrite data, and both appends must be alive afterwards
+    val got = DataLayout.commitAppendWithRetry(spark, dir,
+      v => rowFor("loser.parquet", v), firstV = 1L)
+    assert(got == 2L)
+    assert(DataLayout.currentVersion(spark, dir) == 2L)
+    val alive = DataLayout.aliveManifest(spark, dir)
+      .select("file").as[String].collect().map(_.split('/').last).toSet
+    assert(alive.contains("winner.parquet") && alive.contains("loser.parquet"))
+    // time travel still stratifies: v1 sees the winner but not the loser
+    val atV1 = DataLayout.aliveManifest(spark, dir, 1L)
+      .select("file").as[String].collect().map(_.split('/').last).toSet
+    assert(atV1.contains("winner.parquet") && !atV1.contains("loser.parquet"))
+  }
+
+  test("concurrent DV deletes: the loser re-runs and BOTH land") {
+    val dir = fresh(1 to 400)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    // disjoint ranges racing on the version counter: whichever loses the
+    // commit-file rename re-RUNS against the winner's state (re-running,
+    // not re-committing, is what keeps exact row accounting when ranges
+    // overlap — here they don't, so both must land in full)
+    val fa = Future(DataLayout.deleteVectors(spark, dir, Seq(("k", 1L, 50L))))
+    val fb = Future(DataLayout.deleteVectors(spark, dir, Seq(("k", 101L, 150L))))
+    val ra = Await.result(fa, 3.minutes)
+    val rb = Await.result(fb, 3.minutes)
+    assert(ra.rowsDeleted == 50L && rb.rowsDeleted == 50L)
+    assert(DataLayout.currentVersion(spark, dir) == 2L)
+    assert(DataLayout.readLayout(spark, dir).count() == 300L)
+  }
+
+  test("a rewrite that loses the race still refuses (no auto-retry)") {
+    val dir = fresh(1 to 100)
+    // same wedged-race plant as the append test: v1 occupied, version 0
+    DataLayout.commitLogFile(s"$dir/${DataLayout.ManifestDir}",
+      DataLayout.manifestLog(spark, dir), 1L)
+    intercept[java.util.ConcurrentModificationException] {
+      DataLayout.deleteWhere(spark, dir, dims, 16, Seq("k"),
+        Seq(("k", 1L, 10L)))
+    }
+    // nothing was deleted; the layout still reads at v0
+    assert(DataLayout.readLayout(spark, dir).count() == 100L)
   }
 }

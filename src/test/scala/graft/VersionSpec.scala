@@ -111,7 +111,7 @@ class VersionSpec extends AnyFunSuite {
     val onDiskBefore = spark.read.parquet(dir).count() // retired rows visible raw
     assert(onDiskBefore > latestBefore.size.toLong,
       "precondition: retired files still on disk before vacuum")
-    val report = DataLayout.vacuum(spark, dir)
+    val report = DataLayout.vacuum(spark, dir, retainVersions = 0)
     assert(report.filesDeleted > 0)
     assert(report.logRowsAfter == aliveFiles)
     // latest version unchanged; raw dir now agrees with it
@@ -119,7 +119,7 @@ class VersionSpec extends AnyFunSuite {
       .select("id").as[Long].collect().sorted.toSeq == latestBefore)
     assert(spark.read.parquet(dir).count() == latestBefore.size.toLong)
     // idempotent
-    assert(DataLayout.vacuum(spark, dir).filesDeleted == 0)
+    assert(DataLayout.vacuum(spark, dir, retainVersions = 0).filesDeleted == 0)
     // the version high-water mark survives the vacuum: the next mutation
     // must NOT reuse an already-issued version id
     assert(DataLayout.currentVersion(spark, dir) == 2L)
@@ -130,6 +130,51 @@ class VersionSpec extends AnyFunSuite {
       latestBefore.size.toLong + 100L)
   }
 
+  test("vacuum retention: retained versions stay travelable, below the horizon refuses") {
+    val dir = Files.createTempDirectory("graft_version").toString + "/t"
+    build(dir) // v0 write, v1 append, v2 delete
+    val v1Ids = DataLayout.readLayout(spark, dir, 1L)
+      .select("id").as[Long].collect().sorted.toSeq
+    val v2Ids = DataLayout.readLayout(spark, dir, 2L)
+      .select("id").as[Long].collect().sorted.toSeq
+    // default vacuum keeps ONE version of history: horizon = 1
+    DataLayout.vacuum(spark, dir)
+    assert(DataLayout.vacuumHorizon(spark, dir) == 1L)
+    // v1 and v2 still read back exactly
+    assert(DataLayout.readLayout(spark, dir, 1L)
+      .select("id").as[Long].collect().sorted.toSeq == v1Ids)
+    assert(DataLayout.readLayout(spark, dir, 2L)
+      .select("id").as[Long].collect().sorted.toSeq == v2Ids)
+    // v0 refuses loudly — even though some of its files may physically
+    // remain, a versioned read below the horizon must never be partial
+    val e = intercept[IllegalArgumentException] {
+      DataLayout.readLayout(spark, dir, 0L)
+    }
+    assert(e.getMessage.contains("vacuum horizon"))
+    // the horizon never regresses: a lenient vacuum later cannot
+    // re-promise versions whose files are already gone
+    DataLayout.vacuum(spark, dir, retainVersions = 100)
+    assert(DataLayout.vacuumHorizon(spark, dir) == 1L)
+    intercept[IllegalArgumentException] {
+      DataLayout.readLayout(spark, dir, 0L)
+    }
+    // GDPR spelling: retain 0 → only the latest version survives
+    val rep = DataLayout.vacuum(spark, dir, retainVersions = 0)
+    assert(rep.filesDeleted > 0)
+    intercept[IllegalArgumentException] {
+      DataLayout.readLayout(spark, dir, 1L)
+    }
+    assert(DataLayout.readLayout(spark, dir)
+      .select("id").as[Long].collect().sorted.toSeq == v2Ids)
+    // raw dir agrees with the latest version: retired bytes are gone
+    assert(spark.read.parquet(dir).count() == v2Ids.size.toLong)
+    // and the table still moves forward
+    DataLayout.appendZOrdered(mk(20000 until 20050), dims, 16, Seq("x", "y"),
+      dir, numFiles = 1)
+    assert(DataLayout.currentVersion(spark, dir) == 3L)
+    assert(DataLayout.readLayout(spark, dir).count() == v2Ids.size + 50L)
+  }
+
   test("full erasure: delete everything, vacuum, version preserved, loud empty read") {
     val dir = Files.createTempDirectory("graft_version").toString + "/t"
     DataLayout.writeZOrdered(mk(0 until 500), dims, 16, Seq("x", "y"),
@@ -138,7 +183,7 @@ class VersionSpec extends AnyFunSuite {
       Seq(("x", 0L, 65535L)))                                         // v1
     assert(rep.rowsDeleted == 500L)
     assert(DataLayout.readLayout(spark, dir).count() == 0L) // schema from retired files
-    DataLayout.vacuum(spark, dir)
+    DataLayout.vacuum(spark, dir, retainVersions = 0)
     // a pure-tombstone version must not vanish from the version counter
     assert(DataLayout.currentVersion(spark, dir) == 1L)
     // the SCHEMA LOG survives full erasure, so the table still knows its
@@ -157,7 +202,7 @@ class VersionSpec extends AnyFunSuite {
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/${DataLayout.SchemaDir}"), true)
     DataLayout.deleteWhere(spark, dir, dims, 16, Seq("x", "y"),
       Seq(("x", 0L, 65535L)))
-    DataLayout.vacuum(spark, dir)
+    DataLayout.vacuum(spark, dir, retainVersions = 0)
     val e = intercept[IllegalArgumentException] {
       DataLayout.readLayout(spark, dir)
     }
