@@ -503,6 +503,30 @@ object LayoutQueries {
         .orderBy("o_orderkey")
     }),
 
+    // File-granular diff between TWO layouts — the nightly replica-verify
+    // at 100 TB: layout B is a zero-copy clone of A plus one localized
+    // delete; the cross-layout diff matches files by the CONTENT
+    // FINGERPRINT every write stamps into the manifest and reads ONLY the
+    // files that actually differ (LayoutDiff2Spec pins the pruning, the
+    // zero-read clean path, and the different-clustering fast path). The
+    // oracle restates the delete's logical delta: '-' rows for what B
+    // dropped.
+    "q_layout_diff2" -> ((s, d) => {
+      val a = layoutDir(d) + "_d2a"
+      val b = layoutDir(d) + "_d2b"
+      val dims = Seq(col("o_custkey"), cents("o_totalprice"))
+      val stats = Seq("o_custkey", "o_totalprice")
+      val orders = Tables.load(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      DataLayout.writeZOrdered(orders, dims, Bits, stats, a, numFiles = 16)
+      DataLayout.cloneLayout(s, a, b)
+      DataLayout.deleteWhere(s, b, dims, Bits, stats,
+        Seq(("o_custkey", 100L, 200L)))
+      DataLayout.diffLayouts(s, a, b, Seq("o_orderkey"),
+          Seq("o_custkey", "o_orderstatus", "o_totalprice")).df
+        .orderBy("sign", "o_orderkey")
+    }),
+
     // Full re-cluster by NEW dimensions (query patterns changed): the
     // table first lands z-ordered by (custkey, price), then reclusters by
     // orderkey as one new version; a 1-D orderkey range through skipScan
@@ -610,6 +634,12 @@ object LayoutQueries {
         |       o_orderkey, o_custkey, o_totalprice
         |FROM orders WHERE o_custkey BETWEEN 100 AND 220
         |ORDER BY version, sign, o_orderkey""".stripMargin,
+
+    "q_layout_diff2" ->
+      """SELECT '-' AS sign, o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 200
+        |ORDER BY sign, o_orderkey""".stripMargin,
 
     "q_layout_recluster" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice

@@ -1,0 +1,131 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.layout.DataLayout
+
+/** Cross-layout file-granular diff: every write stamps each file's
+  * manifest row with an additive, row-order-insensitive content
+  * fingerprint, so `diffLayouts` proves equality (globally or per file)
+  * from O(files) metadata and reads ONLY genuinely-different files — the
+  * rsync of table diffs, generalized from one layout's versions
+  * (`diffVersions`) to any two layouts. The nightly 100 TB replica
+  * verify: clean = one manifest scan per side, zero data I/O.
+  */
+class LayoutDiff2Spec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  private val dims = Seq(col("x"), col("y"))
+
+  private def mk(ids: Range) =
+    ids.map(i => (i.toLong, (i * 13L) % 65536L, (i * 31L) % 65536L))
+      .toDF("id", "x", "y")
+
+  private def write(dir: String, ids: Range, files: Int = 6): Unit =
+    DataLayout.writeZOrdered(mk(ids), dims, 16, Seq("x", "y"), dir, files)
+
+  private def ids(df: org.apache.spark.sql.DataFrame) =
+    df.select("id").as[Long].collect().sorted.toSeq
+
+  test("clean clone verifies with ZERO data reads") {
+    val root = Files.createTempDirectory("graft_ld2").toString
+    write(s"$root/a", 0 until 3000)
+    DataLayout.cloneLayout(spark, s"$root/a", s"$root/b")
+    val d = DataLayout.diffLayouts(spark, s"$root/a", s"$root/b", Seq("id"))
+    assert(d.filesReadA == 0 && d.filesReadB == 0)
+    assert(d.df.isEmpty)
+  }
+
+  test("equal content under DIFFERENT clustering still verifies metadata-only") {
+    val root = Files.createTempDirectory("graft_ld2").toString
+    write(s"$root/a", 0 until 3000, files = 6)
+    // same rows, clustered by a different dimension into a different file
+    // count: no per-file fingerprint can match, but the ADDITIVE total does
+    DataLayout.writeZOrdered(mk(0 until 3000), Seq(col("id")), 16,
+      Seq("id"), s"$root/b", 4)
+    val d = DataLayout.diffLayouts(spark, s"$root/a", s"$root/b", Seq("id"))
+    assert(d.filesReadA == 0 && d.filesReadB == 0)
+    assert(d.df.isEmpty)
+  }
+
+  test("clone + localized delete: only the churned files are read, diff exact") {
+    val root = Files.createTempDirectory("graft_ld2").toString
+    write(s"$root/a", 0 until 3000)
+    DataLayout.cloneLayout(spark, s"$root/a", s"$root/b")
+    DataLayout.deleteWhere(spark, s"$root/b", dims, 16, Seq("x", "y"),
+      Seq(("x", 0L, 2000L)))
+    val d = DataLayout.diffLayouts(spark, s"$root/a", s"$root/b",
+      Seq("id"), Seq("x", "y"))
+    // pruning: shared (fingerprint-equal) files never read on either side
+    assert(d.filesReadA < d.filesTotalA, s"$d")
+    assert(d.filesReadB < d.filesTotalB, s"$d")
+    // the diff is exactly the deleted rows, all '-'
+    val want = (0 until 3000).map(_.toLong)
+      .filter(i => (i * 13L) % 65536L <= 2000L).sorted
+    val got = d.df.select("sign", "id").as[(String, Long)].collect()
+    assert(got.forall(_._1 == "-"))
+    assert(got.map(_._2).sorted.toSeq == want)
+  }
+
+  test("an update shows as -/+ pair; fingerprint collisions don't hide inserts") {
+    val root = Files.createTempDirectory("graft_ld2").toString
+    write(s"$root/a", 0 until 2000)
+    // b: one row's payload changed, three rows added
+    val b = mk(0 until 2000)
+      .withColumn("y", when(col("id") === 7L, lit(9999L)).otherwise(col("y")))
+      .unionByName(mk(5000 until 5003))
+    DataLayout.writeZOrdered(b, dims, 16, Seq("x", "y"), s"$root/b", 6)
+    val d = DataLayout.diffLayouts(spark, s"$root/a", s"$root/b",
+      Seq("id"), Seq("x", "y"))
+    val got = d.df.select("sign", "id").as[(String, Long)].collect().toSet
+    assert(got == Set(("-", 7L), ("+", 7L),
+      ("+", 5000L), ("+", 5001L), ("+", 5002L)))
+  }
+
+  test("DV-carrying files are never fingerprint-matched: the masked rows diff") {
+    val root = Files.createTempDirectory("graft_ld2").toString
+    write(s"$root/a", 0 until 3000)
+    DataLayout.cloneLayout(spark, s"$root/a", s"$root/b")
+    // soft delete on the clone: the shared file's BYTES are identical to
+    // the source's, but its effective rows are not — matching by
+    // fingerprint would silently hide the delete
+    DataLayout.deleteVectors(spark, s"$root/b", Seq(("x", 0L, 1500L)))
+    val d = DataLayout.diffLayouts(spark, s"$root/a", s"$root/b",
+      Seq("id"), Seq("x", "y"))
+    val want = (0 until 3000).map(_.toLong)
+      .filter(i => (i * 13L) % 65536L <= 1500L).sorted
+    val got = d.df.select("sign", "id").as[(String, Long)].collect()
+    assert(got.forall(_._1 == "-"))
+    assert(got.map(_._2).sorted.toSeq == want)
+  }
+
+  test("fingerprint-less manifests (pre-extension) fall back to a full, correct diff") {
+    val root = Files.createTempDirectory("graft_ld2").toString
+    write(s"$root/a", 0 until 1000)
+    write(s"$root/b", 0 until 1001)
+    // simulate a's manifest predating the content_fp column
+    val mPath = s"$root/a/${DataLayout.ManifestDir}"
+    val stripped = spark.read.parquet(mPath).drop("content_fp")
+      .localCheckpoint(true)
+    stripped.write.mode("overwrite").parquet(mPath)
+    val d = DataLayout.diffLayouts(spark, s"$root/a", s"$root/b",
+      Seq("id"), Seq("x", "y"))
+    assert(d.filesReadA == d.filesTotalA) // no fp on a: everything reads
+    assert(d.df.select("sign", "id").as[(String, Long)].collect().toSet ==
+      Set(("+", 1000L)))
+  }
+
+  test("column order does not matter to the fingerprint; extra columns do") {
+    val root = Files.createTempDirectory("graft_ld2").toString
+    write(s"$root/a", 0 until 500)
+    // same rows, columns in a different order
+    DataLayout.writeZOrdered(mk(0 until 500).select("y", "id", "x"),
+      dims, 16, Seq("x", "y"), s"$root/b", 3)
+    val d = DataLayout.diffLayouts(spark, s"$root/a", s"$root/b", Seq("id"))
+    assert(d.filesReadA == 0 && d.filesReadB == 0 && d.df.isEmpty)
+  }
+}
