@@ -1311,12 +1311,14 @@ object DataLayout {
     *  - FILE fast path: files with equal (fingerprint, rows) pairs cancel
     *    multiset-wise across the sides and are never read — after a clone
     *    + localized merge, only the churned files feed row work;
+    *  - DV-carrying files (bytes ≠ effective rows) get their EFFECTIVE
+    *    fingerprint recomputed over the masked read — cost ∝ DV'd files —
+    *    so outstanding soft deletes don't force a full-table fallback;
     *  - the remainder — fingerprint-less files (a manifest predating the
-    *    fingerprint column reads NULL under mergeSchema), DV-carrying
-    *    files (bytes ≠ effective rows), and genuinely-different files —
-    *    goes through the engine's flagship [[graft.diff.JoinDiffer.diff]]
-    *    ('-' rows only in A, '+' rows only in B), each side masked at its
-    *    own version.
+    *    fingerprint column reads NULL under mergeSchema) and
+    *    genuinely-different files — goes through the engine's flagship
+    *    [[graft.diff.JoinDiffer.diff]] ('-' rows only in A, '+' rows only
+    *    in B), each side masked at its own version.
     *
     * Cost ∝ churn between the layouts, never table size; a 100 TB replica
     * that is clean costs one manifest scan per side. Fingerprint equality
@@ -1326,7 +1328,13 @@ object DataLayout {
       keyCols: Seq[String], compareCols: Seq[String] = Nil,
       versionA: Long = Latest, versionB: Long = Latest): LayoutDiff = {
     require(keyCols.nonEmpty, "diffLayouts needs at least one key column")
-    // per side: all alive files, plus file → (fp, rows) where usable
+    // per side: all alive files, plus file → (fp, rows) where usable.
+    // DV-carrying files (bytes ≠ effective rows) get their EFFECTIVE
+    // fingerprint recomputed over the masked read — cost ∝ DV'd files,
+    // which keeps a clean replica verify metadata-cheap even while soft
+    // deletes are outstanding on the source (those files would have to be
+    // read anyway if left unmatched; computing their fp instead lets every
+    // clean file still cancel).
     def side(dir: String, v: Long): (Seq[String], Map[String, (String, Long)]) = {
       val alive = aliveManifest(spark, dir, v).localCheckpoint(true)
       val dvd: Set[String] = dvAt(spark, dir, v) match {
@@ -1342,12 +1350,30 @@ object DataLayout {
           col("n_rows")))
         .collect() // O(files): names + one decimal string each
       val files = rows.map(_.getString(0)).toIndexedSeq.sorted
-      val fps = rows.flatMap { r =>
+      val recorded = rows.flatMap { r =>
         val f = r.getString(0)
         if (r.isNullAt(1) || dvd(canon(f))) None
         else Some(f -> ((r.getString(1), r.getLong(2))))
       }.toMap
-      (files, fps)
+      val dvdFiles = files.filter(f => dvd(canon(f)))
+      val effective: Map[String, (String, Long)] =
+        if (dvdFiles.isEmpty) Map.empty
+        else {
+          // the canonical file-path meta column survives the mask's anti
+          // join (input_file_name() would not — it reads as "" outside
+          // the scan stage)
+          val base = readWithMeta(spark, dvdFiles, schemaAt(spark, dir, v))
+          val masked = dvAt(spark, dir, v).map(applyMask(base, _)).getOrElse(base)
+          val dataCols = masked.columns.filterNot(Set(MetaFile, MetaPos)).toSeq
+          val byCanon = masked
+            .groupBy(col(MetaFile).as("_f"))
+            .agg(contentFingerprint(dataCols).cast("string").as("_fp"),
+              count(lit(1)).as("_n"))
+            .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(2))))
+            .toMap // O(dv-files) rows; a fully-masked file yields none
+          dvdFiles.flatMap(f => byCanon.get(canon(f)).map(f -> _)).toMap
+        }
+      (files, recorded ++ effective)
     }
     val (filesA, fpA) = side(dirA, versionA)
     val (filesB, fpB) = side(dirB, versionB)

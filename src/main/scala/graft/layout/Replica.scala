@@ -83,6 +83,23 @@ object Replica {
   final case class SyncReport(fromVersion: Long, toVersion: Long,
       feedRows: Long, upserts: Long, deletes: Long, filesRewritten: Int)
 
+  /** VERIFY the replica against its source with the file-granular
+    * cross-layout diff ([[DataLayout.diffLayouts]]): a clean, current
+    * replica verifies from O(files) metadata on both sides — zero data
+    * reads even though the two layouts are clustered differently, because
+    * the content fingerprint is additive (outstanding soft deletes on
+    * either side cost only their own files' re-fingerprint). Drift — a
+    * missed sync, an out-of-band write, silent corruption — surfaces as
+    * the exact '-'/'+' rows. This is the nightly operator a 100 TB
+    * replication deployment actually runs; the reference engine's whole
+    * purpose (diff two tables to find drift) reduced to a manifest scan
+    * when clean. */
+  def verify(spark: SparkSession, dstDir: String,
+      compareCols: Seq[String] = Nil): DataLayout.LayoutDiff = {
+    val d = meta(spark, dstDir)
+    DataLayout.diffLayouts(spark, d.srcDir, dstDir, d.keyCols, compareCols)
+  }
+
   /** Apply the source's churn since the last sync. No-op when current. */
   def sync(spark: SparkSession, dstDir: String, dims: Seq[Column],
       bits: Int, statsCols: Seq[String], numFiles: Int): SyncReport = {

@@ -86,16 +86,21 @@ class LayoutDiff2Spec extends AnyFunSuite {
       ("+", 5000L), ("+", 5001L), ("+", 5002L)))
   }
 
-  test("DV-carrying files are never fingerprint-matched: the masked rows diff") {
+  test("DV-carrying files re-fingerprint effectively: masked rows diff, clean files cancel") {
     val root = Files.createTempDirectory("graft_ld2").toString
     write(s"$root/a", 0 until 3000)
     DataLayout.cloneLayout(spark, s"$root/a", s"$root/b")
-    // soft delete on the clone: the shared file's BYTES are identical to
-    // the source's, but its effective rows are not — matching by
-    // fingerprint would silently hide the delete
+    // soft delete on the clone: the shared files' BYTES are identical to
+    // the source's, but effective rows are not — matching by the RECORDED
+    // fingerprint would silently hide the delete, so DV'd files get an
+    // EFFECTIVE fingerprint over the masked read instead; files whose
+    // mask changed nothing still cancel, untouched shared files cancel by
+    // the recorded fingerprint, and only genuinely-different files read
     DataLayout.deleteVectors(spark, s"$root/b", Seq(("x", 0L, 1500L)))
     val d = DataLayout.diffLayouts(spark, s"$root/a", s"$root/b",
       Seq("id"), Seq("x", "y"))
+    assert(d.filesReadA < d.filesTotalA && d.filesReadA > 0, d.toString)
+    assert(d.filesReadA == d.filesReadB, d.toString)
     val want = (0 until 3000).map(_.toLong)
       .filter(i => (i * 13L) % 65536L <= 1500L).sorted
     val got = d.df.select("sign", "id").as[(String, Long)].collect()

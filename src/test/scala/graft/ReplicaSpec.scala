@@ -57,6 +57,26 @@ class ReplicaSpec extends AnyFunSuite {
       Seq("id", "g"), numFiles = 2)
     assert(noop.feedRows == 0L && noop.upserts == 0L && noop.deletes == 0L)
     assert(rows(dst) == rows(src))
+
+    // VERIFY: the clean, synced replica proves equal to its source with
+    // zero row-diff work — despite different clustering AND outstanding
+    // soft deletes on the source (the DV'd files re-fingerprint at
+    // DV-cost; everything else cancels additively from the manifests)
+    val clean = Replica.verify(spark, dst)
+    assert(clean.df.isEmpty)
+    assert(clean.filesReadA == 0 && clean.filesReadB == 0, clean.toString)
+
+    // drift detection: out-of-band source churn surfaces as exact rows —
+    // deleted on the source, so now present only in the replica: '+'
+    DataLayout.deleteVectors(spark, src, Seq(("id", 600L, 610L)))
+    val drift = Replica.verify(spark, dst)
+    val driftRows = drift.df.select("sign", "id")
+      .as[(String, Long)].collect().toSet
+    assert(driftRows == (600L to 610L).map(i => ("+", i)).toSet)
+    // and one sync repairs it, after which verify is clean again
+    Replica.sync(spark, dst, Seq(col("g"), col("id")), 16,
+      Seq("id", "g"), numFiles = 2)
+    assert(Replica.verify(spark, dst).df.isEmpty)
   }
 
   test("last event wins: updated-five-times applies once; delete-then-reinsert survives") {
