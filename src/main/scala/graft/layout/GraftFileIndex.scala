@@ -158,6 +158,10 @@ class GraftFileIndex(spark: SparkSession, dir: String,
   }
 
   private def envelope(e: Expression): Option[Expression] = e match {
+    // a literal boolean filter prunes constantly — JoinPruning injects
+    // `false` when an eagerly-evaluated build side turns out empty (the
+    // inner/semi join is then provably empty: zero files read)
+    case l @ Literal(_, org.apache.spark.sql.types.BooleanType) => Some(l)
     case And(l, r) => (envelope(l), envelope(r)) match {
       case (Some(a), Some(b)) => Some(And(a, b))
       case (a, b) => a.orElse(b)
@@ -272,12 +276,22 @@ class GraftFileIndex(spark: SparkSession, dir: String,
 }
 
 object GraftFileIndex {
+  /** Register [[JoinPruning]] on the session (idempotent): plain
+    * inner/semi joins of an indexed layout against a small dimension then
+    * prune FILES through the manifest with no helper API. */
+  def enableJoinPruning(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(JoinPruning))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ JoinPruning
+
   /** The layout as a Catalyst-planned DataFrame: queries prune files
     * through the manifest (and Bloom index) automatically — see
-    * [[GraftFileIndex]]. Returns the frame plus its index so callers can
-    * read the pruning evidence. */
+    * [[GraftFileIndex]]; joins against small dimensions prune too
+    * ([[JoinPruning]], registered here). Returns the frame plus its index
+    * so callers can read the pruning evidence. */
   def readLayoutIndexed(spark: SparkSession, dir: String,
       version: Long = DataLayout.Latest): (DataFrame, GraftFileIndex) = {
+    enableJoinPruning(spark)
     val index = new GraftFileIndex(spark, dir, version)
     val schema = DataLayout.schemaAt(spark, dir, version).getOrElse(
       spark.read.parquet(DataLayout.schemaAnchorFile(spark, dir)).schema)

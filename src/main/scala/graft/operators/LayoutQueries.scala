@@ -503,6 +503,30 @@ object LayoutQueries {
         .orderBy("o_orderkey")
     }),
 
+    // JOIN-driven dynamic file pruning with NO helper API: a plain inner
+    // join of the indexed layout against a filtered dimension — the
+    // JoinPruning rule eagerly evaluates the (small, deterministic) build
+    // side's key domain at optimization time and re-injects it as a
+    // literal IN/range the manifest envelope prunes on. q_layout_dfp is
+    // the explicit-helper spelling of the same operation; this is what a
+    // SQL user writes. Oracle: the plain join. JoinPruningSpec pins the
+    // file skipping, the guards, and the empty/nondeterministic cases.
+    "q_layout_join_prune" -> ((s, d) => {
+      val dir = layoutDir(d) + "_jp"
+      DataLayout.writeZOrdered(
+        Tables.load(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice"),
+        Seq(col("o_custkey"), cents("o_totalprice")), Bits,
+        statsCols = Seq("o_custkey"), outDir = dir, numFiles = 16)
+      val (fact, _) = graft.layout.GraftFileIndex.readLayoutIndexed(s, dir)
+      val dim = Tables.load(s, d, "customer")
+        .where(col("c_mktsegment") === "BUILDING" && col("c_custkey") <= 300)
+        .select(col("c_custkey"), col("c_acctbal"))
+      fact.join(dim, fact("o_custkey") === dim("c_custkey"))
+        .select("o_orderkey", "o_custkey", "c_acctbal")
+        .orderBy("o_orderkey")
+    }),
+
     // File-granular diff between TWO layouts — the nightly replica-verify
     // at 100 TB: layout B is a zero-copy clone of A plus one localized
     // delete; the cross-layout diff matches files by the CONTENT
@@ -634,6 +658,12 @@ object LayoutQueries {
         |       o_orderkey, o_custkey, o_totalprice
         |FROM orders WHERE o_custkey BETWEEN 100 AND 220
         |ORDER BY version, sign, o_orderkey""".stripMargin,
+
+    "q_layout_join_prune" ->
+      """SELECT o_orderkey, o_custkey, c_acctbal
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey <= 300
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_layout_diff2" ->
       """SELECT '-' AS sign, o_orderkey, o_custkey, o_orderstatus, o_totalprice

@@ -30,4 +30,13 @@ object ColumnBridge {
     ext.registerFunctions(registry)
     ()
   }
+
+  /** Run a logical plan as a DataFrame (`classic.Dataset.ofRows` is
+    * private[sql]) — optimizer rules that eagerly evaluate a small build
+    * side need this. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
