@@ -284,6 +284,18 @@ object GraftFileIndex {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ JoinPruning
 
+  /** The manifest-backed [[HadoopFsRelation]] + its index — the raw
+    * (UNMASKED) Catalyst relation [[readLayoutIndexed]] and the batch
+    * `USING graft` source both build on. */
+  private[layout] def relationFor(spark: SparkSession, dir: String,
+      version: Long): (HadoopFsRelation, GraftFileIndex) = {
+    val index = new GraftFileIndex(spark, dir, version)
+    val schema = DataLayout.schemaAt(spark, dir, version).getOrElse(
+      spark.read.parquet(DataLayout.schemaAnchorFile(spark, dir)).schema)
+    (HadoopFsRelation(index, new StructType(), schema, None,
+      new ParquetFileFormat, Map.empty[String, String])(spark), index)
+  }
+
   /** The layout as a Catalyst-planned DataFrame: queries prune files
     * through the manifest (and Bloom index) automatically — see
     * [[GraftFileIndex]]; joins against small dimensions prune too
@@ -292,11 +304,7 @@ object GraftFileIndex {
   def readLayoutIndexed(spark: SparkSession, dir: String,
       version: Long = DataLayout.Latest): (DataFrame, GraftFileIndex) = {
     enableJoinPruning(spark)
-    val index = new GraftFileIndex(spark, dir, version)
-    val schema = DataLayout.schemaAt(spark, dir, version).getOrElse(
-      spark.read.parquet(DataLayout.schemaAnchorFile(spark, dir)).schema)
-    val rel = HadoopFsRelation(index, new StructType(), schema, None,
-      new ParquetFileFormat, Map.empty[String, String])(spark)
+    val (rel, index) = relationFor(spark, dir, version)
     val df = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .baseRelationToDataFrame(rel)
     // deletion vectors ride on top as a coordinate anti join (no-op when

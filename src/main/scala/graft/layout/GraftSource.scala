@@ -1,0 +1,104 @@
+package graft.layout
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SQLContext}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+/** The layout as a BATCH SQL data source — the DDL/reader spelling of
+  * [[GraftFileIndex.readLayoutIndexed]]:
+  *
+  * {{{
+  *   CREATE TEMPORARY VIEW orders_v1
+  *   USING graft OPTIONS (path '/data/orders', versionAsOf '1');
+  *   SELECT * FROM orders_v1 WHERE o_custkey BETWEEN 100 AND 200; -- prunes files
+  *
+  *   spark.read.format("graft").option("versionAsOf", 1).load("/data/orders")
+  * }}}
+  *
+  * Options: `path` (required) and `versionAsOf` (optional — default
+  * latest; below the vacuum horizon refuses loudly through
+  * [[DataLayout.aliveManifest]]).
+  *
+  * Two relation shapes, picked by whether the requested version carries
+  * DELETION VECTORS:
+  *
+  *  - clean version → the Catalyst [[HadoopFsRelation]] over
+  *    [[GraftFileIndex]] directly: manifest/Bloom file pruning inside
+  *    planning, parquet pushdown, whole-stage codegen, and
+  *    [[JoinPruning]] — the full-speed path (the common case: a purge
+  *    clears DVs);
+  *  - DV-carrying version → [[MaskedLayoutRelation]], a
+  *    [[PrunedFilteredScan]] that evaluates the masked indexed frame and
+  *    hands rows up. Correct first: the mask is a row-coordinate anti
+  *    join no plain file scan can express. Filters still reach the inner
+  *    scan (so files still prune) and Spark re-applies every filter above
+  *    the scan (`unhandledFilters` keeps them all), so the translation
+  *    below is purely an optimization.
+  *
+  * Writes go through the [[DataLayout]] API (clustering, stats, and the
+  * versioned commit protocol are the point) — `format("graft").save` is
+  * deliberately unsupported.
+  */
+class GraftSourceProvider extends RelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    def opt(k: String): Option[String] =
+      parameters.get(k).orElse(parameters.get(k.toLowerCase))
+    val dir = opt("path").getOrElse(throw new IllegalArgumentException(
+      "the graft source needs a 'path' option (the layout dir)"))
+    val version = opt("versionAsOf").map(_.toLong).getOrElse(DataLayout.Latest)
+    val spark = sqlContext.sparkSession
+    GraftFileIndex.enableJoinPruning(spark)
+    val hasDv = DataLayout.dvLog(spark, dir)
+      .exists(d => d.where(col("v") <= version).head(1).nonEmpty)
+    if (!hasDv) GraftFileIndex.relationFor(spark, dir, version)._1
+    else new MaskedLayoutRelation(sqlContext, dir, version)
+  }
+}
+
+/** DV-masked relation: correctness over raw scan speed (see
+  * [[GraftSourceProvider]]). */
+class MaskedLayoutRelation(ctx: SQLContext, dir: String, version: Long)
+    extends BaseRelation with PrunedFilteredScan {
+
+  override def sqlContext: SQLContext = ctx
+
+  override val schema: StructType =
+    DataLayout.schemaAt(ctx.sparkSession, dir, version).getOrElse(
+      ctx.sparkSession.read.parquet(
+        DataLayout.schemaAnchorFile(ctx.sparkSession, dir)).schema)
+
+  /** Best-effort v1-Filter → Column translation; None = not translatable
+    * (Spark re-applies every filter anyway — see unhandledFilters). */
+  private def toColumn(f: Filter): Option[org.apache.spark.sql.Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, p) => Some(col(a).startsWith(p))
+    case And(l, r) => for { a <- toColumn(l); b <- toColumn(r) } yield a && b
+    case Or(l, r) => for { a <- toColumn(l); b <- toColumn(r) } yield a || b
+    case _ => None
+  }
+
+  // every filter re-applies above the scan; pushing them into the masked
+  // frame below is an optimization (file pruning), never the correctness
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val (df, _) = GraftFileIndex.readLayoutIndexed(ctx.sparkSession, dir, version)
+    val filtered = filters.flatMap(toColumn).reduceOption(_ && _)
+      .fold(df)(df.where)
+    filtered.select(requiredColumns.toIndexedSeq.map(col): _*).rdd
+  }
+}

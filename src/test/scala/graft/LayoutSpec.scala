@@ -80,7 +80,7 @@ class LayoutSpec extends AnyFunSuite {
     assert(manifest.columns.toSet ==
       Set("file", "min_x", "max_x", "nulls_x", "hll_x",
         "min_y", "max_y", "nulls_y", "hll_y", "zmin", "zmax", "n_rows",
-        "v_added", "v_removed"))
+        "content_fp", "v_added", "v_removed"))
     assert(DataLayout.currentVersion(spark, dir) == 0L)
   }
 
