@@ -22,6 +22,8 @@ import graft.layout.{Constraints, DataLayout}
   * graft-layout scan      <dir> --range a:10:20 [--out out.parquet]
   * graft-layout travel    <dir> --version N [--out out.parquet]
   * graft-layout constraint <dir> add <name> <sql-predicate> | drop <name> | list
+  * graft-layout diff      <dirA> <dirB> --keys k1[,k2] [--compare c1,c2] [--out out.parquet]
+  * graft-layout verify    <replicaDir> [--out out.parquet]
   * }}}
   *
   * `--dims` entries are column names; prefix `str:` for a string column
@@ -38,6 +40,7 @@ object LayoutCli {
       rowsPerFile: Long = 1L << 20, ranges: Seq[(String, Any, Any)] = Nil,
       soft: Boolean = false, retain: Int = 1, out: Option[String] = None,
       version: Option[Long] = None, keys: Seq[String] = Nil,
+      compare: Seq[String] = Nil,
       opCol: String = "op", seqCol: String = "seq", rest: Seq[String] = Nil)
 
   def parseArgs(argv: Array[String]): LArgs = {
@@ -68,6 +71,7 @@ object LayoutCli {
       case "--out" :: v :: t => go(t, a.copy(out = Some(v)))
       case "--version" :: v :: t => go(t, a.copy(version = Some(v.toLong)))
       case "--keys" :: v :: t => go(t, a.copy(keys = v.split(",").toSeq))
+      case "--compare" :: v :: t => go(t, a.copy(compare = v.split(",").toSeq))
       case "--op-col" :: v :: t => go(t, a.copy(opCol = v))
       case "--seq-col" :: v :: t => go(t, a.copy(seqCol = v))
       case p :: t if a.cmd.isEmpty => go(t, a.copy(cmd = p))
@@ -232,6 +236,31 @@ object LayoutCli {
       a.out.foreach(p => df.write.mode("overwrite").parquet(p))
       println(jsonLine("op" -> "travel", "version" -> v,
         "rows" -> df.count(), "out" -> a.out.getOrElse("")))
+
+    case "diff" =>
+      // file-granular cross-layout diff: dirB rides in the first free arg
+      // after the two positionals; equal layouts cost zero data reads
+      val dirB = a.rest.headOption.getOrElse(
+        throw new IllegalArgumentException(
+          "diff needs two layout dirs: graft-layout diff <dirA> <dirB> --keys k"))
+      require(a.keys.nonEmpty, "diff needs --keys k1[,k2]")
+      val r = DataLayout.diffLayouts(spark, a.dir, dirB, a.keys,
+        compareCols = a.compare)
+      a.out.foreach(p => r.df.write.mode("overwrite").parquet(p))
+      println(jsonLine("op" -> "diff", "rows" -> r.df.count(),
+        "files_read_a" -> r.filesReadA, "files_total_a" -> r.filesTotalA,
+        "files_read_b" -> r.filesReadB, "files_total_b" -> r.filesTotalB,
+        "out" -> a.out.getOrElse("")))
+
+    case "verify" =>
+      // nightly replica drift check: zero row-diff work when clean
+      val r = graft.layout.Replica.verify(spark, a.dir, a.compare)
+      val drift = r.df.count()
+      a.out.foreach(p => r.df.write.mode("overwrite").parquet(p))
+      println(jsonLine("op" -> "verify", "clean" -> (drift == 0L),
+        "drift_rows" -> drift,
+        "files_read_src" -> r.filesReadA, "files_read_replica" -> r.filesReadB,
+        "out" -> a.out.getOrElse("")))
 
     case "constraint" => a.rest match {
       case Seq("list") | Seq() =>

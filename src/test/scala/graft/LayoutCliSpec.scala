@@ -106,6 +106,31 @@ class LayoutCliSpec extends AnyFunSuite {
     }
   }
 
+  test("diff + verify: the nightly cross-layout check through the CLI") {
+    val root = Files.createTempDirectory("graft_lcli").toString
+    val a = root + "/a"; val b = root + "/b"
+    (1 to 400).map(i => (i.toLong, i * 3L)).toDF("k", "amt")
+      .write.parquet(root + "/src")
+    cli("write", a, "--from", root + "/src", "--dims", "k", "--stats", "k",
+      "--bits", "16", "--files", "4")
+    // b = replica via init (stores the replication key for `verify`)
+    graft.layout.Replica.init(spark, a, b,
+      Seq(org.apache.spark.sql.functions.col("k")), 16, Seq("k"), Seq("k"),
+      numFiles = 2)
+    val clean = cli("verify", b)
+    assert(clean.contains(""""clean":true""") &&
+      clean.contains(""""files_read_src":0"""))
+    // drift: delete on the source only, then diff + verify both see it
+    cli("delete", a, "--range", "k:1:10", "--dims", "k", "--stats", "k",
+      "--bits", "16")
+    val drift = cli("verify", b, "--out", root + "/drift")
+    assert(drift.contains(""""clean":false""") &&
+      drift.contains(""""drift_rows":10"""))
+    assert(spark.read.parquet(root + "/drift").count() == 10L)
+    val d = cli("diff", a, b, "--keys", "k", "--compare", "amt")
+    assert(d.contains(""""rows":10"""))
+  }
+
   test("constraint list emits valid JSON even with quoted/backslashed predicates") {
     val root = Files.createTempDirectory("graft_lcli").toString
     val dir = root + "/t"
