@@ -1479,7 +1479,12 @@ object DataLayout {
     * diff-estimate decisions.
     *
     * Returns one row: `n_rows`, then per stats column `min_c`, `max_c`,
-    * `nulls_c`, `ndv_c`. */
+    * `nulls_c`, `ndv_c`, then `content_fp` — the TABLE-level content
+    * fingerprint (sum of the per-file fingerprints: additive, so it
+    * equals what one pass over the data would give), the etag a
+    * replication pipeline compares across snapshots without reading a
+    * row. NULL when unknown: any alive file predating the fingerprint
+    * column, or outstanding deletion vectors (bytes ≠ effective rows). */
   def tableStatsFromManifest(spark: SparkSession, dir: String,
       version: Long = Latest): DataFrame = {
     val alive = aliveManifest(spark, dir, version)
@@ -1508,7 +1513,11 @@ object DataLayout {
           .as(s"ndv_$c")
       Seq(min(col(s"min_$c")).as(s"min_$c"), max(col(s"max_$c")).as(s"max_$c"),
         nullsAgg, ndvAgg)
-    }
+    } :+ (if (!cols("content_fp"))
+        lit(null).cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          .as("content_fp")
+      else when(bool_and(col("content_fp").isNotNull), sum(col("content_fp")))
+        .as("content_fp"))
     // deletion vectors: n_rows stays EXACT by subtracting the version's
     // masked positions on alive files (per-file counts are exact, DV rows
     // are exact coordinates). min/max/nulls/ndv remain FILE-level figures —
@@ -1522,6 +1531,10 @@ object DataLayout {
     }
     alive.agg(aggs.head, aggs.tail: _*)
       .withColumn("n_rows", col("n_rows") - lit(dvDeleted))
+      // outstanding DVs: the recorded per-file fingerprints describe the
+      // BYTES, not the effective rows — report unknown, never a lie
+      .withColumn("content_fp",
+        when(lit(dvDeleted) > 0, lit(null)).otherwise(col("content_fp")))
   }
 
   // ---- merge (upsert) ----------------------------------------------------

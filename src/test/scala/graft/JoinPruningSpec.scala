@@ -128,6 +128,22 @@ class JoinPruningSpec extends AnyFunSuite {
     assert(idx.lastPruning.exists { case (k, t) => t == 8 && k < t })
   }
 
+  test("the injected IN composes with the per-file Bloom index on an unclustered key") {
+    // layout clustered by m — id envelopes span every file, so the
+    // join-injected IN can only prune through the Bloom index
+    val dir = Files.createTempDirectory("graft_jp").toString + "/t"
+    DataLayout.writeZOrdered(
+      (0 until 4000).map(i => (i.toLong, (i % 97).toLong)).toDF("id", "m"),
+      Seq(col("m")), 16, Seq("m", "id"), dir, 8)
+    DataLayout.buildBloomIndex(spark, dir, "id")
+    val (fact, idx) = GraftFileIndex.readLayoutIndexed(spark, dir)
+    val dim = Seq(17L, 3900L).toDF("id")
+    val got = fact.join(dim, "id").select("id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(17L, 3900L))
+    val (kept, total) = idx.lastPruning.get
+    assert(total == 8 && kept < total, s"kept=$kept total=$total")
+  }
+
   test("pruning composes with a user WHERE on another column") {
     val dir = freshLayout()
     val (fact, idx) = GraftFileIndex.readLayoutIndexed(spark, dir)

@@ -124,6 +124,27 @@ class LayoutDiff2Spec extends AnyFunSuite {
       Set(("+", 1000L)))
   }
 
+  test("table-level content fingerprint: the snapshot etag from stats alone") {
+    val root = Files.createTempDirectory("graft_ld2").toString
+    write(s"$root/a", 0 until 1000, files = 6)
+    DataLayout.writeZOrdered(mk(0 until 1000), Seq(col("id")), 16,
+      Seq("id"), s"$root/b", 3) // same rows, different clustering
+    def fp(dir: String): Option[java.math.BigDecimal] = {
+      val r = DataLayout.tableStatsFromManifest(spark, dir)
+        .select("content_fp").head()
+      if (r.isNullAt(0)) None else Some(r.getDecimal(0))
+    }
+    // equal content → equal etag, regardless of file layout
+    assert(fp(s"$root/a").nonEmpty && fp(s"$root/a") == fp(s"$root/b"))
+    // content change → etag change
+    DataLayout.appendZOrdered(mk(2000 until 2001), dims, 16, Seq("x", "y"),
+      s"$root/a", 1)
+    assert(fp(s"$root/a") != fp(s"$root/b"))
+    // outstanding DVs → unknown (bytes ≠ effective rows), never a lie
+    DataLayout.deleteVectors(spark, s"$root/b", Seq(("id", 0L, 100L)))
+    assert(fp(s"$root/b").isEmpty)
+  }
+
   test("column order does not matter to the fingerprint; extra columns do") {
     val root = Files.createTempDirectory("graft_ld2").toString
     write(s"$root/a", 0 until 500)
