@@ -5,12 +5,14 @@ import java.nio.file.Files
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.layout.DataLayout
+import graft.layout.{DataLayout, Replica}
 
 /** Model-based lifecycle fuzz: a seeded random walk over EVERY layout
   * mutation (append, merge, DV delete, physical delete, compact,
   * recluster, purge), with an in-memory Map as the ground-truth model.
-  * After every step the layout must equal the model exactly; at the end,
+  * After every step the layout must equal the model exactly; a REPLICA
+  * (its own clustering) synced on a random cadence must verify CLEAN via
+  * the fingerprint-pruned cross-layout diff after every sync; at the end,
   * time travel must reproduce each recorded snapshot and the change feed
   * must REPLAY any version range from its starting snapshot to its ending
   * one. One test, every operator composition the individual specs can't
@@ -31,6 +33,13 @@ class LayoutFuzzSpec extends AnyFunSuite {
     DataLayout.writeZOrdered(df(model), dims, 16, stats, dir, 4) // v0
     var nextKey = 1000L
     val snapshots = scala.collection.mutable.Map(0L -> model)
+
+    // a replica clustered by the OTHER column, synced on a random cadence:
+    // after any prefix of the random walk, one sync must land it on the
+    // source and the cross-layout verify must prove that from metadata
+    val rep = Files.createTempDirectory("graft_fuzz").toString + "/r"
+    Replica.init(spark, dir, rep, Seq(col("amt"), col("k")), 16,
+      Seq("k"), Seq("k"), numFiles = 3)
 
     def read(v: Long = DataLayout.Latest): Map[Long, Long] =
       DataLayout.readLayout(spark, dir, v)
@@ -77,6 +86,12 @@ class LayoutFuzzSpec extends AnyFunSuite {
       val v = DataLayout.currentVersion(spark, dir)
       assert(read() == model, s"step $step (version $v) diverged from the model")
       snapshots(v) = model
+      if (rnd.nextInt(3) == 0 || step == 20) {
+        Replica.sync(spark, rep, Seq(col("amt"), col("k")), 16,
+          Seq("k"), numFiles = 2)
+        val check = Replica.verify(spark, rep)
+        assert(check.df.isEmpty, s"step $step: replica drifted after sync")
+      }
     }
 
     // time travel: every recorded version reads back as its snapshot
