@@ -254,19 +254,48 @@ object DataLayout {
     * still refuse on a lost race: their tombstone sets can collide with
     * the winner's. Returns the version that actually committed. */
   private[layout] def commitAppendWithRetry(spark: SparkSession, dir: String,
-      statsAt: Long => DataFrame, firstV: Long): Long = {
+      statsAt: Long => DataFrame, firstV: Long): Long =
+    commitAppendWithRetryOrAbort(spark, dir, statsAt, firstV, () => false)
+      .getOrElse(throw new IllegalStateException("unreachable: no abort guard"))
+
+  /** [[commitAppendWithRetry]] with an abort guard re-evaluated after every
+    * LOST race: when the guard fires the append gives up cleanly (None)
+    * instead of re-committing — the exactly-once lever for the streaming
+    * sink, whose guard is "did a zombie twin already land this batch id?". */
+  private[layout] def commitAppendWithRetryOrAbort(spark: SparkSession,
+      dir: String, statsAt: Long => DataFrame, firstV: Long,
+      abortIf: () => Boolean): Option[Long] = {
     var vNow = firstV
     var attempt = 0
     while (true) {
-      try { appendLog(dir, statsAt(vNow), vNow); return vNow }
+      try { appendLog(dir, statsAt(vNow), vNow); return Some(vNow) }
       catch {
         case e: java.util.ConcurrentModificationException =>
+          if (abortIf()) return None
           attempt += 1
           if (attempt > OccMaxRetries) throw e
           vNow = currentVersion(spark, dir) + 1
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  // ---- streaming-transaction markers ---------------------------------------
+
+  /** Highest `txnBatch` ever committed for `txnApp`, answered from the
+    * manifest log alone. Transaction markers ride INSIDE the commit's own
+    * parquet file (extra columns on that version's stats rows), so marker
+    * and data land in one atomic rename — Delta's `SetTransaction` idea
+    * spelled over our log. None when the app never committed (including
+    * logs predating the columns: mergeSchema reads them as NULL). */
+  def lastCommittedTxn(spark: SparkSession, dir: String,
+      txnApp: String): Option[Long] = {
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(manifestPath(dir)))) return None
+    val log = manifestLog(spark, dir)
+    if (!log.columns.contains("txn_app")) return None
+    val r = log.where(col("txn_app") === txnApp).agg(max("txn_batch")).head()
+    if (r.isNullAt(0)) None else Some(r.getLong(0))
   }
 
   /** Tombstone rows for `files`: their alive stats rows re-emitted with
@@ -342,6 +371,7 @@ object DataLayout {
     // one version) — so it is enforced here too
     Constraints.enforce(df.sparkSession, outDir, df, "writeZOrdered")
     writeClustered(df, dims, bits, statsCols, outDir, numFiles, append = false)
+    ()
   }
 
   /** Z-order and APPEND a delta as a new version of an existing layout.
@@ -353,15 +383,40 @@ object DataLayout {
       statsCols: Seq[String], outDir: String, numFiles: Int): Unit = {
     Constraints.enforce(delta.sparkSession, outDir, delta, "appendZOrdered")
     writeClustered(delta, dims, bits, statsCols, outDir, numFiles, append = true)
+    ()
+  }
+
+  /** [[appendZOrdered]] under an EXACTLY-ONCE transaction marker: the
+    * append commits only when no `(txnApp, txnBatch' >= txnBatch)` marker
+    * is already in the log — marker and stats rows land in one atomic
+    * commit file, so a replayed streaming micro-batch (restart recovery,
+    * a zombie twin of the same query) is skipped, not duplicated. Returns
+    * true when this call committed, false when the batch was already in.
+    * The backing contract of `writeStream.format("graft")`
+    * ([[GraftLayoutSink]]); callable directly for hand-rolled
+    * `foreachBatch` ingestion too. */
+  def appendZOrderedTxn(delta: DataFrame, dims: Seq[Column], bits: Int,
+      statsCols: Seq[String], outDir: String, numFiles: Int,
+      txnApp: String, txnBatch: Long): Boolean = {
+    require(txnApp.nonEmpty, "txnApp must be a stable non-empty query id")
+    Constraints.enforce(delta.sparkSession, outDir, delta, "appendZOrderedTxn")
+    writeClustered(delta, dims, bits, statsCols, outDir, numFiles,
+      append = true, txn = Some((txnApp, txnBatch)))
   }
 
   private[layout] def writeClustered(df: DataFrame, dims: Seq[Column], bits: Int,
       statsCols: Seq[String], outDir: String, numFiles: Int,
-      append: Boolean): Unit = {
+      append: Boolean, txn: Option[(String, Long)] = None): Boolean = {
     require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
     statsCols.foreach(c => require(df.columns.contains(c),
       s"stats column '$c' not in ${df.columns.mkString(",")}"))
     val spark = df.sparkSession
+    // exactly-once fast path: a replayed micro-batch (same app, batch id at
+    // or below the last committed one) skips before writing anything
+    def txnAlreadyCommitted: Boolean = txn.exists { case (app, batch) =>
+      lastCommittedTxn(spark, outDir, app).exists(_ >= batch)
+    }
+    if (append && txnAlreadyCommitted) return false
     val before: Set[String] =
       if (append) listDataFiles(spark, outDir).map(canon).toSet else Set.empty
     val v = if (append) currentVersion(spark, outDir) + 1 else 0L
@@ -393,28 +448,48 @@ object DataLayout {
     else Constraints.preserveAcross(spark, outDir)(clusteredWrite())
     val all = listDataFiles(spark, outDir)
     val fresh = all.filterNot(f => before(canon(f)))
+    def withTxn(stats: DataFrame): DataFrame = txn match {
+      case Some((app, batch)) => stats
+        .withColumn("txn_app", lit(app))
+        .withColumn("txn_batch", lit(batch))
+      case None => stats
+    }
     def statsAt(ver: Long) =
-      fileStats(spark.read.parquet(fresh: _*), dims, bits, statsCols)
+      withTxn(fileStats(spark.read.parquet(fresh: _*), dims, bits, statsCols)
         .withColumn("v_added", lit(ver))
-        .withColumn("v_removed", lit(null).cast("long"))
+        .withColumn("v_removed", lit(null).cast("long")))
     if (append) {
-      val vNow = commitAppendWithRetry(spark, outDir, statsAt, v)
-      // schema evolution re-resolves against the WINNER's latest schema on
-      // a retried commit (the winner may have evolved it concurrently)
-      val evolvedNow =
-        if (vNow == v) evolved
-        else schemaAt(spark, outDir, Latest).flatMap { base =>
-          val merged = mergeSchemas(base, df.schema)
-          if (merged.fields.map(f => (f.name, f.dataType)).toSeq !=
-            base.fields.map(f => (f.name, f.dataType)).toSeq) Some(merged)
-          else None
-        }.orElse(evolved)
-      evolvedNow.foreach(recordSchema(spark, outDir, vNow, _))
+      val committed = commitAppendWithRetryOrAbort(spark, outDir, statsAt, v,
+        abortIf = () => txnAlreadyCommitted)
+      committed match {
+        case None =>
+          // a zombie twin of the same streaming query landed this batch id
+          // between our fast-path check and the commit — our data files are
+          // unmanifested duplicates; remove them so plain parquet readers
+          // of the dir never see the batch twice
+          val fs = fsOf(spark, outDir)
+          fresh.foreach(f =>
+            fs.delete(new org.apache.hadoop.fs.Path(f), false))
+          return false
+        case Some(vNow) =>
+          // schema evolution re-resolves against the WINNER's latest schema
+          // on a retried commit (the winner may have evolved it concurrently)
+          val evolvedNow =
+            if (vNow == v) evolved
+            else schemaAt(spark, outDir, Latest).flatMap { base =>
+              val merged = mergeSchemas(base, df.schema)
+              if (merged.fields.map(f => (f.name, f.dataType)).toSeq !=
+                base.fields.map(f => (f.name, f.dataType)).toSeq) Some(merged)
+              else None
+            }.orElse(evolved)
+          evolvedNow.foreach(recordSchema(spark, outDir, vNow, _))
+      }
     } else {
       normalizeLog(statsAt(v)).write.mode("overwrite")
         .parquet(manifestPath(outDir))
       recordSchema(spark, outDir, 0L, df.schema)
     }
+    true
   }
 
   /** Per-file stats (+ the z-key interval) for the given data — O(files)

@@ -1,9 +1,11 @@
 package graft.layout
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Row, SQLContext}
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode}
+import org.apache.spark.sql.execution.streaming.Sink
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 /** The layout as a BATCH SQL data source — the DDL/reader spelling of
@@ -37,11 +39,23 @@ import org.apache.spark.sql.types.StructType
   *    the scan (`unhandledFilters` keeps them all), so the translation
   *    below is purely an optimization.
   *
-  * Writes go through the [[DataLayout]] API (clustering, stats, and the
-  * versioned commit protocol are the point) — `format("graft").save` is
-  * deliberately unsupported.
+  * WRITES are first-class too (see [[LayoutWriteOptions]] for the shared
+  * option set — `dims` is required):
+  *
+  *  - batch: `df.write.format("graft").mode("append").option("dims", …)
+  *    .save(dir)` → [[DataLayout.appendZOrdered]] (mode `overwrite` →
+  *    [[DataLayout.writeZOrdered]] as version 0; `errorifexists`/`ignore`
+  *    honor their SaveMode contracts against the layout's existence);
+  *  - streaming: `df.writeStream.format("graft").option("dims", …)
+  *    .start(dir)` → [[GraftLayoutSink]], exactly-once via transaction
+  *    markers in the commit log.
+  *
+  * Both routes land ordinary z-clustered, stats-manifested, OCC-committed
+  * versions — nothing a SQL-surface writer produces is second-class.
   */
-class GraftSourceProvider extends RelationProvider with DataSourceRegister {
+class GraftSourceProvider extends RelationProvider
+    with CreatableRelationProvider with StreamSinkProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -58,6 +72,47 @@ class GraftSourceProvider extends RelationProvider with DataSourceRegister {
       .exists(d => d.where(col("v") <= version).head(1).nonEmpty)
     if (!hasDv) GraftFileIndex.relationFor(spark, dir, version)._1
     else new MaskedLayoutRelation(sqlContext, dir, version)
+  }
+
+  /** Batch `df.write.format("graft")`: SaveMode maps onto the layout's
+    * version log — Overwrite = a fresh version 0, Append = one new
+    * version, ErrorIfExists/Ignore key on whether a layout (any version)
+    * already lives at the path. */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val o = LayoutWriteOptions(parameters)
+    val spark = sqlContext.sparkSession
+    val exists = DataLayout.currentVersion(spark, o.dir) >= 0
+    mode match {
+      case SaveMode.Append =>
+        DataLayout.appendZOrdered(data, o.dims, o.bits, o.statsCols,
+          o.dir, o.numFiles)
+      case SaveMode.Overwrite =>
+        DataLayout.writeZOrdered(data, o.dims, o.bits, o.statsCols,
+          o.dir, o.numFiles)
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(
+          s"a graft layout already exists at ${o.dir} (SaveMode.ErrorIfExists)")
+      case SaveMode.Ignore if exists => ()
+      case _ => // ErrorIfExists/Ignore on a fresh path bootstrap version 0
+        DataLayout.writeZOrdered(data, o.dims, o.bits, o.statsCols,
+          o.dir, o.numFiles)
+    }
+    createRelation(sqlContext, parameters)
+  }
+
+  /** Streaming `df.writeStream.format("graft")` — see [[GraftLayoutSink]].
+    * Append-only by contract (an upsert stream is a CDC merge, a different
+    * operator: [[graft.streaming.StreamingDiff.cdcMergeSink]]). */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"the graft sink is append-only (got $outputMode) — route update/" +
+        "complete streams through StreamingDiff.cdcMergeSink/ivmSink")
+    require(partitionColumns.isEmpty,
+      "the graft sink clusters by Z-order 'dims', not partitionBy()")
+    new GraftLayoutSink(LayoutWriteOptions(parameters))
   }
 }
 

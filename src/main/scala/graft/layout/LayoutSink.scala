@@ -1,0 +1,106 @@
+package graft.layout
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graftshim.StreamingFrameShim
+
+/** Shared option parsing for the WRITE side of `format("graft")` — batch
+  * (`df.write.format("graft").mode(…).save(dir)`) and streaming
+  * (`df.writeStream.format("graft").start(dir)`) spell the same layout
+  * write:
+  *
+  *  - `path` (required): the layout dir;
+  *  - `dims` (required): comma-separated Z-order dimensions; `str:name`
+  *    clusters a string column via the byte-order-monotone packing
+  *    (same convention as the ops CLI);
+  *  - `bits` (default 24): z-key bits per dimension;
+  *  - `statsCols` (default: the dims, stripped of `str:`): manifest
+  *    min/max/nulls/HLL/fingerprint stats columns;
+  *  - `filesPerBatch` / `numFiles` (default 16): output files per
+  *    write (per micro-batch for the sink — keep it SMALL for streams;
+  *    compaction repays the small-file debt incrementally);
+  *  - `txnAppId` (sink only; default: the query's `checkpointLocation`):
+  *    the stable id the exactly-once transaction markers key on. A
+  *    restarted query keeps its checkpoint, hence its id, hence its
+  *    dedup history.
+  */
+private[layout] final case class LayoutWriteOptions(
+    dir: String, dimNames: Seq[String], bits: Int,
+    statsCols: Seq[String], numFiles: Int, txnAppId: Option[String]) {
+
+  def dims: Seq[Column] = dimNames.map {
+    case s if s.startsWith("str:") =>
+      DataLayout.stringDim(col(s.stripPrefix("str:")), bits)
+    case c => col(c)
+  }
+}
+
+private[layout] object LayoutWriteOptions {
+  def apply(parameters: Map[String, String]): LayoutWriteOptions = {
+    def opt(k: String): Option[String] =
+      parameters.get(k).orElse(parameters.get(k.toLowerCase))
+    def csv(s: String): Seq[String] =
+      s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val dir = opt("path").getOrElse(throw new IllegalArgumentException(
+      "the graft writer needs a 'path' option (the layout dir) — " +
+        "pass it as .save(dir)/.start(dir) or .option(\"path\", dir)"))
+    val dims = opt("dims").map(csv).getOrElse(
+      throw new IllegalArgumentException(
+        "the graft writer needs a 'dims' option: comma-separated Z-order " +
+          "dimension columns (prefix a string column with 'str:')"))
+    require(dims.nonEmpty, "the 'dims' option names no columns")
+    val bits = opt("bits").map(_.trim.toInt).getOrElse(24)
+    val stats = opt("statsCols").map(csv)
+      .getOrElse(dims.map(_.stripPrefix("str:")))
+    val files = opt("filesPerBatch").orElse(opt("numFiles"))
+      .map(_.trim.toInt).getOrElse(16)
+    LayoutWriteOptions(dir, dims, bits, stats, files,
+      opt("txnAppId").orElse(opt("checkpointLocation")))
+  }
+}
+
+/** The layout as a STRUCTURED-STREAMING SINK — the write-side closure of
+  * the layout story and the dual of [[LayoutChangeFeedProvider]]:
+  *
+  * {{{
+  *   events.writeStream.format("graft")
+  *     .option("dims", "user_id").option("statsCols", "user_id,ts")
+  *     .option("checkpointLocation", ckpt)
+  *     .start(layoutDir)
+  * }}}
+  *
+  * EXACTLY-ONCE, not at-least-once: Structured Streaming re-offers a
+  * micro-batch after any failure between `addBatch` and the checkpoint
+  * commit, so an append-blind sink duplicates rows on recovery. Every
+  * batch here commits through [[DataLayout.appendZOrderedTxn]], which
+  * writes a `(txnAppId, batchId)` marker INSIDE the version's atomic
+  * commit file — a replayed batch (restart recovery, or a zombie twin of
+  * the query racing the real one) finds its marker and is skipped whole.
+  * Same recovery discipline as Delta's `DeltaSink`/`SetTransaction`
+  * (delta/sources/DeltaSink.scala), spelled over the graft manifest log.
+  *
+  * Each micro-batch pays one range exchange over ITS OWN rows only (the
+  * base is never read), so ingestion cost is ∝ stream volume; z-overlap
+  * debt between batch files is repaid by [[DataLayout.compactZOrdered]],
+  * exactly as for batch [[DataLayout.appendZOrdered]] deltas. Readers
+  * (time travel, skip-scans, the change-feed source) see each batch as
+  * one ordinary committed version — a downstream
+  * `readStream.format("graft-changefeed")` on the same dir turns this
+  * sink into a layout-to-layout streaming pipeline. */
+private[layout] class GraftLayoutSink(opts: LayoutWriteOptions) extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val appId = opts.txnAppId.getOrElse(throw new IllegalArgumentException(
+      "the graft sink needs a stable query id for exactly-once markers — " +
+        "set 'checkpointLocation' (the usual spelling) or 'txnAppId'"))
+    // the incoming frame is streaming-tagged; re-wrap its distributed plan
+    // as a batch frame (nothing collected) so the layout writer can run it
+    val batch = StreamingFrameShim.asBatch(data)
+    val committed = DataLayout.appendZOrderedTxn(batch, opts.dims, opts.bits,
+      opts.statsCols, opts.dir, opts.numFiles, appId, batchId)
+    if (!committed)
+      org.slf4j.LoggerFactory.getLogger(classOf[GraftLayoutSink]).info(
+        s"graft sink: batch $batchId of app $appId already committed — skipped")
+  }
+}

@@ -569,6 +569,37 @@ object LayoutQueries {
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
         .orderBy("o_orderkey")
     }),
+
+    // EXACTLY-ONCE ingestion through transaction markers (the streaming
+    // sink's commit discipline, driven batch-by-batch): orders land in
+    // three txn-marked appends, with batch id 1 REPLAYED in between —
+    // once with identical data (a restart recovery) and once with
+    // DIFFERENT data under the stale id (a zombie writer) — and both
+    // replays must be skipped whole. The oracle is the plain aggregate
+    // over orders: it matches iff each batch landed exactly once.
+    "q_layout_txn_writer" -> ((s, d) => {
+      val dir = layoutDir(d) + "_txn"
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val orders = Tables.load(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val dims = Seq(col("o_custkey"), cents("o_totalprice"))
+      def part(m: Int) = orders.where(pmod(col("o_orderkey"), lit(3)) === m)
+      def append(batch: Long, df: DataFrame): Boolean =
+        DataLayout.appendZOrderedTxn(df, dims, Bits,
+          Seq("o_custkey", "o_totalprice"), dir, numFiles = 4,
+          txnApp = "gate_txn", txnBatch = batch)
+      append(0L, part(0))
+      append(1L, part(1))
+      append(1L, part(1)) // restart replay: same batch, must be skipped
+      append(1L, part(2)) // zombie under a stale id: must be skipped too
+      append(2L, part(2))
+      DataLayout.readLayout(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(cents("o_totalprice")).cast("long").as("sum_price_cents"))
+        .orderBy("o_orderstatus")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -676,6 +707,15 @@ object LayoutQueries {
         |FROM orders
         |WHERE o_orderkey BETWEEN 1000 AND 5000
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_layout_txn_writer" ->
+      """SELECT o_orderstatus,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |       AS BIGINT) AS sum_price_cents
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     "q_layout_dv" ->
       """SELECT o_orderkey, o_custkey, o_totalprice

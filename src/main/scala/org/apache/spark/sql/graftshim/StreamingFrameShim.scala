@@ -19,4 +19,18 @@ object StreamingFrameShim {
       .queryExecution
     spark.internalCreateDataFrame(qe.toRdd, df.schema, isStreaming = true)
   }
+
+  /** The sink-side inverse: the frame a v1 `Sink.addBatch` receives is
+    * tagged `isStreaming = true`, so handing it to any batch writer
+    * (`df.write`, a join against a batch table, …) throws "Queries with
+    * streaming sources must be executed with writeStream.start()".
+    * Re-wrap the SAME distributed plan (`toRdd` — lazy, nothing collected)
+    * as a batch frame, exactly what Delta's `DeltaSink` does with its
+    * incoming micro-batch. */
+  def asBatch(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val qe = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution
+    spark.internalCreateDataFrame(qe.toRdd, df.schema, isStreaming = false)
+  }
 }

@@ -58,7 +58,7 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) c FROM dvlay").head().getLong(0) == 1900L)
   }
 
-  test("contract errors are loud: missing path, below-horizon version, no write support") {
+  test("contract errors are loud: missing path, below-horizon version, write without dims") {
     val dir = Files.createTempDirectory("graft_src").toString + "/t"
     DataLayout.writeZOrdered(mk(0 until 100), dims, 16, Seq("id"), dir, 1)  // v0
     DataLayout.appendZOrdered(mk(100 until 110), dims, 16, Seq("id"), dir, 1) // v1
@@ -71,8 +71,10 @@ class GraftSourceSpec extends AnyFunSuite {
       spark.read.format("graft").option("versionAsOf", 0).load(dir).count()
     }
     assert(e.getMessage.contains("vacuum horizon"))
-    intercept[Exception] {
+    // writes are supported (GraftWriteSpec) but demand the 'dims' option
+    val w = intercept[Exception] {
       mk(0 until 5).write.format("graft").save(dir + "_w")
     }
+    assert(w.getMessage.contains("dims"))
   }
 }

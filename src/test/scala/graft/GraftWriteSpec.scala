@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.layout.DataLayout
+
+/** The WRITE side of `format("graft")`: batch `df.write` SaveMode
+  * semantics, the exactly-once streaming sink, and the transaction-marker
+  * dedup contract ([[DataLayout.appendZOrderedTxn]]). */
+class GraftWriteSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  private def mk(ids: Range) =
+    ids.map(i => (i.toLong, (i * 13L) % 65536L)).toDF("id", "x")
+
+  test("batch writer: SaveMode overwrite/append/errorifexists/ignore against the version log") {
+    val dir = Files.createTempDirectory("graft_w").toString + "/t"
+    def w(df: org.apache.spark.sql.DataFrame, mode: String) =
+      df.write.format("graft").mode(mode)
+        .option("dims", "x").option("statsCols", "id,x")
+        .option("numFiles", 2).save(dir)
+    w(mk(0 until 1000), "overwrite") // v0
+    assert(DataLayout.currentVersion(spark, dir) == 0L)
+    w(mk(1000 until 1200), "append") // v1
+    assert(DataLayout.currentVersion(spark, dir) == 1L)
+    assert(spark.read.format("graft").load(dir).count() == 1200L)
+    // time travel still sees v0 alone
+    assert(spark.read.format("graft").option("versionAsOf", 0).load(dir)
+      .count() == 1000L)
+    // errorifexists refuses on a live layout; ignore no-ops
+    intercept[IllegalStateException] { w(mk(0 until 10), "errorifexists") }
+    w(mk(0 until 10), "ignore")
+    assert(spark.read.format("graft").load(dir).count() == 1200L)
+    // the write came out properly manifested: skip-scan prunes and matches
+    val scan = DataLayout.skipScan(spark, dir, Seq(("x", 0L, 100L)))
+    assert(scan.filesRead < scan.filesTotal)
+    assert(scan.df.count() ==
+      spark.read.format("graft").load(dir).where($"x" <= 100).count())
+  }
+
+  test("streaming sink: each micro-batch is one committed version; rows land exactly once") {
+    val base = Files.createTempDirectory("graft_sink").toString
+    val dir = base + "/t"
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val q = input.toDF().toDF("id", "x").writeStream.format("graft")
+      .option("dims", "x").option("statsCols", "id,x")
+      .option("filesPerBatch", 2)
+      .option("checkpointLocation", base + "/ckpt")
+      .start(dir)
+    try {
+      for (b <- 0 until 3) {
+        input.addData((0 until 300).map(i => (b * 1000L + i, (b * 7919L + i * 13L) % 65536L)))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(DataLayout.readLayout(spark, dir).count() == 900L)
+    // three micro-batches → versions 0,1,2; the marker tracks the last batch
+    assert(DataLayout.currentVersion(spark, dir) == 2L)
+    val app = base + "/ckpt"
+    assert(DataLayout.lastCommittedTxn(spark, dir, app).contains(2L))
+    // every version is an ordinary layout commit: the change feed replays them
+    val feed = DataLayout.changeFeed(spark, dir, 0L, 2L, Seq("id"), Seq("x"))
+    assert(feed.where($"sign" === "+").count() == 600L) // batches 1 and 2
+  }
+
+  test("transaction markers are exactly-once and per-app") {
+    val dir = Files.createTempDirectory("graft_txn").toString + "/t"
+    val dims = Seq(col("x"))
+    def append(batch: Long, ids: Range, app: String = "appA") =
+      DataLayout.appendZOrderedTxn(mk(ids), dims, 16, Seq("id", "x"),
+        dir, 1, app, batch)
+    assert(append(0L, 0 until 100))  // bootstraps v0
+    assert(append(1L, 100 until 200))
+    assert(DataLayout.readLayout(spark, dir).count() == 200L)
+    // a replay of batch 1 (crash between addBatch and checkpoint commit)
+    // is skipped whole — no rows, no version, and no orphan data files
+    // visible to a plain parquet reader of the dir
+    assert(!append(1L, 100 until 200))
+    assert(!append(0L, 0 until 100))
+    assert(DataLayout.readLayout(spark, dir).count() == 200L)
+    assert(spark.read.parquet(dir).count() == 200L)
+    assert(DataLayout.currentVersion(spark, dir) == 1L)
+    // markers key on the app id: a DIFFERENT app reusing batch 1 appends
+    assert(append(1L, 200 until 250, app = "appB"))
+    assert(DataLayout.readLayout(spark, dir).count() == 250L)
+    assert(DataLayout.lastCommittedTxn(spark, dir, "appA").contains(1L))
+    assert(DataLayout.lastCommittedTxn(spark, dir, "appB").contains(1L))
+    // markers survive unrelated commits in between
+    DataLayout.appendZOrdered(mk(300 until 310), dims, 16, Seq("id", "x"), dir, 1)
+    assert(!append(1L, 100 until 200))
+    assert(append(2L, 400 until 410))
+  }
+
+  test("sink refuses non-append modes and demands dims + a stable app id") {
+    val base = Files.createTempDirectory("graft_sinkopt").toString
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    // missing dims: surfaces on start
+    val e = intercept[Exception] {
+      input.toDF().toDF("id", "x").writeStream.format("graft")
+        .option("checkpointLocation", base + "/c1").start(base + "/t1")
+    }
+    assert(e.getMessage.contains("dims"))
+    // complete mode refused
+    val e2 = intercept[Exception] {
+      input.toDF().toDF("id", "x").groupBy($"x").count()
+        .writeStream.format("graft").outputMode("complete")
+        .option("dims", "x")
+        .option("checkpointLocation", base + "/c2").start(base + "/t2")
+    }
+    assert(e2.getMessage.toLowerCase.contains("append"))
+  }
+}
