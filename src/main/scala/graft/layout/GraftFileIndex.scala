@@ -293,7 +293,7 @@ object GraftFileIndex {
     val schema = DataLayout.schemaAt(spark, dir, version).getOrElse(
       spark.read.parquet(DataLayout.schemaAnchorFile(spark, dir)).schema)
     (HadoopFsRelation(index, new StructType(), schema, None,
-      new ParquetFileFormat, Map.empty[String, String])(spark), index)
+      new GraftManifestedParquetFormat, Map.empty[String, String])(spark), index)
   }
 
   /** The layout as a Catalyst-planned DataFrame: queries prune files
@@ -311,4 +311,27 @@ object GraftFileIndex {
     // the version has none); data predicates still push into the scan
     (DataLayout.maskIndexed(spark, dir, version, df), index)
   }
+}
+
+/** [[ParquetFileFormat]] with the WRITE side disabled: the read stack
+  * (vectorized reader, pushdown, codegen — everything `isInstanceOf
+  * [ParquetFileFormat]` checks enable) is inherited untouched, but an
+  * `INSERT INTO` against a `USING graft` view would otherwise plan
+  * `InsertIntoHadoopFsRelationCommand` and drop RAW parquet files into the
+  * layout dir — unmanifested rows that layout readers ignore while plain
+  * parquet readers of the same dir see them: silent drift between the two
+  * documented read paths. Refuse at write-planning time and point at the
+  * manifested writers instead. */
+private[layout] class GraftManifestedParquetFormat
+    extends ParquetFileFormat {
+  override def prepareWrite(sparkSession: SparkSession,
+      job: org.apache.hadoop.mapreduce.Job,
+      options: Map[String, String],
+      dataSchema: StructType)
+      : org.apache.spark.sql.execution.datasources.OutputWriterFactory =
+    throw new UnsupportedOperationException(
+      "INSERT INTO a graft layout bypasses the manifest commit protocol — " +
+        "write through df.write.format(\"graft\") (batch), " +
+        "writeStream.format(\"graft\") (streaming), or the DataLayout API")
+  override def toString: String = "GraftParquet(read-only)"
 }

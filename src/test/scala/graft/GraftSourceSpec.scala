@@ -76,5 +76,16 @@ class GraftSourceSpec extends AnyFunSuite {
       mk(0 until 5).write.format("graft").save(dir + "_w")
     }
     assert(w.getMessage.contains("dims"))
+    // INSERT INTO a USING-graft view would drop RAW parquet into the dir,
+    // bypassing the manifest — refused at write planning, reads untouched
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW ins_v USING graft " +
+      s"OPTIONS (path '$dir')")
+    val ins = intercept[Exception] {
+      spark.sql("INSERT INTO ins_v VALUES (9999, 9999)")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ins).exists(_.contains("manifest commit protocol")))
+    assert(spark.sql("SELECT count(*) FROM ins_v").head().getLong(0) == 120L)
   }
 }

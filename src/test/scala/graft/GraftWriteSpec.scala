@@ -97,6 +97,43 @@ class GraftWriteSpec extends AnyFunSuite {
     assert(append(2L, 400 until 410))
   }
 
+  test("layout-to-layout pipeline: changefeed source |> graft sink, format() strings only") {
+    val root = Files.createTempDirectory("graft_pipe").toString
+    val src = root + "/src"
+    val dst = root + "/dst"
+    val dims = Seq(col("x"))
+    DataLayout.writeZOrdered(mk(0 until 500), dims, 16, Seq("id", "x"), src, 4) // v0
+    DataLayout.appendZOrdered(mk(500 until 700), dims, 16, Seq("id", "x"), src, 2) // v1
+
+    // an append-only mirror spelled ENTIRELY in public format() strings:
+    // no DataLayout call, no foreachBatch — the two streaming halves meet
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-changefeed")
+        .option("path", src).option("keyCols", "id")
+        .option("startingVersion", "-1") // bootstrap: v0 snapshot streams as '+'
+        .load()
+        .where($"sign" === "+").select("id", "x")
+        .writeStream.format("graft")
+        .option("dims", "x").option("statsCols", "id,x")
+        .option("filesPerBatch", 2)
+        .option("checkpointLocation", root + "/ckpt")
+        .start(dst)
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(DataLayout.readLayout(spark, dst).count() == 700L)
+    // exactly-once across a RESTART: new source versions ship, the ones
+    // already checkpointed (and txn-marked) do not double
+    DataLayout.appendZOrdered(mk(700 until 800), dims, 16, Seq("id", "x"), src, 2) // v2
+    run()
+    val out = DataLayout.readLayout(spark, dst)
+    assert(out.count() == 800L)
+    assert(out.select("id").distinct().count() == 800L)
+    // the mirror is a true layout: manifested, skip-scannable
+    val scan = DataLayout.skipScan(spark, dst, Seq(("x", 0L, 50L)))
+    assert(scan.filesRead < scan.filesTotal)
+  }
+
   test("sink refuses non-append modes and demands dims + a stable app id") {
     val base = Files.createTempDirectory("graft_sinkopt").toString
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
