@@ -17,6 +17,7 @@ import graft.layout.{Constraints, DataLayout}
   * graft-layout recluster <dir> --dims c --stats c [--bits N] [--files N]
   * graft-layout purge     <dir> --dims a,b --stats a,b
   * graft-layout vacuum    <dir> [--retain N]
+  * graft-layout maintain  <dir> --dims a,b --stats a,b [--rows-per-file N] [--retain N]
   * graft-layout history   <dir>
   * graft-layout stats     <dir>
   * graft-layout scan      <dir> --range a:10:20 [--out out.parquet]
@@ -210,6 +211,24 @@ object LayoutCli {
       println(jsonLine("op" -> "vacuum", "files_deleted" -> r.filesDeleted,
         "retain" -> a.retain,
         "log_rows_before" -> r.logRowsBefore, "log_rows_after" -> r.logRowsAfter))
+
+    case "maintain" =>
+      // the whole nightly pass, policy-gated: purge -> overlap compact ->
+      // bin-pack -> vacuum, each only when its debt threshold trips
+      val stats = if (a.stats.nonEmpty) a.stats
+        else a.dims.map(_.stripPrefix("str:"))
+      val r = graft.layout.Maintenance.run(spark, a.dir,
+        dimCols(a.dims, a.bits), a.bits, stats,
+        graft.layout.Maintenance.Policy(rowsPerFile = a.rowsPerFile,
+          retainVersions = a.retain))
+      println(jsonLine("op" -> "maintain",
+        "purged" -> r.purged.isDefined,
+        "overlap_compacted" -> r.overlapCompacted.isDefined,
+        "bin_packed" -> r.binPacked.isDefined,
+        "vacuumed" -> r.vacuumed.isDefined,
+        "files_before" -> r.debtBefore.files,
+        "files_after" -> r.debtAfter.files,
+        "reasons" -> r.reasons.mkString("; ")))
 
     case "history" =>
       printFrame(DataLayout.history(spark, a.dir))

@@ -1100,6 +1100,63 @@ object DataLayout {
   final case class CompactReport(clustersRewritten: Int, filesRewritten: Int,
       filesTotalAfter: Int)
 
+  /** Bin-pack ADJACENT small files — the debt [[compactZOrdered]] cannot
+    * touch. Overlap compaction only merges files whose z-intervals
+    * intersect, so a monotonic ingest pattern (event time, monotonically
+    * growing keys — every micro-batch of the streaming sink lands strictly
+    * above the last) accretes small DISJOINT files forever. This pass
+    * sweeps the alive manifest in zmin order and greedily bins
+    * consecutive files of fewer than `rowsPerFile` rows until a bin
+    * reaches `rowsPerFile` (a large file closes the running bin: packing
+    * across it would interleave z-ranges it already covers); each bin of
+    * two or more files is rewritten — globally sorted data stays sorted,
+    * so the range exchange is bin-local and cheap. Decisions are O(files)
+    * driver work on stats rows; only bin member rows are read. Old files
+    * tombstone as usual (time travel intact until [[vacuum]]). */
+  def compactSmallFiles(spark: SparkSession, dir: String, dims: Seq[Column],
+      bits: Int, statsCols: Seq[String], rowsPerFile: Long): CompactReport = {
+    require(rowsPerFile >= 1, s"rowsPerFile must be >= 1: $rowsPerFile")
+    val aliveDf = aliveManifest(spark, dir).localCheckpoint(true)
+    val allAlive = aliveDf.select("file", "zmin", "zmax", "n_rows").collect()
+    // all-NULL-dim files have no z position: skip, as compactZOrdered does
+    val alive = allAlive.filterNot(r => r.isNullAt(1) || r.isNullAt(2))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._2, t._3, t._1))
+    val bins = scala.collection.mutable.ArrayBuffer.empty[Vector[(String, Long, Long, Long)]]
+    var bin = Vector.empty[(String, Long, Long, Long)]
+    var binRows = 0L
+    def close(): Unit = { if (bin.size > 1) bins += bin; bin = Vector.empty; binRows = 0L }
+    for (f <- alive) {
+      if (f._4 >= rowsPerFile) close() // a full file is a packing fence
+      else {
+        bin :+= f; binRows += f._4
+        if (binRows >= rowsPerFile) close()
+      }
+    }
+    close()
+    if (bins.isEmpty)
+      return CompactReport(0, 0, allAlive.length)
+    val v = currentVersion(spark, dir) + 1
+    var rewrittenFiles = 0
+    val freshNames = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((b, gen) <- bins.zipWithIndex) {
+      val rows = b.map(_._4).sum
+      val nOut = math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile).toInt
+      val data = readMasked(spark, dir, b.map(_._1), Latest)
+      freshNames ++= stageRename(spark, dir, s"$dir/_graft_binpack_stage",
+        s"binpack_v${v}_${gen}", data, nOut, dims, bits)
+      rewrittenFiles += b.size
+    }
+    val retired = bins.flatten.map(_._1).toSeq
+    val tomb = tombstones(aliveDf, retired, v)
+    appendLog(dir,
+      freshStatsFor(spark, freshNames.toSeq, dims, bits, statsCols, v)
+        .map(_.unionByName(tomb)).getOrElse(tomb), v)
+    CompactReport(clustersRewritten = bins.size,
+      filesRewritten = rewrittenFiles,
+      filesTotalAfter = allAlive.length - retired.size + freshNames.size)
+  }
+
   /** Targeted delete — the right-to-be-forgotten operator: remove every
     * row matching ALL `(col, lo, hi)` ranges, rewriting ONLY the files
     * whose min/max envelope intersects the predicate. On a layout

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
-import graft.layout.{Constraints, DataLayout, MatView, Replica}
+import graft.layout.{Constraints, DataLayout, Maintenance, MatView, Replica}
 
 /** Data-layout gates: the Z-order key itself (engine-exact, DuckDB
   * recomputes the interleave bit-for-bit) and the end-to-end clustered
@@ -570,6 +570,42 @@ object LayoutQueries {
         .orderBy("o_orderkey")
     }),
 
+    // NIGHTLY MAINTENANCE as a policy: a day of abuse (overlapping delta,
+    // soft deletes, four trickle appends) leaves every debt class behind;
+    // Maintenance.run assesses from metadata, fires purge + overlap
+    // compaction + bin-pack + vacuum in dependency order, and the table's
+    // LOGICAL content must be untouched — the oracle is the same rows a
+    // SQL replay of the mutations produces, and the skip-scan at the end
+    // proves the result is still manifest-pruned.
+    "q_layout_maintain" -> ((s, d) => {
+      val dir = layoutDir(d) + "_maint"
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val dims = Seq(col("o_custkey"), cents("o_totalprice"))
+      val stats = Seq("o_custkey", "o_totalprice")
+      val orders = Tables.load(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val mod = pmod(col("o_orderkey"), lit(8))
+      DataLayout.writeZOrdered(orders.where(mod < 4), dims, Bits, stats,
+        dir, numFiles = 12)                                           // base
+      DataLayout.appendZOrdered(orders.where(mod === 4), dims, Bits, stats,
+        dir, numFiles = 12)                     // overlapping delta: z-debt
+      for (m <- 5 to 7)                        // trickle: small-file debt
+        DataLayout.appendZOrdered(orders.where(mod === m), dims, Bits, stats,
+          dir, numFiles = 4)
+      // the soft delete comes LAST so it masks every residue's rows —
+      // an earlier delete would be (correctly) un-deleted by later appends
+      DataLayout.deleteVectors(s, dir, Seq(("o_custkey", 500L, 650L))) // DV debt
+      val rep = Maintenance.run(s, dir, dims, Bits, stats,
+        Maintenance.Policy(rowsPerFile = 4096L, minReclaimableFiles = 1,
+          retainVersions = 1))
+      require(rep.purged.isDefined && rep.overlapCompacted.isDefined &&
+        rep.vacuumed.isDefined, s"maintenance skipped a due step: $rep")
+      DataLayout.skipScan(s, dir, Seq(("o_custkey", 1L, 800L))).df
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
     // EXACTLY-ONCE ingestion through transaction markers (the streaming
     // sink's commit discipline, driven batch-by-batch): orders land in
     // three txn-marked appends, with batch id 1 REPLAYED in between —
@@ -706,6 +742,13 @@ object LayoutQueries {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders
         |WHERE o_orderkey BETWEEN 1000 AND 5000
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_layout_maintain" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE o_custkey BETWEEN 1 AND 800
+        |  AND NOT (o_custkey BETWEEN 500 AND 650)
         |ORDER BY o_orderkey""".stripMargin,
 
     "q_layout_txn_writer" ->

@@ -131,6 +131,31 @@ class LayoutCliSpec extends AnyFunSuite {
     assert(d.contains(""""rows":10"""))
   }
 
+  test("maintain: the one-shot nightly pass through the CLI, policy-gated") {
+    val root = Files.createTempDirectory("graft_lcli").toString
+    val dir = root + "/t"
+    def part(ids: Range, p: String) =
+      ids.map(i => (i.toLong, i.toLong)).toDF("k", "amt")
+        .write.parquet(root + p)
+    part(0 until 2000, "/base"); part(0 until 2000, "/ovl")
+    cli("write", dir, "--from", root + "/base", "--dims", "amt",
+      "--stats", "k,amt", "--bits", "16", "--files", "4")
+    cli("append", dir, "--from", root + "/ovl", "--dims", "amt",
+      "--stats", "k,amt", "--bits", "16", "--files", "4") // z-overlap debt
+    cli("delete", dir, "--range", "amt:0:99", "--soft")   // DV debt
+    val out = cli("maintain", dir, "--dims", "amt", "--stats", "k,amt",
+      "--bits", "16", "--rows-per-file", "2000", "--retain", "1")
+    assert(out.contains(""""purged":true"""))
+    assert(out.contains(""""overlap_compacted":true"""))
+    assert(out.contains(""""vacuumed":true"""))
+    assert(DataLayout.readLayout(spark, dir).count() == 3800L)
+    // a second pass finds nothing left to do
+    val again = cli("maintain", dir, "--dims", "amt", "--stats", "k,amt",
+      "--bits", "16", "--rows-per-file", "2000", "--retain", "1")
+    assert(again.contains(""""purged":false"""))
+    assert(again.contains(""""overlap_compacted":false"""))
+  }
+
   test("constraint list emits valid JSON even with quoted/backslashed predicates") {
     val root = Files.createTempDirectory("graft_lcli").toString
     val dir = root + "/t"

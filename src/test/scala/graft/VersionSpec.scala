@@ -259,9 +259,12 @@ class VersionSpec extends AnyFunSuite {
     // no row changed)...
     assert(DataLayout.changeFeed(spark, dir, 0L, 1L, Seq("id"),
       Seq("x", "y")).isEmpty)
-    // ...and an id range now prunes hard on the new clustering
+    // ...and an id range now prunes hard on the new clustering. The span
+    // is 1000 rows over ~1000-row files, but repartitionByRange SAMPLES
+    // its boundaries — uneven splits can make the range straddle a third
+    // file, so ≤3 is the stable bound (the point is 8/8 → a handful)
     val scan = DataLayout.skipScan(spark, dir, Seq(("id", 2000L, 2999L)))
-    assert(scan.filesRead <= 2, s"read ${scan.filesRead}/${scan.filesTotal}")
+    assert(scan.filesRead <= 3, s"read ${scan.filesRead}/${scan.filesTotal}")
     assert(scan.df.select("id").as[Long].collect().sorted.toSeq ==
       (2000 until 3000).map(_.toLong))
     // the old version remains readable (history intact until vacuum)
