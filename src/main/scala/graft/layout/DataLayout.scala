@@ -825,7 +825,7 @@ object DataLayout {
       s"purge_v$v", data, hit.size, dims, bits)
     val tomb = tombstones(aliveDf, hit, v)
     appendLog(dir, freshStatsFor(spark, freshNames, dims, bits, statsCols, v)
-      .map(_.unionByName(tomb)).getOrElse(tomb), v)
+      .map(_.unionByName(tomb, allowMissingColumns = true)).getOrElse(tomb), v)
     PurgeReport(filesRewritten = hit.size,
       positionsApplied = dvLog(spark, dir).map(
         _.where(canonCol(col("file")).isin(hit.map(canon): _*)).count())
@@ -851,7 +851,7 @@ object DataLayout {
         if (!fsOf(spark, dir).exists(
           new org.apache.hadoop.fs.Path(manifestPath(dir)))) None
         else manifestLog(spark, dir)
-          .where(!col("file").isin(VersionHwmFile, VersionHorizonFile) &&
+          .where(!isSentinelFile(col("file")) &&
             col("v_added").isNotNull)
           .select("file").head(1).headOption.map(_.getString(0)))
       .getOrElse(throw new IllegalArgumentException(
@@ -915,7 +915,7 @@ object DataLayout {
   def history(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val log = manifestLog(spark, dir)
-      .where(!col("file").isin(VersionHwmFile, VersionHorizonFile))
+      .where(!isSentinelFile(col("file")))
     val added = log.where(col("v_added").isNotNull)
       .groupBy(col("v_added").as("version"))
       .agg(count(lit(1)).as("files_added"), sum("n_rows").as("rows_added"))
@@ -1091,7 +1091,7 @@ object DataLayout {
     val tomb = tombstones(aliveDf, retired, v)
     appendLog(dir,
       freshStatsFor(spark, freshNames.toSeq, dims, bits, statsCols, v)
-        .map(_.unionByName(tomb)).getOrElse(tomb), v)
+        .map(_.unionByName(tomb, allowMissingColumns = true)).getOrElse(tomb), v)
     CompactReport(clustersRewritten = toRewrite.size,
       filesRewritten = rewrittenFiles,
       filesTotalAfter = allAlive.length - retired.size + freshNames.size)
@@ -1151,7 +1151,7 @@ object DataLayout {
     val tomb = tombstones(aliveDf, retired, v)
     appendLog(dir,
       freshStatsFor(spark, freshNames.toSeq, dims, bits, statsCols, v)
-        .map(_.unionByName(tomb)).getOrElse(tomb), v)
+        .map(_.unionByName(tomb, allowMissingColumns = true)).getOrElse(tomb), v)
     CompactReport(clustersRewritten = bins.size,
       filesRewritten = rewrittenFiles,
       filesTotalAfter = allAlive.length - retired.size + freshNames.size)
@@ -1191,7 +1191,7 @@ object DataLayout {
       s"delete_v$v", survivors, math.max(1, hitRaw.size), dims, bits)
     val tomb = tombstones(aliveDf, hitRaw, v)
     appendLog(dir, freshStatsFor(spark, freshNames, dims, bits, statsCols, v)
-      .map(_.unionByName(tomb)).getOrElse(tomb), v)
+      .map(_.unionByName(tomb, allowMissingColumns = true)).getOrElse(tomb), v)
     DeleteReport(hitRaw.size, deleted,
       aliveCount - hitRaw.size + freshNames.size)
   }
@@ -1221,7 +1221,7 @@ object DataLayout {
     val hwm = currentVersion(spark, dir)
     val horizon = math.max(vacuumHorizon(spark, dir),
       math.max(0L, hwm - retainVersions))
-    val real = log.where(!col("file").isin(VersionHwmFile, VersionHorizonFile))
+    val real = log.where(!isSentinelFile(col("file")))
     // a file is retained iff alive at SOME version in [horizon, hwm]:
     // never tombstoned, or tombstoned after the horizon. Its rows keep
     // their original v_added/v_removed so every retained version still
@@ -1264,7 +1264,25 @@ object DataLayout {
       if (horizon > 0) marker(VersionHwmFile, hwm)
         .unionByName(marker(VersionHorizonFile, horizon))
       else marker(VersionHwmFile, hwm)
-    normalizeLog(kept.unionByName(markers))
+    // exactly-once durability: each txn app's committed-batch high-water
+    // mark must SURVIVE the log rows that carried it (a compaction
+    // tombstoned them; this vacuum may reclaim them) — re-emit one
+    // synthetic never-alive row per app from the FULL pre-vacuum log, so
+    // lastCommittedTxn keeps refusing zombie replays forever
+    val txnMarkers =
+      if (!log.columns.contains("txn_app")) None
+      else Some(log.where(col("txn_app").isNotNull)
+        .groupBy("txn_app").agg(max("txn_batch").as("txn_batch"))
+        .select(kept.schema.fields.toSeq.map { f => f.name match {
+          case "file" =>
+            concat(lit(TxnHwmFilePrefix), col("txn_app")).as("file")
+          case "v_added" | "v_removed" => lit(hwm).cast("long").as(f.name)
+          case "txn_app" => col("txn_app")
+          case "txn_batch" => col("txn_batch").cast(f.dataType).as("txn_batch")
+          case other => lit(null).cast(f.dataType).as(other)
+        }}: _*))
+    normalizeLog(txnMarkers.fold(kept.unionByName(markers))(t =>
+        kept.unionByName(markers).unionByName(t)))
       .write.mode("overwrite").parquet(manifestPath(dir))
     // compact the DV log too: rows addressing just-deleted files can never
     // be consulted again (their versions are unreadable post-vacuum), while
@@ -1297,6 +1315,18 @@ object DataLayout {
   /** Synthetic manifest-log file name carrying the version high-water mark
     * through a vacuum (v_added = v_removed, so never alive). */
   val VersionHwmFile = "_graft_version_hwm"
+
+  /** Prefix of the per-app synthetic rows that carry each transaction
+    * app's committed-batch high-water mark through a vacuum. Without
+    * them, vacuuming a layout whose txn-marked files were rewritten (a
+    * compaction) and reclaimed would ERASE the exactly-once history — a
+    * zombie replay of an old batch id would then re-land. One row per
+    * app, `file = prefix + app`, v_added = v_removed (never alive). */
+  val TxnHwmFilePrefix = "_graft_txn_hwm:"
+
+  /** All synthetic log rows share the `_graft_` name prefix; real data
+    * files are absolute paths and can never collide. */
+  private def isSentinelFile(c: Column): Column = c.startsWith("_graft_")
 
   /** Synthetic manifest-log file name carrying the vacuum horizon: the
     * lowest version whose files are all still present. Reads below it
@@ -1780,7 +1810,7 @@ object DataLayout {
       s"merge_v$v", merged, numFiles, dims, bits)
     val tomb = tombstones(aliveDf, hit, v)
     appendLog(dir, freshStatsFor(spark, freshNames, dims, bits, statsCols, v)
-      .map(_.unionByName(tomb)).getOrElse(tomb), v)
+      .map(_.unionByName(tomb, allowMissingColumns = true)).getOrElse(tomb), v)
     MergeReport(filesRewritten = hit.size, rowsUpdated = updated,
       rowsInserted = deltaCount - matchedKeys, rowsDeleted = deleted,
       filesTotalAfter = aliveCount - hit.size + freshNames.size)
@@ -1877,6 +1907,60 @@ object DataLayout {
   }
 
   final case class BloomIndexReport(filesIndexed: Int, filesTotal: Int)
+
+  /** Columns carrying a Bloom index, with the params they were built at —
+    * discovered from the hidden index dirs, O(columns) head reads. */
+  def bloomIndexedColumns(spark: SparkSession,
+      dir: String): Seq[(String, Int, Int)] = {
+    val fs = fsOf(spark, dir)
+    val root = new org.apache.hadoop.fs.Path(s"$dir/$BloomDir")
+    if (!fs.exists(root)) return Nil
+    fs.listStatus(root)
+      .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_stage_"))
+      .map(_.getPath).sortBy(_.getName).toSeq.flatMap { p =>
+        // a zero-row dir is crash residue of a refresh swap: treat as absent
+        spark.read.parquet(p.toString).select("num_bits", "num_hashes")
+          .head(1).headOption.map(h => (p.getName, h.getInt(0), h.getInt(1)))
+      }
+  }
+
+  final case class BloomRefresh(column: String, filesIndexed: Int,
+      staleDropped: Long)
+
+  /** Bring every Bloom index back in step with the alive file set: drop
+    * rows for files rewrites have tombstoned (the index otherwise grows
+    * without bound) and extend over files not yet covered — both at
+    * delta cost. A stale index is never WRONG (uncovered files always
+    * read), so this is pruning restoration + hygiene, the natural tail of
+    * a maintenance pass. The stale-drop swaps through a stage dir: a
+    * crash leaves either the old index (fine) or none (bloomScan refuses
+    * loudly; re-run to rebuild) — never a torn one. */
+  def refreshBloomIndexes(spark: SparkSession, dir: String): Seq[BloomRefresh] =
+    bloomIndexedColumns(spark, dir).map { case (c, numBits, numHashes) =>
+      val idxPath = new org.apache.hadoop.fs.Path(bloomPath(dir, c))
+      val fs = fsOf(spark, dir)
+      val aliveNames = aliveManifest(spark, dir)
+        .select(canonCol(col("file")).as("_f")).distinct()
+      val idx = spark.read.parquet(idxPath.toString).localCheckpoint(true)
+      val total = idx.count()
+      val keep = idx.join(broadcast(aliveNames),
+        canonCol(idx("file")) === aliveNames("_f"), "left_semi")
+        .localCheckpoint(true) // pin BEFORE touching the dir it reads from
+      val stale = total - keep.count()
+      if (stale == total) {
+        // every indexed file was rewritten: drop the dir outright and let
+        // the build below start from scratch (a zero-ROW index dir would
+        // read as present-but-paramless)
+        fs.delete(idxPath, true)
+      } else if (stale > 0L) {
+        val stage = new org.apache.hadoop.fs.Path(s"$dir/$BloomDir/_stage_$c")
+        keep.write.mode("overwrite").parquet(stage.toString)
+        fs.delete(idxPath, true)
+        require(fs.rename(stage, idxPath), s"bloom swap failed: $stage -> $idxPath")
+      }
+      val r = buildBloomIndex(spark, dir, c, numBits, numHashes)
+      BloomRefresh(c, r.filesIndexed, stale)
+    }
 
   /** Point-lookup scan through the Bloom index: read only alive files
     * whose filter admits AT LEAST ONE of `keys`, then apply the exact

@@ -23,11 +23,17 @@ import org.apache.spark.sql.graftshim.StreamingFrameShim
   *  - `txnAppId` (sink only; default: the query's `checkpointLocation`):
   *    the stable id the exactly-once transaction markers key on. A
   *    restarted query keeps its checkpoint, hence its id, hence its
-  *    dedup history.
+  *    dedup history;
+  *  - `maintainEvery` (sink only; off by default): run the
+  *    [[Maintenance]] policy pass after every Nth committed batch —
+  *    the sink pays down the small-file/overlap debt it creates;
+  *  - `rowsPerFile` (default 2^20): the maintenance pass's target file
+  *    size.
   */
 private[layout] final case class LayoutWriteOptions(
     dir: String, dimNames: Seq[String], bits: Int,
-    statsCols: Seq[String], numFiles: Int, txnAppId: Option[String]) {
+    statsCols: Seq[String], numFiles: Int, txnAppId: Option[String],
+    maintainEvery: Option[Int] = None, rowsPerFile: Long = 1L << 20) {
 
   def dims: Seq[Column] = dimNames.map {
     case s if s.startsWith("str:") =>
@@ -56,7 +62,9 @@ private[layout] object LayoutWriteOptions {
     val files = opt("filesPerBatch").orElse(opt("numFiles"))
       .map(_.trim.toInt).getOrElse(16)
     LayoutWriteOptions(dir, dims, bits, stats, files,
-      opt("txnAppId").orElse(opt("checkpointLocation")))
+      opt("txnAppId").orElse(opt("checkpointLocation")),
+      maintainEvery = opt("maintainEvery").map(_.trim.toInt),
+      rowsPerFile = opt("rowsPerFile").map(_.trim.toLong).getOrElse(1L << 20))
   }
 }
 
@@ -102,5 +110,17 @@ private[layout] class GraftLayoutSink(opts: LayoutWriteOptions) extends Sink {
     if (!committed)
       org.slf4j.LoggerFactory.getLogger(classOf[GraftLayoutSink]).info(
         s"graft sink: batch $batchId of app $appId already committed — skipped")
+    // opt-in inline maintenance: the sink is exactly what MAKES small-file
+    // debt, so pay it down every Nth batch with the same policy pass the
+    // nightly job runs. Only on batches that actually committed — a replay
+    // must stay a pure no-op. Maintenance versions are file-moving only,
+    // so a downstream change-feed reader sees them as EMPTY batches.
+    else for (n <- opts.maintainEvery if batchId % n == n - 1) {
+      val rep = Maintenance.run(data.sparkSession, opts.dir, opts.dims,
+        opts.bits, opts.statsCols, Maintenance.Policy(opts.rowsPerFile))
+      if (rep.reasons.nonEmpty)
+        org.slf4j.LoggerFactory.getLogger(classOf[GraftLayoutSink]).info(
+          s"graft sink maintenance at batch $batchId: ${rep.reasons.mkString("; ")}")
+    }
   }
 }

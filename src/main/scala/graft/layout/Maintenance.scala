@@ -72,7 +72,8 @@ object Maintenance {
       purged: Option[DataLayout.PurgeReport],
       overlapCompacted: Option[DataLayout.CompactReport],
       binPacked: Option[DataLayout.CompactReport],
-      vacuumed: Option[DataLayout.VacuumReport], reasons: Seq[String])
+      vacuumed: Option[DataLayout.VacuumReport],
+      bloomRefreshed: Seq[DataLayout.BloomRefresh], reasons: Seq[String])
 
   /** Measure debt from the manifest + DV log — O(files), zero data I/O. */
   def assess(spark: SparkSession, dir: String, rowsPerFile: Long): Debt = {
@@ -105,7 +106,7 @@ object Maintenance {
     }
     val reclaimable = DataLayout.manifestLog(spark, dir)
       .where(col("v_removed").isNotNull &&
-        !col("file").isin(DataLayout.VersionHwmFile, DataLayout.VersionHorizonFile))
+        !col("file").startsWith("_graft_")) // all synthetic sentinel rows
       .select("file").distinct().collect()
       .map(r => DataLayout.canon(r.getString(0))).count(f => !aliveCanon(f))
     Debt(alive.length, rows, small, clusterFiles, clusters, dvFiles, dvRows,
@@ -144,7 +145,17 @@ object Maintenance {
         reasons += s"vacuum: $reclaimableNow reclaimable files, retaining ${policy.retainVersions} versions"
         Some(DataLayout.vacuum(spark, dir, policy.retainVersions))
       } else None
+    // Bloom hygiene rides every pass that rewrote files: rewrites orphan
+    // the per-file bitmaps (stale rows linger, fresh files are uncovered
+    // — pruning silently degrades to extra I/O until re-indexed)
+    val blooms =
+      if (purged.isDefined || overlap.isDefined || packed.isDefined) {
+        val r = DataLayout.refreshBloomIndexes(spark, dir)
+        if (r.nonEmpty) reasons +=
+          s"bloom refresh: ${r.map(b => s"${b.column}(+${b.filesIndexed}/-${b.staleDropped})").mkString(", ")}"
+        r
+      } else Nil
     Report(before, assess(spark, dir, policy.rowsPerFile), purged, overlap,
-      packed, vacuumed, reasons.toSeq)
+      packed, vacuumed, blooms, reasons.toSeq)
   }
 }

@@ -95,6 +95,47 @@ class GraftWriteSpec extends AnyFunSuite {
     DataLayout.appendZOrdered(mk(300 until 310), dims, 16, Seq("id", "x"), dir, 1)
     assert(!append(1L, 100 until 200))
     assert(append(2L, 400 until 410))
+    // ...and survive a rewrite + vacuum erasing the rows that carried
+    // them: compaction tombstones every txn-marked file, vacuum(0)
+    // reclaims them, yet the committed-batch high-water must endure —
+    // otherwise a zombie replay would re-land after the nightly OPTIMIZE
+    DataLayout.compactZOrdered(spark, dir, dims, 16, Seq("id", "x"), 100000L)
+    DataLayout.vacuum(spark, dir, retainVersions = 0)
+    assert(DataLayout.lastCommittedTxn(spark, dir, "appA").contains(2L))
+    assert(DataLayout.lastCommittedTxn(spark, dir, "appB").contains(1L))
+    assert(!append(2L, 400 until 410))
+    assert(!append(1L, 200 until 250, app = "appB"))
+    assert(append(3L, 500 until 510))
+  }
+
+  test("sink maintainEvery: inline policy pass pays the small-file debt the stream makes") {
+    val base = Files.createTempDirectory("graft_sinkm").toString
+    val dir = base + "/t"
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val q = input.toDF().toDF("id", "x").writeStream.format("graft")
+      .option("dims", "x").option("statsCols", "id,x")
+      .option("filesPerBatch", 4)           // 4 small files per batch
+      .option("maintainEvery", 4)           // policy pass after batch 3
+      .option("rowsPerFile", 2000)
+      .option("checkpointLocation", base + "/ckpt")
+      .start(dir)
+    try {
+      for (b <- 0 until 4) { // overlapping x ranges: both debt classes
+        input.addData((0 until 400).map(i => (b * 1000L + i, (i * 13L) % 5000L)))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // 16 small overlapping files went in; the pass merged them
+    val files = DataLayout.aliveManifest(spark, dir).count()
+    assert(files < 16L, s"maintenance did not compact: $files files alive")
+    // rows exact, keys unique — maintenance moved files, never rows
+    val out = DataLayout.readLayout(spark, dir)
+    assert(out.count() == 1600L && out.select("id").distinct().count() == 1600L)
+    // versions advanced past the 4 appends (maintenance commits are real
+    // versions) and the txn marker still tracks the LAST DATA batch
+    assert(DataLayout.lastCommittedTxn(spark, dir, base + "/ckpt").contains(3L))
   }
 
   test("layout-to-layout pipeline: changefeed source |> graft sink, format() strings only") {

@@ -93,6 +93,32 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(DataLayout.readLayout(spark, dir, v - 1).count() > 0L)
   }
 
+  test("bloom indexes ride the pass: stale rows drop, fresh files cover, probes still prune") {
+    val dir = Files.createTempDirectory("graft_maint").toString + "/t"
+    // id is UNCORRELATED with the x clustering: bloom's home turf
+    val df = (0 until 4000).map(i => (i.toLong, (i * 7919L) % 1000L))
+      .toDF("id", "x")
+    DataLayout.writeZOrdered(df, dims, 16, stats, dir, 4)
+    DataLayout.buildBloomIndex(spark, dir, "id")
+    // overlap debt (same x range) -> compaction will rewrite everything
+    DataLayout.appendZOrdered(
+      (4000 until 8000).map(i => (i.toLong, (i * 7919L) % 1000L)).toDF("id", "x"),
+      dims, 16, stats, dir, 4)
+    val rep = Maintenance.run(spark, dir, dims, 16, stats,
+      Maintenance.Policy(rowsPerFile = 8000L, minReclaimableFiles = 1,
+        retainVersions = 0))
+    assert(rep.overlapCompacted.isDefined)
+    val br = rep.bloomRefreshed
+    assert(br.nonEmpty && br.head.column == "id")
+    assert(br.head.staleDropped > 0L)  // the pre-compaction files' rows
+    assert(br.head.filesIndexed > 0)   // the rewritten files now covered
+    // the refreshed index still answers point lookups with NO unindexed
+    // fallback reads (filesUnindexed == 0 would be ideal; assert it)
+    val scan = DataLayout.bloomScan(spark, dir, "id", Seq(17L, 4321L))
+    assert(scan.filesUnindexed == 0)
+    assert(scan.df.select("id").as[Long].collect().sorted.toSeq == Seq(17L, 4321L))
+  }
+
   test("a clean layout is a no-op: nothing fires, no version burns") {
     val dir = Files.createTempDirectory("graft_maint").toString + "/t"
     DataLayout.writeZOrdered(mk(0 until 3000), dims, 16, stats, dir, 3)
