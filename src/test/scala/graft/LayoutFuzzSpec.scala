@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.layout.{DataLayout, Replica}
+import graft.layout.{DataLayout, Maintenance, Replica}
 
 /** Model-based lifecycle fuzz: a seeded random walk over EVERY layout
   * mutation (append, merge, DV delete, physical delete, compact,
@@ -32,7 +32,11 @@ class LayoutFuzzSpec extends AnyFunSuite {
     var model = (0 until 500).map(i => (i.toLong, rnd.nextLong(1 << 20))).toMap
     DataLayout.writeZOrdered(df(model), dims, 16, stats, dir, 4) // v0
     var nextKey = 1000L
+    var txnBatch = 0L // exactly-once walk state for the txn-append arm
     val snapshots = scala.collection.mutable.Map(0L -> model)
+    // a Bloom index rides the whole walk: stale after every rewrite,
+    // refreshed by the maintenance arm, probed for exactness at the end
+    DataLayout.buildBloomIndex(spark, dir, "k")
 
     // a replica clustered by the OTHER column, synced on a random cadence:
     // after any prefix of the random walk, one sync must land it on the
@@ -47,7 +51,7 @@ class LayoutFuzzSpec extends AnyFunSuite {
 
     for (step <- 1 to 20) {
       val keys = model.keys.toIndexedSeq
-      rnd.nextInt(7) match {
+      rnd.nextInt(10) match {
         case 0 => // append fresh keys
           val fresh = (0 until 50).map(i => (nextKey + i, rnd.nextLong(1 << 20)))
           nextKey += 100
@@ -82,6 +86,28 @@ class LayoutFuzzSpec extends AnyFunSuite {
           DataLayout.recluster(spark, dir, Seq(col("amt")), 16, stats, 3)
         case 6 => // purge outstanding DVs (row-preserving)
           DataLayout.purgeDeletes(spark, dir, dims, 16, stats)
+        case 7 => // txn-marked append + a replayed stale batch (skipped)
+          val fresh = (0 until 40).map(i => (nextKey + i, rnd.nextLong(1 << 20)))
+          nextKey += 100
+          assert(DataLayout.appendZOrderedTxn(df(fresh), dims, 16, stats,
+            dir, 2, "fuzz_app", txnBatch))
+          model ++= fresh
+          if (txnBatch > 0) {
+            // a zombie replay of a random PAST id, with DIFFERENT data:
+            // must be skipped whole, no version, no rows, no orphans
+            val stale = rnd.nextLong(txnBatch)
+            val zombie = (0 until 25).map(i => (nextKey + i, rnd.nextLong(1 << 20)))
+            assert(!DataLayout.appendZOrderedTxn(df(zombie), dims, 16, stats,
+              dir, 2, "fuzz_app", stale))
+          }
+          txnBatch += 1
+        case 8 => // the whole nightly policy pass (row-preserving; vacuum
+          // disabled so the walk's time-travel property stays intact)
+          Maintenance.run(spark, dir, dims, 16, stats,
+            Maintenance.Policy(rowsPerFile = 2000L,
+              minReclaimableFiles = Int.MaxValue))
+        case 9 => // bin-pack adjacent small files (row-preserving)
+          DataLayout.compactSmallFiles(spark, dir, dims, 16, stats, 2000L)
       }
       val v = DataLayout.currentVersion(spark, dir)
       assert(read() == model, s"step $step (version $v) diverged from the model")
@@ -128,5 +154,20 @@ class LayoutFuzzSpec extends AnyFunSuite {
     // vacuum at the end: the latest version survives exactly
     DataLayout.vacuum(spark, dir)
     assert(read() == model)
+
+    // bloom exactness after the whole walk: one refresh covers every
+    // surviving file, then point probes return exactly the model's rows
+    // with zero unindexed fallback reads
+    DataLayout.refreshBloomIndexes(spark, dir)
+    val probeKeys = rnd.shuffle(model.keys.toIndexedSeq).take(5)
+    val bs = DataLayout.bloomScan(spark, dir, "k", probeKeys)
+    assert(bs.filesUnindexed == 0)
+    assert(bs.df.select("k", "amt").as[(Long, Long)].collect().toMap ==
+      probeKeys.map(k => k -> model(k)).toMap)
+
+    // and the exactly-once ledger survived everything, vacuum included
+    if (txnBatch > 0)
+      assert(DataLayout.lastCommittedTxn(spark, dir, "fuzz_app")
+        .contains(txnBatch - 1))
   }
 }
