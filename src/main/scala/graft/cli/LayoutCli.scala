@@ -18,6 +18,7 @@ import graft.layout.{Constraints, DataLayout}
   * graft-layout purge     <dir> --dims a,b --stats a,b
   * graft-layout vacuum    <dir> [--retain N]
   * graft-layout maintain  <dir> --dims a,b --stats a,b [--rows-per-file N] [--retain N]
+  * graft-layout bloom     <dir> [column] [--bits N]   # no column = refresh all
   * graft-layout history   <dir>
   * graft-layout stats     <dir>
   * graft-layout scan      <dir> --range a:10:20 [--out out.parquet]
@@ -235,6 +236,24 @@ object LayoutCli {
 
     case "stats" =>
       printFrame(DataLayout.tableStatsFromManifest(spark, a.dir))
+
+    case "bloom" =>
+      // build/extend a point-lookup file index, or refresh every existing
+      // one after rewrites: graft-layout bloom <dir> [column] [--bits N]
+      a.rest.headOption.orElse(a.dims.headOption) match {
+        case Some(c) =>
+          val r = DataLayout.buildBloomIndex(spark, a.dir, c,
+            numBits = if (a.bits != 24) a.bits else 8192)
+          println(jsonLine("op" -> "bloom", "column" -> c,
+            "files_indexed" -> r.filesIndexed, "files_total" -> r.filesTotal))
+        case None =>
+          val rs = DataLayout.refreshBloomIndexes(spark, a.dir)
+          rs.foreach(r => println(jsonLine("op" -> "bloom-refresh",
+            "column" -> r.column, "files_indexed" -> r.filesIndexed,
+            "stale_dropped" -> r.staleDropped)))
+          if (rs.isEmpty) println(jsonLine("op" -> "bloom-refresh",
+            "column" -> "", "files_indexed" -> 0, "stale_dropped" -> 0L))
+      }
 
     case "scan" =>
       require(a.ranges.nonEmpty, "scan needs --range col:lo:hi")

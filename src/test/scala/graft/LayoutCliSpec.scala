@@ -154,6 +154,13 @@ class LayoutCliSpec extends AnyFunSuite {
       "--bits", "16", "--rows-per-file", "2000", "--retain", "1")
     assert(again.contains(""""purged":false"""))
     assert(again.contains(""""overlap_compacted":false"""))
+
+    // bloom: build on the uncorrelated column, mutate, refresh catches up
+    assert(cli("bloom", dir, "k").contains(""""files_indexed":"""))
+    cli("compact", dir, "--dims", "amt", "--stats", "k,amt",
+      "--bits", "16", "--rows-per-file", "500")
+    val rf = cli("bloom", dir)
+    assert(rf.contains(""""op":"bloom-refresh"""") && rf.contains(""""column":"k""""))
   }
 
   test("constraint list emits valid JSON even with quoted/backslashed predicates") {
