@@ -1308,6 +1308,22 @@ object DataLayout {
           .filter(s => s.isDirectory && s.getPath.getName.startsWith("_stage_"))
           .foreach(s => fs.delete(s.getPath, true))
     }
+    // ...and crashed REWRITE stages at the dir root (`_graft_*_stage`,
+    // plus bloom-refresh swap stages): invisible to every reader
+    // (underscore-prefixed), but a compaction that died mid-write leaks
+    // its staged bytes forever otherwise — at 100 TB rewrite scale that
+    // is real disk, reclaimed here under the same single-mutator argument
+    val rootP = new org.apache.hadoop.fs.Path(dir)
+    if (fs.exists(rootP))
+      fs.listStatus(rootP)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("_graft_") &&
+          s.getPath.getName.endsWith("_stage"))
+        .foreach(s => fs.delete(s.getPath, true))
+    val bloomRoot = new org.apache.hadoop.fs.Path(s"$dir/$BloomDir")
+    if (fs.exists(bloomRoot))
+      fs.listStatus(bloomRoot)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("_stage_"))
+        .foreach(s => fs.delete(s.getPath, true))
     VacuumReport(filesDeleted = removed, logRowsBefore = logBefore,
       logRowsAfter = retainedCanon.size.toLong)
   }

@@ -119,6 +119,27 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(scan.df.select("id").as[Long].collect().sorted.toSeq == Seq(17L, 4321L))
   }
 
+  test("vacuum reclaims crashed rewrite stages at the dir root and under the bloom index") {
+    val dir = Files.createTempDirectory("graft_maint").toString + "/t"
+    DataLayout.writeZOrdered(mk(0 until 500), dims, 16, stats, dir, 2)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate writers that died mid-rewrite: staged bytes, never renamed
+    for (p <- Seq(s"$dir/_graft_compact_stage/part-x.parquet",
+        s"$dir/_graft_binpack_stage/part-y.parquet",
+        s"$dir/_graft_bloom/_stage_k/part-z.parquet")) {
+      val out = fs.create(new org.apache.hadoop.fs.Path(p))
+      out.write(Array.fill(64)(7.toByte)); out.close()
+    }
+    assert(DataLayout.readLayout(spark, dir).count() == 500L) // invisible
+    DataLayout.vacuum(spark, dir)
+    for (d <- Seq("_graft_compact_stage", "_graft_binpack_stage",
+        "_graft_bloom/_stage_k"))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$d")),
+        s"$d survived vacuum")
+    assert(DataLayout.readLayout(spark, dir).count() == 500L)
+  }
+
   test("a clean layout is a no-op: nothing fires, no version burns") {
     val dir = Files.createTempDirectory("graft_maint").toString + "/t"
     DataLayout.writeZOrdered(mk(0 until 3000), dims, 16, stats, dir, 3)
