@@ -1043,9 +1043,22 @@ object DataLayout {
     * TOMBSTONED, not deleted — prior versions stay readable until
     * [[vacuum]]. After appends, this rewrites the few clusters a delta
     * touched and nothing else — incremental-OPTIMIZE cost ∝ overlap, not
-    * table size. */
+    * table size.
+    *
+    * `onlyFilesUnder` (default: everything) restricts the sweep to files
+    * BELOW that row count — the steady-state lever for continuous ingest:
+    * without it, once merged output files mutually overlap, every later
+    * pass re-clusters the WHOLE table (write amplification ∝ table size
+    * per pass — the probe measured exactly this). With it (the
+    * [[Maintenance]] policy passes its `rowsPerFile`), already-full files
+    * are exempt, small deltas merge among themselves, and per-pass rewrite
+    * work is ∝ churn since the last pass. Residual overlap between FULL
+    * files is tolerated — it costs pruning precision on their z-range,
+    * never correctness — the same trade Delta's OPTIMIZE makes by binning
+    * only sub-minFileSize files. */
   def compactZOrdered(spark: SparkSession, dir: String, dims: Seq[Column],
-      bits: Int, statsCols: Seq[String], rowsPerFile: Long): CompactReport = {
+      bits: Int, statsCols: Seq[String], rowsPerFile: Long,
+      onlyFilesUnder: Long = Long.MaxValue): CompactReport = {
     require(rowsPerFile >= 1, s"rowsPerFile must be >= 1: $rowsPerFile")
     val aliveDf = aliveManifest(spark, dir).localCheckpoint(true)
     val allAlive = aliveDf
@@ -1055,6 +1068,7 @@ object DataLayout {
     // overlap — leave them untouched rather than NPE on getLong
     val alive = allAlive.filterNot(r => r.isNullAt(1) || r.isNullAt(2))
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .filter(_._4 < onlyFilesUnder)
       .sortBy(t => (t._2, t._3, t._1)) // deterministic sweep order
     // interval sweep: files sorted by zmin; a file overlaps the running
     // cluster iff its zmin <= the running cluster's max zmax (kept as a
@@ -1078,7 +1092,11 @@ object DataLayout {
     val freshNames = scala.collection.mutable.ArrayBuffer.empty[String]
     for ((cluster, gen) <- toRewrite.zipWithIndex) {
       val rows = cluster.map(_._4).sum
-      val nOut = math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile).toInt
+      // FLOOR, not ceil: outputs must land AT OR ABOVE rowsPerFile (one
+      // residual up to 2x-1), or merged files stay "small", re-enter every
+      // later sweep, and steady-state compaction degrades to whole-table
+      // rewrites (the ingest probe measured exactly this failure shape)
+      val nOut = math.max(1L, rows / rowsPerFile).toInt
       // masked read: a rewrite permanently applies any outstanding DVs on
       // the cluster's files (n_rows-based sizing may overcount slightly
       // until then — freshStats recounts what was actually written)
@@ -1141,7 +1159,11 @@ object DataLayout {
     val freshNames = scala.collection.mutable.ArrayBuffer.empty[String]
     for ((b, gen) <- bins.zipWithIndex) {
       val rows = b.map(_._4).sum
-      val nOut = math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile).toInt
+      // FLOOR, not ceil: outputs must land AT OR ABOVE rowsPerFile (one
+      // residual up to 2x-1), or merged files stay "small", re-enter every
+      // later sweep, and steady-state compaction degrades to whole-table
+      // rewrites (the ingest probe measured exactly this failure shape)
+      val nOut = math.max(1L, rows / rowsPerFile).toInt
       val data = readMasked(spark, dir, b.map(_._1), Latest)
       freshNames ++= stageRename(spark, dir, s"$dir/_graft_binpack_stage",
         s"binpack_v${v}_${gen}", data, nOut, dims, bits)

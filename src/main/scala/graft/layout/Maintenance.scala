@@ -81,8 +81,12 @@ object Maintenance {
       .select("file", "zmin", "zmax", "n_rows").collect()
     val rows = alive.map(r => if (r.isNullAt(3)) 0L else r.getLong(3)).sum
     val small = alive.count(r => !r.isNullAt(3) && r.getLong(3) < rowsPerFile / 2)
-    // the same interval sweep compactZOrdered clusters by, counting only
-    val zs = alive.filterNot(r => r.isNullAt(1) || r.isNullAt(2))
+    // the same interval sweep compactZOrdered clusters by, over the same
+    // sub-rowsPerFile population the policy will hand it — overlap among
+    // already-FULL files is not actionable debt (rewriting it would make
+    // every pass ∝ table size; see compactZOrdered's onlyFilesUnder)
+    val zs = alive.filterNot(r =>
+        r.isNullAt(1) || r.isNullAt(2) || r.getLong(3) >= rowsPerFile)
       .map(r => (r.getLong(1), r.getLong(2))).sortBy(identity)
     var clusters = 0; var clusterFiles = 0
     var curSize = 0; var curMax = Long.MinValue
@@ -128,7 +132,7 @@ object Maintenance {
       if (before.overlapFiles >= policy.minOverlapFiles) {
         reasons += s"compact: ${before.overlapFiles} files in ${before.overlapClusters} z-overlap clusters"
         Some(DataLayout.compactZOrdered(spark, dir, dims, bits, statsCols,
-          policy.rowsPerFile))
+          policy.rowsPerFile, onlyFilesUnder = policy.rowsPerFile))
       } else None
     // re-measure small-file debt AFTER the rewrites above: purge/compact
     // may have consolidated (or produced) small files this pass should see
