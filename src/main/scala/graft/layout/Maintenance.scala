@@ -45,7 +45,7 @@ object Maintenance {
     *    time travel — [[DataLayout.vacuum]]'s yield. */
   final case class Debt(files: Int, rows: Long, smallFiles: Int,
       overlapFiles: Int, overlapClusters: Int, dvFiles: Int, dvRows: Long,
-      reclaimableFiles: Int)
+      reclaimableFiles: Int, fullOverlapFiles: Int = 0)
 
   /** Trigger thresholds, each the answer to "is the rewrite worth the
     * write amplification?" — defaults tuned for a layout that takes
@@ -85,20 +85,31 @@ object Maintenance {
     // sub-rowsPerFile population the policy will hand it — overlap among
     // already-FULL files is not actionable debt (rewriting it would make
     // every pass ∝ table size; see compactZOrdered's onlyFilesUnder)
-    val zs = alive.filterNot(r =>
-        r.isNullAt(1) || r.isNullAt(2) || r.getLong(3) >= rowsPerFile)
-      .map(r => (r.getLong(1), r.getLong(2))).sortBy(identity)
-    var clusters = 0; var clusterFiles = 0
-    var curSize = 0; var curMax = Long.MinValue
-    def flush(): Unit = {
-      if (curSize > 1) { clusters += 1; clusterFiles += curSize }
-      curSize = 0; curMax = Long.MinValue
+    def sweep(ivs: Seq[(Long, Long)]): (Int, Int) = {
+      var clusters = 0; var clusterFiles = 0
+      var curSize = 0; var curMax = Long.MinValue
+      def flush(): Unit = {
+        if (curSize > 1) { clusters += 1; clusterFiles += curSize }
+        curSize = 0; curMax = Long.MinValue
+      }
+      for ((lo, hi) <- ivs) {
+        if (curSize > 0 && lo <= curMax) { curSize += 1; curMax = math.max(curMax, hi) }
+        else { flush(); curSize = 1; curMax = hi }
+      }
+      flush()
+      (clusters, clusterFiles)
     }
-    for ((lo, hi) <- zs) {
-      if (curSize > 0 && lo <= curMax) { curSize += 1; curMax = math.max(curMax, hi) }
-      else { flush(); curSize = 1; curMax = hi }
-    }
-    flush()
+    val withZ = alive.filterNot(r => r.isNullAt(1) || r.isNullAt(2))
+    val (clusters, clusterFiles) = sweep(withZ
+      .filter(_.getLong(3) < rowsPerFile)
+      .map(r => (r.getLong(1), r.getLong(2))).sortBy(identity))
+    // TOLERATED residual: overlap among already-full files — never
+    // rewritten by the policy (write amp would be ∝ table size), but it
+    // costs pruning precision on their z-range; a rising curve here is
+    // the operator's cue to schedule a full recluster
+    val (_, fullOverlap) = sweep(withZ
+      .filter(_.getLong(3) >= rowsPerFile)
+      .map(r => (r.getLong(1), r.getLong(2))).sortBy(identity))
     val aliveCanon = alive.map(r => DataLayout.canon(r.getString(0))).toSet
     val (dvFiles, dvRows) = DataLayout.dvLog(spark, dir) match {
       case None => (0, 0L)
@@ -114,7 +125,7 @@ object Maintenance {
       .select("file").distinct().collect()
       .map(r => DataLayout.canon(r.getString(0))).count(f => !aliveCanon(f))
     Debt(alive.length, rows, small, clusterFiles, clusters, dvFiles, dvRows,
-      reclaimable)
+      reclaimable, fullOverlap)
   }
 
   /** Assess, decide, run, re-assess. `dims`/`bits`/`statsCols` must match

@@ -596,8 +596,12 @@ object LayoutQueries {
       // the soft delete comes LAST so it masks every residue's rows —
       // an earlier delete would be (correctly) un-deleted by later appends
       DataLayout.deleteVectors(s, dir, Seq(("o_custkey", 500L, 650L))) // DV debt
+      // target file size ∝ table (table/16): the debt SHAPE — full base
+      // files, small overlapping delta, small trickle — is then the same
+      // at every sf, so each policy arm is due at every scale
+      val rowsPerFile = math.max(1024L, orders.count() / 16L)
       val rep = Maintenance.run(s, dir, dims, Bits, stats,
-        Maintenance.Policy(rowsPerFile = 4096L, minReclaimableFiles = 1,
+        Maintenance.Policy(rowsPerFile = rowsPerFile, minReclaimableFiles = 1,
           retainVersions = 1))
       require(rep.purged.isDefined && rep.overlapCompacted.isDefined &&
         rep.vacuumed.isDefined, s"maintenance skipped a due step: $rep")

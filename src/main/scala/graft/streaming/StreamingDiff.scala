@@ -342,7 +342,11 @@ object StreamingDiff {
       }
     }
     if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
-      DataLayout.compactZOrdered(spark, dir, dims, bits, statsCols, rowsPerFile)
+      // exempt already-full files: a continuous stream otherwise re-merges
+      // the whole table every compactEvery batches (see compactZOrdered's
+      // onlyFilesUnder — the ingest probe's measured failure shape)
+      DataLayout.compactZOrdered(spark, dir, dims, bits, statsCols,
+        rowsPerFile, onlyFilesUnder = rowsPerFile)
     writeMarker(fs, commitP, id.toString)
     fs.delete(intentP, false)
     ()
