@@ -610,6 +610,33 @@ object LayoutQueries {
         .orderBy("o_orderkey")
     }),
 
+    // The SQL WRITE surface end-to-end: orders land through
+    // df.write.format("graft") (overwrite bootstraps v0, append adds v1),
+    // and the result reads back through a USING-graft DDL view with a
+    // pruning WHERE — no DataLayout API call touches the data path. The
+    // oracle is the plain filtered scan: it matches iff SaveMode mapped
+    // correctly onto the version log and the view planned the manifest.
+    "q_layout_sql_writer" -> ((s, d) => {
+      val dir = layoutDir(d) + "_sqlw"
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val orders = Tables.load(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      def write(df: DataFrame, mode: String) =
+        df.write.format("graft").mode(mode)
+          .option("dims", "o_custkey")
+          .option("statsCols", "o_custkey,o_orderkey")
+          .option("numFiles", 8).save(dir)
+      write(orders.where(pmod(col("o_orderkey"), lit(2)) === 0), "overwrite")
+      write(orders.where(pmod(col("o_orderkey"), lit(2)) === 1), "append")
+      write(orders.limit(10), "ignore") // no-op on a live layout
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW sqlw USING graft " +
+        s"OPTIONS (path '$dir')")
+      s.sql("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+              |FROM sqlw WHERE o_custkey BETWEEN 200 AND 900
+              |ORDER BY o_orderkey""".stripMargin)
+    }),
+
     // EXACTLY-ONCE ingestion through transaction markers (the streaming
     // sink's commit discipline, driven batch-by-batch): orders land in
     // three txn-marked appends, with batch id 1 REPLAYED in between —
@@ -746,6 +773,12 @@ object LayoutQueries {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders
         |WHERE o_orderkey BETWEEN 1000 AND 5000
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_layout_sql_writer" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE o_custkey BETWEEN 200 AND 900
         |ORDER BY o_orderkey""".stripMargin,
 
     "q_layout_maintain" ->
