@@ -90,6 +90,52 @@ class LayoutPlanSpec extends AnyFunSuite {
       plan.contains("LessThanOrEqual(lang,en)"), plan)
   }
 
+  test("appendZOrderedTxn write plan: one range exchange over the batch, base never scanned") {
+    val dir = Files.createTempDirectory("graft_layout_plan").toString + "/t"
+    val dims = Seq(col("x"))
+    DataLayout.writeZOrdered(
+      (0 until 5000).map(i => (i.toLong, (i * 13L) % 4096L)).toDF("id", "x"),
+      dims, 16, Seq("id", "x"), dir, 4)
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // the batch source is an in-memory range: any FileScan in the WRITE
+      // plan could only be the base leaking in
+      val batch = spark.range(2000).select(
+        (col("id") + 100000L).as("id"),
+        pmod(col("id") * 7L, lit(4096L)).as("x"))
+      DataLayout.appendZOrderedTxn(batch.toDF(), dims, 16, Seq("id", "x"),
+        dir, 2, "plan_probe", 0L)
+      // listener callbacks are async: poll until the write plan lands.
+      // Filter to the DATA write (target = the dir root) — the manifest
+      // commit also writes parquet, but under _graft_manifest/_stage_*,
+      // and its stats aggregation legitimately scans + exchanges
+      def writePlans() = plans.toArray(Array.empty[String])
+        .filter(_.contains(s"InsertIntoHadoopFsRelationCommand file:$dir,"))
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (writePlans().isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      val writes = writePlans()
+        .map(_.split("== Initial Plan ==")(0)) // AQE prints both sections
+      assert(writes.nonEmpty, "no write plan captured")
+      for (w <- writes) {
+        // exactly one exchange, and it is the RANGE partition by z-key
+        assert("Exchange".r.findAllIn(w).size == 1, w)
+        assert(w.contains("rangepartitioning"), w)
+        // ingestion reads ONLY its own rows: the 5000-row base never scans
+        assert(!w.contains("FileScan"), w)
+      }
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("q_dsir_weights: bucket weights broadcast; the corpus never builds a hash side") {
     val df = graft.operators.CurationQueries.queries("q_dsir_weights")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
