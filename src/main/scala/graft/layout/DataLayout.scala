@@ -417,8 +417,6 @@ object DataLayout {
       lastCommittedTxn(spark, outDir, app).exists(_ >= batch)
     }
     if (append && txnAlreadyCommitted) return false
-    val before: Set[String] =
-      if (append) listDataFiles(spark, outDir).map(canon).toSet else Set.empty
     val v = if (append) currentVersion(spark, outDir) + 1 else 0L
     // schema evolution: an append may EXTEND the table's columns (new ones
     // land nullable; missing ones read NULL from the delta's files; type
@@ -441,23 +439,64 @@ object DataLayout {
       .repartitionByRange(numFiles, col(z))
       .sortWithinPartitions(z)
       .drop(z)
-      .write.mode(if (append) "append" else "overwrite").parquet(outDir)
-    // an overwrite deletes the whole dir — the constraint log must survive
-    // it (invariants outlive any one version; they were enforced above)
-    if (append) clusteredWrite()
-    else Constraints.preserveAcross(spark, outDir)(clusteredWrite())
-    val all = listDataFiles(spark, outDir)
-    val fresh = all.filterNot(f => before(canon(f)))
+      .write.mode("overwrite").parquet(outDir)
+    // an append lands through a PRIVATE stage dir + rename, for two
+    // reasons a direct mode("append") write cannot give: (a) POSITIVE
+    // attribution of its own output — two concurrent appends (the OCC
+    // retry scenario, or zombie twins of one streaming query) would each
+    // see the other's files in a before/after set difference and
+    // manifest rows they did not write; (b) crash-cleanliness — a writer
+    // dying between data write and log commit leaves only an invisible
+    // stage dir (vacuum sweeps it), never unmanifested rows that plain
+    // parquet readers of the dir would see. Overwrite keeps the direct
+    // write: version 0 owns the whole dir by definition (the constraint
+    // log must survive the dir deletion, though).
+    val fresh: Seq[String] =
+      if (append)
+        stageRename(spark, outDir,
+          s"$outDir/_graft_append_${java.util.UUID.randomUUID.toString.take(8)}_stage",
+          s"append_v$v", df, numFiles, dims, bits)
+      else {
+        Constraints.preserveAcross(spark, outDir)(clusteredWrite())
+        listDataFiles(spark, outDir)
+      }
     def withTxn(stats: DataFrame): DataFrame = txn match {
       case Some((app, batch)) => stats
         .withColumn("txn_app", lit(app))
         .withColumn("txn_batch", lit(batch))
       case None => stats
     }
-    def statsAt(ver: Long) =
-      withTxn(fileStats(spark.read.parquet(fresh: _*), dims, bits, statsCols)
-        .withColumn("v_added", lit(ver))
-        .withColumn("v_removed", lit(null).cast("long")))
+    // a zero-row delta stages no files. Without a txn marker the append is
+    // a version-free no-op; WITH one, the marker itself must still commit
+    // (an empty micro-batch advances the exactly-once ledger, like Delta's
+    // SetTransaction on empty batches) — spelled as one never-alive
+    // sentinel row, the same shape vacuum's ledger carry-over emits.
+    if (fresh.isEmpty && txn.isEmpty) return true
+    def statsAt(ver: Long): DataFrame =
+      if (fresh.nonEmpty)
+        withTxn(fileStats(spark.read.parquet(fresh: _*), dims, bits, statsCols)
+          .withColumn("v_added", lit(ver))
+          .withColumn("v_removed", lit(null).cast("long")))
+      else {
+        val (app, _) = txn.get
+        // an empty FIRST batch has no log yet: the minimal columns suffice
+        // (later commits widen; mergeSchema reads them back compatibly)
+        val tmpl =
+          if (fsOf(spark, outDir).exists(
+            new org.apache.hadoop.fs.Path(manifestPath(outDir))))
+            manifestLog(spark, outDir).schema
+          else new org.apache.spark.sql.types.StructType()
+            .add("file", org.apache.spark.sql.types.StringType)
+            .add("v_added", org.apache.spark.sql.types.LongType)
+            .add("v_removed", org.apache.spark.sql.types.LongType)
+        withTxn(spark.range(1).select(tmpl.fields.toSeq
+          .filterNot(f => f.name == "txn_app" || f.name == "txn_batch")
+          .map { f => f.name match {
+            case "file" => lit(TxnHwmFilePrefix + app).as("file")
+            case "v_added" | "v_removed" => lit(ver).cast("long").as(f.name)
+            case other => lit(null).cast(f.dataType).as(other)
+          }}: _*))
+      }
     if (append) {
       val committed = commitAppendWithRetryOrAbort(spark, outDir, statsAt, v,
         abortIf = () => txnAlreadyCommitted)

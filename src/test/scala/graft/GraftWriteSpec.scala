@@ -175,6 +175,33 @@ class GraftWriteSpec extends AnyFunSuite {
     assert(scan.filesRead < scan.filesTotal)
   }
 
+  test("empty deltas: a plain append is a version-free no-op; a txn batch still advances the ledger") {
+    val dir = Files.createTempDirectory("graft_empty").toString + "/t"
+    val dims = Seq(col("x"))
+    DataLayout.writeZOrdered(mk(0 until 100), dims, 16, Seq("id", "x"), dir, 1)
+    val v0 = DataLayout.currentVersion(spark, dir)
+    // plain empty append: nothing to say, no version burned
+    DataLayout.appendZOrdered(mk(0 until 0), dims, 16, Seq("id", "x"), dir, 1)
+    assert(DataLayout.currentVersion(spark, dir) == v0)
+    // empty TXN batch: the exactly-once ledger must advance anyway (a
+    // restart would otherwise re-offer the batch forever) — as a
+    // never-alive sentinel row, no data file
+    assert(DataLayout.appendZOrderedTxn(mk(0 until 0), dims, 16,
+      Seq("id", "x"), dir, 1, "empty_app", 3L))
+    assert(DataLayout.lastCommittedTxn(spark, dir, "empty_app").contains(3L))
+    assert(!DataLayout.appendZOrderedTxn(mk(100 until 150), dims, 16,
+      Seq("id", "x"), dir, 1, "empty_app", 3L)) // replay skips
+    assert(DataLayout.readLayout(spark, dir).count() == 100L)
+    assert(spark.read.parquet(dir).count() == 100L) // no orphan data file
+    // the sentinel never surfaces as a data file anywhere
+    assert(DataLayout.aliveManifest(spark, dir).where(
+      col("file").startsWith("_graft_")).isEmpty)
+    // a later real batch under the same app lands normally
+    assert(DataLayout.appendZOrderedTxn(mk(200 until 250), dims, 16,
+      Seq("id", "x"), dir, 1, "empty_app", 4L))
+    assert(DataLayout.readLayout(spark, dir).count() == 150L)
+  }
+
   test("sink refuses non-append modes and demands dims + a stable app id") {
     val base = Files.createTempDirectory("graft_sinkopt").toString
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -115,11 +115,11 @@ class LayoutPlanSpec extends AnyFunSuite {
       DataLayout.appendZOrderedTxn(batch.toDF(), dims, 16, Seq("id", "x"),
         dir, 2, "plan_probe", 0L)
       // listener callbacks are async: poll until the write plan lands.
-      // Filter to the DATA write (target = the dir root) — the manifest
-      // commit also writes parquet, but under _graft_manifest/_stage_*,
-      // and its stats aggregation legitimately scans + exchanges
+      // Filter to the DATA write (the append's private stage dir) — the
+      // manifest commit also writes parquet, under _graft_manifest/, and
+      // its stats aggregation legitimately scans + exchanges
       def writePlans() = plans.toArray(Array.empty[String])
-        .filter(_.contains(s"InsertIntoHadoopFsRelationCommand file:$dir,"))
+        .filter(_.contains(s"InsertIntoHadoopFsRelationCommand file:$dir/_graft_append_"))
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
       while (writePlans().isEmpty && System.nanoTime() < deadline)
         Thread.sleep(100)

@@ -175,6 +175,38 @@ class OccSpec extends AnyFunSuite {
     assert(DataLayout.readLayout(spark, dir).count() == 300L)
   }
 
+  test("zombie twins: concurrent same-(app,batch) txn appends land EXACTLY one") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = fresh(1 to 100) // v0
+    // two writers believing they are THE query, same app + batch id,
+    // different data — the restart-recovery race the markers exist for.
+    // Whatever the interleaving (fast-path skip, or lost rename + abort
+    // cleanup), exactly one commits and the other leaves NO trace.
+    val gate = new java.util.concurrent.CountDownLatch(2)
+    def twin(lo: Int): Future[Boolean] = Future {
+      val data = (lo until lo + 100).map(i => (i.toLong, i.toLong))
+        .toDF("k", "amt")
+      gate.countDown(); gate.await()
+      DataLayout.appendZOrderedTxn(data, dims, 16, Seq("k"), dir, 2,
+        "twin_app", 5L)
+    }
+    val results = Await.result(
+      Future.sequence(Seq(twin(1000), twin(2000))), 120.seconds)
+    assert(results.count(identity) == 1, s"both/neither landed: $results")
+    val ks = DataLayout.readLayout(spark, dir)
+      .select("k").as[Long].collect().toSet
+    val batch1 = (1000L until 1100L).toSet
+    val batch2 = (2000L until 2100L).toSet
+    assert((ks & batch1).isEmpty ^ (ks & batch2).isEmpty, s"mixed batches")
+    assert(ks.size == 200) // base 100 + exactly one twin's 100
+    // no unmanifested orphans: a plain parquet reader sees the same rows
+    assert(spark.read.parquet(dir).count() == 200L)
+    assert(DataLayout.currentVersion(spark, dir) == 1L)
+    assert(DataLayout.lastCommittedTxn(spark, dir, "twin_app").contains(5L))
+  }
+
   test("a rewrite that loses the race still refuses (no auto-retry)") {
     val dir = fresh(1 to 100)
     // same wedged-race plant as the append test: v1 occupied, version 0
