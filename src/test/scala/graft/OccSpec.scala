@@ -207,6 +207,35 @@ class OccSpec extends AnyFunSuite {
     assert(DataLayout.lastCommittedTxn(spark, dir, "twin_app").contains(5L))
   }
 
+  test("concurrent UNRELATED appends: the loser auto-retries and BOTH land") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = fresh(1 to 100) // v0
+    val gate = new java.util.concurrent.CountDownLatch(2)
+    def writer(lo: Int): Future[Unit] = Future {
+      val data = (lo until lo + 100).map(i => (i.toLong, i.toLong))
+        .toDF("k", "amt")
+      gate.countDown(); gate.await()
+      DataLayout.appendZOrdered(data, dims, 16, Seq("k"), dir, 2)
+    }
+    Await.result(Future.sequence(Seq(writer(1000), writer(2000))), 120.seconds)
+    // both landed, at versions 1 and 2 in either order; rows exact; the
+    // stage+rename attribution kept each commit's stats to its own files
+    assert(DataLayout.currentVersion(spark, dir) == 2L)
+    val ks = DataLayout.readLayout(spark, dir)
+      .select("k").as[Long].collect().toSet
+    assert(ks.size == 300 &&
+      (1000L until 1100L).forall(ks) && (2000L until 2100L).forall(ks))
+    assert(spark.read.parquet(dir).count() == 300L)
+    // manifest attribution is exact: each version's added rows sum to 100
+    val perV = DataLayout.manifestLog(spark, dir)
+      .where(col("v_added") > 0 && !col("file").startsWith("_graft_"))
+      .groupBy("v_added").agg(sum("n_rows").as("n"))
+      .select("n").as[Long].collect().toSeq
+    assert(perV == Seq(100L, 100L), s"attribution skewed: $perV")
+  }
+
   test("a rewrite that loses the race still refuses (no auto-retry)") {
     val dir = fresh(1 to 100)
     // same wedged-race plant as the append test: v1 occupied, version 0
