@@ -19,6 +19,8 @@ import graft.layout.{Constraints, DataLayout}
   * graft-layout vacuum    <dir> [--retain N]
   * graft-layout maintain  <dir> --dims a,b --stats a,b [--rows-per-file N] [--retain N]
   * graft-layout bloom     <dir> [column] [--bits N]   # no column = refresh all
+  * graft-layout ingest    <dir> --from <landingDir> --dims a,b [--once]
+  *                        [--maintain-every N] [--checkpoint <dir>]
   * graft-layout history   <dir>
   * graft-layout stats     <dir>
   * graft-layout scan      <dir> --range a:10:20 [--out out.parquet]
@@ -43,7 +45,9 @@ object LayoutCli {
       soft: Boolean = false, retain: Int = 1, out: Option[String] = None,
       version: Option[Long] = None, keys: Seq[String] = Nil,
       compare: Seq[String] = Nil,
-      opCol: String = "op", seqCol: String = "seq", rest: Seq[String] = Nil)
+      opCol: String = "op", seqCol: String = "seq",
+      once: Boolean = false, maintainEvery: Int = 0,
+      checkpoint: Option[String] = None, rest: Seq[String] = Nil)
 
   def parseArgs(argv: Array[String]): LArgs = {
     def ranges(v: String): Seq[(String, Any, Any)] =
@@ -76,6 +80,9 @@ object LayoutCli {
       case "--compare" :: v :: t => go(t, a.copy(compare = v.split(",").toSeq))
       case "--op-col" :: v :: t => go(t, a.copy(opCol = v))
       case "--seq-col" :: v :: t => go(t, a.copy(seqCol = v))
+      case "--once" :: t => go(t, a.copy(once = true))
+      case "--maintain-every" :: v :: t => go(t, a.copy(maintainEvery = v.toInt))
+      case "--checkpoint" :: v :: t => go(t, a.copy(checkpoint = Some(v)))
       case p :: t if a.cmd.isEmpty => go(t, a.copy(cmd = p))
       case p :: t if a.dir.isEmpty => go(t, a.copy(dir = p))
       case p :: t => go(t, a.copy(rest = a.rest :+ p))
@@ -236,6 +243,44 @@ object LayoutCli {
 
     case "stats" =>
       printFrame(DataLayout.tableStatsFromManifest(spark, a.dir))
+
+    case "ingest" =>
+      // continuous (or --once drained) EXACTLY-ONCE ingestion from a
+      // landing directory of parquet files into the layout: the file
+      // streaming source tracks which files are consumed (checkpoint),
+      // the graft sink's txn markers make every micro-batch land once —
+      // crash anywhere, re-run, nothing duplicates. The auto-loader
+      // story in one command.
+      val landing = a.from.getOrElse(throw new IllegalArgumentException(
+        "ingest needs --from <landingDir> (a directory parquet files land in)"))
+      require(a.dims.nonEmpty, "ingest needs --dims")
+      val schema = spark.read.parquet(landing).schema // ≥1 file must exist
+      val ckpt = a.checkpoint.getOrElse(s"${a.dir}/_graft_ingest_ckpt")
+      val reader = spark.readStream.schema(schema).parquet(landing)
+      var w = reader.writeStream.format("graft")
+        .option("dims", a.dims.mkString(","))
+        .option("statsCols",
+          (if (a.stats.nonEmpty) a.stats
+           else a.dims.map(_.stripPrefix("str:"))).mkString(","))
+        .option("filesPerBatch", a.files)
+        .option("checkpointLocation", ckpt)
+      if (a.maintainEvery > 0)
+        w = w.option("maintainEvery", a.maintainEvery)
+          .option("rowsPerFile", a.rowsPerFile)
+      if (a.once) {
+        val q = w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(a.dir)
+        q.awaitTermination()
+        println(jsonLine("op" -> "ingest", "mode" -> "once",
+          "rows_total" -> DataLayout.readLayout(spark, a.dir).count(),
+          "version" -> DataLayout.currentVersion(spark, a.dir),
+          "checkpoint" -> ckpt))
+      } else {
+        val q = w.start(a.dir)
+        Console.err.println(s"[layout] ingesting $landing -> ${a.dir} " +
+          s"(ctrl-c to stop; checkpoint at $ckpt survives restarts)")
+        q.awaitTermination()
+      }
 
     case "bloom" =>
       // build/extend a point-lookup file index, or refresh every existing

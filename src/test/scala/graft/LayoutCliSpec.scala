@@ -163,6 +163,42 @@ class LayoutCliSpec extends AnyFunSuite {
     assert(rf.contains(""""op":"bloom-refresh"""") && rf.contains(""""column":"k""""))
   }
 
+  test("ingest --once: drain a landing dir exactly-once, re-runs pick up only new files") {
+    val root = Files.createTempDirectory("graft_lcli").toString
+    val landing = root + "/landing"
+    val dir = root + "/t"
+    // land FILES (not subdirs) in the landing root, as a producer would:
+    // write to a temp dir, move the part file in
+    def landFlat(ids: Range): Unit = {
+      val tmp = Files.createTempDirectory("graft_land").toString
+      ids.map(i => (i.toLong, (i * 7L) % 1000L)).toDF("k", "amt")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val fs = new org.apache.hadoop.fs.Path(landing)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+      for (f <- new java.io.File(tmp).listFiles
+           if f.getName.endsWith(".parquet"))
+        fs.rename(new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+          new org.apache.hadoop.fs.Path(s"$landing/${f.getName}"))
+    }
+    landFlat(0 until 400)
+    val out1 = cli("ingest", dir, "--from", landing, "--dims", "amt",
+      "--stats", "k,amt", "--files", "2", "--once")
+    assert(out1.contains(""""rows_total":400"""))
+    assert(DataLayout.readLayout(spark, dir).count() == 400L)
+    // a re-run with nothing new is a no-op (the checkpoint remembers)
+    val out2 = cli("ingest", dir, "--from", landing, "--dims", "amt",
+      "--stats", "k,amt", "--files", "2", "--once")
+    assert(out2.contains(""""rows_total":400"""))
+    // new files land; old ones are NOT re-ingested
+    landFlat(1000 until 1300)
+    val out3 = cli("ingest", dir, "--from", landing, "--dims", "amt",
+      "--stats", "k,amt", "--files", "2", "--once")
+    assert(out3.contains(""""rows_total":700"""))
+    val ks = DataLayout.readLayout(spark, dir)
+    assert(ks.count() == 700L && ks.select("k").distinct().count() == 700L)
+  }
+
   test("constraint list emits valid JSON even with quoted/backslashed predicates") {
     val root = Files.createTempDirectory("graft_lcli").toString
     val dir = root + "/t"
