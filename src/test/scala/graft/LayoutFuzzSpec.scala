@@ -26,7 +26,11 @@ class LayoutFuzzSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft_fuzz").toString + "/t"
     val dims = Seq(col("k"))
     val stats = Seq("k")
-    val rnd = new scala.util.Random(20260815L)
+    // deterministic by default; override for exploratory campaigns:
+    //   GRAFT_FUZZ_SEED=7 GRAFT_FUZZ_STEPS=40 sbt "testOnly graft.LayoutFuzzSpec"
+    val seed = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(20260815L)
+    val steps = sys.env.get("GRAFT_FUZZ_STEPS").map(_.toInt).getOrElse(20)
+    val rnd = new scala.util.Random(seed)
     def df(m: Iterable[(Long, Long)]) = m.toSeq.toDF("k", "amt")
 
     var model = (0 until 500).map(i => (i.toLong, rnd.nextLong(1 << 20))).toMap
@@ -49,7 +53,7 @@ class LayoutFuzzSpec extends AnyFunSuite {
       DataLayout.readLayout(spark, dir, v)
         .select("k", "amt").as[(Long, Long)].collect().toMap
 
-    for (step <- 1 to 20) {
+    for (step <- 1 to steps) {
       val keys = model.keys.toIndexedSeq
       rnd.nextInt(10) match {
         case 0 => // append fresh keys
@@ -112,7 +116,7 @@ class LayoutFuzzSpec extends AnyFunSuite {
       val v = DataLayout.currentVersion(spark, dir)
       assert(read() == model, s"step $step (version $v) diverged from the model")
       snapshots(v) = model
-      if (rnd.nextInt(3) == 0 || step == 20) {
+      if (rnd.nextInt(3) == 0 || step == steps) {
         Replica.sync(spark, rep, Seq(col("amt"), col("k")), 16,
           Seq("k"), numFiles = 2)
         val check = Replica.verify(spark, rep)
