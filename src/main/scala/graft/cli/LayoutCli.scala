@@ -3,7 +3,7 @@ package graft.cli
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.layout.{Constraints, DataLayout}
+import graft.layout.{Constraints, DataLayout, Replica}
 
 /** CLI for the layout lifecycle — the ops surface a team runs against a
   * clustered table without writing Scala:
@@ -21,6 +21,8 @@ import graft.layout.{Constraints, DataLayout}
   * graft-layout bloom     <dir> [column] [--bits N]   # no column = refresh all
   * graft-layout ingest    <dir> --from <landingDir> --dims a,b [--once]
   *                        [--maintain-every N] [--checkpoint <dir>]
+  * graft-layout replica-init <rep> --from <srcDir> --dims a,b --keys k
+  * graft-layout replica-sync <rep> --dims a,b  # then: verify <rep>
   * graft-layout history   <dir>
   * graft-layout stats     <dir>
   * graft-layout scan      <dir> --range a:10:20 [--out out.parquet]
@@ -243,6 +245,31 @@ object LayoutCli {
 
     case "stats" =>
       printFrame(DataLayout.tableStatsFromManifest(spark, a.dir))
+
+    case "replica-init" =>
+      // seed a replica (its OWN clustering) and pin the source version —
+      // the one full copy it will ever pay
+      val src = a.from.getOrElse(throw new IllegalArgumentException(
+        "replica-init needs --from <sourceLayoutDir>"))
+      require(a.keys.nonEmpty, "replica-init needs --keys k1[,k2]")
+      val stats = if (a.stats.nonEmpty) a.stats
+        else a.dims.map(_.stripPrefix("str:"))
+      val d = Replica.init(spark, src, a.dir, dimCols(a.dims, a.bits),
+        a.bits, stats, a.keys, a.files)
+      println(jsonLine("op" -> "replica-init", "src" -> d.srcDir,
+        "src_version" -> d.srcVersion))
+
+    case "replica-sync" =>
+      // ship the source's churn since the pin (change feed -> one
+      // envelope-targeted merge); a current replica is a no-op
+      val stats = if (a.stats.nonEmpty) a.stats
+        else a.dims.map(_.stripPrefix("str:"))
+      val r = Replica.sync(spark, a.dir, dimCols(a.dims, a.bits),
+        a.bits, stats, a.files)
+      println(jsonLine("op" -> "replica-sync",
+        "from_version" -> r.fromVersion, "to_version" -> r.toVersion,
+        "feed_rows" -> r.feedRows, "upserts" -> r.upserts,
+        "deletes" -> r.deletes, "files_rewritten" -> r.filesRewritten))
 
     case "ingest" =>
       // continuous (or --once drained) EXACTLY-ONCE ingestion from a

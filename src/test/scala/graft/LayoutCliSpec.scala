@@ -129,6 +129,19 @@ class LayoutCliSpec extends AnyFunSuite {
     assert(spark.read.parquet(root + "/drift").count() == 10L)
     val d = cli("diff", a, b, "--keys", "k", "--compare", "amt")
     assert(d.contains(""""rows":10"""))
+    // replica-sync ships the churn; verify goes clean again
+    val s = cli("replica-sync", b, "--dims", "k", "--stats", "k", "--bits", "16")
+    assert(s.contains(""""deletes":10"""))
+    assert(cli("verify", b).contains(""""clean":true"""))
+    // and a full CLI-only replica from scratch round-trips
+    val c = root + "/c"
+    val ri = cli("replica-init", c, "--from", a, "--dims", "k",
+      "--stats", "k", "--keys", "k", "--bits", "16", "--files", "2")
+    assert(ri.contains(""""op":"replica-init""""))
+    assert(cli("verify", c).contains(""""clean":true"""))
+    // nothing new to ship: sync is a no-op
+    val s2 = cli("replica-sync", c, "--dims", "k", "--stats", "k", "--bits", "16")
+    assert(s2.contains(""""feed_rows":0"""))
   }
 
   test("maintain: the one-shot nightly pass through the CLI, policy-gated") {
