@@ -981,13 +981,24 @@ object DataLayout {
         }.flatten
       }
     val ts = mtimes.toDF("version", "committed_at")
+    // provenance: which transaction app/batch wrote a version (NULL for
+    // non-txn commits and for rewrites). From data-file rows only —
+    // vacuum's ledger carry-over sentinels pin to the vacuum-time hwm,
+    // which would misattribute
+    val txn =
+      if (!log.columns.contains("txn_app"))
+        Seq.empty[(Long, String, Long)].toDF("version", "txn_app", "txn_batch")
+      else log.where(col("txn_app").isNotNull && col("v_added").isNotNull)
+        .groupBy(col("v_added").as("version"))
+        .agg(first("txn_app").as("txn_app"), max("txn_batch").as("txn_batch"))
     def z(c: String) = coalesce(col(c), lit(0L)).as(c)
     added.join(removed, Seq("version"), "full_outer")
       .join(dv, Seq("version"), "full_outer")
       .join(ts, Seq("version"), "left_outer")
+      .join(txn, Seq("version"), "left_outer")
       .select(col("version"), z("files_added"), z("rows_added"),
         z("files_removed"), z("rows_removed"), z("dv_rows_deleted"),
-        col("committed_at"))
+        col("committed_at"), col("txn_app"), col("txn_batch"))
       .orderBy("version")
   }
 

@@ -91,6 +91,13 @@ class GraftWriteSpec extends AnyFunSuite {
     assert(DataLayout.readLayout(spark, dir).count() == 250L)
     assert(DataLayout.lastCommittedTxn(spark, dir, "appA").contains(1L))
     assert(DataLayout.lastCommittedTxn(spark, dir, "appB").contains(1L))
+    // history carries provenance: which app/batch wrote each version
+    val prov = DataLayout.history(spark, dir)
+      .select("version", "txn_app", "txn_batch")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(1)), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(prov(0L) == (Some("appA"), 0L) && prov(1L) == (Some("appA"), 1L))
+    assert(prov(2L)._1.contains("appB"))
     // markers survive unrelated commits in between
     DataLayout.appendZOrdered(mk(300 until 310), dims, 16, Seq("id", "x"), dir, 1)
     assert(!append(1L, 100 until 200))
