@@ -356,8 +356,11 @@ object LayoutCli {
       require(a.keys.nonEmpty, "diff needs --keys k1[,k2]")
       val r = DataLayout.diffLayouts(spark, a.dir, dirB, a.keys,
         compareCols = a.compare)
-      a.out.foreach(p => r.df.write.mode("overwrite").parquet(p))
-      println(jsonLine("op" -> "diff", "rows" -> r.df.count(),
+      // pin once: writing AND counting the same diff plan would otherwise
+      // run the row-level work twice, on exactly the large-drift case
+      val ddf = if (a.out.isDefined) r.df.localCheckpoint(true) else r.df
+      a.out.foreach(p => ddf.write.mode("overwrite").parquet(p))
+      println(jsonLine("op" -> "diff", "rows" -> ddf.count(),
         "files_read_a" -> r.filesReadA, "files_total_a" -> r.filesTotalA,
         "files_read_b" -> r.filesReadB, "files_total_b" -> r.filesTotalB,
         "out" -> a.out.getOrElse("")))
@@ -365,8 +368,9 @@ object LayoutCli {
     case "verify" =>
       // nightly replica drift check: zero row-diff work when clean
       val r = graft.layout.Replica.verify(spark, a.dir, a.compare)
-      val drift = r.df.count()
-      a.out.foreach(p => r.df.write.mode("overwrite").parquet(p))
+      val vdf = if (a.out.isDefined) r.df.localCheckpoint(true) else r.df
+      val drift = vdf.count()
+      a.out.foreach(p => vdf.write.mode("overwrite").parquet(p))
       println(jsonLine("op" -> "verify", "clean" -> (drift == 0L),
         "drift_rows" -> drift,
         "files_read_src" -> r.filesReadA, "files_read_replica" -> r.filesReadB,

@@ -445,10 +445,12 @@ object DataLayout {
     // attribution of its own output — two concurrent appends (the OCC
     // retry scenario, or zombie twins of one streaming query) would each
     // see the other's files in a before/after set difference and
-    // manifest rows they did not write; (b) crash-cleanliness — a writer
-    // dying between data write and log commit leaves only an invisible
-    // stage dir (vacuum sweeps it), never unmanifested rows that plain
-    // parquet readers of the dir would see. Overwrite keeps the direct
+    // manifest rows they did not write; (b) crash-cleanliness — the long
+    // clustered write happens in an invisible stage dir, shrinking the
+    // window in which a crash leaves unmanifested files in the dir root
+    // to the sub-second rename→commit gap (manifest-routed readers never
+    // see such orphans; plain parquet readers do until the next aged
+    // vacuum reclaims them). Overwrite keeps the direct
     // write: version 0 owns the whole dir by definition (the constraint
     // log must survive the dir deletion, though).
     val fresh: Seq[String] =
@@ -512,7 +514,11 @@ object DataLayout {
           return false
         case Some(vNow) =>
           // schema evolution re-resolves against the WINNER's latest schema
-          // on a retried commit (the winner may have evolved it concurrently)
+          // on a retried commit (the winner may have evolved it
+          // concurrently). When that schema already covers the delta,
+          // record NOTHING — falling back to the pre-race merge would pin
+          // a STALE schema at the higher version and make the winner's
+          // concurrently-added columns vanish from latest reads.
           val evolvedNow =
             if (vNow == v) evolved
             else schemaAt(spark, outDir, Latest).flatMap { base =>
@@ -520,7 +526,7 @@ object DataLayout {
               if (merged.fields.map(f => (f.name, f.dataType)).toSeq !=
                 base.fields.map(f => (f.name, f.dataType)).toSeq) Some(merged)
               else None
-            }.orElse(evolved)
+            }
           evolvedNow.foreach(recordSchema(spark, outDir, vNow, _))
       }
     } else {
@@ -696,6 +702,24 @@ object DataLayout {
   private def dvAt(spark: SparkSession, dir: String,
       version: Long): Option[DataFrame] =
     dvLog(spark, dir).map(_.where(col("v") <= version))
+
+  /** Whether any DV position at `version` addresses a file ALIVE at that
+    * version — i.e. whether a masked read is actually needed. The DV log
+    * keeps rows after a purge (earlier versions still travel through
+    * them), but post-purge they address only tombstoned files: a reader
+    * that keys "needs masking" on mere log presence takes the slow
+    * row-at-a-time path forever. O(files) driver work. */
+  def dvEffectiveAt(spark: SparkSession, dir: String,
+      version: Long = Latest): Boolean =
+    dvAt(spark, dir, version) match {
+      case None => false
+      case Some(d) =>
+        val alive = aliveManifest(spark, dir, version)
+          .select(canonCol(col("file")).as("_f")).distinct()
+        d.select(canonCol(col("file")).as("_df")).distinct()
+          .join(alive, col("_df") === col("_f"), "left_semi")
+          .head(1).nonEmpty
+    }
 
   /** Column-level twin of [[canon]]: strip the URI scheme + slash run down
     * to a single leading `/`, so `file:///x` (metadata column), `file:/x`
@@ -1285,8 +1309,19 @@ object DataLayout {
     * (deleteWhere/purgeDeletes + vacuum(0) completes the right to be
     * forgotten). The horizon never regresses: a lenient vacuum after a
     * strict one cannot re-promise versions whose files are already gone. */
+  /** Residue younger than this survives a vacuum: an UNLOGGED data file
+    * or stage dir may belong to a concurrent append between its write and
+    * its commit (both explicitly supported — OCC retry, zombie twins), so
+    * only residue old enough that no live writer can own it is reclaimed.
+    * Files the LOG knows as tombstoned delete regardless of age — their
+    * writer committed and moved on. One hour outlasts any rename→commit
+    * window by orders of magnitude; a deployment whose single clustered
+    * STAGE write runs longer passes its own grace. */
+  val DefaultVacuumGraceMs: Long = 60L * 60 * 1000
+
   def vacuum(spark: SparkSession, dir: String,
-      retainVersions: Int = 1): VacuumReport = {
+      retainVersions: Int = 1,
+      graceMs: Long = DefaultVacuumGraceMs): VacuumReport = {
     require(retainVersions >= 0, s"retainVersions must be >= 0: $retainVersions")
     val log = manifestLog(spark, dir).localCheckpoint(true)
     val logBefore = log.count()
@@ -1308,10 +1343,20 @@ object DataLayout {
       .localCheckpoint(true)
     val retainedCanon = kept.select("file").distinct()
       .collect().map(r => canon(r.getString(0))).toSet
+    // everything the log has EVER named: a committed (now tombstoned)
+    // file deletes regardless of age; an unlogged orphan might be a
+    // concurrent append's renamed-but-uncommitted output — age-gated
+    val loggedCanon = real.select("file").distinct()
+      .collect().map(r => canon(r.getString(0))).toSet
     val fs = fsOf(spark, dir)
+    val now = System.currentTimeMillis()
+    def oldEnough(p: org.apache.hadoop.fs.Path): Boolean =
+      now - fs.getFileStatus(p).getModificationTime > graceMs
     var removed = 0
     for (f <- listDataFiles(spark, dir) if !retainedCanon(canon(f))) {
-      if (fs.delete(new org.apache.hadoop.fs.Path(f), false)) removed += 1
+      val p = new org.apache.hadoop.fs.Path(f)
+      if ((loggedCanon(canon(f)) || oldEnough(p)) &&
+        fs.delete(p, false)) removed += 1
     }
     // marker rows (v_added = v_removed = v, so never alive at any version
     // — readers skip them):
@@ -1377,24 +1422,28 @@ object DataLayout {
       val lp = new org.apache.hadoop.fs.Path(ld)
       if (fs.exists(lp))
         fs.listStatus(lp)
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith("_stage_"))
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("_stage_") &&
+            oldEnough(s.getPath))
           .foreach(s => fs.delete(s.getPath, true))
     }
     // ...and crashed REWRITE stages at the dir root (`_graft_*_stage`,
     // plus bloom-refresh swap stages): invisible to every reader
     // (underscore-prefixed), but a compaction that died mid-write leaks
     // its staged bytes forever otherwise — at 100 TB rewrite scale that
-    // is real disk, reclaimed here under the same single-mutator argument
+    // is real disk. Age-gated like the orphans above: a YOUNG stage dir
+    // may be a concurrent append mid-write (supported), only one older
+    // than the grace is certainly residue.
     val rootP = new org.apache.hadoop.fs.Path(dir)
     if (fs.exists(rootP))
       fs.listStatus(rootP)
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("_graft_") &&
-          s.getPath.getName.endsWith("_stage"))
+          s.getPath.getName.endsWith("_stage") && oldEnough(s.getPath))
         .foreach(s => fs.delete(s.getPath, true))
     val bloomRoot = new org.apache.hadoop.fs.Path(s"$dir/$BloomDir")
     if (fs.exists(bloomRoot))
       fs.listStatus(bloomRoot)
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("_stage_"))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("_stage_") &&
+          oldEnough(s.getPath))
         .foreach(s => fs.delete(s.getPath, true))
     VacuumReport(filesDeleted = removed, logRowsBefore = logBefore,
       logRowsAfter = retainedCanon.size.toLong)

@@ -68,8 +68,10 @@ class GraftSourceProvider extends RelationProvider
     val version = opt("versionAsOf").map(_.toLong).getOrElse(DataLayout.Latest)
     val spark = sqlContext.sparkSession
     GraftFileIndex.enableJoinPruning(spark)
-    val hasDv = DataLayout.dvLog(spark, dir)
-      .exists(d => d.where(col("v") <= version).head(1).nonEmpty)
+    // EFFECTIVE DVs only: after a purge the DV log keeps rows (earlier
+    // versions travel through them) but they address tombstoned files —
+    // keying on mere log presence would pin the slow masked path forever
+    val hasDv = DataLayout.dvEffectiveAt(spark, dir, version)
     if (!hasDv) GraftFileIndex.relationFor(spark, dir, version)._1
     else new MaskedLayoutRelation(sqlContext, dir, version)
   }

@@ -3,7 +3,7 @@ package graft.layout
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -117,16 +117,25 @@ object JoinPruning extends Rule[LogicalPlan] {
   }
 
   /** Inject `pred` directly above the graft relation outputting `key`
-    * (where FileSourceStrategy collects scan filters). */
+    * (where FileSourceStrategy collects scan filters) — but ONLY when the
+    * path down to it crosses row-preserving, order-insensitive nodes
+    * (Filter/Project/aliases). Pushing a filter beneath a Limit, Sort,
+    * Window, Sample, or Aggregate changes WHICH rows those operators
+    * select (`fact.orderBy(ts).limit(100).join(dim)` must take the
+    * top-100 of the UNPRUNED fact) — Spark's own pushdown stops at the
+    * same fence, and so must we. An unsafe path returns the side
+    * unchanged: pruning silently skipped, never a wrong answer. */
   private def inject(side: LogicalPlan, key: AttributeReference,
       pred: Expression): LogicalPlan = {
-    var done = false
-    side.transformUp {
-      case lr: LogicalRelation
-          if !done && isGraft(lr) && lr.outputSet.contains(key) =>
-        done = true
+    def go(p: LogicalPlan): LogicalPlan = p match {
+      case lr: LogicalRelation if isGraft(lr) && lr.outputSet.contains(key) =>
         Filter(pred, lr)
+      case f: Filter => f.copy(child = go(f.child))
+      case pj: Project => pj.copy(child = go(pj.child))
+      case sa: SubqueryAlias => sa.copy(child = go(sa.child))
+      case other => other // Limit/Sort/Window/Sample/Aggregate/Join: fence
     }
+    go(side)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {

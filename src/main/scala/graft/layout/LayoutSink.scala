@@ -33,7 +33,8 @@ import org.apache.spark.sql.graftshim.StreamingFrameShim
 private[layout] final case class LayoutWriteOptions(
     dir: String, dimNames: Seq[String], bits: Int,
     statsCols: Seq[String], numFiles: Int, txnAppId: Option[String],
-    maintainEvery: Option[Int] = None, rowsPerFile: Long = 1L << 20) {
+    maintainEvery: Option[Int] = None, rowsPerFile: Long = 1L << 20,
+    maintainRetain: Option[Int] = None) {
 
   def dims: Seq[Column] = dimNames.map {
     case s if s.startsWith("str:") =>
@@ -64,7 +65,8 @@ private[layout] object LayoutWriteOptions {
     LayoutWriteOptions(dir, dims, bits, stats, files,
       opt("txnAppId").orElse(opt("checkpointLocation")),
       maintainEvery = opt("maintainEvery").map(_.trim.toInt),
-      rowsPerFile = opt("rowsPerFile").map(_.trim.toLong).getOrElse(1L << 20))
+      rowsPerFile = opt("rowsPerFile").map(_.trim.toLong).getOrElse(1L << 20),
+      maintainRetain = opt("maintainRetain").map(_.trim.toInt))
   }
 }
 
@@ -114,10 +116,19 @@ private[layout] class GraftLayoutSink(opts: LayoutWriteOptions) extends Sink {
     // debt, so pay it down every Nth batch with the same policy pass the
     // nightly job runs. Only on batches that actually committed — a replay
     // must stay a pure no-op. Maintenance versions are file-moving only,
-    // so a downstream change-feed reader sees them as EMPTY batches.
+    // so a downstream change-feed reader sees them as EMPTY batches — and
+    // for that reader's sake the inline pass NEVER VACUUMS unless the
+    // user opts in with 'maintainRetain': a lagging changefeed consumer
+    // needs the versions back to its checkpoint, and a vacuum below that
+    // point would kill it unrecoverably.
     else for (n <- opts.maintainEvery if batchId % n == n - 1) {
+      val policy = opts.maintainRetain match {
+        case Some(r) => Maintenance.Policy(opts.rowsPerFile, retainVersions = r)
+        case None => Maintenance.Policy(opts.rowsPerFile,
+          minReclaimableFiles = Int.MaxValue) // vacuum arm disabled
+      }
       val rep = Maintenance.run(data.sparkSession, opts.dir, opts.dims,
-        opts.bits, opts.statsCols, Maintenance.Policy(opts.rowsPerFile))
+        opts.bits, opts.statsCols, policy)
       if (rep.reasons.nonEmpty)
         org.slf4j.LoggerFactory.getLogger(classOf[GraftLayoutSink]).info(
           s"graft sink maintenance at batch $batchId: ${rep.reasons.mkString("; ")}")

@@ -119,14 +119,24 @@ object Maintenance {
           .filter(t => aliveCanon(t._1))
         (byFile.length, byFile.map(_._2).sum)
     }
-    val reclaimable = DataLayout.manifestLog(spark, dir)
+    Debt(alive.length, rows, small, clusterFiles, clusters, dvFiles, dvRows,
+      reclaimableCount(spark, dir, aliveCanon), fullOverlap)
+  }
+
+  /** Tombstoned-but-on-disk count alone — the vacuum trigger, kept as a
+    * targeted probe so the mid-pass re-checks in [[run]] don't pay a full
+    * [[assess]] each. */
+  private def reclaimableCount(spark: SparkSession, dir: String,
+      aliveCanon: Set[String]): Int =
+    DataLayout.manifestLog(spark, dir)
       .where(col("v_removed").isNotNull &&
         !col("file").startsWith("_graft_")) // all synthetic sentinel rows
       .select("file").distinct().collect()
       .map(r => DataLayout.canon(r.getString(0))).count(f => !aliveCanon(f))
-    Debt(alive.length, rows, small, clusterFiles, clusters, dvFiles, dvRows,
-      reclaimable, fullOverlap)
-  }
+
+  private def aliveCanonSet(spark: SparkSession, dir: String): Set[String] =
+    DataLayout.aliveManifest(spark, dir).select("file").collect()
+      .map(r => DataLayout.canon(r.getString(0))).toSet
 
   /** Assess, decide, run, re-assess. `dims`/`bits`/`statsCols` must match
     * the layout's clustering (as for every rewrite primitive). */
@@ -145,16 +155,19 @@ object Maintenance {
         Some(DataLayout.compactZOrdered(spark, dir, dims, bits, statsCols,
           policy.rowsPerFile, onlyFilesUnder = policy.rowsPerFile))
       } else None
-    // re-measure small-file debt AFTER the rewrites above: purge/compact
-    // may have consolidated (or produced) small files this pass should see
-    val midSmall = assess(spark, dir, policy.rowsPerFile).smallFiles
+    // re-measure small-file debt AFTER the rewrites above (purge/compact
+    // may have consolidated or produced small files this pass should see)
+    // — a targeted count, not a full assess
+    val midSmall = DataLayout.aliveManifest(spark, dir)
+      .where(col("n_rows") < policy.rowsPerFile / 2).count().toInt
     val packed =
       if (midSmall >= policy.minSmallFiles) {
         reasons += s"bin-pack: $midSmall small files (< ${policy.rowsPerFile / 2} rows)"
         Some(DataLayout.compactSmallFiles(spark, dir, dims, bits, statsCols,
           policy.rowsPerFile))
       } else None
-    val reclaimableNow = assess(spark, dir, policy.rowsPerFile).reclaimableFiles
+    val reclaimableNow =
+      reclaimableCount(spark, dir, aliveCanonSet(spark, dir))
     val vacuumed =
       if (reclaimableNow >= policy.minReclaimableFiles) {
         reasons += s"vacuum: $reclaimableNow reclaimable files, retaining ${policy.retainVersions} versions"

@@ -51,10 +51,16 @@ class GraftSourceSpec extends AnyFunSuite {
     // time travel to v0 un-hides the rows
     assert(spark.read.format("graft").option("versionAsOf", 0).load(dir)
       .count() == 2000L)
-    // purge + re-create: clean version takes the HadoopFsRelation path
+    // purge + re-create: clean version takes the HadoopFsRelation path —
+    // assert the PLAN, not just the counts (the DV log deliberately keeps
+    // its rows after a purge for time travel; relation choice must key on
+    // EFFECTIVE DVs, or the slow masked path sticks forever)
     DataLayout.purgeDeletes(spark, dir, dims, 16, Seq("id", "x"))
     spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW dvlay USING graft " +
       s"OPTIONS (path '$dir')")
+    val post = spark.sql("SELECT * FROM dvlay WHERE id < 200")
+    assert(post.queryExecution.executedPlan.toString.contains("FileScan"),
+      "purge did not restore the vectorized HadoopFsRelation path")
     assert(spark.sql("SELECT count(*) c FROM dvlay").head().getLong(0) == 1900L)
   }
 

@@ -154,4 +154,31 @@ class JoinPruningSpec extends AnyFunSuite {
     assert(got == (100L until 120L))
     assert(idx.lastPruning.exists { case (k, t) => k < t })
   }
+
+  test("Limit/Sort between relation and join FENCE the injection: rows stay correct") {
+    val dir = freshLayout()
+    val (fact, _) = GraftFileIndex.readLayoutIndexed(spark, dir)
+    val dim = Seq((5L, "x"), (1999L, "y")).toDF("id", "tag")
+    // top-10 by id over the UNPRUNED fact is ids 0..9; joining that with
+    // {5, 1999} must yield ONLY id=5. A rule that pushed the key filter
+    // beneath the limit would take the top-10 of {5, 1999} instead and
+    // wrongly return 1999 too — Spark's own pushdown stops at this fence,
+    // and so must the join-pruning injection.
+    val got = fact.orderBy("id").limit(10).join(dim, "id")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(5L), s"limit fence violated: $got")
+    // same fence for a window-function dedup shape
+    import org.apache.spark.sql.expressions.Window
+    val ranked = fact.withColumn("rn",
+        row_number().over(Window.orderBy(col("id"))))
+      .where(col("rn") <= 10).drop("rn")
+    val got2 = ranked.join(dim, "id").select("id").as[Long].collect().toSeq
+    assert(got2 == Seq(5L), s"window fence violated: $got2")
+    // and pruning STILL fires when only safe nodes intervene
+    val (fact2, idx2) = GraftFileIndex.readLayoutIndexed(spark, dir)
+    val got3 = fact2.select("id", "m").where(col("m") >= 0).join(dim, "id")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got3 == Seq(5L, 1999L))
+    assert(idx2.lastPruning.exists { case (k, t) => k < t })
+  }
 }

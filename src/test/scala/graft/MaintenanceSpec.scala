@@ -124,12 +124,18 @@ class MaintenanceSpec extends AnyFunSuite {
     DataLayout.writeZOrdered(mk(0 until 500), dims, 16, stats, dir, 2)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // simulate writers that died mid-rewrite: staged bytes, never renamed
+    // simulate writers that died mid-rewrite LONG AGO: staged bytes,
+    // never renamed, backdated past the vacuum grace (a YOUNG stage dir
+    // is protected — it may be a live concurrent writer)
+    val old = System.currentTimeMillis() - 2 * DataLayout.DefaultVacuumGraceMs
     for (p <- Seq(s"$dir/_graft_compact_stage/part-x.parquet",
         s"$dir/_graft_binpack_stage/part-y.parquet",
         s"$dir/_graft_bloom/_stage_k/part-z.parquet")) {
       val out = fs.create(new org.apache.hadoop.fs.Path(p))
       out.write(Array.fill(64)(7.toByte)); out.close()
+      val parent = new org.apache.hadoop.fs.Path(p).getParent
+      fs.setTimes(new org.apache.hadoop.fs.Path(p), old, old)
+      fs.setTimes(parent, old, old)
     }
     assert(DataLayout.readLayout(spark, dir).count() == 500L) // invisible
     DataLayout.vacuum(spark, dir)

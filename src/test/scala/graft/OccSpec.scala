@@ -61,7 +61,16 @@ class OccSpec extends AnyFunSuite {
     }
     // the loser's data files are unmanifested orphans: reads untouched
     assert(DataLayout.readLayout(spark, dir).count() == 100L)
-    // vacuum reclaims the orphan bytes and the layout keeps working
+    // a YOUNG unlogged orphan might be a live concurrent appender's
+    // renamed-but-uncommitted output: vacuum protects it...
+    assert(DataLayout.vacuum(spark, dir).filesDeleted == 0)
+    // ...an AGED one is certainly residue: reclaimed
+    val logged = DataLayout.manifestLog(spark, dir).select("file")
+      .collect().map(r => DataLayout.canon(r.getString(0))).toSet
+    val old = System.currentTimeMillis() - 2 * DataLayout.DefaultVacuumGraceMs
+    for (f <- DataLayout.listDataFiles(spark, dir)
+         if !logged(DataLayout.canon(f)))
+      fs.setTimes(p(f), old, old)
     val report = DataLayout.vacuum(spark, dir)
     assert(report.filesDeleted >= 1)
     DataLayout.appendZOrdered(Seq((200L, 200L)).toDF("k", "amt"),
@@ -100,7 +109,9 @@ class OccSpec extends AnyFunSuite {
     DataLayout.appendZOrdered(Seq((60L, 60L)).toDF("k", "amt"),
       dims, 16, Seq("k"), dir, 1)
     assert(DataLayout.currentVersion(spark, dir) == 1L)
-    // vacuum sweeps it
+    // vacuum clears it regardless of age: the LOG REWRITE consolidates
+    // the whole manifest dir (a concurrent commit during vacuum is
+    // outside the rewrite-exclusivity contract anyway)
     DataLayout.vacuum(spark, dir)
     assert(!fs.exists(stage))
   }
@@ -234,6 +245,36 @@ class OccSpec extends AnyFunSuite {
       .groupBy("v_added").agg(sum("n_rows").as("n"))
       .select("n").as[Long].collect().toSeq
     assert(perV == Seq(100L, 100L), s"attribution skewed: $perV")
+  }
+
+  test("concurrent schema evolution: the final schema covers BOTH writers' columns") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = fresh(1 to 100) // v0: {k, amt}
+    val gate = new java.util.concurrent.CountDownLatch(2)
+    // writer A extends by {b, c}; writer B by {b} only. If A wins the race,
+    // B's retry finds A's schema already covers its delta and must record
+    // NOTHING — recording its own pre-race merge at the higher version
+    // would make column c vanish from latest reads.
+    def writerA = Future {
+      gate.countDown(); gate.await()
+      DataLayout.appendZOrdered(
+        Seq((500L, 1L, 2L, 3L)).toDF("k", "amt", "b", "c"),
+        dims, 16, Seq("k"), dir, 1)
+    }
+    def writerB = Future {
+      gate.countDown(); gate.await()
+      DataLayout.appendZOrdered(
+        Seq((600L, 1L, 2L)).toDF("k", "amt", "b"),
+        dims, 16, Seq("k"), dir, 1)
+    }
+    Await.result(Future.sequence(Seq(writerA, writerB)), 120.seconds)
+    val cols = DataLayout.readLayout(spark, dir).columns.toSet
+    assert(Set("k", "amt", "b", "c").subsetOf(cols), s"schema regressed: $cols")
+    // and the c values actually read back
+    assert(DataLayout.readLayout(spark, dir)
+      .where(col("k") === 500L).select("c").head().getLong(0) == 3L)
   }
 
   test("a rewrite that loses the race still refuses (no auto-retry)") {
