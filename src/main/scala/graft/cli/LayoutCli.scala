@@ -144,6 +144,10 @@ object LayoutCli {
       else
         DataLayout.appendZOrdered(df, dimCols(a.dims, a.bits), a.bits,
           stats, a.dir, a.files)
+      // named dims → record the write config so SQL DML (INSERT/DELETE/
+      // MERGE on a `USING graft` view) can recover the clustering
+      graft.layout.LayoutConfig.record(spark, a.dir,
+        graft.layout.LayoutConfig.Config(a.dims, a.bits, stats, a.files))
       println(jsonLine("op" -> a.cmd, "dir" -> a.dir,
         "version" -> DataLayout.currentVersion(spark, a.dir)))
 

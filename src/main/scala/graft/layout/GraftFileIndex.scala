@@ -52,6 +52,10 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
 class GraftFileIndex(spark: SparkSession, dir: String,
     version: Long = DataLayout.Latest) extends FileIndex {
 
+  /** The layout dir this index routes — GraftSql's target resolution
+    * recovers it from a view's analyzed plan. */
+  def layoutDir: String = dir
+
   private val hadoopConf = spark.sparkContext.hadoopConfiguration
   private val fs = new Path(dir).getFileSystem(hadoopConf)
 
@@ -292,8 +296,7 @@ object GraftFileIndex {
     val index = new GraftFileIndex(spark, dir, version)
     val schema = DataLayout.schemaAt(spark, dir, version).getOrElse(
       spark.read.parquet(DataLayout.schemaAnchorFile(spark, dir)).schema)
-    (HadoopFsRelation(index, new StructType(), schema, None,
-      new GraftManifestedParquetFormat, Map.empty[String, String])(spark), index)
+    (new InsertableGraftRelation(index, schema, spark, dir, version), index)
   }
 
   /** The layout as a Catalyst-planned DataFrame: queries prune files
@@ -313,15 +316,40 @@ object GraftFileIndex {
   }
 }
 
+/** The graft [[HadoopFsRelation]] that ALSO accepts `INSERT INTO`: Spark's
+  * DataSourceAnalysis matches its InsertableRelation arm BEFORE its
+  * HadoopFsRelation arm (verified against the 4.1.2 bytecode), so a SQL
+  * insert against a `USING graft` view routes through [[insert]] — an
+  * ordinary manifested, OCC-committed, z-clustered append using the
+  * layout's PERSISTED write config ([[LayoutConfig]]) — while reads keep
+  * the full file-pruning HadoopFsRelation planning. The inherited
+  * [[GraftManifestedParquetFormat]] write refusal stays as the backstop
+  * for any OTHER route that would drop raw parquet into the dir.
+  * Reference insert surface: data_diff/queries/ast_classes.py:433-459. */
+private[layout] class InsertableGraftRelation(index: GraftFileIndex,
+    schema: StructType, spark: SparkSession, dir: String, version: Long)
+  extends HadoopFsRelation(index, new StructType(), schema, None,
+    new GraftManifestedParquetFormat, Map.empty[String, String])(spark)
+  with org.apache.spark.sql.sources.InsertableRelation {
+
+  override def insert(data: org.apache.spark.sql.DataFrame,
+      overwrite: Boolean): Unit = {
+    GraftSql.insertInto(spark, dir, version, schema.fieldNames.toSeq,
+      data, overwrite)
+    index.refresh() // the view's pinned snapshot must see its own insert
+  }
+}
+
 /** [[ParquetFileFormat]] with the WRITE side disabled: the read stack
   * (vectorized reader, pushdown, codegen — everything `isInstanceOf
-  * [ParquetFileFormat]` checks enable) is inherited untouched, but an
-  * `INSERT INTO` against a `USING graft` view would otherwise plan
-  * `InsertIntoHadoopFsRelationCommand` and drop RAW parquet files into the
-  * layout dir — unmanifested rows that layout readers ignore while plain
-  * parquet readers of the same dir see them: silent drift between the two
-  * documented read paths. Refuse at write-planning time and point at the
-  * manifested writers instead. */
+  * [ParquetFileFormat]` checks enable) is inherited untouched. `INSERT
+  * INTO` normally never reaches this format — [[InsertableGraftRelation]]
+  * routes it through the manifested append — so this refusal is the
+  * BACKSTOP for any other planner route (e.g. a future Spark rule
+  * ordering change) that would plan `InsertIntoHadoopFsRelationCommand`
+  * and drop RAW parquet files into the layout dir: unmanifested rows that
+  * layout readers ignore while plain parquet readers see them — silent
+  * drift between the two documented read paths. */
 private[layout] class GraftManifestedParquetFormat
     extends ParquetFileFormat {
   override def prepareWrite(sparkSession: SparkSession,
@@ -330,8 +358,9 @@ private[layout] class GraftManifestedParquetFormat
       dataSchema: StructType)
       : org.apache.spark.sql.execution.datasources.OutputWriterFactory =
     throw new UnsupportedOperationException(
-      "INSERT INTO a graft layout bypasses the manifest commit protocol — " +
-        "write through df.write.format(\"graft\") (batch), " +
-        "writeStream.format(\"graft\") (streaming), or the DataLayout API")
+      "raw parquet writes into a graft layout bypass the manifest commit " +
+        "protocol — write through df.write.format(\"graft\") (batch), " +
+        "writeStream.format(\"graft\") (streaming), INSERT INTO a graft " +
+        "view (routes through the manifested append), or the DataLayout API")
   override def toString: String = "GraftParquet(read-only)"
 }

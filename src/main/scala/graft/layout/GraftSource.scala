@@ -48,9 +48,13 @@ import org.apache.spark.sql.types.StructType
   *    honor their SaveMode contracts against the layout's existence);
   *  - streaming: `df.writeStream.format("graft").option("dims", …)
   *    .start(dir)` → [[GraftLayoutSink]], exactly-once via transaction
-  *    markers in the commit log.
+  *    markers in the commit log;
+  *  - SQL DML: `INSERT INTO view …` (native — the relation is
+  *    [[org.apache.spark.sql.sources.InsertableRelation]]) and
+  *    [[GraftSql]] for `DELETE FROM` / `MERGE INTO`, all using the write
+  *    config these surfaces persist ([[LayoutConfig]]).
   *
-  * Both routes land ordinary z-clustered, stats-manifested, OCC-committed
+  * All routes land ordinary z-clustered, stats-manifested, OCC-committed
   * versions — nothing a SQL-surface writer produces is second-class.
   */
 class GraftSourceProvider extends RelationProvider
@@ -88,7 +92,7 @@ class GraftSourceProvider extends RelationProvider
     mode match {
       case SaveMode.Append =>
         DataLayout.appendZOrdered(data, o.dims, o.bits, o.statsCols,
-          o.dir, o.numFiles)
+          o.dir, o.numFiles, directCommit = o.directCommit)
       case SaveMode.Overwrite =>
         DataLayout.writeZOrdered(data, o.dims, o.bits, o.statsCols,
           o.dir, o.numFiles)
@@ -100,6 +104,10 @@ class GraftSourceProvider extends RelationProvider
         DataLayout.writeZOrdered(data, o.dims, o.bits, o.statsCols,
           o.dir, o.numFiles)
     }
+    // this surface KNOWS its dimension names: persist them so SQL DML
+    // (INSERT INTO / GraftSql DELETE / MERGE) can recover the clustering
+    LayoutConfig.record(spark, o.dir,
+      LayoutConfig.Config(o.dimNames, o.bits, o.statsCols, o.numFiles))
     createRelation(sqlContext, parameters)
   }
 
@@ -119,9 +127,16 @@ class GraftSourceProvider extends RelationProvider
 }
 
 /** DV-masked relation: correctness over raw scan speed (see
-  * [[GraftSourceProvider]]). */
-class MaskedLayoutRelation(ctx: SQLContext, dir: String, version: Long)
-    extends BaseRelation with PrunedFilteredScan {
+  * [[GraftSourceProvider]]). Insertable like the clean-path relation —
+  * an INSERT never touches the DV mask (fresh rows have no positions). */
+class MaskedLayoutRelation(ctx: SQLContext, val layoutDir: String,
+    version: Long) extends BaseRelation with PrunedFilteredScan
+    with InsertableRelation {
+  private def dir: String = layoutDir
+
+  override def insert(data: DataFrame, overwrite: Boolean): Unit =
+    GraftSql.insertInto(ctx.sparkSession, dir, version,
+      schema.fieldNames.toSeq, data, overwrite)
 
   override def sqlContext: SQLContext = ctx
 

@@ -34,7 +34,7 @@ private[layout] final case class LayoutWriteOptions(
     dir: String, dimNames: Seq[String], bits: Int,
     statsCols: Seq[String], numFiles: Int, txnAppId: Option[String],
     maintainEvery: Option[Int] = None, rowsPerFile: Long = 1L << 20,
-    maintainRetain: Option[Int] = None) {
+    maintainRetain: Option[Int] = None, directCommit: Boolean = false) {
 
   def dims: Seq[Column] = dimNames.map {
     case s if s.startsWith("str:") =>
@@ -62,11 +62,33 @@ private[layout] object LayoutWriteOptions {
       .getOrElse(dims.map(_.stripPrefix("str:")))
     val files = opt("filesPerBatch").orElse(opt("numFiles"))
       .map(_.trim.toInt).getOrElse(16)
+    // misconfiguration fails HERE — at writeStream.start()/save() with a
+    // clear message — never at runtime inside addBatch (maintainEvery=0
+    // would otherwise throw ArithmeticException on batchId % 0 and kill
+    // the streaming query on its first committed batch)
+    require(bits >= 1, s"'bits' must be >= 1: $bits")
+    require(files >= 1, s"'filesPerBatch'/'numFiles' must be >= 1: $files")
+    val maintainEvery = opt("maintainEvery").map(_.trim.toInt)
+    maintainEvery.foreach(n =>
+      require(n >= 1, s"'maintainEvery' must be >= 1 (batches): $n"))
+    val rowsPerFile = opt("rowsPerFile").map(_.trim.toLong).getOrElse(1L << 20)
+    require(rowsPerFile >= 1, s"'rowsPerFile' must be >= 1: $rowsPerFile")
+    val maintainRetain = opt("maintainRetain").map(_.trim.toInt)
+    maintainRetain.foreach(r =>
+      require(r >= 0, s"'maintainRetain' must be >= 0 (versions): $r"))
+    // commitMode=direct: the object-store append profile (no data-byte
+    // renames; visibility via the manifest commit alone) — see
+    // DataLayout.appendZOrdered's directCommit
+    val commitMode = opt("commitMode").map(_.trim.toLowerCase)
+      .getOrElse("rename")
+    require(commitMode == "rename" || commitMode == "direct",
+      s"'commitMode' must be 'rename' or 'direct': $commitMode")
     LayoutWriteOptions(dir, dims, bits, stats, files,
       opt("txnAppId").orElse(opt("checkpointLocation")),
-      maintainEvery = opt("maintainEvery").map(_.trim.toInt),
-      rowsPerFile = opt("rowsPerFile").map(_.trim.toLong).getOrElse(1L << 20),
-      maintainRetain = opt("maintainRetain").map(_.trim.toInt))
+      maintainEvery = maintainEvery,
+      rowsPerFile = rowsPerFile,
+      maintainRetain = maintainRetain,
+      directCommit = commitMode == "direct")
   }
 }
 
@@ -108,7 +130,14 @@ private[layout] class GraftLayoutSink(opts: LayoutWriteOptions) extends Sink {
     // as a batch frame (nothing collected) so the layout writer can run it
     val batch = StreamingFrameShim.asBatch(data)
     val committed = DataLayout.appendZOrderedTxn(batch, opts.dims, opts.bits,
-      opts.statsCols, opts.dir, opts.numFiles, appId, batchId)
+      opts.statsCols, opts.dir, opts.numFiles, appId, batchId,
+      directCommit = opts.directCommit)
+    // persist the write config once (SQL DML reads it back); absent-only,
+    // so the per-batch cost is one tiny existence probe
+    if (LayoutConfig.read(data.sparkSession, opts.dir).isEmpty)
+      LayoutConfig.record(data.sparkSession, opts.dir,
+        LayoutConfig.Config(opts.dimNames, opts.bits, opts.statsCols,
+          opts.numFiles))
     if (!committed)
       org.slf4j.LoggerFactory.getLogger(classOf[GraftLayoutSink]).info(
         s"graft sink: batch $batchId of app $appId already committed — skipped")

@@ -75,8 +75,12 @@ object Maintenance {
       vacuumed: Option[DataLayout.VacuumReport],
       bloomRefreshed: Seq[DataLayout.BloomRefresh], reasons: Seq[String])
 
-  /** Measure debt from the manifest + DV log — O(files), zero data I/O. */
-  def assess(spark: SparkSession, dir: String, rowsPerFile: Long): Debt = {
+  /** Measure debt from the manifest + DV log — O(files), zero data I/O.
+    * `retainVersions` scopes `reclaimableFiles` to what a vacuum at that
+    * retention would actually delete (default 0 = the most inclusive
+    * view: everything tombstoned and off the alive set). */
+  def assess(spark: SparkSession, dir: String, rowsPerFile: Long,
+      retainVersions: Int = 0): Debt = {
     val alive = DataLayout.aliveManifest(spark, dir)
       .select("file", "zmin", "zmax", "n_rows").collect()
     val rows = alive.map(r => if (r.isNullAt(3)) 0L else r.getLong(3)).sum
@@ -120,19 +124,35 @@ object Maintenance {
         (byFile.length, byFile.map(_._2).sum)
     }
     Debt(alive.length, rows, small, clusterFiles, clusters, dvFiles, dvRows,
-      reclaimableCount(spark, dir, aliveCanon), fullOverlap)
+      reclaimableCount(spark, dir, aliveCanon, retainVersions), fullOverlap)
   }
 
-  /** Tombstoned-but-on-disk count alone — the vacuum trigger, kept as a
-    * targeted probe so the mid-pass re-checks in [[run]] don't pay a full
-    * [[assess]] each. */
+  /** Tombstoned-but-on-disk count that VACUUM CAN ACTUALLY RECLAIM under
+    * `retainVersions` — files whose last tombstone sits at or below the
+    * horizon `max(recorded horizon, hwm − retain)`, exactly the retention
+    * test vacuum applies. Counting every tombstoned file regardless of
+    * horizon (the earlier shape) made the trigger fire every pass under
+    * steady churn with retain >= 1 while each vacuum reclaimed nothing —
+    * a whole-log rewrite per pass for zero yield. Kept as a targeted probe
+    * so the mid-pass re-checks in [[run]] don't pay a full [[assess]]. */
   private def reclaimableCount(spark: SparkSession, dir: String,
-      aliveCanon: Set[String]): Int =
+      aliveCanon: Set[String], retainVersions: Int): Int = {
+    val hwm = DataLayout.currentVersion(spark, dir)
+    val horizon = math.max(DataLayout.vacuumHorizon(spark, dir),
+      math.max(0L, hwm - retainVersions))
+    // ON-DISK check as well as the log test: vacuum's grace-deferred log
+    // reclaim leaves tombstone rows visible for already-deleted files —
+    // counting those would re-fire the trigger forever after one vacuum
+    val onDisk = DataLayout.listDataFiles(spark, dir)
+      .map(DataLayout.canon).toSet
     DataLayout.manifestLog(spark, dir)
-      .where(col("v_removed").isNotNull &&
-        !col("file").startsWith("_graft_")) // all synthetic sentinel rows
-      .select("file").distinct().collect()
-      .map(r => DataLayout.canon(r.getString(0))).count(f => !aliveCanon(f))
+      .where(!col("file").startsWith("_graft_")) // all synthetic sentinel rows
+      .groupBy("file").agg(max("v_removed").as("_vr"))
+      .where(col("_vr").isNotNull && col("_vr") <= horizon)
+      .select("file").collect()
+      .map(r => DataLayout.canon(r.getString(0)))
+      .count(f => !aliveCanon(f) && onDisk(f))
+  }
 
   private def aliveCanonSet(spark: SparkSession, dir: String): Set[String] =
     DataLayout.aliveManifest(spark, dir).select("file").collect()
@@ -142,7 +162,7 @@ object Maintenance {
     * the layout's clustering (as for every rewrite primitive). */
   def run(spark: SparkSession, dir: String, dims: Seq[Column], bits: Int,
       statsCols: Seq[String], policy: Policy): Report = {
-    val before = assess(spark, dir, policy.rowsPerFile)
+    val before = assess(spark, dir, policy.rowsPerFile, policy.retainVersions)
     val reasons = scala.collection.mutable.ArrayBuffer.empty[String]
     val purged =
       if (before.dvRows >= policy.minDvRows) {
@@ -167,7 +187,8 @@ object Maintenance {
           policy.rowsPerFile))
       } else None
     val reclaimableNow =
-      reclaimableCount(spark, dir, aliveCanonSet(spark, dir))
+      reclaimableCount(spark, dir, aliveCanonSet(spark, dir),
+        policy.retainVersions)
     val vacuumed =
       if (reclaimableNow >= policy.minReclaimableFiles) {
         reasons += s"vacuum: $reclaimableNow reclaimable files, retaining ${policy.retainVersions} versions"
@@ -183,7 +204,8 @@ object Maintenance {
           s"bloom refresh: ${r.map(b => s"${b.column}(+${b.filesIndexed}/-${b.staleDropped})").mkString(", ")}"
         r
       } else Nil
-    Report(before, assess(spark, dir, policy.rowsPerFile), purged, overlap,
-      packed, vacuumed, blooms, reasons.toSeq)
+    Report(before,
+      assess(spark, dir, policy.rowsPerFile, policy.retainVersions),
+      purged, overlap, packed, vacuumed, blooms, reasons.toSeq)
   }
 }

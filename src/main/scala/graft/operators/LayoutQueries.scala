@@ -551,6 +551,70 @@ object LayoutQueries {
         .orderBy("sign", "o_orderkey")
     }),
 
+    // SQL-only DML lifecycle on a `USING graft` view: df.write records
+    // the layout's write config; INSERT INTO rides the native
+    // InsertableRelation (a manifested, z-clustered, OCC-committed
+    // append — never InsertIntoHadoopFsRelationCommand's raw parquet
+    // drop); DELETE FROM lands as deletion vectors + an immediate
+    // file-targeted purge; MERGE INTO is the envelope-targeted upsert.
+    // The final read goes back through the SAME SQL view. Oracle: the
+    // DuckDB replay of the same four statements.
+    "q_layout_sql_dml" -> ((s, d) => {
+      val dir = layoutDir(d) + "_sqldml"
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val orders = Tables.load(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val mod = pmod(col("o_orderkey"), lit(4))
+      orders.where(mod < 3).write.format("graft").mode("overwrite")
+        .option("dims", "o_custkey").option("bits", Bits.toString)
+        .option("statsCols", "o_custkey,o_orderkey,o_totalprice")
+        .option("numFiles", "12").save(dir)
+      s.sql("DROP VIEW IF EXISTS sqldml_v")
+      s.sql(s"CREATE TEMPORARY VIEW sqldml_v USING graft OPTIONS (path '$dir')")
+      orders.where(mod === 3).createOrReplaceTempView("sqldml_delta")
+      s.sql("INSERT INTO sqldml_v SELECT * FROM sqldml_delta")
+      graft.layout.GraftSql(s,
+        "DELETE FROM sqldml_v WHERE o_custkey BETWEEN 300 AND 400")
+      orders.where(col("o_orderkey").between(100, 2000))
+        .withColumn("o_orderstatus", lit("M"))
+        .createOrReplaceTempView("sqldml_src")
+      graft.layout.GraftSql(s,
+        """MERGE INTO sqldml_v USING sqldml_src src
+          |ON sqldml_v.o_orderkey = src.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.sql("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+              |FROM sqldml_v ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // Cross-layout diff between DIFFERENTLY-CLUSTERED layouts — the
+    // checksum-bisection path: clustering differs, so no file fingerprint
+    // can cancel and the dirty sets are both whole tables; the differ
+    // segments the shared o_orderkey space from manifest envelopes,
+    // aggregates one additive checksum per segment per side (map-side
+    // combined, no row shuffle), and row-diffs ONLY the mismatched
+    // segments — the reference's hashdiff bisection
+    // (data_diff/hashdiff_tables.py:169-264) applied between layouts.
+    // LayoutDiff2Spec pins the mechanics (segmentsDirty small,
+    // filesRowDiffed pruned on the key-clustered side).
+    "q_layout_diff2_mixed" -> ((s, d) => {
+      val a = layoutDir(d) + "_d2xa"
+      val b = layoutDir(d) + "_d2xb"
+      val orders = Tables.load(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      DataLayout.writeZOrdered(orders,
+        Seq(col("o_custkey"), cents("o_totalprice")), Bits,
+        Seq("o_custkey", "o_totalprice", "o_orderkey"), a, numFiles = 16)
+      DataLayout.writeZOrdered(orders, Seq(col("o_orderkey")), Bits,
+        Seq("o_orderkey"), b, numFiles = 12)
+      DataLayout.deleteWhere(s, b, Seq(col("o_orderkey")), Bits,
+        Seq("o_orderkey"), Seq(("o_orderkey", 1000L, 3000L)))
+      DataLayout.diffLayouts(s, a, b, Seq("o_orderkey"),
+          Seq("o_custkey", "o_orderstatus", "o_totalprice")).df
+        .orderBy("sign", "o_orderkey")
+    }),
+
     // Full re-cluster by NEW dimensions (query patterns changed): the
     // table first lands z-ordered by (custkey, price), then reclusters by
     // orderkey as one new version; a 1-D orderkey range through skipScan
@@ -767,6 +831,24 @@ object LayoutQueries {
       """SELECT '-' AS sign, o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders
         |WHERE o_custkey BETWEEN 100 AND 200
+        |ORDER BY sign, o_orderkey""".stripMargin,
+
+    "q_layout_sql_dml" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |  FROM orders
+        |  WHERE NOT (o_custkey BETWEEN 300 AND 400)
+        |    AND o_orderkey NOT BETWEEN 100 AND 2000
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, 'M' AS o_orderstatus, o_totalprice
+        |  FROM orders
+        |  WHERE o_orderkey BETWEEN 100 AND 2000
+        |) ORDER BY o_orderkey""".stripMargin,
+
+    "q_layout_diff2_mixed" ->
+      """SELECT '-' AS sign, o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey BETWEEN 1000 AND 3000
         |ORDER BY sign, o_orderkey""".stripMargin,
 
     "q_layout_recluster" ->

@@ -33,4 +33,12 @@ object StreamingFrameShim {
       .queryExecution
     spark.internalCreateDataFrame(qe.toRdd, df.schema, isStreaming = false)
   }
+
+  /** A DataFrame from a parsed-but-unresolved LogicalPlan — what the SQL
+    * DML helper (GraftSql) needs to execute a MERGE statement's source
+    * subplan. `Dataset.ofRows` is `private[sql]`, hence this bridge. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

@@ -27,6 +27,18 @@ class BenchSpec extends AnyFunSuite {
     assert(parsed("q_slow") === 120.0)
   }
 
+  test("parseGateTimes skips the per-rep arrays in the detail format") {
+    // bench_last.json now carries "reps":{"q_x":[a,b,c]} next to
+    // "queries":{"q_x":min} — the arrays must not parse as gate times
+    // (the regex requires a bare numeric value, and nothing inside an
+    // array carries a "name":number shape)
+    val json =
+      """{"metric":"total","value":1.0,"unit":"sec",""" +
+        """"queries":{"q_a":0.5,"q_b":0.5},""" +
+        """"reps":{"q_a":[0.5,8.25,0.6],"q_b":[0.5,0.55,0.5]},"sf":"/x"}"""
+    assert(Bench.parseGateTimes(json) === Map("q_a" -> 0.5, "q_b" -> 0.5))
+  }
+
   test("parseGateTimes round-trips the best-file format") {
     val best =
       """{"metric":"best","value":0.73,"unit":"sec","sf":"/root/testdata/sf0.1",""" +

@@ -122,12 +122,23 @@ class DeletionVectorSpec extends AnyFunSuite {
 
     // vacuum: retired originals leave disk; a PLAIN read now equals the
     // masked read (the soft-deleted bytes are gone), and the DV log is
-    // compacted to empty (every DV'd file is dead post-purge)
+    // LOGICALLY empty — every DV'd file is dead post-purge, so no position
+    // is effective at any retained version. (The physical DV commit files
+    // linger up to the grace window — log reclaim is age-deferred so a
+    // reader's in-flight listing never loses a file mid-read.)
     val vr = DataLayout.vacuum(spark, dir, retainVersions = 0)
     assert(vr.filesDeleted == p.filesRewritten)
     assert(ids(spark.read.parquet(dir).select("id")) == maskedWant)
-    assert(DataLayout.dvLog(spark, dir).forall(_.isEmpty))
+    assert(!DataLayout.dvEffectiveAt(spark, dir))
     assert(ids(DataLayout.readLayout(spark, dir)) == maskedWant)
+    // an aged DV log IS reclaimed: back-date it and vacuum again
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dvDir = new org.apache.hadoop.fs.Path(s"$dir/${DataLayout.DvDir}")
+    val old = System.currentTimeMillis() - 2 * DataLayout.DefaultVacuumGraceMs
+    fs.listStatus(dvDir).foreach(s => fs.setTimes(s.getPath, old, old))
+    DataLayout.vacuum(spark, dir, retainVersions = 0)
+    assert(DataLayout.dvLog(spark, dir).forall(_.isEmpty))
   }
 
   test("vacuum keeps DV rows that still mask alive files") {

@@ -248,6 +248,25 @@ class GraftWriteSpec extends AnyFunSuite {
     assert(DataLayout.readLayout(spark, dir).count() == 150L)
   }
 
+  test("misconfigured write options fail at the surface, never at runtime") {
+    val dir = Files.createTempDirectory("graft_w").toString + "/t"
+    def w(opts: (String, String)*) = {
+      val wr = mk(0 until 10).write.format("graft").mode("overwrite")
+        .option("dims", "x")
+      opts.foldLeft(wr) { case (b, (k, v)) => b.option(k, v) }.save(dir)
+    }
+    // maintainEvery=0 used to pass parsing and throw ArithmeticException
+    // (batchId % 0) inside the sink's addBatch — killing the streaming
+    // query at its FIRST committed batch instead of at start()
+    intercept[IllegalArgumentException] { w("maintainEvery" -> "0") }
+    intercept[IllegalArgumentException] { w("maintainEvery" -> "-3") }
+    intercept[IllegalArgumentException] { w("rowsPerFile" -> "0") }
+    intercept[IllegalArgumentException] { w("filesPerBatch" -> "0") }
+    intercept[IllegalArgumentException] { w("maintainRetain" -> "-1") }
+    w() // the clean spelling still lands
+    assert(DataLayout.currentVersion(spark, dir) == 0L)
+  }
+
   test("sink refuses non-append modes and demands dims + a stable app id") {
     val base = Files.createTempDirectory("graft_sinkopt").toString
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext

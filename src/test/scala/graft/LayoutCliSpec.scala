@@ -156,15 +156,20 @@ class LayoutCliSpec extends AnyFunSuite {
     cli("append", dir, "--from", root + "/ovl", "--dims", "amt",
       "--stats", "k,amt", "--bits", "16", "--files", "4") // z-overlap debt
     cli("delete", dir, "--range", "amt:0:99", "--soft")   // DV debt
+    // retain 0: the pass's own purge/compact tombstones are immediately
+    // reclaimable, so the vacuum arm fires in the same run. (At retain>=1
+    // the trigger correctly does NOT fire on tombstones still inside the
+    // retention window — counting them anyway was the no-yield-vacuum
+    // defect MaintenanceSpec pins.)
     val out = cli("maintain", dir, "--dims", "amt", "--stats", "k,amt",
-      "--bits", "16", "--rows-per-file", "2000", "--retain", "1")
+      "--bits", "16", "--rows-per-file", "2000", "--retain", "0")
     assert(out.contains(""""purged":true"""))
     assert(out.contains(""""overlap_compacted":true"""))
     assert(out.contains(""""vacuumed":true"""))
     assert(DataLayout.readLayout(spark, dir).count() == 3800L)
     // a second pass finds nothing left to do
     val again = cli("maintain", dir, "--dims", "amt", "--stats", "k,amt",
-      "--bits", "16", "--rows-per-file", "2000", "--retain", "1")
+      "--bits", "16", "--rows-per-file", "2000", "--retain", "0")
     assert(again.contains(""""purged":false"""))
     assert(again.contains(""""overlap_compacted":false"""))
 

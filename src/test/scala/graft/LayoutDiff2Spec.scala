@@ -145,6 +145,74 @@ class LayoutDiff2Spec extends AnyFunSuite {
     assert(fp(s"$root/b").isEmpty)
   }
 
+  test("bisection: differently-clustered layouts row-diff only the dirty key segments") {
+    val root = Files.createTempDirectory("graft_ld2").toString
+    // A clustered by (x, y), B by id — no file fingerprint can cancel, so
+    // without bisection the row diff would shuffle both whole tables
+    DataLayout.writeZOrdered(mk(0 until 20000), dims, 16,
+      Seq("id", "x", "y"), s"$root/a", 12)
+    DataLayout.writeZOrdered(mk(0 until 20000), Seq(col("id")), 16,
+      Seq("id"), s"$root/b", 12)
+    // localized mutation: one contiguous 100-key range leaves B
+    DataLayout.deleteWhere(spark, s"$root/b", Seq(col("id")), 16,
+      Seq("id"), Seq(("id", 7000L, 7099L)))
+    val d = DataLayout.diffLayouts(spark, s"$root/a", s"$root/b",
+      Seq("id"), Seq("x", "y"))
+    // the checksum pass touches everything once (nothing cancels)...
+    assert(d.filesReadA == d.filesTotalA && d.filesReadB == d.filesTotalB)
+    // ...but the ROW diff is confined to the mutation's few segments, and
+    // on the id-clustered side to the few files whose envelopes hold them
+    assert(d.filesRowDiffedA >= 0, s"bisection did not engage: $d")
+    assert(d.segmentsDirty >= 1 && d.segmentsDirty <= 4, d.toString)
+    assert(d.segmentsTotal > 100, d.toString)
+    assert(d.filesRowDiffedB < d.filesReadB, d.toString)
+    val got = d.df.select("sign", "id").as[(String, Long)].collect()
+    assert(got.forall(_._1 == "-"))
+    assert(got.map(_._2).sorted.toSeq == (7000L to 7099L))
+  }
+
+  test("bisection: equal content under different clustering with NO usable fingerprints → zero row work") {
+    val root = Files.createTempDirectory("graft_ld2").toString
+    DataLayout.writeZOrdered(mk(0 until 5000), dims, 16,
+      Seq("id", "x", "y"), s"$root/a", 8)
+    DataLayout.writeZOrdered(mk(0 until 5000), Seq(col("id")), 16,
+      Seq("id"), s"$root/b", 8)
+    // strip A's fingerprints (a manifest predating the column): the global
+    // and file fast paths are both unavailable, but the segment checksums
+    // still prove equality without a single row-level join
+    val mPath = s"$root/a/${DataLayout.ManifestDir}"
+    val stripped = spark.read.parquet(mPath).drop("content_fp")
+      .localCheckpoint(true)
+    stripped.write.mode("overwrite").parquet(mPath)
+    val d = DataLayout.diffLayouts(spark, s"$root/a", s"$root/b",
+      Seq("id"), Seq("x", "y"))
+    assert(d.segmentsDirty == 0 && d.filesRowDiffedA == 0 &&
+      d.filesRowDiffedB == 0, d.toString)
+    assert(d.df.isEmpty)
+  }
+
+  test("bisection: string keys segment via the byte-order-monotone packing") {
+    val root = Files.createTempDirectory("graft_ld2").toString
+    def mkS(ids: Range) = ids.map(i =>
+      (f"k$i%06d", i.toLong, (i * 13L) % 65536L)).toDF("k", "id", "x")
+    DataLayout.writeZOrdered(mkS(0 until 8000), Seq(col("x")), 16,
+      Seq("k", "x"), s"$root/a", 8)
+    DataLayout.writeZOrdered(mkS(0 until 8000),
+      Seq(DataLayout.stringDim(col("k"), 48)), 48, Seq("k"), s"$root/b", 8)
+    DataLayout.deleteWhere(spark, s"$root/b",
+      Seq(DataLayout.stringDim(col("k"), 48)), 48, Seq("k"),
+      Seq(("k", "k003000", "k003099")))
+    val d = DataLayout.diffLayouts(spark, s"$root/a", s"$root/b",
+      Seq("k"), Seq("id", "x"))
+    assert(d.filesRowDiffedA >= 0, s"bisection did not engage: $d")
+    assert(d.segmentsDirty >= 1 && d.segmentsDirty <= 4, d.toString)
+    assert(d.filesRowDiffedB < d.filesReadB, d.toString)
+    val got = d.df.select("sign", "k").as[(String, String)].collect()
+    assert(got.forall(_._1 == "-"))
+    assert(got.map(_._2).sorted.toSeq ==
+      (3000 until 3100).map(i => f"k$i%06d"))
+  }
+
   test("column order does not matter to the fingerprint; extra columns do") {
     val root = Files.createTempDirectory("graft_ld2").toString
     write(s"$root/a", 0 until 500)

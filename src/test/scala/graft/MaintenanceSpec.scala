@@ -146,6 +146,32 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(DataLayout.readLayout(spark, dir).count() == 500L)
   }
 
+  test("the vacuum trigger counts only what vacuum can reclaim under retention") {
+    val dir = Files.createTempDirectory("graft_maint").toString + "/t"
+    DataLayout.writeZOrdered(mk(0 until 2000), dims, 16, stats, dir, 4) // v0
+    DataLayout.recluster(spark, dir, dims, 16, stats, 4)                // v1
+    // v1's tombstones (v_removed = 1) sit INSIDE a retain-1 window at
+    // hwm 1: a vacuum would reclaim nothing. The trigger must agree —
+    // counting them anyway (the earlier shape) fired a no-yield,
+    // whole-log-rewriting vacuum on EVERY maintenance pass under steady
+    // churn.
+    assert(Maintenance.assess(spark, dir, 1000L, retainVersions = 1)
+      .reclaimableFiles == 0)
+    // at retain 0 the same tombstones ARE reclaimable, and a run at that
+    // policy vacuums them
+    assert(Maintenance.assess(spark, dir, 1000L, retainVersions = 0)
+      .reclaimableFiles == 4)
+    val rep = Maintenance.run(spark, dir, dims, 16, stats,
+      Maintenance.Policy(rowsPerFile = 1000L, minReclaimableFiles = 1,
+        retainVersions = 0))
+    assert(rep.vacuumed.exists(_.filesDeleted == 4))
+    // and a second pass right after has nothing left to trigger on
+    val rep2 = Maintenance.run(spark, dir, dims, 16, stats,
+      Maintenance.Policy(rowsPerFile = 1000L, minReclaimableFiles = 1,
+        retainVersions = 0))
+    assert(rep2.vacuumed.isEmpty)
+  }
+
   test("a clean layout is a no-op: nothing fires, no version burns") {
     val dir = Files.createTempDirectory("graft_maint").toString + "/t"
     DataLayout.writeZOrdered(mk(0 until 3000), dims, 16, stats, dir, 3)

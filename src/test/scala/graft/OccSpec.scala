@@ -64,15 +64,20 @@ class OccSpec extends AnyFunSuite {
     // a YOUNG unlogged orphan might be a live concurrent appender's
     // renamed-but-uncommitted output: vacuum protects it...
     assert(DataLayout.vacuum(spark, dir).filesDeleted == 0)
-    // ...an AGED one is certainly residue: reclaimed
+    // ...an AGED one is certainly residue: reclaimed. Age the wedged
+    // foreign commit file too — log reclaim is equally grace-deferred (a
+    // young commit may be a live writer's), and only the reclaim frees
+    // version 1 for the retried append below.
     val logged = DataLayout.manifestLog(spark, dir).select("file")
       .collect().map(r => DataLayout.canon(r.getString(0))).toSet
     val old = System.currentTimeMillis() - 2 * DataLayout.DefaultVacuumGraceMs
     for (f <- DataLayout.listDataFiles(spark, dir)
          if !logged(DataLayout.canon(f)))
       fs.setTimes(p(f), old, old)
+    fs.setTimes(p(s"$dir/${DataLayout.ManifestDir}/commit-v1.parquet"), old, old)
     val report = DataLayout.vacuum(spark, dir)
     assert(report.filesDeleted >= 1)
+    assert(!fs.exists(p(s"$dir/${DataLayout.ManifestDir}/commit-v1.parquet")))
     DataLayout.appendZOrdered(Seq((200L, 200L)).toDF("k", "amt"),
       dims, 16, Seq("k"), dir, 1)
     assert(DataLayout.readLayout(spark, dir).count() == 101L)
@@ -109,9 +114,14 @@ class OccSpec extends AnyFunSuite {
     DataLayout.appendZOrdered(Seq((60L, 60L)).toDF("k", "amt"),
       dims, 16, Seq("k"), dir, 1)
     assert(DataLayout.currentVersion(spark, dir) == 1L)
-    // vacuum clears it regardless of age: the LOG REWRITE consolidates
-    // the whole manifest dir (a concurrent commit during vacuum is
-    // outside the rewrite-exclusivity contract anyway)
+    // a YOUNG stage dir might be a live concurrent committer's in-flight
+    // write (supported — vacuum's log compaction is snapshot-based and
+    // never consolidates files it didn't list at start): protected...
+    DataLayout.vacuum(spark, dir)
+    assert(fs.exists(stage))
+    // ...an AGED one is certainly crash residue: reclaimed
+    val old = System.currentTimeMillis() - 2 * DataLayout.DefaultVacuumGraceMs
+    fs.setTimes(stage, old, old)
     DataLayout.vacuum(spark, dir)
     assert(!fs.exists(stage))
   }
@@ -247,6 +257,42 @@ class OccSpec extends AnyFunSuite {
     assert(perV == Seq(100L, 100L), s"attribution skewed: $perV")
   }
 
+  test("vacuum racing appends: every commit that lands mid-vacuum survives") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = fresh(1 to 100) // v0
+    // history for the vacuums to actually reclaim: a rewrite's tombstones
+    DataLayout.recluster(spark, dir, dims, 16, Seq("k"), 2) // v1
+    val appends = 8
+    val gate = new java.util.concurrent.CountDownLatch(2)
+    val appender = Future {
+      gate.countDown(); gate.await()
+      for (i <- 0 until appends)
+        DataLayout.appendZOrdered(
+          (1000 + i * 50 until 1050 + i * 50).map(j => (j.toLong, j.toLong))
+            .toDF("k", "amt"), dims, 16, Seq("k"), dir, 1)
+    }
+    val vacuumer = Future {
+      gate.countDown(); gate.await()
+      // continuous vacuums across the whole append window: the snapshot
+      // discipline means a commit file landing between a vacuum's log
+      // listing and its old-file deletion is never compacted NOR deleted
+      // (the old mode("overwrite") rewrite erased exactly such commits,
+      // permanently orphaning the append's data)
+      for (_ <- 0 until 12) DataLayout.vacuum(spark, dir, retainVersions = 1)
+    }
+    Await.result(Future.sequence(Seq(appender, vacuumer)), 300.seconds)
+    assert(DataLayout.currentVersion(spark, dir) == (1 + appends).toLong)
+    val ks = DataLayout.readLayout(spark, dir).select("k").as[Long].collect()
+    assert(ks.length == 100 + appends * 50, s"rows lost: ${ks.length}")
+    assert(ks.toSet.size == ks.length)
+    // and the layout is still fully operable after the storm
+    DataLayout.appendZOrdered(Seq((9999L, 1L)).toDF("k", "amt"),
+      dims, 16, Seq("k"), dir, 1)
+    assert(DataLayout.readLayout(spark, dir).count() == (101 + appends * 50).toLong)
+  }
+
   test("concurrent schema evolution: the final schema covers BOTH writers' columns") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
@@ -277,7 +323,7 @@ class OccSpec extends AnyFunSuite {
       .where(col("k") === 500L).select("c").head().getLong(0) == 3L)
   }
 
-  test("a rewrite that loses the race still refuses (no auto-retry)") {
+  test("a data-semantic rewrite that loses the race still refuses (no auto-retry)") {
     val dir = fresh(1 to 100)
     // same wedged-race plant as the append test: v1 occupied, version 0
     DataLayout.commitLogFile(s"$dir/${DataLayout.ManifestDir}",
@@ -288,5 +334,74 @@ class OccSpec extends AnyFunSuite {
     }
     // nothing was deleted; the layout still reads at v0
     assert(DataLayout.readLayout(spark, dir).count() == 100L)
+  }
+
+  test("compaction racing an append: BOTH land (row-preserving rewrite re-validates)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = fresh(2 until 2002 by 2) // v0: even keys, 2 files
+    // overlap debt so the compaction has real work: ODD keys interleave
+    // the even base's z-range (clustering is on k)
+    DataLayout.appendZOrdered(
+      (1 until 1000 by 2).map(i => (i.toLong, i.toLong)).toDF("k", "amt"),
+      dims, 16, Seq("k"), dir, 1) // v1: z-overlaps v0's first file
+    val gate = new java.util.concurrent.CountDownLatch(2)
+    val compactor = Future {
+      gate.countDown(); gate.await()
+      DataLayout.compactZOrdered(spark, dir, dims, 16, Seq("k"),
+        rowsPerFile = 4000L)
+    }
+    val appender = Future {
+      gate.countDown(); gate.await()
+      DataLayout.appendZOrdered(
+        (1 to 50).map(i => (i.toLong + 50000L, i.toLong + 50000L))
+          .toDF("k", "amt"), dims, 16, Seq("k"), dir, 1)
+    }
+    val compacted = Await.result(
+      compactor.zip(appender.map(_ => ())), 300.seconds)._1
+    // the compaction really rewrote the overlap cluster...
+    assert(compacted.filesRewritten >= 2, compacted.toString)
+    // ...and both committed — whoever lost the version race re-validated
+    // (the append's fresh file is never in the compaction's tombstone
+    // set) — with every row present exactly once
+    assert(DataLayout.currentVersion(spark, dir) == 3L)
+    val ks = DataLayout.readLayout(spark, dir).select("k").as[Long].collect()
+    assert(ks.length == 1550, s"rows lost or duplicated: ${ks.length}")
+    assert(ks.toSet.size == 1550)
+  }
+
+  test("CONFLICTING rewrites racing: at most one lands work, the loser refuses, rows exact") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.util.{Failure, Try}
+    val dir = fresh(1 to 1000) // v0
+    DataLayout.appendZOrdered(
+      (1 to 1000).map(i => (i.toLong + 10000L, i.toLong)).toDF("k", "amt"),
+      dims, 16, Seq("k"), dir, 1) // v1: overlap debt both racers will claim
+    val gate = new java.util.concurrent.CountDownLatch(2)
+    def racer() = Future {
+      gate.countDown(); gate.await()
+      Try(DataLayout.compactZOrdered(spark, dir, dims, 16, Seq("k"),
+        rowsPerFile = 4000L))
+    }
+    val results = Await.result(
+      Future.sequence(Seq(racer(), racer())), 300.seconds)
+    // the loser's re-validation finds its tombstone set already retired by
+    // the winner: it must REFUSE (CME), never double-tombstone. (A racer
+    // that read the manifest after the winner committed legitimately finds
+    // nothing to compact — a no-op report, also safe.)
+    results.collect { case Failure(e) =>
+      assert(e.isInstanceOf[java.util.ConcurrentModificationException],
+        s"unexpected failure: $e")
+    }
+    val worked = results.collect {
+      case scala.util.Success(r) if r.filesRewritten > 0 => r
+    }
+    assert(worked.size <= 1, s"both rewrites landed work: $results")
+    // and the data is exact regardless of which interleave happened
+    val ks = DataLayout.readLayout(spark, dir).select("k").as[Long].collect()
+    assert(ks.length == 2000 && ks.toSet.size == 2000, s"rows: ${ks.length}")
   }
 }

@@ -120,6 +120,28 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(got.where(col("y").isNull).count() == 100L)
   }
 
+  test("an EMPTY delta carrying new columns still widens the schema (one sentinel version)") {
+    val dir = tmp() + "/t"
+    val base = (0 until 200).map(i => (i.toLong, i % 7L)).toDF("id", "x")
+    DataLayout.writeZOrdered(base, Seq(col("id")), 16, Seq("id"), dir, 2)
+    // a CDC source can announce a widened schema before its first widened
+    // row arrives: the zero-row append must not silently drop the change
+    val empty = Seq.empty[(Long, Long, String)].toDF("id", "x", "label")
+    DataLayout.appendZOrdered(empty, Seq(col("id")), 16, Seq("id"), dir, 1)
+    assert(DataLayout.currentVersion(spark, dir) == 1L)
+    val latest = DataLayout.readLayout(spark, dir)
+    assert(latest.columns.toSeq == Seq("id", "x", "label"))
+    assert(latest.count() == 200L) // sentinel row is never alive
+    assert(latest.where(col("label").isNull).count() == 200L)
+    // version 0 keeps its own narrower schema
+    assert(DataLayout.readLayout(spark, dir, 0L).columns.toSeq == Seq("id", "x"))
+    // an empty delta with NO new columns stays a version-free no-op
+    DataLayout.appendZOrdered(
+      Seq.empty[(Long, Long, String)].toDF("id", "x", "label"),
+      Seq(col("id")), 16, Seq("id"), dir, 1)
+    assert(DataLayout.currentVersion(spark, dir) == 1L)
+  }
+
   test("pre-evolution layouts (no schema log) still read from file footers") {
     val dir = tmp() + "/t"
     val base = (0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "p")

@@ -240,6 +240,48 @@ class VersionSpec extends AnyFunSuite {
     }
   }
 
+  test("changeFeed ≡ per-step diffVersions across a mixed history") {
+    val dir = Files.createTempDirectory("graft_version").toString + "/t"
+    build(dir) // v0 write, v1 append, v2 delete
+    DataLayout.deleteVectors(spark, dir, Seq(("x", 60000L, 61000L)))  // v3 DV
+    DataLayout.compactZOrdered(spark, dir, dims, 16, Seq("x", "y"),
+      rowsPerFile = 5000L)                                            // v4
+    DataLayout.deleteWhere(spark, dir, dims, 16, Seq("x", "y"),
+      Seq(("x", 30000L, 31000L)))                                     // v5
+    DataLayout.appendZOrdered(mk(30000 until 30100), dims, 16,
+      Seq("x", "y"), dir, 1)                                          // v6
+    val cur = DataLayout.currentVersion(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("version", "sign", "id", "x", "y")
+        .collect().map(_.toString).sorted.toSeq
+    val feed = rows(DataLayout.changeFeed(spark, dir, 0L, cur,
+      Seq("id"), Seq("x", "y")))
+    val manual = (0L until cur).flatMap(v =>
+      rows(DataLayout.diffVersions(spark, dir, v, v + 1, Seq("id"),
+        Seq("x", "y")).df.withColumn("version", lit(v + 1)))).sorted
+    assert(feed == manual)
+  }
+
+  test("changeFeed batches a long append-only catch-up into ONE scan plan") {
+    val dir = Files.createTempDirectory("graft_version").toString + "/t"
+    DataLayout.writeZOrdered(mk(0 until 200), dims, 16, Seq("x", "y"),
+      dir, 1)                                                         // v0
+    for (b <- 1 to 40)
+      DataLayout.appendZOrdered(mk(b * 200 until (b + 1) * 200), dims, 16,
+        Seq("x", "y"), dir, 1)                                        // v1..v40
+    val feed = DataLayout.changeFeed(spark, dir, 0L, 40L, Seq("id"))
+    // the whole 40-version backlog is one plan — no 40-way union
+    assert(feed.queryExecution.optimizedPlan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }.isEmpty, "append-only catch-up was not batched")
+    val got = feed.select("version", "sign", "id")
+      .as[(Long, String, Long)].collect()
+    assert(got.length == 40 * 200)
+    assert(got.forall(_._2 == "+"))
+    // per-row version attribution is exact: id i arrived at version i/200
+    assert(got.forall { case (v, _, id) => v == id / 200 })
+  }
+
   test("recluster: content identical, pruning flips to the new dimension") {
     val dir = Files.createTempDirectory("graft_version").toString + "/t"
     DataLayout.writeZOrdered(mk(0 until 8000), dims, 16, Seq("x", "y"),
