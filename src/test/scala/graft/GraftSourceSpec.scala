@@ -82,8 +82,10 @@ class GraftSourceSpec extends AnyFunSuite {
       mk(0 until 5).write.format("graft").save(dir + "_w")
     }
     assert(w.getMessage.contains("dims"))
-    // INSERT INTO a USING-graft view would drop RAW parquet into the dir,
-    // bypassing the manifest — refused at write planning, reads untouched
+    // INSERT INTO a USING-graft view is first-class (a manifested append —
+    // GraftSqlSpec), but a layout written only through the raw API records
+    // no clustering config: the insert must refuse with GUIDANCE, never
+    // guess a clustering or drop raw parquet; reads stay untouched
     spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW ins_v USING graft " +
       s"OPTIONS (path '$dir')")
     val ins = intercept[Exception] {
@@ -91,7 +93,7 @@ class GraftSourceSpec extends AnyFunSuite {
     }
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(ins).exists(_.contains("manifest commit protocol")))
+    assert(msgs(ins).exists(_.contains("write configuration")))
     assert(spark.sql("SELECT count(*) FROM ins_v").head().getLong(0) == 120L)
   }
 }
