@@ -232,13 +232,30 @@ object DataLayout {
           s"staged commit wrote no part file under $stage")
       }
     val dest = new org.apache.hadoop.fs.Path(logDir, s"commit-v$v.parquet")
-    val ok = try fs.rename(part, dest)
-      catch { case _: java.io.IOException => false }
+    // IN-PROCESS serialization of the put-if-absent: Hadoop's LOCAL rename
+    // is check-then-rename (a TOCTOU — two simultaneous renames can both
+    // pass the existence check and the second silently OVERWRITES the
+    // first via POSIX rename(2), losing a committed version). One JVM-wide
+    // lock around the check+rename closes it for same-process racers (the
+    // streaming sink's zombie twins, concurrent maintenance — exactly the
+    // supported local concurrency); HDFS refuses an existing destination
+    // server-side regardless, and object-store deployments commit through
+    // their store's conditional-put semantics. Same shape as Delta's
+    // local LogStore, which documents precisely this JVM-scoped guarantee.
+    val ok = commitRenameLock.synchronized {
+      if (fs.exists(dest)) false
+      else
+        try fs.rename(part, dest)
+        catch { case _: java.io.IOException => false }
+    }
     fs.delete(stage, true)
     if (!ok) throw new java.util.ConcurrentModificationException(
       s"version $v of ${lp.getParent} was committed by a concurrent writer " +
         "while this mutation ran — re-read the layout and retry")
   }
+
+  /** JVM-wide lock for [[commitLogFile]]'s put-if-absent window. */
+  private val commitRenameLock = new Object
 
   private def appendLog(dir: String, rows: DataFrame, v: Long): Unit =
     commitLogFile(manifestPath(dir), normalizeLog(rows), v)
@@ -838,14 +855,22 @@ object DataLayout {
     // momentarily-file-less dir throws UNABLE_TO_INFER_SCHEMA at any
     // concurrent reader (the change-feed stream's poll thread hit this);
     // with the log's fixed schema that window just reads as "no rows yet".
-    // dropDuplicates: vacuum's grace-deferred log reclaim leaves superseded
-    // DV commit files lingering as exact duplicates of compacted-base rows
-    // — coordinates must stay multiplicity-1 (exact row-count accounting
-    // in tableStats subtracts them). The dedupe is one exchange over
-    // churn-sized coordinates, never data.
+    // NOTE on duplicates: vacuum's grace-deferred log reclaim can leave
+    // superseded DV commit files lingering as exact duplicates of
+    // compacted-base rows. Masking (anti joins) and membership probes are
+    // dup-safe by construction and read this frame RAW — no dedupe
+    // exchange on the hot path; the few EXACT-COUNT consumers go through
+    // [[dvLogDeduped]] instead.
     else Some(spark.read.schema("file STRING, pos BIGINT, v BIGINT")
-      .parquet(dvPath(dir)).dropDuplicates())
+      .parquet(dvPath(dir)))
   }
+
+  /** [[dvLog]] with lingering exact duplicates collapsed — for the few
+    * EXACT-COUNT consumers (tableStats' row subtraction, history, the
+    * maintenance debt probe, clone's DV copy). One exchange over
+    * churn-sized coordinates; the dup-safe masking paths skip it. */
+  def dvLogDeduped(spark: SparkSession, dir: String): Option[DataFrame] =
+    dvLog(spark, dir).map(_.dropDuplicates())
 
   /** DV rows effective at `version` (those committed at or before it). */
   private def dvAt(spark: SparkSession, dir: String,
@@ -1082,7 +1107,7 @@ object DataLayout {
     }
     commitRewriteWithRetry(spark, dir, hit, v - 1, rowsAt, v)
     PurgeReport(filesRewritten = hit.size,
-      positionsApplied = dvLog(spark, dir).map(
+      positionsApplied = dvLogDeduped(spark, dir).map(
         _.where(canonCol(col("file")).isin(hit.map(canon): _*)).count())
         .getOrElse(0L))
   }
@@ -1190,7 +1215,7 @@ object DataLayout {
     val removed = log.where(col("v_removed").isNotNull)
       .groupBy(col("v_removed").as("version"))
       .agg(count(lit(1)).as("files_removed"), sum("n_rows").as("rows_removed"))
-    val dv = dvLog(spark, dir).map(
+    val dv = dvLogDeduped(spark, dir).map(
       _.groupBy(col("v").as("version"))
         .agg(count(lit(1)).as("dv_rows_deleted")))
       .getOrElse(Seq.empty[(Long, Long)].toDF("version", "dv_rows_deleted"))
@@ -1830,7 +1855,8 @@ object DataLayout {
       .write.mode("overwrite").parquet(manifestPath(dstDir))
     // the version's effective mask comes along, rebased to the clone's
     // version 0 (positions on non-alive files can never be consulted)
-    val dvMoved = dvAt(spark, srcDir, version).map { d =>
+    val dvMoved = dvLogDeduped(spark, srcDir)
+      .map(_.where(col("v") <= version)).map { d =>
       val kept = d.join(alive.select(canonCol(col("file")).as("_alive_f")),
           canonCol(col("file")) === col("_alive_f"), "left_semi")
         .select(col("file"), col("pos"), lit(0L).as("v"))
@@ -2099,10 +2125,15 @@ object DataLayout {
       val dt = alive.schema(s"min_$k").dataType
       keyOrdinal(dt).map { case (expr, conv) =>
         val hasN = mCols(s"nulls_$k")
-        val rows = alive.where(col("file").isin(files: _*))
+        // driver-side membership filter, not a k-literal isin: the dirty
+        // set can be the whole table (that is bisection's home case) and
+        // a 100k-literal predicate would stress codegen for nothing
+        val wanted = files.toSet
+        val rows = alive
           .select(col("file"), col(s"min_$k"), col(s"max_$k"),
             (if (hasN) col(s"nulls_$k") else lit(null).cast("long")).as("_n"))
           .collect() // O(files): names + one envelope each
+          .filter(r => wanted(r.getString(0)))
         (rows.toSeq.map { r =>
           val unrec = r.isNullAt(1) && r.isNullAt(3)
           Env(r.getString(0),
@@ -2420,7 +2451,8 @@ object DataLayout {
     // are exact coordinates). min/max/nulls/ndv remain FILE-level figures —
     // valid conservative bounds (that is their pruning job) that tighten
     // back to exact when a purge rewrites the DV'd files.
-    val dvDeleted: Long = dvAt(spark, dir, version) match {
+    val dvDeleted: Long = dvLogDeduped(spark, dir)
+        .map(_.where(col("v") <= version)) match {
       case None => 0L
       case Some(d) =>
         d.join(alive.select(canonCol(col("file")).as("_alive_f")),

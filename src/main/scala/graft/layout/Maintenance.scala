@@ -115,7 +115,7 @@ object Maintenance {
       .filter(_.getLong(3) >= rowsPerFile)
       .map(r => (r.getLong(1), r.getLong(2))).sortBy(identity))
     val aliveCanon = alive.map(r => DataLayout.canon(r.getString(0))).toSet
-    val (dvFiles, dvRows) = DataLayout.dvLog(spark, dir) match {
+    val (dvFiles, dvRows) = DataLayout.dvLogDeduped(spark, dir) match {
       case None => (0, 0L)
       case Some(d) =>
         val byFile = d.groupBy("file").agg(count(lit(1)).as("n")).collect()

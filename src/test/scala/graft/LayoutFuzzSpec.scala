@@ -56,10 +56,13 @@ class LayoutFuzzSpec extends AnyFunSuite {
     for (step <- 1 to steps) {
       val keys = model.keys.toIndexedSeq
       rnd.nextInt(10) match {
-        case 0 => // append fresh keys
+        case 0 => // append fresh keys — randomly through the rename path
+          // or the object-store direct-commit subdir path (both must be
+          // indistinguishable to every downstream operator)
           val fresh = (0 until 50).map(i => (nextKey + i, rnd.nextLong(1 << 20)))
           nextKey += 100
-          DataLayout.appendZOrdered(df(fresh), dims, 16, stats, dir, 2)
+          DataLayout.appendZOrdered(df(fresh), dims, 16, stats, dir, 2,
+            directCommit = rnd.nextBoolean())
           model ++= fresh
         case 1 => // merge: updates + inserts + tombstone deletes
           val ups = rnd.shuffle(keys).take(30).map(k => (k, rnd.nextLong(1 << 20))) ++
@@ -94,7 +97,8 @@ class LayoutFuzzSpec extends AnyFunSuite {
           val fresh = (0 until 40).map(i => (nextKey + i, rnd.nextLong(1 << 20)))
           nextKey += 100
           assert(DataLayout.appendZOrderedTxn(df(fresh), dims, 16, stats,
-            dir, 2, "fuzz_app", txnBatch))
+            dir, 2, "fuzz_app", txnBatch,
+            directCommit = rnd.nextBoolean()))
           model ++= fresh
           if (txnBatch > 0) {
             // a zombie replay of a random PAST id, with DIFFERENT data:
