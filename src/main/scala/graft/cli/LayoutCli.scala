@@ -367,6 +367,12 @@ object LayoutCli {
       println(jsonLine("op" -> "diff", "rows" -> ddf.count(),
         "files_read_a" -> r.filesReadA, "files_total_a" -> r.filesTotalA,
         "files_read_b" -> r.filesReadB, "files_total_b" -> r.filesTotalB,
+        // bisection evidence (−1 row-diffed = the bisected path didn't
+        // run): dirty/total segments + how few files fed the row diff
+        "segments_dirty" -> r.segmentsDirty,
+        "segments_total" -> r.segmentsTotal,
+        "files_row_diffed_a" -> r.filesRowDiffedA,
+        "files_row_diffed_b" -> r.filesRowDiffedB,
         "out" -> a.out.getOrElse("")))
 
     case "verify" =>
