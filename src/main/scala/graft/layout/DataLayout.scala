@@ -127,6 +127,21 @@ object DataLayout {
     * mergeInto) refuse on a lost race. */
   private val OccMaxRetries = 5
 
+  /** Retry bound for commits whose retry is CHEAP and always-correct
+    * (appends re-stamp already-written stats; row-preserving rewrites
+    * re-validate O(files) metadata): under sustained contention two
+    * writers can trade losses in lockstep — each loss is ~a coin flip —
+    * so a bound of 5 fails a legitimate writer ~3% of the time exactly
+    * when the system is busiest. 20 makes that ~1e-6 while still
+    * backstopping a livelock; the jittered backoff below breaks the
+    * lockstep itself. */
+  private val CheapRetryMax = 20
+
+  /** Small randomized backoff between OCC retries, so two writers that
+    * collided once don't re-collide on the very next derive+commit. */
+  private def retryBackoff(attempt: Int): Unit =
+    Thread.sleep(5L + scala.util.Random.nextInt(25 * math.min(attempt, 4)))
+
   // ---- manifest log ------------------------------------------------------
 
   private def manifestPath(dir: String) = s"$dir/$ManifestDir"
@@ -316,7 +331,8 @@ object DataLayout {
         case e: java.util.ConcurrentModificationException =>
           if (abortIf()) return None
           attempt += 1
-          if (attempt > OccMaxRetries) throw e
+          if (attempt > CheapRetryMax) throw e
+          retryBackoff(attempt)
           vNow = currentVersion(spark, dir) + 1
       }
     }
@@ -352,7 +368,8 @@ object DataLayout {
       catch {
         case e: java.util.ConcurrentModificationException =>
           attempt += 1
-          if (attempt > OccMaxRetries) throw e
+          if (attempt > CheapRetryMax) throw e
+          retryBackoff(attempt)
           val aliveNow = aliveManifest(spark, dir).select("file")
             .collect().map(_.getString(0)).toSet // O(files)
           val gone = retired.filterNot(aliveNow)
@@ -1003,6 +1020,7 @@ object DataLayout {
         case e: java.util.ConcurrentModificationException =>
           attempt += 1
           if (attempt > OccMaxRetries) throw e
+          retryBackoff(attempt)
       }
     }
     throw new IllegalStateException("unreachable")
@@ -1053,6 +1071,7 @@ object DataLayout {
         case e: java.util.ConcurrentModificationException =>
           attempt += 1
           if (attempt > OccMaxRetries) throw e
+          retryBackoff(attempt)
       }
     }
     throw new IllegalStateException("unreachable")
@@ -1527,6 +1546,63 @@ object DataLayout {
   }
 
   final case class DeleteReport(filesRewritten: Int, rowsDeleted: Long,
+      filesTotalAfter: Int)
+
+  /** UPDATE ... SET ... WHERE for clustered layouts — Delta's UPDATE
+    * shape, atomically in ONE version: one masked metadata-column pass
+    * finds the files that carry matching rows, ONLY those rewrite (matched
+    * rows get the assignments applied, their neighbors ride along
+    * unchanged, outstanding DVs purge on the way), originals tombstone.
+    * Readers see the whole update or none of it — never a deleted-but-
+    * not-yet-reinserted window. Assignments evaluate against the row
+    * (expressions may reference any column); the condition must be TRUE
+    * to update (NULL rows keep their values, SQL semantics). A
+    * data-semantic rewrite: refuses on a lost OCC race like deleteWhere. */
+  def updateWhere(spark: SparkSession, dir: String, dims: Seq[Column],
+      bits: Int, statsCols: Seq[String], cond: Column,
+      assignments: Map[String, Column]): UpdateReport = {
+    require(assignments.nonEmpty, "updateWhere needs at least one SET column")
+    val aliveDf = aliveManifest(spark, dir).localCheckpoint(true)
+    val all = aliveDf.select("file")
+      .collect().map(_.getString(0)).toIndexedSeq.sorted // O(files)
+    if (all.isEmpty) return UpdateReport(0, 0L, 0)
+    val sch = schemaAt(spark, dir, Latest)
+    assignments.keys.foreach(c => require(
+      sch.map(_.fieldNames.toSeq)
+        .getOrElse(spark.read.parquet(all.head).schema.fieldNames.toSeq)
+        .contains(c),
+      s"SET column '$c' not in the layout schema"))
+    // pass 1: the files that carry matching rows — coordinates only,
+    // masked so soft-deleted rows never resurrect as matches
+    val base = readWithMeta(spark, all, sch)
+    val masked = dvAt(spark, dir, Latest).map(applyMask(base, _)).getOrElse(base)
+    val hitCanon = masked.where(cond).select(col(MetaFile).as("f"))
+      .distinct().collect().map(_.getString(0)).toSet // O(files)
+    val hit = all.filter(f => hitCanon(canon(f)))
+    if (hit.isEmpty) return UpdateReport(0, 0L, all.size)
+    val v = currentVersion(spark, dir) + 1
+    // pass 2: rewrite ONLY the hit files; per column, matched rows take
+    // the assignment, everything else passes through
+    val hitData = readMasked(spark, dir, hit, Latest)
+    val updatedCount = hitData.where(cond).count()
+    val rewritten = hitData.select(hitData.columns.toSeq.map { c =>
+      assignments.get(c) match {
+        case Some(e) => when(coalesce(cond, lit(false)), e)
+          .otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }: _*)
+    val freshNames = stageRename(spark, dir,
+      s"$dir/_graft_update_${java.util.UUID.randomUUID.toString.take(8)}_stage",
+      s"update_v$v", rewritten, hit.size, dims, bits)
+    val tomb = tombstones(aliveDf, hit, v)
+    appendLog(dir, freshStatsFor(spark, freshNames, dims, bits, statsCols, v)
+      .map(_.unionByName(tomb, allowMissingColumns = true)).getOrElse(tomb), v)
+    UpdateReport(filesRewritten = hit.size, rowsUpdated = updatedCount,
+      filesTotalAfter = all.size - hit.size + freshNames.size)
+  }
+
+  final case class UpdateReport(filesRewritten: Int, rowsUpdated: Long,
       filesTotalAfter: Int)
 
   /** Physically remove every data file not alive at any version in the

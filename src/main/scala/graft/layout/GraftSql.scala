@@ -16,6 +16,7 @@ import org.apache.spark.sql.graftshim.StreamingFrameShim
   *
   * {{{
   *   GraftSql(spark, "DELETE FROM v WHERE o_custkey BETWEEN 5 AND 10")
+  *   GraftSql(spark, "UPDATE v SET status = 'X', amt = amt * 2 WHERE id < 9")
   *   GraftSql(spark, """MERGE INTO v USING updates s ON v.id = s.id
   *                      WHEN MATCHED THEN UPDATE SET *
   *                      WHEN NOT MATCHED THEN INSERT *""")
@@ -58,14 +59,28 @@ object GraftSql {
         indexes.foreach(_.refresh())
         report(spark, "delete", deleted = r.rowsDeleted,
           files = r.filesTouched)
+      case UpdateTable(table, assignments, condition) =>
+        val (dir, indexes) = resolveTarget(spark, table)
+        val cfg = LayoutConfig.mandatory(spark, dir)
+        val sets: Map[String, Column] = assignments.map {
+          case Assignment(key: UnresolvedAttribute, value) =>
+            key.nameParts.last -> toColumn(value)
+          case other => throw new IllegalArgumentException(
+            s"unsupported SET target in UPDATE: $other")
+        }.toMap
+        val r = DataLayout.updateWhere(spark, dir, cfg.dims, cfg.bits,
+          cfg.statsCols, condition.map(toColumn).getOrElse(lit(true)), sets)
+        indexes.foreach(_.refresh())
+        report(spark, "update", updated = r.rowsUpdated,
+          files = r.filesRewritten)
       case m: MergeIntoTable => merge(spark, m)
       case _: InsertIntoStatement =>
         // native path: the graft relation is InsertableRelation
         spark.sql(sql)
       case other => throw new IllegalArgumentException(
-        s"GraftSql handles DELETE FROM / MERGE INTO / INSERT INTO over " +
-          s"graft layouts; got ${other.nodeName} — run other statements " +
-          "through spark.sql directly")
+        s"GraftSql handles INSERT INTO / UPDATE / DELETE FROM / MERGE " +
+          s"INTO over graft layouts; got ${other.nodeName} — run other " +
+          "statements through spark.sql directly")
     }
 
   /** The INSERT implementation both relation shapes share (see

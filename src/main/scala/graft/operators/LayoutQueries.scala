@@ -584,6 +584,10 @@ object LayoutQueries {
           |ON sqldml_v.o_orderkey = src.o_orderkey
           |WHEN MATCHED THEN UPDATE SET *
           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      // UPDATE: one atomic version rewriting only match-carrying files
+      graft.layout.GraftSql(s,
+        "UPDATE sqldml_v SET o_orderstatus = 'U' " +
+          "WHERE o_custkey BETWEEN 10 AND 20")
       s.sql("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
               |FROM sqldml_v ORDER BY o_orderkey""".stripMargin)
     }),
@@ -834,7 +838,11 @@ object LayoutQueries {
         |ORDER BY sign, o_orderkey""".stripMargin,
 
     "q_layout_sql_dml" ->
-      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM (
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_custkey BETWEEN 10 AND 20 THEN 'U'
+        |       ELSE o_orderstatus END AS o_orderstatus,
+        |  o_totalprice
+        |FROM (
         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |  FROM orders
         |  WHERE NOT (o_custkey BETWEEN 300 AND 400)

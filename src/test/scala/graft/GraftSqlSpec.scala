@@ -97,6 +97,39 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(DataLayout.readLayout(spark, dir, 0L).count() == 2000L)
   }
 
+  test("UPDATE: one atomic version, only match-carrying files rewrite, expressions evaluate per row") {
+    val dir = Files.createTempDirectory("graft_sql").toString + "/t"
+    writeSql(dir, 0 until 2000)
+    val v = freshView(dir)
+    val before = DataLayout.aliveManifest(spark, dir).count()
+    val rep = GraftSql(spark,
+      s"UPDATE $v SET p = 'upd', x = x + 100000 WHERE x BETWEEN 0 AND 99")
+    val wantIds = (0 until 2000).map(_.toLong)
+      .filter(i => (i * 13L) % 65536L <= 99L)
+    assert(rep.head().getAs[Long]("rows_updated") == wantIds.size.toLong)
+    // ONE new version (atomic), count preserved
+    assert(DataLayout.currentVersion(spark, dir) == 1L)
+    assert(spark.sql(s"SELECT count(*) FROM $v").head().getLong(0) == 2000L)
+    // the row-level transform applied exactly to matches (x shifted, so
+    // re-select by the shifted range; p set; other rows untouched)
+    val got = DataLayout.readLayout(spark, dir)
+      .where(col("p") === "upd").select("id", "x").as[(Long, Long)]
+      .collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == wantIds)
+    assert(got.forall { case (i, x) => x == (i * 13L) % 65536L + 100000L })
+    // x-clustered layout: the 0..99 band lives in a subset of the 4 files
+    val hist = DataLayout.history(spark, dir)
+      .where(col("version") === 1L).head()
+    assert(hist.getAs[Long]("files_removed") < before,
+      "UPDATE rewrote every file — envelope targeting regressed")
+    // UPDATE without WHERE touches everything; time travel intact
+    GraftSql(spark, s"UPDATE $v SET p = 'all'")
+    assert(spark.sql(s"SELECT count(*) FROM $v WHERE p = 'all'")
+      .head().getLong(0) == 2000L)
+    assert(DataLayout.readLayout(spark, dir, 0L)
+      .where(col("p") === "upd").count() == 0L)
+  }
+
   test("MERGE INTO: canonical upsert updates matched and inserts fresh keys") {
     val dir = Files.createTempDirectory("graft_sql").toString + "/t"
     writeSql(dir, 0 until 1000)

@@ -145,6 +145,50 @@ class GraftWriteSpec extends AnyFunSuite {
     assert(DataLayout.lastCommittedTxn(spark, dir, base + "/ckpt").contains(3L))
   }
 
+  test("sink with inline maintenance RACING a batch appender: both land, every row once") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val base = Files.createTempDirectory("graft_sinkrace").toString
+    val dir = base + "/t"
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    // maintainEvery=2: the sink's inline compaction races the external
+    // appender — the exact deployment the row-preserving OCC retry
+    // exists for (a lost race to an append re-validates and re-commits;
+    // before it, inline maintenance forced a strict single-mutator world)
+    val q = input.toDF().toDF("id", "x").writeStream.format("graft")
+      .option("dims", "x").option("statsCols", "id,x")
+      .option("filesPerBatch", 2)
+      .option("maintainEvery", 2)
+      .option("rowsPerFile", 4000)
+      .option("checkpointLocation", base + "/ckpt")
+      .start(dir)
+    val appender = Future {
+      for (b <- 0 until 6) {
+        DataLayout.appendZOrdered(
+          (0 until 200).map(i => (100000L + b * 1000 + i, (i * 7L) % 5000L))
+            .toDF("id", "x"),
+          Seq(col("x")), 24, Seq("id", "x"), dir, 1)
+        Thread.sleep(50)
+      }
+    }
+    try {
+      for (b <- 0 until 8) { // overlapping x ranges: real compaction work
+        input.addData((0 until 300).map(i => (b * 1000L + i, (i * 13L) % 5000L)))
+        q.processAllAvailable()
+      }
+      Await.result(appender, 300.seconds)
+    } finally q.stop()
+    // stream 8×300 + batch 6×200 — all present exactly once
+    val out = DataLayout.readLayout(spark, dir)
+    assert(out.count() == 3600L, s"rows lost/duplicated: ${out.count()}")
+    assert(out.select("id").distinct().count() == 3600L)
+    // the exactly-once ledger survived the interleaving
+    assert(DataLayout.lastCommittedTxn(spark, dir, base + "/ckpt").contains(7L))
+  }
+
   test("layout-to-layout pipeline: changefeed source |> graft sink, format() strings only") {
     val root = Files.createTempDirectory("graft_pipe").toString
     val src = root + "/src"
