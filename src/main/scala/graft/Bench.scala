@@ -49,6 +49,27 @@ object Bench {
       org.apache.logging.log4j.Level.ERROR)
   }
 
+  /** Provenance strings in bench_best.json are the only NON-numeric
+    * gate-keyed values ("prov":{"q_x":"<rev> <date> <mode>",…}); requiring
+    * a quoted value keeps them disjoint from [[parseGateTimes]]. */
+  private[graft] def parseProv(json: String): Map[String, String] =
+    "\"(q[A-Za-z0-9_]*)\"\\s*:\\s*\"([^\"]*)\"".r.findAllMatchIn(json)
+      .map(m => m.group(1) -> m.group(2)).toMap
+
+  /** Short git rev of the tree being measured — stamps every pin so a
+    * carried minimum can be tied to the code that achieved it. */
+  private lazy val gitRev: String =
+    try {
+      val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+      if (p.waitFor() == 0 && out.nonEmpty && !out.contains(" ")) out
+      else "unknown"
+    } catch { case _: Throwable => "unknown" }
+
+  private def provStamp(mode: String): String =
+    s"$gitRev ${java.time.LocalDate.now(java.time.ZoneOffset.UTC)} $mode"
+
   private def readFile(p: java.nio.file.Path): Option[String] =
     if (java.nio.file.Files.isReadable(p))
       scala.util.Try(new String(java.nio.file.Files.readAllBytes(p), "UTF-8")).toOption
@@ -68,8 +89,18 @@ object Bench {
     * plan's true cost, and a file of per-gate minima is the stable artifact
     * cross-round comparisons should read instead of any single drifted run.
     * Guarded by sf: a local sf0.01 iteration must not pollute the sf0.1 pin,
-    * so a mismatched sf skips the merge (loudly) rather than resetting it. */
-  private def mergeBest(sfDir: String, fresh: Map[String, Double]): Unit = {
+    * so a mismatched sf skips the merge (loudly) rather than resetting it.
+    *
+    * Every pin carries PROVENANCE ("prov": gate → "<rev> <date> <mode>"),
+    * stamped when the pin's value was achieved — a minimum inherited
+    * across rounds is then attributable to the tree that set it instead of
+    * silently laundering into the current tree's scorecard. Gates in
+    * `replace` take the fresh value even when it is SLOWER than the old
+    * pin: that is the regression-replacement path — the old minimum was
+    * re-tested in isolation on the current tree and found unreachable, so
+    * keeping it would hide the regression forever. */
+  private def mergeBest(sfDir: String, fresh: Map[String, Double],
+      mode: String, replace: Set[String] = Set.empty): Unit = {
     val path = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BEST", "bench_best.json"))
     val existing = readFile(path)
@@ -81,21 +112,41 @@ object Bench {
       return
     }
     val old = existing.map(parseGateTimes).getOrElse(Map.empty)
+    val oldProv = existing.map(parseProv).getOrElse(Map.empty)
+    val stamp = provStamp(mode)
     // two kinds of poison must never become a "best": the failed-gate
     // sentinel (a crashed gate records FailedSentinel, not a time), and
     // gates that no longer exist in the registry (a rename would otherwise
     // leave its stale minimum in the file — and in the total — forever)
     val live = SparkEntry.queries.keySet
-    val merged = (old.keySet ++ fresh.keySet).filter(live).toSeq.sorted.flatMap { k =>
-      val v = math.min(old.getOrElse(k, Double.MaxValue), fresh.getOrElse(k, Double.MaxValue))
-      if (v >= FailedSentinel) None else Some(k -> v)
-    }
+    val merged: Seq[(String, (Double, String))] =
+      (old.keySet ++ fresh.keySet).filter(live).toSeq.sorted.flatMap { k =>
+        val o = old.get(k).filter(_ < FailedSentinel)
+        val f = fresh.get(k).filter(_ < FailedSentinel)
+        val won: Option[(Double, String)] =
+          if (replace(k) && f.isDefined) {
+            o.filter(f.get > _).foreach(ov => Console.err.println(
+              f"[bench] pin REPLACED: $k ${ov}%.3f s (${oldProv.getOrElse(k, "no prov")}) " +
+                f"→ ${f.get}%.3f s — old pin unreachable on the current tree"))
+            Some((f.get, stamp))
+          } else (o, f) match {
+            case (Some(ov), Some(fv)) =>
+              if (fv < ov) Some((fv, stamp))
+              else Some((ov, oldProv.getOrElse(k, "pre-provenance")))
+            case (Some(ov), None) => Some((ov, oldProv.getOrElse(k, "pre-provenance")))
+            case (None, Some(fv)) => Some((fv, stamp))
+            case _ => None
+          }
+        won.map(k -> _)
+      }
     val dropped = (old.keySet ++ fresh.keySet).filterNot(live)
     if (dropped.nonEmpty)
       Console.err.println(s"[bench] pruned stale gates from bench_best: ${dropped.toSeq.sorted.mkString(",")}")
-    val total = merged.map(_._2).sum
+    val total = merged.map(_._2._1).sum
+    val provJson = merged.map { case (k, (_, p)) => "\"" + k + "\":\"" + p + "\"" }
+      .mkString("{", ",", "}")
     writeFile(path,
-      s"""{"metric":"best","value":$total,"unit":"sec","sf":"$sfDir","queries":${queriesJson(merged)}}""")
+      s"""{"metric":"best","value":$total,"unit":"sec","sf":"$sfDir","queries":${queriesJson(merged.map { case (k, (v, _)) => k -> v })},"prov":$provJson}""")
   }
 
   /** `--repin q_a,q_b[,…]`: re-measure the named gates, each in a FRESH child
@@ -106,39 +157,76 @@ object Bench {
     * only that gate is reproducible. Children run sequentially (never
     * concurrently — they'd contend for the same 32 cores and re-introduce the
     * noise this mode exists to remove). */
-  private def repin(gateCsv: String): Unit = {
-    val gates = gateCsv.split(",").map(_.trim).filter(_.nonEmpty)
+  /** Run ONE gate in a fresh child JVM with `repeats` repetitions and
+    * return its min, or None when the child failed. The isolated-JVM
+    * methodology (PERFORMANCE.md): a fresh process warms only its own
+    * tables and inherits no GC/JIT/page-cache state. */
+  private def repinOne(gate: String, repeats: Int): Option[Double] = {
     val javaBin = java.nio.file.Paths.get(
       sys.props("java.home"), "bin", "java").toString
     val cp = sys.props("java.class.path")
-    val results = gates.map { gate =>
-      val out = java.nio.file.Files.createTempFile(s"graft_repin_$gate", ".json")
-      val cmd: Seq[String] =
-        Seq(javaBin) ++ addOpens ++ Seq(
-          s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-          "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
-          "-cp", cp, "graft.Bench")
-      val pb = new ProcessBuilder(cmd: _*)
-      pb.environment().put("SPARK_GRAFT_ONLY", gate)
-      pb.environment().put("SPARK_GRAFT_BENCH_OUT", out.toString)
-      // the child would merge bench_best itself; suppress that so the parent
-      // is the single writer (keeps this loop safe to Ctrl-C mid-gate)
-      pb.environment().put("SPARK_GRAFT_NO_BEST", "1")
-      pb.redirectErrorStream(true)
-      pb.redirectOutput(ProcessBuilder.Redirect.INHERIT)
-      val rc = pb.start().waitFor()
-      // a gate that THREW in the child still exits 0 — it records the
-      // FailedSentinel instead of a time, which must read as a failure
-      // here, not as a (huge) measurement to launder into bench_best
-      val t = readFile(out).map(parseGateTimes).getOrElse(Map.empty)
-        .get(gate).filter(_ < FailedSentinel)
-      java.nio.file.Files.deleteIfExists(out)
-      if (rc != 0 || t.isEmpty)
-        Console.err.println(s"[bench] repin of $gate FAILED (rc=$rc)")
-      gate -> t
-    }
+    val out = java.nio.file.Files.createTempFile(s"graft_repin_$gate", ".json")
+    val cmd: Seq[String] =
+      Seq(javaBin) ++ addOpens ++ Seq(
+        s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        "-cp", cp, "graft.Bench")
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.environment().put("SPARK_GRAFT_ONLY", gate)
+    pb.environment().put("SPARK_GRAFT_REPEATS", repeats.toString)
+    pb.environment().put("SPARK_GRAFT_BENCH_OUT", out.toString)
+    // the child would merge bench_best itself; suppress that so the parent
+    // is the single writer (keeps this loop safe to Ctrl-C mid-gate)
+    pb.environment().put("SPARK_GRAFT_NO_BEST", "1")
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(ProcessBuilder.Redirect.INHERIT)
+    val rc = pb.start().waitFor()
+    // a gate that THREW in the child still exits 0 — it records the
+    // FailedSentinel instead of a time, which must read as a failure
+    // here, not as a (huge) measurement to launder into bench_best
+    val t = readFile(out).map(parseGateTimes).getOrElse(Map.empty)
+      .get(gate).filter(_ < FailedSentinel)
+    java.nio.file.Files.deleteIfExists(out)
+    if (rc != 0 || t.isEmpty)
+      Console.err.println(s"[bench] repin of $gate FAILED (rc=$rc)")
+    t
+  }
+
+  /** Reps for an isolated repin child: 8 by default (the drift
+    * adjudication standard — one slow window cannot survive eight
+    * isolated attempts). */
+  private def repinRepeats: Int =
+    sys.env.getOrElse("SPARK_GRAFT_REPIN_REPEATS", "8").toInt.max(1)
+
+  /** Current pins, trusted only when recorded at this sf. */
+  private def loadPins(sfDir: String): Map[String, Double] = {
+    val f = readFile(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BEST", "bench_best.json")))
+    val sfOk = f.flatMap(
+      "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(_)).map(_.group(1))
+      .contains(sfDir)
+    if (sfOk) f.map(parseGateTimes).getOrElse(Map.empty) else Map.empty
+  }
+
+  /** The pin-adjudication rule, shared by `--repin` and the automatic
+    * drift repin: an isolated min within 1.3x of the pin RE-ACHIEVES it
+    * (the pin stands, and a faster observation improves it); beyond 1.3x
+    * the pin is unreachable on this tree and gets REPLACED — the
+    * regression becomes the pin, named on stderr, instead of hiding
+    * behind a minimum some earlier tree set. */
+  private[graft] def replaceSet(pins: Map[String, Double],
+      isolated: Seq[(String, Double)]): Set[String] =
+    isolated.collect {
+      case (g, t) if pins.get(g).exists(p => t > 1.3 * p) => g
+    }.toSet
+
+  private def repin(gateCsv: String): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val gates = gateCsv.split(",").map(_.trim).filter(_.nonEmpty)
+    val results = gates.map(g => g -> repinOne(g, repinRepeats))
     val ok = results.collect { case (g, Some(t)) => g -> t }
-    mergeBest(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"), ok.toMap)
+    mergeBest(sfDir, ok.toMap, mode = "repin",
+      replace = replaceSet(loadPins(sfDir), ok))
     println(s"""{"metric":"repin","unit":"sec","queries":${queriesJson(ok)}}""")
   }
 
@@ -203,14 +291,7 @@ object Bench {
     }
     // the session-best pins, for the ambient-outlier re-measure below —
     // only trusted when recorded at this very sf
-    val bestPins: Map[String, Double] = {
-      val f = readFile(java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_BEST", "bench_best.json")))
-      val sfOk = f.flatMap(
-        "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(_)).map(_.group(1))
-        .contains(sfDir)
-      if (sfOk) f.map(parseGateTimes).getOrElse(Map.empty) else Map.empty
-    }
+    val bestPins: Map[String, Double] = loadPins(sfDir)
     val results: Seq[(String, Seq[Double])] = selected.map { case (name, fn) =>
       val first = (1 to repeats).map(_ => timeOnce(name, fn))
       // NOISE-ROBUST re-measure: a gate whose min-of-N still reads >3x its
@@ -230,12 +311,59 @@ object Bench {
     }
     val mins = results.map { case (n, ts) => n -> ts.min }
     val total = if (mins.nonEmpty) mins.map(_._2).sum else 0.0
+    // DRIFT ADJUDICATION (runs only in a full, best-merging run — never in
+    // a --repin child): any gate whose in-suite min reads >1.5x a CARRIED
+    // pin gets a forced isolated 8-rep re-measure on THIS tree, in a fresh
+    // child JVM. Within 1.3x of the pin → ambient noise, pin re-achieved
+    // (and the isolated min merges normally). Beyond 1.3x → the pin is
+    // unreachable on the current tree: it is REPLACED and the regression
+    // named — a minimum inherited from an older tree can no longer declare
+    // the current tree healthy. Capped (loudly) so a machine-wide stall
+    // can't turn one bench run into 100 child JVMs.
+    val autoRepin = !sys.env.contains("SPARK_GRAFT_ONLY") &&
+      !sys.env.contains("SPARK_GRAFT_NO_BEST") &&
+      !sys.env.contains("SPARK_GRAFT_NO_REPIN")
+    val driftCap = sys.env.getOrElse("SPARK_GRAFT_REPIN_MAX", "16").toInt
+    val drifted: Seq[(String, Double)] =
+      if (!autoRepin) Nil
+      else mins.filter { case (n, t) =>
+        t < FailedSentinel && bestPins.get(n).exists(p => t > 1.5 * p)
+      }.sortBy { case (n, t) => -(t / bestPins(n)) }
+    if (drifted.size > driftCap)
+      Console.err.println(s"[bench] ${drifted.size} gates drifted >1.5x " +
+        s"pin; repinning the worst $driftCap, SKIPPING: " +
+        drifted.drop(driftCap).map(_._1).mkString(","))
+    val isolated: Seq[(String, Double)] = drifted.take(driftCap).flatMap {
+      case (n, t) =>
+        Console.err.println(
+          f"[bench] $n in-suite min $t%.3f s > 1.5x pin ${bestPins(n)}%.3f s " +
+            "— forcing an isolated repin on this tree")
+        repinOne(n, repinRepeats).map(n -> _)
+    }
+    val replaced = replaceSet(bestPins, isolated)
+    isolated.foreach { case (n, t) =>
+      val p = bestPins(n)
+      if (replaced(n))
+        Console.err.println(f"[bench] REGRESSION $n: pin $p%.3f s unreachable " +
+          f"(isolated 8-rep min $t%.3f s, ${t / p}%.2fx) — pin replaced")
+      else
+        Console.err.println(f"[bench] $n pin $p%.3f s re-achieved in isolation " +
+          f"($t%.3f s, ${t / p}%.2fx) — in-suite drift was ambient")
+    }
     // per-rep evidence rides the DETAIL file: an outlier is then visible AS
-    // an outlier (one slow rep among fast ones) instead of a regression
+    // an outlier (one slow rep among fast ones) instead of a regression;
+    // repin outcomes ride along so the round artifact carries the
+    // adjudication, not just this process's stderr
     val repsJson = results.map { case (k, ts) =>
       "\"" + k + "\":[" + ts.mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${queriesJson(mins)},"reps":$repsJson,"sf":"$sfDir"}"""
+    val repinJson = isolated.map { case (n, t) =>
+      val outcome = if (replaced(n)) "replaced" else "held"
+      "\"" + n + "\":{\"pin\":" + bestPins(n) + ",\"suite\":" +
+        mins.toMap.apply(n) + ",\"isolated\":" + t +
+        ",\"outcome\":\"" + outcome + "\"}"
+    }.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${queriesJson(mins)},"reps":$repsJson,"repin":$repinJson,"sf":"$sfDir","rev":"$gitRev"}"""
     // Per-gate detail (~130 keys, ~4 KB) goes to the FILE; stdout gets a
     // SHORT contract line. The driver captures a tail-limited window of
     // stdout, and three rounds of BENCH_rN.json came back "parsed": null
@@ -245,7 +373,13 @@ object Bench {
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json"))
     writeFile(out, full)
-    if (!sys.env.contains("SPARK_GRAFT_NO_BEST")) mergeBest(sfDir, mins.toMap)
+    // isolated repin minima are real current-tree observations: they merge
+    // alongside the in-suite minima (per gate the lower wins), and the
+    // replaced set forces unreachable pins to yield
+    if (!sys.env.contains("SPARK_GRAFT_NO_BEST"))
+      mergeBest(sfDir, mins.toMap ++ isolated.filter { case (n, t) =>
+        t < mins.toMap.getOrElse(n, Double.MaxValue) },
+        mode = "full", replace = replaced)
     val top = mins.sortBy(-_._2).take(8)
     // stop Spark BEFORE the contract line so nothing (shutdown hooks, a
     // late executor WARN) can land after it: it must be the final stdout

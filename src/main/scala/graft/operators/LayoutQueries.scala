@@ -662,8 +662,11 @@ object LayoutQueries {
         DataLayout.appendZOrdered(orders.where(mod === m), dims, Bits, stats,
           dir, numFiles = 4)
       // the soft delete comes LAST so it masks every residue's rows —
-      // an earlier delete would be (correctly) un-deleted by later appends
-      DataLayout.deleteVectors(s, dir, Seq(("o_custkey", 500L, 650L))) // DV debt
+      // an earlier delete would be (correctly) un-deleted by later appends.
+      // The key range must be POPULATED AT EVERY SF (custkeys reach only
+      // 150 at sf0.001 — a higher range makes zero DV debt there, the
+      // purge stays idle, and the every-arm-fired require below trips)
+      DataLayout.deleteVectors(s, dir, Seq(("o_custkey", 50L, 120L))) // DV debt
       // target file size ∝ table (table/16): the debt SHAPE — full base
       // files, small overlapping delta, small trickle — is then the same
       // at every sf, so each policy arm is due at every scale
@@ -875,7 +878,7 @@ object LayoutQueries {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders
         |WHERE o_custkey BETWEEN 1 AND 800
-        |  AND NOT (o_custkey BETWEEN 500 AND 650)
+        |  AND NOT (o_custkey BETWEEN 50 AND 120)
         |ORDER BY o_orderkey""".stripMargin,
 
     "q_layout_txn_writer" ->

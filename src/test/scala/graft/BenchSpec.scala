@@ -45,4 +45,31 @@ class BenchSpec extends AnyFunSuite {
         """"queries":{"q1_agg":0.48,"q_hashdiff":0.25}}"""
     assert(Bench.parseGateTimes(best) === Map("q1_agg" -> 0.48, "q_hashdiff" -> 0.25))
   }
+
+  test("prov entries and gate times stay disjoint in the stamped format") {
+    // the r18 best-file format: numeric pins in "queries", string
+    // provenance in "prov" — each parser must see only its own kind
+    val best =
+      """{"metric":"best","value":0.73,"unit":"sec","sf":"/root/testdata/sf0.1",""" +
+        """"queries":{"q1_agg":0.48,"q_hashdiff":0.25},""" +
+        """"prov":{"q1_agg":"abc1234 2026-08-16 full","q_hashdiff":"def5678 2026-08-15 repin"}}"""
+    assert(Bench.parseGateTimes(best) === Map("q1_agg" -> 0.48, "q_hashdiff" -> 0.25))
+    assert(Bench.parseProv(best) === Map(
+      "q1_agg" -> "abc1234 2026-08-16 full",
+      "q_hashdiff" -> "def5678 2026-08-15 repin"))
+  }
+
+  test("parseProv tolerates a pre-provenance best file") {
+    val old = """{"metric":"best","value":0.5,"queries":{"q_a":0.5},"sf":"/x"}"""
+    assert(Bench.parseProv(old) === Map.empty)
+  }
+
+  test("replaceSet: pins re-achieved within 1.3x stand, beyond get replaced") {
+    val pins = Map("q_held" -> 1.0, "q_regressed" -> 1.64, "q_new" -> 2.0)
+    val isolated = Seq(
+      "q_held" -> 1.25,       // within 1.3x: ambient drift, pin stands
+      "q_regressed" -> 4.1,   // 2.5x: unreachable — replace
+      "q_unpinned" -> 9.9)    // no pin at all: nothing to replace
+    assert(Bench.replaceSet(pins, isolated) === Set("q_regressed"))
+  }
 }
