@@ -1053,7 +1053,11 @@ object DataLayout {
     DvDeleteReport(filesTouched, n)
   }
 
-  final case class DvDeleteReport(filesTouched: Int, rowsDeleted: Long)
+  /** `filesScanned`: files whose rows the predicate pass actually read
+    * (envelope-pruned for range-shaped predicates; -1 = the ranges-based
+    * path, which prunes by construction and never recorded it). */
+  final case class DvDeleteReport(filesTouched: Int, rowsDeleted: Long,
+      filesScanned: Int = -1)
 
   /** [[deleteVectors]] for an ARBITRARY predicate — the SQL `DELETE FROM`
     * path. A general predicate has no range shape to envelope-prune with,
@@ -1079,21 +1083,31 @@ object DataLayout {
 
   private def deleteVectorsWhereOnce(spark: SparkSession, dir: String,
       cond: Column): DvDeleteReport = {
-    val alive = aliveManifest(spark, dir).select("file")
+    val aliveDf = aliveManifest(spark, dir).localCheckpoint(true)
+    val alive = aliveDf.select("file")
       .collect().map(_.getString(0)).toIndexedSeq.sorted // O(files)
-    if (alive.isEmpty) return DvDeleteReport(0, 0L)
+    if (alive.isEmpty) return DvDeleteReport(0, 0L, filesScanned = 0)
+    // envelope prefilter for range-shaped predicates (see [[updateWhere]]
+    // pass 1): candidates ∝ envelope hits on a clustered layout, full
+    // scan only when the predicate contributes no envelope test
+    val candidates = envelopePrefilter(aliveDf.columns.toSet, cond) match {
+      case Some(test) => aliveDf.where(test).select("file")
+        .collect().map(_.getString(0)).toIndexedSeq.sorted // O(files)
+      case None => alive
+    }
+    if (candidates.isEmpty) return DvDeleteReport(0, 0L, filesScanned = 0)
     val v = currentVersion(spark, dir) + 1
     val dvPrev = dvAt(spark, dir, Latest)
-    val base = readWithMeta(spark, alive, schemaAt(spark, dir, Latest))
+    val base = readWithMeta(spark, candidates, schemaAt(spark, dir, Latest))
     val masked = dvPrev.map(applyMask(base, _)).getOrElse(base)
     val fresh = masked.where(cond)
       .select(col(MetaFile).as("file"), col(MetaPos).as("pos"), lit(v).as("v"))
       .localCheckpoint(true)
     val n = fresh.count()
-    if (n == 0L) return DvDeleteReport(0, 0L)
+    if (n == 0L) return DvDeleteReport(0, 0L, filesScanned = candidates.size)
     val filesTouched = fresh.select("file").distinct().count().toInt
     commitLogFile(dvPath(dir), fresh, v)
-    DvDeleteReport(filesTouched, n)
+    DvDeleteReport(filesTouched, n, filesScanned = candidates.size)
   }
 
   /** Physically apply outstanding deletion vectors: rewrite ONLY the alive
@@ -1355,6 +1369,127 @@ object DataLayout {
       col(c) >= lit(lo) && col(c) <= lit(hi)
     }.reduce(_ && _)
 
+  /** Conservative FILE-ENVELOPE prefilter derived from an arbitrary row
+    * predicate — the bridge between the Column-shaped DML surface
+    * ([[updateWhere]], [[deleteVectorsWhere]], SQL UPDATE/DELETE) and the
+    * manifest min/max skipping the range-shaped surface already enjoys.
+    * A row satisfying `cond` satisfies every conjunct of its top-level
+    * conjunction, so each conjunct of a recognizable shape
+    * (`k = v`, `k <>=<= v`, `k BETWEEN a AND b` — parsed as two bounds —
+    * `k IN (…)`, `k IS NULL`, literal on either side) contributes one
+    * necessary envelope test; a file failing ANY contributed test cannot
+    * hold a matching row. Unrecognized conjuncts contribute nothing
+    * (never wrong, only less pruning); None when NO conjunct contributed
+    * — the caller falls back to the full coordinate scan, the pre-r18
+    * behavior. Columns without manifest stats contribute nothing;
+    * unrecorded per-file stats read as "may match" via
+    * [[statsUnrecorded]], identically to skipScan. */
+  private[graft] def envelopePrefilter(manifestCols: Set[String],
+      cond: Column): Option[Column] = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+    // The Column DSL reaches here as UnresolvedFunction("and"/"="/
+    // "between"/…) nodes (Spark 4's ColumnNode conversion routes operators
+    // through function names); SQL-parsed predicates as the catalyst
+    // comparison classes. Normalize the function-name family into the
+    // catalyst one so a single set of bound patterns serves both.
+    def norm(e: ce.Expression): ce.Expression = e match {
+      case f: UnresolvedFunction if f.nameParts.length == 1 && !f.isDistinct =>
+        val a = f.arguments.map(norm)
+        (f.nameParts.head.toLowerCase, a) match {
+          case ("and", Seq(l, r)) => ce.And(l, r)
+          case ("=" | "==", Seq(l, r)) => ce.EqualTo(l, r)
+          case ("<=>", Seq(l, r)) => ce.EqualNullSafe(l, r)
+          case (">", Seq(l, r)) => ce.GreaterThan(l, r)
+          case (">=", Seq(l, r)) => ce.GreaterThanOrEqual(l, r)
+          case ("<", Seq(l, r)) => ce.LessThan(l, r)
+          case ("<=", Seq(l, r)) => ce.LessThanOrEqual(l, r)
+          case ("between", Seq(v, lo, hi)) =>
+            ce.And(ce.GreaterThanOrEqual(v, lo), ce.LessThanOrEqual(v, hi))
+          case ("in", v +: vs) if vs.nonEmpty => ce.In(v, vs)
+          case ("isnull", Seq(v)) => ce.IsNull(v)
+          case _ => e
+        }
+      case b: ce.Between => // the parser's runtime-replaceable BETWEEN
+        ce.And(ce.GreaterThanOrEqual(norm(b.input), norm(b.lower)),
+          ce.LessThanOrEqual(norm(b.input), norm(b.upper)))
+      case _ => e
+    }
+    def conjuncts(e: ce.Expression): Seq[ce.Expression] = norm(e) match {
+      case ce.And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    def attr(e: ce.Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.nameParts.last)
+      case a: ce.AttributeReference => Some(a.name)
+      case _ => None
+    }
+    // literal → Column via its SQL rendering (type-faithful: dates render
+    // as DATE '…', strings quoted), so the manifest-side comparison
+    // resolves with Spark's own coercion rules
+    def litc(e: ce.Expression): Option[Column] = e match {
+      case l: ce.Literal if l.value != null => Some(expr(l.sql))
+      case _ => None
+    }
+    def guarded(k: String, test: Column): Option[Column] =
+      if (!manifestCols(s"min_$k")) None
+      else Some(coalesce(test, lit(false)) || statsUnrecorded(manifestCols, k))
+    def nullsTest(k: String): Option[Column] =
+      if (!manifestCols(s"nulls_$k")) None
+      else Some(coalesce(col(s"nulls_$k") > 0, lit(true)) ||
+        statsUnrecorded(manifestCols, k))
+    // (column name, literal, flipped) from a comparison's two sides —
+    // `flipped` marks the literal-first spelling (`5 > k` ≡ `k < 5`)
+    def sides(x: ce.Expression, y: ce.Expression)
+        : Option[(String, Column, Boolean)] =
+      (attr(x), litc(y)) match {
+        case (Some(k), Some(v)) => Some((k, v, false))
+        case _ => (attr(y), litc(x)) match {
+          case (Some(k), Some(v)) => Some((k, v, true))
+          case _ => None
+        }
+      }
+    def bound(e: ce.Expression): Option[Column] = e match {
+      case ce.EqualTo(x, y) => sides(x, y).flatMap { case (k, v, _) =>
+        guarded(k, col(s"min_$k") <= v && col(s"max_$k") >= v)
+      }
+      case ce.EqualNullSafe(a, ce.Literal(null, _)) =>
+        attr(a).flatMap(nullsTest)
+      case ce.EqualNullSafe(ce.Literal(null, _), a) =>
+        attr(a).flatMap(nullsTest)
+      case ce.EqualNullSafe(x, y) => bound(ce.EqualTo(x, y))
+      case ce.GreaterThan(x, y) => sides(x, y).flatMap {
+        case (k, v, false) => guarded(k, col(s"max_$k") > v)
+        case (k, v, true) => guarded(k, col(s"min_$k") < v)
+      }
+      case ce.GreaterThanOrEqual(x, y) => sides(x, y).flatMap {
+        case (k, v, false) => guarded(k, col(s"max_$k") >= v)
+        case (k, v, true) => guarded(k, col(s"min_$k") <= v)
+      }
+      case ce.LessThan(x, y) => sides(x, y).flatMap {
+        case (k, v, false) => guarded(k, col(s"min_$k") < v)
+        case (k, v, true) => guarded(k, col(s"max_$k") > v)
+      }
+      case ce.LessThanOrEqual(x, y) => sides(x, y).flatMap {
+        case (k, v, false) => guarded(k, col(s"min_$k") <= v)
+        case (k, v, true) => guarded(k, col(s"max_$k") >= v)
+      }
+      case ce.IsNull(a) => attr(a).flatMap(nullsTest)
+      case ce.In(a, vs) if vs.nonEmpty => for {
+        k <- attr(a)
+        cols <- Some(vs.flatMap(litc)) if cols.size == vs.size
+        t <- guarded(k,
+          col(s"max_$k") >= (if (cols.size == 1) cols.head else least(cols: _*)) &&
+            col(s"min_$k") <= (if (cols.size == 1) cols.head else greatest(cols: _*)))
+      } yield t
+      case _ => None
+    }
+    val tests = conjuncts(
+      org.apache.spark.sql.graftshim.StreamingFrameShim.expressionOf(cond))
+      .flatMap(bound(_).toSeq)
+    if (tests.isEmpty) None else Some(tests.reduce(_ && _))
+  }
+
   // ---- maintenance -------------------------------------------------------
 
   /** Compact ONLY the z-overlapping file clusters of the latest version
@@ -1565,7 +1700,7 @@ object DataLayout {
     val aliveDf = aliveManifest(spark, dir).localCheckpoint(true)
     val all = aliveDf.select("file")
       .collect().map(_.getString(0)).toIndexedSeq.sorted // O(files)
-    if (all.isEmpty) return UpdateReport(0, 0L, 0)
+    if (all.isEmpty) return UpdateReport(0, 0L, 0, filesScanned = 0)
     val sch = schemaAt(spark, dir, Latest)
     assignments.keys.foreach(c => require(
       sch.map(_.fieldNames.toSeq)
@@ -1573,13 +1708,26 @@ object DataLayout {
         .contains(c),
       s"SET column '$c' not in the layout schema"))
     // pass 1: the files that carry matching rows — coordinates only,
-    // masked so soft-deleted rows never resurrect as matches
-    val base = readWithMeta(spark, all, sch)
+    // masked so soft-deleted rows never resurrect as matches. For a
+    // range-shaped condition the manifest envelopes prune the CANDIDATE
+    // set first (the skipScan machinery, derived from the predicate's
+    // conjuncts), so a clustered layout scans coordinates ∝ envelope
+    // hits instead of the whole table; an unrecognizable predicate
+    // falls back to scanning every file, the always-correct shape.
+    val candidates = envelopePrefilter(aliveDf.columns.toSet, cond) match {
+      case Some(test) => aliveDf.where(test).select("file")
+        .collect().map(_.getString(0)).toIndexedSeq.sorted // O(files)
+      case None => all
+    }
+    if (candidates.isEmpty) return UpdateReport(0, 0L, all.size,
+      filesScanned = 0)
+    val base = readWithMeta(spark, candidates, sch)
     val masked = dvAt(spark, dir, Latest).map(applyMask(base, _)).getOrElse(base)
     val hitCanon = masked.where(cond).select(col(MetaFile).as("f"))
       .distinct().collect().map(_.getString(0)).toSet // O(files)
     val hit = all.filter(f => hitCanon(canon(f)))
-    if (hit.isEmpty) return UpdateReport(0, 0L, all.size)
+    if (hit.isEmpty) return UpdateReport(0, 0L, all.size,
+      filesScanned = candidates.size)
     val v = currentVersion(spark, dir) + 1
     // pass 2: rewrite ONLY the hit files; per column, matched rows take
     // the assignment, everything else passes through
@@ -1599,11 +1747,16 @@ object DataLayout {
     appendLog(dir, freshStatsFor(spark, freshNames, dims, bits, statsCols, v)
       .map(_.unionByName(tomb, allowMissingColumns = true)).getOrElse(tomb), v)
     UpdateReport(filesRewritten = hit.size, rowsUpdated = updatedCount,
-      filesTotalAfter = all.size - hit.size + freshNames.size)
+      filesTotalAfter = all.size - hit.size + freshNames.size,
+      filesScanned = candidates.size)
   }
 
+  /** `filesScanned` counts the files whose coordinates pass 1 actually
+    * read — on a clustered layout with a range-shaped predicate it is the
+    * envelope-hit count, not the table's file count (-1 = a legacy
+    * construction that didn't record it). */
   final case class UpdateReport(filesRewritten: Int, rowsUpdated: Long,
-      filesTotalAfter: Int)
+      filesTotalAfter: Int, filesScanned: Int = -1)
 
   /** Physically remove every data file not alive at any version in the
     * RETENTION WINDOW `[hwm − retainVersions, hwm]` (plus stat-less empty

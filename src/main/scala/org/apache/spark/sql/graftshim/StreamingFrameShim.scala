@@ -41,4 +41,15 @@ object StreamingFrameShim {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Column → Catalyst Expression (Spark 4 removed the public `.expr`
+    * accessor with the Connect column refactor). The EAGER conversion via
+    * `ColumnNodeToExpressionConverter` — `ExpressionUtils.expression`
+    * returns a lazy `ColumnNodeExpression` wrapper whose children are
+    * still ColumnNodes, useless to a caller pattern-matching the
+    * predicate's conjuncts (the DML envelope prefilter). The converter is
+    * `private[sql]`, hence this bridge. */
+  def expressionOf(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }
