@@ -49,7 +49,8 @@ object LayoutCli {
       compare: Seq[String] = Nil,
       opCol: String = "op", seqCol: String = "seq",
       once: Boolean = false, maintainEvery: Int = 0,
-      checkpoint: Option[String] = None, rest: Seq[String] = Nil)
+      checkpoint: Option[String] = None, commitMode: String = "rename",
+      rest: Seq[String] = Nil)
 
   def parseArgs(argv: Array[String]): LArgs = {
     def ranges(v: String): Seq[(String, Any, Any)] =
@@ -85,6 +86,9 @@ object LayoutCli {
       case "--once" :: t => go(t, a.copy(once = true))
       case "--maintain-every" :: v :: t => go(t, a.copy(maintainEvery = v.toInt))
       case "--checkpoint" :: v :: t => go(t, a.copy(checkpoint = Some(v)))
+      // object-store profile: persisted via LayoutConfig, so later SQL
+      // DML / maintenance on this layout inherit it
+      case "--commit-mode" :: v :: t => go(t, a.copy(commitMode = v.trim.toLowerCase))
       case p :: t if a.cmd.isEmpty => go(t, a.copy(cmd = p))
       case p :: t if a.dir.isEmpty => go(t, a.copy(dir = p))
       case p :: t => go(t, a.copy(rest = a.rest :+ p))
@@ -147,7 +151,8 @@ object LayoutCli {
       // named dims → record the write config so SQL DML (INSERT/DELETE/
       // MERGE on a `USING graft` view) can recover the clustering
       graft.layout.LayoutConfig.record(spark, a.dir,
-        graft.layout.LayoutConfig.Config(a.dims, a.bits, stats, a.files))
+        graft.layout.LayoutConfig.Config(a.dims, a.bits, stats, a.files,
+          a.commitMode))
       println(jsonLine("op" -> a.cmd, "dir" -> a.dir,
         "version" -> DataLayout.currentVersion(spark, a.dir)))
 

@@ -435,16 +435,47 @@ object DataLayout {
     try r.getRecordCount finally r.close()
   }
 
+  /** A direct-commit data SUBDIR under the layout root: per-append
+    * `append-v{v}-{uuid}` and per-rewrite `rewrite-{op}_v{v}-{uuid}` dirs
+    * a direct-mode write lands in (no data-byte renames — visibility is
+    * the manifest commit alone). One predicate so listing, vacuum's
+    * residue sweep and the zombie cleanup can never disagree on what
+    * counts as one. */
+  private[layout] def isDirectSubdirName(n: String): Boolean =
+    n.startsWith("append-v") || n.startsWith("rewrite-")
+
+  /** Whether the layout DECLARED the object-store commit profile
+    * ([[LayoutConfig]] `commitMode=direct`) — the default every mutation
+    * surface inherits when its own call site carries no flag. */
+  private def configDirect(spark: SparkSession, dir: String): Boolean =
+    scala.util.Try(LayoutConfig.read(spark, dir)).toOption.flatten
+      .exists(_.direct)
+
   private def stageRename(spark: SparkSession, dir: String, stage: String,
       prefix: String, staged: DataFrame, nOut: Int, dims: Seq[Column],
       bits: Int): Seq[String] = {
     val z = "_graft_z"
-    staged.withColumn(z, zOrderKey(dims, bits))
+    val fs = fsOf(spark, dir)
+    def clustered = staged.withColumn(z, zOrderKey(dims, bits))
       .repartitionByRange(nOut, col(z))
       .sortWithinPartitions(z)
       .drop(z)
-      .write.mode("overwrite").parquet(stage)
-    val fs = fsOf(spark, dir)
+    // a direct-mode layout's rewrites skip the rename leg entirely: the
+    // clustered output lands STRAIGHT in an exclusively-owned
+    // `rewrite-{prefix}-{uuid}` subdir (same contract as appendZOrdered's
+    // directCommit — atomicity never depended on the rename; on S3-class
+    // stores each rename is a full copy of the rewritten bytes, which for
+    // a compaction doubles the whole job's write volume)
+    if (configDirect(spark, dir)) {
+      val sub = s"$dir/rewrite-$prefix-${java.util.UUID.randomUUID.toString.take(8)}"
+      clustered.write.mode("overwrite").parquet(sub)
+      val (keep, empty) = listDataFiles(spark, sub)
+        .partition(f => footerRows(spark, f) > 0L)
+      empty.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
+      if (keep.isEmpty) fs.delete(new org.apache.hadoop.fs.Path(sub), true)
+      return keep
+    }
+    clustered.write.mode("overwrite").parquet(stage)
     val fresh = scala.collection.mutable.ArrayBuffer.empty[String]
     for ((sf, i) <- listDataFiles(spark, stage).zipWithIndex
          if footerRows(spark, sf) > 0L) {
@@ -591,8 +622,13 @@ object DataLayout {
     // vacuum reclaims them). Overwrite keeps the direct
     // write: version 0 owns the whole dir by definition (the constraint
     // log must survive the dir deletion, though).
+    // the call-site flag forces direct; a layout that DECLARED
+    // commitMode=direct (LayoutConfig) gets it by default, so raw-API
+    // appends against an S3-profile layout don't silently regress to
+    // the rename path
+    val effDirect = directCommit || (append && configDirect(spark, outDir))
     val fresh: Seq[String] =
-      if (append && directCommit) {
+      if (append && effDirect) {
         // object-store profile (see appendZOrdered): write the clustered
         // output STRAIGHT into a fresh, exclusively-owned subdir — zero
         // renames of data bytes; the manifest commit below is the only
@@ -677,7 +713,7 @@ object DataLayout {
           // remains (hidden markers like _SUCCESS don't count)
           fresh.map(f => new org.apache.hadoop.fs.Path(f).getParent)
             .distinct
-            .filter(p => p.getName.startsWith("append-v") && fs.exists(p) &&
+            .filter(p => isDirectSubdirName(p.getName) && fs.exists(p) &&
               fs.listStatus(p).forall(s =>
                 s.getPath.getName.startsWith("_") ||
                   s.getPath.getName.startsWith(".")))
@@ -775,11 +811,12 @@ object DataLayout {
         !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
         .map(_.getPath.toString)
     val entries = fs.listStatus(path).toSeq
-    // direct-commit appends land in per-append `append-v*` subdirs (see
-    // appendZOrdered's directCommit): one extra listing level, still
+    // direct-commit writes land in per-append `append-v*` / per-rewrite
+    // `rewrite-*` subdirs (see appendZOrdered's directCommit and
+    // stageRename's direct path): one extra listing level, still
     // O(files) total
     val sub = entries
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("append-v"))
+      .filter(s => s.isDirectory && isDirectSubdirName(s.getPath.getName))
       .flatMap(d => files(fs.listStatus(d.getPath).toSeq))
     (files(entries) ++ sub).sorted
   }
@@ -1977,16 +2014,17 @@ object DataLayout {
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("_graft_") &&
           s.getPath.getName.endsWith("_stage") && oldEnough(s.getPath))
         .foreach(s => fs.delete(s.getPath, true))
-    // direct-commit append subdirs: one the deletions above emptied goes
-    // now (mtime just bumped, but no live writer can own it); an aged
-    // empty one is residue too. "Empty" ignores hidden markers (_SUCCESS).
-    // Non-empty young dirs are a live append mid-commit — untouched.
+    // direct-commit subdirs (append-v* / rewrite-*): one the deletions
+    // above emptied goes now (mtime just bumped, but no live writer can
+    // own it); an aged empty one is residue too. "Empty" ignores hidden
+    // markers (_SUCCESS). Non-empty young dirs are a live writer
+    // mid-commit — untouched.
     def noDataLeft(d: org.apache.hadoop.fs.Path): Boolean =
       fs.listStatus(d).forall(f => f.getPath.getName.startsWith("_") ||
         f.getPath.getName.startsWith("."))
     if (fs.exists(rootP))
       fs.listStatus(rootP)
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("append-v") &&
+        .filter(s => s.isDirectory && isDirectSubdirName(s.getPath.getName) &&
           noDataLeft(s.getPath) &&
           (oldEnough(s.getPath) || emptiedParents(canon(s.getPath.toString))))
         .foreach(s => fs.delete(s.getPath, true))

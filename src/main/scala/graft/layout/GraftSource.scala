@@ -107,7 +107,8 @@ class GraftSourceProvider extends RelationProvider
     // this surface KNOWS its dimension names: persist them so SQL DML
     // (INSERT INTO / GraftSql DELETE / MERGE) can recover the clustering
     LayoutConfig.record(spark, o.dir,
-      LayoutConfig.Config(o.dimNames, o.bits, o.statsCols, o.numFiles))
+      LayoutConfig.Config(o.dimNames, o.bits, o.statsCols, o.numFiles,
+        commitMode = if (o.directCommit) "direct" else "rename"))
     createRelation(sqlContext, parameters)
   }
 

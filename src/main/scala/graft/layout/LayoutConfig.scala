@@ -27,9 +27,23 @@ object LayoutConfig {
   val ConfigDir = "_graft_config"
 
   /** Dimension names use the CLI/writer convention: `str:name` marks a
-    * string column clustered via [[DataLayout.stringDim]]. */
+    * string column clustered via [[DataLayout.stringDim]].
+    *
+    * `commitMode` is the layout's DECLARED commit profile: "rename" (the
+    * default — stage + rename into the dir root) or "direct" (the
+    * object-store profile: output lands in exclusively-owned subdirs,
+    * visibility is the manifest commit alone, no data byte is ever
+    * renamed). Persisted here so every mutation surface that cannot
+    * carry the flag itself — SQL INSERT/UPDATE/DELETE/MERGE, nightly
+    * [[Maintenance]], [[DataLayout.purgeDeletes]] — inherits the
+    * profile the layout was declared with instead of silently paying
+    * S3's rename-is-a-copy tax. */
   final case class Config(dimNames: Seq[String], bits: Int,
-      statsCols: Seq[String], numFiles: Int) {
+      statsCols: Seq[String], numFiles: Int,
+      commitMode: String = "rename") {
+    require(commitMode == "rename" || commitMode == "direct",
+      s"commitMode must be 'rename' or 'direct': $commitMode")
+    def direct: Boolean = commitMode == "direct"
     def dims: Seq[Column] = dimNames.map {
       case s if s.startsWith("str:") =>
         DataLayout.stringDim(col(s.stripPrefix("str:")), bits)
@@ -53,6 +67,7 @@ object LayoutConfig {
     p.setProperty("bits", c.bits.toString)
     p.setProperty("statsCols", c.statsCols.mkString(","))
     p.setProperty("numFiles", c.numFiles.toString)
+    p.setProperty("commitMode", c.commitMode)
     val fs = fsOf(spark, dir)
     val out = fs.create(path(dir), true)
     try p.store(out, "graft layout write configuration")
@@ -74,7 +89,11 @@ object LayoutConfig {
       stats <- Option(p.getProperty("statsCols")).map(csv)
       files <- Option(p.getProperty("numFiles")).flatMap(s =>
         scala.util.Try(s.trim.toInt).toOption)
-    } yield Config(dims, bits, stats, files)
+      // absent in pre-r18 config files: those layouts declared nothing,
+      // which is exactly the rename default
+      mode = Option(p.getProperty("commitMode")).map(_.trim)
+        .filter(m => m == "rename" || m == "direct").getOrElse("rename")
+    } yield Config(dims, bits, stats, files, mode)
   }
 
   /** The config, or a loud refusal naming the fix — the SQL DML surface's

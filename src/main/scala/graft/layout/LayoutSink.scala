@@ -137,7 +137,8 @@ private[layout] class GraftLayoutSink(opts: LayoutWriteOptions) extends Sink {
     if (LayoutConfig.read(data.sparkSession, opts.dir).isEmpty)
       LayoutConfig.record(data.sparkSession, opts.dir,
         LayoutConfig.Config(opts.dimNames, opts.bits, opts.statsCols,
-          opts.numFiles))
+          opts.numFiles,
+          commitMode = if (opts.directCommit) "direct" else "rename"))
     if (!committed)
       org.slf4j.LoggerFactory.getLogger(classOf[GraftLayoutSink]).info(
         s"graft sink: batch $batchId of app $appId already committed — skipped")

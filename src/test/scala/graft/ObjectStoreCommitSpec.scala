@@ -104,4 +104,56 @@ class ObjectStoreCommitSpec extends AnyFunSuite {
         .option("dims", "x").option("commitMode", "s3magic").save(dir)
     }
   }
+
+  test("a DECLARED direct-mode layout: SQL DML inherits the profile, no root rename") {
+    val dir = Files.createTempDirectory("graft_os").toString + "/t"
+    mk(0 until 2000).write.format("graft").mode("overwrite")
+      .option("dims", "id").option("statsCols", "id,x")
+      .option("numFiles", "4").option("commitMode", "direct").save(dir)
+    assert(graft.layout.LayoutConfig.mandatory(spark, dir).direct)
+    def rootDataFiles: Set[String] = fs.listStatus(p(dir))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).toSet
+    val v0Files = rootDataFiles // overwrite owns the root by definition
+    def subdirsBy(prefix: String) = fs.listStatus(p(dir)).filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith(prefix))
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW osd USING graft OPTIONS (path '$dir')")
+    // INSERT (native InsertableRelation) inherits direct from the config
+    mk(2000 until 2100).createOrReplaceTempView("osd_ins")
+    spark.sql("INSERT INTO osd SELECT * FROM osd_ins")
+    assert(subdirsBy("append-v").length == 1)
+    // DELETE = DV mark + purge: the purge REWRITE lands in rewrite-* subdirs
+    val del = graft.layout.GraftSql(spark,
+      "DELETE FROM osd WHERE id BETWEEN 100 AND 199")
+    assert(del.select("rows_deleted").head().getLong(0) == 100L)
+    assert(subdirsBy("rewrite-purge_v").nonEmpty)
+    // MERGE: the envelope-targeted rewrite lands in a rewrite-merge_v* subdir
+    mk(0 until 50).withColumn("x", lit(-5L)).createOrReplaceTempView("osd_upd")
+    val m = graft.layout.GraftSql(spark,
+      """MERGE INTO osd USING osd_upd s ON osd.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(m.select("rows_updated").head().getLong(0) == 50L)
+    assert(subdirsBy("rewrite-merge_v").nonEmpty)
+    // UPDATE: the hit-file rewrite too
+    graft.layout.GraftSql(spark, "UPDATE osd SET x = 9 WHERE id BETWEEN 300 AND 310")
+    assert(subdirsBy("rewrite-update_v").nonEmpty)
+    // across all four mutations: not ONE new data file at the root — the
+    // object-store profile's whole point (each root rename is a copy)
+    assert(rootDataFiles == v0Files,
+      s"root gained files: ${(rootDataFiles -- v0Files).mkString(",")}")
+    // and the layout stays exact through it all
+    val back = DataLayout.readLayout(spark, dir)
+    assert(back.count() == 2000L) // +100 ins, -100 del; merge/update in place
+    assert(back.where(col("x") === -5L).count() == 50L)
+    assert(back.where(col("x") === 9L).count() == 11L)
+    // maintenance on the declared-direct layout also never root-renames
+    DataLayout.deleteVectors(spark, dir, Seq(("id", 400L, 420L)))
+    val rep = graft.layout.Maintenance.run(spark, dir, Seq(col("id")), 24,
+      Seq("id", "x"), graft.layout.Maintenance.Policy(rowsPerFile = 500,
+        minReclaimableFiles = 1, retainVersions = 0))
+    assert(rep.purged.isDefined)
+    assert(rootDataFiles.subsetOf(v0Files),
+      "maintenance renamed rewrite output into the root on a direct layout")
+  }
 }
