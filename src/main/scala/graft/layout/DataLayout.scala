@@ -2222,7 +2222,8 @@ object DataLayout {
   def diffLayouts(spark: SparkSession, dirA: String, dirB: String,
       keyCols: Seq[String], compareCols: Seq[String] = Nil,
       versionA: Long = Latest, versionB: Long = Latest,
-      bisectSegments: Int = 256): LayoutDiff = {
+      bisectSegments: Int = 256,
+      bisectRowThreshold: Long = 1L << 16): LayoutDiff = {
     require(keyCols.nonEmpty, "diffLayouts needs at least one key column")
     // per side: all alive files, plus file → (fp, rows) where usable.
     // DV-carrying files (bytes ≠ effective rows) get their EFFECTIVE
@@ -2321,7 +2322,7 @@ object DataLayout {
         readA.size + readB.size >= 4) {
       val bs = bisectLayoutDiff(spark, dirA, dirB, versionA, versionB,
         keyCols, compareCols, readA, readB, filesA.size, filesB.size,
-        bisectSegments)
+        bisectSegments, bisectRowThreshold)
       if (bs.isDefined) return bs.get
     }
     LayoutDiff(diffOf(readA, readB),
@@ -2370,142 +2371,440 @@ object DataLayout {
     }
   }
 
+  /** Driver twin of [[zOrderKey]] for exactly two dimensions: interleave
+    * the low `bits` bits, dimension 0 owning the more-significant bit of
+    * each pair — bit-for-bit the expression's layout, so file envelopes
+    * computed here and row keys computed in the scan land in the same
+    * z space. */
+  private def zTwin2(a: Long, b: Long, bits: Int): Long = {
+    var r = 0L
+    var j = 0
+    while (j < bits) {
+      r |= ((a >> j) & 1L) << (2 * j + 1)
+      r |= ((b >> j) & 1L) << (2 * j)
+      j += 1
+    }
+    r
+  }
+
   /** The bisected dirty-path diff (see [[diffLayouts]]). Returns None when
     * segmentation is impossible: key stats missing on a side, unsupported
     * or mismatched key types, no recorded envelope geometry, or a
-    * degenerate ordinal span. */
+    * degenerate ordinal span.
+    *
+    * Two r18 extensions close the scale seams the single-level version
+    * left open:
+    *
+    *  - RECURSION (the reference's own shape —
+    *    data_diff/hashdiff_tables.py:169-264, factor 32 per level): after
+    *    a level's checksum pass, if the dirty segments still hold more
+    *    than `rowThreshold` rows, each dirty ordinal range re-segments 32
+    *    ways and only THOSE rows re-checksum — at 100 TB a localized
+    *    mutation resolves to a JoinDiff of ~rowThreshold rows in a handful
+    *    of levels, instead of one 256th of the table (~400 GB). Each
+    *    deeper level reads only envelope-hit files, so level cost shrinks
+    *    with the dirt.
+    *  - COMPOUND-KEY MESH (reference: data_diff/table_segment.py:23-86):
+    *    with two or more key columns, the first TWO keys' ordinals scale
+    *    into 28 bits each and interleave through [[zOrderKey]] — a
+    *    low-cardinality or skewed LEADING key (status, tenant, day) no
+    *    longer collapses the span into a few saturated segments, because
+    *    the second key's bits keep subdividing where the first one's
+    *    cannot. File envelopes map monotonically ([min₁,min₂] →
+    *    z-min, [max₁,max₂] → z-max), so envelope pruning carries over. */
   private def bisectLayoutDiff(spark: SparkSession, dirA: String,
       dirB: String, versionA: Long, versionB: Long, keyCols: Seq[String],
       compareCols: Seq[String], readA: Seq[String], readB: Seq[String],
-      totalA: Int, totalB: Int, nSeg: Int): Option[LayoutDiff] = {
-    val k = keyCols.head
-    // per dirty file: the key envelope as ordinals, whether it may hold
-    // NULL keys, and whether its key stats were never recorded at all
-    final case class Env(file: String, lo: Option[Long], hi: Option[Long],
+      totalA: Int, totalB: Int, nSeg: Int,
+      rowThreshold: Long): Option[LayoutDiff] = {
+    val MeshBits = 28 // 2 x 28 = 56-bit z keys, inside a signed Long
+    val MaxLevels = 6
+    val MaxRanges = 64 // dirty-range cap per level (CASE-chain size bound)
+    val Fanout = 32 // per-level subdivision factor past level 0
+
+    // per file and key: the recorded envelope as ordinals, whether the
+    // file may hold NULL keys, and whether stats were never recorded
+    final case class KeyStat(lo: Option[Long], hi: Option[Long],
         mayNull: Boolean, unrec: Boolean)
-    def sideEnvs(dir: String, v: Long, files: Seq[String])
-        : Option[(Seq[Env], Column => Column,
-          org.apache.spark.sql.types.DataType)] = {
-      val alive = aliveManifest(spark, dir, v)
-      val mCols = alive.columns.toSet
-      if (!mCols(s"min_$k")) return None
-      val dt = alive.schema(s"min_$k").dataType
-      keyOrdinal(dt).map { case (expr, conv) =>
-        val hasN = mCols(s"nulls_$k")
-        // driver-side membership filter, not a k-literal isin: the dirty
-        // set can be the whole table (that is bisection's home case) and
-        // a 100k-literal predicate would stress codegen for nothing
-        val wanted = files.toSet
-        val rows = alive
-          .select(col("file"), col(s"min_$k"), col(s"max_$k"),
-            (if (hasN) col(s"nulls_$k") else lit(null).cast("long")).as("_n"))
-          .collect() // O(files): names + one envelope each
-          .filter(r => wanted(r.getString(0)))
-        (rows.toSeq.map { r =>
-          val unrec = r.isNullAt(1) && r.isNullAt(3)
-          Env(r.getString(0),
-            if (r.isNullAt(1)) None else Some(conv(r.get(1))),
-            if (r.isNullAt(2)) None else Some(conv(r.get(2))),
-            mayNull = unrec || r.isNullAt(3) || r.getLong(3) > 0L,
-            unrec = unrec)
-        }, expr, dt)
+
+    val aliveA = aliveManifest(spark, dirA, versionA)
+    val aliveB = aliveManifest(spark, dirB, versionB)
+    val mColsA = aliveA.columns.toSet
+    val mColsB = aliveB.columns.toSet
+    def codecFor(k: String): Option[(Column => Column, Any => Long)] =
+      if (!mColsA(s"min_$k") || !mColsB(s"min_$k")) None
+      else {
+        val dt = aliveA.schema(s"min_$k").dataType
+        if (dt != aliveB.schema(s"min_$k").dataType) None
+        else keyOrdinal(dt)
+      }
+    val k1 = keyCols.head
+    val codec1 = codecFor(k1) match {
+      case Some(c) => c
+      case None => return None
+    }
+    // the compound mesh engages when a SECOND key column is segmentable
+    // on both sides; otherwise single-key segmentation, the r17 shape
+    val k2opt: Option[(String, (Column => Column, Any => Long))] =
+      keyCols.drop(1).headOption.flatMap(k2 => codecFor(k2).map(k2 -> _))
+    val keys: Seq[String] = k1 +: k2opt.map(_._1).toSeq
+    val codecs: Seq[(Column => Column, Any => Long)] =
+      codec1 +: k2opt.map(_._2).toSeq
+
+    // one O(files) manifest collect per side, all meshed keys at once
+    def sideStats(alive: DataFrame, mCols: Set[String], files: Seq[String])
+        : Seq[(String, Seq[KeyStat])] = {
+      // driver-side membership filter, not a file-literal isin: the dirty
+      // set can be the whole table (bisection's home case) and a
+      // 100k-literal predicate would stress codegen for nothing
+      val wanted = files.toSet
+      val sel = col("file") +: keys.flatMap(k => Seq(
+        col(s"min_$k"), col(s"max_$k"),
+        (if (mCols(s"nulls_$k")) col(s"nulls_$k") else lit(null).cast("long"))
+          .as(s"_n_$k")))
+      alive.select(sel: _*)
+        .collect() // O(files): names + one envelope each
+        .filter(r => wanted(r.getString(0)))
+        .map { r =>
+          val stats = keys.indices.map { i =>
+            val o = 1 + i * 3
+            val unrec = r.isNullAt(o) && r.isNullAt(o + 2)
+            KeyStat(
+              if (r.isNullAt(o)) None else Some(codecs(i)._2(r.get(o))),
+              if (r.isNullAt(o + 1)) None
+              else Some(codecs(i)._2(r.get(o + 1))),
+              mayNull = unrec || r.isNullAt(o + 2) || r.getLong(o + 2) > 0L,
+              unrec = unrec)
+          }
+          r.getString(0) -> stats
+        }.toSeq.sortBy(_._1)
+    }
+    val statsA = sideStats(aliveA, mColsA, readA)
+    val statsB = sideStats(aliveB, mColsB, readB)
+
+    // per-key global ordinal bounds over BOTH sides' recorded envelopes
+    def boundsOf(i: Int): Option[(Long, Long)] = {
+      val vs = (statsA ++ statsB)
+        .flatMap { case (_, s) => s(i).lo.toSeq ++ s(i).hi.toSeq }
+      if (vs.isEmpty) None else Some((vs.min, vs.max))
+    }
+    val (lo1, hi1) = boundsOf(0) match {
+      case Some(b) => b
+      case None => return None // no geometry recorded anywhere
+    }
+    if (BigInt(hi1) - BigInt(lo1) + 1 > BigInt(Long.MaxValue)) return None
+    val meshed: Option[(Long, Long)] = // key2 bounds, when meshing
+      k2opt.flatMap { _ =>
+        boundsOf(1).filter { case (l2, h2) =>
+          BigInt(h2) - BigInt(l2) + 1 <= BigInt(Long.MaxValue)
+        }
+      }
+    // NULL-PRESERVING clamp: Spark's least/greatest SKIP null arguments
+    // (least(NULL, hi) = hi), so a bare greatest(least(…)) would fold a
+    // NULL key into the top segment instead of the NULL pool — and file
+    // pruning, which routes null-pool rows through the mayNull flag, not
+    // the envelope, would then silently miss them. (Latent in the r17
+    // single-level code too; surfaced by the compound-mesh NULL spec.)
+    def clampExpr(c: Column, lo: Long, hi: Long): Column =
+      when(c.isNull, lit(null).cast("long"))
+        .otherwise(greatest(least(c, lit(hi)), lit(lo)))
+
+    // ---- the segmentation space --------------------------------------
+    // Single key: the ordinal itself, clamped into the recorded global
+    // envelope; dirty ranges prune files by interval overlap.
+    // Compound (two keys): each key's ordinal scales into [0, 2^MeshBits)
+    // and the two interleave through zOrderKey over the FULL aligned z
+    // space [0, 4^MeshBits) — every segment at every level is then an
+    // ALIGNED z cell, i.e. a perfect (k1, k2) box, so file pruning tests
+    // the cell's per-key ranges against the file's per-key envelopes
+    // exactly (a raw z-interval test would be uselessly loose for a file
+    // spanning the whole leading key, the very case the mesh exists for).
+    // The shared ordinal rides the frames as a MATERIALIZED column behind
+    // a PLANNING BARRIER (the asBatch RDD round-trip), never as an inline
+    // expression: zOrderKey expands its dimension expression once PER BIT
+    // (28 terms each), and Catalyst's filter/project pushdown re-inlines
+    // a plain withColumn alias into every consumer — the segment CASE,
+    // the dirty-range filter and the JoinDiff predicate would each carry
+    // dozens of copies of the full stringDim+clamp+interleave subtree
+    // (observed: 30+ s of planning/codegen for a 1500-row compound diff).
+    // Behind the barrier the ordinal evaluates exactly once per row and
+    // every consumer references a plain attribute. The barrier costs the
+    // scan its parquet predicate pushdown, which is moot here: these
+    // passes read whole envelope-hit files by construction.
+    val OrdCol = "_graft_bisect_ord"
+    def barrier(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graftshim.StreamingFrameShim.asBatch(df)
+    val (glo, ghi, withOrd, scaled): (Long, Long, DataFrame => DataFrame,
+        Option[(Long => Long, Long => Long)]) = meshed match {
+      case Some((lo2, hi2)) =>
+        // STRETCH each key's ordinal to fill its full 28-bit budget: a
+        // wide span divides down, a narrow span shifts UP — without the
+        // stretch a small-span key's bits would all sit in the low z
+        // positions and the first levels would subdivide nothing but the
+        // other key (a 2^15-key span costs four wasted whole-table
+        // levels before its first bit is reached). Both directions are
+        // monotone, so envelopes map exactly.
+        def scaler(lo: Long, hi: Long)
+            : (Column => Column, Long => Long) = {
+          val span = BigInt(hi) - BigInt(lo) + 1
+          if (span > BigInt(1L << MeshBits)) {
+            val d = ((span + (1L << MeshBits) - 1) / (1L << MeshBits)).toLong
+            ((c: Column) => call_function("div", c - lit(lo), lit(d)),
+              (v: Long) => (v - lo) / d)
+          } else {
+            val shift = MeshBits - (span - 1).bitLength
+            ((c: Column) => shiftleft(c - lit(lo), shift),
+              (v: Long) => (v - lo) << shift)
+          }
+        }
+        val (se1, sv1) = scaler(lo1, hi1)
+        val (se2, sv2) = scaler(lo2, hi2)
+        def scaleExpr(k: String, codec: Column => Column, lo: Long,
+            hi: Long, se: Column => Column): Column =
+          se(clampExpr(codec(col(k)), lo, hi))
+        // any NULL key component -> NULL z (the ordinal exprs propagate
+        // NULL; zOrderKey's sum does too) -> the row pools in segment -1
+        val add = (df: DataFrame) => barrier(df
+          .withColumn("_graft_bisect_s1",
+            scaleExpr(k1, codecs(0)._1, lo1, hi1, se1))
+          .withColumn("_graft_bisect_s2",
+            scaleExpr(keys(1), codecs(1)._1, lo2, hi2, se2))
+          .withColumn(OrdCol, zOrderKey(
+            Seq(col("_graft_bisect_s1"), col("_graft_bisect_s2")), MeshBits))
+          .drop("_graft_bisect_s1", "_graft_bisect_s2"))
+        val s1 = (v: Long) => sv1(math.max(lo1, math.min(hi1, v)))
+        val s2 = (v: Long) => sv2(math.max(lo2, math.min(hi2, v)))
+        (0L, (1L << (2 * MeshBits)) - 1, add, Some((s1, s2)))
+      case None =>
+        (lo1, hi1,
+          (df: DataFrame) => barrier(df.withColumn(OrdCol,
+            clampExpr(codecs(0)._1(col(k1)), lo1, hi1))),
+          None)
+    }
+    val ordCol = col(OrdCol)
+
+    // de-interleave one dimension out of an aligned z value (dim 0 owns
+    // the more-significant bit of each pair, mirroring zTwin2/zOrderKey)
+    def deint(z: Long, dim: Int): Long = {
+      var r = 0L
+      var j = 0
+      while (j < MeshBits) {
+        r |= ((z >> (2 * j + (1 - dim))) & 1L) << j
+        j += 1
+      }
+      r
+    }
+    // an aligned z cell [base, base+w-1] (w a power of two) is a perfect
+    // (k1, k2) box in SCALED space: dim 0 owns floor(t/2) free bits
+    def cellBox(base: Long, w: Long): ((Long, Long), (Long, Long)) = {
+      val t = java.lang.Long.numberOfTrailingZeros(w)
+      val f0 = t / 2
+      val f1 = t - f0
+      val a = deint(base, 0)
+      val b = deint(base, 1)
+      ((a, a + (1L << f0) - 1), (b, b + (1L << f1) - 1))
+    }
+    // does the file's recorded envelope meet ANY dirty range? Single-key:
+    // interval overlap on the ordinal. Compound: exact per-key box test
+    // (ranges are aligned cells by construction).
+    def envHit(s: Seq[KeyStat], ranges: Vector[(Long, Long)],
+        nullDirty: Boolean): Boolean = {
+      val unrec = s.exists(_.unrec)
+      val mayNull = unrec || s.exists(_.mayNull)
+      if (unrec || (nullDirty && mayNull)) return true
+      scaled match {
+        case None => (s(0).lo, s(0).hi) match {
+          case (Some(l), Some(h)) =>
+            ranges.exists { case (rl, rh) => h >= rl && l <= rh }
+          case _ => false // recorded all-NULL keys: only the null pool
+        }
+        case Some((sc1, sc2)) =>
+          (s(0).lo, s(0).hi, s(1).lo, s(1).hi) match {
+            case (Some(l1), Some(h1), Some(l2), Some(h2)) =>
+              val (e1l, e1h) = (sc1(l1), sc1(h1))
+              val (e2l, e2h) = (sc2(l2), sc2(h2))
+              ranges.exists { case (base, top) =>
+                val ((c1l, c1h), (c2l, c2h)) = cellBox(base, top - base + 1)
+                e1h >= c1l && e1l <= c1h && e2h >= c2l && e2l <= c2h
+              }
+            case _ => false // a key recorded all-NULL: only the null pool
+          }
       }
     }
-    val sa0 = sideEnvs(dirA, versionA, readA)
-    val sb0 = sideEnvs(dirB, versionB, readB)
-    if (sa0.isEmpty || sb0.isEmpty) return None
-    val (envA, ord, dtA) = sa0.get
-    val (envB, _, dtB) = sb0.get
-    if (dtA != dtB) return None
-    val bounds = (envA ++ envB).flatMap(e => e.lo.toSeq ++ e.hi.toSeq)
-    if (bounds.isEmpty) return None // no geometry recorded anywhere
-    val lo = bounds.min
-    val hi = bounds.max
-    val span = BigInt(hi) - BigInt(lo) + 1
-    if (span > BigInt(Long.MaxValue)) return None // pathological extremes
-    val width = math.max(1L, ((span + nSeg - 1) / nSeg).toLong)
-    val dfA = readMasked(spark, dirA, readA, versionA)
-    val dfB = readMasked(spark, dirB, readB, versionB)
+
     val cmp =
       if (compareCols.nonEmpty) compareCols
-      else dfA.columns.toSeq.filterNot(keyCols.contains)
+      else readMasked(spark, dirA, readA.take(1), versionA)
+        .columns.toSeq.filterNot(keyCols.contains)
     val sumCols = (keyCols ++ cmp).distinct
-    // segment id: ordinal clamped into [lo, hi] (rows from stats-less
-    // files may fall outside the recorded geometry; clamping folds them
-    // into the boundary segments, identically on both sides), floor-divided
-    // by the width; NULL keys pool in segment -1
-    val segExpr: Column = coalesce(
-      call_function("div",
-        greatest(least(ord(col(k)), lit(hi)), lit(lo)) - lit(lo), lit(width)),
-      lit(-1L))
-    // per-segment additive checksum + exact count: sum of per-row 64-bit
-    // hashes over key + compared columns (column set identical to the
-    // JoinDiff's, so an ignored column never dirties a segment), map-side
-    // combined — the only thing shuffled is O(segments) partial sums
-    def sums(df: DataFrame): Map[Long, (String, Long)] =
-      df.groupBy(segExpr.as("_seg"))
-        .agg(sum(xxhash64(sumCols.sorted.map(c => xxhash64(col(c))): _*)
-            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-            .cast("string").as("_fp"),
-          count(lit(1)).as("_n"))
-        .collect() // O(segments)
-        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
-    val sumA = sums(dfA)
-    val sumB = sums(dfB)
-    val allSegs = sumA.keySet ++ sumB.keySet
-    val dirty = allSegs.filter(s => sumA.get(s) != sumB.get(s)).toSeq.sorted
-    if (dirty.isEmpty)
+
+    // ---- the level loop ----------------------------------------------
+    // State: dirty ordinal ranges (level 0: the whole space). In compound
+    // mode every range is an aligned z cell and stays one (power-of-two
+    // fanouts over a power-of-two space); capping coarsens cells to their
+    // parents instead of merging neighbours, preserving alignment.
+    final case class Sub(rlo: Long, rhi: Long, width: Long, base: Long,
+        count: Long)
+    var ranges: Vector[(Long, Long)] = Vector((glo, ghi))
+    var nullDirty = false
+    var level = 0
+    var lastObserved = 0
+    var lastDirty = 0
+    var continue = true
+    while (continue) {
+      val fanout = if (level == 0) Integer.highestOneBit(nSeg.max(2))
+        else Fanout
+      var base = 0L
+      val subs = ranges.map { case (rlo, rhi) =>
+        val span = BigInt(rhi) - BigInt(rlo) + 1
+        val width = ((span + fanout - 1) / fanout).toLong.max(1L)
+        val count = ((span + width - 1) / width).toLong
+        val s = Sub(rlo, rhi, width, base, count)
+        base += count
+        s
+      }
+      // segment id: a CASE over the (<= MaxRanges) dirty ranges — NULL
+      // keys pool in -1 (adjudicated once, at level 0); rows outside
+      // every range read NULL and drop from the aggregation (clean)
+      val segId: Column = subs.foldLeft(when(ordCol.isNull, lit(-1L))) {
+        (w, s) =>
+          w.when(ordCol.between(s.rlo, s.rhi),
+            lit(s.base) + call_function("div", ordCol - lit(s.rlo),
+              lit(s.width)))
+      }
+      def hitFiles(stats: Seq[(String, Seq[KeyStat])]): Seq[String] =
+        if (level == 0) stats.map(_._1) // full pass, null pool included
+        else stats.filter { case (_, s) => envHit(s, ranges, nullDirty) }
+          .map(_._1)
+      // per-segment additive checksum + exact count: sum of per-row
+      // 64-bit hashes over key + compared columns (column set identical
+      // to the JoinDiff's, so an ignored column never dirties a segment),
+      // map-side combined — the only thing shuffled is O(segments) sums
+      def sums(dir: String, v: Long, files: Seq[String])
+          : Map[Long, (String, Long)] =
+        if (files.isEmpty) Map.empty
+        else withOrd(readMasked(spark, dir, files, v))
+          .withColumn("_seg", segId)
+          .where(if (level == 0) col("_seg").isNotNull
+            else col("_seg") >= 0L)
+          .groupBy("_seg")
+          .agg(sum(xxhash64(sumCols.sorted.map(c => xxhash64(col(c))): _*)
+              .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+              .cast("string").as("_fp"),
+            count(lit(1)).as("_n"))
+          .collect() // O(segments)
+          .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      val sumA = sums(dirA, versionA, hitFiles(statsA))
+      val sumB = sums(dirB, versionB, hitFiles(statsB))
+      val allSegs = sumA.keySet ++ sumB.keySet
+      val dirty = allSegs.filter(s => sumA.get(s) != sumB.get(s))
+        .toSeq.sorted
+      if (level == 0) nullDirty = dirty.contains(-1L)
+      val realDirty = dirty.filter(_ >= 0L)
+      lastObserved = allSegs.size
+      lastDirty = dirty.size
+      def owner(id: Long): Sub = subs.find(s =>
+        id >= s.base && id < s.base + s.count).get
+      ranges = scaled match {
+        case None =>
+          // 1-D: contiguous dirty ids merge into runs (a run crossing two
+          // parent ranges conservatively includes the clean gap — those
+          // rows cancel in the JoinDiff, never a wrong answer)
+          val runs = realDirty.foldLeft(Vector.empty[(Long, Long)]) {
+            case (acc, s) if acc.nonEmpty && acc.last._2 == s - 1 =>
+              acc.init :+ ((acc.last._1, s))
+            case (acc, s) => acc :+ ((s, s))
+          }
+          var r = runs.map { case (s1, s2) =>
+            val o1 = owner(s1)
+            val o2 = owner(s2)
+            (o1.rlo + (s1 - o1.base) * o1.width,
+              math.min(o2.rlo + (s2 - o2.base + 1) * o2.width - 1, o2.rhi))
+          }
+          // cap the range count (CASE-chain size): merge the nearest
+          // neighbours — conservative widening, never wrong
+          while (r.size > MaxRanges) {
+            val i = r.sliding(2).zipWithIndex.collect {
+              case (Vector(a, b), j) => (b._1 - a._2, j)
+            }.minBy(_._1)._2
+            r = (r.take(i) :+ ((r(i)._1, r(i + 1)._2))) ++ r.drop(i + 2)
+          }
+          r
+        case Some(_) =>
+          // z space: each dirty id is one aligned cell; keep them as-is
+          // (alignment is what makes the box pruning exact), cap by
+          // COARSENING every cell to its parent until few enough
+          var cells = realDirty.map { s =>
+            val o = owner(s)
+            (o.rlo + (s - o.base) * o.width,
+              o.rlo + (s - o.base + 1) * o.width - 1)
+          }.toVector
+          while (cells.size > MaxRanges) {
+            val w = cells.head._2 - cells.head._1 + 1
+            val pw = w * Fanout
+            cells = cells.map { case (l, _) =>
+              val pl = (l / pw) * pw
+              (pl, pl + pw - 1)
+            }.distinct
+          }
+          cells
+      }
+      val estimate = realDirty.map(s =>
+        math.max(sumA.get(s).map(_._2).getOrElse(0L),
+          sumB.get(s).map(_._2).getOrElse(0L))).sum
+      level += 1
+      val refinable = ranges.exists { case (l, h) => h > l }
+      continue = realDirty.nonEmpty && estimate > rowThreshold &&
+        level < MaxLevels && refinable
+    }
+
+    if (ranges.isEmpty && !nullDirty)
       return Some(LayoutDiff(
         graft.diff.JoinDiffer.diff(emptyFrame(spark, dirA),
           emptyFrame(spark, dirB), keyCols, compareCols),
         filesReadA = readA.size, filesTotalA = totalA,
         filesReadB = readB.size, filesTotalB = totalB,
-        segmentsTotal = allSegs.size, segmentsDirty = 0,
-        filesRowDiffedA = 0, filesRowDiffedB = 0))
-    // merge contiguous dirty segments into ordinal ranges for file pruning
-    val realSegs = dirty.filter(_ >= 0L)
-    val runs = realSegs.foldLeft(Vector.empty[(Long, Long)]) {
-      case (acc, s) if acc.nonEmpty && acc.last._2 == s - 1 =>
-        acc.init :+ ((acc.last._1, s))
-      case (acc, s) => acc :+ ((s, s))
-    }
-    val ordRanges = runs.map { case (s1, s2) =>
-      ((BigInt(lo) + BigInt(s1) * width).max(BigInt(lo)).toLong,
-        (BigInt(lo) + BigInt(s2 + 1) * width - 1).min(BigInt(hi)).toLong)
-    }
-    val nullDirty = dirty.contains(-1L)
-    def hits(envs: Seq[Env]): Seq[String] = envs.filter { e =>
-      e.unrec || (nullDirty && e.mayNull) ||
-        ((e.lo, e.hi) match {
-          case (Some(l), Some(h)) =>
-            ordRanges.exists { case (rl, rh) => h >= rl && l <= rh }
-          case _ => false // recorded all-NULL keys: only segment -1 applies
-        })
-    }.map(_.file).sorted
-    val hitA = hits(envA)
-    val hitB = hits(envB)
-    val rowPred = segExpr.isin(dirty: _*)
+        segmentsTotal = lastObserved, segmentsDirty = 0,
+        filesRowDiffedA = 0, filesRowDiffedB = 0, bisectLevels = level))
+
+    // ---- the confined row-level diff ----------------------------------
+    def hits(stats: Seq[(String, Seq[KeyStat])]): Seq[String] =
+      stats.filter { case (_, s) => envHit(s, ranges, nullDirty) }
+        .map(_._1).sorted
+    val hitA = hits(statsA)
+    val hitB = hits(statsB)
+    val inRanges =
+      if (ranges.isEmpty) lit(false)
+      else ranges.map { case (l, h) => ordCol.between(l, h) }.reduce(_ || _)
+    val rowPred =
+      if (nullDirty) ordCol.isNull || coalesce(inRanges, lit(false))
+      else coalesce(inRanges, lit(false))
     def sideDf(dir: String, v: Long, files: Seq[String]): DataFrame =
       if (files.isEmpty) emptyFrame(spark, dir)
-      else readMasked(spark, dir, files, v).where(rowPred)
+      else withOrd(readMasked(spark, dir, files, v)).where(rowPred)
+        .drop(OrdCol)
     Some(LayoutDiff(
       graft.diff.JoinDiffer.diff(sideDf(dirA, versionA, hitA),
         sideDf(dirB, versionB, hitB), keyCols, compareCols),
       filesReadA = readA.size, filesTotalA = totalA,
       filesReadB = readB.size, filesTotalB = totalB,
-      segmentsTotal = allSegs.size, segmentsDirty = dirty.size,
-      filesRowDiffedA = hitA.size, filesRowDiffedB = hitB.size))
+      segmentsTotal = lastObserved, segmentsDirty = lastDirty,
+      filesRowDiffedA = hitA.size, filesRowDiffedB = hitB.size,
+      bisectLevels = level))
   }
 
   /** `filesReadX` counts every file whose ROWS were read on side X
     * (checksum pass included); when bisection engaged, `filesRowDiffedX`
     * (−1 = no bisection ran) counts the subset that fed the row-level
-    * JoinDiff and `segmentsDirty`/`segmentsTotal` report the key-space
-    * resolution — rows shuffled into the diff are ∝ dirty segments. */
+    * JoinDiff and `segmentsDirty`/`segmentsTotal` report the FINAL
+    * level's key-space resolution — rows shuffled into the diff are
+    * ∝ dirty segments. `bisectLevels` counts the checksum levels run
+    * (1 = no recursion was needed; 0 = bisection never engaged). */
   final case class LayoutDiff(df: DataFrame, filesReadA: Int,
       filesTotalA: Int, filesReadB: Int, filesTotalB: Int,
       segmentsTotal: Int = 0, segmentsDirty: Int = 0,
-      filesRowDiffedA: Int = -1, filesRowDiffedB: Int = -1)
+      filesRowDiffedA: Int = -1, filesRowDiffedB: Int = -1,
+      bisectLevels: Int = 0)
 
   /** Row-level CHANGE FEED over `(fromVersion, toVersion]`: one row per
     * changed row per version STEP — `sign` ('-' left / '+' arrived), the

@@ -619,6 +619,37 @@ object LayoutQueries {
         .orderBy("sign", "o_orderkey")
     }),
 
+    // COMPOUND-KEY bisected diff (r18): the diff key leads with
+    // o_orderstatus — three distinct values, the degenerate case for
+    // leading-key-only segmentation (every row pools into ~3 ordinal
+    // points and the row diff re-degrades to the whole table). The
+    // (status, orderkey) z-mesh keeps subdividing on the second key, so
+    // a localized orderkey-range mutation still confines the row-level
+    // JoinDiff to few segments and few files on the orderkey-clustered
+    // side — the requires pin exactly that; the oracle pins the rows.
+    "q_layout_diff2_compound" -> ((s, d) => {
+      val a = layoutDir(d) + "_d2ca"
+      val b = layoutDir(d) + "_d2cb"
+      val orders = Tables.load(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      DataLayout.writeZOrdered(orders,
+        Seq(col("o_custkey"), cents("o_totalprice")), Bits,
+        Seq("o_orderstatus", "o_orderkey", "o_custkey"), a, numFiles = 16)
+      DataLayout.writeZOrdered(orders, Seq(col("o_orderkey")), Bits,
+        Seq("o_orderstatus", "o_orderkey"), b, numFiles = 12)
+      DataLayout.deleteWhere(s, b, Seq(col("o_orderkey")), Bits,
+        Seq("o_orderstatus", "o_orderkey"),
+        Seq(("o_orderkey", 1000L, 2000L)))
+      val r = DataLayout.diffLayouts(s, a, b,
+        Seq("o_orderstatus", "o_orderkey"),
+        Seq("o_custkey", "o_totalprice"))
+      require(r.filesRowDiffedA >= 0,
+        s"compound bisection did not engage: $r")
+      require(r.filesRowDiffedB < r.filesReadB,
+        s"row diff not envelope-confined on the clustered side: $r")
+      r.df.orderBy("sign", "o_orderkey")
+    }),
+
     // Full re-cluster by NEW dimensions (query patterns changed): the
     // table first lands z-ordered by (custkey, price), then reclusters by
     // orderkey as one new version; a 1-D orderkey range through skipScan
@@ -860,6 +891,12 @@ object LayoutQueries {
       """SELECT '-' AS sign, o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders
         |WHERE o_orderkey BETWEEN 1000 AND 3000
+        |ORDER BY sign, o_orderkey""".stripMargin,
+
+    "q_layout_diff2_compound" ->
+      """SELECT '-' AS sign, o_orderstatus, o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey BETWEEN 1000 AND 2000
         |ORDER BY sign, o_orderkey""".stripMargin,
 
     "q_layout_recluster" ->

@@ -213,6 +213,94 @@ class LayoutDiff2Spec extends AnyFunSuite {
       (3000 until 3100).map(i => f"k$i%06d"))
   }
 
+  test("recursive bisection: a tight row threshold drives extra levels, diff stays exact") {
+    val root = Files.createTempDirectory("graft_ld2").toString
+    DataLayout.writeZOrdered(mk(0 until 40000), dims, 16,
+      Seq("id", "x", "y"), s"$root/a", 12)
+    DataLayout.writeZOrdered(mk(0 until 40000), Seq(col("id")), 16,
+      Seq("id"), s"$root/b", 12)
+    DataLayout.deleteWhere(spark, s"$root/b", Seq(col("id")), 16,
+      Seq("id"), Seq(("id", 7000L, 7049L)))
+    // threshold 256 rows: level 0's ~156-rows-per-segment estimate on the
+    // dirty segment(s) exceeds it only when several segments dirty — force
+    // depth with an even tighter bound and verify the levels were taken
+    val d = DataLayout.diffLayouts(spark, s"$root/a", s"$root/b",
+      Seq("id"), Seq("x", "y"), bisectRowThreshold = 64L)
+    assert(d.bisectLevels >= 2, s"recursion did not engage: $d")
+    // depth narrows the row work: the final dirty ranges hold barely more
+    // than the 50 deleted keys, so the id-clustered side row-diffs few files
+    assert(d.filesRowDiffedB < d.filesReadB, d.toString)
+    val got = d.df.select("sign", "id").as[(String, Long)].collect()
+    assert(got.forall(_._1 == "-"))
+    assert(got.map(_._2).sorted.toSeq == (7000L to 7049L))
+    // and the default threshold keeps the old single-level behavior
+    val d1 = DataLayout.diffLayouts(spark, s"$root/a", s"$root/b",
+      Seq("id"), Seq("x", "y"))
+    assert(d1.bisectLevels == 1, d1.toString)
+  }
+
+  test("compound keys mesh: a low-cardinality leading key no longer saturates the segments") {
+    val root = Files.createTempDirectory("graft_ld2").toString
+    // key = (status, id): status has 3 values — segmenting on it alone
+    // pools every row into 3 ordinal points and the row diff degrades to
+    // the whole table; the z-mesh of (status, id) keeps subdividing on id
+    def mkS(ids: Range) = ids.map { i =>
+      (Seq("F", "O", "P")(i % 3), i.toLong, (i * 13L) % 65536L)
+    }.toDF("st", "id", "x")
+    DataLayout.writeZOrdered(mkS(0 until 30000), Seq(col("x")), 16,
+      Seq("st", "id", "x"), s"$root/a", 10)
+    DataLayout.writeZOrdered(mkS(0 until 30000), Seq(col("id")), 16,
+      Seq("st", "id"), s"$root/b", 10)
+    DataLayout.deleteWhere(spark, s"$root/b", Seq(col("id")), 16,
+      Seq("st", "id"), Seq(("id", 9000L, 9099L)))
+    val d = DataLayout.diffLayouts(spark, s"$root/a", s"$root/b",
+      Seq("st", "id"), Seq("x"))
+    assert(d.filesRowDiffedA >= 0, s"bisection did not engage: $d")
+    // the mutation is localized in id: dirty segments stay few and the
+    // id-clustered side's row diff is envelope-confined — the two things
+    // a status-only segmentation could not deliver
+    assert(d.segmentsDirty >= 1 && d.segmentsDirty <= 8, d.toString)
+    assert(d.filesRowDiffedB < d.filesReadB, d.toString)
+    val got = d.df.select("sign", "id").as[(String, Long)].collect()
+    assert(got.forall(_._1 == "-"))
+    assert(got.map(_._2).sorted.toSeq == (9000L to 9099L))
+  }
+
+  test("compound mesh: NULL keys pool in one segment; an equal pool never leaks diffs") {
+    val root = Files.createTempDirectory("graft_ld2").toString
+    def mkN(ids: Range) = ids.map { i =>
+      (if (i % 50 == 0) null else s"g${i % 7}", i.toLong,
+        (i * 13L) % 65536L)
+    }.toDF("grp", "id", "x")
+    DataLayout.writeZOrdered(mkN(0 until 5000), Seq(col("x")), 16,
+      Seq("grp", "id"), s"$root/a", 6)
+    // b: identical NULL-keyed rows, one non-null-keyed row dropped —
+    // diffLayouts' contract is checksum-grade EQUALITY, so the equal null
+    // pool must cancel (the JoinDiff itself would pair-up unmatchable
+    // null PKs, but it never sees a clean pool)
+    DataLayout.writeZOrdered(mkN(0 until 5000).where(col("id") =!= 777L),
+      Seq(col("id")), 16, Seq("grp", "id"), s"$root/b", 6)
+    val d = DataLayout.diffLayouts(spark, s"$root/a", s"$root/b",
+      Seq("grp", "id"), Seq("x"))
+    assert(d.filesRowDiffedA >= 0, s"bisection did not engage: $d")
+    val got = d.df.select("sign", "id").as[(String, Long)].collect().toSet
+    assert(got == Set(("-", 777L)), s"$got $d")
+    // a DIRTY null pool surfaces its rows to the JoinDiff, where null PKs
+    // are unmatchable by contract (exclusive pairs) — the mutation is
+    // visible, never silently dropped
+    val b2 = mkN(0 until 5000)
+      .withColumn("x", when(col("id") === 100L, lit(-1L)).otherwise(col("x")))
+    DataLayout.writeZOrdered(b2, Seq(col("id")), 16, Seq("grp", "id"),
+      s"$root/b2", 6)
+    val d2 = DataLayout.diffLayouts(spark, s"$root/a", s"$root/b2",
+      Seq("grp", "id"), Seq("x"))
+    val got2 = d2.df.select("sign", "id").as[(String, Long)].collect()
+    assert(got2.exists(_ == ("-", 100L)) &&
+      got2.exists(_ == ("+", 100L)), s"mutation hidden: ${got2.toSet}")
+    // every surfaced row is from the null pool — non-null keys stay clean
+    assert(got2.forall(_._2 % 50 == 0), s"non-null rows leaked: ${got2.toSet}")
+  }
+
   test("column order does not matter to the fingerprint; extra columns do") {
     val root = Files.createTempDirectory("graft_ld2").toString
     write(s"$root/a", 0 until 500)
