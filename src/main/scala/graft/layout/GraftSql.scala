@@ -121,21 +121,10 @@ object GraftSql {
     val source = StreamingFrameShim.ofRows(spark, m.sourceTable)
     val keys = mergeKeys(m.mergeCondition)
     val layoutCols = DataLayout.readLayout(spark, dir).columns.toSeq
-    def star(a: MergeAction, what: String): Unit = a match {
-      case UpdateStarAction(None) | InsertStarAction(None) |
-           DeleteAction(None) => ()
-      case other => throw new IllegalArgumentException(
-        s"only unconditional $what is supported on graft views " +
-          s"(got $other) — resolve row-level logic in the source query")
-    }
     (m.matchedActions, m.notMatchedActions) match {
-      // canonical upsert: WHEN MATCHED UPDATE SET * WHEN NOT MATCHED INSERT *
-      case (Seq(u), Seq(i)) =>
-        star(u, "UPDATE SET *"); star(i, "INSERT *")
-        require(u.isInstanceOf[UpdateStarAction] &&
-          i.isInstanceOf[InsertStarAction],
-          "the canonical graft MERGE is WHEN MATCHED THEN UPDATE SET * " +
-            "WHEN NOT MATCHED THEN INSERT *")
+      // canonical upsert fast path — the source IS the delta, no join:
+      // WHEN MATCHED UPDATE SET * WHEN NOT MATCHED INSERT *, unconditional
+      case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) =>
         val missing = layoutCols.filterNot(source.columns.contains)
         require(missing.isEmpty,
           s"MERGE source lacks layout columns: ${missing.mkString(",")}")
@@ -145,9 +134,8 @@ object GraftSql {
         indexes.foreach(_.refresh())
         report(spark, "merge", updated = r.rowsUpdated,
           inserted = r.rowsInserted, files = r.filesRewritten)
-      // delete-by-key: WHEN MATCHED THEN DELETE (no insert arm)
-      case (Seq(d: DeleteAction), Seq()) =>
-        star(d, "DELETE")
+      // delete-by-key fast path: WHEN MATCHED THEN DELETE (no insert arm)
+      case (Seq(DeleteAction(None)), Seq()) =>
         val emptyDelta = DataLayout.readLayout(spark, dir).where(lit(false))
         val r = DataLayout.mergeInto(spark, dir, cfg.dims, cfg.bits,
           cfg.statsCols, emptyDelta, keys, cfg.numFiles,
@@ -155,11 +143,159 @@ object GraftSql {
         indexes.foreach(_.refresh())
         report(spark, "merge_delete", deleted = r.rowsDeleted,
           files = r.filesRewritten)
-      case other => throw new IllegalArgumentException(
-        s"unsupported MERGE shape $other — graft views take the canonical " +
-          "upsert (UPDATE SET * + INSERT *) or delete-by-key (WHEN MATCHED " +
-          "THEN DELETE)")
+      // the GENERAL shape — per-action conditions, partial-column UPDATE
+      // SET lists, explicit INSERT column lists, DELETE arms mixed with
+      // UPDATE arms — rewrites to the canonical form over a DERIVED
+      // source and lands through the same envelope-targeted mergeInto
+      case _ => generalMerge(spark, m, dir, cfg, source, keys, layoutCols,
+        indexes)
     }
+  }
+
+  /** Rewrite a non-canonical MERGE to canonical-over-a-derived-source:
+    * join the source to the envelope-pruned target once (left join on the
+    * keys — the target side reads only files whose envelopes can hold a
+    * source key, so cost ∝ source, never table size), evaluate each
+    * action's condition FIRST-MATCH-WINS in statement order (SQL MERGE
+    * semantics), and derive (a) the upsert delta — updated rows carry the
+    * target row with SET assignments applied, partial SET lists keep the
+    * other columns; inserted rows build from the insert list, unnamed
+    * columns NULL — and (b) the delete-key set from DELETE arms. One
+    * [[DataLayout.mergeInto]] call lands everything atomically; its
+    * duplicate-key refusal catches both duplicate source keys and a
+    * source row matching two target rows (no defined winner, same as
+    * Delta's multiple-matches error). Matched rows that satisfy NO arm
+    * are untouched. Conditions and values may reference both sides,
+    * qualified by the table/alias names; unqualified names resolve to
+    * whichever side uniquely has them and refuse when ambiguous. */
+  private def generalMerge(spark: SparkSession, m: MergeIntoTable,
+      dir: String, cfg: LayoutConfig.Config, source: DataFrame,
+      keys: Seq[String], layoutCols: Seq[String],
+      indexes: Seq[GraftFileIndex]): DataFrame = {
+    def quals(plan: LogicalPlan): Seq[String] = plan match {
+      case SubqueryAlias(id, child) => id.name.toLowerCase +: quals(child)
+      case UnresolvedRelation(parts, _, _) => Seq(parts.last.toLowerCase)
+      case _ => Nil
+    }
+    val tgtQuals = quals(m.targetTable).toSet
+    val srcQuals = quals(m.sourceTable).toSet
+    require((tgtQuals & srcQuals).isEmpty,
+      s"MERGE source and target share a name/alias (${(tgtQuals & srcQuals)
+        .mkString(",")}) — alias one side")
+    val srcCols = source.columns.toSeq
+    def actual(cols: Seq[String], n: String): Option[String] =
+      cols.find(_.equalsIgnoreCase(n))
+    // rewrite a parsed expression's attributes onto the joined frame's
+    // prefixed columns (_s_* source / _t_* target), then parse to Column
+    def resolve(e: Expression): Column = {
+      val mapped = e.transform {
+        case a: UnresolvedAttribute =>
+          val name = a.nameParts.last
+          val qual = a.nameParts.dropRight(1).map(_.toLowerCase)
+          val side =
+            if (qual.exists(srcQuals)) "_s_"
+            else if (qual.exists(tgtQuals)) "_t_"
+            else if (qual.nonEmpty) throw new IllegalArgumentException(
+              s"unknown qualifier '${qual.mkString(".")}' in MERGE " +
+                s"expression ${a.sql} — use the source/target table or alias")
+            else (actual(srcCols, name), actual(layoutCols, name)) match {
+              case (Some(_), Some(_)) => throw new IllegalArgumentException(
+                s"ambiguous column '$name' in MERGE expression — qualify " +
+                  "it with the source or target alias")
+              case (Some(_), None) => "_s_"
+              case (None, Some(_)) => "_t_"
+              case _ => throw new IllegalArgumentException(
+                s"unknown column '$name' in MERGE expression")
+            }
+          val host = if (side == "_s_") srcCols else layoutCols
+          UnresolvedAttribute(Seq(side + actual(host, name).getOrElse(name)))
+      }
+      expr(mapped.sql)
+    }
+    // the derived frame: source LEFT JOIN envelope-pruned target. The
+    // semi-join scan restricts the target read to files whose first-key
+    // envelope admits a source key — a conservative superset of the true
+    // matches, so the left join is exact and never reads the whole table.
+    val srcPinned = source.localCheckpoint(true) // consulted many times
+    val s = srcPinned.select(srcCols.map(c => col(c).as(s"_s_$c")): _*)
+    val t = DataLayout.semiJoinScan(spark, dir,
+        srcPinned.select(keys.map(col): _*), keys.head).df
+      .select(layoutCols.map(c => col(c).as(s"_t_$c")): _*)
+      .withColumn("_t_exists", lit(true))
+    val joined = s.join(t,
+      keys.map(k => col(s"_s_$k") === col(s"_t_$k")).reduce(_ && _), "left")
+      .localCheckpoint(true) // evaluated once; consulted per action
+    val isMatched = col("_t_exists").isNotNull
+    // first-match-wins across the arms of ONE clause family
+    def armPred(actions: Seq[MergeAction], i: Int): Column = {
+      val conds = actions.map(_.condition.map(resolve).getOrElse(lit(true)))
+      val mine = coalesce(conds(i), lit(false))
+      conds.take(i).foldLeft(mine)((acc, c) =>
+        acc && !coalesce(c, lit(false)))
+    }
+    val tgtSchema = DataLayout.readLayout(spark, dir).schema
+    def targetType(c: String) = tgtSchema(
+      actual(layoutCols, c).getOrElse(c)).dataType
+    // one delta frame per arm, all in the layout's schema
+    def setMap(assignments: Seq[Assignment],
+        what: String): Map[String, Column] = assignments.map {
+      case Assignment(key: UnresolvedAttribute, value) =>
+        val c = actual(layoutCols, key.nameParts.last).getOrElse(
+          throw new IllegalArgumentException(
+            s"$what names '${key.nameParts.last}', not a layout column"))
+        c -> resolve(value).cast(targetType(c))
+      case other => throw new IllegalArgumentException(
+        s"unsupported $what target: $other")
+    }.toMap
+    val updates: Seq[DataFrame] = m.matchedActions.zipWithIndex.collect {
+      case (u: UpdateAction, i) =>
+        val sets = setMap(u.assignments, "UPDATE SET")
+        joined.where(isMatched && armPred(m.matchedActions, i))
+          .select(layoutCols.map(c =>
+            sets.getOrElse(c, col(s"_t_$c")).as(c)): _*)
+      case (UpdateStarAction(_), i) =>
+        val missing = layoutCols.filterNot(c => actual(srcCols, c).isDefined)
+        require(missing.isEmpty,
+          s"UPDATE SET * needs every layout column in the source; " +
+            s"missing: ${missing.mkString(",")}")
+        joined.where(isMatched && armPred(m.matchedActions, i))
+          .select(layoutCols.map(c =>
+            col(s"_s_${actual(srcCols, c).get}")
+              .cast(targetType(c)).as(c)): _*)
+    }
+    val deleteKeys: Seq[DataFrame] = m.matchedActions.zipWithIndex.collect {
+      case (_: DeleteAction, i) =>
+        joined.where(isMatched && armPred(m.matchedActions, i))
+          .select(keys.map(k => col(s"_t_$k").as(k)): _*)
+    }
+    val inserts: Seq[DataFrame] = m.notMatchedActions.zipWithIndex.map {
+      case (ins: InsertAction, i) =>
+        val sets = setMap(ins.assignments, "INSERT")
+        joined.where(!isMatched && armPred(m.notMatchedActions, i))
+          .select(layoutCols.map(c => sets.getOrElse(c,
+            lit(null).cast(targetType(c))).as(c)): _*)
+      case (InsertStarAction(_), i) =>
+        val missing = layoutCols.filterNot(c => actual(srcCols, c).isDefined)
+        require(missing.isEmpty,
+          s"INSERT * needs every layout column in the source; " +
+            s"missing: ${missing.mkString(",")}")
+        joined.where(!isMatched && armPred(m.notMatchedActions, i))
+          .select(layoutCols.map(c =>
+            col(s"_s_${actual(srcCols, c).get}")
+              .cast(targetType(c)).as(c)): _*)
+      case (other, _) => throw new IllegalArgumentException(
+        s"unsupported WHEN NOT MATCHED action: $other")
+    }
+    val emptyDelta = DataLayout.readLayout(spark, dir).where(lit(false))
+      .select(layoutCols.map(col): _*)
+    val delta = (updates ++ inserts)
+      .reduceOption(_.unionByName(_)).getOrElse(emptyDelta)
+    val delKeys = deleteKeys.reduceOption(_.unionByName(_))
+    val r = DataLayout.mergeInto(spark, dir, cfg.dims, cfg.bits,
+      cfg.statsCols, delta, keys, cfg.numFiles, deleteKeys = delKeys)
+    indexes.foreach(_.refresh())
+    report(spark, "merge", deleted = r.rowsDeleted, updated = r.rowsUpdated,
+      inserted = r.rowsInserted, files = r.filesRewritten)
   }
 
   /** Equi-join key names from the ON condition: a conjunction of

@@ -588,6 +588,20 @@ object LayoutQueries {
       graft.layout.GraftSql(s,
         "UPDATE sqldml_v SET o_orderstatus = 'U' " +
           "WHERE o_custkey BETWEEN 10 AND 20")
+      // the GENERAL merge shape (r18): conditional DELETE + partial-SET
+      // UPDATE arms in one statement — a real CDC batch's first merge,
+      // which the canonical-only surface refused in r17. Lands as ONE
+      // version through the derived-source rewrite.
+      orders.where(col("o_orderkey").between(2100, 2400))
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") <= 2200, lit("D")).otherwise(lit("U"))
+            .as("op"))
+        .createOrReplaceTempView("sqldml_cdc")
+      graft.layout.GraftSql(s,
+        """MERGE INTO sqldml_v t USING sqldml_cdc c
+          |ON t.o_orderkey = c.o_orderkey
+          |WHEN MATCHED AND c.op = 'D' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET o_orderstatus = 'C'""".stripMargin)
       s.sql("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
               |FROM sqldml_v ORDER BY o_orderkey""".stripMargin)
     }),
@@ -873,7 +887,8 @@ object LayoutQueries {
 
     "q_layout_sql_dml" ->
       """SELECT o_orderkey, o_custkey,
-        |  CASE WHEN o_custkey BETWEEN 10 AND 20 THEN 'U'
+        |  CASE WHEN o_orderkey BETWEEN 2201 AND 2400 THEN 'C'
+        |       WHEN o_custkey BETWEEN 10 AND 20 THEN 'U'
         |       ELSE o_orderstatus END AS o_orderstatus,
         |  o_totalprice
         |FROM (
@@ -885,7 +900,9 @@ object LayoutQueries {
         |  SELECT o_orderkey, o_custkey, 'M' AS o_orderstatus, o_totalprice
         |  FROM orders
         |  WHERE o_orderkey BETWEEN 100 AND 2000
-        |) ORDER BY o_orderkey""".stripMargin,
+        |)
+        |WHERE o_orderkey NOT BETWEEN 2100 AND 2200
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_layout_diff2_mixed" ->
       """SELECT '-' AS sign, o_orderkey, o_custkey, o_orderstatus, o_totalprice

@@ -146,11 +146,13 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM $v").head().getLong(0) == 1100L)
     assert(spark.sql(
       s"SELECT count(*) FROM $v WHERE p = 'merged'").head().getLong(0) == 200L)
-    // non-canonical shapes refuse loudly
-    intercept[IllegalArgumentException] {
-      GraftSql(spark, s"""MERGE INTO $v USING ${v}_src s ON $v.id = s.id
-        |WHEN MATCHED THEN UPDATE SET p = s.p""".stripMargin)
-    }
+    // partial SET no longer refuses (r18 general path) — it routes
+    // through the derived-source rewrite and keeps unnamed columns
+    val rep2 = GraftSql(spark,
+      s"""MERGE INTO $v USING ${v}_src s ON $v.id = s.id
+         |WHEN MATCHED THEN UPDATE SET p = s.p""".stripMargin)
+    assert(rep2.head().getAs[Long]("rows_updated") == 200L)
+    // a non-equi ON still refuses loudly (no defined key to merge on)
     intercept[IllegalArgumentException] {
       GraftSql(spark, s"""MERGE INTO $v USING ${v}_src s ON $v.id < s.id
         |WHEN MATCHED THEN UPDATE SET *
@@ -170,6 +172,75 @@ class GraftSqlSpec extends AnyFunSuite {
     val left = DataLayout.readLayout(spark, dir).select("id").as[Long]
       .collect().sorted.toSeq
     assert(left == ((0L until 100L) ++ (150L until 500L)))
+  }
+
+  test("MERGE general shape: conditional arms + partial SET, one atomic version") {
+    val dir = Files.createTempDirectory("graft_sql").toString + "/t"
+    writeSql(dir, 0 until 1000)
+    val v = freshView(dir)
+    // a real CDC batch: tombstones, partial updates, inserts — the shape
+    // the canonical-only surface refused in r17
+    Seq((5L, "D", 0L), (6L, "U", 999L), (7L, "U", 888L),
+      (2000L, "I", 111L), (2001L, "X", 1L)) // 'X': matches no arm
+      .toDF("id", "op", "newx").createOrReplaceTempView("gsql_cdc")
+    val v0 = DataLayout.currentVersion(spark, dir)
+    val rep = GraftSql(spark,
+      s"""MERGE INTO $v t USING gsql_cdc s ON t.id = s.id
+         |WHEN MATCHED AND s.op = 'D' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET x = s.newx
+         |WHEN NOT MATCHED AND s.op = 'I' THEN INSERT (id, x)
+         |  VALUES (s.id, s.newx)""".stripMargin)
+    val r = rep.head()
+    assert(r.getAs[Long]("rows_deleted") == 1L)
+    assert(r.getAs[Long]("rows_updated") == 2L)
+    assert(r.getAs[Long]("rows_inserted") == 1L)
+    // everything landed as ONE version
+    assert(DataLayout.currentVersion(spark, dir) == v0 + 1)
+    val back = DataLayout.readLayout(spark, dir)
+    assert(back.count() == 1000L) // -1 delete, +1 insert
+    assert(back.where(col("id") === 5L).isEmpty)
+    // partial SET: x updated, the unnamed p column KEPT from the target
+    assert(back.where(col("id") === 6L).select("x", "p")
+      .as[(Long, String)].head() == ((999L, "p6")))
+    assert(back.where(col("id") === 7L).select("x", "p")
+      .as[(Long, String)].head() == ((888L, "p7")))
+    // explicit INSERT column list: unnamed columns land NULL
+    val ins = back.where(col("id") === 2000L).select("x", "p").head()
+    assert(ins.getLong(0) == 111L && ins.isNullAt(1))
+    // 'X' rows: not matched + no matching insert arm -> not inserted
+    assert(back.where(col("id") === 2001L).isEmpty)
+  }
+
+  test("MERGE general shape: first-match-wins, untouched non-matching rows, refusals") {
+    val dir = Files.createTempDirectory("graft_sql").toString + "/t"
+    writeSql(dir, 0 until 300)
+    val v = freshView(dir)
+    Seq((10L, "D"), (11L, "Z")).toDF("id", "op")
+      .createOrReplaceTempView("gsql_ops")
+    // 11 matches the target but satisfies NO arm: must stay untouched
+    val rep = GraftSql(spark,
+      s"""MERGE INTO $v t USING gsql_ops s ON t.id = s.id
+         |WHEN MATCHED AND s.op = 'D' THEN DELETE""".stripMargin)
+    assert(rep.head().getAs[Long]("rows_deleted") == 1L)
+    val back = DataLayout.readLayout(spark, dir)
+    assert(back.where(col("id") === 10L).isEmpty)
+    assert(back.where(col("id") === 11L).count() == 1L)
+    // ambiguous unqualified column (x lives on both sides) refuses loudly
+    mk(0 until 5).createOrReplaceTempView("gsql_amb")
+    val e = intercept[Exception] {
+      GraftSql(spark,
+        s"""MERGE INTO $v t USING gsql_amb s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET x = x + 1""".stripMargin)
+    }
+    assert(chainMsg(e).contains("ambiguous"), chainMsg(e))
+    // qualified, it works — values may reference both sides
+    val rep2 = GraftSql(spark,
+      s"""MERGE INTO $v t USING gsql_amb s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET x = t.x + s.x + 1""".stripMargin)
+    assert(rep2.head().getAs[Long]("rows_updated") == 5L)
+    val got = DataLayout.readLayout(spark, dir).where(col("id") === 3L)
+      .select("x").as[Long].head()
+    assert(got == (3 * 13L) % 65536L * 2 + 1)
   }
 
   test("LayoutConfig round-trips and the sink records it") {
