@@ -56,8 +56,22 @@ object FeedProbe {
       (a, (System.nanoTime() - t0) / 1e9)
     }
 
-    for (n <- Seq(versions / 2, versions)) {
-      val dir = build(n)
+    // a DV-HEAVY history (nightly soft deletes): r18's batched DV-run
+    // planner must keep planning O(runs), where the per-step spelling
+    // planned one JoinDiff per night
+    def buildDv(nSteps: Int): String = {
+      val dir = Files.createTempDirectory("graft_feed_dv").toString + "/t"
+      val dims = Seq(col("k"))
+      def mk(lo: Long, n: Long) = spark.range(lo, lo + n)
+        .select(col("id").as("k"), (col("id") * 13 % 65536).as("amt"))
+      DataLayout.writeZOrdered(mk(0, rowsPer * 10), dims, 24, Seq("k"), dir, 8)
+      for (v <- 0 until nSteps)
+        DataLayout.deleteVectors(spark, dir,
+          Seq(("k", v * 100L, v * 100L + 49L)))
+      dir
+    }
+
+    def probe(tag: String, dir: String): Unit = {
       val cur = DataLayout.currentVersion(spark, dir)
       val (feed, tPlan) = time {
         DataLayout.changeFeed(spark, dir, 0L, cur, Seq("k"), Seq("amt"))
@@ -67,9 +81,12 @@ object FeedProbe {
           .map(r => r.getString(0) -> r.getLong(1)).toMap
         (c.values.sum, c.size)
       }
-      println(f"[feed] versions=$cur%3d plan=${tPlan}%6.2fs " +
+      println(f"[$tag] versions=$cur%3d plan=${tPlan}%6.2fs " +
         f"exec=${tExec}%6.2fs rows=$rows%9d signs=$signs")
     }
+
+    for (n <- Seq(versions / 2, versions)) probe("feed", build(n))
+    for (n <- Seq(versions / 2, versions)) probe("feed-dv", buildDv(n))
     spark.stop()
   }
 }

@@ -2883,6 +2883,8 @@ object DataLayout {
       .toVector
     val plans = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def appendOnly(s: Step) = s.removed.isEmpty && s.dvFiles.isEmpty
+    def dvOnly(s: Step) = s.added.isEmpty && s.removed.isEmpty &&
+      s.dvFiles.nonEmpty
     var i = 0
     while (i < steps.length) {
       val s = steps(i)
@@ -2909,9 +2911,38 @@ object DataLayout {
           (lit("+").as("sign") +: (keyCols ++ cmp).map(col)) :+
             col("version"): _*)
         i = j + 1
+      } else if (dvOnly(s)) {
+        // a contiguous RUN of DV-only steps (the nightly-deletes history)
+        // collapses into ONE masked-coordinate join instead of one
+        // JoinDiff per version: a DV step's change set IS its DV rows —
+        // each masked position was visible at v−1 and gone at v, no file
+        // moved — so one read of the run's touched files joined against
+        // the run's (file, pos, v) coordinates yields every '-' row with
+        // its version attributed by the DV log itself. Positions are
+        // monotone (a masked row never re-matches a later delete), so a
+        // coordinate appears once per run; lingering vacuum-compaction
+        // duplicates collapse via dropDuplicates. O(runs) planning for a
+        // DV-heavy catch-up, same rows as the per-step JoinDiff spelling.
+        var j = i
+        while (j + 1 < steps.length && dvOnly(steps(j + 1))) j += 1
+        val run = steps.slice(i, j + 1)
+        val files = run.flatMap(_.dvFiles).distinct.sorted
+        val dvRun = dvLog(spark, dir).get
+          .where(col("v") > run.head.v - 1 && col("v") <= run.last.v)
+          .select(canonCol(col("file")).as("_dv_f"),
+            col("pos").as("_dv_p"), col("v").as("version"))
+          .dropDuplicates("_dv_f", "_dv_p", "version")
+        val rows = readWithMeta(spark, files, endSchema)
+          .join(dvRun, col(MetaFile) === col("_dv_f") &&
+            col(MetaPos) === col("_dv_p"))
+        plans += rows.select(
+          (lit("-").as("sign") +: (keyCols ++ cmp).map(col)) :+
+            col("version"): _*)
+        i = j + 1
       } else {
-        // rewrite / DV step: both sides at churn cost, masked at their own
-        // versions, read under the feed-end schema
+        // rewrite step (possibly with DVs riding the same version): both
+        // sides at churn cost, masked at their own versions, read under
+        // the feed-end schema
         def side(files: Seq[String], v: Long): DataFrame =
           if (files.isEmpty) emptySide
           else readMasked(spark, dir, files, v, endSchema)

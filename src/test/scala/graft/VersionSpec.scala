@@ -282,6 +282,41 @@ class VersionSpec extends AnyFunSuite {
     assert(got.forall { case (v, _, id) => v == id / 200 })
   }
 
+  test("changeFeed batches a DV-heavy history: one coordinate join, not one JoinDiff per night") {
+    val dir = Files.createTempDirectory("graft_version").toString + "/t"
+    DataLayout.writeZOrdered(mk(0 until 10000), dims, 16, Seq("id", "x", "y"),
+      dir, 4)                                                         // v0
+    // 12 nightly soft-delete steps, each masking a disjoint id stripe
+    for (n <- 0 until 12)
+      DataLayout.deleteVectors(spark, dir,
+        Seq(("id", n * 100L, n * 100L + 49L)))                        // v1..v12
+    val cur = DataLayout.currentVersion(spark, dir)
+    assert(cur == 12L)
+    val feed = DataLayout.changeFeed(spark, dir, 0L, cur, Seq("id"),
+      Seq("x", "y"))
+    // the whole run plans ONE masked-coordinate join — not 12 full-outer
+    // JoinDiffs (and no union stitching them)
+    val plan = feed.queryExecution.optimizedPlan
+    assert(plan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }.isEmpty, "DV-only run was not batched")
+    assert(plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.size <= 1, "per-step JoinDiffs survived the batching")
+    val got = feed.select("version", "sign", "id")
+      .as[(Long, String, Long)].collect()
+    assert(got.length == 12 * 50)
+    assert(got.forall(_._2 == "-"))
+    // per-row version attribution comes from the DV log itself
+    assert(got.forall { case (v, _, id) => v == id / 100 + 1 })
+    // and the batched spelling stays row-identical to per-step diffVersions
+    val manual = (0L until cur).flatMap(v =>
+      DataLayout.diffVersions(spark, dir, v, v + 1, Seq("id"),
+          Seq("x", "y")).df.withColumn("version", lit(v + 1))
+        .select("version", "sign", "id").as[(Long, String, Long)].collect())
+    assert(got.sorted.toSeq == manual.sorted.toSeq)
+  }
+
   test("recluster: content identical, pruning flips to the new dimension") {
     val dir = Files.createTempDirectory("graft_version").toString + "/t"
     DataLayout.writeZOrdered(mk(0 until 8000), dims, 16, Seq("x", "y"),
