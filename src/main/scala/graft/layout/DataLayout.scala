@@ -2674,7 +2674,11 @@ object DataLayout {
       }
       def hitFiles(stats: Seq[(String, Seq[KeyStat])]): Seq[String] =
         if (level == 0) stats.map(_._1) // full pass, null pool included
-        else stats.filter { case (_, s) => envHit(s, ranges, nullDirty) }
+        // nullDirty = false here: deeper levels re-checksum only the
+        // dirty RANGES (the null pool was adjudicated once at level 0
+        // and cannot subdivide), so a file that may only hold null keys
+        // need not re-read — the FINAL hit set below does honor it
+        else stats.filter { case (_, s) => envHit(s, ranges, nullDirty = false) }
           .map(_._1)
       // per-segment additive checksum + exact count: sum of per-row
       // 64-bit hashes over key + compared columns (column set identical
