@@ -50,7 +50,7 @@ object LayoutCli {
       opCol: String = "op", seqCol: String = "seq",
       once: Boolean = false, maintainEvery: Int = 0,
       checkpoint: Option[String] = None, commitMode: String = "rename",
-      rest: Seq[String] = Nil)
+      bisectThreshold: Long = 1L << 16, rest: Seq[String] = Nil)
 
   def parseArgs(argv: Array[String]): LArgs = {
     def ranges(v: String): Seq[(String, Any, Any)] =
@@ -89,6 +89,9 @@ object LayoutCli {
       // object-store profile: persisted via LayoutConfig, so later SQL
       // DML / maintenance on this layout inherit it
       case "--commit-mode" :: v :: t => go(t, a.copy(commitMode = v.trim.toLowerCase))
+      // diff: recurse the checksum bisection until the dirty-row estimate
+      // drops under this (see DataLayout.diffLayouts bisectRowThreshold)
+      case "--bisect-threshold" :: v :: t => go(t, a.copy(bisectThreshold = v.toLong))
       case p :: t if a.cmd.isEmpty => go(t, a.copy(cmd = p))
       case p :: t if a.dir.isEmpty => go(t, a.copy(dir = p))
       case p :: t => go(t, a.copy(rest = a.rest :+ p))
@@ -364,7 +367,7 @@ object LayoutCli {
           "diff needs two layout dirs: graft-layout diff <dirA> <dirB> --keys k"))
       require(a.keys.nonEmpty, "diff needs --keys k1[,k2]")
       val r = DataLayout.diffLayouts(spark, a.dir, dirB, a.keys,
-        compareCols = a.compare)
+        compareCols = a.compare, bisectRowThreshold = a.bisectThreshold)
       // pin once: writing AND counting the same diff plan would otherwise
       // run the row-level work twice, on exactly the large-drift case
       val ddf = if (a.out.isDefined) r.df.localCheckpoint(true) else r.df
