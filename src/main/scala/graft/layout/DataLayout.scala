@@ -2842,13 +2842,33 @@ object DataLayout {
     // attributed per file — the dominant catch-up shape (a streaming
     // sink's backlog) plans O(runs), not O(versions). Rewrite/DV steps
     // keep the per-step JoinDiff at churn cost.
-    val lives = manifestLog(spark, dir)
-      .where(!isSentinelFile(col("file")))
+    val mLog = manifestLog(spark, dir).where(!isSentinelFile(col("file")))
+    val hasFp = mLog.columns.contains("content_fp")
+    // per file: lifetime [va, vr) plus the content fingerprint + row
+    // count (null-safe max collapses the added row, its tombstone twin
+    // and any vacuum-lingering duplicates — all carry identical values)
+    val lives = mLog
       .groupBy("file")
-      .agg(max("v_added").as("va"), max("v_removed").as("vr"))
+      .agg(max("v_added").as("va"), max("v_removed").as("vr"),
+        (if (hasFp) max(col("content_fp").cast("string"))
+         else lit(null).cast("string")).as("fp"),
+        max("n_rows").as("nr"))
       .collect().map(r => (r.getString(0),
         if (r.isNullAt(1)) -1L else r.getLong(1),
-        if (r.isNullAt(2)) Long.MaxValue else r.getLong(2)))
+        if (r.isNullAt(2)) Long.MaxValue else r.getLong(2),
+        if (r.isNullAt(3)) null else r.getString(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))
+    // files carrying DV positions at ANY version: their raw-byte
+    // fingerprints say nothing about EFFECTIVE rows, so they never
+    // participate in the fingerprint-cancel below (conservative —
+    // version-insensitive on purpose, one O(dv-files) probe)
+    val dvdCanon: Set[String] = dvLog(spark, dir) match {
+      case None => Set.empty
+      case Some(d) => d.select(canonCol(col("file")).as("f")).distinct()
+        .collect().map(_.getString(0)).toSet
+    }
+    val fpByFile: Map[String, (String, Long)] =
+      lives.map(t => t._1 -> ((t._4, t._5))).toMap
     // DV commits in range: version -> canonical files touched, O(dv files)
     val dvCommits: Map[Long, Set[String]] = dvLog(spark, dir) match {
       case None => Map.empty
@@ -2873,6 +2893,35 @@ object DataLayout {
     }
     final case class Step(v: Long, added: Seq[String], removed: Seq[String],
         dvFiles: Seq[String])
+    // a rewrite step PROVEN row-preserving by the additive content
+    // fingerprints (removed multiset sum == added sum, same row count,
+    // every file fingerprinted and DV-free) contributes ZERO rows — it is
+    // dropped BEFORE run detection, so compaction/recluster/bin-pack
+    // versions neither build a plan nor break an append-only run: a
+    // streaming sink's backlog WITH inline maintainEvery still collapses
+    // into one scan. (Reading a run's files stays correct across a
+    // dropped rewrite: a file compacted away later in the run is still on
+    // disk until vacuum — the horizon guard above — and its rows were
+    // attributed at their own append version; the compacted twin's files
+    // are never read.) The same checksum-grade acceptance diffLayouts'
+    // file fast path rests on; anything unprovable keeps its JoinDiff.
+    def fpCancelled(s: Step): Boolean = {
+      if (s.dvFiles.nonEmpty || s.added.isEmpty || s.removed.isEmpty)
+        return false
+      def side(files: Seq[String]): Option[(BigDecimal, Long)] = {
+        val parts = files.map(f => fpByFile.get(f) match {
+          case Some((fp, nr)) if fp != null && nr >= 0 && !dvdCanon(canon(f)) =>
+            Some((BigDecimal(fp), nr))
+          case _ => None
+        })
+        if (parts.exists(_.isEmpty)) None
+        else Some((parts.flatten.map(_._1).sum, parts.flatten.map(_._2).sum))
+      }
+      (side(s.removed), side(s.added)) match {
+        case (Some(a), Some(b)) => a == b
+        case _ => false
+      }
+    }
     val steps: Vector[Step] = (fromVersion + 1 to toVersion).map { v =>
       val added = lives.filter(_._2 == v).map(_._1).toIndexedSeq.sorted
       val removed = lives.filter(t => t._3 == v && t._2 < v)
@@ -2884,6 +2933,7 @@ object DataLayout {
           .filter(f => dvf(canon(f))).toIndexedSeq.sorted
       Step(v, added, removed, shared)
     }.filter(s => s.added.nonEmpty || s.removed.nonEmpty || s.dvFiles.nonEmpty)
+      .filterNot(fpCancelled)
       .toVector
     val plans = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def appendOnly(s: Step) = s.removed.isEmpty && s.dvFiles.isEmpty

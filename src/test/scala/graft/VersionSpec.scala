@@ -317,6 +317,48 @@ class VersionSpec extends AnyFunSuite {
     assert(got.sorted.toSeq == manual.sorted.toSeq)
   }
 
+  test("changeFeed: fingerprint-proven row-preserving rewrites build NO plan") {
+    val dir = Files.createTempDirectory("graft_version").toString + "/t"
+    DataLayout.writeZOrdered(mk(0 until 2000), dims, 16, Seq("x", "y"),
+      dir, 1)                                                          // v0
+    // a maintenance-heavy history: appends interleaved with compactions
+    // (row-preserving by construction) — only the appends carry changes
+    for (b <- 1 to 6) {
+      DataLayout.appendZOrdered(mk(b * 2000 until b * 2000 + 200), dims, 16,
+        Seq("x", "y"), dir, 1)                         // odd versions: +200
+      DataLayout.compactZOrdered(spark, dir, dims, 16, Seq("x", "y"),
+        rowsPerFile = 1L << 20)                        // even: row-preserving
+    }
+    val cur = DataLayout.currentVersion(spark, dir)
+    val feed = DataLayout.changeFeed(spark, dir, 0L, cur, Seq("id"),
+      Seq("x", "y"))
+    // the compactions are PROVEN empty from fingerprints and dropped
+    // BEFORE run detection, so the six appends collapse into ONE run:
+    // no union, no full-outer JoinDiff — just the run's scan plus its
+    // broadcast version-attribution join
+    val plan = feed.queryExecution.optimizedPlan
+    assert(plan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }.isEmpty, "maintenance versions broke the append run")
+    assert(plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType != org.apache.spark.sql.catalyst.plans.Inner => j
+    }.isEmpty, "a row-preserving rewrite still planned a JoinDiff")
+    val got = feed.select("version", "sign", "id")
+      .as[(Long, String, Long)].collect()
+    assert(got.length == 6 * 200)
+    assert(got.forall(_._2 == "+"))
+    // attribution: each append batch keeps exactly ONE version, and the
+    // versions are strictly increasing in batch order (a compaction that
+    // found no z-overlap commits no version, so the exact numbers float —
+    // what must hold is per-batch attribution, not a closed form)
+    val byBatch = got.groupBy(_._3 / 2000).toSeq.sortBy(_._1)
+      .map { case (b, rs) => b -> rs.map(_._1).distinct }
+    assert(byBatch.forall(_._2.size == 1), s"split attribution: $byBatch")
+    val vs = byBatch.map(_._2.head)
+    assert(vs == vs.sorted && vs.distinct == vs, s"non-monotone: $vs")
+  }
+
   test("recluster: content identical, pruning flips to the new dimension") {
     val dir = Files.createTempDirectory("graft_version").toString + "/t"
     DataLayout.writeZOrdered(mk(0 until 8000), dims, 16, Seq("x", "y"),
