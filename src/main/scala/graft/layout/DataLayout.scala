@@ -2172,6 +2172,58 @@ object DataLayout {
           .collect().map(_.getString(0)).toSet // O(dv-files): names only
         (fa intersect fb).filter(f => changed(canon(f))).toSeq.sorted
     }
+    // FINGERPRINT fast path (r18, mirroring diffLayouts' file cancel): a
+    // file-moving-but-row-preserving step (compaction, recluster,
+    // bin-pack) leaves (fp, rows)-equal multisets on the two sides — such
+    // pairs cancel and read NOTHING. DV-carrying files never cancel
+    // (bytes ≠ effective rows); fingerprint-less files always read.
+    val dvdEver: Set[String] = dvLog(spark, dir) match {
+      case None => Set.empty
+      case Some(d) => d.select(canonCol(col("file")).as("f")).distinct()
+        .collect().map(_.getString(0)).toSet // O(dv-files): names only
+    }
+    val mLog = manifestLog(spark, dir).where(!isSentinelFile(col("file")))
+    val fpMap: Map[String, (String, Long)] =
+      if (!mLog.columns.contains("content_fp")) Map.empty
+      else mLog.groupBy("file")
+        .agg(max(col("content_fp").cast("string")).as("fp"),
+          max("n_rows").as("nr"))
+        .collect().flatMap(r =>
+          if (r.isNullAt(1) || r.isNullAt(2)) None
+          else Some(r.getString(0) -> ((r.getString(1), r.getLong(2)))))
+        .toMap // O(files)
+    def usable(f: String) = fpMap.contains(f) && !dvdEver(canon(f))
+    def fpCounts(fs: Seq[String]): Map[(String, Long), Int] =
+      fs.filter(usable).map(fpMap).groupBy(identity)
+        .map { case (k, v) => k -> v.size }
+    def unmatched(fs: Seq[String],
+        other: Map[(String, Long), Int]): Seq[String] = {
+      val budget = scala.collection.mutable.Map(other.toSeq: _*)
+      fs.flatMap { f =>
+        if (!usable(f)) Some(f)
+        else {
+          val k = fpMap(f)
+          val c = budget.getOrElse(k, 0)
+          if (c > 0) { budget(k) = c - 1; None } else Some(f)
+        }
+      }
+    }
+    // ADDITIVITY first: when every churned file is usable and the two
+    // sides' fingerprint/row-count SUMS agree, the whole churn is a
+    // row-preserving rewrite (compaction merges 2 files into 1 — no
+    // per-file pair can match, but the sums do) and nothing reads;
+    // otherwise per-file (fp, rows) pairs cancel multiset-wise and only
+    // the genuine remainder reads
+    val sumsCancel = onlyA.nonEmpty && onlyB.nonEmpty &&
+      onlyA.forall(usable) && onlyB.forall(usable) && {
+        def tot(fs: Seq[String]) = (fs.map(f => BigDecimal(fpMap(f)._1)).sum,
+          fs.map(f => fpMap(f)._2).sum)
+        tot(onlyA) == tot(onlyB)
+      }
+    val readA =
+      if (sumsCancel) Nil else unmatched(onlyA, fpCounts(onlyB)).sorted
+    val readB =
+      if (sumsCancel) Nil else unmatched(onlyB, fpCounts(onlyA)).sorted
     // both sides read under the RANGE END's schema: a compare column that
     // arrived mid-range reads NULL on the older side instead of erroring
     val hiSchema = schemaAt(spark, dir, hi)
@@ -2181,10 +2233,11 @@ object DataLayout {
       else readLayout(spark, dir, hi).where(lit(false))
     }
     val diff = graft.diff.JoinDiffer.diff(
-      side(onlyA, fromVersion), side(onlyB, toVersion), keyCols, compareCols)
-    VersionDiff(diff, filesReadA = onlyA.size + dvChanged.size,
-      filesReadB = onlyB.size + dvChanged.size,
-      filesUnchanged = (fa intersect fb).size - dvChanged.size)
+      side(readA, fromVersion), side(readB, toVersion), keyCols, compareCols)
+    VersionDiff(diff, filesReadA = readA.size + dvChanged.size,
+      filesReadB = readB.size + dvChanged.size,
+      filesUnchanged = (fa intersect fb).size - dvChanged.size +
+        (onlyA.size - readA.size) + (onlyB.size - readB.size))
   }
 
   final case class VersionDiff(df: DataFrame, filesReadA: Int,

@@ -317,6 +317,20 @@ class VersionSpec extends AnyFunSuite {
     assert(got.sorted.toSeq == manual.sorted.toSeq)
   }
 
+  test("diffVersions across a pure compaction reads NOTHING (fingerprints cancel)") {
+    val dir = Files.createTempDirectory("graft_version").toString + "/t"
+    DataLayout.writeZOrdered(mk(0 until 2000), dims, 16, Seq("x", "y"),
+      dir, 1)                                                          // v0
+    DataLayout.appendZOrdered(mk(2000 until 2200), dims, 16, Seq("x", "y"),
+      dir, 1)                                                          // v1
+    DataLayout.compactZOrdered(spark, dir, dims, 16, Seq("x", "y"),
+      rowsPerFile = 1L << 20)                                          // v2
+    val d = DataLayout.diffVersions(spark, dir, 1L, 2L, Seq("id"))
+    assert(d.filesReadA == 0 && d.filesReadB == 0,
+      s"row-preserving rewrite read rows: $d")
+    assert(d.df.isEmpty)
+  }
+
   test("changeFeed: fingerprint-proven row-preserving rewrites build NO plan") {
     val dir = Files.createTempDirectory("graft_version").toString + "/t"
     DataLayout.writeZOrdered(mk(0 until 2000), dims, 16, Seq("x", "y"),
