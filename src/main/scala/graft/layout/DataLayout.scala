@@ -1124,14 +1124,7 @@ object DataLayout {
     val alive = aliveDf.select("file")
       .collect().map(_.getString(0)).toIndexedSeq.sorted // O(files)
     if (alive.isEmpty) return DvDeleteReport(0, 0L, filesScanned = 0)
-    // envelope prefilter for range-shaped predicates (see [[updateWhere]]
-    // pass 1): candidates ∝ envelope hits on a clustered layout, full
-    // scan only when the predicate contributes no envelope test
-    val candidates = envelopePrefilter(aliveDf.columns.toSet, cond) match {
-      case Some(test) => aliveDf.where(test).select("file")
-        .collect().map(_.getString(0)).toIndexedSeq.sorted // O(files)
-      case None => alive
-    }
+    val candidates = dmlCandidates(spark, dir, aliveDf, alive, cond)
     if (candidates.isEmpty) return DvDeleteReport(0, 0L, filesScanned = 0)
     val v = currentVersion(spark, dir) + 1
     val dvPrev = dvAt(spark, dir, Latest)
@@ -1421,15 +1414,17 @@ object DataLayout {
     * behavior. Columns without manifest stats contribute nothing;
     * unrecorded per-file stats read as "may match" via
     * [[statsUnrecorded]], identically to skipScan. */
-  private[graft] def envelopePrefilter(manifestCols: Set[String],
-      cond: Column): Option[Column] = {
+  /** A predicate Column's top-level conjuncts, NORMALIZED into the
+    * catalyst comparison family. The Column DSL reaches us as
+    * UnresolvedFunction("and"/"="/"between"/…) nodes (Spark 4's
+    * ColumnNode conversion routes operators through function names);
+    * SQL-parsed predicates as the catalyst classes — one normalization
+    * serves every consumer (the envelope prefilter, the bloom-equality
+    * extractor). */
+  private def predicateConjuncts(cond: Column)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
     import org.apache.spark.sql.catalyst.{expressions => ce}
-    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
-    // The Column DSL reaches here as UnresolvedFunction("and"/"="/
-    // "between"/…) nodes (Spark 4's ColumnNode conversion routes operators
-    // through function names); SQL-parsed predicates as the catalyst
-    // comparison classes. Normalize the function-name family into the
-    // catalyst one so a single set of bound patterns serves both.
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
     def norm(e: ce.Expression): ce.Expression = e match {
       case f: UnresolvedFunction if f.nameParts.length == 1 && !f.isDistinct =>
         val a = f.arguments.map(norm)
@@ -1456,11 +1451,76 @@ object DataLayout {
       case ce.And(l, r) => conjuncts(l) ++ conjuncts(r)
       case x => Seq(x)
     }
-    def attr(e: ce.Expression): Option[String] = e match {
-      case a: UnresolvedAttribute => Some(a.nameParts.last)
-      case a: ce.AttributeReference => Some(a.name)
+    conjuncts(org.apache.spark.sql.graftshim.StreamingFrameShim
+      .expressionOf(cond))
+  }
+
+  /** Bare column name of an attribute expression, qualifier-stripped. */
+  private def predicateAttr(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[String] = e match {
+    case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+      Some(a.nameParts.last)
+    case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+      Some(a.name)
+    case _ => None
+  }
+
+  /** The EQUALITY/IN conjuncts of a predicate as (column, scala literal
+    * keys) — the bloom-probeable subset of a DML condition. */
+  private[graft] def equalityConjuncts(cond: Column): Seq[(String, Seq[Any])] = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala
+    def one(a: ce.Expression, l: ce.Expression): Option[(String, Seq[Any])] =
+      (predicateAttr(a), l) match {
+        case (Some(k), lit: ce.Literal) if lit.value != null =>
+          Some(k -> Seq(convertToScala(lit.value, lit.dataType)))
+        case _ => None
+      }
+    predicateConjuncts(cond).flatMap {
+      case ce.EqualTo(a, l) => one(a, l).orElse(one(l, a))
+      case ce.EqualNullSafe(a, l) => one(a, l).orElse(one(l, a))
+      case ce.In(a, vs) if vs.nonEmpty &&
+          vs.forall { case lit: ce.Literal => lit.value != null; case _ => false } =>
+        predicateAttr(a).map(k => k -> vs.map { case lit: ce.Literal =>
+          convertToScala(lit.value, lit.dataType) })
       case _ => None
     }
+  }
+
+  /** CANDIDATE files for a Column-predicate mutation's pass 1 — the
+    * shared prefilter of [[updateWhere]] and [[deleteVectorsWhere]]:
+    * manifest min/max envelopes prune range-shaped conjuncts
+    * ([[envelopePrefilter]]), and equality/IN conjuncts on
+    * bloom-indexed columns intersect with the index's admitted files
+    * (the point-DELETE-on-an-unclustered-column case envelopes cannot
+    * touch). Both are conservative supersets; an unrecognizable
+    * predicate keeps the full scan. O(files) driver work throughout. */
+  private def dmlCandidates(spark: SparkSession, dir: String,
+      aliveDf: DataFrame, all: IndexedSeq[String],
+      cond: Column): IndexedSeq[String] = {
+    val enveloped = envelopePrefilter(aliveDf.columns.toSet, cond) match {
+      case Some(test) => aliveDf.where(test).select("file")
+        .collect().map(_.getString(0)).toIndexedSeq.sorted // O(files)
+      case None => all
+    }
+    val indexed = bloomIndexedColumns(spark, dir).map(_._1).toSet
+    val eqs = equalityConjuncts(cond).filter(e => indexed(e._1))
+    if (eqs.isEmpty || enveloped.isEmpty) enveloped
+    else eqs.foldLeft(enveloped) { case (cands, (c, ks)) =>
+      bloomKeptFiles(spark, dir, c, ks) match {
+        case Some((kept, _, _)) =>
+          val keep = kept.toSet
+          cands.filter(keep)
+        case None => cands // crash-residue index: prune nothing
+      }
+    }
+  }
+
+  private[graft] def envelopePrefilter(manifestCols: Set[String],
+      cond: Column): Option[Column] = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    def attr(e: ce.Expression): Option[String] = predicateAttr(e)
     // literal → Column via its SQL rendering (type-faithful: dates render
     // as DATE '…', strings quoted), so the manifest-side comparison
     // resolves with Spark's own coercion rules
@@ -1521,9 +1581,7 @@ object DataLayout {
       } yield t
       case _ => None
     }
-    val tests = conjuncts(
-      org.apache.spark.sql.graftshim.StreamingFrameShim.expressionOf(cond))
-      .flatMap(bound(_).toSeq)
+    val tests = predicateConjuncts(cond).flatMap(bound(_).toSeq)
     if (tests.isEmpty) None else Some(tests.reduce(_ && _))
   }
 
@@ -1751,11 +1809,7 @@ object DataLayout {
     // conjuncts), so a clustered layout scans coordinates ∝ envelope
     // hits instead of the whole table; an unrecognizable predicate
     // falls back to scanning every file, the always-correct shape.
-    val candidates = envelopePrefilter(aliveDf.columns.toSet, cond) match {
-      case Some(test) => aliveDf.where(test).select("file")
-        .collect().map(_.getString(0)).toIndexedSeq.sorted // O(files)
-      case None => all
-    }
+    val candidates = dmlCandidates(spark, dir, aliveDf, all, cond)
     if (candidates.isEmpty) return UpdateReport(0, 0L, all.size,
       filesScanned = 0)
     val base = readWithMeta(spark, candidates, sch)
@@ -3447,6 +3501,21 @@ object DataLayout {
     * build used, over a literal one-row-per-key frame, with the keys cast
     * to the column's on-disk type first — an int-literal probe of a long
     * column must hash the long. */
+  /** Per-file bloom VERDICTS for `keys` on `column`: (kept file names —
+    * admitted or unindexed — , skipped count, unindexed count); None when
+    * the column carries no index or the layout has no alive files.
+    * Shared by [[bloomScan]] and the DML candidate prefilter. */
+  private[graft] def bloomKeptFiles(spark: SparkSession, dir: String,
+      column: String, keys: Seq[Any], version: Long = Latest)
+      : Option[(Seq[String], Int, Int)] = {
+    val idxDir = bloomPath(dir, column)
+    if (!fsOf(spark, dir).exists(new org.apache.hadoop.fs.Path(idxDir)))
+      return None
+    val alive = aliveManifest(spark, dir, version).select("file")
+    if (alive.head(1).isEmpty) return Some((Nil, 0, 0))
+    bloomVerdicts(spark, dir, idxDir, alive, column, keys)
+  }
+
   def bloomScan(spark: SparkSession, dir: String, column: String,
       keys: Seq[Any], version: Long = Latest): BloomScan = {
     require(keys.nonEmpty && !keys.contains(null),
@@ -3459,11 +3528,26 @@ object DataLayout {
     if (firstAlive.isEmpty)
       return BloomScan(emptyFrame(spark, dir).where(lit(false)),
         filesRead = 0, filesSkipped = 0, filesUnindexed = 0)
-    val idx = spark.read.parquet(idxDir)
-    val head = idx.select("num_bits", "num_hashes").head()
-    val (numBits, numHashes) = (head.getInt(0), head.getInt(1))
+    val (kept, skipped, unindexed) =
+      bloomVerdicts(spark, dir, idxDir, alive, column, keys).get
     val colType = spark.read.parquet(
       firstAlive(0).getString(0)).schema(column).dataType
+    val typedKeys = keys.map(k => lit(k).cast(colType))
+    val df = readMasked(spark, dir, kept.toIndexedSeq, version)
+      .where(col(column).isin(typedKeys: _*))
+    BloomScan(df, filesRead = kept.length, filesSkipped = skipped,
+      filesUnindexed = unindexed)
+  }
+
+  private def bloomVerdicts(spark: SparkSession, dir: String, idxDir: String,
+      alive: DataFrame, column: String, keys: Seq[Any])
+      : Option[(Seq[String], Int, Int)] = {
+    val idx = spark.read.parquet(idxDir)
+    val headRows = idx.select("num_bits", "num_hashes").head(1)
+    if (headRows.isEmpty) return None // crash residue of a refresh swap
+    val (numBits, numHashes) = (headRows(0).getInt(0), headRows(0).getInt(1))
+    val colType = spark.read.parquet(
+      alive.head().getString(0)).schema(column).dataType
     // the probe side: ONE ROW PER KEY carrying its bit positions, computed
     // by the very expression the build used, then tested against each
     // file's filter as a broadcast semi join. (A literal boolean tree of
@@ -3488,14 +3572,9 @@ object DataLayout {
       .select(col("file"), col("_indexed").isNull.as("unindexed"),
         (col("_indexed").isNull || col("_admit").isNotNull).as("keep"))
       .collect() // O(files): names + two booleans, never blobs or rows
-    val kept = verdicts.filter(_.getBoolean(2)).map(_.getString(0))
+    val kept = verdicts.filter(_.getBoolean(2)).map(_.getString(0)).toSeq
     val unindexed = verdicts.count(_.getBoolean(1))
-    val typedKeys = keys.map(k => lit(k).cast(colType))
-    val df = readMasked(spark, dir, kept.toIndexedSeq, version)
-      .where(col(column).isin(typedKeys: _*))
-    BloomScan(df, filesRead = kept.length,
-      filesSkipped = verdicts.length - kept.length,
-      filesUnindexed = unindexed)
+    Some((kept, verdicts.length - kept.length, unindexed))
   }
 
   final case class BloomScan(df: DataFrame, filesRead: Int,

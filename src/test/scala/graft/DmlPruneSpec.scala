@@ -98,6 +98,28 @@ class DmlPruneSpec extends AnyFunSuite {
     }
   }
 
+  test("equality DML on a bloom-indexed unclustered column prunes via the index") {
+    val dir = fresh() // clustered on k; amt is uncorrelated with files
+    val total = DataLayout.aliveManifest(spark, dir).count().toInt
+    DataLayout.buildBloomIndex(spark, dir, "amt")
+    // amt = 96: k ∈ {96, 96+97, 96+2*97, …} — rows spread across the k
+    // clustering, so the k-envelopes can't prune; the amt bloom can
+    val r = DataLayout.updateWhere(spark, dir, dims, 16, Seq("k"),
+      col("amt") === 10096L, Map("tag" -> lit("hit")))
+    assert(r.rowsUpdated == 0L) // no such amt: every file bloom-skipped
+    assert(r.filesScanned == 0, s"bloom did not prune: $r")
+    val r2 = DataLayout.deleteVectorsWhere(spark, dir, col("amt") === 96L)
+    assert(r2.rowsDeleted == (0 until 4000).count(_ % 97 == 96).toLong)
+    assert(r2.filesScanned <= total, r2.toString)
+    // correctness: exactly those rows masked
+    assert(DataLayout.readLayout(spark, dir).where(col("amt") === 96L).isEmpty)
+    // equality + range conjunction: both prunes compose
+    val r3 = DataLayout.updateWhere(spark, dir, dims, 16, Seq("k"),
+      col("amt") === 50L && col("k") < 500, Map("tag" -> lit("x")))
+    assert(r3.rowsUpdated == (0 until 500).count(_ % 97 == 50).toLong)
+    assert(r3.filesScanned < total, r3.toString)
+  }
+
   test("SQL UPDATE/DELETE land on the pruned pass untouched (end-to-end)") {
     val dir = fresh()
     LayoutConfig.record(spark, dir,
