@@ -100,9 +100,14 @@ object Bench {
     * re-tested in isolation on the current tree and found unreachable, so
     * keeping it would hide the regression forever. */
   private def mergeBest(sfDir: String, fresh: Map[String, Double],
-      mode: String, replace: Set[String] = Set.empty): Unit = {
-    val path = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_BEST", "bench_best.json"))
+      mode: String, replace: Set[String] = Set.empty): Unit =
+    mergeBestAt(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BEST", "bench_best.json")),
+      sfDir, fresh, mode, replace)
+
+  private[graft] def mergeBestAt(path: java.nio.file.Path, sfDir: String,
+      fresh: Map[String, Double], mode: String,
+      replace: Set[String]): Unit = {
     val existing = readFile(path)
     val existingSf = existing.flatMap(
       "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(_)).map(_.group(1))

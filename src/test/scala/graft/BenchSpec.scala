@@ -64,6 +64,39 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.parseProv(old) === Map.empty)
   }
 
+  test("mergeBestAt: min semantics, forced replacement, provenance follows the winner") {
+    // real gate names (stale gates are pruned against the live registry)
+    val g1 = "q1_agg"; val g2 = "q_topk"; val g3 = "q_hashdiff"
+    val p = java.nio.file.Files.createTempFile("graft_best", ".json")
+    java.nio.file.Files.write(p,
+      (s"""{"metric":"best","value":5.0,"unit":"sec","sf":"/sf",""" +
+        s""""queries":{"$g1":2.0,"$g2":3.0},""" +
+        s""""prov":{"$g1":"aaa 2026-01-01 full"}}""").getBytes("UTF-8"))
+    // g1 improves (prov moves to the new run), g2 is WORSE but forced
+    // into replacement (the drift adjudication), g3 is new
+    Bench.mergeBestAt(p, "/sf",
+      Map(g1 -> 1.5, g2 -> 4.5, g3 -> 0.7), mode = "full",
+      replace = Set(g2))
+    val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    val times = Bench.parseGateTimes(s)
+    assert(times(g1) == 1.5 && times(g2) == 4.5 && times(g3) == 0.7)
+    val prov = Bench.parseProv(s)
+    assert(prov(g1).endsWith(" full") && !prov(g1).startsWith("aaa"))
+    assert(prov(g2).endsWith(" full"))
+    assert(prov(g3).endsWith(" full"))
+    // a slower non-replaced observation keeps BOTH the pin and its prov
+    Bench.mergeBestAt(p, "/sf", Map(g1 -> 9.9), mode = "repin",
+      replace = Set.empty)
+    val s2 = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    assert(Bench.parseGateTimes(s2)(g1) == 1.5)
+    assert(Bench.parseProv(s2)(g1).endsWith(" full"))
+    // a mismatched sf refuses the merge, leaving the file untouched
+    Bench.mergeBestAt(p, "/other-sf", Map(g1 -> 0.1), "full", Set.empty)
+    assert(Bench.parseGateTimes(
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))(g1) == 1.5)
+    java.nio.file.Files.deleteIfExists(p)
+  }
+
   test("replaceSet: pins re-achieved within 1.3x stand, beyond get replaced") {
     val pins = Map("q_held" -> 1.0, "q_regressed" -> 1.64, "q_new" -> 2.0)
     val isolated = Seq(
