@@ -984,15 +984,21 @@ object DataLayout {
     * the O(dv-files) set of DV'd file names. */
   private def readMasked(spark: SparkSession, dir: String, files: Seq[String],
       version: Long,
-      schemaOverride: Option[org.apache.spark.sql.types.StructType] = None)
+      schemaOverride: Option[org.apache.spark.sql.types.StructType] = None,
+      dvCanonKnown: Option[Set[String]] = None)
       : DataFrame = {
     if (files.isEmpty) return emptyFrame(spark, dir)
     val sch = schemaOverride.orElse(schemaAt(spark, dir, version))
     dvAt(spark, dir, version) match {
       case None => readerFor(spark, sch).parquet(files: _*)
       case Some(d) =>
-        val dvCanon = d.select(canonCol(col("file")).as("f")).distinct()
-          .collect().map(_.getString(0)).toSet // O(dv-files): names only
+        // a caller that already probed the DV log can hand over ANY
+        // superset of the version's DV'd canonical names (saving this
+        // job): extra names only route clean files through the masked
+        // read, whose anti join then removes nothing — same rows
+        val dvCanon = dvCanonKnown.getOrElse(
+          d.select(canonCol(col("file")).as("f")).distinct()
+            .collect().map(_.getString(0)).toSet) // O(dv-files): names only
         val (hit, clean) = files.partition(f => dvCanon(canon(f)))
         val parts = Seq(
           if (clean.isEmpty) None
@@ -2206,46 +2212,75 @@ object DataLayout {
   def diffVersions(spark: SparkSession, dir: String, fromVersion: Long,
       toVersion: Long, keyCols: Seq[String],
       compareCols: Seq[String] = Nil): VersionDiff = {
-    def files(v: Long): Set[String] =
-      aliveManifest(spark, dir, v).select("file")
-        .collect().map(_.getString(0)).toSet
-    val fa = files(fromVersion)
-    val fb = files(toVersion)
+    val (lo, hi) = (math.min(fromVersion, toVersion), math.max(fromVersion, toVersion))
+    // ONE O(files) manifest pass decides everything file-shaped below —
+    // both versions' alive sets, the fingerprint map AND the vacuum
+    // horizon (the r18 spelling paid two aliveManifest jobs, a third
+    // groupBy for fingerprints and a horizon probe; at sf0.1 those fixed
+    // per-call jobs dominated this operator's cost). The null-safe max
+    // collapses each file's added row, tombstone twin and
+    // vacuum-lingering duplicates — all carry identical values.
+    val mLog = manifestLog(spark, dir)
+    val hasFp = mLog.columns.contains("content_fp")
+    val hasNr = mLog.columns.contains("n_rows")
+    val fileRows: Array[(String, Long, Long, String, Long)] = mLog
+      .groupBy("file")
+      .agg(max("v_added").as("va"), max("v_removed").as("vr"),
+        (if (hasFp) max(col("content_fp").cast("string"))
+         else lit(null).cast("string")).as("fp"),
+        (if (hasNr) max("n_rows") else lit(null).cast("long")).as("nr"))
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) Long.MinValue else r.getLong(1),
+        if (r.isNullAt(2)) Long.MaxValue else r.getLong(2),
+        if (r.isNullAt(3)) null else r.getString(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))
+    // the horizon guard the per-version aliveManifest reads used to
+    // supply: a diff reaching below it would reconstruct from vacuumed
+    // files (negative versions are the synthetic "before anything" state).
+    // Derived from the same collect — the horizon marker is a sentinel
+    // row keyed by [[VersionHorizonFile]].
+    val h = fileRows.find(_._1 == VersionHorizonFile)
+      .map(_._2).filter(_ != Long.MinValue).getOrElse(0L)
+    Seq(fromVersion, toVersion).filter(v => v != Latest && v >= 0).foreach(v =>
+      require(v >= h,
+        s"version $v of $dir predates the vacuum horizon $h — its files " +
+          "were physically removed; time travel reaches versions >= " +
+          s"$h. Vacuum with a larger retainVersions to keep more history."))
+    // alive at v = added at or before, not tombstoned at or before —
+    // the driver twin of [[aliveManifest]]'s predicate (MinValue encodes
+    // a null v_added: a tombstone-only row is alive nowhere)
+    def aliveAt(v: Long): Set[String] = fileRows.collect {
+      case t if t._2 != Long.MinValue && t._2 <= v && t._3 > v => t._1
+    }.toSet
+    val fa = aliveAt(fromVersion)
+    val fb = aliveAt(toVersion)
     val onlyA = (fa -- fb).toSeq.sorted
     val onlyB = (fb -- fa).toSeq.sorted
     // DELETION VECTORS break "shared file ⇒ identical rows": a file alive
     // in both versions still differs if a DV landed on it in between. Pull
     // those files onto BOTH sides, each masked at its own version — cost
-    // stays ∝ churn (files a delete touched), never table size.
-    val (lo, hi) = (math.min(fromVersion, toVersion), math.max(fromVersion, toVersion))
-    val dvChanged: Seq[String] = dvLog(spark, dir) match {
-      case None => Nil
-      case Some(d) =>
-        val changed = d.where(col("v") > lo && col("v") <= hi)
-          .select(canonCol(col("file")).as("f")).distinct()
-          .collect().map(_.getString(0)).toSet // O(dv-files): names only
-        (fa intersect fb).filter(f => changed(canon(f))).toSeq.sorted
+    // stays ∝ churn (files a delete touched), never table size. One
+    // O(dv-files) probe feeds the in-range set, the ever-DV'd set (the
+    // fingerprint veto) and the masked reads' file partitioning below.
+    val dvRows: Array[(String, Long)] = dvLog(spark, dir) match {
+      case None => Array.empty
+      case Some(d) => d.select(canonCol(col("file")).as("f"), col("v"))
+        .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
     }
+    val dvdEver: Set[String] = dvRows.map(_._1).toSet
+    val dvInRange: Set[String] =
+      dvRows.collect { case (f, v) if v > lo && v <= hi => f }.toSet
+    val dvChanged: Seq[String] =
+      (fa intersect fb).filter(f => dvInRange(canon(f))).toSeq.sorted
     // FINGERPRINT fast path (r18, mirroring diffLayouts' file cancel): a
     // file-moving-but-row-preserving step (compaction, recluster,
     // bin-pack) leaves (fp, rows)-equal multisets on the two sides — such
     // pairs cancel and read NOTHING. DV-carrying files never cancel
     // (bytes ≠ effective rows); fingerprint-less files always read.
-    val dvdEver: Set[String] = dvLog(spark, dir) match {
-      case None => Set.empty
-      case Some(d) => d.select(canonCol(col("file")).as("f")).distinct()
-        .collect().map(_.getString(0)).toSet // O(dv-files): names only
-    }
-    val mLog = manifestLog(spark, dir).where(!isSentinelFile(col("file")))
-    val fpMap: Map[String, (String, Long)] =
-      if (!mLog.columns.contains("content_fp")) Map.empty
-      else mLog.groupBy("file")
-        .agg(max(col("content_fp").cast("string")).as("fp"),
-          max("n_rows").as("nr"))
-        .collect().flatMap(r =>
-          if (r.isNullAt(1) || r.isNullAt(2)) None
-          else Some(r.getString(0) -> ((r.getString(1), r.getLong(2)))))
-        .toMap // O(files)
+    val fpMap: Map[String, (String, Long)] = fileRows.flatMap { t =>
+      if (t._4 == null || t._5 < 0 || t._1.startsWith("_graft_")) None
+      else Some(t._1 -> ((t._4, t._5)))
+    }.toMap
     def usable(f: String) = fpMap.contains(f) && !dvdEver(canon(f))
     def fpCounts(fs: Seq[String]): Map[(String, Long), Int] =
       fs.filter(usable).map(fpMap).groupBy(identity)
@@ -2283,7 +2318,12 @@ object DataLayout {
     val hiSchema = schemaAt(spark, dir, hi)
     def side(only: Seq[String], v: Long): DataFrame = {
       val fl = only ++ dvChanged
-      if (fl.nonEmpty) readMasked(spark, dir, fl, v, hiSchema)
+      // the version's OWN DV'd-file set (not dvdEver): a side whose
+      // version predates every DV — the from side of a first delete —
+      // then reads plain, no meta columns, no anti join
+      val dvAtV = dvRows.collect { case (f, dv) if dv <= v => f }.toSet
+      if (fl.nonEmpty)
+        readMasked(spark, dir, fl, v, hiSchema, dvCanonKnown = Some(dvAtV))
       else readLayout(spark, dir, hi).where(lit(false))
     }
     val diff = graft.diff.JoinDiffer.diff(
@@ -2340,7 +2380,8 @@ object DataLayout {
     // read anyway if left unmatched; computing their fp instead lets every
     // clean file still cancel).
     def side(dir: String, v: Long): (Seq[String], Map[String, (String, Long)]) = {
-      val alive = aliveManifest(spark, dir, v).localCheckpoint(true)
+      // no checkpoint: the frame is collected exactly once below
+      val alive = aliveManifest(spark, dir, v)
       val dvd: Set[String] = dvAt(spark, dir, v) match {
         case None => Set.empty
         case Some(d) => d.select(canonCol(col("file")).as("f")).distinct()
