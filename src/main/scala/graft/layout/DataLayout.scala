@@ -850,6 +850,16 @@ object DataLayout {
         .asInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
+  /** The layout's current effective schema, from the schema log when one
+    * exists (one tiny head(1) job) — falling back to an actual
+    * manifest-routed read's inferred schema for pre-schema-log layouts.
+    * Schema-only consumers (MERGE planning, DML validation) should use
+    * this instead of [[readLayout]], whose frame CONSTRUCTION costs a
+    * manifest collect plus a DV-log probe. */
+  def schemaFor(spark: SparkSession,
+      dir: String): org.apache.spark.sql.types.StructType =
+    schemaAt(spark, dir, Latest).getOrElse(readLayout(spark, dir).schema)
+
   private def recordSchema(spark: SparkSession, dir: String, v: Long,
       s: org.apache.spark.sql.types.StructType): Unit = {
     import spark.implicits._
@@ -3309,7 +3319,7 @@ object DataLayout {
     val aliveDf = aliveManifest(spark, dir).localCheckpoint(true)
     val envKey = keyCols.head
     requireStats(aliveDf, Seq((envKey, null, null)))
-    val layoutCols = readLayout(spark, dir).columns
+    val layoutCols = schemaFor(spark, dir).fieldNames
     require(delta.columns.sorted.sameElements(layoutCols.sorted),
       s"delta schema ${delta.columns.sorted.mkString(",")} != layout schema " +
         layoutCols.sorted.mkString(","))

@@ -120,7 +120,13 @@ object GraftSql {
     val cfg = LayoutConfig.mandatory(spark, dir)
     val source = StreamingFrameShim.ofRows(spark, m.sourceTable)
     val keys = mergeKeys(m.mergeCondition)
-    val layoutCols = DataLayout.readLayout(spark, dir).columns.toSeq
+    // the recorded schema, not readLayout: schema is all MERGE needs
+    // here, and each readLayout frame construction costs a manifest
+    // collect plus a DV-log probe — per-statement fixed jobs
+    val tgtSchema = DataLayout.schemaFor(spark, dir)
+    val layoutCols = tgtSchema.fieldNames.toSeq
+    def emptyDelta = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), tgtSchema)
     (m.matchedActions, m.notMatchedActions) match {
       // canonical upsert fast path — the source IS the delta, no join:
       // WHEN MATCHED UPDATE SET * WHEN NOT MATCHED INSERT *, unconditional
@@ -136,7 +142,6 @@ object GraftSql {
           inserted = r.rowsInserted, files = r.filesRewritten)
       // delete-by-key fast path: WHEN MATCHED THEN DELETE (no insert arm)
       case (Seq(DeleteAction(None)), Seq()) =>
-        val emptyDelta = DataLayout.readLayout(spark, dir).where(lit(false))
         val r = DataLayout.mergeInto(spark, dir, cfg.dims, cfg.bits,
           cfg.statsCols, emptyDelta, keys, cfg.numFiles,
           deleteKeys = Some(source.select(keys.map(col): _*)))
@@ -147,8 +152,8 @@ object GraftSql {
       // SET lists, explicit INSERT column lists, DELETE arms mixed with
       // UPDATE arms — rewrites to the canonical form over a DERIVED
       // source and lands through the same envelope-targeted mergeInto
-      case _ => generalMerge(spark, m, dir, cfg, source, keys, layoutCols,
-        indexes)
+      case _ => generalMerge(spark, m, dir, cfg, source, keys, tgtSchema,
+        emptyDelta, indexes)
     }
   }
 
@@ -170,8 +175,10 @@ object GraftSql {
     * whichever side uniquely has them and refuse when ambiguous. */
   private def generalMerge(spark: SparkSession, m: MergeIntoTable,
       dir: String, cfg: LayoutConfig.Config, source: DataFrame,
-      keys: Seq[String], layoutCols: Seq[String],
+      keys: Seq[String], tgtSchema: org.apache.spark.sql.types.StructType,
+      emptyDelta: => DataFrame,
       indexes: Seq[GraftFileIndex]): DataFrame = {
+    val layoutCols = tgtSchema.fieldNames.toSeq
     def quals(plan: LogicalPlan): Seq[String] = plan match {
       case SubqueryAlias(id, child) => id.name.toLowerCase +: quals(child)
       case UnresolvedRelation(parts, _, _) => Seq(parts.last.toLowerCase)
@@ -218,25 +225,17 @@ object GraftSql {
     // matches, so the left join is exact and never reads the whole table.
     val srcPinned = source.localCheckpoint(true) // consulted many times
     val s = srcPinned.select(srcCols.map(c => col(c).as(s"_s_$c")): _*)
+    // the match marker is namespaced OUTSIDE the _s_/_t_ prefix space: a
+    // target column literally named `exists` prefixes to `_t_exists`,
+    // which a bare `_t_exists` marker would silently overwrite
+    val marker = "_graft_t_exists"
     val t = DataLayout.semiJoinScan(spark, dir,
         srcPinned.select(keys.map(col): _*), keys.head).df
       .select(layoutCols.map(c => col(c).as(s"_t_$c")): _*)
-      .withColumn("_t_exists", lit(true))
-    val joined = s.join(t,
-      keys.map(k => col(s"_s_$k") === col(s"_t_$k")).reduce(_ && _), "left")
-      .localCheckpoint(true) // evaluated once; consulted per action
-    val isMatched = col("_t_exists").isNotNull
-    // first-match-wins across the arms of ONE clause family
-    def armPred(actions: Seq[MergeAction], i: Int): Column = {
-      val conds = actions.map(_.condition.map(resolve).getOrElse(lit(true)))
-      val mine = coalesce(conds(i), lit(false))
-      conds.take(i).foldLeft(mine)((acc, c) =>
-        acc && !coalesce(c, lit(false)))
-    }
-    val tgtSchema = DataLayout.readLayout(spark, dir).schema
+      .withColumn(marker, lit(true))
+    val isMatched = col(marker).isNotNull
     def targetType(c: String) = tgtSchema(
       actual(layoutCols, c).getOrElse(c)).dataType
-    // one delta frame per arm, all in the layout's schema
     def setMap(assignments: Seq[Assignment],
         what: String): Map[String, Column] = assignments.map {
       case Assignment(key: UnresolvedAttribute, value) =>
@@ -247,50 +246,75 @@ object GraftSql {
       case other => throw new IllegalArgumentException(
         s"unsupported $what target: $other")
     }.toMap
-    val updates: Seq[DataFrame] = m.matchedActions.zipWithIndex.collect {
-      case (u: UpdateAction, i) =>
-        val sets = setMap(u.assignments, "UPDATE SET")
-        joined.where(isMatched && armPred(m.matchedActions, i))
-          .select(layoutCols.map(c =>
-            sets.getOrElse(c, col(s"_t_$c")).as(c)): _*)
-      case (UpdateStarAction(_), i) =>
-        val missing = layoutCols.filterNot(c => actual(srcCols, c).isDefined)
-        require(missing.isEmpty,
-          s"UPDATE SET * needs every layout column in the source; " +
-            s"missing: ${missing.mkString(",")}")
-        joined.where(isMatched && armPred(m.matchedActions, i))
-          .select(layoutCols.map(c =>
-            col(s"_s_${actual(srcCols, c).get}")
-              .cast(targetType(c)).as(c)): _*)
+    // ONE adjudication pass over the join (the r18 spelling re-scanned the
+    // checkpointed join once per arm, then again for delete keys — 2.2×
+    // the canonical upsert's cost on identical data): a single CASE chain
+    // tags each row with its winning arm — CASE is first-match-wins by
+    // construction, which IS SQL MERGE's arm semantics (a NULL condition
+    // takes no branch, i.e. reads false) — and rows no arm claims drop
+    // BEFORE the checkpoint, so only action rows materialize.
+    val act = "_graft_act"
+    val armTags: Seq[(Column, String)] =
+      m.matchedActions.zipWithIndex.map { case (a, i) =>
+        (isMatched && a.condition.map(resolve).getOrElse(lit(true)),
+          s"m$i") } ++
+      m.notMatchedActions.zipWithIndex.map { case (a, i) =>
+        (!isMatched && a.condition.map(resolve).getOrElse(lit(true)),
+          s"n$i") }
+    val actCol = armTags.tail.foldLeft(
+      when(armTags.head._1, lit(armTags.head._2)))((acc, p) =>
+        acc.when(p._1, lit(p._2)))
+    val tagged = s.join(t,
+        keys.map(k => col(s"_s_$k") === col(s"_t_$k")).reduce(_ && _), "left")
+      .withColumn(act, actCol)
+      .where(col(act).isNotNull)
+      .localCheckpoint(true) // the statement's ONE evaluation of the join
+    // per (non-delete) arm: the layout-schema output row as one Column per
+    // layout column — every branch casts to the target type, so the CASE
+    // over arms below is type-consistent
+    val valueArms: Seq[(String, Seq[Column])] =
+      m.matchedActions.zipWithIndex.collect {
+        case (u: UpdateAction, i) =>
+          val sets = setMap(u.assignments, "UPDATE SET")
+          s"m$i" -> layoutCols.map(c => sets.getOrElse(c, col(s"_t_$c")))
+        case (UpdateStarAction(_), i) =>
+          val missing = layoutCols.filterNot(c => actual(srcCols, c).isDefined)
+          require(missing.isEmpty,
+            s"UPDATE SET * needs every layout column in the source; " +
+              s"missing: ${missing.mkString(",")}")
+          s"m$i" -> layoutCols.map(c =>
+            col(s"_s_${actual(srcCols, c).get}").cast(targetType(c)))
+      } ++
+      m.notMatchedActions.zipWithIndex.map {
+        case (ins: InsertAction, i) =>
+          val sets = setMap(ins.assignments, "INSERT")
+          s"n$i" -> layoutCols.map(c =>
+            sets.getOrElse(c, lit(null).cast(targetType(c))))
+        case (InsertStarAction(_), i) =>
+          val missing = layoutCols.filterNot(c => actual(srcCols, c).isDefined)
+          require(missing.isEmpty,
+            s"INSERT * needs every layout column in the source; " +
+              s"missing: ${missing.mkString(",")}")
+          s"n$i" -> layoutCols.map(c =>
+            col(s"_s_${actual(srcCols, c).get}").cast(targetType(c)))
+        case (other, _) => throw new IllegalArgumentException(
+          s"unsupported WHEN NOT MATCHED action: $other")
+      }
+    val delTags = m.matchedActions.zipWithIndex.collect {
+      case (_: DeleteAction, i) => s"m$i"
     }
-    val deleteKeys: Seq[DataFrame] = m.matchedActions.zipWithIndex.collect {
-      case (_: DeleteAction, i) =>
-        joined.where(isMatched && armPred(m.matchedActions, i))
-          .select(keys.map(k => col(s"_t_$k").as(k)): _*)
-    }
-    val inserts: Seq[DataFrame] = m.notMatchedActions.zipWithIndex.map {
-      case (ins: InsertAction, i) =>
-        val sets = setMap(ins.assignments, "INSERT")
-        joined.where(!isMatched && armPred(m.notMatchedActions, i))
-          .select(layoutCols.map(c => sets.getOrElse(c,
-            lit(null).cast(targetType(c))).as(c)): _*)
-      case (InsertStarAction(_), i) =>
-        val missing = layoutCols.filterNot(c => actual(srcCols, c).isDefined)
-        require(missing.isEmpty,
-          s"INSERT * needs every layout column in the source; " +
-            s"missing: ${missing.mkString(",")}")
-        joined.where(!isMatched && armPred(m.notMatchedActions, i))
-          .select(layoutCols.map(c =>
-            col(s"_s_${actual(srcCols, c).get}")
-              .cast(targetType(c)).as(c)): _*)
-      case (other, _) => throw new IllegalArgumentException(
-        s"unsupported WHEN NOT MATCHED action: $other")
-    }
-    val emptyDelta = DataLayout.readLayout(spark, dir).where(lit(false))
-      .select(layoutCols.map(col): _*)
-    val delta = (updates ++ inserts)
-      .reduceOption(_.unionByName(_)).getOrElse(emptyDelta)
-    val delKeys = deleteKeys.reduceOption(_.unionByName(_))
+    val delta =
+      if (valueArms.isEmpty) emptyDelta
+      else tagged.where(col(act).isin(valueArms.map(_._1): _*))
+        .select(layoutCols.zipWithIndex.map { case (c, ci) =>
+          valueArms.tail.foldLeft(
+            when(col(act) === valueArms.head._1, valueArms.head._2(ci)))(
+            (acc, a) => acc.when(col(act) === a._1, a._2(ci))).as(c)
+        }: _*)
+    val delKeys =
+      if (delTags.isEmpty) None
+      else Some(tagged.where(col(act).isin(delTags: _*))
+        .select(keys.map(k => col(s"_t_$k").as(k)): _*))
     val r = DataLayout.mergeInto(spark, dir, cfg.dims, cfg.bits,
       cfg.statsCols, delta, keys, cfg.numFiles, deleteKeys = delKeys)
     indexes.foreach(_.refresh())
