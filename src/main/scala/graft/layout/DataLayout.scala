@@ -2529,22 +2529,6 @@ object DataLayout {
     }
   }
 
-  /** Driver twin of [[zOrderKey]] for exactly two dimensions: interleave
-    * the low `bits` bits, dimension 0 owning the more-significant bit of
-    * each pair — bit-for-bit the expression's layout, so file envelopes
-    * computed here and row keys computed in the scan land in the same
-    * z space. */
-  private def zTwin2(a: Long, b: Long, bits: Int): Long = {
-    var r = 0L
-    var j = 0
-    while (j < bits) {
-      r |= ((a >> j) & 1L) << (2 * j + 1)
-      r |= ((b >> j) & 1L) << (2 * j)
-      j += 1
-    }
-    r
-  }
-
   /** The bisected dirty-path diff (see [[diffLayouts]]). Returns None when
     * segmentation is impossible: key stats missing on a side, unsupported
     * or mismatched key types, no recorded envelope geometry, or a
@@ -2563,19 +2547,23 @@ object DataLayout {
     *    deeper level reads only envelope-hit files, so level cost shrinks
     *    with the dirt.
     *  - COMPOUND-KEY MESH (reference: data_diff/table_segment.py:23-86):
-    *    with two or more key columns, the first TWO keys' ordinals scale
-    *    into 28 bits each and interleave through [[zOrderKey]] — a
+    *    with multiple key columns, up to THREE segmentable keys' ordinals
+    *    scale into a per-dim bit budget (2×28 or 3×18 bits — inside a
+    *    signed Long either way) and interleave through [[zOrderKey]] — a
     *    low-cardinality or skewed LEADING key (status, tenant, day) no
     *    longer collapses the span into a few saturated segments, because
-    *    the second key's bits keep subdividing where the first one's
-    *    cannot. File envelopes map monotonically ([min₁,min₂] →
-    *    z-min, [max₁,max₂] → z-max), so envelope pruning carries over. */
+    *    the later keys' bits keep subdividing where the first one's
+    *    cannot; r19 adds the third dimension, closing the
+    *    (low-card, low-card, high-card) shape the 2-mesh re-degenerated
+    *    on. Non-segmentable tail keys are skipped — any SUBSET of the
+    *    key columns segments correctly, equal full keys share every
+    *    projection. Aligned z cells are exact per-key boxes, so file
+    *    envelope pruning carries over dimension-wise. */
   private def bisectLayoutDiff(spark: SparkSession, dirA: String,
       dirB: String, versionA: Long, versionB: Long, keyCols: Seq[String],
       compareCols: Seq[String], readA: Seq[String], readB: Seq[String],
       totalA: Int, totalB: Int, nSeg: Int,
       rowThreshold: Long): Option[LayoutDiff] = {
-    val MeshBits = 28 // 2 x 28 = 56-bit z keys, inside a signed Long
     val MaxLevels = 6
     val MaxRanges = 64 // dirty-range cap per level (CASE-chain size bound)
     val Fanout = 32 // per-level subdivision factor past level 0
@@ -2601,13 +2589,16 @@ object DataLayout {
       case Some(c) => c
       case None => return None
     }
-    // the compound mesh engages when a SECOND key column is segmentable
-    // on both sides; otherwise single-key segmentation, the r17 shape
-    val k2opt: Option[(String, (Column => Column, Any => Long))] =
-      keyCols.drop(1).headOption.flatMap(k2 => codecFor(k2).map(k2 -> _))
-    val keys: Seq[String] = k1 +: k2opt.map(_._1).toSeq
+    // the compound mesh engages for up to TWO more segmentable key
+    // columns (r19: the third dimension closes the (low-card, low-card,
+    // high-card) shape the 2-mesh re-degenerated on); non-segmentable
+    // tail keys are skipped — segmenting on any SUBSET of the key
+    // columns is correct, equal full keys share every projection
+    val extraKeys: Seq[(String, (Column => Column, Any => Long))] =
+      keyCols.tail.flatMap(k => codecFor(k).map(k -> _)).take(2)
+    val keys: Seq[String] = k1 +: extraKeys.map(_._1)
     val codecs: Seq[(Column => Column, Any => Long)] =
-      codec1 +: k2opt.map(_._2).toSeq
+      codec1 +: extraKeys.map(_._2)
 
     // one O(files) manifest collect per side, all meshed keys at once
     def sideStats(alive: DataFrame, mCols: Set[String], files: Seq[String])
@@ -2651,12 +2642,19 @@ object DataLayout {
       case None => return None // no geometry recorded anywhere
     }
     if (BigInt(hi1) - BigInt(lo1) + 1 > BigInt(Long.MaxValue)) return None
-    val meshed: Option[(Long, Long)] = // key2 bounds, when meshing
-      k2opt.flatMap { _ =>
-        boundsOf(1).filter { case (l2, h2) =>
-          BigInt(h2) - BigInt(l2) + 1 <= BigInt(Long.MaxValue)
-        }
+    // extra mesh dimensions: (stats index, ordinal bounds) for each tail
+    // key with recorded geometry and a representable span
+    val meshExtra: Seq[(Int, (Long, Long))] =
+      keys.indices.drop(1).flatMap { i =>
+        boundsOf(i).filter { case (l, h) =>
+          BigInt(h) - BigInt(l) + 1 <= BigInt(Long.MaxValue)
+        }.map(i -> _)
       }
+    // dims in the z mesh (1 = single-key, the r17 shape); per-dim bit
+    // budget keeps the full key inside a signed Long: 2x28 = 56 bits,
+    // 3x18 = 54 bits
+    val nd = 1 + meshExtra.size
+    val MeshBits = if (nd >= 3) 18 else 28
     // NULL-PRESERVING clamp: Spark's least/greatest SKIP null arguments
     // (least(NULL, hi) = hi), so a bare greatest(least(…)) would fold a
     // NULL key into the top segment instead of the NULL pool — and file
@@ -2692,75 +2690,78 @@ object DataLayout {
     val OrdCol = "_graft_bisect_ord"
     def barrier(df: DataFrame): DataFrame =
       org.apache.spark.sql.graftshim.StreamingFrameShim.asBatch(df)
+    // mesh dims in stats order: (stats index, ordinal bounds)
+    val dimBounds: Seq[(Int, (Long, Long))] = (0, (lo1, hi1)) +: meshExtra
+    // STRETCH each key's ordinal to fill its full per-dim bit budget: a
+    // wide span divides down, a narrow span shifts UP — without the
+    // stretch a small-span key's bits would all sit in the low z
+    // positions and the first levels would subdivide nothing but the
+    // other keys (a 2^15-key span costs wasted whole-table levels
+    // before its first bit is reached). Both directions are monotone,
+    // so envelopes map exactly.
+    def scaler(lo: Long, hi: Long): (Column => Column, Long => Long) = {
+      val span = BigInt(hi) - BigInt(lo) + 1
+      if (span > BigInt(1L << MeshBits)) {
+        val d = ((span + (1L << MeshBits) - 1) / (1L << MeshBits)).toLong
+        ((c: Column) => call_function("div", c - lit(lo), lit(d)),
+          (v: Long) => (v - lo) / d)
+      } else {
+        val shift = MeshBits - (span - 1).bitLength
+        ((c: Column) => shiftleft(c - lit(lo), shift),
+          (v: Long) => (v - lo) << shift)
+      }
+    }
     val (glo, ghi, withOrd, scaled): (Long, Long, DataFrame => DataFrame,
-        Option[(Long => Long, Long => Long)]) = meshed match {
-      case Some((lo2, hi2)) =>
-        // STRETCH each key's ordinal to fill its full 28-bit budget: a
-        // wide span divides down, a narrow span shifts UP — without the
-        // stretch a small-span key's bits would all sit in the low z
-        // positions and the first levels would subdivide nothing but the
-        // other key (a 2^15-key span costs four wasted whole-table
-        // levels before its first bit is reached). Both directions are
-        // monotone, so envelopes map exactly.
-        def scaler(lo: Long, hi: Long)
-            : (Column => Column, Long => Long) = {
-          val span = BigInt(hi) - BigInt(lo) + 1
-          if (span > BigInt(1L << MeshBits)) {
-            val d = ((span + (1L << MeshBits) - 1) / (1L << MeshBits)).toLong
-            ((c: Column) => call_function("div", c - lit(lo), lit(d)),
-              (v: Long) => (v - lo) / d)
-          } else {
-            val shift = MeshBits - (span - 1).bitLength
-            ((c: Column) => shiftleft(c - lit(lo), shift),
-              (v: Long) => (v - lo) << shift)
-          }
-        }
-        val (se1, sv1) = scaler(lo1, hi1)
-        val (se2, sv2) = scaler(lo2, hi2)
-        def scaleExpr(k: String, codec: Column => Column, lo: Long,
-            hi: Long, se: Column => Column): Column =
-          se(clampExpr(codec(col(k)), lo, hi))
+        Option[Seq[Long => Long]]) =
+      if (nd >= 2) {
+        val scalers = dimBounds.map { case (_, (lo, hi)) => scaler(lo, hi) }
         // any NULL key component -> NULL z (the ordinal exprs propagate
         // NULL; zOrderKey's sum does too) -> the row pools in segment -1
-        val add = (df: DataFrame) => barrier(df
-          .withColumn("_graft_bisect_s1",
-            scaleExpr(k1, codecs(0)._1, lo1, hi1, se1))
-          .withColumn("_graft_bisect_s2",
-            scaleExpr(keys(1), codecs(1)._1, lo2, hi2, se2))
-          .withColumn(OrdCol, zOrderKey(
-            Seq(col("_graft_bisect_s1"), col("_graft_bisect_s2")), MeshBits))
-          .drop("_graft_bisect_s1", "_graft_bisect_s2"))
-        val s1 = (v: Long) => sv1(math.max(lo1, math.min(hi1, v)))
-        val s2 = (v: Long) => sv2(math.max(lo2, math.min(hi2, v)))
-        (0L, (1L << (2 * MeshBits)) - 1, add, Some((s1, s2)))
-      case None =>
+        val add = (df: DataFrame) => {
+          val staged = dimBounds.zip(scalers).zipWithIndex
+            .foldLeft(df) { case (acc, (((i, (lo, hi)), (se, _)), d)) =>
+              acc.withColumn(s"_graft_bisect_s$d",
+                se(clampExpr(codecs(i)._1(col(keys(i))), lo, hi)))
+            }
+          barrier(staged
+            .withColumn(OrdCol, zOrderKey(
+              dimBounds.indices.map(d => col(s"_graft_bisect_s$d")),
+              MeshBits))
+            .drop(dimBounds.indices.map(d => s"_graft_bisect_s$d"): _*))
+        }
+        val driverScalers = dimBounds.zip(scalers).map {
+          case ((_, (lo, hi)), (_, sv)) =>
+            (v: Long) => sv(math.max(lo, math.min(hi, v)))
+        }
+        (0L, (1L << (nd * MeshBits)) - 1, add, Some(driverScalers))
+      } else
         (lo1, hi1,
           (df: DataFrame) => barrier(df.withColumn(OrdCol,
             clampExpr(codecs(0)._1(col(k1)), lo1, hi1))),
           None)
-    }
     val ordCol = col(OrdCol)
 
-    // de-interleave one dimension out of an aligned z value (dim 0 owns
-    // the more-significant bit of each pair, mirroring zTwin2/zOrderKey)
+    // de-interleave one dimension out of an aligned z value (bit j of
+    // dim d sits at position j*nd + (nd-1-d), mirroring zOrderKey)
     def deint(z: Long, dim: Int): Long = {
       var r = 0L
       var j = 0
       while (j < MeshBits) {
-        r |= ((z >> (2 * j + (1 - dim))) & 1L) << j
+        r |= ((z >> (j * nd + (nd - 1 - dim))) & 1L) << j
         j += 1
       }
       r
     }
     // an aligned z cell [base, base+w-1] (w a power of two) is a perfect
-    // (k1, k2) box in SCALED space: dim 0 owns floor(t/2) free bits
-    def cellBox(base: Long, w: Long): ((Long, Long), (Long, Long)) = {
+    // per-key box in SCALED space: of the t free low positions, dim d
+    // owns those with p mod nd == nd-1-d, i.e. (t + d) / nd bits
+    def cellBox(base: Long, w: Long): Seq[(Long, Long)] = {
       val t = java.lang.Long.numberOfTrailingZeros(w)
-      val f0 = t / 2
-      val f1 = t - f0
-      val a = deint(base, 0)
-      val b = deint(base, 1)
-      ((a, a + (1L << f0) - 1), (b, b + (1L << f1) - 1))
+      dimBounds.indices.map { d =>
+        val f = (t + d) / nd
+        val a = deint(base, d)
+        (a, a + (1L << f) - 1)
+      }
     }
     // does the file's recorded envelope meet ANY dirty range? Single-key:
     // interval overlap on the ordinal. Compound: exact per-key box test
@@ -2776,16 +2777,18 @@ object DataLayout {
             ranges.exists { case (rl, rh) => h >= rl && l <= rh }
           case _ => false // recorded all-NULL keys: only the null pool
         }
-        case Some((sc1, sc2)) =>
-          (s(0).lo, s(0).hi, s(1).lo, s(1).hi) match {
-            case (Some(l1), Some(h1), Some(l2), Some(h2)) =>
-              val (e1l, e1h) = (sc1(l1), sc1(h1))
-              val (e2l, e2h) = (sc2(l2), sc2(h2))
-              ranges.exists { case (base, top) =>
-                val ((c1l, c1h), (c2l, c2h)) = cellBox(base, top - base + 1)
-                e1h >= c1l && e1l <= c1h && e2h >= c2l && e2l <= c2h
-              }
-            case _ => false // a key recorded all-NULL: only the null pool
+        case Some(scalers) =>
+          val envs = dimBounds.map(_._1).zip(scalers).map { case (i, sc) =>
+            (s(i).lo, s(i).hi) match {
+              case (Some(l), Some(h)) => Some((sc(l), sc(h)))
+              case _ => None // key recorded all-NULL: only the null pool
+            }
+          }
+          if (envs.exists(_.isEmpty)) false
+          else ranges.exists { case (base, top) =>
+            envs.map(_.get).zip(cellBox(base, top - base + 1)).forall {
+              case ((el, eh), (cl, ch)) => eh >= cl && el <= ch
+            }
           }
       }
     }
@@ -3494,9 +3497,12 @@ object DataLayout {
     fs.listStatus(root)
       .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_stage_"))
       .map(_.getPath).sortBy(_.getName).toSeq.flatMap { p =>
-        // a zero-row dir is crash residue of a refresh swap: treat as absent
-        spark.read.parquet(p.toString).select("num_bits", "num_hashes")
-          .head(1).headOption.map(h => (p.getName, h.getInt(0), h.getInt(1)))
+        // crash residue of a refresh swap: a zero-ROW dir reads empty, a
+        // zero-FILE dir throws UNABLE_TO_INFER_SCHEMA — both mean absent
+        scala.util.Try(
+          spark.read.parquet(p.toString).select("num_bits", "num_hashes")
+            .head(1).headOption).toOption.flatten
+          .map(h => (p.getName, h.getInt(0), h.getInt(1)))
       }
   }
 
@@ -3564,7 +3570,13 @@ object DataLayout {
       return None
     val alive = aliveManifest(spark, dir, version).select("file")
     if (alive.head(1).isEmpty) return Some((Nil, 0, 0))
-    bloomVerdicts(spark, dir, idxDir, alive, column, keys)
+    // failure-safe: this feeds the DML candidate PREFILTER, where a bloom
+    // index that cannot be consulted (crash-residue dir with no readable
+    // parquet, a probe-type mismatch) must mean "prune nothing" — the
+    // full-scan pass 2 stays correct — never a crashed UPDATE/DELETE.
+    // bloomScan, the explicit point-lookup API, still throws loudly.
+    scala.util.Try(bloomVerdicts(spark, dir, idxDir, alive, column, keys))
+      .getOrElse(None)
   }
 
   def bloomScan(spark: SparkSession, dir: String, column: String,
@@ -3581,8 +3593,7 @@ object DataLayout {
         filesRead = 0, filesSkipped = 0, filesUnindexed = 0)
     val (kept, skipped, unindexed) =
       bloomVerdicts(spark, dir, idxDir, alive, column, keys).get
-    val colType = spark.read.parquet(
-      firstAlive(0).getString(0)).schema(column).dataType
+    val colType = schemaFor(spark, dir)(column).dataType
     val typedKeys = keys.map(k => lit(k).cast(colType))
     val df = readMasked(spark, dir, kept.toIndexedSeq, version)
       .where(col(column).isin(typedKeys: _*))
@@ -3597,8 +3608,10 @@ object DataLayout {
     val headRows = idx.select("num_bits", "num_hashes").head(1)
     if (headRows.isEmpty) return None // crash residue of a refresh swap
     val (numBits, numHashes) = (headRows(0).getInt(0), headRows(0).getInt(1))
-    val colType = spark.read.parquet(
-      alive.head().getString(0)).schema(column).dataType
+    // the LAYOUT schema, not one arbitrary file's footer: on an evolved
+    // layout a file predating `column` has no such footer field and the
+    // probe cast must still hash the column's effective on-disk type
+    val colType = schemaFor(spark, dir)(column).dataType
     // the probe side: ONE ROW PER KEY carrying its bit positions, computed
     // by the very expression the build used, then tested against each
     // file's filter as a broadcast semi join. (A literal boolean tree of

@@ -664,6 +664,39 @@ object LayoutQueries {
       r.df.orderBy("sign", "o_orderkey")
     }),
 
+    // THREE-key bisected diff (r19): the key leads with TWO
+    // low-cardinality columns — (status, priority) covers ~15 points, so
+    // the 2-key z-mesh saturates exactly the way the leading-key-only
+    // segmentation did in r17 and the row diff re-degrades to the whole
+    // table. The 3×18-bit (status, priority, orderkey) mesh keeps
+    // subdividing on the third key; the require pins that the
+    // orderkey-clustered side's row diff stays envelope-confined.
+    "q_layout_diff3_compound" -> ((s, d) => {
+      val a = layoutDir(d) + "_d3ca"
+      val b = layoutDir(d) + "_d3cb"
+      val orders = Tables.load(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_orderpriority", "o_totalprice")
+      DataLayout.writeZOrdered(orders,
+        Seq(col("o_custkey"), cents("o_totalprice")), Bits,
+        Seq("o_orderstatus", "o_orderpriority", "o_orderkey", "o_custkey"),
+        a, numFiles = 16)
+      DataLayout.writeZOrdered(orders, Seq(col("o_orderkey")), Bits,
+        Seq("o_orderstatus", "o_orderpriority", "o_orderkey"),
+        b, numFiles = 12)
+      DataLayout.deleteWhere(s, b, Seq(col("o_orderkey")), Bits,
+        Seq("o_orderstatus", "o_orderpriority", "o_orderkey"),
+        Seq(("o_orderkey", 1000L, 2000L)))
+      val r = DataLayout.diffLayouts(s, a, b,
+        Seq("o_orderstatus", "o_orderpriority", "o_orderkey"),
+        Seq("o_custkey", "o_totalprice"))
+      require(r.filesRowDiffedA >= 0,
+        s"3-key compound bisection did not engage: $r")
+      require(r.filesRowDiffedB < r.filesReadB,
+        s"row diff not envelope-confined on the clustered side: $r")
+      r.df.orderBy("sign", "o_orderkey")
+    }),
+
     // Full re-cluster by NEW dimensions (query patterns changed): the
     // table first lands z-ordered by (custkey, price), then reclusters by
     // orderkey as one new version; a 1-D orderkey range through skipScan
@@ -912,6 +945,13 @@ object LayoutQueries {
 
     "q_layout_diff2_compound" ->
       """SELECT '-' AS sign, o_orderstatus, o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey BETWEEN 1000 AND 2000
+        |ORDER BY sign, o_orderkey""".stripMargin,
+
+    "q_layout_diff3_compound" ->
+      """SELECT '-' AS sign, o_orderstatus, o_orderpriority, o_orderkey,
+        |  o_custkey, o_totalprice
         |FROM orders
         |WHERE o_orderkey BETWEEN 1000 AND 2000
         |ORDER BY sign, o_orderkey""".stripMargin,

@@ -120,6 +120,39 @@ class DmlPruneSpec extends AnyFunSuite {
     assert(r3.filesScanned < total, r3.toString)
   }
 
+  test("bloom DML prefilter survives schema evolution and index damage") {
+    // a file that PREDATES the bloom-indexed column has no such footer
+    // field: deriving the probe type from an arbitrary file's footer
+    // crashed UPDATE/DELETE WHERE on the evolved column (r18); the layout
+    // schema is the authority, and any un-consultable index must mean
+    // "prune nothing", never a crashed mutation
+    val dir = Files.createTempDirectory("graft_dmlprune").toString + "/t"
+    DataLayout.writeZOrdered(
+      spark.range(0, 2000).select(col("id").as("k"), (col("id") % 97).as("amt")),
+      dims, 16, Seq("k"), dir, 4)
+    // evolution: `tag` arrives with the second batch only
+    DataLayout.appendZOrdered(
+      spark.range(2000, 4000).select(col("id").as("k"),
+        (col("id") % 97).as("amt"), concat(lit("s"), col("id")).as("tag")),
+      dims, 16, Seq("k"), dir, 4)
+    DataLayout.buildBloomIndex(spark, dir, "tag")
+    val r = DataLayout.deleteVectorsWhere(spark, dir, col("tag") === "s2500")
+    assert(r.rowsDeleted == 1L, r.toString)
+    assert(DataLayout.readLayout(spark, dir).where(col("tag") === "s2500").isEmpty)
+    // index damage: an empty crash-residue index dir must not crash the
+    // DML path — the prefilter yields nothing and pass 2 full-scans
+    val idxDir = new java.io.File(dir, s"${DataLayout.BloomDir}/amt")
+    def rmChildren(f: java.io.File): Unit =
+      Option(f.listFiles).foreach(_.foreach { c =>
+        if (c.isDirectory) { rmChildren(c); () }
+        c.delete(); ()
+      })
+    DataLayout.buildBloomIndex(spark, dir, "amt")
+    rmChildren(idxDir) // dir remains, no readable parquet inside
+    val r2 = DataLayout.deleteVectorsWhere(spark, dir, col("amt") === 96L)
+    assert(r2.rowsDeleted > 0L, r2.toString)
+  }
+
   test("SQL UPDATE/DELETE land on the pruned pass untouched (end-to-end)") {
     val dir = fresh()
     LayoutConfig.record(spark, dir,

@@ -266,6 +266,37 @@ class LayoutDiff2Spec extends AnyFunSuite {
     assert(got.map(_._2).sorted.toSeq == (9000L to 9099L))
   }
 
+  test("3-key mesh: TWO low-cardinality leading keys still confine the diff") {
+    val root = Files.createTempDirectory("graft_ld2").toString
+    // key = (st, pr, id): st has 3 values and pr 5 — the 2-key mesh of
+    // (st, pr) saturates at ~15 z points (the r17 failure shape, one
+    // level up) and the row diff re-degrades to the whole table; the
+    // third meshed dimension keeps subdividing on id
+    def mk3(ids: Range) = ids.map { i =>
+      (Seq("F", "O", "P")(i % 3), s"p${i % 5}", i.toLong,
+        (i * 13L) % 65536L)
+    }.toDF("st", "pr", "id", "x")
+    DataLayout.writeZOrdered(mk3(0 until 30000), Seq(col("x")), 16,
+      Seq("st", "pr", "id", "x"), s"$root/a", 10)
+    DataLayout.writeZOrdered(mk3(0 until 30000), Seq(col("id")), 16,
+      Seq("st", "pr", "id"), s"$root/b", 10)
+    DataLayout.deleteWhere(spark, s"$root/b", Seq(col("id")), 16,
+      Seq("st", "pr", "id"), Seq(("id", 9000L, 9099L)))
+    val d = DataLayout.diffLayouts(spark, s"$root/a", s"$root/b",
+      Seq("st", "pr", "id"), Seq("x"))
+    assert(d.filesRowDiffedA >= 0, s"bisection did not engage: $d")
+    // the mutation is localized in id: the dirty cells are the few
+    // (stCell, prCell, idSlab) combos the 100 deleted rows occupy — and
+    // the id-clustered side's row diff reads only the files whose id
+    // envelope meets that slab. A (st, pr)-only mesh could deliver
+    // neither: its ~15 saturated cells each span ALL of id.
+    assert(d.segmentsDirty >= 1 && d.segmentsDirty <= 16, d.toString)
+    assert(d.filesRowDiffedB < d.filesReadB, d.toString)
+    val got = d.df.select("sign", "id").as[(String, Long)].collect()
+    assert(got.forall(_._1 == "-"))
+    assert(got.map(_._2).sorted.toSeq == (9000L to 9099L))
+  }
+
   test("compound mesh: NULL keys pool in one segment; an equal pool never leaks diffs") {
     val root = Files.createTempDirectory("graft_ld2").toString
     def mkN(ids: Range) = ids.map { i =>
