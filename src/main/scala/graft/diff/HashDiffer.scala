@@ -21,20 +21,48 @@ import org.apache.spark.sql.functions._
   */
 object HashDiffer {
 
-  /** Sentinel for `diff`'s `buckets`: size the level from a cheap count. */
+  /** Sentinel for `diff`'s `buckets` (size the level from a cheap count)
+    * and `refineFactor` (add a second level only when the dirty rows
+    * warrant one). */
   val Auto = 0
+
+  /** Dirty-row count above which an Auto second checksum level engages:
+    * below ~1M rows the final exchange is already small and a refine pass
+    * would cost more than it saves. */
+  val RefineLeaf: Long = 1L << 20
+
+  /** Target rows per fine cell for the Auto refine — the reference's
+    * ~250k-row leaf (tests/test_database_types.py:744-745), so the final
+    * exchange stays segment-sized regardless of how coarse level 1 was. */
+  val RefineTargetRows: Long = 250000L
 
   /** Reference sizing heuristic: one bucket per ~250k rows, clamped to
     * [2, 128] (reference: tests/test_database_types.py:744-745 sizes its
     * bisection the same way). Small tables stop paying for 1024 mostly-
     * empty buckets; growing tables scale the level with the data. The
     * clamp mirrors the reference so leaf sizes stay comparable to its
-    * segments; at the 100 TB end, callers chasing a smaller pass-2
-    * exchange should pass an explicit `buckets` (~rows / expected-leaf)
-    * or set `refineFactor` — one Spark level costs a single scan+shuffle
-    * regardless of the bucket count, so overriding upward is cheap. */
+    * segments; at the 100 TB end the Auto `refineFactor` (r19) adds a
+    * second level on its own when the dirty buckets are still huge, so
+    * the clamp no longer needs a knowing caller to compensate — one
+    * Spark level costs a single scan+shuffle regardless of the bucket
+    * count, so an explicit larger `buckets` remains cheap too. */
   def autoBuckets(n: Long): Int =
     math.max(2L, math.min(128L, n / 250000L)).toInt
+
+  /** The Auto refine decision: 1 (no second level) while the dirty
+    * buckets hold at most [[RefineLeaf]] rows — the final exchange is
+    * already small; otherwise the factor that sizes fine cells at
+    * [[RefineTargetRows]] rows, capped so the fine level stays O(64k)
+    * cells. Deterministic driver arithmetic, unit-testable. */
+  def autoRefineFactor(dirtyRows: Long, dirtyBucketCount: Int,
+      nBuckets: Int): Int =
+    if (dirtyRows <= RefineLeaf) 1
+    else {
+      val want = (dirtyRows / math.max(1, dirtyBucketCount) +
+        RefineTargetRows - 1) / RefineTargetRows
+      if (want <= 1L) 1 // dirty buckets already leaf-sized
+      else math.min(want, math.max(2L, 65536L / nBuckets)).toInt
+    }
 
   /** Deterministic key-space partition: xxhash64 of the key columns modulo
     * `buckets`. Hash, not range — uniform without knowing the distribution. */
@@ -81,9 +109,15 @@ object HashDiffer {
     * the reference's recursive bisection flattened to two levels. Worth it
     * when diffs are rare AND coarse buckets are huge: the extra pass scans
     * only the dirty fraction and shrinks the final exchange by up to the
-    * refine factor. */
+    * refine factor. `refineFactor = Auto` (the default, r19) sizes this
+    * from the level-1 summaries themselves: when the dirty buckets hold
+    * more than [[RefineLeaf]] rows, a second level targeting
+    * [[RefineTargetRows]]-row cells engages on its own — at the 100 TB
+    * end a caller no longer has to know to ask; `1` disables. The extra
+    * pass scans only dirty-bucket rows, so it never triggers where it
+    * cannot pay for itself. */
   def diff(a: TableSegment, b: TableSegment, buckets: Int = Auto,
-      refineFactor: Int = 1, jsonCols: Set[String] = Set.empty): DataFrame = {
+      refineFactor: Int = Auto, jsonCols: Set[String] = Set.empty): DataFrame = {
     val compare = a.relevantCols.filterNot(a.keyCols.contains)
     def emptyDiff =
       JoinDiffer.diff(a.scoped, b.scoped, a.keyCols, compare, jsonCols).where(lit(false))
@@ -109,8 +143,15 @@ object HashDiffer {
     // jsonCols note: the bucket checksums hash raw strings, so a JSON-
     // equivalent-but-reordered payload makes its bucket dirty — that only
     // costs the bucket a trip through the final join, where the JSON-
-    // equivalence flag correctly suppresses the row.
-    val dirty = dirtyBuckets(a, b, nBuckets)
+    // equivalence flag correctly suppresses the row. The summaries carry
+    // counts, so the Auto refine decision below costs no extra job.
+    val dirtySummaries = bucketSummaries(a, b, nBuckets)
+      .where(col("is_dirty"))
+      .select(col("bucket"),
+        greatest(coalesce(col("a_cnt"), lit(0L)),
+          coalesce(col("b_cnt"), lit(0L))).as("n"))
+      .collect() // O(buckets)
+    val dirty = dirtySummaries.map(_.getLong(0))
     if (dirty.isEmpty) return emptyDiff
     // Every bucket differs → diffs are dense and the bucket filters would
     // only add per-row hashing to the full join; go straight to joindiff
@@ -120,10 +161,14 @@ object HashDiffer {
     val fA = a.withExtraFilter(bucketOf(a.keyCols, nBuckets).isin(dirty.toSeq: _*))
     val fB = b.withExtraFilter(bucketOf(b.keyCols, nBuckets).isin(dirty.toSeq: _*))
 
+    val rf =
+      if (refineFactor > 0) refineFactor
+      else autoRefineFactor(dirtySummaries.map(_.getLong(1)).sum,
+        dirty.length, nBuckets)
     val (finalA, finalB) =
-      if (refineFactor <= 1) (fA, fB)
+      if (rf <= 1) (fA, fB)
       else {
-        val fine = nBuckets * refineFactor
+        val fine = nBuckets * rf
         val dirtyFine = dirtyBuckets(fA, fB, fine)
         if (dirtyFine.isEmpty) return emptyDiff
         (fA.withExtraFilter(bucketOf(a.keyCols, fine).isin(dirtyFine.toSeq: _*)),

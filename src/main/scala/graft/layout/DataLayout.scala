@@ -2985,30 +2985,26 @@ object DataLayout {
       compareCols: Seq[String] = Nil): DataFrame = {
     require(fromVersion < toVersion,
       s"changeFeed needs fromVersion < toVersion: $fromVersion >= $toVersion")
-    require(toVersion <= currentVersion(spark, dir),
-      s"toVersion $toVersion beyond the log's ${currentVersion(spark, dir)}")
-    // the horizon guard the per-step aliveManifest reads used to supply:
-    // a feed reaching below it would reconstruct from vacuumed files
-    // (negative fromVersion is the stream's synthetic initial snapshot)
-    val h = vacuumHorizon(spark, dir)
-    require(math.max(fromVersion, 0L) >= h,
-      s"changeFeed from version $fromVersion predates the vacuum horizon " +
-        s"$h — those versions' files were physically removed")
     // BOUNDED PLANNING for long catch-ups: one O(files) manifest pass
-    // decides every step's churn (the per-step [[diffVersions]] spelling
-    // paid two manifest jobs per version — a 100-version feed planned 200
-    // scans of stats rows), empty steps (txn markers, schema sentinels)
-    // build no plan at all, and a contiguous RUN of append-only steps
-    // collapses into ONE scan of the run's added files with the version
-    // attributed per file — the dominant catch-up shape (a streaming
-    // sink's backlog) plans O(runs), not O(versions). Rewrite/DV steps
-    // keep the per-step JoinDiff at churn cost.
-    val mLog = manifestLog(spark, dir).where(!isSentinelFile(col("file")))
+    // decides every step's churn AND supplies the horizon/current-version
+    // guards (the per-step [[diffVersions]] spelling paid two manifest
+    // jobs per version; r19 also folds the currentVersion, vacuumHorizon
+    // and second dvLog probes into the two collects here — a polling
+    // consumer pays 2 metadata jobs per poll, not 7). Empty steps (txn
+    // markers, schema sentinels) build no plan at all, and a contiguous
+    // RUN of append-only steps collapses into ONE scan of the run's
+    // added files with the version attributed per file — the dominant
+    // catch-up shape (a streaming sink's backlog) plans O(runs), not
+    // O(versions). Rewrite/DV steps keep the per-step JoinDiff at churn
+    // cost.
+    val mLog = manifestLog(spark, dir)
     val hasFp = mLog.columns.contains("content_fp")
-    // per file: lifetime [va, vr) plus the content fingerprint + row
-    // count (null-safe max collapses the added row, its tombstone twin
-    // and any vacuum-lingering duplicates — all carry identical values)
-    val lives = mLog
+    // per file (sentinels included — they carry the horizon marker and
+    // version watermarks): lifetime [va, vr) plus the content
+    // fingerprint + row count (null-safe max collapses the added row,
+    // its tombstone twin and any vacuum-lingering duplicates — all carry
+    // identical values)
+    val allRows = mLog
       .groupBy("file")
       .agg(max("v_added").as("va"), max("v_removed").as("vr"),
         (if (hasFp) max(col("content_fp").cast("string"))
@@ -3019,25 +3015,38 @@ object DataLayout {
         if (r.isNullAt(2)) Long.MaxValue else r.getLong(2),
         if (r.isNullAt(3)) null else r.getString(3),
         if (r.isNullAt(4)) -1L else r.getLong(4)))
+    val lives = allRows.filterNot(_._1.startsWith("_graft_"))
+    // ONE O(dv-files) dvLog probe feeds everything DV-shaped below
+    val dvRows: Array[(String, Long)] = dvLog(spark, dir) match {
+      case None => Array.empty
+      case Some(d) => d.select(canonCol(col("file")).as("f"), col("v"))
+        .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
+    }
+    // guards, from the collects: current version (manifest + DV logs)
+    // and the vacuum horizon marker — a feed below the horizon would
+    // reconstruct from vacuumed files (negative fromVersion is the
+    // stream's synthetic initial snapshot)
+    val current = (allRows.iterator.flatMap(t =>
+      Iterator(t._2, if (t._3 == Long.MaxValue) -1L else t._3)) ++
+      dvRows.iterator.map(_._2) ++ Iterator(-1L)).max
+    require(toVersion <= current,
+      s"toVersion $toVersion beyond the log's $current")
+    val h = allRows.find(_._1 == VersionHorizonFile)
+      .map(_._2).filter(_ >= 0L).getOrElse(0L)
+    require(math.max(fromVersion, 0L) >= h,
+      s"changeFeed from version $fromVersion predates the vacuum horizon " +
+        s"$h — those versions' files were physically removed")
     // files carrying DV positions at ANY version: their raw-byte
     // fingerprints say nothing about EFFECTIVE rows, so they never
     // participate in the fingerprint-cancel below (conservative —
-    // version-insensitive on purpose, one O(dv-files) probe)
-    val dvdCanon: Set[String] = dvLog(spark, dir) match {
-      case None => Set.empty
-      case Some(d) => d.select(canonCol(col("file")).as("f")).distinct()
-        .collect().map(_.getString(0)).toSet
-    }
+    // version-insensitive on purpose)
+    val dvdCanon: Set[String] = dvRows.map(_._1).toSet
     val fpByFile: Map[String, (String, Long)] =
       lives.map(t => t._1 -> ((t._4, t._5))).toMap
-    // DV commits in range: version -> canonical files touched, O(dv files)
-    val dvCommits: Map[Long, Set[String]] = dvLog(spark, dir) match {
-      case None => Map.empty
-      case Some(d) => d.where(col("v") > fromVersion && col("v") <= toVersion)
-        .select(canonCol(col("file")).as("f"), col("v")).distinct()
-        .collect().groupBy(_.getLong(1))
-        .map { case (v, rs) => v -> rs.map(_.getString(0)).toSet }
-    }
+    // DV commits in range: version -> canonical files touched
+    val dvCommits: Map[Long, Set[String]] = dvRows
+      .filter(t => t._2 > fromVersion && t._2 <= toVersion)
+      .groupBy(_._2).map { case (v, rs) => v -> rs.map(_._1).toSet }
     // the feed-end schema pins every read: union consistency across steps,
     // and a column that arrived mid-range reads NULL on older sides
     val endSchema = schemaAt(spark, dir, toVersion)
@@ -3157,10 +3166,13 @@ object DataLayout {
       } else {
         // rewrite step (possibly with DVs riding the same version): both
         // sides at churn cost, masked at their own versions, read under
-        // the feed-end schema
+        // the feed-end schema; the DV'd-file partition comes from the
+        // planning probe, not a per-step collect
         def side(files: Seq[String], v: Long): DataFrame =
           if (files.isEmpty) emptySide
-          else readMasked(spark, dir, files, v, endSchema)
+          else readMasked(spark, dir, files, v, endSchema,
+            dvCanonKnown = Some(
+              dvRows.collect { case (f, dv) if dv <= v => f }.toSet))
         plans += graft.diff.JoinDiffer.diff(
           side(s.removed ++ s.dvFiles, s.v - 1),
           side(s.added ++ s.dvFiles, s.v), keyCols, cmp)

@@ -422,6 +422,34 @@ class HashDifferSpec extends AnyFunSuite {
       .select("sign", "k").as[(String, Long)].collect().toSet)
   }
 
+  test("Auto refine: engages only past the leaf threshold, sized to the reference leaf") {
+    // driver arithmetic: below RefineLeaf rows no second level; above it,
+    // fine cells target ~250k rows; the fine-cell count stays bounded
+    assert(HashDiffer.autoRefineFactor(HashDiffer.RefineLeaf, 4, 128) == 1)
+    assert(HashDiffer.autoRefineFactor(HashDiffer.RefineLeaf + 1, 1, 128) == 5)
+    assert(HashDiffer.autoRefineFactor(10000000L, 2, 128) == 20)
+    assert(HashDiffer.autoRefineFactor(1000000000L, 1, 128) == 512) // capped
+    assert(HashDiffer.autoRefineFactor(2000000L, 8, 2) == 1) // already fine
+    // end-to-end: a 1.5M-row pair with 3 mutated keys in one coarse
+    // bucket of 2 crosses the threshold — the auto path must agree with
+    // refine-disabled exactly (same rows, just a smaller final exchange)
+    import spark.implicits._
+    val base = spark.range(1, 1500001).select(col("id").as("k"),
+      (col("id") % 1000).as("v"))
+    val mut = base.withColumn("v",
+      when(col("k").isin(700L, 700000L, 1400000L), lit(-1L))
+        .otherwise(col("v")))
+    val segA = TableSegment(base, Seq("k"))
+    val segB = TableSegment(mut, Seq("k"))
+    val auto = HashDiffer.diff(segA, segB, buckets = 2)
+      .select("sign", "k").as[(String, Long)].collect().toSet
+    val plain = HashDiffer.diff(segA, segB, buckets = 2, refineFactor = 1)
+      .select("sign", "k").as[(String, Long)].collect().toSet
+    assert(auto == plain)
+    assert(auto == Set(700L, 700000L, 1400000L)
+      .flatMap(k => Set(("-", k), ("+", k))))
+  }
+
   test("segment scoping: key bounds filter rows (product order)") {
     val a = (1L to 100L).map(i => (i, s"v$i")).toDF("k", "s")
     val seg = TableSegment(a, Seq("k")).withScope(Seq(10L), Seq(20L))
