@@ -153,9 +153,40 @@ object DataLayout {
     * no matter which file Spark would otherwise sample for the schema.
     * Old rows read NULL in the newer columns — [[tableStatsFromManifest]]
     * reports the affected stats as unknown instead of silently
-    * undercounting. */
+    * undercounting.
+    *
+    * Served DRIVER-SIDE when the log is small ([[LogLocal]]): the rows
+    * come back as a LocalRelation, so every metadata probe downstream
+    * (version derivation, alive-set filters, envelope pruning) constant-
+    * folds on the driver instead of costing a Spark job each — the
+    * measured dominant fixed cost of the layout surface (guide §1/§5:
+    * metadata belongs on the driver, only data gets jobs). Falls back to
+    * the distributed mergeSchema read past the size guard. */
   def manifestLog(spark: SparkSession, dir: String): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(manifestPath(dir))
+    manifestRowsLocal(spark, dir) match {
+      case Some((schema, rows)) =>
+        spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), schema)
+      case None =>
+        spark.read.option("mergeSchema", "true").parquet(manifestPath(dir))
+    }
+
+  /** Driver-side manifest rows (None = missing dir, oversized log, or a
+    * parquet shape [[LogLocal]] declines — callers fall back). */
+  private def manifestRowsLocal(spark: SparkSession,
+      dir: String): Option[(org.apache.spark.sql.types.StructType,
+        Vector[org.apache.spark.sql.Row])] =
+    LogLocal.read(spark, manifestPath(dir))
+
+  /** A metadata frame pinned for multiple consistent consumptions: a
+    * LocalRelation (the driver-side log path) is already materialized —
+    * checkpointing it would only spend a Spark job; anything else keeps
+    * the eager localCheckpoint. */
+  private def pinned(df: DataFrame): DataFrame =
+    df.queryExecution.logical match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => df
+      case _ => df.localCheckpoint(true)
+    }
 
   /** Highest version number recorded across the manifest log AND the
     * deletion-vector log (a DV commit is a version like any other — time
@@ -165,15 +196,49 @@ object DataLayout {
     val fs = fsOf(spark, dir)
     val m =
       if (!fs.exists(new org.apache.hadoop.fs.Path(manifestPath(dir)))) -1L
-      else manifestLog(spark, dir)
-        .agg(max(greatest(coalesce(col("v_added"), lit(-1L)),
-          coalesce(col("v_removed"), lit(-1L)))))
-        .head().getLong(0)
-    val dv = dvLog(spark, dir)
+      else manifestRowsLocal(spark, dir) match {
+        case Some((schema, rows)) =>
+          val iA = schema.fieldNames.indexOf("v_added")
+          val iR = schema.fieldNames.indexOf("v_removed")
+          if (rows.isEmpty || iA < 0 || iR < 0) -1L
+          else rows.iterator.map { r =>
+            math.max(if (r.isNullAt(iA)) -1L else r.getLong(iA),
+              if (r.isNullAt(iR)) -1L else r.getLong(iR))
+          }.max
+        case None => manifestLog(spark, dir)
+          .agg(max(greatest(coalesce(col("v_added"), lit(-1L)),
+            coalesce(col("v_removed"), lit(-1L)))))
+          .head().getLong(0)
+      }
+    math.max(m, dvMaxVersion(spark, dir))
+  }
+
+  /** Max version in the DV log, −1 when empty/missing. Answered from the
+    * commit FILE NAMES driver-side when possible: every DV commit lands as
+    * `commit-v{v}.parquet` ([[commitLogFile]]), and a vacuum-compacted
+    * base (`vacuum-*.parquet`) only ever carries versions at or below the
+    * manifest's high-water-mark marker, which [[currentVersion]]'s
+    * manifest leg already covers. Any unrecognized name falls back to the
+    * distributed agg. */
+  private def dvMaxVersion(spark: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dvPath(dir))
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(p)) return -1L
+    val names = fs.listStatus(p).toSeq.filter(s => s.isFile &&
+        s.getPath.getName.endsWith(".parquet") &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      .map(_.getPath.getName)
+    val parsed: Seq[Option[Long]] = names.map {
+      case n if n.startsWith("commit-v") =>
+        n.stripPrefix("commit-v").stripSuffix(".parquet").toLongOption
+      case n if n.startsWith("vacuum-") => Some(-1L)
+      case _ => None
+    }
+    if (parsed.forall(_.isDefined)) (-1L +: parsed.flatten).max
+    else dvLog(spark, dir)
       .map(_.agg(max("v")).head())
       .filterNot(_.isNullAt(0)).map(_.getLong(0))
       .getOrElse(-1L)
-    math.max(m, dv)
   }
 
   /** One stats row per file ALIVE at `version`: added at or before it,
@@ -194,14 +259,57 @@ object DataLayout {
           "files were physically removed; time travel reaches versions >= " +
           s"$h. Vacuum with a larger retainVersions to keep more history.")
     }
-    val log = manifestLog(spark, dir)
-    val statCols = log.columns.filterNot(Set("file", "v_added", "v_removed"))
-    val aggs = statCols.map(c => max(col(c)).as(c)) ++
-      Seq(max(col("v_added")).as("v_added"), max(col("v_removed")).as("v_removed"))
-    log.groupBy("file")
-      .agg(aggs.head, aggs.tail: _*)
-      .where(col("v_added").isNotNull && col("v_added") <= version &&
-        (col("v_removed").isNull || col("v_removed") > version))
+    manifestRowsLocal(spark, dir).filter { case (schema, _) =>
+      Seq("file", "v_added", "v_removed").forall(schema.fieldNames.contains)
+    } match {
+      case Some((schema, rows)) =>
+        // the distributed shape below, computed driver-side: group by
+        // file, per-column max (Spark max semantics — nulls ignored,
+        // orderings identical), then the alive-at-version filter. Output
+        // column order matches the groupBy/agg result: file, stats, then
+        // v_added/v_removed.
+        val names = schema.fieldNames
+        val iFile = names.indexOf("file")
+        val iA = names.indexOf("v_added")
+        val iR = names.indexOf("v_removed")
+        val statIdx = names.indices.filterNot(i =>
+          i == iFile || i == iA || i == iR)
+        val outIdx = (statIdx :+ iA :+ iR).toArray
+        val byFile = scala.collection.mutable.LinkedHashMap
+          .empty[String, Array[Any]]
+        for (r <- rows) {
+          val acc = byFile.getOrElseUpdate(r.getString(iFile),
+            new Array[Any](names.length))
+          var i = 0
+          while (i < outIdx.length) {
+            val c = outIdx(i)
+            acc(c) = LogLocal.maxVal(acc(c), if (r.isNullAt(c)) null else r.get(c))
+            i += 1
+          }
+        }
+        val outSchema = org.apache.spark.sql.types.StructType(
+          (statIdx.map(i => schema.fields(i)) :+
+            schema.fields(iA) :+ schema.fields(iR))
+            .foldLeft(new org.apache.spark.sql.types.StructType()
+              .add(schema.fields(iFile)))(_ add _))
+        val alive = byFile.iterator.collect {
+          case (f, acc)
+            if acc(iA) != null && acc(iA).asInstanceOf[Long] <= version &&
+              (acc(iR) == null || acc(iR).asInstanceOf[Long] > version) =>
+            org.apache.spark.sql.Row.fromSeq(
+              f +: outIdx.toSeq.map(acc(_)))
+        }.toSeq
+        spark.createDataFrame(java.util.Arrays.asList(alive: _*), outSchema)
+      case None =>
+        val log = manifestLog(spark, dir)
+        val statCols = log.columns.filterNot(Set("file", "v_added", "v_removed"))
+        val aggs = statCols.map(c => max(col(c)).as(c)) ++
+          Seq(max(col("v_added")).as("v_added"), max(col("v_removed")).as("v_removed"))
+        log.groupBy("file")
+          .agg(aggs.head, aggs.tail: _*)
+          .where(col("v_added").isNotNull && col("v_added") <= version &&
+            (col("v_removed").isNull || col("v_removed") > version))
+    }
   }
 
   /** Canonical column order for log writes, so parquet appends across
@@ -403,10 +511,23 @@ object DataLayout {
       txnApp: String): Option[Long] = {
     val fs = fsOf(spark, dir)
     if (!fs.exists(new org.apache.hadoop.fs.Path(manifestPath(dir)))) return None
-    val log = manifestLog(spark, dir)
-    if (!log.columns.contains("txn_app")) return None
-    val r = log.where(col("txn_app") === txnApp).agg(max("txn_batch")).head()
-    if (r.isNullAt(0)) None else Some(r.getLong(0))
+    manifestRowsLocal(spark, dir) match {
+      case Some((s, rows)) =>
+        val iApp = s.fieldNames.indexOf("txn_app")
+        val iB = s.fieldNames.indexOf("txn_batch")
+        if (iApp < 0 || iB < 0) None
+        else {
+          val bs = rows.iterator.filter(r =>
+            !r.isNullAt(iApp) && r.getString(iApp) == txnApp &&
+              !r.isNullAt(iB)).map(_.getLong(iB))
+          if (bs.hasNext) Some(bs.max) else None
+        }
+      case None =>
+        val log = manifestLog(spark, dir)
+        if (!log.columns.contains("txn_app")) return None
+        val r = log.where(col("txn_app") === txnApp).agg(max("txn_batch")).head()
+        if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
   }
 
   /** Tombstone rows for `files`: their alive stats rows re-emitted with
@@ -842,12 +963,29 @@ object DataLayout {
       version: Long): Option[org.apache.spark.sql.types.StructType] = {
     val p = new org.apache.hadoop.fs.Path(schemaPath(dir))
     if (!fsOf(spark, dir).exists(p)) None
-    else spark.read.parquet(schemaPath(dir))
-      .where(col("v") <= version)
-      .orderBy(col("v").desc).select("schema_json")
-      .head(1).headOption
-      .map(r => org.apache.spark.sql.types.DataType.fromJson(r.getString(0))
+    else {
+      // the schema log is a handful of (v, schema_json) rows: served
+      // driver-side (zero Spark jobs — this probe rides EVERY masked read
+      // and every append), distributed fallback past the size guard
+      val json: Option[String] = LogLocal.read(spark, schemaPath(dir))
+        .filter { case (s, _) =>
+          Seq("v", "schema_json").forall(s.fieldNames.contains) }
+        .map { case (s, rows) =>
+          val iV = s.fieldNames.indexOf("v")
+          val iJ = s.fieldNames.indexOf("schema_json")
+          rows.filter(r => !r.isNullAt(iV) && r.getLong(iV) <= version)
+            .sortBy(r => -r.getLong(iV))
+            .headOption.map(_.getString(iJ))
+        }
+        .getOrElse {
+          spark.read.parquet(schemaPath(dir))
+            .where(col("v") <= version)
+            .orderBy(col("v").desc).select("schema_json")
+            .head(1).headOption.map(_.getString(0))
+        }
+      json.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
   }
 
   /** The layout's current effective schema, from the schema log when one
@@ -1082,7 +1220,7 @@ object DataLayout {
   private def deleteVectorsOnce(spark: SparkSession, dir: String,
       ranges: Seq[(String, Any, Any)]): DvDeleteReport = {
     require(ranges.nonEmpty, "deleteVectors needs at least one (col, lo, hi) range")
-    val aliveDf = aliveManifest(spark, dir).localCheckpoint(true)
+    val aliveDf = pinned(aliveManifest(spark, dir))
     requireStats(aliveDf, ranges)
     val hit = aliveDf.where(envelopeCond(aliveDf.columns.toSet, ranges))
       .select("file")
@@ -1136,7 +1274,7 @@ object DataLayout {
 
   private def deleteVectorsWhereOnce(spark: SparkSession, dir: String,
       cond: Column): DvDeleteReport = {
-    val aliveDf = aliveManifest(spark, dir).localCheckpoint(true)
+    val aliveDf = pinned(aliveManifest(spark, dir))
     val alive = aliveDf.select("file")
       .collect().map(_.getString(0)).toIndexedSeq.sorted // O(files)
     if (alive.isEmpty) return DvDeleteReport(0, 0L, filesScanned = 0)
@@ -1166,7 +1304,7 @@ object DataLayout {
     * Delta's DELETE → REORG APPLY (PURGE) → VACUUM. */
   def purgeDeletes(spark: SparkSession, dir: String, dims: Seq[Column],
       bits: Int, statsCols: Seq[String]): PurgeReport = {
-    val aliveDf = aliveManifest(spark, dir).localCheckpoint(true)
+    val aliveDf = pinned(aliveManifest(spark, dir))
     val dvCanon: Set[String] = dvAt(spark, dir, Latest) match {
       case None => Set.empty
       case Some(d) => d.select(canonCol(col("file")).as("f")).distinct()
@@ -1260,9 +1398,11 @@ object DataLayout {
   def skipScan(spark: SparkSession, dir: String,
       ranges: Seq[(String, Any, Any)], version: Long = Latest): PrunedScan = {
     require(ranges.nonEmpty, "skipScan needs at least one (col, lo, hi) range")
-    val alive = aliveManifest(spark, dir, version).localCheckpoint(true)
+    val alive = pinned(aliveManifest(spark, dir, version))
     requireStats(alive, ranges)
-    val total = alive.count().toInt
+    // jobless on the LocalRelation path (project+collect constant-folds);
+    // one tiny collect on the checkpointed fallback — same as count()
+    val total = alive.select("file").collect().length
     val files = alive.where(envelopeCond(alive.columns.toSet, ranges))
       .select("file")
       .collect().map(_.getString(0)) // O(files): paths only, never rows
@@ -1355,9 +1495,9 @@ object DataLayout {
       keyCol: String, version: Long = Latest): PrunedScan = {
     require(keys.columns.contains(keyCol),
       s"key frame has no column '$keyCol' (${keys.columns.mkString(",")})")
-    val alive = aliveManifest(spark, dir, version).localCheckpoint(true)
+    val alive = pinned(aliveManifest(spark, dir, version))
     requireStats(alive, Seq((keyCol, null, null)))
-    val total = alive.count().toInt
+    val total = alive.select("file").collect().length
     val k = keys.select(col(keyCol).as("_k")).distinct()
     // files whose key stats were never recorded (statsCols drift) can hold
     // ANY key — they join every probe unconditionally, never get skipped
@@ -1629,7 +1769,7 @@ object DataLayout {
       bits: Int, statsCols: Seq[String], rowsPerFile: Long,
       onlyFilesUnder: Long = Long.MaxValue): CompactReport = {
     require(rowsPerFile >= 1, s"rowsPerFile must be >= 1: $rowsPerFile")
-    val aliveDf = aliveManifest(spark, dir).localCheckpoint(true)
+    val aliveDf = pinned(aliveManifest(spark, dir))
     val allAlive = aliveDf
       .select("file", "zmin", "zmax", "n_rows")
       .collect()
@@ -1705,7 +1845,7 @@ object DataLayout {
   def compactSmallFiles(spark: SparkSession, dir: String, dims: Seq[Column],
       bits: Int, statsCols: Seq[String], rowsPerFile: Long): CompactReport = {
     require(rowsPerFile >= 1, s"rowsPerFile must be >= 1: $rowsPerFile")
-    val aliveDf = aliveManifest(spark, dir).localCheckpoint(true)
+    val aliveDf = pinned(aliveManifest(spark, dir))
     val allAlive = aliveDf.select("file", "zmin", "zmax", "n_rows").collect()
     // all-NULL-dim files have no z position: skip, as compactZOrdered does
     val alive = allAlive.filterNot(r => r.isNullAt(1) || r.isNullAt(2))
@@ -1764,7 +1904,7 @@ object DataLayout {
       bits: Int, statsCols: Seq[String],
       ranges: Seq[(String, Any, Any)]): DeleteReport = {
     require(ranges.nonEmpty, "deleteWhere needs at least one (col, lo, hi) range")
-    val aliveDf = aliveManifest(spark, dir).localCheckpoint(true)
+    val aliveDf = pinned(aliveManifest(spark, dir))
     requireStats(aliveDf, ranges)
     val aliveCount = aliveDf.count().toInt
     val hitRaw = aliveDf.where(envelopeCond(aliveDf.columns.toSet, ranges))
@@ -1808,7 +1948,7 @@ object DataLayout {
       bits: Int, statsCols: Seq[String], cond: Column,
       assignments: Map[String, Column]): UpdateReport = {
     require(assignments.nonEmpty, "updateWhere needs at least one SET column")
-    val aliveDf = aliveManifest(spark, dir).localCheckpoint(true)
+    val aliveDf = pinned(aliveManifest(spark, dir))
     val all = aliveDf.select("file")
       .collect().map(_.getString(0)).toIndexedSeq.sorted // O(files)
     if (all.isEmpty) return UpdateReport(0, 0L, 0, filesScanned = 0)
@@ -1919,8 +2059,16 @@ object DataLayout {
     val snapM = logSnapshot(manifestPath(dir))
     require(snapM.nonEmpty, s"no layout (manifest) at $dir to vacuum")
     val snapDv = logSnapshot(dvPath(dir))
-    val log = spark.read.option("mergeSchema", "true").parquet(snapM: _*)
-      .localCheckpoint(true)
+    // the snapshot as a LocalRelation when small (driver-side read — the
+    // aggregations and set derivations below then run over local rows
+    // instead of re-scanning parquet per probe); distributed + pinned
+    // fallback past the size guard
+    val log = LogLocal.read(spark, manifestPath(dir), Some(snapM)) match {
+      case Some((schema, rows)) =>
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      case None => spark.read.option("mergeSchema", "true").parquet(snapM: _*)
+        .localCheckpoint(true)
+    }
     val dvSnap: Option[DataFrame] =
       if (snapDv.isEmpty) None
       else Some(spark.read.schema("file STRING, pos BIGINT, v BIGINT")
@@ -1955,9 +2103,8 @@ object DataLayout {
     // reclaim. dropDuplicates collapses rows lingering from prior bases
     // (grace-deferred reclaim below) — exact dups only, so legit rows
     // (one add + one tombstone per file) are never merged.
-    val kept = real.join(retainedNames, Seq("file"), "left_semi")
-      .dropDuplicates()
-      .localCheckpoint(true)
+    val kept = pinned(real.join(retainedNames, Seq("file"), "left_semi")
+      .dropDuplicates())
     val retainedCanon = kept.select("file").distinct()
       .collect().map(r => canon(r.getString(0))).toSet
     // everything the log has EVER named: a committed (now tombstoned)
@@ -2140,10 +2287,22 @@ object DataLayout {
   def vacuumHorizon(spark: SparkSession, dir: String): Long = {
     if (!fsOf(spark, dir).exists(
       new org.apache.hadoop.fs.Path(manifestPath(dir)))) return 0L
-    val r = manifestLog(spark, dir)
-      .where(col("file") === VersionHorizonFile)
-      .agg(max("v_added")).head()
-    if (r.isNullAt(0)) 0L else r.getLong(0)
+    manifestRowsLocal(spark, dir).filter { case (s, _) =>
+      Seq("file", "v_added").forall(s.fieldNames.contains)
+    } match {
+      case Some((s, rows)) =>
+        val iF = s.fieldNames.indexOf("file")
+        val iA = s.fieldNames.indexOf("v_added")
+        val hs = rows.iterator.filter(r =>
+          !r.isNullAt(iF) && r.getString(iF) == VersionHorizonFile &&
+            !r.isNullAt(iA)).map(_.getLong(iA))
+        if (hs.hasNext) hs.max else 0L
+      case None =>
+        val r = manifestLog(spark, dir)
+          .where(col("file") === VersionHorizonFile)
+          .agg(max("v_added")).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
   }
 
   final case class VacuumReport(filesDeleted: Int, logRowsBefore: Long,
@@ -2181,7 +2340,7 @@ object DataLayout {
     require(fsOf(spark, srcDir).exists(
       new org.apache.hadoop.fs.Path(manifestPath(srcDir))),
       s"no layout (manifest) at $srcDir")
-    val alive = aliveManifest(spark, srcDir, version).localCheckpoint(true)
+    val alive = pinned(aliveManifest(spark, srcDir, version))
     val n = alive.count()
     require(n > 0, s"layout at $srcDir has no alive files at version $version")
     val fs = fsOf(spark, dstDir)
@@ -2230,20 +2389,53 @@ object DataLayout {
     // per-call jobs dominated this operator's cost). The null-safe max
     // collapses each file's added row, tombstone twin and
     // vacuum-lingering duplicates — all carry identical values.
-    val mLog = manifestLog(spark, dir)
-    val hasFp = mLog.columns.contains("content_fp")
-    val hasNr = mLog.columns.contains("n_rows")
-    val fileRows: Array[(String, Long, Long, String, Long)] = mLog
-      .groupBy("file")
-      .agg(max("v_added").as("va"), max("v_removed").as("vr"),
-        (if (hasFp) max(col("content_fp").cast("string"))
-         else lit(null).cast("string")).as("fp"),
-        (if (hasNr) max("n_rows") else lit(null).cast("long")).as("nr"))
-      .collect().map(r => (r.getString(0),
-        if (r.isNullAt(1)) Long.MinValue else r.getLong(1),
-        if (r.isNullAt(2)) Long.MaxValue else r.getLong(2),
-        if (r.isNullAt(3)) null else r.getString(3),
-        if (r.isNullAt(4)) -1L else r.getLong(4)))
+    val fileRows: Array[(String, Long, Long, String, Long)] =
+      manifestRowsLocal(spark, dir).filter { case (s, _) =>
+        Seq("file", "v_added", "v_removed").forall(s.fieldNames.contains)
+      } match {
+        case Some((s, rows)) =>
+          // jobless twin of the groupBy below (driver rows, same
+          // max-per-file semantics; per file all rows carry one fp/nr)
+          val iF = s.fieldNames.indexOf("file")
+          val iA = s.fieldNames.indexOf("v_added")
+          val iR = s.fieldNames.indexOf("v_removed")
+          val iFp = s.fieldNames.indexOf("content_fp")
+          val iNr = s.fieldNames.indexOf("n_rows")
+          val acc = scala.collection.mutable.LinkedHashMap
+            .empty[String, (Any, Any, Any, Any)]
+          def g(r: org.apache.spark.sql.Row, i: Int): Any =
+            if (i < 0 || r.isNullAt(i)) null else r.get(i)
+          for (r <- rows) {
+            val f = r.getString(iF)
+            val p = acc.getOrElse(f, (null, null, null, null))
+            acc(f) = (LogLocal.maxVal(p._1, g(r, iA)),
+              LogLocal.maxVal(p._2, g(r, iR)),
+              LogLocal.maxVal(p._3, g(r, iFp)),
+              LogLocal.maxVal(p._4, g(r, iNr)))
+          }
+          acc.iterator.map { case (f, (va, vr, fp, nr)) =>
+            (f,
+              if (va == null) Long.MinValue else va.asInstanceOf[Long],
+              if (vr == null) Long.MaxValue else vr.asInstanceOf[Long],
+              if (fp == null) null
+              else fp.asInstanceOf[java.math.BigDecimal].toPlainString,
+              if (nr == null) -1L else nr.asInstanceOf[Long])
+          }.toArray
+        case None =>
+          val mLog = manifestLog(spark, dir)
+          val hasFp = mLog.columns.contains("content_fp")
+          val hasNr = mLog.columns.contains("n_rows")
+          mLog.groupBy("file")
+            .agg(max("v_added").as("va"), max("v_removed").as("vr"),
+              (if (hasFp) max(col("content_fp").cast("string"))
+               else lit(null).cast("string")).as("fp"),
+              (if (hasNr) max("n_rows") else lit(null).cast("long")).as("nr"))
+            .collect().map(r => (r.getString(0),
+              if (r.isNullAt(1)) Long.MinValue else r.getLong(1),
+              if (r.isNullAt(2)) Long.MaxValue else r.getLong(2),
+              if (r.isNullAt(3)) null else r.getString(3),
+              if (r.isNullAt(4)) -1L else r.getLong(4)))
+      }
     // the horizon guard the per-version aliveManifest reads used to
     // supply: a diff reaching below it would reconstruct from vacuumed
     // files (negative versions are the synthetic "before anything" state).
@@ -3195,7 +3387,7 @@ object DataLayout {
   def recluster(spark: SparkSession, dir: String, dims: Seq[Column],
       bits: Int, statsCols: Seq[String], numFiles: Int): ReclusterReport = {
     require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
-    val aliveDf = aliveManifest(spark, dir).localCheckpoint(true)
+    val aliveDf = pinned(aliveManifest(spark, dir))
     val files = aliveDf.select("file")
       .collect().map(_.getString(0)).toSeq.sorted // O(files): paths only
     require(files.nonEmpty, s"layout at $dir has no alive files to recluster")
@@ -3331,7 +3523,7 @@ object DataLayout {
       s"key column '$k' not in delta schema ${delta.columns.mkString(",")}"))
     deleteKeys.foreach(dk => require(dk.columns.sorted.sameElements(keyCols.sorted),
       s"deleteKeys must carry exactly the key columns ${keyCols.sorted.mkString(",")}"))
-    val aliveDf = aliveManifest(spark, dir).localCheckpoint(true)
+    val aliveDf = pinned(aliveManifest(spark, dir))
     val envKey = keyCols.head
     requireStats(aliveDf, Seq((envKey, null, null)))
     val layoutCols = schemaFor(spark, dir).fieldNames
