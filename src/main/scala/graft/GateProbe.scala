@@ -22,7 +22,8 @@ object GateProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("GRAFT_PROBE_AQE", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -34,6 +35,8 @@ object GateProbe {
       try Tables.load(spark, sfDir, t).count() catch { case _: Throwable => () }
 
     val execDesc = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+    val execStart = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val execSpans = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
     val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Double)]()
     val listener = new SparkListener {
@@ -41,6 +44,12 @@ object GateProbe {
         e match {
           case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
             execDesc.put(s.executionId, s.description)
+            execStart.put(s.executionId, System.nanoTime())
+          case e: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionEnd =>
+            Option(execStart.remove(e.executionId)).foreach { t0 =>
+              execSpans.add((execDesc.getOrDefault(e.executionId, "?"),
+                (System.nanoTime() - t0) / 1e9))
+            }
           case _ => ()
         }
       override def onJobStart(js: SparkListenerJobStart): Unit = {
@@ -61,7 +70,7 @@ object GateProbe {
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt
     for (rep <- 1 to reps) {
-      done.clear()
+      done.clear(); execSpans.clear()
       if (rep == reps) spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -83,6 +92,16 @@ object GateProbe {
           .sortBy(-_._1)
           .foreach { case (s, n, site) =>
             println(f"[gateprobe]   $s%7.3f s  n=$n%-3d $site")
+          }
+        import scala.jdk.CollectionConverters._
+        val spans = execSpans.asScala.toSeq
+        println(f"[gateprobe] ${spans.size} sql executions, " +
+          f"span sum ${spans.map(_._2).sum}%.3f s — rollup:")
+        spans.groupBy(_._1).toSeq
+          .map { case (d, g) => (g.map(_._2).sum, g.size, d) }
+          .sortBy(-_._1).take(20)
+          .foreach { case (s, n, d) =>
+            println(f"[gateprobe]   $s%7.3f s  n=$n%-3d $d")
           }
       }
     }

@@ -340,20 +340,40 @@ object DataLayout {
     *
     * This is the commit point of every mutation; data files written
     * before it are invisible orphans until it lands. */
-  private[layout] def commitLogFile(logDir: String, rows: DataFrame, v: Long): Unit = {
+  /** `smallMeta = true` marks commits whose row count is O(files) BY
+    * CONSTRUCTION (manifest stats rows, vacuum bases — never DV
+    * coordinate logs): those collect to the driver and stage through
+    * [[LogLocal.writeLocal]] — one driver-side parquet write instead of a
+    * full Spark plan/schedule/FileFormatWriter cycle per version commit.
+    * The rename-into-place protocol below is identical either way. */
+  private[layout] def commitLogFile(logDir: String, rows: DataFrame, v: Long,
+      smallMeta: Boolean = false): Unit = {
     val spark = rows.sparkSession
     val lp = new org.apache.hadoop.fs.Path(logDir)
     val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stage = new org.apache.hadoop.fs.Path(logDir,
       s"_stage_${java.util.UUID.randomUUID}")
-    rows.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-    val part = fs.listStatus(stage).map(_.getPath)
-      .find(_.getName.endsWith(".parquet"))
-      .getOrElse {
-        fs.delete(stage, true)
-        throw new IllegalStateException(
-          s"staged commit wrote no part file under $stage")
+    val localPart: Option[org.apache.hadoop.fs.Path] =
+      if (!smallMeta) None
+      else {
+        val p = new org.apache.hadoop.fs.Path(logDir,
+          s"_stage_${java.util.UUID.randomUUID.toString.take(12)}.parquet")
+        // collect is jobless for LocalRelation rows (vacuum bases), one
+        // tiny agg job for stats frames — the rows are O(files) either way
+        if (LogLocal.writeLocal(spark, rows.schema, rows.collect().toSeq, p))
+          Some(p)
+        else None
       }
+    val part = localPart.getOrElse {
+      rows.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      fs.listStatus(stage).map(_.getPath)
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse {
+          fs.delete(stage, true)
+          throw new IllegalStateException(
+            s"staged commit wrote no part file under $stage")
+        }
+    }
     val dest = new org.apache.hadoop.fs.Path(logDir, s"commit-v$v.parquet")
     // IN-PROCESS serialization of the put-if-absent: Hadoop's LOCAL rename
     // is check-then-rename (a TOCTOU — two simultaneous renames can both
@@ -372,35 +392,51 @@ object DataLayout {
         catch { case _: java.io.IOException => false }
     }
     fs.delete(stage, true)
-    if (!ok) throw new java.util.ConcurrentModificationException(
-      s"version $v of ${lp.getParent} was committed by a concurrent writer " +
-        "while this mutation ran — re-read the layout and retry")
+    if (!ok) {
+      localPart.foreach(fs.delete(_, false)) // lost race: drop the staged file
+      throw new java.util.ConcurrentModificationException(
+        s"version $v of ${lp.getParent} was committed by a concurrent writer " +
+          "while this mutation ran — re-read the layout and retry")
+    }
   }
 
   /** JVM-wide lock for [[commitLogFile]]'s put-if-absent window. */
   private val commitRenameLock = new Object
 
   private def appendLog(dir: String, rows: DataFrame, v: Long): Unit =
-    commitLogFile(manifestPath(dir), normalizeLog(rows), v)
+    commitLogFile(manifestPath(dir), normalizeLog(rows), v, smallMeta = true)
 
   /** Land a vacuum's compacted log base as ONE uniquely-named file via
     * stage + rename. Unlike [[commitLogFile]] there is no put-if-absent to
     * win — the name is fresh by construction (UUID); atomicity (readers see
-    * the base whole or not at all) is what the rename buys here. */
+    * the base whole or not at all) is what the rename buys here.
+    * `smallMeta` as in [[commitLogFile]] (manifest bases are O(files);
+    * DV bases are coordinate-sized and keep the Spark write). */
   private def writeCompactedLog(spark: SparkSession, logDir: String,
-      rows: DataFrame): Unit = {
+      rows: DataFrame, smallMeta: Boolean = false): Unit = {
     val lp = new org.apache.hadoop.fs.Path(logDir)
     val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stage = new org.apache.hadoop.fs.Path(logDir,
       s"_stage_${java.util.UUID.randomUUID}")
-    rows.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-    val part = fs.listStatus(stage).map(_.getPath)
-      .find(_.getName.endsWith(".parquet"))
-      .getOrElse {
-        fs.delete(stage, true)
-        throw new IllegalStateException(
-          s"compacted log base wrote no part file under $stage")
+    val localPart: Option[org.apache.hadoop.fs.Path] =
+      if (!smallMeta) None
+      else {
+        val p = new org.apache.hadoop.fs.Path(logDir,
+          s"_stage_${java.util.UUID.randomUUID.toString.take(12)}.parquet")
+        if (LogLocal.writeLocal(spark, rows.schema, rows.collect().toSeq, p))
+          Some(p)
+        else None
       }
+    val part = localPart.getOrElse {
+      rows.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      fs.listStatus(stage).map(_.getPath)
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse {
+          fs.delete(stage, true)
+          throw new IllegalStateException(
+            s"compacted log base wrote no part file under $stage")
+        }
+    }
     val dest = new org.apache.hadoop.fs.Path(logDir,
       s"vacuum-${java.util.UUID.randomUUID.toString.take(12)}.parquet")
     require(fs.rename(part, dest), s"log compaction rename failed: $part -> $dest")
@@ -858,8 +894,14 @@ object DataLayout {
           evolvedNow.foreach(recordSchema(spark, outDir, vNow, _))
       }
     } else {
-      normalizeLog(statsAt(v)).write.mode("overwrite")
-        .parquet(manifestPath(outDir))
+      // version 0 owns a freshly-wiped dir: land the O(files) stats rows
+      // driver-side when the types allow (one tiny collect instead of a
+      // Spark write cycle), the plain write otherwise
+      val rows = normalizeLog(statsAt(v))
+      val dest = new org.apache.hadoop.fs.Path(manifestPath(outDir),
+        s"part-local-${java.util.UUID.randomUUID.toString.take(12)}.parquet")
+      if (!LogLocal.writeLocal(spark, rows.schema, rows.collect().toSeq, dest))
+        rows.write.mode("overwrite").parquet(manifestPath(outDir))
       recordSchema(spark, outDir, 0L, df.schema)
     }
     true
@@ -1000,9 +1042,19 @@ object DataLayout {
 
   private def recordSchema(spark: SparkSession, dir: String, v: Long,
       s: org.apache.spark.sql.types.StructType): Unit = {
-    import spark.implicits._
-    Seq((v, s.json)).toDF("v", "schema_json")
-      .coalesce(1).write.mode("append").parquet(schemaPath(dir))
+    // one (v, schema_json) row: a driver-side parquet append — the log is
+    // read back by schemaAt's LogLocal path (and any plain parquet read)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("v", org.apache.spark.sql.types.LongType)
+      .add("schema_json", org.apache.spark.sql.types.StringType)
+    val dest = new org.apache.hadoop.fs.Path(schemaPath(dir),
+      s"part-local-${java.util.UUID.randomUUID.toString.take(12)}.parquet")
+    val row = org.apache.spark.sql.Row(java.lang.Long.valueOf(v), s.json)
+    if (!LogLocal.writeLocal(spark, schema, Seq(row), dest)) {
+      import spark.implicits._
+      Seq((v, s.json)).toDF("v", "schema_json")
+        .coalesce(1).write.mode("append").parquet(schemaPath(dir))
+    }
   }
 
   /** Union-merge `delta`'s fields into `base`: shared columns must keep
@@ -1079,6 +1131,58 @@ object DataLayout {
       version: Long): Option[DataFrame] =
     dvLog(spark, dir).map(_.where(col("v") <= version))
 
+  /** Driver-side DV rows as (canonical file, pos, v) — size-guarded like
+    * every [[LogLocal]] read (the DV log is churn-sized, not table-sized,
+    * but past the guard the distributed probes take over). None = log
+    * missing/oversized/undecodable. */
+  private def dvRowsLocal(spark: SparkSession,
+      dir: String): Option[Vector[(String, Long, Long)]] =
+    LogLocal.read(spark, dvPath(dir))
+      .filter { case (s, _) =>
+        Seq("file", "pos", "v").forall(s.fieldNames.contains) }
+      .map { case (s, rows) =>
+        val iF = s.fieldNames.indexOf("file")
+        val iP = s.fieldNames.indexOf("pos")
+        val iV = s.fieldNames.indexOf("v")
+        rows.map(r => (canon(r.getString(iF)), r.getLong(iP), r.getLong(iV)))
+      }
+
+  /** Distinct canonical DV'd file names effective at `version`,
+    * driver-side; None = fall back to the distributed distinct. */
+  private def dvCanonLocal(spark: SparkSession, dir: String,
+      version: Long): Option[Set[String]] =
+    dvRowsLocal(spark, dir).map(
+      _.iterator.collect { case (f, _, v) if v <= version => f }.toSet)
+
+  /** DEDUPED per-canonical-file DV position counts, driver-side (the
+    * exact-count twin of [[dvLogDeduped]]'s groupBy for metadata
+    * consumers); None = missing log or size-guard fallback. */
+  private[layout] def dvFileCountsLocal(spark: SparkSession,
+      dir: String): Option[Map[String, Long]] =
+    dvRowsLocal(spark, dir).map(
+      _.distinct.groupBy(_._1).map { case (f, g) => f -> g.size.toLong })
+
+  /** Per-file max v_removed over NON-SENTINEL manifest rows, driver-side
+    * (reclaimable-file probes); None past the local-log guard. Files
+    * never tombstoned are absent. */
+  private[layout] def fileMaxRemovedLocal(spark: SparkSession,
+      dir: String): Option[Map[String, Long]] =
+    manifestRowsLocal(spark, dir).filter { case (s, _) =>
+      Seq("file", "v_removed").forall(s.fieldNames.contains)
+    }.map { case (s, rows) =>
+      val iF = s.fieldNames.indexOf("file")
+      val iR = s.fieldNames.indexOf("v_removed")
+      val m = scala.collection.mutable.Map.empty[String, Long]
+      for (r <- rows if !r.isNullAt(iF) && !r.isNullAt(iR)) {
+        val f = r.getString(iF)
+        if (!f.startsWith("_graft_")) {
+          val v = r.getLong(iR)
+          if (m.getOrElse(f, Long.MinValue) < v) m(f) = v
+        }
+      }
+      m.toMap
+    }
+
   /** Whether any DV position at `version` addresses a file ALIVE at that
     * version — i.e. whether a masked read is actually needed. The DV log
     * keeps rows after a purge (earlier versions still travel through
@@ -1090,11 +1194,19 @@ object DataLayout {
     dvAt(spark, dir, version) match {
       case None => false
       case Some(d) =>
-        val alive = aliveManifest(spark, dir, version)
-          .select(canonCol(col("file")).as("_f")).distinct()
-        d.select(canonCol(col("file")).as("_df")).distinct()
-          .join(alive, col("_df") === col("_f"), "left_semi")
-          .head(1).nonEmpty
+        dvCanonLocal(spark, dir, version) match {
+          case Some(names) if names.isEmpty => false
+          case Some(names) =>
+            // jobless on the local-manifest path: names × alive names
+            aliveManifest(spark, dir, version).select("file")
+              .collect().exists(r => names(canon(r.getString(0))))
+          case None =>
+            val alive = aliveManifest(spark, dir, version)
+              .select(canonCol(col("file")).as("_f")).distinct()
+            d.select(canonCol(col("file")).as("_df")).distinct()
+              .join(alive, col("_df") === col("_f"), "left_semi")
+              .head(1).nonEmpty
+        }
     }
 
   /** Column-level twin of [[canon]]: strip the URI scheme + slash run down
@@ -1144,9 +1256,11 @@ object DataLayout {
         // superset of the version's DV'd canonical names (saving this
         // job): extra names only route clean files through the masked
         // read, whose anti join then removes nothing — same rows
-        val dvCanon = dvCanonKnown.getOrElse(
-          d.select(canonCol(col("file")).as("f")).distinct()
-            .collect().map(_.getString(0)).toSet) // O(dv-files): names only
+        val dvCanon = dvCanonKnown
+          .orElse(dvCanonLocal(spark, dir, version)) // driver-side, no job
+          .getOrElse(
+            d.select(canonCol(col("file")).as("f")).distinct()
+              .collect().map(_.getString(0)).toSet) // O(dv-files): names only
         val (hit, clean) = files.partition(f => dvCanon(canon(f)))
         val parts = Seq(
           if (clean.isEmpty) None
@@ -1235,9 +1349,12 @@ object DataLayout {
     val fresh = masked.where(rowCond(ranges))
       .select(col(MetaFile).as("file"), col(MetaPos).as("pos"), lit(v).as("v"))
       .localCheckpoint(true)
-    val n = fresh.count()
+    // one agg action for both report numbers (was a count + a distinct
+    // count — two jobs over the same checkpointed coordinates)
+    val st = fresh.agg(count(lit(1)), count_distinct(col("file"))).head()
+    val n = st.getLong(0)
     if (n == 0L) return DvDeleteReport(0, 0L)
-    val filesTouched = fresh.select("file").distinct().count().toInt
+    val filesTouched = st.getLong(1).toInt
     // one part file = one rename = the DV version appears atomically to
     // concurrent readers (see appendLog); DV deltas are churn-sized
     commitLogFile(dvPath(dir), fresh, v)
@@ -1287,9 +1404,10 @@ object DataLayout {
     val fresh = masked.where(cond)
       .select(col(MetaFile).as("file"), col(MetaPos).as("pos"), lit(v).as("v"))
       .localCheckpoint(true)
-    val n = fresh.count()
+    val st = fresh.agg(count(lit(1)), count_distinct(col("file"))).head()
+    val n = st.getLong(0)
     if (n == 0L) return DvDeleteReport(0, 0L, filesScanned = candidates.size)
-    val filesTouched = fresh.select("file").distinct().count().toInt
+    val filesTouched = st.getLong(1).toInt
     commitLogFile(dvPath(dir), fresh, v)
     DvDeleteReport(filesTouched, n, filesScanned = candidates.size)
   }
@@ -1305,16 +1423,20 @@ object DataLayout {
   def purgeDeletes(spark: SparkSession, dir: String, dims: Seq[Column],
       bits: Int, statsCols: Seq[String]): PurgeReport = {
     val aliveDf = pinned(aliveManifest(spark, dir))
-    val dvCanon: Set[String] = dvAt(spark, dir, Latest) match {
-      case None => Set.empty
-      case Some(d) => d.select(canonCol(col("file")).as("f")).distinct()
-        .collect().map(_.getString(0)).toSet // O(dv-files): names only
-    }
+    val dvLocal = dvRowsLocal(spark, dir)
+    val dvCanon: Set[String] =
+      dvLocal.map(_.iterator.map(_._1).toSet).getOrElse(
+        dvAt(spark, dir, Latest) match {
+          case None => Set.empty
+          case Some(d) => d.select(canonCol(col("file")).as("f")).distinct()
+            .collect().map(_.getString(0)).toSet // O(dv-files): names only
+        })
     val hit = aliveDf.select("file").collect().map(_.getString(0))
       .filter(f => dvCanon(canon(f))).toSeq.sorted
     if (hit.isEmpty) return PurgeReport(0, 0L)
     val v = currentVersion(spark, dir) + 1
-    val data = readMasked(spark, dir, hit, Latest)
+    val data = readMasked(spark, dir, hit, Latest,
+      dvCanonKnown = Some(dvCanon))
     val freshNames = stageRename(spark, dir, s"$dir/_graft_purge_${java.util.UUID.randomUUID.toString.take(8)}_stage",
       s"purge_v$v", data, hit.size, dims, bits)
     def rowsAt(ver: Long): DataFrame = {
@@ -1323,10 +1445,15 @@ object DataLayout {
         .map(_.unionByName(tomb, allowMissingColumns = true)).getOrElse(tomb)
     }
     commitRewriteWithRetry(spark, dir, hit, v - 1, rowsAt, v)
+    val hitCanon = hit.map(canon).toSet
     PurgeReport(filesRewritten = hit.size,
-      positionsApplied = dvLogDeduped(spark, dir).map(
-        _.where(canonCol(col("file")).isin(hit.map(canon): _*)).count())
-        .getOrElse(0L))
+      positionsApplied = dvLocal match {
+        case Some(rows) => // deduped driver-side (exact-count consumer)
+          rows.distinct.count(t => hitCanon(t._1)).toLong
+        case None => dvLogDeduped(spark, dir).map(
+          _.where(canonCol(col("file")).isin(hit.map(canon): _*)).count())
+          .getOrElse(0L)
+      })
   }
 
   final case class PurgeReport(filesRewritten: Int, positionsApplied: Long)
@@ -2063,7 +2190,8 @@ object DataLayout {
     // aggregations and set derivations below then run over local rows
     // instead of re-scanning parquet per probe); distributed + pinned
     // fallback past the size guard
-    val log = LogLocal.read(spark, manifestPath(dir), Some(snapM)) match {
+    val localLog = LogLocal.read(spark, manifestPath(dir), Some(snapM))
+    val log = localLog match {
       case Some((schema, rows)) =>
         spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
       case None => spark.read.option("mergeSchema", "true").parquet(snapM: _*)
@@ -2073,45 +2201,111 @@ object DataLayout {
       if (snapDv.isEmpty) None
       else Some(spark.read.schema("file STRING, pos BIGINT, v BIGINT")
         .parquet(snapDv: _*))
-    val logBefore = log.count()
+    val logBefore = localLog.map(_._2.size.toLong).getOrElse(log.count())
     // hwm/horizon from the SNAPSHOT (not a dir re-read): the base this
-    // vacuum writes must describe exactly the rows it read
+    // vacuum writes must describe exactly the rows it read. Driver-side
+    // on the local-log path; the DV leg parses the snapshot's commit-v
+    // names (a vacuum base only carries versions at or below the manifest
+    // hwm marker, which the manifest leg already covers — same argument
+    // as [[dvMaxVersion]]), falling back to the distributed agg on any
+    // unrecognized name.
     val hwm = {
-      val m = log.agg(max(greatest(coalesce(col("v_added"), lit(-1L)),
-        coalesce(col("v_removed"), lit(-1L))))).head()
-      val hm = if (m.isNullAt(0)) -1L else m.getLong(0)
-      val hd = dvSnap.map(_.agg(max("v")).head())
-        .filterNot(_.isNullAt(0)).map(_.getLong(0)).getOrElse(-1L)
+      val hm = localLog match {
+        case Some((s, rows)) =>
+          val iA = s.fieldNames.indexOf("v_added")
+          val iR = s.fieldNames.indexOf("v_removed")
+          if (rows.isEmpty || iA < 0 || iR < 0) -1L
+          else rows.iterator.map { r =>
+            math.max(if (r.isNullAt(iA)) -1L else r.getLong(iA),
+              if (r.isNullAt(iR)) -1L else r.getLong(iR))
+          }.max
+        case None =>
+          val m = log.agg(max(greatest(coalesce(col("v_added"), lit(-1L)),
+            coalesce(col("v_removed"), lit(-1L))))).head()
+          if (m.isNullAt(0)) -1L else m.getLong(0)
+      }
+      val dvParsed: Seq[Option[Long]] = snapDv
+        .map(new org.apache.hadoop.fs.Path(_).getName).map {
+          case n if n.startsWith("commit-v") =>
+            n.stripPrefix("commit-v").stripSuffix(".parquet").toLongOption
+          case n if n.startsWith("vacuum-") => Some(-1L)
+          case _ => None
+        }
+      val hd =
+        if (dvParsed.forall(_.isDefined)) (-1L +: dvParsed.flatten).max
+        else dvSnap.map(_.agg(max("v")).head())
+          .filterNot(_.isNullAt(0)).map(_.getLong(0)).getOrElse(-1L)
       math.max(hm, hd)
     }
-    val priorHorizon = {
-      val r = log.where(col("file") === VersionHorizonFile)
-        .agg(max("v_added")).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0)
+    val priorHorizon = localLog match {
+      case Some((s, rows)) =>
+        val iF = s.fieldNames.indexOf("file")
+        val iA = s.fieldNames.indexOf("v_added")
+        val hs = rows.iterator.filter(r => iF >= 0 && iA >= 0 &&
+          !r.isNullAt(iF) && r.getString(iF) == VersionHorizonFile &&
+          !r.isNullAt(iA)).map(_.getLong(iA))
+        if (hs.hasNext) hs.max else 0L
+      case None =>
+        val r = log.where(col("file") === VersionHorizonFile)
+          .agg(max("v_added")).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
     }
     val horizon = math.max(priorHorizon, math.max(0L, hwm - retainVersions))
-    val real = log.where(!isSentinelFile(col("file")))
     // a file is retained iff alive at SOME version in [horizon, hwm]:
     // never tombstoned, or tombstoned after the horizon. Its rows keep
     // their original v_added/v_removed so every retained version still
-    // reconstructs exactly.
-    val retainedNames = real.groupBy("file")
-      .agg(max("v_removed").as("_vr"))
-      .where(col("_vr").isNull || col("_vr") > horizon)
-      .select("file")
-    // pin before any deletion: the kept frame reads the very files it may
-    // reclaim. dropDuplicates collapses rows lingering from prior bases
-    // (grace-deferred reclaim below) — exact dups only, so legit rows
-    // (one add + one tombstone per file) are never merged.
-    val kept = pinned(real.join(retainedNames, Seq("file"), "left_semi")
-      .dropDuplicates())
-    val retainedCanon = kept.select("file").distinct()
-      .collect().map(r => canon(r.getString(0))).toSet
-    // everything the log has EVER named: a committed (now tombstoned)
-    // file deletes regardless of age; an unlogged orphan might be a
-    // concurrent append's renamed-but-uncommitted output — age-gated
-    val loggedCanon = real.select("file").distinct()
-      .collect().map(r => canon(r.getString(0))).toSet
+    // reconstructs exactly. kept collapses rows lingering from prior
+    // bases (grace-deferred reclaim below) — exact dups only, so legit
+    // rows (one add + one tombstone per file) are never merged. All of
+    // it driver-side on the local-log path; the fallback pins the
+    // distributed frame before any deletion (it reads the very files
+    // this vacuum may reclaim).
+    val (kept: DataFrame, retainedCanon: Set[String], loggedCanon: Set[String]) =
+      localLog match {
+        case Some((s, rows)) =>
+          val iF = s.fieldNames.indexOf("file")
+          val iR = s.fieldNames.indexOf("v_removed")
+          val real = rows.filter(r =>
+            !r.isNullAt(iF) && !r.getString(iF).startsWith("_graft_"))
+          val maxVr = scala.collection.mutable.Map.empty[String, Option[Long]]
+          for (r <- real) {
+            val f = r.getString(iF)
+            val vr = if (r.isNullAt(iR)) None else Some(r.getLong(iR))
+            maxVr(f) = (maxVr.get(f).flatten, vr) match {
+              case (Some(a), Some(b)) => Some(math.max(a, b))
+              case (a, b) => a.orElse(b)
+            }
+          }
+          val retained = maxVr.collect {
+            case (f, vr) if vr.forall(_ > horizon) => f
+          }.toSet
+          // value-equality dedup key: byte arrays compare by content
+          def key(r: org.apache.spark.sql.Row): Seq[Any] =
+            r.toSeq.map {
+              case b: Array[Byte] => b.toSeq
+              case x => x
+            }
+          val seen = scala.collection.mutable.Set.empty[Seq[Any]]
+          val keptRows = real.filter(r => retained(r.getString(iF)) &&
+            seen.add(key(r)))
+          (spark.createDataFrame(java.util.Arrays.asList(keptRows: _*), s),
+            keptRows.map(r => canon(r.getString(iF))).toSet,
+            real.map(r => canon(r.getString(iF))).toSet)
+        case None =>
+          val real = log.where(!isSentinelFile(col("file")))
+          val retainedNames = real.groupBy("file")
+            .agg(max("v_removed").as("_vr"))
+            .where(col("_vr").isNull || col("_vr") > horizon)
+            .select("file")
+          val keptDf = real.join(retainedNames, Seq("file"), "left_semi")
+            .dropDuplicates()
+            .localCheckpoint(true)
+          (keptDf,
+            keptDf.select("file").distinct()
+              .collect().map(r => canon(r.getString(0))).toSet,
+            real.select("file").distinct()
+              .collect().map(r => canon(r.getString(0))).toSet)
+      }
     val now = System.currentTimeMillis()
     def oldEnough(p: org.apache.hadoop.fs.Path): Boolean =
       now - fs.getFileStatus(p).getModificationTime > graceMs
@@ -2159,7 +2353,31 @@ object DataLayout {
     // lastCommittedTxn keeps refusing zombie replays forever
     val txnMarkers =
       if (!log.columns.contains("txn_app")) None
-      else Some(log.where(col("txn_app").isNotNull)
+      else localLog match {
+        case Some((s, rows)) => // driver-side: one row per app, max batch
+          val iApp = s.fieldNames.indexOf("txn_app")
+          val iB = s.fieldNames.indexOf("txn_batch")
+          val hwms = scala.collection.mutable.Map.empty[String, Long]
+          for (r <- rows if !r.isNullAt(iApp) && !r.isNullAt(iB)) {
+            val app = r.getString(iApp)
+            val b = r.getLong(iB)
+            if (hwms.getOrElse(app, Long.MinValue) < b) hwms(app) = b
+          }
+          if (hwms.isEmpty) None
+          else Some(spark.createDataFrame(
+            java.util.Arrays.asList(hwms.toSeq.sortBy(_._1).map {
+              case (app, batch) =>
+                org.apache.spark.sql.Row.fromSeq(kept.schema.fields.toSeq.map {
+                  f => f.name match {
+                    case "file" => TxnHwmFilePrefix + app
+                    case "v_added" | "v_removed" => java.lang.Long.valueOf(hwm)
+                    case "txn_app" => app
+                    case "txn_batch" => java.lang.Long.valueOf(batch)
+                    case _ => null
+                  }
+                })
+            }: _*), kept.schema))
+        case None => Some(log.where(col("txn_app").isNotNull)
         .groupBy("txn_app").agg(max("txn_batch").as("txn_batch"))
         .select(kept.schema.fields.toSeq.map { f => f.name match {
           case "file" =>
@@ -2169,6 +2387,7 @@ object DataLayout {
           case "txn_batch" => col("txn_batch").cast(f.dataType).as("txn_batch")
           case other => lit(null).cast(f.dataType).as(other)
         }}: _*))
+      }
     // COMPACT, don't overwrite: the new base lands as ONE uniquely-named
     // file first; the files it supersedes are deleted ONLY once aged past
     // the grace window (this vacuum for old ones, a later vacuum for the
@@ -2182,7 +2401,7 @@ object DataLayout {
     // history's dropDuplicates).
     writeCompactedLog(spark, manifestPath(dir),
       normalizeLog(txnMarkers.fold(kept.unionByName(markers))(t =>
-        kept.unionByName(markers).unionByName(t))))
+        kept.unionByName(markers).unionByName(t))), smallMeta = true)
     for (f <- snapM) {
       val p = new org.apache.hadoop.fs.Path(f)
       if (oldEnough(p)) fs.delete(p, false)
@@ -2214,9 +2433,10 @@ object DataLayout {
       val lp = new org.apache.hadoop.fs.Path(ld)
       if (fs.exists(lp))
         fs.listStatus(lp)
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith("_stage_") &&
+          // dirs (Spark-staged) AND single files (driver-staged writeLocal)
+          .filter(s => s.getPath.getName.startsWith("_stage_") &&
             oldEnough(s.getPath))
-          .foreach(s => fs.delete(s.getPath, true))
+          .foreach(s => fs.delete(s.getPath, s.isDirectory))
     }
     // ...and crashed REWRITE stages at the dir root (`_graft_*_stage`,
     // plus bloom-refresh swap stages): invisible to every reader

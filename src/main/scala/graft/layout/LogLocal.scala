@@ -252,4 +252,105 @@ private[layout] object LogLocal {
   }
 
   private[layout] def binaryOf(b: Binary): Array[Byte] = b.getBytes
+
+  // ---- driver-side writer (small metadata commits) ------------------------
+
+  /** Parquet type for a Spark field; None = a type this writer does not
+    * handle (caller falls back to a Spark write). Mirrors [[sparkType]]. */
+  private def parquetField(f: StructField): Option[Type] = {
+    import PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.Types
+    val b: Option[Types.PrimitiveBuilder[PrimitiveType]] = f.dataType match {
+      case BooleanType => Some(Types.optional(BOOLEAN))
+      case IntegerType => Some(Types.optional(INT32))
+      case LongType => Some(Types.optional(INT64))
+      case FloatType => Some(Types.optional(FLOAT))
+      case DoubleType => Some(Types.optional(DOUBLE))
+      case StringType => Some(Types.optional(BINARY)
+        .as(LogicalTypeAnnotation.stringType()))
+      case BinaryType => Some(Types.optional(BINARY))
+      case DateType => Some(Types.optional(INT32)
+        .as(LogicalTypeAnnotation.dateType()))
+      case TimestampType => Some(Types.optional(INT64)
+        .as(LogicalTypeAnnotation.timestampType(true,
+          LogicalTypeAnnotation.TimeUnit.MICROS)))
+      case d: DecimalType => Some(Types.optional(
+          PrimitiveType.PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY).length(16)
+        .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision)))
+      case _ => None
+    }
+    b.map(_.named(f.name))
+  }
+
+  /** 16-byte two's-complement big-endian encoding of a decimal's unscaled
+    * value — the FLBA(16) layout Spark itself writes for DecimalType(38). */
+  private def decimalBytes(d: java.math.BigDecimal, scale: Int): Array[Byte] = {
+    val unscaled = d.setScale(scale).unscaledValue()
+    val raw = unscaled.toByteArray
+    require(raw.length <= 16, s"decimal too wide for FLBA(16): $d")
+    val out = new Array[Byte](16)
+    val sign: Byte = if (unscaled.signum() < 0) -1 else 0
+    java.util.Arrays.fill(out, 0, 16 - raw.length, sign)
+    System.arraycopy(raw, 0, out, 16 - raw.length, raw.length)
+    out
+  }
+
+  /** Write `rows` as ONE parquet file at `dest`, entirely on the driver —
+    * the metadata-commit twin of [[read]]. A manifest commit is O(files)
+    * stats rows; pushing it through a Spark write costs a full
+    * plan/schedule/FileFormatWriter/commit-protocol cycle per version.
+    * Returns false (writing nothing) when the schema holds a type outside
+    * the supported matrix — the caller keeps the Spark write. */
+  def writeLocal(spark: SparkSession, schema: StructType, rows: Seq[Row],
+      dest: Path): Boolean = {
+    val fields: Array[Option[Type]] = schema.fields.map(parquetField)
+    if (fields.exists(_.isEmpty)) return false
+    val msg = new MessageType("spark_schema",
+      java.util.Arrays.asList(fields.map(_.get): _*))
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+        .fromPath(dest, conf))
+      .withConf(conf)
+      .withType(msg)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    val factory = new org.apache.parquet.example.data.simple.SimpleGroupFactory(msg)
+    try {
+      for (r <- rows) {
+        val g = factory.newGroup()
+        var i = 0
+        while (i < schema.fields.length) {
+          if (!r.isNullAt(i)) {
+            val name = schema.fields(i).name
+            schema.fields(i).dataType match {
+              case BooleanType => g.append(name, r.getBoolean(i))
+              case IntegerType => g.append(name, r.getInt(i))
+              case LongType => g.append(name, r.getLong(i))
+              case FloatType => g.append(name, r.getFloat(i))
+              case DoubleType => g.append(name, r.getDouble(i))
+              case StringType => g.append(name, r.getString(i))
+              case BinaryType => g.append(name,
+                Binary.fromConstantByteArray(r.getAs[Array[Byte]](i)))
+              case DateType => g.append(name,
+                r.getAs[java.sql.Date](i).toLocalDate.toEpochDay.toInt)
+              case TimestampType =>
+                val t = r.getAs[java.sql.Timestamp](i)
+                g.append(name,
+                  Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L)
+              case d: DecimalType => g.append(name,
+                Binary.fromConstantByteArray(
+                  decimalBytes(r.getAs[java.math.BigDecimal](i), d.scale)))
+              case other => throw new IllegalStateException(s"unreachable: $other")
+            }
+          }
+          i += 1
+        }
+        writer.write(g)
+      }
+    } finally writer.close()
+    true
+  }
 }

@@ -115,13 +115,18 @@ object Maintenance {
       .filter(_.getLong(3) >= rowsPerFile)
       .map(r => (r.getLong(1), r.getLong(2))).sortBy(identity))
     val aliveCanon = alive.map(r => DataLayout.canon(r.getString(0))).toSet
-    val (dvFiles, dvRows) = DataLayout.dvLogDeduped(spark, dir) match {
-      case None => (0, 0L)
-      case Some(d) =>
-        val byFile = d.groupBy("file").agg(count(lit(1)).as("n")).collect()
-          .map(r => (DataLayout.canon(r.getString(0)), r.getLong(1)))
-          .filter(t => aliveCanon(t._1))
-        (byFile.length, byFile.map(_._2).sum)
+    val (dvFiles, dvRows) = DataLayout.dvFileCountsLocal(spark, dir) match {
+      case Some(counts) => // driver-side (size-guarded), zero jobs
+        val hit = counts.toSeq.filter(t => aliveCanon(t._1))
+        (hit.length, hit.map(_._2).sum)
+      case None => DataLayout.dvLogDeduped(spark, dir) match {
+        case None => (0, 0L)
+        case Some(d) =>
+          val byFile = d.groupBy("file").agg(count(lit(1)).as("n")).collect()
+            .map(r => (DataLayout.canon(r.getString(0)), r.getLong(1)))
+            .filter(t => aliveCanon(t._1))
+          (byFile.length, byFile.map(_._2).sum)
+      }
     }
     Debt(alive.length, rows, small, clusterFiles, clusters, dvFiles, dvRows,
       reclaimableCount(spark, dir, aliveCanon, retainVersions), fullOverlap)
@@ -145,12 +150,18 @@ object Maintenance {
     // counting those would re-fire the trigger forever after one vacuum
     val onDisk = DataLayout.listDataFiles(spark, dir)
       .map(DataLayout.canon).toSet
-    DataLayout.manifestLog(spark, dir)
-      .where(!col("file").startsWith("_graft_")) // all synthetic sentinel rows
-      .groupBy("file").agg(max("v_removed").as("_vr"))
-      .where(col("_vr").isNotNull && col("_vr") <= horizon)
-      .select("file").collect()
-      .map(r => DataLayout.canon(r.getString(0)))
+    val tombstonedAtOrBelow: Seq[String] =
+      DataLayout.fileMaxRemovedLocal(spark, dir) match {
+        case Some(m) => // driver-side (size-guarded), zero jobs
+          m.toSeq.collect { case (f, vr) if vr <= horizon => f }
+        case None => DataLayout.manifestLog(spark, dir)
+          .where(!col("file").startsWith("_graft_")) // synthetic sentinels
+          .groupBy("file").agg(max("v_removed").as("_vr"))
+          .where(col("_vr").isNotNull && col("_vr") <= horizon)
+          .select("file").collect().map(_.getString(0)).toSeq
+      }
+    tombstonedAtOrBelow
+      .map(DataLayout.canon)
       .count(f => !aliveCanon(f) && onDisk(f))
   }
 
