@@ -83,21 +83,31 @@ class OccSpec extends AnyFunSuite {
     assert(DataLayout.readLayout(spark, dir).count() == 101L)
   }
 
-  test("DV race end-to-end: the losing delete aborts, nothing is masked") {
+  test("DV race end-to-end: a visible foreign commit serializes the " +
+      "delete after it; a true version collision aborts unmasked") {
     val dir = fresh(1 to 100)
-    // a concurrent DV commit for v1 (valid DV schema; its v value 0 keeps
-    // currentVersion at 0 so the deleter derives v = 1; its bogus file
-    // name masks nothing)
+    // a foreign DV commit for v1, ALREADY VISIBLE when the delete derives
+    // its version (bogus file name: masks nothing). currentVersion reads
+    // versions from commit FILE NAMES, so the deleter sees v1 and lands
+    // at v2 — the delete serializes AFTER the observed commit instead of
+    // losing to it (the pre-r19 content-derived probe read this planted
+    // name/content mismatch as still-at-v0 and collided; writers never
+    // produce that mismatch). The UNOBSERVED race — a commit landing
+    // between derive and rename — is exercised with real threads in
+    // "concurrent DV deletes" below; here the put-if-absent itself is
+    // pinned directly.
     DataLayout.commitLogFile(s"$dir/${DataLayout.DvDir}",
       Seq(("bogus", 0L, 0L)).toDF("file", "pos", "v"), 1L)
     intercept[java.util.ConcurrentModificationException] {
-      DataLayout.deleteVectors(spark, dir, Seq(("k", 1L, 10L)))
+      // the rename-level collision: a second commit claiming v1 loses
+      DataLayout.commitLogFile(s"$dir/${DataLayout.DvDir}",
+        Seq(("bogus2", 0L, 0L)).toDF("file", "pos", "v"), 1L)
     }
+    // the losing commit left nothing behind: rows unmasked
     assert(DataLayout.readLayout(spark, dir).count() == 100L)
-    // clear the foreign commit; the retried delete proceeds normally
-    fs.delete(p(s"$dir/${DataLayout.DvDir}/commit-v1.parquet"), false)
     val r = DataLayout.deleteVectors(spark, dir, Seq(("k", 1L, 10L)))
     assert(r.rowsDeleted == 10L)
+    assert(DataLayout.currentVersion(spark, dir) == 2L) // after v1, not at it
     assert(DataLayout.readLayout(spark, dir).count() == 90L)
   }
 
