@@ -610,13 +610,27 @@ object DataLayout {
 
   private def stageRename(spark: SparkSession, dir: String, stage: String,
       prefix: String, staged: DataFrame, nOut: Int, dims: Seq[Column],
-      bits: Int): Seq[String] = {
+      bits: Int): Seq[String] =
+    stageRenamePreclustered(spark, dir, stage, prefix,
+      zCluster(staged, nOut, dims, bits))
+
+  /** `staged` z-clustered into `nOut` in-partition-sorted partitions — the
+    * shape every rewrite writes. Exposed separately so a multi-cluster
+    * rewrite (compaction) can union several independently-clustered
+    * frames and land them in ONE write action (union preserves child
+    * partitioning — each branch's partitions become that branch's files). */
+  private def zCluster(staged: DataFrame, nOut: Int, dims: Seq[Column],
+      bits: Int): DataFrame = {
     val z = "_graft_z"
-    val fs = fsOf(spark, dir)
-    def clustered = staged.withColumn(z, zOrderKey(dims, bits))
+    staged.withColumn(z, zOrderKey(dims, bits))
       .repartitionByRange(nOut, col(z))
       .sortWithinPartitions(z)
       .drop(z)
+  }
+
+  private def stageRenamePreclustered(spark: SparkSession, dir: String,
+      stage: String, prefix: String, clustered: DataFrame): Seq[String] = {
+    val fs = fsOf(spark, dir)
     // a direct-mode layout's rewrites skip the rename leg entirely: the
     // clustered output lands STRAIGHT in an exclusively-owned
     // `rewrite-{prefix}-{uuid}` subdir (same contract as appendZOrdered's
@@ -1924,6 +1938,12 @@ object DataLayout {
     if (toRewrite.isEmpty)
       return CompactReport(0, 0, allAlive.length)
     val v = currentVersion(spark, dir) + 1
+    // one masked read + range write PER cluster — evaluated and kept:
+    // fusing every cluster into one global range write was measured, but
+    // a sampled boundary spanning the z-GAP between clusters widens that
+    // file's envelope over key space where non-cluster files sit,
+    // manufacturing fresh overlap debt each pass; per-cluster writes keep
+    // output envelopes exactly inside their cluster's range
     var rewrittenFiles = 0
     val freshNames = scala.collection.mutable.ArrayBuffer.empty[String]
     for ((cluster, gen) <- toRewrite.zipWithIndex) {
@@ -1993,6 +2013,9 @@ object DataLayout {
     if (bins.isEmpty)
       return CompactReport(0, 0, allAlive.length)
     val v = currentVersion(spark, dir) + 1
+    // per-bin writes, same reasoning as compactZOrdered's per-cluster
+    // loop (a fused global write can span bin gaps and manufacture
+    // overlap debt against in-gap files)
     var rewrittenFiles = 0
     val freshNames = scala.collection.mutable.ArrayBuffer.empty[String]
     for ((b, gen) <- bins.zipWithIndex) {
@@ -3756,11 +3779,16 @@ object DataLayout {
     // evaluation and write different rows on another
     val d = delta.localCheckpoint(true)
     Constraints.enforce(spark, dir, d, "mergeInto") // upserts only; deletes add no rows
-    val deltaKeys = d.select(keyCols.map(col): _*).distinct()
-      .localCheckpoint(true)
-    val deltaCount = d.count()
-    require(deltaKeys.count() == deltaCount,
+    // ONE pass derives the row count, the distinct keys and the
+    // duplicate-key verdict (was: a distinct checkpoint + two counts)
+    val keyCounts = d.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_graft_kc")).localCheckpoint(true)
+    val kstats = keyCounts
+      .agg(sum("_graft_kc"), max("_graft_kc")).head()
+    val deltaCount = if (kstats.isNullAt(0)) 0L else kstats.getLong(0)
+    require(kstats.isNullAt(1) || kstats.getLong(1) == 1L,
       "mergeInto delta has duplicate keys — no defined winner; dedupe first")
+    val deltaKeys = keyCounts.select(keyCols.map(col): _*)
     val delKeys = deleteKeys.map(_.select(keyCols.map(col): _*).distinct()
       .localCheckpoint(true))
     delKeys.foreach(dk => require(
@@ -3798,11 +3826,25 @@ object DataLayout {
         // masked: a soft-deleted row must not resurrect as a survivor or
         // count as a match; the rewrite purges the hit files' DVs for good
         val hitData = readMasked(spark, dir, hit, Latest).localCheckpoint(false)
-        val matched = hitData.join(deltaKeys, keyCols, "left_semi").count()
-        val mKeys = deltaKeys.join(hitData, keyCols, "left_semi").count()
-        val nDel = delKeys.fold(0L)(dk =>
-          hitData.join(dk, keyCols, "left_semi").count())
-        (hitData.join(allKeys, keyCols, "left_anti"), matched, mKeys, nDel)
+        // ONE action for all three report counts (was three semi-join
+        // counts over the same hit rows): per-key hit counts inner-joined
+        // to the upsert/delete key sets tagged by kind — matched rows =
+        // sum of hit counts on upsert keys, matched KEYS = joined upsert
+        // keys (keyCounts is one row per key), deleted = sum on delete
+        // keys. Null keys never join, same as the semi joins they replace.
+        val del = "_graft_is_del"
+        val tagged = deltaKeys.withColumn(del, lit(false))
+          .unionByName(delKeys.map(_.withColumn(del, lit(true)))
+            .getOrElse(deltaKeys.withColumn(del, lit(true)).where(lit(false))))
+        val hc = "_graft_hc"
+        val st = hitData.groupBy(keyCols.map(col): _*)
+          .agg(count(lit(1)).as(hc))
+          .join(tagged, keyCols, "inner")
+          .agg(sum(when(!col(del), col(hc))),
+            count_if(!col(del)),
+            sum(when(col(del), col(hc)))).head()
+        def z(i: Int) = if (st.isNullAt(i)) 0L else st.getLong(i)
+        (hitData.join(allKeys, keyCols, "left_anti"), z(0), z(1), z(2))
       }
     val merged = survivors.select(layoutCols.map(col): _*)
       .unionByName(d.select(layoutCols.map(col): _*))

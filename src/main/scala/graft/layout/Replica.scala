@@ -110,7 +110,10 @@ object Replica {
     if (cur == d.srcVersion)
       return SyncReport(cur, cur, 0L, 0L, 0L, 0)
 
-    val dataCols = DataLayout.readLayout(spark, dstDir).columns.toSeq
+    // the recorded schema, not readLayout: column names are all that is
+    // needed, and a readLayout frame construction costs a manifest
+    // collect plus a DV probe
+    val dataCols = DataLayout.schemaFor(spark, dstDir).fieldNames.toSeq
     val compareCols = dataCols.filterNot(d.keyCols.contains)
     val feed = DataLayout.changeFeed(spark, d.srcDir, d.srcVersion, cur,
       d.keyCols, compareCols).localCheckpoint(true)
