@@ -2707,11 +2707,15 @@ object DataLayout {
     // stays ∝ churn (files a delete touched), never table size. One
     // O(dv-files) probe feeds the in-range set, the ever-DV'd set (the
     // fingerprint veto) and the masked reads' file partitioning below.
-    val dvRows: Array[(String, Long)] = dvLog(spark, dir) match {
-      case None => Array.empty
-      case Some(d) => d.select(canonCol(col("file")).as("f"), col("v"))
-        .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
-    }
+    val dvRows: Array[(String, Long)] =
+      dvRowsLocal(spark, dir) match {
+        case Some(rs) => rs.iterator.map(t => (t._1, t._3)).toSet.toArray
+        case None => dvLog(spark, dir) match {
+          case None => Array.empty
+          case Some(d) => d.select(canonCol(col("file")).as("f"), col("v"))
+            .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
+        }
+      }
     val dvdEver: Set[String] = dvRows.map(_._1).toSet
     val dvInRange: Set[String] =
       dvRows.collect { case (f, v) if v > lo && v <= hi => f }.toSet
@@ -3432,31 +3436,68 @@ object DataLayout {
     // catch-up shape (a streaming sink's backlog) plans O(runs), not
     // O(versions). Rewrite/DV steps keep the per-step JoinDiff at churn
     // cost.
-    val mLog = manifestLog(spark, dir)
-    val hasFp = mLog.columns.contains("content_fp")
     // per file (sentinels included — they carry the horizon marker and
     // version watermarks): lifetime [va, vr) plus the content
     // fingerprint + row count (null-safe max collapses the added row,
     // its tombstone twin and any vacuum-lingering duplicates — all carry
-    // identical values)
-    val allRows = mLog
-      .groupBy("file")
-      .agg(max("v_added").as("va"), max("v_removed").as("vr"),
-        (if (hasFp) max(col("content_fp").cast("string"))
-         else lit(null).cast("string")).as("fp"),
-        max("n_rows").as("nr"))
-      .collect().map(r => (r.getString(0),
-        if (r.isNullAt(1)) -1L else r.getLong(1),
-        if (r.isNullAt(2)) Long.MaxValue else r.getLong(2),
-        if (r.isNullAt(3)) null else r.getString(3),
-        if (r.isNullAt(4)) -1L else r.getLong(4)))
+    // identical values). Driver-side on the local-log path (jobless);
+    // the distributed groupBy only past the size guard.
+    val allRows: Array[(String, Long, Long, String, Long)] =
+      manifestRowsLocal(spark, dir).filter { case (s, _) =>
+        Seq("file", "v_added", "v_removed").forall(s.fieldNames.contains)
+      } match {
+        case Some((s, rows)) =>
+          val iF = s.fieldNames.indexOf("file")
+          val iA = s.fieldNames.indexOf("v_added")
+          val iR = s.fieldNames.indexOf("v_removed")
+          val iFp = s.fieldNames.indexOf("content_fp")
+          val iNr = s.fieldNames.indexOf("n_rows")
+          val acc = scala.collection.mutable.LinkedHashMap
+            .empty[String, (Any, Any, Any, Any)]
+          def g(r: org.apache.spark.sql.Row, i: Int): Any =
+            if (i < 0 || r.isNullAt(i)) null else r.get(i)
+          for (r <- rows) {
+            val f = r.getString(iF)
+            val p = acc.getOrElse(f, (null, null, null, null))
+            acc(f) = (LogLocal.maxVal(p._1, g(r, iA)),
+              LogLocal.maxVal(p._2, g(r, iR)),
+              LogLocal.maxVal(p._3, g(r, iFp)),
+              LogLocal.maxVal(p._4, g(r, iNr)))
+          }
+          acc.iterator.map { case (f, (va, vr, fp, nr)) =>
+            (f,
+              if (va == null) -1L else va.asInstanceOf[Long],
+              if (vr == null) Long.MaxValue else vr.asInstanceOf[Long],
+              if (fp == null) null
+              else fp.asInstanceOf[java.math.BigDecimal].toPlainString,
+              if (nr == null) -1L else nr.asInstanceOf[Long])
+          }.toArray
+        case None =>
+          val mLog = manifestLog(spark, dir)
+          val hasFp = mLog.columns.contains("content_fp")
+          mLog.groupBy("file")
+            .agg(max("v_added").as("va"), max("v_removed").as("vr"),
+              (if (hasFp) max(col("content_fp").cast("string"))
+               else lit(null).cast("string")).as("fp"),
+              max("n_rows").as("nr"))
+            .collect().map(r => (r.getString(0),
+              if (r.isNullAt(1)) -1L else r.getLong(1),
+              if (r.isNullAt(2)) Long.MaxValue else r.getLong(2),
+              if (r.isNullAt(3)) null else r.getString(3),
+              if (r.isNullAt(4)) -1L else r.getLong(4)))
+      }
     val lives = allRows.filterNot(_._1.startsWith("_graft_"))
-    // ONE O(dv-files) dvLog probe feeds everything DV-shaped below
-    val dvRows: Array[(String, Long)] = dvLog(spark, dir) match {
-      case None => Array.empty
-      case Some(d) => d.select(canonCol(col("file")).as("f"), col("v"))
-        .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
-    }
+    // ONE O(dv-files) dvLog probe feeds everything DV-shaped below —
+    // driver-side (size-guarded) when the log is small
+    val dvRows: Array[(String, Long)] =
+      dvRowsLocal(spark, dir) match {
+        case Some(rs) => rs.iterator.map(t => (t._1, t._3)).toSet.toArray
+        case None => dvLog(spark, dir) match {
+          case None => Array.empty
+          case Some(d) => d.select(canonCol(col("file")).as("f"), col("v"))
+            .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
+        }
+      }
     // guards, from the collects: current version (manifest + DV logs)
     // and the vacuum horizon marker — a feed below the horizon would
     // reconstruct from vacuumed files (negative fromVersion is the
