@@ -2056,7 +2056,8 @@ object DataLayout {
     require(ranges.nonEmpty, "deleteWhere needs at least one (col, lo, hi) range")
     val aliveDf = pinned(aliveManifest(spark, dir))
     requireStats(aliveDf, ranges)
-    val aliveCount = aliveDf.count().toInt
+    val aliveFiles = aliveDf.select("file").collect() // jobless when local
+    val aliveCount = aliveFiles.length
     val hitRaw = aliveDf.where(envelopeCond(aliveDf.columns.toSet, ranges))
       .select("file")
       .collect().map(_.getString(0)).toSeq // O(files): paths only
@@ -2065,15 +2066,22 @@ object DataLayout {
     // masked: already-soft-deleted rows neither count as deleted here nor
     // survive into the rewrite (the rewrite purges their DVs for good)
     val hitData = readMasked(spark, dir, hitRaw, Latest)
-    val deleted = hitData.where(rowPred).count()
+    // the deleted-row count rides the rewrite itself as an observed
+    // metric (placed BEFORE the complement filter, so the one scan that
+    // writes the survivors also counts the casualties) — was a separate
+    // full pass over the hit files
+    val obs = new org.apache.spark.sql.Observation()
     // null-safe complement: a NULL predicate (null in a range column) must
     // SURVIVE the delete, not vanish with it
-    val survivors = hitData.where(!coalesce(rowPred, lit(false)))
+    val survivors = hitData
+      .observe(obs, count(when(rowPred, 1)).as("deleted"))
+      .where(!coalesce(rowPred, lit(false)))
     val v = currentVersion(spark, dir) + 1
     // keep survivors clustered: one range exchange over ONLY the hit files'
     // rows, one output file per original hit file (sizes stay comparable)
     val freshNames = stageRename(spark, dir, s"$dir/_graft_delete_${java.util.UUID.randomUUID.toString.take(8)}_stage",
       s"delete_v$v", survivors, math.max(1, hitRaw.size), dims, bits)
+    val deleted = obs.get("deleted").asInstanceOf[Long]
     val tomb = tombstones(aliveDf, hitRaw, v)
     appendLog(dir, freshStatsFor(spark, freshNames, dims, bits, statsCols, v)
       .map(_.unionByName(tomb, allowMissingColumns = true)).getOrElse(tomb), v)
@@ -2129,8 +2137,12 @@ object DataLayout {
     // pass 2: rewrite ONLY the hit files; per column, matched rows take
     // the assignment, everything else passes through
     val hitData = readMasked(spark, dir, hit, Latest)
-    val updatedCount = hitData.where(cond).count()
-    val rewritten = hitData.select(hitData.columns.toSeq.map { c =>
+    // the updated-row count rides the rewrite as an observed metric —
+    // was a separate full pass over the hit files
+    val obs = new org.apache.spark.sql.Observation()
+    val rewritten = hitData
+      .observe(obs, count(when(cond, 1)).as("updated"))
+      .select(hitData.columns.toSeq.map { c =>
       assignments.get(c) match {
         case Some(e) => when(coalesce(cond, lit(false)), e)
           .otherwise(col(c)).as(c)
@@ -2140,6 +2152,7 @@ object DataLayout {
     val freshNames = stageRename(spark, dir,
       s"$dir/_graft_update_${java.util.UUID.randomUUID.toString.take(8)}_stage",
       s"update_v$v", rewritten, hit.size, dims, bits)
+    val updatedCount = obs.get("updated").asInstanceOf[Long]
     val tomb = tombstones(aliveDf, hit, v)
     appendLog(dir, freshStatsFor(spark, freshNames, dims, bits, statsCols, v)
       .map(_.unionByName(tomb, allowMissingColumns = true)).getOrElse(tomb), v)
