@@ -68,13 +68,38 @@ object GateProbe {
       }
     }
 
+    // DRIVER-SIDE wall attribution: jobs + SQL spans explain only part of a
+    // layout gate's wall (the rest is driver work — log decode, footer
+    // reads, renames, planning). A 5 ms sampler over the gate thread names
+    // it: rollup by the deepest repo frame (graft.*), falling back to the
+    // top spark/hadoop/parquet frame.
+    val samples = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    @volatile var sampling = false
+    val gateThread = Thread.currentThread()
+    val sampler = new Thread(() => {
+      while (true) {
+        if (sampling) {
+          val st = gateThread.getStackTrace
+          val frame = st.find(e => e.getClassName.startsWith("graft."))
+            .orElse(st.headOption)
+            .map(e => s"${e.getClassName.replaceAll("^.*graft", "graft")}.${e.getMethodName}:${e.getLineNumber}")
+            .getOrElse("?")
+          samples.merge(frame, 1, (a, b) => a + b)
+        }
+        Thread.sleep(5)
+      }
+    })
+    sampler.setDaemon(true)
+    sampler.start()
+
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt
     for (rep <- 1 to reps) {
-      done.clear(); execSpans.clear()
-      if (rep == reps) spark.sparkContext.addSparkListener(listener)
+      done.clear(); execSpans.clear(); samples.clear()
+      if (rep == reps) { spark.sparkContext.addSparkListener(listener); sampling = true }
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
+      sampling = false
       println(f"[gateprobe] $gate rep $rep wall $wall%.3f s")
       if (rep == reps) {
         Thread.sleep(500) // let the listener bus drain
@@ -103,6 +128,13 @@ object GateProbe {
           .foreach { case (s, n, d) =>
             println(f"[gateprobe]   $s%7.3f s  n=$n%-3d $d")
           }
+        val sm = samples.entrySet().asScala.toSeq
+          .map(e => (e.getValue.toInt, e.getKey)).sortBy(-_._1)
+        val tot = sm.map(_._1).sum.max(1)
+        println(f"[gateprobe] driver-thread samples (5 ms): $tot (~${tot * 0.005}%.2f s) — top frames:")
+        sm.take(30).foreach { case (n, f) =>
+          println(f"[gateprobe]   ${n * 0.005}%7.2f s  ${n * 100.0 / tot}%5.1f%%  $f")
+        }
       }
     }
     spark.stop()

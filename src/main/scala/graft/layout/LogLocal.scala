@@ -41,6 +41,30 @@ private[layout] object LogLocal {
   private val maxLocalBytes: Long =
     sys.env.getOrElse("SPARK_GRAFT_LOCAL_LOG_MAX_MB", "64").toLong * (1L << 20)
 
+  /** Decoded-log cache. A layout mutation pays 3–6 metadata probes and a
+    * composite gate pays dozens, each re-listing AND re-decoding the same
+    * unchanged log files — measured at ~25% of q_layout_maintain's wall
+    * (GateProbe driver sampler). The KEY is the dir plus every visible
+    * part file's (name, length, mtime): any commit adds a new file name,
+    * any vacuum/re-create changes the set — the same identity Spark's own
+    * file-listing cache and Delta's log replay trust. This caches the
+    * DECODE of immutable metadata files only; no query result or data read
+    * is ever served from it. Bounded LRU (128 log dirs — a few MB at the
+    * 64 MB/log guard's worst case, typically KBs). */
+  private val cacheMax = 128
+  private val cache =
+    new java.util.LinkedHashMap[String, (StructType, Vector[Row])](
+      cacheMax, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (StructType, Vector[Row])]): Boolean =
+        size() > cacheMax
+    }
+
+  private def cacheKey(dir: String, statuses: Seq[FileStatus]): String =
+    statuses.map(s =>
+        s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString(dir + "\u0000", "|", "")
+
   /** List the log dir's visible parquet part files — same selection as
     * Spark's file index (hidden `_`/`.` prefixes skipped). None when the
     * dir does not exist. */
@@ -169,6 +193,11 @@ private[layout] object LogLocal {
         }
       }
       if (statuses.map(_.getLen).sum > maxLocalBytes) return None
+      val key = cacheKey(dir, statuses)
+      cache.synchronized(Option(cache.get(key))) match {
+        case Some(hit) => return Some(hit)
+        case None => ()
+      }
       // merged schema: field order = first appearance across files
       val fields = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
       val messages = scala.collection.mutable.ArrayBuffer.empty[(Path, MessageType)]
@@ -211,7 +240,9 @@ private[layout] object LogLocal {
           }
         } finally reader.close()
       }
-      Some((schema, rows.result()))
+      val out = (schema, rows.result())
+      cache.synchronized(cache.put(key, out))
+      Some(out)
     } catch {
       // a file vanishing mid-read (vacuum race) or any decode surprise:
       // decline; the distributed path owns the hard cases
