@@ -576,21 +576,16 @@ object DataLayout {
 
   /** The stage-write → rename-into-layout commit path every file REWRITE
     * (compaction, targeted delete, merge) shares: z-cluster `staged` into
-    * `nOut` files under a hidden stage dir, then move the NON-EMPTY
-    * results into `dir` under `prefix`. Spark's writer emits one
-    * schema-only part file for an empty frame; such a file would never
-    * get a stats row, so renaming it would leave an unmanifested orphan
-    * visible to plain `spark.read.parquet(dir)` readers — empties are
-    * detected by parquet FOOTER row count (metadata-only, no data read)
-    * and deleted with the stage dir instead. Returns the final names. */
-  /** Parquet footer row count — metadata-only, no data read. */
-  private def footerRows(spark: SparkSession, p: String): Long = {
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile
-      .fromPath(new org.apache.hadoop.fs.Path(p),
-        spark.sparkContext.hadoopConfiguration)
-    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try r.getRecordCount finally r.close()
-  }
+    * `nOut` files under a hidden stage dir, run the manifest's stats pass
+    * over the STAGE files, then move the NON-EMPTY results into `dir`
+    * under `prefix`. Spark's writer emits one schema-only part file for
+    * an empty frame; such a file would never get a stats row, so renaming
+    * it would leave an unmanifested orphan visible to plain
+    * `spark.read.parquet(dir)` readers — empties are exactly the staged
+    * files ABSENT from the stats result and are deleted with the stage
+    * dir instead (the per-file parquet-footer probes this replaced cost
+    * one metadata round-trip per file). Returns the final names WITH
+    * their driver-local stats rows ([[FreshStats]]). */
 
   /** A direct-commit data SUBDIR under the layout root: per-append
     * `append-v{v}-{uuid}` and per-rewrite `rewrite-{op}_v{v}-{uuid}` dirs
@@ -608,11 +603,53 @@ object DataLayout {
     scala.util.Try(LayoutConfig.read(spark, dir)).toOption.flatten
       .exists(_.direct)
 
+  /** Stats rows for freshly-written files, computed ONCE over the
+    * stage/direct paths — in the same pass that decides which part files
+    * are empty — and carried as driver-local rows with the `file` strings
+    * already patched to the committed paths. `at(v)` stamps the version
+    * as a LocalRelation: an OCC retry used to re-run the whole stats job
+    * per attempt, and the manifest commit's collect is now jobless. */
+  private[layout] final case class FreshStats(names: Seq[String],
+      schema: org.apache.spark.sql.types.StructType,
+      rows: Seq[org.apache.spark.sql.Row]) {
+    def size: Int = names.size
+    def isEmpty: Boolean = rows.isEmpty
+    def at(spark: SparkSession, v: Long): Option[DataFrame] =
+      if (rows.isEmpty) None
+      else {
+        val out = schema
+          .add("v_added", org.apache.spark.sql.types.LongType)
+          .add("v_removed", org.apache.spark.sql.types.LongType)
+        Some(spark.createDataFrame(java.util.Arrays.asList(rows.map(r =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ v :+ null)): _*), out))
+      }
+    def ++(other: FreshStats): FreshStats =
+      FreshStats(names ++ other.names,
+        if (schema != null) schema else other.schema, rows ++ other.rows)
+  }
+  private[layout] val NoFresh = FreshStats(Nil, null, Nil)
+
+  /** One [[fileStats]] pass over `paths`, collected driver-side and keyed
+    * by canonical path. Files ABSENT from the result hold zero rows —
+    * the same emptiness verdict the per-file parquet-footer reads used
+    * to give, now falling out of the stats job the commit needs anyway. */
+  private def collectStats(spark: SparkSession, paths: Seq[String],
+      dims: Seq[Column], bits: Int, statsCols: Seq[String])
+      : (org.apache.spark.sql.types.StructType,
+        Map[String, org.apache.spark.sql.Row]) =
+    if (paths.isEmpty) (null, Map.empty)
+    else {
+      val df = fileStats(spark.read.parquet(paths: _*), dims, bits, statsCols)
+      val iFile = df.schema.fieldIndex("file")
+      (df.schema,
+        df.collect().map(r => canon(r.getString(iFile)) -> r).toMap)
+    }
+
   private def stageRename(spark: SparkSession, dir: String, stage: String,
       prefix: String, staged: DataFrame, nOut: Int, dims: Seq[Column],
-      bits: Int): Seq[String] =
+      bits: Int, statsCols: Seq[String]): FreshStats =
     stageRenamePreclustered(spark, dir, stage, prefix,
-      zCluster(staged, nOut, dims, bits))
+      zCluster(staged, nOut, dims, bits), dims, bits, statsCols)
 
   /** `staged` z-clustered into `nOut` in-partition-sorted partitions — the
     * shape every rewrite writes. Exposed separately so a multi-cluster
@@ -629,7 +666,8 @@ object DataLayout {
   }
 
   private def stageRenamePreclustered(spark: SparkSession, dir: String,
-      stage: String, prefix: String, clustered: DataFrame): Seq[String] = {
+      stage: String, prefix: String, clustered: DataFrame, dims: Seq[Column],
+      bits: Int, statsCols: Seq[String]): FreshStats = {
     val fs = fsOf(spark, dir)
     // a direct-mode layout's rewrites skip the rename leg entirely: the
     // clustered output lands STRAIGHT in an exclusively-owned
@@ -640,34 +678,49 @@ object DataLayout {
     if (configDirect(spark, dir)) {
       val sub = s"$dir/rewrite-$prefix-${java.util.UUID.randomUUID.toString.take(8)}"
       clustered.write.mode("overwrite").parquet(sub)
-      val (keep, empty) = listDataFiles(spark, sub)
-        .partition(f => footerRows(spark, f) > 0L)
+      val listed = listDataFiles(spark, sub)
+      val (schema, byCanon) = collectStats(spark, listed, dims, bits, statsCols)
+      // empty part files (one per empty write partition) have no stats
+      // row — delete them instead of committing unmanifested orphans
+      val (keep, empty) = listed.partition(f => byCanon.contains(canon(f)))
       empty.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
       if (keep.isEmpty) fs.delete(new org.apache.hadoop.fs.Path(sub), true)
-      return keep
+      return FreshStats(keep, schema, keep.map(f => byCanon(canon(f))))
     }
     clustered.write.mode("overwrite").parquet(stage)
-    val fresh = scala.collection.mutable.ArrayBuffer.empty[String]
-    for ((sf, i) <- listDataFiles(spark, stage).zipWithIndex
-         if footerRows(spark, sf) > 0L) {
+    // ONE stats pass over the stage files decides emptiness AND yields the
+    // manifest rows (the rename only moves bytes within the layout, so the
+    // stats are the committed files' stats with the path patched) — the
+    // per-file footer reads and the post-rename re-read job are gone
+    val listed = listDataFiles(spark, stage)
+    val (schema, byCanon) = collectStats(spark, listed, dims, bits, statsCols)
+    val iFile = if (schema == null) -1 else schema.fieldIndex("file")
+    require(schema == null || iFile == 0,
+      s"fileStats must key by 'file' first: $schema")
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    val rows = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    for ((sf, i) <- listed.filter(f => byCanon.contains(canon(f))).zipWithIndex) {
       val src = new org.apache.hadoop.fs.Path(sf)
-      val dst = new org.apache.hadoop.fs.Path(dir, s"${prefix}_${i}_${src.getName}")
+      val finalName = s"${prefix}_${i}_${src.getName}"
+      val dst = new org.apache.hadoop.fs.Path(dir, finalName)
       require(fs.rename(src, dst), s"rename failed: $src -> $dst")
-      fresh += dst.toString
+      names += dst.toString
+      // patch the stats row's file string: replace its trailing
+      // "<stageDirName>/<partName>" with the committed name — everything
+      // up to the shared grandparent (the layout dir) is preserved
+      // byte-for-byte in whatever form the scan produced it
+      val row = byCanon(canon(sf))
+      val s = row.getString(iFile)
+      val slash1 = s.lastIndexOf('/')
+      val parentEnd = s.lastIndexOf('/', slash1 - 1)
+      require(parentEnd >= 0 && canon(s) == canon(sf),
+        s"stats path $s does not match stage file $sf")
+      rows += org.apache.spark.sql.Row.fromSeq(
+        (s.substring(0, parentEnd + 1) + finalName) +: row.toSeq.drop(1))
     }
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-    fresh.toSeq
+    FreshStats(names.toSeq, schema, rows.toSeq)
   }
-
-  /** `v_added` stats rows for freshly committed files; None when a rewrite
-    * produced zero non-empty files (a pure-delete batch). */
-  private def freshStatsFor(spark: SparkSession, fresh: Seq[String],
-      dims: Seq[Column], bits: Int, statsCols: Seq[String],
-      v: Long): Option[DataFrame] =
-    if (fresh.isEmpty) None
-    else Some(fileStats(spark.read.parquet(fresh: _*), dims, bits, statsCols)
-      .withColumn("v_added", lit(v))
-      .withColumn("v_removed", lit(null).cast("long")))
 
   // ---- writes ------------------------------------------------------------
 
@@ -798,13 +851,13 @@ object DataLayout {
     // appends against an S3-profile layout don't silently regress to
     // the rename path
     val effDirect = directCommit || (append && configDirect(spark, outDir))
-    val fresh: Seq[String] =
+    val fresh: FreshStats =
       if (append && effDirect) {
         // object-store profile (see appendZOrdered): write the clustered
         // output STRAIGHT into a fresh, exclusively-owned subdir — zero
         // renames of data bytes; the manifest commit below is the only
         // visibility event. Empty part files (Spark writes one per empty
-        // partition) are dropped by footer count, as stageRename does.
+        // partition) have no stats row and are dropped, as stageRename does.
         val sub = s"$outDir/append-v$v-${java.util.UUID.randomUUID.toString.take(8)}"
         df.withColumn(z, zOrderKey(dims, bits))
           .repartitionByRange(numFiles, col(z))
@@ -812,18 +865,24 @@ object DataLayout {
           .drop(z)
           .write.mode("overwrite").parquet(sub)
         val fs = fsOf(spark, outDir)
-        val (keep, empty) = listDataFiles(spark, sub)
-          .partition(f => footerRows(spark, f) > 0L)
+        val listed = listDataFiles(spark, sub)
+        val (sch, byCanon) =
+          collectStats(spark, listed, dims, bits, statsCols)
+        val (keep, empty) = listed.partition(f => byCanon.contains(canon(f)))
         empty.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
         if (keep.isEmpty) fs.delete(new org.apache.hadoop.fs.Path(sub), true)
-        keep
+        FreshStats(keep, sch, keep.map(f => byCanon(canon(f))))
       } else if (append)
         stageRename(spark, outDir,
           s"$outDir/_graft_append_${java.util.UUID.randomUUID.toString.take(8)}_stage",
-          s"append_v$v", df, numFiles, dims, bits)
+          s"append_v$v", df, numFiles, dims, bits, statsCols)
       else {
         Constraints.preserveAcross(spark, outDir)(clusteredWrite())
-        listDataFiles(spark, outDir)
+        val listed = listDataFiles(spark, outDir)
+        val (sch, byCanon) =
+          collectStats(spark, listed, dims, bits, statsCols)
+        FreshStats(listed, sch,
+          listed.flatMap(f => byCanon.get(canon(f))))
       }
     def withTxn(stats: DataFrame): DataFrame = txn match {
       case Some((app, batch)) => stats
@@ -839,12 +898,19 @@ object DataLayout {
     // changes on empty writes too — a CDC source can widen before its
     // first widened row arrives). Both spell as one never-alive sentinel
     // row, the same shape vacuum's ledger carry-over emits.
-    if (fresh.isEmpty && txn.isEmpty && evolved.isEmpty) return true
+    if (append && fresh.isEmpty && txn.isEmpty && evolved.isEmpty) return true
     def statsAt(ver: Long): DataFrame =
-      if (fresh.nonEmpty)
-        withTxn(fileStats(spark.read.parquet(fresh: _*), dims, bits, statsCols)
-          .withColumn("v_added", lit(ver))
-          .withColumn("v_removed", lit(null).cast("long")))
+      if (!fresh.isEmpty)
+        // jobless per OCC attempt: the stats were collected once over the
+        // staged files; only the version stamp changes between retries
+        withTxn(fresh.at(spark, ver).get)
+      else if (!append && fresh.schema != null)
+        // version 0 of an empty frame: an EMPTY manifest, no sentinel
+        withTxn(spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          fresh.schema
+            .add("v_added", org.apache.spark.sql.types.LongType)
+            .add("v_removed", org.apache.spark.sql.types.LongType)))
       else {
         val sentinelName = txn match {
           case Some((app, _)) => TxnHwmFilePrefix + app
@@ -878,11 +944,11 @@ object DataLayout {
           // unmanifested duplicates; remove them so plain parquet readers
           // of the dir never see the batch twice
           val fs = fsOf(spark, outDir)
-          fresh.foreach(f =>
+          fresh.names.foreach(f =>
             fs.delete(new org.apache.hadoop.fs.Path(f), false))
           // direct-commit appends own a subdir: drop it once no data file
           // remains (hidden markers like _SUCCESS don't count)
-          fresh.map(f => new org.apache.hadoop.fs.Path(f).getParent)
+          fresh.names.map(f => new org.apache.hadoop.fs.Path(f).getParent)
             .distinct
             .filter(p => isDirectSubdirName(p.getName) && fs.exists(p) &&
               fs.listStatus(p).forall(s =>
@@ -1451,11 +1517,11 @@ object DataLayout {
     val v = currentVersion(spark, dir) + 1
     val data = readMasked(spark, dir, hit, Latest,
       dvCanonKnown = Some(dvCanon))
-    val freshNames = stageRename(spark, dir, s"$dir/_graft_purge_${java.util.UUID.randomUUID.toString.take(8)}_stage",
-      s"purge_v$v", data, hit.size, dims, bits)
+    val fresh = stageRename(spark, dir, s"$dir/_graft_purge_${java.util.UUID.randomUUID.toString.take(8)}_stage",
+      s"purge_v$v", data, hit.size, dims, bits, statsCols)
     def rowsAt(ver: Long): DataFrame = {
       val tomb = tombstones(aliveDf, hit, ver)
-      freshStatsFor(spark, freshNames, dims, bits, statsCols, ver)
+      fresh.at(spark, ver)
         .map(_.unionByName(tomb, allowMissingColumns = true)).getOrElse(tomb)
     }
     commitRewriteWithRetry(spark, dir, hit, v - 1, rowsAt, v)
@@ -1938,39 +2004,49 @@ object DataLayout {
     if (toRewrite.isEmpty)
       return CompactReport(0, 0, allAlive.length)
     val v = currentVersion(spark, dir) + 1
-    // one masked read + range write PER cluster — evaluated and kept:
-    // fusing every cluster into one global range write was measured, but
-    // a sampled boundary spanning the z-GAP between clusters widens that
-    // file's envelope over key space where non-cluster files sit,
-    // manufacturing fresh overlap debt each pass; per-cluster writes keep
-    // output envelopes exactly inside their cluster's range
-    var rewrittenFiles = 0
-    val freshNames = scala.collection.mutable.ArrayBuffer.empty[String]
-    for ((cluster, gen) <- toRewrite.zipWithIndex) {
-      val rows = cluster.map(_._4).sum
-      // FLOOR, not ceil: outputs must land AT OR ABOVE rowsPerFile (one
-      // residual up to 2x-1), or merged files stay "small", re-enter every
-      // later sweep, and steady-state compaction degrades to whole-table
-      // rewrites (the ingest probe measured exactly this failure shape)
-      val nOut = math.max(1L, rows / rowsPerFile).toInt
-      // masked read: a rewrite permanently applies any outstanding DVs on
-      // the cluster's files (n_rows-based sizing may overcount slightly
-      // until then — freshStats recounts what was actually written)
-      val data = readMasked(spark, dir, cluster.map(_._1), Latest)
-      freshNames ++= stageRename(spark, dir, s"$dir/_graft_compact_${java.util.UUID.randomUUID.toString.take(8)}_stage",
-        s"compact_v${v}_${gen}", data, nOut, dims, bits)
-      rewrittenFiles += cluster.size
+    // clusters are clustered INDEPENDENTLY (each gets its own range
+    // exchange with boundaries sampled inside the cluster — a single
+    // global range write was measured and rejected: a sampled boundary
+    // spanning the z-GAP between clusters widens that file's envelope
+    // over key space where non-cluster files sit, manufacturing fresh
+    // overlap debt each pass) but LAND in one write action per batch:
+    // the partition-preserving union keeps each cluster's partitions as
+    // its own output files (a logical Union does NOT — the optimizer
+    // merged two single-partition children into one gap-spanning file),
+    // so N clusters cost one job's scheduling instead of N, with output
+    // envelopes still exactly inside their cluster's range. Batches of
+    // 32 bound the plan size.
+    val rewrittenFiles = toRewrite.map(_.size).sum
+    var fresh = NoFresh
+    for ((batch, gen) <- toRewrite.grouped(32).zipWithIndex) {
+      val clustered = org.apache.spark.sql.graftshim.StreamingFrameShim
+        .unionPreservingPartitions(batch.map { cluster =>
+        val rows = cluster.map(_._4).sum
+        // FLOOR, not ceil: outputs must land AT OR ABOVE rowsPerFile (one
+        // residual up to 2x-1), or merged files stay "small", re-enter every
+        // later sweep, and steady-state compaction degrades to whole-table
+        // rewrites (the ingest probe measured exactly this failure shape)
+        val nOut = math.max(1L, rows / rowsPerFile).toInt
+        // masked read: a rewrite permanently applies any outstanding DVs on
+        // the cluster's files (n_rows-based sizing may overcount slightly
+        // until then — freshStats recounts what was actually written)
+        zCluster(readMasked(spark, dir, cluster.map(_._1), Latest),
+          nOut, dims, bits)
+      }.toSeq)
+      fresh = fresh ++ stageRenamePreclustered(spark, dir,
+        s"$dir/_graft_compact_${java.util.UUID.randomUUID.toString.take(8)}_stage",
+        s"compact_v${v}_${gen}", clustered, dims, bits, statsCols)
     }
     val retired = toRewrite.flatten.map(_._1)
     def rowsAt(ver: Long): DataFrame = {
       val tomb = tombstones(aliveDf, retired, ver)
-      freshStatsFor(spark, freshNames.toSeq, dims, bits, statsCols, ver)
+      fresh.at(spark, ver)
         .map(_.unionByName(tomb, allowMissingColumns = true)).getOrElse(tomb)
     }
     commitRewriteWithRetry(spark, dir, retired, v - 1, rowsAt, v)
     CompactReport(clustersRewritten = toRewrite.size,
       filesRewritten = rewrittenFiles,
-      filesTotalAfter = allAlive.length - retired.size + freshNames.size)
+      filesTotalAfter = allAlive.length - retired.size + fresh.size)
   }
 
   final case class CompactReport(clustersRewritten: Int, filesRewritten: Int,
@@ -2013,33 +2089,38 @@ object DataLayout {
     if (bins.isEmpty)
       return CompactReport(0, 0, allAlive.length)
     val v = currentVersion(spark, dir) + 1
-    // per-bin writes, same reasoning as compactZOrdered's per-cluster
-    // loop (a fused global write can span bin gaps and manufacture
-    // overlap debt against in-gap files)
-    var rewrittenFiles = 0
-    val freshNames = scala.collection.mutable.ArrayBuffer.empty[String]
-    for ((b, gen) <- bins.zipWithIndex) {
-      val rows = b.map(_._4).sum
-      // FLOOR, not ceil: outputs must land AT OR ABOVE rowsPerFile (one
-      // residual up to 2x-1), or merged files stay "small", re-enter every
-      // later sweep, and steady-state compaction degrades to whole-table
-      // rewrites (the ingest probe measured exactly this failure shape)
-      val nOut = math.max(1L, rows / rowsPerFile).toInt
-      val data = readMasked(spark, dir, b.map(_._1), Latest)
-      freshNames ++= stageRename(spark, dir, s"$dir/_graft_binpack_${java.util.UUID.randomUUID.toString.take(8)}_stage",
-        s"binpack_v${v}_${gen}", data, nOut, dims, bits)
-      rewrittenFiles += b.size
+    // bins cluster independently (a fused GLOBAL range write can span bin
+    // gaps and manufacture overlap debt against in-gap files — same
+    // reasoning as compactZOrdered) but land in one write action per
+    // batch of 32: the partition-preserving union keeps each bin's
+    // partitions as its own output files (a logical Union does not)
+    val rewrittenFiles = bins.map(_.size).sum
+    var fresh = NoFresh
+    for ((batch, gen) <- bins.grouped(32).zipWithIndex) {
+      val clustered = org.apache.spark.sql.graftshim.StreamingFrameShim
+        .unionPreservingPartitions(batch.map { b =>
+        val rows = b.map(_._4).sum
+        // FLOOR, not ceil: outputs must land AT OR ABOVE rowsPerFile (one
+        // residual up to 2x-1), or merged files stay "small", re-enter every
+        // later sweep, and steady-state compaction degrades to whole-table
+        // rewrites (the ingest probe measured exactly this failure shape)
+        val nOut = math.max(1L, rows / rowsPerFile).toInt
+        zCluster(readMasked(spark, dir, b.map(_._1), Latest), nOut, dims, bits)
+      }.toSeq)
+      fresh = fresh ++ stageRenamePreclustered(spark, dir,
+        s"$dir/_graft_binpack_${java.util.UUID.randomUUID.toString.take(8)}_stage",
+        s"binpack_v${v}_${gen}", clustered, dims, bits, statsCols)
     }
     val retired = bins.flatten.map(_._1).toSeq
     def rowsAt(ver: Long): DataFrame = {
       val tomb = tombstones(aliveDf, retired, ver)
-      freshStatsFor(spark, freshNames.toSeq, dims, bits, statsCols, ver)
+      fresh.at(spark, ver)
         .map(_.unionByName(tomb, allowMissingColumns = true)).getOrElse(tomb)
     }
     commitRewriteWithRetry(spark, dir, retired, v - 1, rowsAt, v)
     CompactReport(clustersRewritten = bins.size,
       filesRewritten = rewrittenFiles,
-      filesTotalAfter = allAlive.length - retired.size + freshNames.size)
+      filesTotalAfter = allAlive.length - retired.size + fresh.size)
   }
 
   /** Targeted delete — the right-to-be-forgotten operator: remove every
@@ -2066,27 +2147,36 @@ object DataLayout {
     // masked: already-soft-deleted rows neither count as deleted here nor
     // survive into the rewrite (the rewrite purges their DVs for good)
     val hitData = readMasked(spark, dir, hitRaw, Latest)
-    // the deleted-row count rides the rewrite itself as an observed
-    // metric (placed BEFORE the complement filter, so the one scan that
-    // writes the survivors also counts the casualties) — was a separate
-    // full pass over the hit files
+    // the deleted-row count rides the rewrite itself as an observed metric
+    // (one scan writes the survivors AND counts the casualties — was a
+    // separate full pass over the hit files). The metric sits ABOVE
+    // zCluster's range exchange: below it, the range boundary-sampling job
+    // executes the scan a second time (doubling the count), and an
+    // all-rows-deleted write leaves the exchange's output empty, letting
+    // AQE's empty-relation propagation prune the metric node out of the
+    // final plan. Above the exchange the write stage evaluates it exactly
+    // once, and its input is empty only when the hit files held no masked
+    // rows at all — where 0 is the right answer. The null-safe marker also
+    // keeps NULL-predicate rows (null in a range column) as SURVIVORS.
     val obs = new org.apache.spark.sql.Observation()
-    // null-safe complement: a NULL predicate (null in a range column) must
-    // SURVIVE the delete, not vanish with it
-    val survivors = hitData
-      .observe(obs, count(when(rowPred, 1)).as("deleted"))
-      .where(!coalesce(rowPred, lit(false)))
+    val dead = "_graft_dead"
+    // one range exchange over ONLY the hit files' rows, one output file
+    // per original hit file (sizes stay comparable)
+    val clustered = zCluster(
+        hitData.withColumn(dead, coalesce(rowPred, lit(false))),
+        math.max(1, hitRaw.size), dims, bits)
+      .observe(obs, count(when(col(dead), 1)).as("deleted"))
+      .where(!col(dead)).drop(dead)
     val v = currentVersion(spark, dir) + 1
-    // keep survivors clustered: one range exchange over ONLY the hit files'
-    // rows, one output file per original hit file (sizes stay comparable)
-    val freshNames = stageRename(spark, dir, s"$dir/_graft_delete_${java.util.UUID.randomUUID.toString.take(8)}_stage",
-      s"delete_v$v", survivors, math.max(1, hitRaw.size), dims, bits)
+    val fresh = stageRenamePreclustered(spark, dir,
+      s"$dir/_graft_delete_${java.util.UUID.randomUUID.toString.take(8)}_stage",
+      s"delete_v$v", clustered, dims, bits, statsCols)
     val deleted = obs.get("deleted").asInstanceOf[Long]
     val tomb = tombstones(aliveDf, hitRaw, v)
-    appendLog(dir, freshStatsFor(spark, freshNames, dims, bits, statsCols, v)
+    appendLog(dir, fresh.at(spark, v)
       .map(_.unionByName(tomb, allowMissingColumns = true)).getOrElse(tomb), v)
     DeleteReport(hitRaw.size, deleted,
-      aliveCount - hitRaw.size + freshNames.size)
+      aliveCount - hitRaw.size + fresh.size)
   }
 
   final case class DeleteReport(filesRewritten: Int, rowsDeleted: Long,
@@ -2137,27 +2227,34 @@ object DataLayout {
     // pass 2: rewrite ONLY the hit files; per column, matched rows take
     // the assignment, everything else passes through
     val hitData = readMasked(spark, dir, hit, Latest)
-    // the updated-row count rides the rewrite as an observed metric —
-    // was a separate full pass over the hit files
+    // the updated-row count rides the rewrite as an observed metric (was a
+    // separate full pass over the hit files). The marker evaluates the
+    // condition ONCE against pre-update values and rides through zCluster's
+    // range exchange so the metric sits ABOVE it — below the exchange the
+    // boundary-sampling job would execute the scan a second time and double
+    // the count (see deleteWhere).
     val obs = new org.apache.spark.sql.Observation()
+    val upd = "_graft_upd"
     val rewritten = hitData
-      .observe(obs, count(when(cond, 1)).as("updated"))
+      .withColumn(upd, coalesce(cond, lit(false)))
       .select(hitData.columns.toSeq.map { c =>
       assignments.get(c) match {
-        case Some(e) => when(coalesce(cond, lit(false)), e)
-          .otherwise(col(c)).as(c)
+        case Some(e) => when(col(upd), e).otherwise(col(c)).as(c)
         case None => col(c)
       }
-    }: _*)
-    val freshNames = stageRename(spark, dir,
+    } :+ col(upd): _*)
+    val clustered = zCluster(rewritten, hit.size, dims, bits)
+      .observe(obs, count(when(col(upd), 1)).as("updated"))
+      .drop(upd)
+    val fresh = stageRenamePreclustered(spark, dir,
       s"$dir/_graft_update_${java.util.UUID.randomUUID.toString.take(8)}_stage",
-      s"update_v$v", rewritten, hit.size, dims, bits)
+      s"update_v$v", clustered, dims, bits, statsCols)
     val updatedCount = obs.get("updated").asInstanceOf[Long]
     val tomb = tombstones(aliveDf, hit, v)
-    appendLog(dir, freshStatsFor(spark, freshNames, dims, bits, statsCols, v)
+    appendLog(dir, fresh.at(spark, v)
       .map(_.unionByName(tomb, allowMissingColumns = true)).getOrElse(tomb), v)
     UpdateReport(filesRewritten = hit.size, rowsUpdated = updatedCount,
-      filesTotalAfter = all.size - hit.size + freshNames.size,
+      filesTotalAfter = all.size - hit.size + fresh.size,
       filesScanned = candidates.size)
   }
 
@@ -3693,10 +3790,10 @@ object DataLayout {
     statsCols.foreach(c => require(data.columns.contains(c),
       s"stats column '$c' not in ${data.columns.mkString(",")}"))
     val fresh = stageRename(spark, dir, s"$dir/_graft_recluster_${java.util.UUID.randomUUID.toString.take(8)}_stage",
-      s"recluster_v$v", data, numFiles, dims, bits)
+      s"recluster_v$v", data, numFiles, dims, bits, statsCols)
     def rowsAt(ver: Long): DataFrame = {
       val tomb = tombstones(aliveDf, files, ver)
-      freshStatsFor(spark, fresh, dims, bits, statsCols, ver)
+      fresh.at(spark, ver)
         .map(_.unionByName(tomb, allowMissingColumns = true)).getOrElse(tomb)
     }
     commitRewriteWithRetry(spark, dir, files, v - 1, rowsAt, v)
@@ -3905,14 +4002,14 @@ object DataLayout {
     // a pure-delete batch can leave zero merged rows, hence zero files —
     // stageRename drops the writer's schema-only empty part file rather
     // than committing an unmanifested orphan
-    val freshNames = stageRename(spark, dir, s"$dir/_graft_merge_${java.util.UUID.randomUUID.toString.take(8)}_stage",
-      s"merge_v$v", merged, numFiles, dims, bits)
+    val fresh = stageRename(spark, dir, s"$dir/_graft_merge_${java.util.UUID.randomUUID.toString.take(8)}_stage",
+      s"merge_v$v", merged, numFiles, dims, bits, statsCols)
     val tomb = tombstones(aliveDf, hit, v)
-    appendLog(dir, freshStatsFor(spark, freshNames, dims, bits, statsCols, v)
+    appendLog(dir, fresh.at(spark, v)
       .map(_.unionByName(tomb, allowMissingColumns = true)).getOrElse(tomb), v)
     MergeReport(filesRewritten = hit.size, rowsUpdated = updated,
       rowsInserted = deltaCount - matchedKeys, rowsDeleted = deleted,
-      filesTotalAfter = aliveCount - hit.size + freshNames.size)
+      filesTotalAfter = aliveCount - hit.size + fresh.size)
   }
 
   final case class MergeReport(filesRewritten: Int, rowsUpdated: Long,

@@ -34,6 +34,35 @@ object StreamingFrameShim {
     spark.internalCreateDataFrame(qe.toRdd, df.schema, isStreaming = false)
   }
 
+  /** Union N batch frames by CONCATENATING their compiled plans'
+    * partitions. A logical `Union` does not guarantee that: under AQE the
+    * planner may merge the children's shuffle outputs (observed: two
+    * single-partition range-clustered children landed as ONE write
+    * partition), but a multi-cluster rewrite needs each child's
+    * range-clustered partitions to land as its own output files — an
+    * output file spanning the z-gap between clusters widens its envelope
+    * over key space where other files sit. `SparkContext.union` of the
+    * children's own `toRdd` (lazy — nothing computed or collected here)
+    * is the partition-concatenation contract; the frames must agree on
+    * column names and types (positional rows). */
+  def unionPreservingPartitions(dfs: Seq[DataFrame]): DataFrame = {
+    require(dfs.nonEmpty, "unionPreservingPartitions of nothing")
+    val spark = dfs.head.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val schema = dfs.head.schema
+    dfs.tail.foreach { d =>
+      require(d.schema.fieldNames.sameElements(schema.fieldNames) &&
+          d.schema.fields.map(_.dataType).sameElements(
+            schema.fields.map(_.dataType)),
+        s"schema mismatch in partition-preserving union: ${d.schema} vs $schema")
+    }
+    val rdds = dfs.map(_.asInstanceOf[
+      org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.toRdd)
+    spark.internalCreateDataFrame(
+      spark.sparkContext.union(rdds), schema, isStreaming = false)
+  }
+
   /** A DataFrame from a parsed-but-unresolved LogicalPlan — what the SQL
     * DML helper (GraftSql) needs to execute a MERGE statement's source
     * subplan. `Dataset.ofRows` is `private[sql]`, hence this bridge. */
