@@ -188,6 +188,15 @@ object DataLayout {
       case _ => df.localCheckpoint(true)
     }
 
+  /** Row count of a driver-local (LocalRelation) frame without spending a
+    * Spark job; None when the frame is distributed (caller counts). */
+  private def localRowCount(df: DataFrame): Option[Long] =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        Some(lr.data.length.toLong)
+      case _ => None
+    }
+
   /** Highest version number recorded across the manifest log AND the
     * deletion-vector log (a DV commit is a version like any other — time
     * travel to just before it must un-hide its rows). −1 for a missing
@@ -2182,6 +2191,52 @@ object DataLayout {
   final case class DeleteReport(filesRewritten: Int, rowsDeleted: Long,
       filesTotalAfter: Int)
 
+  /** DELETE ... WHERE for an ARBITRARY predicate as ONE atomic rewrite
+    * version — Delta's default (non-DV) DELETE shape, and the SQL `DELETE
+    * FROM` fast path when no deletion vectors are outstanding (the DV
+    * mark + immediate purge spelling costs two versions, two commits and
+    * a DV-log round-trip for the same final table). Pass 1 finds the
+    * files carrying TRUE-predicate rows ([[dmlCandidates]] envelope-prunes
+    * range-shaped conjuncts; the read is masked so soft-deleted rows never
+    * count); pass 2 rewrites ONLY those files without the matching rows
+    * (outstanding DVs on them purge on the way), originals tombstone.
+    * NULL-predicate rows survive (DELETE removes rows where the condition
+    * is TRUE, never UNKNOWN). The deleted count rides the rewrite as an
+    * observed metric above the range exchange (see [[deleteWhere]]). */
+  def deleteRowsWhere(spark: SparkSession, dir: String, dims: Seq[Column],
+      bits: Int, statsCols: Seq[String], cond: Column): DeleteReport = {
+    val aliveDf = pinned(aliveManifest(spark, dir))
+    val all = aliveDf.select("file")
+      .collect().map(_.getString(0)).toIndexedSeq.sorted // O(files)
+    if (all.isEmpty) return DeleteReport(0, 0L, 0)
+    val candidates = dmlCandidates(spark, dir, aliveDf, all, cond)
+    if (candidates.isEmpty) return DeleteReport(0, 0L, all.size)
+    val sch = schemaAt(spark, dir, Latest)
+    val base = readWithMeta(spark, candidates, sch)
+    val masked = dvAt(spark, dir, Latest).map(applyMask(base, _)).getOrElse(base)
+    val hitCanon = masked.where(cond).select(col(MetaFile).as("f"))
+      .distinct().collect().map(_.getString(0)).toSet // O(files)
+    val hit = all.filter(f => hitCanon(canon(f)))
+    if (hit.isEmpty) return DeleteReport(0, 0L, all.size)
+    val v = currentVersion(spark, dir) + 1
+    val hitData = readMasked(spark, dir, hit, Latest)
+    val obs = new org.apache.spark.sql.Observation()
+    val dead = "_graft_dead"
+    val clustered = zCluster(
+        hitData.withColumn(dead, coalesce(cond, lit(false))),
+        math.max(1, hit.size), dims, bits)
+      .observe(obs, count(when(col(dead), 1)).as("deleted"))
+      .where(!col(dead)).drop(dead)
+    val fresh = stageRenamePreclustered(spark, dir,
+      s"$dir/_graft_delete_${java.util.UUID.randomUUID.toString.take(8)}_stage",
+      s"delete_v$v", clustered, dims, bits, statsCols)
+    val deleted = obs.get("deleted").asInstanceOf[Long]
+    val tomb = tombstones(aliveDf, hit, v)
+    appendLog(dir, fresh.at(spark, v)
+      .map(_.unionByName(tomb, allowMissingColumns = true)).getOrElse(tomb), v)
+    DeleteReport(hit.size, deleted, all.size - hit.size + fresh.size)
+  }
+
   /** UPDATE ... SET ... WHERE for clustered layouts — Delta's UPDATE
     * shape, atomically in ONE version: one masked metadata-column pass
     * finds the files that carry matching rows, ONLY those rewrite (matched
@@ -3930,24 +3985,36 @@ object DataLayout {
     // evaluation and write different rows on another
     val d = delta.localCheckpoint(true)
     Constraints.enforce(spark, dir, d, "mergeInto") // upserts only; deletes add no rows
-    // ONE pass derives the row count, the distinct keys and the
-    // duplicate-key verdict (was: a distinct checkpoint + two counts)
-    val keyCounts = d.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("_graft_kc")).localCheckpoint(true)
-    val kstats = keyCounts
-      .agg(sum("_graft_kc"), max("_graft_kc")).head()
+    // ONE keyed pass derives everything the bookkeeping needs: per-key
+    // upsert/delete row counts in a single checkpointed O(keys) frame,
+    // from which the delta row count, the duplicate-key verdict, the
+    // upsert∩delete ambiguity refusal and both key sets all read without
+    // re-deriving anything (the r19 shape spent four actions here: a
+    // keyCounts checkpoint, its stats agg, a deleteKeys distinct
+    // checkpoint, and a semi-join emptiness probe).
+    val kUp = "_graft_upc"
+    val kDel = "_graft_delc"
+    val isDel = "_graft_is_del"
+    val upTagged = d.select(keyCols.map(col): _*).withColumn(isDel, lit(false))
+    val keyTags = deleteKeys.fold(upTagged)(dk =>
+        upTagged.unionByName(dk.select(keyCols.map(col): _*)
+          .withColumn(isDel, lit(true))))
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(when(!col(isDel), lit(1))).as(kUp),
+        count(when(col(isDel), lit(1))).as(kDel))
+      .localCheckpoint(true)
+    val kstats = keyTags.agg(sum(col(kUp)), max(col(kUp)),
+      count(when(col(kUp) > 0 && col(kDel) > 0, lit(1)))).head()
     val deltaCount = if (kstats.isNullAt(0)) 0L else kstats.getLong(0)
-    require(kstats.isNullAt(1) || kstats.getLong(1) == 1L,
+    require(kstats.isNullAt(1) || kstats.getLong(1) <= 1L,
       "mergeInto delta has duplicate keys — no defined winner; dedupe first")
-    val deltaKeys = keyCounts.select(keyCols.map(col): _*)
-    val delKeys = deleteKeys.map(_.select(keyCols.map(col): _*).distinct()
-      .localCheckpoint(true))
-    delKeys.foreach(dk => require(
-      dk.join(deltaKeys, keyCols, "left_semi").isEmpty,
+    require(kstats.getLong(2) == 0L,
       "a key appears in both the upsert delta and deleteKeys — resolve " +
-        "last-event-wins upstream; this operator refuses the ambiguity"))
-    val allKeys = delKeys.fold(deltaKeys)(dk => deltaKeys.unionByName(dk))
-    val aliveCount = aliveDf.count().toInt
+        "last-event-wins upstream; this operator refuses the ambiguity")
+    val allKeys = keyTags.select(keyCols.map(col): _*)
+    // the pinned alive manifest is a LocalRelation on the driver-local log
+    // path — count its rows there instead of spending a job
+    val aliveCount = localRowCount(aliveDf).getOrElse(aliveDf.count()).toInt
     // file targeting: a file can hold a composite key iff EVERY key
     // column's [min, max] envelope admits that key's value — intersecting
     // all stats-covered key columns, not just the first (a first key that
@@ -3979,14 +4046,14 @@ object DataLayout {
         val hitData = readMasked(spark, dir, hit, Latest).localCheckpoint(false)
         // ONE action for all three report counts (was three semi-join
         // counts over the same hit rows): per-key hit counts inner-joined
-        // to the upsert/delete key sets tagged by kind — matched rows =
-        // sum of hit counts on upsert keys, matched KEYS = joined upsert
-        // keys (keyCounts is one row per key), deleted = sum on delete
-        // keys. Null keys never join, same as the semi joins they replace.
-        val del = "_graft_is_del"
-        val tagged = deltaKeys.withColumn(del, lit(false))
-          .unionByName(delKeys.map(_.withColumn(del, lit(true)))
-            .getOrElse(deltaKeys.withColumn(del, lit(true)).where(lit(false))))
+        // to the keyTags frame — matched rows = sum of hit counts on
+        // upsert keys, matched KEYS = joined upsert keys (keyTags is one
+        // row per key), deleted = sum on delete keys. Null keys never
+        // join, same as the semi joins they replace. After the ambiguity
+        // refusal above, a delete key is exactly a key with no upsert rows.
+        val del = isDel
+        val tagged = keyTags.select(
+          keyCols.map(col) :+ (col(kDel) > 0).as(del): _*)
         val hc = "_graft_hc"
         val st = hitData.groupBy(keyCols.map(col): _*)
           .agg(count(lit(1)).as(hc))

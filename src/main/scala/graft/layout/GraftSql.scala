@@ -46,19 +46,28 @@ object GraftSql {
       case DeleteFromTable(table, condition) =>
         val (dir, indexes) = resolveTarget(spark, table)
         val cfg = LayoutConfig.mandatory(spark, dir)
-        // mark via deletion vectors (no rewrite decides WHAT to delete),
-        // then purge immediately: only the files that carried matches are
-        // rewritten, and the layout ends DV-free — so a clean-path
-        // (unmasked, planning-pruned) view stays CORRECT after the
-        // refresh below, exactly Delta's default non-DV DELETE shape.
-        val r = DataLayout.deleteVectorsWhere(spark, dir,
-          toColumn(condition))
-        if (r.rowsDeleted > 0L)
-          DataLayout.purgeDeletes(spark, dir, cfg.dims, cfg.bits,
-            cfg.statsCols)
+        // The common case (no outstanding deletion vectors) lands as ONE
+        // atomic rewrite version — Delta's default non-DV DELETE; only the
+        // files that carry matches rewrite, and the layout stays DV-free
+        // so a clean-path (unmasked, planning-pruned) view remains CORRECT
+        // after the refresh below. With effective DVs outstanding, the
+        // DV-mark + full-purge spelling stays: it must END DV-free, which
+        // a targeted rewrite of only the matching files would not.
+        val (deleted, files) =
+          if (!DataLayout.dvEffectiveAt(spark, dir)) {
+            val r = DataLayout.deleteRowsWhere(spark, dir, cfg.dims,
+              cfg.bits, cfg.statsCols, toColumn(condition))
+            (r.rowsDeleted, r.filesRewritten)
+          } else {
+            val r = DataLayout.deleteVectorsWhere(spark, dir,
+              toColumn(condition))
+            if (r.rowsDeleted > 0L)
+              DataLayout.purgeDeletes(spark, dir, cfg.dims, cfg.bits,
+                cfg.statsCols)
+            (r.rowsDeleted, r.filesTouched)
+          }
         indexes.foreach(_.refresh())
-        report(spark, "delete", deleted = r.rowsDeleted,
-          files = r.filesTouched)
+        report(spark, "delete", deleted = deleted, files = files)
       case UpdateTable(table, assignments, condition) =>
         val (dir, indexes) = resolveTarget(spark, table)
         val cfg = LayoutConfig.mandatory(spark, dir)

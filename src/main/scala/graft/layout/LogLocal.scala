@@ -37,9 +37,15 @@ import org.apache.spark.sql.types._
 private[layout] object LogLocal {
 
   /** Above this total log size the local path declines (None) and the
-    * caller uses the distributed read. Env-tunable for clusters. */
-  private val maxLocalBytes: Long =
-    sys.env.getOrElse("SPARK_GRAFT_LOCAL_LOG_MAX_MB", "64").toLong * (1L << 20)
+    * caller uses the distributed read. Env-tunable for clusters; the
+    * system property (read per call) exists so a spec can drive a log
+    * PAST the cap inside one JVM and prove the distributed fallback
+    * returns identical answers — the entire 100 TB safety argument for
+    * driver-local serving. */
+  private def maxLocalBytes: Long =
+    sys.props.get("graft.test.localLogMaxMB")
+      .orElse(sys.env.get("SPARK_GRAFT_LOCAL_LOG_MAX_MB"))
+      .getOrElse("64").toLong * (1L << 20)
 
   /** Decoded-log cache. A layout mutation pays 3–6 metadata probes and a
     * composite gate pays dozens, each re-listing AND re-decoding the same

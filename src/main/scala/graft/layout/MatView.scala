@@ -53,18 +53,54 @@ object MatView {
   final case class ViewDef(layoutDir: String, version: Long,
       groupCols: Seq[String], measures: Seq[String], keyCols: Seq[String])
 
+  /** One tiny metadata row per view, written and read DRIVER-SIDE
+    * (LogLocal) — a refresh used to pay a full Spark write cycle for the
+    * version bump and a read job per meta probe. The column lists are
+    * stored \\u0001-joined so the row is all primitives (the shape the local
+    * parquet writer supports); the reader still accepts the pre-r20
+    * array spelling. */
   private def writeMeta(spark: SparkSession, viewDir: String, d: ViewDef): Unit = {
-    import spark.implicits._
-    Seq((d.layoutDir, d.version, d.groupCols, d.measures, d.keyCols))
-      .toDF("layout_dir", "version", "group_cols", "measures", "key_cols")
-      .coalesce(1).write.mode("overwrite").parquet(metaPath(viewDir))
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("layout_dir", org.apache.spark.sql.types.StringType)
+      .add("version", org.apache.spark.sql.types.LongType)
+      .add("group_cols", org.apache.spark.sql.types.StringType)
+      .add("measures", org.apache.spark.sql.types.StringType)
+      .add("key_cols", org.apache.spark.sql.types.StringType)
+    val row = org.apache.spark.sql.Row(d.layoutDir, d.version,
+      d.groupCols.mkString("\u0001"), d.measures.mkString("\u0001"),
+      d.keyCols.mkString("\u0001"))
+    val dirP = new org.apache.hadoop.fs.Path(metaPath(viewDir))
+    val fs = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(dirP, true) // single-writer metadata, same window as overwrite
+    if (!LogLocal.writeLocal(spark, schema, Seq(row),
+        new org.apache.hadoop.fs.Path(dirP,
+          s"part-local-${java.util.UUID.randomUUID.toString.take(12)}.parquet"))) {
+      import spark.implicits._
+      Seq((d.layoutDir, d.version, d.groupCols.mkString("\u0001"),
+          d.measures.mkString("\u0001"), d.keyCols.mkString("\u0001")))
+        .toDF("layout_dir", "version", "group_cols", "measures", "key_cols")
+        .coalesce(1).write.mode("overwrite").parquet(metaPath(viewDir))
+    }
   }
 
-  /** The view's definition + the layout version its rows reflect. */
+  /** The view's definition + the layout version its rows reflect
+    * (driver-side read; Spark-read fallback for unknown shapes). */
   def meta(spark: SparkSession, viewDir: String): ViewDef = {
-    val r = spark.read.parquet(metaPath(viewDir)).head()
-    def ss(n: String) = r.getAs[scala.collection.Seq[String]](n).toSeq
-    ViewDef(r.getAs[String]("layout_dir"), r.getAs[Long]("version"),
+    val (schema, r) = LogLocal.read(spark, metaPath(viewDir)) match {
+      case Some((s, rows)) if rows.nonEmpty => (s, rows.head)
+      case _ =>
+        val df = spark.read.parquet(metaPath(viewDir))
+        (df.schema, df.head())
+    }
+    def ss(n: String): Seq[String] = r.get(schema.fieldIndex(n)) match {
+      case s: String => s.split('\u0001').toSeq
+      case a: scala.collection.Seq[_] => a.map(_.toString).toSeq
+      case other => throw new IllegalStateException(
+        s"unreadable view meta column $n: $other")
+    }
+    def at(n: String) = r.get(schema.fieldIndex(n))
+    ViewDef(at("layout_dir").asInstanceOf[String],
+      at("version").asInstanceOf[Long],
       ss("group_cols"), ss("measures"), ss("key_cols"))
   }
 
@@ -120,13 +156,21 @@ object MatView {
     // compare cols are the view's inputs only: a row changing OTHER
     // columns contributes nothing and is never emitted.
     val feedCols = (d.groupCols ++ d.measures).distinct
+    // the feed-row count rides the checkpoint action as an observed
+    // metric (was a separate count job); obs is consulted only when the
+    // checkpointed frame is nonempty, so an optimized-away metrics node
+    // over an empty feed can never block the get (the DmlCountSpec
+    // lesson — and isEmpty on the checkpointed blocks is cheap)
+    val obsF = new org.apache.spark.sql.Observation()
     val feed = DataLayout.changeFeed(spark, d.layoutDir, d.version, cur,
-      d.keyCols, feedCols).localCheckpoint(true)
-    val feedRows = feed.count()
-    if (feedRows == 0L) { // e.g. pure compaction steps: nothing moved
+        d.keyCols, feedCols)
+      .observe(obsF, count(lit(1)).as("feed_rows"))
+      .localCheckpoint(true)
+    if (feed.isEmpty) { // e.g. pure compaction steps: nothing moved
       writeMeta(spark, viewDir, d.copy(version = cur))
       return RefreshReport(d.version, cur, 0L, 0L, 0L)
     }
+    val feedRows = obsF.get("feed_rows").asInstanceOf[Long]
 
     val sgn = when(col("sign") === "+", 1L).otherwise(-1L)
     val deltaAggs: Seq[Column] = sum(sgn).as("d_rows") +: d.measures.flatMap { m =>
@@ -169,12 +213,27 @@ object MatView {
         least(col(s"min_$m"), col(s"add_min_$m")).as(s"min_$m"),
         greatest(col(s"max_$m"), col(s"add_max_$m")).as(s"max_$m"))
     }
+    // nDirty and groupsChanged ride the merge checkpoint as observed
+    // metrics (was: a count over the dirty survivors plus a re-aggregation
+    // of the feed for delta.count). `_from_delta` marks rows the feed
+    // touched BEFORE the n_rows > 0 filter, so groups emptied by deletes
+    // still count as changed; the dirty count applies the same filter the
+    // survivor frame does. The observe input is the view⋈delta join —
+    // nonempty whenever the feed is (guarded above) — so the metric node
+    // always executes.
+    val obsM = new org.apache.spark.sql.Observation()
     val merged = joined
-      .select((d.groupCols.map(col) :+ nRows) ++ measureCols :+ dirty: _*)
+      .select((d.groupCols.map(col) :+ nRows) ++ measureCols :+ dirty :+
+        col("d_rows").isNotNull.as("_from_delta"): _*)
+      .observe(obsM,
+        count(when(col("_from_delta"), 1)).as("groups_changed"),
+        count(when(col("_dirty") && col("n_rows") > 0, 1)).as("n_dirty"))
       .where(col("n_rows") > 0) // emptied groups leave the view
+      .drop("_from_delta")
       .localCheckpoint(true)   // pin: next write overwrites our input path
 
-    val nDirty = merged.where(col("_dirty")).count()
+    val nDirty = obsM.get("n_dirty").asInstanceOf[Long]
+    val groupsChanged = obsM.get("groups_changed").asInstanceOf[Long]
     val result =
       if (nDirty == 0L) merged.drop("_dirty")
       else {
@@ -197,6 +256,6 @@ object MatView {
     result.write.mode("overwrite").parquet(dataPath(viewDir))
     writeMeta(spark, viewDir, d.copy(version = cur))
     RefreshReport(d.version, cur, feedRows,
-      groupsChanged = delta.count(), groupsRecomputed = nDirty)
+      groupsChanged = groupsChanged, groupsRecomputed = nDirty)
   }
 }

@@ -44,19 +44,51 @@ object Replica {
   final case class ReplicaDef(srcDir: String, srcVersion: Long,
       keyCols: Seq[String])
 
+  /** One tiny metadata row per replica, written and read DRIVER-SIDE
+    * (LogLocal): a sync used to pay a full Spark write cycle for the
+    * version-pin bump and a Spark read job per meta probe. Key columns
+    * are stored \\u0001-joined so the row is all primitives (the shape the
+    * local parquet writer supports); the reader still accepts the pre-r20
+    * array spelling. */
   private def writeMeta(spark: SparkSession, dstDir: String,
       d: ReplicaDef): Unit = {
-    import spark.implicits._
-    Seq((d.srcDir, d.srcVersion, d.keyCols))
-      .toDF("src_dir", "src_version", "key_cols")
-      .coalesce(1).write.mode("overwrite").parquet(metaPath(dstDir))
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("src_dir", org.apache.spark.sql.types.StringType)
+      .add("src_version", org.apache.spark.sql.types.LongType)
+      .add("key_cols", org.apache.spark.sql.types.StringType)
+    val row = org.apache.spark.sql.Row(
+      d.srcDir, d.srcVersion, d.keyCols.mkString("\u0001"))
+    val dirP = new org.apache.hadoop.fs.Path(metaPath(dstDir))
+    val fs = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(dirP, true) // single-writer metadata, same window as overwrite
+    if (!LogLocal.writeLocal(spark, schema, Seq(row),
+        new org.apache.hadoop.fs.Path(dirP,
+          s"part-local-${java.util.UUID.randomUUID.toString.take(12)}.parquet"))) {
+      import spark.implicits._
+      Seq((d.srcDir, d.srcVersion, d.keyCols.mkString("\u0001")))
+        .toDF("src_dir", "src_version", "key_cols")
+        .coalesce(1).write.mode("overwrite").parquet(metaPath(dstDir))
+    }
   }
 
-  /** The replica's pinned source position. */
+  /** The replica's pinned source position (driver-side read; falls back to
+    * a Spark read for oversized/unknown shapes). */
   def meta(spark: SparkSession, dstDir: String): ReplicaDef = {
-    val r = spark.read.parquet(metaPath(dstDir)).head()
-    ReplicaDef(r.getAs[String]("src_dir"), r.getAs[Long]("src_version"),
-      r.getAs[scala.collection.Seq[String]]("key_cols").toSeq)
+    val (schema, r) = LogLocal.read(spark, metaPath(dstDir)) match {
+      case Some((s, rows)) if rows.nonEmpty => (s, rows.head)
+      case _ =>
+        val df = spark.read.parquet(metaPath(dstDir))
+        (df.schema, df.head())
+    }
+    def at(n: String) = r.get(schema.fieldIndex(n))
+    val keyCols = at("key_cols") match {
+      case s: String => s.split('\u0001').toSeq
+      case a: scala.collection.Seq[_] => a.map(_.toString).toSeq
+      case other => throw new IllegalStateException(
+        s"unreadable replica key_cols: $other")
+    }
+    ReplicaDef(at("src_dir").asInstanceOf[String],
+      at("src_version").asInstanceOf[Long], keyCols)
   }
 
   /** Seed `dstDir` with the source's current rows, clustered by the
@@ -115,20 +147,30 @@ object Replica {
     // collect plus a DV probe
     val dataCols = DataLayout.schemaFor(spark, dstDir).fieldNames.toSeq
     val compareCols = dataCols.filterNot(d.keyCols.contains)
-    val feed = DataLayout.changeFeed(spark, d.srcDir, d.srcVersion, cur,
-      d.keyCols, compareCols).localCheckpoint(true)
-    val feedRows = feed.count()
-    if (feedRows == 0L) { // pure file-motion steps (compaction, recluster)
+    // LAST EVENT WINS per key: highest version, and within one step the
+    // arrival ('+' sorts before '-') beats the departure it replaced.
+    // ONE materialization of the feed: the exact feed-row count rides the
+    // collapse action as an observed metric — the r19 shape checkpointed
+    // the feed, counted it, THEN checkpointed the collapsed frame (two
+    // full materializations of the feed plus a count job). The metric
+    // node sits below the window exchange, which is safe because obs is
+    // only consulted when `last` came back nonempty (an empty input could
+    // let AQE's empty-relation propagation prune the metric node — the
+    // DmlCountSpec lesson); last is empty iff the feed is empty, since
+    // the window keeps >= 1 row per key.
+    val w = Window.partitionBy(d.keyCols.map(col): _*)
+      .orderBy(col("version").desc, col("sign").asc)
+    val obs = new org.apache.spark.sql.Observation()
+    val last = DataLayout.changeFeed(spark, d.srcDir, d.srcVersion, cur,
+        d.keyCols, compareCols)
+      .observe(obs, count(lit(1)).as("feed_rows"))
+      .withColumn("_rk", row_number().over(w))
+      .where(col("_rk") === 1).localCheckpoint(true)
+    if (last.isEmpty) { // pure file-motion steps (compaction, recluster)
       writeMeta(spark, dstDir, d.copy(srcVersion = cur))
       return SyncReport(d.srcVersion, cur, 0L, 0L, 0L, 0)
     }
-
-    // LAST EVENT WINS per key: highest version, and within one step the
-    // arrival ('+' sorts before '-') beats the departure it replaced
-    val w = Window.partitionBy(d.keyCols.map(col): _*)
-      .orderBy(col("version").desc, col("sign").asc)
-    val last = feed.withColumn("_rk", row_number().over(w))
-      .where(col("_rk") === 1).localCheckpoint(true)
+    val feedRows = obs.get("feed_rows").asInstanceOf[Long]
     val ups = last.where(col("sign") === "+")
       .select(dataCols.map(col): _*)
     val dels = last.where(col("sign") === "-")

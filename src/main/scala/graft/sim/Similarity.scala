@@ -157,7 +157,15 @@ object Similarity {
   private def collectCentroids(cent: DataFrame): Array[(Long, Array[Long], Long)] = {
     val spark = cent.sparkSession
     import spark.implicits._
-    val centRows = cent.as[(Long, Int, Long, Long)].collect()
+    centroidArray(cent.as[(Long, Int, Long, Long)].collect())
+  }
+
+  /** The dense-array assembly behind [[collectCentroids]], factored out so
+    * a caller that already COLLECTED the (cell, pos, sxi, n) rows (e.g. a
+    * build that fuses the centroid aggregate with the overflow-guard max)
+    * never re-runs the aggregation job just to group them. */
+  private def centroidArray(
+      centRows: Array[(Long, Int, Long, Long)]): Array[(Long, Array[Long], Long)] = {
     if (centRows.isEmpty) return Array.empty
     val dim = centRows.iterator.map(_._2).max + 1
     centRows.groupBy(_._1).toSeq.sortBy(_._1).map { case (cellId, rows) =>
@@ -250,26 +258,12 @@ object Similarity {
       }.toDF("vid", "acell")
   }
 
-  /** Multi-probe variant of the assignment kernel: each vector's `nProbe`
-    * best cells by the same (score DESC, cell ASC) order — the standard
-    * IVF recall knob (probe > 1 cells so near-boundary neighbors in the
-    * runner-up cells are not lost). Same guards, same bit-reproducible
-    * integer arithmetic; ascending-cell iteration with strict-> insertion
-    * keeps ties on the smaller cell id. Returns (vid, probe 1..nProbe,
-    * acell). */
-  private def assignCellsTopN(vecs: DataFrame, idCol: String, vecCol: String,
-      cells: Array[(Long, Array[Long], Long)], maxXi: Long,
-      quantScale: Long, nProbe: Int): DataFrame =
-    // one kernel, one tie-break, one guard: delegate to the fused
-    // probe+normalize pass and drop the unit vector (the extra nv
-    // materialization only runs over query batches here — small)
-    assignProbesWithUnit(vecs, idCol, vecCol, cells, maxXi, quantScale, nProbe)
-      .select("vid", "probe", "acell")
-
-  /** Fused probe+normalize kernel for [[knnGraph]]: one narrow pass emits,
+  /** Fused probe+normalize kernel — THE multi-probe assignment pass of the
+    * whole IVF surface ([[knnGraph]], [[saveIvfIndex]]/[[appendToIvfIndex]]
+    * at nProbe = 1, [[ivfQueryIndex]]'s probe leg): one narrow pass emits,
     * per vector, its `nProbe` best cells by the integer centroid score
     * (same (score DESC, cell ASC) order and overflow guards as
-    * [[assignCellsTopN]]) AND the pre-normalized unit vector — so the graph
+    * [[assignCells]]) AND the pre-normalized unit vector — so the graph
     * join downstream never has to join an n-row assignment frame back onto
     * the vectors (the broadcast [[ivfTopK]] uses, which stops being
     * broadcastable at billions of vectors). Normalization is bit-identical
@@ -475,27 +469,53 @@ object Similarity {
     * the diff engine). */
   def saveIvfIndex(vecs: DataFrame, idCol: String, vecCol: String,
       cellCol: String, path: String, quantScale: Long = 1000000L): Unit = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
     val dims = vecs.select(col(idCol).as("vid"), col(cellCol).cast("long").as("cell"),
       posexplode(col(vecCol)).as(Seq("pos", "x")))
       .withColumn("xi", floor(col("x").cast("double") * quantScale).cast("long"))
-    val cent = dims.groupBy("cell", "pos")
-      .agg(sum(col("xi")).as("sxi"), count(lit(1)).as("n"))
-    cent.write.mode("overwrite").parquet(s"$path/centroids")
-    val cells = collectCentroids(cent)
-    val assigned = assignCells(vecs, idCol, vecCol, cells, maxAbsXi(dims), quantScale)
-    withUnitVector(vecs.select(col(idCol).as("uid"), col(vecCol).as("v")), "v", "nv")
-      .join(broadcast(assigned), col("uid") === col("vid"))
-      .select(col("uid").as("vid"), col("acell").as("cell"), col("nv").as("nv"))
-      .write.mode("overwrite").parquet(s"$path/postings")
-    // Per-cell posting counts under the argmax-REASSIGNED labels — what
-    // the postings join actually fans out over. The centroid member
-    // counts are input-label sizes; a degenerate reassignment can
-    // collapse most postings into one cell, so a query-time budget guard
-    // reading centroid counts would pass while the join blows up.
-    // Persisting the real counts (k rows) makes the guard exact at zero
-    // query-time cost.
-    assigned.groupBy(col("acell").as("cell")).agg(count(lit(1)).as("n"))
-      .write.mode("overwrite").parquet(s"$path/cellcounts")
+    // ONE aggregation pass over the exploded components yields the centroid
+    // sums AND the per-group max|xi| whose global max the overflow guard
+    // needs — the r19 shape ran the aggregation twice (once for the
+    // centroids write, once re-collected for the kernel) plus a third
+    // whole-corpus explode just for maxAbsXi. The rows are collected first
+    // (cells×dims — tiny by construction) and the centroids parquet is
+    // written from the local rows, so the corpus is aggregated exactly once.
+    val centRows = dims.groupBy("cell", "pos")
+      .agg(sum(col("xi")).as("sxi"), count(lit(1)).as("n"),
+        max(abs(col("xi"))).as("mx"))
+      .as[(Long, Int, Long, Long, Long)].collect()
+    val maxXi = centRows.foldLeft(0L)((m, r) => math.max(m, r._5))
+    val cells = centroidArray(centRows.map(r => (r._1, r._2, r._3, r._4)))
+    centRows.map(r => (r._1, r._2, r._3, r._4)).toSeq
+      .toDF("cell", "pos", "sxi", "n")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    require(cells.nonEmpty,
+      "saveIvfIndex over an empty corpus: no centroids to build " +
+        "(check the input row count)")
+    // Fused assign+normalize kernel (nProbe = 1 IS assignCells' argmax,
+    // same tie-break, same guards): ONE corpus pass emits (vid, cell, nv)
+    // directly — the r19 shape ran the kernel in a separate assignment
+    // pass, normalized in another projection, and joined the two back.
+    // The normalization is bit-identical to withUnitVector (ascending-
+    // index Σx², one sqrt, per-element division; zero-norm → zero vector).
+    val posted = assignProbesWithUnit(vecs, idCol, vecCol, cells,
+        maxXi, quantScale, nProbe = 1)
+      .select(col("vid"), col("acell").as("cell"), col("nv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      posted.write.mode("overwrite").parquet(s"$path/postings")
+      // Per-cell posting counts under the argmax-REASSIGNED labels — what
+      // the postings join actually fans out over. The centroid member
+      // counts are input-label sizes; a degenerate reassignment can
+      // collapse most postings into one cell, so a query-time budget guard
+      // reading centroid counts would pass while the join blows up.
+      // Persisting the real counts (k rows) makes the guard exact at zero
+      // query-time cost. Computed from the cached kernel output — the r19
+      // shape re-ran the whole assignment pass for this k-row aggregate.
+      posted.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/cellcounts")
+    } finally posted.unpersist()
   }
 
   /** Incremental IVF maintenance: fold a DELTA of new vectors into a
@@ -526,12 +546,17 @@ object Similarity {
     val dims = delta.select(col(idCol).as("vid"),
       posexplode(col(vecCol)).as(Seq("pos", "x")))
       .withColumn("xi", floor(col("x").cast("double") * quantScale).cast("long"))
-    val assigned = assignCells(delta, idCol, vecCol, cells, maxAbsXi(dims), quantScale)
-    val posted = withUnitVector(
-        delta.select(col(idCol).as("uid"), col(vecCol).as("v")), "v", "nv")
-      .join(broadcast(assigned), col("uid") === col("vid"))
-      .select(col("uid").as("vid"), col("acell").as("cell"), col("nv").as("nv"))
-    val deltaCounts = assigned.groupBy(col("acell").as("cell"))
+    // Fused assign+normalize kernel, cached across this call's two
+    // consumers (the delta-count aggregate and the postings append) — the
+    // r19 shape ran the kernel once for the assignment, AGAIN inside the
+    // postings join, and normalized in a third projection. nProbe = 1 is
+    // exactly assignCells' argmax (same tie-break, same overflow guards);
+    // the normalization is bit-identical to withUnitVector.
+    val posted = assignProbesWithUnit(delta, idCol, vecCol, cells,
+        maxAbsXi(dims), quantScale, nProbe = 1)
+      .select(col("vid"), col("acell").as("cell"), col("nv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deltaCounts = posted.groupBy(col("cell"))
       .agg(count(lit(1)).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // CRASH-SAFE ORDER: (1) read the base counts from the PRE-append
@@ -558,7 +583,8 @@ object Similarity {
     import spark.implicits._
     merged.toDF("cell", "n").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/cellcounts")
-    posted.write.mode("append").parquet(s"$path/postings")
+    try posted.write.mode("append").parquet(s"$path/postings")
+    finally posted.unpersist()
     deltaCounts.valuesIterator.sum
   }
 
@@ -630,12 +656,14 @@ object Similarity {
     val qdims = queries.select(col("query_id"),
       posexplode(col("qv")).as(Seq("pos", "x")))
       .withColumn("xi", floor(col("x").cast("double") * quantScale).cast("long"))
-    val probes = assignCellsTopN(queries, "query_id", "qv", cells,
-      maxAbsXi(qdims), quantScale, nProbe)
-    val qunit = withUnitVector(
-      queries.select(col("query_id").as("qid"), col("qv").as("v")), "v", "qn")
-    val probed = qunit.join(broadcast(probes), col("qid") === col("vid"))
-      .select(col("qid").as("query_id"), col("acell").as("cell"), col("qn"))
+    // the fused kernel emits each query's probe cells AND its unit vector
+    // in one pass — the r19 shape ran the same kernel but dropped nv,
+    // normalized the queries separately, and joined the two frames back
+    // together
+    val probed = assignProbesWithUnit(queries, "query_id", "qv", cells,
+        maxAbsXi(qdims), quantScale, nProbe)
+      .select(col("vid").as("query_id"), col("acell").as("cell"),
+        col("nv").as("qn"))
     val postings = spark.read.parquet(s"$path/postings")
     val sims = postings.join(broadcast(probed), Seq("cell"))
       .where(if (excludeSelfId) col("query_id") =!= col("vid") else lit(true))

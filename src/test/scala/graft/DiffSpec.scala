@@ -430,24 +430,65 @@ class HashDifferSpec extends AnyFunSuite {
     assert(HashDiffer.autoRefineFactor(10000000L, 2, 128) == 20)
     assert(HashDiffer.autoRefineFactor(1000000000L, 1, 128) == 512) // capped
     assert(HashDiffer.autoRefineFactor(2000000L, 8, 2) == 1) // already fine
-    // end-to-end: a 1.5M-row pair with 3 mutated keys in one coarse
-    // bucket of 2 crosses the threshold — the auto path must agree with
-    // refine-disabled exactly (same rows, just a smaller final exchange)
+    // end-to-end: a 2.4M-row pair with 3 mutated keys — at 2 coarse
+    // buckets EVERY dirty bucket holds ~1.2M rows > RefineLeaf, so the
+    // threshold crosses regardless of which buckets the keys hash into —
+    // and the auto path must agree with refine-disabled exactly (same
+    // rows, just a smaller final exchange)
     import spark.implicits._
-    val base = spark.range(1, 1500001).select(col("id").as("k"),
+    val base = spark.range(1, 2400001).select(col("id").as("k"),
       (col("id") % 1000).as("v"))
     val mut = base.withColumn("v",
       when(col("k").isin(700L, 700000L, 1400000L), lit(-1L))
         .otherwise(col("v")))
     val segA = TableSegment(base, Seq("k"))
     val segB = TableSegment(mut, Seq("k"))
-    val auto = HashDiffer.diff(segA, segB, buckets = 2)
+    val autoDf = HashDiffer.diff(segA, segB, buckets = 2)
+    val auto = autoDf
       .select("sign", "k").as[(String, Long)].collect().toSet
     val plain = HashDiffer.diff(segA, segB, buckets = 2, refineFactor = 1)
       .select("sign", "k").as[(String, Long)].collect().toSet
     assert(auto == plain)
     assert(auto == Set(700L, 700000L, 1400000L)
       .flatMap(k => Set(("-", k), ("+", k))))
+    // AT-SCALE ENGAGEMENT EVIDENCE (r19 verdict #5): prove the second
+    // level actually fired inside diff() and that it shrank the final
+    // exchange, not just that results agree.
+    // (1) replay the driver decision from the real level-1 summaries
+    val dirty = HashDiffer.bucketSummaries(segA, segB, 2)
+      .where(col("is_dirty"))
+      .select(col("bucket"),
+        greatest(coalesce(col("a_cnt"), lit(0L)),
+          coalesce(col("b_cnt"), lit(0L))).as("n")).collect()
+    val rf = HashDiffer.autoRefineFactor(
+      dirty.map(_.getLong(1)).sum, dirty.length, 2)
+    assert(rf > 1, s"fixture no longer crosses RefineLeaf: rf=$rf")
+    val fine = 2 * rf
+    // (2) the auto plan carries the FINE bucket filter (pmod … fine) the
+    // refine-disabled plan lacks — the in-plan witness that level 2 ran
+    def pmodFilters(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.toString.contains("pmod") => f.condition.toString
+      }
+    assert(pmodFilters(autoDf).exists(_.contains(s", $fine)")),
+      s"no fine-level (pmod % $fine) filter in the auto plan:\n" +
+        pmodFilters(autoDf).mkString("\n"))
+    // (3) the final exchange shrinks ~by the refine factor: rows passing
+    // coarse+fine filters vs coarse-only (the refine-disabled join input)
+    val dirtyCoarse = dirty.map(_.getLong(0)).toSeq
+    val coarseRows = segB.withExtraFilter(
+      HashDiffer.bucketOf(Seq("k"), 2).isin(dirtyCoarse: _*)).scoped.count()
+    val dirtyFine = HashDiffer.dirtyBuckets(
+      segA.withExtraFilter(HashDiffer.bucketOf(Seq("k"), 2).isin(dirtyCoarse: _*)),
+      segB.withExtraFilter(HashDiffer.bucketOf(Seq("k"), 2).isin(dirtyCoarse: _*)),
+      fine)
+    val fineRows = segB.withExtraFilter(
+        HashDiffer.bucketOf(Seq("k"), 2).isin(dirtyCoarse: _*))
+      .withExtraFilter(HashDiffer.bucketOf(Seq("k"), fine).isin(dirtyFine.toSeq: _*))
+      .scoped.count()
+    assert(fineRows * 2 <= coarseRows,
+      s"refine did not shrink the join input: $coarseRows -> $fineRows (rf=$rf)")
   }
 
   test("segment scoping: key bounds filter rows (product order)") {

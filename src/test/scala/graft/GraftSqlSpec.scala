@@ -97,6 +97,31 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(DataLayout.readLayout(spark, dir, 0L).count() == 2000L)
   }
 
+  test("DELETE with no DVs outstanding is ONE atomic rewrite version; with DVs it still ends DV-free") {
+    // fast path (r20): no outstanding DVs -> a single rewrite version
+    val dir = Files.createTempDirectory("graft_sql").toString + "/t"
+    writeSql(dir, 0 until 1000)
+    val v0 = DataLayout.currentVersion(spark, dir)
+    val rep = GraftSql(spark,
+      s"DELETE FROM graft.`$dir` WHERE id BETWEEN 100 AND 199")
+    assert(rep.head().getAs[Long]("rows_deleted") == 100L)
+    assert(DataLayout.currentVersion(spark, dir) == v0 + 1,
+      "no-DV DELETE must land as exactly one version")
+    assert(!DataLayout.dvEffectiveAt(spark, dir))
+    assert(DataLayout.readLayout(spark, dir).count() == 900L)
+    // fallback: with effective DVs outstanding the mark+purge path runs
+    // and the layout still ends DV-free (the plain-relation-view contract)
+    DataLayout.deleteVectors(spark, dir, Seq(("x", 0L, 500L)))
+    assert(DataLayout.dvEffectiveAt(spark, dir))
+    val before = DataLayout.readLayout(spark, dir).count()
+    val rep2 = GraftSql(spark,
+      s"DELETE FROM graft.`$dir` WHERE id BETWEEN 200 AND 299")
+    val del2 = rep2.head().getAs[Long]("rows_deleted")
+    assert(DataLayout.readLayout(spark, dir).count() == before - del2)
+    assert(!DataLayout.dvEffectiveAt(spark, dir),
+      "DELETE over outstanding DVs must still end the layout DV-free")
+  }
+
   test("UPDATE: one atomic version, only match-carrying files rewrite, expressions evaluate per row") {
     val dir = Files.createTempDirectory("graft_sql").toString + "/t"
     writeSql(dir, 0 until 2000)

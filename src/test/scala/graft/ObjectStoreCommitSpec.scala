@@ -122,11 +122,12 @@ class ObjectStoreCommitSpec extends AnyFunSuite {
     mk(2000 until 2100).createOrReplaceTempView("osd_ins")
     spark.sql("INSERT INTO osd SELECT * FROM osd_ins")
     assert(subdirsBy("append-v").length == 1)
-    // DELETE = DV mark + purge: the purge REWRITE lands in rewrite-* subdirs
+    // DELETE (no DVs outstanding) = one atomic rewrite version (r20);
+    // the hit-file rewrite lands in rewrite-delete_v* subdirs
     val del = graft.layout.GraftSql(spark,
       "DELETE FROM osd WHERE id BETWEEN 100 AND 199")
     assert(del.select("rows_deleted").head().getLong(0) == 100L)
-    assert(subdirsBy("rewrite-purge_v").nonEmpty)
+    assert(subdirsBy("rewrite-delete_v").nonEmpty)
     // MERGE: the envelope-targeted rewrite lands in a rewrite-merge_v* subdir
     mk(0 until 50).withColumn("x", lit(-5L)).createOrReplaceTempView("osd_upd")
     val m = graft.layout.GraftSql(spark,
